@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Session-extension entry point: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes every graft SQL function (cosine_sim, dot_f32, token_set,
+  * shingle_set, simhash64, minhash_bands, …) available in any session
+  * without programmatic registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    VectorFunctions.registrations.foreach(ext.injectFunction)
+    TextFunctions.registrations.foreach(ext.injectFunction)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run a single SparkEntry query with timing + plan dump.
+  * Usage: runMain graft.RunOne <name> [sfDir] [explain|noexplain]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val doExplain = args.length > 2 && args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (doExplain) df.explain("formatted")
+    // warm + measure twice to split JIT/codegen from steady-state
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[runone] $name run$i rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Flatten, SqlTransform}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sink.MergeWriter
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline operators; each SQL-expressible
+  * entry has a DuckDB oracle in [[oracleSql]] with IDENTICAL output column
+  * names and deterministic ordering.
+  *
+  * Cross-engine exactness rules used throughout (see SURVEY.md §5):
+  *  - money aggregates go through DECIMAL casts (exact, identical on both
+  *    engines) — never raw double sums, whose value depends on add order;
+  *  - averages are `CAST(exact-decimal-sum AS DOUBLE) / COUNT(*)` — both
+  *    engines then perform the same two correctly-rounded operations;
+  *  - similarity scores are emitted as `round(sim*1000)` integers;
+  *  - `events.ts` is nanosecond-precision parquet: Spark truncates to µs, so
+  *    raw ts values are never emitted — only `unix_millis`/`epoch_ms` (both
+  *    floor to the same millisecond) or `date_trunc` results;
+  *  - every query ends in an explicit total ORDER BY on a unique key prefix.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Register the star schema + aux tables as temp views and run SQL —
+    * the same text DuckDB gets, modulo dialect notes above. */
+  private def sql(s: SparkSession, dir: String, names: Seq[String], q: String): DataFrame = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_join")(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Shared SQL texts (Spark + DuckDB dialects agree on all of these)
+  // ====================================================================
+
+  private val Q1 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  private def q3(str: String) = s"""
+    SELECT l_orderkey,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      CAST(o_orderdate AS $str) AS o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  private val Q5 = """
+    SELECT n_name,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  private val QWindow = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    ORDER BY o_custkey, rnk"""
+
+  private val QSemiAnti = """
+    SELECT c_custkey, c_name, 'no_urgent' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, c_name, 'big_spender' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY tag, c_custkey"""
+
+  private val QSetOps = """
+    SELECT * FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 450000) t
+    ORDER BY c_custkey"""
+
+  private val QRollup = """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+      CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
+    FROM customer, nation, region
+    WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""
+
+  private val QTopK = """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100"""
+
+  private val QDistinctAgg = """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private val QCaseString = """
+    SELECT p_brand, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
+      CAST(SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      MIN(UPPER(SUBSTRING(p_name, 1, 6))) AS first_name
+    FROM part GROUP BY p_brand ORDER BY p_brand"""
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * BIGINT of epoch-nanos (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    * Verify/Bench/SparkEnv) while DuckDB reads TIMESTAMP_NS — so every
+    * events query is templated over dialect expressions that floor to the
+    * same millisecond / hour on both engines. Ordering by raw ts is
+    * identical (both are the full nanosecond value). */
+  private val SparkMs = "(ts DIV 1000000)"
+  private val DuckMs = "epoch_ms(ts)"
+  private val SparkHour = "CAST(date_trunc('hour', timestamp_micros(ts DIV 1000)) AS STRING)"
+  private val DuckHour = "CAST(date_trunc('hour', ts) AS VARCHAR)"
+
+  private def qEventsHourly(hExpr: String) = s"""
+    SELECT $hExpr AS h, event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+      CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY $hExpr, event_type
+    ORDER BY h, event_type"""
+
+  private def qSessionize(msExpr: String) = s"""
+    SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+        CASE WHEN LAG($msExpr) OVER w IS NULL
+               OR $msExpr - LAG($msExpr) OVER w > 1800000
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+    GROUP BY user_id ORDER BY user_id"""
+
+  private def qCdcLatest(msExpr: String) = s"""
+    SELECT user_id, event_id, event_type, value, $msExpr AS ms FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id"""
+
+  private val QScalarFnsSpark = """
+    SELECT l_orderkey, l_linenumber,
+      COALESCE(CAST(CAST(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_shipdate END AS DATE) AS STRING), '1970-01-01') AS dt,
+      CONCAT(l_returnflag, '-', l_linestatus) AS flag,
+      CAST(FLOOR(l_quantity) AS INT) AS qty_i
+    FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  private val QScalarFnsDuck = """
+    SELECT l_orderkey, l_linenumber,
+      COALESCE(CAST(CAST(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_shipdate END AS DATE) AS VARCHAR), '1970-01-01') AS dt,
+      CONCAT(l_returnflag, '-', l_linestatus) AS flag,
+      CAST(FLOOR(l_quantity) AS INTEGER) AS qty_i
+    FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  private val TransformSql = """
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+    FROM <SRC> GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // ====================================================================
+  // queries
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface (SURVEY §2.2) -----------------------------
+    "q_identity" -> ((s, d) => t(s, d, "region").orderBy("r_regionkey")),
+
+    "q_filter_limit" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey").limit(10)),
+
+    "q_scalar_fns" -> ((s, d) => sql(s, d, Seq("lineitem"), QScalarFnsSpark)),
+
+    "q_sql_transform" -> ((s, d) =>
+      SqlTransform.transform(s, t(s, d, "lineitem"), TransformSql)),
+
+    "q_flatten" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val nested = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(
+          sort_array(collect_list(struct(
+            col("l_linenumber").as("linenumber"),
+            col("l_quantity").as("quantity")))).as("items"),
+          first(struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))).as("info"))
+      Flatten(nested).orderBy("o_orderkey", "items_linenumber")
+    }),
+
+    "q_merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      def upd(tag: String, delta: Double) = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(tag).as("o_orderstatus"),
+          (col("o_totalprice") + delta).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val batch = upd("U1", 1000.0).unionByName(upd("U2", 500.0))
+      val deduped = MergeWriter.dedupByPrecombine(batch, Seq("o_orderkey"), "o_totalprice")
+      MergeWriter.mergeBatch(base, deduped, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    // ---- relational surface via the T1 hook (SURVEY §2.2 note) -------
+    "q1_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), Q1)),
+    "q3_join" -> ((s, d) => sql(s, d, Seq("customer", "orders", "lineitem"), q3("STRING"))),
+    "q5_multijoin" -> ((s, d) =>
+      sql(s, d, Seq("customer", "orders", "lineitem", "supplier", "nation", "region"), Q5)),
+    "q_window" -> ((s, d) => sql(s, d, Seq("orders"), QWindow)),
+    "q_semi_anti" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSemiAnti)),
+    "q_setops" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSetOps)),
+    "q_rollup" -> ((s, d) => sql(s, d, Seq("customer", "nation", "region"), QRollup)),
+    "q_topk" -> ((s, d) => sql(s, d, Seq("lineitem"), QTopK)),
+    "q_distinct_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QDistinctAgg)),
+    "q_case_string" -> ((s, d) => sql(s, d, Seq("part"), QCaseString)),
+
+    // ---- events / streaming-shaped (batch equivalents) ---------------
+    "q_events_hourly" -> ((s, d) => sql(s, d, Seq("events"), qEventsHourly(SparkHour))),
+    "q_events_sessionize" -> ((s, d) => sql(s, d, Seq("events"), qSessionize(SparkMs))),
+    "q_cdc_latest" -> ((s, d) => sql(s, d, Seq("events"), qCdcLatest(SparkMs))),
+
+    // ---- LLM-pipeline: dedup -----------------------------------------
+    "dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactGroups(doubled).orderBy("keep_id")
+    }),
+    "dedup_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintGroups(t(s, d, "documents")).orderBy("fp")),
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), 8).orderBy("doc_a", "doc_b")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), 8).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), 3).orderBy("doc_a", "doc_b")),
+
+    // ---- LLM-pipeline: similarity search ------------------------------
+    "ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), 5, col("vec_id") % 20 === 0)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+    "ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), 5, 16, 4, col("vec_id") % 20 === 0)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+    "emb_neardup" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), 0.5)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- LLM-pipeline: text analysis ----------------------------------
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityProfile(t(s, d, "documents"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
+          "n_stop_tokens", "n_word_runs", "max_token_len")
+        .orderBy("doc_id")),
+    "text_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), col("source"),
+          size(TextOps.lowerTokens(col("text"))).as("nt"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("total_tokens"),
+          min(col("nt")).as("min_tokens"),
+          max(col("nt")).as("max_tokens"))
+        .orderBy("lang", "source")),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents"))
+        .select("doc_id", "lang", "lang_pred").orderBy("doc_id")),
+
+    // ---- LLM-pipeline: multimodal columns -----------------------------
+    "media_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.asMedia(t(s, d, "documents"), "text"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"))
+        .orderBy("doc_id")),
+    "media_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+          Multimodal.extractMeta(Multimodal.asMedia(t(s, d, "documents"), "text"))
+            .select("doc_id", "media", "meta"))
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), size(col("features")).as("feat_dim"),
+          round(element_at(col("features"), 1).cast("double"), 2).as("f0"))
+        .orderBy("doc_id"))
+  )
+
+  // ====================================================================
+  // oracle SQL (DuckDB dialect)
+  // ====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
+
+    "q_filter_limit" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+      ORDER BY c_custkey LIMIT 10""",
+
+    "q_scalar_fns" -> QScalarFnsDuck,
+
+    "q_sql_transform" -> TransformSql.replace("<SRC>", "lineitem"),
+
+    "q_flatten" -> """
+      SELECT o_orderkey, o_custkey,
+        l_linenumber AS items_linenumber, l_quantity AS items_quantity,
+        o_orderstatus AS info_status, o_totalprice AS info_total
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ORDER BY o_orderkey, items_linenumber""",
+
+    "q_merge_upsert" -> """
+      WITH upd AS (
+        SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+          o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0)
+      SELECT * FROM (
+        SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        UNION ALL SELECT * FROM upd) t
+      ORDER BY o_orderkey""",
+
+    "q1_agg" -> Q1,
+    "q3_join" -> q3("VARCHAR"),
+    "q5_multijoin" -> Q5,
+    "q_window" -> QWindow,
+    "q_semi_anti" -> QSemiAnti,
+    "q_setops" -> QSetOps,
+    "q_rollup" -> QRollup,
+    "q_topk" -> QTopK,
+    "q_distinct_agg" -> QDistinctAgg,
+    "q_case_string" -> QCaseString,
+    "q_events_hourly" -> qEventsHourly(DuckHour),
+    "q_events_sessionize" -> qSessionize(DuckMs),
+    "q_cdc_latest" -> qCdcLatest(DuckMs),
+
+    "dedup_exact" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+      SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM all_docs GROUP BY md5(text) ORDER BY keep_id""",
+
+    "dedup_fingerprint" -> """
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "dedup_jaccard" -> """
+      WITH tok AS (
+        SELECT doc_id, lang, n_chars // 64 AS len_bkt,
+          list_sort(list_distinct(list_transform(
+            range(len(string_split(lower(text), ' ')) - 2),
+            i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                 string_split(lower(text), ' ')[i+2] || ' ' ||
+                 string_split(lower(text), ' ')[i+3]))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      SELECT doc_a, doc_b, i, u FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS i,
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS u
+        FROM tok a JOIN tok b
+          ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id) p
+      WHERE 10 * i >= 8 * u AND u > 0
+      ORDER BY doc_a, doc_b""",
+
+    "ann_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 20 = 0),
+           c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings),
+           s AS (SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, cv) AS sim
+                 FROM q JOIN c ON query_id <> neighbor_id),
+           r AS (SELECT query_id, neighbor_id,
+                   CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+                 FROM s)
+      SELECT query_id, rnk, neighbor_id, sim_i FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "emb_neardup" -> """
+      SELECT vec_a, vec_b, sim_i FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) * 1000, 0) AS BIGINT) AS sim_i,
+          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+            CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+      WHERE sim >= 0.5 ORDER BY vec_a, vec_b""",
+
+    "text_quality" -> """
+      SELECT doc_id,
+        CAST(length(text) AS INTEGER) AS n_chars_m,
+        CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct_tokens,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS INTEGER) AS n_stop_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word_runs,
+        CAST(COALESCE(list_max(list_transform(string_split(lower(text), ' '),
+          tk -> length(tk))), 0) AS INTEGER) AS max_token_len
+      FROM documents ORDER BY doc_id""",
+
+    "text_tokens" -> """
+      WITH p AS (SELECT lang, source,
+        len(string_split(lower(text), ' ')) AS nt FROM documents)
+      SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        CAST(MIN(nt) AS INTEGER) AS min_tokens,
+        CAST(MAX(nt) AS INTEGER) AS max_tokens
+      FROM p GROUP BY lang, source ORDER BY lang, source""",
+
+    "text_fingerprint" -> """
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "media_meta" -> """
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS checksum
+      FROM documents ORDER BY doc_id"""
+    // rows-only (non-SQL-expressible) entries: dedup_minhash, dedup_simhash
+    // (seeded xxhash64 permutations), ann_ivf (approximate), text_langid
+    // (marker-scoring heuristic), media_features (stub codec output)
+  )
 }

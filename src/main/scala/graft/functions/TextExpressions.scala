@@ -1,0 +1,257 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the dedup/text-analysis operators.
+  *
+  * The equivalent higher-order-function chains
+  * (`array_sort(array_distinct(transform(sequence(...), ...)))`) are
+  * interpreted per element — profiled at ~0.1 s/row cold on ~400-shingle
+  * docs, which made the LSH pipelines minutes-slow at sf0.1. Each kernel
+  * here is ONE expression node doing the whole row's work in tight JVM code,
+  * codegen'd via a static-call bridge so whole-stage codegen stays intact.
+  *
+  * Semantics are bit-identical with the HOF formulation (and hence with the
+  * DuckDB oracle SQL): single-space split keeping empty tokens, UTF-8
+  * byte-order sort, first-occurrence-insensitive distinct.
+  */
+object TextKernels {
+
+  /** lowercased tokens, split on single space, empties kept —
+    * byte-compatible with `split(lower(text), ' ')`. */
+  def tokens(text: UTF8String): Array[UTF8String] = {
+    val lower = text.toLowerCase
+    val out = lower.split(UTF8String.fromString(" "), -1)
+    out
+  }
+
+  /** sorted distinct tokens — `array_sort(array_distinct(split(lower(t),' ')))`. */
+  def tokenSet(text: UTF8String): ArrayData = {
+    val set = new java.util.TreeSet[UTF8String]()
+    tokens(text).foreach(set.add)
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** sorted distinct word k-shingles joined by ' '; empty array below k
+    * tokens (matches TextOps.shingles / the oracle's list_transform). */
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[AnyRef])
+    val set = new java.util.TreeSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= toks.length - k) {
+      var sh = toks(i)
+      var j = 1
+      while (j < k) { sh = UTF8String.concat(sh, space, toks(i + j)); j += 1 }
+      set.add(sh)
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  private def xxh64(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seed)
+
+  /** 64-bit SimHash over the distinct token set (xxh64 per token, sign
+    * accumulation per bit). */
+  def simhash64(text: UTF8String): Long = {
+    val set = new java.util.TreeSet[UTF8String]()
+    tokens(text).foreach(set.add)
+    val counts = new Array[Int](64)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val h = xxh64(it.next(), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** LSH band hashes from a shingle array: numBands × rowsPerBand seeded
+    * min-hashes, each band folded to one long. One pass per seed over the
+    * shingles; all in-register. */
+  def minhashBands(shingles: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = shingles.numElements()
+    val numHashes = numBands * rowsPerBand
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i)
+      var s = 0
+      while (s < numHashes) {
+        val h = xxh64(sh, s.toLong)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    val bandsOut = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          mins(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      bandsOut(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bandsOut)
+  }
+}
+
+object SetKernels {
+  /** |a ∩ b| for two SORTED distinct string arrays — single merge scan,
+    * O(n+m), no per-eval hash-set allocation (array_intersect builds one). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** sorted_intersect_size(a, b) — intersection cardinality of two sorted
+  * distinct string arrays (the shape token_set/shingle_set emit). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_size"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetKernels.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+abstract class StringKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+}
+
+/** token_set(text) — sorted distinct lowercase whitespace tokens. */
+case class TokenSet(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "token_set"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.tokenSet(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenSet($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** shingle_set(text, k) — sorted distinct word k-shingles. */
+case class ShingleSet(child: Expression, k: Int) extends StringKernelExpression {
+  override def prettyName: String = "shingle_set"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.shingleSet(t.asInstanceOf[UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleSet($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** simhash64(text) — 64-bit SimHash fingerprint of the token set. */
+case class SimHash64(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.simhash64(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** minhash_bands(shingles, numBands, rowsPerBand) — LSH band hash array. */
+case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.minhashBands(a.asInstanceOf[ArrayData], numBands, rowsPerBand)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minhashBands($c, $numBands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("token_set"),
+      new ExpressionInfo(classOf[TokenSet].getName, "token_set"),
+      (cs: Seq[Expression]) => TokenSet(cs.head)),
+    (FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (cs: Seq[Expression]) => ShingleSet(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (cs: Seq[Expression]) => SimHash64(cs.head)),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (cs: Seq[Expression]) => MinHashBands(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue(),
+        cs(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (cs: Seq[Expression]) => SortedIntersectSize(cs.head, cs(1))))
+
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  def tokenSet(text: Column): Column = call_function("token_set", text)
+  def shingleSet(text: Column, k: Int): Column =
+    call_function("shingle_set", text, lit(k))
+  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def minhashBands(shingles: Column, numBands: Int, rowsPerBand: Int): Column =
+    call_function("minhash_bands", shingles, lit(numBands), lit(rowsPerBand))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
+}

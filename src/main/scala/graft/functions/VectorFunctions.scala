@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.SparkException
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * interpreted per element — measured ~50x slower than generated code on the
+  * ANN queries. These expressions participate in whole-stage codegen: one
+  * fused loop over the two float arrays, accumulating in double with
+  * deterministic left-to-right order (same accumulation DuckDB's
+  * list_cosine_similarity uses, so oracle results agree to the ulp).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+}
+
+/** cosine_sim(a, b) = Σaᵢbᵢ / sqrt(Σaᵢ² · Σbᵢ²), one fused pass. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, na, nb, n, i) =
+        (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+          ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          double xv = (double) $a.getFloat($i);
+          double yv = (double) $b.getFloat($i);
+          $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+        }
+        ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot_f32(a, b) = Σaᵢbᵢ in double. */
+case class DotProductF32(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+        double $dot = 0.0;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new SparkException("cosine_sim takes 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new SparkException("dot_f32 takes 2 arguments")
+        DotProductF32(children.head, children(1))
+      }))
+
+  /** Idempotent per-session registration (also available session-wide via
+    * [[graft.GraftExtensions]] and `spark.sql.extensions`). */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+}

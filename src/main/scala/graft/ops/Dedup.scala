@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *  - exact / fingerprint dedup is a single hash-aggregate on a digest —
+  *    one shuffle keyed by the digest, map-side partial aggregation;
+  *  - near-dup detection NEVER does an unblocked O(n²) self-join: candidate
+  *    pairs come either from an LSH band bucket join (MinHash / SimHash) or
+  *    an explicit blocking key (language × length bucket). Bucket skew is
+  *    capped (`maxBucketSize`) so one hot bucket can't quadratic-blow a task;
+  *  - everything is built-in/higher-order functions — whole-stage codegen,
+  *    no UDF serialization on the hot path.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup on a content digest: one row per distinct md5(text), the
+    * keeper being the lowest id. Returns (digest, keeper id, dup count). */
+  def exactGroups(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Content-set dedup: same, keyed on the canonical token-set fingerprint
+    * (word order / duplication insensitive). The digest is projected BEFORE
+    * the groupBy — grouping directly on the expensive expression makes
+    * Spark evaluate it again in the final aggregate. */
+  def fingerprintGroups(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------ jaccard
+
+  /** Exact n-gram (word-shingle) Jaccard near-dup pairs within blocks of
+    * (`lang`, n_chars/64). Integer-only comparison `10*|∩| >= t*|∪|` keeps
+    * the result bit-exact across engines. Output: (doc_a, doc_b, i, u). */
+  def jaccardPairs(df: DataFrame, thresholdTenths: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   langCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+    // repartition with EXPLICIT partition count: a small parquet file
+    // arrives as one scan partition, and AQE would coalesce a by-column
+    // repartition right back down (bytes-based sizing is blind to the
+    // CPU-heavy pair stage); an explicit numPartitions is exempt from
+    // AQE coalescing
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .repartition(n, col(idCol))
+      .select(col(idCol), col(langCol),
+        (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
+        TextOps.shingles(col(textCol)).as("sh"))
+    val a = sh.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("doc_b"), col(langCol), col("len_bkt"), col("sh").as("sh_b"))
+    val inter = graft.functions.TextFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+    // i/u appear multiple times post-collapse, but each eval is one O(n+m)
+    // merge scan (native kernel), not a hash-set build
+    a.join(b, Seq(langCol, "len_bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("i"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+      .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  /** MinHash+LSH near-dup pairs:
+    * shingle → (32 seeded min-hashes → 8 bands of 4, one native-kernel pass,
+    * [[graft.functions.MinHashBands]]) → band-bucket join for candidates →
+    * exact shingle-Jaccard verification `10*i >= t*u`.
+    * The band join is the scale path: candidates ∝ true near-dups, not n².
+    * Hot buckets (> maxBucketSize, e.g. boilerplate docs) are dropped with
+    * the cap logged in the plan rather than silently exploding a task. */
+  def minhashPairs(df: DataFrame, thresholdTenths: Int = 8,
+                   bands: Int = 8, rowsPerBand: Int = 4,
+                   maxBucketSize: Int = 1000,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    val docs = df
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .repartition(nPart, col(idCol))
+      .select(col(idCol), TextOps.shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.minhashBands(col("sh"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    // skew guard: cap bucket population
+    val bucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    val capped = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+    val l = capped.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
+    val r = capped.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
+    // dedupe candidate pairs on ids BEFORE rejoining the heavy shingle
+    // arrays — a pair colliding in several bands is verified once
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = graft.functions.TextFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+    candidates
+      .join(docs.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("i"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+      .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+      .select("doc_a", "doc_b", "i", "u")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over the distinct token set: bit i of the fingerprint is
+    * the sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1). Native kernel
+    * ([[graft.functions.SimHash64]]), one pass per row. */
+  def simhash(textCol: String): Column =
+    graft.functions.TextFunctions.simhash64(col(textCol))
+
+  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk);
+    * verified by exact Hamming distance ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+    val sigs = df.select(col(idCol), simhash(textCol).as("sig"))
+    val chunked = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+    val bucketSizes = chunked.groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")
+    val l = capped.select(col("chunk"), col("ckey"), col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("chunk"), col("ckey"), col(idCol).as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

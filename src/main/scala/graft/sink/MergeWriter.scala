@@ -1,0 +1,230 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1 — Hudi-equivalent keyed merge semantics over partitioned parquet
+  * (reference writes `format("hudi").mode(Append)` with recordkey/precombine/
+  * partitionpath options, e.g. HoodieJDBCImporter.scala:117-121; option corpus
+  * hudi_mongodb_batch.properties:9-19).
+  *
+  * Semantics reproduced (Hudi 0.9 `OverwriteWithLatestAvroPayload`, the
+  * default payload class the reference never overrides):
+  *  - within an incoming batch, duplicates on the record key are resolved by
+  *    MAX precombine value (deterministic tie-break on the remaining columns
+  *    so re-runs and the DuckDB oracle agree);
+  *  - an incoming record REPLACES the stored record with the same key
+  *    (no cross-batch precombine comparison — last write wins, exactly the
+  *    reference's observable behavior);
+  *  - `delete` operation removes keys; `insert`/`bulk_insert` append without
+  *    merging (bulk_insert is the reference's high-throughput path,
+  *    hudi_mongodb_batch.properties:15-16).
+  *
+  * Scale design (100 TB):
+  *  - COPY_ON_WRITE upsert only touches AFFECTED partitions: the batch's
+  *    partition values are collected (small — distinct partition tuples, not
+  *    rows), the existing table is read partition-pruned to those values, and
+  *    the merged result is written with dynamic partition overwrite
+  *    (`spark.sql.sources.partitionOverwriteMode=dynamic`) so untouched
+  *    partitions are never rewritten or even scanned.
+  *  - MERGE_ON_READ appends the batch as a commit-stamped delta log under
+  *    `_delta/commit=N/`; `readView` resolves key conflicts at read time by
+  *    (commit DESC, precombine DESC); `compact()` folds logs into the base.
+  *    Write amplification is O(batch), not O(table).
+  *  - the only shuffles are the unavoidable hash-partition on the record key
+  *    for dedup and the final partition-path clustering before write;
+  *    a lineage barrier (localCheckpoint — on a real cluster a reliable
+  *    checkpoint / staging dir) lets us overwrite a path we just read.
+  */
+object MergeWriter {
+
+  /** Hudi write operations (hoodie.datasource.write.operation). */
+  val Upsert = "upsert"
+  val Insert = "insert"
+  val BulkInsert = "bulk_insert"
+  val Delete = "delete"
+
+  private val CommitCol = "_graft_commit"
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Resolve intra-batch duplicates: keep the row with max precombine per key.
+    * Ties broken deterministically by the stringified remaining columns so the
+    * result is stable across retries/partitionings (Hudi leaves ties
+    * unspecified; determinism is required by our oracle). */
+  def dedupByPrecombine(df: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    val tieBreak = others.map(c => col(c).cast("string").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(precombine).desc +: tieBreak: _*)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  /** Pure merge of a (already deduped) batch into existing rows:
+    * incoming replaces stored on key match; stored rows with unmatched keys
+    * survive. Exposed separately so tests and the oracle can target it. */
+  def mergeBatch(existing: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = batch.columns.toSeq
+    val survivors = existing.select(cols.map(col): _*)
+      .join(batch.select(keys.map(col): _*), keys, "left_anti")
+    survivors.unionByName(batch.select(cols.map(col): _*))
+  }
+
+  // ---------------------------------------------------------------- write
+
+  def write(spark: SparkSession, batch: DataFrame, table: LakeTable,
+            operation: String = Upsert): Unit = operation match {
+    case Upsert     => upsert(spark, batch, table)
+    case Delete     => delete(spark, batch, table)
+    case Insert | BulkInsert => append(batch, table)
+    case other => throw new IllegalArgumentException(
+      s"unsupported ${LakeTable.OperationKey}: $other")
+  }
+
+  /** insert/bulk_insert: straight partitioned append, no merge, no key
+    * shuffle — the 100 TB bulk-load path. */
+  def append(batch: DataFrame, table: LakeTable): Unit =
+    partitionedWriter(batch, table).mode(SaveMode.Append).parquet(dataPath(table))
+
+  def upsert(spark: SparkSession, batch: DataFrame, table: LakeTable): Unit = {
+    val deduped = dedupByPrecombine(batch, table.recordKeyFields, table.precombineField)
+    if (table.tableType == LakeTable.MergeOnRead) {
+      val commit = nextCommit(spark, table)
+      deduped.write.mode(SaveMode.Overwrite)
+        .parquet(s"${table.path}/_delta/commit=$commit")
+    } else cowRewrite(spark, deduped, table, isDelete = false)
+  }
+
+  /** delete: drop the batch's keys from the table. */
+  def delete(spark: SparkSession, batch: DataFrame, table: LakeTable): Unit = {
+    val keysDf = batch.select(table.recordKeyFields.map(col): _*).distinct()
+    if (table.tableType == LakeTable.MergeOnRead) {
+      // tombstone log entry: null payload marker column
+      val commit = nextCommit(spark, table)
+      keysDf.withColumn("_graft_deleted", lit(true))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${table.path}/_delta/commit=$commit")
+    } else {
+      val existing = readBase(spark, table)
+      existing match {
+        case Some(e) =>
+          val remaining = e.join(keysDf, table.recordKeyFields, "left_anti")
+          overwriteAll(spark, remaining, table)
+        case None => ()
+      }
+    }
+  }
+
+  /** COW: read ONLY affected partitions of the existing table, merge, rewrite
+    * ONLY those partitions (dynamic partition overwrite). */
+  private def cowRewrite(spark: SparkSession, deduped: DataFrame,
+                         table: LakeTable, isDelete: Boolean): Unit = {
+    readBase(spark, table) match {
+      case None =>
+        partitionedWriter(deduped, table)
+          .mode(SaveMode.Overwrite).parquet(dataPath(table))
+      case Some(existing) if table.isPartitioned =>
+        // distinct partition tuples of the batch — small, broadcastable
+        val parts = deduped.select(table.partitionFields.map(col): _*).distinct()
+        val affected = existing.join(broadcast(parts), table.partitionFields, "left_semi")
+        val merged = mergeBatch(affected, deduped, table.recordKeyFields)
+        // lineage barrier: we overwrite partitions we just read
+        val materialized = merged.localCheckpoint(true)
+        partitionedWriter(materialized, table)
+          .mode(SaveMode.Overwrite).parquet(dataPath(table))
+      case Some(existing) =>
+        val merged = mergeBatch(existing, deduped, table.recordKeyFields)
+        overwriteAll(spark, merged, table)
+    }
+  }
+
+  private def overwriteAll(spark: SparkSession, df: DataFrame, table: LakeTable): Unit = {
+    val materialized = df.localCheckpoint(true)
+    partitionedWriter(materialized, table)
+      .mode(SaveMode.Overwrite).parquet(dataPath(table))
+  }
+
+  private def partitionedWriter(df: DataFrame, table: LakeTable) = {
+    val w = df.write
+    if (table.isPartitioned) w.partitionBy(table.partitionFields: _*) else w
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private def dataPath(table: LakeTable): String = s"${table.path}/data"
+
+  private def readBase(spark: SparkSession, table: LakeTable): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dataPath(table))) else None
+  }
+
+  private def listCommits(spark: SparkSession, table: LakeTable): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"${table.path}/_delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("commit=")).map(_.stripPrefix("commit=").toLong).sorted
+  }
+
+  private def nextCommit(spark: SparkSession, table: LakeTable): Long =
+    listCommits(spark, table).lastOption.getOrElse(0L) + 1L
+
+  /** Snapshot view: base ∪ delta logs with key conflicts resolved by
+    * (commit DESC, precombine DESC) and tombstones applied. For COW tables
+    * this is just the base. */
+  def readView(spark: SparkSession, table: LakeTable): DataFrame = {
+    val base = readBase(spark, table)
+    if (table.tableType != LakeTable.MergeOnRead)
+      return base.getOrElse(spark.emptyDataFrame)
+    val commits = listCommits(spark, table)
+    if (commits.isEmpty) return base.getOrElse(spark.emptyDataFrame)
+    val logs = spark.read
+      .option("basePath", s"${table.path}/_delta")
+      .parquet(commits.map(c => s"${table.path}/_delta/commit=$c"): _*)
+    val schemaCols: Seq[String] =
+      base.map(_.columns.toSeq).getOrElse(logs.columns.toSeq.filterNot(
+        c => c == "commit" || c == "_graft_deleted"))
+    // normalize logs: align payload columns (pure-tombstone commits carry
+    // only keys), stamp commit + deleted flags
+    val logFlagged = {
+      val l = if (logs.columns.contains("_graft_deleted")) logs
+              else logs.withColumn("_graft_deleted", lit(false))
+      val aligned = schemaCols.foldLeft(l) { (d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+      }
+      aligned.select((schemaCols.map(col) :+ col("commit").as(CommitCol) :+
+        coalesce(col("_graft_deleted"), lit(false)).as("_graft_deleted")): _*)
+    }
+    val baseFlagged = base.map(
+      _.select(schemaCols.map(col): _*)
+        .withColumn(CommitCol, lit(0L))
+        .withColumn("_graft_deleted", lit(false)))
+    val all = baseFlagged.fold(logFlagged)(_.unionByName(logFlagged))
+    val keys = table.recordKeyFields
+    val tieBreak = schemaCols.filterNot(keys.contains)
+      .map(c => col(c).cast("string").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(CommitCol).desc +: col(table.precombineField).desc +: tieBreak: _*)
+    all.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1 && !col("_graft_deleted"))
+      .select(schemaCols.map(col): _*)
+  }
+
+  /** MOR compaction: fold all delta commits into the base, clear the log.
+    * At scale this is the same partition-pruned COW rewrite driven by the
+    * log's partition footprint. */
+  def compact(spark: SparkSession, table: LakeTable): Unit = {
+    if (table.tableType != LakeTable.MergeOnRead) return
+    val commits = listCommits(spark, table)
+    if (commits.isEmpty) return
+    val view = readView(spark, table).localCheckpoint(true)
+    partitionedWriter(view, table).mode(SaveMode.Overwrite).parquet(dataPath(table))
+    val p = new org.apache.hadoop.fs.Path(s"${table.path}/_delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}
