@@ -149,7 +149,14 @@ object MergeWriter {
 
   private def partitionedWriter(df: DataFrame, table: LakeTable) = {
     val w = df.write
-    if (table.isPartitioned) w.partitionBy(table.partitionFields: _*) else w
+    if (table.isPartitioned)
+      // per-write option, NOT session config: overwrite must only replace
+      // the partitions present in the frame regardless of how the caller's
+      // session is configured — static mode would silently drop every
+      // untouched partition of the table
+      w.partitionBy(table.partitionFields: _*)
+        .option("partitionOverwriteMode", "dynamic")
+    else w
   }
 
   // ---------------------------------------------------------------- read

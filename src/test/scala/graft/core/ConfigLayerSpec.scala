@@ -1,0 +1,63 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H3/T6/W3 — layered properties resolution, extra-options prefix strip,
+  * per-table namespace. */
+class ConfigLayerSpec extends AnyFunSuite {
+
+  test("layering: defaults < props file < CLI overrides") {
+    val f = Files.createTempFile("graft", ".properties")
+    Files.writeString(f, "a=file\nb=file\n")
+    val layered = ConfigLayer.layered(
+      defaults = ConfigLayer(Map("a" -> "default", "c" -> "default")),
+      propsFile = Some(f.toString),
+      overrides = ConfigLayer.fromPairs(Seq("b=cli")))
+    assert(layered.get("a") === Some("file"))
+    assert(layered.get("b") === Some("cli"))
+    assert(layered.get("c") === Some("default"))
+  }
+
+  test("prefix strip drops empty values and keeps suffix keys (T6)") {
+    val c = ConfigLayer(Map(
+      "hoodie.deltastreamer.excel.extra.options.header" -> "true",
+      "hoodie.deltastreamer.excel.extra.options.empty" -> "",
+      "hoodie.deltastreamer.excel.extra.options." -> "bare",
+      "other.key" -> "x"))
+    assert(c.stripPrefix("hoodie.deltastreamer.excel.extra.options.") ===
+      Map("header" -> "true"))
+  }
+
+  test("per-table namespace resolution (W3)") {
+    val c = ConfigLayer(Map(
+      "db1.t1.hoodie.datasource.write.recordkey.field" -> "id",
+      "db1.t2.hoodie.datasource.write.recordkey.field" -> "other"))
+    assert(c.tableNamespace("db1", "t1").get("hoodie.datasource.write.recordkey.field")
+      === Some("id"))
+  }
+
+  test("requireKey throws the reference's message shape (H4)") {
+    val e = intercept[IllegalArgumentException](ConfigLayer.empty.requireKey("missing.key"))
+    assert(e.getMessage.contains("missing.key"))
+  }
+
+  test("fromPairs rejects malformed overrides") {
+    intercept[IllegalArgumentException](ConfigLayer.fromPairs(Seq("novalue")))
+  }
+
+  test("LakeTable.fromConfig reads the reference option names") {
+    val c = ConfigLayer(Map(
+      "hoodie.table.name" -> "orders",
+      "hoodie.datasource.write.recordkey.field" -> "id,sub",
+      "hoodie.datasource.write.precombine.field" -> "ts",
+      "hoodie.datasource.write.partitionpath.field" -> "dt"))
+    val t = graft.sink.LakeTable.fromConfig("/tmp/x", c)
+    assert(t.tableName === "orders")
+    assert(t.recordKeyFields === Seq("id", "sub"))
+    assert(t.precombineField === "ts")
+    assert(t.partitionFields === Seq("dt"))
+    assert(t.tableType === graft.sink.LakeTable.CopyOnWrite)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Native kernels must be bit-identical with the built-in formulations they
+  * replace (the DuckDB oracle mirrors the built-in side). */
+class KernelsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "the the the",
+    "one  two", // double space → empty token
+    "solo",
+    "a b c a b c d",
+    "Ünïcode tëst ünïcode").toDF("text")
+
+  test("token_set == array_sort(array_distinct(split(lower(text), ' ')))") {
+    TextFunctions.ensureRegistered(spark)
+    val cmp = docs.select(
+      TextFunctions.tokenSet(col("text")).as("native"),
+      array_sort(array_distinct(split(lower(col("text")), " "))).as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("shingle_set == HOF word-trigram formulation") {
+    TextFunctions.ensureRegistered(spark)
+    val toks = split(lower(col("text")), " ")
+    val hof = when(size(toks) >= 3,
+      array_sort(array_distinct(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+            element_at(toks, i + 3))))))
+      .otherwise(array().cast("array<string>"))
+    val cmp = docs.select(
+      TextFunctions.shingleSet(col("text"), 3).as("native"), hof.as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("sorted_intersect_size == size(array_intersect) on sorted distinct arrays") {
+    TextFunctions.ensureRegistered(spark)
+    val pairs = docs.select(TextFunctions.tokenSet(col("text")).as("a"))
+      .crossJoin(docs.select(TextFunctions.tokenSet(col("text")).as("b")))
+    val cmp = pairs.select(
+      TextFunctions.sortedIntersectSize(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("cosine_sim matches the double left-to-right formula") {
+    VectorFunctions.ensureRegistered(spark)
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.5f), Array(0.5f, 0.5f)),
+      (Array(1.0f), Array(1.0f))).toDF("a", "b")
+    val got = vecs.select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / math.sqrt(na * nb)
+    }
+    assert(got(0) === ref(Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+    assert(got(1) === ref(Array(0.5f, -0.5f), Array(0.5f, 0.5f)))
+    assert(got(2) === 1.0)
+  }
+
+  test("simhash64 is deterministic and order/duplication-insensitive") {
+    TextFunctions.ensureRegistered(spark)
+    val sigs = Seq("a b c", "c b a", "a a b c c", "a b x")
+      .toDF("text")
+      .select(TextFunctions.simhash64(col("text")).as("s")).as[Long].collect()
+    assert(sigs(0) === sigs(1)) // order-insensitive (set semantics)
+    assert(sigs(0) === sigs(2)) // duplication-insensitive
+    assert(sigs(0) !== sigs(3)) // different content differs
+  }
+
+  test("minhash_bands: identical shingle sets collide in every band") {
+    TextFunctions.ensureRegistered(spark)
+    val bands = Seq("w x y z", "z w x y") // same 3-shingle set? no — different
+      .toDF("text")
+      .select(TextFunctions.minhashBands(
+        TextFunctions.shingleSet(col("text"), 1), 8, 4).as("b"))
+      .as[Seq[Long]].collect()
+    // 1-shingles (token sets) are identical → all 8 bands equal
+    assert(bands(0) === bands(1))
+  }
+
+  test("functions usable from plain SQL via extensions-style registration") {
+    TextFunctions.ensureRegistered(spark)
+    VectorFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT token_set('b a b'), cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+      .collect().head
+    assert(r.getSeq[String](0) === Seq("a", "b"))
+    assert(r.getDouble(1) === 1.0)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Dedup / similarity / text / multimodal operators on planted fixtures. */
+class OpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 40-token base so a one-word change stays above shingle-Jaccard 0.8;
+  // n_chars equal so every en doc lands in the same length block
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs away very fast through the deep green forest while many small birds " +
+    "sing loudly in the bright morning sun near the old stone bridge by the river"
+  private lazy val docs = Seq(
+    (0L, base, "en", 200L),
+    (1L, base, "en", 200L), // exact dup of 0
+    (2L, base.replace("stone", "wooden"), "en", 200L), // near dup of 0
+    (3L, "completely different content about spark query engines and lakes", "en", 200L),
+    (4L, "der schnelle braune fuchs springt ueber den faulen hund hinweg ja", "de", 200L))
+    .toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exactGroups collapses identical texts to the lowest id") {
+    val g = Dedup.exactGroups(docs).orderBy("keep_id").collect()
+    assert(g.length === 4)
+    val dupGroup = g.find(_.getLong(1) == 0L).get
+    assert(dupGroup.getLong(2) === 2L)
+  }
+
+  test("fingerprintGroups is word-order-insensitive") {
+    val d = Seq((1L, "b a c"), (2L, "c b a"), (3L, "a b x")).toDF("doc_id", "text")
+    val g = Dedup.fingerprintGroups(d).collect()
+    assert(g.length === 2)
+    assert(g.find(_.getLong(2) == 2L).get.getLong(1) === 1L)
+  }
+
+  test("jaccardPairs finds the planted near-dup and not the distinct doc") {
+    val pairs = Dedup.jaccardPairs(docs, 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // different lang block
+  }
+
+  test("minhashPairs agrees with jaccardPairs on high-similarity pairs") {
+    val mh = Dedup.minhashPairs(docs, 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((0L, 1L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0") {
+    val sh = Dedup.simhashPairs(docs, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 0))
+  }
+
+  test("bruteForceTopK ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, 2, col("vec_id") === 0)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L))
+  }
+
+  test("ivfTopK returns ranked neighbors from probed cells only") {
+    val emb = (0L until 40L).map { i =>
+      val angle = i.toDouble / 40 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(emb, 3, 4, 2, col("vec_id") === 10)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(res.length === 3)
+    // nearest angles to 10 are 9 and 11
+    assert(res.map(_._2).toSet.intersect(Set(9L, 11L)).nonEmpty)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "der hund und die katze ist da")).toDF("doc_id", "text")
+    val got = TextOps.langId(d).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+  }
+
+  test("qualityProfile computes integer signals") {
+    val p = TextOps.qualityProfile(Seq((1L, "The the of xyz")).toDF("doc_id", "text"))
+      .select("n_tokens", "n_distinct_tokens", "n_stop_tokens", "n_word_runs", "max_token_len")
+      .collect().head
+    assert(p.getInt(0) === 4)
+    assert(p.getInt(1) === 3)
+    assert(p.getInt(2) === 3)
+    assert(p.getInt(3) === 4)
+    assert(p.getInt(4) === 3)
+  }
+
+  test("multimodal plumbing: meta extraction and partition-wise decode") {
+    val media = Multimodal.extractMeta(Multimodal.asMedia(
+      Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text"), "text"))
+    val m1 = media.filter(col("doc_id") === 1).select("meta.n_bytes").as[Long].head()
+    assert(m1 === 5L)
+    val feats = Multimodal.decodeFeatures(media)
+      .select("doc_id", "features").collect()
+    val f1 = feats.find(_.getLong(0) == 1L).get.getSeq[Float](1)
+    assert(f1.length === Multimodal.DecodeStub.FeatureDim)
+    assert(f1.sum > 0f)
+  }
+}

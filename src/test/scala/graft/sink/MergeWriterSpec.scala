@@ -1,0 +1,107 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** W1 — Hudi-equivalent merge semantics: precombine dedup, upsert
+  * replace-on-key, idempotent re-ingest, delete, partitioned COW rewrite,
+  * MOR log + compaction. */
+class MergeWriterSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-merge").toString
+
+  private def batch(rows: (Long, String, Long, String)*): DataFrame =
+    rows.toSeq.toDF("id", "val", "ver", "dt")
+
+  private def cow(path: String, partitioned: Boolean = false) = LakeTable(
+    path = path, tableName = "t", recordKeyFields = Seq("id"),
+    precombineField = "ver",
+    partitionFields = if (partitioned) Seq("dt") else Nil)
+
+  private def readAll(t: LakeTable): Set[(Long, String, Long, String)] =
+    MergeWriter.readView(spark, t)
+      .select("id", "val", "ver", "dt").as[(Long, String, Long, String)]
+      .collect().toSet
+
+  test("intra-batch duplicates resolve to max precombine") {
+    val d = MergeWriter.dedupByPrecombine(
+      batch((1, "old", 1, "a"), (1, "new", 5, "a"), (2, "x", 1, "a")),
+      Seq("id"), "ver")
+    assert(d.as[(Long, String, Long, String)].collect().toSet ===
+      Set((1L, "new", 5L, "a"), (2L, "x", 1L, "a")))
+  }
+
+  test("upsert replaces stored rows by key; unmatched rows survive") {
+    val t = cow(tmp())
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p"), (3, "c", 1, "p")), t)
+    assert(readAll(t) === Set((1L, "a", 1L, "p"), (2L, "b2", 2L, "p"), (3L, "c", 1L, "p")))
+  }
+
+  test("re-ingesting the same batch is idempotent") {
+    val t = cow(tmp())
+    val b = batch((1, "a", 1, "p"), (2, "b", 2, "p"))
+    MergeWriter.upsert(spark, b, t)
+    val first = readAll(t)
+    MergeWriter.upsert(spark, b, t)
+    assert(readAll(t) === first)
+  }
+
+  test("delete removes keys") {
+    val t = cow(tmp())
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.delete(spark, Seq((1L, "x", 9L, "p")).toDF("id", "val", "ver", "dt"), t)
+    assert(readAll(t) === Set((2L, "b", 1L, "p")))
+  }
+
+  test("partitioned COW only rewrites affected partitions") {
+    val t = cow(tmp(), partitioned = true)
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p1"), (2, "b", 1, "p2")), t)
+    val p2FilesBefore = new java.io.File(s"${t.path}/data/dt=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    Thread.sleep(1100)
+    MergeWriter.upsert(spark, batch((1, "a2", 2, "p1")), t)
+    val p2FilesAfter = new java.io.File(s"${t.path}/data/dt=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(p2FilesAfter === p2FilesBefore, "untouched partition was rewritten")
+    assert(readAll(t) === Set((1L, "a2", 2L, "p1"), (2L, "b", 1L, "p2")))
+  }
+
+  test("MOR: delta commits merge at read time; compaction folds them") {
+    val t = LakeTable(tmp(), "t", Seq("id"), "ver", Nil, LakeTable.MergeOnRead)
+    // base via bulk insert, then two log commits
+    MergeWriter.append(batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p")), t)
+    MergeWriter.upsert(spark, batch((3, "c", 1, "p")), t)
+    val expect = Set((1L, "a", 1L, "p"), (2L, "b2", 2L, "p"), (3L, "c", 1L, "p"))
+    assert(readAll(t) === expect)
+    MergeWriter.compact(spark, t)
+    assert(readAll(t) === expect, "compaction changed the view")
+    assert(!new java.io.File(s"${t.path}/_delta").exists, "log not cleared")
+  }
+
+  test("MOR delete tombstones hide rows until compaction") {
+    val t = LakeTable(tmp(), "t", Seq("id"), "ver", Nil, LakeTable.MergeOnRead)
+    MergeWriter.append(batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.delete(spark, batch((1, "a", 1, "p")), t)
+    assert(readAll(t) === Set((2L, "b", 1L, "p")))
+    MergeWriter.compact(spark, t)
+    assert(readAll(t) === Set((2L, "b", 1L, "p")))
+  }
+
+  test("later commit wins over higher precombine from an earlier commit") {
+    // OverwriteWithLatestAvroPayload semantics: incoming replaces stored,
+    // even if the stored precombine is higher
+    val t = cow(tmp())
+    MergeWriter.upsert(spark, batch((1, "high", 9, "p")), t)
+    MergeWriter.upsert(spark, batch((1, "low", 1, "p")), t)
+    assert(readAll(t) === Set((1L, "low", 1L, "p")))
+  }
+}
