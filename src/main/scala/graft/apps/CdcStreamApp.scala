@@ -1,0 +1,94 @@
+package graft.apps
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{ConfigLayer, SparkEnv}
+import graft.streaming.{CdcSource, CdcTableSpec, MultiTableSink}
+
+/** S12/W3 — the streaming CDC app (reference
+  * `HoodieBinlogDeltaStreamer`): unbounded change stream filtered by
+  * database/table regex patterns, demuxed to per-table lake paths via the
+  * `{db}/{table}` path template, checkpoint-resumable, processing-time
+  * trigger (default 60 s, `:243-245`).
+  *
+  * Table registry comes from the `${db}.${table}.` config namespace
+  * (hoodie_table_meta.properties:1-10) plus a `schema` DDL key per table:
+  *
+  * {{{
+  * db1.person.schema=id LONG, v STRING, ver LONG
+  * db1.person.hoodie.datasource.write.recordkey.field=id
+  * db1.person.hoodie.datasource.write.precombine.field=ver
+  * }}}
+  */
+object CdcStreamApp {
+
+  val PathTemplateKey = "option.hoodie.path"
+
+  /** comma list → regex alternation (reference `:85`). */
+  def patternOf(commaList: String): Regex =
+    commaList.split(",").map(_.trim).filter(_.nonEmpty).mkString("|").r
+
+  /** enumerate `${db}.${table}.` table specs present in the config. */
+  def tableSpecs(conf: ConfigLayer): Seq[CdcTableSpec] = {
+    val names = conf.entries.keys
+      .filter(_.endsWith(".schema")).map(_.stripSuffix(".schema"))
+      .flatMap { qualified =>
+        qualified.split("\\.", 2) match {
+          case Array(db, table) => Some((db, table))
+          case _ => None
+        }
+      }.toSeq.distinct.sorted
+    names.map { case (db, table) =>
+      val ns = conf.tableNamespace(db, table)
+      CdcTableSpec(
+        db = db, table = table,
+        payloadSchema = StructType.fromDDL(ns.requireKey("schema")),
+        recordKeyFields = ns.requireKey("hoodie.datasource.write.recordkey.field")
+          .split(",").map(_.trim).toSeq,
+        precombineField = ns.requireKey("hoodie.datasource.write.precombine.field"),
+        partitionFields = ns.get("hoodie.datasource.write.partitionpath.field")
+          .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        transformerSql = ns.get("hoodie.deltastreamer.transformer.sql"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    var cli = Map.empty[String, String]
+    var overrides = Vector.empty[String]
+    var debug = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--debug" => debug = true
+        case "--hoodie-conf" => overrides :+= args(i + 1); i += 1
+        case flag if flag.startsWith("--") => cli += flag.stripPrefix("--") -> args(i + 1); i += 1
+        case other => throw new IllegalArgumentException(s"unrecognized argument: $other")
+      }
+      i += 1
+    }
+    Seq("source-dir", "checkpoint").foreach(f =>
+      require(cli.contains(f), s"Missing argument : (--$f)"))
+    val conf = ConfigLayer.layered(
+      propsFile = cli.get("props"),
+      overrides = ConfigLayer.fromPairs(overrides))
+    val dbPattern = patternOf(cli.getOrElse("database-name-pattern", ".*"))
+    val tablePattern = patternOf(cli.getOrElse("table-name-pattern", ".*"))
+    val specs = tableSpecs(conf).filter(s =>
+      dbPattern.matches(s.db) && tablePattern.matches(s.table))
+    val appName = s"graft-cdc-streamer-${cli.getOrElse("database-name-pattern", "all")}"
+    val spark = SparkEnv.appBuilder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val events = CdcSource.fileStream(spark, cli("source-dir"))
+      .filter(col("db").rlike(dbPattern.regex) && col("table").rlike(tablePattern.regex))
+    val sink = new MultiTableSink(
+      conf.getOrElse(PathTemplateKey, cli.getOrElse("path-template", "/tmp/graft/{db}/{table}")),
+      specs,
+      triggerSeconds = cli.getOrElse("trigger-time", "60").toInt)
+    val q = if (debug) sink.startConsole(events, cli("checkpoint"))
+            else sink.start(events, cli("checkpoint"))
+    q.awaitTermination()
+  }
+}

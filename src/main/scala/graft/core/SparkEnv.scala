@@ -47,6 +47,16 @@ object SparkEnv {
     }
   }
 
+  /** App-entry builder: spark-submit provides `spark.master` via system
+    * properties; a bare JVM launch (tests, sbt runMain) falls back to
+    * local[*] so the apps run anywhere. */
+  def appBuilder(appName: String, extra: Map[String, String] = Map.empty): SparkSession.Builder = {
+    val master =
+      if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")) None
+      else Some(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    builder(appName, master, extra)
+  }
+
   /** Local session for tests / the harness. */
   def localSession(
       appName: String = "graft",

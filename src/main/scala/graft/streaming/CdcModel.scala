@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+/** CDC event model — the binlog-shaped row stream the reference's
+  * `mysql-binlog` source emits (HoodieBinlogDeltaStreamer.scala:77-89): one
+  * row per change event, carrying the origin (db, table), the operation,
+  * a monotonic source offset (binlog file index + position collapsed to one
+  * long for resume), the event timestamp, and the row image as JSON.
+  *
+  * The payload rides as JSON so ONE unbounded stream can carry rows of many
+  * tables with different schemas; each table's schema is resolved at the
+  * sink from the per-table registry and applied with `from_json`
+  * (schema-on-demux, exactly how multi-table CDC buses are shipped on
+  * Kafka + Spark in practice). */
+object CdcSchema {
+
+  val OpInsert = "insert"
+  val OpUpdate = "update"
+  val OpDelete = "delete"
+
+  /** Stream schema: every CDC source (file-backed, Kafka-backed, memory) must
+    * produce exactly this shape. */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("db", StringType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+}
+
+/** Per-table sink registry entry: payload schema + lake-table key spec,
+  * parsed from the reference's `${db}.${table}.hoodie.*` config namespace
+  * (hoodie_table_meta.properties:1-10; naming rule
+  * docs/binlog/01.Binary Logs Ingestion.md:50). */
+final case class CdcTableSpec(
+    db: String,
+    table: String,
+    payloadSchema: StructType,
+    recordKeyFields: Seq[String],
+    precombineField: String,
+    partitionFields: Seq[String] = Nil,
+    transformerSql: Option[String] = None)

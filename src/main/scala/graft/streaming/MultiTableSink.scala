@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.SqlTransform
+import graft.sink.{LakeTable, MergeWriter}
+
+/** W3 — the streaming multi-table demux sink (`binlog-hudi` in the
+  * reference, HoodieBinlogDeltaStreamer.scala:91-101): route each
+  * micro-batch's CDC rows to per-table lake paths resolved from a
+  * `{db}`/`{table}` path template, with per-table key specs, append output
+  * mode, a processing-time trigger (default 60 s, `:245`) and
+  * checkpoint-based resume.
+  *
+  * Exactly-once: Structured Streaming's foreachBatch is at-least-once on
+  * replay; the keyed [[MergeWriter.upsert]] is idempotent (same batch
+  * re-applied converges to the same table state), which composes to
+  * effective exactly-once — the same contract the reference gets from Hudi
+  * upsert (SURVEY.md §2.4).
+  *
+  * Scale: the per-batch demux collects only the DISTINCT (db, table) pairs
+  * (bounded by the table count, not row count); the batch is cached once
+  * and filtered per table, each write being the partition-pruned merge. */
+class MultiTableSink(
+    pathTemplate: String,
+    specs: Seq[CdcTableSpec],
+    triggerSeconds: Int = 60) extends Serializable {
+
+  private val byName: Map[(String, String), CdcTableSpec] =
+    specs.map(s => (s.db, s.table) -> s).toMap
+
+  /** `{db}`/`{table}` substitution (reference suite fixture:
+    * `option.hoodie.path=/hudi/tmp/a/{db}/ods_{db}_{table}`). */
+  def resolvePath(db: String, table: String): String =
+    pathTemplate.replace("{db}", db).replace("{table}", table)
+
+  def resolveLakeTable(spec: CdcTableSpec): LakeTable = LakeTable(
+    path = resolvePath(spec.db, spec.table),
+    tableName = s"ods_${spec.db}_${spec.table}",
+    recordKeyFields = spec.recordKeyFields,
+    precombineField = spec.precombineField,
+    partitionFields = spec.partitionFields)
+
+  /** One micro-batch: demux by (db, table), parse payload with the table's
+    * schema, apply the optional per-table SQL transform, then keyed
+    * upsert/delete. Idempotent on replay. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val present = batch.select("db", "table").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      present.foreach { case (db, table) =>
+        byName.get((db, table)).foreach { spec =>
+          val rows = batch
+            .filter(col("db") === db && col("table") === table)
+            .select(col("op"), col("ts_ms"), col("offset"),
+              from_json(col("payload"), spec.payloadSchema).as("r"))
+            .select((spec.payloadSchema.fieldNames.map(f => col(s"r.$f"))
+              :+ col("op") :+ col("ts_ms") :+ col("offset")): _*)
+          // within a batch, several ops may target one key — keep only the
+          // latest image per key (by source offset) before merging, so a
+          // delete followed by a re-insert resolves correctly
+          val latest = MergeWriter.dedupByPrecombine(rows, spec.recordKeyFields, "offset")
+          val lake = resolveLakeTable(spec)
+          val upserts0 = latest.filter(col("op") =!= CdcSchema.OpDelete)
+            .drop("op", "ts_ms", "offset")
+          val upserts = spec.transformerSql
+            .map(sql => SqlTransform.transform(spark, upserts0, sql))
+            .getOrElse(upserts0)
+          if (!upserts.isEmpty) MergeWriter.upsert(spark, upserts, lake)
+          val deletes = latest.filter(col("op") === CdcSchema.OpDelete)
+            .drop("op", "ts_ms", "offset")
+          if (!deletes.isEmpty) MergeWriter.delete(spark, deletes, lake)
+        }
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Start the streaming query: append mode, checkpointed, processing-time
+    * trigger — the reference's exact wiring (`:91-101`). */
+  def start(events: DataFrame, checkpointLocation: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .start()
+
+  /** W4 — console debug sink (HoodieBinlogDeltaStreamer.scala:104-130). */
+  def startConsole(events: DataFrame, checkpointLocation: String,
+                   numRows: Int = 100000): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .format("console")
+      .option("truncate", "false")
+      .option("numRows", numRows)
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .start()
+}
