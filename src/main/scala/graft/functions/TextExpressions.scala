@@ -25,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** byte-order comparator — Spark 4.1's `UTF8String.compareTo` probes
+    * `System.getenv` per call through an assertion guard
+    * (SparkEnvUtils.isTesting), which is catastrophic inside O(n log n)
+    * sorts; `binaryCompare` is the guard-free path. */
+  private val binaryOrder: java.util.Comparator[UTF8String] =
+    (a: UTF8String, b: UTF8String) => a.binaryCompare(b)
+
   /** lowercased tokens, split on single space, empties kept —
     * byte-compatible with `split(lower(text), ' ')`. */
   def tokens(text: UTF8String): Array[UTF8String] = {
@@ -35,7 +42,7 @@ object TextKernels {
 
   /** sorted distinct tokens — `array_sort(array_distinct(split(lower(t),' ')))`. */
   def tokenSet(text: UTF8String): ArrayData = {
-    val set = new java.util.TreeSet[UTF8String]()
+    val set = new java.util.TreeSet[UTF8String](binaryOrder)
     tokens(text).foreach(set.add)
     new GenericArrayData(set.toArray.asInstanceOf[Array[AnyRef]])
   }
@@ -45,7 +52,7 @@ object TextKernels {
   def shingleSet(text: UTF8String, k: Int): ArrayData = {
     val toks = tokens(text)
     if (toks.length < k) return new GenericArrayData(Array.empty[AnyRef])
-    val set = new java.util.TreeSet[UTF8String]()
+    val set = new java.util.TreeSet[UTF8String](binaryOrder)
     val space = UTF8String.fromString(" ")
     var i = 0
     while (i <= toks.length - k) {
@@ -64,7 +71,9 @@ object TextKernels {
   /** 64-bit SimHash over the distinct token set (xxh64 per token, sign
     * accumulation per bit). */
   def simhash64(text: UTF8String): Long = {
-    val set = new java.util.TreeSet[UTF8String]()
+    // dedupe only — no ordering needed, and hashing dodges the compareTo
+    // getenv guard entirely
+    val set = new java.util.HashSet[UTF8String]()
     tokens(text).foreach(set.add)
     val counts = new Array[Int](64)
     val it = set.iterator()
@@ -80,6 +89,81 @@ object TextKernels {
     var i = 0
     while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
     sig
+  }
+
+  /** sorted distinct xxh64 hashes of the word k-shingles — the cheap
+    * representation for pairwise set similarity: intersect cardinality over
+    * sorted longs is a register-width merge scan (identical i/u counts as
+    * the string sets barring 2^-64 hash collisions). */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+    val n = toks.length - k + 1
+    val hs = new Array[Long](n)
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i < n) {
+      var sh = toks(i)
+      var j = 1
+      while (j < k) { sh = UTF8String.concat(sh, space, toks(i + j)); j += 1 }
+      hs(i) = xxh64(sh, 0L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |a ∩ b| for two sorted long arrays — merge scan. */
+  def sortedIntersectSizeLong(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** LSH band hashes from a hashed-shingle array (see [[shingleHashes]]):
+    * numBands × rowsPerBand seeded min-hashes via hashLong re-mixing. */
+  def minhashBandsFromHashes(hashes: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = hashes.numElements()
+    val numHashes = numBands * rowsPerBand
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = hashes.getLong(i)
+      var s = 0
+      while (s < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sh, s.toLong)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    val bandsOut = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+          mins(b * rowsPerBand + r), acc)
+        r += 1
+      }
+      bandsOut(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bandsOut)
   }
 
   /** LSH band hashes from a shingle array: numBands × rowsPerBand seeded
@@ -124,7 +208,7 @@ object SetKernels {
     val n = a.numElements(); val m = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -185,6 +269,58 @@ case class ShingleSet(child: Expression, k: Int) extends StringKernelExpression 
     copy(child = c)
 }
 
+/** shingle_hashes(text, k) — sorted distinct xxh64 word-k-shingle hashes. */
+case class ShingleHashes(child: Expression, k: Int) extends StringKernelExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sorted_intersect_size_long(a, b) — |a ∩ b| for sorted long arrays. */
+case class SortedIntersectSizeLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_size_long"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectSizeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.sortedIntersectSizeLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** minhash_bands_h(hashes, numBands, rowsPerBand) — LSH bands from hashed
+  * shingles. */
+case class MinHashBandsFromHashes(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "minhash_bands_h"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.minhashBandsFromHashes(a.asInstanceOf[ArrayData], numBands, rowsPerBand)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minhashBandsFromHashes($c, $numBands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** simhash64(text) — 64-bit SimHash fingerprint of the token set. */
 case class SimHash64(child: Expression) extends StringKernelExpression {
   override def prettyName: String = "simhash64"
@@ -237,7 +373,19 @@ object TextFunctions {
         cs(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (cs: Seq[Expression]) => SortedIntersectSize(cs.head, cs(1))))
+      (cs: Seq[Expression]) => SortedIntersectSize(cs.head, cs(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (cs: Seq[Expression]) => ShingleHashes(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("sorted_intersect_size_long"),
+      new ExpressionInfo(classOf[SortedIntersectSizeLong].getName, "sorted_intersect_size_long"),
+      (cs: Seq[Expression]) => SortedIntersectSizeLong(cs.head, cs(1))),
+    (FunctionIdentifier("minhash_bands_h"),
+      new ExpressionInfo(classOf[MinHashBandsFromHashes].getName, "minhash_bands_h"),
+      (cs: Seq[Expression]) => MinHashBandsFromHashes(cs.head,
+        cs(1).eval().asInstanceOf[Number].intValue(),
+        cs(2).eval().asInstanceOf[Number].intValue())))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -254,4 +402,10 @@ object TextFunctions {
     call_function("minhash_bands", shingles, lit(numBands), lit(rowsPerBand))
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("sorted_intersect_size", a, b)
+  def shingleHashes(text: Column, k: Int): Column =
+    call_function("shingle_hashes", text, lit(k))
+  def sortedIntersectSizeLong(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size_long", a, b)
+  def minhashBandsH(hashes: Column, numBands: Int, rowsPerBand: Int): Column =
+    call_function("minhash_bands_h", hashes, lit(numBands), lit(rowsPerBand))
 }

@@ -52,17 +52,19 @@ object Dedup {
     // CPU-heavy pair stage); an explicit numPartitions is exempt from
     // AQE coalescing
     val n = df.sparkSession.sparkContext.defaultParallelism
+    // hashed shingle sets: the pairwise intersect (re-evaluated several
+    // times per pair once Catalyst folds i/u into the join condition) is a
+    // register-width merge scan over sorted longs, not string compares;
+    // i/u counts are identical to the string sets barring 2^-64 collisions
     val sh = df
       .filter(size(split(col(textCol), " ")) >= 3)
       .repartition(n, col(idCol))
       .select(col(idCol), col(langCol),
         (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
-        TextOps.shingles(col(textCol)).as("sh"))
+        graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
     val a = sh.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
     val b = sh.select(col(idCol).as("doc_b"), col(langCol), col("len_bkt"), col("sh").as("sh_b"))
-    val inter = graft.functions.TextFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
-    // i/u appear multiple times post-collapse, but each eval is one O(n+m)
-    // merge scan (native kernel), not a hash-set build
+    val inter = graft.functions.TextFunctions.sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
     a.join(b, Seq(langCol, "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -89,10 +91,10 @@ object Dedup {
     val docs = df
       .filter(size(split(col(textCol), " ")) >= 3)
       .repartition(nPart, col(idCol))
-      .select(col(idCol), TextOps.shingles(col(textCol)).as("sh"))
+      .select(col(idCol), graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = docs.select(col(idCol),
-      posexplode(graft.functions.TextFunctions.minhashBands(col("sh"), bands, rowsPerBand))
+      posexplode(graft.functions.TextFunctions.minhashBandsH(col("sh"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
     // skew guard: cap bucket population
     val bucketSizes = banded.groupBy("band", "bucket")
@@ -105,7 +107,7 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val inter = graft.functions.TextFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+    val inter = graft.functions.TextFunctions.sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
     candidates
       .join(docs.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
