@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Flatten, SqlTransform}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.sink.MergeWriter
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -253,6 +253,20 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, d) => sql(s, d, Seq("events"), qSessionize(SparkMs))),
     "q_cdc_latest" -> ((s, d) => sql(s, d, Seq("events"), qCdcLatest(SparkMs))),
 
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val probes = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("q_ts"),
+          col("event_id").as("signup_event_id"))
+      AsofJoin.asofBackward(probes, quotes, Seq("user_id"), "ts", "q_ts",
+          Seq("signup_event_id"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("signup_event_id"), lit(-1L)).as("signup_event_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM-pipeline: dedup -----------------------------------------
     "dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -371,6 +385,14 @@ object SparkEntry {
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
     "q_cdc_latest" -> qCdcLatest(DuckMs),
+
+    "q_asof_join" -> """
+      SELECT p.user_id, p.event_id,
+        COALESCE(q.event_id, -1) AS signup_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'error') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') q
+        ON p.user_id = q.user_id AND q.ts <= p.ts
+      ORDER BY p.event_id""",
 
     "dedup_exact" -> """
       WITH all_docs AS (

@@ -28,7 +28,8 @@ def norm_cell(v):
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, (np.floating, float)):
-        return float(v)
+        f = float(v)
+        return None if f != f else f
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
