@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics over the `events` stream shape
+  * (event_id, ts_ms, user_id, event_type, value) — the watermarked /
+  * stateful operators the reference never needed (its CDC path absorbs
+  * late data via idempotent upsert, SURVEY.md §2.4) but a training-data
+  * pipeline does: windowed rollups for monitoring, session assembly for
+  * behavioral features.
+  *
+  * Scale notes: both operators shuffle once on their grouping key; state
+  * size is bounded by the watermark (windows) / explicit processing-time
+  * timeout (sessions), so executors hold O(active keys), never O(history).
+  */
+object EventStreams {
+
+  /** Tumbling-window rollup with a watermark: counts + sum(value) per
+    * (window, event_type); late rows beyond `lateness` are dropped and the
+    * window state is reclaimed. Append mode — rows emit once, when final. */
+  def hourlyRollup(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long)
+  final case class SessionEventTs(user_id: Long, event_id: Long, ts_ms: Long,
+                                  ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState + event-time timeout): a session closes when
+    * the WATERMARK passes `last event + gapMs` — deterministic in event
+    * time, replay-safe, and state for idle users is reclaimed by the same
+    * timeout. Emits one row per closed session (update-mode output; closed
+    * sessions are final by construction). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 lateness: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val withTs = events.toDF()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", lateness)
+      .as[SessionEventTs]
+    withTs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionEventTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.last <= gapMs =>
+                  cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must stay strictly ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

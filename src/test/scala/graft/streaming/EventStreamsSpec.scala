@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+/** Watermarked window rollup + stateful sessionization, driven through
+  * real micro-batches on a MemoryStream. */
+class EventStreamsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val H = 3600L * 1000
+
+  test("hourlyRollup: watermark drops very-late rows, windows finalize") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+    val q = EventStreams.hourlyRollup(events, "30 minutes")
+      .writeStream.format("memory").queryName("rollup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour 0 rows, then advance the watermark well past hour 0
+      in.addData((1L, 10L * 60 * 1000, 1L, "click", 1.0),
+                 (2L, 20L * 60 * 1000, 1L, "click", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3 * H + 1000L, 1L, "view", 5.0)) // watermark → ~2.5h
+      q.processAllAvailable()
+      // a very late hour-0 row must be dropped (beyond watermark)
+      in.addData((4L, 30L * 60 * 1000, 1L, "click", 100.0))
+      q.processAllAvailable()
+      in.addData((5L, 6 * H, 1L, "view", 1.0)) // push watermark to close h3
+      q.processAllAvailable()
+      val got = spark.table("rollup_test")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(got.contains(("click", 2L, 3.0))) // late row 4 NOT counted
+      assert(got.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, one row per closed session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStreams.SessionEvent]
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 10000)
+      .writeStream.format("memory").queryName("sessions_test")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventStreams.SessionEvent(1, 1, 1000),
+        EventStreams.SessionEvent(1, 2, 5000),
+        EventStreams.SessionEvent(1, 3, 60000), // > gap → closes session 1
+        EventStreams.SessionEvent(2, 4, 1000))
+      q.processAllAvailable()
+      // advance the watermark far past every open session's timeout
+      in.addData(EventStreams.SessionEvent(9, 99, 500000))
+      q.processAllAvailable()
+      in.addData(EventStreams.SessionEvent(9, 100, 900000))
+      q.processAllAvailable()
+      val got = spark.table("sessions_test")
+        .as[EventStreams.Session].collect().toSet
+      // in-batch gap split: user1's first session closed by event 3
+      assert(got.contains(EventStreams.Session(1, 1000, 5000, 2)))
+      // watermark-driven timeouts closed the rest
+      assert(got.contains(EventStreams.Session(1, 60000, 60000, 1)))
+      assert(got.contains(EventStreams.Session(2, 1000, 1000, 1)))
+    } finally q.stop()
+  }
+}
