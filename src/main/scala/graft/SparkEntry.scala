@@ -293,6 +293,11 @@ object SparkEntry {
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
+    "emb_neardup_lsh" -> ((s, d) =>
+      Similarity.srpNearDupPairs(t(s, d, "embeddings"), 0.5)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("vec_a", "vec_b")),
     "emb_neardup" -> ((s, d) =>
       Similarity.cosinePairs(t(s, d, "embeddings"), 0.5)
         .select(col("vec_a"), col("vec_b"),

@@ -103,6 +103,59 @@ case class DotProductF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** srp_sig(vec, bits, seed) — signed-random-projection LSH signature:
+  * bit b = sign(v · h_b) for pseudo-random hyperplanes h_b whose components
+  * are derived deterministically from (seed, b, dim) via xxh64 → [-1, 1].
+  * Cosine-similar vectors agree on most bits (P[bit match] = 1 − θ/π), so
+  * Hamming-banding the signatures yields near-dup candidates without the
+  * O(n²) pair scan. */
+case class SrpSignature(child: Expression, bits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+  override def prettyName: String = "srp_sig"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.srpSignature(a.asInstanceOf[ArrayData], bits, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.srpSignature($c, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object VectorKernels {
+  /** hyperplane component in [-1, 1], deterministic in (seed, bit, dim). */
+  private def plane(seed: Long, bit: Int, dim: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+      (bit.toLong << 32) | (dim.toLong & 0xFFFFFFFFL), seed)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  def srpSignature(vec: ArrayData, bits: Int, seed: Long): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += vec.getFloat(d).toDouble * plane(seed, b, d)
+        d += 1
+      }
+      if (acc > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -117,7 +170,12 @@ object VectorFunctions {
       (children: Seq[Expression]) => {
         if (children.size != 2) throw new SparkException("dot_f32 takes 2 arguments")
         DotProductF32(children.head, children(1))
-      }))
+      }),
+    (FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_sig"),
+      (children: Seq[Expression]) => SrpSignature(children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].longValue())))
 
   /** Idempotent per-session registration (also available session-wide via
     * [[graft.GraftExtensions]] and `spark.sql.extensions`). */
@@ -130,4 +188,8 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotF32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+  def srpSig(vec: Column, bits: Int, seed: Long): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("srp_sig", vec, lit(bits), lit(seed))
+  }
 }

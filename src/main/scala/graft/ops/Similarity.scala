@@ -72,6 +72,39 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** LSH-bucketed near-dup pairs — the 100 TB path for [[cosinePairs]]:
+    * 64-bit signed-random-projection signatures banded into 16 bands of 4
+    * bits; a pair at cosine θ agrees on a band with P = (1−θ/π)⁴, so
+    * high-cosine pairs collide in ≥1 band w.h.p. (cos 0.95 → ~99.98%
+    * recall) while random pairs mostly don't; candidates verified with
+    * exact cosine. Candidate count ∝ near-dup density, not n²; hot buckets
+    * capped like the text LSH. */
+  def srpNearDupPairs(emb: DataFrame, threshold: Double,
+                      bands: Int = 16, bitsPerBand: Int = 4,
+                      maxBucketSize: Int = 10000, seed: Long = 7L,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val n = emb.sparkSession.sparkContext.defaultParallelism
+    val mask = (1L << bitsPerBand) - 1
+    val sigs = emb.repartition(n, col(idCol))
+      .select(col(idCol), col(vecCol),
+        VectorFunctions.srpSig(col(vecCol), bands * bitsPerBand, seed).as("sig"))
+    val chunked = sigs.select(col(idCol), col(vecCol),
+      posexplode(array((0 until bands).map(c =>
+        shiftright(col("sig"), c * bitsPerBand).bitwiseAND(mask)): _*)).as(Seq("chunk", "ckey")))
+    val bucketSizes = chunked.groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")
+    val l = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val r = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
+      .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
   /** IVF-style approximate top-k. The coarse "centroids" are a deterministic
     * sample of the corpus (every `corpus_size/nlist`-th vector) — standing in
     * for k-means so results stay reproducible; swap in trained centroids for

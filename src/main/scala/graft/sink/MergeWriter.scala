@@ -52,15 +52,24 @@ object MergeWriter {
   /** Resolve intra-batch duplicates: keep the row with max precombine per key.
     * Ties broken deterministically by the stringified remaining columns so the
     * result is stable across retries/partitionings (Hudi leaves ties
-    * unspecified; determinism is required by our oracle). */
+    * unspecified; determinism is required by our oracle).
+    *
+    * Implemented as `max_by` over an orderable (precombine, tie-break…)
+    * struct rather than a row_number window: a hash aggregate gets map-side
+    * partial combine, so a hot key reduces ONE pre-combined row per input
+    * partition instead of sorting every duplicate in a single window task —
+    * the difference between O(dups) on one executor and O(partitions) at
+    * 100 TB skew. */
   def dedupByPrecombine(df: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
     val others = df.columns.filterNot(keys.contains).toSeq
-    val tieBreak = others.map(c => col(c).cast("string").desc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(precombine).desc +: tieBreak: _*)
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn")
+    // field-lexicographic struct ordering == the old (precombine DESC,
+    // others-as-string DESC) sort; including every column makes ties
+    // identical rows, so max_by's tie choice is immaterial
+    val ordKey = struct((col(precombine) +: others.map(c => col(c).cast("string"))): _*)
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordKey).as("_r"))
+      .select(col("_r.*"))
   }
 
   /** Pure merge of a (already deduped) batch into existing rows:
@@ -212,13 +221,16 @@ object MergeWriter {
         .withColumn("_graft_deleted", lit(false)))
     val all = baseFlagged.fold(logFlagged)(_.unionByName(logFlagged))
     val keys = table.recordKeyFields
-    val tieBreak = schemaCols.filterNot(keys.contains)
-      .map(c => col(c).cast("string").desc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(CommitCol).desc +: col(table.precombineField).desc +: tieBreak: _*)
-    all.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1 && !col("_graft_deleted"))
-      .select(schemaCols.map(col): _*)
+    // same skew-resistant max_by aggregation as dedupByPrecombine, ordered
+    // by (commit DESC, precombine DESC, tie-breaks)
+    val ordKey = struct(
+      (col(CommitCol) +: col(table.precombineField) +:
+        schemaCols.filterNot(keys.contains).map(c => col(c).cast("string"))): _*)
+    val payload = struct((schemaCols.map(col) :+ col("_graft_deleted")): _*)
+    all.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ordKey).as("_r"))
+      .filter(!col("_r._graft_deleted"))
+      .select(schemaCols.map(c => col(s"_r.$c").as(c)): _*)
   }
 
   /** MOR compaction: fold all delta commits into the base, clear the log.

@@ -103,6 +103,22 @@ class OpsSpec extends SparkSuite {
     assert(p.getInt(4) === 3)
   }
 
+  test("srpNearDupPairs recalls planted high-cosine pairs, skips the rest") {
+    val base = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
+    val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
+    val emb = (Seq((0L, base), (1L, nearDup)) ++
+      (2L until 40L).map(i => (i, Array.tabulate(32)(d =>
+        math.sin((i * 37 + d) * 1.3).toFloat))))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(emb, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // exact verification keeps false candidates out
+    val brute = Similarity.cosinePairs(emb, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === brute)
+  }
+
   test("multimodal plumbing: meta extraction and partition-wise decode") {
     val media = Multimodal.extractMeta(Multimodal.asMedia(
       Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text"), "text"))
