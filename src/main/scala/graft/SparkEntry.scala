@@ -324,6 +324,13 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "text_vocab_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextOps.lowerTokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
     "text_langid" -> ((s, d) =>
       TextOps.langId(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_pred").orderBy("doc_id")),
@@ -474,6 +481,12 @@ object SparkEntry {
         CAST(MIN(nt) AS INTEGER) AS min_tokens,
         CAST(MAX(nt) AS INTEGER) AS max_tokens
       FROM p GROUP BY lang, source ORDER BY lang, source""",
+
+    "text_vocab_topk" -> """
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
     "text_fingerprint" -> """
       SELECT doc_id,

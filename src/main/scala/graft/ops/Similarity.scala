@@ -95,11 +95,17 @@ object Similarity {
     val bucketSizes = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")
-    val l = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val r = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("chunk", "ckey"))
+    val l = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_a"))
+    val r = capped.select(col("chunk"), col("ckey"), col(idCol).as("vec_b"))
+    // dedupe candidates on ids BEFORE rejoining the vectors — a pair
+    // colliding in several bands is verified once, and distinct never
+    // compares array payloads
+    val candidates = l.join(r, Seq("chunk", "ckey"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("va"), col("vb")).distinct()
+      .select("vec_a", "vec_b").distinct()
+    candidates
+      .join(sigs.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
+      .join(sigs.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
