@@ -493,12 +493,36 @@ object SparkEntry {
         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
 
+    "text_langid" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(lower(text), ' '),
+            tk -> tk IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(string_split(lower(text), ' '),
+            tk -> tk IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(string_split(lower(text), ' '),
+            tk -> tk IN ('le','la','les','et','est'))) AS s_fr,
+          len(list_filter(string_split(lower(text), ' '),
+            tk -> tk IN ('el','los','las','y','es'))) AS s_es,
+          len(list_filter(string_split(lower(text), ' '),
+            tk -> tk IN ('de','shi','le','zai','he'))) AS s_zh
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE
+          WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+          WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+          WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+          WHEN s_en >= s_de THEN 'en'
+          ELSE 'de'
+        END AS lang_pred
+      FROM scored ORDER BY doc_id""",
+
     "media_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS checksum
       FROM documents ORDER BY doc_id"""
-    // rows-only (non-SQL-expressible) entries: dedup_minhash, dedup_simhash
-    // (seeded xxhash64 permutations), ann_ivf (approximate), text_langid
-    // (marker-scoring heuristic), media_features (stub codec output)
+    // rows-only (non-SQL-expressible) entries: dedup_minhash, dedup_simhash,
+    // emb_neardup_lsh (seeded xxh64 permutations/projections), ann_ivf
+    // (approximate), media_features (stub codec output)
   )
 }
