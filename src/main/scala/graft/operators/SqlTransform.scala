@@ -31,10 +31,11 @@ object SqlTransform {
     // temp view names don't like dashes (reference TransformUtils.scala:32)
     val tmpTable = "GRAFT_SRC_TMP_TABLE_" + UUID.randomUUID.toString.replace("-", "_")
     df.createOrReplaceTempView(tmpTable)
-    try spark.sql(sql.replace(SrcPattern, tmpTable))
-    finally () // view dropped lazily below; result plan already resolved
-    // NOTE: the result DataFrame's analyzed plan no longer needs the view, so
-    // dropping it immediately is safe.
+    val out = spark.sql(sql.replace(SrcPattern, tmpTable))
+    // the analyzed plan no longer references the view — drop it so repeated
+    // transforms don't leak catalog entries
+    spark.catalog.dropTempView(tmpTable)
+    out
   }
 
   /** Config-gated variant: run the transform iff the key is set — the Mongo

@@ -1,7 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** W1 — Hudi-equivalent keyed merge semantics over partitioned parquet
@@ -66,7 +65,7 @@ object MergeWriter {
     // others-as-string DESC) sort; including every column makes ties
     // identical rows, so max_by's tie choice is immaterial
     val ordKey = struct((col(precombine) +: others.map(c => col(c).cast("string"))): _*)
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ordKey).as("_r"))
       .select(col("_r.*"))

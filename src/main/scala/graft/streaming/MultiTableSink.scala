@@ -59,7 +59,7 @@ class MultiTableSink(
             .filter(col("db") === db && col("table") === table)
             .select(col("op"), col("ts_ms"), col("offset"),
               from_json(col("payload"), spec.payloadSchema).as("r"))
-            .select((spec.payloadSchema.fieldNames.map(f => col(s"r.$f"))
+            .select((spec.payloadSchema.fieldNames.toIndexedSeq.map(f => col(s"r.$f"))
               :+ col("op") :+ col("ts_ms") :+ col("offset")): _*)
           // within a batch, several ops may target one key — keep only the
           // latest image per key (by source offset) before merging, so a
