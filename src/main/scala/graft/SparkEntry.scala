@@ -135,6 +135,21 @@ object SparkEntry {
       MIN(UPPER(SUBSTRING(p_name, 1, 6))) AS first_name
     FROM part GROUP BY p_brand ORDER BY p_brand"""
 
+  private val QCube = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  private val QScalarSubquery = """
+    SELECT c_custkey, c_name, n_orders FROM (
+      SELECT c_custkey, c_name,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000) AS n_orders
+      FROM customer) t
+    WHERE n_orders >= 3
+    ORDER BY c_custkey"""
+
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     * BIGINT of epoch-nanos (`spark.sql.legacy.parquet.nanosAsLong`, set in
     * Verify/Bench/SparkEnv) while DuckDB reads TIMESTAMP_NS — so every
@@ -246,6 +261,8 @@ object SparkEntry {
     "q_topk" -> ((s, d) => sql(s, d, Seq("lineitem"), QTopK)),
     "q_distinct_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QDistinctAgg)),
     "q_case_string" -> ((s, d) => sql(s, d, Seq("part"), QCaseString)),
+    "q_cube" -> ((s, d) => sql(s, d, Seq("orders"), QCube)),
+    "q_scalar_subquery" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QScalarSubquery)),
 
     // ---- events / streaming-shaped (batch equivalents) ---------------
     "q_events_hourly" -> ((s, d) => sql(s, d, Seq("events"), qEventsHourly(SparkHour))),
@@ -393,6 +410,8 @@ object SparkEntry {
     "q_topk" -> QTopK,
     "q_distinct_agg" -> QDistinctAgg,
     "q_case_string" -> QCaseString,
+    "q_cube" -> QCube,
+    "q_scalar_subquery" -> QScalarSubquery,
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
     "q_cdc_latest" -> qCdcLatest(DuckMs),
