@@ -262,6 +262,24 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QDistinctAgg)),
     "q_case_string" -> ((s, d) => sql(s, d, Seq("part"), QCaseString)),
     "q_cube" -> ((s, d) => sql(s, d, Seq("orders"), QCube)),
+
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")),
+
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
     "q_scalar_subquery" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QScalarSubquery)),
 
     // ---- events / streaming-shaped (batch equivalents) ---------------
@@ -411,6 +429,15 @@ object SparkEntry {
     "q_distinct_agg" -> QDistinctAgg,
     "q_case_string" -> QCaseString,
     "q_cube" -> QCube,
+
+    "q_pivot" -> """
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q_approx_distinct: rows-only (HLL sketches differ per engine); the
+    // exact_parts column doubles as an internal plausibility anchor
     "q_scalar_subquery" -> QScalarSubquery,
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
