@@ -30,6 +30,9 @@ object LakeTable {
   val PrecombineKey = "hoodie.datasource.write.precombine.field"
   val PartitionPathKey = "hoodie.datasource.write.partitionpath.field"
   val TableTypeKey = "hoodie.datasource.write.table.type"
+  /** the key the reference's fixtures actually use (e.g.
+    * mysql-hudi-import.properties:21, boxer-es HoodieBatchTest.scala:38). */
+  val TableTypeKeyShort = "hoodie.table.type"
   val TableNameKey = "hoodie.table.name"
   val OperationKey = "hoodie.datasource.write.operation"
 
@@ -46,5 +49,6 @@ object LakeTable {
       recordKeyFields = splitFields(conf.requireKey(RecordKeyKey)),
       precombineField = conf.requireKey(PrecombineKey),
       partitionFields = conf.get(PartitionPathKey).map(splitFields).getOrElse(Nil),
-      tableType = conf.getOrElse(TableTypeKey, CopyOnWrite))
+      tableType = conf.get(TableTypeKey)
+        .orElse(conf.get(TableTypeKeyShort)).getOrElse(CopyOnWrite))
 }

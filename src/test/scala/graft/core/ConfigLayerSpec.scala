@@ -60,4 +60,13 @@ class ConfigLayerSpec extends AnyFunSuite {
     assert(t.partitionFields === Seq("dt"))
     assert(t.tableType === graft.sink.LakeTable.CopyOnWrite)
   }
+
+  test("LakeTable.fromConfig accepts the reference's short hoodie.table.type key") {
+    val c = ConfigLayer(Map(
+      "hoodie.datasource.write.recordkey.field" -> "id",
+      "hoodie.datasource.write.precombine.field" -> "ts",
+      "hoodie.table.type" -> "MERGE_ON_READ"))
+    assert(graft.sink.LakeTable.fromConfig("/tmp/x", c).tableType
+      === graft.sink.LakeTable.MergeOnRead)
+  }
 }
