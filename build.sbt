@@ -26,5 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g GC-thrashed at sf0.1 x 32 threads (round-1 driver bench: 10s+ full
+  // GCs -> executor-heartbeat RPC timeouts -> 25x slowdown). Fix the heap
+  // at startup and pre-touch it: on this microVM, growing the heap commits
+  // pages on demand and the fault storms freeze the whole JVM for tens of
+  // seconds mid-query (observed as multi-minute stall windows in bench).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseG1GC",
+  // GC log: lets a slow bench be attributed to JVM pauses vs host stalls.
+  "-Xlog:gc:file=target/gc-%p.log:time,uptime:filecount=2,filesize=10m",
 )
+// Forked `run` output must reach stdout RAW: the driver harness parses the
+// one-line bench JSON, and sbt's default logger prefixes every line with
+// "[info] ", which breaks that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

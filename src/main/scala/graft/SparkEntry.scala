@@ -203,6 +203,125 @@ object SparkEntry {
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
     FROM <SRC> GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- round-2 additions: shared texts (both dialects) ----------------
+
+  private val QGroupingSets = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  private val QLagLead = """
+    SELECT o_custkey, o_orderkey,
+      COALESCE(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS prev_ok,
+      COALESCE(LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS next_ok,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run_spend,
+      CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+    FROM orders ORDER BY o_custkey, rn"""
+
+  /** Global-order analytics (NTILE / PERCENT_RANK / CUME_DIST). The single
+    * global sort is inherent to the semantics; at 100 TB the same statistics
+    * come from `approxQuantile` bucketing — this exercises the exact form.
+    * percent_rank = (rank-1)/(n-1) and cume_dist = |rows<=x|/n are the same
+    * two integer divisions on both engines, so the doubles are bit-equal. */
+  private val QNtile = """
+    SELECT o_orderkey,
+      CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+      percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+      cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+    FROM orders ORDER BY o_orderkey"""
+
+  private val QRangeJoin = """
+    SELECT t.tier, COUNT(*) AS n,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+    FROM orders JOIN (VALUES ('T1', 0, 100000), ('T2', 100000, 200000), ('T3', 200000, 300000), ('T4', 300000, 600000)) AS t(tier, lo, hi)
+      ON o_totalprice >= t.lo AND o_totalprice < t.hi
+    GROUP BY t.tier ORDER BY t.tier"""
+
+  private val QExceptAll = """
+    SELECT o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
+  private val QIntersectAll = """
+    SELECT o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
+  private val QHaving = """
+    SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey) m) - 5
+    ORDER BY o_custkey"""
+
+  // ---- round-2 additions: dialect-split texts -------------------------
+
+  /** Exact quantiles. Safe cross-engine: l_quantity is integer-valued and
+    * the interpolation fractions are powers of two, so Spark's
+    * `(1-d)*lo + d*hi` and DuckDB's `lo + d*(hi-lo)` are both exact. */
+  private val QPercentileSpark = """
+    SELECT l_returnflag,
+      percentile(l_quantity, 0.25) AS p25,
+      percentile(l_quantity, 0.5) AS p50,
+      percentile(l_quantity, 0.75) AS p75,
+      CAST(MAX(l_quantity) AS DOUBLE) AS mx
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  private val QPercentileDuck = """
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75,
+      CAST(MAX(l_quantity) AS DOUBLE) AS mx
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private val QStringAggSpark = """
+    SELECT n_name, array_join(array_sort(collect_set(c_mktsegment)), ',') AS segs, COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+  private val QStringAggDuck = """
+    SELECT n_name, array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segs, COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
+
+  private val QRegexpSpark = """
+    SELECT p_partkey,
+      regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+      regexp_replace(p_name, '[aeiou]', '') AS devoweled,
+      CAST(regexp_count(p_name, ' ') AS INTEGER) AS n_spaces
+    FROM part ORDER BY p_partkey"""
+  private val QRegexpDuck = """
+    SELECT p_partkey,
+      regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+      CAST(len(regexp_extract_all(p_name, ' ')) AS INTEGER) AS n_spaces
+    FROM part ORDER BY p_partkey"""
+
+  private def qJson(extract: String) = s"""
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM($extract) AS BIGINT) AS sum_k,
+      CAST(MIN($extract) AS INTEGER) AS min_k,
+      CAST(MAX($extract) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type"""
+  private val SparkJsonK = "CAST(get_json_object(props, '$.k') AS INT)"
+  private val DuckJsonK = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+
+  private val QDateArithSpark = """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month_s, COUNT(*) AS n,
+      CAST(MIN(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')) AS INTEGER) AS min_dd,
+      CAST(MAX(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')) AS INTEGER) AS max_dd,
+      MIN(CAST(date_add(CAST(o_orderdate AS DATE), 30) AS STRING)) AS first_due
+    FROM orders GROUP BY CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) ORDER BY month_s"""
+  private val QDateArithDuck = """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_s, COUNT(*) AS n,
+      CAST(MIN(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS min_dd,
+      CAST(MAX(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INTEGER) AS max_dd,
+      MIN(CAST((CAST(o_orderdate AS DATE) + 30) AS VARCHAR)) AS first_due
+    FROM orders GROUP BY 1 ORDER BY month_s"""
+
   // ====================================================================
   // queries
   // ====================================================================
@@ -273,6 +392,46 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("O"),
           coalesce(col("P"), lit(0L)).as("P"))
         .orderBy("o_orderpriority")),
+
+    // ---- round-2 relational widening ----------------------------------
+    "q_grouping_sets" -> ((s, d) => sql(s, d, Seq("orders"), QGroupingSets)),
+    "q_lag_lead" -> ((s, d) => sql(s, d, Seq("orders"), QLagLead)),
+    "q_ntile" -> ((s, d) => sql(s, d, Seq("orders"), QNtile)),
+    "q_range_join" -> ((s, d) => sql(s, d, Seq("orders"), QRangeJoin)),
+    "q_except_all" -> ((s, d) => sql(s, d, Seq("orders"), QExceptAll)),
+    "q_intersect_all" -> ((s, d) => sql(s, d, Seq("orders"), QIntersectAll)),
+    "q_having" -> ((s, d) => sql(s, d, Seq("orders"), QHaving)),
+    "q_percentile" -> ((s, d) => sql(s, d, Seq("lineitem"), QPercentileSpark)),
+    "q_string_agg" -> ((s, d) => sql(s, d, Seq("customer", "nation"), QStringAggSpark)),
+    "q_regexp" -> ((s, d) => sql(s, d, Seq("part"), QRegexpSpark)),
+    "q_json" -> ((s, d) => sql(s, d, Seq("events"), qJson(SparkJsonK))),
+    "q_date_arith" -> ((s, d) => sql(s, d, Seq("orders"), QDateArithSpark)),
+
+    /** Two-stage salted aggregation — the skew-mitigation pattern for a
+      * hot-key groupBy at 100 TB: stage 1 aggregates (key, salt) so one hot
+      * key spreads over 16 reducers; stage 2 folds the partials. Decimal
+      * partials keep the result bit-identical to the unsalted oracle. */
+    "q_salted_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(16)).as("salt"))
+      li.groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("q")).as("ps"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("pn")).cast("long").as("n"),
+          sum(col("ps")).cast("decimal(18,2)").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Keep-first dedup as a window operator (vs dedup_exact's groupBy
+      * formulation): rank copies within each digest, keep rank 1. */
+    "dedup_keep_first" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("dg"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -439,6 +598,25 @@ object SparkEntry {
     // q_approx_distinct: rows-only (HLL sketches differ per engine); the
     // exact_parts column doubles as an internal plausibility anchor
     "q_scalar_subquery" -> QScalarSubquery,
+
+    "q_grouping_sets" -> QGroupingSets,
+    "q_lag_lead" -> QLagLead,
+    "q_ntile" -> QNtile,
+    "q_range_join" -> QRangeJoin,
+    "q_except_all" -> QExceptAll,
+    "q_intersect_all" -> QIntersectAll,
+    "q_having" -> QHaving,
+    "q_percentile" -> QPercentileDuck,
+    "q_string_agg" -> QStringAggDuck,
+    "q_regexp" -> QRegexpDuck,
+    "q_json" -> qJson(DuckJsonK),
+    "q_date_arith" -> QDateArithDuck,
+    "q_salted_agg" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dedup_keep_first" -> """
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
     "q_cdc_latest" -> qCdcLatest(DuckMs),

@@ -15,6 +15,8 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet — Spark 4 can only read it
       // as an epoch-nano BIGINT (queries account for this; see SparkEntry)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
