@@ -16,7 +16,13 @@ final case class LakeTable(
     recordKeyFields: Seq[String],
     precombineField: String,
     partitionFields: Seq[String] = Nil,
-    tableType: String = LakeTable.CopyOnWrite) {
+    tableType: String = LakeTable.CopyOnWrite,
+    /** stamp per-record meta columns (`_graft_commit_time`,
+      * `_graft_record_key`) on write — the analog of Hudi's
+      * `_hoodie_commit_time`/`_hoodie_record_key` meta fields
+      * (`hoodie.populate.meta.fields`). Required for incremental
+      * queries on COPY_ON_WRITE tables. */
+    metaFields: Boolean = false) {
   require(recordKeyFields.nonEmpty, "record key field(s) required")
   def isPartitioned: Boolean = partitionFields.nonEmpty
 }
@@ -35,6 +41,7 @@ object LakeTable {
   val TableTypeKeyShort = "hoodie.table.type"
   val TableNameKey = "hoodie.table.name"
   val OperationKey = "hoodie.datasource.write.operation"
+  val MetaFieldsKey = "hoodie.populate.meta.fields"
 
   private def splitFields(s: String): Seq[String] =
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
@@ -50,5 +57,6 @@ object LakeTable {
       precombineField = conf.requireKey(PrecombineKey),
       partitionFields = conf.get(PartitionPathKey).map(splitFields).getOrElse(Nil),
       tableType = conf.get(TableTypeKey)
-        .orElse(conf.get(TableTypeKeyShort)).getOrElse(CopyOnWrite))
+        .orElse(conf.get(TableTypeKeyShort)).getOrElse(CopyOnWrite),
+      metaFields = conf.get(MetaFieldsKey).exists(_.trim.equalsIgnoreCase("true")))
 }

@@ -46,6 +46,13 @@ object MergeWriter {
 
   private val CommitCol = "_graft_commit"
 
+  /** Hudi-style per-record meta columns (`_hoodie_commit_time` /
+    * `_hoodie_record_key` analogs, cf. `hoodie.populate.meta.fields`),
+    * stamped on write when `table.metaFields` is set. Commit provenance on
+    * every record is what makes incremental pull work on COPY_ON_WRITE. */
+  val CommitTimeCol = "_graft_commit_time"
+  val RecordKeyCol = "_graft_record_key"
+
   // ---------------------------------------------------------------- dedup
 
   /** Resolve intra-batch duplicates: keep the row with max precombine per key.
@@ -73,12 +80,15 @@ object MergeWriter {
 
   /** Pure merge of a (already deduped) batch into existing rows:
     * incoming replaces stored on key match; stored rows with unmatched keys
-    * survive. Exposed separately so tests and the oracle can target it. */
+    * survive. Exposed separately so tests and the oracle can target it.
+    *
+    * Schema evolution (Hudi-style additive): a column present on only one
+    * side is null-filled on the other, so a batch can add columns to a
+    * table (and an old-schema batch can still merge into an evolved one). */
   def mergeBatch(existing: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
-    val cols = batch.columns.toSeq
-    val survivors = existing.select(cols.map(col): _*)
+    val survivors = existing
       .join(batch.select(keys.map(col): _*), keys, "left_anti")
-    survivors.unionByName(batch.select(cols.map(col): _*))
+    survivors.unionByName(batch, allowMissingColumns = true)
   }
 
   // ---------------------------------------------------------------- write
@@ -92,38 +102,53 @@ object MergeWriter {
       s"unsupported ${LakeTable.OperationKey}: $other")
   }
 
+  /** Stamp the Hudi-analog meta columns (no-op unless enabled). */
+  private def stampMeta(df: DataFrame, table: LakeTable, commit: Long): DataFrame =
+    if (!table.metaFields) df
+    else df
+      .withColumn(CommitTimeCol, lit(commit))
+      .withColumn(RecordKeyCol,
+        concat_ws(":", table.recordKeyFields.map(c => col(c).cast("string")): _*))
+
   /** insert/bulk_insert: straight partitioned append, no merge, no key
     * shuffle — the 100 TB bulk-load path. */
-  def append(batch: DataFrame, table: LakeTable): Unit =
-    partitionedWriter(batch, table).mode(SaveMode.Append).parquet(dataPath(table))
+  def append(batch: DataFrame, table: LakeTable): Unit = {
+    val spark = batch.sparkSession
+    val commit = nextCommit(spark, table)
+    partitionedWriter(stampMeta(batch, table, commit), table)
+      .mode(SaveMode.Append).parquet(dataPath(table))
+    writeCommitMarker(spark, table, commit)
+  }
 
   def upsert(spark: SparkSession, batch: DataFrame, table: LakeTable): Unit = {
     val deduped = dedupByPrecombine(batch, table.recordKeyFields, table.precombineField)
+    val commit = nextCommit(spark, table)
+    val stamped = stampMeta(deduped, table, commit)
     if (table.tableType == LakeTable.MergeOnRead) {
-      val commit = nextCommit(spark, table)
-      deduped.write.mode(SaveMode.Overwrite)
+      stamped.write.mode(SaveMode.Overwrite)
         .parquet(s"${table.path}/_delta/commit=$commit")
-    } else cowRewrite(spark, deduped, table, isDelete = false)
+    } else cowRewrite(spark, stamped, table, isDelete = false)
+    writeCommitMarker(spark, table, commit)
   }
 
   /** delete: drop the batch's keys from the table. */
   def delete(spark: SparkSession, batch: DataFrame, table: LakeTable): Unit = {
     val keysDf = batch.select(table.recordKeyFields.map(col): _*).distinct()
+    val commit = nextCommit(spark, table)
     if (table.tableType == LakeTable.MergeOnRead) {
       // tombstone log entry: null payload marker column
-      val commit = nextCommit(spark, table)
       keysDf.withColumn("_graft_deleted", lit(true))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"${table.path}/_delta/commit=$commit")
     } else {
-      val existing = readBase(spark, table)
-      existing match {
+      readBase(spark, table) match {
         case Some(e) =>
           val remaining = e.join(keysDf, table.recordKeyFields, "left_anti")
           overwriteAll(spark, remaining, table)
         case None => ()
       }
     }
+    writeCommitMarker(spark, table, commit)
   }
 
   /** COW: read ONLY affected partitions of the existing table, merge, rewrite
@@ -177,6 +202,7 @@ object MergeWriter {
     if (fs.exists(p)) Some(spark.read.parquet(dataPath(table))) else None
   }
 
+  /** MOR delta-log commits (directory listing under `_delta/`). */
   private def listCommits(spark: SparkSession, table: LakeTable): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"${table.path}/_delta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -185,17 +211,52 @@ object MergeWriter {
       .filter(_.startsWith("commit=")).map(_.stripPrefix("commit=").toLong).sorted
   }
 
+  /** Commit timeline markers (`_commits/<n>`), written by every write op on
+    * both table types. They survive MOR compaction (which clears `_delta/`),
+    * keeping the commit counter monotonic — the analog of Hudi's
+    * `.hoodie/` timeline instants. */
+  private def listMarkers(spark: SparkSession, table: LakeTable): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"${table.path}/_commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+  }
+
+  private def writeCommitMarker(spark: SparkSession, table: LakeTable, commit: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${table.path}/_commits/$commit")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  /** Latest commit on the table's timeline (0 = empty table). */
+  def latestCommit(spark: SparkSession, table: LakeTable): Long =
+    (listCommits(spark, table) ++ listMarkers(spark, table))
+      .foldLeft(0L)(math.max)
+
   private def nextCommit(spark: SparkSession, table: LakeTable): Long =
-    listCommits(spark, table).lastOption.getOrElse(0L) + 1L
+    latestCommit(spark, table) + 1L
 
   /** Snapshot view: base ∪ delta logs with key conflicts resolved by
     * (commit DESC, precombine DESC) and tombstones applied. For COW tables
     * this is just the base. */
-  def readView(spark: SparkSession, table: LakeTable): DataFrame = {
+  def readView(spark: SparkSession, table: LakeTable): DataFrame =
+    readViewUpTo(spark, table, Long.MaxValue)
+
+  /** Time travel (MERGE_ON_READ): the snapshot as of `commit` — base plus
+    * delta commits ≤ `commit`. Valid for the still-uncompacted part of the
+    * timeline (compaction folds logs into the base, like Hudi after its
+    * retained-commit horizon). On COPY_ON_WRITE the base is the only
+    * snapshot, so this returns it unchanged. */
+  def readAsOf(spark: SparkSession, table: LakeTable, commit: Long): DataFrame =
+    readViewUpTo(spark, table, commit)
+
+  private def readViewUpTo(spark: SparkSession, table: LakeTable, upTo: Long): DataFrame = {
     val base = readBase(spark, table)
     if (table.tableType != LakeTable.MergeOnRead)
       return base.getOrElse(spark.emptyDataFrame)
-    val commits = listCommits(spark, table)
+    val commits = listCommits(spark, table).filter(_ <= upTo)
     if (commits.isEmpty) return base.getOrElse(spark.emptyDataFrame)
     val logs = spark.read
       .option("basePath", s"${table.path}/_delta")
@@ -230,6 +291,56 @@ object MergeWriter {
       .agg(max_by(payload, ordKey).as("_r"))
       .filter(!col("_r._graft_deleted"))
       .select(schemaCols.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
+  /** Incremental query (Hudi incremental pull): the latest state of every
+    * record changed AFTER `sinceCommit`, stamped with its commit number in
+    * `_graft_commit_time`.
+    *
+    *  - MERGE_ON_READ: resolved from delta commits > `sinceCommit` only —
+    *    reads O(changed data), never the base. Tombstoned keys are excluded.
+    *  - COPY_ON_WRITE: requires `metaFields` — the per-record commit stamp
+    *    is filtered directly, exactly how Hudi filters
+    *    `_hoodie_commit_time > begin.instanttime`.
+    */
+  def incremental(spark: SparkSession, table: LakeTable, sinceCommit: Long): DataFrame = {
+    if (table.tableType == LakeTable.MergeOnRead) {
+      val commits = listCommits(spark, table).filter(_ > sinceCommit)
+      if (commits.isEmpty) return spark.emptyDataFrame
+      val logs = spark.read
+        .option("basePath", s"${table.path}/_delta")
+        // commits can differ in shape (tombstone-only, evolved schema)
+        .option("mergeSchema", "true")
+        .parquet(commits.map(c => s"${table.path}/_delta/commit=$c"): _*)
+      val schemaCols: Seq[String] = logs.columns.toSeq.filterNot(c =>
+        c == "commit" || c == "_graft_deleted" ||
+          c == CommitTimeCol || c == RecordKeyCol)
+      val withDel =
+        if (logs.columns.contains("_graft_deleted")) logs
+        else logs.withColumn("_graft_deleted", lit(false))
+      val aligned = schemaCols.foldLeft(withDel) { (d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+      }
+      val keys = table.recordKeyFields
+      val ordKey = struct(
+        (col("commit") +: col(table.precombineField) +:
+          schemaCols.filterNot(keys.contains).map(c => col(c).cast("string"))): _*)
+      val payload = struct((schemaCols.map(col) :+
+        coalesce(col("_graft_deleted"), lit(false)).as("_del") :+
+        col("commit").as("_c")): _*)
+      aligned.groupBy(keys.map(col): _*)
+        .agg(max_by(payload, ordKey).as("_r"))
+        .filter(!col("_r._del"))
+        .select(schemaCols.map(c => col(s"_r.$c").as(c)) :+
+          col("_r._c").as(CommitTimeCol): _*)
+    } else {
+      require(table.metaFields,
+        s"incremental on COPY_ON_WRITE requires metaFields " +
+          s"(${LakeTable.MetaFieldsKey}=true) so records carry $CommitTimeCol")
+      readBase(spark, table)
+        .map(_.filter(col(CommitTimeCol) > sinceCommit))
+        .getOrElse(spark.emptyDataFrame)
+    }
   }
 
   /** MOR compaction: fold all delta commits into the base, clear the log.

@@ -104,4 +104,74 @@ class MergeWriterSpec extends SparkSuite {
     MergeWriter.upsert(spark, batch((1, "low", 1, "p")), t)
     assert(readAll(t) === Set((1L, "low", 1L, "p")))
   }
+
+  // ---- round 2: meta fields, incremental pull, time travel, evolution ----
+
+  test("COW meta fields stamp commit time and record key per record") {
+    val t = cow(tmp()).copy(metaFields = true)
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p")), t)
+    val rows = MergeWriter.readView(spark, t)
+      .select("id", MergeWriter.CommitTimeCol, MergeWriter.RecordKeyCol)
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows === Set((1L, 1L, "1"), (2L, 2L, "2")))
+  }
+
+  test("COW incremental pull returns only records changed after a commit") {
+    val t = cow(tmp()).copy(metaFields = true)
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p"), (3, "c", 1, "p")), t)
+    val inc = MergeWriter.incremental(spark, t, sinceCommit = 1)
+      .select("id", "val").as[(Long, String)].collect().toSet
+    assert(inc === Set((2L, "b2"), (3L, "c")))
+    assert(MergeWriter.incremental(spark, t, sinceCommit = 2).isEmpty)
+  }
+
+  test("MOR incremental pull resolves the latest change per key from the log") {
+    val t = LakeTable(tmp(), "t", Seq("id"), "ver", Nil, LakeTable.MergeOnRead)
+    MergeWriter.append(batch((1, "a", 1, "p"), (2, "b", 1, "p")), t) // commit 1
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p")), t)           // commit 2
+    MergeWriter.upsert(spark, batch((2, "b3", 3, "p"), (3, "c", 1, "p")), t) // commit 3
+    MergeWriter.delete(spark, batch((1, "a", 1, "p")), t)            // commit 4
+    val inc = MergeWriter.incremental(spark, t, sinceCommit = 1)
+    val got = inc.select(col("id"), col("val"), col(MergeWriter.CommitTimeCol))
+      .as[(Long, String, Long)].collect().toSet
+    // id=2 appears once with its LATEST change; id=1's tombstone is excluded
+    assert(got === Set((2L, "b3", 3L), (3L, "c", 3L)))
+  }
+
+  test("MOR time travel reads the snapshot as of an earlier commit") {
+    val t = LakeTable(tmp(), "t", Seq("id"), "ver", Nil, LakeTable.MergeOnRead)
+    MergeWriter.append(batch((1, "a", 1, "p")), t)          // commit 1 (base)
+    MergeWriter.upsert(spark, batch((2, "b", 1, "p")), t)   // commit 2
+    MergeWriter.upsert(spark, batch((2, "b2", 2, "p")), t)  // commit 3
+    def asOf(c: Long) = MergeWriter.readAsOf(spark, t, c)
+      .select("id", "val").as[(Long, String)].collect().toSet
+    assert(asOf(2) === Set((1L, "a"), (2L, "b")))
+    assert(asOf(3) === Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("commit timeline stays monotonic across MOR compaction") {
+    val t = LakeTable(tmp(), "t", Seq("id"), "ver", Nil, LakeTable.MergeOnRead)
+    MergeWriter.append(batch((1, "a", 1, "p")), t)
+    MergeWriter.upsert(spark, batch((2, "b", 1, "p")), t)
+    assert(MergeWriter.latestCommit(spark, t) === 2L)
+    MergeWriter.compact(spark, t)
+    // _delta is gone but the timeline must not restart from 0
+    assert(MergeWriter.latestCommit(spark, t) === 2L)
+    MergeWriter.upsert(spark, batch((3, "c", 1, "p")), t)
+    assert(MergeWriter.latestCommit(spark, t) === 3L)
+  }
+
+  test("schema evolution: a batch can add a column; old columns null-fill") {
+    val t = cow(tmp())
+    MergeWriter.upsert(spark, batch((1, "a", 1, "p"), (2, "b", 1, "p")), t)
+    val evolved = Seq((2L, "b2", 2L, "p", "extra"))
+      .toDF("id", "val", "ver", "dt", "note")
+    MergeWriter.upsert(spark, evolved, t)
+    val rows = MergeWriter.readView(spark, t)
+      .select("id", "val", "note").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(rows === Set((1L, "a", None), (2L, "b2", Some("extra"))))
+  }
 }
