@@ -81,4 +81,41 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming exact dedup at ingest — the streaming face of the batch
+    * dedup operators: duplicates of `keys` arriving within the watermark
+    * horizon are emitted once. State per key is dropped once the watermark
+    * passes it (`dropDuplicatesWithinWatermark`), so executors hold
+    * O(keys-per-horizon), never O(stream history) — the property that
+    * makes ingest-time dedup feasible on an unbounded 100 TB/day feed. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp lies in [left.ts - maxDelayMs,
+    * left.ts]. Both sides are watermarked, and the time-bound join
+    * condition lets Spark expire right-side state past the interval —
+    * bounded state, the requirement for an unbounded enrichment join.
+    * Column names: left keeps its names; right contributes `r_event_id`,
+    * `r_ts_ms`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelayMs: Long, lateness: String = "30 minutes"): DataFrame = {
+    val l = left
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", lateness)
+    val r = right
+      .select(col(key).as("r_key"), col("event_id").as("r_event_id"),
+        col("ts_ms").as("r_ts_ms"))
+      .withColumn("r_ts", timestamp_millis(col("r_ts_ms")))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS") &&
+        col("r_ts") <= col("ts"))
+      .drop("r_key", "ts", "r_ts")
+  }
 }

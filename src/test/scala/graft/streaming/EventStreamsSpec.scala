@@ -42,6 +42,54 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicates within the watermark horizon emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+    val q = EventStreams.dedupStream(events, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, 1000L, 1L, "click", 1.0), (1L, 1000L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // same key again in a later micro-batch, still inside the horizon
+      in.addData((1L, 2000L, 1L, "click", 1.0), (2L, 3000L, 1L, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(got === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("intervalJoin: pairs left rows with same-key right rows in the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long, String, Double)]
+    val rIn = MemoryStream[(Long, Long, Long, String, Double)]
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type", "value")
+    val joined = EventStreams.intervalJoin(
+      lIn.toDF().toDF(cols: _*), rIn.toDF().toDF(cols: _*),
+      key = "user_id", maxDelayMs = 10000, lateness = "1 minute")
+    val q = joined
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // right: signup at t=1s (user 1) and t=50s (user 2)
+      rIn.addData((100L, 1000L, 1L, "signup", 0.0), (101L, 50000L, 2L, "signup", 0.0))
+      // left: error at t=5s (user 1, within 10s of signup 100),
+      //       error at t=30s (user 1, outside the bound)
+      lIn.addData((1L, 5000L, 1L, "error", 1.0), (2L, 30000L, 1L, "error", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks so the join emits finalized rows
+      // (distinct filler users — same-key fillers would join each other)
+      lIn.addData((8L, 600000L, 8L, "error", 0.0))
+      rIn.addData((9L, 600000L, 9L, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").select("event_id", "r_event_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, one row per closed session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStreams.SessionEvent]
