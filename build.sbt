@@ -23,6 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Cap the pre-touched heap: page commit on this microVM runs at ~7.6 s/GiB
+// (measured: 16 GiB pre-touch = 2m02s wall; observed as bad as ~8 min under
+// host contention), so pre-touching the ~90 GiB heap the harness exports
+// via SPARK_DRIVER_MEM means 10+ minutes of SILENT JVM startup — which ate
+// the round-2 bench/verify timeouts whole. 8 GiB is plenty for sf0.1 x 32
+// threads (all 55 queries run in ~30 s and touch only a few GiB).
+def capMem(spec: String, capMiB: Long): String = {
+  val pat = "(?i)^\\s*(\\d+)\\s*([kmgt]?)b?\\s*$".r
+  val mib = spec match {
+    case pat(n, u) =>
+      val bytes = n.toLong * (u.toLowerCase match {
+        case "k" => 1L << 10
+        case "m" => 1L << 20
+        case "g" => 1L << 30
+        case "t" => 1L << 40
+        case _   => 1L
+      })
+      math.max(1L, bytes >> 20)
+    case _ => capMiB
+  }
+  s"${math.min(mib, capMiB)}m"
+}
+val heap = capMem(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"), 8L << 10)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -31,13 +54,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at startup and pre-touch it: on this microVM, growing the heap commits
   // pages on demand and the fault storms freeze the whole JVM for tens of
   // seconds mid-query (observed as multi-minute stall windows in bench).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms$heap",
+  s"-Xmx$heap",
   "-XX:+AlwaysPreTouch",
   "-XX:+UseG1GC",
   // GC log: lets a slow bench be attributed to JVM pauses vs host stalls.
   "-Xlog:gc:file=target/gc-%p.log:time,uptime:filecount=2,filesize=10m",
 )
+// Tests run at tiny SF — a 4 GiB initial heap keeps the pre-touch to ~30 s
+// instead of ~2 min (the later -Xms wins; -Xmx stays at `heap`).
+Test / javaOptions += "-Xms4g"
 // Forked `run` output must reach stdout RAW: the driver harness parses the
 // one-line bench JSON, and sbt's default logger prefixes every line with
 // "[info] ", which breaks that parse.

@@ -10,13 +10,21 @@ import java.nio.file.{Files, Paths}
   * driver bench read 25x slow on a consecutive stretch of queries this way.
   * Defense: run two full passes and report the per-query MINIMUM; a stall
   * window can cover a query in one pass but almost never the same query in
-  * both. Pass 1 doubles as the JIT/codegen warmup.
+  * both. Pass 1 doubles as the JIT/codegen warmup. Pass 2 is skipped when
+  * the remaining time budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 900 s
+  * from JVM start) would not cover a repeat of pass 1 — one completed pass
+  * beats a timeout kill with no output at all (round 2 died rc=124).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // First statement: make a slow JVM/Spark startup visible + attributable
+    // (round-2 pre-touch stall looked like a hang because nothing printed).
+    val jvmUp = System.nanoTime()
+    System.err.println(s"[bench] JVM main entered; heap=${Runtime.getRuntime.maxMemory() >> 20}MiB")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,20 +36,40 @@ object Bench {
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    System.err.println(f"[bench] SparkSession up at t=${(System.nanoTime() - jvmUp) / 1e9}%.1fs")
+    def elapsed: Double = (System.nanoTime() - jvmUp) / 1e9
     val queries = SparkEntry.queries.toSeq
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (pass <- 1 to passes; (name, fn) <- queries) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] pass$pass $name $dt%.2fs")
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    var pass = 0
+    var lastPassSec = 0.0
+    while (pass < passes && (pass == 0 || elapsed + lastPassSec * 1.2 < budgetSec)) {
+      pass += 1
+      val p0 = System.nanoTime()
+      for ((name, fn) <- queries) {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass$pass $name $dt%.2fs${err.fold("")(" ERR " + _)}")
+        err match {
+          case Some(m) => errs(name) = m // a throwing query must NOT bench as fast
+          case None    => best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        }
+      }
+      lastPassSec = (System.nanoTime() - p0) / 1e9
+      System.err.println(f"[bench] pass$pass done in $lastPassSec%.1fs (elapsed $elapsed%.1fs / budget $budgetSec%.0fs)")
     }
-    val qs = queries.map { case (k, _) => s"\"" + k + "\":" + best(k) }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qs = queries.map { case (k, _) =>
+      "\"" + k + "\":" + best.get(k).map(_.toString).getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val errJson = errs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = best.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errs.size},"passes":$pass,"sf":"$sfDir"}"""
     // Backup copy for post-hoc inspection; the stdout line is the contract.
     try Files.writeString(Paths.get("target/bench.json"), json)
     catch { case _: Throwable => () }

@@ -397,6 +397,21 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => sql(s, d, Seq("orders"), QGroupingSets)),
     "q_lag_lead" -> ((s, d) => sql(s, d, Seq("orders"), QLagLead)),
     "q_ntile" -> ((s, d) => sql(s, d, Seq("orders"), QNtile)),
+
+    /** Same NTILE/percent_rank/cume_dist statistics as q_ntile, computed by
+      * [[graft.ops.Ranking]]'s two-pass range ranking — NO single-partition
+      * WindowExec anywhere in the plan (the q_ntile scale-killer). Bit-equal
+      * to the window form because the ordering is unique. */
+    "q_ntile_scalable" -> ((s, d) => {
+      val (ranked, n) = graft.ops.Ranking.rankWithTotal(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      ranked.select(col("o_orderkey"),
+        graft.ops.Ranking.ntileOf(col("global_rank"), n, 4).as("quartile"),
+        graft.ops.Ranking.percentRankOf(col("global_rank"), n).as("pr"),
+        graft.ops.Ranking.cumeDistOf(col("global_rank"), n).as("cd"))
+        .orderBy("o_orderkey")
+    }),
     "q_range_join" -> ((s, d) => sql(s, d, Seq("orders"), QRangeJoin)),
     "q_except_all" -> ((s, d) => sql(s, d, Seq("orders"), QExceptAll)),
     "q_intersect_all" -> ((s, d) => sql(s, d, Seq("orders"), QIntersectAll)),
@@ -602,6 +617,7 @@ object SparkEntry {
     "q_grouping_sets" -> QGroupingSets,
     "q_lag_lead" -> QLagLead,
     "q_ntile" -> QNtile,
+    "q_ntile_scalable" -> QNtile, // same statistics, scalable plan
     "q_range_join" -> QRangeJoin,
     "q_except_all" -> QExceptAll,
     "q_intersect_all" -> QIntersectAll,

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // First statement: make a slow JVM startup (heap pre-touch) visible.
+    System.err.println(s"[verify] JVM main entered; heap=${Runtime.getRuntime.maxMemory() >> 20}MiB")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.core.{ConfigLayer, SparkEnv}
-import graft.streaming.{CdcSource, CdcTableSpec, MultiTableSink}
+import graft.streaming.{BinlogOffset, CdcSource, CdcTableSpec, MultiTableSink}
 
 /** S12/W3 — the streaming CDC app (reference
   * `HoodieBinlogDeltaStreamer`): unbounded change stream filtered by
@@ -26,6 +26,17 @@ import graft.streaming.{CdcSource, CdcTableSpec, MultiTableSink}
 object CdcStreamApp {
 
   val PathTemplateKey = "option.hoodie.path"
+
+  /** Reference CLI parity (`--binlog-index N --binlog-file-offset P`,
+    * HoodieBinlogDeltaStreamer.scala:206-219): a two-part resume position,
+    * encoded into the stream's 64-bit offset. None when neither flag is
+    * given; each part defaults to 0 when only the other is present. */
+  def startOffset(cli: Map[String, String]): Option[BinlogOffset] = {
+    val idx = cli.get("binlog-index").map(_.trim.toLong)
+    val pos = cli.get("binlog-file-offset").map(_.trim.toLong)
+    if (idx.isEmpty && pos.isEmpty) None
+    else Some(BinlogOffset(idx.getOrElse(0L), pos.getOrElse(0L)))
+  }
 
   /** comma list → regex alternation (reference `:85`). */
   def patternOf(commaList: String): Regex =
@@ -81,8 +92,11 @@ object CdcStreamApp {
     val appName = s"graft-cdc-streamer-${cli.getOrElse("database-name-pattern", "all")}"
     val spark = SparkEnv.appBuilder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val events = CdcSource.fileStream(spark, cli("source-dir"))
+    val raw = CdcSource.fileStream(spark, cli("source-dir"))
       .filter(col("db").rlike(dbPattern.regex) && col("table").rlike(tablePattern.regex))
+    // resume from a two-part binlog position: order-preserving encoding
+    // makes the resume a single pushed-down comparison
+    val events = startOffset(cli).fold(raw)(o => raw.filter(col("offset") >= o.encoded))
     val sink = new MultiTableSink(
       conf.getOrElse(PathTemplateKey, cli.getOrElse("path-template", "/tmp/graft/{db}/{table}")),
       specs,

@@ -41,8 +41,15 @@ object Dedup {
 
   /** Exact n-gram (word-shingle) Jaccard near-dup pairs within blocks of
     * (`lang`, n_chars/64). Integer-only comparison `10*|∩| >= t*|∪|` keeps
-    * the result bit-exact across engines. Output: (doc_a, doc_b, i, u). */
+    * the result bit-exact across engines. Output: (doc_a, doc_b, i, u).
+    *
+    * The self-join is all-pairs WITHIN a block, so one hot block (a common
+    * language × common length at corpus scale) would be a quadratic single
+    * task. Blocks larger than `maxBlockSize` are therefore dropped — same
+    * skew cap as [[minhashPairs]]; at corpus scale route those documents
+    * through `minhashPairs`, whose candidate count is ∝ true near-dups. */
   def jaccardPairs(df: DataFrame, thresholdTenths: Int = 8,
+                   maxBlockSize: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text",
                    langCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
@@ -62,8 +69,12 @@ object Dedup {
       .select(col(idCol), col(langCol),
         (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
         graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
-    val a = sh.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
-    val b = sh.select(col(idCol).as("doc_b"), col(langCol), col("len_bkt"), col("sh").as("sh_b"))
+    // skew guard: cap block population (mirrors the minhash bucket cap)
+    val blockSizes = sh.groupBy(langCol, "len_bkt")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBlockSize)
+    val capped = sh.join(blockSizes, Seq(langCol, "len_bkt"), "left_semi")
+    val a = capped.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
+    val b = capped.select(col(idCol).as("doc_b"), col(langCol), col("len_bkt"), col("sh").as("sh_b"))
     val inter = graft.functions.TextFunctions.sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
     a.join(b, Seq(langCol, "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))

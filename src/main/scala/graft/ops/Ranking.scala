@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ranking — the 100 TB path for exact NTILE / PERCENT_RANK
+  * / CUME_DIST, whose naive window form (`OVER (ORDER BY ...)` with no
+  * PARTITION BY) moves every row to ONE task.
+  *
+  * Classic two-pass range ranking instead:
+  *   1. `repartitionByRange` on the order key — each partition holds a
+  *      contiguous, disjoint key range, partition index ascending in order;
+  *   2. count rows per range partition — one tiny row per partition,
+  *      collected to the driver (bounded by the partition count, never by
+  *      data size) and turned into cumulative offsets;
+  *   3. rank WITHIN each partition (parallel window keyed by partition id)
+  *      and add the broadcast offset of the preceding partitions.
+  *
+  * The ranged frame is needed twice (count pass + rank pass), and Spark's
+  * RangePartitioner re-SAMPLES boundaries per execution with a seed derived
+  * from the rdd id — two separate executions can disagree on boundaries,
+  * which would silently corrupt the offsets. The ranged frame is therefore
+  * persisted (memory-and-disk) so both passes read ONE materialization;
+  * this also saves the second shuffle.
+  *
+  * The order key must be unique (append a tie-break column); with unique
+  * keys rank = dense rank = row count ≤ key, so NTILE / percent_rank /
+  * cume_dist all derive from the global rank and total count by the same
+  * integer arithmetic both Spark and DuckDB use — results are bit-equal to
+  * the single-partition window form. */
+object Ranking {
+
+  /** (`df` plus a 1-based `global_rank` column by `order` — which must be a
+    * unique ordering — , total row count). No single-partition stage
+    * anywhere in the plan. */
+  def rankWithTotal(df: DataFrame, order: Seq[Column],
+                    numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    // persisted: boundary sampling is per-execution (seeded by rdd id), so
+    // the count pass and the rank pass MUST share one materialization
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition row counts -> driver (<= numPartitions rows)
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("_pid", "_offset")
+    // pass 2: rank within each range partition (parallel; one window task
+    // per range partition, NOT one global task), plus the broadcast offset
+    val localW = Window.partitionBy("_pid").orderBy(order: _*)
+    val ranked = ranged
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("global_rank", col("_offset") + row_number().over(localW).cast("long"))
+      .drop("_pid", "_offset")
+    (ranked, total)
+  }
+
+  /** [[rankWithTotal]] without the total. */
+  def globalRankByRange(df: DataFrame, order: Seq[Column],
+                        numPartitions: Int = 0): DataFrame =
+    rankWithTotal(df, order, numPartitions)._1
+
+  /** Exact NTILE(k) bucket for a 1-based unique `global_rank` out of `n`
+    * rows: the first `n % k` buckets take `n/k + 1` rows, the rest `n/k` —
+    * the SQL-standard assignment, in pure integer arithmetic. */
+  def ntileOf(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val bigCut = rem * (q + 1) // last rank covered by the size-(q+1) buckets
+    val inBig = (rank - 1) / (q + 1) + 1
+    val inSmall = if (q == 0) lit(k.toLong) // degenerate: n < k
+                  else lit(rem) + (rank - 1 - bigCut) / q + 1
+    (if (bigCut > 0) when(rank <= bigCut, inBig).otherwise(inSmall)
+     else inSmall).cast("int")
+  }
+
+  /** percent_rank for a unique ordering: (rank-1)/(n-1); 0 when n == 1. */
+  def percentRankOf(rank: Column, n: Long): Column =
+    if (n <= 1) lit(0.0) else (rank - 1).cast("double") / lit((n - 1).toDouble)
+
+  /** cume_dist for a unique ordering: rank/n. */
+  def cumeDistOf(rank: Column, n: Long): Column =
+    rank.cast("double") / lit(n.toDouble)
+}

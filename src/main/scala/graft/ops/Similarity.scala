@@ -40,11 +40,27 @@ object Similarity {
   /** Brute-force exact top-k: for each query vector (filtered by
     * `queryPred`), the k nearest corpus vectors by cosine. Output
     * (query_id, rank, neighbor_id, sim) with a deterministic tie-break on
-    * neighbor id. Self-matches excluded. */
+    * neighbor id. Self-matches excluded.
+    *
+    * The query set is broadcast, so it must fit in driver/executor memory:
+    * more than `maxQueries` queries either throws (the default — the caller
+    * should pick [[ivfTopK]] deliberately) or, with `autoRoute=true`,
+    * silently falls through to [[ivfTopK]] (same output shape, approximate
+    * recall). The corpus side streams — only the query count is guarded. */
   def bruteForceTopK(emb: DataFrame, k: Int = 5,
                      queryPred: Column, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxQueries: Long = 100000L,
+                     autoRoute: Boolean = false): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
+    val nQ = emb.filter(queryPred).select(col(idCol)).count()
+    if (nQ > maxQueries) {
+      if (autoRoute)
+        return ivfTopK(emb, k, queryPred = queryPred, idCol = idCol, vecCol = vecCol)
+      throw new IllegalArgumentException(
+        s"bruteForceTopK broadcasts the query set: $nQ queries > maxQueries=$maxQueries; " +
+          "use ivfTopK (or pass autoRoute=true)")
+    }
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -61,10 +77,24 @@ object Similarity {
   /** Near-dup pairs: all (a < b) pairs with cosine >= threshold. Brute-force
     * within label blocks would miss cross-label dups, so this variant scans
     * all pairs via a broadcast of the smaller projection — use only when one
-    * side fits in memory; at corpus scale use [[ivfTopK]] or LSH buckets. */
+    * side fits in memory; at corpus scale use [[srpNearDupPairs]].
+    *
+    * O(n²) guard: a corpus above `maxExactRows` either throws (default) or,
+    * with `autoRoute=true`, falls through to [[srpNearDupPairs]] (same
+    * output shape; LSH recall instead of exact). */
   def cosinePairs(emb: DataFrame, threshold: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxExactRows: Long = 100000L,
+                  autoRoute: Boolean = false): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
+    val n = emb.select(col(idCol)).count()
+    if (n > maxExactRows) {
+      if (autoRoute)
+        return srpNearDupPairs(emb, threshold, idCol = idCol, vecCol = vecCol)
+      throw new IllegalArgumentException(
+        s"cosinePairs is O(n²): corpus has $n rows > maxExactRows=$maxExactRows; " +
+          "use srpNearDupPairs (or pass autoRoute=true)")
+    }
     val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -30,6 +30,31 @@ object CdcSchema {
     StructField("payload", StringType, nullable = false)))
 }
 
+/** Two-part binlog position (reference
+  * `HoodieBinlogDeltaStreamer.scala:206-219`: `--binlog-index` = numeric
+  * suffix of the binlog file, `--binlog-file-offset` = byte position within
+  * it), encoded into the stream's single monotonic 64-bit `offset`:
+  * file index in the high 21 bits (2M binlog files), position in the low 42
+  * (4 TiB — MySQL caps a binlog file at 1 GiB + one trailing event). The
+  * encoding is order-preserving, so "resume from (index, pos)" is a simple
+  * `offset >= encoded` predicate on the stream. */
+final case class BinlogOffset(fileIndex: Long, filePos: Long) {
+  import BinlogOffset._
+  require(fileIndex >= 0 && fileIndex <= MaxIndex,
+    s"binlog index out of range: $fileIndex (max $MaxIndex)")
+  require(filePos >= 0 && filePos <= MaxPos,
+    s"binlog file offset out of range: $filePos (max $MaxPos)")
+  def encoded: Long = (fileIndex << PosBits) | filePos
+}
+
+object BinlogOffset {
+  val PosBits = 42
+  val MaxPos: Long = (1L << PosBits) - 1
+  val MaxIndex: Long = (1L << (63 - PosBits)) - 1
+  def decode(offset: Long): BinlogOffset =
+    BinlogOffset(offset >>> PosBits, offset & MaxPos)
+}
+
 /** Per-table sink registry entry: payload schema + lake-table key spec,
   * parsed from the reference's `${db}.${table}.hoodie.*` config namespace
   * (hoodie_table_meta.properties:1-10; naming rule

@@ -114,7 +114,8 @@ object EventStreams {
       .withWatermark("r_ts", lateness)
     l.join(r,
       col(key) === col("r_key") &&
-        col("r_ts") >= col("ts") - expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS") &&
+        // MILLISECOND unit: a sub-second maxDelayMs must not floor to 0
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $maxDelayMs MILLISECOND") &&
         col("r_ts") <= col("ts"))
       .drop("r_key", "ts", "r_ts")
   }

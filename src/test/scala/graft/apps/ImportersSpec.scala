@@ -74,6 +74,31 @@ class ImportersSpec extends SparkSuite {
     assert(got === Set(("foo", "bar", 1), ("baz", "qux", 2)))
   }
 
+  test("dataAddress parses sheet/range forms (S7)") {
+    assert(DataAddress.parse("A1") === DataAddress(None, 1, 1, None, None))
+    assert(DataAddress.parse("Tabelle2!A1") ===
+      DataAddress(Some("Tabelle2"), 1, 1, None, None))
+    assert(DataAddress.parse("'My Sheet'!B3:AA10") ===
+      DataAddress(Some("My Sheet"), 3, 2, Some(10), Some(27)))
+    intercept[IllegalArgumentException](DataAddress.parse("!!"))
+  }
+
+  test("file import honors dataAddress: sheet file + row/col range (S6/S7)") {
+    val src = tmp("graft-wb-src")
+    // workbook-as-directory: two "sheets"; only tabelle2's B2:C4 is wanted
+    Files.writeString(java.nio.file.Path.of(src, "tabelle1.csv"),
+      "x,y,z\n9,9,9\n")
+    Files.writeString(java.nio.file.Path.of(src, "tabelle2.csv"),
+      "junk,junk,junk\nskip_a,h1,h2\nskip_b,v1,1\nskip_c,v2,2\nskip_d,ignored,9\n")
+    val conf = ConfigLayer(Map(
+      "hoodie.deltastreamer.excel.extra.options.header" -> "true",
+      "hoodie.deltastreamer.excel.extra.options.inferSchema" -> "true",
+      "hoodie.deltastreamer.excel.extra.options.dataAddress" -> "'tabelle2'!B2:C4"))
+    val df = FileImport.readSource(spark, conf, Map("resource" -> src))
+    assert(df.columns.toSeq === Seq("h1", "h2"))
+    assert(df.as[(String, Int)].collect().toSet === Set(("v1", 1), ("v2", 2)))
+  }
+
   test("doc import: nested JSON with auto-flatten gate produces 1NF columns") {
     val src = tmp("graft-doc-src")
     Files.writeString(java.nio.file.Path.of(src, "docs.json"),

@@ -69,4 +69,50 @@ class ConfigLayerSpec extends AnyFunSuite {
     assert(graft.sink.LakeTable.fromConfig("/tmp/x", c).tableType
       === graft.sink.LakeTable.MergeOnRead)
   }
+
+  test("CatalogSync.parse reads the full hive_sync option surface (W2)") {
+    val c = ConfigLayer(Map(
+      "hoodie.datasource.hive_sync.enable" -> "true",
+      "hoodie.datasource.meta.sync.enable" -> "true",
+      "hoodie.datasource.hive_sync.database" -> "data_import",
+      "hoodie.datasource.hive_sync.table" -> "ods_statsGas",
+      "hoodie.datasource.hive_sync.jdbcurl" -> "jdbc:hive2://10.0.0.1:10000",
+      "hoodie.datasource.hive_sync.username" -> "hive",
+      "hoodie.datasource.hive_sync.password" -> "hive",
+      "hoodie.datasource.hive_sync.partition_fields" -> "dt, region",
+      "hoodie.datasource.hive_sync.partition_extractor_class" ->
+        "org.apache.hudi.hive.MultiPartKeysValueExtractor"))
+    val hs = graft.sink.CatalogSync.parse(c)
+    assert(hs.enabled)
+    assert(hs.database === "data_import")
+    assert(hs.table === Some("ods_statsGas"))
+    assert(hs.jdbcUrl === Some("jdbc:hive2://10.0.0.1:10000"))
+    assert(hs.username === Some("hive"))
+    assert(hs.password === Some("hive"))
+    assert(hs.partitionFields === Seq("dt", "region"))
+    assert(!hs.forcesNonPartitioned)
+  }
+
+  test("CatalogSync.parse: NonPartitionedExtractor forces flat DDL; bad jdbcurl rejected") {
+    val hs = graft.sink.CatalogSync.parse(ConfigLayer(Map(
+      "hoodie.datasource.hive_sync.partition_extractor_class" ->
+        "org.apache.hudi.hive.NonPartitionedExtractor")))
+    assert(hs.forcesNonPartitioned)
+    assert(!hs.enabled) // neither enable switch set
+    intercept[IllegalArgumentException](graft.sink.CatalogSync.parse(
+      ConfigLayer(Map("hoodie.datasource.hive_sync.jdbcurl" -> "thrift://nope"))))
+  }
+
+  test("hive_sync round-trip: the reference's own properties file parses unchanged") {
+    val ref = "/root/reference/boxer-mongodb/src/test/resources/conf/hudi_mongodb_batch.properties"
+    assume(new java.io.File(ref).exists, "reference checkout not present")
+    val c = ConfigLayer.fromPropertiesFile(ref)
+    val hs = graft.sink.CatalogSync.parse(c)
+    assert(hs.enabled)
+    assert(hs.database === "data_import")
+    assert(hs.table === Some("ods_statsGas"))
+    assert(hs.jdbcUrl.exists(_.startsWith("jdbc:hive2://")))
+    assert(hs.username === Some("hive"))
+    assert(hs.forcesNonPartitioned) // NonPartitionedExtractor in the file
+  }
 }

@@ -45,6 +45,19 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // different lang block
   }
 
+  test("jaccardPairs drops blocks over maxBlockSize (skew cap)") {
+    // en/len_bkt block holds docs 0-3 (4 rows), de block holds doc 4 alone.
+    // Cap 3: the hot en block is dropped entirely — bounded candidate count
+    // instead of a quadratic task — while nothing else is affected.
+    val capped = Dedup.jaccardPairs(docs, 8, maxBlockSize = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(capped.isEmpty)
+    // cap above the block size: identical to the unguarded behavior
+    val uncapped = Dedup.jaccardPairs(docs, 8, maxBlockSize = 1000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((0L, 1L)))
+  }
+
   test("minhashPairs agrees with jaccardPairs on high-similarity pairs") {
     val mh = Dedup.minhashPairs(docs, 8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -117,6 +130,30 @@ class OpsSpec extends SparkSuite {
     val brute = Similarity.cosinePairs(emb, 0.95)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs === brute)
+  }
+
+  test("cosinePairs O(n²) guard: throws over maxExactRows, autoRoute falls to LSH") {
+    val emb = (0L until 10L).map(i => (i, Array.tabulate(8)(d =>
+      math.sin((i * 31 + d) * 0.9).toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(emb, 0.9, maxExactRows = 5).count())
+    assert(e.getMessage.contains("srpNearDupPairs"))
+    // autoRoute: same output shape via the LSH path, no throw
+    val routed = Similarity.cosinePairs(emb, 0.9, maxExactRows = 5, autoRoute = true)
+    assert(routed.columns.toSeq === Seq("vec_a", "vec_b", "sim"))
+    routed.count() // executes the LSH plan
+  }
+
+  test("bruteForceTopK broadcast guard: throws over maxQueries, autoRoute to IVF") {
+    val emb = (0L until 12L).map(i => (i, Array.tabulate(4)(d =>
+      math.cos((i + d) * 0.7).toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(emb, 2, col("vec_id") >= 0, maxQueries = 5).count())
+    assert(e.getMessage.contains("ivfTopK"))
+    val routed = Similarity.bruteForceTopK(emb, 2, col("vec_id") === 0,
+      maxQueries = 0, autoRoute = true)
+    assert(routed.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "sim"))
+    assert(routed.count() > 0)
   }
 
   test("multimodal plumbing: meta extraction and partition-wise decode") {

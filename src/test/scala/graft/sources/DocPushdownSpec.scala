@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** S9/S11 pushdown parity: the Mongo pipeline / ES query DSL compiled to
+  * Catalyst, checked for semantics (incl. Mongo null/missing rules) and for
+  * the scale property that actually matters — the `$match`/`term` predicate
+  * reaching the parquet scan as a pushed filter. */
+class DocPushdownSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val people = Seq(
+    ("a", Some(31L), Some("nyc"), Seq("x", "y")),
+    ("b", Some(25L), Some("sf"), Seq("x")),
+    ("c", None, Some("nyc"), Seq.empty[String]),
+    ("d", Some(40L), None, Seq("z", "x", "y"))
+  ).toDF("_id", "age", "city", "tags")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("_id").as[String].collect().toSet
+
+  // ---------------------------------------------------------------- Mongo
+
+  test("$match: comparison / $in / $exists / $regex / $size operators") {
+    def m(json: String): Set[String] =
+      ids(DocPushdown.mongoPipeline(people, s"""[{"$$match": $json}]"""))
+    assert(m("""{"age": {"$gte": 30}}""") === Set("a", "d"))
+    assert(m("""{"age": {"$gt": 25, "$lt": 40}}""") === Set("a"))
+    assert(m("""{"city": {"$in": ["nyc", "la"]}}""") === Set("a", "c"))
+    assert(m("""{"city": {"$exists": false}}""") === Set("d"))
+    assert(m("""{"_id": {"$regex": "^[ab]$"}}""") === Set("a", "b"))
+    assert(m("""{"tags": {"$size": 2}}""") === Set("a"))
+    assert(m("""{"$or": [{"city": "sf"}, {"age": 40}]}""") === Set("b", "d"))
+    assert(m("""{"$nor": [{"city": "sf"}, {"age": 40}]}""") === Set("a", "c"))
+  }
+
+  test("$match null semantics follow Mongo: null matches missing; $ne/$nin match missing") {
+    def m(json: String): Set[String] =
+      ids(DocPushdown.mongoPipeline(people, s"""[{"$$match": $json}]"""))
+    assert(m("""{"age": null}""") === Set("c"))
+    assert(m("""{"city": {"$ne": "nyc"}}""") === Set("b", "d"))
+    assert(m("""{"city": {"$nin": ["nyc", "sf"]}}""") === Set("d"))
+  }
+
+  test("$project include keeps _id by default; exclude drops; $sort+$limit; $count") {
+    val inc = DocPushdown.mongoPipeline(people, """[{"$project": {"age": 1}}]""")
+    assert(inc.columns.toSet === Set("age", "_id"))
+    val noId = DocPushdown.mongoPipeline(people, """[{"$project": {"age": 1, "_id": 0}}]""")
+    assert(noId.columns.toSeq === Seq("age"))
+    val exc = DocPushdown.mongoPipeline(people, """[{"$project": {"tags": 0}}]""")
+    assert(exc.columns.toSet === Set("_id", "age", "city"))
+    val top = DocPushdown.mongoPipeline(people,
+      """[{"$match": {"age": {"$exists": true}}}, {"$sort": {"age": -1}}, {"$limit": 2}]""")
+    assert(top.select("_id").as[String].collect().toSeq === Seq("d", "a"))
+    val cnt = DocPushdown.mongoPipeline(people, """[{"$count": "n"}]""")
+    assert(cnt.as[Long].collect().toSeq === Seq(4L))
+    intercept[IllegalArgumentException](
+      DocPushdown.mongoPipeline(people, """[{"$lookup": {}}]""").count())
+  }
+
+  test("$match predicate is pushed down to the parquet scan") {
+    val dir = Files.createTempDirectory("graft-pushdown").toString
+    people.write.mode("overwrite").parquet(dir)
+    val scanned = spark.read.parquet(dir)
+    val df = DocPushdown.mongoPipeline(scanned, """[{"$match": {"age": {"$gte": 30}}}]""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThanOrEqual(age,30)"),
+      s"filter not pushed:\n$plan")
+    assert(ids(df) === Set("a", "d"))
+  }
+
+  // ------------------------------------------------------------------- ES
+
+  test("es.query: term / terms / range / exists / wildcard / ids / match") {
+    def q(json: String): Set[String] =
+      ids(DocPushdown.esRead(people, Some(s"""{"query": $json}"""), None, None))
+    assert(q("""{"match_all": {}}""") === Set("a", "b", "c", "d"))
+    assert(q("""{"term": {"city": "nyc"}}""") === Set("a", "c"))
+    assert(q("""{"term": {"city": {"value": "sf"}}}""") === Set("b"))
+    assert(q("""{"terms": {"city": ["nyc", "sf"]}}""") === Set("a", "b", "c"))
+    assert(q("""{"range": {"age": {"gte": 25, "lt": 40}}}""") === Set("a", "b"))
+    assert(q("""{"exists": {"field": "city"}}""") === Set("a", "b", "c"))
+    assert(q("""{"wildcard": {"_id": "a*"}}""") === Set("a"))
+    assert(q("""{"ids": {"values": ["a", "d"]}}""") === Set("a", "d"))
+    assert(q("""{"match": {"city": "NYC la"}}""") === Set("a", "c"))
+  }
+
+  test("es.query bool: must AND, must_not NOT (null-safe), bare should OR") {
+    def q(json: String): Set[String] =
+      ids(DocPushdown.esRead(people, Some(s"""{"query": $json}"""), None, None))
+    assert(q("""{"bool": {"must": [{"term": {"city": "nyc"}}, {"range": {"age": {"gte": 30}}}]}}""")
+      === Set("a"))
+    // must_not over a field that is null for some docs: ES filter context
+    // keeps docs where the clause is not a positive match
+    assert(q("""{"bool": {"must_not": [{"term": {"city": "nyc"}}]}}""") === Set("b", "d"))
+    assert(q("""{"bool": {"should": [{"term": {"city": "sf"}}, {"term": {"_id": "c"}}]}}""")
+      === Set("b", "c"))
+  }
+
+  test("_source projection and field include/exclude compose in order") {
+    val src = DocPushdown.esRead(people,
+      Some("""{"_source": ["_id", "age", "city"], "query": {"match_all": {}}}"""),
+      None, Some("city"))
+    assert(src.columns.toSeq === Seq("_id", "age"))
+    val inc = DocPushdown.esRead(people, None, Some("_id, tags"), None)
+    assert(inc.columns.toSeq === Seq("_id", "tags"))
+    val obj = DocPushdown.esRead(people,
+      Some("""{"_source": {"includes": ["_id"]}}"""), None, None)
+    assert(obj.columns.toSeq === Seq("_id"))
+  }
+
+  // ---------------------------------------------------------------- S8 URI
+
+  test("MongoUri parses the reference's credential-spliced URI shapes") {
+    val u = MongoUri.parse("mongodb://usr:p%40ss@h1:27017,h2:27018/mydb?replicaSet=rs0&ssl=true")
+    assert(u.user === Some("usr") && u.password === Some("p%40ss"))
+    assert(u.hosts === Seq("h1:27017", "h2:27018"))
+    assert(u.database === Some("mydb"))
+    assert(u.options === Map("replicaSet" -> "rs0", "ssl" -> "true"))
+    assert(u.render === "mongodb://usr:p%40ss@h1:27017,h2:27018/mydb?replicaSet=rs0&ssl=true")
+    val bare = MongoUri.parse("mongodb://localhost:27017")
+    assert(bare.user.isEmpty && bare.database.isEmpty && bare.hosts === Seq("localhost:27017"))
+    intercept[IllegalArgumentException](MongoUri.parse("http://nope"))
+  }
+}

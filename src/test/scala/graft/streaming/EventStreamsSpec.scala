@@ -90,6 +90,32 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: sub-second maxDelayMs does not truncate to zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long, String, Double)]
+    val rIn = MemoryStream[(Long, Long, Long, String, Double)]
+    val cols = Seq("event_id", "ts_ms", "user_id", "event_type", "value")
+    val joined = EventStreams.intervalJoin(
+      lIn.toDF().toDF(cols: _*), rIn.toDF().toDF(cols: _*),
+      key = "user_id", maxDelayMs = 500, lateness = "1 minute")
+    val q = joined
+      .writeStream.format("memory").queryName("ij_ms_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rIn.addData((100L, 1000L, 1L, "signup", 0.0))
+      // 400 ms after the right row: inside the 500 ms bound (the truncating
+      // INTERVAL-0 form would reject it); 1800 ms: outside
+      lIn.addData((1L, 1400L, 1L, "error", 1.0), (2L, 1800L, 1L, "error", 1.0))
+      q.processAllAvailable()
+      lIn.addData((8L, 600000L, 8L, "error", 0.0))
+      rIn.addData((9L, 600000L, 9L, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_ms_test").select("event_id", "r_event_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, one row per closed session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStreams.SessionEvent]
