@@ -141,33 +141,82 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
-  /** IVF-style approximate top-k. The coarse "centroids" are a deterministic
-    * sample of the corpus (every `corpus_size/nlist`-th vector) — standing in
-    * for k-means so results stay reproducible; swap in trained centroids for
-    * production recall. Corpus vectors are assigned to their nearest centroid
+  /** Deterministic pseudo-random centroid init: the `nlist` corpus vectors
+    * smallest by hashed id — planned as TakeOrderedAndProject (top-k, no
+    * global sort). Reproducible across runs, which the rows-only driver
+    * check needs. */
+  private def sampledCentroids(emb: DataFrame, nlist: Int,
+                               idCol: String, vecCol: String): DataFrame =
+    emb.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+
+  /** Spherical k-means (Lloyd) for the IVF coarse quantizer: assign each
+    * vector to its max-cosine centroid, recompute centroids as elementwise
+    * means, repeat. Cosine assignment is scale-invariant so the means are
+    * not renormalized.
+    *
+    * Scale design: each iteration is one broadcast cross-join + one
+    * map-side-combined hash aggregate (`max_by`) + one (cell, dim)
+    * aggregate; only `nlist x dim` floats ever reach the driver per
+    * iteration (the new centroids), never data rows. Empty cells keep
+    * their previous centroid. Deterministic given the data (sampled init,
+    * fixed tie-breaks). */
+  def trainCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = sampledCentroids(emb, nlist, idCol, vecCol)
+      .select(col("centroid")).as[Seq[Float]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("cell_id", "centroid"))
+      val assigned = emb.crossJoin(cdf)
+        .select(col(idCol), col(vecCol).as("v"), col("cell_id"),
+          cosine(col(vecCol), col("centroid")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(max_by(struct(col("cell_id"), col("v")),
+          struct(col("csim"), -col("cell_id"))).as("_a"))
+        .select(col("_a.cell_id").as("cell_id"), col("_a.v").as("v"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos").agg(avg("x").as("m"))
+        .as[(Long, Int, Double)].collect()
+      val updated = means.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3.toFloat).toSeq).toMap
+      cents = cents.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+    }
+    cents.toDF("cell_id", "centroid")
+  }
+
+  /** IVF-style approximate top-k. The coarse centroids default to a
+    * deterministic corpus sample (reproducible, what the driver's rows-only
+    * check pins); pass [[trainCentroids]]' output via `centroids` for
+    * k-means recall. Corpus vectors are assigned to their nearest centroid
     * once; each query probes the `nprobe` nearest cells. */
   def ivfTopK(emb: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               queryPred: Column, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              centroids: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
-    // deterministic pseudo-random sample: nlist smallest by hashed id —
-    // planned as TakeOrderedAndProject (top-k, no global sort)
-    val centroids = emb
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(nlist)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    // assign every corpus vector to nearest cell (broadcast centroid scan)
-    val assignW = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cell_id").asc)
-    val assigned = emb.crossJoin(broadcast(centroids))
+    val cents = centroids.getOrElse(sampledCentroids(emb, nlist, idCol, vecCol))
+    // assign every corpus vector to nearest cell (broadcast centroid scan).
+    // max_by hash aggregate, NOT a window: map-side partial combine reduces
+    // each vector's nlist candidate rows inside the scan stage instead of
+    // shuffling+sorting n x nlist rows into window tasks
+    val assigned = emb.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
         col("cell_id"), cosine(col(vecCol), col("centroid")).as("csim"))
-      .withColumn("_r", row_number().over(assignW)).filter(col("_r") === 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cell_id"), col(vecCol).as("cv")),
+        struct(col("csim"), -col("cell_id"))).as("_a"))
+      .select(col(idCol).as("neighbor_id"), col("_a.cv").as("cv"), col("_a.cell_id").as("cell_id"))
     // queries probe nprobe nearest cells
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id").asc)
     val probes = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("qv"), col("centroid")))
       .withColumn("_r", row_number().over(probeW)).filter(col("_r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell_id"))

@@ -116,6 +116,30 @@ class OpsSpec extends SparkSuite {
     assert(p.getInt(4) === 3)
   }
 
+  test("trainCentroids (spherical k-means) lifts IVF recall over sampled centroids") {
+    // 6 planted clusters around distinct unit directions in 8 dims
+    val emb = (0L until 180L).map { i =>
+      val c = (i % 6).toInt
+      val base = Array.tabulate(8)(d => if (d == c) 1.0f else 0.0f)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + 0.15f * math.sin((i * 31 + d * 7).toDouble).toFloat }
+      (i, noisy)
+    }.toDF("vec_id", "embedding")
+    val queryPred = col("vec_id") % 10 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, 5, queryPred))
+    val sampled = pairs(Similarity.ivfTopK(emb, 5, 6, 2, queryPred))
+    val trained = Similarity.trainCentroids(emb, nlist = 6, iters = 5)
+    assert(trained.count() === 6L)
+    val km = pairs(Similarity.ivfTopK(emb, 5, 6, 2, queryPred, centroids = Some(trained)))
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(truth).size.toDouble / truth.size
+    assert(recall(km) >= recall(sampled),
+      s"k-means recall ${recall(km)} < sampled ${recall(sampled)}")
+    assert(recall(km) >= 0.8, s"k-means recall too low: ${recall(km)}")
+  }
+
   test("srpNearDupPairs recalls planted high-cosine pairs, skips the rest") {
     val base = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
     val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
