@@ -501,6 +501,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
+
+    /** IVF with spherical-k-means-trained coarse centroids (the production
+      * recall path; rows-only — approximate by design). */
+    "ann_ivf_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 3)
+      Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0,
+          centroids = Some(cents))
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")
+    }),
     "emb_neardup_lsh" -> ((s, d) =>
       Similarity.srpNearDupPairs(t(s, d, "embeddings"), 0.5)
         .select(col("vec_a"), col("vec_b"),
@@ -549,6 +561,14 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.checksum").as("checksum"))
         .orderBy("doc_id")),
+    /** Frame sampling over the media payload — pure-Catalyst byte slicing
+      * (binary substr + posexplode); byte-lengths are oracle-checkable. */
+    "media_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.asMedia(t(s, d, "documents").select("doc_id", "text"), "text"), 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")),
     "media_features" -> ((s, d) =>
       Multimodal.decodeFeatures(
           Multimodal.extractMeta(Multimodal.asMedia(t(s, d, "documents"), "text"))
@@ -759,9 +779,20 @@ object SparkEntry {
     "media_meta" -> """
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS checksum
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "media_frames" -> """
+      WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS len,
+               GREATEST(1, CAST(FLOOR(octet_length(encode(text)) / 4.0) AS BIGINT)) AS w
+        FROM documents)
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(LEAST(w, len - i * w) AS BIGINT) AS frame_len
+      FROM f, (VALUES (0), (1), (2), (3)) t(i)
+      WHERE i * w < len
+      ORDER BY doc_id, frame_idx"""
     // rows-only (non-SQL-expressible) entries: dedup_minhash, dedup_simhash,
-    // emb_neardup_lsh (seeded xxh64 permutations/projections), ann_ivf
-    // (approximate), media_features (stub codec output)
+    // emb_neardup_lsh (seeded xxh64 permutations/projections), ann_ivf +
+    // ann_ivf_kmeans (approximate), media_features (stub codec output)
   )
 }

@@ -60,6 +60,56 @@ object Multimodal {
       }
       out
     }
+
+    /** Deterministic fake resize: nearest-neighbor sample of the byte
+      * sequence to `w * h` output bytes (the real decoder/resampler seam). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes.isEmpty) return bytes
+      val out = new Array[Byte](w * h)
+      var k = 0
+      while (k < out.length) {
+        out(k) = bytes((k.toLong * bytes.length / out.length).toInt)
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** Frame sampling (video analog): `n` evenly-spaced byte slices of the
+    * payload stand in for decoded frames, exploded one row per frame with
+    * its index. PURE Catalyst — binary `substr` + `posexplode`, codegen'd,
+    * no RDD boundary — because slicing is the part a real pipeline can do
+    * before any codec runs (container formats index frames by offset).
+    * Payloads shorter than `n` bytes yield fewer (non-empty) frames. */
+  def frameSample(df: DataFrame, n: Int, mediaCol: String = "media",
+                  frameCol: String = "frame"): DataFrame = {
+    require(n > 0, "need at least one frame")
+    // floor: Column./ is double division, which would drift frame offsets
+    val width = greatest(lit(1L), floor(length(col(mediaCol)).cast("long") / n).cast("long"))
+    val slices = array((0 until n).map(i =>
+      col(mediaCol).substr((lit(i.toLong) * width + 1).cast("int"), width.cast("int"))): _*)
+    df.select(col("*"), posexplode(slices).as(Seq("frame_idx", frameCol)))
+      .filter(length(col(frameCol)) > 0)
+  }
+
+  /** Partition-wise "resize": same seam as [[decodeFeatures]] — a real
+    * implementation decodes, resamples to `w` x `h`, re-encodes; the stub
+    * nearest-neighbor-samples the byte sequence to the target pixel count,
+    * deterministically. Metadata must be re-extracted afterwards. */
+  def resizeMedia(df: DataFrame, w: Int, h: Int,
+                  mediaCol: String = "media"): DataFrame = {
+    require(w > 0 && h > 0, "target dims must be positive")
+    val schema = df.schema
+    val mediaIdx = schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition init of the (stub) codec happens here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val out = if (bytes == null) null else DecodeStub.resize(bytes, w, h)
+        Row.fromSeq(r.toSeq.updated(mediaIdx, out))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Partition-wise batch "decode": the Scala analog of a Pandas

@@ -191,4 +191,36 @@ class OpsSpec extends SparkSuite {
     assert(f1.length === Multimodal.DecodeStub.FeatureDim)
     assert(f1.sum > 0f)
   }
+
+  test("frameSample explodes evenly-spaced frames, pure expression plan") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.frameSample(media, 4)
+    val byDoc = frames.select("doc_id", "frame_idx", "frame")
+      .as[(Long, Int, Array[Byte])].collect().groupBy(_._1)
+    // 10 bytes / 4 frames -> width 2: four 2-byte frames
+    assert(byDoc(1L).sortBy(_._2).map(r => new String(r._3)).toSeq
+      === Seq("ab", "cd", "ef", "gh"))
+    // 2-byte payload: width 1, frames past the end are dropped
+    assert(byDoc(2L).sortBy(_._2).map(r => new String(r._3)).toSeq === Seq("x", "y"))
+    assert(!byDoc.contains(3L)) // empty payload -> no frames
+    // no RDD boundary: the plan stays in Catalyst (Generate/posexplode)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"))
+  }
+
+  test("resizeMedia resamples payloads to the target size deterministically") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"), "text")
+    val resized = Multimodal.resizeMedia(media, 4, 2)
+    val out = resized.select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L).length === 8)
+    assert(out(2L).length === 0) // empty stays empty
+    val again = Multimodal.resizeMedia(media, 4, 2)
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toMap
+    assert(out(1L).toSeq === again(1L).toSeq)
+    // meta re-extraction reflects the new payload
+    val meta = Multimodal.extractMeta(resized)
+      .filter(col("doc_id") === 1).select("meta.n_bytes").as[Long].head()
+    assert(meta === 8L)
+  }
 }
