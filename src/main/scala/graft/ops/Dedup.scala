@@ -45,11 +45,17 @@ object Dedup {
     *
     * The self-join is all-pairs WITHIN a block, so one hot block (a common
     * language × common length at corpus scale) would be a quadratic single
-    * task. Blocks larger than `maxBlockSize` are therefore dropped — same
-    * skew cap as [[minhashPairs]]; at corpus scale route those documents
-    * through `minhashPairs`, whose candidate count is ∝ true near-dups. */
+    * task. Blocks larger than `maxBlockSize` are therefore excluded from
+    * the all-pairs join — same skew cap as [[minhashPairs]] — and, with
+    * `routeOversized=true`, their documents are sent through
+    * [[minhashPairs]] instead (candidate count ∝ true near-dups, not
+    * block²; candidates still verified with exact Jaccard, so routed pairs
+    * satisfy the same threshold — only candidate RECALL becomes
+    * probabilistic). With `routeOversized=false` (the oracle-exact default)
+    * oversized blocks are dropped entirely. */
   def jaccardPairs(df: DataFrame, thresholdTenths: Int = 8,
                    maxBlockSize: Int = 1000,
+                   routeOversized: Boolean = false,
                    idCol: String = "doc_id", textCol: String = "text",
                    langCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
@@ -70,18 +76,29 @@ object Dedup {
         (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
         graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
     // skew guard: cap block population (mirrors the minhash bucket cap)
-    val blockSizes = sh.groupBy(langCol, "len_bkt")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBlockSize)
-    val capped = sh.join(blockSizes, Seq(langCol, "len_bkt"), "left_semi")
+    val blockSizes = sh.groupBy(langCol, "len_bkt").agg(count(lit(1)).as("bsz"))
+    val smallBlocks = blockSizes.filter(col("bsz") <= maxBlockSize)
+    val capped = sh.join(smallBlocks, Seq(langCol, "len_bkt"), "left_semi")
     val a = capped.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
     val b = capped.select(col(idCol).as("doc_b"), col(langCol), col("len_bkt"), col("sh").as("sh_b"))
     val inter = graft.functions.TextFunctions.sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
-    a.join(b, Seq(langCol, "len_bkt"))
+    val exact = a.join(b, Seq(langCol, "len_bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         inter.as("i"),
         (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
       .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+    if (!routeOversized) exact
+    else {
+      // oversized blocks: LSH candidates instead of block²; note pairs are
+      // generated within the routed sub-corpus only (same blocking contract)
+      val bigBlocks = blockSizes.filter(col("bsz") > maxBlockSize)
+      val routedDocs = df.join(
+        sh.join(bigBlocks, Seq(langCol, "len_bkt"), "left_semi").select(col(idCol)),
+        Seq(idCol), "left_semi")
+      exact.unionByName(
+        minhashPairs(routedDocs, thresholdTenths, idCol = idCol, textCol = textCol))
+    }
   }
 
   // ------------------------------------------------------------ minhash

@@ -56,6 +56,11 @@ class OpsSpec extends SparkSuite {
     val uncapped = Dedup.jaccardPairs(docs, 8, maxBlockSize = 1000)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(uncapped.contains((0L, 1L)))
+    // routing: the oversized block's docs go through the MinHash LSH path
+    // instead of being dropped — the planted near-dup pair is recovered
+    val routed = Dedup.jaccardPairs(docs, 8, maxBlockSize = 3, routeOversized = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(routed.contains((0L, 1L)))
   }
 
   test("minhashPairs agrees with jaccardPairs on high-similarity pairs") {

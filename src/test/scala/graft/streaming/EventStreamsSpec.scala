@@ -116,6 +116,25 @@ class EventStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("enrich: stream-static broadcast join keeps unmatched events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(events, dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((10L, 1000L, 1L, "click", 0.0), (11L, 1001L, 2L, "click", 0.0),
+        (12L, 1002L, 99L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got === Set((10L, Some("gold")), (11L, Some("basic")), (12L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, one row per closed session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStreams.SessionEvent]
