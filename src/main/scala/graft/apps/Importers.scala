@@ -3,6 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.ConfigLayer
+import graft.sources.DataAddress
 
 /** S1-S5 — JDBC importer (reference `HoodieJDBCImporter`). Dialect
   * whitelist (`:140-150`), `--table` vs pushdown `query` (mutually
@@ -39,44 +40,13 @@ object JdbcImport extends BatchImportApp {
   }
 }
 
-/** Excel-style `dataAddress` (`'Sheet Name'!A2:C10`, `Tabelle2!A1`, `B3`;
-  * docs/file/01.Excel Ingestion.md:36-49,72-90): sheet selector plus an
-  * inclusive 1-based cell range. Columns are spreadsheet letters
-  * (A=1 … Z=26, AA=27 …); an open range (`A2`) means "from here to the
-  * end" on both axes. */
-final case class DataAddress(sheet: Option[String],
-                             startRow: Int, startCol: Int,
-                             endRow: Option[Int], endCol: Option[Int])
-
-object DataAddress {
-  private val Cell = "([A-Za-z]+)([0-9]+)".r
-
-  private def colIndex(letters: String): Int =
-    letters.toUpperCase.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1))
-
-  /** `['Sheet'!]A1[:C4]`. */
-  def parse(addr: String): DataAddress = {
-    val (sheet, range) = addr.indexOf('!') match {
-      case -1 => (None, addr.trim)
-      case i  => (Some(addr.substring(0, i).trim.stripPrefix("'").stripSuffix("'")),
-                  addr.substring(i + 1).trim)
-    }
-    range.split(":", 2) match {
-      case Array(Cell(c1, r1)) =>
-        DataAddress(sheet, r1.toInt, colIndex(c1), None, None)
-      case Array(Cell(c1, r1), Cell(c2, r2)) =>
-        DataAddress(sheet, r1.toInt, colIndex(c1), Some(r2.toInt), Some(colIndex(c2)))
-      case _ => throw new IllegalArgumentException(s"bad dataAddress: $addr")
-    }
-  }
-}
-
-/** S6/S7 — tabular file importer (Excel-analog; reference
-  * `HoodieExcelImporter`). The Excel cell-level stack (POI) is out of scope
-  * (SURVEY.md §7.3) — the option surface (header, inferSchema, delimiter,
-  * timestampFormat, …) is exposed on Spark's tabular readers (csv default;
-  * `--format csv|json|parquet`), and `--resource` accepts globs exactly like
-  * the reference's partitioned-workbook reads
+/** S6/S7 — tabular file importer (reference `HoodieExcelImporter`).
+  * `--format excel` (or any `.xlsx` resource) reads REAL workbooks through
+  * the native [[graft.sources.ExcelSource]] DataSource V2 (JDK-only
+  * SpreadsheetML parsing — dataAddress sheets/ranges, header, inferSchema,
+  * excerptSize); csv/json/parquet ride Spark's built-in readers with the
+  * same option surface, and `--resource` accepts globs exactly like the
+  * reference's partitioned-workbook reads
   * (docs/file/01.Excel Ingestion.md:122-131).
   *
   * `dataAddress` IS honored for csv with full reference semantics
@@ -96,7 +66,9 @@ object FileImport extends BatchImportApp {
 
   override def readSource(spark: SparkSession, conf: ConfigLayer,
                           cli: Map[String, String]): DataFrame = {
-    val fmt = cli.getOrElse("format", "csv")
+    val resource0 = cli("resource")
+    val fmt =
+      cli.get("format").getOrElse(if (resource0.endsWith(".xlsx")) "excel" else "csv")
     val extra = conf.stripPrefix(extraOptionsPrefix)
     val addr = extra.get("dataAddress").filter(_ => fmt == "csv").map(DataAddress.parse)
     addr match {

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Excel-style `dataAddress` (`'Sheet Name'!A2:C10`, `Tabelle2!A1`, `B3`;
+  * reference docs/file/01.Excel Ingestion.md:36-49,72-90): sheet selector
+  * plus an inclusive 1-based cell range. Columns are spreadsheet letters
+  * (A=1 … Z=26, AA=27 …); an open range (`A2`) means "from here to the
+  * end" on both axes. */
+final case class DataAddress(sheet: Option[String],
+                             startRow: Int, startCol: Int,
+                             endRow: Option[Int], endCol: Option[Int])
+
+object DataAddress {
+  private val Cell = "([A-Za-z]+)([0-9]+)".r
+
+  /** `['Sheet'!]A1[:C4]`. */
+  def parse(addr: String): DataAddress = {
+    val (sheet, range) = addr.indexOf('!') match {
+      case -1 => (None, addr.trim)
+      case i  => (Some(addr.substring(0, i).trim.stripPrefix("'").stripSuffix("'")),
+                  addr.substring(i + 1).trim)
+    }
+    range.split(":", 2) match {
+      case Array(Cell(c1, r1)) =>
+        DataAddress(sheet, r1.toInt, XlsxParser.colOf(c1 + "1"), None, None)
+      case Array(Cell(c1, r1), Cell(c2, r2)) =>
+        DataAddress(sheet, r1.toInt, XlsxParser.colOf(c1 + "1"),
+          Some(r2.toInt), Some(XlsxParser.colOf(c2 + "1")))
+      case _ => throw new IllegalArgumentException(s"bad dataAddress: $addr")
+    }
+  }
+}
+
+/** S6/S7 — a REAL native `.xlsx` DataSource V2 (`format("excel")`, the
+  * reference's `HoodieExcelImporter.scala:94-98` read surface), built on
+  * [[XlsxParser]] (JDK-only SpreadsheetML parsing — the format is the
+  * public ECMA-376 standard).
+  *
+  * Options (reference parity, `hudi-on-excel.properties:2-8`):
+  *   - `dataAddress`   `'Sheet'!A2:C10` — sheet + inclusive range; default
+  *                     first sheet, whole used range
+  *   - `header`        first in-range row is the header (default true)
+  *   - `inferSchema`   long/double/boolean/string per column (default
+  *                     false = all strings, like Spark csv)
+  *   - `excerptSize`   rows sampled for inference (default 10 — the
+  *                     reference's inference-window option)
+  *
+  * `load(path)` accepts globs and directories (partitioned-workbook reads,
+  * docs/file/01.Excel Ingestion.md:122-131). Scale shape: one input
+  * partition PER FILE — workbooks are small and indivisible (a ZIP has no
+  * split points), so a glob of N workbooks reads N-wide in parallel; the
+  * sheet XML itself streams through StAX. Out of scope, documented:
+  * encrypted workbooks, date styling, legacy .xls. */
+class ExcelSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "excel"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = ExcelOptions(options.asCaseSensitiveMap().asScala.toMap)
+    ExcelRead.inferSchema(ExcelRead.resolveFiles(opts), opts)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ExcelTable(schema, ExcelOptions(properties.asScala.toMap))
+}
+
+/** Parsed option bag (serializable — ships to executors). */
+final case class ExcelOptions(raw: Map[String, String]) {
+  private def ci(key: String): Option[String] =
+    raw.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  val address: Option[DataAddress] = ci("dataAddress").map(DataAddress.parse)
+  val header: Boolean = ci("header").forall(_.trim.toBoolean)
+  val inferTypes: Boolean = ci("inferSchema").exists(_.trim.toBoolean)
+  val excerptSize: Int = ci("excerptSize").map(_.trim.toInt).getOrElse(10)
+  def paths: Seq[String] =
+    ci("paths").map(DocPushdown.parseJson(_).elements().asScala.map(_.asText).toSeq)
+      .getOrElse(ci("path").toSeq)
+}
+
+class ExcelTable(tableSchema: StructType, opts: ExcelOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"excel(${opts.paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tableSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        ExcelRead.resolveFiles(opts).map(ExcelFilePartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new ExcelReaderFactory(tableSchema, opts)
+    }
+}
+
+final case class ExcelFilePartition(path: String) extends InputPartition
+
+class ExcelReaderFactory(schema: StructType, opts: ExcelOptions)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = ExcelRead.dataRows(p.asInstanceOf[ExcelFilePartition].path, opts)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = ExcelRead.toInternalRow(rows.next(), schema); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The shared read pipeline: file resolution, range slicing, header split,
+  * schema inference, and the string→typed conversion. */
+object ExcelRead {
+
+  /** Expand globs/directories to concrete .xlsx files, sorted so the
+    * schema file (first) is deterministic. */
+  def resolveFiles(opts: ExcelOptions): Seq[String] = {
+    require(opts.paths.nonEmpty, "excel source requires a path")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    opts.paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      require(matched.nonEmpty, s"no files match: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx"))
+            .map(_.getPath.toUri.getPath)
+        else Seq(st.getPath.toUri.getPath)
+      }
+    }.distinct.sorted
+  }
+
+  /** In-range rows of the addressed sheet of one workbook, columns sliced
+    * to the address, header row EXCLUDED (it named the schema). */
+  def dataRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
+    val all = rangedRows(path, opts)
+    if (opts.header && all.hasNext) { all.next(); all } else all
+  }
+
+  /** In-range rows (header still included). */
+  private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val sheets = XlsxParser.sheetParts(zip)
+      val part = opts.address.flatMap(_.sheet) match {
+        case None => sheets.headOption.map(_._2)
+          .getOrElse(throw new IllegalArgumentException(s"$path has no sheets"))
+        case Some(name) => sheets.collectFirst { case (n, p) if n == name => p }
+          .getOrElse(throw new IllegalArgumentException(
+            s"no sheet '$name' in $path (has: ${sheets.map(_._1).mkString(", ")})"))
+      }
+      val shared = XlsxParser.sharedStrings(zip)
+      val lo = opts.address.map(_.startRow.toLong).getOrElse(1L)
+      val hi = opts.address.flatMap(_.endRow).map(_.toLong)
+      val c0 = opts.address.map(_.startCol - 1).getOrElse(0)
+      val cN = opts.address.flatMap(_.endCol) // inclusive, 1-based
+      XlsxParser.sheetRows(zip, part, shared)
+        .filter { case (r, _) => r >= lo && hi.forall(r <= _) }
+        .map { case (_, cells) =>
+          val upper = cN.getOrElse(cells.length)
+          if (c0 == 0 && upper >= cells.length) cells
+          else (c0 until upper).map(i => if (i < cells.length) cells(i) else null)
+        }.toIndexedSeq.iterator // drain before the zip handle closes
+    } finally zip.close()
+  }
+
+  /** Header names + excerpt-based column typing from the FIRST resolved
+    * file (multi-file reads share one schema, like Spark's csv). */
+  def inferSchema(files: Seq[String], opts: ExcelOptions): StructType = {
+    val rows = rangedRows(files.head, opts).take(opts.excerptSize + 1).toIndexedSeq
+    require(rows.nonEmpty, s"${files.head}: no rows in range")
+    val width = rows.map(_.length).max
+    val names: IndexedSeq[String] =
+      if (opts.header) (0 until width).map(i =>
+        rows.head.lift(i).flatMap(Option(_)).filter(_.nonEmpty).getOrElse(s"_c$i"))
+      else (0 until width).map(i => s"_c$i")
+    val sample = if (opts.header) rows.tail else rows
+    val types = (0 until width).map { i =>
+      if (!opts.inferTypes) StringType
+      else {
+        val vs = sample.flatMap(r => Option(r.lift(i).orNull)).filter(_.nonEmpty)
+        if (vs.isEmpty) StringType
+        else if (vs.forall(v => v.toLongOption.isDefined)) LongType
+        else if (vs.forall(v => v.toDoubleOption.isDefined)) DoubleType
+        else if (vs.forall(v => v.toBooleanOption.isDefined)) BooleanType
+        else StringType
+      }
+    }
+    StructType(names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+
+  /** Permissive conversion (like csv PERMISSIVE): unparseable cells null. */
+  def toInternalRow(cells: IndexedSeq[String], schema: StructType): InternalRow = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val raw = if (i < cells.length) cells(i) else null
+      out(i) =
+        if (raw == null) null
+        else schema.fields(i).dataType match {
+          case StringType => UTF8String.fromString(raw)
+          case LongType => raw.toLongOption
+            .orElse(raw.toDoubleOption.map(_.toLong)).map(Long.box).orNull
+          case DoubleType => raw.toDoubleOption.map(Double.box).orNull
+          case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
+          case other => throw new IllegalStateException(s"unexpected type $other")
+        }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}

@@ -5,6 +5,7 @@ import java.sql.DriverManager
 
 import graft.SparkSuite
 import graft.core.ConfigLayer
+import graft.sources.DataAddress
 import graft.streaming.CdcTableSpec
 
 /** End-to-end batch apps: JDBC (embedded Derby — a whitelisted dialect,

@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Native .xlsx source: fixtures are REAL workbooks (SpreadsheetML ZIPs
+  * built with ZipOutputStream — what any xlsx writer emits), read back via
+  * `spark.read.format("excel")`. */
+class ExcelSourceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** Write a minimal-but-valid workbook. Sheets: name -> rows of cells;
+    * a cell is (value, isString). Strings go through the shared-string
+    * table (the common writer behavior), numbers/booleans inline. */
+  private def writeXlsx(path: String, sheets: Seq[(String, Seq[Seq[(String, Boolean)]])],
+                        richText: Boolean = false): Unit = {
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sidOf(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+
+    def colRef(i: Int): String = { // 0-based -> A, B, ..., AA
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def sheetXml(rows: Seq[Seq[(String, Boolean)]]): String = {
+      val body = rows.zipWithIndex.map { case (cells, r) =>
+        val cs = cells.zipWithIndex.collect {
+          case ((v, isStr), c) if v != null =>
+            val ref = s"${colRef(c)}${r + 1}"
+            if (isStr) s"""<c r="$ref" t="s"><v>${sidOf(v)}</v></c>"""
+            else if (v == "true" || v == "false")
+              s"""<c r="$ref" t="b"><v>${if (v == "true") 1 else 0}</v></c>"""
+            else s"""<c r="$ref"><v>$v</v></c>"""
+        }.mkString
+        s"""<row r="${r + 1}">$cs</row>"""
+      }.mkString
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+    }
+    val sheetXmls = sheets.map { case (_, rows) => sheetXml(rows) } // assigns sids
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>${
+        sheets.zipWithIndex.map { case ((n, _), i) =>
+          s"""<sheet name="$n" sheetId="${i + 1}" r:id="rId${i + 1}"/>""" }.mkString
+      }</sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${
+        sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString
+      }</Relationships>""")
+    val ss = strings.keys.map { s =>
+      if (richText) s"<si><r><t>$s</t></r></si>" else s"<si><t>$s</t></si>"
+    }.mkString
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$ss</sst>""")
+    sheetXmls.zipWithIndex.foreach { case (xml, i) =>
+      entry(s"xl/worksheets/sheet${i + 1}.xml", xml)
+    }
+    zos.close()
+  }
+
+  private def s(v: String): (String, Boolean) = (v, true)
+  private def n(v: String): (String, Boolean) = (v, false)
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-xlsx").toString
+
+  test("reads a real workbook: header, shared strings, schema inference") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/book.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("name"), s("qty"), s("price"), s("ok")),
+      Seq(s("apple"), n("3"), n("1.5"), n("true")),
+      Seq(s("pear"), n("7"), n("2"), n("false")))))
+    val df = spark.read.format("excel").option("inferSchema", "true")
+      .load(s"$dir/book.xlsx")
+    assert(df.schema === StructType(Seq(
+      StructField("name", StringType), StructField("qty", LongType),
+      StructField("price", DoubleType), StructField("ok", BooleanType))))
+    assert(df.as[(String, Long, Double, Boolean)].collect().toSet
+      === Set(("apple", 3L, 1.5, true), ("pear", 7L, 2.0, false)))
+  }
+
+  test("dataAddress selects sheet and range; header taken from the range") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/multi.xlsx", Seq(
+      "Sheet1" -> Seq(Seq(s("junk"))),
+      "Tabelle2" -> Seq(
+        Seq(s("noise"), s("noise2"), s("noise3")),
+        Seq(null.asInstanceOf[String] -> false, s("h1"), s("h2")),
+        Seq(s("skip"), s("v1"), n("1")),
+        Seq(s("skip"), s("v2"), n("2")),
+        Seq(s("skip"), s("ignored"), n("9")))))
+    val df = spark.read.format("excel")
+      .option("dataAddress", "'Tabelle2'!B2:C4")
+      .option("inferSchema", "true")
+      .load(s"$dir/multi.xlsx")
+    assert(df.columns.toSeq === Seq("h1", "h2"))
+    assert(df.as[(String, Long)].collect().toSet === Set(("v1", 1L), ("v2", 2L)))
+    // unknown sheet fails with the sheet inventory in the message
+    val e = intercept[Exception](
+      spark.read.format("excel").option("dataAddress", "'Nope'!A1")
+        .load(s"$dir/multi.xlsx").collect())
+    assert(e.getMessage.contains("Tabelle2"))
+  }
+
+  test("glob of many workbooks reads one partition per file") {
+    val dir = tmpDir()
+    for (q <- 1 to 3)
+      writeXlsx(s"$dir/q$q.xlsx", Seq("Sheet1" -> Seq(
+        Seq(s("quarter"), s("amount")),
+        Seq(n(q.toString), n((q * 100).toString)))))
+    val df = spark.read.format("excel").option("inferSchema", "true")
+      .load(s"$dir/*.xlsx")
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.as[(Long, Long)].collect().toSet
+      === Set((1L, 100L), (2L, 200L), (3L, 300L)))
+    // a directory path behaves like the glob
+    val fromDir = spark.read.format("excel").load(dir)
+    assert(fromDir.count() === 3L)
+  }
+
+  test("sparse rows, rich-text shared strings, gap cells, header=false") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/sparse.xlsx", Seq("S" -> Seq(
+      Seq(s("a"), null.asInstanceOf[String] -> false, n("5")),
+      Seq(s("b c"), s("x"), null.asInstanceOf[String] -> false))),
+      richText = true)
+    val df = spark.read.format("excel").option("header", "false")
+      .load(s"$dir/sparse.xlsx")
+    assert(df.columns.toSeq === Seq("_c0", "_c1", "_c2"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSet === Set(("a", null, "5"), ("b c", "x", null)))
+  }
+
+  test("FileImport routes .xlsx resources through the native source") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/wb.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("id"), s("v")), Seq(n("1"), s("alpha")))))
+    val conf = graft.core.ConfigLayer(Map(
+      "hoodie.deltastreamer.excel.extra.options.inferSchema" -> "true"))
+    val df = graft.apps.FileImport.readSource(spark, conf, Map("resource" -> s"$dir/wb.xlsx"))
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.as[(Long, String)].collect().toSeq === Seq((1L, "alpha")))
+  }
+}
