@@ -79,7 +79,8 @@ class ExcelSource extends TableProvider with DataSourceRegister {
     new ExcelTable(schema, ExcelOptions(properties.asScala.toMap))
 }
 
-/** Parsed option bag (serializable — ships to executors). */
+/** Parsed option bag (serializable — ships to executors). Option names are
+  * the reference's spark-excel surface (hudi-on-excel.properties:2-8). */
 final case class ExcelOptions(raw: Map[String, String]) {
   private def ci(key: String): Option[String] =
     raw.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -87,6 +88,13 @@ final case class ExcelOptions(raw: Map[String, String]) {
   val header: Boolean = ci("header").forall(_.trim.toBoolean)
   val inferTypes: Boolean = ci("inferSchema").exists(_.trim.toBoolean)
   val excerptSize: Int = ci("excerptSize").map(_.trim.toInt).getOrElse(10)
+  /** rows to drop between the header and the data (spark-excel knob). */
+  val ignoreAfterHeader: Int = ci("ignoreAfterHeader").map(_.trim.toInt).getOrElse(0)
+  /** empty-string cells become nulls (default true, like spark-excel). */
+  val emptyAsNull: Boolean = ci("treatEmptyValuesAsNulls").forall(_.trim.toBoolean)
+  /** error cells (`t="e"`, #DIV/0! etc): type-default fallback when true,
+    * null when false (default). */
+  val errorsToFallback: Boolean = ci("setErrorCellsToFallbackValues").exists(_.trim.toBoolean)
   def paths: Seq[String] =
     ci("paths").map(DocPushdown.parseJson(_).elements().asScala.map(_.asText).toSeq)
       .getOrElse(ci("path").toSeq)
@@ -119,8 +127,10 @@ class ExcelReaderFactory(schema: StructType, opts: ExcelOptions)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (rows.hasNext) { current = ExcelRead.toInternalRow(rows.next(), schema); true }
-        else false
+        if (rows.hasNext) {
+          current = ExcelRead.toInternalRow(rows.next(), schema, opts.errorsToFallback)
+          true
+        } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
@@ -152,11 +162,14 @@ object ExcelRead {
   }
 
   /** In-range rows of the addressed sheet of one workbook, columns sliced
-    * to the address, header row EXCLUDED (it named the schema). */
-  def dataRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
-    val all = rangedRows(path, opts)
-    if (opts.header && all.hasNext) { all.next(); all } else all
-  }
+    * to the address, header row (and `ignoreAfterHeader` rows after it)
+    * EXCLUDED. */
+  def dataRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] =
+    rangedRows(path, opts).drop(headerRowCount(opts))
+
+  /** rows consumed by the header block: header itself + ignoreAfterHeader. */
+  def headerRowCount(opts: ExcelOptions): Int =
+    if (opts.header) 1 + opts.ignoreAfterHeader else 0
 
   /** In-range rows (header still included). */
   private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
@@ -179,8 +192,11 @@ object ExcelRead {
         .filter { case (r, _) => r >= lo && hi.forall(r <= _) }
         .map { case (_, cells) =>
           val upper = cN.getOrElse(cells.length)
-          if (c0 == 0 && upper >= cells.length) cells
-          else (c0 until upper).map(i => if (i < cells.length) cells(i) else null)
+          val sliced =
+            if (c0 == 0 && upper >= cells.length) cells
+            else (c0 until upper).map(i => if (i < cells.length) cells(i) else null)
+          if (opts.emptyAsNull) sliced.map(v => if (v != null && v.isEmpty) null else v)
+          else sliced
         }.toIndexedSeq.iterator // drain before the zip handle closes
     } finally zip.close()
   }
@@ -193,13 +209,16 @@ object ExcelRead {
     val width = rows.map(_.length).max
     val names: IndexedSeq[String] =
       if (opts.header) (0 until width).map(i =>
-        rows.head.lift(i).flatMap(Option(_)).filter(_.nonEmpty).getOrElse(s"_c$i"))
+        rows.head.lift(i).flatMap(Option(_))
+          .filter(v => v.nonEmpty && v != XlsxParser.ErrorSentinel)
+          .getOrElse(s"_c$i"))
       else (0 until width).map(i => s"_c$i")
-    val sample = if (opts.header) rows.tail else rows
+    val sample = rows.drop(headerRowCount(opts))
     val types = (0 until width).map { i =>
       if (!opts.inferTypes) StringType
       else {
-        val vs = sample.flatMap(r => Option(r.lift(i).orNull)).filter(_.nonEmpty)
+        val vs = sample.flatMap(r => Option(r.lift(i).orNull))
+          .filter(v => v.nonEmpty && v != XlsxParser.ErrorSentinel)
         if (vs.isEmpty) StringType
         else if (vs.forall(v => v.toLongOption.isDefined)) LongType
         else if (vs.forall(v => v.toDoubleOption.isDefined)) DoubleType
@@ -210,12 +229,24 @@ object ExcelRead {
     StructType(names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
   }
 
-  /** Permissive conversion (like csv PERMISSIVE): unparseable cells null. */
-  def toInternalRow(cells: IndexedSeq[String], schema: StructType): InternalRow = {
+  /** Permissive conversion (like csv PERMISSIVE): unparseable cells null.
+    * Error cells (`#DIV/0!` …) become the type's fallback value when
+    * `setErrorCellsToFallbackValues` is set, null otherwise. */
+  def toInternalRow(cells: IndexedSeq[String], schema: StructType,
+                    errorsToFallback: Boolean): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val raw = if (i < cells.length) cells(i) else null
+      val raw0 = if (i < cells.length) cells(i) else null
+      val raw =
+        if (raw0 == XlsxParser.ErrorSentinel)
+          if (errorsToFallback) schema.fields(i).dataType match {
+            case LongType => "0"
+            case DoubleType => "0.0"
+            case BooleanType => "false"
+            case _ => ""
+          } else null
+        else raw0
       out(i) =
         if (raw == null) null
         else schema.fields(i).dataType match {

@@ -30,6 +30,10 @@ import scala.collection.mutable.ArrayBuffer
   * every reader of the format must. */
 object XlsxParser {
 
+  /** Marker emitted for error cells (`t="e"`); cannot collide with real
+    * cell text (NUL is not legal in XML character data). */
+  val ErrorSentinel = "\u0000e"
+
   private val factory = {
     val f = XMLInputFactory.newInstance()
     // untrusted input: no DTDs, no external entities
@@ -148,6 +152,7 @@ object XlsxParser {
                 val value = cellType match {
                   case "s" => shared.lift(raw.trim.toInt).orNull
                   case "b" => if (raw.trim == "1") "true" else "false"
+                  case "e" => ErrorSentinel // #DIV/0! etc — reader decides
                   case _ => raw // n, str, inlineStr runs, formula caches
                 }
                 pad(cells, cellCol)

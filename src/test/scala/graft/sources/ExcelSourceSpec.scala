@@ -36,6 +36,7 @@ class ExcelSourceSpec extends SparkSuite {
           case ((v, isStr), c) if v != null =>
             val ref = s"${colRef(c)}${r + 1}"
             if (isStr) s"""<c r="$ref" t="s"><v>${sidOf(v)}</v></c>"""
+            else if (v.startsWith("#")) s"""<c r="$ref" t="e"><v>$v</v></c>"""
             else if (v == "true" || v == "false")
               s"""<c r="$ref" t="b"><v>${if (v == "true") 1 else 0}</v></c>"""
             else s"""<c r="$ref"><v>$v</v></c>"""
@@ -144,6 +145,36 @@ class ExcelSourceSpec extends SparkSuite {
     assert(df.columns.toSeq === Seq("_c0", "_c1", "_c2"))
     val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(got.toSet === Set(("a", null, "5"), ("b c", "x", null)))
+  }
+
+  test("ignoreAfterHeader, treatEmptyValuesAsNulls, error-cell fallback options") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/opts.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("name"), s("qty")),
+      Seq(s("units:"), s("count")), // annotation row below the header
+      Seq(s("a"), n("3")),
+      Seq(s(""), n("#DIV/0!")),
+      Seq(s("c"), n("7")))))
+    def read(extra: (String, String)*) = {
+      val r = spark.read.format("excel").option("inferSchema", "true")
+        .option("ignoreAfterHeader", "1")
+      extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load(s"$dir/opts.xlsx")
+    }
+    // defaults: annotation row skipped, "" -> null, error cell -> null;
+    // qty still infers LONG because the error cell is excluded from typing
+    val df = read()
+    assert(df.schema.fields.map(_.dataType).toSeq === Seq(StringType, LongType))
+    assert(df.as[(Option[String], Option[Long])].collect().toSet
+      === Set((Some("a"), Some(3L)), (None, None), (Some("c"), Some(7L))))
+    // fallback mode: error cells become the type default instead of null
+    val fb = read("setErrorCellsToFallbackValues" -> "true")
+    assert(fb.as[(Option[String], Option[Long])].collect().toSet
+      === Set((Some("a"), Some(3L)), (None, Some(0L)), (Some("c"), Some(7L))))
+    // treatEmptyValuesAsNulls=false keeps the empty string
+    val keep = read("treatEmptyValuesAsNulls" -> "false")
+    assert(keep.select("name").as[Option[String]].collect().toSet
+      === Set(Some("a"), Some(""), Some("c")))
   }
 
   test("FileImport routes .xlsx resources through the native source") {
