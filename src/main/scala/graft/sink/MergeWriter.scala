@@ -252,6 +252,13 @@ object MergeWriter {
   def readAsOf(spark: SparkSession, table: LakeTable, commit: Long): DataFrame =
     readViewUpTo(spark, table, commit)
 
+  /** Snapshot resolution, shaped for 100 TB: conflicts are resolved with a
+    * skew-resistant max_by aggregate over the DELTA LOG ONLY (ordered by
+    * commit DESC then precombine DESC — a log record always supersedes the
+    * base, so the base never needs to enter the shuffle), and base rows
+    * merely anti-join the distinct delta keys (broadcastable while the
+    * uncompacted log is small — exactly the window Hudi keeps MOR logs in).
+    * Read cost is O(base scan) + O(delta shuffle), not O(table shuffle). */
   private def readViewUpTo(spark: SparkSession, table: LakeTable, upTo: Long): DataFrame = {
     val base = readBase(spark, table)
     if (table.tableType != LakeTable.MergeOnRead)
@@ -275,22 +282,28 @@ object MergeWriter {
       aligned.select((schemaCols.map(col) :+ col("commit").as(CommitCol) :+
         coalesce(col("_graft_deleted"), lit(false)).as("_graft_deleted")): _*)
     }
-    val baseFlagged = base.map(
-      _.select(schemaCols.map(col): _*)
-        .withColumn(CommitCol, lit(0L))
-        .withColumn("_graft_deleted", lit(false)))
-    val all = baseFlagged.fold(logFlagged)(_.unionByName(logFlagged))
     val keys = table.recordKeyFields
     // same skew-resistant max_by aggregation as dedupByPrecombine, ordered
-    // by (commit DESC, precombine DESC, tie-breaks)
+    // by (commit DESC, precombine DESC, tie-breaks) — delta rows only
     val ordKey = struct(
       (col(CommitCol) +: col(table.precombineField) +:
         schemaCols.filterNot(keys.contains).map(c => col(c).cast("string"))): _*)
     val payload = struct((schemaCols.map(col) :+ col("_graft_deleted")): _*)
-    all.groupBy(keys.map(col): _*)
+    val deltaLatest = logFlagged.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ordKey).as("_r"))
+    val deltaAlive = deltaLatest
       .filter(!col("_r._graft_deleted"))
       .select(schemaCols.map(c => col(s"_r.$c").as(c)): _*)
+    base match {
+      case None => deltaAlive
+      case Some(b) =>
+        // base survives only where the delta has no record for the key
+        // (alive OR tombstoned — either way the log owns that key now)
+        val deltaKeys = deltaLatest.select(keys.map(col): _*)
+        b.select(schemaCols.map(col): _*)
+          .join(deltaKeys, keys, "left_anti")
+          .unionByName(deltaAlive)
+    }
   }
 
   /** Incremental query (Hudi incremental pull): the latest state of every
