@@ -107,28 +107,36 @@ class ExcelTable(tableSchema: StructType, opts: ExcelOptions)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      // column pruning: a projection never parses or converts dropped cells
+      // (sheet XML still streams past them — a ZIP member has one stream)
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = tableSchema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         ExcelRead.resolveFiles(opts).map(ExcelFilePartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new ExcelReaderFactory(tableSchema, opts)
+        new ExcelReaderFactory(tableSchema, required, opts)
     }
 }
 
 final case class ExcelFilePartition(path: String) extends InputPartition
 
-class ExcelReaderFactory(schema: StructType, opts: ExcelOptions)
-    extends PartitionReaderFactory {
+class ExcelReaderFactory(fullSchema: StructType, required: StructType,
+                         opts: ExcelOptions) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rows = ExcelRead.dataRows(p.asInstanceOf[ExcelFilePartition].path, opts)
+    // pruned field -> its cell position in the full row
+    val cellIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
-          current = ExcelRead.toInternalRow(rows.next(), schema, opts.errorsToFallback)
+          current = ExcelRead.toInternalRow(rows.next(), required, cellIdx,
+            opts.errorsToFallback)
           true
         } else false
       override def get(): InternalRow = current
@@ -233,11 +241,12 @@ object ExcelRead {
     * Error cells (`#DIV/0!` …) become the type's fallback value when
     * `setErrorCellsToFallbackValues` is set, null otherwise. */
   def toInternalRow(cells: IndexedSeq[String], schema: StructType,
-                    errorsToFallback: Boolean): InternalRow = {
+                    cellIdx: Array[Int], errorsToFallback: Boolean): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      val raw0 = if (i < cells.length) cells(i) else null
+      val ci = cellIdx(i)
+      val raw0 = if (ci < cells.length) cells(ci) else null
       val raw =
         if (raw0 == XlsxParser.ErrorSentinel)
           if (errorsToFallback) schema.fields(i).dataType match {

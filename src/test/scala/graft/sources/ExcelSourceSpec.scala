@@ -177,6 +177,23 @@ class ExcelSourceSpec extends SparkSuite {
       === Set(Some("a"), Some(""), Some("c")))
   }
 
+  test("column pruning reaches the excel scan (SupportsPushDownRequiredColumns)") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/prune.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("name"), s("qty"), s("price")),
+      Seq(s("apple"), n("3"), n("1.5")))))
+    val df = spark.read.format("excel").option("inferSchema", "true")
+      .load(s"$dir/prune.xlsx").select("qty")
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }
+    assert(scanSchemas.nonEmpty)
+    assert(scanSchemas.head.fieldNames.toSeq === Seq("qty"),
+      s"scan not pruned: ${scanSchemas.head}")
+    assert(df.as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("FileImport routes .xlsx resources through the native source") {
     val dir = tmpDir()
     writeXlsx(s"$dir/wb.xlsx", Seq("Sheet1" -> Seq(
