@@ -106,6 +106,17 @@ class MultiTableSinkSpec extends SparkSuite {
     assert(sink.resolvePath("a", "b") === "/lake/a/ods_a_b")
   }
 
+  test("W4 console debug sink runs a micro-batch (truncate=false, numRows)") {
+    val inDir = Files.createTempDirectory("graft-cdc-con").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-con-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "c.json"),
+      ev("person", "insert", 1, 1, "a", 1))
+    val sink = new MultiTableSink("/tmp/unused/{db}/{table}", specs(), 1)
+    val q = sink.startConsole(CdcSource.fileStream(spark, inDir), ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    assert(q.lastProgress != null && q.lastProgress.sink.description.contains("Console"))
+  }
+
   test("BinlogOffset: order-preserving two-part encoding round-trips") {
     val offs = Seq(BinlogOffset(0, 0), BinlogOffset(0, 4), BinlogOffset(3, 0),
       BinlogOffset(3, 1000), BinlogOffset(4, 2), BinlogOffset(BinlogOffset.MaxIndex, BinlogOffset.MaxPos))
