@@ -506,7 +506,7 @@ object SparkEntry {
       * recall path; rows-only — approximate by design). */
     "ann_ivf_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 3)
+      val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 2)
       Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0,
           centroids = Some(cents))
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),

@@ -91,7 +91,7 @@ object BloomIndex {
   }
 
   /** The concatenated record key, exactly as [[MergeWriter]] stamps it. */
-  private def keyExpr(table: LakeTable) =
+  private[sink] def keyExpr(table: LakeTable) =
     concat_ws(":", table.recordKeyFields.map(c => col(c).cast("string")): _*)
 
   /** (Re)build the index: one aggregation pass, one row per file. */
@@ -132,6 +132,56 @@ object BloomIndex {
     idx.join(broadcast(keys.toDF("_key")),
         contains(col("bloom"), col("_key"), col("m_bits"), col("k_hashes")), "left_semi")
       .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** [[pruneFilesForKeys]] for a DISTRIBUTED key set (an upsert batch):
+    * the small index is broadcast against the key frame, so millions of
+    * batch keys never reach the driver — only the surviving file list
+    * does (bounded by the file count). */
+  def pruneFilesForKeyDf(spark: SparkSession, table: LakeTable,
+                         keys: DataFrame): Seq[String] = {
+    val idx = stats(spark, table).getOrElse(
+      throw new IllegalStateException(s"no key_bloom index at ${indexPath(table)}"))
+    val contains = udf((bloom: Array[Byte], key: String, m: Int, k: Int) =>
+      mightContain(bloom, key, m, k))
+    keys.select(col("_key")).distinct()
+      .join(broadcast(idx),
+        contains(col("bloom"), col("_key"), col("m_bits"), col("k_hashes")))
+      .select("file").distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** Incremental maintenance after a file-slice write: drop the index rows
+    * of `removed` files, bloom ONLY the `added` files (O(batch), not
+    * O(table)), restamp the watermark. Falls back to [[rebuild]] when no
+    * index exists or the sizing disagrees. */
+  def maintain(spark: SparkSession, table: LakeTable,
+               added: Seq[String], removed: Seq[String],
+               expectedKeysPerFile: Int = 100000, fpp: Double = 0.01): Unit = {
+    val (m, k) = sizing(expectedKeysPerFile, fpp)
+    stats(spark, table) match {
+      case None => rebuild(spark, table, expectedKeysPerFile, fpp)
+      case Some(idx0) if idx0.isEmpty ||
+          idx0.select("m_bits", "k_hashes").head() != org.apache.spark.sql.Row(m, k) =>
+        rebuild(spark, table, expectedKeysPerFile, fpp)
+      case Some(idx0) =>
+        // `removed` paths come from pruneFiles* (same provenance as the
+        // index's own `file` column), so a direct isin matches
+        val kept = idx0.filter(!col("file").isin(removed: _*))
+          .select("file", "bloom", "rows", "m_bits", "k_hashes")
+        val bloomUdaf = udaf(new BloomAgg(m, k), Encoders.STRING)
+        val newRows =
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(added: _*)
+            .select(col("_metadata.file_path").as("file"), keyExpr(table).as("_key"))
+            .groupBy("file")
+            .agg(bloomUdaf(col("_key")).as("bloom"), count(lit(1)).as("rows"))
+            .withColumn("m_bits", lit(m)).withColumn("k_hashes", lit(k)))
+        val combined = newRows.fold(kept)(kept.unionByName(_))
+          .withColumn("as_of_commit", lit(MergeWriter.latestCommit(spark, table)))
+          .localCheckpoint(true) // we overwrite the path we just read
+        combined.repartition(1)
+          .write.mode(SaveMode.Overwrite).parquet(indexPath(table))
+    }
   }
 
   /** Point-lookup read: scan only files whose blooms match, then filter

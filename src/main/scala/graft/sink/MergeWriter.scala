@@ -131,6 +131,76 @@ object MergeWriter {
     writeCommitMarker(spark, table, commit)
   }
 
+  /** File-slice COW upsert — the Hudi BLOOM-index write path
+    * (`hoodie.index.type=BLOOM`): instead of rewriting every affected
+    * PARTITION, rewrite only the FILES whose bloom might contain one of the
+    * batch's keys. At 100 TB with clustered keys this is the difference
+    * between a partition-sized and a batch-sized write amplification.
+    *
+    * Sequence: prune touched files via the distributed bloom probe
+    * (batch keys never reach the driver), merge the batch with ONLY those
+    * files, append the merged slices as new files, then delete the obsolete
+    * ones, then mark the commit, then maintain the index incrementally
+    * (bloom the new files only). New slices land before old ones go, so a
+    * crash mid-write leaves duplicates — detectable as data files newer
+    * than the last commit marker — never lost rows.
+    *
+    * Falls back to the partition-pruned [[upsert]] when the table or bloom
+    * index is missing/stale, or when the batch evolves the schema (an
+    * untouched file cannot learn a new column). */
+  def upsertIndexed(spark: SparkSession, batch: DataFrame, table: LakeTable,
+                    expectedKeysPerFile: Int = 100000, fpp: Double = 0.01): Unit = {
+    require(table.tableType != LakeTable.MergeOnRead,
+      "upsertIndexed is the COW write path; MOR appends delta logs already")
+    val deduped = dedupByPrecombine(batch, table.recordKeyFields, table.precombineField)
+    val base = readBase(spark, table)
+    val metaCols = Set(CommitTimeCol, RecordKeyCol)
+    val schemaStable = base.exists(b =>
+      (b.columns.toSet -- metaCols) == stampMeta(deduped, table, 0L).columns.toSet -- metaCols)
+    if (base.isEmpty || !BloomIndex.isFresh(spark, table) || !schemaStable) {
+      upsert(spark, batch, table)
+      return
+    }
+    val keyDf = deduped.select(BloomIndex.keyExpr(table).as("_key"))
+    val touched = BloomIndex.pruneFilesForKeyDf(spark, table, keyDf)
+    val commit = nextCommit(spark, table)
+    val stamped = stampMeta(deduped, table, commit)
+    val before = dataFiles(spark, table)
+    if (touched.isEmpty) {
+      partitionedWriter(stamped, table).mode(SaveMode.Append).parquet(dataPath(table))
+    } else {
+      val touchedDf = spark.read.option("basePath", dataPath(table)).parquet(touched: _*)
+      val merged = mergeBatch(touchedDf, stamped, table.recordKeyFields)
+      // append reads the touched files while writing NEW part files — no
+      // input is overwritten, so no lineage barrier is needed here
+      partitionedWriter(merged, table).mode(SaveMode.Append).parquet(dataPath(table))
+      val fs = new org.apache.hadoop.fs.Path(dataPath(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    }
+    writeCommitMarker(spark, table, commit)
+    val added = (dataFiles(spark, table) -- before).toSeq
+    BloomIndex.maintain(spark, table, added, touched, expectedKeysPerFile, fpp)
+  }
+
+  /** All data files of the table (normalized absolute paths), recursive
+    * over partition directories. Driver-side listing — the same cardinality
+    * every scan's file index handles. */
+  private def dataFiles(spark: SparkSession, table: LakeTable): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(dataPath(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else {
+      val it = fs.listFiles(root, true)
+      val out = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.getPath
+      }
+      out.result()
+    }
+  }
+
   /** delete: drop the batch's keys from the table. */
   def delete(spark: SparkSession, batch: DataFrame, table: LakeTable): Unit = {
     val keysDf = batch.select(table.recordKeyFields.map(col): _*).distinct()
