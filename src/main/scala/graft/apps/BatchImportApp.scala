@@ -92,7 +92,13 @@ abstract class BatchImportApp {
       case Some(n) => transformed.repartition(n, table.recordKeyFields.map(col): _*)
       case None => transformed
     }
-    MergeWriter.write(spark, batch, table, operation)
+    // hoodie.index.type=BLOOM (the public Hudi key): route a COW upsert
+    // through the file-slice path — batch-sized write amplification
+    val bloomIndexed = operation == MergeWriter.Upsert &&
+      table.tableType == LakeTable.CopyOnWrite &&
+      conf.getOrElse("hoodie.index.type", "").equalsIgnoreCase("BLOOM")
+    if (bloomIndexed) MergeWriter.upsertIndexed(spark, batch, table)
+    else MergeWriter.write(spark, batch, table, operation)
     CatalogSync.maybeSync(spark, conf, table)
   }
 

@@ -158,7 +158,11 @@ object MergeWriter {
     val schemaStable = base.exists(b =>
       (b.columns.toSet -- metaCols) == stampMeta(deduped, table, 0L).columns.toSet -- metaCols)
     if (base.isEmpty || !BloomIndex.isFresh(spark, table) || !schemaStable) {
+      // fall back to the partition-pruned rewrite, then (re)build the index
+      // so the NEXT batch takes the file-slice path — the index stays in
+      // sync as a side effect of writing, like Hudi's
       upsert(spark, batch, table)
+      BloomIndex.rebuild(spark, table, expectedKeysPerFile, fpp)
       return
     }
     val keyDf = deduped.select(BloomIndex.keyExpr(table).as("_key"))

@@ -75,6 +75,31 @@ class ImportersSpec extends SparkSuite {
     assert(got === Set(("foo", "bar", 1), ("baz", "qux", 2)))
   }
 
+  test("hoodie.index.type=BLOOM routes upserts through the file-slice path") {
+    val src = tmp("graft-bloom-src")
+    val out = tmp("graft-bloom-out")
+    Files.writeString(java.nio.file.Path.of(src, "a.csv"), "id,v\n1,a\n2,b\n")
+    val conf = ConfigLayer(Map(
+      "hoodie.deltastreamer.excel.extra.options.header" -> "true",
+      "hoodie.deltastreamer.excel.extra.options.inferSchema" -> "true",
+      "path" -> out,
+      "hoodie.table.name" -> "t",
+      "hoodie.index.type" -> "BLOOM",
+      "hoodie.datasource.write.recordkey.field" -> "id",
+      "hoodie.datasource.write.precombine.field" -> "id"))
+    // batch 1: bootstrap (fallback) — must leave a FRESH bloom index behind
+    FileImport.sync(spark, conf, Map("resource" -> s"$src/a.csv"))
+    val table = graft.sink.LakeTable.fromConfig(out, conf)
+    assert(graft.sink.BloomIndex.isFresh(spark, table))
+    // batch 2: takes the indexed path and keeps the index fresh
+    Files.writeString(java.nio.file.Path.of(src, "b.csv"), "id,v\n2,B2\n3,c\n")
+    FileImport.sync(spark, conf, Map("resource" -> s"$src/b.csv"))
+    assert(graft.sink.BloomIndex.isFresh(spark, table))
+    val got = spark.read.parquet(s"$out/data").select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("dataAddress parses sheet/range forms (S7)") {
     assert(DataAddress.parse("A1") === DataAddress(None, 1, 1, None, None))
     assert(DataAddress.parse("Tabelle2!A1") ===
