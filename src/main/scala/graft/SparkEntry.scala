@@ -344,15 +344,17 @@ object SparkEntry {
     "q_flatten" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val li = t(s, d, "lineitem")
-      val nested = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_custkey"))
-        .agg(
-          sort_array(collect_list(struct(
-            col("l_linenumber").as("linenumber"),
-            col("l_quantity").as("quantity")))).as("items"),
-          first(struct(
-            col("o_orderstatus").as("status"),
-            col("o_totalprice").as("total"))).as("info"))
+      // aggregate lineitem ALONE (shuffle carries only line items), then
+      // join the order attributes post-agg — not join-then-group, which
+      // would shuffle every order column duplicated per line item
+      val items = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("linenumber"),
+          col("l_quantity").as("quantity")))).as("items"))
+      val nested = orders.join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("items"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total")).as("info"))
       Flatten(nested).orderBy("o_orderkey", "items_linenumber")
     }),
 
