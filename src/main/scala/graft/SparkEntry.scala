@@ -232,6 +232,16 @@ object SparkEntry {
       cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
     FROM orders ORDER BY o_orderkey"""
 
+  private val QWindowFrame = """
+    SELECT o_orderkey,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov_sum,
+      CAST(COUNT(*)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_n
+    FROM orders ORDER BY o_orderkey"""
+
   private val QRangeJoin = """
     SELECT t.tier, COUNT(*) AS n,
       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
@@ -414,6 +424,19 @@ object SparkEntry {
         graft.ops.Ranking.cumeDistOf(col("global_rank"), n).as("cd"))
         .orderBy("o_orderkey")
     }),
+    /** Moving window frame (ROWS BETWEEN) partitioned by customer — the
+      * scale-safe window shape (keyed partitions, no global sort). */
+    "q_window_frame" -> ((s, d) => sql(s, d, Seq("orders"), QWindowFrame)),
+
+    /** UNPIVOT (wide → long): Spark's native UNPIVOT operator; the oracle
+      * uses DuckDB's own UNPIVOT syntax over the same tables. */
+    "q_unpivot" -> ((s, d) => sql(s, d, Seq("lineitem"), """
+      SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      FROM (SELECT measure, v FROM lineitem
+            UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+      GROUP BY measure ORDER BY measure""")),
+
     "q_range_join" -> ((s, d) => sql(s, d, Seq("orders"), QRangeJoin)),
     "q_except_all" -> ((s, d) => sql(s, d, Seq("orders"), QExceptAll)),
     "q_intersect_all" -> ((s, d) => sql(s, d, Seq("orders"), QIntersectAll)),
@@ -640,6 +663,13 @@ object SparkEntry {
     "q_lag_lead" -> QLagLead,
     "q_ntile" -> QNtile,
     "q_ntile_scalable" -> QNtile, // same statistics, scalable plan
+    "q_window_frame" -> QWindowFrame,
+    "q_unpivot" -> """
+      SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount
+            INTO NAME measure VALUE v)
+      GROUP BY measure ORDER BY measure""",
     "q_range_join" -> QRangeJoin,
     "q_except_all" -> QExceptAll,
     "q_intersect_all" -> QIntersectAll,
