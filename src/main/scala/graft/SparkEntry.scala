@@ -515,6 +515,23 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), 3).orderBy("doc_a", "doc_b")),
 
+    /** Pairs → GROUPS: connected components (alternating large-star/
+      * small-star) over the union of exact-Jaccard near-dup pairs and exact
+      * fingerprint-duplicate star edges, then one row per dedup group. The
+      * op a real pipeline needs after any pairwise detector — a chain
+      * a~b~c must elect ONE canonical doc. */
+    "dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = Dedup.jaccardPairs(docs, 8).select("doc_a", "doc_b")
+        .unionByName(Dedup.fingerprintEdges(docs))
+      Dedup.connectedComponents(edges)
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+        .select(col("component").as("group_id"), col("n_members"),
+          col("max_member"))
+        .orderBy("group_id")
+    }),
+
     // ---- LLM-pipeline: similarity search ------------------------------
     "ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), 5, col("vec_id") % 20 === 0)
@@ -579,6 +596,28 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextOps.langId(t(s, d, "documents"))
         .select("doc_id", "lang", "lang_pred").orderBy("doc_id")),
+
+    /** Benchmark decontamination: corpus docs sharing any word-4-gram with
+      * the (deterministic) eval subset. n=4 only because the synthetic docs
+      * are ~55 tokens; production uses 8-13-grams. */
+    "text_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), n = 4)
+        .orderBy("doc_id")
+    }),
+
+    /** Deterministic md5-nibble corpus split (train/val/test) — stable
+      * across engines and cluster sizes; per-split token budgeting. */
+    "q_hash_split" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TextOps.hashSplit(col("doc_id")).as("split"), col("lang"),
+          size(TextOps.lowerTokens(col("text"))).as("nt"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("total_tokens"))
+        .orderBy("split", "lang")),
 
     // ---- LLM-pipeline: multimodal columns -----------------------------
     "media_meta" -> ((s, d) =>
@@ -726,6 +765,68 @@ object SparkEntry {
           ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id) p
       WHERE 10 * i >= 8 * u AND u > 0
       ORDER BY doc_a, doc_b""",
+
+    // CC oracle: recursive-CTE min-label reachability over the same edge
+    // set (jaccard pairs ∪ fingerprint star edges). Edge formulations
+    // differ (all-pairs vs star) but connectivity — hence the groups — is
+    // identical, which is exactly what the hash compare certifies.
+    "dedup_groups" -> """
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, lang, n_chars // 64 AS len_bkt,
+          list_sort(list_distinct(list_transform(
+            range(len(string_split(lower(text), ' ')) - 2),
+            i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                 string_split(lower(text), ' ')[i+2] || ' ' ||
+                 string_split(lower(text), ' ')[i+3]))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.sh, b.sh)) AS i,
+            len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+          FROM tok a JOIN tok b
+            ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id) p
+        WHERE 10 * i >= 8 * u AND u > 0),
+      fp AS (
+        SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+          string_split(lower(text), ' '))), ' ')) AS f
+        FROM documents),
+      fpe AS (
+        SELECT doc_id AS doc_a, MIN(doc_id) OVER (PARTITION BY f) AS doc_b
+        FROM fp QUALIFY doc_a <> doc_b),
+      pairs AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM fpe),
+      und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und) s
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN und e ON e.u = reach.node),
+      comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node)
+      SELECT CAST(group_id AS BIGINT) AS group_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(node) AS BIGINT) AS max_member
+      FROM comp GROUP BY group_id ORDER BY group_id""",
+
+    "text_decontaminate" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      ng AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(t) - 3),
+          i -> md5(array_to_string(t[i+1:i+4], ' ')))) AS gs
+        FROM tok WHERE len(t) >= 4),
+      ev AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0),
+      corp AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0)
+      SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM corp JOIN ev ON corp.g = ev.g
+      GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+
+    "q_hash_split" -> """
+      SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'c' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'e' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY split, lang ORDER BY split, lang""",
 
     "ann_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

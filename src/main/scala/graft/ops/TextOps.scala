@@ -64,6 +64,54 @@ object TextOps {
         coalesce(array_max(transform(toks, tk => length(tk))), lit(0)))
   }
 
+  /** Distinct word-n-gram digests of a document — md5 of each n-token
+    * window, so the downstream join shuffles fixed-width digests instead of
+    * raw n-gram strings. md5 (not the xxh64 kernel) keeps the digest
+    * portable to the DuckDB oracle; swap in
+    * [[graft.functions.TextFunctions.shingleHashes]] when oracle portability
+    * isn't needed. Caller must pre-filter docs with `< n` tokens (Spark's
+    * `sequence(1, k)` turns descending for k < 1). */
+  def ngramDigests(text: Column, n: Int): Column = {
+    val toks = lowerTokens(text)
+    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => md5(array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Benchmark decontamination — the training-corpus hygiene op: flag every
+    * corpus document sharing at least one word-n-gram with the evaluation
+    * set. Returns (idCol, n_hits) for contaminated docs only, where n_hits
+    * counts the doc's distinct n-grams that appear anywhere in the eval set.
+    *
+    * 100 TB design: the eval side collapses to DISTINCT n-gram digests —
+    * benchmark suites are tiny next to a training corpus, so that set is
+    * broadcast and the corpus side streams map-side through the join (one
+    * shuffle for the per-doc count aggregate, nothing corpus-sized ever
+    * shuffles on the n-gram key). Production decontamination uses n of 8-13;
+    * tests use smaller n so the tiny synthetic corpus has overlap at all. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .filter(size(lowerTokens(col(textCol))) >= n)
+      .select(col(idCol), explode(ngramDigests(col(textCol), n)).as("g"))
+    val evalGrams = grams(evalSet).select("g").distinct()
+    grams(corpus)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic hash split — reproducible train/val/test assignment from
+    * a key column: buckets on the first hex nibble of md5(key), so the
+    * assignment is stable across runs, engines and cluster sizes (no RNG, no
+    * sampleBy). Split by a GROUP key (e.g. source domain) instead of the doc
+    * id to keep near-identical docs from straddling splits. Nibble
+    * thresholds: 0-c → train (13/16), d-e → val (2/16), f → test (1/16). */
+  def hashSplit(keyCol: Column): Column = {
+    val nibble = substring(md5(keyCol.cast("string")), 1, 1)
+    when(nibble <= "c", "train").when(nibble <= "e", "val").otherwise("test")
+  }
+
   /** Character-n-gram language-ID heuristic. Scores each language by marker
     * token hits (function words characteristic of the language) plus
     * character-bigram evidence; deterministic arg-max with alphabetical

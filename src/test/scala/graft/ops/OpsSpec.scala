@@ -228,4 +228,58 @@ class OpsSpec extends SparkSuite {
       .filter(col("doc_id") === 1).select("meta.n_bytes").as[Long].head()
     assert(meta === 8L)
   }
+
+  test("connectedComponents resolves transitive chains to one group") {
+    // path 1-2-3-4-5 (diameter 4, needs >1 star round), separate pair 10-11,
+    // duplicate + self-loop edges must not break anything
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(!cc.contains(7L)) // self-loop-only node carries no connectivity
+  }
+
+  test("connectedComponents on a star and on an empty edge set") {
+    val star = Seq((100L, 3L), (100L, 7L), (100L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(star).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(3L))
+    assert(cc.keySet === Set(3L, 7L, 9L, 100L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() === 0L)
+  }
+
+  test("fingerprintEdges emits linear star edges (group-min target)") {
+    val d = Seq((5L, "b a c"), (2L, "c b a"), (9L, "a b c"), (3L, "a b x"))
+      .toDF("doc_id", "text")
+    val e = Dedup.fingerprintEdges(d).as[(Long, Long)].collect().toSet
+    assert(e === Set((5L, 2L), (9L, 2L))) // 2 edges for a 3-dup group, not 3 pairs
+  }
+
+  test("decontaminate flags eval n-gram overlap, counts distinct hits once") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma delta y"),          // shares 4-grams
+      (2L, "alpha beta gamma delta alpha beta gamma delta"), // dup grams count once
+      (3L, "zeta eta theta iota kappa lambda mu")) // clean
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, evalSet, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L) // only "alpha beta gamma delta" is shared
+    assert(out(2L) === 1L) // array_distinct: the repeated gram hits once
+    assert(!out.contains(3L))
+  }
+
+  test("hashSplit is deterministic and group-stable") {
+    val d = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s3")).toDF("id", "src")
+    val bySrc = d.select(col("id"), TextOps.hashSplit(col("src")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(bySrc(1L) === bySrc(2L)) // same group key → same split, no leakage
+    assert(Set("train", "val", "test").contains(bySrc(3L)))
+    val again = d.select(col("id"), TextOps.hashSplit(col("src")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(bySrc === again)
+  }
 }
