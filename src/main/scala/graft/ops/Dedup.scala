@@ -69,12 +69,18 @@ object Dedup {
     // times per pair once Catalyst folds i/u into the join condition) is a
     // register-width merge scan over sorted longs, not string compares;
     // i/u counts are identical to the string sets barring 2^-64 collisions
+    // materialized ONCE (lazy localCheckpoint): the shingle relation feeds
+    // the block-size aggregate and BOTH self-join sides, each of which
+    // Spark plans as its own subtree — without this the shingle kernel
+    // would re-tokenize the corpus 3x. Hashed shingles are longs, so the
+    // persisted relation is compact; swap for `.checkpoint()` on a cluster.
     val sh = df
       .filter(size(split(col(textCol), " ")) >= 3)
       .repartition(n, col(idCol))
       .select(col(idCol), col(langCol),
         (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
         graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
+      .localCheckpoint(false)
     // skew guard: cap block population (mirrors the minhash bucket cap)
     val blockSizes = sh.groupBy(langCol, "len_bkt").agg(count(lit(1)).as("bsz"))
     val smallBlocks = blockSizes.filter(col("bsz") <= maxBlockSize)
@@ -116,11 +122,15 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
     val nPart = df.sparkSession.sparkContext.defaultParallelism
+    // one materialization feeds banding, both candidate-join sides and the
+    // two verify rejoins — 5 plan branches that would otherwise each
+    // re-run shingling over the corpus (see jaccardPairs note)
     val docs = df
       .filter(size(split(col(textCol), " ")) >= 3)
       .repartition(nPart, col(idCol))
       .select(col(idCol), graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val banded = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.minhashBandsH(col("sh"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -202,9 +212,12 @@ object Dedup {
       val und = e.union(e.select($"v".as("u"), $"u".as("v")))
       val mins = und.groupBy("u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
+      // no distinct here: duplicate (v, m) edges don't affect the min
+      // aggregate below and the round's final distinct dedups anyway —
+      // skipping it saves one full shuffle per round
       val ls = und.join(mins, "u").filter($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v").distinct()
+        .filter($"u" =!= $"v")
       // small-star (ls edges already point larger → smaller)
       val sMins = ls.groupBy("u").agg(min($"v").as("m"))
       val next = ls.join(sMins, "u").filter($"v" =!= $"m")
@@ -250,10 +263,11 @@ object Dedup {
                    maxBucketSize: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
-    val sigs = df.select(col(idCol), simhash(textCol).as("sig"))
-    val chunked = sigs.select(col(idCol), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+    val chunked = df.select(col(idCol), simhash(textCol).as("sig"))
+      .select(col(idCol), col("sig"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+      .localCheckpoint(false) // 3 consumers (size agg + both join sides)
     val bucketSizes = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")

@@ -116,12 +116,19 @@ object Similarity {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val n = emb.sparkSession.sparkContext.defaultParallelism
     val mask = (1L << bitsPerBand) - 1
-    val sigs = emb.repartition(n, col(idCol))
-      .select(col(idCol), col(vecCol),
+    // (id, band, bucket) materialized ONCE via lazy localCheckpoint: the
+    // relation feeds three plan branches (bucket-size agg + both self-join
+    // sides), and Spark physical-plans each branch as its own subtree — so
+    // without the checkpoint the srp_sig kernel would run 3x over the
+    // corpus. 24 B x bands per vector, spills to disk if large; on a real
+    // cluster swap for `.checkpoint()` against a reliable store.
+    val chunked = emb.repartition(n, col(idCol))
+      .select(col(idCol),
         VectorFunctions.srpSig(col(vecCol), bands * bitsPerBand, seed).as("sig"))
-    val chunked = sigs.select(col(idCol), col(vecCol),
-      posexplode(array((0 until bands).map(c =>
-        shiftright(col("sig"), c * bitsPerBand).bitwiseAND(mask)): _*)).as(Seq("chunk", "ckey")))
+      .select(col(idCol),
+        posexplode(array((0 until bands).map(c =>
+          shiftright(col("sig"), c * bitsPerBand).bitwiseAND(mask)): _*)).as(Seq("chunk", "ckey")))
+      .localCheckpoint(false)
     val bucketSizes = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")
@@ -133,9 +140,11 @@ object Similarity {
     val candidates = l.join(r, Seq("chunk", "ckey"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+    // exact-cosine verify joins read the raw (pruned) scan — vectors are
+    // never persisted, only the fixed-width band keys above
     candidates
-      .join(sigs.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
-      .join(sigs.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
+      .join(emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")), "vec_a")
+      .join(emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
