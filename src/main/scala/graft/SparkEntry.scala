@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Flatten, SqlTransform}
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.sink.MergeWriter
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -608,6 +608,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    /** Gopher-style repetition signals, integer-exact per document. */
+    "text_repetition" -> ((s, d) =>
+      Curation.repetitionProfile(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "dup_token_n", "top_bigram_n")
+        .orderBy("doc_id")),
+
+    /** Deterministic token-budget mixing: per source, keep docs in
+      * md5(id) order until 1000 tokens; per-source rollup. */
+    "corpus_mix" -> ((s, d) =>
+      Curation.mixToBudget(t(s, d, "documents"), 1000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("kept_tokens"))
+        .orderBy("source")),
+
+    /** Incremental dedup: classify a landing batch (doc_id % 10 == 0)
+      * against the standing corpus — corpus_dup / batch_dup / new. */
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0))
+        .orderBy("doc_id")
+    }),
+
+    /** Flagship curation funnel — the full corpus-to-training-mix pipeline
+      * in one composed query: language-ID agreement → repetition/quality
+      * filter → exact keep-first dedup → benchmark decontamination →
+      * per-(lang, source) doc/token budget. Every stage is an operator
+      * proven by its own oracle query; this proves they COMPOSE. */
+    "pipeline_curate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val langok = TextOps.langId(corpus)
+        .filter(col("lang_pred") === col("lang")).drop("lang_pred")
+      val rep = Curation.repetitionProfile(langok)
+        .filter(col("n_tokens") >= 20 && col("top_bigram_n") * 5 <= col("n_tokens"))
+        .select("doc_id", "n_tokens")
+      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+      val uniq = langok.join(rep, "doc_id")
+        .withColumn("dg", md5(col("text")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val contaminated = TextOps.decontaminate(corpus, evalSet, 4).select("doc_id")
+      uniq.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     /** Deterministic md5-nibble corpus split (train/val/test) — stable
       * across engines and cluster sizes; per-split token budgeting. */
     "q_hash_split" -> ((s, d) =>
@@ -819,6 +871,87 @@ object SparkEntry {
       SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
       FROM corp JOIN ev ON corp.g = ev.g
       GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+
+    "text_repetition" -> """
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      stats AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+                CAST(len(t) - len(list_distinct(t)) AS INTEGER) AS dup_token_n FROM tok),
+      bgx AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+              FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+                    FROM tok WHERE len(t) >= 2) x),
+      bgc AS (SELECT doc_id, bg, COUNT(*) AS n FROM bgx GROUP BY doc_id, bg),
+      top AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM bgc GROUP BY doc_id)
+      SELECT s.doc_id, s.n_tokens, s.dup_token_n,
+             CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+      FROM stats s LEFT JOIN top t USING (doc_id) ORDER BY s.doc_id""",
+
+    "corpus_mix" -> """
+      WITH d AS (SELECT source, doc_id,
+                 len(string_split(lower(text), ' ')) AS nt FROM documents),
+      w AS (SELECT source, doc_id, nt,
+            SUM(nt) OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum
+            FROM d)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+      FROM w WHERE cum - nt < 1000 GROUP BY source ORDER BY source""",
+
+    "dedup_incremental" -> """
+      WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                    string_split(lower(text), ' '))), ' ')) AS fp FROM documents),
+      b AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+      c AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
+      j AS (SELECT b.doc_id, (c.fp IS NOT NULL) AS in_corpus,
+                   MIN(b.doc_id) OVER (PARTITION BY b.fp) AS first_id
+            FROM b LEFT JOIN c USING (fp))
+      SELECT doc_id, CASE WHEN in_corpus THEN 'corpus_dup'
+                          WHEN first_id <> doc_id THEN 'batch_dup'
+                          ELSE 'new' END AS verdict
+      FROM j ORDER BY doc_id""",
+
+    "pipeline_curate" -> """
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+      scored AS (
+        SELECT doc_id,
+          len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('le','la','les','et','est'))) AS s_fr,
+          len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('el','los','las','y','es'))) AS s_es,
+          len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('de','shi','le','zai','he'))) AS s_zh
+        FROM corpus),
+      pred AS (
+        SELECT doc_id, CASE
+          WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+          WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+          WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+          WHEN s_en >= s_de THEN 'en'
+          ELSE 'de' END AS lang_pred
+        FROM scored),
+      langok AS (SELECT c.* FROM corpus c JOIN pred p USING (doc_id)
+                 WHERE p.lang_pred = c.lang),
+      tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM langok),
+      bgc AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg, COUNT(*) AS n
+              FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+                    FROM tok WHERE len(t) >= 2) x
+              GROUP BY doc_id, bg),
+      rep AS (SELECT tok.doc_id, len(t) AS n_tokens,
+                     COALESCE((SELECT MAX(n) FROM bgc WHERE bgc.doc_id = tok.doc_id), 0) AS top_bigram_n
+              FROM tok),
+      repok AS (SELECT l.*, r.n_tokens FROM langok l JOIN rep r USING (doc_id)
+                WHERE r.n_tokens >= 20 AND r.top_bigram_n * 5 <= r.n_tokens),
+      uniq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM repok),
+      ng AS (SELECT doc_id, list_distinct(list_transform(range(len(string_split(lower(text), ' ')) - 3),
+              i -> md5(array_to_string(string_split(lower(text), ' ')[i+1:i+4], ' ')))) AS gs
+             FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),
+      ev AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0),
+      cont AS (SELECT DISTINCT n.doc_id
+               FROM (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0) n
+               JOIN ev USING (g)),
+      fin AS (SELECT * FROM uniq WHERE rn = 1
+              AND doc_id NOT IN (SELECT doc_id FROM cont))
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM fin GROUP BY lang, source ORDER BY lang, source""",
 
     "q_hash_split" -> """
       SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) <= 'c' THEN 'train'

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: the steps between "raw crawl" and "training
+  * mix" that aren't per-document scoring ([[TextOps]]) or near-dup detection
+  * ([[Dedup]]): repetition filtering, deterministic source mixing to a token
+  * budget, and incremental (batch-vs-corpus) dedup.
+  *
+  * Everything is integer/hash-exact so the DuckDB oracle can replay it
+  * bit-for-bit, and everything is one-or-two-shuffle DataFrame logic that
+  * survives a 1000-executor corpus: no collects, no windows over the whole
+  * corpus (only per-source / per-doc partitions), no UDFs.
+  */
+object Curation {
+
+  /** Gopher-style repetition signals, integer-exact per document:
+    *  - `n_tokens`        total (lowercased, whitespace) tokens
+    *  - `dup_token_n`     tokens minus distinct tokens (duplicated mass)
+    *  - `top_bigram_n`    occurrences of the document's most frequent word
+    *                      bigram (ties irrelevant — count only)
+    * A doc is boilerplate-repetitive when `top_bigram_n * 2` covers a large
+    * token fraction; thresholding is left to the caller so the signals stay
+    * exact. One explode + two hash aggregates, all per-doc keys — scales
+    * linearly, no corpus-wide shuffle key. */
+  def repetitionProfile(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = TextOps.lowerTokens(col(textCol))
+    val stats = df.select(col(idCol), size(toks).as("n_tokens"),
+      (size(toks) - size(array_distinct(toks))).as("dup_token_n"))
+    // bigrams via explode(sequence)+slice — codegen'd (see decontaminate)
+    val bigram = df
+      .select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col(idCol), array_join(slice(col("t"), col("i"), lit(2)), " ").as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("n"))
+      .groupBy(idCol).agg(max(col("n")).as("top_bigram_n"))
+    stats.join(bigram, Seq(idCol), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+  }
+
+  /** Deterministic token-budget mixing: per `groupCol` (source/domain),
+    * keep documents in md5(id) order until the group's token budget is
+    * exhausted (a doc is kept iff it STARTS inside the budget — the
+    * greedy prefix rule, so the kept set is stable under corpus growth
+    * that doesn't reorder hashes). RNG-free: the "random" order is the md5
+    * of the id, reproducible across engines and runs.
+    *
+    * The window is per-source (bounded partitions), never corpus-global;
+    * one shuffle on `groupCol`. Returns kept rows + `cum_tokens`. */
+  def mixToBudget(df: DataFrame, budgetTokens: Long,
+                  groupCol: String = "source", idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val nt = size(TextOps.lowerTokens(col(textCol)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("nt", nt.cast("long"))
+      .withColumn("cum_tokens", sum(col("nt")).over(w))
+      .filter(col("cum_tokens") - col("nt") < budgetTokens)
+  }
+
+  /** Incremental dedup — the production flow where a NEW batch lands next
+    * to an existing corpus: classify each new doc as
+    *  - `corpus_dup`  its content fingerprint already exists in the corpus,
+    *  - `batch_dup`   a smaller-id doc in the SAME batch has the same
+    *                  fingerprint (keep-first within the batch),
+    *  - `new`         first sighting.
+    * Corpus side reduces to DISTINCT fingerprints before the join (at
+    * 100 TB that's the dedup index, e.g. the lake table's key set — only
+    * fingerprints shuffle, never text). */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val bfp = batch.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    val seen = corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val firstInBatch = min(col(idCol)).over(Window.partitionBy(col("fp")))
+    bfp.join(seen, Seq("fp"), "left")
+      .withColumn("first_id", firstInBatch)
+      .select(col(idCol),
+        when(col("in_corpus"), "corpus_dup")
+          .when(col("first_id") =!= col(idCol), "batch_dup")
+          .otherwise("new").as("verdict"))
+  }
+}
