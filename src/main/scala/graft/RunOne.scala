@@ -19,7 +19,10 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tc = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // iterative operators (e.g. connectedComponents) run jobs eagerly here
+    println(f"[runone] $name constructed in ${(System.nanoTime() - tc) / 1e9}%.2fs")
     if (doExplain) df.explain("formatted")
     // warm + measure twice to split JIT/codegen from steady-state
     for (i <- 1 to 2) {

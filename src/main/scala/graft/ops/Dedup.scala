@@ -197,7 +197,7 @@ object Dedup {
       .select(greatest(col(srcCol), col(dstCol)).cast("long").as("u"),
         least(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the signature job below
     def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)), sum($"u"), sum($"v")).head()
       (r.getLong(0),
@@ -224,7 +224,7 @@ object Dedup {
         .select($"v".as("u"), $"m".as("v"))
         .union(sMins.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v").distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the signature job below
       val nextSig = signature(next)
       e = next
       if (nextSig == sig) it = maxIter else sig = nextSig

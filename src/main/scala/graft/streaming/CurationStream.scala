@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.TextOps
+import graft.sink.{LakeTable, MergeWriter}
+
+/** Streaming corpus ingestion with inline dedup — the curation funnel as a
+  * continuous pipeline: each micro-batch of documents is classified against
+  * the standing lake table's stored fingerprint column, only first-sighting
+  * docs are keyed-upserted, and the fingerprint rides along as a table
+  * column so the corpus IS its own dedup index (no re-fingerprinting of
+  * history per batch — the batch-side fingerprints are the only ones
+  * computed, and the corpus side ships just its `fp` column through the
+  * anti-join).
+  *
+  * Exactly-once: checkpointed source offsets + idempotent keyed upsert.
+  * A replayed micro-batch re-classifies its docs — now present in the
+  * table — as corpus dups and writes nothing; even a write that DID repeat
+  * would collapse in the upsert's key merge.
+  *
+  * 100 TB notes: per batch this is one window over the batch's own
+  * fingerprints (batch-sized, not corpus-sized) plus one anti-join against
+  * the corpus fp projection (column-pruned scan; broadcastable while small,
+  * shuffle-hash beyond). The upsert itself is MergeWriter's partition-pruned
+  * COW/MOR path.
+  */
+object CurationStream {
+
+  /** One micro-batch: fingerprint, keep-first within the batch, drop docs
+    * already in the corpus, upsert the remainder (with their fingerprints).
+    * Exposed for tests and for batch backfills — the streaming path and a
+    * bulk historical load MUST share ingest semantics or replays diverge. */
+  def ingestBatch(batch: DataFrame, table: LakeTable,
+                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val withFp = batch.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val view = MergeWriter.readView(spark, table)
+    val seen =
+      if (view.columns.contains("fp")) view.select(col("fp")).distinct()
+      else Seq.empty[String].toDF("fp") // first batch: table not created yet
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    val fresh = withFp
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+      .join(seen, Seq("fp"), "left_anti")
+    if (!fresh.isEmpty) MergeWriter.upsert(spark, fresh, table)
+  }
+
+  /** Continuous ingestion: micro-batch trigger, checkpointed offsets,
+    * per-batch [[ingestBatch]]. */
+  def start(docs: DataFrame, table: LakeTable, checkpointDir: String,
+            triggerMs: Long = 1000L, idCol: String = "doc_id",
+            textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch((b: Dataset[Row], _: Long) => ingestBatch(b, table, idCol, textCol))
+      .start()
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSuite
+import graft.sink.{LakeTable, MergeWriter}
+
+/** Streaming corpus ingestion with inline dedup: first-sighting docs land,
+  * exact dups (in-batch or vs the standing corpus) don't; replays are
+  * idempotent; the stored fingerprint column serves as the dedup index. */
+class CurationStreamSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def table(): LakeTable = LakeTable(
+    path = Files.createTempDirectory("graft-curation").toString,
+    tableName = "corpus", recordKeyFields = Seq("doc_id"),
+    precombineField = "doc_id")
+
+  private def corpusIds(t: LakeTable): Set[Long] =
+    MergeWriter.readView(spark, t).select("doc_id").as[Long].collect().toSet
+
+  test("micro-batches dedup against the corpus and within the batch") {
+    val t = table()
+    val ckpt = Files.createTempDirectory("graft-curation-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = CurationStream.start(docs, t, ckpt, triggerMs = 0L)
+    try {
+      in.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+        (3L, "alpha beta gamma")) // in-batch dup of 1
+      q.processAllAvailable()
+      assert(corpusIds(t) === Set(1L, 2L))
+      in.addData((4L, "beta alpha gamma gamma"), // fp dup of 1 (token set)
+        (5L, "entirely new content"))
+      q.processAllAvailable()
+      assert(corpusIds(t) === Set(1L, 2L, 5L))
+      // fingerprints are stored — the corpus is its own dedup index
+      val fps = MergeWriter.readView(spark, t).select("fp").as[String].collect()
+      assert(fps.distinct.length === 3)
+    } finally q.stop()
+  }
+
+  test("ingestBatch replay is a no-op (idempotent exactly-once)") {
+    val t = table()
+    val b = Seq((10L, "one two three"), (11L, "four five six"))
+      .toDF("doc_id", "text")
+    CurationStream.ingestBatch(b, t)
+    val commitAfterFirst = MergeWriter.latestCommit(spark, t)
+    CurationStream.ingestBatch(b, t) // replay: everything now corpus_dup
+    assert(corpusIds(t) === Set(10L, 11L))
+    assert(MergeWriter.latestCommit(spark, t) === commitAfterFirst)
+    assert(MergeWriter.readView(spark, t).count() === 2L)
+  }
+}
