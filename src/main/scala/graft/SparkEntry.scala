@@ -544,6 +544,15 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** Quantized (int8) top-k with exact float rerank — the memory-scale
+      * ANN path; integer-exact quantization makes it oracle-checkable. */
+    "ann_int8" -> ((s, d) =>
+      Similarity.i8TopK(t(s, d, "embeddings"), 5, col("vec_id") % 20 === 0,
+          shortlist = 20)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+
     /** IVF with spherical-k-means-trained coarse centroids (the production
       * recall path; rows-only — approximate by design). */
     "ann_ivf_kmeans" -> ((s, d) => {
@@ -973,6 +982,35 @@ object SparkEntry {
                    CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
                  FROM s)
+      SELECT query_id, rnk, neighbor_id, sim_i FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // int8 quantization replayed exactly: round-half-away matches the
+    // kernel; quantized values are integers, exact in doubles, so the
+    // integer-accumulated i8 cosine and the shortlist order agree bit-
+    // for-bit; the final rerank is the proven float-cosine path.
+    "ann_int8" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base),
+      q8 AS (SELECT vec_id, v,
+             CASE WHEN ma > 0 THEN list_transform(v, x -> round(x / ma * 127))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+             FROM qz),
+      qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq FROM q8 WHERE vec_id % 20 = 0),
+      sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+               list_inner_product(qq, c.q) /
+                 sqrt(list_inner_product(qq, qq) * list_inner_product(c.q, c.q)) AS sim8,
+               qv, c.v AS cv
+             FROM qs JOIN q8 c ON query_id <> c.vec_id),
+      short AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY sim8 DESC, neighbor_id) AS r8 FROM sc),
+      rr AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+             FROM short WHERE r8 <= 20),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM rr)
       SELECT query_id, rnk, neighbor_id, sim_i FROM r
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
 

@@ -130,7 +130,97 @@ case class SrpSignature(child: Expression, bits: Int, seed: Long)
     copy(child = c)
 }
 
+/** i8_quantize(vec) — symmetric int8 scalar quantization: qᵢ =
+  * round(vᵢ / max|v| · 127), half away from zero (matching DuckDB/SQL
+  * ROUND so the oracle can replay it). A zero vector quantizes to zeros.
+  * 4x smaller than float32 — at 100 TB of embeddings that is the
+  * difference between a corpus that fits executor memory and one that
+  * doesn't; cosine is scale-invariant so ranking needs no scale column. */
+case class I8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "i8_quantize"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantizeI8(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.quantizeI8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** i8_cosine(qa, qb) — cosine over int8-quantized vectors with pure
+  * integer accumulation (one fused loop, no float math until the final
+  * division). Approximation error vs float cosine is bounded by the
+  * quantization step; callers rerank a shortlist with exact cosine. */
+case class I8Cosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "i8_cosine"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> arguments, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorKernels {
+
+  /** Symmetric int8 quantization, ROUND-half-away-from-zero. */
+  def quantizeI8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(vec.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble / maxAbs * 127.0
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Cosine over int8 arrays: integer dot/norm accumulators. */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
   /** hyperplane component in [-1, 1], deterministic in (seed, bit, dim). */
   private def plane(seed: Long, bit: Int, dim: Int): Double = {
     val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
@@ -175,7 +265,19 @@ object VectorFunctions {
       new ExpressionInfo(classOf[SrpSignature].getName, "srp_sig"),
       (children: Seq[Expression]) => SrpSignature(children.head,
         children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].longValue())))
+        children(2).eval().asInstanceOf[Number].longValue())),
+    (FunctionIdentifier("i8_quantize"),
+      new ExpressionInfo(classOf[I8Quantize].getName, "i8_quantize"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new SparkException("i8_quantize takes 1 argument")
+        I8Quantize(children.head)
+      }),
+    (FunctionIdentifier("i8_cosine"),
+      new ExpressionInfo(classOf[I8Cosine].getName, "i8_cosine"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new SparkException("i8_cosine takes 2 arguments")
+        I8Cosine(children.head, children(1))
+      }))
 
   /** Idempotent per-session registration (also available session-wide via
     * [[graft.GraftExtensions]] and `spark.sql.extensions`). */
@@ -192,4 +294,6 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("srp_sig", vec, lit(bits), lit(seed))
   }
+  def i8Quantize(vec: Column): Column = call_function("i8_quantize", vec)
+  def i8Cosine(a: Column, b: Column): Column = call_function("i8_cosine", a, b)
 }

@@ -229,6 +229,35 @@ class OpsSpec extends SparkSuite {
     assert(meta === 8L)
   }
 
+  test("i8 quantization: bounded error, scale invariance, exact-rerank top-k") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.ensureRegistered(spark)
+    // kernel-level: quantized cosine tracks float cosine within ~2/127
+    val a = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
+    val b = Array.tabulate(32)(i => math.cos(i * 0.3).toFloat)
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        VectorFunctions.cosineSim(col("a"), col("b")).as("exact"),
+        VectorFunctions.i8Cosine(VectorFunctions.i8Quantize(col("a")),
+          VectorFunctions.i8Quantize(col("b"))).as("approx"))
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - row._2) < 0.02)
+    // zero vector quantizes to zeros, i8 cosine defines it as 0
+    val z = Seq((Array.fill(4)(0.0f), a)).toDF("a", "b")
+      .select(VectorFunctions.i8Cosine(VectorFunctions.i8Quantize(col("a")),
+        VectorFunctions.i8Quantize(col("b"))).as("c")).as[Double].head()
+    assert(z === 0.0)
+    // end-to-end: i8TopK with exact rerank matches brute force on a
+    // well-separated corpus
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, 3, col("vec_id") % 10 === 0)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val i8 = Similarity.i8TopK(emb, 3, col("vec_id") % 10 === 0, shortlist = 12)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(i8 === exact)
+  }
+
   test("connectedComponents resolves transitive chains to one group") {
     // path 1-2-3-4-5 (diameter 4, needs >1 star round), separate pair 10-11,
     // duplicate + self-loop edges must not break anything
