@@ -617,6 +617,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    /** String-similarity join over the distinct part-name dictionary —
+      * entity resolution with a lossless length-bucket blocking. */
+    "q_fuzzy_join" -> ((s, d) =>
+      TextOps.fuzzyNamePairs(t(s, d, "part"), "p_name", 2)
+        .orderBy("name_a", "name_b")),
+
     /** Gopher-style repetition signals, integer-exact per document. */
     "text_repetition" -> ((s, d) =>
       Curation.repetitionProfile(t(s, d, "documents"))
@@ -880,6 +886,19 @@ object SparkEntry {
       SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
       FROM corp JOIN ev ON corp.g = ev.g
       GROUP BY corp.doc_id ORDER BY corp.doc_id""",
+
+    // lossless blocking on the Spark side (length buckets) means the
+    // oracle can use the plain theta-join formulation — same pair set
+    "q_fuzzy_join" -> """
+      WITH names AS (SELECT lower(p_name) AS nm, COUNT(*) AS n
+                     FROM part GROUP BY 1)
+      SELECT a.nm AS name_a, b.nm AS name_b,
+             CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist,
+             a.n AS n_a, b.n AS n_b
+      FROM names a JOIN names b
+        ON a.nm < b.nm AND abs(len(a.nm) - len(b.nm)) <= 2
+      WHERE levenshtein(a.nm, b.nm) <= 2
+      ORDER BY name_a, name_b""",
 
     "text_repetition" -> """
       WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

@@ -120,6 +120,40 @@ object TextOps {
     when(nibble <= "c", "train").when(nibble <= "e", "val").otherwise("test")
   }
 
+  /** String-similarity join (entity resolution): all pairs of DISTINCT
+    * values of `nameCol` within edit distance `maxDist`, with each value's
+    * row count. Output (name_a, name_b, dist, n_a, n_b), name_a < name_b.
+    *
+    * 100 TB design: the quadratic step runs over the distinct VALUE
+    * dictionary, not the rows — collapse first (value spaces are orders of
+    * magnitude smaller than row spaces), then map matches back by joining
+    * counts. The pair join is a lossless length-bucket equi-join (bucket
+    * width maxDist+1; a pair within maxDist spans at most adjacent buckets,
+    * so one side probes bucket−1/bucket/bucket+1) — shuffle-hash-joinable,
+    * never a nested-loop cross product. For dictionaries where blocks are
+    * still hot, add q-gram prefix filtering in front of the verify. */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+                     maxDist: Int = 2): DataFrame = {
+    val names = df.select(lower(col(nameCol)).as("nm"))
+      .groupBy("nm").agg(count(lit(1)).as("n"))
+    val width = maxDist + 1
+    val a = names.select(col("nm").as("name_a"), col("n").as("n_a"),
+      floor(length(col("nm")) / width).as("bkt"))
+    val b = names.select(col("nm").as("name_b"), col("n").as("n_b"),
+        explode(array(floor(length(col("nm")) / width) - 1,
+          floor(length(col("nm")) / width),
+          floor(length(col("nm")) / width) + 1)).as("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"))
+    // no distinct needed: a's single bucket appears at most once in b's
+    // exploded {bkt-1, bkt, bkt+1}, so each pair joins exactly once
+  }
+
   /** Character-n-gram language-ID heuristic. Scores each language by marker
     * token hits (function words characteristic of the language) plus
     * character-bigram evidence; deterministic arg-max with alphabetical

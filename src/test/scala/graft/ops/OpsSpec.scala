@@ -258,6 +258,20 @@ class OpsSpec extends SparkSuite {
     assert(i8 === exact)
   }
 
+  test("fuzzyNamePairs: dictionary-level edit-distance join, lossless buckets") {
+    // "kitte" (len 5, bucket 1) vs "kitten" (len 6, bucket 2) crosses a
+    // bucket boundary — caught only via the adjacent-bucket probe
+    val d = Seq("kitten", "kitten", "sitten", "kitte", "dog")
+      .toDF("name")
+    val out = TextOps.fuzzyNamePairs(d, "name", 2)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("kitte", "kitten", 1, 1L, 2L),
+      ("kitte", "sitten", 2, 1L, 1L),
+      ("kitten", "sitten", 1, 2L, 1L)))
+  }
+
   test("connectedComponents resolves transitive chains to one group") {
     // path 1-2-3-4-5 (diameter 4, needs >1 star round), separate pair 10-11,
     // duplicate + self-loop edges must not break anything
