@@ -63,6 +63,31 @@ object Curation {
       .filter(col("cum_tokens") - col("nt") < budgetTokens)
   }
 
+  /** Weighted mixing: per-source token budgets (the production mixing
+    * pattern — "3 parts wiki to 1 part web" expressed as absolute token
+    * budgets per source), unknown sources falling back to
+    * `defaultBudget`. Same greedy md5-order prefix rule as
+    * [[mixToBudget]]; the budget lookup is a broadcast map literal. */
+  def mixWeighted(df: DataFrame, budgets: Map[String, Long],
+                  defaultBudget: Long = 0L, groupCol: String = "source",
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val budgetExpr =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(
+        element_at(
+          map(budgets.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col(groupCol)),
+        lit(defaultBudget))
+    val nt = size(TextOps.lowerTokens(col(textCol)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("nt", nt.cast("long"))
+      .withColumn("cum_tokens", sum(col("nt")).over(w))
+      .filter(col("cum_tokens") - col("nt") < budgetExpr)
+  }
+
   /** Incremental dedup — the production flow where a NEW batch lands next
     * to an existing corpus: classify each new doc as
     *  - `corpus_dup`  its content fingerprint already exists in the corpus,

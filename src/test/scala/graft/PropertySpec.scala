@@ -83,4 +83,33 @@ class PropertySpec extends SparkSuite {
       assert(cmp.filter(col("n1") =!= col("b1") || col("n2") =!= col("b2")).count() === 0)
     }
   }
+
+  test("connectedComponents == union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+    forAll(edgeGen, n = 5) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        // reference: driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        // min-id canonical labels
+        val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+          val mn = m.keys.min; m.keys.map(_ -> mn)
+        }
+        val got = graft.ops.Dedup.connectedComponents(
+            real.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === canon)
+      }
+    }
+  }
 }

@@ -42,6 +42,17 @@ class CurationSpec extends SparkSuite {
     assert(keptTwo("s") === 3L && keptTwo("t") === 1L)
   }
 
+  test("mixWeighted applies per-source budgets with a default") {
+    val text = Seq.fill(10)("w").mkString(" ")
+    val d = (1L to 4L).map(i => (i, text, "big")) ++
+      (5L to 8L).map(i => (i, text, "small")) ++
+      Seq((9L, text, "unknown"))
+    val kept = Curation.mixWeighted(d.toDF("doc_id", "text", "source"),
+        Map("big" -> 35L, "small" -> 15L), defaultBudget = 0L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("big" -> 4L, "small" -> 2L)) // unknown: budget 0
+  }
+
   test("incrementalDedup classifies corpus_dup / batch_dup / new") {
     val corpus = Seq((100L, "old content here")).toDF("doc_id", "text")
     val batch = Seq(
