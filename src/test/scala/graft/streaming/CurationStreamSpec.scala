@@ -44,6 +44,31 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes without reprocessing or duplicating") {
+    val t = table()
+    val inDir = Files.createTempDirectory("graft-curation-in").toString
+    val ckpt = Files.createTempDirectory("graft-curation-ckpt2").toString
+    val schema = "doc_id LONG, text STRING"
+    def stream() = spark.readStream.schema(schema).json(inDir)
+
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      """{"doc_id":1,"text":"alpha beta"}
+        |{"doc_id":2,"text":"gamma delta"}""".stripMargin)
+    val q1 = CurationStream.start(stream(), t, ckpt, triggerMs = 0L)
+    q1.processAllAvailable(); q1.stop()
+    assert(corpusIds(t) === Set(1L, 2L))
+
+    // restart against the same checkpoint: only the new file is read;
+    // its corpus dup is dropped, its fresh doc lands
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      """{"doc_id":3,"text":"beta alpha"}
+        |{"doc_id":4,"text":"epsilon zeta"}""".stripMargin)
+    val q2 = CurationStream.start(stream(), t, ckpt, triggerMs = 0L)
+    q2.processAllAvailable(); q2.stop()
+    assert(corpusIds(t) === Set(1L, 2L, 4L))
+    assert(MergeWriter.readView(spark, t).count() === 3L)
+  }
+
   test("ingestBatch replay is a no-op (idempotent exactly-once)") {
     val t = table()
     val b = Seq((10L, "one two three"), (11L, "four five six"))
