@@ -463,6 +463,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    /** Salted shuffle join — the skew-mitigation pattern for a hot join
+      * key at 100 TB (complement of q_salted_agg): the fact side (50% of
+      * rows share sk=1) gets a deterministic 16-way salt, the dim side is
+      * replicated 16x via explode, and the join runs on (sk, salt) so the
+      * hot key spreads over 16 reducers. Result identical to the plain
+      * join, which is exactly what the oracle checks. */
+    "q_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 99 < 50, 1L)
+          .otherwise(col("l_orderkey") % 99 + 1).as("sk"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(16)).as("salt"))
+      val dim = t(s, d, "customer")
+        .filter(col("c_custkey").between(1, 99))
+        .select(col("c_custkey").as("sk"), col("c_name"),
+          explode(sequence(lit(0), lit(15))).as("salt"))
+      fact.join(dim, Seq("sk", "salt"))
+        .groupBy("sk", "c_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).cast("decimal(18,2)").cast("double").as("sum_qty"))
+        .orderBy("sk")
+    }),
+
     /** Keep-first dedup as a window operator (vs dedup_exact's groupBy
       * formulation): rank copies within each digest, keep rank 1. */
     "dedup_keep_first" -> ((s, d) => {
@@ -832,6 +855,19 @@ object SparkEntry {
           ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id) p
       WHERE 10 * i >= 8 * u AND u > 0
       ORDER BY doc_a, doc_b""",
+
+    "q_salted_join" -> """
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 99 < 50 THEN 1
+                    ELSE l_orderkey % 99 + 1 END AS sk,
+               CAST(l_quantity AS DECIMAL(18,2)) AS q
+        FROM lineitem),
+      dim AS (SELECT c_custkey AS sk, c_name FROM customer
+              WHERE c_custkey BETWEEN 1 AND 99)
+      SELECT sk, c_name, COUNT(*) AS n,
+             CAST(CAST(SUM(q) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+      FROM fact JOIN dim USING (sk)
+      GROUP BY sk, c_name ORDER BY sk""",
 
     // CC oracle: recursive-CTE min-label reachability over the same edge
     // set (jaccard pairs ∪ fingerprint star edges). Edge formulations
