@@ -243,6 +243,41 @@ object Similarity {
     cents.toDF("cell_id", "centroid")
   }
 
+  /** Nearest-cell assignment (broadcast centroid scan). max_by hash
+    * aggregate, NOT a window: map-side partial combine reduces each
+    * vector's nlist candidate rows inside the scan stage instead of
+    * shuffling+sorting n x nlist rows into window tasks. */
+  private def assignCells(emb: DataFrame, cents: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        col("cell_id"), cosine(col(vecCol), col("centroid")).as("csim"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cell_id"), col(vecCol).as("cv")),
+        struct(col("csim"), -col("cell_id"))).as("_a"))
+      .select(col(idCol).as("neighbor_id"), col("_a.cv").as("cv"),
+        col("_a.cell_id").as("cell_id"))
+
+  /** Per-query nprobe nearest cells. */
+  private def probeCells(queries: DataFrame, cents: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell_id").asc)
+    queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("_r", row_number().over(probeW)).filter(col("_r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** IVF-style approximate top-k. The coarse centroids default to a
     * deterministic corpus sample (reproducible, what the driver's rows-only
     * check pins); pass [[trainCentroids]]' output via `centroids` for
@@ -254,31 +289,59 @@ object Similarity {
               centroids: Option[DataFrame] = None): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val cents = centroids.getOrElse(sampledCentroids(emb, nlist, idCol, vecCol))
-    // assign every corpus vector to nearest cell (broadcast centroid scan).
-    // max_by hash aggregate, NOT a window: map-side partial combine reduces
-    // each vector's nlist candidate rows inside the scan stage instead of
-    // shuffling+sorting n x nlist rows into window tasks
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        col("cell_id"), cosine(col(vecCol), col("centroid")).as("csim"))
-      .groupBy(col(idCol))
-      .agg(max_by(struct(col("cell_id"), col(vecCol).as("cv")),
-        struct(col("csim"), -col("cell_id"))).as("_a"))
-      .select(col(idCol).as("neighbor_id"), col("_a.cv").as("cv"), col("_a.cell_id").as("cell_id"))
-    // queries probe nprobe nearest cells
-    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell_id").asc)
-    val probes = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("qv"), col("centroid")))
-      .withColumn("_r", row_number().over(probeW)).filter(col("_r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    assigned.join(probes, Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
+    val assigned = assignCells(emb, cents, idCol, vecCol)
+    val probes = probeCells(
+      emb.filter(queryPred).select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, nprobe)
+    rankTopK(
+      assigned.join(probes, Seq("cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
+  /** IVF index AT REST — the 100 TB layout: the corpus is written
+    * partitioned by coarse cell (`path/data/cell_id=N/...`), centroids
+    * beside it (`path/_centroids`), so probe queries scan only the
+    * `nprobe` matching PARTITIONS (directory pruning — ~nprobe/nlist of
+    * the bytes) instead of the whole corpus. */
+  def writeIvfIndex(emb: DataFrame, path: String, nlist: Int = 16,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val cents = trainCentroids(emb, nlist, iters, idCol, vecCol)
+    assignCells(emb, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol), col("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(s"$path/data")
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Top-k against a stored IVF index: per-query probes come from the
+    * stored centroids, the probed cell set (≤ nlist ids, driver-side) turns
+    * into a partition-pruning `isin` filter on the index scan, and only
+    * those directories are read. Same output shape as [[ivfTopK]]. */
+  def ivfTopKIndexed(queries: DataFrame, path: String, k: Int = 5,
+                     nprobe: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val probes = probeCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, nprobe)
+    // bounded collect: at most nlist cell ids — this is what makes the
+    // scan filter a PartitionFilter instead of a join
+    val cells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpus = spark.read.parquet(s"$path/data")
+      .filter(col("cell_id").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell_id"))
+    rankTopK(
+      corpus.join(probes, Seq("cell_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
   }
 }

@@ -229,6 +229,30 @@ class OpsSpec extends SparkSuite {
     assert(meta === 8L)
   }
 
+  test("IVF index at rest: partition-pruned probes match in-memory ivfTopK") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 8, iters = 1)
+    // cell directories exist (the partition layout IS the index)
+    val cellDirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val mem = Similarity.ivfTopK(emb, 3, 8, 2, col("vec_id") % 10 === 0,
+        centroids = Some(cents))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val idx = Similarity.ivfTopKIndexed(queries, path, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(idx === mem)
+    // the scan is partition-pruned: the physical plan carries a cell_id
+    // filter over the partition column
+    val plan = Similarity.ivfTopKIndexed(queries, path, 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"))
+  }
+
   test("i8 quantization: bounded error, scale invariance, exact-rerank top-k") {
     import graft.functions.VectorFunctions
     VectorFunctions.ensureRegistered(spark)
