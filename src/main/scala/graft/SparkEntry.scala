@@ -1053,8 +1053,13 @@ object SparkEntry {
              FROM qz),
       qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq FROM q8 WHERE vec_id % 20 = 0),
       sc AS (SELECT query_id, c.vec_id AS neighbor_id,
-               list_inner_product(qq, c.q) /
-                 sqrt(list_inner_product(qq, qq) * list_inner_product(c.q, c.q)) AS sim8,
+               -- zero-norm guard mirrors the I8Cosine kernel's 0.0 (a NaN
+               -- here would sort ABOVE every real score in DESC order)
+               CASE WHEN list_inner_product(qq, qq) = 0
+                      OR list_inner_product(c.q, c.q) = 0 THEN 0.0
+                    ELSE list_inner_product(qq, c.q) /
+                      sqrt(list_inner_product(qq, qq) * list_inner_product(c.q, c.q))
+               END AS sim8,
                qv, c.v AS cv
              FROM qs JOIN q8 c ON query_id <> c.vec_id),
       short AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -54,14 +54,9 @@ object Curation {
     * one shuffle on `groupCol`. Returns kept rows + `cum_tokens`. */
   def mixToBudget(df: DataFrame, budgetTokens: Long,
                   groupCol: String = "source", idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val nt = size(TextOps.lowerTokens(col(textCol)))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("nt", nt.cast("long"))
-      .withColumn("cum_tokens", sum(col("nt")).over(w))
-      .filter(col("cum_tokens") - col("nt") < budgetTokens)
-  }
+                  textCol: String = "text"): DataFrame =
+    mixWeighted(df, Map.empty, defaultBudget = budgetTokens,
+      groupCol = groupCol, idCol = idCol, textCol = textCol)
 
   /** Weighted mixing: per-source token budgets (the production mixing
     * pattern — "3 parts wiki to 1 part web" expressed as absolute token

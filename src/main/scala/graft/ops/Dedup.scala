@@ -206,7 +206,8 @@ object Dedup {
     }
     var sig = signature(e)
     var it = 0
-    while (it < maxIter) {
+    var converged = false
+    while (!converged && it < maxIter) {
       it += 1
       // large-star
       val und = e.union(e.select($"v".as("u"), $"u".as("v")))
@@ -226,9 +227,17 @@ object Dedup {
         .filter($"u" =!= $"v").distinct()
         .localCheckpoint(false) // materialized by the signature job below
       val nextSig = signature(next)
+      // the checksum is a fast filter, not proof: two DIFFERENT edge sets
+      // can share (count, Σu, Σv) — e.g. {(5,1),(3,2)} vs {(4,1),(4,2)} —
+      // so an apparent fixpoint is confirmed with an exact set compare
+      // (one extra job at convergence only, never per round)
+      val same = nextSig == sig && next.exceptAll(e).isEmpty
       e = next
-      if (nextSig == sig) it = maxIter else sig = nextSig
+      if (same) converged = true else sig = nextSig
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(raise maxIter; alternating star converges in O(log² n))")
     // fixpoint edges are (node, root); roots map to themselves
     e.select($"u".as("node"), $"v".as("component"))
       .union(e.select($"v".as("node"), $"v".as("component")))

@@ -169,8 +169,14 @@ object Similarity {
     * float vectors are touched for shortlist·|Q| rows instead of n·|Q|. */
   def i8TopK(emb: DataFrame, k: Int = 5, queryPred: Column,
              shortlist: Int = 20, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             maxQueries: Long = 100000L): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
+    // same broadcast invariant as bruteForceTopK: the query set must fit
+    val nQ = emb.filter(queryPred).select(col(idCol)).count()
+    if (nQ > maxQueries) throw new IllegalArgumentException(
+      s"i8TopK broadcasts the query set: $nQ queries > maxQueries=$maxQueries; " +
+        "use ivfTopK for large query sets")
     val q = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorFunctions.i8Quantize(col(vecCol)).as("qq"))
@@ -327,9 +333,13 @@ object Similarity {
     val spark = queries.sparkSession
     VectorFunctions.ensureRegistered(spark)
     val cents = spark.read.parquet(s"$path/_centroids")
+    // materialized once: the probe set feeds both the driver-side cell
+    // collect and the final join — without this the query×centroid cross
+    // join and its window would run twice
     val probes = probeCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       cents, nprobe)
+      .localCheckpoint(false)
     // bounded collect: at most nlist cell ids — this is what makes the
     // scan filter a PartitionFilter instead of a join
     val cells = probes.select("cell_id").distinct()

@@ -64,19 +64,6 @@ object TextOps {
         coalesce(array_max(transform(toks, tk => length(tk))), lit(0)))
   }
 
-  /** Distinct word-n-gram digests of a document — md5 of each n-token
-    * window, so the downstream join shuffles fixed-width digests instead of
-    * raw n-gram strings. md5 (not the xxh64 kernel) keeps the digest
-    * portable to the DuckDB oracle; swap in
-    * [[graft.functions.TextFunctions.shingleHashes]] when oracle portability
-    * isn't needed. Caller must pre-filter docs with `< n` tokens (Spark's
-    * `sequence(1, k)` turns descending for k < 1). */
-  def ngramDigests(text: Column, n: Int): Column = {
-    val toks = lowerTokens(text)
-    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => md5(array_join(slice(toks, i, lit(n)), " "))))
-  }
-
   /** Benchmark decontamination — the training-corpus hygiene op: flag every
     * corpus document sharing at least one word-n-gram with the evaluation
     * set. Returns (idCol, n_hits) for contaminated docs only, where n_hits

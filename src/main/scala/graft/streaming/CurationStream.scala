@@ -44,10 +44,14 @@ object CurationStream {
       if (view.columns.contains("fp")) view.select(col("fp")).distinct()
       else Seq.empty[String].toDF("fp") // first batch: table not created yet
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    // materialized once: the emptiness probe and the upsert share the
+    // pipeline (fingerprint + window + corpus-fp anti-join) instead of
+    // running it twice per micro-batch
     val fresh = withFp
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
       .join(seen, Seq("fp"), "left_anti")
+      .localCheckpoint(false)
     if (!fresh.isEmpty) MergeWriter.upsert(spark, fresh, table)
   }
 
