@@ -101,6 +101,28 @@ object SparkEntry {
       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     ORDER BY tag, c_custkey"""
 
+  /** Correlated EXISTS / NOT EXISTS with per-branch predicates (the
+    * conjunction form, vs QSemiAnti's union-of-tags form). */
+  private val QExists = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    ORDER BY c_custkey"""
+
+  /** LATERAL correlated subquery — top-1 order per customer without a
+    * window (the planner turns it into a correlated join). */
+  private val QLateral = """
+    SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS top_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    ORDER BY c.c_custkey"""
+
   private val QSetOps = """
     SELECT * FROM (
       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -387,6 +409,8 @@ object SparkEntry {
       sql(s, d, Seq("customer", "orders", "lineitem", "supplier", "nation", "region"), Q5)),
     "q_window" -> ((s, d) => sql(s, d, Seq("orders"), QWindow)),
     "q_semi_anti" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSemiAnti)),
+    "q_exists" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QExists)),
+    "q_lateral" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QLateral)),
     "q_setops" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSetOps)),
     "q_rollup" -> ((s, d) => sql(s, d, Seq("customer", "nation", "region"), QRollup)),
     "q_topk" -> ((s, d) => sql(s, d, Seq("lineitem"), QTopK)),
@@ -771,6 +795,8 @@ object SparkEntry {
     "q5_multijoin" -> Q5,
     "q_window" -> QWindow,
     "q_semi_anti" -> QSemiAnti,
+    "q_exists" -> QExists,
+    "q_lateral" -> QLateral,
     "q_setops" -> QSetOps,
     "q_rollup" -> QRollup,
     "q_topk" -> QTopK,
