@@ -611,8 +611,12 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")
     }),
+    /** 0.5 is a LOW threshold for SRP banding — pin the wide-recall 4-bit
+      * bands here (per band p⁴ with p = 1−θ/π ≈ 0.2 at θ = π/3); the
+      * operator's scale default is 8-bit bands for real near-dup work. */
     "emb_neardup_lsh" -> ((s, d) =>
-      Similarity.srpNearDupPairs(t(s, d, "embeddings"), 0.5)
+      Similarity.srpNearDupPairs(t(s, d, "embeddings"), 0.5, bands = 16,
+        bitsPerBand = 4)
         .select(col("vec_a"), col("vec_b"),
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("vec_a", "vec_b")),

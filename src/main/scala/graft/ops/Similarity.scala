@@ -103,19 +103,37 @@ object Similarity {
   }
 
   /** LSH-bucketed near-dup pairs — the 100 TB path for [[cosinePairs]]:
-    * 64-bit signed-random-projection signatures banded into 16 bands of 4
-    * bits; a pair at cosine θ agrees on a band with P = (1−θ/π)⁴, so
-    * high-cosine pairs collide in ≥1 band w.h.p. (cos 0.95 → ~99.98%
-    * recall) while random pairs mostly don't; candidates verified with
-    * exact cosine. Candidate count ∝ near-dup density, not n²; hot buckets
-    * capped like the text LSH. */
+    * signed-random-projection signatures banded into `bands` bands of
+    * `bitsPerBand` bits; a pair at cosine θ agrees on a band with
+    * P = (1−θ/π)^bitsPerBand, so high-cosine pairs collide in ≥1 band
+    * w.h.p. while random pairs mostly don't; candidates verified with
+    * exact cosine.
+    *
+    * Band width is THE scale knob: a band's bucket-key space is
+    * 2^bitsPerBand and the bucket join is quadratic WITHIN a bucket, so
+    * 4-bit bands (16 buckets/band) degenerate toward all-pairs as the
+    * corpus grows — measured at 20k heavily-twinned vectors: ~200M
+    * candidate pairs / 24s at 16×4 vs 16× fewer at 8-bit bands. The
+    * default 16 bands × 8 bits (two 64-bit signature columns, seed-
+    * shifted hyperplanes) keeps ≥0.95-cosine recall ≈ 99.99% (per band
+    * p^8 ≈ 0.43) with 256× finer buckets. Wide-recall 4-bit bands remain
+    * available for LOW thresholds on small corpora (the 0.5-threshold
+    * query pins them explicitly). Hot buckets capped like the text LSH. */
   def srpNearDupPairs(emb: DataFrame, threshold: Double,
-                      bands: Int = 16, bitsPerBand: Int = 4,
+                      bands: Int = 16, bitsPerBand: Int = 8,
                       maxBucketSize: Int = 10000, seed: Long = 7L,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
+    require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
     val n = emb.sparkSession.sparkContext.defaultParallelism
     val mask = (1L << bitsPerBand) - 1
+    val bandsPerSig = 64 / bitsPerBand
+    val nSigs = (bands + bandsPerSig - 1) / bandsPerSig
+    // one srp_sig column per 64 signature bits (seed-shifted hyperplanes)
+    val sigCols = (0 until nSigs).map { i =>
+      val bitsHere = math.min(bandsPerSig, bands - i * bandsPerSig) * bitsPerBand
+      VectorFunctions.srpSig(col(vecCol), bitsHere, seed + i).as(s"sig$i")
+    }
     // (id, band, bucket) materialized ONCE via lazy localCheckpoint: the
     // relation feeds three plan branches (bucket-size agg + both self-join
     // sides), and Spark physical-plans each branch as its own subtree — so
@@ -123,11 +141,12 @@ object Similarity {
     // corpus. 24 B x bands per vector, spills to disk if large; on a real
     // cluster swap for `.checkpoint()` against a reliable store.
     val chunked = emb.repartition(n, col(idCol))
+      .select(col(idCol) +: sigCols: _*)
       .select(col(idCol),
-        VectorFunctions.srpSig(col(vecCol), bands * bitsPerBand, seed).as("sig"))
-      .select(col(idCol),
-        posexplode(array((0 until bands).map(c =>
-          shiftright(col("sig"), c * bitsPerBand).bitwiseAND(mask)): _*)).as(Seq("chunk", "ckey")))
+        posexplode(array((0 until bands).map { c =>
+          shiftright(col(s"sig${c / bandsPerSig}"),
+            (c % bandsPerSig) * bitsPerBand).bitwiseAND(mask)
+        }: _*)).as(Seq("chunk", "ckey")))
       .localCheckpoint(false)
     val bucketSizes = chunked.groupBy("chunk", "ckey")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
