@@ -118,7 +118,13 @@ object Similarity {
     * shifted hyperplanes) keeps ≥0.95-cosine recall ≈ 99.99% (per band
     * p^8 ≈ 0.43) with 256× finer buckets. Wide-recall 4-bit bands remain
     * available for LOW thresholds on small corpora (the 0.5-threshold
-    * query pins them explicitly). Hot buckets capped like the text LSH. */
+    * query pins them explicitly). Hot buckets capped like the text LSH.
+    *
+    * Sizing rule: per-band work is Σ bucket², so pick
+    * bitsPerBand ≈ log2(corpus / desired bucket size) — 8 bits carries
+    * ~10⁵-10⁶ vectors; at 10⁸+ use 16-bit bands (4 signature columns;
+    * ≥0.95 recall ≈ 96% at 16 bands) and cap stragglers with
+    * `maxBucketSize`. */
   def srpNearDupPairs(emb: DataFrame, threshold: Double,
                       bands: Int = 16, bitsPerBand: Int = 8,
                       maxBucketSize: Int = 10000, seed: Long = 7L,
@@ -307,7 +313,12 @@ object Similarity {
     * deterministic corpus sample (reproducible, what the driver's rows-only
     * check pins); pass [[trainCentroids]]' output via `centroids` for
     * k-means recall. Corpus vectors are assigned to their nearest centroid
-    * once; each query probes the `nprobe` nearest cells. */
+    * once; each query probes the `nprobe` nearest cells.
+    *
+    * Sizing rule: scanned fraction ≈ nprobe/nlist and per-probe work ≈
+    * n/nlist, so keep nlist ≈ √n (the FAISS heuristic) — 16 cells suits
+    * the sf fixtures; a 10⁸-vector corpus wants nlist ≈ 10⁴ with the
+    * at-rest layout of [[writeIvfIndex]] pruning partitions. */
   def ivfTopK(emb: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               queryPred: Column, idCol: String = "vec_id",
               vecCol: String = "embedding",
