@@ -267,7 +267,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk);
-    * verified by exact Hamming distance ≤ maxHamming via bit_count(xor). */
+    * verified by exact Hamming distance ≤ maxHamming via bit_count(xor).
+    *
+    * Density ceiling: the chunk-key space is fixed at 2^16 per chunk (the
+    * pigeonhole guarantee for Hamming ≤ 3 needs exactly 4 chunks of a
+    * 64-bit fingerprint), so expected bucket size is n/65536 — fine to
+    * ~10⁷ docs, beyond which either raise `maxBucketSize` consciously
+    * (quadratic within buckets) or split the corpus by a blocking key
+    * (e.g. lang) first; the cap drops oversized buckets rather than
+    * letting one strangle a task. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
