@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executable plan contracts: the physical-plan properties the 100 TB
+  * design depends on, pinned as assertions so a refactor that silently
+  * loses a broadcast, a pushed filter, or column pruning fails CI instead
+  * of surfacing as a 100× regression on a cluster.
+  *
+  * Uses the sf0.001 fixtures — plan SHAPE (not timing) is what's asserted,
+  * and AQE's static plan for these sizes matches the intent because the
+  * dims are genuinely broadcast-sized at every SF. */
+class PlanContractsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("joins broadcast their small side and never go cartesian") {
+    for (q <- Seq("q3_join", "q5_multijoin")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian")
+    }
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan("q_filter_limit")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment)"),
+      "predicate pushdown lost")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string," +
+      "c_acctbal:double,c_mktsegment:string>"), "column pruning lost")
+  }
+
+  test("decontamination broadcasts the eval n-gram set") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval side no longer broadcast — corpus would shuffle on n-grams")
+  }
+
+  test("corpus_mix windows per source, never a single global partition") {
+    val p = plan("corpus_mix")
+    assert(p.contains("hashpartitioning(source"),
+      "per-source window partitioning lost")
+  }
+
+  test("LSH candidate joins are hash joins, not nested loops") {
+    for (q <- Seq("dedup_minhash", "dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q candidate join degenerated")
+    }
+  }
+
+  test("precombine dedup is a hash aggregate, not a window sort") {
+    import spark.implicits._
+    val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")
+    val p = graft.sink.MergeWriter.dedupByPrecombine(batch, Seq("k"), "pre")
+      .queryExecution.executedPlan.toString
+    // the scale property is the PARTIAL (map-side) combine before the
+    // shuffle — a hot key reduces per input partition, not in one task
+    assert(p.contains("partial_max_by"),
+      "precombine dedup lost its map-side partial aggregation")
+    assert(!p.contains("Window"), "precombine dedup regressed to a window sort")
+  }
+}
