@@ -123,6 +123,18 @@ object SparkEntry {
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
     ORDER BY c.c_custkey"""
 
+  /** RANGE interval window frame (value-based, vs q_window_frame's
+    * row-count frame): 30-day trailing spend per customer. */
+  private val QRangeFrame = """
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d
+    FROM orders ORDER BY o_custkey, o_orderkey"""
+
   private val QSetOps = """
     SELECT * FROM (
       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -410,6 +422,7 @@ object SparkEntry {
     "q_window" -> ((s, d) => sql(s, d, Seq("orders"), QWindow)),
     "q_semi_anti" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSemiAnti)),
     "q_exists" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QExists)),
+    "q_range_frame" -> ((s, d) => sql(s, d, Seq("orders"), QRangeFrame)),
     "q_lateral" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QLateral)),
     "q_setops" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QSetOps)),
     "q_rollup" -> ((s, d) => sql(s, d, Seq("customer", "nation", "region"), QRollup)),
@@ -800,6 +813,7 @@ object SparkEntry {
     "q_window" -> QWindow,
     "q_semi_anti" -> QSemiAnti,
     "q_exists" -> QExists,
+    "q_range_frame" -> QRangeFrame,
     "q_lateral" -> QLateral,
     "q_setops" -> QSetOps,
     "q_rollup" -> QRollup,
