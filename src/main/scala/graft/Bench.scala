@@ -52,7 +52,13 @@ object Bench {
       val p0 = System.nanoTime()
       for ((name, fn) <- queries) {
         val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
+        // Evaluate via a noop-format write, NOT count(): under a count
+        // aggregate Catalyst prunes every unreferenced projection (md5/cast
+        // pipelines collapse to a row count) and EliminateSorts drops
+        // pre-agg orderBys, so count() under-measures projection-heavy
+        // queries. The noop sink fully evaluates every output column and
+        // discards the rows without IO.
+        val err = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None } catch {
           case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -16,7 +16,10 @@ import graft.ops.{Curation, Dedup, Similarity}
 object ScaleProbe {
 
   private def replicate(df: DataFrame, idCol: String, x: Int): DataFrame = {
-    val step = 10000000L
+    // Step derived from the actual id range: a fixed constant would let
+    // replica ids collide with originals at larger SFs and silently merge
+    // rows, skewing the probe.
+    val step = df.agg(max(col(idCol)).cast("long")).head().getLong(0) + 1L
     (0 until x).map(i =>
       df.withColumn(idCol, col(idCol) + lit(i * step)))
       .reduce(_.unionByName(_))
@@ -54,6 +57,41 @@ object ScaleProbe {
       val edges = Dedup.minhashPairs(docs, 8).select("doc_a", "doc_b")
         .unionByName(Dedup.fingerprintEdges(docs))
       Dedup.connectedComponents(edges).groupBy("component").count().count()
+    }
+    // Chunk-pair LSH density at 10⁶ docs, single language (the worst case
+    // for a blocking key). The sf documents are template-generated and
+    // near-dup-DENSE (an LSH bucket holding a true dup cluster is load, not
+    // key-space exhaustion), so replicas get ~80 unique tokens mixed in to
+    // emulate the spread signatures of a real web corpus; the probe then
+    // contrasts the key-mass the old 4×16-bit single-chunk scheme would
+    // drop at bucket-cap 1000 with what the 2^26 pair-key scheme drops
+    // (must be 0).
+    time("simhash_density_1m") {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = base.count()
+      val times = math.max(1L, math.ceil(1e6 / n).toLong)
+      // crossJoin-with-range replication (an N-way union plan would have
+      // `times` scan branches)
+      val step = base.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1L
+      val corpus = base.crossJoin(spark.range(times).as("rep"))
+        .select((col("doc_id") + col("id") * step).as("doc_id"), col("text"))
+        .select(col("doc_id"), concat_ws(" ", col("text"),
+          array_join(transform(sequence(lit(0L), lit(79L)),
+            x => concat(lit("rt"), col("doc_id") * 100 + x)), " ")).as("text"))
+      val newDropped = Dedup.simhashBucketStats(corpus, 3, maxBucketSize = 1000)
+        .filter(col("oversized"))
+        .agg(coalesce(sum(col("bsz")), lit(0L))).head().getLong(0)
+      graft.functions.TextFunctions.ensureRegistered(spark)
+      val oldDropped = corpus
+        .select(graft.functions.TextFunctions.simhash64(col("text")).as("sig"))
+        .select(posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+        .groupBy("chunk", "ckey").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1000)
+        .agg(coalesce(sum(col("bsz")), lit(0L))).head().getLong(0)
+      System.err.println(s"[probe] simhash dropped key-mass at ${n * times} docs: " +
+        s"old 4x16-bit scheme=$oldDropped, pair-key scheme=$newDropped")
+      newDropped
     }
     time("srp_neardup")(Similarity.srpNearDupPairs(emb, 0.5).count())
     time("ann_ivf")(Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0).count())

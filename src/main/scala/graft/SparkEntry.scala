@@ -479,6 +479,21 @@ object SparkEntry {
     "q_intersect_all" -> ((s, d) => sql(s, d, Seq("orders"), QIntersectAll)),
     "q_having" -> ((s, d) => sql(s, d, Seq("orders"), QHaving)),
     "q_percentile" -> ((s, d) => sql(s, d, Seq("lineitem"), QPercentileSpark)),
+    /** Same statistics as q_percentile via [[graft.ops.Ranking
+      * .groupPercentiles]] — exact percentiles with NO per-group value
+      * buffering (the exact `percentile` aggregate holds each group's full
+      * value list in one aggregation buffer) and no single-partition
+      * stage; same oracle, hash-equal. */
+    "q_percentile_scalable" -> ((s, d) =>
+      // p=1.0 brackets to rank n exactly — the group MAX for free
+      graft.ops.Ranking.groupPercentiles(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber")),
+          Seq("l_returnflag"), col("l_quantity"),
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "mx" -> 1.0))
+        .select("l_returnflag", "p25", "p50", "p75", "mx")
+        .orderBy("l_returnflag")),
     "q_string_agg" -> ((s, d) => sql(s, d, Seq("customer", "nation"), QStringAggSpark)),
     "q_regexp" -> ((s, d) => sql(s, d, Seq("part"), QRegexpSpark)),
     "q_json" -> ((s, d) => sql(s, d, Seq("events"), qJson(SparkJsonK))),
@@ -582,7 +597,11 @@ object SparkEntry {
       * a~b~c must elect ONE canonical doc. */
     "dedup_groups" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val edges = Dedup.jaccardPairs(docs, 8).select("doc_a", "doc_b")
+      // maxBlockSize uncapped: the DuckDB oracle's jp CTE joins every
+      // (lang, len_bkt) block with no skew cap, so the capped default would
+      // silently diverge if any block exceeded it at a larger SF.
+      val edges = Dedup.jaccardPairs(docs, 8, maxBlockSize = Int.MaxValue)
+        .select("doc_a", "doc_b")
         .unionByName(Dedup.fingerprintEdges(docs))
       Dedup.connectedComponents(edges)
         .groupBy("component")
@@ -848,6 +867,7 @@ object SparkEntry {
     "q_intersect_all" -> QIntersectAll,
     "q_having" -> QHaving,
     "q_percentile" -> QPercentileDuck,
+    "q_percentile_scalable" -> QPercentileDuck, // same statistics, scalable plan
     "q_string_agg" -> QStringAggDuck,
     "q_regexp" -> QRegexpDuck,
     "q_json" -> qJson(DuckJsonK),

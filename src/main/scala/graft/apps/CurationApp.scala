@@ -72,32 +72,45 @@ object CurationApp {
 
   def sync(spark: SparkSession, conf: ConfigLayer, cli: Map[String, String]): Unit = {
     val docs = spark.read.parquet(cli("source"))
-    val curated = curate(spark, docs, conf)
+    // Materialize the funnel once: the isEmpty probe below would otherwise
+    // execute the whole pipeline, and the upsert would recompute it from
+    // scratch (same pattern as CurationStream.ingestBatch).
+    val curated = curate(spark, docs, conf).localCheckpoint(false)
     if (curated.isEmpty)
       throw new IllegalStateException("[curation] nothing survived the funnel")
     val table = LakeTable.fromConfig(cli("table-path"), conf)
     MergeWriter.upsert(spark, curated, table)
   }
 
+  private val usage =
+    """usage: graft.apps.CurationApp
+      |  --source <documents parquet> --table-path <lake path>
+      |  [--props <file>] [--hoodie-conf k=v]... [--debug] [--help]""".stripMargin
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println(
-        """usage: graft.apps.CurationApp
-          |  --source <documents parquet> --table-path <lake path>
-          |  [--props <file>] [--hoodie-conf k=v]... [--debug] [--help]""".stripMargin)
+      System.err.println(usage)
       System.exit(1)
     }
     var cli = Map.empty[String, String]
     var overrides = Vector.empty[String]
     var debug = false
     var i = 0
+    def valueOf(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"missing value for $flag\n$usage")
+        System.exit(1)
+      }
+      i += 1
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--help" | "-h" => main(Array.empty); return
+        case "--help" | "-h" => println(usage); System.exit(0)
         case "--debug" => debug = true
-        case "--hoodie-conf" => overrides :+= args(i + 1); i += 1
+        case "--hoodie-conf" => overrides :+= valueOf("--hoodie-conf")
         case flag if flag.startsWith("--") =>
-          cli += flag.stripPrefix("--") -> args(i + 1); i += 1
+          cli += flag.stripPrefix("--") -> valueOf(flag)
         case other => throw new IllegalArgumentException(s"unrecognized argument: $other")
       }
       i += 1

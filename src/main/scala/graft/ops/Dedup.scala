@@ -265,32 +265,71 @@ object Dedup {
   def simhash(textCol: String): Column =
     graft.functions.TextFunctions.simhash64(col(textCol))
 
-  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
-    * chunks (any pair within Hamming distance 3 must agree on ≥1 chunk);
-    * verified by exact Hamming distance ≤ maxHamming via bit_count(xor).
+  /** SimHash near-dup pairs: candidates share at least one CHUNK-PAIR key —
+    * the 64-bit fingerprint is split into `maxHamming + 2` chunks and every
+    * unordered pair of chunks forms one key. Pigeonhole: ≤ maxHamming
+    * differing bits touch ≤ maxHamming chunks, so ≥ 2 chunks agree, so ≥ 1
+    * pair key collides — candidate recall is 100% for qualifying pairs,
+    * exactly like the classic 1-of-(h+1) single-chunk scheme. Candidates
+    * are then verified by exact Hamming distance via bit_count(xor).
     *
-    * Density ceiling: the chunk-key space is fixed at 2^16 per chunk (the
-    * pigeonhole guarantee for Hamming ≤ 3 needs exactly 4 chunks of a
-    * 64-bit fingerprint), so expected bucket size is n/65536 — fine to
-    * ~10⁷ docs, beyond which either raise `maxBucketSize` consciously
-    * (quadratic within buckets) or split the corpus by a blocking key
-    * (e.g. lang) first; the cap drops oversized buckets rather than
-    * letting one strangle a task. */
+    * Density: a single-chunk key for h=3 is 16 bits → expected bucket size
+    * n/2^16, which hits the `maxBucketSize` cap (and starts dropping mass)
+    * around 10⁷ docs. A pair key is ~26 bits → expected bucket n/2^26, i.e.
+    * the ceiling moves to ~10¹⁰ docs for ~2.5× more exploded rows
+    * (C(h+2,2) vs h+1 keys per doc) — the right trade at corpus scale.
+    * `blockCols` optionally pre-splits the corpus (e.g. by lang) so keys
+    * only collide within a block, multiplying the ceiling by the block
+    * count; near-dups spanning different block values are then missed. */
+  /** One row per (doc, chunk-pair key): the LSH candidate-key relation the
+    * pair join buckets on. Shared by [[simhashPairs]] and the density
+    * diagnostic [[simhashBucketStats]]. */
+  private def simhashChunked(df: DataFrame, maxHamming: Int,
+                             idCol: String, textCol: String,
+                             blockCols: Seq[String]): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+    val nChunks = maxHamming + 2
+    require(nChunks <= 64, s"maxHamming=$maxHamming needs $nChunks chunks of a 64-bit signature")
+    // distribute 64 bits as evenly as possible across the chunks
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def chunk(i: Int): Column =
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val pairKeys = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
+      yield chunk(a) * lit(1L << widths(b)) + chunk(b)
+    val blk = blockCols.map(col)
+    df.select(col(idCol) +: blk :+ simhash(textCol).as("sig"): _*)
+      .select(col(idCol) +: blk :+ col("sig") :+
+        posexplode(array(pairKeys: _*)).as(Seq("chunk", "ckey")): _*)
+  }
+
+  /** Density diagnostic for the chunk-pair LSH: per-bucket populations with
+    * an `oversized` flag, so a scale probe can assert "no mass dropped" at a
+    * target corpus size instead of trusting the 2^26-key-space math. */
+  def simhashBucketStats(df: DataFrame, maxHamming: Int = 3,
+                         maxBucketSize: Int = 1000,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         blockCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    simhashChunked(df, maxHamming, idCol, textCol, blockCols)
+      .groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz"))
+      .withColumn("oversized", col("bsz") > maxBucketSize)
+  }
+
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 1000,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
-    val chunked = df.select(col(idCol), simhash(textCol).as("sig"))
-      .select(col(idCol), col("sig"),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ckey")))
+                   idCol: String = "doc_id", textCol: String = "text",
+                   blockCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    val chunked = simhashChunked(df, maxHamming, idCol, textCol, blockCols)
       .localCheckpoint(false) // 3 consumers (size agg + both join sides)
-    val bucketSizes = chunked.groupBy("chunk", "ckey")
+    val bucketSizes = chunked.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
-    val capped = chunked.join(bucketSizes, Seq("chunk", "ckey"), "left_semi")
-    val l = capped.select(col("chunk"), col("ckey"), col(idCol).as("doc_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("chunk"), col("ckey"), col(idCol).as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ckey"))
+    val capped = chunked.join(bucketSizes, keyCols, "left_semi")
+    val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
+    val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)
+    l.join(r, keyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()

@@ -80,6 +80,45 @@ object Ranking {
      else inSmall).cast("int")
   }
 
+  /** Exact per-group continuous percentiles WITHOUT per-group value
+    * buffering — the 100 TB form of `percentile(v, p) GROUP BY g`, whose
+    * exact aggregate holds every group's full value list in one task's
+    * aggregation buffer (a hot group at corpus scale = OOM, not skew).
+    *
+    * Construction: one global range-rank over (group ++ value ++ tie) via
+    * [[rankWithTotal]] (no single-partition stage), per-group offset/count
+    * from a tiny broadcast aggregate, then each requested percentile reads
+    * its two bracketing within-group ranks and interpolates with the
+    * type-7 arithmetic (`lo + (hi - lo) * frac`, h = (n−1)p + 1) that both
+    * Spark's `percentile` and DuckDB's `quantile_cont` use — results are
+    * bit-equal to the naive aggregate.
+    *
+    * Returns one row per group: groupCols ++ one double column per
+    * requested (name, p) ++ `n` (the group size, often wanted anyway). */
+  def groupPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                       tie: Seq[Column], ps: Seq[(String, Double)]): DataFrame = {
+    val gCols = groupCols.map(col)
+    val (ranked, _) = rankWithTotal(
+      df.select(gCols :+ value.cast("double").as("_v") :+
+        struct(tie: _*).as("_tie"): _*),
+      gCols :+ col("_v") :+ col("_tie"))
+    val gstats = ranked.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(min(col("global_rank")).as("_g0"), count(lit(1)).as("n"))
+    val rk = ranked.join(broadcast(gstats), groupCols)
+      .withColumn("_rk", col("global_rank") - col("_g0") + 1)
+    def h(p: Double): Column = (col("n") - 1).cast("double") * lit(p) + 1
+    val brackets = ps.flatMap { case (name, p) => Seq(
+      max(when(col("_rk") === floor(h(p)), col("_v"))).as(s"_lo_$name"),
+      max(when(col("_rk") === ceil(h(p)), col("_v"))).as(s"_hi_$name"))
+    }
+    val agg = rk.groupBy((groupCols :+ "n").head, (groupCols :+ "n").tail: _*)
+      .agg(brackets.head, brackets.tail: _*)
+    agg.select(gCols ++ ps.map { case (name, p) =>
+      (col(s"_lo_$name") +
+        (col(s"_hi_$name") - col(s"_lo_$name")) * (h(p) - floor(h(p)))).as(name)
+    } :+ col("n"): _*)
+  }
+
   /** percent_rank for a unique ordering: (rank-1)/(n-1); 0 when n == 1. */
   def percentRankOf(rank: Column, n: Long): Column =
     if (n <= 1) lit(0.0) else (rank - 1).cast("double") / lit((n - 1).toDouble)

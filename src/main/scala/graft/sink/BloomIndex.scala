@@ -119,11 +119,10 @@ object BloomIndex {
       s.agg(min("as_of_commit")).head.getLong(0) == MergeWriter.latestCommit(spark, table)
     }
 
-  /** Files whose bloom might contain ANY of `keys`. Membership runs over
-    * the index rows (one per file) joined to the broadcast key list — the
-    * driver only collects the surviving file names. */
-  def pruneFilesForKeys(spark: SparkSession, table: LakeTable,
-                        keys: Seq[String]): Seq[String] = {
+  /** Surviving files for a key batch as a DataFrame (one `file` column) —
+    * stays distributed; [[pruneFilesForKeys]] collects it. */
+  def pruneFilesForKeysDf(spark: SparkSession, table: LakeTable,
+                          keys: Seq[String]): DataFrame = {
     val idx = stats(spark, table).getOrElse(
       throw new IllegalStateException(s"no key_bloom index at ${indexPath(table)}"))
     import spark.implicits._
@@ -131,8 +130,16 @@ object BloomIndex {
       mightContain(bloom, key, m, k))
     idx.join(broadcast(keys.toDF("_key")),
         contains(col("bloom"), col("_key"), col("m_bits"), col("k_hashes")), "left_semi")
-      .select("file").collect().map(_.getString(0)).toSeq
+      .select("file")
   }
+
+  /** Files whose bloom might contain ANY of `keys`. Membership runs over
+    * the index rows (one per file) joined to the broadcast key list — the
+    * driver only collects the surviving file names. */
+  def pruneFilesForKeys(spark: SparkSession, table: LakeTable,
+                        keys: Seq[String]): Seq[String] =
+    pruneFilesForKeysDf(spark, table, keys)
+      .collect().map(_.getString(0)).toSeq
 
   /** [[pruneFilesForKeys]] for a DISTRIBUTED key set (an upsert batch):
     * the small index is broadcast against the key frame, so millions of
@@ -185,14 +192,29 @@ object BloomIndex {
   }
 
   /** Point-lookup read: scan only files whose blooms match, then filter
-    * exactly. Stale/missing index → filtered full scan. */
-  def readKeys(spark: SparkSession, table: LakeTable, keys: Seq[String]): DataFrame = {
+    * exactly. Stale/missing index → filtered full scan.
+    *
+    * Driver-footprint guard (same contract as [[ColumnStats.read]]): up to
+    * `maxFileListSize` surviving files the pruned list is collected and
+    * files are truly skipped; beyond it no driver array is built — the
+    * full scan is semi-joined (broadcast) against the distributed survivor
+    * list on `_metadata.file_path`. */
+  def readKeys(spark: SparkSession, table: LakeTable, keys: Seq[String],
+               maxFileListSize: Int = 100000): DataFrame = {
     val exact = keyExpr(table).isin(keys: _*)
     val full = spark.read.parquet(dataPath(table))
     if (!isFresh(spark, table)) return full.filter(exact)
-    val files = pruneFilesForKeys(spark, table, keys)
-    if (files.isEmpty) full.filter(lit(false))
-    else spark.read.option("basePath", dataPath(table))
-      .parquet(files: _*).filter(exact)
+    val survivors = pruneFilesForKeysDf(spark, table, keys)
+    val n = survivors.count() // one index row per file: metadata-cheap
+    if (n == 0) full.filter(lit(false))
+    else if (n <= maxFileListSize) {
+      val files = survivors.collect().map(_.getString(0)).toSeq
+      spark.read.option("basePath", dataPath(table))
+        .parquet(files: _*).filter(exact)
+    } else
+      full.withColumn("_fp", col("_metadata.file_path"))
+        .join(broadcast(survivors), col("_fp") === col("file"), "left_semi")
+        .drop("_fp")
+        .filter(exact)
   }
 }

@@ -72,11 +72,10 @@ object ColumnStats {
       asOf == MergeWriter.latestCommit(spark, table)
     }
 
-  /** Files whose [min, max] ranges can contain a row matching ALL bounds.
-    * Collecting the file list is bounded by the file count — the same
-    * cardinality the scan's own file listing handles. */
-  def pruneFiles(spark: SparkSession, table: LakeTable,
-                 bounds: Seq[ColumnRange]): Seq[String] = {
+  /** Surviving files as a DataFrame (one `file` column) — stays
+    * distributed; [[pruneFiles]] collects it for scan construction. */
+  def pruneFilesDf(spark: SparkSession, table: LakeTable,
+                   bounds: Seq[ColumnRange]): DataFrame = {
     val idx = stats(spark, table).getOrElse(
       throw new IllegalStateException(s"no column_stats index at ${indexPath(table)}"))
     val keep = bounds.flatMap { b =>
@@ -86,8 +85,15 @@ object ColumnStats {
       b.lower.map(lo => col(s"${b.column}__max") >= lit(lo)) ++
         b.upper.map(hi => col(s"${b.column}__min") <= lit(hi))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    idx.filter(keep).select("file").collect().map(_.getString(0)).toSeq
+    idx.filter(keep).select("file")
   }
+
+  /** Files whose [min, max] ranges can contain a row matching ALL bounds.
+    * Collecting the file list is bounded by the file count — the same
+    * cardinality the scan's own file listing handles. */
+  def pruneFiles(spark: SparkSession, table: LakeTable,
+                 bounds: Seq[ColumnRange]): Seq[String] =
+    pruneFilesDf(spark, table, bounds).collect().map(_.getString(0)).toSeq
 
   /** The residual row filter equivalent to `bounds` (files can still hold
     * non-matching rows). */
@@ -100,14 +106,33 @@ object ColumnStats {
   /** File-skipping read: scan only files whose stats ranges overlap
     * `bounds`, then apply the residual filter. Falls back to the plain
     * filtered full scan when the index is missing or stale — the index is
-    * an accelerator, never a correctness dependency. */
+    * an accelerator, never a correctness dependency.
+    *
+    * Driver-footprint guard: a scan's file list is inherently driver-side
+    * (Spark's own FileIndex), so up to `maxFileListSize` survivors the
+    * pruned list is collected and files are truly SKIPPED. Beyond it — an
+    * O(10⁶)-file table where pruning barely bit — no driver array is
+    * built: the full scan is semi-joined (broadcast) against the
+    * distributed survivor list on `_metadata.file_path`. That path reads
+    * every file's footer (row-group stats + the pushed residual still
+    * skip within files) but keeps the driver bounded; with that many
+    * survivors the scan was near-full anyway. */
   def read(spark: SparkSession, table: LakeTable,
-           bounds: Seq[ColumnRange]): DataFrame = {
+           bounds: Seq[ColumnRange], maxFileListSize: Int = 100000): DataFrame = {
     val full = spark.read.parquet(dataPath(table))
     if (!isFresh(spark, table)) return full.filter(residual(bounds))
-    val files = pruneFiles(spark, table, bounds)
-    if (files.isEmpty) full.filter(lit(false))
-    else spark.read.option("basePath", dataPath(table))
-      .parquet(files: _*).filter(residual(bounds))
+    val survivors = pruneFilesDf(spark, table, bounds)
+    // the index is one tiny row per file: counting it is metadata-cheap
+    val n = survivors.count()
+    if (n == 0) full.filter(lit(false))
+    else if (n <= maxFileListSize) {
+      val files = survivors.collect().map(_.getString(0)).toSeq
+      spark.read.option("basePath", dataPath(table))
+        .parquet(files: _*).filter(residual(bounds))
+    } else
+      full.withColumn("_fp", col("_metadata.file_path"))
+        .join(broadcast(survivors), col("_fp") === col("file"), "left_semi")
+        .drop("_fp")
+        .filter(residual(bounds))
   }
 }

@@ -63,8 +63,10 @@ object DataAddress {
   * docs/file/01.Excel Ingestion.md:122-131). Scale shape: one input
   * partition PER FILE — workbooks are small and indivisible (a ZIP has no
   * split points), so a glob of N workbooks reads N-wide in parallel; the
-  * sheet XML itself streams through StAX. Out of scope, documented:
-  * encrypted workbooks, date styling, legacy .xls. */
+  * sheet XML itself streams through StAX. Date-styled numeric cells
+  * (numFmt → `xl/styles.xml`) type as Date/Timestamp under `inferSchema`;
+  * `dateFormat`/`timestampFormat` add user patterns for string cells.
+  * Out of scope, documented: encrypted workbooks, legacy .xls. */
 class ExcelSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "excel"
   override def supportsExternalMetadata(): Boolean = true
@@ -95,6 +97,11 @@ final case class ExcelOptions(raw: Map[String, String]) {
   /** error cells (`t="e"`, #DIV/0! etc): type-default fallback when true,
     * null when false (default). */
   val errorsToFallback: Boolean = ci("setErrorCellsToFallbackValues").exists(_.trim.toBoolean)
+  /** extra java-time patterns tried FIRST when converting string cells into
+    * Date/Timestamp columns (the reference's `dateFormat`/`timestampFormat`
+    * knobs); styled date cells already arrive in the canonical forms. */
+  val dateFormat: Option[String] = ci("dateFormat").map(_.trim)
+  val timestampFormat: Option[String] = ci("timestampFormat").map(_.trim)
   def paths: Seq[String] =
     ci("paths").map(DocPushdown.parseJson(_).elements().asScala.map(_.asText).toSeq)
       .getOrElse(ci("path").toSeq)
@@ -131,12 +138,15 @@ class ExcelReaderFactory(fullSchema: StructType, required: StructType,
     val rows = ExcelRead.dataRows(p.asInstanceOf[ExcelFilePartition].path, opts)
     // pruned field -> its cell position in the full row
     val cellIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    // compile the user's date/timestamp patterns once per partition
+    val dateFmt = opts.dateFormat.map(java.time.format.DateTimeFormatter.ofPattern)
+    val tsFmt = opts.timestampFormat.map(java.time.format.DateTimeFormatter.ofPattern)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {
           current = ExcelRead.toInternalRow(rows.next(), required, cellIdx,
-            opts.errorsToFallback)
+            opts.errorsToFallback, dateFmt, tsFmt)
           true
         } else false
       override def get(): InternalRow = current
@@ -192,11 +202,13 @@ object ExcelRead {
             s"no sheet '$name' in $path (has: ${sheets.map(_._1).mkString(", ")})"))
       }
       val shared = XlsxParser.sharedStrings(zip)
+      val dateStyleIds = XlsxParser.dateStyles(zip)
+      val use1904 = XlsxParser.date1904(zip)
       val lo = opts.address.map(_.startRow.toLong).getOrElse(1L)
       val hi = opts.address.flatMap(_.endRow).map(_.toLong)
       val c0 = opts.address.map(_.startCol - 1).getOrElse(0)
       val cN = opts.address.flatMap(_.endCol) // inclusive, 1-based
-      XlsxParser.sheetRows(zip, part, shared)
+      XlsxParser.sheetRows(zip, part, shared, dateStyleIds, use1904)
         .filter { case (r, _) => r >= lo && hi.forall(r <= _) }
         .map { case (_, cells) =>
           val upper = cN.getOrElse(cells.length)
@@ -231,17 +243,49 @@ object ExcelRead {
         else if (vs.forall(v => v.toLongOption.isDefined)) LongType
         else if (vs.forall(v => v.toDoubleOption.isDefined)) DoubleType
         else if (vs.forall(v => v.toBooleanOption.isDefined)) BooleanType
+        // canonical forms emitted by XlsxParser for date-styled cells;
+        // a date/timestamp mix types as the wider Timestamp
+        else if (vs.forall(isCanonicalDate)) DateType
+        else if (vs.forall(v => isCanonicalDate(v) || isCanonicalTs(v))) TimestampType
         else StringType
       }
     }
     StructType(names.zip(types).map { case (n, t) => StructField(n, t, nullable = true) })
   }
 
+  private val CanonicalDate = """\d{4}-\d{2}-\d{2}""".r
+  private val CanonicalTs = """\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?""".r
+  def isCanonicalDate(v: String): Boolean = CanonicalDate.matches(v)
+  def isCanonicalTs(v: String): Boolean = CanonicalTs.matches(v)
+
+  private def attempt[A](f: => A): Option[A] =
+    try Some(f) catch { case _: Exception => None }
+
+  /** String cell → epoch days: the user's `dateFormat` pattern first, then
+    * the canonical `yyyy-MM-dd` (a timestamp's date prefix also parses). */
+  def parseDateDays(raw: String, fmt: Option[java.time.format.DateTimeFormatter]): Option[Int] =
+    fmt.flatMap(f => attempt(java.time.LocalDate.parse(raw, f)))
+      .orElse(attempt(java.time.LocalDate.parse(raw.take(10))))
+      .map(_.toEpochDay.toInt)
+
+  /** String cell → epoch micros (wall-clock read as UTC, matching the
+    * serial's timezone-less nature): `timestampFormat` first, then the
+    * canonical `yyyy-MM-dd[ T]HH:mm:ss[.f]`, then a bare date at midnight. */
+  def parseTsMicros(raw: String, fmt: Option[java.time.format.DateTimeFormatter]): Option[Long] = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    fmt.flatMap(f => attempt(LocalDateTime.parse(raw, f)))
+      .orElse(attempt(LocalDateTime.parse(raw.replace(' ', 'T'))))
+      .orElse(attempt(LocalDate.parse(raw)).map(_.atStartOfDay))
+      .map(d => d.toEpochSecond(ZoneOffset.UTC) * 1000000L + d.getNano / 1000L)
+  }
+
   /** Permissive conversion (like csv PERMISSIVE): unparseable cells null.
     * Error cells (`#DIV/0!` …) become the type's fallback value when
     * `setErrorCellsToFallbackValues` is set, null otherwise. */
   def toInternalRow(cells: IndexedSeq[String], schema: StructType,
-                    cellIdx: Array[Int], errorsToFallback: Boolean): InternalRow = {
+                    cellIdx: Array[Int], errorsToFallback: Boolean,
+                    dateFmt: Option[java.time.format.DateTimeFormatter] = None,
+                    tsFmt: Option[java.time.format.DateTimeFormatter] = None): InternalRow = {
     val out = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
@@ -253,6 +297,8 @@ object ExcelRead {
             case LongType => "0"
             case DoubleType => "0.0"
             case BooleanType => "false"
+            case DateType => "1970-01-01"
+            case TimestampType => "1970-01-01 00:00:00"
             case _ => ""
           } else null
         else raw0
@@ -264,6 +310,8 @@ object ExcelRead {
             .orElse(raw.toDoubleOption.map(_.toLong)).map(Long.box).orNull
           case DoubleType => raw.toDoubleOption.map(Double.box).orNull
           case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
+          case DateType => parseDateDays(raw, dateFmt).map(Int.box).orNull
+          case TimestampType => parseTsMicros(raw, tsFmt).map(Long.box).orNull
           case other => throw new IllegalStateException(s"unexpected type $other")
         }
       i += 1

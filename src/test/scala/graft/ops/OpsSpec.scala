@@ -76,6 +76,42 @@ class OpsSpec extends SparkSuite {
     assert(sh.exists(t => t._1 == 0L && t._2 == 1L && t._3 == 0))
   }
 
+  test("simhashPairs chunk-pair LSH has full recall vs brute-force Hamming") {
+    // 60 docs: 20 distinct bases, each with two light perturbations that
+    // usually land within a few signature bits — the pigeonhole guarantee
+    // says EVERY pair within maxHamming must surface as an LSH candidate,
+    // so the pair set must EQUAL the brute-force cross-join's.
+    val corpus = (0 until 20).flatMap { i =>
+      val b = s"document number $i " + base
+      Seq((i * 3L, b), (i * 3L + 1, b.replace("fox", s"fox$i")),
+        (i * 3L + 2, b + s" trailing token $i"))
+    }.toDF("doc_id", "text")
+    for (h <- Seq(2, 3)) {
+      val lsh = Dedup.simhashPairs(corpus, h, maxBucketSize = 10000)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val sig = corpus.select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("sig"))
+      val brute = sig.as("a").crossJoin(sig.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= h)
+        .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+      assert(lsh === brute, s"maxHamming=$h")
+    }
+  }
+
+  test("simhashPairs blockCols pre-split confines pairs to a block") {
+    // docs 0/1 are identical but get different block values: a lang
+    // pre-split must suppress that pair while keeping within-block dups
+    val d = Seq((0L, base, "en"), (1L, base, "de"), (2L, base, "en"))
+      .toDF("doc_id", "text", "lang")
+    val blocked = Dedup.simhashPairs(d, 3, blockCols = Seq("lang"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(blocked === Set((0L, 2L)))
+    val unblocked = Dedup.simhashPairs(d, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unblocked === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("bruteForceTopK ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -61,6 +61,38 @@ class RankingSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("groupPercentiles matches the exact percentile aggregate bit-for-bit") {
+    // groups of co-prime sizes so h = (n-1)p + 1 lands on AND between ranks;
+    // duplicated values exercise the tie-break path
+    val d = (1 to 500).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 7919 % 97).toDouble)).toDF("id", "g", "v")
+    val expected = d.groupBy("g").agg(
+      expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.75)").as("p75"),
+      expr("percentile(v, 1.0)").as("mx"),
+      count(lit(1)).as("n"))
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+    val got = Ranking.groupPercentiles(d, Seq("g"), col("v"), Seq(col("id")),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "mx" -> 1.0))
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("groupPercentiles plan has no global window and no percentile buffer") {
+    val d = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i.toDouble))
+      .toDF("id", "g", "v")
+    val plan = Ranking.groupPercentiles(d, Seq("g"), col("v"), Seq(col("id")),
+      Seq("p50" -> 0.5)).queryExecution.executedPlan
+    val badWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(badWindows.isEmpty, s"global (unpartitioned) WindowExec: $badWindows")
+    assert(!plan.toString.toLowerCase.contains("percentile"),
+      "plan must not contain the buffering percentile aggregate")
+  }
+
   test("plan has no single-partition global-sort window") {
     val (ranked, _) = Ranking.rankWithTotal(df, Seq(col("v"), col("id")), 7)
     // window operators must all be partitioned (partitionBy _pid), never the

@@ -55,6 +55,18 @@ class BloomIndexSpec extends SparkSuite {
     assert(BloomIndex.readKeys(spark, t, Seq("9999")).isEmpty)
   }
 
+  test("over-threshold survivors route through the broadcast semi-join (no driver file array)") {
+    val t = table3Files()
+    val joined = BloomIndex.readKeys(spark, t, Seq("150", "199"), maxFileListSize = 0)
+    // string match: AQE wraps the tree, collect() can't see into it
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast LEFT SEMI join on file_path in:\n$p")
+    assert(joined.select("id", "v").as[(Long, String)].collect().toSet
+      === Set((150L, "v150"), (199L, "v199")))
+    assert(BloomIndex.readKeys(spark, t, Seq("9999"), maxFileListSize = 0).isEmpty)
+  }
+
   test("stale index falls back to the filtered full scan") {
     val t = table3Files()
     MergeWriter.append(Seq((5000L, "new", 1L)).toDF("id", "v", "ver"), t)

@@ -61,6 +61,23 @@ class ColumnStatsSpec extends SparkSuite {
     assert(ge.select("v").as[Long].collect().toSet === (390L until 400L).toSet)
   }
 
+  test("over-threshold survivor list routes through the broadcast semi-join (no driver file array)") {
+    val t = clusteredTable()
+    val bounds = Seq(ColumnRange("v", Some(0L), Some(80L)))
+    // maxFileListSize=0 forces the no-collect path for ANY survivor count
+    val joined = ColumnStats.read(spark, t, bounds, maxFileListSize = 0)
+    // string match: AQE wraps the tree, collect() can't see into it
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected a broadcast LEFT SEMI join on file_path in:\n$p")
+    val expected = ColumnStats.read(spark, t, bounds)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(joined.select("id", "v").as[(Long, Long)].collect().toSet === expected)
+    // an impossible range still short-circuits to empty on both paths
+    assert(ColumnStats.read(spark, t,
+      Seq(ColumnRange("v", Some(1000L), None)), maxFileListSize = 0).isEmpty)
+  }
+
   test("stale index falls back to the full scan, never to wrong answers") {
     val t = clusteredTable()
     // a new write advances the timeline; index is now stale

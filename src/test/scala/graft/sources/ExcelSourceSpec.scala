@@ -37,6 +37,10 @@ class ExcelSourceSpec extends SparkSuite {
             val ref = s"${colRef(c)}${r + 1}"
             if (isStr) s"""<c r="$ref" t="s"><v>${sidOf(v)}</v></c>"""
             else if (v.startsWith("#")) s"""<c r="$ref" t="e"><v>$v</v></c>"""
+            else if (v.startsWith("DATE:")) // styled: cellXfs 1 = numFmtId 14
+              s"""<c r="$ref" s="1"><v>${v.stripPrefix("DATE:")}</v></c>"""
+            else if (v.startsWith("TS:")) // styled: cellXfs 2 = custom 164
+              s"""<c r="$ref" s="2"><v>${v.stripPrefix("TS:")}</v></c>"""
             else if (v == "true" || v == "false")
               s"""<c r="$ref" t="b"><v>${if (v == "true") 1 else 0}</v></c>"""
             else s"""<c r="$ref"><v>$v</v></c>"""
@@ -69,6 +73,12 @@ class ExcelSourceSpec extends SparkSuite {
     }.mkString
     entry("xl/sharedStrings.xml",
       s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$ss</sst>""")
+    // style 0 = General, 1 = built-in date (numFmtId 14), 2 = custom
+    // datetime format (what real writers emit for formatted timestamps)
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm:ss"/></numFmts>""" +
+        """<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs></styleSheet>""")
     sheetXmls.zipWithIndex.foreach { case (xml, i) =>
       entry(s"xl/worksheets/sheet${i + 1}.xml", xml)
     }
@@ -192,6 +202,59 @@ class ExcelSourceSpec extends SparkSuite {
     assert(scanSchemas.head.fieldNames.toSeq === Seq("qty"),
       s"scan not pruned: ${scanSchemas.head}")
     assert(df.as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("date-styled cells type as Date/Timestamp (numFmt styling)") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val dir = tmpDir()
+    // serials in the 1900 system: whole days for the date column, +0.5 day
+    // (= 12:00:00) for the timestamp column with a CUSTOM numFmt (164)
+    def serial(d: LocalDate): Long =
+      ChronoUnit.DAYS.between(LocalDate.of(1899, 12, 30), d)
+    val d1 = LocalDate.of(2024, 1, 15); val d2 = LocalDate.of(2025, 12, 31)
+    writeXlsx(s"$dir/dates.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("evt"), s("day"), s("at")),
+      Seq(s("a"), n(s"DATE:${serial(d1)}"), n(s"TS:${serial(d1)}.5")),
+      Seq(s("b"), n(s"DATE:${serial(d2)}"), n(s"TS:${serial(d2)}.25")))))
+    val df = spark.read.format("excel").option("inferSchema", "true")
+      .load(s"$dir/dates.xlsx")
+    assert(df.schema.fields.map(_.dataType).toSeq
+      === Seq(StringType, DateType, TimestampType))
+    val got = df.select(col("evt"), col("day").cast("string"),
+      date_format(col("at"), "yyyy-MM-dd HH:mm:ss"))
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("a", "2024-01-15", "2024-01-15 12:00:00"),
+      ("b", "2025-12-31", "2025-12-31 06:00:00")))
+    // a user schema + timestampFormat parses STRING cells into timestamps
+    writeXlsx(s"$dir/strts.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("when")), Seq(s("15/01/2024 10:30:00")))))
+    val parsed = spark.read.format("excel")
+      .option("timestampFormat", "dd/MM/yyyy HH:mm:ss")
+      .schema(StructType(Seq(StructField("when", TimestampType))))
+      .load(s"$dir/strts.xlsx")
+    assert(parsed.select(date_format(col("when"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect().toSeq === Seq("2024-01-15 10:30:00"))
+  }
+
+  test("serialToString: 1900 leap bug, 1904 system, date format codes") {
+    // the Lotus phantom 1900-02-29 (serial 60) collapses to Mar 1
+    assert(XlsxParser.serialToString(59, date1904 = false) === "1900-02-28")
+    assert(XlsxParser.serialToString(60, date1904 = false) === "1900-03-01")
+    assert(XlsxParser.serialToString(61, date1904 = false) === "1900-03-01")
+    assert(XlsxParser.serialToString(1, date1904 = false) === "1900-01-01")
+    assert(XlsxParser.serialToString(0, date1904 = true) === "1904-01-01")
+    assert(XlsxParser.serialToString(45306.5, date1904 = false)
+      === "2024-01-15 12:00:00")
+    // format-code heuristic: quoted/color/currency sections don't count
+    assert(XlsxParser.isDateFormatCode("yyyy-mm-dd"))
+    assert(XlsxParser.isDateFormatCode("[h]:mm:ss")) // elapsed time
+    assert(XlsxParser.isDateFormatCode("""yyyy\-mm\-dd hh:mm:ss"""))
+    assert(!XlsxParser.isDateFormatCode("#,##0.00"))
+    assert(!XlsxParser.isDateFormatCode("General"))
+    assert(!XlsxParser.isDateFormatCode("""[Red]#,##0;"hours owed" 0"""))
+    assert(!XlsxParser.isDateFormatCode("""[$USD] #,##0"""))
   }
 
   test("FileImport routes .xlsx resources through the native source") {
