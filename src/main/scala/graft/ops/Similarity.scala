@@ -353,6 +353,52 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** Incremental index maintenance: land a batch of new/updated vectors
+    * into an existing at-rest index WITHOUT rewriting the corpus.
+    *
+    * New vectors are assigned to the EXISTING centroids (assignment is the
+    * index's invariant — probes must find a vector in the cell its stored
+    * centroid implies, so centroids are deliberately NOT retrained here;
+    * retrain + full [[writeIvfIndex]] periodically, like any IVF system),
+    * then only the touched `cell_id=N` partitions are rewritten: their
+    * current rows are unioned with the batch (batch wins on `idCol` —
+    * file-slice upsert, same pattern as the lake layer's upsertIndexed)
+    * and written back under `partitionOverwriteMode=dynamic`, which
+    * replaces exactly the partitions present in the output. A batch
+    * touching b ≤ nlist cells costs ~b/nlist of the corpus in IO, not a
+    * full rewrite. */
+  def appendToIvfIndex(batch: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val assigned = assignCells(batch, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol), col("cell_id"))
+      .localCheckpoint(false)
+    // an UPDATED vector may move cells: its old row lives in a partition no
+    // batch vector maps to, so that cell must be rewritten too. Locating
+    // old rows reads only (id, cell_id) — column pruning keeps the vector
+    // payload (the dominant bytes) out of this pass.
+    val oldCells = spark.read.parquet(s"$path/data")
+      .join(assigned.select(idCol), Seq(idCol), "left_semi")
+      .select("cell_id").distinct()
+    // bounded collect: ≤ nlist new cells + ≤ batch-distinct old cells
+    val touched = assigned.select("cell_id").distinct().unionByName(oldCells)
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(s"$path/data")
+      .filter(col("cell_id").isin(touched: _*))
+      .select(col(idCol), col(vecCol), col("cell_id"))
+      // batch wins on id (vector update moves/replaces the stored row)
+      .join(assigned.select(idCol), Seq(idCol), "left_anti")
+    // eager: the write overwrites partitions this plan reads
+    val merged = existing.unionByName(assigned).localCheckpoint(true)
+    merged.write.partitionBy("cell_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+  }
+
   /** Top-k against a stored IVF index: per-query probes come from the
     * stored centroids, the probed cell set (≤ nlist ids, driver-side) turns
     * into a partition-pruning `isin` filter on the index scan, and only

@@ -44,8 +44,10 @@ object DocPushdown {
 
   /** Mongo aggregation pipeline → DataFrame transforms. Supported stages:
     * `$match`, `$project` (include- or exclude-mode), `$sort`, `$limit`,
-    * `$count` — the shapes the reference's docs demonstrate. A JSON object
-    * (single stage) or array of stages is accepted, like the connector. */
+    * `$count` (the shapes the reference's docs demonstrate), plus
+    * `$unwind` (→ explode / explode_outer, composing with the T2 flatten
+    * operator) and `$group` (→ hash aggregate). A JSON object (single
+    * stage) or array of stages is accepted, like the connector. */
   def mongoPipeline(df: DataFrame, pipelineJson: String): DataFrame = {
     val root = parseJson(pipelineJson)
     val stages = if (root.isArray) root.elements().asScala.toSeq else Seq(root)
@@ -74,9 +76,65 @@ object DocPushdown {
             (if (df.columns.contains("_id") && !fields.exists(_.getKey == "_id")) Seq("_id") else Nil)
           df.select(keep.distinct.map(col): _*)
         } else df.drop(excluded.map(_.getKey): _*)
+      case "$unwind" =>
+        // "$f" or {path, preserveNullAndEmptyArrays, includeArrayIndex};
+        // default Mongo semantics DROP docs with missing/null/empty arrays
+        // (explode); preserve=true keeps them with a null element
+        // (explode_outer); includeArrayIndex adds the position column
+        // (null under preserve, matching Mongo)
+        val (path, preserve, idxCol) =
+          if (body.isTextual) (body.asText, false, None)
+          else (body.get("path").asText,
+            Option(body.get("preserveNullAndEmptyArrays")).exists(_.asBoolean),
+            Option(body.get("includeArrayIndex")).map(_.asText))
+        val f = path.stripPrefix("$")
+        idxCol match {
+          case None =>
+            df.withColumn(f, if (preserve) explode_outer(col(f)) else explode(col(f)))
+          case Some(ix) =>
+            val gen = if (preserve) posexplode_outer(col(f)) else posexplode(col(f))
+            val others = df.columns.filterNot(_ == f).toSeq.map(col)
+            df.select(others :+ gen.as(Seq(ix, f)): _*)
+        }
+      case "$group" =>
+        // {_id: null | "$f" | {k: "$f", ...}, out: {$acc: expr}, ...}
+        val idNode = body.get("_id")
+        require(idNode != null, "$group requires _id")
+        val accs = body.fields().asScala.filterNot(_.getKey == "_id").map { e =>
+            val acc = e.getValue
+            require(acc.isObject && acc.size() == 1, s"bad accumulator: $acc")
+            val op = acc.fieldNames().next()
+            val arg = acc.get(op)
+            (op match {
+              case "$sum" => sum(mongoValue(arg)) // $sum: 1 == count via sum(lit(1))
+              case "$avg" => avg(mongoValue(arg))
+              case "$min" => min(mongoValue(arg))
+              case "$max" => max(mongoValue(arg))
+              case "$count" => count(lit(1))
+              case "$first" => first(mongoValue(arg))
+              case "$last" => last(mongoValue(arg))
+              case "$push" => collect_list(mongoValue(arg))
+              case "$addToSet" => collect_set(mongoValue(arg))
+              case other => throw new IllegalArgumentException(
+                s"unsupported $$group accumulator: $other")
+            }).as(e.getKey)
+          }.toSeq
+        require(accs.nonEmpty, "$group needs at least one accumulator")
+        df.groupBy(mongoValue(idNode).as("_id"))
+          .agg(accs.head, accs.tail: _*)
       case other => throw new IllegalArgumentException(s"unsupported pipeline stage: $other")
     }
   }
+
+  /** Mongo value expression: `"$f"` field path, `{k: expr}` document →
+    * struct, anything else a literal (incl. `_id: null` — a constant
+    * groups everything into one bucket, Mongo's global group). */
+  private def mongoValue(n: JsonNode): Column =
+    if (n == null || n.isNull) lit(null)
+    else if (n.isTextual && n.asText.startsWith("$")) col(n.asText.stripPrefix("$"))
+    else if (n.isObject)
+      struct(n.fields().asScala.map(e => mongoValue(e.getValue).as(e.getKey)).toSeq: _*)
+    else lit0(n)
 
   /** `$match` body → one Catalyst predicate. Null semantics follow Mongo:
     * equality uses the null-safe form (`{f: null}` matches missing), and

@@ -289,6 +289,45 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell_id"))
   }
 
+  test("IVF index append rewrites only touched cell partitions, keeps probe parity") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 8, iters = 1)
+    def partFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$path/data").listFiles()
+        .filter(_.getName.startsWith("cell_id=")).map(d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = partFiles()
+    // batch: 2 new vectors + 1 update of an existing id (vector moved)
+    val batch = Seq(
+      (100L, Array.tabulate(16)(d => math.sin((100 * 37 + d) * 1.3).toFloat)),
+      (101L, Array.tabulate(16)(d => math.cos((101 * 7 + d) * 0.9).toFloat)),
+      (5L, Array.tabulate(16)(d => math.cos((5 * 11 + d) * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(batch, path)
+    val after = partFiles()
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty && changed.size < before.size,
+      s"expected a strict subset of partitions rewritten, got $changed of ${before.keySet}")
+    // the stored corpus now equals (old minus updated id) + batch
+    val stored = spark.read.parquet(s"$path/data")
+    assert(stored.count() === 42L) // 40 - 1 updated + 3
+    assert(stored.filter(col("vec_id") === 5L).count() === 1L)
+    // probe parity: the appended index answers like in-memory ivfTopK over
+    // the same union corpus with the SAME stored centroids
+    val cents = spark.read.parquet(s"$path/_centroids")
+    val union = emb.filter(col("vec_id") =!= 5L).unionByName(batch)
+    val queries = union.filter(col("vec_id") % 10 === 0)
+    val mem = Similarity.ivfTopK(union, 3, 8, 2, col("vec_id") % 10 === 0,
+        centroids = Some(cents))
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val idx = Similarity.ivfTopKIndexed(queries, path, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(idx === mem)
+  }
+
   test("i8 quantization: bounded error, scale invariance, exact-rerank top-k") {
     import graft.functions.VectorFunctions
     VectorFunctions.ensureRegistered(spark)

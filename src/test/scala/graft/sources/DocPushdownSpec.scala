@@ -39,6 +39,52 @@ class DocPushdownSpec extends SparkSuite {
     assert(m("""{"$nor": [{"city": "sf"}, {"age": 40}]}""") === Set("a", "c"))
   }
 
+  test("$unwind: drops empty/missing by default, preserve + array index options") {
+    // default: one row per element; c (empty array) disappears
+    val un = DocPushdown.mongoPipeline(people, """[{"$unwind": "$tags"}]""")
+    assert(un.select("_id", "tags").as[(String, String)].collect().toSet
+      === Set(("a", "x"), ("a", "y"), ("b", "x"), ("d", "z"), ("d", "x"), ("d", "y")))
+    // preserveNullAndEmptyArrays keeps c with a null element
+    val keep = DocPushdown.mongoPipeline(people,
+      """[{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": true}}]""")
+    assert(keep.filter(col("_id") === "c").select("tags")
+      .as[Option[String]].collect().toSeq === Seq(None))
+    // includeArrayIndex adds the element position
+    val idx = DocPushdown.mongoPipeline(people,
+      """[{"$unwind": {"path": "$tags", "includeArrayIndex": "pos"}}]""")
+    assert(idx.filter(col("_id") === "d").select("pos", "tags")
+      .as[(Long, String)].collect().toSet === Set((0L, "z"), (1L, "x"), (2L, "y")))
+    // composes: unwind then match then count
+    val n = DocPushdown.mongoPipeline(people,
+      """[{"$unwind": "$tags"}, {"$match": {"tags": "x"}}, {"$count": "n"}]""")
+      .as[Long].head()
+    assert(n === 3L)
+  }
+
+  test("$group: field/_id-null/document keys, $sum/$avg/$min/$max/$push accumulators") {
+    // group by city: sum(1) counts docs, avg/min/max over age
+    val byCity = DocPushdown.mongoPipeline(people,
+      """[{"$group": {"_id": "$city", "n": {"$sum": 1},
+        |"avg_age": {"$avg": "$age"}, "top": {"$max": "$age"}}}]""".stripMargin)
+    val rows = byCity.select(col("_id"), col("n"), col("avg_age"), col("top"))
+      .as[(Option[String], Long, Option[Double], Option[Long])].collect().toSet
+    assert(rows === Set(
+      (Some("nyc"), 2L, Some(31.0), Some(31L)), // c's null age ignored by avg/max
+      (Some("sf"), 1L, Some(25.0), Some(25L)),
+      (None, 1L, Some(40.0), Some(40L))))
+    // _id: null = one global bucket
+    val global = DocPushdown.mongoPipeline(people,
+      """[{"$group": {"_id": null, "n": {"$sum": 1}, "min_age": {"$min": "$age"}}}]""")
+    assert(global.select("n", "min_age").as[(Long, Long)].head() === ((4L, 25L)))
+    // document _id -> struct key; $push collects per group
+    val doc = DocPushdown.mongoPipeline(people,
+      """[{"$unwind": "$tags"},
+        |{"$group": {"_id": {"t": "$tags"}, "who": {"$push": "$_id"}}}]""".stripMargin)
+    val who = doc.select(col("_id.t"), array_sort(col("who")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(who === Map("x" -> Seq("a", "b", "d"), "y" -> Seq("a", "d"), "z" -> Seq("d")))
+  }
+
   test("$match null semantics follow Mongo: null matches missing; $ne/$nin match missing") {
     def m(json: String): Set[String] =
       ids(DocPushdown.mongoPipeline(people, s"""[{"$$match": $json}]"""))
