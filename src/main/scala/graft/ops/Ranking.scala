@@ -98,10 +98,14 @@ object Ranking {
   def groupPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
                        tie: Seq[Column], ps: Seq[(String, Double)]): DataFrame = {
     val gCols = groupCols.map(col)
-    val (ranked, _) = rankWithTotal(
+    // localCheckpoint: the ranked relation feeds BOTH the per-group offset
+    // aggregate and the bracket join — without it each branch re-runs the
+    // rank window over the cached ranged frame
+    val (ranked0, _) = rankWithTotal(
       df.select(gCols :+ value.cast("double").as("_v") :+
         struct(tie: _*).as("_tie"): _*),
       gCols :+ col("_v") :+ col("_tie"))
+    val ranked = ranked0.localCheckpoint(false)
     val gstats = ranked.groupBy(groupCols.head, groupCols.tail: _*)
       .agg(min(col("global_rank")).as("_g0"), count(lit(1)).as("n"))
     val rk = ranked.join(broadcast(gstats), groupCols)

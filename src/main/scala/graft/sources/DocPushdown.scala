@@ -46,15 +46,19 @@ object DocPushdown {
     * `$match`, `$project` (include- or exclude-mode), `$sort`, `$limit`,
     * `$count` (the shapes the reference's docs demonstrate), plus
     * `$unwind` (→ explode / explode_outer, composing with the T2 flatten
-    * operator) and `$group` (→ hash aggregate). A JSON object (single
-    * stage) or array of stages is accepted, like the connector. */
-  def mongoPipeline(df: DataFrame, pipelineJson: String): DataFrame = {
+    * operator), `$group` (→ hash aggregate) and `$lookup` (→ pre-grouped
+    * left join; collections resolve via the `lookups` registry). A JSON
+    * object (single stage) or array of stages is accepted, like the
+    * connector. */
+  def mongoPipeline(df: DataFrame, pipelineJson: String,
+                    lookups: Map[String, DataFrame] = Map.empty): DataFrame = {
     val root = parseJson(pipelineJson)
     val stages = if (root.isArray) root.elements().asScala.toSeq else Seq(root)
-    stages.foldLeft(df)(mongoStage)
+    stages.foldLeft(df)(mongoStage(_, _, lookups))
   }
 
-  private def mongoStage(df: DataFrame, stage: JsonNode): DataFrame = {
+  private def mongoStage(df: DataFrame, stage: JsonNode,
+                         lookups: Map[String, DataFrame] = Map.empty): DataFrame = {
     require(stage.isObject && stage.size() == 1, s"bad pipeline stage: $stage")
     val name = stage.fieldNames().next()
     val body = stage.get(name)
@@ -122,6 +126,26 @@ object DocPushdown {
         require(accs.nonEmpty, "$group needs at least one accumulator")
         df.groupBy(mongoValue(idNode).as("_id"))
           .agg(accs.head, accs.tail: _*)
+      case "$lookup" =>
+        // equality form: {from, localField, foreignField, as} → left outer
+        // join carrying an ARRAY of matching foreign docs (empty on no
+        // match, Mongo's contract). `from` resolves through the `lookups`
+        // registry (the connector's collection namespace). The foreign
+        // side is pre-grouped per key, so a hot key joins ONE array row —
+        // never a row explosion — and small dimensions broadcast.
+        def req(k: String): String = Option(body.get(k)).map(_.asText).getOrElse(
+          throw new IllegalArgumentException(s"$$lookup requires '$k': $body"))
+        val fromName = req("from")
+        val local = req("localField")
+        val foreign = req("foreignField")
+        val as = req("as")
+        val fromDf = lookups.getOrElse(fromName, throw new IllegalArgumentException(
+          s"$$lookup: no collection '$fromName' in the lookup registry"))
+        val grouped = fromDf.groupBy(col(foreign).as("_lk"))
+          .agg(collect_list(struct(fromDf.columns.map(col): _*)).as(as))
+        df.join(grouped, col(local) <=> col("_lk"), "left")
+          .drop("_lk")
+          .withColumn(as, coalesce(col(as), array()))
       case other => throw new IllegalArgumentException(s"unsupported pipeline stage: $other")
     }
   }

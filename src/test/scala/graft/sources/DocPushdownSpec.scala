@@ -85,6 +85,32 @@ class DocPushdownSpec extends SparkSuite {
     assert(who === Map("x" -> Seq("a", "b", "d"), "y" -> Seq("a", "d"), "z" -> Seq("d")))
   }
 
+  test("$lookup joins a registry collection as an array field (empty on no match)") {
+    val orders = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("who", "amt")
+    val got = DocPushdown.mongoPipeline(people,
+      """[{"$lookup": {"from": "orders", "localField": "_id",
+        |"foreignField": "who", "as": "ords"}}]""".stripMargin,
+      lookups = Map("orders" -> orders))
+    assert(got.columns.toSeq === people.columns.toSeq :+ "ords")
+    val byId = got.select(col("_id"), col("ords.amt"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(byId("a").sorted === Seq(10L, 20L))
+    assert(byId("b") === Seq(5L))
+    assert(byId("c") === Nil) // no match -> EMPTY array, not null
+    // composes: lookup then unwind flattens the array like a join
+    val n = DocPushdown.mongoPipeline(people,
+      """[{"$lookup": {"from": "orders", "localField": "_id",
+        |"foreignField": "who", "as": "ords"}},
+        |{"$unwind": "$ords"}, {"$count": "n"}]""".stripMargin,
+      lookups = Map("orders" -> orders)).as[Long].head()
+    assert(n === 3L)
+    // unknown collection fails with the registry message
+    val e = intercept[IllegalArgumentException](DocPushdown.mongoPipeline(people,
+      """[{"$lookup": {"from": "nope", "localField": "_id",
+        |"foreignField": "who", "as": "x"}}]""".stripMargin))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("$match null semantics follow Mongo: null matches missing; $ne/$nin match missing") {
     def m(json: String): Set[String] =
       ids(DocPushdown.mongoPipeline(people, s"""[{"$$match": $json}]"""))
