@@ -66,7 +66,9 @@ object DataAddress {
   * sheet XML itself streams through StAX. Date-styled numeric cells
   * (numFmt → `xl/styles.xml`) type as Date/Timestamp under `inferSchema`;
   * `dateFormat`/`timestampFormat` add user patterns for string cells.
-  * Out of scope, documented: encrypted workbooks, legacy .xls. */
+  * `workbookPassword` opens ECMA-376 agile-encrypted workbooks
+  * ([[OfficeCrypto]], JDK crypto only). Out of scope, documented:
+  * legacy binary `.xls`. */
 class ExcelSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "excel"
   override def supportsExternalMetadata(): Boolean = true
@@ -102,6 +104,8 @@ final case class ExcelOptions(raw: Map[String, String]) {
     * knobs); styled date cells already arrive in the canonical forms. */
   val dateFormat: Option[String] = ci("dateFormat").map(_.trim)
   val timestampFormat: Option[String] = ci("timestampFormat").map(_.trim)
+  /** password for ECMA-376 agile-encrypted workbooks ([[OfficeCrypto]]). */
+  val workbookPassword: Option[String] = ci("workbookPassword")
   def paths: Seq[String] =
     ci("paths").map(DocPushdown.parseJson(_).elements().asScala.map(_.asText).toSeq)
       .getOrElse(ci("path").toSeq)
@@ -189,10 +193,35 @@ object ExcelRead {
   def headerRowCount(opts: ExcelOptions): Int =
     if (opts.header) 1 + opts.ignoreAfterHeader else 0
 
+  /** Open a workbook as a ZIP, transparently decrypting ECMA-376
+    * agile-encrypted containers when `workbookPassword` is set. Decryption
+    * lands in an executor-local temp file (java.util.zip needs a seekable
+    * file); workbooks are file-sized by definition, and the handle is
+    * removed as soon as the sheet rows are drained. */
+  private def withZip[A](path: String, opts: ExcelOptions)(f: ZipFile => A): A = {
+    val head = new Array[Byte](8)
+    val in = new java.io.FileInputStream(path)
+    val n = try in.read(head) finally in.close()
+    if (n == 8 && OleCfb.isCfb(head)) {
+      val pw = opts.workbookPassword.getOrElse(throw new IllegalArgumentException(
+        s"$path is an encrypted workbook — set the workbookPassword option"))
+      val plain = OfficeCrypto.decrypt(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), pw)
+      val tmp = java.nio.file.Files.createTempFile("graft-xlsx-dec", ".zip")
+      try {
+        java.nio.file.Files.write(tmp, plain)
+        val zip = new ZipFile(tmp.toFile)
+        try f(zip) finally zip.close()
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val zip = new ZipFile(path)
+      try f(zip) finally zip.close()
+    }
+  }
+
   /** In-range rows (header still included). */
-  private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
-    val zip = new ZipFile(path)
-    try {
+  private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] =
+    withZip(path, opts) { zip =>
       val sheets = XlsxParser.sheetParts(zip)
       val part = opts.address.flatMap(_.sheet) match {
         case None => sheets.headOption.map(_._2)
@@ -218,8 +247,7 @@ object ExcelRead {
           if (opts.emptyAsNull) sliced.map(v => if (v != null && v.isEmpty) null else v)
           else sliced
         }.toIndexedSeq.iterator // drain before the zip handle closes
-    } finally zip.close()
-  }
+    }
 
   /** Header names + excerpt-based column typing from the FIRST resolved
     * file (multi-file reads share one schema, like Spark's csv). */

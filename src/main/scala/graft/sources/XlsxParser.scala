@@ -23,9 +23,11 @@ import scala.collection.mutable.ArrayBuffer
   * STYLING: numeric cells whose style (`s=` → `xl/styles.xml` cellXfs →
   * numFmt) is a date/time format are rendered as canonical
   * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` strings, which the reader types as
-  * Date/Timestamp (the reference's `timestampFormat` surface). Out of
-  * scope, documented: encrypted workbooks (`workbookPassword` — the OLE
-  * container is not SpreadsheetML) and .xls (the legacy binary format).
+  * Date/Timestamp (the reference's `timestampFormat` surface). Encrypted
+  * workbooks (`workbookPassword`) are handled upstream by
+  * [[OfficeCrypto]]/[[OleCfb]] — this parser always sees plain
+  * SpreadsheetML. Out of scope, documented: .xls (the legacy binary
+  * format).
   *
   * Memory: StAX streams the sheet XML (the spark-excel `maxRowsInMemory`
   * behavior by default); only the shared-string table is materialized, as

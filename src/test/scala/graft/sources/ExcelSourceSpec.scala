@@ -257,6 +257,46 @@ class ExcelSourceSpec extends SparkSuite {
     assert(!XlsxParser.isDateFormatCode("""[$USD] #,##0"""))
   }
 
+  test("encrypted workbook (agile ECMA-376): workbookPassword decrypts, wrong password fails") {
+    val dir = tmpDir()
+    writeXlsx(s"$dir/plain.xlsx", Seq("Sheet1" -> Seq(
+      Seq(s("name"), s("qty")),
+      Seq(s("apple"), n("3")), Seq(s("pear"), n("7")))))
+    val zip = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/plain.xlsx"))
+    // low spinCount keeps the test fast; real files use 100k and only
+    // cost more CPU in the same code path
+    val enc = OfficeCrypto.encrypt(zip, "s3cret", spinCount = 1000)
+    assert(OleCfb.isCfb(enc) && !java.util.Arrays.equals(enc, zip))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/enc.xlsx"), enc)
+
+    val df = spark.read.format("excel")
+      .option("inferSchema", "true").option("workbookPassword", "s3cret")
+      .load(s"$dir/enc.xlsx")
+    assert(df.as[(String, Long)].collect().toSet === Set(("apple", 3L), ("pear", 7L)))
+
+    val noPw = intercept[Exception](
+      spark.read.format("excel").load(s"$dir/enc.xlsx").collect())
+    assert(noPw.getMessage.contains("workbookPassword") ||
+      Option(noPw.getCause).exists(_.getMessage.contains("workbookPassword")))
+    val badPw = intercept[Exception](
+      spark.read.format("excel").option("workbookPassword", "nope")
+        .load(s"$dir/enc.xlsx").collect())
+    assert(badPw.getMessage.contains("wrong password") ||
+      Option(badPw.getCause).exists(_.getMessage.contains("wrong password")))
+  }
+
+  test("OfficeCrypto round-trips multi-segment payloads through the CFB container") {
+    // > 4096 bytes forces multiple AES segments with per-segment IVs
+    val payload = Array.tabulate(10000)(i => ((i * 131) % 251).toByte)
+    val enc = OfficeCrypto.encrypt(payload, "pw", spinCount = 100)
+    assert(OfficeCrypto.decrypt(enc, "pw").toSeq === payload.toSeq)
+    // CFB layer: streams round-trip by name with exact (padded) sizes
+    val streams = OleCfb.readStreams(enc)
+    assert(streams.keySet === Set("EncryptionInfo", "EncryptedPackage"))
+    intercept[IllegalArgumentException](OfficeCrypto.decrypt(enc, "other"))
+  }
+
   test("FileImport routes .xlsx resources through the native source") {
     val dir = tmpDir()
     writeXlsx(s"$dir/wb.xlsx", Seq("Sheet1" -> Seq(
