@@ -678,6 +678,41 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    /** PII scrubbing ([[TextOps.scrubPii]]): the synthetic corpus carries
+      * no natural PII, so the query plants a deterministic email + phone +
+      * IP per doc (the oracle builds the identical string) and the
+      * operator must remove exactly those — codegen'd regexp_replace
+      * chain, RE2-compatible patterns shared verbatim with the oracle. */
+    "text_pii_scrub" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), concat_ws(" ",
+          substring(col("text"), 1, 40),
+          concat(lit("user"), col("doc_id"), lit("@mail.example.com")),
+          concat(lit("+1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+          concat(lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))).as("pii"))
+        .select(col("doc_id"), TextOps.scrubPii(col("pii")).as("clean"))
+        .filter(col("clean").contains("<EMAIL>") &&
+          col("clean").contains("<PHONE>") && col("clean").contains("<IP>"))
+        .orderBy("doc_id")),
+
+    /** Per-source corpus report — composes [[graft.ops.Ranking
+      * .groupPercentiles]] (exact median with no per-group buffering) with
+      * plain aggregates; the shape every dataset card needs. */
+    "corpus_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val agg = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+      graft.ops.Ranking.groupPercentiles(
+          docs.select(col("source"), col("n_chars"), col("doc_id")),
+          Seq("source"), col("n_chars"), Seq(col("doc_id")),
+          Seq("p50_chars" -> 0.5, "max_chars" -> 1.0))
+        .join(agg, "source")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("p50_chars"), col("max_chars").cast("long").as("max_chars"))
+        .orderBy("source")
+    }),
     "text_vocab_topk" -> ((s, d) =>
       t(s, d, "documents")
         .select(explode(TextOps.lowerTokens(col("text"))).as("token"))
@@ -1179,6 +1214,31 @@ object SparkEntry {
       SELECT doc_id,
         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
+
+    // same planted-PII construction and the same RE2-safe regexes, verbatim
+    "text_pii_scrub" -> """
+      WITH pii AS (
+        SELECT doc_id, concat_ws(' ', substr(text, 1, 40),
+          concat('user', doc_id, '@mail.example.com'),
+          concat('+1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+          concat('10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')) AS p
+        FROM documents),
+      clean AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(p,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\+?\d[\d\- ]{6,}\d', '<PHONE>', 'g') AS clean
+        FROM pii)
+      SELECT doc_id, clean FROM clean
+      WHERE clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%' AND clean LIKE '%<IP>%'
+      ORDER BY doc_id""",
+
+    "corpus_stats" -> """
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        quantile_cont(n_chars, 0.5) AS p50_chars,
+        CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM documents GROUP BY source ORDER BY source""",
 
     "text_langid" -> """
       WITH scored AS (

@@ -40,6 +40,27 @@ object TextOps {
   /** Deterministic rolling-hash document fingerprint: md5 over the canonical
     * (sorted distinct lowercase) token set. Two docs with identical content
     * modulo word order/duplication share a fingerprint. */
+  /** PII scrubbing for training corpora: emails, IPv4 addresses and
+    * phone-shaped digit runs are replaced by typed placeholder tokens.
+    * Pure `regexp_replace` chain — whole-stage codegen, one pass per
+    * pattern, no UDF. The patterns are deliberately RE2-compatible (no
+    * backrefs/lookarounds) so the identical regexes run on other engines
+    * (the DuckDB oracle executes these strings verbatim).
+    *
+    * Order matters: emails first (so the phone pattern cannot eat a
+    * digit-bearing local part), then IPs (dotted digits), then phones
+    * (7+ digits with separators). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\- ]{6,}\\d"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   def fingerprint(text: Column): Column =
     md5(array_join(tokenSet(text), " "))
 

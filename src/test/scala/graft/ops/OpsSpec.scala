@@ -136,6 +136,20 @@ class OpsSpec extends SparkSuite {
     assert(res.map(_._2).toSet.intersect(Set(9L, 11L)).nonEmpty)
   }
 
+  test("scrubPii masks emails, IPs and phones; plain text untouched") {
+    val d = Seq(
+      (1L, "contact alice.b+x@sub.example.co.uk or call +44 20 7946 0958 now"),
+      (2L, "server 192.168.001.1 and 10.0.0.7 responded"),
+      (3L, "version 1.2 costs 12 dollars at 3 pm"), // no PII shapes
+      (4L, "a@b.io 555-123-4567 8.8.8.8")).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(col("text"))
+    val out = d.select(col("doc_id"), got.as("c")).as[(Long, String)].collect().toMap
+    assert(out(1L) === "contact <EMAIL> or call <PHONE> now")
+    assert(out(2L) === "server <IP> and <IP> responded")
+    assert(out(3L) === "version 1.2 costs 12 dollars at 3 pm")
+    assert(out(4L) === "<EMAIL> <PHONE> <IP>")
+  }
+
   test("langId picks the language with most marker hits") {
     val d = Seq(
       (1L, "the cat and the dog is a pet"),
