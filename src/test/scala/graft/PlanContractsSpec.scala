@@ -55,6 +55,19 @@ class PlanContractsSpec extends SparkSuite {
     }
   }
 
+  test("scalable percentile queries never fall back to a global window or percentile buffer") {
+    for (q <- Seq("q_percentile_scalable", "corpus_stats")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("percentile"), s"$q regressed to the buffering percentile aggregate")
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q has a global (unpartitioned) WindowExec")
+    }
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")
