@@ -597,11 +597,10 @@ object SparkEntry {
       * a~b~c must elect ONE canonical doc. */
     "dedup_groups" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // maxBlockSize uncapped: the DuckDB oracle's jp CTE joins every
-      // (lang, len_bkt) block with no skew cap, so the capped default would
-      // silently diverge if any block exceeded it at a larger SF.
-      val edges = Dedup.jaccardPairs(docs, 8, maxBlockSize = Int.MaxValue)
-        .select("doc_a", "doc_b")
+      // capped default: the oracle's blk CTE mirrors jaccardPairs'
+      // maxBlockSize skew cap, so the SCALABLE capped form is what the
+      // hash compare certifies (no silent divergence at larger SFs).
+      val edges = Dedup.jaccardPairs(docs, 8).select("doc_a", "doc_b")
         .unionByName(Dedup.fingerprintEdges(docs))
       Dedup.connectedComponents(edges)
         .groupBy("component")
@@ -937,15 +936,21 @@ object SparkEntry {
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY fp""",
 
+    // the HAVING <= 1000 block cap mirrors jaccardPairs' maxBlockSize —
+    // the skew cap is part of the operator's semantics, so the oracle
+    // encodes it too (keeping the SCALABLE capped form oracle-checked)
     "dedup_jaccard" -> """
-      WITH tok AS (
+      WITH tok0 AS (
         SELECT doc_id, lang, n_chars // 64 AS len_bkt,
           list_sort(list_distinct(list_transform(
             range(len(string_split(lower(text), ' ')) - 2),
             i -> string_split(lower(text), ' ')[i+1] || ' ' ||
                  string_split(lower(text), ' ')[i+2] || ' ' ||
                  string_split(lower(text), ' ')[i+3]))) AS sh
-        FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      blk AS (SELECT lang, len_bkt FROM tok0
+              GROUP BY lang, len_bkt HAVING COUNT(*) <= 1000),
+      tok AS (SELECT t.* FROM tok0 t JOIN blk USING (lang, len_bkt))
       SELECT doc_a, doc_b, i, u FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS i,
@@ -973,7 +978,7 @@ object SparkEntry {
     // differ (all-pairs vs star) but connectivity — hence the groups — is
     // identical, which is exactly what the hash compare certifies.
     "dedup_groups" -> """
-      WITH RECURSIVE tok AS (
+      WITH RECURSIVE tok0 AS (
         SELECT doc_id, lang, n_chars // 64 AS len_bkt,
           list_sort(list_distinct(list_transform(
             range(len(string_split(lower(text), ' ')) - 2),
@@ -981,6 +986,9 @@ object SparkEntry {
                  string_split(lower(text), ' ')[i+2] || ' ' ||
                  string_split(lower(text), ' ')[i+3]))) AS sh
         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      blk AS (SELECT lang, len_bkt FROM tok0
+              GROUP BY lang, len_bkt HAVING COUNT(*) <= 1000),
+      tok AS (SELECT t.* FROM tok0 t JOIN blk USING (lang, len_bkt)),
       jp AS (
         SELECT doc_a, doc_b FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
