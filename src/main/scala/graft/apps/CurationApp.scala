@@ -19,6 +19,8 @@ import graft.sink.{LakeTable, MergeWriter}
   *   budgets → keyed upsert (doc_id, partitioned as configured).
   *
   * Config surface (`graft.curation.*` + the `hoodie.*` table keys):
+  *   - `pii.scrub`           mask emails/IPs/phones before every other
+  *                           stage (PII-differing dups then collapse)
   *   - `langid.enable`       drop docs whose predicted lang ≠ labeled lang
   *   - `min.tokens`          quality floor (default 20)
   *   - `repetition.factor`   drop when top_bigram_n * factor > n_tokens
@@ -38,9 +40,15 @@ object CurationApp {
   def curate(spark: SparkSession, docs: DataFrame, conf: ConfigLayer): DataFrame = {
     val minTokens = conf.getOrElse(Prefix + "min.tokens", "20").toInt
     val repFactor = conf.getOrElse(Prefix + "repetition.factor", "5").toInt
+    // PII scrub runs FIRST so every later stage (incl. the exact dedup's
+    // md5) sees the redacted text — two docs differing only in their PII
+    // collapse to one
+    val scrubbed =
+      if (!conf.getBoolean(Prefix + "pii.scrub", default = false)) docs
+      else docs.withColumn("text", TextOps.scrubPii(col("text")))
     val langOk =
-      if (!conf.getBoolean(Prefix + "langid.enable", default = false)) docs
-      else TextOps.langId(docs)
+      if (!conf.getBoolean(Prefix + "langid.enable", default = false)) scrubbed
+      else TextOps.langId(scrubbed)
         .filter(col("lang_pred") === col("lang")).drop("lang_pred")
     val rep = Curation.repetitionProfile(langOk)
       .filter(col("n_tokens") >= minTokens &&

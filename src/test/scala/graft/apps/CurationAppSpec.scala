@@ -44,6 +44,30 @@ class CurationAppSpec extends SparkSuite {
     assert(ids === Set(1L, 5L))
   }
 
+  test("pii.scrub masks text first, so PII-differing duplicates collapse") {
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge by the river bank today"
+    val d = Seq(
+      (1L, s"$base reach me at alice@example.com", "en", "s1"),
+      (2L, s"$base reach me at bob@other.org", "en", "s1"), // same after scrub
+      (3L, s"$base completely different tail words here", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val conf = ConfigLayer(Map(
+      "graft.curation.pii.scrub" -> "true",
+      "graft.curation.min.tokens" -> "5"))
+    val out = CurationApp.curate(spark, d, conf)
+    val rows = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 2 deduped away (identical to doc 1 post-scrub); text is masked
+    assert(rows.keySet === Set(1L, 3L))
+    assert(rows(1L).endsWith("reach me at <EMAIL>"))
+    // without the stage both survive and PII remains
+    val off = CurationApp.curate(spark, d, ConfigLayer(Map(
+      "graft.curation.min.tokens" -> "5")))
+    assert(off.count() === 3L)
+    assert(off.filter($"doc_id" === 1L).select("text").as[String].head()
+      .contains("alice@example.com"))
+  }
+
   test("decontamination and per-source budgets from config") {
     val src = Files.createTempDirectory("graft-capp-src2").toString
     val ev = Files.createTempDirectory("graft-capp-ev").toString
