@@ -585,6 +585,26 @@ object SparkEntry {
       Dedup.fingerprintGroups(t(s, d, "documents")).orderBy("fp")),
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), 8).orderBy("doc_a", "doc_b")),
+    /** The dedup ENDGAME: pairs → groups → ONE canonical doc per group
+      * (longest text wins, lowest id breaks ties; singletons are their
+      * own canonical). Pure hash aggregate over the CC labels — max_by
+      * with a struct ordering, map-side combined, no window. */
+    "dedup_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = Dedup.jaccardPairs(docs, 8).select("doc_a", "doc_b")
+        .unionByName(Dedup.fingerprintEdges(docs))
+      val comp = Dedup.connectedComponents(edges)
+        .withColumnRenamed("node", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .groupBy(col("component").as("group_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("n_chars")),
+            struct(col("n_chars"), -col("doc_id"))).as("_k"))
+        .select(col("group_id"), col("n_members"),
+          col("_k.doc_id").as("keep_id"), col("_k.n_chars").as("kept_chars"))
+        .orderBy("group_id")
+    }),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), 8).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -1016,6 +1036,58 @@ object SparkEntry {
              CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(MAX(node) AS BIGINT) AS max_member
       FROM comp GROUP BY group_id ORDER BY group_id""",
+
+    // same component construction as dedup_groups, then one canonical doc
+    // per group over ALL documents (singletons group with themselves)
+    "dedup_canonical" -> """
+      WITH RECURSIVE tok0 AS (
+        SELECT doc_id, lang, n_chars // 64 AS len_bkt,
+          list_sort(list_distinct(list_transform(
+            range(len(string_split(lower(text), ' ')) - 2),
+            i -> string_split(lower(text), ' ')[i+1] || ' ' ||
+                 string_split(lower(text), ' ')[i+2] || ' ' ||
+                 string_split(lower(text), ' ')[i+3]))) AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      blk AS (SELECT lang, len_bkt FROM tok0
+              GROUP BY lang, len_bkt HAVING COUNT(*) <= 1000),
+      tok AS (SELECT t.* FROM tok0 t JOIN blk USING (lang, len_bkt)),
+      jp AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.sh, b.sh)) AS i,
+            len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+          FROM tok a JOIN tok b
+            ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id) p
+        WHERE 10 * i >= 8 * u AND u > 0),
+      fp AS (
+        SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+          string_split(lower(text), ' '))), ' ')) AS f
+        FROM documents),
+      fpe AS (
+        SELECT doc_id AS doc_a, MIN(doc_id) OVER (PARTITION BY f) AS doc_b
+        FROM fp QUALIFY doc_a <> doc_b),
+      pairs AS (SELECT doc_a, doc_b FROM jp UNION SELECT doc_a, doc_b FROM fpe),
+      und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und) s
+        UNION
+        SELECT e.v, reach.r FROM reach JOIN und e ON e.u = reach.node),
+      comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node),
+      lab AS (
+        SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      ranked AS (
+        SELECT group_id, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY group_id
+            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+          COUNT(*) OVER (PARTITION BY group_id) AS n_members
+        FROM lab)
+      SELECT CAST(group_id AS BIGINT) AS group_id,
+             CAST(n_members AS BIGINT) AS n_members,
+             CAST(doc_id AS BIGINT) AS keep_id,
+             n_chars AS kept_chars
+      FROM ranked WHERE rn = 1 ORDER BY group_id""",
 
     "text_decontaminate" -> """
       WITH tok AS (

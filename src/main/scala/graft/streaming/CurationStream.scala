@@ -35,10 +35,15 @@ object CurationStream {
     * Exposed for tests and for batch backfills — the streaming path and a
     * bulk historical load MUST share ingest semantics or replays diverge. */
   def ingestBatch(batch: DataFrame, table: LakeTable,
-                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  scrubPii: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val withFp = batch.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    // scrub BEFORE fingerprinting (mirrors CurationApp's pii.scrub stage):
+    // docs differing only in PII share a fingerprint and dedup together
+    val b0 = if (scrubPii)
+      batch.withColumn(textCol, TextOps.scrubPii(col(textCol))) else batch
+    val withFp = b0.withColumn("fp", TextOps.fingerprint(col(textCol)))
     val view = MergeWriter.readView(spark, table)
     val seen =
       if (view.columns.contains("fp")) view.select(col("fp")).distinct()
@@ -59,11 +64,12 @@ object CurationStream {
     * per-batch [[ingestBatch]]. */
   def start(docs: DataFrame, table: LakeTable, checkpointDir: String,
             triggerMs: Long = 1000L, idCol: String = "doc_id",
-            textCol: String = "text"): StreamingQuery =
+            textCol: String = "text", scrubPii: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch((b: Dataset[Row], _: Long) => ingestBatch(b, table, idCol, textCol))
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        ingestBatch(b, table, idCol, textCol, scrubPii))
       .start()
 }

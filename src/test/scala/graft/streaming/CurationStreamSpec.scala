@@ -69,6 +69,20 @@ class CurationStreamSpec extends SparkSuite {
     assert(MergeWriter.readView(spark, t).count() === 3L)
   }
 
+  test("scrubPii masks before fingerprinting: PII-only variants dedup together") {
+    val t = table()
+    CurationStream.ingestBatch(
+      Seq((1L, "contact me at alice@example.com for details"),
+          (2L, "contact me at bob@other.org for details"), // same post-scrub
+          (3L, "totally different content here"))
+        .toDF("doc_id", "text"),
+      t, scrubPii = true)
+    assert(corpusIds(t) === Set(1L, 3L))
+    val stored = MergeWriter.readView(spark, t)
+      .filter($"doc_id" === 1L).select("text").as[String].head()
+    assert(stored === "contact me at <EMAIL> for details")
+  }
+
   test("ingestBatch replay is a no-op (idempotent exactly-once)") {
     val t = table()
     val b = Seq((10L, "one two three"), (11L, "four five six"))
