@@ -96,6 +96,10 @@ object ScaleProbe {
     time("srp_neardup")(Similarity.srpNearDupPairs(emb, 0.5).count())
     time("ann_ivf")(Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0).count())
     time("repetition")(Curation.repetitionProfile(docs).count())
+    time("group_percentiles")(graft.ops.Ranking.groupPercentiles(
+      docs.select(col("lang"), col("n_chars"), col("doc_id")),
+      Seq("lang"), col("n_chars"), Seq(col("doc_id")),
+      Seq("p50" -> 0.5, "p99" -> 0.99)).count())
     spark.stop()
   }
 }
