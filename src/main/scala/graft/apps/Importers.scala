@@ -156,7 +156,8 @@ object EsImport extends BatchImportApp {
   override def appName(cli: Map[String, String]): String =
     s"graft-es-importer [${cli.getOrElse("resource", "?")}]"
 
-  private val EsKeys = Set("es.query", "es.read.field.include", "es.read.field.exclude")
+  private val EsKeys = Set("es.query", "es.read.field.include",
+    "es.read.field.exclude", "es.read.field.as.array.include")
 
   override def readSource(spark: SparkSession, conf: ConfigLayer,
                           cli: Map[String, String]): DataFrame = {
@@ -168,6 +169,7 @@ object EsImport extends BatchImportApp {
     graft.sources.DocPushdown.esRead(df,
       esQuery = extra.get("es.query"),
       include = extra.get("es.read.field.include"),
-      exclude = extra.get("es.read.field.exclude"))
+      exclude = extra.get("es.read.field.exclude"),
+      asArrayInclude = extra.get("es.read.field.as.array.include"))
   }
 }

@@ -196,11 +196,16 @@ object DocPushdown {
   // ------------------------------------------------------------------- ES
 
   /** ES read surface: `es.query` (query DSL or full search body with
-    * `_source`), plus the `es.read.field.include`/`exclude` comma lists.
-    * Applied in the reference's own order: query filter, then `_source`
-    * projection, then field include/exclude. */
+    * `_source`), the `es.read.field.include`/`exclude` comma lists, and
+    * `es.read.field.as.array.include` (ES mappings cannot distinguish a
+    * scalar field from a single-element array, so the connector forces the
+    * listed fields to array shape — here a null-safe `array()` wrap on
+    * fields the schema inferred as scalars). Applied in the reference's
+    * own order: query filter, `_source` projection, include/exclude,
+    * array coercion. */
   def esRead(df: DataFrame, esQuery: Option[String],
-             include: Option[String], exclude: Option[String]): DataFrame = {
+             include: Option[String], exclude: Option[String],
+             asArrayInclude: Option[String] = None): DataFrame = {
     val afterQuery = esQuery.map(_.trim).filter(_.nonEmpty) match {
       case None => df
       case Some(q) =>
@@ -215,7 +220,13 @@ object DocPushdown {
     val inc = include.map(commaList).getOrElse(Nil)
     val exc = exclude.map(commaList).getOrElse(Nil)
     val afterInc = if (inc.nonEmpty) afterQuery.select(inc.map(col): _*) else afterQuery
-    if (exc.nonEmpty) afterInc.drop(exc: _*) else afterInc
+    val afterExc = if (exc.nonEmpty) afterInc.drop(exc: _*) else afterInc
+    asArrayInclude.map(commaList).getOrElse(Nil).foldLeft(afterExc) { (acc, f) =>
+      if (acc.columns.contains(f) &&
+          !acc.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        acc.withColumn(f, when(col(f).isNull, lit(null)).otherwise(array(col(f))))
+      else acc // already an array (or absent): the hint is satisfied
+    }
   }
 
   private def commaList(s: String): Seq[String] =

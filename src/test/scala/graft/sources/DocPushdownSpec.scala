@@ -188,6 +188,21 @@ class DocPushdownSpec extends SparkSuite {
 
   // ---------------------------------------------------------------- S8 URI
 
+  test("es.read.field.as.array.include wraps scalar fields, leaves arrays alone") {
+    val wrapped = DocPushdown.esRead(people, None, None, None,
+      asArrayInclude = Some("city, tags, missing"))
+    // scalar city -> single-element array; null stays null
+    val cities = wrapped.select(col("_id"), col("city"))
+      .as[(String, Option[Seq[String]])].collect().toMap
+    assert(cities("a") === Some(Seq("nyc")))
+    assert(cities("d") === None)
+    // tags was already an array: untouched
+    assert(wrapped.schema("tags").dataType ===
+      people.schema("tags").dataType)
+    assert(wrapped.filter(col("_id") === "d").select("tags")
+      .as[Seq[String]].head() === Seq("z", "x", "y"))
+  }
+
   test("MongoUri parses the reference's credential-spliced URI shapes") {
     val u = MongoUri.parse("mongodb://usr:p%40ss@h1:27017,h2:27018/mydb?replicaSet=rs0&ssl=true")
     assert(u.user === Some("usr") && u.password === Some("p%40ss"))
