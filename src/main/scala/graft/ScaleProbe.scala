@@ -18,8 +18,10 @@ object ScaleProbe {
   private def replicate(df: DataFrame, idCol: String, x: Int): DataFrame = {
     // Step derived from the actual id range: a fixed constant would let
     // replica ids collide with originals at larger SFs and silently merge
-    // rows, skewing the probe.
-    val step = df.agg(max(col(idCol)).cast("long")).head().getLong(0) + 1L
+    // rows, skewing the probe. max() over an empty frame is null → step 1
+    // (the union of empties is empty either way).
+    val row = df.agg(max(col(idCol)).cast("long")).head()
+    val step = (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
     (0 until x).map(i =>
       df.withColumn(idCol, col(idCol) + lit(i * step)))
       .reduce(_.unionByName(_))
@@ -68,11 +70,12 @@ object ScaleProbe {
     // (must be 0).
     time("simhash_density_1m") {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      val n = base.count()
+      val n = math.max(1L, base.count())
       val times = math.max(1L, math.ceil(1e6 / n).toLong)
       // crossJoin-with-range replication (an N-way union plan would have
       // `times` scan branches)
-      val step = base.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1L
+      val stepRow = base.agg(max(col("doc_id")).cast("long")).head()
+      val step = (if (stepRow.isNullAt(0)) 0L else stepRow.getLong(0)) + 1L
       val corpus = base.crossJoin(spark.range(times).as("rep"))
         .select((col("doc_id") + col("id") * step).as("doc_id"), col("text"))
         .select(col("doc_id"), concat_ws(" ", col("text"),

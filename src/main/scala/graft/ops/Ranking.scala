@@ -93,22 +93,42 @@ object Ranking {
     * Spark's `percentile` and DuckDB's `quantile_cont` use — results are
     * bit-equal to the naive aggregate.
     *
+    * Null semantics match the exact aggregate: null values are ignored
+    * (`n` counts non-null), an all-null/empty group emits null
+    * percentiles, and null group keys are ordinary groups.
+    *
     * Returns one row per group: groupCols ++ one double column per
-    * requested (name, p) ++ `n` (the group size, often wanted anyway). */
+    * requested (name, p) ++ `n` (the non-null count, often wanted
+    * anyway). */
   def groupPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
                        tie: Seq[Column], ps: Seq[(String, Double)]): DataFrame = {
     val gCols = groupCols.map(col)
+    // null semantics must match the exact aggregate: null VALUES are
+    // ignored (dropped before ranking, so `n` counts non-null only) and an
+    // all-null/empty group still emits its row with null percentiles
+    // (restored via the left join at the end); null GROUP KEYS survive
+    // because every group join here is null-safe (<=>)
+    val nonNull = df.filter(value.isNotNull)
     // localCheckpoint: the ranked relation feeds BOTH the per-group offset
     // aggregate and the bracket join — without it each branch re-runs the
     // rank window over the cached ranged frame
     val (ranked0, _) = rankWithTotal(
-      df.select(gCols :+ value.cast("double").as("_v") :+
+      nonNull.select(gCols :+ value.cast("double").as("_v") :+
         struct(tie: _*).as("_tie"): _*),
       gCols :+ col("_v") :+ col("_tie"))
     val ranked = ranked0.localCheckpoint(false)
-    val gstats = ranked.groupBy(groupCols.head, groupCols.tail: _*)
-      .agg(min(col("global_rank")).as("_g0"), count(lit(1)).as("n"))
-    val rk = ranked.join(broadcast(gstats), groupCols)
+    // join keys on the aggregated sides are RENAMED (__g_/__c_ prefixes):
+    // both joins are derived-from-self joins, and identically-named
+    // attributes would trip Spark's ambiguous-self-join detection
+    def nullSafeOn(prefix: String): Column =
+      groupCols.map(c => col(c) <=> col(prefix + c)).reduce(_ && _)
+    val gstats = groupCols.foldLeft(
+      ranked.groupBy(groupCols.head, groupCols.tail: _*)
+        .agg(min(col("global_rank")).as("_g0"), count(lit(1)).as("n"))) {
+      (acc, c) => acc.withColumnRenamed(c, "__g_" + c)
+    }
+    val rk = ranked.join(broadcast(gstats), nullSafeOn("__g_"))
+      .drop(groupCols.map("__g_" + _): _*)
       .withColumn("_rk", col("global_rank") - col("_g0") + 1)
     def h(p: Double): Column = (col("n") - 1).cast("double") * lit(p) + 1
     val brackets = ps.flatMap { case (name, p) => Seq(
@@ -117,10 +137,16 @@ object Ranking {
     }
     val agg = rk.groupBy((groupCols :+ "n").head, (groupCols :+ "n").tail: _*)
       .agg(brackets.head, brackets.tail: _*)
-    agg.select(gCols ++ ps.map { case (name, p) =>
-      (col(s"_lo_$name") +
-        (col(s"_hi_$name") - col(s"_lo_$name")) * (h(p) - floor(h(p)))).as(name)
-    } :+ col("n"): _*)
+    val computed = agg.select(groupCols.map(c => col(c).as("__c_" + c)) ++
+      ps.map { case (name, p) =>
+        (col(s"_lo_$name") +
+          (col(s"_hi_$name") - col(s"_lo_$name")) * (h(p) - floor(h(p)))).as(name)
+      } :+ col("n"): _*)
+    // every input group appears in the output, even with no non-null value
+    val allGroups = df.select(gCols: _*).distinct()
+    allGroups.join(computed, nullSafeOn("__c_"), "left")
+      .select(gCols ++ ps.map { case (name, _) => col(name) } :+
+        coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 
   /** percent_rank for a unique ordering: (rank-1)/(n-1); 0 when n == 1. */

@@ -397,6 +397,19 @@ object Similarity {
     merged.write.partitionBy("cell_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$path/data")
+    // dynamic overwrite only rewrites partitions PRESENT in the output: a
+    // moved vector that empties its old cell leaves the old row stranded
+    // there. Remove touched-but-now-empty partition directories explicitly.
+    val remaining = merged.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val emptied = touched.filterNot(remaining)
+    if (emptied.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      emptied.foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/data/cell_id=$c")
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
   }
 
   /** Top-k against a stored IVF index: per-query probes come from the

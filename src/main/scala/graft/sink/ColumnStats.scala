@@ -122,17 +122,21 @@ object ColumnStats {
     val full = spark.read.parquet(dataPath(table))
     if (!isFresh(spark, table)) return full.filter(residual(bounds))
     val survivors = pruneFilesDf(spark, table, bounds)
-    // the index is one tiny row per file: counting it is metadata-cheap
-    val n = survivors.count()
-    if (n == 0) full.filter(lit(false))
-    else if (n <= maxFileListSize) {
-      val files = survivors.collect().map(_.getString(0)).toSeq
+    // ONE job decides the branch AND yields the list when it is small:
+    // collect at most maxFileListSize+1 names instead of count()+collect()
+    val head = survivors.limit(maxFileListSize + 1).collect().map(_.getString(0))
+    if (head.isEmpty) full.filter(lit(false))
+    else if (head.length <= maxFileListSize)
       spark.read.option("basePath", dataPath(table))
-        .parquet(files: _*).filter(residual(bounds))
-    } else
-      full.withColumn("_fp", col("_metadata.file_path"))
-        .join(broadcast(survivors), col("_fp") === col("file"), "left_semi")
-        .drop("_fp")
+        .parquet(head.toSeq: _*).filter(residual(bounds))
+    else {
+      // collision-proof: qualify via the survivors frame and a name no
+      // data schema will carry
+      val s = survivors.withColumnRenamed("file", "__graft_idx_file")
+      full.withColumn("__graft_fp", col("_metadata.file_path"))
+        .join(broadcast(s), col("__graft_fp") === s("__graft_idx_file"), "left_semi")
+        .drop("__graft_fp")
         .filter(residual(bounds))
+    }
   }
 }

@@ -92,6 +92,12 @@ object DocPushdown {
             Option(body.get("preserveNullAndEmptyArrays")).exists(_.asBoolean),
             Option(body.get("includeArrayIndex")).map(_.asText))
         val f = path.stripPrefix("$")
+        // a dotted path would silently create a NEW top-level column named
+        // "a.b" (withColumn doesn't write through structs) while the nested
+        // array survived — refuse instead; compose with the flatten
+        // operator (T2) for nested documents
+        require(!f.contains("."),
+          s"$$unwind on nested path '$f' is not supported — flatten first")
         idxCol match {
           case None =>
             df.withColumn(f, if (preserve) explode_outer(col(f)) else explode(col(f)))

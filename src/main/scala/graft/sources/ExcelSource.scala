@@ -199,10 +199,11 @@ object ExcelRead {
     * file); workbooks are file-sized by definition, and the handle is
     * removed as soon as the sheet rows are drained. */
   private def withZip[A](path: String, opts: ExcelOptions)(f: ZipFile => A): A = {
-    val head = new Array[Byte](8)
+    // readNBytes: a bare read() may legally return short on network/FUSE
+    // filesystems, which would misclassify an encrypted workbook as a ZIP
     val in = new java.io.FileInputStream(path)
-    val n = try in.read(head) finally in.close()
-    if (n == 8 && OleCfb.isCfb(head)) {
+    val head = try in.readNBytes(8) finally in.close()
+    if (head.length == 8 && OleCfb.isCfb(head)) {
       val pw = opts.workbookPassword.getOrElse(throw new IllegalArgumentException(
         s"$path is an encrypted workbook — set the workbookPassword option"))
       val plain = OfficeCrypto.decrypt(

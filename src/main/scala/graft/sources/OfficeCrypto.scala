@@ -161,6 +161,10 @@ object OfficeCrypto {
       d.encryptedKeyValue).take(d.keyDataKeyBits / 8)
 
     val plainLen = ByteBuffer.wrap(pkg, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+    // Int segment arithmetic below: refuse (crafted) >2GiB declarations
+    // with a diagnosable error instead of a NegativeArraySizeException
+    require(plainLen >= 0 && plainLen <= Int.MaxValue - 16,
+      s"unsupported EncryptedPackage plaintext size: $plainLen")
     val out = new Array[Byte](plainLen.toInt)
     var seg = 0
     var written = 0

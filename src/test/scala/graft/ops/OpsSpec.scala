@@ -342,6 +342,30 @@ class OpsSpec extends SparkSuite {
     assert(idx === mem)
   }
 
+  test("IVF append removes a cell partition its only vector moved out of") {
+    // hand-built index: cell 0 ≈ (1,0), cell 1 ≈ (0,1); vec 3 is cell 1's
+    // ONLY member. Updating vec 3 toward (1,0) must move it to cell 0 AND
+    // clear the now-empty cell_id=1 directory — dynamic partition
+    // overwrite alone would leave the stale row stranded there.
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString
+    Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("cell_id", "centroid")
+      .write.parquet(s"$path/_centroids")
+    Seq((1L, Array(0.9f, 0.1f), 0L), (2L, Array(0.8f, 0.2f), 0L),
+        (3L, Array(0.1f, 0.9f), 1L)).toDF("vec_id", "embedding", "cell_id")
+      .write.partitionBy("cell_id").parquet(s"$path/data")
+    Similarity.appendToIvfIndex(
+      Seq((3L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding"), path)
+    val stored = spark.read.parquet(s"$path/data")
+    assert(stored.count() === 3L)
+    val v3 = stored.filter(col("vec_id") === 3L)
+      .select("cell_id").as[Long].collect().toSeq
+    assert(v3 === Seq(0L), s"vec 3 rows/cells: $v3")
+    val cell1 = new java.io.File(s"$path/data/cell_id=1")
+    assert(!cell1.exists() ||
+      cell1.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "emptied cell partition still holds data files")
+  }
+
   test("i8 quantization: bounded error, scale invariance, exact-rerank top-k") {
     import graft.functions.VectorFunctions
     VectorFunctions.ensureRegistered(spark)

@@ -79,6 +79,26 @@ class RankingSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("groupPercentiles null semantics match the exact aggregate") {
+    // null values ignored; an all-null group emits null percentiles; a
+    // null GROUP KEY is an ordinary group — all like percentile()'s output
+    val d = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), None), (3L, Some("a"), Some(3.0)),
+      (4L, Some("b"), None), (5L, Some("b"), None), // all-null group
+      (6L, None, Some(5.0)), (7L, None, Some(7.0))) // null group key
+      .toDF("id", "g", "v")
+    val expected = d.groupBy("g").agg(
+      expr("percentile(v, 0.5)").as("p50"),
+      count(col("v")).as("n"))
+      .as[(Option[String], Option[Double], Long)].collect().toSet
+    val got = Ranking.groupPercentiles(d, Seq("g"), col("v"), Seq(col("id")),
+      Seq("p50" -> 0.5))
+      .as[(Option[String], Option[Double], Long)].collect().toSet
+    assert(got === expected)
+    assert(got === Set(
+      (Some("a"), Some(2.0), 2L), (Some("b"), None, 0L), (None, Some(6.0), 2L)))
+  }
+
   test("groupPercentiles plan has no global window and no percentile buffer") {
     val d = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i.toDouble))
       .toDF("id", "g", "v")
