@@ -1307,7 +1307,7 @@ object SparkEntry {
         SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(p,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          '\+?\d[\d\- ]{6,}\d', '<PHONE>', 'g') AS clean
+          '\+\d{1,4}([- ]\d{2,4}){1,3}\b|\b\d{3}([- ]\d{2,4})?[- ]\d{4}\b', '<PHONE>', 'g') AS clean
         FROM pii)
       SELECT doc_id, clean FROM clean
       WHERE clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%' AND clean LIKE '%<IP>%'

@@ -183,16 +183,19 @@ object OfficeCrypto {
   }
 
   /** Encrypt plain ZIP bytes into an agile container (AES-256/SHA-512,
-    * the suite current Excel writes). Deterministic given (zip, password,
-    * salts) — salts default to content-derived values so fixtures are
-    * reproducible; real writers would use random salts, which this
-    * accepts on read either way. */
+    * the suite current Excel writes). Salts, the verifier input and the
+    * intermediate package key are drawn from SecureRandom per the spec's
+    * model — decrypt reads the salts back from the descriptor, so no
+    * determinism is needed, and identical (content, password) pairs
+    * produce unrelated ciphertexts. */
   def encrypt(zip: Array[Byte], password: String, spinCount: Int = 100000): Array[Byte] = {
     val keyBits = 256; val keyBytes = keyBits / 8; val blockSize = 16; val hashSize = 64
-    val pwSalt = sha512(zip, Array('p'.toByte)).take(16)
-    val keyDataSalt = sha512(zip, Array('k'.toByte)).take(16)
-    val verifierInput = sha512(zip, Array('v'.toByte)).take(16)
-    val packageKey = sha512(zip, password.getBytes(StandardCharsets.UTF_8)).take(keyBytes)
+    val rng = new java.security.SecureRandom()
+    def random(n: Int): Array[Byte] = { val b = new Array[Byte](n); rng.nextBytes(b); b }
+    val pwSalt = random(16)
+    val keyDataSalt = random(16)
+    val verifierInput = random(16)
+    val packageKey = random(keyBytes)
 
     val pwHash = passwordHash(pwSalt, password, spinCount)
     val iv = fit(pwSalt, blockSize)

@@ -96,7 +96,10 @@ object OleCfb {
       val nameLen = eb.getShort(64) & 0xFFFF
       val name = if (nameLen >= 2)
         new String(e, 0, nameLen - 2, StandardCharsets.UTF_16LE) else ""
-      DirEntry(name, e(66) & 0xFF, eb.getInt(116), eb.getLong(120))
+      // [MS-CFB] §2.6.1: for v3 files the high 32 bits of the stream size
+      // may hold garbage from nonconforming writers — use only the low 32
+      // (sector shift 9 is required above, so this is always a v3 file)
+      DirEntry(name, e(66) & 0xFF, eb.getInt(116), eb.getLong(120) & 0xFFFFFFFFL)
     }.toSeq
 
     val root = entries.find(_.objType == 5).getOrElse(
@@ -138,10 +141,15 @@ object OleCfb {
     val dirSectors = (dirEntries * 128 + SectorSize - 1) / SectorSize
     val streamSectors = padded.map { case (_, _, p) => (p + SectorSize - 1) / SectorSize }
     val dataSectors = dirSectors + streamSectors.sum
+    // FAT ids beyond the 109 header-DIFAT slots go into DIFAT chain
+    // sectors (127 ids + a next pointer each); FAT must also cover the
+    // FAT and DIFAT sectors themselves, so solve for a fixed point
+    def difatFor(f: Int): Int = if (f <= 109) 0 else (f - 109 + 126) / 127
     var fatSectors = 1
-    while ((dataSectors + fatSectors) > fatSectors * (SectorSize / 4))
+    while ((dataSectors + fatSectors + difatFor(fatSectors)) > fatSectors * (SectorSize / 4))
       fatSectors += 1
-    val totalSectors = dataSectors + fatSectors
+    val difatSectors = difatFor(fatSectors)
+    val totalSectors = dataSectors + fatSectors + difatSectors
 
     val fat = Array.fill(fatSectors * (SectorSize / 4))(FreeSect)
     var next = 0
@@ -156,6 +164,9 @@ object OleCfb {
     val fatStart = next
     for (i <- 0 until fatSectors) fat(fatStart + i) = 0xFFFFFFFD // FATSECT marker
     next += fatSectors
+    val difatStart = next
+    for (i <- 0 until difatSectors) fat(difatStart + i) = 0xFFFFFFFC // DIFSECT marker
+    next += difatSectors
     require(next == totalSectors)
 
     val out = ByteBuffer.allocate(SectorSize + totalSectors * SectorSize)
@@ -175,9 +186,8 @@ object OleCfb {
     out.putInt(MiniCutoff)
     out.putInt(EndOfChain)       // first mini FAT sector (none)
     out.putInt(0)                // num mini FAT sectors
-    out.putInt(EndOfChain)       // first DIFAT sector (header slots suffice)
-    out.putInt(0)                // num DIFAT sectors
-    require(fatSectors <= 109, "writer supports header-DIFAT-sized files only")
+    out.putInt(if (difatSectors > 0) difatStart else EndOfChain)
+    out.putInt(difatSectors)
     for (i <- 0 until 109)
       out.putInt(if (i < fatSectors) fatStart + i else FreeSect)
 
@@ -219,6 +229,16 @@ object OleCfb {
     }
     out.position(SectorSize + fatStart * SectorSize)
     fat.foreach(out.putInt)
+    // DIFAT chain: FAT ids 109.. in runs of 127, each sector ending with
+    // the next DIFAT sector id (EndOfChain on the last)
+    for (di <- 0 until difatSectors) {
+      out.position(SectorSize + (difatStart + di) * SectorSize)
+      for (j <- 0 until (SectorSize / 4 - 1)) {
+        val fatIdx = 109 + di * (SectorSize / 4 - 1) + j
+        out.putInt(if (fatIdx < fatSectors) fatStart + fatIdx else FreeSect)
+      }
+      out.putInt(if (di < difatSectors - 1) difatStart + di + 1 else EndOfChain)
+    }
     out.array()
   }
 }

@@ -141,13 +141,22 @@ class OpsSpec extends SparkSuite {
       (1L, "contact alice.b+x@sub.example.co.uk or call +44 20 7946 0958 now"),
       (2L, "server 192.168.001.1 and 10.0.0.7 responded"),
       (3L, "version 1.2 costs 12 dollars at 3 pm"), // no PII shapes
-      (4L, "a@b.io 555-123-4567 8.8.8.8")).toDF("doc_id", "text")
+      (4L, "a@b.io 555-123-4567 8.8.8.8"),
+      // digit runs that are NOT phones must survive (the round-4 PhoneRe
+      // rewrote all of these): ISO dates, dashed dates, year ranges,
+      // spaced thousands
+      (5L, "released 2024-01-15 and updated 15-01-2024"),
+      (6L, "the war of 1914 - 1918 cost 1 000 000 lives"),
+      (7L, "call 555-0042 or +1-555-0042 today")).toDF("doc_id", "text")
     val got = TextOps.scrubPii(col("text"))
     val out = d.select(col("doc_id"), got.as("c")).as[(Long, String)].collect().toMap
     assert(out(1L) === "contact <EMAIL> or call <PHONE> now")
     assert(out(2L) === "server <IP> and <IP> responded")
     assert(out(3L) === "version 1.2 costs 12 dollars at 3 pm")
     assert(out(4L) === "<EMAIL> <PHONE> <IP>")
+    assert(out(5L) === "released 2024-01-15 and updated 15-01-2024")
+    assert(out(6L) === "the war of 1914 - 1918 cost 1 000 000 lives")
+    assert(out(7L) === "call <PHONE> or <PHONE> today")
   }
 
   test("langId picks the language with most marker hits") {

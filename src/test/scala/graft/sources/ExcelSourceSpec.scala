@@ -286,6 +286,26 @@ class ExcelSourceSpec extends SparkSuite {
       Option(badPw.getCause).exists(_.getMessage.contains("wrong password")))
   }
 
+  test("OleCfb writer emits DIFAT chain sectors for >7MB payloads") {
+    // 109 header DIFAT slots cover ~7 MB; 20 MB forces ~2 chained DIFAT
+    // sectors — the round-4 writer threw here
+    val big = Array.tabulate(20 * 1024 * 1024)(i => ((i * 31) % 251).toByte)
+    val small = Array.tabulate(100)(_.toByte)
+    val cfb = OleCfb.writeStreams(Seq("Big" -> big, "Small" -> small))
+    val back = OleCfb.readStreams(cfb)
+    assert(back("Big").take(big.length).toSeq === big.toSeq)
+    assert(back("Small").take(small.length).toSeq === small.toSeq)
+  }
+
+  test("OfficeCrypto ciphertext is salted: same (zip, password) encrypts differently") {
+    val zip = Array.tabulate(256)(_.toByte)
+    val a = OfficeCrypto.encrypt(zip, "pw", spinCount = 10)
+    val b = OfficeCrypto.encrypt(zip, "pw", spinCount = 10)
+    assert(!java.util.Arrays.equals(a, b)) // SecureRandom salts/package key
+    assert(OfficeCrypto.decrypt(a, "pw").toSeq === zip.toSeq)
+    assert(OfficeCrypto.decrypt(b, "pw").toSeq === zip.toSeq)
+  }
+
   test("OfficeCrypto round-trips multi-segment payloads through the CFB container") {
     // > 4096 bytes forces multiple AES segments with per-segment IVs
     val payload = Array.tabulate(10000)(i => ((i * 131) % 251).toByte)
