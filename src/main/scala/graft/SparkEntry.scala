@@ -1358,9 +1358,26 @@ object SparkEntry {
              CAST(LEAST(w, len - i * w) AS BIGINT) AS frame_len
       FROM f, (VALUES (0), (1), (2), (3)) t(i)
       WHERE i * w < len
-      ORDER BY doc_id, frame_idx"""
-    // rows-only (non-SQL-expressible) entries: dedup_minhash, dedup_simhash,
-    // emb_neardup_lsh (seeded xxh64 permutations/projections), ann_ivf +
+      ORDER BY doc_id, frame_idx""",
+
+    /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
+      * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.
+      * XXH64's 64-bit wrapping arithmetic is staged as (hi, lo) 32-bit
+      * column pairs across temp tables (validated bit-exact against
+      * `XXH64.hashLong`/`hashUTF8String` JVM vectors). Generated by
+      * `tools/gen_minhash_oracle.py` into the bundled resource. */
+    "dedup_minhash" -> minhashOracleSql
+    // rows-only (non-SQL-expressible) entries: dedup_simhash,
+    // emb_neardup_lsh (seeded SRP projections), ann_ivf +
     // ann_ivf_kmeans (approximate), media_features (stub codec output)
   )
+
+  /** DuckDB replay of the MinHash+LSH pipeline (see `oracleSql` scaladoc);
+    * shipped as a resource because the staged 64-bit arithmetic expands to
+    * ~200 SQL statements. */
+  private lazy val minhashOracleSql: String = {
+    val in = getClass.getResourceAsStream("/graft/minhash_oracle.sql")
+    require(in != null, "missing resource graft/minhash_oracle.sql")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
 }
