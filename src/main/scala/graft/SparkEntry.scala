@@ -837,13 +837,16 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
+    /** REAL image decode ([[graft.ops.Multimodal.ImageIoCodec]]): one
+      * fixture PNG per doc from the deterministic pixel formula, decoded
+      * with javax.imageio, exact integer channel sums out. PNG is lossless,
+      * so decode must invert the encoder — the oracle computes the same
+      * sums straight from the formula, certifying real pixel access. */
     "media_features" -> ((s, d) =>
-      Multimodal.decodeFeatures(
-          Multimodal.extractMeta(Multimodal.asMedia(t(s, d, "documents"), "text"))
-            .select("doc_id", "media", "meta"))
-        .select(col("doc_id"), col("meta.width").as("width"),
-          col("meta.height").as("height"), size(col("features")).as("feat_dim"),
-          round(element_at(col("features"), 1).cast("double"), 2).as("f0"))
+      Multimodal.imageStats(
+          Multimodal.synthesizeImages(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("doc_id"))
   )
 
@@ -1360,6 +1363,21 @@ object SparkEntry {
       WHERE i * w < len
       ORDER BY doc_id, frame_idx""",
 
+    /** Same fixture-pixel formula as `Multimodal.FixtureImage`, summed
+      * directly — the Spark side must PNG-encode, really decode, and sum
+      * actual pixels to reproduce these integers. */
+    "media_features" -> """
+      WITH px AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      expanded AS (
+        SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM px)
+      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(SUM(((doc_id % 100003) * 31 + i * 7) % 256) AS BIGINT) AS sum_r,
+        CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
+        CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
+      FROM expanded GROUP BY doc_id, w, h ORDER BY doc_id""",
+
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.
       * XXH64's 64-bit wrapping arithmetic is staged as (hi, lo) 32-bit
@@ -1369,7 +1387,7 @@ object SparkEntry {
     "dedup_minhash" -> minhashOracleSql
     // rows-only (non-SQL-expressible) entries: dedup_simhash,
     // emb_neardup_lsh (seeded SRP projections), ann_ivf +
-    // ann_ivf_kmeans (approximate), media_features (stub codec output)
+    // ann_ivf_kmeans (approximate)
   )
 
   /** DuckDB replay of the MinHash+LSH pipeline (see `oracleSql` scaladoc);

@@ -256,6 +256,48 @@ class OpsSpec extends SparkSuite {
     assert(f1.sum > 0f)
   }
 
+  test("ImageIoCodec really decodes: PNG round-trip reproduces formula sums") {
+    val id = 42L
+    val (w, h) = Multimodal.FixtureImage.dims(id)
+    val png = Multimodal.FixtureImage.png(id)
+    // PNG magic: a real encoder ran
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte)
+    val stats = Multimodal.ImageIoCodec.decodeStats(png).get
+    assert(stats.width === w && stats.height === h && stats.channels === 3)
+    val n = w.toLong * h
+    val expR = (0L until n).map(i => Multimodal.FixtureImage.channel(id, i, 0).toLong).sum
+    val expG = (0L until n).map(i => Multimodal.FixtureImage.channel(id, i, 1).toLong).sum
+    val expB = (0L until n).map(i => Multimodal.FixtureImage.channel(id, i, 2).toLong).sum
+    assert((stats.sumR, stats.sumG, stats.sumB) === ((expR, expG, expB)))
+    // real features on a real image; stub fallback on arbitrary bytes
+    val f = Multimodal.ImageIoCodec.features(png)
+    assert(f.length === Multimodal.DecodeStub.FeatureDim)
+    assert(f(0) === w.toFloat && f(1) === h.toFloat && f(2) === 3f)
+    val garbage = "not an image at all".getBytes
+    assert(Multimodal.ImageIoCodec.decodeStats(garbage).isEmpty)
+    assert(Multimodal.ImageIoCodec.features(garbage).toSeq
+      === Multimodal.DecodeStub.features(garbage).toSeq)
+  }
+
+  test("imageStats pipeline decodes synthesized PNGs partition-wise") {
+    val df = Multimodal.imageStats(Multimodal.synthesizeImages(
+      Seq(1L, 2L, 3L).toDF("doc_id")))
+    val rows = df.select("doc_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, (r._2, r._3))).toSeq
+      === Seq(1L, 2L, 3L).map(id => (id, Multimodal.FixtureImage.dims(id))))
+    assert(rows.forall(_._4 === 3))
+  }
+
+  test("resizeMedia on a real image decodes, rescales and re-encodes PNG") {
+    val png = Multimodal.FixtureImage.png(7L)
+    val media = Seq((7L, png)).toDF("doc_id", "media")
+    val out = Multimodal.resizeMedia(media, 5, 4)
+      .select("media").as[Array[Byte]].head()
+    val stats = Multimodal.ImageIoCodec.decodeStats(out).get
+    assert(stats.width === 5 && stats.height === 4)
+  }
+
   test("frameSample explodes evenly-spaced frames, pure expression plan") {
     val media = Multimodal.asMedia(
       Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text"), "text")
