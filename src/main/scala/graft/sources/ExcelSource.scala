@@ -67,8 +67,9 @@ object DataAddress {
   * (numFmt → `xl/styles.xml`) type as Date/Timestamp under `inferSchema`;
   * `dateFormat`/`timestampFormat` add user patterns for string cells.
   * `workbookPassword` opens ECMA-376 agile-encrypted workbooks
-  * ([[OfficeCrypto]], JDK crypto only). Out of scope, documented:
-  * legacy binary `.xls`. */
+  * ([[OfficeCrypto]], JDK crypto only). Legacy binary `.xls` (BIFF8)
+  * reads through [[XlsParser]] — the container magic, not the extension,
+  * picks the parser. */
 class ExcelSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "excel"
   override def supportsExternalMetadata(): Boolean = true
@@ -176,7 +177,10 @@ object ExcelRead {
       matched.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx"))
+            .filter(f => f.isFile && {
+              val n = f.getPath.getName.toLowerCase
+              n.endsWith(".xlsx") || n.endsWith(".xls")
+            })
             .map(_.getPath.toUri.getPath)
         else Seq(st.getPath.toUri.getPath)
       }
@@ -193,62 +197,80 @@ object ExcelRead {
   def headerRowCount(opts: ExcelOptions): Int =
     if (opts.header) 1 + opts.ignoreAfterHeader else 0
 
-  /** Open a workbook as a ZIP, transparently decrypting ECMA-376
-    * agile-encrypted containers when `workbookPassword` is set. Decryption
-    * lands in an executor-local temp file (java.util.zip needs a seekable
-    * file); workbooks are file-sized by definition, and the handle is
-    * removed as soon as the sheet rows are drained. */
-  private def withZip[A](path: String, opts: ExcelOptions)(f: ZipFile => A): A = {
+  /** Raw `(rowIdx, cells)` rows of the addressed sheet. The container
+    * MAGIC, not the extension, routes the parse: ZIP → [[XlsxParser]];
+    * CFB with a `Workbook`/`Book` stream → legacy `.xls` ([[XlsParser]]);
+    * CFB with `EncryptionInfo` → decrypt ([[OfficeCrypto]]) and recurse
+    * into the inner ZIP. Decryption lands in an executor-local temp file
+    * (java.util.zip needs a seekable file); workbooks are file-sized by
+    * definition, and the handle is removed once rows are drained. */
+  private def loadRows(path: String, opts: ExcelOptions): Iterator[(Long, IndexedSeq[String])] = {
     // readNBytes: a bare read() may legally return short on network/FUSE
     // filesystems, which would misclassify an encrypted workbook as a ZIP
     val in = new java.io.FileInputStream(path)
     val head = try in.readNBytes(8) finally in.close()
-    if (head.length == 8 && OleCfb.isCfb(head)) {
-      val pw = opts.workbookPassword.getOrElse(throw new IllegalArgumentException(
-        s"$path is an encrypted workbook — set the workbookPassword option"))
-      val plain = OfficeCrypto.decrypt(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), pw)
-      val tmp = java.nio.file.Files.createTempFile("graft-xlsx-dec", ".zip")
-      try {
-        java.nio.file.Files.write(tmp, plain)
-        val zip = new ZipFile(tmp.toFile)
-        try f(zip) finally zip.close()
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val zip = new ZipFile(path)
-      try f(zip) finally zip.close()
-    }
-  }
-
-  /** In-range rows (header still included). */
-  private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] =
-    withZip(path, opts) { zip =>
+    def noSheet(name: String, have: Seq[String]): Nothing =
+      throw new IllegalArgumentException(
+        s"no sheet '$name' in $path (has: ${have.mkString(", ")})")
+    def fromZip(zip: ZipFile): Iterator[(Long, IndexedSeq[String])] = {
       val sheets = XlsxParser.sheetParts(zip)
       val part = opts.address.flatMap(_.sheet) match {
         case None => sheets.headOption.map(_._2)
           .getOrElse(throw new IllegalArgumentException(s"$path has no sheets"))
         case Some(name) => sheets.collectFirst { case (n, p) if n == name => p }
-          .getOrElse(throw new IllegalArgumentException(
-            s"no sheet '$name' in $path (has: ${sheets.map(_._1).mkString(", ")})"))
+          .getOrElse(noSheet(name, sheets.map(_._1)))
       }
-      val shared = XlsxParser.sharedStrings(zip)
-      val dateStyleIds = XlsxParser.dateStyles(zip)
-      val use1904 = XlsxParser.date1904(zip)
-      val lo = opts.address.map(_.startRow.toLong).getOrElse(1L)
-      val hi = opts.address.flatMap(_.endRow).map(_.toLong)
-      val c0 = opts.address.map(_.startCol - 1).getOrElse(0)
-      val cN = opts.address.flatMap(_.endCol) // inclusive, 1-based
-      XlsxParser.sheetRows(zip, part, shared, dateStyleIds, use1904)
-        .filter { case (r, _) => r >= lo && hi.forall(r <= _) }
-        .map { case (_, cells) =>
-          val upper = cN.getOrElse(cells.length)
-          val sliced =
-            if (c0 == 0 && upper >= cells.length) cells
-            else (c0 until upper).map(i => if (i < cells.length) cells(i) else null)
-          if (opts.emptyAsNull) sliced.map(v => if (v != null && v.isEmpty) null else v)
-          else sliced
-        }.toIndexedSeq.iterator // drain before the zip handle closes
+      XlsxParser.sheetRows(zip, part, XlsxParser.sharedStrings(zip),
+        XlsxParser.dateStyles(zip), XlsxParser.date1904(zip))
+        .toIndexedSeq.iterator // drain before the zip handle closes
     }
+    if (head.length == 8 && OleCfb.isCfb(head)) {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val streams = OleCfb.readStreams(bytes)
+      XlsParser.workbookStream(streams) match {
+        case Some(ws) => // legacy BIFF8 .xls
+          val wb = XlsParser.workbook(ws)
+          val off = opts.address.flatMap(_.sheet) match {
+            case None => wb.sheets.headOption.map(_._2)
+              .getOrElse(throw new IllegalArgumentException(s"$path has no sheets"))
+            case Some(name) => wb.sheets.collectFirst { case (n, o) if n == name => o }
+              .getOrElse(noSheet(name, wb.sheets.map(_._1)))
+          }
+          XlsParser.sheetRows(wb, off)
+        case None =>
+          val pw = opts.workbookPassword.getOrElse(throw new IllegalArgumentException(
+            s"$path is an encrypted workbook — set the workbookPassword option"))
+          val plain = OfficeCrypto.decrypt(bytes, pw)
+          val tmp = java.nio.file.Files.createTempFile("graft-xlsx-dec", ".zip")
+          try {
+            java.nio.file.Files.write(tmp, plain)
+            val zip = new ZipFile(tmp.toFile)
+            try fromZip(zip) finally zip.close()
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+      }
+    } else {
+      val zip = new ZipFile(path)
+      try fromZip(zip) finally zip.close()
+    }
+  }
+
+  /** In-range rows (header still included). */
+  private def rangedRows(path: String, opts: ExcelOptions): Iterator[IndexedSeq[String]] = {
+    val lo = opts.address.map(_.startRow.toLong).getOrElse(1L)
+    val hi = opts.address.flatMap(_.endRow).map(_.toLong)
+    val c0 = opts.address.map(_.startCol - 1).getOrElse(0)
+    val cN = opts.address.flatMap(_.endCol) // inclusive, 1-based
+    loadRows(path, opts)
+      .filter { case (r, _) => r >= lo && hi.forall(r <= _) }
+      .map { case (_, cells) =>
+        val upper = cN.getOrElse(cells.length)
+        val sliced =
+          if (c0 == 0 && upper >= cells.length) cells
+          else (c0 until upper).map(i => if (i < cells.length) cells(i) else null)
+        if (opts.emptyAsNull) sliced.map(v => if (v != null && v.isEmpty) null else v)
+        else sliced
+      }
+  }
 
   /** Header names + excerpt-based column typing from the FIRST resolved
     * file (multi-file reads share one schema, like Spark's csv). */

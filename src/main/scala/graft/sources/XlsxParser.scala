@@ -112,7 +112,7 @@ object XlsxParser {
 
   /** numFmtIds that are date/time formats per ECMA-376 §18.8.30's built-in
     * table (14-22 date/time, 27-36 era dates, 45-47 elapsed, 50-58 era). */
-  private val builtinDateFmts: Set[Int] =
+  private[sources] val builtinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
   /** A custom format code is a date/time format when, after stripping

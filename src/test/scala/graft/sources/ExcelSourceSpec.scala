@@ -88,6 +88,102 @@ class ExcelSourceSpec extends SparkSuite {
   private def s(v: String): (String, Boolean) = (v, true)
   private def n(v: String): (String, Boolean) = (v, false)
 
+  // ---------------------------------------------------------------- .xls
+  /** Minimal-but-valid BIFF8 workbook in a CFB container (what any legacy
+    * xls writer emits): globals (BOF/DATEMODE/FORMAT/XFs/BOUNDSHEET/SST/
+    * EOF) + one sheet substream. Cell model mirrors [[writeXlsx]]:
+    * strings via SST (LABELSST), numbers inline (NUMBER), booleans
+    * (BOOLERR), `DATE:`/`TS:` prefixes style serials with XF 17/18
+    * (builtin ifmt 14 / custom 164). `extraCells` appends raw cell
+    * records (RK/MULRK/FORMULA tests). */
+  private def rec(id: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(id.toShort).putShort(payload.length.toShort).put(payload).array()
+  }
+  private def le(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    f(b); b.array()
+  }
+
+  private def writeXls(path: String, sheetName: String,
+                       rows: Seq[Seq[(String, Boolean)]],
+                       extraCells: Seq[Array[Byte]] = Nil): Unit = {
+    def bof(dt: Int) = rec(0x0809, le(16) { b =>
+      b.putShort(0x0600.toShort).putShort(dt.toShort)
+        .putShort(0x0DBB.toShort).putShort(0x07CC.toShort).putInt(0).putInt(0)
+    })
+    val eof = rec(0x000A, Array.empty)
+    // shared strings in first-use order
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    rows.foreach(_.foreach { case (v, isStr) =>
+      if (isStr && v != null) strings.getOrElseUpdate(v, strings.size)
+    })
+    def compressed(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sstPayload = {
+      val items = strings.keys.toSeq.map { s =>
+        le(3 + s.length) { b =>
+          b.putShort(s.length.toShort).put(0.toByte).put(compressed(s))
+        }
+      }
+      val total = items.map(_.length).sum
+      le(8 + total) { b =>
+        b.putInt(strings.size).putInt(strings.size); items.foreach(b.put)
+      }
+    }
+    val fmtCode = "yyyy\\-mm\\-dd hh:mm:ss"
+    val format164 = rec(0x041E, le(5 + fmtCode.length) { b =>
+      b.putShort(164.toShort).putShort(fmtCode.length.toShort)
+        .put(0.toByte).put(compressed(fmtCode))
+    })
+    def xf(ifmt: Int) = rec(0x00E0, le(20)(b => b.putShort(0).putShort(ifmt.toShort)))
+    val cellXfs = (0 until 16).map(_ => xf(0)) ++ Seq(xf(0), xf(14), xf(164))
+    def cell(r: Int, c: Int, ixfe: Int, v: String, isStr: Boolean): Option[Array[Byte]] =
+      if (v == null) None
+      else if (isStr) Some(rec(0x00FD, le(10) { b =>
+        b.putShort(r.toShort).putShort(c.toShort).putShort(ixfe.toShort)
+          .putInt(strings(v))
+      }))
+      else if (v.startsWith("#")) Some(rec(0x0205, le(8) { b => // error cell
+        b.putShort(r.toShort).putShort(c.toShort).putShort(ixfe.toShort)
+          .put(0x07.toByte).put(1.toByte)
+      }))
+      else if (v == "true" || v == "false") Some(rec(0x0205, le(8) { b =>
+        b.putShort(r.toShort).putShort(c.toShort).putShort(ixfe.toShort)
+          .put((if (v == "true") 1 else 0).toByte).put(0.toByte)
+      }))
+      else {
+        val (ix, num) =
+          if (v.startsWith("DATE:")) (17, v.stripPrefix("DATE:").toDouble)
+          else if (v.startsWith("TS:")) (18, v.stripPrefix("TS:").toDouble)
+          else (ixfe, v.toDouble)
+        Some(rec(0x0203, le(14) { b =>
+          b.putShort(r.toShort).putShort(c.toShort).putShort(ix.toShort)
+            .putDouble(num)
+        }))
+      }
+    val cells = rows.zipWithIndex.flatMap { case (cs, r) =>
+      cs.zipWithIndex.flatMap { case ((v, isStr), c) => cell(r, c, 16, v, isStr) }
+    } ++ extraCells
+    val sheet = Array.concat(bof(0x0010) +: cells :+ eof: _*)
+    def globals(sheetOffset: Int): Array[Byte] = Array.concat(
+      bof(0x0005),
+      rec(0x0022, le(2)(_.putShort(0))), // DATEMODE 1900
+      format164,
+      Array.concat(cellXfs: _*),
+      rec(0x0085, le(8 + sheetName.length) { b =>
+        b.putInt(sheetOffset).putShort(0)
+          .put(sheetName.length.toByte).put(0.toByte).put(compressed(sheetName))
+      }),
+      rec(0x00FC, sstPayload),
+      eof)
+    val glen = globals(0).length // BOUNDSHEET is fixed-size: no layout shift
+    val stream = Array.concat(globals(glen), sheet)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      OleCfb.writeStreams(Seq("Workbook" -> stream)))
+  }
+
   private def tmpDir(): String = Files.createTempDirectory("graft-xlsx").toString
 
   test("reads a real workbook: header, shared strings, schema inference") {
@@ -284,6 +380,71 @@ class ExcelSourceSpec extends SparkSuite {
         .load(s"$dir/enc.xlsx").collect())
     assert(badPw.getMessage.contains("wrong password") ||
       Option(badPw.getCause).exists(_.getMessage.contains("wrong password")))
+  }
+
+  test("legacy .xls (BIFF8): typed round-trip through the native source") {
+    val dir = tmpDir()
+    val epoch = java.time.LocalDate.of(1899, 12, 30).toEpochDay
+    val d0 = java.time.LocalDate.of(2024, 1, 15).toEpochDay - epoch
+    writeXls(s"$dir/wb.xls", "Data", Seq(
+      Seq(s("name"), s("qty"), s("price"), s("ok"), s("born"), s("seen")),
+      Seq(s("apple"), n("3"), n("1.5"), n("true"), n(s"DATE:$d0"), n(s"TS:${d0 + 0.5}")),
+      Seq(s("pear"), n("7"), n("2.25"), n("false"), n(s"DATE:${d0 + 1}"), n(s"TS:${d0 + 1.75}"))))
+    val df = spark.read.format("excel").option("inferSchema", "true")
+      .load(s"$dir/wb.xls")
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      "name" -> StringType, "qty" -> LongType, "price" -> DoubleType,
+      "ok" -> BooleanType, "born" -> DateType, "seen" -> TimestampType))
+    val rows = df.orderBy("qty")
+      .select(col("name"), col("qty"), col("price"), col("ok"),
+        col("born").cast("string"), col("seen").cast("string"))
+      .as[(String, Long, Double, Boolean, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("apple", 3L, 1.5, true, "2024-01-15", "2024-01-15 12:00:00"),
+      ("pear", 7L, 2.25, false, "2024-01-16", "2024-01-16 18:00:00")))
+  }
+
+  test(".xls RK, MULRK and cached-formula cells decode; sheet select by name") {
+    val dir = tmpDir()
+    // row 1 (0-based) extra cells: RK int, RK int/100, RK double-bits,
+    // MULRK pair, FORMULA cached number, FORMULA cached string + STRING
+    val rkInt = (1234 << 2) | 2
+    val rkX100 = (1234 << 2) | 3
+    val rkDbl = ((java.lang.Double.doubleToLongBits(2.5) >>> 32) & 0xFFFFFFFCL).toInt
+    val extras = Seq(
+      rec(0x027E, le(10)(b => b.putShort(1).putShort(0).putShort(16).putInt(rkInt))),
+      rec(0x027E, le(10)(b => b.putShort(1).putShort(1).putShort(16).putInt(rkX100))),
+      rec(0x027E, le(10)(b => b.putShort(1).putShort(2).putShort(16).putInt(rkDbl))),
+      rec(0x00BD, le(18) { b => // MULRK cols 3-4: 100, 200
+        b.putShort(1).putShort(3)
+        b.putShort(16).putInt((100 << 2) | 2); b.putShort(16).putInt((200 << 2) | 2)
+        b.putShort(4)
+      }),
+      rec(0x0006, le(22) { b => // cached numeric formula result, col 5
+        b.putShort(1).putShort(5).putShort(16).putDouble(42.5)
+          .putShort(0).putInt(0).putShort(0)
+      }),
+      rec(0x0006, le(22) { b => // cached STRING formula result, col 6
+        b.putShort(1).putShort(6).putShort(16)
+          .put(0.toByte).put(Array.fill[Byte](5)(0)).putShort(0xFFFF.toShort)
+          .putShort(0).putInt(0).putShort(0)
+      }),
+      rec(0x0207, le(3 + 5) { b =>
+        b.putShort(5).put(0.toByte)
+          .put("hello".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      }))
+    writeXls(s"$dir/wb.xls", "S1",
+      Seq(Seq(s("a"), s("b"), s("c"), s("d"), s("e"), s("f"), s("g"))),
+      extraCells = extras)
+    val df = spark.read.format("excel")
+      .option("dataAddress", "'S1'!A1:G2").load(s"$dir/wb.xls")
+    val r = df.collect().head.toSeq
+    assert(r === Seq("1234", "12.34", "2.5", "100", "200", "42.5", "hello"))
+    // wrong sheet name errors with the available names
+    val e = intercept[Exception](spark.read.format("excel")
+      .option("dataAddress", "'Nope'!A1:B2").load(s"$dir/wb.xls").collect())
+    assert(e.getMessage.contains("S1") ||
+      Option(e.getCause).exists(_.getMessage.contains("S1")))
   }
 
   test("OleCfb writer emits DIFAT chain sectors for >7MB payloads") {
