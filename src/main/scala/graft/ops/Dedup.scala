@@ -17,6 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // --------------------------------------------- capped-bucket visibility
+
+  /** What a bucket cap dropped in one operator call. */
+  final case class CapReport(cappedBuckets: Long, droppedRows: Long, cap: Int)
+
+  /** Last [[CapReport]] per operator key (driver-side), for tests and
+    * monitoring harnesses; the same numbers are warn-logged the moment a
+    * cap fires. */
+  val capReports = new java.util.concurrent.ConcurrentHashMap[String, CapReport]()
+
+  /** Measure what a bucket cap is about to drop: one bounded aggregate
+    * over the (tiny, already-grouped) bucket-size relation, warn-logged
+    * immediately — silently-dropped near-dup recall is the one production
+    * failure mode the declarative plan can't surface. Runs as a small
+    * eager job at operator-construction time; since the underlying key
+    * relation is lazily checkpointed, this also materializes it once for
+    * the main query to reuse. (A zero-job `observe` variant was tried
+    * first: these pipelines branch the capped relation into BOTH
+    * self-join sides, and Spark silently drops metrics from duplicated
+    * CollectMetrics nodes.) */
+  private def reportCaps(bucketSizes: DataFrame, op: String, cap: Int): Unit = {
+    val r = bucketSizes.filter(col("bsz") > cap)
+      .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
+    val report = CapReport(r.getLong(0), r.getLong(1), cap)
+    capReports.put(op, report)
+    if (report.cappedBuckets > 0) log.warn(
+      s"graft.dedup.$op: ${report.cappedBuckets} LSH bucket(s) over " +
+        s"maxBucketSize=$cap were dropped (${report.droppedRows} member rows " +
+        "lose near-dup candidate recall) — raise the cap or pre-block the " +
+        "corpus if this mass matters")
+  }
+
   // ------------------------------------------------------------ exact
 
   /** Exact dedup on a content digest: one row per distinct md5(text), the
@@ -81,8 +115,11 @@ object Dedup {
         (col(lenCol).cast("long") / 64).cast("long").as("len_bkt"),
         graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
       .localCheckpoint(false)
-    // skew guard: cap block population (mirrors the minhash bucket cap)
+    // skew guard: cap block population (mirrors the minhash bucket cap);
+    // dropped-block mass is measured + warn-logged (routed blocks aren't
+    // lost, so only the non-routed form reports)
     val blockSizes = sh.groupBy(langCol, "len_bkt").agg(count(lit(1)).as("bsz"))
+    if (!routeOversized) reportCaps(blockSizes, "jaccard_blocks", maxBlockSize)
     val smallBlocks = blockSizes.filter(col("bsz") <= maxBlockSize)
     val capped = sh.join(smallBlocks, Seq(langCol, "len_bkt"), "left_semi")
     val a = capped.select(col(idCol).as("doc_a"), col(langCol), col("len_bkt"), col("sh").as("sh_a"))
@@ -134,9 +171,11 @@ object Dedup {
     val banded = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.minhashBandsH(col("sh"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
-    // skew guard: cap bucket population
-    val bucketSizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    // skew guard: cap bucket population (drops measured + warn-logged)
+    val allBucketSizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+    reportCaps(allBucketSizes, "minhash", maxBucketSize)
+    val bucketSizes = allBucketSizes.filter(col("bsz") <= maxBucketSize)
     val capped = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
@@ -324,8 +363,10 @@ object Dedup {
     val keyCols = blockCols :+ "chunk" :+ "ckey"
     val chunked = simhashChunked(df, maxHamming, idCol, textCol, blockCols)
       .localCheckpoint(false) // 3 consumers (size agg + both join sides)
-    val bucketSizes = chunked.groupBy(keyCols.head, keyCols.tail: _*)
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    val allBucketSizes = chunked.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz"))
+    reportCaps(allBucketSizes, "simhash", maxBucketSize)
+    val bucketSizes = allBucketSizes.filter(col("bsz") <= maxBucketSize)
     val capped = chunked.join(bucketSizes, keyCols, "left_semi")
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
     val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)

@@ -412,6 +412,43 @@ object Similarity {
     }
   }
 
+  /** Small-file compaction for the at-rest IVF index: every
+    * [[appendToIvfIndex]] adds one file set to each touched cell, so daily
+    * appends accumulate the classic small-file problem. Rewrites ONLY
+    * cells holding at least `minFilesPerCell` data files — same dynamic
+    * partition-overwrite pattern as append, so IO ∝ fragmented-cell bytes,
+    * not corpus bytes. The file census is a driver-side directory listing,
+    * bounded by nlist cell dirs (the same metadata a real table service
+    * reads); one output file per compacted cell. */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                      minFilesPerCell: Int = 2): Seq[Long] = {
+    require(minFilesPerCell >= 2, "compacting singleton cells is a no-op")
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) return Nil
+    val fragmented = fs.listStatus(dataPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+      .flatMap { st =>
+        val files = fs.listStatus(st.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files >= minFilesPerCell)
+          Some(st.getPath.getName.stripPrefix("cell_id=").toLong)
+        else None
+      }
+    if (fragmented.isEmpty) return Nil
+    // partition-pruned read of just the fragmented cells; one shuffle
+    // partition per cell -> one output file per cell
+    val merged = spark.read.parquet(s"$path/data")
+      .filter(col("cell_id").isin(fragmented: _*))
+      .repartition(fragmented.size, col("cell_id"))
+      // eager: the write overwrites partitions this plan reads
+      .localCheckpoint(true)
+    merged.write.partitionBy("cell_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+    fragmented
+  }
+
   /** Top-k against a stored IVF index: per-query probes come from the
     * stored centroids, the probed cell set (≤ nlist ids, driver-side) turns
     * into a partition-pruning `isin` filter on the index scan, and only

@@ -33,10 +33,22 @@ object CurationStream {
   /** One micro-batch: fingerprint, keep-first within the batch, drop docs
     * already in the corpus, upsert the remainder (with their fingerprints).
     * Exposed for tests and for batch backfills — the streaming path and a
-    * bulk historical load MUST share ingest semantics or replays diverge. */
+    * bulk historical load MUST share ingest semantics or replays diverge.
+    *
+    * `ivfIndexPath` optionally maintains an at-rest ANN index over the
+    * `embCol` vectors of FIRST-SIGHTING docs: the first batch bootstraps it
+    * ([[graft.ops.Similarity.writeIvfIndex]]), later batches land through
+    * the cell-wise incremental [[graft.ops.Similarity.appendToIvfIndex]].
+    * The index write runs BEFORE the table upsert, and both are idempotent
+    * on the doc key, so the exactly-once replay story is closed either way
+    * a batch dies: replayed-after-upsert batches classify as corpus dups
+    * and touch nothing; replayed-before-upsert batches re-append the same
+    * vectors into the same cells (byte-identical rewrite) and then upsert. */
   def ingestBatch(batch: DataFrame, table: LakeTable,
                   idCol: String = "doc_id", textCol: String = "text",
-                  scrubPii: Boolean = false): Unit = {
+                  scrubPii: Boolean = false,
+                  ivfIndexPath: Option[String] = None,
+                  embCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // scrub BEFORE fingerprinting (mirrors CurationApp's pii.scrub stage):
@@ -49,27 +61,43 @@ object CurationStream {
       if (view.columns.contains("fp")) view.select(col("fp")).distinct()
       else Seq.empty[String].toDF("fp") // first batch: table not created yet
     val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
-    // materialized once: the emptiness probe and the upsert share the
-    // pipeline (fingerprint + window + corpus-fp anti-join) instead of
-    // running it twice per micro-batch
+    // materialized once: the emptiness probe, the index append and the
+    // upsert share the pipeline (fingerprint + window + corpus-fp
+    // anti-join) instead of running it repeatedly per micro-batch
     val fresh = withFp
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
       .join(seen, Seq("fp"), "left_anti")
       .localCheckpoint(false)
-    if (!fresh.isEmpty) MergeWriter.upsert(spark, fresh, table)
+    val nFresh = fresh.count()
+    if (nFresh > 0) {
+      ivfIndexPath.foreach { path =>
+        require(batch.columns.contains(embCol),
+          s"ivfIndexPath set but batch has no '$embCol' column")
+        val vecs = fresh.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+        val centroids = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+        val exists = centroids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(centroids)
+        if (exists) graft.ops.Similarity.appendToIvfIndex(vecs, path)
+        else graft.ops.Similarity.writeIvfIndex(vecs, path,
+          nlist = math.max(1, math.min(16L, nFresh)).toInt, iters = 1)
+      }
+      MergeWriter.upsert(spark, fresh, table)
+    }
   }
 
   /** Continuous ingestion: micro-batch trigger, checkpointed offsets,
     * per-batch [[ingestBatch]]. */
   def start(docs: DataFrame, table: LakeTable, checkpointDir: String,
             triggerMs: Long = 1000L, idCol: String = "doc_id",
-            textCol: String = "text", scrubPii: Boolean = false): StreamingQuery =
+            textCol: String = "text", scrubPii: Boolean = false,
+            ivfIndexPath: Option[String] = None,
+            embCol: String = "embedding"): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch((b: Dataset[Row], _: Long) =>
-        ingestBatch(b, table, idCol, textCol, scrubPii))
+        ingestBatch(b, table, idCol, textCol, scrubPii, ivfIndexPath, embCol))
       .start()
 }

@@ -393,6 +393,46 @@ class OpsSpec extends SparkSuite {
     assert(idx === mem)
   }
 
+  test("compactIvfCells rewrites fragmented cells to one file, keeps parity") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 8, iters = 1)
+    // two appends fragment their touched cells (one file set per append)
+    def mkBatch(ids: Range) = ids.map(i => (i.toLong, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(mkBatch(100 until 110), path)
+    Similarity.appendToIvfIndex(mkBatch(110 until 120), path)
+    def filesPerCell(): Map[String, Int] =
+      new java.io.File(s"$path/data").listFiles()
+        .filter(_.getName.startsWith("cell_id=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerCell()
+    assert(before.values.exists(_ >= 2), s"appends did not fragment: $before")
+    // in-memory query set: a parquet-backed plan would pin the listing of
+    // files the compaction is about to replace
+    val queries = emb.unionByName(mkBatch(100 until 120))
+      .filter(col("vec_id") % 10 === 0)
+    val preAnswers = Similarity.ivfTopKIndexed(queries, path, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val compacted = Similarity.compactIvfCells(spark, path)
+    assert(compacted.nonEmpty)
+    val after = filesPerCell()
+    // every fragmented cell is now a single file; untouched cells untouched
+    compacted.foreach(c => assert(after(s"cell_id=$c") === 1,
+      s"cell $c still fragmented: $after"))
+    before.foreach { case (cell, n) =>
+      if (n < 2) assert(after(cell) === n, s"singleton $cell was rewritten")
+    }
+    // same rows, same probe answers
+    assert(spark.read.parquet(s"$path/data").count() === 60L) // 40 + 2x10
+    val postAnswers = Similarity.ivfTopKIndexed(queries, path, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(postAnswers === preAnswers)
+    // re-running with nothing fragmented is a no-op
+    assert(Similarity.compactIvfCells(spark, path).isEmpty)
+  }
+
   test("IVF append removes a cell partition its only vector moved out of") {
     // hand-built index: cell 0 ≈ (1,0), cell 1 ≈ (0,1); vec 3 is cell 1's
     // ONLY member. Updating vec 3 toward (1,0) must move it to cell 0 AND
@@ -458,6 +498,31 @@ class OpsSpec extends SparkSuite {
       ("kitte", "kitten", 1, 1L, 2L),
       ("kitte", "sitten", 2, 1L, 1L),
       ("kitten", "sitten", 1, 2L, 1L)))
+  }
+
+  test("bucket caps surface drop metrics on a hot bucket") {
+    // 30 identical docs: every LSH key lands in one 30-member bucket
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "the same exact boilerplate text repeated here",
+        "en", 43L)).toDF("doc_id", "text", "lang", "n_chars")
+    val capped = Dedup.simhashPairs(docs, maxBucketSize = 10)
+    val m = Dedup.capReports.get("simhash") // reported at construction
+    assert(m.cappedBuckets > 0 && m.cap === 10)
+    assert(m.droppedRows >= 30L)
+    assert(capped.collect().isEmpty) // the cap dropped everything
+    // uncapped control reports zero drops (and finds the pairs)
+    val open = Dedup.simhashPairs(docs, maxBucketSize = 1000)
+    assert(Dedup.capReports.get("simhash").cappedBuckets === 0L)
+    assert(open.collect().length === 30 * 29 / 2)
+    // jaccard's block cap reports through the same channel
+    val jac = Dedup.jaccardPairs(docs, maxBlockSize = 10)
+    val jm = Dedup.capReports.get("jaccard_blocks")
+    assert(jm.cappedBuckets === 1L) // the single (lang, len_bkt) block
+    assert(jm.droppedRows === 30L)
+    assert(jac.collect().isEmpty)
+    // minhash reports too
+    Dedup.minhashPairs(docs, maxBucketSize = 10).collect()
+    assert(Dedup.capReports.get("minhash").cappedBuckets > 0)
   }
 
   test("connectedComponents resolves transitive chains to one group") {

@@ -69,6 +69,51 @@ class CurationStreamSpec extends SparkSuite {
     assert(MergeWriter.readView(spark, t).count() === 3L)
   }
 
+  test("ivfIndexPath maintains the ANN index; replayed batches leave it byte-identical") {
+    val t = table()
+    val idx = Files.createTempDirectory("graft-curation-ivf").toString
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.sin((i * 13 + d) * 0.9).toFloat)
+    def batchDf(ids: Seq[Long]) =
+      ids.map(i => (i, s"document number $i unique words$i", vec(i)))
+        .toDF("doc_id", "text", "embedding")
+    // first batch bootstraps the index
+    CurationStream.ingestBatch(batchDf(0L until 20L), t, ivfIndexPath = Some(idx))
+    assert(new java.io.File(s"$idx/_centroids").exists())
+    assert(spark.read.parquet(s"$idx/data").count() === 20L)
+    // second batch appends only its first-sighting docs (21 is a dup of 1)
+    CurationStream.ingestBatch(
+      batchDf(Seq(30L, 31L))
+        .unionByName(Seq((21L, "document number 1 unique words1", vec(21L)))
+          .toDF("doc_id", "text", "embedding")),
+      t, ivfIndexPath = Some(idx))
+    assert(spark.read.parquet(s"$idx/data").count() === 22L)
+    def indexState(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getPath -> md5.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val before = indexState()
+    // exactly-once: replaying the second batch classifies everything as a
+    // corpus dup -> no index write, no table write, files untouched
+    CurationStream.ingestBatch(
+      batchDf(Seq(30L, 31L))
+        .unionByName(Seq((21L, "document number 1 unique words1", vec(21L)))
+          .toDF("doc_id", "text", "embedding")),
+      t, ivfIndexPath = Some(idx))
+    assert(indexState() === before)
+    assert(corpusIds(t) === ((0L until 20L) ++ Seq(30L, 31L)).toSet)
+    // the index answers probes over the streamed corpus
+    val hits = graft.ops.Similarity.ivfTopKIndexed(
+      Seq((30L, vec(30L))).toDF("vec_id", "embedding"), idx, k = 3, nprobe = 2)
+    val n = hits.count() // approximate: ≥1 neighbor from the probed cells
+    assert(n >= 1L && n <= 3L)
+  }
+
   test("scrubPii masks before fingerprinting: PII-only variants dedup together") {
     val t = table()
     CurationStream.ingestBatch(
