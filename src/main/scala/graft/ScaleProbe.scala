@@ -11,7 +11,10 @@ import graft.ops.{Curation, Dedup, Similarity}
   * N−1 exact twins) and time the heavy operators. A healthy operator
   * scales ~linearly in rows here; a quadratic one explodes immediately.
   *
-  * Usage: runMain graft.ScaleProbe [xFactor] [sfDir]
+  * Usage: runMain graft.ScaleProbe [xFactor] [sfDir] [densityDocs] [ccEdges]
+  * (densityDocs sizes the simhash key-space probe, default 1e6 — round-5
+  * headroom runs use 1e7; ccEdges sizes the connected-components
+  * convergence probe, default 1e6.)
   */
 object ScaleProbe {
 
@@ -30,6 +33,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val x = if (args.length > 0) args(0).toInt else 10
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val densityDocs = if (args.length > 2) args(2).toDouble else 1e6
+    val ccEdges = if (args.length > 3) args(3).toLong else 1000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,10 +73,10 @@ object ScaleProbe {
     // contrasts the key-mass the old 4×16-bit single-chunk scheme would
     // drop at bucket-cap 1000 with what the 2^26 pair-key scheme drops
     // (must be 0).
-    time("simhash_density_1m") {
+    time(f"simhash_density_${densityDocs}%.0e") {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
       val n = math.max(1L, base.count())
-      val times = math.max(1L, math.ceil(1e6 / n).toLong)
+      val times = math.max(1L, math.ceil(densityDocs / n).toLong)
       // crossJoin-with-range replication (an N-way union plan would have
       // `times` scan branches)
       val stepRow = base.agg(max(col("doc_id")).cast("long")).head()
@@ -95,6 +100,52 @@ object ScaleProbe {
       System.err.println(s"[probe] simhash dropped key-mass at ${n * times} docs: " +
         s"old 4x16-bit scheme=$oldDropped, pair-key scheme=$newDropped")
       newDropped
+    }
+    // connectedComponents convergence at ccEdges synthetic edges: a mix of
+    // long chains (round-count stress: alternating-star needs ~log² depth),
+    // one giant star (degree stress: the min-aggregate formulation must not
+    // build a neighborhood) and random 100-node clusters (the common case).
+    // Reports rounds, per-round surviving edges and total shuffle bytes.
+    time(s"cc_${ccEdges}_edges") {
+      import spark.implicits._
+      val sc = spark.sparkContext
+      val chainLen = 10000L
+      val nChain = ccEdges / 4 / chainLen // edges in chains: ccEdges/4
+      val chain = spark.range(nChain * chainLen)
+        .filter(($"id" % chainLen) =!= (chainLen - 1))
+        .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+      val starBase = nChain * chainLen
+      val starN = ccEdges / 4 // edges in the star
+      val star = spark.range(starN)
+        .select(lit(starBase).as("doc_a"), (lit(starBase) + $"id" + 1).as("doc_b"))
+      val clustBase = starBase + starN + 1
+      val clust = spark.range(ccEdges / 2) // random edges inside 100-id clusters
+        .select(
+          (lit(clustBase) + ($"id" % 100000L) * 100 + pmod(hash($"id"), lit(100))).as("doc_a"),
+          (lit(clustBase) + ($"id" % 100000L) * 100 + pmod(hash($"id" * 31 + 7), lit(100))).as("doc_b"))
+      // materialize: Catalyst's union constraint-rewrite chokes on the
+      // constant-column star branch (key-not-found on the CC self-union),
+      // and a real CC input arrives materialized anyway
+      val edges = chain.unionByName(star).unionByName(clust).localCheckpoint(false)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      sc.addSparkListener(listener)
+      try {
+        var rounds = 0
+        val cc = Dedup.connectedComponents(edges, maxIter = 40, onRound = (r, e) => {
+          rounds = r
+          System.err.println(s"[probe] cc round $r: $e edges survive")
+        })
+        val n = cc.count()
+        Thread.sleep(500) // let the listener bus drain (dev probe precision)
+        System.err.println(s"[probe] cc converged in $rounds rounds, " +
+          s"total shuffle write ${shuffleBytes.get() / 1000000} MB")
+        n
+      } finally sc.removeSparkListener(listener)
     }
     time("srp_neardup")(Similarity.srpNearDupPairs(emb, 0.5).count())
     time("ann_ivf")(Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0).count())

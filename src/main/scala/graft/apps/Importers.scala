@@ -145,8 +145,13 @@ object DocImport extends BatchImportApp {
   * DSL and/or `_source` body,
   * docs/document/02.Elasticsearch Ingestion.md:87-93,195-209) becomes a
   * pushed-down filter + projection; `es.read.field.include`/`exclude`
-  * (`:127-135`) become column pruning. TLS/auth options (`es.nodes`,
-  * `es.net.*`) are accepted and ignored locally — the connector seam. */
+  * (`:127-135`) become column pruning.
+  *
+  * When `es.nodes` carries an http(s) URL the read goes LIVE over the REST
+  * scroll protocol ([[graft.sources.EsRestScan]] — sliced scroll, one
+  * slice per partition, query body pushed server-side, basic auth via
+  * `es.net.http.auth.user`/`pass`, `es.read.slices` parallelism); without
+  * it the JSON-document analog keeps the identical option surface. */
 object EsImport extends BatchImportApp {
   override def module: String = "es"
   override def requiredFlags: Seq[String] = Seq("resource")
@@ -163,9 +168,22 @@ object EsImport extends BatchImportApp {
                           cli: Map[String, String]): DataFrame = {
     val fmt = cli.getOrElse("format", "json")
     val extra = conf.stripPrefix(extraOptionsPrefix)
-    val df = spark.read.format(fmt)
-      .options(extra -- EsKeys)
-      .load(cli("resource"))
+    val df = extra.get("es.nodes").filter(_.startsWith("http")) match {
+      case Some(nodes) => // live REST scroll scan; the query runs server-side
+        val auth = for {
+          u <- extra.get("es.net.http.auth.user")
+          p <- extra.get("es.net.http.auth.pass")
+        } yield (u, p)
+        graft.sources.EsRestScan.scan(spark, nodes, cli("resource"),
+          query = extra.getOrElse("es.query", """{"query":{"match_all":{}}}"""),
+          pageSize = extra.get("es.scroll.size").map(_.toInt).getOrElse(500),
+          slices = extra.get("es.read.slices").map(_.toInt).getOrElse(4),
+          auth = auth)
+      case None =>
+        spark.read.format(fmt)
+          .options(extra -- EsKeys)
+          .load(cli("resource"))
+    }
     graft.sources.DocPushdown.esRead(df,
       esQuery = extra.get("es.query"),
       include = extra.get("es.read.field.include"),

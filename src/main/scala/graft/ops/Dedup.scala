@@ -228,7 +228,8 @@ object Dedup {
     * don't appear — union them in as (id, id) if required. */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val sk = edges.sparkSession
     import sk.implicits._
     // canonical larger→smaller directed edges; self-loops/dups dropped
@@ -266,6 +267,7 @@ object Dedup {
         .filter($"u" =!= $"v").distinct()
         .localCheckpoint(false) // materialized by the signature job below
       val nextSig = signature(next)
+      onRound(it, nextSig._1) // convergence observability (ScaleProbe)
       // the checksum is a fast filter, not proof: two DIFFERENT edge sets
       // can share (count, Σu, Σv) — e.g. {(5,1),(3,2)} vs {(4,1),(4,2)} —
       // so an apparent fixpoint is confirmed with an exact set compare

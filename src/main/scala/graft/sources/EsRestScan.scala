@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S10 live-read path: a JDK-only Elasticsearch REST client speaking the
+  * public `_search` + scroll wire protocol (the same exchange the
+  * elasticsearch-hadoop connector performs; reference read surface:
+  * `boxer-es/.../HoodieEsBatch.scala:102-109`). The zero-egress sandbox has
+  * no connector jar and no cluster, so the spec drives this against an
+  * in-process loopback HTTP server serving the identical protocol —
+  * swapping `nodes` to a real cluster URL is the only production delta.
+  *
+  * Scale shape: one SLICED scroll per Spark partition (`slice: {id, max}`
+  * — ES's server-side partitioner), so an index streams `slices`-wide
+  * with `pageSize` docs per round-trip and nothing index-sized ever
+  * collects on one executor. The query body ships to the server — filter
+  * pushdown happens THERE; [[DocPushdown.esRead]] stays the client-side
+  * mirror for the file-backed analog.
+  */
+object EsRestScan {
+
+  private def mapper = DocPushdown.jsonMapper
+
+  /** Scan `index` into a DataFrame of `_source` documents.
+    *
+    * @param query  ES search body (`{"query": {...}}` — `_source`
+    *               includes honored server-side like the connector)
+    * @param schema pass to skip inference (inference re-runs the scan:
+    *               `spark.read.json` makes one pass for schema, one for
+    *               rows — two scroll contexts)
+    * @param auth   basic-auth (user, password) — `es.net.http.auth.*` */
+  def scan(spark: SparkSession, nodes: String, index: String,
+           query: String = """{"query":{"match_all":{}}}""",
+           pageSize: Int = 500, slices: Int = 2,
+           auth: Option[(String, String)] = None,
+           schema: Option[StructType] = None): DataFrame = {
+    require(slices >= 1, "need at least one slice")
+    import spark.implicits._
+    val base = nodes.stripSuffix("/")
+    val docs = spark.range(0, slices, 1, slices).mapPartitions { ids =>
+      ids.flatMap(id => scrollSlice(base, index, query, pageSize, id.toInt, slices, auth))
+    }
+    val reader = schema.foldLeft(spark.read)((r, s) => r.schema(s))
+    reader.json(docs)
+  }
+
+  /** One slice's full scroll: open with `slice {id, max}`, page through
+    * `_scroll_id`s, emit compact `_source` JSON, clear the context. */
+  private def scrollSlice(base: String, index: String, query: String,
+                          pageSize: Int, sliceId: Int, slices: Int,
+                          auth: Option[(String, String)]): Iterator[String] = {
+    val body = mapper.readTree(query) match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => throw new IllegalArgumentException(s"es query must be an object: $query")
+    }
+    body.put("size", pageSize)
+    if (slices > 1)
+      body.putObject("slice").put("id", sliceId).put("max", slices)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var resp = mapper.readTree(http("POST",
+      s"$base/$index/_search?scroll=1m", mapper.writeValueAsString(body), auth))
+    var scrollId = Option(resp.get("_scroll_id")).map(_.asText()).orNull
+    var hits = resp.at("/hits/hits")
+    while (hits.isArray && hits.size() > 0) {
+      hits.forEach(h => out += mapper.writeValueAsString(h.get("_source")))
+      require(scrollId != null, "ES response carried hits but no _scroll_id")
+      resp = mapper.readTree(http("POST", s"$base/_search/scroll",
+        s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
+          mapper.getNodeFactory.textNode(scrollId))}}""", auth))
+      scrollId = Option(resp.get("_scroll_id")).map(_.asText()).getOrElse(scrollId)
+      hits = resp.at("/hits/hits")
+    }
+    if (scrollId != null) // free the server-side context promptly
+      try http("DELETE", s"$base/_search/scroll",
+        s"""{"scroll_id":[${mapper.writeValueAsString(
+          mapper.getNodeFactory.textNode(scrollId))}]}""", auth)
+      catch { case _: Exception => () } // best effort, context expires anyway
+    out.iterator
+  }
+
+  private def http(method: String, url: String, body: String,
+                   auth: Option[(String, String)]): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      conn.setRequestProperty("Content-Type", "application/json")
+      auth.foreach { case (u, p) =>
+        val token = java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes(StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $token")
+      }
+      if (body != null && body.nonEmpty) {
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text = if (in == null) "" else
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      if (code >= 400)
+        throw new java.io.IOException(s"$method $url -> HTTP $code: ${text.take(500)}")
+      text
+    } finally conn.disconnect()
+  }
+}
