@@ -1384,18 +1384,25 @@ object SparkEntry {
       * column pairs across temp tables (validated bit-exact against
       * `XXH64.hashLong`/`hashUTF8String` JVM vectors). Generated by
       * `tools/gen_minhash_oracle.py` into the bundled resource. */
-    "dedup_minhash" -> minhashOracleSql
-    // rows-only (non-SQL-expressible) entries: dedup_simhash,
-    // emb_neardup_lsh (seeded SRP projections), ann_ivf +
-    // ann_ivf_kmeans (approximate)
+    "dedup_minhash" -> sqlResource("minhash_oracle.sql"),
+
+    /** SimHash chunk-pair LSH replay: xxh64(token, 42) sign-accumulated
+      * signatures → C(5,2) chunk-pair keys → capped bucket join → exact
+      * `bit_count(xor)` Hamming verify, same staged-arithmetic machinery
+      * (`tools/gen_simhash_oracle.py`). */
+    "dedup_simhash" -> sqlResource("simhash_oracle.sql")
+    // rows-only (non-SQL-expressible) entries: emb_neardup_lsh (seeded
+    // SRP projections over floats), ann_ivf + ann_ivf_kmeans
+    // (approximate), q_approx_distinct (HLL)
   )
 
-  /** DuckDB replay of the MinHash+LSH pipeline (see `oracleSql` scaladoc);
-    * shipped as a resource because the staged 64-bit arithmetic expands to
-    * ~200 SQL statements. */
-  private lazy val minhashOracleSql: String = {
-    val in = getClass.getResourceAsStream("/graft/minhash_oracle.sql")
-    require(in != null, "missing resource graft/minhash_oracle.sql")
+  /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'
+    * scaladoc); shipped as resources because the staged 64-bit arithmetic
+    * expands to ~200 SQL statements each (generated by
+    * `tools/gen_{minhash,simhash}_oracle.py`). */
+  private def sqlResource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    require(in != null, s"missing resource graft/$name")
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 }

@@ -12,101 +12,7 @@ xxh64 here matches org.apache.spark.sql.catalyst.expressions.XXH64
 the 4-lane stripe path is deliberately not replayed (corpus max shingle is
 26 bytes; a NULL poisons candidates VISIBLY if that ever changes).
 """
-P1 = 11400714785074694791
-P2 = 14029467366897019727
-P3 = 1609587929392839161
-P4 = 9650029242287828579
-P5 = 2870177450012600261
-M32 = 4294967296
-
-def hl(c): return ((c >> 32) & 0xFFFFFFFF, c & 0xFFFFFFFF)
-
-class Chain:
-    """Emits one temp-table stage per 64-bit op over (hi, lo) columns."""
-    def __init__(self, prefix, src_sql, keep):
-        self.prefix, self.keep, self.i = prefix, keep, 0
-        self.stmts = [f"CREATE OR REPLACE TEMP TABLE {prefix}_0 AS {src_sql}"]
-    def cur(self): return f"{self.prefix}_{self.i}"
-    def stage(self, defs):
-        """defs: list of (name, expr) added to the kept columns."""
-        new = f"{self.prefix}_{self.i + 1}"
-        cols = ", ".join(self.keep + [f"{e} AS {n}" for n, e in defs])
-        self.stmts.append(f"CREATE OR REPLACE TEMP TABLE {new} AS SELECT {cols} FROM {self.cur()}")
-        self.i += 1
-        return new
-
-# -- op expression builders; a/b are ("hi_col","lo_col") or int constants --
-def c_(v):  # constant -> (hi_sql, lo_sql)
-    h, l = hl(v); return (f"{h}::UBIGINT", f"{l}::UBIGINT")
-def cols(v): return v if isinstance(v, tuple) else c_(v)
-
-def add64(ch, out, a, b):
-    (ah, al), (bh, bl) = cols(a), cols(b)
-    ch.stage([(f"{out}_lo", f"(({al}) + ({bl})) % {M32}"),
-              (f"{out}_hi", f"(({ah}) + ({bh}) + ((({al}) + ({bl})) // {M32})) % {M32}")])
-    ch.keep += [f"{out}_hi", f"{out}_lo"]
-def xor64(ch, out, a, b):
-    (ah, al), (bh, bl) = cols(a), cols(b)
-    ch.stage([(f"{out}_hi", f"xor({ah}, {bh})"), (f"{out}_lo", f"xor({al}, {bl})")])
-    ch.keep += [f"{out}_hi", f"{out}_lo"]
-def mul64(ch, out, a, b):
-    (ah, al), (bh, bl) = cols(a), cols(b)
-    p0 = f"(({al}) * ({bl}))"
-    mid = f"((({al}) * ({bh})) % {M32} + (({ah}) * ({bl})) % {M32} + ({p0} // {M32}))"
-    ch.stage([(f"{out}_lo", f"{p0} % {M32}"), (f"{out}_hi", f"{mid} % {M32}")])
-    ch.keep += [f"{out}_hi", f"{out}_lo"]
-def rotl64(ch, out, a, n):
-    ah, al = cols(a)
-    n = n % 64
-    if n == 0: hi_e, lo_e = ah, al
-    elif n < 32:
-        hi_e = f"((({ah}) % {1 << (32 - n)}) * {1 << n} + (({al}) // {1 << (32 - n)}))"
-        lo_e = f"((({al}) % {1 << (32 - n)}) * {1 << n} + (({ah}) // {1 << (32 - n)}))"
-    elif n == 32: hi_e, lo_e = al, ah
-    else:
-        m = n - 32
-        hi_e = f"((({al}) % {1 << (32 - m)}) * {1 << m} + (({ah}) // {1 << (32 - m)}))"
-        lo_e = f"((({ah}) % {1 << (32 - m)}) * {1 << m} + (({al}) // {1 << (32 - m)}))"
-    ch.stage([(f"{out}_hi", hi_e), (f"{out}_lo", lo_e)])
-    ch.keep += [f"{out}_hi", f"{out}_lo"]
-def shr64(ch, out, a, n):
-    ah, al = cols(a)
-    if n < 32:
-        hi_e = f"(({ah}) // {1 << n})"
-        lo_e = f"((({ah}) % {1 << n}) * {1 << (32 - n)} + (({al}) // {1 << n}))"
-    else:
-        hi_e, lo_e = "0::UBIGINT", f"(({ah}) // {1 << (n - 32)})"
-    ch.stage([(f"{out}_hi", hi_e), (f"{out}_lo", lo_e)])
-    ch.keep += [f"{out}_hi", f"{out}_lo"]
-
-def t(name): return (f"{name}_hi", f"{name}_lo")
-
-def fmix(ch, pre, h):
-    shr64(ch, f"{pre}s1", h, 33); xor64(ch, f"{pre}x1", h, t(f"{pre}s1"))
-    mul64(ch, f"{pre}m1", t(f"{pre}x1"), P2)
-    shr64(ch, f"{pre}s2", t(f"{pre}m1"), 29); xor64(ch, f"{pre}x2", t(f"{pre}m1"), t(f"{pre}s2"))
-    mul64(ch, f"{pre}m2", t(f"{pre}x2"), P3)
-    shr64(ch, f"{pre}s3", t(f"{pre}m2"), 32); xor64(ch, f"{pre}x3", t(f"{pre}m2"), t(f"{pre}s3"))
-    return t(f"{pre}x3")
-
-def hash_long(ch, pre, x, seed):
-    """XXH64.hashLong(x, seed): seed may be a col pair or const."""
-    add64(ch, f"{pre}h0", seed, P5 + 8)
-    mul64(ch, f"{pre}k1", x, P2)
-    rotl64(ch, f"{pre}k2", t(f"{pre}k1"), 31)
-    mul64(ch, f"{pre}k3", t(f"{pre}k2"), P1)
-    xor64(ch, f"{pre}h1", t(f"{pre}h0"), t(f"{pre}k3"))
-    rotl64(ch, f"{pre}h2", t(f"{pre}h1"), 27)
-    mul64(ch, f"{pre}h3", t(f"{pre}h2"), P1)
-    add64(ch, f"{pre}h4", t(f"{pre}h3"), P4)
-    return fmix(ch, f"{pre}f", t(f"{pre}h4"))
-
-def word_exprs(off_expr):
-    """(hi, lo) little-endian 8-byte word at byte offset expr, from hex col hx."""
-    def byte(i): return f"(('0x' || substr(hx, 1 + 2*({off_expr} + {i}), 2))::UBIGINT)"
-    lo = " + ".join(f"{byte(i)} * {1 << (8 * i)}" for i in range(4))
-    hi = " + ".join(f"{byte(i + 4)} * {1 << (8 * i)}" for i in range(4))
-    return f"({hi})", f"({lo})"
+from xxh64_sql import *  # noqa: F401,F403
 
 def build():
     out = []
