@@ -1390,10 +1390,24 @@ object SparkEntry {
       * signatures → C(5,2) chunk-pair keys → capped bucket join → exact
       * `bit_count(xor)` Hamming verify, same staged-arithmetic machinery
       * (`tools/gen_simhash_oracle.py`). */
-    "dedup_simhash" -> sqlResource("simhash_oracle.sql")
-    // rows-only (non-SQL-expressible) entries: emb_neardup_lsh (seeded
-    // SRP projections over floats), ann_ivf + ann_ivf_kmeans
-    // (approximate), q_approx_distinct (HLL)
+    "dedup_simhash" -> sqlResource("simhash_oracle.sql"),
+
+    /** IVF with deterministic sampled centroids: the coarse sample order
+      * (xxh64(vec_id, 42), vec_id) replays via the staged hashLong
+      * machinery; assignment/probe/rank are double-accumulated cosine
+      * with the operator's exact tie-breaks
+      * (`tools/gen_ivf_oracle.py`). */
+    "ann_ivf" -> sqlResource("ivf_oracle.sql"),
+
+    /** SRP LSH: hyperplanes from xxh64((bit<<32)|dim, 7)/Long.MaxValue;
+      * `list_inner_product` accumulates doubles in index order —
+      * validated bit-identical to the SrpSignature kernel on all corpus
+      * vectors — then 16×4-bit band buckets + exact-cosine verify
+      * (`tools/gen_srp_oracle.py`). */
+    "emb_neardup_lsh" -> sqlResource("srp_oracle.sql")
+    // rows-only entries: ann_ivf_kmeans (iterative float means — Spark's
+    // partial-aggregation order is plan-dependent, so double sums are not
+    // portably replayable), q_approx_distinct (HLL sketch internals)
   )
 
   /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'
