@@ -1404,10 +1404,18 @@ object SparkEntry {
       * validated bit-identical to the SrpSignature kernel on all corpus
       * vectors — then 16×4-bit band buckets + exact-cosine verify
       * (`tools/gen_srp_oracle.py`). */
-    "emb_neardup_lsh" -> sqlResource("srp_oracle.sql")
-    // rows-only entries: ann_ivf_kmeans (iterative float means — Spark's
-    // partial-aggregation order is plan-dependent, so double sums are not
-    // portably replayable), q_approx_distinct (HLL sketch internals)
+    "emb_neardup_lsh" -> sqlResource("srp_oracle.sql"),
+
+    /** Spark's HyperLogLogPlusPlus replayed bit-for-bit (p=9 registers
+      * from xxh64(value, 42), ascending-order zInverse, the decompiled
+      * linear-count/threshold/bias selection with the K=6 neighbor
+      * window; tables dumped from the Spark jar). Validated across a
+      * 10-point cardinality sweep spanning every estimator regime
+      * (`tools/gen_hll_oracle.py`). */
+    "q_approx_distinct" -> sqlResource("hll_oracle.sql")
+    // sole rows-only entry: ann_ivf_kmeans (iterative float means —
+    // Spark's partial-aggregation order is plan-dependent, so double
+    // sums are not portably replayable)
   )
 
   /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'
