@@ -1,0 +1,267 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** S12 live-read path: a JDK-only MySQL replication client — the real wire
+  * protocol a binlog tailer speaks (reference:
+  * `boxer-binlog/.../HoodieBinlogDeltaStreamer.scala:77-89`): packet
+  * framing, HandshakeV10 + `mysql_native_password` scramble,
+  * `COM_BINLOG_DUMP`, and the v4 binlog event stream
+  * (FORMAT_DESCRIPTION / ROTATE / TABLE_MAP / WRITE·UPDATE·DELETE_ROWS v2)
+  * decoded into the exact [[CdcSchema.EventSchema]] rows the file-backed
+  * source emits — so demux sinks, offset resume and table registries
+  * compose unchanged. The zero-egress sandbox has no mysqld; the spec
+  * drives this against an in-process loopback server speaking the
+  * identical protocol, auth included.
+  *
+  * Scope: row images with LONG / LONGLONG / VARCHAR / NULL columns (the
+  * registry maps positions to column names — binlogs carry no names
+  * unless `binlog_row_metadata=FULL`). `BINLOG_DUMP_NON_BLOCK` is set, so
+  * a call drains to the current end of the stream and returns (a batch
+  * pull; the streaming wrapper re-pulls from the last offset). Offsets
+  * encode as [[BinlogOffset]] (file-suffix index, event log_pos). */
+object BinlogWire {
+
+  private val ComBinlogDump = 0x12
+  private val EvRotate = 4
+  private val EvTableMap = 19
+  private val EvWriteRowsV2 = 30
+  private val EvUpdateRowsV2 = 31
+  private val EvDeleteRowsV2 = 32
+
+  // MySQL column type ids this client decodes
+  private val TypeLong = 3
+  private val TypeLongLong = 8
+  private val TypeVarchar = 15
+
+  /** Read binlog events from `host:port` starting at (file, pos) until the
+    * server reports end-of-stream; returns [[CdcSchema.EventSchema]] rows.
+    * `columns`: (db, table) → ordered column names for the row images. */
+  def scan(spark: SparkSession, host: String, port: Int,
+           user: String, password: String,
+           file: String, pos: Long, serverId: Long = 65535L,
+           columns: Map[(String, String), Seq[String]] = Map.empty): DataFrame = {
+    val events = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      pull(host, port, user, password, file, pos, serverId, columns).iterator
+    }
+    spark.createDataFrame(events.map(e =>
+      Row(e.db, e.table, e.op, e.tsMs, e.offset, e.payload)), CdcSchema.EventSchema)
+  }
+
+  final case class CdcEvent(db: String, table: String, op: String,
+                            tsMs: Long, offset: Long, payload: String)
+
+  /** Numeric suffix of a binlog file name (`binlog.000007` → 7). */
+  def fileIndex(name: String): Long = {
+    val dot = name.lastIndexOf('.')
+    require(dot >= 0 && dot < name.length - 1, s"no numeric suffix: $name")
+    name.substring(dot + 1).toLong
+  }
+
+  // ---------------------------------------------------------- protocol
+  def pull(host: String, port: Int, user: String, password: String,
+           file: String, pos: Long, serverId: Long,
+           columns: Map[(String, String), Seq[String]]): Seq[CdcEvent] = {
+    val sock = new java.net.Socket(host, port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      handshake(in, out, user, password)
+      // COM_BINLOG_DUMP: pos(4) flags(2: 0x01 = NON_BLOCK) server-id(4) file
+      val fb = file.getBytes(StandardCharsets.UTF_8)
+      val cmd = ByteBuffer.allocate(11 + fb.length).order(ByteOrder.LITTLE_ENDIAN)
+      cmd.put(ComBinlogDump.toByte).putInt(pos.toInt).putShort(1)
+        .putInt(serverId.toInt).put(fb)
+      writePacket(out, 0, cmd.array())
+      readEvents(in, file, columns)
+    } finally sock.close()
+  }
+
+  /** HandshakeV10 → HandshakeResponse41 with the mysql_native_password
+    * scramble: SHA1(pw) XOR SHA1(nonce ‖ SHA1(SHA1(pw))). */
+  private def handshake(in: DataInputStream, out: DataOutputStream,
+                        user: String, password: String): Unit = {
+    val (greeting, _) = readPacket(in)
+    require((greeting(0) & 0xFF) == 10, s"unsupported protocol ${greeting(0)}")
+    var p = 1
+    while (greeting(p) != 0) p += 1 // server version cstring
+    p += 1 + 4 // thread id
+    val nonce1 = java.util.Arrays.copyOfRange(greeting, p, p + 8)
+    p += 8 + 1 // filler
+    p += 2 + 1 + 2 + 2 + 1 + 10 // caps low, charset, status, caps high, auth len, reserved
+    val nonce2 = java.util.Arrays.copyOfRange(greeting, p, p + 12) // 13th is NUL
+    val nonce = nonce1 ++ nonce2
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    def dig(parts: Array[Byte]*): Array[Byte] = {
+      sha1.reset(); parts.foreach(sha1.update); sha1.digest()
+    }
+    val scramble =
+      if (password.isEmpty) Array.empty[Byte]
+      else {
+        val pw1 = dig(password.getBytes(StandardCharsets.UTF_8))
+        dig(nonce, dig(pw1)).zip(pw1).map { case (a, b) => (a ^ b).toByte }
+      }
+    val userB = user.getBytes(StandardCharsets.UTF_8)
+    val plugin = "mysql_native_password".getBytes(StandardCharsets.UTF_8)
+    val resp = ByteBuffer.allocate(4 + 4 + 1 + 23 + userB.length + 1 +
+        1 + scramble.length + plugin.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+    resp.putInt(0x00000200 | 0x00008000 | 0x00080000)
+    resp.putInt(1 << 24) // max packet
+    resp.put(33.toByte)  // utf8 charset
+    resp.position(resp.position() + 23)
+    resp.put(userB).put(0.toByte)
+    resp.put(scramble.length.toByte).put(scramble)
+    resp.put(plugin).put(0.toByte)
+    writePacket(out, 1, resp.array())
+    val (reply, _) = readPacket(in)
+    if ((reply(0) & 0xFF) == 0xFF) throw new java.io.IOException(
+      "mysql auth failed: " + new String(reply, 9, reply.length - 9, StandardCharsets.UTF_8))
+    require((reply(0) & 0xFF) == 0x00, f"unexpected auth reply 0x${reply(0)}%02x")
+  }
+
+  /** Decode the event stream until EOF. Maintains the current binlog file
+    * (ROTATE) and the TABLE_MAP registry (table-id → db/table/types/meta). */
+  private def readEvents(in: DataInputStream, startFile: String,
+                         columns: Map[(String, String), Seq[String]]): Seq[CdcEvent] = {
+    var currentIdx = fileIndex(startFile)
+    final case class TableDef(db: String, table: String, types: Array[Int], meta: Array[Int])
+    val tables = scala.collection.mutable.Map.empty[Long, TableDef]
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
+    var done = false
+    while (!done) {
+      val (pkt, _) = readPacket(in)
+      (pkt(0) & 0xFF) match {
+        case 0xFE if pkt.length < 9 => done = true // EOF: caught up
+        case 0xFF => throw new java.io.IOException(
+          "binlog dump error: " + new String(pkt, 9, pkt.length - 9, StandardCharsets.UTF_8))
+        case 0x00 =>
+          val b = ByteBuffer.wrap(pkt).order(ByteOrder.LITTLE_ENDIAN)
+          val ts = b.getInt(1).toLong & 0xFFFFFFFFL
+          val evType = pkt(5) & 0xFF
+          val logPos = b.getInt(14).toLong & 0xFFFFFFFFL
+          var p = 20 // 1 OK byte + 19-byte header
+          evType match {
+            case EvRotate =>
+              val name = new String(pkt, p + 8, pkt.length - p - 8, StandardCharsets.UTF_8)
+              currentIdx = fileIndex(name)
+            case EvTableMap =>
+              val tableId = (b.getInt(p).toLong & 0xFFFFFFFFL) |
+                ((b.getShort(p + 4).toLong & 0xFFFFL) << 32)
+              p += 6 + 2
+              val dbLen = pkt(p) & 0xFF; p += 1
+              val db = new String(pkt, p, dbLen, StandardCharsets.UTF_8); p += dbLen + 1
+              val tblLen = pkt(p) & 0xFF; p += 1
+              val tbl = new String(pkt, p, tblLen, StandardCharsets.UTF_8); p += tblLen + 1
+              val (nCols, p1) = lenenc(pkt, p); p = p1
+              val types = Array.tabulate(nCols.toInt)(i => pkt(p + i) & 0xFF)
+              p += nCols.toInt
+              val (metaLen, p2) = lenenc(pkt, p); p = p2
+              val metaEnd = p + metaLen.toInt
+              val meta = types.map {
+                case TypeVarchar =>
+                  val m = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8); p += 2; m
+                case TypeLong | TypeLongLong => 0
+                case other => throw new IllegalArgumentException(
+                  s"unsupported binlog column type $other in $db.$tbl")
+              }
+              require(p == metaEnd, s"metadata block length mismatch in $db.$tbl")
+              tables(tableId) = TableDef(db, tbl, types, meta)
+            case EvWriteRowsV2 | EvUpdateRowsV2 | EvDeleteRowsV2 =>
+              val tableId = (b.getInt(p).toLong & 0xFFFFFFFFL) |
+                ((b.getShort(p + 4).toLong & 0xFFFFL) << 32)
+              p += 6 + 2
+              val extraLen = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8)
+              p += extraLen // extraLen includes its own 2 bytes
+              val td = tables.getOrElse(tableId,
+                throw new IllegalStateException(s"rows event before TABLE_MAP for $tableId"))
+              val (nCols, p1) = lenenc(pkt, p); p = p1
+              val n = nCols.toInt
+              val bmBytes = (n + 7) / 8
+              p += bmBytes // included-columns (all set by servers in practice)
+              if (evType == EvUpdateRowsV2) p += bmBytes // update: after-image bitmap
+              val names = columns.getOrElse((td.db, td.table),
+                (0 until n).map(i => s"c$i"))
+              val op = evType match {
+                case EvWriteRowsV2 => CdcSchema.OpInsert
+                case EvUpdateRowsV2 => CdcSchema.OpUpdate
+                case EvDeleteRowsV2 => CdcSchema.OpDelete
+              }
+              def readImage(): String = {
+                val nullBm = java.util.Arrays.copyOfRange(pkt, p, p + bmBytes)
+                p += bmBytes
+                val sb = new StringBuilder("{")
+                var i = 0
+                while (i < n) {
+                  if (i > 0) sb.append(',')
+                  sb.append('"').append(names(i)).append("\":")
+                  if (((nullBm(i / 8) >> (i % 8)) & 1) == 1) sb.append("null")
+                  else td.types(i) match {
+                    case TypeLong => sb.append(b.getInt(p)); p += 4
+                    case TypeLongLong => sb.append(b.getLong(p)); p += 8
+                    case TypeVarchar =>
+                      val len = if (td.meta(i) > 255) {
+                        val l = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8); p += 2; l
+                      } else { val l = pkt(p) & 0xFF; p += 1; l }
+                      val s = new String(pkt, p, len, StandardCharsets.UTF_8); p += len
+                      sb.append('"')
+                        .append(s.replace("\\", "\\\\").replace("\"", "\\\""))
+                        .append('"')
+                  }
+                  i += 1
+                }
+                sb.append('}').toString
+              }
+              val end = pkt.length
+              while (p < end) {
+                val img = readImage()
+                // update rows carry (before, after) pairs: emit the AFTER
+                // image, the upsert-relevant one (the reference's last-
+                // writer-wins sink consumes exactly that)
+                val payload = if (evType == EvUpdateRowsV2) readImage() else img
+                outRows += CdcEvent(td.db, td.table, op, ts * 1000L,
+                  BinlogOffset(currentIdx, logPos).encoded, payload)
+              }
+            case _ => () // FORMAT_DESCRIPTION, XID, QUERY, heartbeats: skip
+          }
+        case other => throw new java.io.IOException(f"unexpected packet lead 0x$other%02x")
+      }
+    }
+    outRows.toSeq
+  }
+
+  // length-encoded integer
+  private def lenenc(bytes: Array[Byte], p: Int): (Long, Int) = (bytes(p) & 0xFF) match {
+    case v if v < 0xFB => (v.toLong, p + 1)
+    case 0xFC => (((bytes(p + 1) & 0xFFL)) | ((bytes(p + 2) & 0xFFL) << 8), p + 3)
+    case 0xFD => ((bytes(p + 1) & 0xFFL) | ((bytes(p + 2) & 0xFFL) << 8) |
+      ((bytes(p + 3) & 0xFFL) << 16), p + 4)
+    case 0xFE => (ByteBuffer.wrap(bytes, p + 1, 8).order(ByteOrder.LITTLE_ENDIAN).getLong, p + 9)
+    case other => throw new IllegalArgumentException(f"bad lenenc lead 0x$other%02x")
+  }
+
+  // ---------------------------------------------------- packet framing
+  def writePacket(out: DataOutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xFF)
+    out.write((payload.length >> 8) & 0xFF)
+    out.write((payload.length >> 16) & 0xFF)
+    out.write(seq & 0xFF)
+    out.write(payload)
+    out.flush()
+  }
+
+  def readPacket(in: DataInputStream): (Array[Byte], Int) = {
+    val h = new Array[Byte](4)
+    in.readFully(h)
+    val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    (payload, h(3) & 0xFF)
+  }
+}
