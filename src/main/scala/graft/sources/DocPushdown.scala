@@ -28,7 +28,7 @@ object DocPushdown {
   private val mapper = new ObjectMapper()
   private[sources] def jsonMapper: ObjectMapper = mapper
 
-  private[sources] def parseJson(s: String): JsonNode = mapper.readTree(s)
+  private[graft] def parseJson(s: String): JsonNode = mapper.readTree(s)
 
   /** JSON literal → Spark literal (integral → long, fractional → double). */
   private def lit0(n: JsonNode): Column =

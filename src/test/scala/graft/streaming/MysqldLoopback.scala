@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** In-process loopback "mysqld" for the binlog specs: speaks HandshakeV10 +
+  * `mysql_native_password` auth and serves `COM_BINLOG_DUMP` from a fixed
+  * two-file binlog fixture — file 000001: INSERT orders(id=1,
+  * item='widget'), INSERT users(id=7, name='ada') @ pos 100/200; ROTATE;
+  * file 000002: UPDATE orders id 1 item widget→gadget @ 120, DELETE users
+  * id 7 @ 180. Dump requests from any (file, pos) replay only later
+  * events (TABLE_MAPs re-sent so resumes can decode), which is exactly a
+  * real server's retained-binlog behavior. */
+final class MysqldLoopback(password: String) {
+  private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+  private val sha1 = MessageDigest.getInstance("SHA-1")
+  private def dig(parts: Array[Byte]*): Array[Byte] = {
+    sha1.reset(); parts.foreach(sha1.update); sha1.digest()
+  }
+  private val nonce = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+
+  private def le(n: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN); f(b); b.array()
+  }
+  /** v4 event: 19-byte header + payload. */
+  private def event(tpe: Int, ts: Long, logPos: Long, payload: Array[Byte]): Array[Byte] =
+    le(19 + payload.length) { b =>
+      b.putInt(ts.toInt).put(tpe.toByte).putInt(1)
+        .putInt(19 + payload.length).putInt(logPos.toInt).putShort(0).put(payload)
+    }
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+  private def tableMap(tableId: Long, db: String, tbl: String,
+                       types: Seq[Int], varcharMax: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le(8)(_.putLong(tableId)).take(6)) // table id (6 bytes)
+    out.write(Array[Byte](0, 0)) // flags
+    out.write(db.length); out.write(cstr(db))
+    out.write(tbl.length); out.write(cstr(tbl))
+    out.write(types.length) // lenenc (< 251)
+    types.foreach(out.write)
+    val meta = new java.io.ByteArrayOutputStream()
+    types.zipWithIndex.foreach {
+      case (15, i) => meta.write(le(2)(_.putShort(varcharMax(i).toShort)))
+      case _ => ()
+    }
+    out.write(meta.size())
+    meta.writeTo(out)
+    out.write(Array.fill[Byte]((types.length + 7) / 8)(0)) // null-allowed bitmap
+    out.toByteArray
+  }
+  /** images: one VALUES seq per row image (update rows pass before+after). */
+  private def rowsEvent(tableId: Long, types: Seq[Int], varcharMax: Seq[Int],
+                        images: Seq[Seq[Any]], update: Boolean): Array[Byte] = {
+    val n = types.length
+    val bm = (n + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le(8)(_.putLong(tableId)).take(6))
+    out.write(Array[Byte](0, 0))
+    out.write(le(2)(_.putShort(2))) // extra-data length (just itself)
+    out.write(n) // lenenc column count
+    out.write(Array.fill[Byte](bm)(0xFF.toByte)) // included columns
+    if (update) out.write(Array.fill[Byte](bm)(0xFF.toByte))
+    images.foreach { img =>
+      val nullBm = new Array[Byte](bm)
+      img.zipWithIndex.foreach { case (v, i) =>
+        if (v == null) nullBm(i / 8) = (nullBm(i / 8) | (1 << (i % 8))).toByte
+      }
+      out.write(nullBm)
+      img.zipWithIndex.foreach { case (v, i) =>
+        if (v != null) types(i) match {
+          case 3 => out.write(le(4)(_.putInt(v.asInstanceOf[Int])))
+          case 8 => out.write(le(8)(_.putLong(v.asInstanceOf[Long])))
+          case 15 =>
+            val bytes = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+            if (varcharMax(i) > 255) out.write(le(2)(_.putShort(bytes.length.toShort)))
+            else out.write(bytes.length)
+            out.write(bytes)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private val ordersTypes = Seq(3, 15); private val ordersMax = Seq(0, 64)
+  private val usersTypes = Seq(8, 15); private val usersMax = Seq(0, 300)
+  /** (fileIdx, logPos, eventBytes) in stream order; TABLE_MAPs precede. */
+  private def fixture: Seq[(Long, Long, Array[Byte])] = Seq(
+    (1L, 60L, event(19, 1000, 60, tableMap(11, "shop", "orders", ordersTypes, ordersMax))),
+    (1L, 100L, event(30, 1000, 100,
+      rowsEvent(11, ordersTypes, ordersMax, Seq(Seq(1, "widget")), update = false))),
+    (1L, 160L, event(19, 1001, 160, tableMap(12, "shop", "users", usersTypes, usersMax))),
+    (1L, 200L, event(30, 1001, 200,
+      rowsEvent(12, usersTypes, usersMax, Seq(Seq(7L, "ada")), update = false))),
+    (2L, 60L, event(19, 1002, 60, tableMap(11, "shop", "orders", ordersTypes, ordersMax))),
+    (2L, 120L, event(31, 1002, 120,
+      rowsEvent(11, ordersTypes, ordersMax,
+        Seq(Seq(1, "widget"), Seq(1, "gadget")), update = true))),
+    (2L, 150L, event(19, 1003, 150, tableMap(12, "shop", "users", usersTypes, usersMax))),
+    (2L, 180L, event(32, 1003, 180,
+      rowsEvent(12, usersTypes, usersMax, Seq(Seq(7L, null)), update = false))))
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try { val s = server.accept(); new Thread(() => serve(s)).start() }
+      catch { case _: Exception => () }
+    }
+  })
+  acceptor.setDaemon(true); acceptor.start()
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      // HandshakeV10
+      val g = new java.io.ByteArrayOutputStream()
+      g.write(10); g.write(cstr("8.0.99-loopback")); g.write(le(4)(_.putInt(99)))
+      g.write(nonce, 0, 8); g.write(0)
+      g.write(le(2)(_.putShort(0xFFFF.toShort))); g.write(33)
+      g.write(le(2)(_.putShort(2))); g.write(le(2)(_.putShort(0xC7.toShort)))
+      g.write(21); g.write(new Array[Byte](10))
+      g.write(nonce, 8, 12); g.write(0)
+      g.write(cstr("mysql_native_password"))
+      BinlogWire.writePacket(out, 0, g.toByteArray)
+      // HandshakeResponse41: user cstring after 32 fixed bytes, then scramble
+      val (resp, _) = BinlogWire.readPacket(in)
+      var p = 32
+      while (resp(p) != 0) p += 1
+      p += 1
+      val sl = resp(p) & 0xFF; p += 1
+      val scr = java.util.Arrays.copyOfRange(resp, p, p + sl)
+      val pw2 = dig(dig(password.getBytes(StandardCharsets.UTF_8)))
+      val expectPw1 = dig(nonce, pw2).zip(scr).map { case (a, c) => (a ^ c).toByte }
+      if (sl == 0 || !java.util.Arrays.equals(dig(expectPw1), pw2)) {
+        BinlogWire.writePacket(out, 2,
+          Array[Byte](0xFF.toByte, 0x15, 0x04, '#', '2', '8', '0', '0', '0') ++
+            "Access denied".getBytes(StandardCharsets.UTF_8))
+        return
+      }
+      BinlogWire.writePacket(out, 2, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
+      // COM_BINLOG_DUMP
+      val (dump, _) = BinlogWire.readPacket(in)
+      require((dump(0) & 0xFF) == 0x12, "expected COM_BINLOG_DUMP")
+      val db = ByteBuffer.wrap(dump).order(ByteOrder.LITTLE_ENDIAN)
+      val startPos = db.getInt(1).toLong & 0xFFFFFFFFL
+      val startFile = new String(dump, 11, dump.length - 11, StandardCharsets.UTF_8)
+      val startIdx = BinlogWire.fileIndex(startFile)
+      var seq = 1
+      def send(ev: Array[Byte]): Unit = {
+        BinlogWire.writePacket(out, seq, 0.toByte +: ev); seq += 1
+      }
+      send(event(15, 999, 4, new Array[Byte](84))) // FORMAT_DESCRIPTION
+      var lastIdx = startIdx
+      fixture.foreach { case (idx, pos, ev) =>
+        val due = idx > startIdx || (idx == startIdx && pos > startPos)
+        val isMap = (ev(4) & 0xFF) == 19
+        if (idx != lastIdx && due) {
+          send(event(4, 999, 0, // ROTATE to the next file
+            le(8)(_.putLong(4L)) ++ s"binlog.${"%06d".format(idx)}".getBytes))
+          lastIdx = idx
+        }
+        if (due || isMap) send(ev) // maps re-sent so resumes can decode
+      }
+      BinlogWire.writePacket(out, seq, Array[Byte](0xFE.toByte, 0, 0, 2, 0)) // EOF
+    } catch { case _: Exception => () }
+    finally sock.close()
+  }
+
+  def port: Int = server.getLocalPort
+  def stop(): Unit = { running = false; server.close() }
+}
