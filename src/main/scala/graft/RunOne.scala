@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev harness: run a single SparkEntry query with timing + plan dump.
-  * Usage: runMain graft.RunOne <name> [sfDir] [explain|noexplain]
+  * Usage: runMain graft.RunOne <name> [sfDir] [explain|noexplain|dump <path>]
+  * `dump <path>` writes the result parquet for ad-hoc oracle comparison.
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -24,6 +25,11 @@ object RunOne {
     // iterative operators (e.g. connectedComponents) run jobs eagerly here
     println(f"[runone] $name constructed in ${(System.nanoTime() - tc) / 1e9}%.2fs")
     if (doExplain) df.explain("formatted")
+    if (args.length > 3 && args(2) == "dump") {
+      df.coalesce(1).write.mode("overwrite").parquet(args(3))
+      println(s"[runone] $name dumped to ${args(3)}")
+      spark.stop(); return
+    }
     // warm + measure twice to split JIT/codegen from steady-state
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()

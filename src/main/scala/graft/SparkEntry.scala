@@ -652,10 +652,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")),
 
     /** IVF with spherical-k-means-trained coarse centroids (the production
-      * recall path; rows-only — approximate by design). */
+      * recall path). The int8 trainer keeps centroids as integer sum
+      * vectors (cosine is scale-invariant), so training is exact and
+      * order-independent — replayed iteration by iteration in DuckDB
+      * (`tools/gen_kmeans_oracle.py`). */
     "ann_ivf_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 2)
+      val cents = Similarity.trainCentroidsI8(emb, nlist = 16, iters = 2)
       Similarity.ivfTopK(emb, 5, 16, 4, col("vec_id") % 20 === 0,
           centroids = Some(cents))
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
@@ -1412,10 +1415,15 @@ object SparkEntry {
       * window; tables dumped from the Spark jar). Validated across a
       * 10-point cardinality sweep spanning every estimator regime
       * (`tools/gen_hll_oracle.py`). */
-    "q_approx_distinct" -> sqlResource("hll_oracle.sql")
-    // sole rows-only entry: ann_ivf_kmeans (iterative float means —
-    // Spark's partial-aggregation order is plan-dependent, so double
-    // sums are not portably replayable)
+    "q_approx_distinct" -> sqlResource("hll_oracle.sql"),
+
+    /** Spherical k-means replayed iteration by iteration: int8-quantized
+      * vectors, centroids as exact INTEGER SUM vectors (cosine is
+      * scale-invariant, so the mean's division — the order-dependent float
+      * step that made this rows-only — never happens), argmax assignment
+      * over already-validated double cosine, then the standard ivfTopK
+      * replay (`tools/gen_kmeans_oracle.py`). */
+    "ann_ivf_kmeans" -> sqlResource("kmeans_oracle.sql")
   )
 
   /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'

@@ -274,6 +274,63 @@ object Similarity {
     cents.toDF("cell_id", "centroid")
   }
 
+  /** Spherical k-means over INT8-QUANTIZED vectors with integer-sum
+    * centroids — the engine-replayable trainer behind `ann_ivf_kmeans`.
+    *
+    * Why this variant exists: [[trainCentroids]]' float means are
+    * order-dependent (Spark's partial-aggregation order is plan-dependent),
+    * so no other engine can reproduce them bit-for-bit. Here every
+    * per-iteration reduction is an INTEGER sum of int8 components — exact
+    * and order-independent — and cosine is scale-invariant, so the centroid
+    * never needs the division by cluster size at all: the sum vector IS the
+    * centroid. Assignment compares `cosine_sim` (double accumulation in
+    * index order) over exactly-representable integer-valued floats, which
+    * DuckDB's `list_cosine_similarity` reproduces bit-for-bit
+    * (`tools/gen_kmeans_oracle.py`), flipping the one remaining rows-only
+    * correctness entry to a hash-match.
+    *
+    * Same scale shape as [[trainCentroids]]: per iteration one broadcast
+    * cross-join + map-side-combined `max_by` + a (cell, dim) integer
+    * aggregate; only `nlist x dim` longs reach the driver. Sum components
+    * stay float-exact while cluster mass stays under 2^24/127 ≈ 132k
+    * vectors; beyond that both engines round the same IEEE way, so
+    * determinism (though not integer exactness) survives. Empty cells keep
+    * their previous centroid. */
+  def trainCentroidsI8(emb: DataFrame, nlist: Int = 16, iters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val floatArr = ArrayType(FloatType, containsNull = false)
+    // quantized corpus feeds iters+1 plan branches — materialize once
+    val q = emb.select(col(idCol), VectorFunctions.i8Quantize(col(vecCol)).as("q8"))
+      .localCheckpoint(eager = false)
+    var cents: Seq[(Long, Seq[Float])] = q
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nlist)
+      .select(col("q8")).as[Seq[Byte]].collect().toSeq
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("cell_id", "centroid"))
+      val assigned = q.crossJoin(cdf)
+        .select(col(idCol), col("q8"), col("cell_id"),
+          cosine(col("q8").cast(floatArr), col("centroid")).as("csim"))
+        .groupBy(col(idCol))
+        .agg(max_by(struct(col("cell_id"), col("q8").as("v")),
+          struct(col("csim"), -col("cell_id"))).as("_a"))
+        .select(col("_a.cell_id").as("cell_id"), col("_a.v").as("v"))
+      val sums = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos").agg(sum(col("x").cast("long")).as("s"))
+        .as[(Long, Int, Long)].collect()
+      val updated = sums.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3.toFloat).toSeq).toMap
+      cents = cents.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+    }
+    cents.toDF("cell_id", "centroid")
+  }
+
   /** Nearest-cell assignment (broadcast centroid scan). max_by hash
     * aggregate, NOT a window: map-side partial combine reduces each
     * vector's nlist candidate rows inside the scan stage instead of

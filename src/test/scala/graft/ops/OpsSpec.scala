@@ -204,6 +204,35 @@ class OpsSpec extends SparkSuite {
     assert(recall(km) >= 0.8, s"k-means recall too low: ${recall(km)}")
   }
 
+  test("trainCentroidsI8 (replayable int8 k-means) matches float-trainer recall") {
+    // same planted-cluster corpus as the float-trainer test above
+    val emb = (0L until 180L).map { i =>
+      val c = (i % 6).toInt
+      val base = Array.tabulate(8)(d => if (d == c) 1.0f else 0.0f)
+      val noisy = base.zipWithIndex.map { case (x, d) =>
+        x + 0.15f * math.sin((i * 31 + d * 7).toDouble).toFloat }
+      (i, noisy)
+    }.toDF("vec_id", "embedding")
+    val queryPred = col("vec_id") % 10 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, 5, queryPred))
+    val trained = Similarity.trainCentroidsI8(emb, nlist = 6, iters = 5)
+    assert(trained.count() === 6L)
+    // centroid components are integer sums of int8 components — exact floats
+    val comps = trained.select(explode(col("centroid")))
+      .as[Float].collect()
+    assert(comps.forall(c => c == math.rint(c).toFloat), "non-integer centroid")
+    val km = pairs(Similarity.ivfTopK(emb, 5, 6, 2, queryPred, centroids = Some(trained)))
+    val recall = km.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"int8 k-means recall too low: $recall")
+    // determinism: a second training run yields the identical centroids
+    val again = Similarity.trainCentroidsI8(emb, nlist = 6, iters = 5)
+    val a = trained.select("cell_id", "centroid").as[(Long, Seq[Float])].collect().toMap
+    val b = again.select("cell_id", "centroid").as[(Long, Seq[Float])].collect().toMap
+    assert(a === b)
+  }
+
   test("srpNearDupPairs recalls planted high-cosine pairs, skips the rest") {
     val base = Array.tabulate(32)(i => math.sin(i * 0.7).toFloat)
     val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
