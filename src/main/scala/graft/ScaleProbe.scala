@@ -65,6 +65,19 @@ object ScaleProbe {
         .unionByName(Dedup.fingerprintEdges(docs))
       Dedup.connectedComponents(edges).groupBy("component").count().count()
     }
+    // Replication makes every base chunk appear in ≥x docs, so with
+    // maxDocs < x the ENTIRE corpus is boilerplate — the worst case for
+    // the hot-set anti-join (nothing is pruned early) and for reassembly
+    // (every doc rebuilt to empty). Output must be exactly one row per doc.
+    time("boilerplate_removal") {
+      val out = Curation.removeBoilerplate(docs, chunkWords = 10,
+        maxDocs = math.max(1, x - 1))
+      val r = out.agg(count(lit(1)), coalesce(sum(col("n_dropped")), lit(0L))).head()
+      System.err.println(s"[probe] boilerplate dropped spans=${r.getLong(1)}")
+      r.getLong(0)
+    }
+    // Packing is one per-source window cumsum — must stay linear in docs.
+    time("pack_sequences")(Curation.packSequences(docs, 4096).count())
     // Chunk-pair LSH density at 10⁶ docs, single language (the worst case
     // for a blocking key). The sf documents are template-generated and
     // near-dup-DENSE (an LSH bucket holding a true dup cluster is load, not

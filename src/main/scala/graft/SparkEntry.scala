@@ -700,6 +700,15 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    /** CCNet/C4-style boilerplate-span removal ([[Curation
+      * .removeBoilerplate]]): disjoint 10-token spans occurring verbatim
+      * in >2 documents are dropped corpus-wide; md5 keeps the cleaned
+      * text compact while still pinning exact reassembly order. */
+    "text_boilerplate" -> ((s, d) =>
+      Curation.removeBoilerplate(t(s, d, "documents"), chunkWords = 10, maxDocs = 2)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_chunks"), col("n_dropped"))
+        .orderBy("doc_id")),
 
     /** PII scrubbing ([[TextOps.scrubPii]]): the synthetic corpus carries
       * no natural PII, so the query plants a deterministic email + phone +
@@ -717,6 +726,14 @@ object SparkEntry {
         .filter(col("clean").contains("<EMAIL>") &&
           col("clean").contains("<PHONE>") && col("clean").contains("<IP>"))
         .orderBy("doc_id")),
+
+    /** GPT-style sequence packing ([[Curation.packSequences]]): per-source
+      * md5-ordered token stream split into 256-token training sequences;
+      * each doc's (sequence, offset, span) mapping is exact and
+      * engine-replayable (window cumsum — no RNG, no floats). */
+    "corpus_pack" -> ((s, d) =>
+      Curation.packSequences(t(s, d, "documents"), seqLen = 256)
+        .orderBy("source", "doc_id")),
 
     /** Per-source corpus report — composes [[graft.ops.Ranking
       * .groupPercentiles]] (exact median with no per-group buffering) with
@@ -1301,6 +1318,28 @@ object SparkEntry {
         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
 
+    // same disjoint 10-token chunking, distinct-doc counting and in-order
+    // reassembly; empty-after-cleaning docs keep md5('')
+    "text_boilerplate" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS idx, array_to_string(tk[i*10+1 : i*10+10], ' ') AS chunk
+        FROM toks, (SELECT unnest(range(1000)) AS i) ii
+        WHERE i < CAST(ceil(len(tk) / 10.0) AS INT)),
+      hot AS (SELECT chunk FROM (
+        SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+        WHERE nd > 2),
+      kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(chunk, ' ' ORDER BY idx) AS text_clean
+        FROM chunks WHERE chunk NOT IN (SELECT chunk FROM hot)
+        GROUP BY doc_id),
+      totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+      SELECT t.doc_id, md5(COALESCE(k.text_clean, '')) AS clean_md5,
+        t.n_chunks, t.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped
+      FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id""",
+
     // same planted-PII construction and the same RE2-safe regexes, verbatim
     "text_pii_scrub" -> """
       WITH pii AS (
@@ -1318,6 +1357,24 @@ object SparkEntry {
       SELECT doc_id, clean FROM clean
       WHERE clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%' AND clean LIKE '%<IP>%'
       ORDER BY doc_id""",
+
+    // same md5-ordered per-source cumsum and 256-token split
+    "corpus_pack" -> """
+      WITH base AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+          md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      cum AS (
+        SELECT source, doc_id, nt,
+          SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS start_tok
+        FROM base)
+      SELECT source, doc_id, nt,
+        CAST(start_tok // 256 AS BIGINT) AS seq_in_source,
+        CAST(start_tok % 256 AS BIGINT) AS seq_offset,
+        GREATEST(1, CAST(ceil((start_tok % 256 + nt) / 256.0) AS BIGINT)) AS n_seqs
+      FROM cum ORDER BY source, doc_id""",
 
     "corpus_stats" -> """
       SELECT source, COUNT(*) AS n_docs,

@@ -43,6 +43,50 @@ object Curation {
       .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
   }
 
+  /** CCNet/C4-style boilerplate-span removal, corpus-wide and exact: split
+    * each document into DISJOINT `chunkWords`-token spans, count how many
+    * DISTINCT documents each span text occurs in, and drop spans occurring
+    * in more than `maxDocs` documents (navigation bars, license headers,
+    * cookie banners — the spans that repeat verbatim across a crawl). The
+    * surviving spans are reassembled in order; fully-boilerplate documents
+    * survive with empty text so downstream length filters decide their
+    * fate explicitly.
+    *
+    * Scale shape: chunking is explode(sequence)+slice (codegen'd, no HOF
+    * on the hot path); the count is a two-level hash aggregate keyed by
+    * span text; removal is one shuffle anti-join against the (by
+    * construction small) hot-span set, which AQE turns into a broadcast
+    * when it measures small. The only per-doc state is the doc's own span
+    * list — no corpus-global window, no collect. */
+  def removeBoilerplate(docs: DataFrame, chunkWords: Int = 10, maxDocs: Int = 10,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkWords > 0 && maxDocs > 0, "chunkWords and maxDocs must be positive")
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0),
+          ceil(size(col("tk")).cast("double") / chunkWords).cast("int") - 1)).as("idx"))
+      .select(col(idCol), col("idx"),
+        array_join(slice(col("tk"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
+          .as("chunk"))
+      // feeds the count AND the anti-join — materialize once, not twice
+      .localCheckpoint(eager = false)
+    val hot = chunks.groupBy("chunk")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select("chunk")
+    val kept = chunks.join(hot, Seq("chunk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_clean"))
+    val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Deterministic token-budget mixing: per `groupCol` (source/domain),
     * keep documents in md5(id) order until the group's token budget is
     * exhausted (a doc is kept iff it STARTS inside the budget — the
@@ -81,6 +125,34 @@ object Curation {
     df.withColumn("nt", nt.cast("long"))
       .withColumn("cum_tokens", sum(col("nt")).over(w))
       .filter(col("cum_tokens") - col("nt") < budgetExpr)
+  }
+
+  /** GPT-style sequence packing: concatenate documents in a deterministic
+    * per-source order (md5 of the id — RNG-free, reproducible across
+    * engines) and split the token stream into fixed `seqLen`-token
+    * training sequences. Emits, per document, the sequence id and token
+    * offset where it starts, plus how many sequences it spans — the
+    * bookkeeping a packed-pretraining writer needs (documents crossing a
+    * boundary continue in the next sequence; real pipelines either mask
+    * or split there, both needing exactly this mapping).
+    *
+    * Scale shape: one window cumsum PER SOURCE (bounded partitions — the
+    * same per-group window contract as [[mixWeighted]]), no collect, no
+    * UDF. Sequence ids are global via (source, seq-in-source). */
+  def packSequences(df: DataFrame, seqLen: Int,
+                    groupCol: String = "source", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("nt", size(TextOps.lowerTokens(col(textCol))).cast("long"))
+      .withColumn("start_tok", sum(col("nt")).over(w) - col("nt"))
+      .select(col(groupCol), col(idCol), col("nt"),
+        (col("start_tok") / seqLen).cast("long").as("seq_in_source"),
+        (col("start_tok") % seqLen).as("seq_offset"),
+        // a doc spans ceil((offset + nt) / seqLen) sequences (min 1)
+        greatest(lit(1L), ceil((col("start_tok") % seqLen + col("nt"))
+          .cast("double") / seqLen).cast("long")).as("n_seqs"))
   }
 
   /** Incremental dedup — the production flow where a NEW batch lands next

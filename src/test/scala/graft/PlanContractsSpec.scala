@@ -68,6 +68,30 @@ class PlanContractsSpec extends SparkSuite {
     }
   }
 
+  test("boilerplate removal stays hash-keyed: no cartesian, no global window") {
+    val df = SparkEntry.queries("text_boilerplate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "hot-span anti-join degenerated to a loop join")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "text_boilerplate grew a global WindowExec")
+  }
+
+  test("sequence packing windows per source, never a single global partition") {
+    val df = SparkEntry.queries("corpus_pack")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(source"),
+      "per-source packing window partitioning lost")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "corpus_pack has a global (unpartitioned) WindowExec")
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")

@@ -9,6 +9,72 @@ class CurationSpec extends SparkSuite {
 
   import spark.implicits._
 
+  test("removeBoilerplate drops cross-doc repeated spans, reassembles in order") {
+    // span "w0 w1 w2" (3-word chunks) opens docs 0..3 (boilerplate, 4 > 2
+    // docs); each doc keeps a unique tail; doc 4 is ALL boilerplate; doc 5
+    // shares nothing
+    val boiler = "cookie notice here"
+    val docs = Seq(
+      (0L, s"$boiler alpha beta gamma"),
+      (1L, s"$boiler delta epsilon zeta"),
+      (2L, s"$boiler eta theta iota"),
+      (3L, s"$boiler kappa lambda mu"),
+      (4L, boiler),
+      (5L, "wholly unique content")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, chunkWords = 3, maxDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, "alpha beta gamma", 2L, 1L),
+      (1L, "delta epsilon zeta", 2L, 1L),
+      (2L, "eta theta iota", 2L, 1L),
+      (3L, "kappa lambda mu", 2L, 1L),
+      (4L, "", 1L, 1L), // fully-boilerplate doc survives with empty text
+      (5L, "wholly unique content", 1L, 0L)))
+  }
+
+  test("removeBoilerplate keeps sub-threshold repeats and multi-chunk order") {
+    // the repeated span sits in only 2 docs (<= maxDocs=2): nothing drops,
+    // and 3-chunk docs reassemble in original order
+    val docs = Seq(
+      (0L, "a b c d e f g h i"),
+      (1L, "a b c x y z p q r")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, chunkWords = 3, maxDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, "a b c d e f g h i", 3L, 0L),
+      (1L, "a b c x y z p q r", 3L, 0L)))
+  }
+
+  test("packSequences: md5-ordered concat split into fixed token sequences") {
+    val docs = Seq(
+      (0L, "s", "a b c"),          // 3 tokens
+      (1L, "s", "d e"),            // 2
+      (2L, "s", "f g h i j k"),    // 6 — crosses a 4-token boundary
+      (3L, "t", "x y")).toDF("doc_id", "source", "text")
+    def m(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nt = Map(0L -> 3L, 1L -> 2L, 2L -> 6L)
+    // replicate the deterministic order + cumsum for source "s"
+    val order = Seq(0L, 1L, 2L).sortBy(i => (m(i), i))
+    val starts = order.scanLeft(0L)((acc, i) => acc + nt(i)).init
+    val expected = order.zip(starts).map { case (id, st) =>
+      id -> ((st / 4, st % 4,
+        math.max(1L, math.ceil((st % 4 + nt(id)) / 4.0).toLong)))
+    }.toMap
+    val out = Curation.packSequences(docs, seqLen = 4)
+      .select("doc_id", "seq_in_source", "seq_offset", "n_seqs")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    order.foreach { id =>
+      assert(out(id) === expected(id), s"doc $id")
+    }
+    assert(out(3L) === ((0L, 0L, 1L))) // sole doc of source t starts fresh
+    // a 6-token doc starting mid-sequence spans at least 2 sequences
+    assert(out(2L)._3 >= 2L)
+  }
+
   test("repetitionProfile: repeated bigram and duplicated tokens counted") {
     val d = Seq(
       (1L, "spam ham spam ham spam ham"),  // "spam ham" x3, "ham spam" x2
