@@ -1323,8 +1323,10 @@ object SparkEntry {
     "text_boilerplate" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       chunks AS (
+        -- chunk-index range derived from the longest document, so the
+        -- replay never silently truncates (the Spark side is unbounded)
         SELECT doc_id, i AS idx, array_to_string(tk[i*10+1 : i*10+10], ' ') AS chunk
-        FROM toks, (SELECT unnest(range(1000)) AS i) ii
+        FROM toks, (SELECT unnest(range((SELECT CAST(ceil(max(len(string_split(text, ' '))) / 10.0) AS INT) FROM documents))) AS i) ii
         WHERE i < CAST(ceil(len(tk) / 10.0) AS INT)),
       hot AS (SELECT chunk FROM (
         SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
@@ -1352,7 +1354,7 @@ object SparkEntry {
         SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(p,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          '\+\d{1,4}([- ]\d{2,4}){1,3}\b|\b\d{3}([- ]\d{2,4})?[- ]\d{4}\b', '<PHONE>', 'g') AS clean
+          '\+\d{8,15}\b|\+\d{1,4}([- ]\d{2,4}){1,3}\b|\b[2-9]\d{9}\b|\b\d{3}([- ]\d{2,4})?[- ]\d{4}\b', '<PHONE>', 'g') AS clean
         FROM pii)
       SELECT doc_id, clean FROM clean
       WHERE clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%' AND clean LIKE '%<IP>%'

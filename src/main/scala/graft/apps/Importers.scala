@@ -180,24 +180,29 @@ object EsImport extends BatchImportApp {
                           cli: Map[String, String]): DataFrame = {
     val fmt = cli.getOrElse("format", "json")
     val extra = conf.stripPrefix(extraOptionsPrefix)
-    val df = extra.get("es.nodes").filter(_.startsWith("http")) match {
-      case Some(nodes) => // live REST scroll scan; the query runs server-side
+    val live = extra.get("es.nodes").exists(_.startsWith("http"))
+    val df =
+      if (live) { // live REST scroll scan; the query runs server-side
         val auth = for {
           u <- extra.get("es.net.http.auth.user")
           p <- extra.get("es.net.http.auth.pass")
         } yield (u, p)
-        graft.sources.EsRestScan.scan(spark, nodes, cli("resource"),
+        graft.sources.EsRestScan.scan(spark, extra("es.nodes"), cli("resource"),
           query = extra.getOrElse("es.query", """{"query":{"match_all":{}}}"""),
           pageSize = extra.get("es.scroll.size").map(_.toInt).getOrElse(500),
           slices = extra.get("es.read.slices").map(_.toInt).getOrElse(4),
           auth = auth)
-      case None =>
+      } else {
         spark.read.format(fmt)
           .options(extra -- EsKeys)
           .load(cli("resource"))
-    }
+      }
+    // On the live path the cluster already applied es.query — re-compiling
+    // it client-side would double-filter AND reject DSL types the analog
+    // compiler doesn't cover (bool-must, match, prefix...). Field
+    // include/exclude pruning still applies either way.
     graft.sources.DocPushdown.esRead(df,
-      esQuery = extra.get("es.query"),
+      esQuery = if (live) None else extra.get("es.query"),
       include = extra.get("es.read.field.include"),
       exclude = extra.get("es.read.field.exclude"),
       asArrayInclude = extra.get("es.read.field.as.array.include"))

@@ -26,7 +26,10 @@ object Dedup {
 
   /** Last [[CapReport]] per operator key (driver-side), for tests and
     * monitoring harnesses; the same numbers are warn-logged the moment a
-    * cap fires. */
+    * cap fires. LAST-WRITER-WINS across concurrent pipelines in one JVM:
+    * attribution is per operator, not per call — when two jobs run the
+    * same operator concurrently, the authoritative per-call record is
+    * each call's own warn log line, not this map. */
   val capReports = new java.util.concurrent.ConcurrentHashMap[String, CapReport]()
 
   /** Measure what a bucket cap is about to drop: one bounded aggregate

@@ -50,21 +50,26 @@ object TextOps {
     * Order matters: emails first (so the phone pattern cannot eat a
     * digit-bearing local part), then IPs (dotted digits), then phones.
     *
-    * The phone pattern is structural, not a raw digit-run. Two shapes:
-    * `+`-prefixed international (1-4 digit country code then 1-3 groups
-    * of 2-4 digits — the explicit `+` is the signal) or unprefixed
-    * NANP (3-digit group, optional 2-4 digit middle, 4-digit tail).
-    * Single `-`/space separators throughout. That rejects ISO dates
+    * The phone pattern is structural, not a raw digit-run. Four shapes:
+    * `+`-prefixed separator-free E.164 (8-15 digits — the `+` is the
+    * signal), `+`-prefixed grouped international (1-4 digit country code
+    * then 1-3 groups of 2-4 digits), separator-free 10-digit NANP
+    * (`[2-9]` lead, as NANP area codes are — which also rejects current
+    * 10-digit epoch-second timestamps, `17xxxxxxxx`), and grouped NANP
+    * (3-digit group, optional 2-4 digit middle, 4-digit tail). Single
+    * `-`/space separators throughout. That rejects ISO dates
     * (`2024-01-15`, 4-2-2), day-first/US dashed dates (`15-01-2024`,
     * 2-digit lead), year ranges (`1914 - 1918`, two-char separator) and
     * spaced thousands (`1 000 000`, 3-digit tail) — the false-positive
     * classes a bare `\d[\d- ]{6,}\d` run rewrites corpus-wide. Residual
     * knowns: parenthesised area codes `(555) 123-4567` match from the
     * second group on; groupings ending in exactly 4 digits
-    * (`100 000 0000`) still scrub. */
+    * (`100 000 0000`) still scrub; a 10-digit `[2-9]`-lead integer that
+    * is not a phone still scrubs. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+\\d{1,4}([- ]\\d{2,4}){1,3}\\b|\\b\\d{3}([- ]\\d{2,4})?[- ]\\d{4}\\b"
+  val PhoneRe = "\\+\\d{8,15}\\b|\\+\\d{1,4}([- ]\\d{2,4}){1,3}\\b|" +
+    "\\b[2-9]\\d{9}\\b|\\b\\d{3}([- ]\\d{2,4})?[- ]\\d{4}\\b"
 
   def scrubPii(text: Column): Column =
     regexp_replace(

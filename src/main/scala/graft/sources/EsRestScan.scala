@@ -47,8 +47,11 @@ object EsRestScan {
     reader.json(docs)
   }
 
-  /** One slice's full scroll: open with `slice {id, max}`, page through
-    * `_scroll_id`s, emit compact `_source` JSON, clear the context. */
+  /** One slice's scroll as a LAZY page-at-a-time iterator: open with
+    * `slice {id, max}`, fetch the next page only when the previous one is
+    * consumed — one `pageSize` batch resident in the task at a time, so a
+    * multi-GB index never sits in executor heap at once. The server-side
+    * context is cleared when the scroll drains. */
   private def scrollSlice(base: String, index: String, query: String,
                           pageSize: Int, sliceId: Int, slices: Int,
                           auth: Option[(String, String)]): Iterator[String] = {
@@ -59,26 +62,36 @@ object EsRestScan {
     body.put("size", pageSize)
     if (slices > 1)
       body.putObject("slice").put("id", sliceId).put("max", slices)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var resp = mapper.readTree(http("POST",
       s"$base/$index/_search?scroll=1m", mapper.writeValueAsString(body), auth))
     var scrollId = Option(resp.get("_scroll_id")).map(_.asText()).orNull
-    var hits = resp.at("/hits/hits")
-    while (hits.isArray && hits.size() > 0) {
-      hits.forEach(h => out += mapper.writeValueAsString(h.get("_source")))
-      require(scrollId != null, "ES response carried hits but no _scroll_id")
-      resp = mapper.readTree(http("POST", s"$base/_search/scroll",
-        s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
-          mapper.getNodeFactory.textNode(scrollId))}}""", auth))
-      scrollId = Option(resp.get("_scroll_id")).map(_.asText()).getOrElse(scrollId)
-      hits = resp.at("/hits/hits")
+    var hits = resp.at("/hits/hits").elements()
+    var open = true
+    def clearContext(): Unit = {
+      if (open && scrollId != null)
+        try http("DELETE", s"$base/_search/scroll",
+          s"""{"scroll_id":[${mapper.writeValueAsString(
+            mapper.getNodeFactory.textNode(scrollId))}]}""", auth)
+        catch { case _: Exception => () } // best effort, context expires anyway
+      open = false
     }
-    if (scrollId != null) // free the server-side context promptly
-      try http("DELETE", s"$base/_search/scroll",
-        s"""{"scroll_id":[${mapper.writeValueAsString(
-          mapper.getNodeFactory.textNode(scrollId))}]}""", auth)
-      catch { case _: Exception => () } // best effort, context expires anyway
-    out.iterator
+    if (!hits.hasNext) clearContext() // empty result: no paging at all
+    new Iterator[String] {
+      override def hasNext: Boolean = {
+        if (!open) return false
+        if (hits.hasNext) return true
+        // current page consumed and it was non-empty: page on
+        require(scrollId != null, "ES response carried hits but no _scroll_id")
+        resp = mapper.readTree(http("POST", s"$base/_search/scroll",
+          s"""{"scroll":"1m","scroll_id":${mapper.writeValueAsString(
+            mapper.getNodeFactory.textNode(scrollId))}}""", auth))
+        scrollId = Option(resp.get("_scroll_id")).map(_.asText()).getOrElse(scrollId)
+        hits = resp.at("/hits/hits").elements()
+        if (!hits.hasNext) clearContext() // empty page = scroll drained
+        open && hits.hasNext
+      }
+      override def next(): String = mapper.writeValueAsString(hits.next().get("_source"))
+    }
   }
 
   private def http(method: String, url: String, body: String,

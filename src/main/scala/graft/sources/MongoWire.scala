@@ -164,32 +164,42 @@ object MongoWire {
       val sock = new java.net.Socket(h, p)
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      try {
-        val find = mapper.createObjectNode()
-        find.put("find", collection)
-        find.set[JsonNode]("filter", mapper.readTree(filter))
-        find.put("batchSize", batchSize)
-        find.put("$db", db)
-        var reply = command(in, out, 1, find)
-        var rid = 2
-        var cursor = reply.get("cursor")
-        var batch = cursor.get("firstBatch")
-        var cursorId = cursor.get("id").asLong
-        batch.forEach(d => buf += mapper.writeValueAsString(d))
-        while (cursorId != 0L) {
-          val more = mapper.createObjectNode()
-          more.put("getMore", cursorId)
-          more.put("collection", collection)
-          more.put("batchSize", batchSize)
-          more.put("$db", db)
-          reply = command(in, out, rid, more); rid += 1
-          cursor = reply.get("cursor")
-          cursorId = cursor.get("id").asLong
-          cursor.get("nextBatch").forEach(d => buf += mapper.writeValueAsString(d))
+      // the task-completion listener owns the socket: the iterator below is
+      // lazy and may be dropped mid-cursor (limit pushups, task kill)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
+      val find = mapper.createObjectNode()
+      find.put("find", collection)
+      find.set[JsonNode]("filter", mapper.readTree(filter))
+      find.put("batchSize", batchSize)
+      find.put("$db", db)
+      var reply = command(in, out, 1, find)
+      var rid = 2
+      var cursor = reply.get("cursor")
+      var cursorId = cursor.get("id").asLong
+      var batch = cursor.get("firstBatch").elements()
+      // LAZY paging: getMore is issued only when the previous batch is
+      // fully consumed, so one `batchSize` batch is resident per task —
+      // a multi-GB collection never sits in executor heap at once
+      new Iterator[String] {
+        override def hasNext: Boolean = {
+          while (!batch.hasNext && cursorId != 0L) {
+            val more = mapper.createObjectNode()
+            more.put("getMore", cursorId)
+            more.put("collection", collection)
+            more.put("batchSize", batchSize)
+            more.put("$db", db)
+            reply = command(in, out, rid, more); rid += 1
+            cursor = reply.get("cursor")
+            cursorId = cursor.get("id").asLong
+            batch = cursor.get("nextBatch").elements()
+          }
+          val more = batch.hasNext
+          if (!more) sock.close() // cursor drained (listener close is idempotent)
+          more
         }
-      } finally sock.close()
-      buf.iterator
+        override def next(): String = mapper.writeValueAsString(batch.next())
+      }
     }
     val reader = schema.foldLeft(spark.read)((r, s) => r.schema(s))
     reader.json(docs)

@@ -168,6 +168,14 @@ object XlsParser {
     while (it.hasNext) {
       val (id, p, len) = it.next()
       id match {
+        // FILEPASS ([MS-XLS] 2.4.117): the stream beyond this record is
+        // RC4/XOR-encrypted — parsing on would yield garbage rows. Legacy
+        // .xls encryption is a different scheme from the ECMA-376 agile
+        // path behind workbookPassword, so fail with the real reason.
+        case 0x002F => throw new IllegalArgumentException(
+          "encrypted legacy .xls (FILEPASS) is not supported — re-save as " +
+            ".xlsx (workbookPassword handles ECMA-376 agile encryption) or " +
+            "decrypt the file first")
         case RecBoundSheet =>
           val off = u32(b, p).toInt
           val (name, _) = readStr(b, p + 6, cchBytes = 1)

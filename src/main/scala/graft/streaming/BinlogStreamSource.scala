@@ -124,10 +124,16 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions) extends MicroBatchStream
   /** High-water of ends we have handed to the engine. */
   private var lastEnd: Long = startEncoded
 
+  /** One bounded drain: at most `maxEventsPerBatch` row events per socket
+    * round (the cap lands on an event boundary, so the last offset is a
+    * valid resume position). The driver buffer therefore holds at most
+    * ~one batch beyond the uncommitted range — a deep server-side backlog
+    * arrives one bounded pull per trigger, never all at once. */
   private def pullFrom(encoded: Long): Seq[BinlogWire.CdcEvent] = {
     val off = BinlogOffset.decode(encoded)
     BinlogWire.pull(opts.host, opts.port, opts.user, opts.password,
-      opts.fileName(off.fileIndex), off.filePos, opts.serverId, opts.columns)
+      opts.fileName(off.fileIndex), off.filePos, opts.serverId, opts.columns,
+      maxEvents = opts.maxEventsPerBatch)
   }
 
   override def initialOffset(): Offset = BinlogStreamOffset(startEncoded)
@@ -152,13 +158,19 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions) extends MicroBatchStream
         // restart: the checkpointed range predates this JVM — re-dump from
         // the committed position, like a replica re-attaching
         buffer.clear()
-        buffer ++= pullFrom(s)
         bufferBase = s
-        pulledThrough = buffer.lastOption.map(_.offset).getOrElse(s)
-      } else if (e > pulledThrough) {
+        pulledThrough = s
+      }
+      // pull (bounded rounds) until the requested range is covered; a dry
+      // pull below `e` means the server purged part of the checkpointed
+      // range — data loss the engine must hear about, not skip over
+      while (pulledThrough < e) {
         val fresh = pullFrom(pulledThrough)
+        if (fresh.isEmpty) throw new IllegalStateException(
+          s"binlog no longer retains events up to offset $e " +
+            s"(server dry at $pulledThrough) — checkpointed range lost")
         buffer ++= fresh
-        fresh.lastOption.foreach(ev => pulledThrough = math.max(pulledThrough, ev.offset))
+        pulledThrough = math.max(pulledThrough, fresh.last.offset)
       }
       lastEnd = math.max(lastEnd, e)
       val batch = buffer.filter(ev => ev.offset > s && ev.offset <= e).toArray

@@ -66,20 +66,57 @@ object BinlogWire {
   // ---------------------------------------------------------- protocol
   def pull(host: String, port: Int, user: String, password: String,
            file: String, pos: Long, serverId: Long,
-           columns: Map[(String, String), Seq[String]]): Seq[CdcEvent] = {
+           columns: Map[(String, String), Seq[String]],
+           maxEvents: Int = Int.MaxValue): Seq[CdcEvent] = {
     val sock = new java.net.Socket(host, port)
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
     try {
       handshake(in, out, user, password)
+      // Checksum negotiation, the replica ritual (MySQL >= 5.6 defaults to
+      // binlog_checksum=CRC32 and refuses a dump from a slave that has not
+      // declared @master_binlog_checksum): ask the server, declare back.
+      val crc32 = queryScalar(in, out, "SELECT @@global.binlog_checksum")
+        .exists(_.equalsIgnoreCase("CRC32"))
+      if (crc32)
+        queryScalar(in, out,
+          "SET @master_binlog_checksum = @@global.binlog_checksum")
       // COM_BINLOG_DUMP: pos(4) flags(2: 0x01 = NON_BLOCK) server-id(4) file
       val fb = file.getBytes(StandardCharsets.UTF_8)
       val cmd = ByteBuffer.allocate(11 + fb.length).order(ByteOrder.LITTLE_ENDIAN)
       cmd.put(ComBinlogDump.toByte).putInt(pos.toInt).putShort(1)
         .putInt(serverId.toInt).put(fb)
       writePacket(out, 0, cmd.array())
-      readEvents(in, file, columns)
+      readEvents(in, file, columns, crc32, maxEvents)
     } finally sock.close()
+  }
+
+  /** COM_QUERY with a 0-or-1 scalar result (classic text protocol, EOF
+    * packets — CLIENT_DEPRECATE_EOF is not negotiated). Returns None for
+    * OK-only statements (SET) and NULL scalars. */
+  private def queryScalar(in: DataInputStream, out: DataOutputStream,
+                          sql: String): Option[String] = {
+    writePacket(out, 0, 0x03.toByte +: sql.getBytes(StandardCharsets.UTF_8))
+    val (first, _) = readPacket(in)
+    (first(0) & 0xFF) match {
+      case 0x00 => None // OK — no resultset
+      case 0xFF => throw new java.io.IOException(
+        "query failed: " + new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+      case nCols =>
+        for (_ <- 0 until nCols) readPacket(in) // column definitions
+        readPacket(in) // EOF after column defs
+        var result: Option[String] = None
+        var done = false
+        while (!done) {
+          val (row, _) = readPacket(in)
+          if ((row(0) & 0xFF) == 0xFE && row.length < 9) done = true // EOF
+          else if (result.isEmpty && (row(0) & 0xFF) != 0xFB) { // 0xFB = NULL
+            val (len, p) = lenenc(row, 0)
+            result = Some(new String(row, p, len.toInt, StandardCharsets.UTF_8))
+          }
+        }
+        result
+    }
   }
 
   /** HandshakeV10 → HandshakeResponse41 with the mysql_native_password
@@ -126,10 +163,15 @@ object BinlogWire {
     require((reply(0) & 0xFF) == 0x00, f"unexpected auth reply 0x${reply(0)}%02x")
   }
 
-  /** Decode the event stream until EOF. Maintains the current binlog file
-    * (ROTATE) and the TABLE_MAP registry (table-id → db/table/types/meta). */
+  /** Decode the event stream until EOF (or `maxEvents` rows — always at an
+    * event boundary, so multi-row events never split and the last emitted
+    * offset is a valid resume position). Maintains the current binlog file
+    * (ROTATE) and the TABLE_MAP registry (table-id → db/table/types/meta).
+    * With `crc32`, each event carries a 4-byte CRC32 trailer — verified,
+    * then excluded from parsing. */
   private def readEvents(in: DataInputStream, startFile: String,
-                         columns: Map[(String, String), Seq[String]]): Seq[CdcEvent] = {
+                         columns: Map[(String, String), Seq[String]],
+                         crc32: Boolean, maxEvents: Int): Seq[CdcEvent] = {
     var currentIdx = fileIndex(startFile)
     final case class TableDef(db: String, table: String, types: Array[Int], meta: Array[Int])
     val tables = scala.collection.mutable.Map.empty[Long, TableDef]
@@ -142,6 +184,15 @@ object BinlogWire {
         case 0xFF => throw new java.io.IOException(
           "binlog dump error: " + new String(pkt, 9, pkt.length - 9, StandardCharsets.UTF_8))
         case 0x00 =>
+          val end = if (crc32) pkt.length - 4 else pkt.length
+          if (crc32) {
+            val crc = new java.util.zip.CRC32()
+            crc.update(pkt, 1, end - 1) // event header + body, not the OK byte
+            val expect = ByteBuffer.wrap(pkt, end, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+            if (crc.getValue != expect) throw new java.io.IOException(
+              f"binlog event CRC32 mismatch: got ${crc.getValue}%08x want $expect%08x")
+          }
           val b = ByteBuffer.wrap(pkt).order(ByteOrder.LITTLE_ENDIAN)
           val ts = b.getInt(1).toLong & 0xFFFFFFFFL
           val evType = pkt(5) & 0xFF
@@ -149,7 +200,7 @@ object BinlogWire {
           var p = 20 // 1 OK byte + 19-byte header
           evType match {
             case EvRotate =>
-              val name = new String(pkt, p + 8, pkt.length - p - 8, StandardCharsets.UTF_8)
+              val name = new String(pkt, p + 8, end - p - 8, StandardCharsets.UTF_8)
               currentIdx = fileIndex(name)
             case EvTableMap =>
               val tableId = (b.getInt(p).toLong & 0xFFFFFFFFL) |
@@ -218,7 +269,6 @@ object BinlogWire {
                 }
                 sb.append('}').toString
               }
-              val end = pkt.length
               while (p < end) {
                 val img = readImage()
                 // update rows carry (before, after) pairs: emit the AFTER
@@ -228,6 +278,9 @@ object BinlogWire {
                 outRows += CdcEvent(td.db, td.table, op, ts * 1000L,
                   BinlogOffset(currentIdx, logPos).encoded, payload)
               }
+              // cap check at the event boundary only: rows of one event
+              // share a log_pos and must land in one pull for resume
+              if (outRows.length >= maxEvents) done = true
             case _ => () // FORMAT_DESCRIPTION, XID, QUERY, heartbeats: skip
           }
         case other => throw new java.io.IOException(f"unexpected packet lead 0x$other%02x")
@@ -256,12 +309,25 @@ object BinlogWire {
     out.flush()
   }
 
+  /** One logical packet: payloads of exactly 0xFFFFFF bytes continue in
+    * the next wire packet and must be concatenated (MySQL's 16 MB framing
+    * rule — a maximal packet is always followed by a continuation, empty
+    * if the payload length was an exact multiple). */
   def readPacket(in: DataInputStream): (Array[Byte], Int) = {
     val h = new Array[Byte](4)
     in.readFully(h)
-    val len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
-    val payload = new Array[Byte](len)
+    var len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+    var seq = h(3) & 0xFF
+    var payload = new Array[Byte](len)
     in.readFully(payload)
-    (payload, h(3) & 0xFF)
+    while (len == 0xFFFFFF) {
+      in.readFully(h)
+      len = (h(0) & 0xFF) | ((h(1) & 0xFF) << 8) | ((h(2) & 0xFF) << 16)
+      seq = h(3) & 0xFF
+      val more = new Array[Byte](len)
+      in.readFully(more)
+      payload = payload ++ more
+    }
+    (payload, seq)
   }
 }

@@ -147,7 +147,10 @@ class OpsSpec extends SparkSuite {
       // spaced thousands
       (5L, "released 2024-01-15 and updated 15-01-2024"),
       (6L, "the war of 1914 - 1918 cost 1 000 000 lives"),
-      (7L, "call 555-0042 or +1-555-0042 today")).toDF("doc_id", "text")
+      (7L, "call 555-0042 or +1-555-0042 today"),
+      // separator-free phones (round-5 recall fix): bare 10-digit NANP and
+      // +E.164 must scrub; 10-digit epoch seconds (1-lead) must survive
+      (8L, "call 5551234567 or +15551234567 at ts 1700000000")).toDF("doc_id", "text")
     val got = TextOps.scrubPii(col("text"))
     val out = d.select(col("doc_id"), got.as("c")).as[(Long, String)].collect().toMap
     assert(out(1L) === "contact <EMAIL> or call <PHONE> now")
@@ -157,6 +160,7 @@ class OpsSpec extends SparkSuite {
     assert(out(5L) === "released 2024-01-15 and updated 15-01-2024")
     assert(out(6L) === "the war of 1914 - 1918 cost 1 000 000 lives")
     assert(out(7L) === "call <PHONE> or <PHONE> today")
+    assert(out(8L) === "call <PHONE> or <PHONE> at ts 1700000000")
   }
 
   test("langId picks the language with most marker hits") {

@@ -47,6 +47,33 @@ class BinlogWireSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("a binlog_checksum=NONE server (no CRC trailers, no SET) decodes too") {
+    val m = new MysqldLoopback(Password, checksum = false)
+    try {
+      val df = BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
+        "binlog.000001", 4L, columns = registry)
+      assert(df.select("op").as[String].collect().toSeq
+        === Seq("insert", "insert", "update", "delete"))
+    } finally m.stop()
+  }
+
+  test("readPacket reassembles payloads split at the 16MB framing boundary") {
+    val max = 0xFFFFFF
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    // first wire packet: maximal payload of 0x55 bytes, seq 3
+    out.write(Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 3))
+    out.write(Array.fill[Byte](max)(0x55))
+    // continuation: 5 trailing bytes, seq 4
+    out.write(Array[Byte](5, 0, 0, 4))
+    out.write(Array[Byte](1, 2, 3, 4, 5))
+    val (payload, seq) = BinlogWire.readPacket(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bos.toByteArray)))
+    assert(payload.length === max + 5)
+    assert(seq === 4)
+    assert(payload(0) === 0x55.toByte && payload(max) === 1 && payload(max + 4) === 5)
+  }
+
   test("wrong replication password is rejected by the server") {
     val m = new MysqldLoopback(Password)
     try {

@@ -7,14 +7,18 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 /** In-process loopback "mysqld" for the binlog specs: speaks HandshakeV10 +
-  * `mysql_native_password` auth and serves `COM_BINLOG_DUMP` from a fixed
-  * two-file binlog fixture — file 000001: INSERT orders(id=1,
-  * item='widget'), INSERT users(id=7, name='ada') @ pos 100/200; ROTATE;
-  * file 000002: UPDATE orders id 1 item widget→gadget @ 120, DELETE users
-  * id 7 @ 180. Dump requests from any (file, pos) replay only later
-  * events (TABLE_MAPs re-sent so resumes can decode), which is exactly a
-  * real server's retained-binlog behavior. */
-final class MysqldLoopback(password: String) {
+  * `mysql_native_password` auth, the classic COM_QUERY text protocol
+  * (`SELECT @@global.binlog_checksum`, `SET @master_binlog_checksum`) and
+  * serves `COM_BINLOG_DUMP` from a fixed two-file binlog fixture — file
+  * 000001: INSERT orders(id=1, item='widget'), INSERT users(id=7,
+  * name='ada') @ pos 100/200; ROTATE; file 000002: UPDATE orders id 1
+  * item widget→gadget @ 120, DELETE users id 7 @ 180. Dump requests from
+  * any (file, pos) replay only later events (TABLE_MAPs re-sent so
+  * resumes can decode), which is exactly a real server's retained-binlog
+  * behavior. With `checksum` (the MySQL >= 5.6.6 default), every event
+  * carries a CRC32 trailer and the dump is REFUSED unless the client
+  * declared `@master_binlog_checksum` first — the real server's guard. */
+final class MysqldLoopback(password: String, checksum: Boolean = true) {
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   @volatile private var running = true
   private val sha1 = MessageDigest.getInstance("SHA-1")
@@ -142,16 +146,48 @@ final class MysqldLoopback(password: String) {
         return
       }
       BinlogWire.writePacket(out, 2, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
-      // COM_BINLOG_DUMP
-      val (dump, _) = BinlogWire.readPacket(in)
-      require((dump(0) & 0xFF) == 0x12, "expected COM_BINLOG_DUMP")
+      // command loop: COM_QUERY until COM_BINLOG_DUMP arrives
+      var declared = false
+      var dump: Array[Byte] = null
+      while (dump == null) {
+        val (cmd, _) = BinlogWire.readPacket(in)
+        (cmd(0) & 0xFF) match {
+          case 0x03 => // COM_QUERY, classic text protocol
+            val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
+            if (sql.toLowerCase.startsWith("select")) {
+              BinlogWire.writePacket(out, 1, Array[Byte](1)) // 1 column
+              BinlogWire.writePacket(out, 2, "def".getBytes) // column def
+              BinlogWire.writePacket(out, 3, Array[Byte](0xFE.toByte, 0, 0, 2, 0))
+              val v = if (checksum) "CRC32" else "NONE"
+              BinlogWire.writePacket(out, 4,
+                v.length.toByte +: v.getBytes(StandardCharsets.UTF_8))
+              BinlogWire.writePacket(out, 5, Array[Byte](0xFE.toByte, 0, 0, 2, 0))
+            } else { // SET @master_binlog_checksum
+              declared = true
+              BinlogWire.writePacket(out, 1, Array[Byte](0, 0, 0, 2, 0, 0, 0))
+            }
+          case 0x12 => dump = cmd
+          case other => throw new IllegalStateException(f"unexpected command 0x$other%02x")
+        }
+      }
+      if (checksum && !declared) { // the real server's guard
+        BinlogWire.writePacket(out, 1,
+          Array[Byte](0xFF.toByte, 0x36, 0x13, '#', 'H', 'Y', '0', '0', '0') ++
+            ("Slave can not handle replication events with the checksum " +
+              "that master is configured to log").getBytes(StandardCharsets.UTF_8))
+        return
+      }
       val db = ByteBuffer.wrap(dump).order(ByteOrder.LITTLE_ENDIAN)
       val startPos = db.getInt(1).toLong & 0xFFFFFFFFL
       val startFile = new String(dump, 11, dump.length - 11, StandardCharsets.UTF_8)
       val startIdx = BinlogWire.fileIndex(startFile)
       var seq = 1
       def send(ev: Array[Byte]): Unit = {
-        BinlogWire.writePacket(out, seq, 0.toByte +: ev); seq += 1
+        val body = if (checksum) {
+          val crc = new java.util.zip.CRC32(); crc.update(ev)
+          ev ++ le(4)(_.putInt(crc.getValue.toInt))
+        } else ev
+        BinlogWire.writePacket(out, seq, 0.toByte +: body); seq += 1
       }
       send(event(15, 999, 4, new Array[Byte](84))) // FORMAT_DESCRIPTION
       var lastIdx = startIdx

@@ -23,8 +23,12 @@ SELECT DISTINCT doc_id, hex(encode(tok)) AS hx, octet_length(encode(tok)) AS len
 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)"""
     ch, f = string_hash_stages("gm_sh_a", src, ["doc_id"], seed=42)
     out += ch.stmts
+    # len >= 32 exceeds the staged-XXH64 contract: NULL-poison the hash and
+    # surface it via the sentinel row below (never a silent wrong signature)
     out.append(f"""CREATE OR REPLACE TEMP TABLE gm_sh_tok AS
-SELECT DISTINCT doc_id, {f[0]} * {M32} + {f[1]} AS h FROM {ch.cur()}""")
+SELECT DISTINCT doc_id,
+  CASE WHEN len >= 32 THEN NULL ELSE {f[0]} * {M32} + {f[1]} END AS h
+FROM {ch.cur()}""")
     # ---- 64-bit sign accumulation -> signature -------------------------
     out.append(f"""CREATE OR REPLACE TEMP TABLE gm_sh_sig AS
 SELECT doc_id, CAST(SUM(CASE WHEN cnt > 0 THEN pw ELSE 0 END) AS UBIGINT) AS sig
@@ -52,9 +56,15 @@ JOIN (SELECT chunk, ckey FROM gm_sh_keys GROUP BY chunk, ckey
       HAVING count(*) <= 1000) ok USING (chunk, ckey)
 JOIN gm_sh_keys r ON l.chunk = r.chunk AND l.ckey = r.ckey
   AND l.doc_id < r.doc_id""")
-    out.append("""SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
-FROM (SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM gm_sh_cand)
-WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    # sentinel row: if ANY token blew the 32-byte staged-hash bound, emit an
+    # impossible (-1, -1) pair so the driver's rows/hash compare fails LOUDLY
+    # instead of matching against silently-wrong signatures
+    out.append("""SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+  FROM (SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM gm_sh_cand)
+  WHERE bit_count(xor(sig_a, sig_b)) <= 3
+  UNION ALL
+  SELECT -1, -1, count(*) FROM gm_sh_tok WHERE h IS NULL HAVING count(*) > 0)
 ORDER BY doc_a, doc_b""")
     return ";\n".join(out)
 

@@ -111,9 +111,10 @@ def string_hash_stages(prefix, src_sql, keep, seed):
     """Stages computing xxh64(string, seed) for rows produced by `src_sql`,
     which must expose `keep` pass-through columns plus `hx` (hex of the
     UTF-8 bytes) and `len` (byte length).  Returns (chain, (hi, lo)) with
-    the final stage holding the hash halves.  Strings >= 32 bytes take the
-    4-lane stripe path via a lambda fold (rare rows; see the minhash
-    generator's NULL-guard note for the policy there)."""
+    the final stage holding the hash halves.  ONLY VALID FOR len < 32:
+    the 4-lane stripe loop of full XXH64 is not staged, so callers MUST
+    guard long strings (minhash/simhash NULL-poison them and surface the
+    condition loudly rather than emit a wrong hash)."""
     ch = Chain(prefix, src_sql, list(keep) + ["hx", "len"])
     p5h, p5l = hl((P5 + seed) % (1 << 64))
     ch.stage([("h_lo", f"({p5l}::UBIGINT + len::UBIGINT) % {M32}"),
