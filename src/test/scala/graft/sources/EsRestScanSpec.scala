@@ -117,6 +117,23 @@ class EsRestScanSpec extends SparkSuite {
     } finally es.stop()
   }
 
+  test("live path trusts the server for es.query — server-only DSL types pass") {
+    // a `match` query is outside the analog compiler's coverage; before
+    // round 5 the live path re-compiled es.query client-side and threw on
+    // it even though the cluster had already applied the filter
+    val es = new EsLoopback(fixtureDocs)
+    try {
+      val conf = ConfigLayer(Map(
+        "hoodie.deltastreamer.es.extra.options.es.nodes" -> es.url,
+        "hoodie.deltastreamer.es.extra.options.es.query" ->
+          """{"query":{"match":{"name":"doc"}}}"""))
+      val df = EsImport.readSource(spark, conf, Map("resource" -> "idx"))
+      assert(df.count() === 10L) // loopback treats match as match-all
+      assert(es.lastSearchBody.get().contains("\"match\""),
+        "query body never reached the server")
+    } finally es.stop()
+  }
+
   test("basic auth forwards; EsImport es.nodes routes the live path end-to-end") {
     val es = new EsLoopback(fixtureDocs)
     try {

@@ -447,6 +447,23 @@ class ExcelSourceSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("S1")))
   }
 
+  test("encrypted legacy .xls (FILEPASS) fails with a clear unsupported error") {
+    def le(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN); f(b); b.array()
+    }
+    def rec(id: Int, payload: Array[Byte]): Array[Byte] =
+      le(4)(b => { b.putShort(id.toShort); b.putShort(payload.length.toShort) }) ++ payload
+    val stream = Array.concat(
+      rec(0x0809, le(16)(b => { b.putShort(0x0600.toShort); b.putShort(0x0005.toShort) })),
+      rec(0x002F, le(6)(b => b.putShort(1.toShort))), // FILEPASS, RC4 scheme
+      rec(0x000A, Array.empty[Byte]))
+    val cfb = OleCfb.writeStreams(Seq("Workbook" -> stream))
+    val e = intercept[IllegalArgumentException](
+      XlsParser.workbook(XlsParser.workbookStream(OleCfb.readStreams(cfb)).get))
+    assert(e.getMessage.contains("FILEPASS"))
+  }
+
   test("OleCfb writer emits DIFAT chain sectors for >7MB payloads") {
     // 109 header DIFAT slots cover ~7 MB; 20 MB forces ~2 chained DIFAT
     // sectors — the round-4 writer threw here
