@@ -66,6 +66,38 @@ object CdcStreamApp {
     }
   }
 
+  /** The unbounded event source: `--binlog-host` selects the LIVE
+    * replication-wire stream (`format("graft-binlog")`, [[graft.streaming
+    * .BinlogStreamSource]]) — the reference's actual transport — with the
+    * per-table column registry derived from the same `${db}.${table}.`
+    * config namespace (binlogs carry positions, not names); otherwise the
+    * JSON-lines directory tail. The `--binlog-index`/`--binlog-file-offset`
+    * pair positions the server-side dump on the live path (and is applied
+    * as a pushed-down offset filter on the file path). */
+  def source(spark: org.apache.spark.sql.SparkSession, cli: Map[String, String],
+             specs: Seq[CdcTableSpec]): org.apache.spark.sql.DataFrame =
+    cli.get("binlog-host") match {
+      case Some(host) =>
+        val columnsJson = specs.map { s =>
+          s""""${s.db}.${s.table}": [${s.payloadSchema.fieldNames
+            .map(f => s""""$f"""").mkString(",")}]"""
+        }.mkString("{", ",", "}")
+        val off = startOffset(cli).getOrElse(BinlogOffset(1L, 4L))
+        val basename = cli.getOrElse("binlog-basename", "binlog")
+        spark.readStream.format("graft-binlog")
+          .option("host", host)
+          .option("port", cli.getOrElse("binlog-port", "3306"))
+          .option("user", cli.getOrElse("binlog-user", "repl"))
+          .option("password", cli.getOrElse("binlog-password", ""))
+          .option("serverId", cli.getOrElse("binlog-server-id", "65535"))
+          .option("startFile", f"$basename.${off.fileIndex}%06d")
+          .option("startPos", math.max(4L, off.filePos).toString)
+          .option("maxEventsPerBatch", cli.getOrElse("max-events-per-batch", "10000"))
+          .option("columns", columnsJson)
+          .load()
+      case None => CdcSource.fileStream(spark, cli("source-dir"))
+    }
+
   def main(args: Array[String]): Unit = {
     var cli = Map.empty[String, String]
     var overrides = Vector.empty[String]
@@ -80,8 +112,9 @@ object CdcStreamApp {
       }
       i += 1
     }
-    Seq("source-dir", "checkpoint").foreach(f =>
-      require(cli.contains(f), s"Missing argument : (--$f)"))
+    require(cli.contains("source-dir") || cli.contains("binlog-host"),
+      "Missing argument : (--source-dir or --binlog-host)")
+    require(cli.contains("checkpoint"), "Missing argument : (--checkpoint)")
     val conf = ConfigLayer.layered(
       propsFile = cli.get("props"),
       overrides = ConfigLayer.fromPairs(overrides))
@@ -92,7 +125,7 @@ object CdcStreamApp {
     val appName = s"graft-cdc-streamer-${cli.getOrElse("database-name-pattern", "all")}"
     val spark = SparkEnv.appBuilder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val raw = CdcSource.fileStream(spark, cli("source-dir"))
+    val raw = source(spark, cli, specs)
       .filter(col("db").rlike(dbPattern.regex) && col("table").rlike(tablePattern.regex))
     // resume from a two-part binlog position: order-preserving encoding
     // makes the resume a single pushed-down comparison

@@ -134,18 +134,25 @@ object DocImport extends BatchImportApp {
     val fmt = cli.getOrElse("format", "json")
     val extra = conf.stripPrefix(extraOptionsPrefix)
     extra.get("uri").foreach(graft.sources.MongoUri.parse) // S8 validation
-    val df = (extra.get("uri"), extra.get("collection")) match {
+    (extra.get("uri"), extra.get("collection")) match {
+      case (Some(uri), Some(coll)) if extra.contains("pipeline") =>
+        // live + pipeline: the stages run ON the server via the real
+        // `aggregate` command — no client-side re-compile (the Catalyst
+        // compile below remains the analog path's semantics oracle)
+        graft.sources.MongoWire.aggregate(spark, uri,
+          extra.getOrElse("database", ""), coll, extra("pipeline"),
+          batchSize = extra.get("batchSize").map(_.toInt).getOrElse(100))
       case (Some(uri), Some(coll)) => // live wire-protocol cursor scan
         graft.sources.MongoWire.scan(spark, uri,
           extra.getOrElse("database", ""), coll,
           filter = extra.getOrElse("filter", "{}"),
           batchSize = extra.get("batchSize").map(_.toInt).getOrElse(100))
       case _ =>
-        spark.read.format(fmt)
+        val df = spark.read.format(fmt)
           .options(extra - "pipeline")
           .load(cli("resource"))
+        extra.get("pipeline").fold(df)(graft.sources.DocPushdown.mongoPipeline(df, _))
     }
-    extra.get("pipeline").fold(df)(graft.sources.DocPushdown.mongoPipeline(df, _))
   }
 }
 

@@ -149,7 +149,40 @@ object MongoWire {
     * DataFrame via the real find/getMore cursor protocol. */
   def scan(spark: SparkSession, uri: String, database: String, collection: String,
            filter: String = "{}", batchSize: Int = 100,
-           schema: Option[StructType] = None): DataFrame = {
+           schema: Option[StructType] = None): DataFrame =
+    cursorRead(spark, uri, database, collection, batchSize, schema) { db =>
+      val find = mapper.createObjectNode()
+      find.put("find", collection)
+      find.set[JsonNode]("filter", mapper.readTree(filter))
+      find.put("batchSize", batchSize)
+      find.put("$db", db)
+      find
+    }
+
+  /** Run an aggregation PIPELINE on the server (the `aggregate` command +
+    * the same cursor paging) — `$match`/`$project`/`$unwind`/`$group`/
+    * `$lookup`/... execute where the data lives, exactly what the real
+    * connector's pipeline option does. The Catalyst compile in
+    * [[DocPushdown.mongoPipeline]] remains the ANALOG path's semantics
+    * oracle; live reads ship the JSON verbatim. */
+  def aggregate(spark: SparkSession, uri: String, database: String,
+                collection: String, pipeline: String, batchSize: Int = 100,
+                schema: Option[StructType] = None): DataFrame =
+    cursorRead(spark, uri, database, collection, batchSize, schema) { db =>
+      val agg = mapper.createObjectNode()
+      agg.put("aggregate", collection)
+      agg.set[JsonNode]("pipeline", mapper.readTree(pipeline))
+      agg.set[JsonNode]("cursor",
+        mapper.createObjectNode().put("batchSize", batchSize))
+      agg.put("$db", db)
+      agg
+    }
+
+  /** Shared cursor machinery: open with `firstCmd`, page with getMore. */
+  private def cursorRead(spark: SparkSession, uri: String, database: String,
+                         collection: String, batchSize: Int,
+                         schema: Option[StructType])
+                        (firstCmd: String => ObjectNode): DataFrame = {
     val parsed = MongoUri.parse(uri) // credential/host validation up front
     require(parsed.hosts.nonEmpty, s"no hosts in $uri")
     import spark.implicits._
@@ -168,12 +201,7 @@ object MongoWire {
       // lazy and may be dropped mid-cursor (limit pushups, task kill)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
-      val find = mapper.createObjectNode()
-      find.put("find", collection)
-      find.set[JsonNode]("filter", mapper.readTree(filter))
-      find.put("batchSize", batchSize)
-      find.put("$db", db)
-      var reply = command(in, out, 1, find)
+      var reply = command(in, out, 1, firstCmd(db))
       var rid = 2
       var cursor = reply.get("cursor")
       var cursorId = cursor.get("id").asLong

@@ -22,13 +22,16 @@ class MongoWireSpec extends SparkSuite {
   private val mapper = new ObjectMapper()
 
   /** Loopback "mongod": fixture docs behind find/getMore with server-side
-    * equality filtering and cursor pagination. */
+    * equality filtering, an aggregate-command pipeline interpreter
+    * ($match eq/$gte, $project inclusion, $sort, $limit) and cursor
+    * pagination. */
   private final class MongoLoopback(docs: Seq[String]) {
     private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
     private val cursors = new java.util.concurrent.ConcurrentHashMap[Long, (Seq[String], Int, Int)]()
     private val nextCursor = new AtomicInteger()
     val getMoreCalls = new AtomicInteger()
     val lastFilter = new AtomicReference[String]("")
+    val lastPipeline = new AtomicReference[String]("")
     @volatile private var running = true
 
     private val acceptor = new Thread(() => {
@@ -77,6 +80,47 @@ class MongoWireSpec extends SparkSuite {
                 cursors.put(cid, (matched, size, size)); cid
               } else 0L
               cursorReply(cmd.get("find").asText, "firstBatch",
+                matched.take(size), id, cmd.get("$db").asText)
+            } else if (cmd.has("aggregate")) {
+              lastPipeline.set(mapper.writeValueAsString(cmd.get("pipeline")))
+              val size = cmd.at("/cursor/batchSize").asInt(100)
+              var cur: Seq[com.fasterxml.jackson.databind.JsonNode] =
+                docs.map(mapper.readTree)
+              cmd.get("pipeline").forEach { stage =>
+                if (stage.has("$match")) {
+                  val mn = stage.get("$match")
+                  cur = cur.filter { n =>
+                    val it = mn.fields(); var ok = true
+                    while (it.hasNext) {
+                      val e = it.next(); val v = e.getValue
+                      ok &&= (if (v.isObject && v.has("$gte"))
+                        Option(n.get(e.getKey)).exists(_.asDouble >= v.get("$gte").asDouble)
+                      else Option(n.get(e.getKey)).contains(v))
+                    }
+                    ok
+                  }
+                } else if (stage.has("$project")) {
+                  val p = stage.get("$project")
+                  cur = cur.map { n =>
+                    val o = mapper.createObjectNode()
+                    p.fields().forEachRemaining { e =>
+                      if (e.getValue.asInt == 1)
+                        Option(n.get(e.getKey)).foreach(o.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, _))
+                    }
+                    o
+                  }
+                } else if (stage.has("$sort")) {
+                  val e = stage.get("$sort").fields().next()
+                  val sorted = cur.sortBy(_.get(e.getKey).asDouble)
+                  cur = if (e.getValue.asInt == 1) sorted else sorted.reverse
+                } else if (stage.has("$limit")) cur = cur.take(stage.get("$limit").asInt)
+              }
+              val matched = cur.map(mapper.writeValueAsString)
+              val id = if (matched.length > size) {
+                val cid = nextCursor.incrementAndGet().toLong
+                cursors.put(cid, (matched, size, size)); cid
+              } else 0L
+              cursorReply(cmd.get("aggregate").asText, "firstBatch",
                 matched.take(size), id, cmd.get("$db").asText)
             } else if (cmd.has("getMore")) {
               getMoreCalls.incrementAndGet()
@@ -140,19 +184,23 @@ class MongoWireSpec extends SparkSuite {
     } finally m.stop()
   }
 
-  test("DocImport goes live on uri+collection; pipeline compiles on top") {
+  test("DocImport goes live on uri+collection; pipeline runs ON the server") {
     val m = new MongoLoopback(fixtureDocs)
     try {
       val conf = ConfigLayer(Map(
         "hoodie.deltastreamer.mongodb.extra.options.uri" -> m.uri,
         "hoodie.deltastreamer.mongodb.extra.options.collection" -> "docs",
-        "hoodie.deltastreamer.mongodb.extra.options.batchSize" -> "4",
+        "hoodie.deltastreamer.mongodb.extra.options.batchSize" -> "2",
         "hoodie.deltastreamer.mongodb.extra.options.pipeline" ->
           """[{"$match":{"k":{"$gte":5}}},{"$project":{"k":1,"name":1}},
             |{"$sort":{"k":-1}},{"$limit":3}]""".stripMargin))
       val df = DocImport.readSource(spark, conf, Map("resource" -> "unused"))
       assert(df.columns.toSet === Set("_id", "k", "name") || df.columns.toSet === Set("k", "name"))
       assert(df.select("k").as[Long].collect().toSeq === Seq(9L, 8L, 7L))
+      // the pipeline JSON shipped over the wire — stages ran server-side
+      assert(m.lastPipeline.get().contains("$match") &&
+        m.lastPipeline.get().contains("$lte") === false)
+      assert(m.getMoreCalls.get() > 0, "aggregate cursor never paged")
     } finally m.stop()
   }
 }

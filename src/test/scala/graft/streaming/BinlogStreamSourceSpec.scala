@@ -72,6 +72,35 @@ class BinlogStreamSourceSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("CdcStreamApp --binlog-host wires the live wire source from the table registry") {
+    val m = new MysqldLoopback(Password)
+    val root = Files.createTempDirectory("graft-cdcapp-lake").toString
+    val ckpt = Files.createTempDirectory("graft-cdcapp-ckpt").toString
+    val conf = graft.core.ConfigLayer(Map(
+      "shop.orders.schema" -> "id LONG, item STRING",
+      "shop.orders.hoodie.datasource.write.recordkey.field" -> "id",
+      "shop.orders.hoodie.datasource.write.precombine.field" -> "id",
+      "shop.users.schema" -> "uid LONG, name STRING",
+      "shop.users.hoodie.datasource.write.recordkey.field" -> "uid",
+      "shop.users.hoodie.datasource.write.precombine.field" -> "uid"))
+    val specs = graft.apps.CdcStreamApp.tableSpecs(conf)
+    assert(specs.map(s => (s.db, s.table)) ===
+      Seq(("shop", "orders"), ("shop", "users")))
+    val cli = Map(
+      "binlog-host" -> "127.0.0.1", "binlog-port" -> m.port.toString,
+      "binlog-user" -> "repl", "binlog-password" -> Password,
+      "binlog-index" -> "1", "binlog-file-offset" -> "4")
+    try {
+      val events = graft.apps.CdcStreamApp.source(spark, cli, specs)
+      val sink = new MultiTableSink(s"$root/{db}/ods_{db}_{table}", specs, 1)
+      val q = sink.start(events, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val orders = spark.read.parquet(s"$root/shop/ods_shop_orders/data")
+        .select("id", "item").as[(Long, String)].collect().toSet
+      assert(orders === Set((1L, "gadget"))) // registry-mapped column names
+    } finally m.stop()
+  }
+
   test("binlog stream composes with the multi-table demux sink end to end") {
     val m = new MysqldLoopback(Password)
     val root = Files.createTempDirectory("graft-binlog-lake").toString
