@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,10 +38,15 @@ import graft.sources.DocPushdown
   * (backpressure, same knob shape as `maxFilesPerTrigger`).
   *
   * Resume: offsets are the order-preserving [[BinlogOffset]] encoding of
-  * (binlog file index, log position). On restart the checkpointed range is
-  * re-pulled from the server (`COM_BINLOG_DUMP` from the retained
-  * position — exactly how a MySQL replica resumes), so no source state
-  * outlives the checkpoint.
+  * (binlog file index, log position). The stream implements
+  * `SupportsAdmissionControl`, so on restart the engine hands the
+  * CHECKPOINTED offset to `latestOffset(start, limit)` and the pull
+  * position fast-forwards to it — the dump resumes from the committed
+  * position (exactly how a MySQL replica re-attaches), NOT from the
+  * configured `startFile`/`startPos`. That matters under retention churn:
+  * the server may long since have purged the configured start, and a
+  * restart must not re-read (or fail on) history the checkpoint already
+  * passed. No source state outlives the checkpoint.
   *
   * Options: `host` (required), `port` (required), `user`, `password`,
   * `serverId`, `startFile`/`startPos` (first-ever-start position, default
@@ -111,7 +116,8 @@ final case class BinlogStreamOffset(encoded: Long) extends Offset {
   override def json(): String = encoded.toString
 }
 
-class BinlogMicroBatchStream(opts: BinlogStreamOptions) extends MicroBatchStream {
+class BinlogMicroBatchStream(opts: BinlogStreamOptions)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val startEncoded =
     BinlogOffset(BinlogWire.fileIndex(opts.startFile), opts.startPos).encoded
@@ -138,29 +144,48 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions) extends MicroBatchStream
 
   override def initialOffset(): Offset = BinlogStreamOffset(startEncoded)
 
-  override def latestOffset(): Offset = synchronized {
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(opts.maxEventsPerBatch)
+
+  /** Buffer covers `(bufferBase, pulledThrough]`; an offset outside that
+    * range (a restarted JVM whose checkpoint is ahead of the configured
+    * start, or behind a stale buffer) seeks the pull position there. */
+  private def seekTo(encoded: Long): Unit =
+    if (encoded > pulledThrough || encoded < bufferBase) {
+      buffer.clear()
+      bufferBase = encoded
+      pulledThrough = encoded
+      lastEnd = math.max(lastEnd, encoded)
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    seekTo(start.asInstanceOf[BinlogStreamOffset].encoded)
+    val maxRows = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows(), opts.maxEventsPerBatch.toLong).toInt
+      case _ => opts.maxEventsPerBatch
+    }
     val fresh = pullFrom(pulledThrough)
     buffer ++= fresh
     fresh.lastOption.foreach(e => pulledThrough = math.max(pulledThrough, e.offset))
-    // run at most maxEventsPerBatch past the last planned end (backpressure)
+    // run at most maxRows past the last planned end (backpressure)
     val pending = buffer.iterator.filter(_.offset > lastEnd)
-      .take(opts.maxEventsPerBatch).toSeq
+      .take(maxRows).toSeq
     val end = pending.lastOption.map(_.offset).getOrElse(lastEnd)
     lastEnd = math.max(lastEnd, end)
     BinlogStreamOffset(lastEnd)
   }
 
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val s = start.asInstanceOf[BinlogStreamOffset].encoded
       val e = end.asInstanceOf[BinlogStreamOffset].encoded
-      if (s < bufferBase) {
-        // restart: the checkpointed range predates this JVM — re-dump from
-        // the committed position, like a replica re-attaching
-        buffer.clear()
-        bufferBase = s
-        pulledThrough = s
-      }
+      // restart replanning an uncommitted batch: the checkpointed range is
+      // outside what this JVM has buffered — re-dump from the committed
+      // position, like a replica re-attaching
+      seekTo(s)
       // pull (bounded rounds) until the requested range is covered; a dry
       // pull below `e` means the server purged part of the checkpointed
       // range — data loss the engine must hear about, not skip over
@@ -182,6 +207,9 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions) extends MicroBatchStream
     val keep = buffer.filter(_.offset > e)
     buffer.clear(); buffer ++= keep
     bufferBase = math.max(bufferBase, e)
+    // committed ⇒ never requested again: the pull position may never sit
+    // below it (belt-and-braces with seekTo's restart fast-forward)
+    pulledThrough = math.max(pulledThrough, e)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -19,9 +19,21 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * drives this against an in-process loopback server speaking the
   * identical protocol, auth included.
   *
-  * Scope: row images with LONG / LONGLONG / VARCHAR / NULL columns (the
+  * Scope: the full row-image column surface a real table hits —
+  * TINY/SHORT/INT24/LONG/LONGLONG, FLOAT/DOUBLE, NEWDECIMAL, DATE,
+  * DATETIME2/TIMESTAMP2/TIME2 (fractional seconds included), YEAR, BIT,
+  * CHAR/VARCHAR, ENUM/SET, BLOB+TEXT, NULL — binary formats per the
+  * public MySQL source (`my_time.c` temporal packing, `decimal.c`
+  * `decimal2bin` digit groups, `log_event.cc` TABLE_MAP metadata). The
   * registry maps positions to column names — binlogs carry no names
-  * unless `binlog_row_metadata=FULL`). `BINLOG_DUMP_NON_BLOCK` is set, so
+  * unless `binlog_row_metadata=FULL`. Rows events with a partial
+  * included-columns bitmap (`binlog_row_image=MINIMAL`/`NOBLOB`) are
+  * REJECTED with a clear error rather than misparsed — this client
+  * requires `binlog_row_image=FULL` (the MySQL default). TEXT and BLOB
+  * both arrive as type 252 and are emitted as UTF-8 strings (binlogs
+  * don't distinguish them without `binlog_row_metadata=FULL`); negative
+  * fractional TIME decodes on the positive-value convention.
+  * `BINLOG_DUMP_NON_BLOCK` is set, so
   * a call drains to the current end of the stream and returns (a batch
   * pull; the streaming wrapper re-pulls from the last offset). Offsets
   * encode as [[BinlogOffset]] (file-suffix index, event log_pos). */
@@ -34,10 +46,28 @@ object BinlogWire {
   private val EvUpdateRowsV2 = 31
   private val EvDeleteRowsV2 = 32
 
-  // MySQL column type ids this client decodes
+  // MySQL column type ids this client decodes (protocol ids; BLOB covers
+  // TINY/MEDIUM/LONG BLOB and TEXT — binlogs send all four as 252)
+  private val TypeTiny = 1
+  private val TypeShort = 2
   private val TypeLong = 3
+  private val TypeFloat = 4
+  private val TypeDouble = 5
   private val TypeLongLong = 8
+  private val TypeInt24 = 9
+  private val TypeDate = 10
+  private val TypeYear = 13
   private val TypeVarchar = 15
+  private val TypeBit = 16
+  private val TypeTimestamp2 = 17
+  private val TypeDatetime2 = 18
+  private val TypeTime2 = 19
+  private val TypeNewDecimal = 246
+  private val TypeEnum = 247 // appears only inside STRING metadata
+  private val TypeSet = 248  // appears only inside STRING metadata
+  private val TypeBlob = 252
+  private val TypeVarString = 253
+  private val TypeString = 254
 
   /** Read binlog events from `host:port` starting at (file, pos) until the
     * server reports end-of-stream; returns [[CdcSchema.EventSchema]] rows.
@@ -160,6 +190,16 @@ object BinlogWire {
     val (reply, _) = readPacket(in)
     if ((reply(0) & 0xFF) == 0xFF) throw new java.io.IOException(
       "mysql auth failed: " + new String(reply, 9, reply.length - 9, StandardCharsets.UTF_8))
+    if ((reply(0) & 0xFF) == 0xFE) {
+      // AuthSwitchRequest: server wants another plugin (MySQL 8 defaults to
+      // caching_sha2_password) — fail actionably instead of "unexpected"
+      var e = 1
+      while (e < reply.length && reply(e) != 0) e += 1
+      val plugin = new String(reply, 1, e - 1, StandardCharsets.UTF_8)
+      throw new java.io.IOException(
+        s"server requires $plugin authentication; create the replication " +
+          "user with mysql_native_password")
+    }
     require((reply(0) & 0xFF) == 0x00, f"unexpected auth reply 0x${reply(0)}%02x")
   }
 
@@ -215,10 +255,23 @@ object BinlogWire {
               p += nCols.toInt
               val (metaLen, p2) = lenenc(pkt, p); p = p2
               val metaEnd = p + metaLen.toInt
+              // per-type metadata widths/encodings: log_event.cc
+              // Table_map_log_event::save_field_metadata
               val meta = types.map {
-                case TypeVarchar =>
+                case TypeVarchar | TypeVarString => // max length, 2 bytes LE
                   val m = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8); p += 2; m
-                case TypeLong | TypeLongLong => 0
+                case TypeNewDecimal => // (precision, scale) — packed
+                  val m = ((pkt(p) & 0xFF) << 8) | (pkt(p + 1) & 0xFF); p += 2; m
+                case TypeString => // (real type | borrowed len bits, len) — raw
+                  val m = ((pkt(p) & 0xFF) << 8) | (pkt(p + 1) & 0xFF); p += 2; m
+                case TypeBit => // (bits % 8, bits / 8) — store total bits
+                  val m = (pkt(p) & 0xFF) + 8 * (pkt(p + 1) & 0xFF); p += 2; m
+                case TypeFloat | TypeDouble | TypeBlob => // pack/length-bytes
+                  val m = pkt(p) & 0xFF; p += 1; m
+                case TypeTimestamp2 | TypeDatetime2 | TypeTime2 => // fsp
+                  val m = pkt(p) & 0xFF; p += 1; m
+                case TypeTiny | TypeShort | TypeInt24 | TypeLong | TypeLongLong |
+                     TypeDate | TypeYear => 0
                 case other => throw new IllegalArgumentException(
                   s"unsupported binlog column type $other in $db.$tbl")
               }
@@ -235,8 +288,22 @@ object BinlogWire {
               val (nCols, p1) = lenenc(pkt, p); p = p1
               val n = nCols.toInt
               val bmBytes = (n + 7) / 8
-              p += bmBytes // included-columns (all set by servers in practice)
-              if (evType == EvUpdateRowsV2) p += bmBytes // update: after-image bitmap
+              // included-columns bitmap(s): a partial image means the server
+              // runs binlog_row_image=MINIMAL/NOBLOB — positions no longer
+              // line up with the TABLE_MAP, so misparsing is silent garbage.
+              // Require every column present (FULL, the MySQL default).
+              def requireFullImage(which: String): Unit = {
+                var missing = 0
+                for (i <- 0 until n)
+                  if (((pkt(p + i / 8) >> (i % 8)) & 1) == 0) missing += 1
+                p += bmBytes
+                if (missing > 0) throw new java.io.IOException(
+                  s"rows event for ${td.db}.${td.table} $which image includes " +
+                    s"only ${n - missing} of $n columns — binlog_row_image " +
+                    "must be FULL (set binlog_row_image=FULL on the server)")
+              }
+              requireFullImage("before/write")
+              if (evType == EvUpdateRowsV2) requireFullImage("after")
               val names = columns.getOrElse((td.db, td.table),
                 (0 until n).map(i => s"c$i"))
               val op = evType match {
@@ -248,22 +315,93 @@ object BinlogWire {
                 val nullBm = java.util.Arrays.copyOfRange(pkt, p, p + bmBytes)
                 p += bmBytes
                 val sb = new StringBuilder("{")
+                def str(s: String): Unit =
+                  sb.append('"').append(jsonEscape(s)).append('"')
+                def lenPrefixed(maxLen: Int): String = {
+                  val len = if (maxLen > 255) {
+                    val l = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8); p += 2; l
+                  } else { val l = pkt(p) & 0xFF; p += 1; l }
+                  val s = new String(pkt, p, len, StandardCharsets.UTF_8); p += len
+                  s
+                }
                 var i = 0
                 while (i < n) {
                   if (i > 0) sb.append(',')
                   sb.append('"').append(names(i)).append("\":")
                   if (((nullBm(i / 8) >> (i % 8)) & 1) == 1) sb.append("null")
                   else td.types(i) match {
+                    case TypeTiny => sb.append(pkt(p).toInt); p += 1
+                    case TypeShort => sb.append(b.getShort(p).toInt); p += 2
+                    case TypeInt24 => // 3 bytes LE, sign in the top byte
+                      sb.append((pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8) |
+                        (pkt(p + 2).toInt << 16))
+                      p += 3
                     case TypeLong => sb.append(b.getInt(p)); p += 4
                     case TypeLongLong => sb.append(b.getLong(p)); p += 8
-                    case TypeVarchar =>
-                      val len = if (td.meta(i) > 255) {
-                        val l = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8); p += 2; l
-                      } else { val l = pkt(p) & 0xFF; p += 1; l }
+                    case TypeFloat => sb.append(b.getFloat(p)); p += 4
+                    case TypeDouble => sb.append(b.getDouble(p)); p += 8
+                    case TypeYear =>
+                      val v = pkt(p) & 0xFF; p += 1
+                      sb.append(if (v == 0) 0 else 1900 + v)
+                    case TypeDate => // 3 bytes LE: day(5) month(4) year(15)
+                      val v = (pkt(p) & 0xFF) | ((pkt(p + 1) & 0xFF) << 8) |
+                        ((pkt(p + 2) & 0xFF) << 16)
+                      p += 3
+                      str(f"${v >> 9}%04d-${(v >> 5) & 0xF}%02d-${v & 0x1F}%02d")
+                    case TypeDatetime2 => // 5-byte BE packed (my_time.c) + frac
+                      val fsp = td.meta(i)
+                      val packed = be(pkt, p, 5) - 0x8000000000L; p += 5
+                      val frac = fracStr(pkt, p, fsp); p += (fsp + 1) / 2
+                      val ymd = packed >> 17
+                      val ym = ymd >> 5
+                      val hms = packed & 0x1FFFF
+                      str(f"${ym / 13}%04d-${ym % 13}%02d-${ymd & 0x1F}%02d " +
+                        f"${hms >> 12}%02d:${(hms >> 6) & 0x3F}%02d:${hms & 0x3F}%02d$frac")
+                    case TypeTimestamp2 => // 4-byte BE UTC epoch seconds + frac
+                      val fsp = td.meta(i)
+                      val sec = be(pkt, p, 4); p += 4
+                      val frac = fracStr(pkt, p, fsp); p += (fsp + 1) / 2
+                      val t = java.time.LocalDateTime.ofEpochSecond(
+                        sec, 0, java.time.ZoneOffset.UTC)
+                      str(f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+                        f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d$frac")
+                    case TypeTime2 => // 3-byte BE, +0x800000 offset, + frac
+                      val fsp = td.meta(i)
+                      val signed = be(pkt, p, 3) - 0x800000L; p += 3
+                      val frac = fracStr(pkt, p, fsp); p += (fsp + 1) / 2
+                      val v = math.abs(signed)
+                      str((if (signed < 0) "-" else "") +
+                        f"${(v >> 12) & 0x3FF}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d$frac")
+                    case TypeNewDecimal =>
+                      val (s, used) = decodeDecimal(pkt, p,
+                        td.meta(i) >> 8, td.meta(i) & 0xFF)
+                      p += used
+                      sb.append(s)
+                    case TypeBit => // meta = total bits, stored BE
+                      val nb = (td.meta(i) + 7) / 8
+                      sb.append(be(pkt, p, nb)); p += nb
+                    case TypeVarchar | TypeVarString => str(lenPrefixed(td.meta(i)))
+                    case TypeBlob => // meta = length-prefix width; TEXT too
+                      val lb = td.meta(i)
+                      val len = leN(pkt, p, lb).toInt; p += lb
                       val s = new String(pkt, p, len, StandardCharsets.UTF_8); p += len
-                      sb.append('"')
-                        .append(s.replace("\\", "\\\\").replace("\"", "\\\""))
-                        .append('"')
+                      str(s)
+                    case TypeString => // CHAR / ENUM / SET share the type id;
+                      // meta byte 0 carries the real type (length bits may be
+                      // borrowed into its 0x30 nibble for CHAR > 255 bytes)
+                      val m0 = td.meta(i) >> 8
+                      val m1 = td.meta(i) & 0xFF
+                      val (realType, maxLen) =
+                        if (m0 != 0 && (m0 & 0x30) != 0x30)
+                          (m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4))
+                        else (m0, m1)
+                      realType match {
+                        case TypeEnum => // 1-or-2-byte LE ordinal
+                          sb.append(leN(pkt, p, maxLen)); p += maxLen
+                        case TypeSet => // member bitmask, maxLen bytes LE
+                          sb.append(leN(pkt, p, maxLen)); p += maxLen
+                        case _ => str(lenPrefixed(maxLen)) // CHAR
+                      }
                   }
                   i += 1
                 }
@@ -287,6 +425,83 @@ object BinlogWire {
       }
     }
     outRows.toSeq
+  }
+
+  // ------------------------------------------------- value decode helpers
+
+  /** Big-endian unsigned integer of `len` bytes. */
+  private def be(bytes: Array[Byte], p: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v = (v << 8) | (bytes(p + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Little-endian unsigned integer of `len` bytes (BLOB length prefixes). */
+  private def leN(bytes: Array[Byte], p: Int, len: Int): Long = {
+    var v = 0L; var i = len - 1
+    while (i >= 0) { v = (v << 8) | (bytes(p + i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  // fractional trailer is (fsp+1)/2 bytes; its unit per byte count
+  // (my_time.c my_packed_time_get_frac_part): 1 byte = centiseconds,
+  // 2 bytes = 10^-4 s, 3 bytes = microseconds
+  private val FracToMicros = Array(0L, 10000L, 100L, 1L)
+
+  /** `".ddd"` with exactly `fsp` digits; empty for fsp 0. */
+  private def fracStr(bytes: Array[Byte], p: Int, fsp: Int): String = {
+    if (fsp == 0) return ""
+    val nb = (fsp + 1) / 2
+    val micros = be(bytes, p, nb) * FracToMicros(nb)
+    "." + f"$micros%06d".substring(0, fsp)
+  }
+
+  // bytes needed for a partial base-10^9 digit group of 0..8 digits
+  private val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4)
+
+  /** Inverse of decimal.c `decimal2bin`: big-endian 9-digit (base 10^9)
+    * groups with leading/trailing partial groups, the sign carried in the
+    * first byte's MSB (whole image bit-inverted when negative). Returns
+    * (plain decimal string, bytes consumed). */
+  private def decodeDecimal(bytes: Array[Byte], p0: Int,
+                            precision: Int, scale: Int): (String, Int) = {
+    val intg = precision - scale
+    val intgFull = intg / 9; val intgPart = intg % 9
+    val fracFull = scale / 9; val fracPart = scale % 9
+    val len = Dig2Bytes(intgPart) + 4 * intgFull + 4 * fracFull + Dig2Bytes(fracPart)
+    val buf = java.util.Arrays.copyOfRange(bytes, p0, p0 + len)
+    val neg = (buf(0) & 0x80) == 0
+    if (neg) { var i = 0; while (i < len) { buf(i) = (~buf(i)).toByte; i += 1 } }
+    buf(0) = (buf(0) ^ 0x80).toByte
+    var q = 0
+    val ip = new StringBuilder
+    if (intgPart > 0) {
+      ip.append(("%0" + intgPart + "d").format(be(buf, q, Dig2Bytes(intgPart))))
+      q += Dig2Bytes(intgPart)
+    }
+    for (_ <- 0 until intgFull) { ip.append(f"${be(buf, q, 4)}%09d"); q += 4 }
+    var intStr = ip.toString.dropWhile(_ == '0')
+    if (intStr.isEmpty) intStr = "0"
+    val fp = new StringBuilder
+    for (_ <- 0 until fracFull) { fp.append(f"${be(buf, q, 4)}%09d"); q += 4 }
+    if (fracPart > 0) {
+      fp.append(("%0" + fracPart + "d").format(be(buf, q, Dig2Bytes(fracPart))))
+      q += Dig2Bytes(fracPart)
+    }
+    val s = (if (neg) "-" else "") + intStr +
+      (if (scale > 0) "." + fp.toString else "")
+    (s, len)
   }
 
   // length-encoded integer

@@ -72,6 +72,84 @@ class BinlogStreamSourceSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("restart resumes from the CHECKPOINTED offset even when the server " +
+      "purged the configured start (retention churn)") {
+    val m = new MysqldLoopback(Password)
+    val ckpt = Files.createTempDirectory("graft-binlog-purge-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = stream(m.port).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.select("offset").as[Long].collect() }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      run() // first run drains all 4 events; checkpoint commits (2, 180)
+      assert(seen.synchronized(seen.size) === 4)
+      // server retention churn: everything below the checkpointed position
+      // is gone — a dump from the configured start (1, 4) now errors with
+      // the fatal 1236. The restart must dump from (2, 180) instead.
+      m.purgeBelow(2, 180)
+      run()
+      assert(seen.synchronized(seen.size) === 4) // resumed clean, no re-read
+    } finally m.stop()
+  }
+
+  test("the full typed column surface lands end-to-end through the demux sink") {
+    val m = new MysqldLoopback(Password, extended = true)
+    val root = Files.createTempDirectory("graft-alltypes-lake").toString
+    val ckpt = Files.createTempDirectory("graft-alltypes-ckpt").toString
+    val allTypesCols = Seq("c_tiny", "c_short", "c_int24", "c_float",
+      "c_double", "c_dec", "c_date", "c_dt", "c_ts", "c_time", "c_timef",
+      "c_year", "c_text", "c_char", "c_enum", "c_set", "c_bit")
+    val schema = StructType(Seq(
+      StructField("c_tiny", IntegerType), StructField("c_short", IntegerType),
+      StructField("c_int24", IntegerType), StructField("c_float", DoubleType),
+      StructField("c_double", DoubleType),
+      StructField("c_dec", DecimalType(14, 4)),
+      StructField("c_date", StringType), StructField("c_dt", StringType),
+      StructField("c_ts", StringType), StructField("c_time", StringType),
+      StructField("c_timef", StringType), StructField("c_year", IntegerType),
+      StructField("c_text", StringType), StructField("c_char", StringType),
+      StructField("c_enum", IntegerType), StructField("c_set", IntegerType),
+      StructField("c_bit", LongType)))
+    val src = spark.readStream.format("graft-binlog")
+      .option("host", "127.0.0.1").option("port", m.port)
+      .option("user", "repl").option("password", Password)
+      .option("columns",
+        s"""{"shop.alltypes": [${allTypesCols.map("\"" + _ + "\"").mkString(",")}]}""")
+      .load()
+    val sink = new MultiTableSink(s"$root/{db}/ods_{db}_{table}",
+      Seq(CdcTableSpec("shop", "alltypes", schema, Seq("c_tiny"), "c_tiny")), 1)
+    try {
+      val q = sink.start(src, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.read.parquet(s"$root/shop/ods_shop_alltypes/data")
+        .orderBy("c_tiny")
+        .collect()
+      assert(rows.length === 2)
+      val r1 = rows.find(_.getAs[Int]("c_tiny") == -5).get
+      assert(r1.getAs[Int]("c_short") === -1234)
+      assert(r1.getAs[Int]("c_int24") === -70000)
+      assert(r1.getAs[Double]("c_float") === 1.25)
+      assert(r1.getAs[Double]("c_double") === -2.5)
+      assert(r1.getAs[java.math.BigDecimal]("c_dec")
+        === new java.math.BigDecimal("-123456789.0123"))
+      assert(r1.getAs[String]("c_dt") === "2024-02-29 13:14:15.250")
+      assert(r1.getAs[String]("c_time") === "-12:34:56")
+      assert(r1.getAs[Int]("c_year") === 2024)
+      assert(r1.getAs[String]("c_text") === "héllo \"q\"\n")
+      assert(r1.getAs[Long]("c_bit") === 2748L)
+      val r2 = rows.find(_.getAs[Int]("c_tiny") == 7).get
+      assert(r2.isNullAt(r2.fieldIndex("c_dec")) && r2.isNullAt(r2.fieldIndex("c_text")))
+      assert(r2.getAs[String]("c_timef") === "01:02:03.04")
+    } finally m.stop()
+  }
+
   test("CdcStreamApp --binlog-host wires the live wire source from the table registry") {
     val m = new MysqldLoopback(Password)
     val root = Files.createTempDirectory("graft-cdcapp-lake").toString

@@ -74,6 +74,64 @@ class BinlogWireSpec extends SparkSuite {
     assert(payload(0) === 0x55.toByte && payload(max) === 1 && payload(max + 4) === 5)
   }
 
+  private val allTypesCols = Seq("c_tiny", "c_short", "c_int24", "c_float",
+    "c_double", "c_dec", "c_date", "c_dt", "c_ts", "c_time", "c_timef",
+    "c_year", "c_text", "c_char", "c_enum", "c_set", "c_bit")
+
+  test("full column-type surface decodes: ints, float/double, DECIMAL, DATE," +
+      " DATETIME2(3), TIMESTAMP2, TIME2 (negative + fractional), YEAR," +
+      " TEXT, CHAR, ENUM, SET, BIT — incl. NULL-bitmap interplay mid-row") {
+    val m = new MysqldLoopback(Password, extended = true)
+    try {
+      val df = BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
+        "binlog.000002", 200L,
+        columns = Map(("shop", "alltypes") -> allTypesCols))
+      val rows = df.select("db", "table", "payload").as[(String, String, String)]
+        .collect().toSeq.filter(_._2 == "alltypes")
+      assert(rows.length === 2)
+      assert(rows(0)._3 === """{"c_tiny":-5,"c_short":-1234,"c_int24":-70000,""" +
+        """"c_float":1.25,"c_double":-2.5,"c_dec":-123456789.0123,""" +
+        """"c_date":"2024-02-29","c_dt":"2024-02-29 13:14:15.250",""" +
+        """"c_ts":"2023-11-14 22:13:20","c_time":"-12:34:56",""" +
+        """"c_timef":"12:34:56.78","c_year":2024,""" +
+        "\"c_text\":\"héllo \\\"q\\\"\\u000a\",\"c_char\":\"abc\",\"c_enum\":2," +
+        """"c_set":5,"c_bit":2748}""")
+      // second image: NULLs scattered MID-row (c_dec, c_date, c_text) — the
+      // columns after each null must still align
+      assert(rows(1)._3 === """{"c_tiny":7,"c_short":300,"c_int24":99999,""" +
+        """"c_float":-0.5,"c_double":1000000.0,"c_dec":null,"c_date":null,""" +
+        """"c_dt":"2024-03-01 00:00:00.000","c_ts":"2023-11-14 22:13:21",""" +
+        """"c_time":"00:00:05","c_timef":"01:02:03.04","c_year":0,""" +
+        """"c_text":null,"c_char":"","c_enum":1,"c_set":0,"c_bit":1}""")
+    } finally m.stop()
+  }
+
+  test("partial included-columns bitmap (binlog_row_image=MINIMAL) is " +
+      "rejected with a clear error, never misparsed") {
+    val m = new MysqldLoopback(Password, extended = true, partialImage = true)
+    try {
+      val e = intercept[Exception](
+        BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
+          "binlog.000002", 200L,
+          columns = Map(("shop", "alltypes") -> allTypesCols)).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("binlog_row_image"))
+    } finally m.stop()
+  }
+
+  test("an AuthSwitchRequest (caching_sha2_password server) fails with the " +
+      "requested plugin named, not an opaque error") {
+    val m = new MysqldLoopback(Password, authSwitch = Some("caching_sha2_password"))
+    try {
+      val e = intercept[Exception](
+        BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
+          "binlog.000001", 4L).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("caching_sha2_password") &&
+        msg.contains("mysql_native_password"))
+    } finally m.stop()
+  }
+
   test("wrong replication password is rejected by the server") {
     val m = new MysqldLoopback(Password)
     try {

@@ -18,9 +18,16 @@ import java.security.MessageDigest
   * behavior. With `checksum` (the MySQL >= 5.6.6 default), every event
   * carries a CRC32 trailer and the dump is REFUSED unless the client
   * declared `@master_binlog_checksum` first — the real server's guard. */
-final class MysqldLoopback(password: String, checksum: Boolean = true) {
+final class MysqldLoopback(password: String, checksum: Boolean = true,
+                           extended: Boolean = false,
+                           partialImage: Boolean = false,
+                           authSwitch: Option[String] = None) {
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   @volatile private var running = true
+  /** Retention-churn simulation: dumps strictly below this (fileIdx, pos)
+    * are refused with the real server's fatal 1236 error. */
+  @volatile private var purgeFloor: Option[(Long, Long)] = None
+  def purgeBelow(fileIdx: Long, pos: Long): Unit = purgeFloor = Some((fileIdx, pos))
   private val sha1 = MessageDigest.getInstance("SHA-1")
   private def dig(parts: Array[Byte]*): Array[Byte] = {
     sha1.reset(); parts.foreach(sha1.update); sha1.digest()
@@ -90,10 +97,126 @@ final class MysqldLoopback(password: String, checksum: Boolean = true) {
     out.toByteArray
   }
 
+  // ---------------- extended all-types fixture (`extended = true`) --------
+  // Cells are BYTE-LITERAL on purpose: the fixture encodes the public wire
+  // formats by hand, so the spec tests the client against the format, not
+  // against a shared encoder.
+  private def beB(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+  private def leB(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+  /** decimal2bin: digit groups BE, sign bit into byte 0, negatives fully
+    * inverted. `groups` = (value, byteWidth) per group. */
+  private def decB(neg: Boolean, groups: Seq[(Long, Int)]): Array[Byte] = {
+    val arr = groups.flatMap { case (v, n) => beB(v, n) }.toArray
+    arr(0) = (arr(0) ^ 0x80).toByte
+    if (neg) arr.map(b => (~b).toByte) else arr
+  }
+  private def dt2(year: Int, month: Int, day: Int, h: Int, m: Int, s: Int,
+                  fracRaw: Long, fracBytes: Int): Array[Byte] = {
+    val packed = ((((year * 13 + month).toLong << 5) | day) << 17) |
+      (h << 12) | (m << 6) | s
+    beB(packed + 0x8000000000L, 5) ++ (if (fracBytes > 0) beB(fracRaw, fracBytes) else Array.empty[Byte])
+  }
+  private def time2(negate: Boolean, h: Int, m: Int, s: Int,
+                    fracRaw: Long, fracBytes: Int): Array[Byte] = {
+    val v = (h << 12) | (m << 6) | s
+    beB(0x800000L + (if (negate) -v else v), 3) ++
+      (if (fracBytes > 0) beB(fracRaw, fracBytes) else Array.empty[Byte])
+  }
+  /** (type id, meta bytes) per alltypes column, TABLE_MAP order. */
+  private val allCols: Seq[(Int, Array[Byte])] = Seq(
+    1 -> Array.empty[Byte],                   // c_tiny    TINY
+    2 -> Array.empty[Byte],                   // c_short   SHORT
+    9 -> Array.empty[Byte],                   // c_int24   INT24
+    4 -> Array[Byte](4),                      // c_float   FLOAT
+    5 -> Array[Byte](8),                      // c_double  DOUBLE
+    246 -> Array[Byte](14, 4),                // c_dec     DECIMAL(14,4)
+    10 -> Array.empty[Byte],                  // c_date    DATE
+    18 -> Array[Byte](3),                     // c_dt      DATETIME2(3)
+    17 -> Array[Byte](0),                     // c_ts      TIMESTAMP2(0)
+    19 -> Array[Byte](0),                     // c_time    TIME2(0)
+    19 -> Array[Byte](2),                     // c_timef   TIME2(2)
+    13 -> Array.empty[Byte],                  // c_year    YEAR
+    252 -> Array[Byte](2),                    // c_text    TEXT/BLOB, 2-byte len
+    254 -> Array[Byte](254.toByte, 32),       // c_char    CHAR, pack len 32
+    254 -> Array[Byte](247.toByte, 1),        // c_enum    ENUM, 1 byte
+    254 -> Array[Byte](248.toByte, 1),        // c_set     SET, 1 byte
+    16 -> Array[Byte](4, 1))                  // c_bit     BIT(12)
+  private def utf8(s: String) = s.getBytes(StandardCharsets.UTF_8)
+  /** Two row images: full values, then one with NULLs scattered mid-row so
+    * offset tracking across the null bitmap is exercised. */
+  private val allRow1: Seq[Array[Byte]] = Seq(
+    leB(-5L & 0xFF, 1), leB(-1234L & 0xFFFF, 2), leB(-70000L & 0xFFFFFF, 3),
+    leB(java.lang.Float.floatToIntBits(1.25f).toLong & 0xFFFFFFFFL, 4),
+    leB(java.lang.Double.doubleToLongBits(-2.5), 8),
+    decB(neg = true, Seq((0L, 1), (123456789L, 4), (123L, 2))), // -123456789.0123
+    leB((2024L << 9) | (2 << 5) | 29, 3),                        // 2024-02-29
+    dt2(2024, 2, 29, 13, 14, 15, 2500, 2),       // 2024-02-29 13:14:15.250
+    beB(1700000000L, 4),                         // 2023-11-14 22:13:20 UTC
+    time2(negate = true, 12, 34, 56, 0, 0),      // -12:34:56
+    time2(negate = false, 12, 34, 56, 78, 1),    // 12:34:56.78
+    Array[Byte](124),                            // 2024
+    leB(utf8("héllo \"q\"\n").length.toLong, 2) ++ utf8("héllo \"q\"\n"),
+    Array[Byte](3) ++ utf8("abc"),
+    Array[Byte](2), Array[Byte](5),
+    beB(0xABCL, 2))
+  private val allRow2Nulls = Set(5, 6, 12) // c_dec, c_date, c_text
+  private val allRow2: Seq[Array[Byte]] = Seq(
+    leB(7, 1), leB(300, 2), leB(99999, 3),
+    leB(java.lang.Float.floatToIntBits(-0.5f).toLong & 0xFFFFFFFFL, 4),
+    leB(java.lang.Double.doubleToLongBits(1000000.0), 8),
+    null,                                        // c_dec NULL
+    null,                                        // c_date NULL
+    dt2(2024, 3, 1, 0, 0, 0, 0, 2),              // 2024-03-01 00:00:00.000
+    beB(1700000001L, 4),                         // +1 s
+    time2(negate = false, 0, 0, 5, 0, 0),        // 00:00:05
+    time2(negate = false, 1, 2, 3, 4, 1),        // 01:02:03.04
+    Array[Byte](0),                              // year 0
+    null,                                        // c_text NULL
+    Array[Byte](0),                              // c_char ""
+    Array[Byte](1), Array[Byte](0),
+    beB(1L, 2))
+  private def allTableMap(tableId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le(8)(_.putLong(tableId)).take(6)); out.write(Array[Byte](0, 0))
+    out.write("shop".length); out.write(cstr("shop"))
+    out.write("alltypes".length); out.write(cstr("alltypes"))
+    out.write(allCols.length)
+    allCols.foreach { case (t, _) => out.write(t) }
+    val meta = allCols.flatMap(_._2).toArray
+    out.write(meta.length); out.write(meta)
+    out.write(Array.fill[Byte]((allCols.length + 7) / 8)(0))
+    out.toByteArray
+  }
+  private def allRowsEvent(tableId: Long, images: Seq[Seq[Array[Byte]]],
+                           nulls: Seq[Set[Int]]): Array[Byte] = {
+    val n = allCols.length
+    val bm = (n + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(le(8)(_.putLong(tableId)).take(6)); out.write(Array[Byte](0, 0))
+    out.write(le(2)(_.putShort(2)))
+    out.write(n)
+    val included = Array.fill[Byte](bm)(0xFF.toByte)
+    if (partialImage) included(0) = (included(0) & ~2).toByte // drop column 1
+    out.write(included)
+    images.zip(nulls).foreach { case (img, nl) =>
+      val nullBm = new Array[Byte](bm)
+      nl.foreach(i => nullBm(i / 8) = (nullBm(i / 8) | (1 << (i % 8))).toByte)
+      out.write(nullBm)
+      img.zipWithIndex.foreach { case (cell, i) => if (!nl(i)) out.write(cell) }
+    }
+    out.toByteArray
+  }
+  private def extendedFixture: Seq[(Long, Long, Array[Byte])] = Seq(
+    (2L, 300L, event(19, 1004, 300, allTableMap(13))),
+    (2L, 380L, event(30, 1004, 380,
+      allRowsEvent(13, Seq(allRow1, allRow2), Seq(Set.empty, allRow2Nulls)))))
+
   private val ordersTypes = Seq(3, 15); private val ordersMax = Seq(0, 64)
   private val usersTypes = Seq(8, 15); private val usersMax = Seq(0, 300)
   /** (fileIdx, logPos, eventBytes) in stream order; TABLE_MAPs precede. */
-  private def fixture: Seq[(Long, Long, Array[Byte])] = Seq(
+  private def baseFixture: Seq[(Long, Long, Array[Byte])] = Seq(
     (1L, 60L, event(19, 1000, 60, tableMap(11, "shop", "orders", ordersTypes, ordersMax))),
     (1L, 100L, event(30, 1000, 100,
       rowsEvent(11, ordersTypes, ordersMax, Seq(Seq(1, "widget")), update = false))),
@@ -107,6 +230,8 @@ final class MysqldLoopback(password: String, checksum: Boolean = true) {
     (2L, 150L, event(19, 1003, 150, tableMap(12, "shop", "users", usersTypes, usersMax))),
     (2L, 180L, event(32, 1003, 180,
       rowsEvent(12, usersTypes, usersMax, Seq(Seq(7L, null)), update = false))))
+  private def fixture: Seq[(Long, Long, Array[Byte])] =
+    if (extended) baseFixture ++ extendedFixture else baseFixture
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -132,6 +257,11 @@ final class MysqldLoopback(password: String, checksum: Boolean = true) {
       BinlogWire.writePacket(out, 0, g.toByteArray)
       // HandshakeResponse41: user cstring after 32 fixed bytes, then scramble
       val (resp, _) = BinlogWire.readPacket(in)
+      if (authSwitch.isDefined) { // AuthSwitchRequest (e.g. MySQL 8 CSP)
+        BinlogWire.writePacket(out, 2,
+          Array[Byte](0xFE.toByte) ++ cstr(authSwitch.get) ++ nonce ++ Array[Byte](0))
+        return
+      }
       var p = 32
       while (resp(p) != 0) p += 1
       p += 1
@@ -181,6 +311,14 @@ final class MysqldLoopback(password: String, checksum: Boolean = true) {
       val startPos = db.getInt(1).toLong & 0xFFFFFFFFL
       val startFile = new String(dump, 11, dump.length - 11, StandardCharsets.UTF_8)
       val startIdx = BinlogWire.fileIndex(startFile)
+      if (purgeFloor.exists { case (fi, fp) =>
+          startIdx < fi || (startIdx == fi && startPos < fp) }) {
+        BinlogWire.writePacket(out, 1, // ER_MASTER_FATAL_ERROR_READING_BINLOG
+          Array[Byte](0xFF.toByte, 0xD4.toByte, 0x04, '#', 'H', 'Y', '0', '0', '0') ++
+            ("Could not find first log file name in binary log index file")
+              .getBytes(StandardCharsets.UTF_8))
+        return
+      }
       var seq = 1
       def send(ev: Array[Byte]): Unit = {
         val body = if (checksum) {
