@@ -61,8 +61,10 @@ object Curation {
   def removeBoilerplate(docs: DataFrame, chunkWords: Int = 10, maxDocs: Int = 10,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkWords > 0 && maxDocs > 0, "chunkWords and maxDocs must be positive")
+    // null text coalesces to "" so null-text docs keep the one-output-row-
+    // per-doc contract (they'd otherwise vanish through the null explode)
     val chunks = docs
-      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("tk"))
       .select(col(idCol), col("tk"),
         explode(sequence(lit(0),
           ceil(size(col("tk")).cast("double") / chunkWords).cast("int") - 1)).as("idx"))
@@ -87,6 +89,54 @@ object Curation {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Per-group inclusive running sum of `valueCol` (non-null) by `order`
+    * (a total order within each group) — the 100 TB form of
+    * `sum(v) OVER (PARTITION BY g ORDER BY o)`, whose naive window puts
+    * each group's ENTIRE stream through ONE task. A pretraining corpus has
+    * 5-20 sources at TB scale each: per-source windows serialize each
+    * source; this doesn't.
+    *
+    * Same two-pass range-partitioned construction as
+    * [[Ranking.rankWithTotal]], generalized to carry the group key:
+    *  1. `repartitionByRange` on (group ++ order) — each task holds a
+    *     contiguous slice of one-or-a-few groups, a hot group spreading
+    *     over MANY tasks;
+    *  2. per-(slice, group) sums — a tiny relation (≤ partitions + groups
+    *     rows) — turned into per-slice starting offsets by a window over
+    *     THAT relation (≤ partitions rows per group; no driver collect);
+    *  3. each slice windows locally by (slice, group) and adds its
+    *     broadcast offset.
+    * Bit-identical to the naive window form: integer sums over a total
+    * order are placement-independent. The ranged frame is persisted so the
+    * sum pass and the final pass share one materialization (range
+    * boundaries are re-sampled per execution — see Ranking). */
+  private[graft] def groupRunningSum(df: DataFrame, groupCol: String,
+                                     order: Seq[org.apache.spark.sql.Column],
+                                     valueCol: String, outCol: String,
+                                     numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, (col(groupCol) +: order): _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranged.groupBy(col("_pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("_psum"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
+    // renamed join keys: this is a derived-from-self join, and identically
+    // named attributes would trip the ambiguous-self-join detection
+    val offsets = sums
+      .withColumn("_offset",
+        coalesce(sum(col("_psum")).over(wOff), lit(0L)) -
+          coalesce(col("_psum"), lit(0L)))
+      .select(col("_pid").as("__pid"), col(groupCol).as("__g"), col("_offset"))
+    val localW = Window.partitionBy(col("_pid"), col(groupCol)).orderBy(order: _*)
+    ranged
+      .join(broadcast(offsets),
+        col("_pid") === col("__pid") && col(groupCol) <=> col("__g"))
+      .withColumn(outCol, col("_offset") + sum(col(valueCol)).over(localW))
+      .drop("_pid", "__pid", "__g", "_offset")
+  }
+
   /** Deterministic token-budget mixing: per `groupCol` (source/domain),
     * keep documents in md5(id) order until the group's token budget is
     * exhausted (a doc is kept iff it STARTS inside the budget — the
@@ -94,8 +144,9 @@ object Curation {
     * that doesn't reorder hashes). RNG-free: the "random" order is the md5
     * of the id, reproducible across engines and runs.
     *
-    * The window is per-source (bounded partitions), never corpus-global;
-    * one shuffle on `groupCol`. Returns kept rows + `cum_tokens`. */
+    * The running sum is the range-partitioned [[groupRunningSum]] — no
+    * source ever serializes through one task. Returns kept rows +
+    * `cum_tokens`. */
   def mixToBudget(df: DataFrame, budgetTokens: Long,
                   groupCol: String = "source", idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
@@ -120,10 +171,10 @@ object Curation {
           col(groupCol)),
         lit(defaultBudget))
     val nt = size(TextOps.lowerTokens(col(textCol)))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("nt", nt.cast("long"))
-      .withColumn("cum_tokens", sum(col("nt")).over(w))
+    groupRunningSum(
+      df.withColumn("nt", nt.cast("long")),
+      groupCol, Seq(md5(col(idCol).cast("string")), col(idCol)),
+      "nt", "cum_tokens")
       .filter(col("cum_tokens") - col("nt") < budgetExpr)
   }
 
@@ -136,17 +187,19 @@ object Curation {
     * boundary continue in the next sequence; real pipelines either mask
     * or split there, both needing exactly this mapping).
     *
-    * Scale shape: one window cumsum PER SOURCE (bounded partitions — the
-    * same per-group window contract as [[mixWeighted]]), no collect, no
-    * UDF. Sequence ids are global via (source, seq-in-source). */
+    * Scale shape: the per-source running sum is the range-partitioned
+    * [[groupRunningSum]] — a single-source (or few-source) corpus still
+    * spreads over every task, no collect, no UDF. Sequence ids are global
+    * via (source, seq-in-source). */
   def packSequences(df: DataFrame, seqLen: Int,
                     groupCol: String = "source", idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("nt", size(TextOps.lowerTokens(col(textCol))).cast("long"))
-      .withColumn("start_tok", sum(col("nt")).over(w) - col("nt"))
+    groupRunningSum(
+      df.withColumn("nt", size(TextOps.lowerTokens(col(textCol))).cast("long")),
+      groupCol, Seq(md5(col(idCol).cast("string")), col(idCol)),
+      "nt", "_cum")
+      .withColumn("start_tok", col("_cum") - col("nt"))
       .select(col(groupCol), col(idCol), col("nt"),
         (col("start_tok") / seqLen).cast("long").as("seq_in_source"),
         (col("start_tok") % seqLen).as("seq_offset"),

@@ -43,6 +43,12 @@ object Dedup {
     * self-join sides, and Spark silently drops metrics from duplicated
     * CollectMetrics nodes.) */
   private def reportCaps(bucketSizes: DataFrame, op: String, cap: Int): Unit = {
+    // spark.graft.dedup.reportCaps=false skips the eager report job (a
+    // benchmark that times many dedup constructions back-to-back pays a
+    // scheduling round per call); keep the DEFAULT on — silently-dropped
+    // recall is the failure mode this exists to surface
+    if (!bucketSizes.sparkSession.conf
+        .get("spark.graft.dedup.reportCaps", "true").toBoolean) return
     val r = bucketSizes.filter(col("bsz") > cap)
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
     val report = CapReport(r.getLong(0), r.getLong(1), cap)

@@ -403,7 +403,11 @@ object Similarity {
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
-    val cents = trainCentroids(emb, nlist, iters, idCol, vecCol)
+    // trainCentroidsI8, not trainCentroids: integer-sum centroids are
+    // plan-order-independent, so rebuilding over the same corpus yields a
+    // byte-identical index — reproducibility is an at-rest invariant (two
+    // engines, or a rebuild audit, must agree on cell assignment)
+    val cents = trainCentroidsI8(emb, nlist, iters, idCol, vecCol)
     assignCells(emb, cents, idCol, vecCol)
       .select(col("neighbor_id").as(idCol), col("cv").as(vecCol), col("cell_id"))
       .write.partitionBy("cell_id").mode("overwrite").parquet(s"$path/data")

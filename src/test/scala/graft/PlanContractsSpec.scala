@@ -41,10 +41,11 @@ class PlanContractsSpec extends SparkSuite {
       "eval side no longer broadcast — corpus would shuffle on n-grams")
   }
 
-  test("corpus_mix windows per source, never a single global partition") {
+  test("corpus_mix range-partitions the cumsum: no per-source serial task") {
     val p = plan("corpus_mix")
-    assert(p.contains("hashpartitioning(source"),
-      "per-source window partitioning lost")
+    assert(p.contains("rangepartitioning(source"),
+      "two-pass range-partitioned running sum lost — a TB-scale source " +
+        "would serialize through one window task")
   }
 
   test("LSH candidate joins are hash joins, not nested loops") {
@@ -80,16 +81,36 @@ class PlanContractsSpec extends SparkSuite {
     assert(bad.isEmpty, "text_boilerplate grew a global WindowExec")
   }
 
-  test("sequence packing windows per source, never a single global partition") {
+  test("sequence packing range-partitions the cumsum: no per-source serial " +
+      "task, no global window") {
     val df = SparkEntry.queries("corpus_pack")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("hashpartitioning(source"),
-      "per-source packing window partitioning lost")
+    assert(p.contains("rangepartitioning(source"),
+      "two-pass range-partitioned running sum lost — a TB-scale source " +
+        "would serialize through one window task")
     val bad = df.queryExecution.executedPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
         if w.partitionSpec.isEmpty => w
     }
     assert(bad.isEmpty, "corpus_pack has a global (unpartitioned) WindowExec")
+  }
+
+  test("a single hot source spreads over many cumsum tasks (forced skew)") {
+    import spark.implicits._
+    // one source, many rows: the old per-source window would put ALL rows
+    // in one task; the range-partitioned form must spread them
+    val skew = (1L to 2000L).map(i => (i, "one-source", 3L))
+      .toDF("doc_id", "source", "nt")
+    val out = graft.ops.Curation.groupRunningSum(
+      skew, "source", Seq(org.apache.spark.sql.functions.col("doc_id")),
+      "nt", "cum", numPartitions = 8)
+    val pids = out
+      .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .select("p").distinct().count()
+    assert(pids > 1, s"single source collapsed to $pids task(s)")
+    // and the sum is still the exact inclusive running sum
+    val mx = out.agg(org.apache.spark.sql.functions.max("cum")).head.getLong(0)
+    assert(mx === 6000L)
   }
 
   test("precombine dedup is a hash aggregate, not a window sort") {

@@ -47,6 +47,33 @@ class CurationSpec extends SparkSuite {
       (1L, "a b c x y z p q r", 3L, 0L)))
   }
 
+  test("removeBoilerplate keeps null-text docs as one empty-text row") {
+    val docs = Seq((0L, "some real content here"), (1L, null))
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, chunkWords = 3, maxDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(0L, 1L)) // null doc does NOT vanish
+    assert(out(1)._2 === "") // surfaces as empty text, like all-boilerplate
+  }
+
+  test("groupRunningSum is bit-identical to the naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i =>
+      (i, s"src${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("doc_id", "source", "nt")
+    val naive = df.withColumn("cum",
+      sum(col("nt")).over(
+        Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    val scalable = Curation.groupRunningSum(df, "source",
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")), "nt", "cum",
+      numPartitions = 7)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(scalable === naive)
+  }
+
   test("packSequences: md5-ordered concat split into fixed token sequences") {
     val docs = Seq(
       (0L, "s", "a b c"),          // 3 tokens

@@ -387,6 +387,34 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell_id"))
   }
 
+  test("IVF index rebuild is byte-identical: at-rest centroids are " +
+      "plan-order-independent (trainCentroidsI8)") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    def build(): (String, Array[Byte]) = {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-det").toString
+      // different input partitioning per build — the old float-mean
+      // training would produce different centroids here
+      Similarity.writeIvfIndex(emb.repartition(scala.util.Random.nextInt(7) + 2),
+        path, nlist = 8, iters = 2)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      new java.io.File(s"$path/_centroids").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName.split("-")(1))
+        .foreach(f => md.update(java.nio.file.Files.readAllBytes(f.toPath)))
+      (path, md.digest())
+    }
+    val (p1, d1) = build()
+    val (p2, d2) = build()
+    assert(d1.toSeq === d2.toSeq, "rebuilt _centroids differ byte-for-byte")
+    // probe parity is unchanged by the deterministic trainer
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val a = Similarity.ivfTopKIndexed(queries, p1, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val b = Similarity.ivfTopKIndexed(queries, p2, 3, 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("IVF index append rewrites only touched cell partitions, keeps probe parity") {
     val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
       math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
