@@ -76,8 +76,47 @@ object ScaleProbe {
       System.err.println(s"[probe] boilerplate dropped spans=${r.getLong(1)}")
       r.getLong(0)
     }
-    // Packing is one per-source window cumsum — must stay linear in docs.
+    // Packing cumsums are range-partitioned per source — must stay linear
+    // in docs even when the corpus is a SINGLE source (the old per-source
+    // window would serialize it through one task).
     time("pack_sequences")(Curation.packSequences(docs, 4096).count())
+    time("pack_single_source")(
+      Curation.packSequences(docs.withColumn("source", lit("one")), 4096).count())
+    // Hot-span SET size at densityDocs docs: a replicated crawl makes EVERY
+    // base span hot, so the anti-join's build side reaches its ceiling —
+    // O(distinct spans of the base corpus), not O(docs). Reports count +
+    // string bytes so the broadcast-vs-shuffle flip threshold is a number
+    // (PlanContractsSpec pins that the flip is a plan change, not an error).
+    time(f"boilerplate_hotset_${densityDocs}%.0e") {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = math.max(1L, base.count())
+      val times = math.max(1L, math.ceil(densityDocs / n).toLong)
+      val stepRow = base.agg(max(col("doc_id")).cast("long")).head()
+      val step = (if (stepRow.isNullAt(0)) 0L else stepRow.getLong(0)) + 1L
+      val corpus = base.crossJoin(spark.range(times).as("rep"))
+        .select((col("doc_id") + col("id") * step).as("doc_id"), col("text"))
+        // the broadcast cross join leaves ONE output partition (the base
+        // parquet is a single scan split) — spread before the CPU-heavy
+        // chunk explode or it runs single-threaded
+        .repartition(spark.sparkContext.defaultParallelism * 4, col("doc_id"))
+      val chunkWords = 10
+      val chunks = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            ceil(size(col("tk")).cast("double") / chunkWords).cast("int") - 1)).as("idx"),
+          col("tk"))
+        .select(col("doc_id"),
+          array_join(slice(col("tk"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
+            .as("chunk"))
+      val hot = chunks.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > times - 1) // replication makes all base spans hot
+      val r = hot.agg(count(lit(1)), coalesce(sum(length(col("chunk"))), lit(0L))).head()
+      System.err.println(s"[probe] hot-span set at ${n * times} docs: " +
+        s"${r.getLong(0)} spans, ~${r.getLong(1) / 1024} KiB of span text")
+      r.getLong(0)
+    }
     // Chunk-pair LSH density at 10⁶ docs, single language (the worst case
     // for a blocking key). The sf documents are template-generated and
     // near-dup-DENSE (an LSH bucket holding a true dup cluster is load, not
@@ -96,6 +135,10 @@ object ScaleProbe {
       val step = (if (stepRow.isNullAt(0)) 0L else stepRow.getLong(0)) + 1L
       val corpus = base.crossJoin(spark.range(times).as("rep"))
         .select((col("doc_id") + col("id") * step).as("doc_id"), col("text"))
+        // spread the single broadcast-cross-join partition BEFORE the
+        // per-doc simhash kernels (same flaw as the hotset probe: without
+        // this the 10⁷ signatures compute in one task)
+        .repartition(spark.sparkContext.defaultParallelism * 4, col("doc_id"))
         .select(col("doc_id"), concat_ws(" ", col("text"),
           array_join(transform(sequence(lit(0L), lit(79L)),
             x => concat(lit("rt"), col("doc_id") * 100 + x)), " ")).as("text"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Flatten, SqlTransform}
-import graft.ops.{AsofJoin, Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Curation, Dedup, Multimodal, Similarity, Sketches, TextOps}
 import graft.sink.MergeWriter
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -795,6 +795,57 @@ object SparkEntry {
           sum(col("nt")).cast("long").as("kept_tokens"))
         .orderBy("source")),
 
+    /** Count-min token-frequency sketch ([[Sketches.countMin]], 4×64
+      * cells — narrow on purpose, so collisions and their exact replay are
+      * exercised at the fixture scale): the structure a 100 TB vocabulary pass keeps when the exact
+      * key space doesn't fit. Bucket layout is xxhash64-deterministic, so
+      * the estimates — over-counts included — replay bit-for-bit in the
+      * oracle (`tools/gen_cm_oracle.py`). Output: top-50 tokens by exact
+      * count with their sketch estimates (est ≥ exact always). */
+    "sketch_countmin" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.lowerTokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0 && octet_length(col("token")) <= 24)
+        .localCheckpoint(eager = false) // feeds sketch AND exact counts
+      val sketch = Sketches.countMin(toks, "token", depth = 4, width = 64)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      Sketches.countMinEstimate(sketch, exact, "token", depth = 4, width = 64)
+        .orderBy(desc("exact"), col("token")).limit(50)
+        .select("token", "exact", "est")
+    }),
+
+    /** Bloom-filter decontamination ([[Sketches.bloomBits]], 3×65536
+      * bits) — the scale path of `text_decontaminate`: the eval set
+      * broadcasts as a set-bit relation instead of its full distinct
+      * n-gram table. False positives are a deterministic function of the
+      * layout, so the oracle reproduces them exactly
+      * (`tools/gen_bloom_oracle.py`). Same eval split as
+      * text_decontaminate (doc_id % 97). */
+    "sketch_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // 4-gram digests truncated to 16 hex chars: within the 24-byte
+      // sketch-key contract, and any truncation collision is itself
+      // deterministic (replayed by the oracle)
+      def g4(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), TextOps.lowerTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 4)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("t")) - 3)).as("i"), col("t"))
+        .select(col("doc_id"),
+          substring(md5(array_join(slice(col("t"), col("i"), lit(4)), " ")), 1, 16)
+            .as("g"))
+      val bloom = Sketches.bloomBits(
+        g4(docs.filter(col("doc_id") % 97 === 0)), "g",
+        numHashes = 3, bits = 65536)
+      Sketches.bloomMightContain(bloom,
+          g4(docs.filter(col("doc_id") % 97 =!= 0)).distinct(), "g",
+          numHashes = 3, bits = 65536)
+        .groupBy("doc_id")
+        .agg(sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_maybe"),
+          count(lit(1)).as("n_grams"))
+        .orderBy("doc_id")
+    }),
+
     /** Incremental dedup: classify a landing batch (doc_id % 10 == 0)
       * against the standing corpus — corpus_dup / batch_dup / new. */
     "dedup_incremental" -> ((s, d) => {
@@ -1475,6 +1526,17 @@ object SparkEntry {
       * 10-point cardinality sweep spanning every estimator regime
       * (`tools/gen_hll_oracle.py`). */
     "q_approx_distinct" -> sqlResource("hll_oracle.sql"),
+
+    /** Count-min sketch replay: xxh64(token || "|i", 42) buckets (low bits
+      * — width divides 2³²), cell counts as sums of landing tokens'
+      * occurrence counts, min-over-rows estimates; over-counts from
+      * colliding buckets reproduce exactly (`tools/gen_cm_oracle.py`). */
+    "sketch_countmin" -> sqlResource("cm_oracle.sql"),
+
+    /** Bloom-filter decontamination replay: truncated-md5 4-gram keys,
+      * eval-side set bits, all-positions-set membership — false positives
+      * included (`tools/gen_bloom_oracle.py`). */
+    "sketch_bloom" -> sqlResource("bloom_oracle.sql"),
 
     /** Spherical k-means replayed iteration by iteration: int8-quantized
       * vectors, centroids as exact INTEGER SUM vectors (cosine is

@@ -95,6 +95,23 @@ class PlanContractsSpec extends SparkSuite {
     assert(bad.isEmpty, "corpus_pack has a global (unpartitioned) WindowExec")
   }
 
+  test("boilerplate hot-span anti-join degrades to a SHUFFLE join when the " +
+      "hot set outgrows broadcast (no error, no loop join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // a hot set past the broadcast ceiling = AQE can't pick broadcast;
+      // forced here via threshold -1, which is what an over-threshold
+      // size estimate does at 10⁹ docs
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("text_boilerplate")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "anti-join did not degrade to a shuffle join")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        "anti-join degenerated to a loop join without broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a single hot source spreads over many cumsum tasks (forced skew)") {
     import spark.implicits._
     // one source, many rows: the old per-source window would put ALL rows

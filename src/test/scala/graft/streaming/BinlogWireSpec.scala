@@ -132,6 +132,36 @@ class BinlogWireSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("drain-throughput probe: bounded re-pulls deliver the backlog " +
+      "exactly once, at a documented events/s ceiling") {
+    val n = 200000
+    val m = new MysqldLoopback(Password, bulkRows = n)
+    try {
+      for (maxPerPull <- Seq(10000, 50000)) {
+        val t0 = System.nanoTime()
+        var total = 0L
+        var off = BinlogOffset(2, 180) // resume past the base fixture
+        var last = off.encoded
+        var done = false
+        while (!done) { // the stream source's bounded-drain loop
+          val batch = BinlogWire.pull("127.0.0.1", m.port, "repl", Password,
+            f"binlog.${off.fileIndex}%06d", off.filePos, 65535L,
+            columns = registry, maxEvents = maxPerPull)
+          if (batch.isEmpty) done = true
+          else {
+            batch.foreach { e => assert(e.offset >= last); last = e.offset }
+            total += batch.length
+            off = BinlogOffset.decode(batch.last.offset)
+          }
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        info(f"maxEventsPerBatch=$maxPerPull: $total rows in $dt%.2fs = " +
+          f"${total / dt}%.0f events/s")
+        assert(total === n.toLong) // exactly once, no gaps, no re-delivery
+      }
+    } finally m.stop()
+  }
+
   test("wrong replication password is rejected by the server") {
     val m = new MysqldLoopback(Password)
     try {

@@ -21,7 +21,8 @@ import java.security.MessageDigest
 final class MysqldLoopback(password: String, checksum: Boolean = true,
                            extended: Boolean = false,
                            partialImage: Boolean = false,
-                           authSwitch: Option[String] = None) {
+                           authSwitch: Option[String] = None,
+                           bulkRows: Int = 0) {
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   @volatile private var running = true
   /** Retention-churn simulation: dumps strictly below this (fileIdx, pos)
@@ -230,8 +231,24 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
     (2L, 150L, event(19, 1003, 150, tableMap(12, "shop", "users", usersTypes, usersMax))),
     (2L, 180L, event(32, 1003, 180,
       rowsEvent(12, usersTypes, usersMax, Seq(Seq(7L, null)), update = false))))
+  /** Throughput fixture (`bulkRows > 0`): `bulkRows` insert row images in
+    * 100-row events appended to file 000002 — sized for drain-rate probes
+    * (events/s of the socket+decode path), not correctness. */
+  private def bulkFixture: Seq[(Long, Long, Array[Byte])] =
+    if (bulkRows == 0) Seq.empty
+    else {
+      val perEvent = 100
+      (0 until (bulkRows + perEvent - 1) / perEvent).map { i =>
+        val n = math.min(perEvent, bulkRows - i * perEvent)
+        val images = (0 until n).map(j =>
+          Seq[Any](i * perEvent + j, s"bulk-item-${i * perEvent + j}"))
+        val pos = 1000L + i
+        (2L, pos, event(30, 2000 + i, pos,
+          rowsEvent(11, ordersTypes, ordersMax, images, update = false)))
+      }
+    }
   private def fixture: Seq[(Long, Long, Array[Byte])] =
-    if (extended) baseFixture ++ extendedFixture else baseFixture
+    (if (extended) baseFixture ++ extendedFixture else baseFixture) ++ bulkFixture
 
   private val acceptor = new Thread(() => {
     while (running) {
