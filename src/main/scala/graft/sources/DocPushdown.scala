@@ -26,7 +26,7 @@ import scala.jdk.CollectionConverters._
   */
 object DocPushdown {
   private val mapper = new ObjectMapper()
-  private[sources] def jsonMapper: ObjectMapper = mapper
+  private[graft] def jsonMapper: ObjectMapper = mapper
 
   private[graft] def parseJson(s: String): JsonNode = mapper.readTree(s)
 

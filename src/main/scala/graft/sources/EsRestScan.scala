@@ -47,12 +47,19 @@ object EsRestScan {
     reader.json(docs)
   }
 
+  /** One non-scroll search round-trip, returning the raw response tree —
+    * the streaming source's max-cursor probe (`sort` desc + `size` 1). */
+  private[graft] def searchOnce(base: String, index: String, body: String,
+                                auth: Option[(String, String)]): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(http("POST", s"${base.stripSuffix("/")}/$index/_search", body, auth))
+
   /** One slice's scroll as a LAZY page-at-a-time iterator: open with
     * `slice {id, max}`, fetch the next page only when the previous one is
     * consumed — one `pageSize` batch resident in the task at a time, so a
     * multi-GB index never sits in executor heap at once. The server-side
-    * context is cleared when the scroll drains. */
-  private def scrollSlice(base: String, index: String, query: String,
+    * context is cleared when the scroll drains. (`private[graft]`: the
+    * streaming source's partition reader drives it directly.) */
+  private[graft] def scrollSlice(base: String, index: String, query: String,
                           pageSize: Int, sliceId: Int, slices: Int,
                           auth: Option[(String, String)]): Iterator[String] = {
     val body = mapper.readTree(query) match {

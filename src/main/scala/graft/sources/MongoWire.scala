@@ -306,47 +306,62 @@ object MongoWire {
     val authSource = parsed.options.getOrElse("authSource",
       parsed.database.getOrElse("admin"))
     val docs = spark.range(0, 1, 1, 1).mapPartitions { _ =>
-      val (h, p) = host.split(":") match {
-        case Array(a) => (a, 27017)
-        case Array(a, b) => (a, b.toInt)
-      }
-      val sock = new java.net.Socket(h, p)
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
+      val (it, close) = openCursor(host, user, password, authSource,
+        db, collection, batchSize, firstCmd(db))
       // the task-completion listener owns the socket: the iterator below is
       // lazy and may be dropped mid-cursor (limit pushups, task kill)
       Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => sock.close()))
-      user.foreach(u => authenticate(in, out, u, password, authSource))
-      var reply = command(in, out, 1, firstCmd(db))
-      var rid = 2
-      var cursor = reply.get("cursor")
-      var cursorId = cursor.get("id").asLong
-      var batch = cursor.get("firstBatch").elements()
-      // LAZY paging: getMore is issued only when the previous batch is
-      // fully consumed, so one `batchSize` batch is resident per task —
-      // a multi-GB collection never sits in executor heap at once
-      new Iterator[String] {
-        override def hasNext: Boolean = {
-          while (!batch.hasNext && cursorId != 0L) {
-            val more = mapper.createObjectNode()
-            more.put("getMore", cursorId)
-            more.put("collection", collection)
-            more.put("batchSize", batchSize)
-            more.put("$db", db)
-            reply = command(in, out, rid, more); rid += 1
-            cursor = reply.get("cursor")
-            cursorId = cursor.get("id").asLong
-            batch = cursor.get("nextBatch").elements()
-          }
-          val more = batch.hasNext
-          if (!more) sock.close() // cursor drained (listener close is idempotent)
-          more
-        }
-        override def next(): String = mapper.writeValueAsString(batch.next())
-      }
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      it
     }
     val reader = schema.foldLeft(spark.read)((r, s) => r.schema(s))
     reader.json(docs)
+  }
+
+  /** Raw cursor shared by the batch scan and the streaming source's
+    * partition reader: connect to `host` (`host[:port]`), run the SCRAM
+    * conversation when `user` is set, issue `firstCmd`, page lazily with
+    * getMore (one `batchSize` page resident at a time). Returns (JSON doc
+    * iterator, idempotent close). The iterator closes the socket itself
+    * when the cursor drains; the close handle covers early abandonment. */
+  def openCursor(host: String, user: Option[String], password: String,
+                 authSource: String, db: String, collection: String,
+                 batchSize: Int, firstCmd: ObjectNode): (Iterator[String], () => Unit) = {
+    val (h, p) = host.split(":") match {
+      case Array(a) => (a, 27017)
+      case Array(a, b) => (a, b.toInt)
+    }
+    val sock = new java.net.Socket(h, p)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    user.foreach(u => authenticate(in, out, u, password, authSource))
+    var reply = command(in, out, 1, firstCmd)
+    var rid = 2
+    var cursor = reply.get("cursor")
+    var cursorId = cursor.get("id").asLong
+    var batch = cursor.get("firstBatch").elements()
+    // LAZY paging: getMore is issued only when the previous batch is
+    // fully consumed, so one `batchSize` batch is resident per task —
+    // a multi-GB collection never sits in executor heap at once
+    val it = new Iterator[String] {
+      override def hasNext: Boolean = {
+        while (!batch.hasNext && cursorId != 0L) {
+          val more = mapper.createObjectNode()
+          more.put("getMore", cursorId)
+          more.put("collection", collection)
+          more.put("batchSize", batchSize)
+          more.put("$db", db)
+          reply = command(in, out, rid, more); rid += 1
+          cursor = reply.get("cursor")
+          cursorId = cursor.get("id").asLong
+          batch = cursor.get("nextBatch").elements()
+        }
+        val more = batch.hasNext
+        if (!more) sock.close() // cursor drained (listener close is idempotent)
+        more
+      }
+      override def next(): String = mapper.writeValueAsString(batch.next())
+    }
+    (it, () => sock.close())
   }
 }

@@ -130,6 +130,38 @@ class PlanContractsSpec extends SparkSuite {
     assert(mx === 6000L)
   }
 
+  test("bucketed tables join WITHOUT a shuffle: the pre-partitioned lake " +
+      "layout carries its distribution into the join") {
+    import spark.implicits._
+    val n = 8
+    val facts = (1L to 1000L).map(i => (i % 100, s"f$i")).toDF("k", "v")
+    val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+    // one file per bucket (repartition on the bucket key first) keeps the
+    // per-bucket sort usable too; bucketBy is the write-side half of the
+    // "co-locate the join" contract from SURVEY §5
+    facts.repartition(n, $"k").write.bucketBy(n, "k").sortBy("k")
+      .mode("overwrite").saveAsTable("pc_facts_bkt")
+    dims.repartition(n, $"k").write.bucketBy(n, "k").sortBy("k")
+      .mode("overwrite").saveAsTable("pc_dims_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("pc_facts_bkt")
+        .join(spark.table("pc_dims_bkt"), "k")
+      assert(joined.count() === 1000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed join shuffled — bucket distribution lost:\n" + p)
+      // contrast: the same join over plain (unbucketed) relations shuffles
+      val p2 = facts.join(dims, "k").queryExecution.executedPlan.toString
+      assert(p2.contains("Exchange"), "control join unexpectedly shuffle-free")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS pc_facts_bkt")
+      spark.sql("DROP TABLE IF EXISTS pc_dims_bkt")
+    }
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")

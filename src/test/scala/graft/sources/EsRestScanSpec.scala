@@ -26,72 +26,6 @@ class EsRestScanSpec extends SparkSuite {
     * server-side slicing (`doc_idx % max == id`), `term` filtering and
     * pagination. Records the last search body + auth header so specs can
     * prove the query shipped server-side. */
-  private final class EsLoopback(docs: Seq[String]) {
-    private val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    private val scrolls = new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Int, Int)]()
-    private val nextId = new AtomicInteger()
-    val scrollCalls = new AtomicInteger()
-    val lastSearchBody = new AtomicReference[String]("")
-    val lastAuthHeader = new AtomicReference[String]("")
-
-    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      val os = ex.getResponseBody
-      try os.write(bytes) finally os.close()
-      ex.close()
-    }
-    private def page(state: (Seq[String], Int, Int), id: String): String = {
-      val (filtered, offset, size) = state
-      val hits = filtered.slice(offset, offset + size)
-      scrolls.put(id, (filtered, offset + hits.length, size))
-      s"""{"_scroll_id":${mapper.writeValueAsString(mapper.getNodeFactory.textNode(id))},
-         |"hits":{"hits":[${hits.map(h => s"""{"_source":$h}""").mkString(",")}]}}""".stripMargin
-    }
-    server.createContext("/", (ex: HttpExchange) => {
-      val path = ex.getRequestURI.getPath
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      Option(ex.getRequestHeaders.getFirst("Authorization"))
-        .foreach(lastAuthHeader.set)
-      (ex.getRequestMethod, path) match {
-        case ("POST", p) if p.endsWith("/_search") =>
-          lastSearchBody.set(body)
-          val b = mapper.readTree(body)
-          val size = Option(b.get("size")).map(_.asInt).getOrElse(10)
-          val (sliceId, sliceMax) = Option(b.get("slice"))
-            .map(s => (s.get("id").asInt, s.get("max").asInt)).getOrElse((0, 1))
-          val term = Option(b.at("/query/term")).filter(!_.isMissingNode)
-            .filter(_.isObject).flatMap { t =>
-              val f = t.fieldNames(); if (f.hasNext) {
-                val name = f.next(); Some(name -> t.get(name).asText)
-              } else None
-            }
-          val filtered = docs.zipWithIndex
-            .filter { case (_, i) => i % sliceMax == sliceId }
-            .map(_._1)
-            .filter(d => term.forall { case (f, v) =>
-              Option(mapper.readTree(d).get(f)).exists(_.asText == v) })
-          val id = s"scroll-${nextId.incrementAndGet()}"
-          scrolls.put(id, (filtered, 0, size))
-          respond(ex, 200, page(scrolls.get(id), id))
-        case ("POST", "/_search/scroll") =>
-          scrollCalls.incrementAndGet()
-          val id = mapper.readTree(body).get("scroll_id").asText
-          val state = scrolls.get(id)
-          if (state == null) respond(ex, 404, """{"error":"no such scroll"}""")
-          else respond(ex, 200, page(state, id))
-        case ("DELETE", "/_search/scroll") =>
-          respond(ex, 200, """{"succeeded":true}""")
-        case other =>
-          respond(ex, 400, s"""{"error":"unexpected ${other._1} $path"}""")
-      }
-    })
-    server.start()
-    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def stop(): Unit = server.stop(0)
-  }
-
   private def fixtureDocs: Seq[String] = (0 until 10).map(i =>
     s"""{"k":$i,"cat":"${if (i % 2 == 0) "a" else "b"}","name":"doc$i"}""")
 
