@@ -786,6 +786,33 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "dup_token_n", "top_bigram_n")
         .orderBy("doc_id")),
 
+    /** Per-doc top-3 TF-IDF keywords; the rational idf makes the score
+      * bit-exact cross-engine (see [[ops.TextOps.tfidfTopK]]). */
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopK(t(s, d, "documents"), k = 3)
+        .orderBy("doc_id", "rnk")),
+
+    /** CCNet-style corpus-LM quality signal in order-independent integer
+      * arithmetic: mean corpus bigram frequency + known-bigram ratio. */
+    "text_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLm(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
+    /** Exact-count per-language sample, xxh64-ranked — RNG-free and
+      * replayed in DuckDB via the staged XXH64 compiler. */
+    "corpus_sample" -> ((s, d) =>
+      Curation.sampleStratified(t(s, d, "documents"), 25)
+        .select(col("lang"), col("rnk"), col("doc_id"))
+        .orderBy("lang", "rnk")),
+
+    /** SemDeDup semantic dedup: integer-sum k-means clusters as the
+      * candidate generator, within-cluster cosine >= 0.4 marks dups (the
+      * synthetic embeddings are near-orthogonal — production text
+      * embeddings use ~0.9+). */
+    "emb_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), 0.4, nlist = 16, iters = 2)
+        .orderBy("vec_id")),
+
     /** Deterministic token-budget mixing: per source, keep docs in
       * md5(id) order until 1000 tokens; per-source rollup. */
     "corpus_mix" -> ((s, d) =>
@@ -1368,6 +1395,50 @@ object SparkEntry {
       SELECT doc_id,
         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
       FROM documents ORDER BY doc_id""",
+
+    // rational idf (tf * (N+1)/(df+1), one multiply + one divide, both
+    // correctly-rounded IEEE) — bit-identical to the Spark expression; ln
+    // carries no cross-engine guarantee
+    "text_tfidf" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+             WHERE token <> '' GROUP BY doc_id, token),
+      dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, rnk, token, score FROM (
+        SELECT tf.doc_id, tf.token,
+          tf.tf * (tot.n_docs + 1.0) / (dfr.df + 1.0) AS score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * (tot.n_docs + 1.0) / (dfr.df + 1.0) DESC,
+                     tf.token ASC) AS INTEGER) AS rnk
+        FROM tf JOIN dfr USING (token) CROSS JOIN tot)
+      WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    // same bigram construction as text_repetition; integer sums + one
+    // division keep the doubles engine-exact
+    "text_bigram_lm" -> """
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      bg AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+             FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+                   FROM tok WHERE len(t) >= 2) x),
+      corpus AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+      per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(c) AS BIGINT) AS sum_freq,
+                     CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+              FROM bg JOIN corpus USING (bg) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(per.sum_freq AS DOUBLE) / per.n_bigrams AS mean_bg_freq,
+        CAST(per.n_known AS DOUBLE) / per.n_bigrams AS known_ratio
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    /** Staged XXH64 replay of the per-language sample ranking
+      * (`tools/gen_sample_oracle.py`). */
+    "corpus_sample" -> sqlResource("sample_oracle.sql"),
+
+    /** Integer-sum k-means (the ann_ivf_kmeans trainer) + within-cluster
+      * pairwise cosine replay (`tools/gen_semdedup_oracle.py`). */
+    "emb_semdedup" -> sqlResource("semdedup_oracle.sql"),
 
     // same disjoint 10-token chunking, distinct-doc counting and in-order
     // reassembly; empty-after-cleaning docs keep md5('')

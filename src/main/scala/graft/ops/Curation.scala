@@ -178,6 +178,28 @@ object Curation {
       .filter(col("cum_tokens") - col("nt") < budgetExpr)
   }
 
+  /** Exact-count stratified sampling — keep exactly `perStratum` rows per
+    * `stratumCol` value (fewer when the stratum is smaller), RNG-free:
+    * rows are ranked within their stratum by `(xxhash64(id), id)`, so the
+    * sample is reproducible across runs, engines (the DuckDB oracle
+    * replays Spark's XXH64 with the staged 64-bit compiler,
+    * `tools/gen_sample_oracle.py`) and corpus growth (a new row displaces
+    * at most one old pick per stratum). The within-stratum rank is the
+    * range-partitioned [[groupRunningSum]] over a unit column — a
+    * one-stratum corpus still spreads over every task, unlike the naive
+    * `Window.partitionBy(stratum)` form. */
+  def sampleStratified(df: DataFrame, perStratum: Long,
+                       stratumCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    groupRunningSum(
+      df.withColumn("_one", lit(1L)),
+      stratumCol, Seq(xxhash64(col(idCol)), col(idCol)),
+      "_one", "rnk")
+      .filter(col("rnk") <= perStratum)
+      .drop("_one")
+  }
+
   /** GPT-style sequence packing: concatenate documents in a deterministic
     * per-source order (md5 of the id — RNG-free, reproducible across
     * engines) and split the token stream into fixed `seqLen`-token

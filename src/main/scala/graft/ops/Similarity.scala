@@ -394,6 +394,63 @@ object Similarity {
       k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and comparing pairs only
+    * WITHIN a cluster — the published answer to "embedding near-dup at
+    * web scale" (the clustering replaces LSH banding as the candidate
+    * generator; all-pairs never happens). A vector is a duplicate when
+    * some lower-id member of its cluster has cosine similarity >=
+    * `threshold` — deterministic, order-independent, and replayed
+    * bit-exactly by the DuckDB oracle (`tools/gen_semdedup_oracle.py`)
+    * because the centroids come from the engine-replayable
+    * [[trainCentroidsI8]] integer-sum trainer.
+    *
+    * Scale shape: training + assignment are broadcast centroid scans with
+    * map-side-combined argmax (no window, no shuffle of n x nlist rows);
+    * the pair stage is a hash self-join on cell_id. Per-cluster cost is
+    * O(|cell|^2) — `nlist` must scale with corpus size (SemDeDup uses
+    * ~sqrt(n) clusters) and clusters larger than `maxClusterSize` are
+    * excluded from pairing (members kept, recall dropped loudly via the
+    * same warn policy as the LSH caps in [[graft.ops.Dedup]]).
+    *
+    * Returns one row per vector: (idCol, cell_id, is_dup). */
+  def semDedup(emb: DataFrame, threshold: Double, nlist: Int = 16,
+               iters: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               maxClusterSize: Int = 100000): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val cents = trainCentroidsI8(emb, nlist, iters, idCol, vecCol)
+    val assigned = assignCells(emb, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cv"), col("cell_id"))
+      .localCheckpoint(eager = false) // feeds sizes + both self-join sides
+    val sizes = assigned.groupBy("cell_id").agg(count(lit(1)).as("bsz"))
+    // same observability policy (and conf flag) as the LSH caps in Dedup:
+    // the eager warn job is skippable for back-to-back benchmarking, the
+    // cap EXCLUSION below always applies
+    if (emb.sparkSession.conf
+        .get("spark.graft.dedup.reportCaps", "true").toBoolean) {
+      val oversized = sizes.filter(col("bsz") > maxClusterSize)
+        .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
+      if (oversized.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft.semdedup: ${oversized.getLong(0)} cluster(s) over " +
+            s"maxClusterSize=$maxClusterSize excluded from pairing " +
+            s"(${oversized.getLong(1)} vectors lose near-dup recall) — " +
+            "raise nlist (SemDeDup wants ~sqrt(n) clusters) or the cap")
+    }
+    val small = assigned.join(
+      broadcast(sizes.filter(col("bsz") <= maxClusterSize).select("cell_id")),
+      Seq("cell_id"))
+    val dups = small.select(col("cell_id"), col(idCol).as("id_a"), col("cv").as("va"))
+      .join(small.select(col("cell_id"), col(idCol).as("id_b"), col("cv").as("vb")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("_dup_id")).distinct()
+    assigned.join(dups, col(idCol) === col("_dup_id"), "left")
+      .select(col(idCol), col("cell_id"), col("_dup_id").isNotNull.as("is_dup"))
+  }
+
   /** IVF index AT REST — the 100 TB layout: the corpus is written
     * partitioned by coarse cell (`path/data/cell_id=N/...`), centroids
     * beside it (`path/_centroids`), so probe queries scan only the

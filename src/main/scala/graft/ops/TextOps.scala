@@ -203,4 +203,78 @@ object TextOps {
     }
     df.withColumn(outCol, array_max(array(scored: _*)).getField("lang"))
   }
+
+  /** Per-document top-`k` TF-IDF keywords — the classic corpus keyword
+    * extractor (Salton & Buckley 1988), with a RATIONAL idf
+    * (`tf * (N+1)/(df+1)`) instead of the log form: multiplication and
+    * division are correctly-rounded IEEE ops, so Spark and the DuckDB
+    * oracle produce bit-identical doubles, while `ln` carries no such
+    * cross-engine guarantee. Monotone in the same ordering as log-idf for
+    * fixed tf, so the top-k set is the classic one.
+    *
+    * Scale shape: tf is a (doc, token) hash aggregate (map-side combined);
+    * document frequency derives from tf (grouped by token); the join back
+    * is a hash join on token; the final top-k window partitions by doc_id
+    * (corpus-cardinality key — never a global window). tf feeds two plan
+    * branches, so it is lazily checkpointed to materialize once. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds df-counts AND the score join
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfRel, "token")
+      .crossJoin(broadcast(total)) // 1-row broadcast, not a collect
+      .withColumn("score",
+        col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("score"))
+  }
+
+  /** Corpus-bigram LM commonness score — the arithmetic core of the
+    * CCNet-style "score each document against a language model of the
+    * corpus" quality signal (Wenzek et al. 2020), kept in
+    * order-independent integer arithmetic so the result is engine-exact:
+    * per document, the mean corpus frequency of its bigrams
+    * (`sum(count(bg)) / n_bigrams` — an integer sum and ONE division) and
+    * the fraction of its bigrams seen at least `minCount` times corpus-wide.
+    * Low `known_ratio` flags boilerplate-free but out-of-distribution text;
+    * high `mean_bg_freq` flags template/boilerplate-heavy text.
+    *
+    * Bigrams are generated with explode(sequence)+slice (whole-stage
+    * codegen; the higher-order-function form is CodegenFallback and ~3x
+    * slower). The bigram relation feeds the corpus-count aggregate AND the
+    * per-doc join, so it is lazily checkpointed. Docs with fewer than two
+    * tokens emit a row with `n_bigrams = 0` and null scores. */
+  def bigramLm(docs: DataFrame, minCount: Int = 2, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), lowerTokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bg"))
+      .localCheckpoint(eager = false) // feeds corpus counts AND per-doc join
+    val corpus = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val perDoc = bg.join(corpus, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("sum_freq"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("n_known"))
+      .withColumn("mean_bg_freq",
+        col("sum_freq").cast("double") / col("n_bigrams"))
+      .withColumn("known_ratio",
+        col("n_known").cast("double") / col("n_bigrams"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_bg_freq"), col("known_ratio"))
+  }
 }

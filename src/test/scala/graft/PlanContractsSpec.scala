@@ -48,6 +48,36 @@ class PlanContractsSpec extends SparkSuite {
         "would serialize through one window task")
   }
 
+  test("corpus_sample range-partitions the stratum rank: no per-lang serial task") {
+    val p = plan("corpus_sample")
+    assert(p.contains("rangepartitioning(lang"),
+      "stratified sample fell back to a per-stratum window — a TB-scale " +
+        "stratum would serialize through one task")
+  }
+
+  test("semdedup pairs within clusters via hash join; centroids broadcast") {
+    val p = plan("emb_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "semdedup pair stage degenerated to all-pairs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid assignment lost its broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "within-cluster pair join is not a hash/merge join")
+  }
+
+  test("tfidf windows by doc_id only; bigram-lm opens no window at all") {
+    val p = plan("text_tfidf")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "tfidf top-k window no longer partitions by doc_id (corpus-" +
+        "cardinality key) — a global sort would serialize the corpus")
+    assert(!p.contains("CartesianProduct"), "tfidf went cartesian")
+    val q = plan("text_bigram_lm")
+    assert(!q.contains("windowspecdefinition"),
+      "bigram-lm grew a window — it is pure hash aggregation by design")
+    assert(!q.contains("CartesianProduct"), "bigram-lm went cartesian")
+  }
+
   test("LSH candidate joins are hash joins, not nested loops") {
     for (q <- Seq("dedup_minhash", "dedup_simhash")) {
       val p = plan(q)

@@ -57,6 +57,32 @@ class CurationSpec extends SparkSuite {
     assert(out(1)._2 === "") // surfaces as empty text, like all-boilerplate
   }
 
+  test("sampleStratified keeps exactly perStratum rows (fewer when short)") {
+    val docs = ((0L until 20L).map(i => (i, "en")) ++
+      Seq((100L, "de"), (101L, "de"))).toDF("doc_id", "lang")
+    val out = Curation.sampleStratified(docs, 5).select("lang", "doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(out.count(_._1 == "en") === 5)
+    assert(out.count(_._1 == "de") === 2) // short stratum: all rows kept
+    // RNG-free: a second run picks the identical sample
+    val again = Curation.sampleStratified(docs, 5).select("lang", "doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(out.toSet === again.toSet)
+  }
+
+  test("sampleStratified is stable under corpus growth (one displacement max)") {
+    val base = (0L until 30L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val grown = ((0L until 30L).map(i => (i, "en")) :+ (999L, "en"))
+      .toDF("doc_id", "lang")
+    val a = Curation.sampleStratified(base, 10).select("doc_id")
+      .as[Long].collect().toSet
+    val b = Curation.sampleStratified(grown, 10).select("doc_id")
+      .as[Long].collect().toSet
+    // hash-ranked: the new row either misses the sample entirely or
+    // displaces exactly the old rank-10 pick
+    assert((a -- b).size <= 1 && (b -- a).size <= 1)
+  }
+
   test("groupRunningSum is bit-identical to the naive per-group window") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)

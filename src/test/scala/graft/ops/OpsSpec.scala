@@ -184,6 +184,67 @@ class OpsSpec extends SparkSuite {
     assert(p.getInt(4) === 3)
   }
 
+  test("tfidfTopK surfaces rare terms over ubiquitous ones") {
+    val d = Seq(
+      (0L, "apple banana banana"),
+      (1L, "apple cherry"),
+      (2L, "apple durian")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(d, k = 2).orderBy("doc_id", "rnk")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    // N=3; df(apple)=3, others 1. score = tf*(N+1)/(df+1):
+    // banana 2*4/2=4, cherry/durian 1*4/2=2, apple 1*4/4=1
+    assert(out === Seq(
+      (0L, 1, "banana", 4.0), (0L, 2, "apple", 1.0),
+      (1L, 1, "cherry", 2.0), (1L, 2, "apple", 1.0),
+      (2L, 1, "durian", 2.0), (2L, 2, "apple", 1.0)))
+  }
+
+  test("bigramLm scores corpus commonness; short docs keep a null-score row") {
+    val d = Seq(
+      (0L, "a b c"),
+      (1L, "a b d"),
+      (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.bigramLm(d).orderBy("doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("mean_bg_freq"), col("known_ratio"))
+      .collect()
+    // corpus: "a b"x2, "b c"x1, "b d"x1 -> both docs mean (2+1)/2, known 1/2
+    assert(out(0).getLong(0) === 0L && out(0).getLong(1) === 2L &&
+      out(0).getDouble(2) === 1.5 && out(0).getDouble(3) === 0.5)
+    assert(out(1).getLong(1) === 2L && out(1).getDouble(2) === 1.5 &&
+      out(1).getDouble(3) === 0.5)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("semDedup marks higher-id near-identical vectors within a cluster") {
+    // three planted directions; 100/101 and 200/201 are identical pairs,
+    // the rest are distinct corners of the simplex
+    def v(dir: Int): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == dir) 1f else 0.01f * (dir + 1))
+    val emb = Seq(
+      100L -> v(0), 101L -> v(0), 110L -> v(1),
+      200L -> v(2), 201L -> v(2), 210L -> v(3),
+      300L -> v(4), 310L -> v(5), 320L -> v(6), 330L -> v(7))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, threshold = 0.95, nlist = 4, iters = 2)
+      .select(col("vec_id"), col("is_dup")).as[(Long, Boolean)].collect().toMap
+    assert(out(101L) && out(201L), "higher id of each identical pair is the dup")
+    assert(!out(100L) && !out(200L), "lower id of each pair is the keeper")
+    assert(Seq(110L, 210L, 300L, 310L, 320L, 330L).forall(!out(_)),
+      "orthogonal vectors are not dups")
+  }
+
+  test("semDedup cap excludes oversized clusters from pairing, keeps members") {
+    val emb = Seq.tabulate(10)(i =>
+      (i.toLong, Seq.tabulate(4)(j => if (j == 0) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    // every vector identical -> one cluster of 10 > cap=5: pairing skipped
+    val out = Similarity.semDedup(emb, threshold = 0.9, nlist = 2, iters = 1,
+        maxClusterSize = 5)
+      .select(col("vec_id"), col("is_dup")).as[(Long, Boolean)].collect()
+    assert(out.length === 10 && out.forall(!_._2),
+      "capped cluster keeps all members, marks none (recall dropped loudly)")
+  }
+
   test("trainCentroids (spherical k-means) lifts IVF recall over sampled centroids") {
     // 6 planted clusters around distinct unit directions in 8 dims
     val emb = (0L until 180L).map { i =>

@@ -21,15 +21,21 @@ iteration.  The trainer is engine-replayable BY CONSTRUCTION:
    their previous centroid), then the standard ivfTopK replay
    (assign / nprobe probes / exact-cosine rank) runs on the original
    float vectors against the trained centroids.
+
+The training stages (quantize / xxh64 init / unrolled Lloyd iterations)
+are exposed as `train_stages(prefix)` so other oracles built on the same
+trainer (gen_semdedup_oracle.py) replay identical centroids.
 """
 from xxh64_sql import *  # noqa: F401,F403
 
 NLIST, NPROBE, K, ITERS = 16, 4, 5, 2
 
-def build():
+def train_stages(p, nlist=NLIST, iters=ITERS):
+    """Statements building {p}_q8 (vec_id, v DOUBLE[], q quantized) and
+    {p}_cents_{iters} (cell_id, centroid) -- the trainCentroidsI8 replay."""
     out = []
     # quantized corpus (q, integer-valued DOUBLE[]) + original doubles (v)
-    out.append(f"""CREATE OR REPLACE TEMP TABLE gk_q8 AS
+    out.append(f"""CREATE OR REPLACE TEMP TABLE {p}_q8 AS
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base)
 SELECT vec_id, v,
@@ -40,27 +46,27 @@ FROM qz""")
     # unsigned order to the signed-long order Spark sorts by
     src = (f"SELECT vec_id, (vec_id // {M32})::UBIGINT AS x_hi, "
            f"(vec_id % {M32})::UBIGINT AS x_lo FROM embeddings")
-    ch = Chain("gk_h", src, ["vec_id", "x_hi", "x_lo"])
+    ch = Chain(f"{p}_h", src, ["vec_id", "x_hi", "x_lo"])
     h = hash_long(ch, "a", t("x"), 42)
     out += ch.stmts
-    out.append(f"""CREATE OR REPLACE TEMP TABLE gk_cents_0 AS
+    out.append(f"""CREATE OR REPLACE TEMP TABLE {p}_cents_0 AS
 SELECT rn - 1 AS cell_id, q AS centroid FROM (
   SELECT q.q, ROW_NUMBER() OVER (ORDER BY
     xor({h[0]}, 2147483648) * {M32} + {h[1]}, q.vec_id) AS rn
-  FROM gk_q8 q JOIN {ch.cur()} h ON q.vec_id = h.vec_id)
-WHERE rn <= {NLIST}""")
-    for it in range(1, ITERS + 1):
-        prev = f"gk_cents_{it - 1}"
+  FROM {p}_q8 q JOIN {ch.cur()} h ON q.vec_id = h.vec_id)
+WHERE rn <= {nlist}""")
+    for it in range(1, iters + 1):
+        prev = f"{p}_cents_{it - 1}"
         # argmax-cosine assignment of the QUANTIZED vectors (ties: smaller cell)
-        out.append(f"""CREATE OR REPLACE TEMP TABLE gk_assign_{it} AS
+        out.append(f"""CREATE OR REPLACE TEMP TABLE {p}_assign_{it} AS
 SELECT vec_id, q, cell_id FROM (
   SELECT e.vec_id, e.q, c.cell_id,
     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       list_cosine_similarity(e.q, c.centroid) DESC, c.cell_id ASC) AS rn
-  FROM gk_q8 e CROSS JOIN {prev} c)
+  FROM {p}_q8 e CROSS JOIN {prev} c)
 WHERE rn = 1""")
         # exact positional integer sums; empty cells keep the old centroid
-        out.append(f"""CREATE OR REPLACE TEMP TABLE gk_cents_{it} AS
+        out.append(f"""CREATE OR REPLACE TEMP TABLE {p}_cents_{it} AS
 SELECT p.cell_id,
   COALESCE(s.centroid, p.centroid) AS centroid
 FROM {prev} p LEFT JOIN (
@@ -69,10 +75,13 @@ FROM {prev} p LEFT JOIN (
   FROM (
     SELECT cell_id, pos, SUM(CAST(x AS BIGINT)) AS s FROM (
       SELECT cell_id, unnest(q) AS x, unnest(range(len(q))) AS pos
-      FROM gk_assign_{it})
+      FROM {p}_assign_{it})
     GROUP BY cell_id, pos)
   GROUP BY cell_id) s ON p.cell_id = s.cell_id""")
-    cents = f"gk_cents_{ITERS}"
+    return out, f"{p}_cents_{iters}"
+
+def build():
+    out, cents = train_stages("gk")
     # ivfTopK replay on the ORIGINAL float vectors vs the trained centroids
     out.append(f"""CREATE OR REPLACE TEMP TABLE gk_assign AS
 SELECT vec_id AS neighbor_id, v AS cv, cell_id FROM (
