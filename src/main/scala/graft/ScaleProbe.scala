@@ -210,6 +210,23 @@ object ScaleProbe {
       docs.select(col("lang"), col("n_chars"), col("doc_id")),
       Seq("lang"), col("n_chars"), Seq(col("doc_id")),
       Seq("p50" -> 0.5, "p99" -> 0.99)).count())
+    // SemDeDup with replicated-twin embeddings is the WORST case for the
+    // within-cluster pair stage: every cluster's population multiplies by
+    // x and every twin pair crosses the threshold. nlist scales ~sqrt(n)
+    // (the SemDeDup sizing rule) — the probe pins that per-cluster
+    // quadratic cost stays bounded when clustering does its job.
+    time("semdedup") {
+      val n = emb.count()
+      val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
+      Similarity.semDedup(emb, 0.4, nlist = nlist, iters = 2,
+        maxClusterSize = 10000).filter(col("is_dup")).count()
+    }
+    time("tfidf_topk")(graft.ops.TextOps.tfidfTopK(docs, 3).count())
+    time("bigram_lm")(graft.ops.TextOps.bigramLm(docs).count())
+    // single-stratum worst case: the rank must spread over every task
+    // (range-partitioned groupRunningSum), not serialize per stratum
+    time("sample_single_stratum")(Curation.sampleStratified(
+      docs.withColumn("lang", lit("en")), 1000).count())
     spark.stop()
   }
 }
