@@ -798,6 +798,18 @@ object SparkEntry {
       TextOps.bigramLm(t(s, d, "documents"))
         .orderBy("doc_id")),
 
+    /** Cross-source word-4-gram overlap matrix (dataset-card
+      * contamination-between-sources measure). */
+    "corpus_overlap" -> ((s, d) =>
+      TextOps.sourceOverlap(t(s, d, "documents"), n = 4)
+        .orderBy("src_a", "src_b")),
+
+    /** OOV rate vs the corpus top-500 vocabulary — lexical
+      * in-distribution signal, integer-exact. */
+    "text_oov" -> ((s, d) =>
+      TextOps.oovRate(t(s, d, "documents"), vocabSize = 500)
+        .orderBy("doc_id")),
+
     /** Exact-count per-language sample, xxh64-ranked — RNG-free and
       * replayed in DuckDB via the staged XXH64 compiler. */
     "corpus_sample" -> ((s, d) =>
@@ -1430,6 +1442,42 @@ object SparkEntry {
       SELECT d.doc_id, CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         CAST(per.sum_freq AS DOUBLE) / per.n_bigrams AS mean_bg_freq,
         CAST(per.n_known AS DOUBLE) / per.n_bigrams AS known_ratio
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    // same 4-gram digests as text_decontaminate; distinct per (source,
+    // gram) before the pair join; jaccard is one division over int counts
+    "corpus_overlap" -> """
+      WITH tok AS (SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+      gr AS (SELECT DISTINCT source,
+               md5(array_to_string(t[i+1:i+4], ' ')) AS g
+             FROM (SELECT source, t, unnest(range(len(t) - 3)) AS i
+                   FROM tok WHERE len(t) >= 4) x),
+      tot AS (SELECT source, COUNT(*) AS n FROM gr GROUP BY source),
+      sh AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_ngrams
+             FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+             GROUP BY a.source, b.source)
+      SELECT sh.src_a, sh.src_b, sh.shared_ngrams, ta.n AS n_a, tb.n AS n_b,
+        CAST(sh.shared_ngrams AS DOUBLE) / (ta.n + tb.n - sh.shared_ngrams) AS jaccard
+      FROM sh JOIN tot ta ON sh.src_a = ta.source
+              JOIN tot tb ON sh.src_b = tb.source
+      ORDER BY sh.src_a, sh.src_b""",
+
+    // vocabulary cut tie-breaks (count DESC, token ASC) — deterministic
+    // at the rank-500 boundary on both engines
+    "text_oov" -> """
+      WITH tk AS (SELECT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             FROM documents) t WHERE token <> ''),
+      vocab AS (SELECT token FROM (
+             SELECT token, COUNT(*) AS n FROM tk GROUP BY token
+             ORDER BY n DESC, token LIMIT 500)),
+      per AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             FROM tk LEFT JOIN vocab v ON tk.token = v.token
+             GROUP BY tk.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+        CAST(per.n_oov AS DOUBLE) / per.n_tokens AS oov_ratio
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
 
     /** Staged XXH64 replay of the per-language sample ranking

@@ -237,6 +237,74 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("token"), col("score"))
   }
 
+  /** Cross-source n-gram overlap matrix — the dataset-card
+    * "contamination between sources" measure: for every source pair,
+    * how many distinct word-n-grams they share, plus each side's
+    * distinct-gram count and the Jaccard overlap (one division over
+    * integer counts — engine-exact).
+    *
+    * Scale shape: grams are distinct-ed per (source, gram) FIRST (the
+    * corpus collapses to its vocabulary of n-grams before any join), the
+    * pair stage is a hash self-join on the gram digest whose per-key cost
+    * is O(sources²) — bounded by the source count, never by corpus size —
+    * and the totals join is a broadcast (one row per source). */
+  def sourceOverlap(docs: DataFrame, n: Int = 4, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(srcCol), lowerTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(srcCol), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col(srcCol),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("g"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds totals + both self-join sides
+    val totals = grams.groupBy(srcCol).agg(count(lit(1)).as("n"))
+    val shared = grams.select(col("g"), col(srcCol).as("src_a"))
+      .join(grams.select(col("g"), col(srcCol).as("src_b")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_ngrams"))
+    shared
+      .join(broadcast(totals.select(col(srcCol).as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(totals.select(col(srcCol).as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("jaccard", col("shared_ngrams").cast("double") /
+        (col("n_a") + col("n_b") - col("shared_ngrams")))
+      .select(col("src_a"), col("src_b"), col("shared_ngrams"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * tokens — the "is this document lexically in-distribution" quality
+    * signal (the cheap stand-in for a fixed tokenizer vocabulary; swap
+    * `vocab` for a real one in production). Integer counts + one division
+    * keep the ratio engine-exact; vocabulary selection tie-breaks
+    * alphabetically so the cut at rank `vocabSize` is deterministic.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered top-k (never a global
+    * sort materialization) bounded by `vocabSize` and broadcast to a
+    * map-side left join; per-doc aggregation is one hash aggregate. Docs
+    * with zero tokens keep a row with null ratio. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 500, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(lowerTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint(eager = false) // feeds the vocab AND the per-doc join
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("_in"))
+    val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("oov_ratio"))
+  }
+
   /** Corpus-bigram LM commonness score — the arithmetic core of the
     * CCNet-style "score each document against a language model of the
     * corpus" quality signal (Wenzek et al. 2020), kept in

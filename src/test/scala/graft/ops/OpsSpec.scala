@@ -215,6 +215,31 @@ class OpsSpec extends SparkSuite {
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
+  test("sourceOverlap counts shared distinct 4-grams per source pair") {
+    val d = Seq(
+      (0L, "srcA", "w1 w2 w3 w4 taila"),
+      (1L, "srcB", "w1 w2 w3 w4 tailb"),
+      (2L, "srcC", "unique only text here")).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceOverlap(d, n = 4)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // A and B: 2 grams each, share "w1 w2 w3 w4" -> jaccard 1/(2+2-1)
+    assert(out === Seq(("srcA", "srcB", 1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
+  test("oovRate scores docs against the corpus top-V vocabulary") {
+    val d = Seq(
+      (0L, "a a b c"),
+      (1L, "a b"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.oovRate(d, vocabSize = 2).orderBy("doc_id").collect()
+    // counts a:3 b:2 c:1 -> vocab {a,b}; doc0 has one OOV token of four
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 1L &&
+      out(0).getDouble(3) === 0.25)
+    assert(out(1).getLong(2) === 0L && out(1).getDouble(3) === 0.0)
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(3),
+      "zero-token doc keeps a row with null ratio")
+  }
+
   test("semDedup marks higher-id near-identical vectors within a cluster") {
     // three planted directions; 100/101 and 200/201 are identical pairs,
     // the rest are distinct corners of the simplex
