@@ -810,6 +810,33 @@ object SparkEntry {
       TextOps.oovRate(t(s, d, "documents"), vocabSize = 500)
         .orderBy("doc_id")),
 
+    /** Lee-et-al exact duplicate-substring spans: maximal >=5-word spans
+      * occurring at least twice in the corpus, merged from duplicated
+      * sliding 5-gram positions. n=5 because the synthetic docs are ~55
+      * tokens; production uses 50-token spans. */
+    "text_dupspans" -> ((s, d) =>
+      Curation.duplicateSpans(t(s, d, "documents"), n = 5)
+        .orderBy("doc_id", "span_start")),
+
+    /** Fuzzy (n-gram Jaccard) decontamination of the corpus against the
+      * deterministic doc_id%10 eval subset, scored by set overlap instead
+      * of flagged by any single shared gram. %10 (not %97 as in
+      * text_decontaminate) so the fixture split crosses several of the
+      * corpus' planted near-dup pairs. */
+    "decon_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), n = 3, minJaccard = 0.5)
+        .orderBy("doc_id", "eval_id")
+    }),
+
+    /** Per-source power-of-two token-length histogram — integer-exact
+      * bucket cut via length(bin(n))-1, no floating log. */
+    "corpus_length_hist" -> ((s, d) =>
+      Curation.lengthHistogram(t(s, d, "documents"))
+        .orderBy("source", "bucket")),
+
     /** Exact-count per-language sample, xxh64-ranked — RNG-free and
       * replayed in DuckDB via the staged XXH64 compiler. */
     "corpus_sample" -> ((s, d) =>
@@ -1479,6 +1506,60 @@ object SparkEntry {
         CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
         CAST(per.n_oov AS DOUBLE) / per.n_tokens AS oov_ratio
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+
+    // duplicated sliding 5-grams merged to maximal spans: islands break
+    // when the position gap exceeds n (windows no longer overlap/adjoin);
+    // NULL lag (first gram of a doc) falls to the ELSE and opens an island
+    "text_dupspans" -> """
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      gm AS (SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+5], ' ')) AS g
+            FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+                  FROM tok WHERE len(t) >= 5) x),
+      hot AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM gm GROUP BY g) WHERE c > 1),
+      dup AS (SELECT doc_id, pos FROM gm JOIN hot USING (g)),
+      isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+              FROM dup),
+      grp AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl)
+      SELECT doc_id, MIN(pos) AS span_start,
+        MAX(pos) - MIN(pos) + 5 AS span_words, COUNT(*) AS n_grams
+      FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+
+    // distinct 3-gram digests per side; pair candidates from the shared-
+    // gram join; jaccard = shared / (n_doc + n_eval - shared), one division
+    "decon_fuzzy" -> """
+      WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      gr AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(t[i+1:i+3], ' ')) AS g
+             FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+                   FROM tok WHERE len(t) >= 3) x),
+      co AS (SELECT * FROM gr WHERE doc_id % 10 <> 0),
+      ev AS (SELECT doc_id AS eval_id, g FROM gr WHERE doc_id % 10 = 0),
+      cot AS (SELECT doc_id, COUNT(*) AS n_doc FROM co GROUP BY doc_id),
+      evt AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY eval_id),
+      sh AS (SELECT co.doc_id, ev.eval_id, COUNT(*) AS shared_ngrams
+             FROM co JOIN ev ON co.g = ev.g GROUP BY co.doc_id, ev.eval_id)
+      SELECT sh.doc_id, sh.eval_id, sh.shared_ngrams,
+        CAST(sh.shared_ngrams AS DOUBLE) /
+          (cot.n_doc + evt.n_eval - sh.shared_ngrams) AS jaccard
+      FROM sh JOIN cot ON sh.doc_id = cot.doc_id
+              JOIN evt ON sh.eval_id = evt.eval_id
+      WHERE CAST(sh.shared_ngrams AS DOUBLE) /
+          (cot.n_doc + evt.n_eval - sh.shared_ngrams) >= 0.5
+      ORDER BY sh.doc_id, sh.eval_id""",
+
+    // integer-exact floor(log2) bucket via binary-string length
+    "corpus_length_hist" -> """
+      WITH n AS (SELECT source,
+               CAST(len(string_split(lower(COALESCE(text, '')), ' ')) AS BIGINT)
+                 AS n_tokens
+             FROM documents)
+      SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM n GROUP BY source, bucket ORDER BY source, bucket""",
 
     /** Staged XXH64 replay of the per-language sample ranking
       * (`tools/gen_sample_oracle.py`). */

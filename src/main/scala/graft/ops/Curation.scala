@@ -253,4 +253,68 @@ object Curation {
           .when(col("first_id") =!= col(idCol), "batch_dup")
           .otherwise("new").as("verdict"))
   }
+
+  /** Exact duplicate-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * span of >= `n` words that occurs at least twice anywhere in the
+    * corpus (including twice inside one document). The suffix-array
+    * construction of the paper is single-machine; the distributed
+    * re-expression is sliding word-`n`-grams with positions — a span is
+    * duplicated iff every length-`n` window inside it is duplicated, so
+    * duplicated-gram positions merged into islands (gap <= `n`, i.e.
+    * overlapping-or-adjacent windows) ARE the paper's maximal duplicate
+    * spans at word granularity.
+    *
+    * Output: one row per (doc, span) — `span_start` (0-based word index),
+    * `span_words`, `n_grams` (windows merged into the span). Integer-exact,
+    * replayed verbatim by the DuckDB oracle.
+    *
+    * Scale shape: grams are explode(sequence)+slice+md5 (codegen'd, no
+    * HOF); the duplicate set is one hash aggregate on the gram digest;
+    * membership is a shuffle equi-join back on the digest (AQE broadcasts
+    * when the duplicate set measures small). The island merge windows per
+    * DOCUMENT — per-doc state only, never a corpus-wide partition. The
+    * gram relation feeds both the count and the join, so it is
+    * lazily checkpointed once (see memory: Spark re-executes shared
+    * subtrees per branch otherwise). */
+  def duplicateSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = docs
+      .select(col(idCol), TextOps.lowerTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0), size(col("t")) - n)).as("pos"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(array_join(slice(col("t"), col("pos") + 1, lit(n)), " ")).as("g"))
+      .localCheckpoint(eager = false) // feeds dup-count AND position join
+    val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("g")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(dupGrams, Seq("g"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + n).as("span_words"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_words"), col("n_grams"))
+  }
+
+  /** Per-source power-of-two sequence-length histogram — the corpus shape
+    * summary a packing/mixing planner reads first (how much mass sits in
+    * each length doubling, per source). The bucket index is
+    * floor(log2(n_tokens)) computed INTEGER-exactly as
+    * `length(bin(n)) - 1` — no floating log, so the bucket cut is
+    * bit-identical across engines. One projection + one hash aggregate;
+    * output cardinality is sources x ~40 buckets. */
+  def lengthHistogram(docs: DataFrame, srcCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val nt = size(split(lower(coalesce(col(textCol), lit(""))), " ")).cast("long")
+    docs.select(col(srcCol), nt.as("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy(col(srcCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
 }

@@ -134,6 +134,49 @@ object TextOps {
       .agg(countDistinct(col("g")).as("n_hits")) // dup grams in a doc hit once
   }
 
+  /** Fuzzy decontamination — the near-duplicate complement of
+    * [[decontaminate]]: instead of flagging ANY shared n-gram (one shared
+    * idiom flags a clean doc), score each (corpus doc, eval doc) pair by
+    * n-gram-set Jaccard and flag pairs at or above `minJaccard` — the
+    * "rephrased benchmark leaked into the crawl" detector. Returns
+    * (idCol, eval_id, shared_ngrams, jaccard), integer counts + one
+    * division so the DuckDB oracle replays it exactly.
+    *
+    * 100 TB design: candidate pairs come from the SHARED-gram equi-join
+    * (never all pairs), with the eval side collapsed to distinct grams
+    * and broadcast — the corpus streams map-side through it, exactly the
+    * [[decontaminate]] topology, and per-pair gram hits reduce in one
+    * hash aggregate. The corpus-side per-doc gram totals join arrives
+    * pre-reduced (one long per doc). An eval suite is ~10^3-10^5 docs;
+    * pair cardinality is bounded by corpus-docs x overlapping-eval-docs,
+    * not by the cross product. */
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+                         minJaccard: Double = 0.2, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), lowerTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(out), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col(out),
+        md5(array_join(slice(col("t"), col("i"), lit(n)), " ")).as("g"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds totals AND the pair join
+    val ev = grams(evalSet, "eval_id")
+    val co = grams(corpus, idCol)
+    val evTotals = ev.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    val coTotals = co.groupBy(idCol).agg(count(lit(1)).as("n_doc"))
+    co.join(broadcast(ev), "g")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams")) // grams distinct per side
+      .join(coTotals, Seq(idCol))
+      .join(broadcast(evTotals), Seq("eval_id"))
+      .withColumn("jaccard", col("shared_ngrams").cast("double") /
+        (col("n_doc") + col("n_eval") - col("shared_ngrams")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(idCol), col("eval_id"), col("shared_ngrams"), col("jaccard"))
+  }
+
   /** Deterministic hash split — reproducible train/val/test assignment from
     * a key column: buckets on the first hex nibble of md5(key), so the
     * assignment is stable across runs, engines and cluster sizes (no RNG, no

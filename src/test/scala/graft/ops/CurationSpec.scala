@@ -172,6 +172,53 @@ class CurationSpec extends SparkSuite {
     assert(kept === Map("big" -> 4L, "small" -> 2L)) // unknown: budget 0
   }
 
+  test("duplicateSpans merges duplicated n-gram windows into maximal spans") {
+    // docs 0 and 1 share the 6-word run "p q r s t u" (two overlapping
+    // 5-grams -> ONE merged span of 6 words); doc 2 repeats a 5-gram
+    // WITHIN itself (both occurrences reported, gap > n keeps them
+    // separate islands); doc 3 shares nothing
+    val d = Seq(
+      (0L, "p q r s t u alpha beta gamma delta"),
+      (1L, "zeta p q r s t u eta theta iota"),
+      (2L, "m n o v w x0 x1 x2 x3 x4 x5 x6 m n o v w tail"),
+      (3L, "wholly unrelated words only here now")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(d, n = 5).orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 6L, 2L),  // "p q r s t u": grams at pos 0,1 merged
+      (1L, 1L, 6L, 2L),  // same run offset by the leading "zeta"
+      (2L, 0L, 5L, 1L),  // first "m n o v w"
+      (2L, 12L, 5L, 1L)))// second occurrence, own island (gap 12 > 5)
+  }
+
+  test("duplicateSpans merges adjacent (gap == n) duplicate windows") {
+    // "a1..a5 b1..b5" both duplicated as 5-grams at pos 0 and 5 in doc 0;
+    // gap exactly n -> adjacent spans merge into one 10-word span
+    val d = Seq(
+      (0L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"),
+      (1L, "a1 a2 a3 a4 a5 x y z w v"),
+      (2L, "b1 b2 b3 b4 b5 q r s t u")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(d, n = 5).orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.filter(_._1 == 0L) === Seq((0L, 0L, 10L, 2L)))
+    assert(out.filter(_._1 == 1L) === Seq((1L, 0L, 5L, 1L)))
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, 5L, 1L)))
+  }
+
+  test("lengthHistogram buckets by integer floor(log2) per source") {
+    val d = Seq(
+      (0L, "s", Seq.fill(1)("w").mkString(" ")),   // 1 token  -> bucket 0
+      (1L, "s", Seq.fill(7)("w").mkString(" ")),   // 7 tokens -> bucket 2
+      (2L, "s", Seq.fill(8)("w").mkString(" ")),   // 8 tokens -> bucket 3
+      (3L, "t", null))                             // null -> [''] -> 1 -> 0
+      .toDF("doc_id", "source", "text")
+    val out = Curation.lengthHistogram(d).orderBy("source", "bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("s", 0L, 1L, 1L), ("s", 2L, 1L, 7L), ("s", 3L, 1L, 8L),
+      ("t", 0L, 1L, 1L)))
+  }
+
   test("incrementalDedup classifies corpus_dup / batch_dup / new") {
     val corpus = Seq((100L, "old content here")).toDF("doc_id", "text")
     val batch = Seq(

@@ -240,6 +240,22 @@ class OpsSpec extends SparkSuite {
       "zero-token doc keeps a row with null ratio")
   }
 
+  test("decontaminateFuzzy flags high-Jaccard pairs, ignores one-gram hits") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over lazy dog"),  // near-dup of eval
+      (2L, "completely different content with no overlap at all"),
+      (3L, "the quick brown banana split dessert"))     // one shared gram
+      .toDF("doc_id", "text")
+    val evalSet = Seq((10L, "the quick brown fox jumps over lazy cat"))
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminateFuzzy(corpus, evalSet, n = 3, minJaccard = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: 5 of 6 grams shared with the 6-gram eval doc -> j = 5/7;
+    // doc 3: 1 shared gram -> j = 1/9 < 0.5 (the exact-decontaminate op
+    // WOULD flag it — this one correctly doesn't); doc 2: no candidates
+    assert(out === Seq((1L, 10L, 5L, 5.0 / 7.0)))
+  }
+
   test("semDedup marks higher-id near-identical vectors within a cluster") {
     // three planted directions; 100/101 and 200/201 are identical pairs,
     // the rest are distinct corners of the simplex
