@@ -82,6 +82,20 @@ object ScaleProbe {
     time("pack_sequences")(Curation.packSequences(docs, 4096).count())
     time("pack_single_source")(
       Curation.packSequences(docs.withColumn("source", lit("one")), 4096).count())
+    // Every doc has x−1 exact twins, so EVERY gram is duplicated: the
+    // dup-gram set is the whole gram table (nothing prunes) and every doc
+    // collapses to one full-length span — worst case for the membership
+    // join and the per-doc island windows. Must stay ~linear in docs.
+    time("dup_spans")(Curation.duplicateSpans(docs, 8).count())
+    // sourceOverlap's pair stage is quadratic in SOURCES (never docs):
+    // give each replica family its own source suffix so the key space is
+    // (20·x)² source pairs over a FIXED gram vocabulary — the worst case
+    // for the gram-digest self-join.
+    time("source_overlap") {
+      val multi = docs.withColumn("source",
+        concat_ws("_", col("source"), (col("doc_id") % x).cast("string")))
+      graft.ops.TextOps.sourceOverlap(multi, 4).count()
+    }
     // Hot-span SET size at densityDocs docs: a replicated crawl makes EVERY
     // base span hot, so the anti-join's build side reaches its ceiling —
     // O(distinct spans of the base corpus), not O(docs). Reports count +
