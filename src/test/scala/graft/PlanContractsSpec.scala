@@ -192,6 +192,34 @@ class PlanContractsSpec extends SparkSuite {
     }
   }
 
+  test("dup-span island merge windows per doc only, joins stay hash-keyed") {
+    val df = SparkEntry.queries("text_dupspans")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "island merge must window by doc_id — per-doc state only, never a " +
+        "corpus-wide partition")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "text_dupspans has a global (unpartitioned) WindowExec")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dup-gram membership join degenerated to a loop join")
+  }
+
+  test("fuzzy decon / oov / source-overlap broadcast their bounded sides") {
+    for (q <- Seq("decon_fuzzy", "text_oov", "corpus_overlap")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast (eval grams / vocab / totals)")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a loop join")
+    }
+    // the oov vocabulary cut must be a top-k, not a global sort
+    assert(plan("text_oov").contains("TakeOrderedAndProject"),
+      "oov vocab selection fell back to a global sort materialization")
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")
