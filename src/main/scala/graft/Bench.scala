@@ -33,6 +33,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Survive long GC / host-contention pauses without the heartbeat RPC
       // timing out and killing tasks (round-1 driver bench died this way).
@@ -78,13 +79,15 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    // 3-decimal timings: full double repr doubles the line length and the
+    // driver's stdout scrape truncates long tails (round-6 "parsed: null").
     val qs = queries.map { case (k, _) =>
-      "\"" + k + "\":" + best.get(k).map(_.toString).getOrElse("-1")
+      "\"" + k + "\":" + best.get(k).map(d => f"$d%.3f").getOrElse("-1")
     }.mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = best.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errs.size},"passes":$pass,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"failed":${errs.size},"passes":$pass,"sf":"$sfDir"}"""
     // Backup copy for post-hoc inspection; the stdout line is the contract.
     try Files.writeString(Paths.get("target/bench.json"), json)
     catch { case _: Throwable => () }

@@ -18,9 +18,11 @@ import graft.sink.MergeWriter
   *  - averages are `CAST(exact-decimal-sum AS DOUBLE) / COUNT(*)` — both
   *    engines then perform the same two correctly-rounded operations;
   *  - similarity scores are emitted as `round(sim*1000)` integers;
-  *  - `events.ts` is nanosecond-precision parquet: Spark truncates to µs, so
-  *    raw ts values are never emitted — only `unix_millis`/`epoch_ms` (both
-  *    floor to the same millisecond) or `date_trunc` results;
+  *  - `events.ts` parquet precision has varied across testdata generations
+  *    (nanos → epoch-nano BIGINT under nanosAsLong; micros → TIMESTAMP_NTZ):
+  *    raw ts values are never emitted — only millisecond-floor /
+  *    `date_trunc` results, via dialect expressions chosen from the
+  *    RESOLVED column type (see [[sparkEventTimeExprs]]);
   *  - every query ends in an explicit total ORDER BY on a unique key prefix.
   */
 object SparkEntry {
@@ -184,16 +186,31 @@ object SparkEntry {
     WHERE n_orders >= 3
     ORDER BY c_custkey"""
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * BIGINT of epoch-nanos (`spark.sql.legacy.parquet.nanosAsLong`, set in
-    * Verify/Bench/SparkEnv) while DuckDB reads TIMESTAMP_NS — so every
-    * events query is templated over dialect expressions that floor to the
-    * same millisecond / hour on both engines. Ordering by raw ts is
-    * identical (both are the full nanosecond value). */
-  private val SparkMs = "(ts DIV 1000000)"
+  /** events.ts has shipped as TIMESTAMP(NANOS) parquet (which Spark reads
+    * only as an epoch-nano BIGINT under `spark.sql.legacy.parquet
+    * .nanosAsLong`) in some testdata generations and as TIMESTAMP(MICROS)
+    * (resolved by Spark 4 as TIMESTAMP_NTZ) in others, while DuckDB reads
+    * both as a naive TIMESTAMP — so every events query is templated over
+    * dialect expressions, and the Spark side picks its expression from the
+    * RESOLVED column type at query-build time (a fixed template type-checks
+    * only against one generation). All sessions run session.timeZone=UTC so
+    * the NTZ→epoch cast agrees with DuckDB's naive-as-UTC epoch_ms.
+    * Ordering by raw ts is identical on both engines either way. */
   private val DuckMs = "epoch_ms(ts)"
-  private val SparkHour = "CAST(date_trunc('hour', timestamp_micros(ts DIV 1000)) AS STRING)"
   private val DuckHour = "CAST(date_trunc('hour', ts) AS VARCHAR)"
+
+  /** (msExpr, hourExpr) for the Spark dialect, chosen from events.ts's
+    * resolved type: epoch-nano BIGINT (legacy nanosAsLong read) vs
+    * TIMESTAMP/TIMESTAMP_NTZ (micros parquet). */
+  private def sparkEventTimeExprs(s: SparkSession, dir: String): (String, String) = {
+    val tsType = t(s, dir, "events").schema("ts").dataType
+    if (tsType == org.apache.spark.sql.types.LongType)
+      ("(ts DIV 1000000)",
+       "CAST(date_trunc('hour', timestamp_micros(ts DIV 1000)) AS STRING)")
+    else
+      ("unix_millis(CAST(ts AS TIMESTAMP))",
+       "CAST(date_trunc('hour', ts) AS STRING)")
+  }
 
   private def qEventsHourly(hExpr: String) = s"""
     SELECT $hExpr AS h, event_type, COUNT(*) AS n,
@@ -557,9 +574,12 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, d) => sql(s, d, Seq("customer", "orders"), QScalarSubquery)),
 
     // ---- events / streaming-shaped (batch equivalents) ---------------
-    "q_events_hourly" -> ((s, d) => sql(s, d, Seq("events"), qEventsHourly(SparkHour))),
-    "q_events_sessionize" -> ((s, d) => sql(s, d, Seq("events"), qSessionize(SparkMs))),
-    "q_cdc_latest" -> ((s, d) => sql(s, d, Seq("events"), qCdcLatest(SparkMs))),
+    "q_events_hourly" -> ((s, d) =>
+      sql(s, d, Seq("events"), qEventsHourly(sparkEventTimeExprs(s, d)._2))),
+    "q_events_sessionize" -> ((s, d) =>
+      sql(s, d, Seq("events"), qSessionize(sparkEventTimeExprs(s, d)._1))),
+    "q_cdc_latest" -> ((s, d) =>
+      sql(s, d, Seq("events"), qCdcLatest(sparkEventTimeExprs(s, d)._1))),
 
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")

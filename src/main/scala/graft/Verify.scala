@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -29,7 +30,8 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +49,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws leaves no parquet dir, which the driver's compare
+    // would silently OMIT from the correctness matrix (round-6 lesson: three
+    // regressed queries vanished instead of showing red). Record every
+    // failure machine-readably so a dropped query is always attributable,
+    // and shout on stderr.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} QUERY FAILURE(S) — matrix is INCOMPLETE: " +
+          failures.keys.mkString(", "))
     spark.stop()
   }
 }
