@@ -1004,7 +1004,48 @@ object SparkEntry {
           Multimodal.synthesizeImages(t(s, d, "documents").select("doc_id")))
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           col("sum_r"), col("sum_g"), col("sum_b"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    /** REAL WAV decode ([[graft.ops.Multimodal.WavCodec]]): one fixture
+      * RIFF/PCM WAV per doc from the deterministic sample formula, decoded
+      * with javax.sound.sampled, exact integer sample stats out. PCM16 is
+      * lossless, so decode must invert the encoder — the oracle computes
+      * the same stats straight from the formula, certifying real sample
+      * access (container parse + LE int16 reassembly + sign handling). */
+    "media_audio" -> ((s, d) =>
+      Multimodal.audioStats(
+          Multimodal.synthesizeWavs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("zero_cross"))
+        .orderBy("doc_id")),
+
+    /** Deterministic epoch shuffle: md5-permuted, dealt round-robin into 8
+      * shards with dense per-shard positions ([[Curation.epochShuffle]] —
+      * two-pass range rank, no global window). */
+    "corpus_shuffle" -> ((s, d) =>
+      Curation.epochShuffle(t(s, d, "documents").select("doc_id"), seed = 42L,
+          nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
+    /** Keep-first exact paragraph dedup ([[Curation.dedupParagraphs]]):
+      * every repeated 10-token span survives only at its first
+      * (doc_id, idx) occurrence. Emits md5 of the deduped text (same
+      * output-compression trick as text_boilerplate). */
+    "text_paragraph_dedup" -> ((s, d) =>
+      Curation.dedupParagraphs(t(s, d, "documents"), chunkWords = 10)
+        .select(col("doc_id"), md5(col("text_dedup")).as("dedup_md5"),
+          col("n_chunks"), col("n_dropped"))
+        .orderBy("doc_id")),
+
+    /** RAG/context-length sliding-window chunking
+      * ([[TextOps.slidingChunks]]): 64-token windows every 48 tokens
+      * (16-token overlap). Emits md5 of each chunk text. */
+    "text_chunks" -> ((s, d) =>
+      TextOps.slidingChunks(t(s, d, "documents"), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   // ====================================================================
@@ -1710,6 +1751,73 @@ object SparkEntry {
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
       FROM expanded GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    /** Arithmetic replay of the fixture-WAV sample formula (the Spark side
+      * must invert a real RIFF/PCM encode-decode round trip to match). */
+    "media_audio" -> """
+      WITH p AS (SELECT doc_id, 200 + doc_id % 601 AS n FROM documents),
+      s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+      w AS (SELECT doc_id, n, i,
+        ((doc_id % 100003) * 131 + i * 7919) % 65536 - 32768 AS smp FROM s),
+      z AS (SELECT doc_id, n, smp,
+        CASE WHEN lag(smp) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+              AND (smp < 0) <> (lag(smp) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+             THEN 1 ELSE 0 END AS zc
+        FROM w)
+      SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+        CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
+        CAST(SUM(zc) AS BIGINT) AS zero_cross
+      FROM z GROUP BY doc_id, n ORDER BY doc_id""",
+
+    "corpus_shuffle" -> """
+      WITH r AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY md5(concat_ws('-', 42, doc_id)), doc_id) - 1 AS rk
+        FROM documents)
+      SELECT doc_id, CAST(rk % 8 AS INTEGER) AS shard,
+        CAST(rk // 8 AS BIGINT) AS pos
+      FROM r ORDER BY shard, pos""",
+
+    /** Keep-first paragraph dedup: the ROW_NUMBER()=1 occurrence is the
+      * same (doc_id, idx)-lexicographic argmin the Spark side elects with
+      * min(struct(doc_id, idx)). */
+    "text_paragraph_dedup" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS idx, array_to_string(tk[i*10+1 : i*10+10], ' ') AS chunk
+        FROM toks, (SELECT unnest(range((SELECT CAST(ceil(max(len(string_split(text, ' '))) / 10.0) AS INT) FROM documents))) AS i) ii
+        WHERE i < CAST(ceil(len(tk) / 10.0) AS INT)),
+      firsts AS (
+        SELECT doc_id, idx, chunk,
+          ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM chunks),
+      kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+        FROM firsts WHERE rn = 1 GROUP BY doc_id),
+      totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+      SELECT t.doc_id, md5(COALESCE(k.text_dedup, '')) AS dedup_md5,
+        t.n_chunks, t.n_chunks - COALESCE(k.n_kept, 0) AS n_dropped
+      FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id""",
+
+    /** Sliding 64/48 chunking: last chunk index is the integer-exact
+      * ceil((n-64)/48) via (n - 64 + 47) floor-division. */
+    "text_chunks" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      lims AS (SELECT doc_id, tk, len(tk) AS n,
+        CASE WHEN len(tk) <= 64 THEN 0
+             ELSE CAST(floor((len(tk) - 64 + 47) / 48.0) AS INT) END AS lastk
+        FROM toks),
+      ch AS (
+        SELECT doc_id, i AS chunk_id, n, tk
+        FROM lims, (SELECT unnest(range((SELECT CAST(max(CASE WHEN len(string_split(text, ' ')) <= 64 THEN 0 ELSE floor((len(string_split(text, ' ')) - 64 + 47) / 48.0) END) AS INT) + 1 FROM documents))) AS i) ii
+        WHERE i <= lastk)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        CAST(LEAST(64, n - chunk_id * 48) AS INTEGER) AS n_tokens,
+        md5(array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
+      FROM ch ORDER BY doc_id, chunk_id""",
 
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.

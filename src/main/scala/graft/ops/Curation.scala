@@ -302,6 +302,80 @@ object Curation {
       .select(col(idCol), col("span_start"), col("span_words"), col("n_grams"))
   }
 
+  /** Deterministic epoch shuffle — the "global shuffle before each
+    * training epoch" step of a packed-pretraining writer, RNG-free: rows
+    * are permuted by `md5(seed || '-' || id)` (a new seed per epoch gives
+    * an independent-looking permutation, the same seed replays the same
+    * one bit-for-bit on any engine), then dealt round-robin into
+    * `nShards` output shards with a dense 0-based position per shard —
+    * exactly the (shard, pos) addressing a sharded dataset writer needs.
+    *
+    * Scale shape: the global rank is [[Ranking.rankWithTotal]]'s two-pass
+    * range partition — no single-task global window; round-robin dealing
+    * makes every shard the same size ±1 with no skew by construction. */
+  def epochShuffle(df: DataFrame, seed: Long, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat_ws("-", lit(seed), col(idCol).cast("string")))
+    val (ranked, _) = Ranking.rankWithTotal(
+      df.withColumn("_k", key), Seq(col("_k"), col(idCol)))
+    ranked
+      .withColumn("shard", pmod(col("global_rank") - 1, lit(nShards.toLong)).cast("int"))
+      // floor over double: exact up to 2^53 rows — far past any corpus
+      .withColumn("pos", floor((col("global_rank") - 1) / nShards).cast("long"))
+      .drop("_k", "global_rank")
+  }
+
+  /** Keep-FIRST exact paragraph dedup (MassiveText/RefinedWeb-style):
+    * split each document into disjoint `chunkWords`-token spans, keep each
+    * distinct span text only at its FIRST occurrence in the corpus — the
+    * (doc_id, idx)-lexicographic minimum — and drop every later repeat,
+    * reassembling the survivors in order. Differs from
+    * [[removeBoilerplate]] (which drops ALL copies of spans repeated in
+    * > maxDocs docs): here exactly one copy survives, so corpus-wide text
+    * mass is preserved once — the semantics of "remove duplicated
+    * paragraphs, keep one".
+    *
+    * Scale shape: chunking is explode(sequence)+slice (codegen'd); the
+    * first-occurrence election is a hash aggregate `min(struct(id, idx))`
+    * keyed by span text (map-side partial — a span repeated 10⁶ times
+    * sends one candidate per map partition, not 10⁶ rows); the keep
+    * decision is one shuffle join back on span text (AQE handles the
+    * hot-span skew); reassembly state is per-doc only. No corpus-global
+    * window, no collect. */
+  def dedupParagraphs(docs: DataFrame, chunkWords: Int = 10,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    val chunks = docs
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("tk"))
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0),
+          ceil(size(col("tk")).cast("double") / chunkWords).cast("int") - 1)).as("idx"))
+      .select(col(idCol), col("idx"),
+        array_join(slice(col("tk"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
+          .as("chunk"))
+      // feeds the election AND the keep join — materialize once
+      .localCheckpoint(eager = false)
+    val firsts = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("idx"))).as("_first"))
+      .select(col("chunk").as("__chunk"),
+        col("_first").getField(idCol).as("__fid"),
+        col("_first").getField("idx").as("__fidx"))
+    val kept = chunks
+      .join(firsts, col("chunk") === col("__chunk") &&
+        col(idCol) === col("__fid") && col("idx") === col("__fidx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("text_dedup"))
+    val totals = chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Per-source power-of-two sequence-length histogram — the corpus shape
     * summary a packing/mixing planner reads first (how much mass sits in
     * each length doubling, per source). The bucket index is

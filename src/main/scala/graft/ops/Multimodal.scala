@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * lake as opaque `binary` columns with a typed metadata struct alongside.
   *
   * Image decode/resize/feature-extraction is REAL: [[ImageIoCodec]] drives
-  * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, JDK-only). Payloads no ImageIO
-  * reader accepts — video containers, audio — fall back to [[DecodeStub]],
-  * a deterministic fake that derives "features" from the raw bytes (the
-  * remaining documented codec seam). Everything Spark-side is real and
+  * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, JDK-only). WAV audio decode is
+  * REAL too: [[WavCodec]] drives `javax.sound.sampled` (RIFF/PCM, JDK-only,
+  * headless-safe). Payloads neither accepts — video containers, compressed
+  * audio codecs — fall back to [[DecodeStub]], a deterministic fake that
+  * derives "features" from the raw bytes (the remaining documented codec
+  * seam). Everything Spark-side is real and
   * tested: schema contract, batch shape (partition-wise iteration, one
   * codec init per partition — the same shape a Python `mapInPandas`/
   * Arrow-batch UDF has), partitioning, and the pruned-scan friendliness of
@@ -146,6 +148,129 @@ object Multimodal {
         (channel(id, i, 0) << 16) | (channel(id, i, 1) << 8) | channel(id, i, 2)
       })
     }
+  }
+
+  /** Real JDK-only audio codec: `javax.sound.sampled.AudioSystem` parses
+    * the RIFF/WAVE container and PCM format chunk with zero dependencies
+    * (headless-safe — file parsing never touches an audio device). Covers
+    * the WAV leg of the audio seam that [[DecodeStub]] previously faked;
+    * compressed codecs (MP3/AAC/Opus) stay behind the stub, as the JDK
+    * ships no decoder for them. */
+  object WavCodec {
+    /** Exact integer sample statistics of a decoded 16-bit PCM WAV —
+      * integer-exact so results hash-match across engines. `zeroCross`
+      * counts sign flips between consecutive samples (0 counts as
+      * non-negative). */
+    final case class AudioStats(sampleRate: Int, nSamples: Long, sumAbs: Long,
+                                peak: Int, zeroCross: Long)
+
+    /** Decode and fold sample stats in one pass; None when the payload is
+      * not a WAV `AudioSystem` accepts or not 16-bit signed PCM. */
+    def decodeStats(bytes: Array[Byte]): Option[AudioStats] = {
+      if (bytes == null || bytes.length == 0) return None
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (ais == null) return None
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+        val pcm = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        var i = 0; var sumAbs = 0L; var peak = 0; var zc = 0L
+        var prevNeg = false; var first = true
+        while (i + 1 < pcm.length) {
+          val lo = pcm(i) & 0xFF; val hi = pcm(i + 1) & 0xFF
+          val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+          val a = math.abs(s) // |Short.MinValue| fits an Int
+          sumAbs += a; if (a > peak) peak = a
+          val neg = s < 0
+          if (!first && neg != prevNeg) zc += 1
+          prevNeg = neg; first = false
+          i += 2
+        }
+        Some(AudioStats(fmt.getSampleRate.toInt, pcm.length / 2, sumAbs, peak, zc))
+      } finally ais.close()
+    }
+
+    /** Encode mono 16-bit PCM samples as a WAV container (lossless, so a
+      * real decoder must invert it exactly) — the fixture minter used by
+      * `media_audio` and the specs. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+        true /* signed */, false /* little-endian */)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic fixture-WAV sample formula, shared verbatim with the
+    * DuckDB oracle: sample i of doc `id` is
+    * `((id % 100003) * 131 + i * 7919) % 65536 - 32768` (full int16 range,
+    * sign flips included); length is `200 + id % 601` samples at 8 kHz. */
+  object FixtureWav {
+    val SampleRate = 8000
+    def nSamples(id: Long): Int = (200 + id % 601).toInt
+    def sample(id: Long, i: Long): Short =
+      (((id % 100003) * 131 + i * 7919) % 65536 - 32768).toShort
+    def wav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val s = new Array[Short](n)
+      var i = 0
+      while (i < n) { s(i) = sample(id, i); i += 1 }
+      WavCodec.encodeWav(SampleRate, s)
+    }
+  }
+
+  /** Synthesize one fixture WAV per row from `idCol` (partition-wise, same
+    * codec-init seam as [[synthesizeImages]]). Stands in for a real binary
+    * audio column scan in `media_audio`. */
+  def synthesizeWavs(df: DataFrame, idCol: String = "doc_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r => Row.fromSeq(r.toSeq :+ FixtureWav.wav(r.getLong(idIdx))) }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL WAV decode → exact integer sample stats
+    * (sample_rate, n_samples, sum of |sample|, peak, zero crossings).
+    * Null columns when the payload isn't 16-bit mono PCM WAV — callers
+    * branch on it rather than silently getting stub numbers. */
+  def audioStats(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("n_samples", LongType))
+      .add(StructField("sum_abs", LongType))
+      .add(StructField("peak", IntegerType))
+      .add(StructField("zero_cross", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        WavCodec.decodeStats(bytes) match {
+          case Some(s) => Row.fromSeq(r.toSeq ++ Seq[Any](
+            s.sampleRate, s.nSamples, s.sumAbs, s.peak, s.zeroCross))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Synthesize one fixture PNG per row from `idCol` (partition-wise; the

@@ -388,4 +388,36 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("mean_bg_freq"), col("known_ratio"))
   }
+
+  /** Sliding-window chunking — the context-length splitter a RAG indexer
+    * or long-document pretraining pipeline runs before embedding/packing:
+    * each document becomes overlapping chunks of `window` tokens taken
+    * every `stride` tokens (`stride < window` ⇒ `window - stride` tokens
+    * of overlap, so no boundary sentence is ever seen only torn in half).
+    * Chunk starts are 0-based multiples of `stride`; the LAST chunk is
+    * the first one that reaches the end of the document (it may be
+    * shorter than `window`), so every token appears in ≥ 1 chunk and the
+    * chunk count is exactly `ceil(max(n - window, 0) / stride) + 1`.
+    *
+    * Pure explode(sequence)+slice — whole-stage codegen, one row per
+    * chunk, per-doc state only; replayed verbatim in DuckDB via
+    * range()+list slicing. Empty/null text still emits its single (empty)
+    * chunk 0, keeping the one-row-per-doc-minimum contract. */
+  def slidingChunks(docs: DataFrame, window: Int, stride: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    // integer-exact ceil((n - window) / stride) via (n - window + stride - 1)
+    // floor-divided; doubles are exact here (token counts << 2^53)
+    val nTok = size(col("tk"))
+    val lastK = when(nTok <= window, lit(0))
+      .otherwise(floor((nTok - window + stride - 1).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("tk"))
+      .select(col(idCol), col("tk"), explode(sequence(lit(0), lastK)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(window), size(col("tk")) - col("chunk_id") * stride).as("n_tokens"),
+        array_join(slice(col("tk"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk"))
+  }
 }

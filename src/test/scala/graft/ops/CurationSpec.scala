@@ -219,6 +219,58 @@ class CurationSpec extends SparkSuite {
       ("t", 0L, 1L, 1L)))
   }
 
+  test("epochShuffle deals a deterministic md5 permutation round-robin") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val out = Curation.epochShuffle(docs, seed = 7L, nShards = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    // every row assigned, shards balanced (20/4 = 5 each), positions dense
+    assert(out.size === 20)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet === Set(0, 1, 2, 3))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (0L until 5L)) }
+    // replay is bit-identical; a different seed permutes differently
+    val again = Curation.epochShuffle(docs, seed = 7L, nShards = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.toSet === again.toSet)
+    val other = Curation.epochShuffle(docs, seed = 8L, nShards = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.toSet !== other.toSet)
+    // matches the naive single-partition rank form exactly
+    val naive = docs
+      .withColumn("k", md5(concat_ws("-", lit(7L), col("doc_id").cast("string"))))
+      .orderBy("k", "doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, rk) => (id, rk % 4, rk.toLong / 4) }.toSet
+    assert(out.toSet === naive)
+  }
+
+  test("dedupParagraphs keeps the FIRST occurrence of each repeated span") {
+    val para = "alpha beta gamma" // 3-word chunk repeated across docs
+    val docs = Seq(
+      (0L, s"$para one two three"),   // first owner of para
+      (1L, s"$para four five six"),   // later copy dropped
+      (2L, s"seven eight nine $para"),// later copy dropped (idx 1)
+      (3L, para),                     // whole doc is a later copy
+      (4L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, chunkWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, s"$para one two three", 2L, 0L), // keeps its own first copy
+      (1L, "four five six", 2L, 1L),
+      (2L, "seven eight nine", 2L, 1L),
+      (3L, "", 1L, 1L),                     // fully-duplicate doc emptied
+      (4L, "unrelated text entirely", 1L, 0L)))
+  }
+
+  test("dedupParagraphs keeps one copy of a span repeated WITHIN a doc") {
+    val docs = Seq((0L, "same words here same words here")).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, chunkWords = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, "same words here", 2L, 1L)))
+  }
+
   test("incrementalDedup classifies corpus_dup / batch_dup / new") {
     val corpus = Seq((100L, "old content here")).toDF("doc_id", "text")
     val batch = Seq(
