@@ -241,6 +241,22 @@ object ScaleProbe {
     // (range-partitioned groupRunningSum), not serialize per stratum
     time("sample_single_stratum")(Curation.sampleStratified(
       docs.withColumn("lang", lit("en")), 1000).count())
+    // epoch shuffle is ONE global permutation — the range-partitioned rank
+    // must spread it over every task (a naive global window = one task for
+    // the whole corpus). Output cardinality == input; linear or bust.
+    time("epoch_shuffle")(Curation.epochShuffle(docs, seed = 1L, nShards = 1024).count())
+    // replication worst case for keep-first paragraph dedup: every chunk
+    // has x copies, so the election aggregate sees max key multiplicity
+    // and the keep join drops (x-1)/x of all chunk mass. Linear in chunks.
+    time("paragraph_dedup") {
+      val out = Curation.dedupParagraphs(docs, chunkWords = 10)
+      val r = out.agg(count(lit(1)), coalesce(sum(col("n_dropped")), lit(0L))).head()
+      System.err.println(s"[probe] paragraph-dedup dropped chunks=${r.getLong(1)}")
+      r.getLong(0)
+    }
+    // sliding chunking is shuffle-free scan→generate — the probe pins the
+    // constant-factor cost of the 64/48 window explode at corpus scale
+    time("sliding_chunks")(graft.ops.TextOps.slidingChunks(docs, 64, 48).count())
     spark.stop()
   }
 }

@@ -220,6 +220,45 @@ class PlanContractsSpec extends SparkSuite {
       "oov vocab selection fell back to a global sort materialization")
   }
 
+  test("epoch shuffle range-partitions the global rank: no single-task window") {
+    val df = SparkEntry.queries("corpus_shuffle")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning("),
+      "epoch shuffle lost its two-pass range rank — the whole corpus would " +
+        "serialize through one global window task")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "corpus_shuffle has a global (unpartitioned) WindowExec")
+  }
+
+  test("paragraph dedup elects firsts via hash aggregate, no window, no loop join") {
+    val df = SparkEntry.queries("text_paragraph_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the election must be a (partial) min aggregate keyed by span text —
+    // a per-chunk window would buffer hot spans in one task
+    assert(p.contains("partial_min"),
+      "first-occurrence election lost its map-side partial min aggregate")
+    val bad = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "text_paragraph_dedup has a global WindowExec")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "keep join degenerated to a loop join")
+  }
+
+  test("sliding chunking is pure explode+slice: no shuffle at all before the sink") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.TextOps.slidingChunks(
+      spark.read.parquet(s"$sf/documents.parquet"), 64, 48)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "slidingChunks grew a shuffle — it is a per-row generate by design:\n" + p)
+    assert(p.contains("Generate explode"), "explode(sequence) chunking lost")
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")
