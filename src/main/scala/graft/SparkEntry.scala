@@ -235,6 +235,54 @@ object SparkEntry {
       FROM events) t
     WHERE rn = 1 ORDER BY user_id"""
 
+  /** Time-series gap fill: a per-user hour spine from the user's first to
+    * last active hour, left-joined against the hourly counts so silent
+    * hours surface as explicit zeros (the shape a metrics/feature
+    * pipeline needs before windowed models). The spine generator is the
+    * dialect split: Spark `explode(sequence(...))`, DuckDB
+    * `unnest(generate_series(...))` — integer epoch-hours on both. */
+  private def qGapfill(hrExpr: String, series: String) = s"""
+    WITH h AS (SELECT user_id, $hrExpr AS hr FROM events),
+    b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY user_id),
+    spine AS (SELECT user_id, $series AS hr FROM b),
+    c AS (SELECT user_id, hr, COUNT(*) AS n FROM h GROUP BY user_id, hr)
+    SELECT s.user_id, s.hr, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN c ON s.user_id = c.user_id AND s.hr = c.hr
+    ORDER BY s.user_id, s.hr"""
+
+  /** Engine-exact second-moment statistics: every SUM is an exact DECIMAL
+    * accumulation (placement-independent), cast to DOUBLE once, then
+    * corr/stddev_pop derive through a FIXED tree of correctly-rounded
+    * IEEE operations both engines execute identically — the same trick
+    * the averages use, extended to second moments. The built-in
+    * corr()/stddev() aggregates are NOT used: their float accumulation
+    * order is engine- and partitioning-dependent. */
+  private val QStatsAgg = """
+    WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (sxy / n - (sx / n) * (sy / n)) /
+        (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))) AS corr_qp,
+      sqrt(sxx / n - (sx / n) * (sx / n)) AS sd_qty,
+      sqrt(syy / n - (sy / n) * (sy / n)) AS sd_price
+    FROM s ORDER BY l_returnflag"""
+
+  /** Deterministic MODE: the most frequent value with an explicit
+    * smallest-value tie-break (the bare mode() aggregate is
+    * tie-nondeterministic on both engines). */
+  private val QMode = """
+    WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag, l_quantity),
+    m AS (SELECT l_returnflag, MAX(n) AS mx FROM c GROUP BY l_returnflag)
+    SELECT c.l_returnflag, MIN(c.l_quantity) AS mode_qty, MAX(c.n) AS n_occ
+    FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.n = m.mx
+    GROUP BY c.l_returnflag ORDER BY c.l_returnflag"""
+
   private val QScalarFnsSpark = """
     SELECT l_orderkey, l_linenumber,
       COALESCE(CAST(CAST(CASE WHEN l_linenumber = 1 THEN NULL ELSE l_shipdate END AS DATE) AS STRING), '1970-01-01') AS dt,
@@ -580,6 +628,19 @@ object SparkEntry {
       sql(s, d, Seq("events"), qSessionize(sparkEventTimeExprs(s, d)._1))),
     "q_cdc_latest" -> ((s, d) =>
       sql(s, d, Seq("events"), qCdcLatest(sparkEventTimeExprs(s, d)._1))),
+    "q_gapfill" -> ((s, d) =>
+      sql(s, d, Seq("events"), qGapfill(
+        s"(${sparkEventTimeExprs(s, d)._1}) DIV 3600000",
+        "explode(sequence(mn, mx))"))),
+    "q_stats_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QStatsAgg)),
+    "q_mode" -> ((s, d) => sql(s, d, Seq("lineitem"), QMode)),
+    /** Temperature (α=0.5) source-mixing weights, relative to the largest
+      * source ([[Curation.sourceWeights]] — exact integer ratio through
+      * one sqrt, engine-deterministic). */
+    "corpus_weights" -> ((s, d) =>
+      Curation.sourceWeights(t(s, d, "documents"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_rel"))
+        .orderBy("source")),
 
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -1136,6 +1197,18 @@ object SparkEntry {
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
     "q_cdc_latest" -> qCdcLatest(DuckMs),
+    "q_gapfill" -> qGapfill(s"($DuckMs) // 3600000",
+      "unnest(generate_series(mn, mx))"),
+    "q_stats_agg" -> QStatsAgg,
+    "q_mode" -> QMode,
+    "corpus_weights" -> """
+      WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_tokens,
+        sqrt(CAST(n_tokens AS DOUBLE) /
+             CAST((SELECT MAX(n_tokens) FROM per) AS DOUBLE)) AS w_rel
+      FROM per ORDER BY source""",
 
     "q_asof_join" -> """
       SELECT p.user_id, p.event_id,

@@ -376,6 +376,31 @@ object Curation {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Temperature-sampled source weights (the "α = 0.5 mixing" rule from
+    * multilingual/multi-source pretraining): a source's sampling weight
+    * scales as `n_tokens^α`, flattening the head so low-resource sources
+    * are over-sampled relative to their share. Emitted RELATIVE to the
+    * largest source — `w_rel = sqrt(n_s / n_max)` — because the absolute
+    * normalizer Σ√n is an order-dependent float sum that no engine
+    * replays bit-for-bit, while one exact integer ratio through one
+    * correctly-rounded `sqrt` is deterministic everywhere. α is fixed at
+    * 0.5: `sqrt` is correctly rounded by both engines, `pow(x, α)` is
+    * not guaranteed to be.
+    *
+    * One hash aggregate + a broadcast 1-row max — output cardinality is
+    * the source count. */
+  def sourceWeights(df: DataFrame, srcCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val per = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.lowerTokens(col(textCol))).cast("long")).as("n_tokens"))
+    val mx = per.agg(max(col("n_tokens")).as("_mx"))
+    per.crossJoin(broadcast(mx))
+      .withColumn("w_rel",
+        sqrt(col("n_tokens").cast("double") / col("_mx").cast("double")))
+      .drop("_mx")
+  }
+
   /** Per-source power-of-two sequence-length histogram — the corpus shape
     * summary a packing/mixing planner reads first (how much mass sits in
     * each length doubling, per source). The bucket index is

@@ -271,6 +271,20 @@ class CurationSpec extends SparkSuite {
     assert(out === Seq((0L, "same words here", 2L, 1L)))
   }
 
+  test("sourceWeights flattens the head: sqrt of exact token ratio vs max") {
+    val docs = Seq(
+      (0L, "big", Seq.fill(16)("w").mkString(" ")),  // 16 tokens
+      (1L, "small", Seq.fill(4)("w").mkString(" "))) // 4 tokens
+      .toDF("doc_id", "source", "text")
+    val out = Curation.sourceWeights(docs)
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("big", 1L, 16L, 1.0),            // the max source anchors at 1
+      ("small", 1L, 4L, 0.5)))          // sqrt(4/16): flatter than 4/16
+    // α=0.5 over-samples the tail relative to proportional share
+    assert(0.5 > 4.0 / 16.0)
+  }
+
   test("incrementalDedup classifies corpus_dup / batch_dup / new") {
     val corpus = Seq((100L, "old content here")).toDF("doc_id", "text")
     val batch = Seq(
