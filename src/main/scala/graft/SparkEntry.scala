@@ -641,6 +641,19 @@ object SparkEntry {
       Curation.sourceWeights(t(s, d, "documents"))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("w_rel"))
         .orderBy("source")),
+    /** Corpus snapshot diff ([[Curation.corpusDiff]]): v2 is a
+      * deterministic mutation of v1 — id%7==0 removed, id%5==0 rewritten,
+      * id%11==0 re-added under a shifted id — so every verdict class is
+      * exercised. Fingerprints-only shuffle. */
+    "corpus_diff" -> ((s, d) => {
+      val v1 = t(s, d, "documents").select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Curation.corpusDiff(v1, v2).orderBy("doc_id")
+    }),
 
     "q_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -1067,6 +1080,20 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("doc_id")),
 
+    /** REAL multi-frame decode ([[graft.ops.Multimodal.GifCodec]]): one
+      * fixture ANIMATED GIF per doc (indexed gray palette, LZW — lossless,
+      * the JDK's honest video-container analog), every frame decoded via
+      * the imageio sequence reader to exact integer gray sums. The oracle
+      * recomputes the sums from the pixel formula, certifying real
+      * per-frame raster access — unlike `media_frames`' byte-slice
+      * container math. */
+    "media_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrameStats(
+          Multimodal.synthesizeGifs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("gray_sum"))
+        .orderBy("doc_id", "frame_idx")),
+
     /** REAL WAV decode ([[graft.ops.Multimodal.WavCodec]]): one fixture
       * RIFF/PCM WAV per doc from the deterministic sample formula, decoded
       * with javax.sound.sampled, exact integer sample stats out. PCM16 is
@@ -1209,6 +1236,24 @@ object SparkEntry {
         sqrt(CAST(n_tokens AS DOUBLE) /
              CAST((SELECT MAX(n_tokens) FROM per) AS DOUBLE)) AS w_rel
       FROM per ORDER BY source""",
+
+    "corpus_diff" -> """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM v1 WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM v1 WHERE doc_id % 11 = 0),
+      a AS (SELECT doc_id, md5(text) AS fp1 FROM v1),
+      b AS (SELECT doc_id, md5(text) AS fp2 FROM v2)
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        CASE WHEN a.doc_id IS NULL THEN 'added'
+             WHEN b.doc_id IS NULL THEN 'removed'
+             WHEN fp1 <> fp2 THEN 'changed'
+             ELSE 'same' END AS verdict
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY doc_id""",
 
     "q_asof_join" -> """
       SELECT p.user_id, p.event_id,
@@ -1824,6 +1869,19 @@ object SparkEntry {
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
       FROM expanded GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    /** Arithmetic replay of the fixture-GIF pixel formula (the Spark side
+      * must invert a real LZW-compressed animated-GIF round trip, frame by
+      * frame, to match). */
+    "media_gif_frames" -> """
+      WITH p AS (SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+        2 + doc_id % 4 AS nf FROM documents),
+      f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM p),
+      px AS (SELECT doc_id, w, h, fi, unnest(range(w * h)) AS i FROM f)
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(SUM(((doc_id % 100003) * 37 + fi * 11 + i * 13) % 256) AS BIGINT) AS gray_sum
+      FROM px GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""",
 
     /** Arithmetic replay of the fixture-WAV sample formula (the Spark side
       * must invert a real RIFF/PCM encode-decode round trip to match). */

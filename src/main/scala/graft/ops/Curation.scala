@@ -376,6 +376,25 @@ object Curation {
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Dataset-version diff — the release-engineering step between two
+    * corpus snapshots: classify every doc id as `added` (only in v2),
+    * `removed` (only in v1), `changed` (both, content fingerprint
+    * differs) or `same`. Only (id, md5) pairs shuffle — never text — so
+    * the diff of two 100 TB snapshots moves ~32 bytes/doc, exactly like
+    * [[incrementalDedup]]'s fingerprint-only contract. One full-outer
+    * hash join on the id. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = v1.select(col(idCol), md5(col(textCol)).as("_fp1"))
+    val b = v2.select(col(idCol).as("_id2"), md5(col(textCol)).as("_fp2"))
+    a.join(b, col(idCol) === col("_id2"), "full_outer")
+      .select(coalesce(col(idCol), col("_id2")).as(idCol),
+        when(col("_fp1").isNull, "added")
+          .when(col("_fp2").isNull, "removed")
+          .when(col("_fp1") =!= col("_fp2"), "changed")
+          .otherwise("same").as("verdict"))
+  }
+
   /** Temperature-sampled source weights (the "α = 0.5 mixing" rule from
     * multilingual/multi-source pretraining): a source's sampling weight
     * scales as `n_tokens^α`, flattening the head so low-resource sources

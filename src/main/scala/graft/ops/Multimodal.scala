@@ -150,6 +150,135 @@ object Multimodal {
     }
   }
 
+  /** Real JDK-only multi-frame codec: animated GIF via `javax.imageio`'s
+    * sequence reader/writer — the closest a dependency-free JVM gets to a
+    * genuine video container (indexed-palette frames, LZW-compressed,
+    * LOSSLESS — so a real decoder must reproduce every frame's pixels
+    * exactly). Frames are written full-size with an explicit 256-level
+    * gray palette, so the encode→decode round trip preserves raw sample
+    * values with no quantization. */
+  object GifCodec {
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Encode full-size gray frames (row-major byte arrays) as one
+      * animated GIF. */
+    def encodeGif(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { px =>
+          val img = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              raster.setSample(x, y, 0, px(y * width + x) & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    final case class FrameStats(frameIdx: Int, width: Int, height: Int, graySum: Long)
+
+    /** Decode every frame of an animated GIF to exact integer gray sums;
+      * None when the payload isn't a GIF `ImageIO` accepts. */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[FrameStats]] = {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        if (reader.getFormatName.toLowerCase != "gif") return None
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        Some((0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+            y += 1
+          }
+          FrameStats(f, w, h, sum)
+        })
+      } catch { case _: Exception => None }
+      finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Deterministic fixture-GIF formula, shared verbatim with the DuckDB
+    * oracle: frame f, pixel i (row-major) of doc `id` is
+    * `((id % 100003) * 37 + f * 11 + i * 13) % 256`; dims
+    * `(6 + id % 5) x (5 + id % 4)`, `2 + id % 4` frames. */
+  object FixtureGif {
+    def dims(id: Long): (Int, Int) = ((6 + id % 5).toInt, (5 + id % 4).toInt)
+    def nFrames(id: Long): Int = (2 + id % 4).toInt
+    def pixel(id: Long, f: Int, i: Long): Int =
+      (((id % 100003) * 37 + f * 11 + i * 13) % 256).toInt
+    def gif(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val frames = (0 until nFrames(id)).map { f =>
+        Array.tabulate[Byte](w * h)(i => pixel(id, f, i.toLong).toByte)
+      }
+      GifCodec.encodeGif(w, h, frames)
+    }
+  }
+
+  /** Synthesize one fixture animated GIF per row from `idCol`
+    * (partition-wise, same codec-init seam as [[synthesizeImages]]). */
+  def synthesizeGifs(df: DataFrame, idCol: String = "doc_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r => Row.fromSeq(r.toSeq :+ FixtureGif.gif(r.getLong(idIdx))) }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL multi-frame decode: one output row per decoded
+    * GIF frame with exact integer gray sums. Undecodable payloads emit a
+    * single null-frame row so the one-row-per-doc-minimum contract holds. */
+  def gifFrameStats(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("gray_sum", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        GifCodec.decodeFrames(bytes) match {
+          case Some(frames) => frames.iterator.map(s => Row.fromSeq(
+            r.toSeq ++ Seq[Any](s.frameIdx, s.width, s.height, s.graySum)))
+          case None => Iterator.single(
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Real JDK-only audio codec: `javax.sound.sampled.AudioSystem` parses
     * the RIFF/WAVE container and PCM format chunk with zero dependencies
     * (headless-safe — file parsing never touches an audio device). Covers

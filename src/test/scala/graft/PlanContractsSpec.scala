@@ -259,6 +259,22 @@ class PlanContractsSpec extends SparkSuite {
     assert(p.contains("Generate explode"), "explode(sequence) chunking lost")
   }
 
+  test("gap-fill, weights and diff keep hash/broadcast shapes") {
+    // gap-fill: spine generate + hash joins, never a loop join over users
+    val gp = plan("q_gapfill")
+    assert(gp.contains("Generate explode"), "gap-fill spine lost its generate")
+    assert(!gp.contains("CartesianProduct") && !gp.contains("BroadcastNestedLoopJoin"),
+      "gap-fill count join degenerated to a loop join")
+    // weights: the 1-row max side must broadcast (bounded by construction)
+    val wp = plan("corpus_weights")
+    assert(wp.contains("Broadcast"), "corpus_weights max side no longer broadcast")
+    // diff: fingerprint-only full-outer must be a shuffle/broadcast HASH join
+    val dp = plan("corpus_diff")
+    assert(dp.contains("SortMergeJoin") || dp.contains("ShuffledHashJoin") ||
+      dp.contains("BroadcastHashJoin"), "corpus_diff join is not hash/merge keyed")
+    assert(!dp.contains("CartesianProduct"), "corpus_diff went cartesian")
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")

@@ -285,6 +285,14 @@ class CurationSpec extends SparkSuite {
     assert(0.5 > 4.0 / 16.0)
   }
 
+  test("corpusDiff classifies added / removed / changed / same") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2).as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "same", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("incrementalDedup classifies corpus_dup / batch_dup / new") {
     val corpus = Seq((100L, "old content here")).toDF("doc_id", "text")
     val batch = Seq(

@@ -424,6 +424,39 @@ class OpsSpec extends SparkSuite {
     assert(rows.forall(_._4 === 3))
   }
 
+  test("GifCodec really decodes: animated-GIF round trip reproduces every frame") {
+    val id = 17L
+    val (w, h) = Multimodal.FixtureGif.dims(id)
+    val nf = Multimodal.FixtureGif.nFrames(id)
+    val gif = Multimodal.FixtureGif.gif(id)
+    // GIF magic: a real container encoder ran
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val frames = Multimodal.GifCodec.decodeFrames(gif).get
+    assert(frames.size === nf)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      assert(fr.frameIdx === f && fr.width === w && fr.height === h)
+      val exp = (0L until w.toLong * h).map(i =>
+        Multimodal.FixtureGif.pixel(id, f, i).toLong).sum
+      assert(fr.graySum === exp, s"frame $f gray sum mismatch")
+    }
+    // non-GIF payloads refuse cleanly (incl. a valid PNG)
+    assert(Multimodal.GifCodec.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.GifCodec.decodeFrames(Multimodal.FixtureImage.png(3L)).isEmpty)
+  }
+
+  test("gifFrameStats explodes one row per decoded frame, null row otherwise") {
+    val good = Multimodal.gifFrameStats(Multimodal.synthesizeGifs(
+      Seq(1L, 2L).toDF("doc_id")))
+      .select("doc_id", "frame_idx").as[(Long, Int)].collect().toSeq.sorted
+    val expect = Seq(1L, 2L).flatMap(id =>
+      (0 until Multimodal.FixtureGif.nFrames(id)).map(f => (id, f)))
+    assert(good === expect)
+    val bad = Multimodal.gifFrameStats(
+      Seq((9L, "junk".getBytes)).toDF("doc_id", "media"))
+      .select("doc_id", "frame_idx").collect()
+    assert(bad.length === 1 && bad.head.isNullAt(1))
+  }
+
   test("WavCodec really decodes: RIFF/PCM round-trip reproduces formula stats") {
     val id = 42L
     val n = Multimodal.FixtureWav.nSamples(id)
