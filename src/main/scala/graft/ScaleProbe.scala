@@ -257,6 +257,15 @@ object ScaleProbe {
     // sliding chunking is shuffle-free scan→generate — the probe pins the
     // constant-factor cost of the 64/48 window explode at corpus scale
     time("sliding_chunks")(graft.ops.TextOps.slidingChunks(docs, 64, 48).count())
+    // snapshot diff of the corpus against a mutated copy of itself —
+    // fingerprint-only shuffle; wall-clock must track the doc count, not
+    // the text volume
+    time("corpus_diff") {
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.corpusDiff(docs, v2).groupBy("verdict").count().count()
+    }
     spark.stop()
   }
 }
