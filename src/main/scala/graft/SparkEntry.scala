@@ -272,6 +272,41 @@ object SparkEntry {
       sqrt(syy / n - (sy / n) * (sy / n)) AS sd_price
     FROM s ORDER BY l_returnflag"""
 
+  /** BPE tokenizer merge table (rank-ordered, the shipped-vocabulary
+    * model): applied SEQUENTIALLY — each merge replaces all
+    * non-overlapping occurrences left-to-right, which is exactly the
+    * semantics of SQL `replace()` on the space-separated symbol string in
+    * BOTH engines, so the entire encoder is a nested-replace expression
+    * tree: pure codegen'd string builtins, no UDF, no loop. Multi-symbol
+    * merges (the/ing/...) consume earlier merge outputs, as in a real
+    * bottom-up BPE vocab. `_` is the word separator symbol; no merge
+    * contains it, so merges never cross word boundaries. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "e" -> "r", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n",
+    "s" -> "t", "a" -> "t", "e" -> "n", "o" -> "r", "a" -> "r", "a" -> "l",
+    "l" -> "e", "th" -> "e", "in" -> "g", "a" -> "g", "u" -> "e",
+    "q" -> "u", "c" -> "o", "d" -> "e", "s" -> "c", "w" -> "in",
+    "re" -> "a", "st" -> "re", "or" -> "d", "en" -> "t")
+
+  /** Exact BPE token count + encoded-symbol fingerprint per document.
+    * `charSpace` is the dialect split (regex replacement group syntax);
+    * everything else — including the full merge cascade — is IDENTICAL
+    * text on both engines. Counting symbols = spaces + arithmetic on
+    * exact lengths, no split needed. */
+  private def qBpe(charSpace: String) = {
+    val cascade = BpeMerges.foldLeft("s") { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')" }
+    s"""
+    WITH spaced AS (
+      SELECT doc_id, concat(' ', $charSpace) AS s
+      FROM documents),
+    merged AS (SELECT doc_id, $cascade AS s FROM spaced)
+    SELECT doc_id,
+      CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_bpe,
+      md5(trim(s)) AS bpe_md5
+    FROM merged ORDER BY doc_id"""
+  }
+
   /** Deterministic MODE: the most frequent value with an explicit
     * smallest-value tie-break (the bare mode() aggregate is
     * tie-nondeterministic on both engines). */
@@ -634,6 +669,14 @@ object SparkEntry {
         "explode(sequence(mn, mx))"))),
     "q_stats_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QStatsAgg)),
     "q_mode" -> ((s, d) => sql(s, d, Seq("lineitem"), QMode)),
+    /** Real-tokenizer token counting: BPE with a shipped rank-ordered
+      * merge table as a pure nested-replace codegen tree (see [[qBpe]]) —
+      * the token-budget currency a packing/mixing planner actually uses,
+      * vs the whitespace proxy elsewhere. Dialect split: Spark's
+      * regexp_replace is global with `$1` groups; DuckDB needs the 'g'
+      * flag and `\\1` groups. */
+    "text_bpe" -> ((s, d) => sql(s, d, Seq("documents"), qBpe(
+      "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '$1 ')"))),
     /** Temperature (α=0.5) source-mixing weights, relative to the largest
       * source ([[Curation.sourceWeights]] — exact integer ratio through
       * one sqrt, engine-deterministic). */
@@ -1228,6 +1271,8 @@ object SparkEntry {
       "unnest(generate_series(mn, mx))"),
     "q_stats_agg" -> QStatsAgg,
     "q_mode" -> QMode,
+    "text_bpe" -> qBpe(
+      "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g')"),
     "corpus_weights" -> """
       WITH per AS (SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
