@@ -677,6 +677,19 @@ object SparkEntry {
       * flag and `\\1` groups. */
     "text_bpe" -> ((s, d) => sql(s, d, Seq("documents"), qBpe(
       "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '$1 ')"))),
+
+    /** Token-budget mixing priced in BPE tokens instead of whitespace
+      * tokens — the same greedy md5-order prefix rule as `corpus_mix`,
+      * with [[graft.ops.TextOps.bpeTokenCount]] as the budget currency
+      * (the pluggable-counter seam of `mixWeighted`). */
+    "corpus_mix_bpe" -> ((s, d) =>
+      Curation.mixWeighted(t(s, d, "documents"), Map.empty,
+          defaultBudget = 1000L,
+          tokenCount = TextOps.bpeTokenCount(col("text"), BpeMerges))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("kept_tokens"))
+        .orderBy("source")),
     /** Temperature (α=0.5) source-mixing weights, relative to the largest
       * source ([[Curation.sourceWeights]] — exact integer ratio through
       * one sqrt, engine-deterministic). */
@@ -1273,6 +1286,24 @@ object SparkEntry {
     "q_mode" -> QMode,
     "text_bpe" -> qBpe(
       "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g')"),
+    "corpus_mix_bpe" -> {
+      val cascade = BpeMerges.foldLeft("s0") { case (acc, (a, b)) =>
+        s"replace($acc, ' $a $b ', ' $a$b ')" }
+      s"""
+      WITH sp AS (SELECT source, doc_id,
+        concat(' ', regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g')) AS s0
+        FROM documents),
+      m AS (SELECT source, doc_id, $cascade AS s FROM sp),
+      d AS (SELECT source, doc_id,
+        CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS nt
+        FROM m),
+      w AS (SELECT source, doc_id, nt,
+            SUM(nt) OVER (PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum
+            FROM d)
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+      FROM w WHERE cum - nt < 1000 GROUP BY source ORDER BY source"""
+    },
     "corpus_weights" -> """
       WITH per AS (SELECT source, COUNT(*) AS n_docs,
         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens

@@ -160,8 +160,8 @@ object Curation {
     * [[mixToBudget]]; the budget lookup is a broadcast map literal. */
   def mixWeighted(df: DataFrame, budgets: Map[String, Long],
                   defaultBudget: Long = 0L, groupCol: String = "source",
-                  idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  tokenCount: org.apache.spark.sql.Column = null): DataFrame = {
     val budgetExpr =
       if (budgets.isEmpty) lit(defaultBudget)
       else coalesce(
@@ -170,7 +170,11 @@ object Curation {
             .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
           col(groupCol)),
         lit(defaultBudget))
-    val nt = size(TextOps.lowerTokens(col(textCol)))
+    // the budget currency is pluggable: whitespace tokens by default, or
+    // any exact integer counter (e.g. TextOps.bpeTokenCount for
+    // real-tokenizer budgets)
+    val nt = Option(tokenCount)
+      .getOrElse(size(TextOps.lowerTokens(col(textCol))).cast("long"))
     groupRunningSum(
       df.withColumn("nt", nt.cast("long")),
       groupCol, Seq(md5(col(idCol).cast("string")), col(idCol)),

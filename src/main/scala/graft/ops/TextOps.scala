@@ -389,6 +389,23 @@ object TextOps {
         col("mean_bg_freq"), col("known_ratio"))
   }
 
+  /** Exact BPE token count under a rank-ordered merge table, as a pure
+    * Column expression: chars spaced out (word separator `_`), then each
+    * merge applied as one `replace` — SQL replace's sequential
+    * left-to-right non-overlapping semantics IS the merge rule, so the
+    * whole encoder is a cascade of codegen'd string builtins (no UDF).
+    * Shared contract with the `text_bpe` query's SQL text and the
+    * DuckDB oracle. */
+  def bpeTokenCount(text: org.apache.spark.sql.Column,
+                    merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val spaced = concat(lit(" "),
+      regexp_replace(replace(lower(text), lit(" "), lit("_")), "(.)", "$1 "))
+    val cascade = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b ")) }
+    val t = trim(cascade)
+    (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+  }
+
   /** Sliding-window chunking — the context-length splitter a RAG indexer
     * or long-document pretraining pipeline runs before embedding/packing:
     * each document becomes overlapping chunks of `window` tokens taken

@@ -285,6 +285,19 @@ class CurationSpec extends SparkSuite {
     assert(0.5 > 4.0 / 16.0)
   }
 
+  test("mixWeighted pluggable counter prices the budget in BPE tokens") {
+    // "query" is 1 whitespace token but 3 BPE symbols (qu er y), so the
+    // same budget keeps fewer docs under the BPE currency
+    val docs = (1L to 10L).map(i => (i, "s", "query"))
+      .toDF("doc_id", "source", "text")
+    val ws = Curation.mixToBudget(docs, 4L).count()
+    val bpe = Curation.mixWeighted(docs, Map.empty, defaultBudget = 4L,
+      tokenCount = TextOps.bpeTokenCount(col("text"), graft.SparkEntry.BpeMerges))
+    assert(ws === 4L)
+    assert(bpe.count() === 2L) // 3 + 3 tokens fill the 4-token budget
+    assert(bpe.select("nt").as[Long].collect().forall(_ === 3L))
+  }
+
   test("corpusDiff classifies added / removed / changed / same") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val v2 = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta")).toDF("doc_id", "text")
