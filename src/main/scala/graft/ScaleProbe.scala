@@ -11,10 +11,11 @@ import graft.ops.{Curation, Dedup, Similarity}
   * N−1 exact twins) and time the heavy operators. A healthy operator
   * scales ~linearly in rows here; a quadratic one explodes immediately.
   *
-  * Usage: runMain graft.ScaleProbe [xFactor] [sfDir] [densityDocs] [ccEdges]
+  * Usage: runMain graft.ScaleProbe [xFactor] [sfDir] [densityDocs] [ccEdges] [only]
   * (densityDocs sizes the simhash key-space probe, default 1e6 — round-5
   * headroom runs use 1e7; ccEdges sizes the connected-components
-  * convergence probe, default 1e6.)
+  * convergence probe, default 1e6; `only` is a substring filter on probe
+  * names, so one probe can run without the full multi-minute sweep.)
   */
 object ScaleProbe {
 
@@ -50,7 +51,8 @@ object ScaleProbe {
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", x)
     System.err.println(s"[probe] x=$x docs=${docs.count()} emb=${emb.count()}")
 
-    def time(name: String)(body: => Long): Unit = {
+    val only = if (args.length > 4) Some(args(4)) else None
+    def time(name: String)(body: => Long): Unit = if (only.forall(name.contains)) {
       val t0 = System.nanoTime()
       val n = body
       System.err.println(
@@ -265,6 +267,15 @@ object ScaleProbe {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       Curation.corpusDiff(docs, v2).groupBy("verdict").count().count()
+    }
+    // BPE replace-cascade cost at corpus scale (pure codegen string work,
+    // shuffle-free): total tokens forces every doc through all 26 merges
+    time("bpe_count") {
+      val r = docs.select(graft.ops.TextOps
+          .bpeTokenCount(col("text"), SparkEntry.BpeMerges).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+      System.err.println(s"[probe] total BPE tokens=$r")
+      r
     }
     spark.stop()
   }
