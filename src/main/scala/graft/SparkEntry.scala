@@ -678,6 +678,13 @@ object SparkEntry {
     "text_bpe" -> ((s, d) => sql(s, d, Seq("documents"), qBpe(
       "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '$1 ')"))),
 
+    /** Winnowing fingerprint sketch ([[Dedup.winnowSketch]], MOSS
+      * algorithm): per-window minimum of 4-gram md5 hashes, distinct set
+      * per doc. */
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowSketch(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
     /** Token-budget mixing priced in BPE tokens instead of whitespace
       * tokens — the same greedy md5-order prefix rule as `corpus_mix`,
       * with [[graft.ops.TextOps.bpeTokenCount]] as the budget currency
@@ -1286,6 +1293,29 @@ object SparkEntry {
     "q_mode" -> QMode,
     "text_bpe" -> qBpe(
       "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g')"),
+    /** Winnowing replay: same md5-hex hash order, same full-window ROWS
+      * frame minimum, same distinct-set sketch. The gram-index spine
+      * follows the text_paragraph_dedup idiom (range over the corpus max,
+      * bounded per doc). */
+    "dedup_winnow" -> """
+      WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      g AS (
+        SELECT doc_id, len(tk) - 3 AS n_pos, i AS pos,
+          md5(array_to_string(tk[i : i+3], ' ')) AS h
+        FROM toks, (SELECT unnest(range(1, (SELECT MAX(len(string_split(lower(text), ' '))) FROM documents) + 1)) AS i) ii
+        WHERE len(tk) >= 4 AND i <= len(tk) - 3),
+      w AS (SELECT doc_id, n_pos, pos,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM g),
+      s AS (SELECT doc_id, COUNT(DISTINCT wmin) AS n_fp,
+        md5(array_to_string(list_sort(list_distinct(list(wmin))), ' ')) AS sketch_md5
+        FROM w WHERE pos <= n_pos - 3 GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(s.n_fp, 0) AS n_fp,
+        COALESCE(s.sketch_md5, md5('')) AS sketch_md5
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""",
+
     "corpus_mix_bpe" -> {
       val cascade = BpeMerges.foldLeft("s0") { case (acc, (a, b)) =>
         s"replace($acc, ' $a $b ', ' $a$b ')" }

@@ -387,4 +387,43 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowing fingerprint sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS algorithm): hash every `n`-gram, slide a `window` over
+    * consecutive gram hashes, keep each window's MINIMUM — the classic
+    * position-robust document sketch whose guarantee is that any shared
+    * run of ≥ `window + n - 1` tokens contributes at least one shared
+    * fingerprint. The hash order is md5-hex-lexicographic (identical on
+    * every engine — no seeded integer hash to replay); the sketch is the
+    * DISTINCT selected-hash set, so the classic rightmost-tie rule is
+    * irrelevant (ties collapse in the set).
+    *
+    * Scale shape: gram explode is codegen'd; the window min is a per-DOC
+    * ROWS frame (never a corpus-wide partition); the sketch rollup is a
+    * per-doc collect_set bounded by document length. Docs shorter than
+    * `n + window - 1` tokens are below sketch resolution and emit an
+    * explicit 0-fingerprint row. */
+  def winnowSketch(docs: DataFrame, n: Int = 4, window: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0 && window > 0, "n and window must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, window - 1)
+    val grams = docs
+      .select(col(idCol), split(lower(coalesce(col(textCol), lit(""))), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), (size(col("tk")) - (n - 1)).as("n_pos"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (n - 1))).as("pos"))
+      .select(col(idCol), col("n_pos"), col("pos"),
+        md5(array_join(slice(col("tk"), col("pos"), lit(n)), " ")).as("h"))
+    val sketch = grams
+      .withColumn("wmin", min(col("h")).over(w))
+      // classic winnowing selects over FULL windows only
+      .filter(col("pos") <= col("n_pos") - (window - 1))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("wmin")).as("n_fp"),
+        md5(array_join(array_sort(collect_set(col("wmin"))), " ")).as("sketch_md5"))
+    docs.select(col(idCol)).join(sketch, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("sketch_md5"), md5(lit(""))).as("sketch_md5"))
+  }
 }

@@ -424,6 +424,38 @@ class OpsSpec extends SparkSuite {
     assert(rows.forall(_._4 === 3))
   }
 
+  test("winnowSketch: shared long runs share fingerprints, short docs resolve to 0") {
+    // guarantee: a shared run of >= window + n - 1 (= 7) tokens yields at
+    // least one shared selected fingerprint regardless of position
+    val run = "w1 w2 w3 w4 w5 w6 w7"
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta"),
+      (2L, s"epsilon zeta eta theta $run"),   // same run, shifted position
+      (3L, "totally different words here entirely now friends"),
+      (4L, "too short"))                      // below sketch resolution
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowSketch(docs, n = 4, window = 4)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(fp(4L)._2 === 0L) // short doc: explicit 0-fingerprint row
+    assert(fp(1L)._2 > 0 && fp(2L)._2 > 0 && fp(3L)._2 > 0)
+    // recompute the selected sets directly to check the sharing guarantee
+    def sel(text: String): Set[String] = {
+      val tk = text.toLowerCase.split(" ")
+      val hs = tk.sliding(4).map(g => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(g.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }).toVector
+      hs.sliding(4).map(_.min).toSet
+    }
+    assert((sel(s"$run alpha beta gamma delta") intersect
+      sel(s"epsilon zeta eta theta $run")).nonEmpty)
+    assert((sel(s"$run alpha beta gamma delta") intersect
+      sel("totally different words here entirely now friends")).isEmpty)
+    // and the operator's sketches agree with the direct computation
+    assert(fp(1L)._2 === sel(s"$run alpha beta gamma delta").size.toLong)
+    assert(fp(3L)._2 === sel("totally different words here entirely now friends").size.toLong)
+  }
+
   test("GifCodec really decodes: animated-GIF round trip reproduces every frame") {
     val id = 17L
     val (w, h) = Multimodal.FixtureGif.dims(id)
