@@ -256,6 +256,38 @@ object ScaleProbe {
       System.err.println(s"[probe] paragraph-dedup dropped chunks=${r.getLong(1)}")
       r.getLong(0)
     }
+    // hot-fingerprint worst case: the ENTIRE corpus is one viral duplicate
+    // (a single fingerprint at maximal multiplicity) — the shape that
+    // serialized through one window-sort task before the round-8 election
+    // rewrite. The map-side min election must stay linear and spread; the
+    // join back on the hot key is AQE-skew-splittable.
+    time("hot_fp_edges") {
+      val hot = docs.withColumn("text", lit("the same viral page text"))
+      Dedup.fingerprintEdges(hot).count()
+    }
+    time("hot_fp_incremental") {
+      val hot = docs.withColumn("text", lit("the same viral page text"))
+      Curation.incrementalDedup(hot,
+        docs.limit(1000)).groupBy("verdict").count().count()
+    }
+    time("hot_fp_keepfirst") {
+      // keep-first semi-join keys on (fp, id) — unique even when every fp
+      // collides — so this must behave like a plain aggregate + join
+      val hot = docs.withColumn("dg", md5(lit("the same viral page text")))
+        .select(col("doc_id"), col("dg"))
+      val firsts = hot.groupBy(col("dg")).agg(min(col("doc_id")).as("__keep"))
+        .select(col("dg").as("__dg"), col("__keep"))
+      hot.join(firsts, col("dg") === col("__dg") &&
+        col("doc_id") === col("__keep"), "left_semi").count()
+    }
+    // winnowing sketch at corpus scale: per-DOC rows-frame windows only
+    // (the gram explode dominates); worst case is uniform long docs
+    time("winnow_sketch") {
+      val out = Dedup.winnowSketch(docs, n = 4, window = 4)
+      val r = out.agg(count(lit(1)), coalesce(sum(col("n_fp")), lit(0L))).head()
+      System.err.println(s"[probe] winnow fingerprints total=${r.getLong(1)}")
+      r.getLong(0)
+    }
     // sliding chunking is shuffle-free scan→generate — the probe pins the
     // constant-factor cost of the 64/48 window explode at corpus scale
     time("sliding_chunks")(graft.ops.TextOps.slidingChunks(docs, 64, 48).count())

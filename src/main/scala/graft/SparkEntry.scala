@@ -638,13 +638,18 @@ object SparkEntry {
         .orderBy("sk")
     }),
 
-    /** Keep-first dedup as a window operator (vs dedup_exact's groupBy
-      * formulation): rank copies within each digest, keep rank 1. */
+    /** Keep-first dedup via map-side min election + semi-join back (the
+      * [[graft.ops.Curation.dedupParagraphs]] pattern): a window keyed by
+      * the digest would pull every copy of a viral page through ONE task's
+      * sort buffer; the aggregate combines map-side and the semi-join keys
+      * on (digest, doc_id) — unique — so nothing concentrates. */
     "dedup_keep_first" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-      t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("dg"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("dg"))
+      val firsts = hashed.groupBy(col("dg")).agg(min(col("doc_id")).as("__keep"))
+        .select(col("dg").as("__dg"), col("__keep"))
+      hashed.join(firsts,
+          col("dg") === col("__dg") && col("doc_id") === col("__keep"), "left_semi")
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -1085,7 +1090,6 @@ object SparkEntry {
       * per-(lang, source) doc/token budget. Every stage is an operator
       * proven by its own oracle query; this proves they COMPOSE. */
     "pipeline_curate" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val evalSet = docs.filter(col("doc_id") % 97 === 0)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
@@ -1094,10 +1098,14 @@ object SparkEntry {
       val rep = Curation.repetitionProfile(langok)
         .filter(col("n_tokens") >= 20 && col("top_bigram_n") * 5 <= col("n_tokens"))
         .select("doc_id", "n_tokens")
-      val w = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-      val uniq = langok.join(rep, "doc_id")
+      // keep-first election via map-side min aggregate + semi-join back
+      // (never a window keyed by the content digest — see dedup_keep_first)
+      val hashed = langok.join(rep, "doc_id")
         .withColumn("dg", md5(col("text")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val firsts = hashed.groupBy(col("dg")).agg(min(col("doc_id")).as("__keep"))
+        .select(col("dg").as("__dg"), col("__keep"))
+      val uniq = hashed.join(firsts,
+        col("dg") === col("__dg") && col("doc_id") === col("__keep"), "left_semi")
       val contaminated = TextOps.decontaminate(corpus, evalSet, 4).select("doc_id")
       uniq.join(contaminated, Seq("doc_id"), "left_anti")
         .groupBy("lang", "source")

@@ -1,7 +1,6 @@
 package graft.apps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{ConfigLayer, SparkEnv}
@@ -55,10 +54,16 @@ object CurationApp {
         col("top_bigram_n") * repFactor <= col("n_tokens"))
       .select("doc_id")
     val quality = langOk.join(rep, "doc_id")
-    val w = Window.partitionBy(col("_dg")).orderBy(col("doc_id"))
-    val deduped = quality.withColumn("_dg", md5(col("text")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_dg")
+    // keep-first election: map-side min aggregate + semi-join back (the
+    // Curation.dedupParagraphs pattern). The semi-join keys on (digest,
+    // doc_id) — unique per row — so a viral duplicate never concentrates
+    // on one task the way a Window.partitionBy(digest) sort would.
+    val hashed = quality.withColumn("_dg", md5(col("text")))
+    val firsts = hashed.groupBy(col("_dg")).agg(min(col("doc_id")).as("__keep"))
+      .select(col("_dg").as("__dg"), col("__keep"))
+    val deduped = hashed.join(firsts,
+        col("_dg") === col("__dg") && col("doc_id") === col("__keep"), "left_semi")
+      .drop("_dg")
     val decontaminated = conf.get(Prefix + "eval.path") match {
       case None => deduped
       case Some(evalPath) =>

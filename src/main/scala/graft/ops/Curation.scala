@@ -242,16 +242,21 @@ object Curation {
     *  - `new`         first sighting.
     * Corpus side reduces to DISTINCT fingerprints before the join (at
     * 100 TB that's the dedup index, e.g. the lake table's key set — only
-    * fingerprints shuffle, never text). */
+    * fingerprints shuffle, never text). The keep-first election within the
+    * batch is a map-side-combined `groupBy(fp).agg(min(id))` + join back
+    * (the [[dedupParagraphs]] pattern) — never a window keyed by the
+    * fingerprint, which would serialize a viral duplicate through one
+    * task's sort buffer. */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val bfp = batch.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
     val seen = corpus.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
       .withColumn("in_corpus", lit(true))
-    val firstInBatch = min(col(idCol)).over(Window.partitionBy(col("fp")))
+    val firsts = bfp.groupBy(col("fp")).agg(min(col(idCol)).as("first_id"))
+      .select(col("fp").as("__fp"), col("first_id"))
     bfp.join(seen, Seq("fp"), "left")
-      .withColumn("first_id", firstInBatch)
+      .join(firsts, col("fp") === col("__fp"))
       .select(col(idCol),
         when(col("in_corpus"), "corpus_dup")
           .when(col("first_id") =!= col(idCol), "batch_dup")

@@ -297,13 +297,21 @@ object Dedup {
   /** Star-shaped duplicate edges from an exact content fingerprint: one edge
     * (doc, group-min) per duplicate doc. Connectivity-equivalent to the
     * all-pairs-within-group formulation but LINEAR in group size — a
-    * million-copy boilerplate cluster yields 10⁶ edges, not 10¹². */
+    * million-copy boilerplate cluster yields 10⁶ edges, not 10¹².
+    *
+    * The group minimum is elected with a map-side-combined hash aggregate
+    * + join back (the [[Curation.dedupParagraphs]] pattern), NOT a
+    * `min over Window.partitionBy(fp)`: a window puts every row of a key
+    * through ONE task's sort buffer, so a viral page duplicated 10⁸ times
+    * serializes — the aggregate sends one candidate per map partition and
+    * the join back is AQE-skew-splittable. */
   def fingerprintEdges(df: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
-    val mn = min(col(idCol)).over(Window.partitionBy(col("fp")))
-    fp.select(col(idCol).as("doc_a"), mn.as("doc_b"))
+    val mins = fp.groupBy(col("fp")).agg(min(col(idCol)).as("__mn"))
+      .select(col("fp").as("__fp"), col("__mn"))
+    fp.join(mins, col("fp") === col("__fp"))
+      .select(col(idCol).as("doc_a"), col("__mn").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
   }
 

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -22,8 +21,9 @@ import graft.sink.{LakeTable, MergeWriter}
   * table — as corpus dups and writes nothing; even a write that DID repeat
   * would collapse in the upsert's key merge.
   *
-  * 100 TB notes: per batch this is one window over the batch's own
-  * fingerprints (batch-sized, not corpus-sized) plus one anti-join against
+  * 100 TB notes: per batch this is one hash-aggregate election over the
+  * batch's own fingerprints (batch-sized, not corpus-sized — and map-side
+  * combined, so even a skewed batch never windows) plus one anti-join against
   * the corpus fp projection (column-pruned scan; broadcastable while small,
   * shuffle-hash beyond). The upsert itself is MergeWriter's partition-pruned
   * COW/MOR path.
@@ -60,13 +60,18 @@ object CurationStream {
     val seen =
       if (view.columns.contains("fp")) view.select(col("fp")).distinct()
       else Seq.empty[String].toDF("fp") // first batch: table not created yet
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    // keep-first election within the batch: map-side min aggregate +
+    // semi-join back on (fp, id) — unique keys, so a viral duplicate in
+    // one micro-batch never serializes through a single window-sort task
+    // (the Curation.dedupParagraphs pattern)
+    val firsts = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("__keep"))
+      .select(col("fp").as("__fp"), col("__keep"))
     // materialized once: the emptiness probe, the index append and the
-    // upsert share the pipeline (fingerprint + window + corpus-fp
+    // upsert share the pipeline (fingerprint + election + corpus-fp
     // anti-join) instead of running it repeatedly per micro-batch
     val fresh = withFp
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
+      .join(firsts, col("fp") === col("__fp") && col(idCol) === col("__keep"),
+        "left_semi")
       .join(seen, Seq("fp"), "left_anti")
       .localCheckpoint(false)
     val nFresh = fresh.count()

@@ -275,6 +275,83 @@ class PlanContractsSpec extends SparkSuite {
     assert(!dp.contains("CartesianProduct"), "corpus_diff went cartesian")
   }
 
+  test("no dedup path windows by a content fingerprint: elections are " +
+      "map-side hash aggregates + join back") {
+    // The scale-killer shape this pins out: min/row_number over
+    // Window.partitionBy(<content fingerprint>) puts EVERY copy of a viral
+    // duplicate through one task's sort buffer. All dedup elections use the
+    // dedupParagraphs pattern instead (groupBy(fp).agg(min(...)) + join
+    // back), so no WindowExec in any dedup plan may partition by a
+    // fingerprint/digest column.
+    val fpNames = Set("fp", "dg", "_dg", "digest", "chunk", "g", "__fp", "__dg")
+    for (q <- Seq("dedup_keep_first", "dedup_fingerprint", "dedup_incremental",
+                  "dedup_canonical", "dedup_exact", "pipeline_curate",
+                  "text_paragraph_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // collect over the pre-AQE physical plan: AdaptiveSparkPlanExec does
+      // not expose its inner plan to TreeNode.collect
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.exists(e => e.references.exists(a =>
+            fpNames.contains(a.name))) => w
+      }
+      assert(bad.isEmpty,
+        s"$q elects through a window keyed by a content fingerprint — a " +
+          "viral duplicate would serialize through one task: " + bad.mkString)
+    }
+    // and the elections kept their map-side partial combine
+    for (q <- Seq("dedup_keep_first", "pipeline_curate")) {
+      val p = plan(q)
+      assert(p.contains("partial_min"),
+        s"$q keep-first election lost its map-side partial min aggregate")
+    }
+  }
+
+  test("winnow sketch windows per doc only; gram relation scanned once per branch") {
+    val df = SparkEntry.queries("dedup_winnow")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "winnow lost its sliding-window min")
+    val bad = wins.filterNot(_.partitionSpec.exists(e =>
+      e.references.exists(_.name == "doc_id")))
+    assert(bad.isEmpty,
+      "winnow window no longer partitions by doc_id — a corpus-wide window " +
+        "would serialize the sketch: " + bad.mkString)
+    // the doc scan must appear exactly twice (gram branch + the left join
+    // restoring sketchless docs) — a per-window re-scan of the gram
+    // relation would show up as extra scans
+    val p = df.queryExecution.sparkPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"winnow re-scans its input ($scans parquet scans)")
+  }
+
+  test("streaming/app keep-first elections are window-free too") {
+    import spark.implicits._
+    val batch = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    // CurationApp funnel (langid/decon/budgets off → quality + dedup only)
+    val conf = graft.core.ConfigLayer(Map("graft.curation.min.tokens" -> "1",
+      "graft.curation.repetition.factor" -> "1000"))
+    val appPlan = graft.apps.CurationApp.curate(spark, batch, conf)
+      .queryExecution.sparkPlan
+    val badApp = appPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(e => e.references.exists(a =>
+          a.name == "_dg" || a.name == "fp" || a.name == "dg")) => w
+    }
+    assert(badApp.isEmpty, "CurationApp keep-first regressed to a fingerprint window")
+    // incremental dedup operator directly
+    val incPlan = graft.ops.Curation
+      .incrementalDedup(batch, batch.limit(1))
+      .queryExecution.sparkPlan
+    val badInc = incPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(e => e.references.exists(a => a.name == "fp")) => w
+    }
+    assert(badInc.isEmpty, "incrementalDedup regressed to a fingerprint window")
+  }
+
   test("precombine dedup is a hash aggregate, not a window sort") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "pre", "v")
