@@ -273,14 +273,17 @@ object SparkEntry {
     FROM s ORDER BY l_returnflag"""
 
   /** BPE tokenizer merge table (rank-ordered, the shipped-vocabulary
-    * model): applied SEQUENTIALLY — each merge replaces all
-    * non-overlapping occurrences left-to-right, which is exactly the
-    * semantics of SQL `replace()` on the space-separated symbol string in
-    * BOTH engines, so the entire encoder is a nested-replace expression
-    * tree: pure codegen'd string builtins, no UDF, no loop. Multi-symbol
-    * merges (the/ing/...) consume earlier merge outputs, as in a real
-    * bottom-up BPE vocab. `_` is the word separator symbol; no merge
-    * contains it, so merges never cross word boundaries. */
+    * model): ranks applied SEQUENTIALLY, each rank to its FIXPOINT via two
+    * identical `replace()` calls (SQL replace is left-to-right
+    * non-overlapping; one pass misses occurrences whose leading separator
+    * space the previous match consumed, and those misses are always
+    * isolated — see [[graft.ops.TextOps.bpeTokenCount]] for the proof),
+    * which is real-BPE per-rank semantics on the space-separated symbol
+    * string in BOTH engines. The entire encoder stays a nested-replace
+    * expression tree: pure codegen'd string builtins, no UDF, no loop.
+    * Multi-symbol merges (the/ing/...) consume earlier merge outputs, as
+    * in a real bottom-up BPE vocab. `_` is the word separator symbol; no
+    * merge contains it, so merges never cross word boundaries. */
   private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "e" -> "r", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n",
     "s" -> "t", "a" -> "t", "e" -> "n", "o" -> "r", "a" -> "r", "a" -> "l",
@@ -294,8 +297,10 @@ object SparkEntry {
     * text on both engines. Counting symbols = spaces + arithmetic on
     * exact lengths, no split needed. */
   private def qBpe(charSpace: String) = {
+    // each rank applied twice = per-rank fixpoint (adjacent repeated
+    // pairs merge like a real BPE encoder — see TextOps.bpeTokenCount)
     val cascade = BpeMerges.foldLeft("s") { case (acc, (a, b)) =>
-      s"replace($acc, ' $a $b ', ' $a$b ')" }
+      s"replace(replace($acc, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')" }
     s"""
     WITH spaced AS (
       SELECT doc_id, concat(' ', $charSpace) AS s
@@ -1325,8 +1330,9 @@ object SparkEntry {
       ORDER BY d.doc_id""",
 
     "corpus_mix_bpe" -> {
+      // doubled per rank = per-rank fixpoint (see TextOps.bpeTokenCount)
       val cascade = BpeMerges.foldLeft("s0") { case (acc, (a, b)) =>
-        s"replace($acc, ' $a $b ', ' $a$b ')" }
+        s"replace(replace($acc, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')" }
       s"""
       WITH sp AS (SELECT source, doc_id,
         concat(' ', regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g')) AS s0

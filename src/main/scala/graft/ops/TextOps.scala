@@ -391,17 +391,32 @@ object TextOps {
 
   /** Exact BPE token count under a rank-ordered merge table, as a pure
     * Column expression: chars spaced out (word separator `_`), then each
-    * merge applied as one `replace` — SQL replace's sequential
-    * left-to-right non-overlapping semantics IS the merge rule, so the
-    * whole encoder is a cascade of codegen'd string builtins (no UDF).
-    * Shared contract with the `text_bpe` query's SQL text and the
-    * DuckDB oracle. */
+    * merge rank applied as TWO identical `replace` calls, which reaches
+    * the rank's fixpoint (all adjacent occurrences merged — real-BPE
+    * semantics) while staying a cascade of codegen'd string builtins (no
+    * UDF, no loop):
+    *
+    *  - one left-to-right pass misses exactly the occurrences whose
+    *    LEADING space was consumed by the immediately-preceding match
+    *    (" a b a b " → " ab a b ": the second pair's leading space went
+    *    into the first replacement);
+    *  - such missed occurrences are always isolated — the scanner resumes
+    *    right after a replacement and catches the NEXT occurrence, so two
+    *    misses can never be adjacent — and a replacement never creates a
+    *    new occurrence of its own pattern (the fused token `ab` ≠ `b`);
+    *  - hence the second pass merges every missed occurrence without
+    *    introducing or missing any: two passes = the rank's fixpoint.
+    *
+    * Shared contract with the `text_bpe` query's SQL text and the DuckDB
+    * oracle (same doubled cascade — DuckDB `replace` has identical
+    * left-to-right non-overlapping semantics). */
   def bpeTokenCount(text: org.apache.spark.sql.Column,
                     merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val spaced = concat(lit(" "),
       regexp_replace(replace(lower(text), lit(" "), lit("_")), "(.)", "$1 "))
     val cascade = merges.foldLeft(spaced) { case (c, (a, b)) =>
-      replace(c, lit(s" $a $b "), lit(s" $a$b ")) }
+      replace(replace(c, lit(s" $a $b "), lit(s" $a$b ")),
+        lit(s" $a $b "), lit(s" $a$b ")) }
     val t = trim(cascade)
     (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
   }
