@@ -675,7 +675,9 @@ object SparkEntry {
       sql(s, d, Seq("events"), qCdcLatest(sparkEventTimeExprs(s, d)._1))),
     "q_gapfill" -> ((s, d) =>
       sql(s, d, Seq("events"), qGapfill(
-        s"(${sparkEventTimeExprs(s, d)._1}) DIV 3600000",
+        // floor division (not DIV, which truncates toward zero): both
+        // engines bucket pre-1970 (negative-ms) timestamps identically
+        s"CAST(FLOOR((${sparkEventTimeExprs(s, d)._1}) / 3600000.0) AS BIGINT)",
         "explode(sequence(mn, mx))"))),
     "q_stats_agg" -> ((s, d) => sql(s, d, Seq("lineitem"), QStatsAgg)),
     "q_mode" -> ((s, d) => sql(s, d, Seq("lineitem"), QMode)),
@@ -702,7 +704,7 @@ object SparkEntry {
     "corpus_mix_bpe" -> ((s, d) =>
       Curation.mixWeighted(t(s, d, "documents"), Map.empty,
           defaultBudget = 1000L,
-          tokenCount = TextOps.bpeTokenCount(col("text"), BpeMerges))
+          tokenCount = Some(TextOps.bpeTokenCount(col("text"), BpeMerges)))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).cast("long").as("kept_tokens"))
@@ -1300,7 +1302,7 @@ object SparkEntry {
     "q_events_hourly" -> qEventsHourly(DuckHour),
     "q_events_sessionize" -> qSessionize(DuckMs),
     "q_cdc_latest" -> qCdcLatest(DuckMs),
-    "q_gapfill" -> qGapfill(s"($DuckMs) // 3600000",
+    "q_gapfill" -> qGapfill(s"CAST(FLOOR(($DuckMs) / 3600000.0) AS BIGINT)",
       "unnest(generate_series(mn, mx))"),
     "q_stats_agg" -> QStatsAgg,
     "q_mode" -> QMode,

@@ -71,8 +71,11 @@ object Curation {
       .select(col(idCol), col("idx"),
         array_join(slice(col("tk"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
           .as("chunk"))
-      // feeds the count AND the anti-join — materialize once, not twice
-      .localCheckpoint(eager = false)
+      // feeds the count AND the anti-join — materialize once, not twice.
+      // persist (not localCheckpoint): lineage survives, so an executor
+      // loss mid-job recomputes the lost blocks instead of failing the
+      // job, and LRU eviction bounds memory across many invocations
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = chunks.groupBy("chunk")
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
@@ -161,7 +164,7 @@ object Curation {
   def mixWeighted(df: DataFrame, budgets: Map[String, Long],
                   defaultBudget: Long = 0L, groupCol: String = "source",
                   idCol: String = "doc_id", textCol: String = "text",
-                  tokenCount: org.apache.spark.sql.Column = null): DataFrame = {
+                  tokenCount: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val budgetExpr =
       if (budgets.isEmpty) lit(defaultBudget)
       else coalesce(
@@ -173,7 +176,7 @@ object Curation {
     // the budget currency is pluggable: whitespace tokens by default, or
     // any exact integer counter (e.g. TextOps.bpeTokenCount for
     // real-tokenizer budgets)
-    val nt = Option(tokenCount)
+    val nt = tokenCount
       .getOrElse(size(TextOps.lowerTokens(col(textCol))).cast("long"))
     groupRunningSum(
       df.withColumn("nt", nt.cast("long")),
@@ -296,7 +299,9 @@ object Curation {
         explode(sequence(lit(0), size(col("t")) - n)).as("pos"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         md5(array_join(slice(col("t"), col("pos") + 1, lit(n)), " ")).as("g"))
-      .localCheckpoint(eager = false) // feeds dup-count AND position join
+      // feeds dup-count AND position join; persist keeps lineage (see
+      // removeBoilerplate note)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("g")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -363,8 +368,9 @@ object Curation {
       .select(col(idCol), col("idx"),
         array_join(slice(col("tk"), col("idx") * chunkWords + 1, lit(chunkWords)), " ")
           .as("chunk"))
-      // feeds the election AND the keep join — materialize once
-      .localCheckpoint(eager = false)
+      // feeds the election AND the keep join — materialize once; persist
+      // keeps lineage (see removeBoilerplate note)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = chunks
       .groupBy(col("chunk"))
       .agg(min(struct(col(idCol), col("idx"))).as("_first"))

@@ -195,34 +195,55 @@ object Multimodal {
 
     final case class FrameStats(frameIdx: Int, width: Int, height: Int, graySum: Long)
 
-    /** Decode every frame of an animated GIF to exact integer gray sums;
-      * None when the payload isn't a GIF `ImageIO` accepts. */
-    def decodeFrames(bytes: Array[Byte]): Option[Seq[FrameStats]] = {
-      if (bytes == null || bytes.length == 0) return None
+    /** Typed decode outcome: a payload that is simply NOT a GIF (some other
+      * format, or noise) is a different data-quality fact than a payload
+      * that IS a recognized GIF but fails mid-decode (truncated LZW stream,
+      * corrupt frame table). Pipelines count the two separately. */
+    sealed trait DecodeResult
+    case object NotAGif extends DecodeResult
+    final case class DecodeError(message: String) extends DecodeResult
+    final case class Decoded(frames: Seq[FrameStats]) extends DecodeResult
+
+    /** Decode every frame of an animated GIF to exact integer gray sums,
+      * classifying failures (see [[DecodeResult]]). */
+    def decode(bytes: Array[Byte]): DecodeResult = {
+      if (bytes == null || bytes.length == 0) return NotAGif
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return None }
+      if (!readers.hasNext) { iis.close(); return NotAGif }
       val reader = readers.next()
       try {
-        if (reader.getFormatName.toLowerCase != "gif") return None
+        if (reader.getFormatName.toLowerCase != "gif") return NotAGif
         reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        Some((0 until n).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth; val h = img.getHeight
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
-            y += 1
-          }
-          FrameStats(f, w, h, sum)
-        })
-      } catch { case _: Exception => None }
-      finally { reader.dispose(); iis.close() }
+        // a recognized GIF that dies mid-read is CORRUPT, not non-GIF
+        try {
+          val n = reader.getNumImages(true)
+          Decoded((0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+              y += 1
+            }
+            FrameStats(f, w, h, sum)
+          })
+        } catch {
+          case e: Exception => DecodeError(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+      } finally { reader.dispose(); iis.close() }
     }
+
+    /** Back-compat adapter: None for any non-decodable payload. */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[FrameStats]] =
+      decode(bytes) match {
+        case Decoded(f) => Some(f)
+        case _          => None
+      }
   }
 
   /** Deterministic fixture-GIF formula, shared verbatim with the DuckDB
@@ -257,22 +278,28 @@ object Multimodal {
 
   /** Partition-wise REAL multi-frame decode: one output row per decoded
     * GIF frame with exact integer gray sums. Undecodable payloads emit a
-    * single null-frame row so the one-row-per-doc-minimum contract holds. */
+    * single null-frame row so the one-row-per-doc-minimum contract holds;
+    * `gif_verdict` distinguishes `ok` / `not_a_gif` / `decode_error: …`
+    * (a truncated-but-recognized GIF is corrupt media, not a non-GIF —
+    * data-quality pipelines count the two separately). */
   def gifFrameStats(df: DataFrame, mediaCol: String = "media"): DataFrame = {
     val schema = df.schema
       .add(StructField("frame_idx", IntegerType))
       .add(StructField("width", IntegerType))
       .add(StructField("height", IntegerType))
       .add(StructField("gray_sum", LongType))
+      .add(StructField("gif_verdict", StringType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        GifCodec.decodeFrames(bytes) match {
-          case Some(frames) => frames.iterator.map(s => Row.fromSeq(
-            r.toSeq ++ Seq[Any](s.frameIdx, s.width, s.height, s.graySum)))
-          case None => Iterator.single(
-            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        GifCodec.decode(bytes) match {
+          case GifCodec.Decoded(frames) => frames.iterator.map(s => Row.fromSeq(
+            r.toSeq ++ Seq[Any](s.frameIdx, s.width, s.height, s.graySum, "ok")))
+          case GifCodec.NotAGif => Iterator.single(
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, "not_a_gif")))
+          case GifCodec.DecodeError(m) => Iterator.single(
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, s"decode_error: $m")))
         }
       }
     }

@@ -372,7 +372,9 @@ object TextOps {
         explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
       .select(col(idCol),
         concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bg"))
-      .localCheckpoint(eager = false) // feeds corpus counts AND per-doc join
+      // feeds corpus counts AND per-doc join; persist keeps lineage for
+      // executor-loss recovery (unlike localCheckpoint)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = bg.groupBy("bg").agg(count(lit(1)).as("c"))
     val perDoc = bg.join(corpus, "bg")
       .groupBy(col(idCol))

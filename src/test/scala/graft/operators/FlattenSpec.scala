@@ -73,6 +73,36 @@ class FlattenSpec extends SparkSuite {
     assert(flat.head.getString(0) === "v")
   }
 
+  test("column order matches the reference's worked Mongo example: " +
+      "exploded/expanded columns move to the END of the select") {
+    // docs/document/01.MongoDB Ingestion.md:100-147, with the connector's
+    // alphabetically-inferred schema (_id, arr, id, locs). The reference
+    // processes the first nested field per recursion and appends its
+    // output (TransformUtils.scala:59-70); replaying that by hand gives
+    // exactly the documented table header:
+    //   id | _id_oid | arr_id | arr_a | arr_b | locs_loc_id | locs_x | locs_y
+    val locSchema = StructType(Seq(StructField("loc_id", StringType),
+      StructField("x", DoubleType), StructField("y", DoubleType)))
+    val arrSchema = StructType(Seq(StructField("id", StringType),
+      StructField("a", DoubleType), StructField("b", DoubleType)))
+    val schema = StructType(Seq(
+      StructField("_id", StructType(Seq(StructField("oid", StringType)))),
+      StructField("arr", ArrayType(arrSchema)),
+      StructField("id", DoubleType),
+      StructField("locs", ArrayType(locSchema))))
+    val locs = Seq(Row("Axyxuii=", 12.65, 74.76), Row("WWsexo=", 32.15, 18.19))
+    val arr = Seq(Row("Axyxuii=", 12.65, 74.76), Row("WWsexo=", 32.15, 18.19),
+      Row("WWsexo=", 32.15, 18.19))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Row("6241579fa50aeed0adfbe58e"), arr, 1.0, locs)),
+      schema)
+    val flat = Flatten(df)
+    assert(flat.columns.toSeq === Seq("id", "_id_oid", "arr_id", "arr_a",
+      "arr_b", "locs_loc_id", "locs_x", "locs_y"),
+      "column order diverged from the reference's documented flatten output")
+    assert(flat.count() === 6) // 3 arr × 2 locs cartesian
+  }
+
   test("sanitizeName follows the reference's replacement order") {
     assert(Flatten.sanitizeName("a.b") === "a_b")
     assert(Flatten.sanitizeName("a$b") === "a_b")

@@ -292,7 +292,7 @@ class CurationSpec extends SparkSuite {
       .toDF("doc_id", "source", "text")
     val ws = Curation.mixToBudget(docs, 4L).count()
     val bpe = Curation.mixWeighted(docs, Map.empty, defaultBudget = 4L,
-      tokenCount = TextOps.bpeTokenCount(col("text"), graft.SparkEntry.BpeMerges))
+      tokenCount = Some(TextOps.bpeTokenCount(col("text"), graft.SparkEntry.BpeMerges)))
     assert(ws === 4L)
     assert(bpe.count() === 2L) // 3 + 3 tokens fill the 4-token budget
     assert(bpe.select("nt").as[Long].collect().forall(_ === 3L))

@@ -489,6 +489,26 @@ class OpsSpec extends SparkSuite {
     assert(bad.length === 1 && bad.head.isNullAt(1))
   }
 
+  test("GifCodec classifies corrupt-but-recognized GIFs apart from non-GIFs") {
+    import Multimodal.GifCodec
+    // a TRUNCATED valid GIF keeps its magic (recognized) but dies mid-read
+    val gif = Multimodal.FixtureGif.gif(17L)
+    val truncated = gif.take(gif.length / 3)
+    GifCodec.decode(truncated) match {
+      case GifCodec.DecodeError(_) => // expected: corrupt media
+      case other => fail(s"truncated GIF classified as $other")
+    }
+    assert(GifCodec.decode("not a gif".getBytes) === GifCodec.NotAGif)
+    assert(GifCodec.decode(Multimodal.FixtureImage.png(3L)) === GifCodec.NotAGif)
+    assert(GifCodec.decode(null) === GifCodec.NotAGif)
+    // and the verdict column surfaces the distinction downstream
+    val v = Multimodal.gifFrameStats(
+      Seq((1L, truncated), (2L, "junk".getBytes)).toDF("doc_id", "media"))
+      .select("doc_id", "gif_verdict").as[(Long, String)].collect().toMap
+    assert(v(1L).startsWith("decode_error"))
+    assert(v(2L) === "not_a_gif")
+  }
+
   test("WavCodec really decodes: RIFF/PCM round-trip reproduces formula stats") {
     val id = 42L
     val n = Multimodal.FixtureWav.nSamples(id)
