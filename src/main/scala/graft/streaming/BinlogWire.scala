@@ -27,9 +27,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `decimal2bin` digit groups, `log_event.cc` TABLE_MAP metadata). The
   * registry maps positions to column names — binlogs carry no names
   * unless `binlog_row_metadata=FULL`. Rows events with a partial
-  * included-columns bitmap (`binlog_row_image=MINIMAL`/`NOBLOB`) are
-  * REJECTED with a clear error rather than misparsed — this client
-  * requires `binlog_row_image=FULL` (the MySQL default). TEXT and BLOB
+  * included-columns bitmap (`binlog_row_image=MINIMAL`/`NOBLOB`) decode
+  * correctly: the per-image null bitmap and value positions cover the
+  * INCLUDED columns only, and omitted columns are reported in the
+  * payload's `"_omitted"` list (absent ≠ NULL — a partial-update merge
+  * keeps the stored value for omitted columns). TEXT and BLOB
   * both arrive as type 252 and are emitted as UTF-8 strings (binlogs
   * don't distinguish them without `binlog_row_metadata=FULL`); negative
   * fractional TIME decodes on the positive-value convention.
@@ -288,22 +290,21 @@ object BinlogWire {
               val (nCols, p1) = lenenc(pkt, p); p = p1
               val n = nCols.toInt
               val bmBytes = (n + 7) / 8
-              // included-columns bitmap(s): a partial image means the server
-              // runs binlog_row_image=MINIMAL/NOBLOB — positions no longer
-              // line up with the TABLE_MAP, so misparsing is silent garbage.
-              // Require every column present (FULL, the MySQL default).
-              def requireFullImage(which: String): Unit = {
-                var missing = 0
-                for (i <- 0 until n)
-                  if (((pkt(p + i / 8) >> (i % 8)) & 1) == 0) missing += 1
+              // included-columns bitmap(s): bit i set = column i carried in
+              // this event's images. FULL (the default) sets every bit;
+              // binlog_row_image=MINIMAL ships only the PK in before images
+              // and changed columns in after images, NOBLOB omits
+              // blob/text columns not in the PK. The null bitmap and value
+              // positions inside each image then cover INCLUDED columns
+              // only — decoded below; omitted columns surface in the
+              // payload's "_omitted" list (absent ≠ NULL).
+              def readIncluded(): Array[Boolean] = {
+                val inc = Array.tabulate(n)(i => ((pkt(p + i / 8) >> (i % 8)) & 1) == 1)
                 p += bmBytes
-                if (missing > 0) throw new java.io.IOException(
-                  s"rows event for ${td.db}.${td.table} $which image includes " +
-                    s"only ${n - missing} of $n columns — binlog_row_image " +
-                    "must be FULL (set binlog_row_image=FULL on the server)")
+                inc
               }
-              requireFullImage("before/write")
-              if (evType == EvUpdateRowsV2) requireFullImage("after")
+              val incBefore = readIncluded()
+              val incAfter = if (evType == EvUpdateRowsV2) readIncluded() else incBefore
               val names = columns.getOrElse((td.db, td.table),
                 (0 until n).map(i => s"c$i"))
               val op = evType match {
@@ -311,10 +312,18 @@ object BinlogWire {
                 case EvUpdateRowsV2 => CdcSchema.OpUpdate
                 case EvDeleteRowsV2 => CdcSchema.OpDelete
               }
-              def readImage(): String = {
-                val nullBm = java.util.Arrays.copyOfRange(pkt, p, p + bmBytes)
-                p += bmBytes
+              def readImage(inc: Array[Boolean]): String = {
+                // the null bitmap covers INCLUDED columns only, indexed by
+                // position among them (log_event.cc Rows_log_event
+                // unpack_current_row) — a partial image's values pack
+                // back-to-back over the included columns
+                val nInc = inc.count(identity)
+                val nullBmBytes = (nInc + 7) / 8
+                val nullBm = java.util.Arrays.copyOfRange(pkt, p, p + nullBmBytes)
+                p += nullBmBytes
                 val sb = new StringBuilder("{")
+                var emitted = 0
+                val omitted = new scala.collection.mutable.ArrayBuffer[String](0)
                 def str(s: String): Unit =
                   sb.append('"').append(jsonEscape(s)).append('"')
                 def lenPrefixed(maxLen: Int): String = {
@@ -325,10 +334,14 @@ object BinlogWire {
                   s
                 }
                 var i = 0
+                var j = 0 // index among included columns (null-bitmap index)
                 while (i < n) {
-                  if (i > 0) sb.append(',')
+                  if (!inc(i)) omitted += names(i)
+                  else {
+                  if (emitted > 0) sb.append(',')
+                  emitted += 1
                   sb.append('"').append(names(i)).append("\":")
-                  if (((nullBm(i / 8) >> (i % 8)) & 1) == 1) sb.append("null")
+                  if (((nullBm(j / 8) >> (j % 8)) & 1) == 1) sb.append("null")
                   else td.types(i) match {
                     case TypeTiny => sb.append(pkt(p).toInt); p += 1
                     case TypeShort => sb.append(b.getShort(p).toInt); p += 2
@@ -403,16 +416,28 @@ object BinlogWire {
                         case _ => str(lenPrefixed(maxLen)) // CHAR
                       }
                   }
+                  j += 1
+                  }
                   i += 1
+                }
+                // absent ≠ NULL: a MINIMAL/NOBLOB image omits columns the
+                // server did not ship; consumers distinguish "not carried"
+                // (partial-update merge keeps the stored value) from an
+                // explicit NULL via this marker
+                if (omitted.nonEmpty) {
+                  if (emitted > 0) sb.append(',')
+                  sb.append("\"_omitted\":[")
+                    .append(omitted.map(o => "\"" + jsonEscape(o) + "\"").mkString(","))
+                    .append(']')
                 }
                 sb.append('}').toString
               }
               while (p < end) {
-                val img = readImage()
+                val img = readImage(incBefore)
                 // update rows carry (before, after) pairs: emit the AFTER
                 // image, the upsert-relevant one (the reference's last-
                 // writer-wins sink consumes exactly that)
-                val payload = if (evType == EvUpdateRowsV2) readImage() else img
+                val payload = if (evType == EvUpdateRowsV2) readImage(incAfter) else img
                 outRows += CdcEvent(td.db, td.table, op, ts * 1000L,
                   BinlogOffset(currentIdx, logPos).encoded, payload)
               }

@@ -150,6 +150,61 @@ class BinlogStreamSourceSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("MINIMAL/NOBLOB partial row images land end-to-end through the demux " +
+      "sink: omitted columns arrive absent (null through the table schema), " +
+      "later columns stay aligned") {
+    val m = new MysqldLoopback(Password, extended = true, partialImage = true)
+    val root = Files.createTempDirectory("graft-partial-lake").toString
+    val ckpt = Files.createTempDirectory("graft-partial-ckpt").toString
+    val allTypesCols = Seq("c_tiny", "c_short", "c_int24", "c_float",
+      "c_double", "c_dec", "c_date", "c_dt", "c_ts", "c_time", "c_timef",
+      "c_year", "c_text", "c_char", "c_enum", "c_set", "c_bit")
+    val schema = StructType(Seq(
+      StructField("c_tiny", IntegerType), StructField("c_short", IntegerType),
+      StructField("c_int24", IntegerType), StructField("c_float", DoubleType),
+      StructField("c_double", DoubleType),
+      StructField("c_dec", DecimalType(14, 4)),
+      StructField("c_date", StringType), StructField("c_dt", StringType),
+      StructField("c_ts", StringType), StructField("c_time", StringType),
+      StructField("c_timef", StringType), StructField("c_year", IntegerType),
+      StructField("c_text", StringType), StructField("c_char", StringType),
+      StructField("c_enum", IntegerType), StructField("c_set", IntegerType),
+      StructField("c_bit", LongType)))
+    val src = spark.readStream.format("graft-binlog")
+      .option("host", "127.0.0.1").option("port", m.port)
+      .option("user", "repl").option("password", Password)
+      .option("columns",
+        s"""{"shop.alltypes": [${allTypesCols.map("\"" + _ + "\"").mkString(",")}]}""")
+      .load()
+    val sink = new MultiTableSink(s"$root/{db}/ods_{db}_{table}",
+      Seq(CdcTableSpec("shop", "alltypes", schema, Seq("c_tiny"), "c_bit")), 1)
+    try {
+      val q = sink.start(src, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.read.parquet(s"$root/shop/ods_shop_alltypes/data")
+        .collect()
+      assert(rows.length === 2)
+      // the c_tiny=-5 row is written once (NOBLOB insert) and never
+      // updated, so its decode is batch-boundary-independent: c_text
+      // omitted on the wire -> absent in JSON -> null in the table, and
+      // every column AFTER the omitted one still aligned
+      val r1 = rows.find(_.getAs[Int]("c_tiny") == -5).get
+      assert(r1.isNullAt(r1.fieldIndex("c_text")))
+      assert(r1.getAs[Int]("c_short") === -1234)
+      assert(r1.getAs[String]("c_char") === "abc")
+      assert(r1.getAs[Int]("c_enum") === 2)
+      assert(r1.getAs[Long]("c_bit") === 2748L)
+      // the c_tiny=7 row additionally receives a MINIMAL update; whether
+      // the insert or the update version wins depends on micro-batch
+      // boundaries (within a batch the precombine tie-break keeps the
+      // insert; across batches CDC last-writer-wins applies) — both are
+      // legitimate, so only key presence is asserted here. The update's
+      // exact partial payload (PK + changed + _omitted) is pinned
+      // byte-for-byte in BinlogWireSpec.
+      assert(rows.exists(_.getAs[Int]("c_tiny") == 7))
+    } finally m.stop()
+  }
+
   test("CdcStreamApp --binlog-host wires the live wire source from the table registry") {
     val m = new MysqldLoopback(Password)
     val root = Files.createTempDirectory("graft-cdcapp-lake").toString

@@ -106,16 +106,40 @@ class BinlogWireSpec extends SparkSuite {
     } finally m.stop()
   }
 
-  test("partial included-columns bitmap (binlog_row_image=MINIMAL) is " +
-      "rejected with a clear error, never misparsed") {
+  test("binlog_row_image=MINIMAL/NOBLOB partial images decode: null bitmap " +
+      "and values cover included columns only; omitted columns surface in " +
+      "_omitted (absent != NULL)") {
     val m = new MysqldLoopback(Password, extended = true, partialImage = true)
     try {
-      val e = intercept[Exception](
-        BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
-          "binlog.000002", 200L,
-          columns = Map(("shop", "alltypes") -> allTypesCols)).collect())
-      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-      assert(msg.contains("binlog_row_image"))
+      val df = BinlogWire.scan(spark, "127.0.0.1", m.port, "repl", Password,
+        "binlog.000002", 200L,
+        columns = Map(("shop", "alltypes") -> allTypesCols))
+      val rows = df.select("table", "op", "payload").as[(String, String, String)]
+        .collect().toSeq.filter(_._1 == "alltypes")
+      assert(rows.map(_._2) === Seq("insert", "insert", "update"))
+      // NOBLOB write, full-values image: everything except c_text, which
+      // is listed as omitted — all later columns still aligned
+      assert(rows(0)._3 === """{"c_tiny":-5,"c_short":-1234,"c_int24":-70000,""" +
+        """"c_float":1.25,"c_double":-2.5,"c_dec":-123456789.0123,""" +
+        """"c_date":"2024-02-29","c_dt":"2024-02-29 13:14:15.250",""" +
+        """"c_ts":"2023-11-14 22:13:20","c_time":"-12:34:56",""" +
+        """"c_timef":"12:34:56.78","c_year":2024,"c_char":"abc","c_enum":2,""" +
+        """"c_set":5,"c_bit":2748,"_omitted":["c_text"]}""")
+      // NOBLOB write, image with NULLs mid-row (c_dec, c_date): the null
+      // bitmap indexes included columns only — c_text's absence must NOT
+      // shift the null bits
+      assert(rows(1)._3 === """{"c_tiny":7,"c_short":300,"c_int24":99999,""" +
+        """"c_float":-0.5,"c_double":1000000.0,"c_dec":null,"c_date":null,""" +
+        """"c_dt":"2024-03-01 00:00:00.000","c_ts":"2023-11-14 22:13:21",""" +
+        """"c_time":"00:00:05","c_timef":"01:02:03.04","c_year":0,""" +
+        """"c_char":"","c_enum":1,"c_set":0,"c_bit":1,"_omitted":["c_text"]}""")
+      // MINIMAL update: the AFTER image carries PK + changed columns only
+      // (c_short changed, c_text set to explicit NULL); everything else is
+      // omitted-not-null
+      assert(rows(2)._3 === """{"c_tiny":7,"c_short":300,"c_text":null,""" +
+        """"_omitted":["c_int24","c_float","c_double","c_dec","c_date",""" +
+        """"c_dt","c_ts","c_time","c_timef","c_year","c_char","c_enum",""" +
+        """"c_set","c_bit"]}""")
     } finally m.stop()
   }
 

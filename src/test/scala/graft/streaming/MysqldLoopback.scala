@@ -190,29 +190,64 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
     out.write(Array.fill[Byte]((allCols.length + 7) / 8)(0))
     out.toByteArray
   }
+  /** Rows event over the alltypes table. `incBefore`/`incAfter` carry the
+    * ABSOLUTE column indices present in before/after images (partial ⇒
+    * `binlog_row_image=MINIMAL`/`NOBLOB`): per the real server's
+    * Rows_log_event layout the per-image null bitmap is sized and indexed
+    * over the INCLUDED columns only, and values pack back-to-back over
+    * included non-null cells. For `update`, images alternate
+    * (before, after). */
   private def allRowsEvent(tableId: Long, images: Seq[Seq[Array[Byte]]],
-                           nulls: Seq[Set[Int]]): Array[Byte] = {
+                           nulls: Seq[Set[Int]], update: Boolean = false,
+                           incBefore: Option[Set[Int]] = None,
+                           incAfter: Option[Set[Int]] = None): Array[Byte] = {
     val n = allCols.length
     val bm = (n + 7) / 8
+    val incB = incBefore.getOrElse((0 until n).toSet)
+    val incA = incAfter.getOrElse(incB)
     val out = new java.io.ByteArrayOutputStream()
     out.write(le(8)(_.putLong(tableId)).take(6)); out.write(Array[Byte](0, 0))
     out.write(le(2)(_.putShort(2)))
     out.write(n)
-    val included = Array.fill[Byte](bm)(0xFF.toByte)
-    if (partialImage) included(0) = (included(0) & ~2).toByte // drop column 1
-    out.write(included)
-    images.zip(nulls).foreach { case (img, nl) =>
-      val nullBm = new Array[Byte](bm)
-      nl.foreach(i => nullBm(i / 8) = (nullBm(i / 8) | (1 << (i % 8))).toByte)
+    def bitmap(inc: Set[Int]): Array[Byte] = {
+      val a = new Array[Byte](bm)
+      inc.foreach(i => a(i / 8) = (a(i / 8) | (1 << (i % 8))).toByte)
+      a
+    }
+    out.write(bitmap(incB))
+    if (update) out.write(bitmap(incA))
+    images.zip(nulls).zipWithIndex.foreach { case ((img, nl), k) =>
+      val incList = (0 until n).filter(if (update && k % 2 == 1) incA else incB)
+      val nullBm = new Array[Byte]((incList.length + 7) / 8)
+      incList.zipWithIndex.foreach { case (i, j) =>
+        if (nl(i)) nullBm(j / 8) = (nullBm(j / 8) | (1 << (j % 8))).toByte }
       out.write(nullBm)
-      img.zipWithIndex.foreach { case (cell, i) => if (!nl(i)) out.write(cell) }
+      incList.foreach(i => if (!nl(i)) out.write(img(i)))
     }
     out.toByteArray
   }
-  private def extendedFixture: Seq[(Long, Long, Array[Byte])] = Seq(
-    (2L, 300L, event(19, 1004, 300, allTableMap(13))),
-    (2L, 380L, event(30, 1004, 380,
-      allRowsEvent(13, Seq(allRow1, allRow2), Seq(Set.empty, allRow2Nulls)))))
+  private def extendedFixture: Seq[(Long, Long, Array[Byte])] =
+    if (!partialImage) Seq(
+      (2L, 300L, event(19, 1004, 300, allTableMap(13))),
+      (2L, 380L, event(30, 1004, 380,
+        allRowsEvent(13, Seq(allRow1, allRow2), Seq(Set.empty, allRow2Nulls)))))
+    else {
+      // binlog_row_image partial fixtures:
+      //  - NOBLOB write: every column except the TEXT one (idx 12)
+      //  - MINIMAL update: before image = PK only (c_tiny); after image =
+      //    PK + changed columns, incl. a NULLed TEXT so the included-only
+      //    null bitmap indexing is exercised
+      val noblob = (0 until allCols.length).toSet - 12
+      Seq(
+        (2L, 300L, event(19, 1004, 300, allTableMap(13))),
+        (2L, 380L, event(30, 1004, 380,
+          allRowsEvent(13, Seq(allRow1, allRow2), Seq(Set.empty, allRow2Nulls),
+            incBefore = Some(noblob)))),
+        (2L, 460L, event(31, 1005, 460,
+          allRowsEvent(13, Seq(allRow1, allRow2), Seq(Set.empty, Set(12)),
+            update = true, incBefore = Some(Set(0)),
+            incAfter = Some(Set(0, 1, 12))))))
+    }
 
   private val ordersTypes = Seq(3, 15); private val ordersMax = Seq(0, 64)
   private val usersTypes = Seq(8, 15); private val usersMax = Seq(0, 300)
