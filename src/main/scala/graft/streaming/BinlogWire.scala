@@ -42,11 +42,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object BinlogWire {
 
   private val ComBinlogDump = 0x12
+  private val ComBinlogDumpGtid = 0x1E
   private val EvRotate = 4
+  private val EvXid = 16
   private val EvTableMap = 19
   private val EvWriteRowsV2 = 30
   private val EvUpdateRowsV2 = 31
   private val EvDeleteRowsV2 = 32
+  private val EvGtid = 33
 
   // MySQL column type ids this client decodes (protocol ids; BLOB covers
   // TINY/MEDIUM/LONG BLOB and TEXT — binlogs send all four as 252)
@@ -121,6 +124,64 @@ object BinlogWire {
       writePacket(out, 0, cmd.array())
       readEvents(in, file, columns, crc32, maxEvents)
     } finally sock.close()
+  }
+
+  /** GTID-mode pull — the production-standard resume path: instead of a
+    * (file, position) pair, the client presents the executed-GTID set and
+    * the server streams every transaction NOT in it
+    * (`COM_BINLOG_DUMP_GTID`). Survives primary failover and binlog
+    * renames: file names never enter the resume token.
+    *
+    * Returns (events, new executed set in MySQL text form). Only
+    * transactions whose XID commit was seen are folded into the returned
+    * set — a drain cut mid-transaction re-delivers that transaction on
+    * the next pull (at-least-once per partial transaction; the demux
+    * sink's idempotent keyed upsert absorbs the replay). `maxEvents` is
+    * therefore honored at TRANSACTION boundaries in this mode. */
+  def pullGtid(host: String, port: Int, user: String, password: String,
+               gtidSet: String, serverId: Long = 65535L,
+               columns: Map[(String, String), Seq[String]] = Map.empty,
+               maxEvents: Int = Int.MaxValue): (Seq[CdcEvent], String) = {
+    val sock = new java.net.Socket(host, port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      handshake(in, out, user, password)
+      val crc32 = queryScalar(in, out, "SELECT @@global.binlog_checksum")
+        .exists(_.equalsIgnoreCase("CRC32"))
+      if (crc32)
+        queryScalar(in, out,
+          "SET @master_binlog_checksum = @@global.binlog_checksum")
+      val set = GtidSet.parse(gtidSet)
+      val enc = set.encoded
+      // COM_BINLOG_DUMP_GTID: flags(2: NON_BLOCK | THROUGH_GTID)
+      // server-id(4) name-len(4) name pos(8) data-len(4) gtid-set
+      val cmd = ByteBuffer.allocate(1 + 2 + 4 + 4 + 8 + 4 + enc.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      cmd.put(ComBinlogDumpGtid.toByte).putShort((0x01 | 0x04).toShort)
+        .putInt(serverId.toInt).putInt(0).putLong(4L)
+        .putInt(enc.length).put(enc)
+      writePacket(out, 0, cmd.array())
+      val tracker = new GtidTracker(set)
+      // the server opens with a fake ROTATE naming its current file, so
+      // the placeholder start index is corrected before any rows decode
+      val events = readEvents(in, "binlog.000000", columns, crc32, maxEvents,
+        tracker)
+      (events, tracker.executed.format)
+    } finally sock.close()
+  }
+
+  /** Mutable executed-set accumulator for [[pullGtid]]: a GTID event opens
+    * a pending transaction; only its XID commit folds it into `executed`. */
+  private final class GtidTracker(initial: GtidSet) {
+    var executed: GtidSet = initial
+    var pending: Option[(String, Long)] = None
+    def open(sid: Array[Byte], gno: Long): Unit =
+      pending = Some((GtidSet.sidString(sid), gno))
+    def commit(): Unit = {
+      pending.foreach { case (sid, gno) => executed = executed.add(sid, gno) }
+      pending = None
+    }
   }
 
   /** COM_QUERY with a 0-or-1 scalar result (classic text protocol, EOF
@@ -213,7 +274,8 @@ object BinlogWire {
     * then excluded from parsing. */
   private def readEvents(in: DataInputStream, startFile: String,
                          columns: Map[(String, String), Seq[String]],
-                         crc32: Boolean, maxEvents: Int): Seq[CdcEvent] = {
+                         crc32: Boolean, maxEvents: Int,
+                         gtid: GtidTracker = null): Seq[CdcEvent] = {
     var currentIdx = fileIndex(startFile)
     final case class TableDef(db: String, table: String, types: Array[Int], meta: Array[Int])
     val tables = scala.collection.mutable.Map.empty[Long, TableDef]
@@ -442,7 +504,19 @@ object BinlogWire {
                   BinlogOffset(currentIdx, logPos).encoded, payload)
               }
               // cap check at the event boundary only: rows of one event
-              // share a log_pos and must land in one pull for resume
+              // share a log_pos and must land in one pull for resume. In
+              // GTID mode, additionally hold until the transaction's XID
+              // commits (the EvXid case below) so the executed set never
+              // records a half-delivered transaction.
+              if (outRows.length >= maxEvents && (gtid == null || gtid.pending.isEmpty))
+                done = true
+            case EvGtid if gtid != null =>
+              // body: flags(1) sid(16) gno(8 LE) [5.7+ logical timestamps
+              // follow — not needed for the executed set]
+              gtid.open(java.util.Arrays.copyOfRange(pkt, p + 1, p + 17),
+                b.getLong(p + 17))
+            case EvXid if gtid != null =>
+              gtid.commit()
               if (outRows.length >= maxEvents) done = true
             case _ => () // FORMAT_DESCRIPTION, XID, QUERY, heartbeats: skip
           }

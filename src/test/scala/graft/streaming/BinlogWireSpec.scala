@@ -186,6 +186,66 @@ class BinlogWireSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  private val Uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+  test("GTID resume: the executed-set token survives a primary restart " +
+      "that renames every binlog file") {
+    val m1 = new MysqldLoopback(Password, fileBase = 1L)
+    val (events1, executed1) =
+      try BinlogWire.pullGtid("127.0.0.1", m1.port, "repl", Password, "",
+        columns = registry)
+      finally m1.stop()
+    assert(events1.map(e => (e.table, e.op)) === Seq(
+      ("orders", "insert"), ("users", "insert"),
+      ("orders", "update"), ("users", "delete")))
+    assert(executed1 === s"$Uuid:1-4")
+    // primary restart: binlog files now named binlog.000009+ — a (file,
+    // pos) resume would 1236-fail or misread; the GTID set doesn't care
+    val m2 = new MysqldLoopback(Password, fileBase = 9L)
+    try {
+      val (events2, executed2) = BinlogWire.pullGtid("127.0.0.1", m2.port,
+        "repl", Password, executed1, columns = registry)
+      assert(events2.isEmpty, "acknowledged transactions were re-delivered")
+      assert(executed2 === executed1)
+      // partial acknowledgement: txns 1-2 done -> exactly 3,4 replayed
+      val (events3, executed3) = BinlogWire.pullGtid("127.0.0.1", m2.port,
+        "repl", Password, s"$Uuid:1-2", columns = registry)
+      assert(events3.map(e => (e.table, e.op)) === Seq(
+        ("orders", "update"), ("users", "delete")))
+      assert(executed3 === s"$Uuid:1-4")
+    } finally m2.stop()
+  }
+
+  test("GTID pull honors maxEvents at TRANSACTION boundaries: the executed " +
+      "set never records a half-delivered transaction") {
+    val m = new MysqldLoopback(Password)
+    try {
+      val (events, executed) = BinlogWire.pullGtid("127.0.0.1", m.port,
+        "repl", Password, "", columns = registry, maxEvents = 1)
+      assert(events.length === 1)
+      assert(executed === s"$Uuid:1") // txn 1 committed, nothing else
+      // resuming from that set replays txns 2-4 exactly
+      val (rest, executed2) = BinlogWire.pullGtid("127.0.0.1", m.port,
+        "repl", Password, executed, columns = registry)
+      assert(rest.length === 3)
+      assert(executed2 === s"$Uuid:1-4")
+    } finally m.stop()
+  }
+
+  test("GtidSet text/binary round trips and interval merging") {
+    val s0 = GtidSet.parse(s"$Uuid:1-3:7,aaaaaaaa-bbbb-cccc-dddd-eeeeffff0000:2")
+    assert(GtidSet.decode(s0.encoded).format === s0.format)
+    assert(GtidSet.parse(s0.format) === s0)
+    // adding gno 4 bridges 1-3 and 7? no — 4 extends 1-3 only
+    val s1 = s0.add(Uuid, 4)
+    assert(s1.format.startsWith(s"3e11fa47-71ca-11e1-9e33-c80aa9429562:1-4:7"))
+    // 5 then 6 merges everything into 1-7
+    val s2 = s1.add(Uuid, 5).add(Uuid, 6)
+    assert(s2.intervals(Uuid) === Vector((1L, 7L)))
+    assert(s2.contains(Uuid, 7) && !s2.contains(Uuid, 8))
+    assert(GtidSet.parse("").isEmpty)
+  }
+
   test("wrong replication password is rejected by the server") {
     val m = new MysqldLoopback(Password)
     try {

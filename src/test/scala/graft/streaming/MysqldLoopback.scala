@@ -22,7 +22,9 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
                            extended: Boolean = false,
                            partialImage: Boolean = false,
                            authSwitch: Option[String] = None,
-                           bulkRows: Int = 0) {
+                           bulkRows: Int = 0,
+                           serverUuid: String = "3e11fa47-71ca-11e1-9e33-c80aa9429562",
+                           fileBase: Long = 1L) {
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
   @volatile private var running = true
   /** Retention-churn simulation: dumps strictly below this (fileIdx, pos)
@@ -348,7 +350,7 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
               declared = true
               BinlogWire.writePacket(out, 1, Array[Byte](0, 0, 0, 2, 0, 0, 0))
             }
-          case 0x12 => dump = cmd
+          case 0x12 | 0x1E => dump = cmd
           case other => throw new IllegalStateException(f"unexpected command 0x$other%02x")
         }
       }
@@ -357,6 +359,46 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
           Array[Byte](0xFF.toByte, 0x36, 0x13, '#', 'H', 'Y', '0', '0', '0') ++
             ("Slave can not handle replication events with the checksum " +
               "that master is configured to log").getBytes(StandardCharsets.UTF_8))
+        return
+      }
+      var seq = 1
+      def send(ev: Array[Byte]): Unit = {
+        val body = if (checksum) {
+          val crc = new java.util.zip.CRC32(); crc.update(ev)
+          ev ++ le(4)(_.putInt(crc.getValue.toInt))
+        } else ev
+        BinlogWire.writePacket(out, seq, 0.toByte +: body); seq += 1
+      }
+      if ((dump(0) & 0xFF) == 0x1E) {
+        // COM_BINLOG_DUMP_GTID: flags(2)@1 server-id(4)@3 name-len(4)@7
+        // name pos(8) data-len(4) encoded executed set. File name/pos are
+        // ignored in GTID mode — the set alone decides what to stream
+        // (which is the whole point: file names don't survive failover).
+        val db = ByteBuffer.wrap(dump).order(ByteOrder.LITTLE_ENDIAN)
+        val nameLen = db.getInt(7)
+        var q = 11 + nameLen + 8
+        val dataLen = db.getInt(q); q += 4
+        val executed = GtidSet.decode(java.util.Arrays.copyOfRange(dump, q, q + dataLen))
+        send(event(15, 999, 4, new Array[Byte](84))) // FORMAT_DESCRIPTION
+        // fake ROTATE naming the CURRENT file (a restarted primary may
+        // have any fileBase — resume must not care)
+        send(event(4, 999, 0,
+          le(8)(_.putLong(4L)) ++ s"binlog.${"%06d".format(fileBase)}".getBytes))
+        // one transaction per base-fixture rows event, gno 1..4:
+        // GTID → TABLE_MAP → ROWS → XID
+        val rowsEvents = baseFixture.filter { case (_, _, ev) => (ev(4) & 0xFF) != 19 }
+        val maps = baseFixture.filter { case (_, _, ev) => (ev(4) & 0xFF) == 19 }
+        rowsEvents.zipWithIndex.foreach { case ((idx, pos, ev), i) =>
+          val gno = i + 1L
+          if (!executed.contains(serverUuid, gno)) {
+            send(event(33, 1000 + i, pos - 20, // GTID: flags(1) sid(16) gno(8)
+              Array[Byte](1) ++ GtidSet.sidBytes(serverUuid) ++ le(8)(_.putLong(gno))))
+            send(maps(i)._3) // the TABLE_MAP paired with this rows event
+            send(ev)
+            send(event(16, 1000 + i, pos + 10, le(8)(_.putLong(7000 + gno)))) // XID
+          }
+        }
+        BinlogWire.writePacket(out, seq, Array[Byte](0xFE.toByte, 0, 0, 2, 0))
         return
       }
       val db = ByteBuffer.wrap(dump).order(ByteOrder.LITTLE_ENDIAN)
@@ -370,14 +412,6 @@ final class MysqldLoopback(password: String, checksum: Boolean = true,
             ("Could not find first log file name in binary log index file")
               .getBytes(StandardCharsets.UTF_8))
         return
-      }
-      var seq = 1
-      def send(ev: Array[Byte]): Unit = {
-        val body = if (checksum) {
-          val crc = new java.util.zip.CRC32(); crc.update(ev)
-          ev ++ le(4)(_.putInt(crc.getValue.toInt))
-        } else ev
-        BinlogWire.writePacket(out, seq, 0.toByte +: body); seq += 1
       }
       send(event(15, 999, 4, new Array[Byte](84))) // FORMAT_DESCRIPTION
       var lastIdx = startIdx
