@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import graft.SparkSuite
+
+/** `spark.readStream.format("graft-kafka")` — DSv2 micro-batch source over
+  * the real Kafka wire ([[KafkaWire]] + [[KafkaLoopback]]): per-partition
+  * parallel delivery, checkpointed exactly-once restart, backpressure via
+  * maxOffsetsPerTrigger, and startingOffsets semantics. */
+class KafkaStreamSourceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+  private def recs(kvs: (String, String)*): Seq[(Array[Byte], Array[Byte], Long)] =
+    kvs.zipWithIndex.map { case ((k, v), i) => (b(k), b(v), 2000L + i) }
+
+  private def stream(broker: KafkaLoopback, topic: String = "docs",
+                     extra: Map[String, String] = Map.empty) = {
+    val base = spark.readStream.format("graft-kafka")
+      .option("bootstrap", broker.bootstrap)
+      .option("topic", topic)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("delivers records from every partition with offsets and timestamps") {
+    val broker = new KafkaLoopback(numPartitions = 2)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("a", "v0"), ("b", "v1")))
+      broker.append("docs", 1, recs(("c", "v2")))
+      val q = stream(broker).writeStream
+        .format("memory").queryName("kafka_rows").outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("kafka_rows")
+        .selectExpr("cast(value as string)", "partition", "offset", "timestamp")
+        .as[(String, Int, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+      assert(rows === Seq(("v0", 0, 0L, 2000L), ("v1", 0, 1L, 2001L),
+        ("v2", 1, 0L, 2000L)))
+    } finally broker.close()
+  }
+
+  test("restart from checkpoint resumes at the committed log position") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    val ckpt = Files.createTempDirectory("graft-kafka-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = stream(broker).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.selectExpr("offset", "cast(value as string)")
+            .as[(Long, String)].collect()
+          seen.synchronized { seen ++= got }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("k", "first"), ("k", "second")))
+      run()
+      assert(seen.sorted.toSeq === Seq((0L, "first"), (1L, "second")))
+      broker.append("docs", 0, recs(("k", "third")))
+      run() // a NEW query against the same checkpoint
+      assert(seen.sorted.toSeq === Seq((0L, "first"), (1L, "second"), (2L, "third")),
+        "restart re-delivered or skipped records")
+    } finally broker.close()
+  }
+
+  test("maxOffsetsPerTrigger paces batches and splits budget by backlog") {
+    val broker = new KafkaLoopback(numPartitions = 2)
+    try {
+      broker.createTopic("docs")
+      // backlog 6 on p0, 2 on p1
+      broker.append("docs", 0, recs((0 until 6).map(i => (s"k$i", s"p0-$i")): _*))
+      broker.append("docs", 1, recs((0 until 2).map(i => (s"k$i", s"p1-$i")): _*))
+      val sizes = mutable.ArrayBuffer.empty[Long]
+      val q = stream(broker, extra = Map("maxOffsetsPerTrigger" -> "4"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += batch.count() }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val delivered = sizes.filter(_ > 0)
+      assert(delivered.sum === 8L, s"expected all 8 rows, got $sizes")
+      assert(delivered.forall(_ <= 4L), s"a batch exceeded the trigger cap: $sizes")
+      assert(delivered.size >= 2, "cap of 4 cannot deliver 8 rows in one batch")
+    } finally broker.close()
+  }
+
+  test("startingOffsets=latest skips the existing backlog") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("k", "old-1"), ("k", "old-2")))
+      val q = stream(broker, extra = Map("startingOffsets" -> "latest"))
+        .writeStream
+        .format("memory").queryName("kafka_latest").outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        broker.append("docs", 0, recs(("k", "new-1")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("kafka_latest")
+        .selectExpr("cast(value as string)").as[String].collect().toSeq
+      assert(rows === Seq("new-1"))
+    } finally broker.close()
+  }
+
+  test("composes with from_json parsing into typed columns downstream") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(
+        ("1", """{"doc_id": 1, "text": "hello world"}"""),
+        ("2", """{"doc_id": 2, "text": "kafka wire"}""")))
+      val q = stream(broker)
+        .selectExpr("from_json(cast(value as string), 'doc_id BIGINT, text STRING') j")
+        .select("j.doc_id", "j.text")
+        .writeStream
+        .format("memory").queryName("kafka_typed").outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("kafka_typed").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(rows === Seq((1L, "hello world"), (2L, "kafka wire")))
+    } finally broker.close()
+  }
+}

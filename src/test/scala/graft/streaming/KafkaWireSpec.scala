@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol-level coverage for [[KafkaWire]] against [[KafkaLoopback]]:
+  * record-batch v2 encode/decode (CRC32C, varints, gzip), the five RPCs,
+  * batch-spanning fetches, max_bytes truncation, and error surfaces. */
+class KafkaWireSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+  private def recs(kvs: (String, String)*): Seq[(Array[Byte], Array[Byte], Long)] =
+    kvs.zipWithIndex.map { case ((k, v), i) =>
+      (if (k == null) null else b(k), b(v), 1000L + i)
+    }
+
+  test("record batch v2 round-trips: offsets, timestamps, null keys") {
+    val batch = KafkaWire.encodeBatch(42L, recs(("k0", "v0"), (null, "v1"), ("k2", "v2")))
+    val out = KafkaWire.decodeBatches(batch, Long.MinValue, Long.MaxValue)
+    assert(out.map(_.offset) === Seq(42L, 43L, 44L))
+    assert(out.map(_.timestamp) === Seq(1000L, 1001L, 1002L))
+    assert(out(0).key.toSeq === b("k0").toSeq)
+    assert(out(1).key === null)
+    assert(out.map(r => new String(r.value, UTF_8)) === Seq("v0", "v1", "v2"))
+  }
+
+  test("gzip-compressed batches decode; unsupported codecs fail actionably") {
+    val batch = KafkaWire.encodeBatch(0L, recs(("k", "v" * 500)), KafkaWire.CodecGzip)
+    val out = KafkaWire.decodeBatches(batch, 0, 10)
+    assert(new String(out.head.value, UTF_8) === "v" * 500)
+    // forge attributes to snappy (codec 2): attributes live at bytes 21-22,
+    // inside the CRC span — recompute the CRC so ONLY the codec check trips
+    val forged = KafkaWire.encodeBatch(0L, recs(("k", "v")))
+    forged(22) = 2
+    val crc = new java.util.zip.CRC32C
+    crc.update(forged, 21, forged.length - 21)
+    val c = crc.getValue.toInt
+    forged(17) = (c >>> 24).toByte; forged(18) = (c >>> 16).toByte
+    forged(19) = (c >>> 8).toByte; forged(20) = c.toByte
+    val e = intercept[IllegalStateException](KafkaWire.decodeBatches(forged, 0, 10))
+    assert(e.getMessage.contains("snappy"))
+  }
+
+  test("CRC32C validation rejects a flipped payload bit") {
+    val batch = KafkaWire.encodeBatch(0L, recs(("k", "hello")))
+    batch(batch.length - 3) = (batch(batch.length - 3) ^ 0x01).toByte
+    val e = intercept[IllegalStateException](
+      KafkaWire.decodeBatches(batch, Long.MinValue, Long.MaxValue))
+    assert(e.getMessage.contains("CRC32C"))
+  }
+
+  test("truncated trailing batch (broker max_bytes cut) is skipped, not fatal") {
+    val b1 = KafkaWire.encodeBatch(0L, recs(("a", "1"), ("b", "2")))
+    val b2 = KafkaWire.encodeBatch(2L, recs(("c", "3")))
+    val cut = b1 ++ b2.take(b2.length / 2)
+    val out = KafkaWire.decodeBatches(cut, Long.MinValue, Long.MaxValue)
+    assert(out.map(_.offset) === Seq(0L, 1L))
+  }
+
+  test("produce assigns broker offsets; fetch returns them; metadata/listOffsets agree") {
+    val broker = new KafkaLoopback(numPartitions = 2)
+    try {
+      broker.createTopic("t")
+      val conn = new KafkaWire.Conn("127.0.0.1", broker.port)
+      try {
+        val versions = conn.apiVersions()
+        assert(versions(KafkaWire.ApiFetch)._2 >= 4)
+        val meta = conn.metadata(Seq("t"))
+        assert(meta.topics.head.partitions.map(_.partition).sorted === Seq(0, 1))
+        assert(conn.produce("t", 0, KafkaWire.encodeBatch(0L, recs(("k1", "v1"), ("k2", "v2")))) === 0L)
+        assert(conn.produce("t", 0, KafkaWire.encodeBatch(0L, recs(("k3", "v3")))) === 2L)
+        assert(conn.listOffset("t", 0, KafkaWire.EarliestTimestamp) === 0L)
+        assert(conn.listOffset("t", 0, KafkaWire.LatestTimestamp) === 3L)
+        assert(conn.listOffset("t", 1, KafkaWire.LatestTimestamp) === 0L)
+        val (bytes, hw) = conn.fetch("t", 0, 0L)
+        assert(hw === 3L)
+        val out = KafkaWire.decodeBatches(bytes, 0L, hw)
+        assert(out.map(r => new String(r.value, UTF_8)) === Seq("v1", "v2", "v3"))
+      } finally conn.close()
+    } finally broker.close()
+  }
+
+  test("readRange trims batch-spanning fetches to the exact half-open range") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("t")
+      broker.append("t", 0, recs(("a", "0"), ("b", "1"), ("c", "2")))
+      broker.append("t", 0, recs(("d", "3"), ("e", "4")))
+      // [1, 4): spans both batches, trims head of the first and tail of the second
+      val out = KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 1L, 4L)
+      assert(out.map(_.offset) === Seq(1L, 2L, 3L))
+      assert(out.map(r => new String(r.value, UTF_8)) === Seq("1", "2", "3"))
+      // empty range
+      assert(KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 4L, 4L).isEmpty)
+    } finally broker.close()
+  }
+
+  test("readRange survives max_bytes truncation by re-fetching from the cut") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("t")
+      (0 until 10).foreach(i =>
+        broker.append("t", 0, recs((s"k$i", "x" * 2000))))
+      // ~2 KB per batch, 4 KB budget: every fetch returns 1 full + 1 cut batch
+      val out = KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 0L, 10L,
+        maxBytes = 4096)
+      assert(out.map(_.offset) === (0L until 10L))
+    } finally broker.close()
+  }
+
+  test("a truncated (retention-expired) range fails loudly, never skips") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("t")
+      broker.append("t", 0, recs(("a", "0"), ("b", "1")))
+      broker.append("t", 0, recs(("c", "2"), ("d", "3")))
+      broker.truncateBelow("t", 0, 2L)
+      val e = intercept[IllegalStateException](
+        KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 0L, 4L))
+      assert(e.getMessage.contains("out of range") || e.getMessage.contains("drained"))
+      // the retained suffix still reads fine
+      assert(KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 2L, 4L)
+        .map(_.offset) === Seq(2L, 3L))
+    } finally broker.close()
+  }
+
+  test("gzip batches survive the produce→store→fetch wire round-trip") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("t")
+      broker.append("t", 0, recs(("k", "payload-α")), codec = KafkaWire.CodecGzip)
+      val out = KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 0L, 1L)
+      assert(new String(out.head.value, UTF_8) === "payload-α")
+    } finally broker.close()
+  }
+}
