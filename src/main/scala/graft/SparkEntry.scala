@@ -1211,7 +1211,44 @@ object SparkEntry {
       TextOps.slidingChunks(t(s, d, "documents"), window = 64, stride = 48)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
           md5(col("chunk")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    /** HTML → text extraction ([[TextOps.extractHtmlText]]): each doc is
+      * wrapped in a deterministic HTML page (style + script blocks, a
+      * comment, block tags, `&nbsp;`-encoded body spaces, an `&amp;lt;`
+      * double-escape probe) and the codegen regexp cascade must recover
+      * the text — script/style content gone, entities decoded exactly
+      * once, whitespace normalized. Emits md5 + length of the result. */
+    "text_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- generator: graft --><p>"),
+        replace(col("text"), lit(" "), lit("&nbsp;")),
+        lit("</p><ul><li>source &amp; "), col("source"),
+        lit(" &amp;lt; tail</li></ul></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.extractHtmlText(html).as("extracted"))
+        .select(col("doc_id"), md5(col("extracted")).as("extract_md5"),
+          length(col("extracted")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    /** Per-domain link census ([[TextOps.domainCensus]]): URLs planted
+      * deterministically into each doc (a `www.`-prefixed https URL with
+      * a query string, and a mixed-case http URL followed by a prose
+      * period the extractor must not eat), then extract → normalize
+      * domain → count mentions and citing docs. The shuffle carries
+      * (domain, doc_id) pairs only, never text. */
+    "text_url_census" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("See https://www."), col("source"),
+          lit(".example.com/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?ref=1 and http://cdn-"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.ORG/asset.js. "), col("text")).as("text"))
+      TextOps.domainCensus(planted).orderBy("domain")
+    })
   )
 
   // ====================================================================
@@ -2071,6 +2108,54 @@ object SparkEntry {
         CAST(LEAST(64, n - chunk_id * 48) AS INTEGER) AS n_tokens,
         md5(array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
       FROM ch ORDER BY doc_id, chunk_id""",
+
+    /** HTML extraction replay: identical page construction, then the
+      * same RE2-safe regex cascade (DuckDB needs the explicit 'g' and
+      * chr(10) replacements; the patterns are shared verbatim with
+      * [[graft.ops.TextOps.extractHtmlText]]). */
+    "text_html_extract" -> """
+      WITH page AS (SELECT doc_id,
+        '<html><head><style>p{color:red}</style><script>var x = 1 < 2;</script></head><body><h1>Doc '
+        || CAST(doc_id AS VARCHAR) || '</h1><!-- generator: graft --><p>'
+        || replace(text, ' ', '&nbsp;') || '</p><ul><li>source &amp; '
+        || source || ' &amp;lt; tail</li></ul></body></html>' AS html
+        FROM documents),
+      dropped AS (SELECT doc_id, regexp_replace(html,
+        '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+        '', 'g') AS s FROM page),
+      blocks AS (SELECT doc_id, regexp_replace(s,
+        '(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre)\b[^>]*>|<br ?/?>',
+        chr(10), 'g') AS s FROM dropped),
+      untagged AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', '', 'g') AS s FROM blocks),
+      decoded AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(replace(s,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS s FROM untagged),
+      squeezed AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+          '[ \t\r]+', ' ', 'g'),
+          ' ?\n ?', chr(10), 'g'),
+          '\n{3,}', chr(10) || chr(10), 'g'),
+          '^\s+|\s+$', '', 'g') AS s FROM decoded)
+      SELECT doc_id, md5(s) AS extract_md5, CAST(length(s) AS INTEGER) AS n_chars
+      FROM squeezed ORDER BY doc_id""",
+
+    /** Domain census replay: same planted URLs, same RE2 extraction and
+      * `www.`-stripping normalization. */
+    "text_url_census" -> """
+      WITH planted AS (SELECT doc_id,
+        'See https://www.' || source || '.example.com/p/'
+        || CAST(doc_id % 50 AS VARCHAR) || '?ref=1 and http://cdn-'
+        || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG/asset.js. ' || text AS text
+        FROM documents),
+      urls AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        'https?://[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+(?:/[A-Za-z0-9._~%/?#=&+-]*[A-Za-z0-9_~%/=&+-]|/)?')) AS url
+        FROM planted),
+      doms AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url,
+        'https?://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)', 1)), '^www\.', '') AS domain
+        FROM urls)
+      SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
+      FROM doms GROUP BY domain ORDER BY domain""",
 
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.

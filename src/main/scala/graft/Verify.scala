@@ -7,7 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // First statement: make a slow JVM startup (heap pre-touch) visible.
     System.err.println(s"[verify] JVM main entered; heap=${Runtime.getRuntime.maxMemory() >> 20}MiB")
-    val Array(sfDir, outDir) = args
+    // optional third arg: substring filter on query names (dev iteration;
+    // the driver always passes exactly two)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f))
+      case _ => throw new IllegalArgumentException(
+        "usage: Verify <sfDir> <outDir> [nameFilter]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +30,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -454,4 +454,93 @@ object TextOps {
         array_join(slice(col("tk"), col("chunk_id") * stride + 1, lit(window)), " ")
           .as("chunk"))
   }
+
+  // ------------------------------------------------------------------
+  // HTML → text extraction
+  // ------------------------------------------------------------------
+
+  /** The boilerplate-drop pass: script/style blocks (their CONTENT is
+    * code, not text) and comments. RE2-compatible on purpose — no
+    * backreferences, so the identical strings run under DuckDB's RE2
+    * (hence `<script…</script>` and `<style…</style>` spelled out
+    * instead of a `\1` backref). */
+  val HtmlDropRe: String =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+  /** Structural (block-level) tags become newlines so paragraph breaks
+    * survive extraction — paragraph dedup and quality scoring downstream
+    * depend on them. `<br>` and self-closing variants included. */
+  val HtmlBlockRe: String =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|pre)\\b[^>]*>|<br ?/?>"
+  /** Everything else (`<b>`, `<a href…>`, …) is inline: removed outright
+    * so `foo<b>bar</b>` stays `foobar`. */
+  val HtmlTagRe: String = "<[^>]*>"
+
+  /** HTML → plain text as a pure codegen `regexp_replace`/`replace`
+    * cascade (the web-corpus extraction step every CommonCrawl-style
+    * pipeline runs before quality filtering): drop script/style/comments,
+    * turn block tags into newlines, strip inline tags, decode the common
+    * named entities (`&amp;` LAST, so `&amp;lt;` correctly yields the
+    * literal `&lt;` and never a stray `<`), then normalize whitespace
+    * (runs of spaces/tabs → one space, spaces hugging newlines dropped,
+    * 3+ newlines → paragraph break, trim).
+    *
+    * Numeric character references (`&#8217;`-style) are NOT decoded —
+    * that needs per-match arithmetic no regexp_replace can express; they
+    * pass through verbatim and are left to a downstream normalizer.
+    * Shared verbatim with the DuckDB oracle (same regexes + 'g'). */
+  def extractHtmlText(html: Column): Column = {
+    val structural = regexp_replace(
+      regexp_replace(html, HtmlDropRe, ""), HtmlBlockRe, "\n")
+    val untagged = regexp_replace(structural, HtmlTagRe, "")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last — see scaladoc
+    ).foldLeft(untagged) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val squeezed = regexp_replace(
+      regexp_replace(
+        regexp_replace(decoded, "[ \\t\\r]+", " "),
+        " ?\\n ?", "\n"),
+      "\\n{3,}", "\n\n")
+    // \s-trim, not trim(): leading/trailing NEWLINES from block tags at
+    // the document edges must go too
+    regexp_replace(squeezed, "^\\s+|\\s+$", "")
+  }
+
+  // ------------------------------------------------------------------
+  // URL extraction / normalization
+  // ------------------------------------------------------------------
+
+  /** http(s) URLs as they appear in running text: scheme + dotted host
+    * (≥ 2 labels, so a sentence-final `.` is never eaten) + an optional
+    * path/query that must END in a non-punctuation char — `…/asset.js.`
+    * matches `…/asset.js`, leaving the prose period behind.
+    * RE2-compatible (no backrefs/lookarounds). */
+  val UrlRe: String =
+    "https?://[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+(?:/[A-Za-z0-9._~%/?#=&+-]*[A-Za-z0-9_~%/=&+-]|/)?"
+  /** Host part of a URL match (group 1). */
+  val UrlHostRe: String = "https?://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+)"
+
+  /** All URLs in a text column, in order, as an array. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable-domain normalization of a URL (or bare host): lowercase
+    * host, `www.` prefix dropped. (True eTLD+1 needs the public-suffix
+    * list — out of scope; `www.` covers the dominant alias in practice.) */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, UrlHostRe, 1)), "^www\\.", "")
+
+  /** Per-domain link census over a corpus: explode every URL mention,
+    * normalize to domain, count mentions and distinct citing docs. The
+    * shuffle carries (domain, doc_id) pairs only — never text — so at
+    * 100 TB this moves gigabytes, not the corpus. */
+  def domainCensus(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(extractUrls(col(textCol))).as("url"))
+      .select(col(idCol), urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col(idCol)).as("n_docs"))
 }

@@ -249,6 +249,34 @@ class PlanContractsSpec extends SparkSuite {
       "keep join degenerated to a loop join")
   }
 
+  test("html extraction is shuffle-free codegen; domain census shuffles pairs only") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the regexp cascade is a pure per-row projection — zero Exchange
+    val ext = docs.select(col("doc_id"),
+      graft.ops.TextOps.extractHtmlText(col("text")).as("x"))
+    val pExt = ext.queryExecution.executedPlan.toString
+    assert(!pExt.contains("Exchange"),
+      "extractHtmlText grew a shuffle — it is a per-row regexp cascade:\n" + pExt)
+    val codegen = ext.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, "extraction fell out of whole-stage codegen")
+    // the census aggregates AFTER projecting down to (doc_id, domain):
+    // no text column may reach the exchange
+    val census = graft.ops.TextOps.domainCensus(docs)
+    val pc = census.queryExecution.executedPlan.toString
+    // the exchange is keyed by (domain, doc_id) AFTER a map-side partial
+    // aggregate — text is projected away before any byte shuffles
+    assert(pc.contains("Exchange hashpartitioning(domain"),
+      "domainCensus lost its domain-keyed aggregate shuffle:\n" + pc)
+    assert(pc.contains("partial_count"),
+      "domainCensus lost its map-side partial aggregate")
+    assert(!pc.split('\n').exists(l => l.contains("Exchange") && l.contains("text#")),
+      "domainCensus shuffles the raw text column — census must project " +
+        "to (doc_id, domain) before the exchange:\n" + pc)
+  }
+
   test("sliding chunking is pure explode+slice: no shuffle at all before the sink") {
     import org.apache.spark.sql.functions.col
     val df = graft.ops.TextOps.slidingChunks(

@@ -869,4 +869,43 @@ class OpsSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     assert(bySrc === again)
   }
+
+  test("extractHtmlText: tags, entities, whitespace — and the decode-order pin") {
+    def ext(html: String): String = Seq(Tuple1(html)).toDF("h")
+      .select(TextOps.extractHtmlText(col("h")).as("x")).as[String].head()
+    // script/style CONTENT removed, comments removed, block tags break lines
+    assert(ext("<html><style>p{}</style><script>if (1<2) alert('x')</script>" +
+      "<h1>Title</h1><!-- hidden --><p>one</p><p>two</p></html>")
+      === "Title\n\none\n\ntwo") // adjacent block tags = paragraph break
+    // inline tags vanish without injecting spaces
+    assert(ext("fo<b>o</b> <a href=\"/x\">bar</a>") === "foo bar")
+    // entity decode happens exactly once: &amp;lt; is the LITERAL "&lt;"
+    assert(ext("a &lt; b &amp; c &amp;lt; d&nbsp;e") === "a < b & c &lt; d e")
+    // numeric refs pass through undecoded (documented non-goal)
+    assert(ext("it&#8217;s") === "it&#8217;s")
+    // whitespace: tabs/CRs squeeze, spaces around newlines drop, 3+ newlines
+    // collapse to a paragraph break, edges \s-trimmed
+    assert(ext("<div> <p>a\t\tb </p>\r\n<p></p><p></p><p>c</p> </div>")
+      === "a b\n\nc")
+  }
+
+  test("URL extraction stops at prose punctuation; domains normalize") {
+    val d = Seq(
+      (1L, "See https://www.News.Example.com/p/3?ref=1 and http://cdn-2.example.org/a.js. End."),
+      (2L, "Bare host https://example.com. Another https://sub.example.com/ here"),
+      (3L, "no links at all"))
+      .toDF("doc_id", "text")
+    val urls = d.select(col("doc_id"),
+        TextOps.extractUrls(col("text")).as("u"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(urls(1L) === Seq("https://www.News.Example.com/p/3?ref=1",
+      "http://cdn-2.example.org/a.js")) // trailing prose '.' not eaten
+    assert(urls(2L) === Seq("https://example.com", "https://sub.example.com/"))
+    assert(urls(3L) === Seq.empty)
+    val census = TextOps.domainCensus(d).orderBy("domain")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(census === Seq(("cdn-2.example.org", 1L, 1L),
+      ("example.com", 1L, 1L), ("news.example.com", 1L, 1L),
+      ("sub.example.com", 1L, 1L)))
+  }
 }
