@@ -79,11 +79,21 @@ final case class KafkaStreamOptions(raw: Map[String, String]) {
   val maxBytesPerFetch: Int = ci("maxBytesPerFetch").map(_.trim.toInt).getOrElse(4 << 20)
 }
 
-class KafkaStreamTable(opts: KafkaStreamOptions) extends Table with SupportsRead {
+class KafkaStreamTable(opts: KafkaStreamOptions) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-kafka(${opts.topics.mkString(",")})"
   override def schema(): StructType = KafkaStreamSource.Schema
+  // ACCEPT_ANY_SCHEMA: the WRITE schema is the incoming DataFrame's
+  // (value/key/partition/timestamp contract, validated in KafkaSink
+  // .planColumns), not the fixed read schema above
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KafkaWriteBuilder(opts, info)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this

@@ -1,0 +1,496 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch PostgreSQL logical-replication client (JDK sockets only),
+  * completing the CDC story next to [[BinlogWire]]: MySQL replicates via
+  * the binlog dump protocol, Postgres via a walsender connection streaming
+  * `pgoutput` change messages — together they cover the two dominant OLTP
+  * sources a 100 TB lake ingests from.
+  *
+  * Speaks the real frontend/backend protocol v3 (postgresql.org/docs/
+  * current/protocol.html): startup with `replication=database`,
+  * SCRAM-SHA-256 / MD5 / cleartext auth (SCRAM per RFC 7677 with mutual
+  * server-signature verification, same construction as
+  * [[graft.sources.MongoWire]]'s), walsender grammar (`IDENTIFY_SYSTEM`,
+  * `CREATE_REPLICATION_SLOT … LOGICAL pgoutput`, `START_REPLICATION SLOT
+  * … LOGICAL lsn (proto_version '1', publication_names …)`), CopyBoth
+  * streaming with XLogData/keepalive frames and standby status updates,
+  * and the pgoutput v1 message set (Begin/Commit/Relation/Type/Insert/
+  * Update/Delete/Truncate, text-format tuples).
+  *
+  * Pull model mirrors [[BinlogWire.pull]]: one bounded drain per
+  * micro-batch over a fresh connection starting at the checkpointed LSN —
+  * the slot's `confirmed_flush_lsn` is advanced by the status updates we
+  * send, so the server trims WAL behind consumed offsets. Single socket
+  * per pull by protocol design (a slot has one consumer); parallelism
+  * lives in the demux sink, exactly like the binlog source.
+  *
+  * Delete/update old images follow the table's REPLICA IDENTITY: `K` key
+  * images carry key columns only, `O` full old rows; unchanged TOAST
+  * columns arrive as `u` markers and are listed in the payload's
+  * `"_unchanged"` array (absent ≠ NULL — same contract as the binlog
+  * source's `"_omitted"`). */
+object PgWire {
+
+  final case class PgEvent(db: String, table: String, op: String,
+                           tsMs: Long, lsn: Long, payload: String)
+
+  /** Microseconds 2000-01-01 epoch → milliseconds unix epoch. */
+  private val PgEpochMs = 946684800000L
+  private def pgTsToMs(micros: Long): Long = micros / 1000L + PgEpochMs
+
+  def parseLsn(s: String): Long = {
+    val i = s.indexOf('/')
+    require(i > 0, s"bad LSN '$s'")
+    (java.lang.Long.parseLong(s.substring(0, i), 16) << 32) |
+      java.lang.Long.parseLong(s.substring(i + 1), 16)
+  }
+  def formatLsn(lsn: Long): String =
+    f"${(lsn >>> 32).toHexString.toUpperCase}%s/${(lsn & 0xffffffffL).toHexString.toUpperCase}%s"
+
+  // ======================================================================
+  // framing
+  // ======================================================================
+
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  private def send(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+    if (tpe != 0) out.writeByte(tpe)
+    out.writeInt(body.length + 4)
+    out.write(body)
+    out.flush()
+  }
+
+  /** (type, body) of the next backend message. */
+  private def recv(in: DataInputStream): (Char, Array[Byte]) = {
+    val tpe = in.readByte().toChar
+    val len = in.readInt()
+    require(len >= 4 && len < (1 << 26), s"implausible pg message length $len")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (tpe, body)
+  }
+
+  private final class BodyReader(b: Array[Byte]) {
+    private var p = 0
+    def i8(): Int = { val v = b(p) & 0xff; p += 1; v }
+    def i16(): Int = { val v = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; v }
+    def i32(): Int = {
+      val v = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      p += 4; v
+    }
+    def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
+    def cstring(): String = {
+      val start = p
+      while (b(p) != 0) p += 1
+      val s = new String(b, start, p - start, UTF_8)
+      p += 1; s
+    }
+    def bytes(n: Int): Array[Byte] = { val v = b.slice(p, p + n); p += n; v }
+    def remaining: Int = b.length - p
+    def hasNext: Boolean = p < b.length
+  }
+
+  private def errorMessage(body: Array[Byte]): String = {
+    val r = new BodyReader(body)
+    val fields = mutable.Map.empty[Char, String]
+    var t = r.i8()
+    while (t != 0) { fields(t.toChar) = r.cstring(); t = r.i8() }
+    s"${fields.getOrElse('S', "ERROR")} ${fields.getOrElse('C', "")}: " +
+      fields.getOrElse('M', "(no message)")
+  }
+
+  // ======================================================================
+  // auth
+  // ======================================================================
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+  private def hmac256(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg.getBytes(UTF_8))
+  }
+  private def pbkdf2(password: String, salt: Array[Byte], iters: Int): Array[Byte] =
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iters, 256)).getEncoded
+  private def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+  private def saslAttrs(s: String): Map[String, String] =
+    s.split(",").iterator.map { kv =>
+      val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  private[streaming] def randomNonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Run the server-driven auth loop until AuthenticationOk. */
+  private def authenticate(in: DataInputStream, out: DataOutputStream,
+                           user: String, password: String,
+                           nonce: () => String): Unit = {
+    var scramState: Option[(String, String, Array[Byte])] = None // bare, cnonce, salted
+    var done = false
+    while (!done) {
+      val (tpe, body) = recv(in)
+      tpe match {
+        case 'E' => throw new IllegalStateException("pg auth error: " + errorMessage(body))
+        case 'R' =>
+          val r = new BodyReader(body)
+          r.i32() match {
+            case 0 => done = true
+            case 3 => // cleartext
+              send(out, 'p', cstr(password))
+            case 5 => // md5(md5(password+user)+salt)
+              val salt = r.bytes(4)
+              val inner = md5hex((password + user).getBytes(UTF_8))
+              send(out, 'p', cstr("md5" + md5hex(inner.getBytes(UTF_8) ++ salt)))
+            case 10 => // SASL mechanism list
+              val mechs = Iterator.continually(
+                if (r.hasNext) r.cstring() else "").takeWhile(_.nonEmpty).toSeq
+              require(mechs.contains("SCRAM-SHA-256"),
+                s"server offers no SCRAM-SHA-256 (got ${mechs.mkString(",")})")
+              val cnonce = nonce()
+              val bare = s"n=,r=$cnonce" // pg ignores the SCRAM username field
+              val initial = ("n,," + bare).getBytes(UTF_8)
+              val msg = new ArrayBuffer[Byte]()
+              msg ++= cstr("SCRAM-SHA-256")
+              msg += ((initial.length >> 24) & 0xff).toByte
+              msg += ((initial.length >> 16) & 0xff).toByte
+              msg += ((initial.length >> 8) & 0xff).toByte
+              msg += (initial.length & 0xff).toByte
+              msg ++= initial
+              send(out, 'p', msg.toArray)
+              scramState = Some((bare, cnonce, Array.emptyByteArray))
+            case 11 => // SASL continue: server-first
+              val (bare, cnonce, _) = scramState.getOrElse(
+                throw new IllegalStateException("SASLContinue before SASL start"))
+              val serverFirst = new String(body, 4, body.length - 4, UTF_8)
+              val attrs = saslAttrs(serverFirst)
+              val fullNonce = attrs("r")
+              require(fullNonce.startsWith(cnonce) && fullNonce.length > cnonce.length,
+                "server nonce does not extend the client nonce")
+              val iters = attrs("i").toInt
+              require(iters >= 4096, s"refusing weak SCRAM iteration count $iters")
+              val salted = pbkdf2(password, unb64(attrs("s")), iters)
+              val clientKey = hmac256(salted, "Client Key")
+              val withoutProof = s"c=biws,r=$fullNonce"
+              val authMessage = s"$bare,$serverFirst,$withoutProof"
+              val clientSig = hmac256(sha256(clientKey), authMessage)
+              val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+              send(out, 'p', s"$withoutProof,p=${b64(proof)}".getBytes(UTF_8))
+              scramState = Some((authMessage, cnonce, salted))
+            case 12 => // SASL final: verify v=
+              val (authMessage, _, salted) = scramState.getOrElse(
+                throw new IllegalStateException("SASLFinal before SASL continue"))
+              val serverFinal = new String(body, 4, body.length - 4, UTF_8)
+              val serverSig = hmac256(hmac256(salted, "Server Key"), authMessage)
+              require(java.util.Arrays.equals(unb64(saslAttrs(serverFinal)("v")), serverSig),
+                "server signature mismatch — peer does not hold this credential")
+            case other =>
+              throw new IllegalStateException(s"unsupported pg auth method $other")
+          }
+        case other =>
+          throw new IllegalStateException(s"unexpected message '$other' during auth")
+      }
+    }
+  }
+
+  // ======================================================================
+  // connection
+  // ======================================================================
+
+  /** Connect + auth a walsender session (`replication=database`). Returns
+    * (socket, in, out) after ReadyForQuery. */
+  private def connect(host: String, port: Int, user: String, password: String,
+                      database: String, nonce: () => String): (Socket, DataInputStream, DataOutputStream) = {
+    val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    val in = new DataInputStream(socket.getInputStream)
+    val out = new DataOutputStream(socket.getOutputStream)
+    val params = ArrayBuffer.empty[Byte]
+    params ++= Array[Byte](0, 3, 0, 0) // protocol 3.0
+    Seq("user" -> user, "database" -> database, "replication" -> "database")
+      .foreach { case (k, v) => params ++= cstr(k); params ++= cstr(v) }
+    params += 0
+    send(out, 0.toChar, params.toArray) // startup has no type byte
+    authenticate(in, out, user, password, nonce)
+    // drain ParameterStatus/BackendKeyData/NoticeResponse until ReadyForQuery
+    var ready = false
+    while (!ready) {
+      val (tpe, body) = recv(in)
+      tpe match {
+        case 'Z' => ready = true
+        case 'S' | 'K' | 'N' => // parameter status / backend key / notice
+        case 'E' => throw new IllegalStateException("pg startup error: " + errorMessage(body))
+        case other => throw new IllegalStateException(s"unexpected '$other' before ReadyForQuery")
+      }
+    }
+    (socket, in, out)
+  }
+
+  /** Simple query returning the DataRows as text matrices (walsender
+    * result sets are small: IDENTIFY_SYSTEM, slot creation). */
+  private def simpleQuery(in: DataInputStream, out: DataOutputStream,
+                          sql: String): Seq[Seq[String]] = {
+    send(out, 'Q', cstr(sql))
+    val rows = ArrayBuffer.empty[Seq[String]]
+    var done = false
+    var error: Option[String] = None
+    while (!done) {
+      val (tpe, body) = recv(in)
+      tpe match {
+        case 'T' | 'N' => // row description / notice: field names unused
+        case 'D' =>
+          val r = new BodyReader(body)
+          val n = r.i16()
+          rows += (0 until n).map { _ =>
+            val len = r.i32()
+            if (len < 0) null else new String(r.bytes(len), UTF_8)
+          }
+        case 'C' | 'I' => // command complete / empty query
+        case 'E' => error = Some(errorMessage(body))
+        case 'Z' => done = true
+        case other => throw new IllegalStateException(s"unexpected '$other' in query response")
+      }
+    }
+    error.foreach(m => throw new IllegalStateException(s"pg query failed: $m"))
+    rows.toSeq
+  }
+
+  /** `IDENTIFY_SYSTEM` → current WAL flush position. */
+  def identifySystem(host: String, port: Int, user: String, password: String,
+                     database: String,
+                     nonce: () => String = randomNonce): Long = {
+    val (socket, in, out) = connect(host, port, user, password, database, nonce)
+    try {
+      val rows = simpleQuery(in, out, "IDENTIFY_SYSTEM")
+      require(rows.nonEmpty, "IDENTIFY_SYSTEM returned no rows")
+      parseLsn(rows.head(2)) // (systemid, timeline, xlogpos, dbname)
+    } finally socket.close()
+  }
+
+  /** `CREATE_REPLICATION_SLOT slot LOGICAL pgoutput` → consistent point.
+    * An already-existing slot (SQLSTATE 42710) is fine: resume uses it. */
+  def createSlot(host: String, port: Int, user: String, password: String,
+                 database: String, slot: String,
+                 nonce: () => String = randomNonce): Option[Long] = {
+    val (socket, in, out) = connect(host, port, user, password, database, nonce)
+    try {
+      try {
+        val rows = simpleQuery(in, out,
+          s"""CREATE_REPLICATION_SLOT "$slot" LOGICAL pgoutput""")
+        rows.headOption.map(r => parseLsn(r(1))) // (slot, consistent_point, …)
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("42710") => None
+      }
+    } finally socket.close()
+  }
+
+  // ======================================================================
+  // pgoutput decode
+  // ======================================================================
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private final case class Relation(namespace: String, name: String,
+                                    columns: Seq[String])
+
+  /** TupleData → (json fields, unchanged-toast column names). */
+  private def readTuple(r: BodyReader, rel: Relation): (Seq[String], Seq[String]) = {
+    val n = r.i16()
+    val fields = ArrayBuffer.empty[String]
+    val unchanged = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      val col = if (i < rel.columns.size) rel.columns(i) else s"_col$i"
+      (r.i8().toChar: @unchecked) match {
+        case 'n' => fields += s""""${jsonEscape(col)}":null"""
+        case 'u' => unchanged += col // unchanged TOAST: value not shipped
+        case 't' =>
+          val len = r.i32()
+          val v = new String(r.bytes(len), UTF_8)
+          fields += s""""${jsonEscape(col)}":"${jsonEscape(v)}""""
+        case 'b' => throw new IllegalStateException(
+          "binary-format tuple in pgoutput v1 — this client requests text format")
+      }
+      i += 1
+    }
+    (fields.toSeq, unchanged.toSeq)
+  }
+
+  private def payloadJson(fields: Seq[String], unchanged: Seq[String],
+                          old: Option[(Seq[String], Seq[String])]): String = {
+    val sb = new StringBuilder("{")
+    sb.append(fields.mkString(","))
+    old.foreach { case (of, _) =>
+      if (fields.nonEmpty) sb.append(',')
+      sb.append("\"_before\":{").append(of.mkString(",")).append('}')
+    }
+    if (unchanged.nonEmpty) {
+      if (sb.length > 1) sb.append(',')
+      sb.append("\"_unchanged\":[")
+        .append(unchanged.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
+        .append(']')
+    }
+    sb.append('}').toString
+  }
+
+  // ======================================================================
+  // pull
+  // ======================================================================
+
+  /** One bounded drain of the slot from `startLsn` (exclusive of already-
+    * confirmed positions): connect, `START_REPLICATION`, decode pgoutput
+    * frames into [[PgEvent]]s until `maxEvents` rows are decoded or the
+    * server goes idle (keepalive with `walEnd` at our position), then
+    * confirm the last consumed LSN via a standby status update and close.
+    *
+    * Events carry the commit timestamp of their transaction (pgoutput
+    * sends Begin before rows) and the XLogData start LSN as offset. */
+  def pull(host: String, port: Int, user: String, password: String,
+           database: String, slot: String, publication: String,
+           startLsn: Long, maxEvents: Int,
+           nonce: () => String = randomNonce): Seq[PgEvent] = {
+    val (socket, in, out) = connect(host, port, user, password, database, nonce)
+    socket.setSoTimeout(10000)
+    try {
+      send(out, 'Q', cstr(
+        s"""START_REPLICATION SLOT "$slot" LOGICAL ${formatLsn(startLsn)} """ +
+          s"""(proto_version '1', publication_names '"$publication"')"""))
+      // expect CopyBothResponse (or an error, e.g. slot in use / missing)
+      var copying = false
+      while (!copying) {
+        val (tpe, body) = recv(in)
+        tpe match {
+          case 'W' => copying = true
+          case 'E' => throw new IllegalStateException(
+            "START_REPLICATION failed: " + errorMessage(body))
+          case 'N' =>
+          case other => throw new IllegalStateException(
+            s"unexpected '$other' waiting for CopyBothResponse")
+        }
+      }
+      val relations = mutable.Map.empty[Int, Relation]
+      val events = ArrayBuffer.empty[PgEvent]
+      var commitTsMs = 0L
+      var lastLsn = startLsn
+      var idle = false
+      def statusUpdate(replyRequested: Boolean): Unit = {
+        val b = ArrayBuffer.empty[Byte]
+        b += 'r'.toByte
+        def i64(v: Long): Unit = (7 to 0 by -1).foreach(s => b += ((v >>> (8 * s)) & 0xff).toByte)
+        i64(lastLsn); i64(lastLsn); i64(lastLsn)
+        i64((System.currentTimeMillis() - PgEpochMs) * 1000L)
+        b += (if (replyRequested) 1 else 0).toByte
+        send(out, 'd', b.toArray)
+      }
+      while (!idle && events.size < maxEvents) {
+        val (tpe, body) = try recv(in) catch {
+          case _: java.net.SocketTimeoutException => idle = true; ('x', Array.emptyByteArray)
+        }
+        tpe match {
+          case 'x' => // timed out → idle
+          case 'd' =>
+            val r = new BodyReader(body)
+            (r.i8().toChar: @unchecked) match {
+              case 'k' =>
+                val walEnd = r.i64(); r.i64()
+                val replyRequested = r.i8() == 1
+                if (replyRequested) statusUpdate(false)
+                if (walEnd <= lastLsn) idle = true // caught up
+              case 'w' =>
+                val dataStart = r.i64(); r.i64(); r.i64()
+                if (dataStart > lastLsn) lastLsn = dataStart
+                (r.i8().toChar: @unchecked) match {
+                  case 'B' => // Begin: finalLsn, commitTs, xid
+                    r.i64(); commitTsMs = pgTsToMs(r.i64()); r.i32()
+                  case 'C' => // Commit
+                    r.i8(); r.i64(); val endLsn = r.i64(); r.i64()
+                    if (endLsn > lastLsn) lastLsn = endLsn
+                  case 'R' =>
+                    val relId = r.i32()
+                    val ns = r.cstring(); val name = r.cstring()
+                    r.i8() // replica identity
+                    val ncols = r.i16()
+                    val cols = (0 until ncols).map { _ =>
+                      r.i8(); val c = r.cstring(); r.i32(); r.i32(); c
+                    }
+                    relations(relId) = Relation(ns, name, cols)
+                  case 'Y' => // Type: oid + namespace + name — unused (text format)
+                    r.i32(); r.cstring(); r.cstring()
+                  case 'I' =>
+                    val rel = relations(r.i32())
+                    require(r.i8().toChar == 'N', "Insert without new tuple")
+                    val (f, u) = readTuple(r, rel)
+                    events += PgEvent(rel.namespace, rel.name, "insert",
+                      commitTsMs, dataStart, payloadJson(f, u, None))
+                  case 'U' =>
+                    val rel = relations(r.i32())
+                    var old: Option[(Seq[String], Seq[String])] = None
+                    var marker = r.i8().toChar
+                    if (marker == 'K' || marker == 'O') {
+                      old = Some(readTuple(r, rel)); marker = r.i8().toChar
+                    }
+                    require(marker == 'N', s"Update without new tuple (got '$marker')")
+                    val (f, u) = readTuple(r, rel)
+                    events += PgEvent(rel.namespace, rel.name, "update",
+                      commitTsMs, dataStart, payloadJson(f, u, old))
+                  case 'D' =>
+                    val rel = relations(r.i32())
+                    val marker = r.i8().toChar
+                    require(marker == 'K' || marker == 'O',
+                      s"Delete without key/old tuple (got '$marker')")
+                    val (f, u) = readTuple(r, rel)
+                    events += PgEvent(rel.namespace, rel.name, "delete",
+                      commitTsMs, dataStart, payloadJson(f, u, None))
+                  case 'T' => // Truncate: nrels, flags, relids
+                    val n = r.i32(); r.i8()
+                    (0 until n).foreach { _ =>
+                      val rel = relations(r.i32())
+                      events += PgEvent(rel.namespace, rel.name, "truncate",
+                        commitTsMs, dataStart, "{}")
+                    }
+                  case 'M' => // logical decoding message — skip
+                  case other => throw new IllegalStateException(
+                    s"unknown pgoutput message '$other'")
+                }
+            }
+          case 'E' => throw new IllegalStateException(
+            "replication stream error: " + errorMessage(body))
+          case 'N' =>
+          case 'c' => idle = true // server CopyDone
+          case other => throw new IllegalStateException(
+            s"unexpected '$other' in replication stream")
+        }
+      }
+      // confirm consumption so the server can trim WAL, then leave; the
+      // socket close ends the copy (walsender handles abrupt exits)
+      statusUpdate(false)
+      events.toSeq
+    } finally socket.close()
+  }
+}
