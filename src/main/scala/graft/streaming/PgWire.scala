@@ -446,8 +446,9 @@ object PgWire {
                     val rel = relations(r.i32())
                     require(r.i8().toChar == 'N', "Insert without new tuple")
                     val (f, u) = readTuple(r, rel)
-                    events += PgEvent(rel.namespace, rel.name, "insert",
-                      commitTsMs, dataStart, payloadJson(f, u, None))
+                    if (dataStart > startLsn)
+                      events += PgEvent(rel.namespace, rel.name, "insert",
+                        commitTsMs, dataStart, payloadJson(f, u, None))
                   case 'U' =>
                     val rel = relations(r.i32())
                     var old: Option[(Seq[String], Seq[String])] = None
@@ -457,22 +458,25 @@ object PgWire {
                     }
                     require(marker == 'N', s"Update without new tuple (got '$marker')")
                     val (f, u) = readTuple(r, rel)
-                    events += PgEvent(rel.namespace, rel.name, "update",
-                      commitTsMs, dataStart, payloadJson(f, u, old))
+                    if (dataStart > startLsn)
+                      events += PgEvent(rel.namespace, rel.name, "update",
+                        commitTsMs, dataStart, payloadJson(f, u, old))
                   case 'D' =>
                     val rel = relations(r.i32())
                     val marker = r.i8().toChar
                     require(marker == 'K' || marker == 'O',
                       s"Delete without key/old tuple (got '$marker')")
                     val (f, u) = readTuple(r, rel)
-                    events += PgEvent(rel.namespace, rel.name, "delete",
-                      commitTsMs, dataStart, payloadJson(f, u, None))
+                    if (dataStart > startLsn)
+                      events += PgEvent(rel.namespace, rel.name, "delete",
+                        commitTsMs, dataStart, payloadJson(f, u, None))
                   case 'T' => // Truncate: nrels, flags, relids
                     val n = r.i32(); r.i8()
                     (0 until n).foreach { _ =>
                       val rel = relations(r.i32())
-                      events += PgEvent(rel.namespace, rel.name, "truncate",
-                        commitTsMs, dataStart, "{}")
+                      if (dataStart > startLsn)
+                        events += PgEvent(rel.namespace, rel.name, "truncate",
+                          commitTsMs, dataStart, "{}")
                     }
                   case 'M' => // logical decoding message — skip
                   case other => throw new IllegalStateException(
