@@ -288,6 +288,17 @@ object ScaleProbe {
       System.err.println(s"[probe] winnow fingerprints total=${r.getLong(1)}")
       r.getLong(0)
     }
+    // fixed-point PageRank over a skewed synthetic link graph: a chain
+    // (every doc → next) plus 997 hot sink nodes absorbing ~150 in-edges
+    // each — per-iteration cost must stay two shuffles, plans
+    // iteration-deep (persist per round), no driver materialization
+    time("pagerank") {
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 997).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst")))
+      graft.ops.GraphOps.pageRank(edges, iters = 3).count()
+    }
     // sliding chunking is shuffle-free scan→generate — the probe pins the
     // constant-factor cost of the 64/48 window explode at corpus scale
     time("sliding_chunks")(graft.ops.TextOps.slidingChunks(docs, 64, 48).count())

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Flatten, SqlTransform}
-import graft.ops.{AsofJoin, Curation, Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.ops.{AsofJoin, Curation, Dedup, GraphOps, Multimodal, Similarity, Sketches, TextOps}
 import graft.sink.MergeWriter
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -1248,7 +1248,33 @@ object SparkEntry {
           lit("?ref=1 and http://cdn-"), (col("doc_id") % 7).cast("string"),
           lit(".Example.ORG/asset.js. "), col("text")).as("text"))
       TextOps.domainCensus(planted).orderBy("domain")
-    })
+    }),
+
+    /** Exact fixed-point PageRank ([[GraphOps.pageRank]]) over the
+      * supplier→customer supply graph (distinct (l_suppkey,
+      * o_custkey+1e6) pairs — realistic skewed in-degrees), 3
+      * iterations at scale 1e9. All-integer arithmetic, so the ranks
+      * are bit-identical across partitionings and engines — the
+      * reproducibility a corpus quality weight needs. */
+    "graph_pagerank" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+      GraphOps.pageRank(edges, iters = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy("node")
+    }),
+
+    /** BPE vocabulary learning ([[TextOps.bpeLearnMerges]]): 6 greedy
+      * merges trained on the documents corpus — the training side of
+      * `text_bpe`'s encoder, same doubled-replace fixpoint application,
+      * (count DESC, pair ASC) tie-break. The oracle replays the full
+      * greedy loop with 6 unrolled CTE stages. */
+    "bpe_learn" -> ((s, d) =>
+      TextOps.bpeLearnMerges(t(s, d, "documents"), k = 6)
+        .orderBy("merge_rank"))
   )
 
   // ====================================================================
@@ -2157,6 +2183,40 @@ object SparkEntry {
       SELECT domain, count(*) AS n_mentions, count(DISTINCT doc_id) AS n_docs
       FROM doms GROUP BY domain ORDER BY domain""",
 
+    /** Fixed-point PageRank replay: the 3 iterations unrolled as CTE
+      * stages; `//` (DuckDB floor division) ≡ Spark `DIV` on the
+      * nonnegative ranks, and every sum is CAST back to BIGINT because
+      * DuckDB's sum(BIGINT) widens to HUGEINT (which pandas would
+      * convert to float, breaking exactness). */
+    "graph_pagerank" -> """
+      WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(1000000000 // count(*) AS BIGINT) AS init FROM nodes),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT node, (SELECT init FROM nn) AS pr FROM nodes),
+      c1 AS (SELECT e.dst AS node, CAST(sum(r0.pr // od.outdeg) AS BIGINT) AS contrib
+             FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nodes.node,
+               CAST((15 * (SELECT init FROM nn) + 85 * COALESCE(c1.contrib, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+      c2 AS (SELECT e.dst AS node, CAST(sum(r1.pr // od.outdeg) AS BIGINT) AS contrib
+             FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nodes.node,
+               CAST((15 * (SELECT init FROM nn) + 85 * COALESCE(c2.contrib, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+      c3 AS (SELECT e.dst AS node, CAST(sum(r2.pr // od.outdeg) AS BIGINT) AS contrib
+             FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+             GROUP BY e.dst),
+      r3 AS (SELECT nodes.node,
+               CAST((15 * (SELECT init FROM nn) + 85 * COALESCE(c3.contrib, 0)) // 100 AS BIGINT) AS pr
+             FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+      SELECT node, pr FROM r3 ORDER BY node""",
+
+    "bpe_learn" -> bpeLearnOracle(6),
+
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.
       * XXH64's 64-bit wrapping arithmetic is staged as (hi, lo) 32-bit
@@ -2217,6 +2277,38 @@ object SparkEntry {
     * scaladoc); shipped as resources because the staged 64-bit arithmetic
     * expands to ~200 SQL statements each (generated by
     * `tools/gen_{minhash,simhash}_oracle.py`). */
+  /** Unrolls [[graft.ops.TextOps.bpeLearnMerges]]'s greedy loop as k CTE
+    * stages: s0 = the spaced corpus, then per stage an adjacent-pair
+    * count (HAVING >= 2, tie-break count DESC / pair ASC), the argmax as
+    * a scalar subquery, and the doubled-replace fixpoint producing the
+    * next corpus state. Sums/counts CAST to BIGINT (DuckDB widens to
+    * HUGEINT, which pandas would float-ify). */
+  private def bpeLearnOracle(k: Int): String = {
+    def stage(i: Int): String = {
+      val prev = s"s${i - 1}"
+      val pat = s"' ' || (SELECT pair FROM b$i) || ' '"
+      val rep = s"' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '"
+      s"""
+      p$i AS MATERIALIZED (SELECT t[i] || ' ' || t[i + 1] AS pair
+             FROM (SELECT string_split(trim(s), ' ') AS t FROM $prev) tok,
+                  (SELECT unnest(range(1, (SELECT COALESCE(max(len(string_split(trim(s), ' '))), 1) FROM $prev))) AS i) idx
+             WHERE i < len(t)),
+      b$i AS MATERIALIZED (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p$i
+             GROUP BY pair HAVING count(*) >= 2
+             ORDER BY n DESC, pair LIMIT 1),
+      s$i AS MATERIALIZED (SELECT replace(replace(s, $pat, $rep), $pat, $rep) AS s FROM $prev)"""
+    }
+    val finals = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g') AS s
+                  FROM documents),${(1 to k).map(stage).mkString(",")}
+      SELECT * FROM (
+      $finals
+      ) ORDER BY merge_rank"""
+  }
+
   private def sqlResource(name: String): String = {
     val in = getClass.getResourceAsStream(s"/graft/$name")
     require(in != null, s"missing resource graft/$name")

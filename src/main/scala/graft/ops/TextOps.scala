@@ -455,6 +455,72 @@ object TextOps {
           .as("chunk"))
   }
 
+  /** BPE vocabulary LEARNING — the training side of [[bpeTokenCount]]:
+    * greedily pick the most frequent adjacent symbol pair `k` times,
+    * applying each chosen merge to the corpus before counting the next
+    * (Sennrich et al. 2016, the byte/char-level variant every modern
+    * tokenizer bootstraps from). Returns one row per learned merge:
+    * (rank, pair "a b", merged "ab", n = the pair's corpus frequency at
+    * selection time).
+    *
+    * Determinism contract: ties break (count DESC, pair ASC), counts are
+    * integers, and the merge application is the SAME doubled-replace
+    * fixpoint as the encoder — so training and encoding agree, and the
+    * whole loop replays in DuckDB (the oracle unrolls the k stages with
+    * scalar subqueries; see `bpe_learn`).
+    *
+    * Scale shape: k driver rounds; each round is one codegen pair-explode
+    * + hash aggregate (map-side combined) and ONE collected row (the
+    * argmax). The corpus state is persisted per round and the predecessor
+    * unpersisted — plans stay round-deep. Stops early when no pair
+    * reaches `minCount` (the classic stopping rule), so callers get
+    * ≤ k rows. */
+  def bpeLearnMerges(docs: DataFrame, k: Int, textCol: String = "text",
+                     minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    var cur = docs.select(concat(lit(" "),
+        regexp_replace(replace(lower(col(textCol)), lit(" "), lit("_")),
+          "(.)", "$1 ")).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val best = cur
+        .select(split(trim(col("s")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect() // exactly one row to the driver
+      best.headOption match {
+        case None => exhausted = true
+        case Some(Row(pair: String, n: Long)) =>
+          val merged = pair.replace(" ", "")
+          learned += ((rank, pair, merged, n))
+          val next = cur.select(
+            replace(replace(col("s"), lit(s" $pair "), lit(s" $merged ")),
+              lit(s" $pair "), lit(s" $merged ")).as("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          cur.unpersist()
+          cur = next
+          rank += 1
+      }
+    }
+    cur.unpersist()
+    import spark.implicits._
+    // "merge_rank", not "rank": RANK is a reserved word in several SQL
+    // dialects the result is compared against
+    learned.toSeq.toDF("merge_rank", "pair", "merged", "n")
+  }
+
   // ------------------------------------------------------------------
   // HTML → text extraction
   // ------------------------------------------------------------------

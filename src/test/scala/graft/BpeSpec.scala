@@ -67,4 +67,46 @@ class BpeSpec extends SparkSuite {
       .head().getLong(0)
     assert(m === encode("a a a a").count(_ == ' ').toLong + 1L)
   }
+
+  test("bpeLearnMerges matches a plain-Scala greedy trainer, ties pinned") {
+    import spark.implicits._
+    // independent reference trainer with the same contract: count adjacent
+    // pairs, (count DESC, pair ASC) tie-break, doubled-replace application,
+    // stop below minCount 2
+    def train(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      var corpus = texts.map(t =>
+        " " + t.toLowerCase.replace(" ", "_").flatMap(c => s"$c "))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var go = true
+      while (r <= k && go) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        corpus.foreach { s =>
+          val t = s.trim.split(" ")
+          (0 until t.length - 1).foreach { i =>
+            val p = t(i) + " " + t(i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + 1
+          }
+        }
+        counts.filter(_._2 >= 2).toSeq.sortBy { case (p, n) => (-n, p) }.headOption match {
+          case None => go = false
+          case Some((p, n)) =>
+            val m = p.replace(" ", "")
+            out += ((r, p, m, n))
+            corpus = corpus.map(s =>
+              s.replace(s" $p ", s" $m ").replace(s" $p ", s" $m "))
+            r += 1
+        }
+      }
+      out.toSeq
+    }
+    val texts = Seq("aa ab aa", "aa aa", "b b b")
+    val expected = train(texts, 5)
+    val got = graft.ops.TextOps.bpeLearnMerges(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"), 5)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(expected.head._2 === "a a") // the planted dominant pair wins round 1
+    assert(expected.size < 5, "tiny corpus must exhaust below k (minCount stop)")
+  }
 }

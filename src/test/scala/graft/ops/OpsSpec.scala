@@ -870,6 +870,28 @@ class OpsSpec extends SparkSuite {
     assert(bySrc === again)
   }
 
+  test("pageRank: exact fixed-point values on a hand-computed cyclic graph") {
+    // 1→2, 2→3, 3→1 cycle plus dangling 4 fed by 1. n=4, init=250000000.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 2L)) // dup edge dedups
+      .toDF("src", "dst")
+    val r2 = GraphOps.pageRank(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter1: contrib = {1:250000000 (from 3), 2:125000000 (1 DIV outdeg 2),
+    //                   3:250000000 (from 2), 4:125000000}
+    //   r1 = {1:250000000, 2:143750000, 3:250000000, 4:143750000}
+    // iter2: contrib = {1:250000000, 2:125000000, 3:143750000, 4:125000000}
+    assert(r2 === Map(1L -> 250000000L, 2L -> 143750000L,
+      3L -> 159687500L, 4L -> 143750000L))
+    // determinism: same input partitioned differently → identical bits
+    val again = GraphOps.pageRank(edges.repartition(7), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again === r2)
+    // a node with no in-links settles at the teleport base
+    val dag = Seq((10L, 20L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(dag, iters = 1).as[(Long, Long)].collect().toMap
+    assert(r(10L) === (15L * 500000000L) / 100L)
+  }
+
   test("extractHtmlText: tags, entities, whitespace — and the decode-order pin") {
     def ext(html: String): String = Seq(Tuple1(html)).toDF("h")
       .select(TextOps.extractHtmlText(col("h")).as("x")).as[String].head()
