@@ -1274,7 +1274,32 @@ object SparkEntry {
       * greedy loop with 6 unrolled CTE stages. */
     "bpe_learn" -> ((s, d) =>
       TextOps.bpeLearnMerges(t(s, d, "documents"), k = 6)
-        .orderBy("merge_rank"))
+        .orderBy("merge_rank")),
+
+    /** Train → encode composition: learn 6 merges on the corpus, collect
+      * them (bounded: k rows), and tokenize the SAME corpus with the
+      * learned vocabulary through the codegen encoder cascade. Token
+      * counts must equal the trained corpus state's — training and
+      * encoding share the doubled-replace fixpoint semantics. */
+    "bpe_train_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextOps.bpeLearnMerges(docs, k = 6)
+        .orderBy("merge_rank").collect()
+        .map(r => { val Array(a, b) = r.getString(1).split(" "); (a, b) })
+        .toSeq
+      docs.select(col("doc_id"),
+          TextOps.bpeTokenCount(col("text"), merges).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    /** Gopher quality-rule battery ([[TextOps.gopherQuality]]): integer
+      * signals + composite keep verdict, thresholds tested by integer
+      * cross-multiplication (engine-exact, no float ratios). minWords
+      * lowered to 20 so the verdict discriminates on the synthetic
+      * corpus. */
+    "text_gopher" -> ((s, d) =>
+      TextOps.gopherQuality(t(s, d, "documents"), minWords = 20)
+        .orderBy("doc_id"))
   )
 
   // ====================================================================
@@ -2216,6 +2241,31 @@ object SparkEntry {
       SELECT node, pr FROM r3 ORDER BY node""",
 
     "bpe_learn" -> bpeLearnOracle(6),
+    "bpe_train_encode" -> bpeTrainEncodeOracle(6),
+
+    /** Gopher rules replay: same signals from plain string functions, the
+      * stopword-presence sum inlined per list entry, thresholds as
+      * integer cross-multiplications. */
+    "text_gopher" -> {
+      val stopSum = graft.ops.TextOps.Stopwords.map(w =>
+        s"(CASE WHEN ' ' || low || ' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH sig AS (SELECT doc_id, lower(text) AS low FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(string_split(low, ' ')) AS BIGINT) AS n_words,
+        CAST(length(replace(low, ' ', '')) AS BIGINT) AS n_chars_in_words,
+        CAST(len(regexp_extract_all(low, '(^| )[^ ]*[a-z][^ ]*')) AS BIGINT) AS n_alpha_words,
+        CAST($stopSum AS BIGINT) AS n_stop_distinct
+        FROM sig)
+      SELECT doc_id, n_words, n_chars_in_words, n_alpha_words, n_stop_distinct,
+        (n_words >= 20 AND n_words <= 100000
+          AND 3 * n_words <= n_chars_in_words
+          AND n_chars_in_words <= 10 * n_words
+          AND 5 * n_alpha_words >= 4 * n_words
+          AND n_stop_distinct >= 2) AS keep
+      FROM c ORDER BY doc_id"""
+    },
 
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.
@@ -2283,7 +2333,21 @@ object SparkEntry {
     * a scalar subquery, and the doubled-replace fixpoint producing the
     * next corpus state. Sums/counts CAST to BIGINT (DuckDB widens to
     * HUGEINT, which pandas would float-ify). */
-  private def bpeLearnOracle(k: Int): String = {
+  private def bpeLearnOracle(k: Int): String =
+    bpeTrainOracle(k,
+      finalSelect = (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i")
+        .mkString("SELECT * FROM (\n      ", "\n      UNION ALL ", "\n      ) ORDER BY merge_rank"))
+
+  /** Train→encode replay: after the k stages, count tokens of the final
+    * corpus state (≡ encoding the raw text with the learned merges, since
+    * training applied them with the encoder's exact semantics). */
+  private def bpeTrainEncodeOracle(k: Int): String =
+    bpeTrainOracle(k, finalSelect =
+      s"SELECT doc_id, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens " +
+        s"FROM s$k ORDER BY doc_id")
+
+  private def bpeTrainOracle(k: Int, finalSelect: String): String = {
     def stage(i: Int): String = {
       val prev = s"s${i - 1}"
       val pat = s"' ' || (SELECT pair FROM b$i) || ' '"
@@ -2296,17 +2360,12 @@ object SparkEntry {
       b$i AS MATERIALIZED (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p$i
              GROUP BY pair HAVING count(*) >= 2
              ORDER BY n DESC, pair LIMIT 1),
-      s$i AS MATERIALIZED (SELECT replace(replace(s, $pat, $rep), $pat, $rep) AS s FROM $prev)"""
+      s$i AS MATERIALIZED (SELECT doc_id, replace(replace(s, $pat, $rep), $pat, $rep) AS s FROM $prev)"""
     }
-    val finals = (1 to k).map(i =>
-      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, n FROM b$i")
-      .mkString("\n      UNION ALL ")
     s"""
-      WITH s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g') AS s
+      WITH s0 AS MATERIALIZED (SELECT doc_id, ' ' || regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\\1 ', 'g') AS s
                   FROM documents),${(1 to k).map(stage).mkString(",")}
-      SELECT * FROM (
-      $finals
-      ) ORDER BY merge_rank"""
+      $finalSelect"""
   }
 
   private def sqlResource(name: String): String = {

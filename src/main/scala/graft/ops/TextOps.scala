@@ -573,6 +573,49 @@ object TextOps {
     regexp_replace(squeezed, "^\\s+|\\s+$", "")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, §A1.1) — the document-level
+    * filter battery most web-corpus pipelines start from, restricted to
+    * the rules that apply to single-line documents (the line-shape rules
+    * — bullet/ellipsis line fractions — need raw line structure and are
+    * deliberately out of scope here; boilerplate/paragraph ops cover that
+    * axis):
+    *
+    *  - word count within [minWords, maxWords]  (paper: 50..100,000)
+    *  - mean word length within [3, 10]         — tested EXACTLY as
+    *    `3*n <= totalChars <= 10*n` (integer cross-multiplication, no
+    *    float ratio, so the verdict is engine-exact)
+    *  - ≥ 80% of words contain an alphabetic char — `5*alphaWords >= 4*n`
+    *  - ≥ 2 distinct stopwords from the fixed [[Stopwords]] list (the
+    *    paper's "stop word" rule with this library's inlined list)
+    *
+    * Output: one row per doc with the integer signals and the composite
+    * `keep` verdict — keep the signals, not just the boolean: at 100 TB
+    * you tune thresholds from the signal distribution without re-scanning
+    * text. Pure codegen projection, zero shuffle. */
+  def gopherQuality(docs: DataFrame, textCol: String = "text",
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    // plain string builtins only — Spark 4.1 interprets higher-order
+    // array functions per row (the documented cliff), so the signals are
+    // computed without transform/aggregate/filter
+    val low = lower(col(textCol))
+    val nWords = size(split(low, " ")).cast("long")
+    val totalChars = length(replace(low, lit(" "), lit(""))).cast("long")
+    // one non-overlapping match per space-delimited token with >= 1 letter
+    val alphaWords = regexp_count(low, lit("(^| )[^ ]*[a-z][^ ]*")).cast("long")
+    val padded = concat(lit(" "), low, lit(" "))
+    val stopHits = Stopwords.map(w =>
+      when(padded.contains(s" $w "), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        totalChars.as("n_chars_in_words"), alphaWords.as("n_alpha_words"),
+        stopHits.as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        lit(3L) * col("n_words") <= col("n_chars_in_words") &&
+        col("n_chars_in_words") <= lit(10L) * col("n_words") &&
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words") &&
+        col("n_stop_distinct") >= 2L)
+  }
+
   // ------------------------------------------------------------------
   // URL extraction / normalization
   // ------------------------------------------------------------------

@@ -892,6 +892,27 @@ class OpsSpec extends SparkSuite {
     assert(r(10L) === (15L * 500000000L) / 100L)
   }
 
+  test("gopherQuality: each rule rejects its planted violation") {
+    val good = (1 to 20).map(i => s"word$i").mkString(" ") + " the a of" // stopwords, len ok
+    val d = Seq(
+      (1L, good),                                        // passes all
+      (2L, "too short the a"),                           // < 20 words
+      (3L, (1 to 20).map(_ => "w").mkString(" ") + " the a of"), // mean len < 3
+      (4L, (1 to 20).map(_ => "wwwwwwwwwwww").mkString(" ") + " the a of"), // mean len > 10
+      (5L, (1 to 30).map(_ => "123456").mkString(" ") + " the a of"), // alpha < 80%
+      (6L, (1 to 25).map(i => s"word$i").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(d, minWords = 20)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+    // signals stay available for threshold tuning
+    val sig = TextOps.gopherQuality(d, minWords = 20)
+      .where($"doc_id" === 1L).head()
+    assert(sig.getLong(1) === 23L)      // n_words
+    assert(sig.getLong(4) === 3L)       // the, a, of
+  }
+
   test("extractHtmlText: tags, entities, whitespace — and the decode-order pin") {
     def ext(html: String): String = Seq(Tuple1(html)).toDF("h")
       .select(TextOps.extractHtmlText(col("h")).as("x")).as[String].head()
