@@ -117,7 +117,7 @@ final class KafkaWrite(opts: KafkaStreamOptions, schema: StructType) extends Wri
   private def factory = KafkaWriterFactory(opts.host, opts.port, topic,
     numPartitions, plan, opts.raw.collectFirst {
       case (k, v) if k.equalsIgnoreCase("batchSize") => v.trim.toInt
-    }.getOrElse(500))
+    }.getOrElse(500), opts.compressionCodec)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = factory
@@ -140,7 +140,7 @@ final class KafkaWriteBuilder(opts: KafkaStreamOptions, info: LogicalWriteInfo)
 
 final case class KafkaWriterFactory(host: String, port: Int, topic: String,
                                     numPartitions: Int, plan: KafkaSink.ColumnPlan,
-                                    batchSize: Int)
+                                    batchSize: Int, codec: Int)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaDataWriter(this, partitionId)
@@ -161,7 +161,7 @@ final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartitionId: Int)
 
   private def flush(p: Int): Unit = if (buffers(p).nonEmpty) {
     if (conn == null) conn = new KafkaWire.Conn(f.host, f.port)
-    conn.produce(f.topic, p, KafkaWire.encodeBatch(0L, buffers(p).toSeq))
+    conn.produce(f.topic, p, KafkaWire.encodeBatch(0L, buffers(p).toSeq, f.codec))
     written += buffers(p).size
     buffers(p).clear()
   }

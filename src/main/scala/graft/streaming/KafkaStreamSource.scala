@@ -77,6 +77,16 @@ final case class KafkaStreamOptions(raw: Map[String, String]) {
   }
   val maxOffsetsPerTrigger: Option[Long] = ci("maxOffsetsPerTrigger").map(_.trim.toLong)
   val maxBytesPerFetch: Int = ci("maxBytesPerFetch").map(_.trim.toInt).getOrElse(4 << 20)
+  /** Sink-side batch compression (`compression.type` in Kafka terms). */
+  val compressionCodec: Int = ci("compression").map(_.trim.toLowerCase).getOrElse("none") match {
+    case "none" | "uncompressed" => KafkaWire.CodecNone
+    case "gzip" => KafkaWire.CodecGzip
+    case "snappy" => KafkaWire.CodecSnappy
+    case "lz4" => KafkaWire.CodecLz4
+    case "zstd" => KafkaWire.CodecZstd
+    case other => throw new IllegalArgumentException(
+      s"compression must be none|gzip|snappy|lz4|zstd, got '$other'")
+  }
 }
 
 class KafkaStreamTable(opts: KafkaStreamOptions) extends Table

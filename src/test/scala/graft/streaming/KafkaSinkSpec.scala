@@ -80,6 +80,21 @@ class KafkaSinkSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("sink compression option: zstd batches land and read back") {
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("out")
+      Seq(("k", "compressed-payload " * 50)).toDF("key", "value")
+        .write.format("graft-kafka")
+        .option("bootstrap", broker.bootstrap).option("topic", "out")
+        .option("compression", "zstd")
+        .mode("append").save()
+      val got = readAll(broker, "out", 1)
+      assert(got.size === 1)
+      assert(new String(got.head._2.value, UTF_8) === "compressed-payload " * 50)
+    } finally broker.close()
+  }
+
   test("a missing value column fails with an actionable message") {
     val broker = new KafkaLoopback(numPartitions = 1)
     try {

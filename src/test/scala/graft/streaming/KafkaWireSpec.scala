@@ -25,21 +25,27 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(out.map(r => new String(r.value, UTF_8)) === Seq("v0", "v1", "v2"))
   }
 
-  test("gzip-compressed batches decode; unsupported codecs fail actionably") {
-    val batch = KafkaWire.encodeBatch(0L, recs(("k", "v" * 500)), KafkaWire.CodecGzip)
-    val out = KafkaWire.decodeBatches(batch, 0, 10)
-    assert(new String(out.head.value, UTF_8) === "v" * 500)
-    // forge attributes to snappy (codec 2): attributes live at bytes 21-22,
-    // inside the CRC span — recompute the CRC so ONLY the codec check trips
+  test("all four wire codecs round-trip; an undefined codec id fails actionably") {
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+                      KafkaWire.CodecLz4, KafkaWire.CodecZstd)) {
+      val batch = KafkaWire.encodeBatch(0L,
+        recs(("k", "v" * 500), ("k2", "w" * 100)), codec)
+      val out = KafkaWire.decodeBatches(batch, 0, 10)
+      assert(out.map(r => new String(r.value, UTF_8)) === Seq("v" * 500, "w" * 100),
+        s"codec $codec")
+    }
+    // forge attributes to the undefined codec 7: attributes live at bytes
+    // 21-22, inside the CRC span — recompute the CRC so ONLY the codec
+    // dispatch trips
     val forged = KafkaWire.encodeBatch(0L, recs(("k", "v")))
-    forged(22) = 2
+    forged(22) = 7
     val crc = new java.util.zip.CRC32C
     crc.update(forged, 21, forged.length - 21)
     val c = crc.getValue.toInt
     forged(17) = (c >>> 24).toByte; forged(18) = (c >>> 16).toByte
     forged(19) = (c >>> 8).toByte; forged(20) = c.toByte
     val e = intercept[IllegalStateException](KafkaWire.decodeBatches(forged, 0, 10))
-    assert(e.getMessage.contains("snappy"))
+    assert(e.getMessage.contains("unknown codec"))
   }
 
   test("CRC32C validation rejects a flipped payload bit") {
@@ -125,13 +131,16 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
-  test("gzip batches survive the produce→store→fetch wire round-trip") {
+  test("compressed batches survive the produce→store→fetch wire round-trip") {
     val broker = new KafkaLoopback(numPartitions = 1)
     try {
       broker.createTopic("t")
-      broker.append("t", 0, recs(("k", "payload-α")), codec = KafkaWire.CodecGzip)
-      val out = KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 0L, 1L)
-      assert(new String(out.head.value, UTF_8) === "payload-α")
+      for ((codec, i) <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+                             KafkaWire.CodecLz4, KafkaWire.CodecZstd).zipWithIndex)
+        broker.append("t", 0, recs(("k", s"payload-α-$i")), codec = codec)
+      val out = KafkaWire.readRange("127.0.0.1", broker.port, "t", 0, 0L, 4L)
+      assert(out.map(r => new String(r.value, UTF_8))
+        === (0 until 4).map(i => s"payload-α-$i"))
     } finally broker.close()
   }
 }
