@@ -105,7 +105,7 @@ final class KafkaWrite(opts: KafkaStreamOptions, schema: StructType) extends Wri
 
   /** Partition count discovered once on the driver, shipped to tasks. */
   private lazy val numPartitions: Int = {
-    val conn = new KafkaWire.Conn(opts.host, opts.port)
+    val conn = new KafkaWire.Conn(opts.host, opts.port, auth = opts.auth)
     try {
       val tm = conn.metadata(Seq(topic)).topics.find(_.name == topic)
         .getOrElse(throw new IllegalArgumentException(s"topic $topic not found"))
@@ -117,7 +117,7 @@ final class KafkaWrite(opts: KafkaStreamOptions, schema: StructType) extends Wri
   private def factory = KafkaWriterFactory(opts.host, opts.port, topic,
     numPartitions, plan, opts.raw.collectFirst {
       case (k, v) if k.equalsIgnoreCase("batchSize") => v.trim.toInt
-    }.getOrElse(500), opts.compressionCodec)
+    }.getOrElse(500), opts.compressionCodec, opts.auth)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = factory
@@ -140,7 +140,8 @@ final class KafkaWriteBuilder(opts: KafkaStreamOptions, info: LogicalWriteInfo)
 
 final case class KafkaWriterFactory(host: String, port: Int, topic: String,
                                     numPartitions: Int, plan: KafkaSink.ColumnPlan,
-                                    batchSize: Int, codec: Int)
+                                    batchSize: Int, codec: Int,
+                                    auth: Option[KafkaWire.SaslAuth])
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new KafkaDataWriter(this, partitionId)
@@ -160,7 +161,7 @@ final class KafkaDataWriter(f: KafkaWriterFactory, sparkPartitionId: Int)
   private var written = 0L
 
   private def flush(p: Int): Unit = if (buffers(p).nonEmpty) {
-    if (conn == null) conn = new KafkaWire.Conn(f.host, f.port)
+    if (conn == null) conn = new KafkaWire.Conn(f.host, f.port, auth = f.auth)
     conn.produce(f.topic, p, KafkaWire.encodeBatch(0L, buffers(p).toSeq, f.codec))
     written += buffers(p).size
     buffers(p).clear()

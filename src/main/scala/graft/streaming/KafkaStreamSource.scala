@@ -77,6 +77,13 @@ final case class KafkaStreamOptions(raw: Map[String, String]) {
   }
   val maxOffsetsPerTrigger: Option[Long] = ci("maxOffsetsPerTrigger").map(_.trim.toLong)
   val maxBytesPerFetch: Int = ci("maxBytesPerFetch").map(_.trim.toInt).getOrElse(4 << 20)
+  /** SASL credentials (PLAIN or SCRAM-SHA-256); absent = unauthenticated. */
+  val auth: Option[KafkaWire.SaslAuth] = ci("user").map { u =>
+    KafkaWire.SaslAuth(u,
+      ci("password").getOrElse(throw new IllegalArgumentException(
+        "graft-kafka: user given without password")),
+      ci("mechanism").getOrElse("SCRAM-SHA-256"))
+  }
   /** Sink-side batch compression (`compression.type` in Kafka terms). */
   val compressionCodec: Int = ci("compression").map(_.trim.toLowerCase).getOrElse("none") match {
     case "none" | "uncompressed" => KafkaWire.CodecNone
@@ -138,7 +145,7 @@ class KafkaMicroBatchStream(opts: KafkaStreamOptions)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def withConn[A](body: KafkaWire.Conn => A): A = {
-    val conn = new KafkaWire.Conn(opts.host, opts.port)
+    val conn = new KafkaWire.Conn(opts.host, opts.port, auth = opts.auth)
     try body(conn) finally conn.close()
   }
 
@@ -209,7 +216,7 @@ class KafkaMicroBatchStream(opts: KafkaStreamOptions)
       val from = s.getOrElse((t, p), until)
       if (until > from)
         Some(KafkaRangePartition(opts.host, opts.port, t, p, from, until,
-          opts.maxBytesPerFetch))
+          opts.maxBytesPerFetch, opts.auth))
       else None
     }.toArray
   }
@@ -226,14 +233,16 @@ class KafkaMicroBatchStream(opts: KafkaStreamOptions)
 
 final case class KafkaRangePartition(host: String, port: Int, topic: String,
                                      partition: Int, from: Long, until: Long,
-                                     maxBytes: Int) extends InputPartition
+                                     maxBytes: Int,
+                                     auth: Option[KafkaWire.SaslAuth])
+    extends InputPartition
 
 class KafkaRangeReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KafkaRangePartition]
     new PartitionReader[InternalRow] {
       private val records = KafkaWire.readRange(kp.host, kp.port, kp.topic,
-        kp.partition, kp.from, kp.until, kp.maxBytes).iterator
+        kp.partition, kp.from, kp.until, kp.maxBytes, kp.auth).iterator
       private var current: KafkaWire.Record = _
       override def next(): Boolean = {
         val more = records.hasNext

@@ -45,7 +45,20 @@ object KafkaWire {
   val ApiFetch = 1.toShort
   val ApiListOffsets = 2.toShort
   val ApiMetadata = 3.toShort
+  val ApiSaslHandshake = 17.toShort
   val ApiVersions = 18.toShort
+  val ApiSaslAuthenticate = 36.toShort
+
+  /** SASL credentials for a broker connection. Mechanisms: `PLAIN`
+    * (username/password over the [authzid]\0user\0pass payload — pair
+    * with TLS in production) and `SCRAM-SHA-256` (RFC 7677 with mutual
+    * server-signature verification, the same construction as the
+    * Mongo/Postgres clients here). */
+  final case class SaslAuth(user: String, password: String,
+                            mechanism: String = "SCRAM-SHA-256") {
+    require(mechanism == "PLAIN" || mechanism == "SCRAM-SHA-256",
+      s"mechanism must be PLAIN or SCRAM-SHA-256, got '$mechanism'")
+  }
 
   // ---- error codes (the subset we surface) ----
   val ErrNone = 0.toShort
@@ -294,12 +307,14 @@ object KafkaWire {
   /** One broker connection: framed request/response with correlation-id
     * bookkeeping. Not thread-safe (one per task, like the other wire
     * clients here). */
-  final class Conn(host: String, port: Int, clientId: String = "graft") extends AutoCloseable {
+  final class Conn(host: String, port: Int, clientId: String = "graft",
+                   auth: Option[SaslAuth] = None) extends AutoCloseable {
     private val socket = new Socket(host, port)
     socket.setTcpNoDelay(true)
     private val out = new DataOutputStream(socket.getOutputStream)
     private val in = new DataInputStream(socket.getInputStream)
     private var correlation = 0
+    auth.foreach(saslAuthenticate)
 
     private def send(apiKey: Short, apiVersion: Short, body: Array[Byte]): Array[Byte] = {
       correlation += 1
@@ -318,6 +333,71 @@ object KafkaWire {
       if (corr != correlation)
         throw new IllegalStateException(s"correlation mismatch: sent $correlation got $corr")
       r.raw(r.remaining)
+    }
+
+    /** SaslHandshake v1 + SaslAuthenticate v0 rounds. */
+    private def saslAuthenticate(a: SaslAuth): Unit = {
+      val hw = new Writer
+      hw.str(a.mechanism)
+      val hr = new Reader(send(ApiSaslHandshake, 1, hw.toBytes))
+      val herr = hr.i16()
+      if (herr != ErrNone) {
+        val offered = (0 until hr.i32()).map(_ => hr.str())
+        throw new IllegalStateException(
+          s"broker rejected SASL mechanism ${a.mechanism} (error $herr; " +
+            s"offers: ${offered.mkString(",")})")
+      }
+      def round(bytes: Array[Byte]): Array[Byte] = {
+        val w = new Writer
+        w.bytes(bytes)
+        val r = new Reader(send(ApiSaslAuthenticate, 0, w.toBytes))
+        val err = r.i16(); val msg = r.str()
+        if (err != ErrNone) throw new IllegalStateException(
+          s"SASL authentication failed: ${Option(msg).getOrElse(s"error $err")}")
+        r.bytes()
+      }
+      a.mechanism match {
+        case "PLAIN" =>
+          round(("\u0000" + a.user + "\u0000" + a.password).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case "SCRAM-SHA-256" =>
+          val cnonce = java.util.UUID.randomUUID().toString.replace("-", "")
+          val bare = s"n=${a.user.replace("=", "=3D").replace(",", "=2C")},r=$cnonce"
+          val serverFirst = new String(round(("n,," + bare).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val attrs = serverFirst.split(",").map { kv =>
+            val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+          }.toMap
+          val fullNonce = attrs("r")
+          require(fullNonce.startsWith(cnonce) && fullNonce.length > cnonce.length,
+            "server nonce does not extend the client nonce")
+          val iters = attrs("i").toInt
+          require(iters >= 4096, s"refusing weak SCRAM iteration count $iters")
+          val salted = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+            .generateSecret(new javax.crypto.spec.PBEKeySpec(a.password.toCharArray,
+              java.util.Base64.getDecoder.decode(attrs("s")), iters, 256)).getEncoded
+          def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+            val m = javax.crypto.Mac.getInstance("HmacSHA256")
+            m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+            m.doFinal(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val clientKey = hmac(salted, "Client Key")
+          val storedKey = java.security.MessageDigest.getInstance("SHA-256").digest(clientKey)
+          val withoutProof = s"c=biws,r=$fullNonce"
+          val authMessage = s"$bare,$serverFirst,$withoutProof"
+          val clientSig = hmac(storedKey, authMessage)
+          val proof = clientKey.zip(clientSig).map { case (x, y) => (x ^ y).toByte }
+          val serverFinal = new String(round(
+            s"$withoutProof,p=${java.util.Base64.getEncoder.encodeToString(proof)}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val fin = serverFinal.split(",").map { kv =>
+            val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+          }.toMap
+          val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+          require(java.util.Arrays.equals(
+            java.util.Base64.getDecoder.decode(fin("v")), serverSig),
+            "server signature mismatch — peer does not hold this credential")
+      }
     }
 
     /** ApiVersions v0 → map of apiKey → (min, max). */
@@ -428,9 +508,10 @@ object KafkaWire {
     * until the range is drained. The loop is executor-side and strictly
     * bounded — exactly the re-readable micro-batch contract. */
   def readRange(host: String, port: Int, topic: String, partition: Int,
-                from: Long, until: Long, maxBytes: Int = 4 << 20): Seq[Record] = {
+                from: Long, until: Long, maxBytes: Int = 4 << 20,
+                auth: Option[SaslAuth] = None): Seq[Record] = {
     if (until <= from) return Seq.empty
-    val conn = new Conn(host, port)
+    val conn = new Conn(host, port, auth = auth)
     try {
       val out = ArrayBuffer.empty[Record]
       var pos = from

@@ -16,7 +16,8 @@ import graft.streaming.KafkaWire.{Reader, Writer}
   * Fetch returns stored batches verbatim from the one containing the
   * fetch offset, honoring `max_bytes` by truncation mid-batch the way a
   * real broker's zero-copy path does. */
-final class KafkaLoopback(numPartitions: Int = 2) {
+final class KafkaLoopback(numPartitions: Int = 2,
+                          credentials: Option[(String, String)] = None) {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
 
@@ -43,7 +44,8 @@ final class KafkaLoopback(numPartitions: Int = 2) {
   /** Test convenience: append via the SAME wire path a producer uses. */
   def append(topic: String, partition: Int,
              records: Seq[(Array[Byte], Array[Byte], Long)], codec: Int = 0): Long = {
-    val conn = new KafkaWire.Conn("127.0.0.1", port)
+    val conn = new KafkaWire.Conn("127.0.0.1", port,
+      auth = credentials.map { case (u, p) => KafkaWire.SaslAuth(u, p) })
     try conn.produce(topic, partition, KafkaWire.encodeBatch(0L, records, codec))
     finally conn.close()
   }
@@ -76,6 +78,9 @@ final class KafkaLoopback(numPartitions: Int = 2) {
     socket.setTcpNoDelay(true)
     val in = new DataInputStream(socket.getInputStream)
     val out = new DataOutputStream(socket.getOutputStream)
+    // per-connection SASL state: None = no auth required
+    var authed = credentials.isEmpty
+    var scramAuthMsg: Option[(String, Array[Byte])] = None // authMessage-so-far, salted
     try {
       while (running) {
         val size = in.readInt()
@@ -85,6 +90,28 @@ final class KafkaLoopback(numPartitions: Int = 2) {
         val apiKey = r.i16(); val apiVersion = r.i16()
         val correlation = r.i32(); r.str() // client id
         val body: Array[Byte] = (apiKey, apiVersion) match {
+          case (KafkaWire.ApiSaslHandshake, 1) =>
+            val mech = r.str()
+            val w = new Writer
+            if (mech == "PLAIN" || mech == "SCRAM-SHA-256") w.i16(0).i32(0)
+            else { w.i16(33 /* UNSUPPORTED_SASL_MECHANISM */).i32(2)
+                   .str("PLAIN").str("SCRAM-SHA-256") }
+            w.toBytes
+          case (KafkaWire.ApiSaslAuthenticate, 0) =>
+            val bytes = r.bytes()
+            val (code, msg, resp) = saslRound(bytes, scramAuthMsg,
+              st => scramAuthMsg = st)
+            if (code == 0 && resp.isEmpty && scramAuthMsg.isEmpty) authed = true
+            if (code == 0 && scramAuthMsg.exists(_._1 == "DONE")) {
+              authed = true; scramAuthMsg = None
+            }
+            val w = new Writer
+            w.i16(code.toShort).str(msg).bytes(resp.orNull)
+            w.toBytes
+          case _ if !authed =>
+            // a real broker kills unauthenticated connections using
+            // data APIs; EOF on the client is the observable behavior
+            return
           case (KafkaWire.ApiVersions, 0) => apiVersions()
           case (KafkaWire.ApiMetadata, 1) => metadata(r)
           case (KafkaWire.ApiListOffsets, 1) => listOffsets(r)
@@ -100,6 +127,63 @@ final class KafkaLoopback(numPartitions: Int = 2) {
     } catch {
       case _: EOFException | _: java.net.SocketException => // client closed
     } finally socket.close()
+  }
+
+  // ---- server-side SASL (PLAIN + SCRAM-SHA-256 verifier) ----
+  private def sha256(b: Array[Byte]) =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+  private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val scramSalt = Array.tabulate[Byte](16)(i => (i * 13 + 7).toByte)
+  private def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String) = java.util.Base64.getDecoder.decode(s)
+
+  /** One SaslAuthenticate round → (errorCode, errorMsg, responseBytes).
+    * `state` carries SCRAM progress between the two rounds; the sentinel
+    * ("DONE", _) marks a verified client proof. */
+  private def saslRound(bytes: Array[Byte],
+                        state: Option[(String, Array[Byte])],
+                        setState: Option[(String, Array[Byte])] => Unit)
+      : (Int, String, Option[Array[Byte]]) = {
+    val (user, password) = credentials.get
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    state match {
+      case None if s.startsWith("\u0000") => // PLAIN: authzid NUL user NUL pass
+        val parts = s.split('\u0000')
+        if (parts.length == 3 && parts(1) == user && parts(2) == password)
+          (0, null, None)
+        else (58 /* SASL_AUTHENTICATION_FAILED */, "Authentication failed", None)
+      case None => // SCRAM client-first: gs2 "n,," + bare
+        val bare = s.substring(s.indexOf("n=", 3).max(3))
+        val cnonce = bare.split(",").find(_.startsWith("r=")).get.substring(2)
+        val snonce = cnonce + "KAFKASRV"
+        val iters = 4096
+        val serverFirst = s"r=$snonce,s=${b64(scramSalt)},i=$iters"
+        val salted = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+          .generateSecret(new javax.crypto.spec.PBEKeySpec(
+            password.toCharArray, scramSalt, iters, 256)).getEncoded
+        setState(Some((s"$bare,$serverFirst", salted)))
+        (0, null, Some(serverFirst.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case Some((prefix, salted)) => // SCRAM client-final
+        val withoutProof = s.substring(0, s.lastIndexOf(",p="))
+        val proof = unb64(s.substring(s.lastIndexOf(",p=") + 3))
+        val authMessage = s"$prefix,$withoutProof"
+        val clientKey = hmac(salted, "Client Key")
+        val clientSig = hmac(sha256(clientKey), authMessage)
+        val expected = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+        if (!java.util.Arrays.equals(proof, expected)) {
+          setState(None)
+          (58, "Authentication failed: bad SCRAM proof", None)
+        } else {
+          val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+          setState(Some(("DONE", Array.emptyByteArray)))
+          (0, null, Some(s"v=${b64(serverSig)}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+    }
   }
 
   private def apiVersions(): Array[Byte] = {

@@ -114,6 +114,22 @@ class KafkaStreamSourceSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("SASL-authenticated brokers work end-to-end through the source") {
+    val broker = new KafkaLoopback(numPartitions = 1,
+      credentials = Some(("etl", "broker-pw")))
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("k", "secured")))
+      val q = stream(broker, extra = Map(
+          "user" -> "etl", "password" -> "broker-pw")) // SCRAM default
+        .writeStream.format("memory").queryName("kafka_sasl")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.table("kafka_sasl").selectExpr("cast(value as string)")
+        .as[String].collect().toSeq === Seq("secured"))
+    } finally broker.close()
+  }
+
   test("composes with from_json parsing into typed columns downstream") {
     val broker = new KafkaLoopback(numPartitions = 1)
     try {

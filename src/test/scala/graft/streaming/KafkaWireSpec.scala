@@ -131,6 +131,44 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("SASL SCRAM-SHA-256 and PLAIN authenticate; bad credentials fail; " +
+    "unauthenticated data APIs are cut") {
+    val broker = new KafkaLoopback(numPartitions = 1,
+      credentials = Some(("etl", "broker-pw")))
+    try {
+      broker.createTopic("t")
+      broker.append("t", 0, recs(("k", "v")))
+      // SCRAM (default mechanism): full round-trip incl. server signature
+      val scram = new KafkaWire.Conn("127.0.0.1", broker.port,
+        auth = Some(KafkaWire.SaslAuth("etl", "broker-pw")))
+      try assert(KafkaWire.decodeBatches(scram.fetch("t", 0, 0L)._1, 0, 1)
+        .map(r => new String(r.value, UTF_8)) === Seq("v"))
+      finally scram.close()
+      // PLAIN
+      val plain = new KafkaWire.Conn("127.0.0.1", broker.port,
+        auth = Some(KafkaWire.SaslAuth("etl", "broker-pw", "PLAIN")))
+      try assert(plain.listOffset("t", 0, KafkaWire.LatestTimestamp) === 1L)
+      finally plain.close()
+      // wrong password: SCRAM proof rejected server-side
+      val e1 = intercept[IllegalStateException] {
+        new KafkaWire.Conn("127.0.0.1", broker.port,
+          auth = Some(KafkaWire.SaslAuth("etl", "WRONG")))
+      }
+      assert(e1.getMessage.contains("SASL authentication failed"))
+      // wrong password over PLAIN
+      val e2 = intercept[IllegalStateException] {
+        new KafkaWire.Conn("127.0.0.1", broker.port,
+          auth = Some(KafkaWire.SaslAuth("etl", "WRONG", "PLAIN")))
+      }
+      assert(e2.getMessage.contains("SASL authentication failed"))
+      // no auth at all: the broker cuts the connection on a data API
+      intercept[Exception] {
+        val anon = new KafkaWire.Conn("127.0.0.1", broker.port)
+        try anon.metadata(Seq("t")) finally anon.close()
+      }
+    } finally broker.close()
+  }
+
   test("compressed batches survive the produce→store→fetch wire round-trip") {
     val broker = new KafkaLoopback(numPartitions = 1)
     try {
