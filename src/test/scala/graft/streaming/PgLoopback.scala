@@ -24,7 +24,10 @@ import scala.collection.mutable.ArrayBuffer
   * per-connection Relation messages re-sent), then a keepalive carrying
   * the log-end so the client can detect idle. Standby status updates are
   * parsed and the confirmed LSN recorded (visible to the spec). */
-final class PgLoopback(password: String, dbName: String = "shop") {
+final class PgLoopback(password: String, dbName: String = "shop",
+                       authMethod: String = "scram") {
+  require(authMethod == "scram" || authMethod == "md5" || authMethod == "cleartext",
+    s"authMethod must be scram|md5|cleartext, got $authMethod")
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
   @volatile private var running = true
   @volatile var confirmedLsn: Long = 0L
@@ -110,6 +113,35 @@ final class PgLoopback(password: String, dbName: String = "shop") {
       val body = new Array[Byte](len - 4); in.readFully(body)
       val proto = java.nio.ByteBuffer.wrap(body, 0, 4).getInt
       require(proto == 196608, s"unexpected protocol $proto")
+      // auth exchange per the configured method
+      if (authMethod == "md5") {
+        // user name from the startup parameters (key/value cstring pairs)
+        val params = new String(body, 4, body.length - 4, UTF_8)
+          .split('\u0000').filter(_.nonEmpty)
+        val user = params.sliding(2, 2).collectFirst {
+          case Array("user", u) => u }.getOrElse("")
+        val md5salt = Array[Byte](9, 8, 7, 6)
+        send(out, 'R', be32(5) ++ md5salt)
+        val (tp, pb) = recvMsg(in)
+        require(tp == 'p', s"expected PasswordMessage, got $tp")
+        def md5hex(b: Array[Byte]) =
+          java.security.MessageDigest.getInstance("MD5").digest(b)
+            .map("%02x".format(_)).mkString
+        val inner = md5hex((password + user).getBytes(UTF_8))
+        val want = "md5" + md5hex(inner.getBytes(UTF_8) ++ md5salt)
+        if (new String(pb.dropRight(1), UTF_8) != want) {
+          errorResp(out, "28P01", "password authentication failed")
+          return
+        }
+      } else if (authMethod == "cleartext") {
+        send(out, 'R', be32(3))
+        val (tp, pb) = recvMsg(in)
+        require(tp == 'p', s"expected PasswordMessage, got $tp")
+        if (new String(pb.dropRight(1), UTF_8) != password) {
+          errorResp(out, "28P01", "password authentication failed")
+          return
+        }
+      } else {
       // SCRAM handshake
       send(out, 'R', be32(10) ++ cstr("SCRAM-SHA-256") :+ 0.toByte)
       val (t1, b1) = recvMsg(in)
@@ -141,6 +173,7 @@ final class PgLoopback(password: String, dbName: String = "shop") {
       }
       val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
       send(out, 'R', be32(12) ++ s"v=${b64(serverSig)}".getBytes(UTF_8))
+      }
       send(out, 'R', be32(0))
       send(out, 'S', cstr("server_version") ++ cstr("16.0-loopback"))
       ready(out)

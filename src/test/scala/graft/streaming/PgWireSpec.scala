@@ -85,6 +85,20 @@ class PgWireSpec extends AnyFunSuite {
     } finally m.stop()
   }
 
+  test("md5 and cleartext auth paths work (and reject bad passwords)") {
+    for (method <- Seq("md5", "cleartext")) {
+      val m = new PgLoopback(Password, authMethod = method)
+      try {
+        assert(PgWire.identifySystem("127.0.0.1", m.port, "repl", Password, "shop")
+          === m.LogEnd, s"$method happy path")
+        val e = intercept[IllegalStateException] {
+          PgWire.identifySystem("127.0.0.1", m.port, "repl", "WRONG", "shop")
+        }
+        assert(e.getMessage.contains("authentication failed"), s"$method rejection")
+      } finally m.stop()
+    }
+  }
+
   test("consumption is confirmed via standby status updates") {
     val m = new PgLoopback(Password)
     try {
