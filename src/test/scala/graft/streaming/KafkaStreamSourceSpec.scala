@@ -114,6 +114,25 @@ class KafkaStreamSourceSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("plan contract: one Spark input partition per Kafka partition, exact ranges") {
+    val broker = new KafkaLoopback(numPartitions = 3)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("a", "1"), ("b", "2")))
+      broker.append("docs", 1, recs(("c", "3")))
+      // partition 2 stays empty — it must get NO input partition
+      val stream = new KafkaMicroBatchStream(
+        KafkaStreamOptions(Map("bootstrap" -> broker.bootstrap, "topic" -> "docs")))
+      val start = stream.initialOffset()
+      val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+      val parts = stream.planInputPartitions(start, end)
+        .map(_.asInstanceOf[KafkaRangePartition])
+      assert(parts.map(p => (p.partition, p.from, p.until)).sorted.toSeq
+        === Seq((0, 0L, 2L), (1, 0L, 1L)))
+      assert(parts.forall(_.topic == "docs"))
+    } finally broker.close()
+  }
+
   test("SASL-authenticated brokers work end-to-end through the source") {
     val broker = new KafkaLoopback(numPartitions = 1,
       credentials = Some(("etl", "broker-pw")))
