@@ -105,6 +105,7 @@ class KafkaStreamTable(opts: KafkaStreamOptions) extends Table
   // .planColumns), not the fixed read schema above
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(
@@ -117,6 +118,39 @@ class KafkaStreamTable(opts: KafkaStreamOptions) extends Table
       override def readSchema(): StructType = KafkaStreamSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new KafkaMicroBatchStream(opts)
+      /** Bounded backfill: `spark.read.format("graft-kafka")` scans the
+        * log's current `[earliest, latest)` per partition (or the
+        * `startingOffsets`/`endingOffsets` bounds) — the standard
+        * reprocess-history path, one Spark partition per Kafka
+        * partition, same executor range readers as streaming. */
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val conn = new KafkaWire.Conn(opts.host, opts.port, auth = opts.auth)
+            try {
+              val meta = conn.metadata(opts.topics)
+              val found = meta.topics.map(t => t.name -> t).toMap
+              opts.topics.flatMap { t =>
+                val tm = found.getOrElse(t, throw new IllegalArgumentException(
+                  s"topic $t missing from broker metadata"))
+                require(tm.error == KafkaWire.ErrNone, s"topic $t metadata error ${tm.error}")
+                tm.partitions.map(_.partition).sorted.flatMap { p =>
+                  val from =
+                    if (opts.startingOffsets == "latest")
+                      conn.listOffset(t, p, KafkaWire.LatestTimestamp)
+                    else conn.listOffset(t, p, KafkaWire.EarliestTimestamp)
+                  val until = conn.listOffset(t, p, KafkaWire.LatestTimestamp)
+                  if (until > from)
+                    Some(KafkaRangePartition(opts.host, opts.port, t, p,
+                      from, until, opts.maxBytesPerFetch, opts.auth))
+                  else None
+                }
+              }.toArray
+            } finally conn.close()
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new KafkaRangeReaderFactory
+        }
     }
 }
 

@@ -114,6 +114,28 @@ class KafkaStreamSourceSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("batch read: spark.read backfills the whole retained log") {
+    val broker = new KafkaLoopback(numPartitions = 2)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("a", "v0"), ("b", "v1")))
+      broker.append("docs", 1, recs(("c", "v2")))
+      val rows = spark.read.format("graft-kafka")
+        .option("bootstrap", broker.bootstrap).option("topic", "docs")
+        .load()
+        .selectExpr("cast(value as string)", "partition", "offset")
+        .as[(String, Int, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+      assert(rows === Seq(("v0", 0, 0L), ("v1", 0, 1L), ("v2", 1, 0L)))
+      // retention-truncated logs backfill only the retained suffix
+      // (truncation is whole-batch, like Kafka segment deletion)
+      broker.truncateBelow("docs", 0, 2L)
+      val after = spark.read.format("graft-kafka")
+        .option("bootstrap", broker.bootstrap).option("topic", "docs")
+        .load().selectExpr("cast(value as string)").as[String].collect().toSet
+      assert(after === Set("v2"))
+    } finally broker.close()
+  }
+
   test("plan contract: one Spark input partition per Kafka partition, exact ranges") {
     val broker = new KafkaLoopback(numPartitions = 3)
     try {
