@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.SparkSuite
+
+/** [[IcebergRead]] against a hand-built Iceberg layout: metadata JSON
+  * versions, Avro manifest lists and manifests (spec field names),
+  * snapshot time travel, DELETED entry filtering, and the v2 delete-file
+  * gate. */
+class IcebergReadSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val ManifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"partition_spec_id","type":"int"},
+      {"name":"added_snapshot_id","type":"long"}]}""")
+
+  private val DataFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"r2","fields":[
+      {"name":"content","type":"int"},
+      {"name":"file_path","type":"string"},
+      {"name":"file_format","type":"string"},
+      {"name":"record_count","type":"long"},
+      {"name":"file_size_in_bytes","type":"long"}]}""")
+
+  private val ManifestEntrySchema = {
+    val s = new Schema.Parser()
+    s.parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"snapshot_id","type":"long"},
+        {"name":"data_file","type":${DataFileSchema.toString}}]}""")
+  }
+
+  private def writeAvro(path: Path, schema: Schema,
+                        records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  private def entry(status: Int, filePath: String, content: Int = 0): GenericRecord = {
+    val df = new GenericData.Record(DataFileSchema)
+    df.put("content", content)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", 1L)
+    df.put("file_size_in_bytes", 1L)
+    val e = new GenericData.Record(ManifestEntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", 1L)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestRef(path: String): GenericRecord = {
+    val m = new GenericData.Record(ManifestListSchema)
+    m.put("manifest_path", path)
+    m.put("manifest_length", 1L)
+    m.put("partition_spec_id", 0)
+    m.put("added_snapshot_id", 1L)
+    m
+  }
+
+  private def writeParquet(dir: Path, name: String,
+                           rows: Seq[(Long, String)]): String = {
+    val tmp = Files.createTempDirectory("ice-part")
+    rows.toDF("id", "item").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.createDirectories(dir)
+    val target = dir.resolve(name)
+    Files.copy(part, target)
+    target.toString
+  }
+
+  /** Two snapshots: s1 = {fileA}, s2 = fileA deleted + fileB added. */
+  private def buildTable(withDeleteFile: Boolean = false): String = {
+    val root = Files.createTempDirectory("iceberg-table")
+    val meta = root.resolve("metadata")
+    val data = root.resolve("data")
+    Files.createDirectories(meta)
+    val fileA = writeParquet(data, "a.parquet", Seq((1L, "widget"), (2L, "bolt")))
+    val fileB = writeParquet(data, "b.parquet", Seq((1L, "gadget"), (2L, "bolt"), (3L, "nut")))
+    // snapshot 1
+    val m1 = meta.resolve("m1.avro")
+    writeAvro(m1, ManifestEntrySchema, Seq(entry(1, fileA)))
+    val ml1 = meta.resolve("snap-1.avro")
+    writeAvro(ml1, ManifestListSchema, Seq(manifestRef(m1.toString)))
+    // snapshot 2: A deleted, B added (+ optionally a v2 delete file)
+    val m2 = meta.resolve("m2.avro")
+    val entries2 = Seq(entry(2, fileA), entry(1, fileB)) ++
+      (if (withDeleteFile) Seq(entry(1, fileB.replace(".parquet", "-del.parquet"),
+        content = 1)) else Nil)
+    writeAvro(m2, ManifestEntrySchema, entries2)
+    val ml2 = meta.resolve("snap-2.avro")
+    writeAvro(ml2, ManifestListSchema, Seq(manifestRef(m2.toString)))
+    Files.writeString(meta.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"current-snapshot-id":1,
+        "snapshots":[{"snapshot-id":1,"manifest-list":"$ml1"}]}""")
+    Files.writeString(meta.resolve("v2.metadata.json"),
+      s"""{"format-version":2,"current-snapshot-id":2,
+        "snapshots":[{"snapshot-id":1,"manifest-list":"$ml1"},
+                     {"snapshot-id":2,"manifest-list":"$ml2"}]}""")
+    Files.writeString(meta.resolve("version-hint.text"), "2")
+    root.toString
+  }
+
+  test("snapshot reads the current snapshot; DELETED entries drop files") {
+    val t = buildTable()
+    assert(IcebergRead.snapshots(spark, t) === Seq(1L, 2L))
+    val rows = IcebergRead.snapshot(spark, t)
+      .select("id", "item").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "gadget"), (2L, "bolt"), (3L, "nut"))) // fileB only
+  }
+
+  test("snapshotId time travel reads the superseded file set") {
+    val t = buildTable()
+    val rows = IcebergRead.snapshot(spark, t, snapshotId = Some(1L))
+      .select("id", "item").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "widget"), (2L, "bolt")))
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshot(spark, t, snapshotId = Some(99L)))
+    assert(e.getMessage.contains("not present"))
+  }
+
+  test("v2 delete files fail loudly instead of resurrecting deleted rows") {
+    val t = buildTable(withDeleteFile = true)
+    val e = intercept[IllegalArgumentException](IcebergRead.snapshot(spark, t))
+    assert(e.getMessage.contains("delete files"))
+    // the pre-delete snapshot still reads
+    assert(IcebergRead.snapshot(spark, t, snapshotId = Some(1L)).count() === 2L)
+  }
+
+  test("a non-Iceberg directory fails with an actionable message") {
+    val plain = Files.createTempDirectory("not-iceberg").toString
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshot(spark, plain))
+    assert(e.getMessage.contains("not an Iceberg table"))
+  }
+}
