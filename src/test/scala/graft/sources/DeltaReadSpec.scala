@@ -75,6 +75,16 @@ class DeltaReadSpec extends SparkSuite {
       .count() === 3L)
   }
 
+  test("filters push through the union + partition-literal plumbing to parquet") {
+    val t = buildTable()
+    val df = DeltaRead.snapshot(spark, t.toString)
+      .where($"id" > 1L).select("id", "item")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      "data-column filter did not reach the parquet scans:\n" + plan)
+    assert(df.count() === 2L)
+  }
+
   test("a non-Delta directory fails with an actionable message") {
     val plain = Files.createTempDirectory("not-delta").toString
     val e = intercept[IllegalArgumentException](

@@ -108,6 +108,18 @@ class HudiReadSpec extends SparkSuite {
     assert(pre === Seq("k1", "k2", "k3"))
   }
 
+  test("filters and pruning reach the parquet scan through the slice resolution") {
+    val table = buildTable()
+    val df = HudiRead.snapshot(spark, table)
+      .where($"id" >= 2L).select("id", "item")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,2)]"),
+      "filter did not reach the parquet scan:\n" + plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,item:string>"),
+      "column pruning lost — meta columns still read:\n" + plan)
+    assert(df.count() === 2L)
+  }
+
   test("a non-Hudi directory fails with an actionable message") {
     val plain = Files.createTempDirectory("not-hudi").toString
     val e = intercept[IllegalArgumentException](
