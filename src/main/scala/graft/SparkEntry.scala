@@ -1299,7 +1299,22 @@ object SparkEntry {
       * corpus. */
     "text_gopher" -> ((s, d) =>
       TextOps.gopherQuality(t(s, d, "documents"), minWords = 20)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    /** Incremental near-dup ([[Dedup.incrementalMinhashPairs]]): a batch
+      * of suffix-mutated resubmissions (doc_id%5, ids offset 1e6) checked
+      * against the full corpus by MinHash LSH — candidates only from
+      * batch-band ⋈ corpus-band, never corpus×corpus. Replayed bit-exact
+      * in DuckDB via the staged-xxh64 machinery
+      * (tools/gen_incminhash_oracle.py). */
+    "dedup_incremental_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" incremental probe suffix tokens")).as("text"))
+      Dedup.incrementalMinhashPairs(batch, docs)
+        .orderBy("batch_id", "corpus_id")
+    })
   )
 
   // ====================================================================
@@ -2274,6 +2289,11 @@ object SparkEntry {
       * `XXH64.hashLong`/`hashUTF8String` JVM vectors). Generated by
       * `tools/gen_minhash_oracle.py` into the bundled resource. */
     "dedup_minhash" -> sqlResource("minhash_oracle.sql"),
+
+    /** Incremental near-dup replay: same staged xxh64 pipeline over the
+      * corpus ∪ offset-mutated batch, corpus-side bucket cap, corpus ×
+      * batch candidates only (`tools/gen_incminhash_oracle.py`). */
+    "dedup_incremental_near" -> sqlResource("incminhash_oracle.sql"),
 
     /** SimHash chunk-pair LSH replay: xxh64(token, 42) sign-accumulated
       * signatures → C(5,2) chunk-pair keys → capped bucket join → exact

@@ -204,6 +204,60 @@ object Dedup {
       .select("doc_a", "doc_b", "i", "u")
   }
 
+  /** Incremental NEAR-dup: a new batch checked against the existing corpus
+    * by MinHash LSH — the daily-ingest shape at 100 TB, where exact
+    * incremental dedup ([[graft.ops.Curation.incrementalDedup]]) misses
+    * lightly-edited resubmissions. Same signatures/banding as
+    * [[minhashPairs]], but candidates come ONLY from batch-band ⋈
+    * corpus-band — no corpus×corpus pair ever forms, so the cost scales
+    * with the BATCH (times bucket fan-out), not the corpus². The bucket
+    * cap is computed on the CORPUS side (that is the side whose hot
+    * buckets would blow the join up); dropped buckets are report-logged
+    * like every other cap here.
+    *
+    * Output: (batch_id, corpus_id, i, u) for pairs with Jaccard
+    * ≥ thresholdTenths/10 — i/u integer shingle-set sizes, engine-exact. */
+  def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
+                              thresholdTenths: Int = 8,
+                              bands: Int = 8, rowsPerBand: Int = 4,
+                              maxBucketSize: Int = 1000,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(corpus.sparkSession)
+    val nPart = corpus.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame): DataFrame = df
+      .filter(size(split(col(textCol), " ")) >= 3)
+      .repartition(nPart, col(idCol))
+      .select(col(idCol), graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(false)
+    def banded(d: DataFrame): DataFrame = d.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.minhashBandsH(col("sh"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val c = prep(corpus)
+    val b = prep(batch)
+    val corpusBanded = banded(c)
+    val corpusSizes = corpusBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+    reportCaps(corpusSizes, "minhash_incremental", maxBucketSize)
+    val okBuckets = corpusSizes.filter(col("bsz") <= maxBucketSize)
+    val corpusCapped = corpusBanded.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    val candidates = banded(b)
+      .select(col("band"), col("bucket"), col(idCol).as("batch_id"))
+      .join(corpusCapped.select(col("band"), col("bucket"), col(idCol).as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id").distinct()
+    val inter = graft.functions.TextFunctions.sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
+    candidates
+      .join(b.select(col(idCol).as("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(c.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        inter.as("i"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+      .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+      .select("batch_id", "corpus_id", "i", "u")
+  }
+
   // ------------------------------------------- connected components
 
   /** Connected components over an undirected edge list — the step that turns

@@ -870,6 +870,25 @@ class OpsSpec extends SparkSuite {
     assert(bySrc === again)
   }
 
+  test("incrementalMinhashPairs: batch hits its corpus twin, corpus pairs never form") {
+    // corpus has an EXACT internal dup pair (0,1) — it must NOT appear in
+    // the output, which is strictly batch × corpus
+    val batch = Seq(
+      (100L, base.replace("river", "stream")),   // near-dup of corpus 0/1
+      (101L, "completely unrelated words about protocols and sockets here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(batch, docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "batch near-dup not found")
+    assert(pairs.forall(p => p._1 >= 100L && p._2 < 100L),
+      s"non batch×corpus pair emitted: $pairs")
+    assert(pairs.map(_._1).toSet === Set(100L), "unrelated batch doc matched")
+    // doc 100 matches both exact twins 0 and 1 (and near-dup 2 via shared
+    // shingles) with high Jaccard
+    assert(pairs.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L)))
+    assert(pairs.forall(p => p._3 * 10 >= p._4 * 8))
+  }
+
   test("pageRank: exact fixed-point values on a hand-computed cyclic graph") {
     // 1→2, 2→3, 3→1 cycle plus dangling 4 fed by 1. n=4, init=250000000.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 2L)) // dup edge dedups
