@@ -155,17 +155,25 @@ class KafkaStreamTable(opts: KafkaStreamOptions) extends Table
 }
 
 /** Offset = map of "topic-partition" → next offset to read, serialized as
-  * sorted `topic:partition:offset` lines (human-readable checkpoints, no
-  * JSON parser needed — topic names may not contain newlines). */
+  * ONE line of sorted `topic:partition:offset` entries joined with `,`.
+  *
+  * The single-line shape is a hard requirement, not a style choice:
+  * Spark's `OffsetSeqLog` stores ONE LINE PER SOURCE in the checkpoint
+  * offset log, so a multi-line offset (one line per partition) corrupts
+  * the log for any topic with >1 partition — restart then mis-parses or
+  * fails. Kafka topic names are restricted to `[a-zA-Z0-9._-]`, so both
+  * `,` and `:` are safe delimiters and no JSON parser is needed. */
 final case class KafkaSourceOffset(positions: Map[(String, Int), Long]) extends Offset {
   override def json(): String =
     positions.toSeq.sortBy { case ((t, p), _) => (t, p) }
-      .map { case ((t, p), o) => s"$t:$p:$o" }.mkString("\n")
+      .map { case ((t, p), o) => s"$t:$p:$o" }.mkString(",")
 }
 
 object KafkaSourceOffset {
+  /** Accepts the current `,`-joined single line; also tolerates the
+    * legacy newline-joined form so pre-existing checkpoints still load. */
   def parse(s: String): KafkaSourceOffset = KafkaSourceOffset(
-    s.split('\n').iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+    s.split(Array(',', '\n')).iterator.map(_.trim).filter(_.nonEmpty).map { line =>
       val j = line.lastIndexOf(':')
       val i = line.lastIndexOf(':', j - 1)
       require(i > 0, s"bad kafka offset line '$line'")

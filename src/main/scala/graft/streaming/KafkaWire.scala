@@ -177,7 +177,7 @@ object KafkaWire {
     * brokers reassign it on append (the field sits OUTSIDE the CRC for
     * exactly that reason). */
   def encodeBatch(baseOffset: Long, records: Seq[(Array[Byte], Array[Byte], Long)],
-                  codec: Int = CodecNone): Array[Byte] = {
+                  codec: Int = CodecNone, extraAttributes: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val firstTs = records.head._3
     val maxTs = records.map(_._3).max
@@ -203,7 +203,7 @@ object KafkaWire {
     }
     // crc covers attributes(i16)..end
     val afterCrc = new Writer
-    afterCrc.i16(codec & CodecMask)               // attributes
+    afterCrc.i16((codec & CodecMask) | extraAttributes) // attributes
     afterCrc.i32(records.size - 1)                // lastOffsetDelta
     afterCrc.i64(firstTs)                         // firstTimestamp
     afterCrc.i64(maxTs)                           // maxTimestamp
@@ -231,8 +231,19 @@ object KafkaWire {
     * is validated per batch; a trailing partial batch (brokers truncate at
     * `max_bytes`) is skipped silently, per protocol. */
   def decodeBatches(data: Array[Byte], fromOffset: Long,
-                    untilOffset: Long): Seq[Record] = {
+                    untilOffset: Long): Seq[Record] =
+    decodeBatchesAdvance(data, fromOffset, untilOffset)._1
+
+  /** Like [[decodeBatches]], but also returns how far the log position
+    * advanced: `max(baseOffset + lastOffsetDelta + 1)` over the COMPLETE
+    * batches seen. Callers looping Fetch must advance by this, not by
+    * `max(record offset) + 1` — a control batch (or a batch whose records
+    * are all compacted away) yields zero records but still consumes
+    * offsets, and advancing by records alone would spin forever on it. */
+  def decodeBatchesAdvance(data: Array[Byte], fromOffset: Long,
+                           untilOffset: Long): (Seq[Record], Long) = {
     val out = ArrayBuffer.empty[Record]
+    var advance = Long.MinValue
     val buf = ByteBuffer.wrap(data)
     while (buf.remaining() >= 12) {
       val baseOffset = buf.getLong()
@@ -254,12 +265,20 @@ object KafkaWire {
             s"record batch at offset $baseOffset failed CRC32C " +
             f"(stored 0x$crcStored%08x, computed 0x${crc.getValue.toInt}%08x)")
         val attributes = r.i16()
-        r.i32() // lastOffsetDelta
+        val lastOffsetDelta = r.i32()
+        advance = math.max(advance, baseOffset + lastOffsetDelta + 1)
         val firstTs = r.i64()
         r.i64(); r.i64(); r.i16(); r.i32() // maxTs, pid, pepoch, baseSeq
         val count = r.i32()
+        // Control batches (attributes bit 0x20) carry transaction
+        // commit/abort MARKERS from transactional producers, not data —
+        // skip their records entirely (offsets still advance past them
+        // because the range filter below is what bounds the fetch, and
+        // the markers' offsets are simply never emitted).
+        val isControl = (attributes & 0x20) != 0
         val payload = r.raw(r.remaining)
-        val records = (attributes & CodecMask) match {
+        val records = if (isControl) Array.emptyByteArray
+        else (attributes & CodecMask) match {
           case CodecNone => payload
           case c =>
             val dec = decompressor(c, new ByteArrayInputStream(payload))
@@ -272,7 +291,7 @@ object KafkaWire {
         }
         val rr = new Reader(records)
         var i = 0
-        while (i < count) {
+        while (!isControl && i < count) {
           val len = rr.varInt()
           val end = rr.position + len
           rr.i8() // record attributes
@@ -297,7 +316,7 @@ object KafkaWire {
         }
       }
     }
-    out.toSeq
+    (out.toSeq, advance)
   }
 
   // ======================================================================
@@ -518,15 +537,18 @@ object KafkaWire {
       var stall = 0
       while (pos < until && stall < 3) {
         val (bytes, hw) = conn.fetch(topic, partition, pos, maxBytes)
-        val recs = decodeBatches(bytes, pos, until)
-        if (recs.isEmpty) {
+        val (recs, batchEnd) = decodeBatchesAdvance(bytes, pos, until)
+        out ++= recs
+        if (batchEnd > pos) {
+          // advance by BATCH extent, not record offsets: a control batch
+          // (txn marker) or fully-compacted batch yields no records but
+          // still consumes offsets
+          pos = batchEnd
+          stall = 0
+        } else {
           // nothing decodable at pos: either past HW (shouldn't happen for
           // a checkpointed range) or an empty response — avoid spinning
           if (pos >= hw) stall = 3 else stall += 1
-        } else {
-          out ++= recs
-          pos = recs.map(_.offset).max + 1
-          stall = 0
         }
       }
       if (pos < until)

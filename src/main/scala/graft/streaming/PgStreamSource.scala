@@ -88,6 +88,12 @@ class PgMicroBatchStream(opts: PgStreamOptions)
   private var bufferBase: Long = opts.startLsn
   private var pulledThrough: Long = opts.startLsn
   private var lastEnd: Long = opts.startLsn
+  /** Highest LSN Spark has durably committed (commit() ran). This — and
+    * ONLY this — is what pulls confirm to the slot as flushed: confirming
+    * the merely-consumed position would let Postgres trim WAL that a
+    * checkpointed-but-uncommitted batch still needs, making a driver
+    * crash between pull and checkpoint commit unrecoverable. */
+  private var committedLsn: Long = opts.startLsn
   private var slotReady = false
 
   private def ensureSlot(): Unit = if (!slotReady) {
@@ -100,7 +106,8 @@ class PgMicroBatchStream(opts: PgStreamOptions)
   private def pullFrom(lsn: Long): Seq[PgWire.PgEvent] = {
     ensureSlot()
     PgWire.pull(opts.host, opts.port, opts.user, opts.password, opts.database,
-      opts.slot, opts.publication, lsn, maxEvents = opts.maxEventsPerBatch)
+      opts.slot, opts.publication, lsn, maxEvents = opts.maxEventsPerBatch,
+      confirmLsn = committedLsn)
       .filter(_.lsn > lsn) // slot replays whole transactions; trim
   }
 
@@ -126,8 +133,15 @@ class PgMicroBatchStream(opts: PgStreamOptions)
     val fresh = pullFrom(pulledThrough)
     buffer ++= fresh
     fresh.lastOption.foreach(e => pulledThrough = math.max(pulledThrough, e.lsn))
-    val pending = buffer.iterator.filter(_.lsn > lastEnd).take(maxRows).toSeq
-    val end = pending.lastOption.map(_.lsn).getOrElse(lastEnd)
+    // An offset must never land mid-LSN-group: several events can share
+    // one LSN (e.g. a multi-relation Truncate emits one event per
+    // relation with identical dataStart), and planInputPartitions selects
+    // (start, end] inclusively — so extend past take(maxRows) to the
+    // whole tied group at the boundary. Excluding the group instead could
+    // stall forever when one LSN carries more events than maxRows.
+    val pendingAll = buffer.iterator.filter(_.lsn > lastEnd).toSeq
+    val taken = pendingAll.take(maxRows)
+    val end = taken.lastOption.map(_.lsn).getOrElse(lastEnd)
     lastEnd = math.max(lastEnd, end)
     PgStreamOffset(lastEnd)
   }
@@ -159,6 +173,9 @@ class PgMicroBatchStream(opts: PgStreamOptions)
     buffer.clear(); buffer ++= keep
     bufferBase = math.max(bufferBase, e)
     pulledThrough = math.max(pulledThrough, e)
+    // now durable in Spark's checkpoint → eligible for slot confirmation
+    // on the NEXT pull (never confirmed before this point)
+    committedLsn = math.max(committedLsn, e)
   }
 
   override def deserializeOffset(json: String): Offset =

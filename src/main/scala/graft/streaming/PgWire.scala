@@ -25,11 +25,13 @@ import scala.collection.mutable.ArrayBuffer
   * Update/Delete/Truncate, text-format tuples).
   *
   * Pull model mirrors [[BinlogWire.pull]]: one bounded drain per
-  * micro-batch over a fresh connection starting at the checkpointed LSN —
-  * the slot's `confirmed_flush_lsn` is advanced by the status updates we
-  * send, so the server trims WAL behind consumed offsets. Single socket
-  * per pull by protocol design (a slot has one consumer); parallelism
-  * lives in the demux sink, exactly like the binlog source.
+  * micro-batch over a fresh connection starting at the checkpointed LSN.
+  * The slot's `confirmed_flush_lsn` advances only to the position the
+  * caller declares DURABLE (`confirmLsn` — for Spark, the committed
+  * micro-batch), so the server trims WAL behind durable offsets while
+  * consumed-but-uncommitted ranges stay replayable across driver crashes.
+  * Single socket per pull by protocol design (a slot has one consumer);
+  * parallelism lives in the demux sink, exactly like the binlog source.
   *
   * Delete/update old images follow the table's REPLICA IDENTITY: `K` key
   * images carry key columns only, `O` full old rows; unchanged TOAST
@@ -367,13 +369,25 @@ object PgWire {
     * confirmed positions): connect, `START_REPLICATION`, decode pgoutput
     * frames into [[PgEvent]]s until `maxEvents` rows are decoded or the
     * server goes idle (keepalive with `walEnd` at our position), then
-    * confirm the last consumed LSN via a standby status update and close.
+    * send a standby status update and close.
+    *
+    * `confirmLsn` is the position the CALLER has made durable (for the
+    * Spark source: the last micro-batch Spark committed to its
+    * checkpoint). The status update reports write = last consumed LSN but
+    * flush/apply = `confirmLsn` ONLY — Postgres advances the slot's
+    * `confirmed_flush_lsn` from the flush field and restarts logical
+    * streaming there regardless of an older requested start, so
+    * confirming the merely-consumed position would make a
+    * checkpointed-but-unflushed range unreplayable after a driver crash
+    * (permanent data loss). Consumed-but-uncommitted WAL is deliberately
+    * retained by the slot until a later pull confirms it.
     *
     * Events carry the commit timestamp of their transaction (pgoutput
     * sends Begin before rows) and the XLogData start LSN as offset. */
   def pull(host: String, port: Int, user: String, password: String,
            database: String, slot: String, publication: String,
            startLsn: Long, maxEvents: Int,
+           confirmLsn: Long = 0L,
            nonce: () => String = randomNonce): Seq[PgEvent] = {
     val (socket, in, out) = connect(host, port, user, password, database, nonce)
     socket.setSoTimeout(10000)
@@ -399,16 +413,33 @@ object PgWire {
       var commitTsMs = 0L
       var lastLsn = startLsn
       var idle = false
+      // A bounded pull must NEVER stop mid-LSN-group: several events can
+      // share one dataStart (a multi-relation Truncate emits one event per
+      // relation at the same LSN), and the next pull trims `<= startLsn` —
+      // cutting inside the group would drop the tied remainder forever. So
+      // once `maxEvents` is reached, keep accepting events AT the boundary
+      // LSN and stop only when one arrives past it (that event is not
+      // appended; the fresh START_REPLICATION of the next pull replays it).
+      var boundary = Long.MaxValue
+      var full = false
+      def emit(e: PgEvent): Unit = {
+        if (events.size >= maxEvents && e.lsn > boundary) full = true
+        else {
+          events += e
+          if (events.size >= maxEvents) boundary = e.lsn
+        }
+      }
       def statusUpdate(replyRequested: Boolean): Unit = {
         val b = ArrayBuffer.empty[Byte]
         b += 'r'.toByte
         def i64(v: Long): Unit = (7 to 0 by -1).foreach(s => b += ((v >>> (8 * s)) & 0xff).toByte)
-        i64(lastLsn); i64(lastLsn); i64(lastLsn)
+        // write = consumed; flush/apply = caller-durable ONLY (see scaladoc)
+        i64(lastLsn); i64(confirmLsn); i64(confirmLsn)
         i64((System.currentTimeMillis() - PgEpochMs) * 1000L)
         b += (if (replyRequested) 1 else 0).toByte
         send(out, 'd', b.toArray)
       }
-      while (!idle && events.size < maxEvents) {
+      while (!idle && !full) {
         val (tpe, body) = try recv(in) catch {
           case _: java.net.SocketTimeoutException => idle = true; ('x', Array.emptyByteArray)
         }
@@ -447,8 +478,8 @@ object PgWire {
                     require(r.i8().toChar == 'N', "Insert without new tuple")
                     val (f, u) = readTuple(r, rel)
                     if (dataStart > startLsn)
-                      events += PgEvent(rel.namespace, rel.name, "insert",
-                        commitTsMs, dataStart, payloadJson(f, u, None))
+                      emit(PgEvent(rel.namespace, rel.name, "insert",
+                        commitTsMs, dataStart, payloadJson(f, u, None)))
                   case 'U' =>
                     val rel = relations(r.i32())
                     var old: Option[(Seq[String], Seq[String])] = None
@@ -459,8 +490,8 @@ object PgWire {
                     require(marker == 'N', s"Update without new tuple (got '$marker')")
                     val (f, u) = readTuple(r, rel)
                     if (dataStart > startLsn)
-                      events += PgEvent(rel.namespace, rel.name, "update",
-                        commitTsMs, dataStart, payloadJson(f, u, old))
+                      emit(PgEvent(rel.namespace, rel.name, "update",
+                        commitTsMs, dataStart, payloadJson(f, u, old)))
                   case 'D' =>
                     val rel = relations(r.i32())
                     val marker = r.i8().toChar
@@ -468,15 +499,15 @@ object PgWire {
                       s"Delete without key/old tuple (got '$marker')")
                     val (f, u) = readTuple(r, rel)
                     if (dataStart > startLsn)
-                      events += PgEvent(rel.namespace, rel.name, "delete",
-                        commitTsMs, dataStart, payloadJson(f, u, None))
+                      emit(PgEvent(rel.namespace, rel.name, "delete",
+                        commitTsMs, dataStart, payloadJson(f, u, None)))
                   case 'T' => // Truncate: nrels, flags, relids
                     val n = r.i32(); r.i8()
                     (0 until n).foreach { _ =>
                       val rel = relations(r.i32())
                       if (dataStart > startLsn)
-                        events += PgEvent(rel.namespace, rel.name, "truncate",
-                          commitTsMs, dataStart, "{}")
+                        emit(PgEvent(rel.namespace, rel.name, "truncate",
+                          commitTsMs, dataStart, "{}"))
                     }
                   case 'M' => // logical decoding message — skip
                   case other => throw new IllegalStateException(
@@ -491,8 +522,9 @@ object PgWire {
             s"unexpected '$other' in replication stream")
         }
       }
-      // confirm consumption so the server can trim WAL, then leave; the
-      // socket close ends the copy (walsender handles abrupt exits)
+      // report progress (write = consumed, flush = caller-durable) so the
+      // server can trim WAL up to the DURABLE position only, then leave;
+      // the socket close ends the copy (walsender handles abrupt exits)
       statusUpdate(false)
       events.toSeq
     } finally socket.close()

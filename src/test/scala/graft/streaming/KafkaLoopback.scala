@@ -50,6 +50,24 @@ final class KafkaLoopback(numPartitions: Int = 2,
     finally conn.close()
   }
 
+  /** Inject a transaction-marker CONTROL batch (attributes bit 0x20)
+    * directly into the log, the way a broker's transaction coordinator
+    * does (markers never travel through Produce). The single record uses
+    * the standard control-key layout: version i16 + type i16 (1=commit,
+    * 0=abort). Consumes one offset. */
+  def appendControlMarker(topic: String, partition: Int, commit: Boolean = true,
+                          ts: Long = 0L): Unit = synchronized {
+    val key = java.nio.ByteBuffer.allocate(4)
+      .putShort(0).putShort(if (commit) 1 else 0).array()
+    val batch = KafkaWire.encodeBatch(0L, Seq((key, Array.emptyByteArray, ts)),
+      extraAttributes = 0x20)
+    val base = logEnd((topic, partition))
+    val assigned = batch.clone()
+    var i = 0
+    while (i < 8) { assigned(i) = (base >>> (8 * (7 - i))).toByte; i += 1 }
+    logs((topic, partition)) += ((base, base, assigned))
+  }
+
   /** Retention simulation: drop whole batches whose last offset < floor. */
   def truncateBelow(topic: String, partition: Int, floor: Long): Unit = synchronized {
     logs.get((topic, partition)).foreach { buf =>

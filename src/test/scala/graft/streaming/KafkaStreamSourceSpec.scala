@@ -72,6 +72,52 @@ class KafkaStreamSourceSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("offsets serialize to ONE line (OffsetSeqLog stores one line per source)") {
+    val off = KafkaSourceOffset(Map(("docs", 0) -> 5L, ("docs", 1) -> 7L,
+      ("aux.topic-2", 3) -> 0L))
+    val json = off.json()
+    assert(!json.contains('\n'),
+      s"multi-line offset corrupts Spark's checkpoint offset log: '$json'")
+    assert(KafkaSourceOffset.parse(json) === off, "round-trip")
+    // legacy newline-joined checkpoints (pre-fix) must still load
+    val legacy = "docs:0:5\ndocs:1:7"
+    assert(KafkaSourceOffset.parse(legacy).positions
+      === Map(("docs", 0) -> 5L, ("docs", 1) -> 7L))
+  }
+
+  test("restart from checkpoint resumes correctly with MULTIPLE partitions") {
+    val broker = new KafkaLoopback(numPartitions = 3)
+    val ckpt = Files.createTempDirectory("graft-kafka-ckpt-mp").toString
+    val seen = mutable.ArrayBuffer.empty[(Int, Long, String)]
+    def run(): Unit = {
+      val q = stream(broker).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = batch.selectExpr("partition", "offset", "cast(value as string)")
+            .as[(Int, Long, String)].collect()
+          seen.synchronized { seen ++= got }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs(("k", "p0-a"), ("k", "p0-b")))
+      broker.append("docs", 1, recs(("k", "p1-a")))
+      broker.append("docs", 2, recs(("k", "p2-a")))
+      run()
+      assert(seen.sorted.toSeq === Seq((0, 0L, "p0-a"), (0, 1L, "p0-b"),
+        (1, 0L, "p1-a"), (2, 0L, "p2-a")))
+      broker.append("docs", 0, recs(("k", "p0-c")))
+      broker.append("docs", 2, recs(("k", "p2-b")))
+      run() // NEW query, same checkpoint: the multi-partition offset must
+            // have survived the OffsetSeqLog round-trip intact
+      assert(seen.sorted.toSeq === Seq((0, 0L, "p0-a"), (0, 1L, "p0-b"),
+        (0, 2L, "p0-c"), (1, 0L, "p1-a"), (2, 0L, "p2-a"), (2, 1L, "p2-b")),
+        "restart re-delivered or skipped records on a multi-partition topic")
+    } finally broker.close()
+  }
+
   test("maxOffsetsPerTrigger paces batches and splits budget by backlog") {
     val broker = new KafkaLoopback(numPartitions = 2)
     try {

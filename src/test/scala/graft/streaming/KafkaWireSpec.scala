@@ -181,4 +181,39 @@ class KafkaWireSpec extends AnyFunSuite {
         === (0 until 4).map(i => s"payload-α-$i"))
     } finally broker.close()
   }
+
+  test("control batches (txn markers) are skipped, never emitted as data") {
+    // unit level: a batch with attributes bit 0x20 decodes to NO records
+    val marker = KafkaWire.encodeBatch(7L,
+      Seq((Array[Byte](0, 0, 0, 1), Array.emptyByteArray, 0L)),
+      extraAttributes = 0x20)
+    assert(KafkaWire.decodeBatches(marker, Long.MinValue, Long.MaxValue).isEmpty,
+      "a transaction marker leaked through as a data record")
+
+    // wire level: data · marker · data interleaved in one partition log —
+    // readRange over the full range must return ONLY the data records,
+    // with the marker's offset consumed but absent from the output
+    val broker = new KafkaLoopback(numPartitions = 1)
+    try {
+      broker.createTopic("tx")
+      broker.append("tx", 0, recs(("a", "v0"), ("b", "v1"))) // offsets 0,1
+      broker.appendControlMarker("tx", 0, commit = true)     // offset 2
+      broker.append("tx", 0, recs(("c", "v3")))              // offset 3
+      val out = KafkaWire.readRange("127.0.0.1", broker.port, "tx", 0,
+        0L, 4L, 1 << 20, None)
+      assert(out.map(_.offset) === Seq(0L, 1L, 3L))
+      assert(out.map(r => new String(r.value, UTF_8)) === Seq("v0", "v1", "v3"))
+
+      // a range that ENDS on the marker must still drain (advance is by
+      // batch extent, not record offsets — a marker-only tail would
+      // otherwise stall and throw)
+      val head = KafkaWire.readRange("127.0.0.1", broker.port, "tx", 0,
+        0L, 3L, 1 << 20, None)
+      assert(head.map(_.offset) === Seq(0L, 1L))
+      // and a range that is ONLY the marker returns empty, not an error
+      val markerOnly = KafkaWire.readRange("127.0.0.1", broker.port, "tx", 0,
+        2L, 3L, 1 << 20, None)
+      assert(markerOnly.isEmpty)
+    } finally broker.close()
+  }
 }

@@ -30,14 +30,25 @@ final class PgLoopback(password: String, dbName: String = "shop",
     s"authMethod must be scram|md5|cleartext, got $authMethod")
   private val server = new ServerSocket(0, 8, InetAddress.getLoopbackAddress)
   @volatile private var running = true
+  /** Slot's confirmed_flush_lsn: advanced from the FLUSH field of standby
+    * status updates, exactly like a real walsender. Streaming always
+    * resumes at `max(requested start, confirmedLsn)` — the Postgres
+    * behavior that makes premature confirmation a data-loss bug. */
   @volatile var confirmedLsn: Long = 0L
+  /** Last WRITE position reported by the client (visibility only). */
+  @volatile var writtenLsn: Long = 0L
   @volatile private var slots = Set.empty[String]
 
   def port: Int = server.getLocalPort
   def stop(): Unit = { running = false; server.close() }
 
   // ---- fixture ----
-  val LogEnd: Long = 500L
+  /** When set, a 4th transaction (commit 0/600) TRUNCATEs BOTH relations
+    * in one statement — pgoutput then emits one Truncate event per
+    * relation with the SAME dataStart LSN (550), the shape that tests
+    * batch boundaries never landing mid-LSN-group. */
+  @volatile var includeMultiTruncate: Boolean = false
+  def LogEnd: Long = if (includeMultiTruncate) 600L else 500L
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -300,10 +311,22 @@ final class PgLoopback(password: String, dbName: String = "shop",
       0L -> begin(500L, 3000000L, 703),
       0L -> relationFull(OrdersRel, "public", "orders", Seq("id", "item")),
       450L -> truncate(Seq(OrdersRel)),
-      500L -> commitMsg(500L, 500L, 3000000L))))
+      500L -> commitMsg(500L, 500L, 3000000L)))) ++
+    (if (includeMultiTruncate) Seq(
+      (600L, Seq(
+        0L -> begin(600L, 4000000L, 704),
+        0L -> relationFull(OrdersRel, "public", "orders", Seq("id", "item")),
+        0L -> relationFull(UsersRel, "public", "users", Seq("uid", "name", "bio")),
+        // ONE Truncate message naming both relations → decoder emits two
+        // events sharing dataStart 550
+        550L -> truncate(Seq(OrdersRel, UsersRel)),
+        600L -> commitMsg(600L, 600L, 4000000L))))
+     else Seq.empty)
 
   private def streamFixture(start: Long, in: DataInputStream, out: DataOutputStream): Unit = {
-    transactions.filter(_._1 > start).foreach { case (_, frames) =>
+    // real slots ignore a requested start older than confirmed_flush_lsn
+    val effectiveStart = math.max(start, confirmedLsn)
+    transactions.filter(_._1 > effectiveStart).foreach { case (_, frames) =>
       frames.foreach { case (ds, msg) => xlog(out, ds, msg) }
     }
     // caught up: keepalive with walEnd = log end, no reply required
@@ -313,7 +336,10 @@ final class PgLoopback(password: String, dbName: String = "shop",
       while (running) {
         val (tpe, body) = recvMsg(in)
         if (tpe == 'd' && body.nonEmpty && body(0) == 'r') {
-          confirmedLsn = java.nio.ByteBuffer.wrap(body, 1, 8).getLong
+          // bytes 1-8 = write, 9-16 = flush; the slot advances on FLUSH
+          writtenLsn = java.nio.ByteBuffer.wrap(body, 1, 8).getLong
+          confirmedLsn = math.max(confirmedLsn,
+            java.nio.ByteBuffer.wrap(body, 9, 8).getLong)
         } else if (tpe == 'c' || tpe == 'X') return
       }
     } catch { case _: EOFException | _: java.net.SocketException => }

@@ -88,6 +88,87 @@ class PgStreamSourceSpec extends SparkSuite {
     } finally m.stop()
   }
 
+  test("a batch boundary never splits events sharing one LSN (multi-rel truncate)") {
+    val m = new PgLoopback(Password)
+    m.includeMultiTruncate = true // tx4: TRUNCATE orders, users → two
+                                  // events BOTH at dataStart 550
+    try {
+      val sizes = mutable.ArrayBuffer.empty[Long]
+      val seen = mutable.ArrayBuffer.empty[(String, Long)]
+      val paced = spark.readStream.format("graft-pg")
+        .option("host", "127.0.0.1").option("port", m.port)
+        .option("user", "repl").option("password", Password)
+        .option("database", "shop").option("slot", "s1")
+        .option("publication", "pub1")
+        .option("maxEventsPerBatch", "1") // every cut lands on a boundary —
+                                          // including mid-tied-group ones
+        .load()
+      val q = paced.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("table", "offset").as[(String, Long)].collect()
+          seen.synchronized { seen ++= got; sizes += got.length.toLong }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // all 7 events exactly once; in particular BOTH truncates at 550
+      assert(seen.sortBy(e => (e._2, e._1)).toSeq === Seq(
+        ("orders", 110L), ("users", 120L), ("orders", 310L), ("users", 320L),
+        ("orders", 450L), ("orders", 550L), ("users", 550L)),
+        "an LSN-tied group was split across a batch boundary and lost")
+    } finally m.stop()
+  }
+
+  test("crash between pull and checkpoint commit: range stays replayable " +
+       "(flush confirms only committed LSNs)") {
+    val m = new PgLoopback(Password)
+    try {
+      // Simulate the crash window: a stream instance pulls everything
+      // (consumes through 450) but the driver dies before Spark commits —
+      // commit() never runs, so nothing may be confirmed as flushed.
+      val s1 = new PgMicroBatchStream(PgStreamOptions(Map(
+        "host" -> "127.0.0.1", "port" -> m.port.toString, "user" -> "repl",
+        "password" -> Password, "database" -> "shop", "slot" -> "s1",
+        "publication" -> "pub1")))
+      val start = s1.initialOffset()
+      val end = s1.latestOffset(start, s1.getDefaultReadLimit)
+      assert(end.asInstanceOf[PgStreamOffset].lsn === 450L)
+      // the final status update travels on the same message as the write
+      // position — wait for THAT to land, then check what was flushed
+      awaitWritten(m, 500L)
+      assert(m.confirmedLsn === 0L,
+        "consumed-but-uncommitted LSNs were confirmed as flushed — a crash " +
+        "here would lose the checkpointed range")
+      // The loopback resumes at max(requested, confirmed_flush) like a real
+      // slot: a FRESH stream restarted from the checkpointed offset (0)
+      // must be able to replay the full range.
+      val s2 = new PgMicroBatchStream(PgStreamOptions(Map(
+        "host" -> "127.0.0.1", "port" -> m.port.toString, "user" -> "repl",
+        "password" -> Password, "database" -> "shop", "slot" -> "s1",
+        "publication" -> "pub1")))
+      val parts = s2.planInputPartitions(PgStreamOffset(0L), PgStreamOffset(450L))
+      val replayed = parts.head.asInstanceOf[PgEventsPartition].events.map(_.lsn).toSeq
+      assert(replayed === Seq(110L, 120L, 310L, 320L, 450L),
+        "checkpointed-but-uncommitted range was not replayable after crash")
+      // and once commit() runs, the NEXT pull confirms it
+      s2.commit(PgStreamOffset(450L))
+      s2.latestOffset(PgStreamOffset(450L), s2.getDefaultReadLimit)
+      val deadline = System.currentTimeMillis() + 3000
+      while (m.confirmedLsn < 450L && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(m.confirmedLsn === 450L, "committed LSN was not confirmed to the slot")
+    } finally m.stop()
+  }
+
+  /** Wait until the loopback has absorbed a status update whose write
+    * position reached `lsn` (the updates arrive asynchronously after
+    * `pull` returns). */
+  private def awaitWritten(m: PgLoopback, lsn: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 3000
+    while (m.writtenLsn < lsn && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(m.writtenLsn >= lsn, s"status update with write >= $lsn never arrived")
+  }
+
   test("pg stream composes with the multi-table demux sink end to end") {
     import org.apache.spark.sql.types._
     val m = new PgLoopback(Password)

@@ -99,15 +99,39 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
-  test("consumption is confirmed via standby status updates") {
+  test("status updates report write = consumed but flush = caller-durable only") {
     val m = new PgLoopback(Password)
     try {
-      pull(m, 0L)
-      // the final status update carries the last consumed LSN (commit 500)
+      // caller declares LSN 200 durable; the pull consumes through 500
+      PgWire.createSlot("127.0.0.1", m.port, "repl", Password, "shop", "s1")
+      PgWire.pull("127.0.0.1", m.port, "repl", Password, "shop", "s1", "pub1",
+        0L, maxEvents = 1000, confirmLsn = 200L)
+      val deadline = System.currentTimeMillis() + 3000
+      while (m.writtenLsn < 500L && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(m.writtenLsn === 500L, "write position = consumed")
+      assert(m.confirmedLsn === 200L,
+        "flush position must be what the caller committed, NOT what was consumed")
+    } finally m.stop()
+  }
+
+  test("a crash between pull and checkpoint commit keeps the range replayable") {
+    val m = new PgLoopback(Password)
+    try {
+      // first pull consumes everything but confirms nothing (no commit yet);
+      // a real slot restarted at confirmed_flush_lsn must replay in full
+      assert(pull(m, 0L).map(_.lsn) === Seq(110L, 120L, 310L, 320L, 450L))
+      assert(m.confirmedLsn === 0L, "nothing durable → nothing confirmed")
+      assert(pull(m, 0L).map(_.lsn) === Seq(110L, 120L, 310L, 320L, 450L),
+        "un-confirmed range must replay after a simulated driver crash")
+      // once the caller declares 500 durable, the slot trims and goes dry
+      PgWire.pull("127.0.0.1", m.port, "repl", Password, "shop", "s1", "pub1",
+        0L, maxEvents = 1000, confirmLsn = 500L)
       val deadline = System.currentTimeMillis() + 3000
       while (m.confirmedLsn < 500L && System.currentTimeMillis() < deadline)
-        Thread.sleep(20)
-      assert(m.confirmedLsn === 500L)
+        Thread.sleep(20) // status updates land async after pull returns
+      assert(pull(m, 0L) === Seq.empty,
+        "slot resumes at confirmed_flush_lsn regardless of older requested start")
     } finally m.stop()
   }
 }
