@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A [[FileIndex]] over an EXPLICIT file list with per-file partition
+  * values — the Spark-native way for a table-format reader (Delta, Hudi,
+  * Iceberg) to hand Catalyst its snapshot:
+  *
+  *  - ONE `FileSourceScanExec` for the whole table, however many distinct
+  *    partition tuples it has. The naive alternative (one
+  *    `spark.read.parquet(...)` + `lit(...)` partition columns per tuple,
+  *    unioned) builds a plan whose size is O(tuples) — a date×hour×region
+  *    layout with 10⁴–10⁵ tuples blows up driver planning before a single
+  *    byte is read.
+  *  - REAL partition pruning: Catalyst routes partition-column predicates
+  *    into [[listFiles]], so `WHERE dt = '2024-01-01'` prunes the file
+  *    list at planning time instead of scanning everything and filtering
+  *    rows — the property that makes partitioned layouts work at 100 TB.
+  *  - Typed partition columns: values are carried as Catalyst
+  *    `InternalRow`s of the declared partition schema, not string
+  *    literals.
+  *
+  * File sizes/mtimes come from the table format's own metadata (Delta
+  * `add.size`, Hudi/Iceberg manifests), so constructing the index makes
+  * ZERO per-file filesystem calls.
+  */
+final class StaticFileIndex(
+    root: Path,
+    override val partitionSchema: StructType,
+    /** One entry per distinct partition tuple: typed values + files. */
+    partitions: Seq[(InternalRow, Array[FileStatus])]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) partitions
+      else {
+        // bind the predicates to the partition schema by (case-insensitive)
+        // name and evaluate them against each tuple's InternalRow — the
+        // same contract PartitioningAwareFileIndex implements for
+        // directory-discovered layouts
+        val predicate = Predicate.createInterpreted(
+          partitionFilters.reduce(org.apache.spark.sql.catalyst.expressions.And)
+            .transform {
+              case a: AttributeReference =>
+                val idx = partitionSchema.indexWhere(
+                  f => f.name.equalsIgnoreCase(a.name))
+                require(idx >= 0,
+                  s"partition filter references unknown column ${a.name}")
+                BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+            })
+        partitions.filter { case (values, _) => predicate.eval(values) }
+      }
+    pruned.map { case (values, files) => PartitionDirectory(values, files) }
+  }
+
+  override def inputFiles: Array[String] =
+    partitions.iterator.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override val sizeInBytes: Long =
+    partitions.iterator.flatMap(_._2).map(_.getLen).sum
+}
+
+object StaticFileIndex {
+
+  /** Build the snapshot DataFrame: one parquet scan over `partitions`
+    * with `dataSchema` read from the files and `partitionSchema` columns
+    * synthesized from the per-tuple values (appended after the data
+    * columns, Spark's standard partitioned-relation layout — callers
+    * wanting a specific column order select on top). */
+  def parquetRelation(spark: SparkSession, root: Path,
+                      dataSchema: StructType, partitionSchema: StructType,
+                      partitions: Seq[(InternalRow, Array[FileStatus])])
+      : DataFrame = {
+    val index = new StaticFileIndex(root, partitionSchema, partitions)
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      bucketSpec = None, new ParquetFileFormat,
+      options = Map.empty[String, String])(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+
+  /** Parse one partition value from its table-format string serialization
+    * into the Catalyst-internal representation of `dt` (Delta and Hive
+    * share this encoding: ISO dates, `yyyy-MM-dd HH:mm:ss[.ffffff]`
+    * timestamps, plain decimal numbers; `null` stays null). */
+  def partitionValue(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case BooleanType => raw.toBoolean
+      case FloatType => raw.toFloat
+      case DoubleType => raw.toDouble
+      case d: DecimalType => Decimal(new java.math.BigDecimal(raw), d.precision, d.scale)
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case TimestampType =>
+        val ts = java.sql.Timestamp.valueOf(raw)
+        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+}

@@ -10,8 +10,12 @@ class DeltaReadSpec extends SparkSuite {
 
   import spark.implicits._
 
+  /** Writes the file and returns its TRUE size — the log must record it
+    * faithfully, because the reader trusts `add.size` for parquet footer
+    * location (that's what lets it build the scan with zero per-file
+    * filesystem calls, like every real Delta writer/reader pair). */
   private def writeParquet(dir: Path, rel: String,
-                           rows: Seq[(Long, String)]): Unit = {
+                           rows: Seq[(Long, String)]): Long = {
     val tmp = Files.createTempDirectory("delta-part")
     rows.toDF("id", "item").coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -20,6 +24,7 @@ class DeltaReadSpec extends SparkSuite {
     val target = dir.resolve(rel)
     Files.createDirectories(target.getParent)
     Files.copy(part, target)
+    Files.size(target)
   }
 
   private def log(dir: Path, version: Long, lines: String*): Unit = {
@@ -32,18 +37,18 @@ class DeltaReadSpec extends SparkSuite {
   private def buildTable(): Path = {
     val root = Files.createTempDirectory("delta-table")
     // v0: metadata (partitioned by dt) + two files
-    writeParquet(root, "dt=2024-01-01/part-a.parquet", Seq((1L, "widget"), (2L, "bolt")))
-    writeParquet(root, "dt=2024-01-02/part-b.parquet", Seq((3L, "nut")))
+    val szA = writeParquet(root, "dt=2024-01-01/part-a.parquet", Seq((1L, "widget"), (2L, "bolt")))
+    val szB = writeParquet(root, "dt=2024-01-02/part-b.parquet", Seq((3L, "nut")))
     log(root, 0L,
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       """{"metaData":{"id":"m1","partitionColumns":["dt"],"format":{"provider":"parquet"}}}""",
-      """{"add":{"path":"dt=2024-01-01/part-a.parquet","partitionValues":{"dt":"2024-01-01"},"size":1,"modificationTime":1,"dataChange":true}}""",
-      """{"add":{"path":"dt=2024-01-02/part-b.parquet","partitionValues":{"dt":"2024-01-02"},"size":1,"modificationTime":1,"dataChange":true}}""")
+      s"""{"add":{"path":"dt=2024-01-01/part-a.parquet","partitionValues":{"dt":"2024-01-01"},"size":$szA,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"dt=2024-01-02/part-b.parquet","partitionValues":{"dt":"2024-01-02"},"size":$szB,"modificationTime":1,"dataChange":true}}""")
     // v1: rewrite part-a (update widget→gadget): remove + add
-    writeParquet(root, "dt=2024-01-01/part-c.parquet", Seq((1L, "gadget"), (2L, "bolt")))
+    val szC = writeParquet(root, "dt=2024-01-01/part-c.parquet", Seq((1L, "gadget"), (2L, "bolt")))
     log(root, 1L,
       """{"remove":{"path":"dt=2024-01-01/part-a.parquet","dataChange":true}}""",
-      """{"add":{"path":"dt=2024-01-01/part-c.parquet","partitionValues":{"dt":"2024-01-01"},"size":1,"modificationTime":2,"dataChange":true}}""")
+      s"""{"add":{"path":"dt=2024-01-01/part-c.parquet","partitionValues":{"dt":"2024-01-01"},"size":$szC,"modificationTime":2,"dataChange":true}}""")
     root
   }
 
@@ -90,5 +95,146 @@ class DeltaReadSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       DeltaRead.snapshot(spark, plain))
     assert(e.getMessage.contains("not a Delta table"))
+  }
+
+  private val SchemaString =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{}},
+      |{"name":"item","type":"string","nullable":true,"metadata":{}},
+      |{"name":"bucket","type":"integer","nullable":true,"metadata":{}},
+      |{"name":"dt","type":"date","nullable":true,"metadata":{}}]}"""
+      .stripMargin.replace("\n", "").replace("\"", "\\\"")
+
+  test("partition columns come back TYPED per schemaString, in declared order") {
+    val root = Files.createTempDirectory("delta-typed")
+    val sz1 = writeParquet(root, "bucket=7/dt=2024-01-01/f1.parquet", Seq((1L, "widget")))
+    val sz2 = writeParquet(root, "bucket=9/dt=2024-02-03/f2.parquet", Seq((2L, "bolt")))
+    log(root, 0L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"m1","partitionColumns":["bucket","dt"],"schemaString":"$SchemaString","format":{"provider":"parquet"}}}""",
+      s"""{"add":{"path":"bucket=7/dt=2024-01-01/f1.parquet","partitionValues":{"bucket":"7","dt":"2024-01-01"},"size":$sz1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"bucket=9/dt=2024-02-03/f2.parquet","partitionValues":{"bucket":"9","dt":"2024-02-03"},"size":$sz2,"modificationTime":1,"dataChange":true}}""")
+    val df = DeltaRead.snapshot(spark, root.toString)
+    // declared column order, not data-then-partition order
+    assert(df.schema.fieldNames.toSeq === Seq("id", "item", "bucket", "dt"))
+    assert(df.schema("bucket").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("dt").dataType === org.apache.spark.sql.types.DateType)
+    val rows = df.selectExpr("id", "bucket", "cast(dt as string)")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 7, "2024-01-01"), (2L, 9, "2024-02-03")))
+  }
+
+  test("percent-encoded add.path is URI-decoded before resolution") {
+    val root = Files.createTempDirectory("delta-enc")
+    val sz = writeParquet(root, "dt=2024-01-01/part a.parquet", Seq((5L, "spaced")))
+    log(root, 0L,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"m1","partitionColumns":["dt"],"format":{"provider":"parquet"}}}""",
+      s"""{"add":{"path":"dt=2024-01-01/part%20a.parquet","partitionValues":{"dt":"2024-01-01"},"size":$sz,"modificationTime":1,"dataChange":true}}""")
+    val rows = DeltaRead.snapshot(spark, root.toString)
+      .select("id", "item").as[(Long, String)].collect().toSeq
+    assert(rows === Seq((5L, "spaced")))
+  }
+
+  test("plan contract: ONE parquet scan regardless of partition-tuple count, " +
+       "and partition predicates prune FILES at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("delta-many")
+    // one physical file, copied into 120 partition directories — the
+    // partition VALUES live in the log, which is what's under test
+    val sz = writeParquet(root, "dt=d000/f.parquet", Seq((1L, "x"), (2L, "y")))
+    val src = root.resolve("dt=d000/f.parquet")
+    val adds = (0 until 120).map { i =>
+      val dtVal = f"d$i%03d"
+      val rel = s"dt=$dtVal/f.parquet"
+      if (i != 0) {
+        Files.createDirectories(root.resolve(rel).getParent)
+        Files.copy(src, root.resolve(rel))
+      }
+      s"""{"add":{"path":"$rel","partitionValues":{"dt":"$dtVal"},"size":$sz,"modificationTime":1,"dataChange":true}}"""
+    }
+    log(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"m1","partitionColumns":["dt"],"format":{"provider":"parquet"}}}""") ++ adds: _*)
+    val df = DeltaRead.snapshot(spark, root.toString)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size === 1,
+      s"expected ONE scan for 120 partition tuples, got ${scans.size} — " +
+      "plan size must be O(1) in partition count")
+    assert(df.count() === 240L)
+    assert(df.select("dt").distinct().count() === 120L)
+
+    // partition pruning: a dt predicate must shrink the FILE list, not
+    // just filter rows post-scan
+    val pruned = df.where($"dt" === "d007")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(pruned.count() === 2L)
+    assert(scan.partitionFilters.nonEmpty,
+      "the dt predicate was not recognized as a partition filter")
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).flatMap(_.files)
+    assert(listed.size === 1,
+      s"partition filter did not prune the file list at planning time " +
+      s"(listed ${listed.size} of 120 files)")
+  }
+
+  private def sizeOf(root: Path, rel: String): Long = Files.size(root.resolve(rel))
+
+  private def writeCheckpoint(root: Path, version: Long,
+                              rows: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("delta-cp")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val logDir = root.resolve("_delta_log")
+    Files.copy(part, logDir.resolve(f"$version%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.count()}}""")
+  }
+
+  test("checkpoint replay: vacuumed early JSON versions stay readable") {
+    val t = buildTable() // v0 (2 adds) + v1 (remove part-a, add part-c)
+    // v2: add one more file
+    val szD = writeParquet(t, "dt=2024-01-03/part-d.parquet", Seq((9L, "gear")))
+    log(t, 2L,
+      s"""{"add":{"path":"dt=2024-01-03/part-d.parquet","partitionValues":{"dt":"2024-01-03"},"size":$szD,"modificationTime":3,"dataChange":true}}""")
+    // checkpoint at v1 = state after the rewrite: part-b + part-c live
+    val cp = spark.sql(s"""
+      SELECT named_struct('minReaderVersion', 1, 'minWriterVersion', 2) AS protocol,
+             CAST(NULL AS STRUCT<id: STRING, partitionColumns: ARRAY<STRING>,
+                                 schemaString: STRING>) AS metaData,
+             CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,
+                                 size: BIGINT, modificationTime: BIGINT>) AS add
+      UNION ALL
+      SELECT NULL, named_struct('id', 'm1',
+                                'partitionColumns', array('dt'),
+                                'schemaString', CAST(NULL AS STRING)), NULL
+      UNION ALL
+      SELECT NULL, NULL, named_struct('path', 'dt=2024-01-02/part-b.parquet',
+        'partitionValues', map('dt', '2024-01-02'), 'size', ${sizeOf(t, "dt=2024-01-02/part-b.parquet")}L, 'modificationTime', 1L)
+      UNION ALL
+      SELECT NULL, NULL, named_struct('path', 'dt=2024-01-01/part-c.parquet',
+        'partitionValues', map('dt', '2024-01-01'), 'size', ${sizeOf(t, "dt=2024-01-01/part-c.parquet")}L, 'modificationTime', 2L)
+    """)
+    writeCheckpoint(t, 1L, cp)
+    // vacuum the JSON the checkpoint covers
+    Files.delete(t.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    Files.delete(t.resolve("_delta_log").resolve(f"${1L}%020d.json"))
+    val rows = DeltaRead.snapshot(spark, t.toString)
+      .select("id", "item", "dt").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "gadget", "2024-01-01"), (2L, "bolt", "2024-01-01"),
+      (3L, "nut", "2024-01-02"), (9L, "gear", "2024-01-03")))
+    // time travel to the checkpoint version itself also works
+    assert(DeltaRead.snapshot(spark, t.toString, versionAsOf = Some(1L))
+      .count() === 3L)
+    // but BEFORE the checkpoint is honestly unreadable, with the floor named
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.snapshot(spark, t.toString, versionAsOf = Some(0L)))
+    assert(e.getMessage.contains("oldest readable"))
   }
 }
