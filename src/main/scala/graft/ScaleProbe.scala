@@ -311,6 +311,26 @@ object ScaleProbe {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       Curation.corpusDiff(docs, v2).groupBy("verdict").count().count()
     }
+    // Lakehouse listing at production file counts: 2000 partition dirs ×
+    // 50 base files = 100k files. Wall-time must be bounded by
+    // partitions/parallelism (executor-parallel listing), not a serial
+    // driver walk over every file.
+    if (only.forall("hudi_listing".contains)) {
+      val root = java.nio.file.Files.createTempDirectory("probe-hudi-listing")
+      java.nio.file.Files.createDirectories(root.resolve(".hoodie"))
+      (0 until 2000).foreach { p =>
+        val dir = root.resolve(f"dt=p$p%04d")
+        java.nio.file.Files.createDirectory(dir)
+        (0 until 50).foreach { f =>
+          java.nio.file.Files.createFile(
+            dir.resolve(f"fg$f%02d_0-1-2_20240101090000000.parquet"))
+        }
+      }
+      time("hudi_listing") {
+        graft.sources.HudiRead
+          .listAllFiles(spark, root.toString, maxFiles = 200000).size.toLong
+      }
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {

@@ -126,4 +126,168 @@ class HudiReadSpec extends SparkSuite {
       HudiRead.snapshot(spark, plain))
     assert(e.getMessage.contains("not a Hudi table"))
   }
+
+  // ======================================================================
+  // merge-on-read
+  // ======================================================================
+
+  private val MorAvroSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"fixture","fields":[
+      |{"name":"_hoodie_record_key","type":"string"},
+      |{"name":"_hoodie_commit_time","type":"string"},
+      |{"name":"id","type":"long"},
+      |{"name":"item","type":"string"},
+      |{"name":"_hoodie_is_deleted","type":"boolean","default":false}
+      |]}""".stripMargin)
+
+  private def avroRec(key: String, commit: String, id: Long, item: String,
+                      deleted: Boolean = false): org.apache.avro.generic.GenericRecord =
+    new org.apache.avro.generic.GenericRecordBuilder(MorAvroSchema)
+      .set("_hoodie_record_key", key).set("_hoodie_commit_time", commit)
+      .set("id", id).set("item", item).set("_hoodie_is_deleted", deleted)
+      .build()
+
+  private def writeLog(dir: Path, fileId: String, baseInstant: String,
+                       version: Int, blocks: Seq[HudiLogFormat.LogBlock]): Unit = {
+    Files.createDirectories(dir)
+    val f = dir.resolve(s".${fileId}_$baseInstant.log.${version}_0-1-2")
+    val out = new java.io.DataOutputStream(Files.newOutputStream(f))
+    try blocks.foreach(HudiLogFormat.writeBlock(out, _)) finally out.close()
+  }
+
+  /** MOR base file carrying the full MOR schema (incl. the delete flag). */
+  private def morBase(dir: Path, fileId: String, instant: String,
+                      rows: Seq[(String, String, Long, String)]): Unit = {
+    val df = rows.toDF("_hoodie_record_key", "_hoodie_commit_time", "id", "item")
+      .withColumn("_hoodie_is_deleted", org.apache.spark.sql.functions.lit(false))
+    val tmp = Files.createTempDirectory("hudi-mor-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.createDirectories(dir)
+    Files.copy(part, dir.resolve(s"${fileId}_0-1-2_$instant.parquet"))
+  }
+
+  /** MOR fixture: base at T1, delta log at T2 (update k1, delete k2,
+    * insert k4), an INFLIGHT delta at T3 whose log block must be
+    * invisible, plus a log-only file group landed at T2. */
+  private def buildMorTable(): Path = {
+    val root = Files.createTempDirectory("hudi-mor-table")
+    val hoodie = root.resolve(".hoodie")
+    Files.createDirectories(hoodie)
+    Files.writeString(hoodie.resolve("hoodie.properties"),
+      "hoodie.table.name=fixture\nhoodie.table.type=MERGE_ON_READ\n")
+    val p1 = root.resolve("dt=2024-01-01")
+    morBase(p1, "fgA", T1, Seq(("k1", T1, 1L, "widget"), ("k2", T1, 2L, "bolt")))
+    Files.writeString(hoodie.resolve(s"$T1.commit"), "{}")
+    // T2 delta commit: one log file on fgA, one log-only group fgN
+    writeLog(p1, "fgA", T1, 1, Seq(HudiLogFormat.avroDataBlock(T2, MorAvroSchema,
+      Seq(avroRec("k1", T2, 1L, "gadget"),
+        avroRec("k2", T2, 2L, "bolt", deleted = true),
+        avroRec("k4", T2, 4L, "gear")))))
+    writeLog(p1, "fgN", T2, 1, Seq(HudiLogFormat.avroDataBlock(T2, MorAvroSchema,
+      Seq(avroRec("k7", T2, 7L, "cam")))))
+    Files.writeString(hoodie.resolve(s"$T2.deltacommit"), "{}")
+    // T3: INFLIGHT delta commit — its log block exists but must be invisible
+    writeLog(p1, "fgA", T1, 2, Seq(HudiLogFormat.avroDataBlock(T3, MorAvroSchema,
+      Seq(avroRec("k1", T3, 1L, "phantom")))))
+    Files.writeString(hoodie.resolve(s"$T3.deltacommit.inflight"), "")
+    root
+  }
+
+  private def morRows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String)] =
+    df.select("_hoodie_record_key", "item", "_hoodie_commit_time")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+
+  test("MOR snapshot merges visible log records over the base " +
+       "(update, delete, insert, log-only group; inflight invisible)") {
+    val t = buildMorTable()
+    assert(morRows(HudiRead.snapshot(spark, t.toString)) === Seq(
+      ("k1", "gadget", T2),  // updated by the T2 log, NOT the inflight T3
+      ("k4", "gear", T2),    // inserted via log
+      ("k7", "cam", T2)))    // log-only file group, no base yet
+      // k2 deleted via _hoodie_is_deleted
+  }
+
+  test("MOR time travel to the base instant ignores later logs") {
+    val t = buildMorTable()
+    assert(morRows(HudiRead.snapshot(spark, t.toString, asOf = Some(T1))) === Seq(
+      ("k1", "widget", T1), ("k2", "bolt", T1)))
+  }
+
+  test("MOR incremental pull returns log-committed rows only") {
+    val t = buildMorTable()
+    assert(morRows(HudiRead.incremental(spark, t.toString, beginInstant = T1))
+      === Seq(("k1", "gadget", T2), ("k4", "gear", T2), ("k7", "cam", T2)))
+  }
+
+  test("post-compaction snapshot equals the pre-compaction merged view") {
+    val t = buildMorTable()
+    val before = morRows(HudiRead.snapshot(spark, t.toString))
+    // compaction: fold fgA's merged rows into a new base at T4, fgN's into
+    // its own base; logs (baseInstant < T4) stop applying
+    val p1 = t.resolve("dt=2024-01-01")
+    morBase(p1, "fgA", T4, Seq(("k1", T2, 1L, "gadget"), ("k4", T2, 4L, "gear")))
+    morBase(p1, "fgN", T4, Seq(("k7", T2, 7L, "cam")))
+    Files.writeString(t.resolve(".hoodie").resolve(s"$T4.commit"), "{}")
+    val after = HudiRead.snapshot(spark, t.toString)
+    assert(morRows(after) === before,
+      "compaction changed the snapshot contents")
+    // and the compacted read is a pure parquet scan (no log merge)
+    assert(after.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+  }
+
+  test("rollback command blocks hide the rolled-back instant's records") {
+    val t = buildMorTable()
+    // a later log file rolls back T2 on fgA (Hudi writes the command
+    // block when a failed delta commit is rolled back)
+    val p1 = t.resolve("dt=2024-01-01")
+    writeLog(p1, "fgA", T1, 3, Seq(HudiLogFormat.LogBlock(
+      HudiLogFormat.TypeCommand,
+      Map(HudiLogFormat.HeaderInstantTime -> T4,
+        HudiLogFormat.HeaderTargetInstantTime -> T2,
+        HudiLogFormat.HeaderCommandBlockType -> "0"), Array.emptyByteArray)))
+    val rows = morRows(HudiRead.snapshot(spark, t.toString))
+    // fgA's T2 block is void → base rows only; fgN's T2 block (separate
+    // file group, not rolled back by this log stream) still applies
+    assert(rows === Seq(("k1", "widget", T1), ("k2", "bolt", T1),
+      ("k7", "cam", T2)))
+  }
+
+  test("Hudi DELETE log blocks fail loudly, never silently resurrect rows") {
+    val t = buildMorTable()
+    val p1 = t.resolve("dt=2024-01-01")
+    writeLog(p1, "fgA", T1, 3, Seq(HudiLogFormat.LogBlock(
+      HudiLogFormat.TypeDelete,
+      Map(HudiLogFormat.HeaderInstantTime -> T2), Array[Byte](0, 0, 0, 2))))
+    val e = intercept[org.apache.spark.SparkException](
+      HudiRead.snapshot(spark, t.toString).collect())
+    assert(e.getMessage.contains("DELETE log blocks") ||
+      Option(e.getCause).exists(_.getMessage.contains("DELETE log blocks")))
+  }
+
+  test("log format round-trips blocks byte-faithfully, tolerates a torn tail") {
+    val block = HudiLogFormat.avroDataBlock(T2, MorAvroSchema,
+      Seq(avroRec("k1", T2, 1L, "a"), avroRec("k2", T2, 2L, "b")))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    HudiLogFormat.writeBlock(out, block)
+    HudiLogFormat.writeBlock(out, HudiLogFormat.LogBlock(
+      HudiLogFormat.TypeCommand,
+      Map(HudiLogFormat.HeaderInstantTime -> T3,
+        HudiLogFormat.HeaderTargetInstantTime -> T2), Array.emptyByteArray))
+    val full = bos.toByteArray
+    val blocks = HudiLogFormat.readBlocks(new java.io.ByteArrayInputStream(full))
+    assert(blocks.size === 2)
+    assert(blocks(0).blockType === HudiLogFormat.TypeAvroData)
+    val recs = HudiLogFormat.avroRecords(blocks(0))
+    assert(recs.map(_.get("item").toString) === Seq("a", "b"))
+    assert(blocks(1).header(HudiLogFormat.HeaderTargetInstantTime) === T2)
+    // a torn trailing block (writer died mid-append) terminates silently
+    val torn = full ++ HudiLogFormat.Magic ++ Array[Byte](0, 0, 0)
+    assert(HudiLogFormat.readBlocks(
+      new java.io.ByteArrayInputStream(torn)).size === 2)
+    // rollbacks void the targeted instant
+    assert(HudiLogFormat.effectiveBlocks(blocks).isEmpty)
+  }
 }
