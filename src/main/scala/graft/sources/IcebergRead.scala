@@ -21,10 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - snapshot = current snapshot's manifest list → manifests → data
   *    files with entry status ≠ 2 (DELETED); `snapshotId` time-travels to
   *    any snapshot still in the metadata.
-  *  - v2 row-level deletes are gated: a manifest entry whose
-  *    `data_file.content` ≠ 0 (position/equality deletes) fails LOUDLY —
-  *    merging delete files is the documented gap, and silently ignoring
-  *    them would resurrect deleted rows.
+  *  - v2 POSITION deletes (`data_file.content` = 1) are MERGED: deleted
+  *    `(file_path, pos)` rows are dropped via an anti join on Spark's
+  *    `_metadata.file_path` / `_metadata.row_index`. Equality deletes
+  *    (content = 2) fail LOUDLY — they need equality-field resolution +
+  *    sequence-number ordering, and silently ignoring them would
+  *    resurrect deleted rows.
   *
   * Scale notes: the driver reads metadata JSON + manifest Avro (the same
   * planning data every Iceberg client loads, bounded by `maxFiles`); the
@@ -71,33 +73,40 @@ object IcebergRead {
     } finally { stream.close(); in.close() }
   }
 
-  /** Data-file paths of one snapshot. */
-  private def dataFiles(spark: SparkSession, manifestList: String,
-                        maxFiles: Int): Seq[String] = {
+  /** Data + position-delete file paths of one snapshot. Equality deletes
+    * (content=2) stay gated: applying them needs the equality field ids +
+    * sequence-number ordering, and silently ignoring them would
+    * resurrect deleted rows. */
+  private def snapshotFiles(spark: SparkSession, manifestList: String,
+                            maxFiles: Int): (Seq[String], Seq[String]) = {
     val manifests = avroRecords(spark, manifestList)
       .map(_.get("manifest_path").toString)
-    val files = manifests.flatMap { m =>
-      avroRecords(spark, m).flatMap { entry =>
+    val data = scala.collection.mutable.ArrayBuffer.empty[String]
+    val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+    manifests.foreach { m =>
+      avroRecords(spark, m).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED entry
-        else {
+        if (status != 2) { // 2 = DELETED entry
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = Option(df.getSchema.getField("content"))
             .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
-          require(content == 0,
-            "Iceberg v2 delete files present (content=" + content + ") — " +
-              "merging position/equality deletes is not supported; reading " +
-              "would silently resurrect deleted rows")
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
-            s"unsupported Iceberg data file format $fmt")
-          Some(df.get("file_path").toString)
+            s"unsupported Iceberg file format $fmt")
+          content match {
+            case 0 => data += df.get("file_path").toString
+            case 1 => posDeletes += df.get("file_path").toString
+            case other => throw new IllegalArgumentException(
+              "Iceberg equality-delete files present (content=" + other +
+                ") — merging equality deletes is not supported; reading " +
+                "would silently resurrect deleted rows")
+          }
         }
       }
     }
-    require(files.size <= maxFiles,
-      s"snapshot lists ${files.size} files > maxFiles=$maxFiles")
-    files
+    require(data.size + posDeletes.size <= maxFiles,
+      s"snapshot lists ${data.size + posDeletes.size} files > maxFiles=$maxFiles")
+    (data.toSeq, posDeletes.toSeq)
   }
 
   /** Snapshot ids available for time travel, ascending by sequence. */
@@ -135,8 +144,52 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not present in metadata (expired?)"))
     val manifestList = snap.get("manifest-list").asText()
-    val files = dataFiles(spark, manifestList, maxFiles)
+    val (files, posDeletes) = snapshotFiles(spark, manifestList, maxFiles)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else if (posDeletes.isEmpty) spark.read.parquet(files: _*)
+    else applyPositionDeletes(spark, files, posDeletes)
+  }
+
+  /** v2 position deletes: drop rows matching `(file_path, pos)` from the
+    * delete files — an ANTI JOIN on Spark's `_metadata` columns
+    * (`file_path`, `row_index`), which exist for exactly this kind of
+    * row-position bookkeeping. Delete files name data files by their
+    * MANIFEST path spelling, while `_metadata.file_path` is the
+    * filesystem-qualified URI, so a broadcast qualified→manifest map
+    * bridges the two (guarded: an unmapped file raises rather than
+    * silently keeping its deleted rows).
+    *
+    * Scale shape: the data side stays one pushdown-capable parquet scan;
+    * the delete side is its own scan shuffled only on
+    * `(file_path, pos)` — no driver materialization of either. A
+    * position delete references its data file by exact path, so applying
+    * every delete file of the snapshot to every data row needs no
+    * sequence-number ordering (that subtlety belongs to equality
+    * deletes, which stay gated). */
+  private def applyPositionDeletes(spark: SparkSession, files: Seq[String],
+                                   posDeletes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // _metadata.file_path carries the Hadoop Path rendering of the
+    // qualified path (file:/x, not the URI form file:///x)
+    val pathMap = files.map { p =>
+      val hp = new Path(p)
+      (hp.getFileSystem(conf).makeQualified(hp).toString, p)
+    }
+    val mapDf = spark.createDataFrame(pathMap).toDF("__qualified", "__manifest_path")
+    val data = spark.read.parquet(files: _*)
+    val cols = data.columns.toSeq
+    val keyed = data
+      .withColumn("__qualified", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(mapDf), Seq("__qualified"), "left")
+      .withColumn("__manifest_path",
+        when(col("__manifest_path").isNull, raise_error(concat(
+          lit("Iceberg position-delete merge: data file not in path map: "),
+          col("__qualified")))).otherwise(col("__manifest_path")))
+    val deletes = spark.read.parquet(posDeletes: _*)
+      .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))
+    keyed.join(deletes, Seq("__manifest_path", "__pos"), "left_anti")
+      .select(cols.map(col): _*)
   }
 }

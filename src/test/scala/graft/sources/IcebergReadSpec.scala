@@ -83,7 +83,8 @@ class IcebergReadSpec extends SparkSuite {
   }
 
   /** Two snapshots: s1 = {fileA}, s2 = fileA deleted + fileB added. */
-  private def buildTable(withDeleteFile: Boolean = false): String = {
+  private def buildTable(withDeleteFile: Boolean = false,
+                         deleteContent: Int = 1): String = {
     val root = Files.createTempDirectory("iceberg-table")
     val meta = root.resolve("metadata")
     val data = root.resolve("data")
@@ -99,7 +100,7 @@ class IcebergReadSpec extends SparkSuite {
     val m2 = meta.resolve("m2.avro")
     val entries2 = Seq(entry(2, fileA), entry(1, fileB)) ++
       (if (withDeleteFile) Seq(entry(1, fileB.replace(".parquet", "-del.parquet"),
-        content = 1)) else Nil)
+        content = deleteContent)) else Nil)
     writeAvro(m2, ManifestEntrySchema, entries2)
     val ml2 = meta.resolve("snap-2.avro")
     writeAvro(ml2, ManifestListSchema, Seq(manifestRef(m2.toString)))
@@ -132,11 +133,31 @@ class IcebergReadSpec extends SparkSuite {
     assert(e.getMessage.contains("not present"))
   }
 
-  test("v2 delete files fail loudly instead of resurrecting deleted rows") {
-    val t = buildTable(withDeleteFile = true)
+  test("v2 EQUALITY delete files fail loudly instead of resurrecting rows") {
+    val t = buildTable(withDeleteFile = true, deleteContent = 2)
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(spark, t))
-    assert(e.getMessage.contains("delete files"))
+    assert(e.getMessage.contains("equality-delete"))
     // the pre-delete snapshot still reads
+    assert(IcebergRead.snapshot(spark, t, snapshotId = Some(1L)).count() === 2L)
+  }
+
+  test("v2 POSITION deletes are merged: deleted (file, pos) rows drop out") {
+    val t = buildTable(withDeleteFile = true, deleteContent = 1)
+    // the delete parquet targets fileB row 0 ("gadget") by its MANIFEST
+    // path spelling; _metadata.file_path is the qualified URI, so this
+    // also exercises the qualified→manifest bridge
+    val fileB = java.nio.file.Paths.get(t, "data", "b.parquet").toString
+    val delPath = java.nio.file.Paths.get(t, "data", "b-del.parquet")
+    val tmp = Files.createTempDirectory("ice-del")
+    Seq((fileB, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, delPath)
+    val rows = IcebergRead.snapshot(spark, t)
+      .select("id", "item").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((2L, "bolt"), (3L, "nut")),
+      "position delete of (b.parquet, 0) must drop exactly the 'gadget' row")
+    // time travel BEFORE the delete still sees the full snapshot-1 set
     assert(IcebergRead.snapshot(spark, t, snapshotId = Some(1L)).count() === 2L)
   }
 
