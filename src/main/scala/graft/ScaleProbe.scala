@@ -331,6 +331,19 @@ object ScaleProbe {
           .listAllFiles(spark, root.toString, maxFiles = 200000).size.toLong
       }
     }
+    // Sampled BPE vocabulary learning at a production-shaped k: 64
+    // sequential greedy rounds over a 10% sample. The per-rank seconds
+    // printed here are the planning number for real vocabs (k=32,000
+    // extrapolates linearly in k — sequential by nature of exact greedy
+    // BPE; the sample bounds the per-round scan).
+    time("bpe_learn64_sampled") {
+      val t0 = System.nanoTime()
+      val merges = graft.ops.TextOps.bpeLearnMerges(docs, 64,
+        sampleFraction = Some(0.1)).count()
+      System.err.println(f"[probe] bpe_learn64 s/rank=${
+        (System.nanoTime() - t0) / 1e9 / math.max(1L, merges)}%.2f")
+      merges
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {

@@ -474,13 +474,32 @@ object TextOps {
     * argmax). The corpus state is persisted per round and the predecessor
     * unpersisted — plans stay round-deep. Stops early when no pair
     * reaches `minCount` (the classic stopping rule), so callers get
-    * ≤ k rows. */
+    * ≤ k rows.
+    *
+    * `sampleFraction` turns on SAMPLED learning — the production path
+    * for real vocabulary sizes: per-round cost drops to a scan of the
+    * sample while the encoder still runs over the full corpus with the
+    * learned table. */
   def bpeLearnMerges(docs: DataFrame, k: Int, textCol: String = "text",
-                     minCount: Long = 2L): DataFrame = {
+                     minCount: Long = 2L, sampleFraction: Option[Double] = None,
+                     sampleSeed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
-    var cur = docs.select(concat(lit(" "),
+    // Sampled learning — the production path for large k: a real vocab
+    // (k = 32,000) means 32k sequential driver rounds, so the standard
+    // practice (every major tokenizer trains this way) is to LEARN on a
+    // bounded sample and ENCODE the full corpus with the learned table.
+    // Determinism: Bernoulli sampling is seed-stable for a fixed corpus
+    // partitioning (same files, same split) — pin inputs for bit-stable
+    // reruns; statistics of the learned merges are robust to the draw.
+    val corpus = sampleFraction match {
+      case Some(f) =>
+        require(f > 0.0 && f <= 1.0, s"sampleFraction must be in (0,1], got $f")
+        docs.sample(withReplacement = false, f, sampleSeed)
+      case None => docs
+    }
+    var cur = corpus.select(concat(lit(" "),
         regexp_replace(replace(lower(col(textCol)), lit(" "), lit("_")),
           "(.)", "$1 ")).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)

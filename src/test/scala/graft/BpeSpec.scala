@@ -109,4 +109,40 @@ class BpeSpec extends SparkSuite {
     assert(expected.head._2 === "a a") // the planted dominant pair wins round 1
     assert(expected.size < 5, "tiny corpus must exhaust below k (minCount stop)")
   }
+
+  test("sampled BPE learning: sample-learned merges encode identically to " +
+       "full-corpus learning on a corpus where they agree") {
+    import spark.implicits._
+    // a corpus of repeated copies: ANY Bernoulli sample that keeps a few
+    // docs learns the same merge table as the full corpus (the greedy
+    // argmax is scale-invariant when the docs are copies), so the
+    // sample/full agreement is structural, not luck
+    val docs = (0 until 200).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.TextOps.bpeLearnMerges(docs, 8)
+      .select("merge_rank", "pair", "merged")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    val sampled = graft.ops.TextOps.bpeLearnMerges(docs, 8,
+        sampleFraction = Some(0.3), sampleSeed = 7L)
+      .select("merge_rank", "pair", "merged")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(sampled === full,
+      "sample-learned merge table diverged on a copy-uniform corpus")
+    // and the ENCODER (full corpus) produces identical token counts
+    // under both tables — the production contract: learn sampled,
+    // encode everything
+    val fullCounts = docs.select(graft.ops.TextOps.bpeTokenCount(
+        $"text", full.map(m => { val Array(a, b) = m._2.split(" "); (a, b) }))
+        .as("n")).as[Long].collect().toSeq
+    val sampledCounts = docs.select(graft.ops.TextOps.bpeTokenCount(
+        $"text", sampled.map(m => { val Array(a, b) = m._2.split(" "); (a, b) }))
+        .as("n")).as[Long].collect().toSeq
+    assert(fullCounts === sampledCounts)
+    // counts in the learned rows reflect the SAMPLE's frequencies (they
+    // are selection-time statistics, not full-corpus counts)
+    val sampleN = graft.ops.TextOps.bpeLearnMerges(docs, 1,
+      sampleFraction = Some(0.3), sampleSeed = 7L)
+      .select("n").as[Long].head()
+    assert(sampleN < 200L, "sampled counts must come from the sample")
+  }
 }
