@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1314,8 +1316,104 @@ object SparkEntry {
           concat(col("text"), lit(" incremental probe suffix tokens")).as("text"))
       Dedup.incrementalMinhashPairs(batch, docs)
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- lakehouse round-trips (round 9): the format writers lay down
+    // REAL Delta / Hudi MOR / Iceberg tables from the sf input and the
+    // readers take them back through checkpoint replay, log-merge, and
+    // position-delete paths — the full interop loop inside the oracle
+    // gate (the DuckDB side replays the SEMANTICS directly on orders) --
+
+    /** Delta: partitioned create → rewrite one partition (prices ×2) →
+      * checkpoint → log vacuum → read through checkpoint replay + the
+      * single-scan [[graft.sources.StaticFileIndex]] plan. */
+    "lake_delta_read" -> ((s, d) => {
+      val root = lakeTmp(d, "delta")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sink.DeltaWrite.create(orders, root, Seq("o_orderpriority"))
+      val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sink.DeltaWrite.replacePartition(urgent, root, "o_orderpriority", "1-URGENT")
+      graft.sink.DeltaWrite.checkpoint(s, root)
+      graft.sink.DeltaWrite.vacuumLog(s, root) // reader MUST use the checkpoint
+      graft.sources.DeltaRead.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** Hudi MOR: base at T1, delta-log updates (orderkey%10: status 'U',
+      * price+1000) at T2, snapshot-merged read (base ∪ latest log record
+      * per key). The log batch collect is bounded to the delta subset —
+      * the MOR write-side unit by contract. */
+    "lake_hudi_mor_read" -> ((s, d) => {
+      val root = lakeTmp(d, "hudimor")
+      val t1 = "20240101000000000"; val t2 = "20240102000000000"
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("string").as("_hoodie_record_key"),
+        lit(t1).as("_hoodie_commit_time"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.HudiMorWrite.writeBase(base, root, "part=0", "fg1", t1)
+      val updates = base.where(col("o_orderkey") % 10 === 0).select(
+        col("_hoodie_record_key"), lit(t2).as("_hoodie_commit_time"),
+        col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.sink.HudiMorWrite.appendLog(updates, root, "part=0", "fg1", t1, t2)
+      graft.sources.HudiRead.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    /** Iceberg v2: data files + POSITION-delete files (orderkey%4 rows,
+      * positions taken from Spark's own `_metadata.row_index` on
+      * read-back) committed through the metadata chain, then the
+      * merged-read drops exactly the deleted rows. */
+    "lake_iceberg_read" -> ((s, d) => {
+      val root = lakeTmp(d, "iceberg")
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$root/data")
+      def list(sub: String): Seq[String] = {
+        val dir = java.nio.file.Paths.get(root, sub)
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally st.close()
+      }
+      val dataFiles = list("data")
+      s.read.parquet(dataFiles: _*)
+        .where(col("o_orderkey") % 4 === 0)
+        .select(
+          // manifest spelling = plain absolute path; _metadata carries the
+          // qualified file:/ form
+          regexp_replace(col("_metadata.file_path"), "^file:", "").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .write.parquet(s"$root/deletes")
+      graft.sink.IcebergWrite.commit(s, root, dataFiles, list("deletes"))
+      graft.sources.IcebergRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
     })
   )
+
+  /** Deterministic per-sf scratch root for the lakehouse round-trips,
+    * wiped at the start of every run (idempotent re-execution). */
+  private def lakeTmp(dir: String, kind: String): String = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lake_${kind}_" + Integer.toHexString(dir.hashCode))
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    if (root.exists) del(root)
+    root.getAbsolutePath
+  }
 
   // ====================================================================
   // oracle SQL (DuckDB dialect)
@@ -2340,7 +2438,34 @@ object SparkEntry {
       * step that made this rows-only — never happens), argmax assignment
       * over already-validated double cosine, then the standard ivfTopK
       * replay (`tools/gen_kmeans_oracle.py`). */
-    "ann_ivf_kmeans" -> sqlResource("kmeans_oracle.sql")
+    "ann_ivf_kmeans" -> sqlResource("kmeans_oracle.sql"),
+
+    // ---- lakehouse round-trips: the oracle replays the SEMANTICS of the
+    // write→read loop directly over orders (the formats themselves are
+    // exercised on the Spark side) --------------------------------------
+
+    "lake_delta_read" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice * 2 ELSE o_totalprice END
+                      AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "lake_hudi_mor_read" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders) t
+      GROUP BY 1 ORDER BY 1""",
+
+    "lake_iceberg_read" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 4 <> 0"""
   )
 
   /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'

@@ -1,0 +1,193 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{DeltaRead, DocPushdown}
+
+/** Minimal Delta Lake WRITER — the inverse of [[graft.sources.DeltaRead]]
+  * and the interop completion of the lake layer: tables this writes are
+  * readable by any Delta client (the published `_delta_log` protocol:
+  * JSON action versions with `protocol` / `metaData` / `add` / `remove`,
+  * plus parquet checkpoints advertised in `_last_checkpoint`), without
+  * the Delta runtime on the classpath.
+  *
+  * Shape: data files land through Spark's own partitioned parquet writer
+  * (hive-layout directories, partition columns dropped from the files —
+  * exactly Delta's physical layout), then the log actions record the
+  * resulting file set with TRUE sizes/mtimes from the filesystem, the
+  * declared `schemaString`, and `partitionValues` parsed back from the
+  * directory names. Writer concurrency control (optimistic commit
+  * protocol) is out of scope — single-writer semantics, like every other
+  * fixture-grade writer here; readers see only completed versions.
+  */
+object DeltaWrite {
+
+  private def mapper = DocPushdown.jsonMapper
+
+  private def logDir(table: String) = new Path(table, "_delta_log")
+
+  private def nextVersion(spark: SparkSession, table: String): Long = {
+    val dir = logDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong + 1L
+    }.maxOption.getOrElse(0L)
+  }
+
+  private def writeVersion(spark: SparkSession, table: String, version: Long,
+                           lines: Seq[String]): Unit = {
+    val dir = logDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, f"$version%020d.json"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  /** List the parquet files Spark just wrote under `dataRoot`, with
+    * partition values parsed from the hive-layout directory names. */
+  private def writtenFiles(spark: SparkSession, table: String,
+                           subtree: String): Seq[(String, Map[String, String], Long, Long)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String], Long, Long)]
+    def walk(p: Path, rel: String, pv: Map[String, String]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_delta_log") {
+            val pv2 = name.split('=') match {
+              case Array(k, v) => pv + (k -> v)
+              case _ => pv
+            }
+            walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name", pv2)
+          }
+        } else if (name.endsWith(".parquet") &&
+                   (subtree.isEmpty || rel.startsWith(subtree)))
+          out += (((if (rel.isEmpty) name else s"$rel/$name"), pv,
+            st.getLen, st.getModificationTime))
+      }
+    walk(root, "", Map.empty)
+    out.toSeq
+  }
+
+  private def addAction(path: String, pv: Map[String, String],
+                        size: Long, mtime: Long): String = {
+    // add.path is percent-encoded per the protocol (RFC 2396) — a
+    // partition value with a space ("4-NOT SPECIFIED") must round-trip
+    val encoded = new java.net.URI(null, null, path, null).toASCIIString
+    val pvJson = pv.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    s"""{"add":{"path":${jstr(encoded)},"partitionValues":{$pvJson},""" +
+      s""""size":$size,"modificationTime":$mtime,"dataChange":true}}"""
+  }
+
+  /** Create a new Delta table at `table` (must not exist): one partitioned
+    * parquet write + log version 0. */
+  def create(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    require(nextVersion(spark, table) == 0L, s"$table already has a Delta log")
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(table)
+    val files = writtenFiles(spark, table, "")
+    val meta =
+      s"""{"metaData":{"id":"graft-${math.abs(table.hashCode)}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(df.schema.json)},""" +
+        s""""partitionColumns":[${partitionBy.map(jstr).mkString(",")}],""" +
+        s""""configuration":{}}}"""
+    writeVersion(spark, table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta) ++
+      files.map((addAction _).tupled))
+  }
+
+  /** Replace ONE partition's contents with `df` as a new log version
+    * (remove the partition's live files, add the rewrite). */
+  def replacePartition(df: DataFrame, table: String,
+                       partitionCol: String, value: String): Unit = {
+    val spark = df.sparkSession
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log to append to")
+    val (live, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val removed = live.filter(_.partitionValues.get(partitionCol).contains(value))
+    require(removed.nonEmpty, s"no live files for $partitionCol=$value")
+    // new files land inside the SAME hive dir; name them under a fresh
+    // subdirectory so the rewrite never collides with the live files
+    val sub = s"$partitionCol=$value/v$version"
+    df.drop(partitionCol).write.mode("errorifexists")
+      .parquet(s"$table/$sub")
+    val files = writtenFiles(spark, table, sub)
+      .map { case (p, _, size, mtime) =>
+        (p, Map(partitionCol -> value), size, mtime)
+      }
+    writeVersion(spark, table, version,
+      removed.map(r => s"""{"remove":{"path":${jstr(r.path)},"dataChange":true}}""") ++
+        files.map((addAction _).tupled))
+  }
+
+  /** Write a parquet checkpoint of the CURRENT version + `_last_checkpoint`
+    * (what lets [[DeltaRead]] — and any Delta client — read the table
+    * after early JSON versions are vacuumed). */
+  def checkpoint(spark: SparkSession, table: String): Unit = {
+    val version = nextVersion(spark, table) - 1
+    require(version >= 0, s"$table has no Delta log")
+    val (live, partitionCols, schemaString) = DeltaRead.tableState(spark, table, version)
+    import spark.implicits._
+    val rows: Seq[(Option[(Int, Int)],
+                   Option[(String, Seq[String], Option[String])],
+                   Option[(String, Map[String, String], Long, Long)])] =
+      Seq((Some((1, 2)), None, None),
+        (None, Some(("graft-cp", partitionCols, schemaString)), None)) ++
+        live.map(f => (None, None,
+          Some((f.path, f.partitionValues.map { case (k, v) =>
+            k -> Option(v).getOrElse("")
+          }, f.size, f.modificationTime))))
+    val cp = rows.toDF("p", "m", "a").selectExpr(
+      "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2) AS protocol",
+      "named_struct('id', m._1, 'partitionColumns', m._2, 'schemaString', m._3) AS metaData",
+      "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
+        "'modificationTime', a._4) AS add")
+      .selectExpr(
+        "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
+        "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
+        "IF(add.path IS NULL, NULL, add) AS add")
+    val dir = logDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".cp-tmp-$version")
+    cp.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    val target = new Path(dir, f"$version%020d.checkpoint.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    val out = fs.create(new Path(dir, "_last_checkpoint"), true)
+    try out.write(s"""{"version":$version,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Drop JSON versions ≤ the newest checkpoint (log vacuum) — readers
+    * must replay from the checkpoint afterwards. */
+  def vacuumLog(spark: SparkSession, table: String): Unit = {
+    val dir = logDir(table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cpVersions = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case n if n.endsWith(".checkpoint.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toLong
+    }.toSeq
+    require(cpVersions.nonEmpty, "vacuumLog needs a checkpoint first")
+    val floor = cpVersions.max
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) &&
+          n.stripSuffix(".json").toLong <= floor)
+        fs.delete(st.getPath, false)
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Minimal Apache Iceberg TABLE COMMITTER — the write-side mirror of
+  * [[graft.sources.IcebergRead]]: given already-written parquet data
+  * files (and optionally v2 position-delete files), lays down the spec's
+  * metadata chain — Avro manifest of `manifest_entry` records, Avro
+  * manifest LIST, `vN.metadata.json` with the snapshot, and
+  * `version-hint.text` — so the table is navigable by any Iceberg
+  * client. Single snapshot per call, single writer (conformance/
+  * round-trip scope). */
+object IcebergWrite {
+
+  private val ManifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"partition_spec_id","type":"int"},
+      {"name":"added_snapshot_id","type":"long"}]}""")
+
+  private val DataFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"r2","fields":[
+      {"name":"content","type":"int"},
+      {"name":"file_path","type":"string"},
+      {"name":"file_format","type":"string"},
+      {"name":"record_count","type":"long"},
+      {"name":"file_size_in_bytes","type":"long"}]}""")
+
+  private val ManifestEntrySchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"snapshot_id","type":"long"},
+      {"name":"data_file","type":${DataFileSchema.toString}}]}""")
+
+  private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
+                        records: Seq[GenericRecord]): Unit = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  /** Commit one snapshot over explicit file lists. `dataFiles` are
+    * content=0 entries, `posDeleteFiles` content=1 (v2 position
+    * deletes). Paths should be the spelling readers will see in the
+    * manifests (absolute). */
+  def commit(spark: SparkSession, table: String, dataFiles: Seq[String],
+             posDeleteFiles: Seq[String] = Nil, snapshotId: Long = 1L): Unit = {
+    val meta = new Path(table, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(meta)
+    def entry(filePath: String, content: Int): GenericRecord = {
+      val df = new GenericData.Record(DataFileSchema)
+      df.put("content", content)
+      df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", df)
+      e
+    }
+    val manifest = new Path(meta, s"m-$snapshotId.avro")
+    writeAvro(spark, manifest, ManifestEntrySchema,
+      dataFiles.map(entry(_, 0)) ++ posDeleteFiles.map(entry(_, 1)))
+    val manifestList = new Path(meta, s"snap-$snapshotId.avro")
+    val mref = new GenericData.Record(ManifestListSchema)
+    mref.put("manifest_path", manifest.toString)
+    mref.put("manifest_length", 1L)
+    mref.put("partition_spec_id", 0)
+    mref.put("added_snapshot_id", snapshotId)
+    writeAvro(spark, manifestList, ManifestListSchema, Seq(mref))
+    val metadataJson =
+      s"""{"format-version":2,"current-snapshot-id":$snapshotId,
+        "snapshots":[{"snapshot-id":$snapshotId,"manifest-list":"$manifestList"}]}"""
+    val vfile = fs.create(new Path(meta, s"v$snapshotId.metadata.json"), true)
+    try vfile.write(metadataJson.getBytes(UTF_8)) finally vfile.close()
+    val hint = fs.create(new Path(meta, "version-hint.text"), true)
+    try hint.write(snapshotId.toString.getBytes(UTF_8)) finally hint.close()
+  }
+}

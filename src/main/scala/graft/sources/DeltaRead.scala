@@ -187,10 +187,24 @@ object DeltaRead {
     state
   }
 
+  /** Replayed table state at `version`: (live files, partition columns,
+    * schemaString) — the planning data a writer (checkpointing, partition
+    * replacement) or catalog needs. */
+  def tableState(spark: SparkSession, table: String, version: Long)
+      : (Seq[AddFile], Seq[String], Option[String]) = {
+    val state = replay(spark, table, version)
+    (state.live.values.toSeq, state.partitionCols, state.schemaString)
+  }
+
   /** `add.path` is a relative or absolute URI, percent-encoded (RFC 2396)
-    * per the protocol. */
+    * per the protocol. Non-conforming writers occasionally emit raw
+    * (unencoded) paths — tolerated by falling back to the literal
+    * spelling when the string does not parse as a URI. */
   private def resolvePath(table: String, raw: String): Path = {
-    val uri = new URI(raw)
+    val uri = try new URI(raw) catch {
+      case _: java.net.URISyntaxException =>
+        new java.net.URI(null, null, raw, null) // treat as a literal path
+    }
     if (uri.isAbsolute || raw.startsWith("/")) new Path(uri)
     else new Path(new Path(table), new Path(uri))
   }
