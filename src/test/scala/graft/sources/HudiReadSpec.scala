@@ -266,6 +266,24 @@ class HudiReadSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("DELETE log blocks")))
   }
 
+  test("latest-wins ordering across MULTIPLE log files and instants") {
+    val t = buildMorTable() // fgA: T2 log sets k1 → "gadget"
+    val p1 = t.resolve("dt=2024-01-01")
+    // a FURTHER log file (version 3 — version 2 is the fixture's inflight
+    // T3 stream) with a later delta commit T4 updates k1 again — the T4
+    // record must win over T2's even though both live in the same file
+    // group's log stream
+    writeLog(p1, "fgA", T1, 3, Seq(HudiLogFormat.avroDataBlock(T4, MorAvroSchema,
+      Seq(avroRec("k1", T4, 1L, "final")))))
+    Files.writeString(t.resolve(".hoodie").resolve(s"$T4.deltacommit"), "{}")
+    val rows = morRows(HudiRead.snapshot(spark, t.toString))
+    assert(rows === Seq(("k1", "final", T4), ("k4", "gear", T2),
+      ("k7", "cam", T2)))
+    // time travel between the two delta commits sees the T2 state
+    assert(morRows(HudiRead.snapshot(spark, t.toString, asOf = Some(T2)))
+      .filter(_._1 == "k1") === Seq(("k1", "gadget", T2)))
+  }
+
   test("log format round-trips blocks byte-faithfully, tolerates a torn tail") {
     val block = HudiLogFormat.avroDataBlock(T2, MorAvroSchema,
       Seq(avroRec("k1", T2, 1L, "a"), avroRec("k2", T2, 2L, "b")))
