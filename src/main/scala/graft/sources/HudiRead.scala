@@ -57,6 +57,11 @@ object HudiRead {
 
   private val BaseFileRe = """([^_/]+)_([^_/]+)_(\d+)(?:-\d+-\d+)?\.parquet""".r
 
+  /** Log-record ceiling for broadcasting the merged log side of a MOR
+    * read (≈ a few hundred MB of rows — comfortably inside the 8 GB
+    * broadcast limit while covering any healthily-compacted table). */
+  private val MaxBroadcastLogRecords = 4000000L
+
   final case class BaseFile(partition: String, fileId: String,
                             instant: String, path: String)
   final case class LogFile(partition: String, fileId: String,
@@ -302,9 +307,17 @@ object HudiRead {
       .groupBy(col("_hoodie_record_key").as("_graft_key"))
       .agg(max_by(payload, col("_graft_log_seq")).as("_graft_row"))
       .select(schema.fieldNames.map(n => col(s"_graft_row.$n").as(n)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The log side is SMALL by the MOR contract (uncompacted deltas only —
+    // that's why compaction exists), so broadcast it while it fits and the
+    // base scan never shuffles; a table sitting on an overdue compaction
+    // falls back to a shuffle join rather than OOMing the driver.
+    val nLog = latest.count()
+    val logSide =
+      if (nLog <= MaxBroadcastLogRecords) broadcast(latest) else latest
     val merged = baseDf match {
       case Some(b) =>
-        b.join(latest.select("_hoodie_record_key"), Seq("_hoodie_record_key"),
+        b.join(logSide.select("_hoodie_record_key"), Seq("_hoodie_record_key"),
             "left_anti")
           .select(schema.fieldNames.map(col): _*)
           .unionByName(latest)

@@ -284,6 +284,17 @@ class HudiReadSpec extends SparkSuite {
       .filter(_._1 == "k1") === Seq(("k1", "gadget", T2)))
   }
 
+  test("plan contract: MOR merge broadcasts the (small) log side — the " +
+       "base scan never shuffles") {
+    val t = buildMorTable()
+    val df = HudiRead.snapshot(spark, t.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "MOR anti-join did not broadcast the log side:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "MOR merge shuffled the base on record key despite a small log side:\n" + plan)
+  }
+
   test("log format round-trips blocks byte-faithfully, tolerates a torn tail") {
     val block = HudiLogFormat.avroDataBlock(T2, MorAvroSchema,
       Seq(avroRec("k1", T2, 1L, "a"), avroRec("k2", T2, 2L, "b")))
