@@ -1399,8 +1399,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("total"))
+    }),
+
+    /** Iceberg v2 EQUALITY deletes with the spec's strict sequence-number
+      * scoping: data@seq1, an `equality_ids=[o_orderkey]` delete file of
+      * the %5 keys @seq2, and a re-insert of the %10 keys (price ×4 —
+      * exact in binary) @seq3. The merged read must drop the deleted
+      * seq-1 rows but keep every seq-3 re-insert (3 ≥ 2). */
+    "lake_iceberg_eqdelete" -> ((s, d) => {
+      val root = lakeTmp(d, "icebergeq")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      orders.write.parquet(s"$root/data1")
+      orders.where(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey").distinct().write.parquet(s"$root/deletes")
+      orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 4)
+        .write.parquet(s"$root/data3")
+      import graft.sink.IcebergWrite.FileEntry
+      graft.sink.IcebergWrite.commitEntries(s, root,
+        lakeList(root, "data1").map(FileEntry(_, 0, 1L)) ++
+          lakeList(root, "deletes").map(FileEntry(_, 2, 2L, equalityIds = Seq(1))) ++
+          lakeList(root, "data3").map(FileEntry(_, 0, 3L)),
+        schemaFields = Seq((1, "o_orderkey", "long"),
+          (2, "o_orderstatus", "string"), (3, "o_totalprice", "double")))
+      graft.sources.IcebergRead.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
     })
   )
+
+  /** Absolute paths of the parquet files under `root/sub`. */
+  private def lakeList(root: String, sub: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(root, sub)
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    finally st.close()
+  }
 
   /** Deterministic per-sf scratch root for the lakehouse round-trips,
     * wiped at the start of every run (idempotent re-execution). */
@@ -2465,7 +2505,16 @@ object SparkEntry {
     "lake_iceberg_read" -> """
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM orders WHERE o_orderkey % 4 <> 0"""
+      FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_iceberg_eqdelete" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice * 4 FROM orders WHERE o_orderkey % 10 = 0
+      ) t GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB replays of the LSH pipelines (see the `oracleSql` entries'

@@ -10,19 +10,31 @@ import org.apache.spark.sql.SparkSession
 
 /** Minimal Apache Iceberg TABLE COMMITTER — the write-side mirror of
   * [[graft.sources.IcebergRead]]: given already-written parquet data
-  * files (and optionally v2 position-delete files), lays down the spec's
-  * metadata chain — Avro manifest of `manifest_entry` records, Avro
-  * manifest LIST, `vN.metadata.json` with the snapshot, and
+  * files (and optionally v2 position- or equality-delete files), lays
+  * down the spec's metadata chain — Avro manifest of `manifest_entry`
+  * records, Avro manifest LIST, `vN.metadata.json` with the snapshot, and
   * `version-hint.text` — so the table is navigable by any Iceberg
   * client. Single snapshot per call, single writer (conformance/
-  * round-trip scope). */
+  * round-trip scope).
+  *
+  * v2 sequence numbers: every entry carries an explicit
+  * `sequence_number` (no inheritance games on the write side) and the
+  * manifest list records the snapshot's — equality deletes scope by
+  * STRICT `delete.seq > data.seq`, so re-inserts after a delete must
+  * carry a higher sequence number. */
 object IcebergWrite {
+
+  /** One file in a snapshot: `content` 0 = data, 1 = position deletes,
+    * 2 = equality deletes (then `equalityIds` names the field ids). */
+  final case class FileEntry(path: String, content: Int, sequenceNumber: Long,
+                             equalityIds: Seq[Int] = Nil)
 
   private val ManifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string"},
       {"name":"manifest_length","type":"long"},
       {"name":"partition_spec_id","type":"int"},
+      {"name":"sequence_number","type":"long"},
       {"name":"added_snapshot_id","type":"long"}]}""")
 
   private val DataFileSchema = new Schema.Parser().parse(
@@ -31,12 +43,14 @@ object IcebergWrite {
       {"name":"file_path","type":"string"},
       {"name":"file_format","type":"string"},
       {"name":"record_count","type":"long"},
-      {"name":"file_size_in_bytes","type":"long"}]}""")
+      {"name":"file_size_in_bytes","type":"long"},
+      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
 
   private val ManifestEntrySchema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
       {"name":"snapshot_id","type":"long"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
       {"name":"data_file","type":${DataFileSchema.toString}}]}""")
 
   private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
@@ -55,35 +69,70 @@ object IcebergWrite {
     * deletes). Paths should be the spelling readers will see in the
     * manifests (absolute). */
   def commit(spark: SparkSession, table: String, dataFiles: Seq[String],
-             posDeleteFiles: Seq[String] = Nil, snapshotId: Long = 1L): Unit = {
+             posDeleteFiles: Seq[String] = Nil, snapshotId: Long = 1L): Unit =
+    commitEntries(spark, table,
+      dataFiles.map(FileEntry(_, 0, snapshotId)) ++
+        posDeleteFiles.map(FileEntry(_, 1, snapshotId)),
+      schemaFields = Nil, snapshotId = snapshotId)
+
+  /** Commit one snapshot of explicit [[FileEntry]]s. `schemaFields` is the
+    * table schema as `(field id, name, iceberg type)` triples — required
+    * when equality-delete entries are present (readers resolve
+    * `equality_ids` through it). */
+  def commitEntries(spark: SparkSession, table: String, entries: Seq[FileEntry],
+                    schemaFields: Seq[(Int, String, String)],
+                    snapshotId: Long = 1L): Unit = {
+    require(entries.forall(e => e.content != 2 || e.equalityIds.nonEmpty),
+      "equality-delete entries need equalityIds")
+    require(entries.forall(e => e.content == 2 || e.equalityIds.isEmpty),
+      "equalityIds only belong on content=2 entries")
+    require(schemaFields.nonEmpty || entries.forall(_.content != 2),
+      "equality deletes need schemaFields so readers can resolve the ids")
     val meta = new Path(table, "metadata")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(meta)
-    def entry(filePath: String, content: Int): GenericRecord = {
+    def entry(fe: FileEntry): GenericRecord = {
       val df = new GenericData.Record(DataFileSchema)
-      df.put("content", content)
-      df.put("file_path", filePath)
+      df.put("content", fe.content)
+      df.put("file_path", fe.path)
       df.put("file_format", "PARQUET")
       df.put("record_count", 1L)
       df.put("file_size_in_bytes", 1L)
+      if (fe.content == 2) {
+        val arr = new GenericData.Array[Integer](fe.equalityIds.size,
+          DataFileSchema.getField("equality_ids").schema.getTypes.get(1))
+        fe.equalityIds.foreach(id => arr.add(Int.box(id)))
+        df.put("equality_ids", arr)
+      }
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", Long.box(fe.sequenceNumber))
       e.put("data_file", df)
       e
     }
     val manifest = new Path(meta, s"m-$snapshotId.avro")
-    writeAvro(spark, manifest, ManifestEntrySchema,
-      dataFiles.map(entry(_, 0)) ++ posDeleteFiles.map(entry(_, 1)))
+    writeAvro(spark, manifest, ManifestEntrySchema, entries.map(entry))
     val manifestList = new Path(meta, s"snap-$snapshotId.avro")
     val mref = new GenericData.Record(ManifestListSchema)
     mref.put("manifest_path", manifest.toString)
     mref.put("manifest_length", 1L)
     mref.put("partition_spec_id", 0)
+    mref.put("sequence_number",
+      entries.map(_.sequenceNumber).maxOption.getOrElse(0L))
     mref.put("added_snapshot_id", snapshotId)
     writeAvro(spark, manifestList, ManifestListSchema, Seq(mref))
+    val schemaJson =
+      if (schemaFields.isEmpty) ""
+      else {
+        val fields = schemaFields.map { case (id, name, tpe) =>
+          s"""{"id":$id,"name":"$name","required":false,"type":"$tpe"}"""
+        }.mkString(",")
+        s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],
+          "current-schema-id":0,"""
+      }
     val metadataJson =
-      s"""{"format-version":2,"current-snapshot-id":$snapshotId,
+      s"""{"format-version":2,$schemaJson"current-snapshot-id":$snapshotId,
         "snapshots":[{"snapshot-id":$snapshotId,"manifest-list":"$manifestList"}]}"""
     val vfile = fs.create(new Path(meta, s"v$snapshotId.metadata.json"), true)
     try vfile.write(metadataJson.getBytes(UTF_8)) finally vfile.close()

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Snapshot / time-travel reader for Apache Iceberg tables (the published
   * spec: `metadata/vN.metadata.json` (+ `version-hint.text` for Hadoop
@@ -23,17 +23,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    any snapshot still in the metadata.
   *  - v2 POSITION deletes (`data_file.content` = 1) are MERGED: deleted
   *    `(file_path, pos)` rows are dropped via an anti join on Spark's
-  *    `_metadata.file_path` / `_metadata.row_index`. Equality deletes
-  *    (content = 2) fail LOUDLY — they need equality-field resolution +
-  *    sequence-number ordering, and silently ignoring them would
-  *    resurrect deleted rows.
+  *    `_metadata.file_path` / `_metadata.row_index`. A position delete
+  *    names its data file by exact path, so it can never hit a file added
+  *    later (paths are unique) — no sequence scoping needed.
+  *  - v2 EQUALITY deletes (`data_file.content` = 2) are MERGED with the
+  *    spec's sequence-number scoping: a delete row kills a data row iff
+  *    the delete file's data sequence number is STRICTLY GREATER than the
+  *    data file's (rows re-inserted after the delete survive). Matching
+  *    is null-safe equality over the delete file's `equality_ids`,
+  *    resolved to column names through the table metadata's schema (field
+  *    id → name). Per-entry sequence numbers inherit from the manifest
+  *    list when null, per the v2 inheritance rule.
   *
   * Scale notes: the driver reads metadata JSON + manifest Avro (the same
   * planning data every Iceberg client loads, bounded by `maxFiles`); the
-  * data path is one parquet scan with pushdown/pruning intact. */
+  * data path is one parquet scan with pushdown/pruning intact, and each
+  * delete class adds one anti join whose build side is the delete files'
+  * own scan — nothing is materialized on the driver. */
 object IcebergRead {
 
   private def mapper = DocPushdown.jsonMapper
+
+  /** A snapshot file with its data sequence number. */
+  private final case class Tracked(path: String, seq: Long)
+  /** Equality-delete files sharing one `equality_ids` list. */
+  private final case class EqGroup(fieldIds: Seq[Int], files: Seq[Tracked])
 
   /** Resolve the current metadata file: `version-hint.text` if present
     * (Hadoop tables), else the highest `vN.metadata.json`. */
@@ -73,40 +87,61 @@ object IcebergRead {
     } finally { stream.close(); in.close() }
   }
 
-  /** Data + position-delete file paths of one snapshot. Equality deletes
-    * (content=2) stay gated: applying them needs the equality field ids +
-    * sequence-number ordering, and silently ignoring them would
-    * resurrect deleted rows. */
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+
+  /** Data, position-delete, and equality-delete files of one snapshot,
+    * each with its data sequence number (entry-level, inheriting from the
+    * manifest list entry when null — the v2 inheritance rule). */
   private def snapshotFiles(spark: SparkSession, manifestList: String,
-                            maxFiles: Int): (Seq[String], Seq[String]) = {
-    val manifests = avroRecords(spark, manifestList)
-      .map(_.get("manifest_path").toString)
-    val data = scala.collection.mutable.ArrayBuffer.empty[String]
-    val posDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
-    manifests.foreach { m =>
+                            maxFiles: Int): (Seq[Tracked], Seq[Tracked], Seq[EqGroup]) = {
+    val manifests = avroRecords(spark, manifestList).map { m =>
+      val seq = optField(m, "sequence_number")
+        .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
+      (m.get("manifest_path").toString, seq)
+    }
+    val data = scala.collection.mutable.ArrayBuffer.empty[Tracked]
+    val posDeletes = scala.collection.mutable.ArrayBuffer.empty[Tracked]
+    val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[(Seq[Int], Tracked)]
+    manifests.foreach { case (m, manifestSeq) =>
       avroRecords(spark, m).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         if (status != 2) { // 2 = DELETED entry
+          val seq = optField(entry, "sequence_number")
+            .collect { case l: java.lang.Long => l.longValue }
+            .getOrElse(manifestSeq)
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.getSchema.getField("content"))
-            .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
+          val content = optField(df, "content")
+            .map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("PARQUET"),
             s"unsupported Iceberg file format $fmt")
+          val tracked = Tracked(df.get("file_path").toString, seq)
           content match {
-            case 0 => data += df.get("file_path").toString
-            case 1 => posDeletes += df.get("file_path").toString
+            case 0 => data += tracked
+            case 1 => posDeletes += tracked
+            case 2 =>
+              import scala.jdk.CollectionConverters._
+              val ids = optField(df, "equality_ids").map {
+                case l: java.util.List[_] =>
+                  l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+                case a: org.apache.avro.generic.GenericData.Array[_] =>
+                  a.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+              }.getOrElse(Seq.empty)
+              require(ids.nonEmpty,
+                s"equality-delete file ${tracked.path} has no equality_ids")
+              eqDeletes += ((ids, tracked))
             case other => throw new IllegalArgumentException(
-              "Iceberg equality-delete files present (content=" + other +
-                ") — merging equality deletes is not supported; reading " +
-                "would silently resurrect deleted rows")
+              s"unknown Iceberg data_file.content=$other in $m")
           }
         }
       }
     }
-    require(data.size + posDeletes.size <= maxFiles,
-      s"snapshot lists ${data.size + posDeletes.size} files > maxFiles=$maxFiles")
-    (data.toSeq, posDeletes.toSeq)
+    val total = data.size + posDeletes.size + eqDeletes.size
+    require(total <= maxFiles, s"snapshot lists $total files > maxFiles=$maxFiles")
+    val groups = eqDeletes.toSeq.groupBy(_._1).toSeq
+      .map { case (ids, fs) => EqGroup(ids, fs.map(_._2)) }
+    (data.toSeq, posDeletes.toSeq, groups)
   }
 
   /** Snapshot ids available for time travel, ascending by sequence. */
@@ -124,6 +159,28 @@ object IcebergRead {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     mapper.readTree(json)
+  }
+
+  /** Field id → column name from the table metadata: v2 `schemas` +
+    * `current-schema-id`, falling back to the v1 single `schema`. Only
+    * top-level fields are mapped (equality deletes on nested fields are
+    * not supported — they would need struct-path resolution). */
+  private def schemaFieldNames(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val schema = Option(meta.get("schemas")).flatMap { ss =>
+      val want = Option(meta.get("current-schema-id")).map(_.asInt())
+      val all = ss.elements().asScala.toSeq
+      want.flatMap(id => all.find(s =>
+        Option(s.get("schema-id")).exists(_.asInt() == id)))
+        .orElse(all.lastOption)
+    }.orElse(Option(meta.get("schema")))
+    schema.toSeq.flatMap { s =>
+      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).flatMap { f =>
+        for (id <- Option(f.get("id")); name <- Option(f.get("name")))
+          yield id.asInt() -> name.asText()
+      }
+    }.toMap
   }
 
   /** Read the current (or `snapshotId`) snapshot. */
@@ -144,52 +201,74 @@ object IcebergRead {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not present in metadata (expired?)"))
     val manifestList = snap.get("manifest-list").asText()
-    val (files, posDeletes) = snapshotFiles(spark, manifestList, maxFiles)
+    val (files, posDeletes, eqGroups) = snapshotFiles(spark, manifestList, maxFiles)
     if (files.isEmpty) spark.emptyDataFrame
-    else if (posDeletes.isEmpty) spark.read.parquet(files: _*)
-    else applyPositionDeletes(spark, files, posDeletes)
+    else if (posDeletes.isEmpty && eqGroups.isEmpty)
+      spark.read.parquet(files.map(_.path): _*)
+    else applyDeletes(spark, files, posDeletes, eqGroups, schemaFieldNames(meta))
   }
 
-  /** v2 position deletes: drop rows matching `(file_path, pos)` from the
-    * delete files — an ANTI JOIN on Spark's `_metadata` columns
-    * (`file_path`, `row_index`), which exist for exactly this kind of
-    * row-position bookkeeping. Delete files name data files by their
-    * MANIFEST path spelling, while `_metadata.file_path` is the
-    * filesystem-qualified URI, so a broadcast qualified→manifest map
-    * bridges the two (guarded: an unmapped file raises rather than
-    * silently keeping its deleted rows).
-    *
-    * Scale shape: the data side stays one pushdown-capable parquet scan;
-    * the delete side is its own scan shuffled only on
-    * `(file_path, pos)` — no driver materialization of either. A
-    * position delete references its data file by exact path, so applying
-    * every delete file of the snapshot to every data row needs no
-    * sequence-number ordering (that subtlety belongs to equality
-    * deletes, which stay gated). */
-  private def applyPositionDeletes(spark: SparkSession, files: Seq[String],
-                                   posDeletes: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** Broadcast map from `_metadata.file_path`'s qualified spelling back to
+    * the manifest path spelling (+ the file's sequence number). Guarded: a
+    * scan row from a file missing in the map raises rather than silently
+    * keeping rows whose deletes we failed to bridge. */
+  private def qualifiedMap(spark: SparkSession, files: Seq[Tracked]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val rows = files.map { t =>
+      val hp = new Path(t.path)
+      (hp.getFileSystem(conf).makeQualified(hp).toString, t.path, t.seq)
+    }
+    spark.createDataFrame(rows).toDF("__qualified", "__manifest_path", "__seq")
+  }
+
+  /** Merge v2 delete files into the data scan:
+    *  - position deletes: ANTI JOIN on `(file_path, pos)` against Spark's
+    *    `_metadata` columns (which exist for exactly this bookkeeping).
+    *  - equality deletes: per `equality_ids` group, ANTI JOIN on null-safe
+    *    equality over the resolved columns plus the spec's strict
+    *    sequence-number scoping (`delete.seq > data.seq`).
+    * The data side stays one pushdown-capable parquet scan; each delete
+    * class is its own scan feeding a join build side. */
+  private def applyDeletes(spark: SparkSession, files: Seq[Tracked],
+                           posDeletes: Seq[Tracked], eqGroups: Seq[EqGroup],
+                           fieldNames: Map[Int, String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     // _metadata.file_path carries the Hadoop Path rendering of the
     // qualified path (file:/x, not the URI form file:///x)
-    val pathMap = files.map { p =>
-      val hp = new Path(p)
-      (hp.getFileSystem(conf).makeQualified(hp).toString, p)
-    }
-    val mapDf = spark.createDataFrame(pathMap).toDF("__qualified", "__manifest_path")
-    val data = spark.read.parquet(files: _*)
+    val data = spark.read.parquet(files.map(_.path): _*)
     val cols = data.columns.toSeq
-    val keyed = data
+    var keyed = data
       .withColumn("__qualified", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
-      .join(broadcast(mapDf), Seq("__qualified"), "left")
+      .join(broadcast(qualifiedMap(spark, files)), Seq("__qualified"), "left")
       .withColumn("__manifest_path",
         when(col("__manifest_path").isNull, raise_error(concat(
-          lit("Iceberg position-delete merge: data file not in path map: "),
+          lit("Iceberg delete merge: data file not in path map: "),
           col("__qualified")))).otherwise(col("__manifest_path")))
-    val deletes = spark.read.parquet(posDeletes: _*)
-      .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))
-    keyed.join(deletes, Seq("__manifest_path", "__pos"), "left_anti")
-      .select(cols.map(col): _*)
+    if (posDeletes.nonEmpty) {
+      val deletes = spark.read.parquet(posDeletes.map(_.path): _*)
+        .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))
+      keyed = keyed.join(deletes, Seq("__manifest_path", "__pos"), "left_anti")
+    }
+    eqGroups.foreach { g =>
+      val names = g.fieldIds.map { id =>
+        fieldNames.getOrElse(id, throw new IllegalArgumentException(
+          s"equality-delete field id $id not in the table schema " +
+            s"(known ids: ${fieldNames.keys.toSeq.sorted.mkString(",")})"))
+      }
+      names.foreach(n => require(cols.contains(n),
+        s"equality-delete column $n absent from the data schema"))
+      val delData = spark.read.parquet(g.files.map(_.path): _*)
+      val deletes = delData
+        .withColumn("__dq", col("_metadata.file_path"))
+        .join(broadcast(qualifiedMap(spark, g.files)
+          .select(col("__qualified").as("__dq"), col("__seq").as("__dseq"))),
+          Seq("__dq"), "left")
+        .select(col("__dseq") +: names.map(n => col(n).as(s"__del_$n")): _*)
+      val cond = names.map(n => keyed(n) <=> deletes(s"__del_$n"))
+        .reduce(_ && _) && deletes("__dseq") > keyed("__seq")
+      keyed = keyed.join(deletes, cond, "left_anti")
+    }
+    keyed.select(cols.map(col): _*)
   }
 }

@@ -133,12 +133,71 @@ class IcebergReadSpec extends SparkSuite {
     assert(e.getMessage.contains("not present"))
   }
 
-  test("v2 EQUALITY delete files fail loudly instead of resurrecting rows") {
+  test("an equality-delete entry without equality_ids fails loudly") {
+    // a manifest written without the equality_ids field is unreadable —
+    // silently ignoring the delete file would resurrect deleted rows
     val t = buildTable(withDeleteFile = true, deleteContent = 2)
     val e = intercept[IllegalArgumentException](IcebergRead.snapshot(spark, t))
-    assert(e.getMessage.contains("equality-delete"))
+    assert(e.getMessage.contains("equality_ids"))
     // the pre-delete snapshot still reads
     assert(IcebergRead.snapshot(spark, t, snapshotId = Some(1L)).count() === 2L)
+  }
+
+  // ---- v2 equality deletes (via IcebergWrite.commitEntries) ----
+
+  private val idItemSchema = Seq((1, "id", "long"), (2, "item", "string"))
+
+  /** data@seq1 = {1 widget, 2 bolt, 3 null-item}; eq-delete@seq2 on `item`
+    * = {widget, null}; data@seq3 re-inserts {1 widget'}. */
+  private def buildEqTable(): String = {
+    val root = Files.createTempDirectory("iceberg-eq")
+    val data = root.resolve("data")
+    val f1 = {
+      val tmp = Files.createTempDirectory("ice-eq1")
+      Seq((1L, Some("widget")), (2L, Some("bolt")), (3L, None))
+        .toDF("id", "item").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(data)
+      Files.copy(part, data.resolve("f1.parquet")); data.resolve("f1.parquet").toString
+    }
+    val f3 = writeParquet(data, "f3.parquet", Seq((1L, "widget-v2")))
+    val del = {
+      val tmp = Files.createTempDirectory("ice-eqd")
+      Seq(Some("widget"), Option.empty[String]).toDF("item")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, data.resolve("d2.parquet")); data.resolve("d2.parquet").toString
+    }
+    graft.sink.IcebergWrite.commitEntries(spark, root.toString, Seq(
+      graft.sink.IcebergWrite.FileEntry(f1, 0, 1L),
+      graft.sink.IcebergWrite.FileEntry(del, 2, 2L, equalityIds = Seq(2)),
+      graft.sink.IcebergWrite.FileEntry(f3, 0, 3L)),
+      schemaFields = idItemSchema)
+    root.toString
+  }
+
+  test("v2 EQUALITY deletes merge: null-safe match, strict seq scoping") {
+    val t = buildEqTable()
+    val rows = IcebergRead.snapshot(spark, t)
+      .selectExpr("id", "coalesce(item, '<null>') AS item")
+      .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // seq-1 'widget' and the null-item row die (delete@seq2, null-safe);
+    // 'bolt' survives; the seq-3 re-insert of id=1 survives (3 ≥ 2)
+    assert(rows === Seq((1L, "widget-v2"), (2L, "bolt")))
+  }
+
+  test("equality-delete field ids resolve through the metadata schema") {
+    val root = Files.createTempDirectory("iceberg-eqbad")
+    val data = root.resolve("data")
+    val f1 = writeParquet(data, "f1.parquet", Seq((1L, "widget")))
+    val del = writeParquet(data, "d.parquet", Seq((1L, "widget")))
+    graft.sink.IcebergWrite.commitEntries(spark, root.toString, Seq(
+      graft.sink.IcebergWrite.FileEntry(f1, 0, 1L),
+      graft.sink.IcebergWrite.FileEntry(del, 2, 2L, equalityIds = Seq(99))),
+      schemaFields = idItemSchema)
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshot(spark, root.toString))
+    assert(e.getMessage.contains("field id 99"))
   }
 
   test("v2 POSITION deletes are merged: deleted (file, pos) rows drop out") {
