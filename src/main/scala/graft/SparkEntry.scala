@@ -1401,6 +1401,27 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Delta DELETION VECTORS: partitioned create → DV-delete of the %3=1
+      * keys (no data file rewritten; reader-version-3 protocol with the
+      * `deletionVectors` feature) → checkpoint → log vacuum. The read
+      * must replay the DV descriptors out of the CHECKPOINT and
+      * anti-join the executor-expanded row indexes. */
+    "lake_delta_dv_read" -> ((s, d) => {
+      val root = lakeTmp(d, "deltadv")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sink.DeltaWrite.create(orders, root, Seq("o_orderpriority"))
+      graft.sink.DeltaWrite.deleteWhere(s, root, "o_orderkey % 3 = 1")
+      graft.sink.DeltaWrite.checkpoint(s, root)
+      graft.sink.DeltaWrite.vacuumLog(s, root) // reader MUST use the checkpoint
+      graft.sources.DeltaRead.snapshot(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Iceberg v2 EQUALITY deletes with the spec's strict sequence-number
       * scoping: data@seq1, an `equality_ids=[o_orderkey]` delete file of
       * the %5 keys @seq2, and a re-insert of the %10 keys (price ×4 —
@@ -2506,6 +2527,12 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_delta_dv_read" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 <> 1
+      GROUP BY 1 ORDER BY 1""",
 
     "lake_iceberg_eqdelete" -> """
       SELECT o_orderstatus, count(*) AS n,

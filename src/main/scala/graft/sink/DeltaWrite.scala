@@ -23,6 +23,20 @@ import graft.sources.{DeltaRead, DocPushdown}
   */
 object DeltaWrite {
 
+  // checkpoint row shapes (field names per the Delta checkpoint schema)
+  private case class CpProto(minReaderVersion: Int, minWriterVersion: Int,
+                             readerFeatures: Option[Seq[String]],
+                             writerFeatures: Option[Seq[String]])
+  private case class CpMeta(id: String, partitionColumns: Seq[String],
+                            schemaString: Option[String])
+  private case class CpDv(storageType: String, pathOrInlineDv: String,
+                          offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+  private case class CpAdd(path: String, partitionValues: Map[String, String],
+                           size: Long, modificationTime: Long,
+                           deletionVector: Option[CpDv])
+  private case class CpRow(protocol: Option[CpProto], metaData: Option[CpMeta],
+                           add: Option[CpAdd])
+
   private def mapper = DocPushdown.jsonMapper
 
   private def logDir(table: String) = new Path(table, "_delta_log")
@@ -77,13 +91,20 @@ object DeltaWrite {
   }
 
   private def addAction(path: String, pv: Map[String, String],
-                        size: Long, mtime: Long): String = {
+                        size: Long, mtime: Long,
+                        dv: Option[graft.sources.DeletionVectors.Descriptor] = None): String = {
     // add.path is percent-encoded per the protocol (RFC 2396) — a
     // partition value with a space ("4-NOT SPECIFIED") must round-trip
     val encoded = new java.net.URI(null, null, path, null).toASCIIString
     val pvJson = pv.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    val dvJson = dv.map { d =>
+      s""","deletionVector":{"storageType":${jstr(d.storageType)},""" +
+        s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)}""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    }.getOrElse("")
     s"""{"add":{"path":${jstr(encoded)},"partitionValues":{$pvJson},""" +
-      s""""size":$size,"modificationTime":$mtime,"dataChange":true}}"""
+      s""""size":$size,"modificationTime":$mtime,"dataChange":true$dvJson}}"""
   }
 
   /** Create a new Delta table at `table` (must not exist): one partitioned
@@ -103,7 +124,7 @@ object DeltaWrite {
         s""""configuration":{}}}"""
     writeVersion(spark, table, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta) ++
-      files.map((addAction _).tupled))
+      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
   }
 
   /** Replace ONE partition's contents with `df` as a new log version
@@ -127,7 +148,68 @@ object DeltaWrite {
       }
     writeVersion(spark, table, version,
       removed.map(r => s"""{"remove":{"path":${jstr(r.path)},"dataChange":true}}""") ++
-        files.map((addAction _).tupled))
+        files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+  }
+
+  /** Delete the rows matching `condition` (a SQL predicate over the DATA
+    * columns — partition-column predicates are out of this fixture-grade
+    * writer's scope) by attaching DELETION VECTORS: no data file is
+    * rewritten; each affected file gets a `remove` + re-`add` carrying a
+    * DV descriptor (protocol-upgraded to reader version 3 /
+    * `deletionVectors`). Existing DVs are merged, exactly like a real
+    * Delta DELETE. The matched positions are collected on the driver —
+    * bounded by the deleted-row count, fine for the conformance scope. */
+  def deleteWhere(spark: SparkSession, table: String, condition: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val (live, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // add.path is percent-encoded; decode with URI semantics (the mirror
+    // of DeltaRead.resolvePath — URLDecoder would mangle literal '+')
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    // _metadata.file_path is SparkPath-encoded (= Path.toUri.toString,
+    // percent-encoded) — key the hit map in exactly that spelling, but
+    // hand the reader the RAW decoded paths (it does not URI-decode)
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byQualified = live.map(f =>
+      graft.sources.DeletionVectors.sparkPathString(qualify(f.path)) -> f).toMap
+    val hits = spark.read.parquet(live.map(f => qualify(f.path).toString): _*)
+      .withColumn("__f", col("_metadata.file_path"))
+      .withColumn("__p", col("_metadata.row_index"))
+      .where(condition)
+      .select("__f", "__p").collect()
+      .groupBy(_.getString(0)).map { case (f, rs) =>
+        f -> rs.map(_.getLong(1)).toSeq
+      }
+    if (hits.isEmpty) return
+    val affected = hits.keys.toSeq.sorted.map(q => q -> byQualified(q))
+    // merge with any existing DV (a second DELETE keeps earlier deletions)
+    val mergedRows = affected.map { case (q, f) =>
+      val before = f.dv.toSeq.flatMap(d =>
+        graft.sources.DeletionVectors.readRows(conf, table, d).toSeq)
+      (before ++ hits(q)).distinct.sorted
+    }
+    val descriptors = graft.sources.DeletionVectors.writeFile(
+      spark, table, mergedRows)
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    val actions = affected.zip(descriptors).flatMap { case ((_, f), d) =>
+      // addAction re-encodes, so hand it the DECODED path (f.path is the
+      // log's still-encoded spelling; remove must match it verbatim)
+      Seq(s"""{"remove":{"path":${jstr(f.path)},"dataChange":true}}""",
+        addAction(decode(f.path), f.partitionValues, f.size,
+          f.modificationTime, Some(d)))
+    }
+    writeVersion(spark, table, version, protocol +: actions)
   }
 
   /** Write a parquet checkpoint of the CURRENT version + `_last_checkpoint`
@@ -138,24 +220,23 @@ object DeltaWrite {
     require(version >= 0, s"$table has no Delta log")
     val (live, partitionCols, schemaString) = DeltaRead.tableState(spark, table, version)
     import spark.implicits._
-    val rows: Seq[(Option[(Int, Int)],
-                   Option[(String, Seq[String], Option[String])],
-                   Option[(String, Map[String, String], Long, Long)])] =
-      Seq((Some((1, 2)), None, None),
-        (None, Some(("graft-cp", partitionCols, schemaString)), None)) ++
-        live.map(f => (None, None,
-          Some((f.path, f.partitionValues.map { case (k, v) =>
+    // a table carrying deletion vectors checkpoints its reader-version-3
+    // protocol AND each add's DV descriptor — dropping either would
+    // resurrect deleted rows for any post-vacuum reader
+    val hasDv = live.exists(_.dv.isDefined)
+    val proto =
+      if (hasDv) CpProto(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))
+      else CpProto(1, 2, None, None)
+    val rows: Seq[CpRow] =
+      Seq(CpRow(Some(proto), None, None),
+        CpRow(None, Some(CpMeta("graft-cp", partitionCols, schemaString)), None)) ++
+        live.map(f => CpRow(None, None,
+          Some(CpAdd(f.path, f.partitionValues.map { case (k, v) =>
             k -> Option(v).getOrElse("")
-          }, f.size, f.modificationTime))))
-    val cp = rows.toDF("p", "m", "a").selectExpr(
-      "named_struct('minReaderVersion', p._1, 'minWriterVersion', p._2) AS protocol",
-      "named_struct('id', m._1, 'partitionColumns', m._2, 'schemaString', m._3) AS metaData",
-      "named_struct('path', a._1, 'partitionValues', a._2, 'size', a._3, " +
-        "'modificationTime', a._4) AS add")
-      .selectExpr(
-        "IF(protocol.minReaderVersion IS NULL, NULL, protocol) AS protocol",
-        "IF(metaData.id IS NULL, NULL, metaData) AS metaData",
-        "IF(add.path IS NULL, NULL, add) AS add")
+          }, f.size, f.modificationTime,
+            f.dv.map(d => CpDv(d.storageType, d.pathOrInlineDv, d.offset,
+              d.sizeInBytes, d.cardinality))))))
+    val cp = rows.toDS().toDF()
     val dir = logDir(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, s".cp-tmp-$version")

@@ -33,9 +33,15 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   *    rows at runtime.
   *  - `versionAsOf` time travel replays a prefix of the log.
   *
-  * Protocol gate: reader version ≤ 1 features only (no deletion vectors,
-  * no column mapping) — a table using newer reader features fails loudly
-  * with the feature name rather than silently mis-reading.
+  *  - DELETION VECTORS (reader version 3, feature `deletionVectors`) are
+  *    MERGED: each add's DV descriptor (`u`/`i`/`p` storage, Z85 +
+  *    RoaringBitmapArray decode in [[DeletionVectors]]) expands ON
+  *    EXECUTORS to `(file, row_index)` pairs anti-joined against the
+  *    scan's `_metadata` columns.
+  *
+  * Protocol gate: reader versions 1 and 3-with-supported-features only —
+  * a table using anything newer (column mapping, v2 checkpoints, …) fails
+  * loudly with the feature name rather than silently mis-reading.
   *
   * Scale notes: the driver touches only the log actions (the same
   * metadata any Delta client loads — file sizes/mtimes included, so the
@@ -46,7 +52,13 @@ object DeltaRead {
   private def mapper = DocPushdown.jsonMapper
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-                           size: Long, modificationTime: Long)
+                           size: Long, modificationTime: Long,
+                           dv: Option[DeletionVectors.Descriptor] = None)
+
+  /** Reader features this implementation actually honors. Reader version
+    * 3 tables are readable iff every advertised `readerFeatures` entry is
+    * in this set; anything else fails loudly BY NAME. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "timestampNtz")
 
   /** Replay state: live files keyed by (still-encoded) path. */
   private final class State {
@@ -54,9 +66,21 @@ object DeltaRead {
     var partitionCols: Seq[String] = Seq.empty
     var schemaString: Option[String] = None
 
-    def gate(minReader: Int): Unit = require(minReader <= 1,
-      s"Delta table requires reader version $minReader " +
-        "(deletion vectors / column mapping not supported by this reader)")
+    def gate(minReader: Int, readerFeatures: Seq[String]): Unit =
+      minReader match {
+        case v if v <= 1 => ()
+        case 2 => throw new IllegalArgumentException(
+          "Delta table requires reader version 2 (column mapping), " +
+            "which this reader does not support")
+        case 3 =>
+          val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+          require(unsupported.isEmpty,
+            s"Delta table requires unsupported reader features: " +
+              s"${unsupported.mkString(", ")} (supported: " +
+              s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+        case v => throw new IllegalArgumentException(
+          s"Delta table requires unknown reader version $v")
+      }
   }
 
   /** `_delta_log` contents, listed once. */
@@ -107,10 +131,16 @@ object DeltaRead {
                              parts: Seq[Path]): Unit = {
     val cp = spark.read.parquet(parts.map(_.toString): _*)
     val cols = cp.schema.fieldNames.map(_.toLowerCase).toSet
-    if (cols.contains("protocol"))
-      cp.selectExpr("protocol.minReaderVersion")
+    if (cols.contains("protocol")) {
+      val hasFeatures = cp.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.contains("readerFeatures")
+      val featExpr = if (hasFeatures) "protocol.readerFeatures"
+                     else "CAST(NULL AS ARRAY<STRING>)"
+      cp.selectExpr("protocol.minReaderVersion", featExpr)
         .where("protocol IS NOT NULL").collect()
-        .foreach(r => if (!r.isNullAt(0)) state.gate(r.getInt(0)))
+        .foreach(r => if (!r.isNullAt(0)) state.gate(r.getInt(0),
+          if (r.isNullAt(1)) Nil else r.getSeq[String](1)))
+    }
     if (cols.contains("metadata"))
       cp.selectExpr("metaData.partitionColumns", "metaData.schemaString")
         .where("metaData IS NOT NULL").collect().foreach { r =>
@@ -118,13 +148,28 @@ object DeltaRead {
             state.partitionCols = r.getSeq[String](0)
           if (!r.isNullAt(1)) state.schemaString = Some(r.getString(1))
         }
-    cp.selectExpr("add.path", "add.partitionValues", "add.size",
-        "add.modificationTime")
+    // a checkpoint written with DV columns must round-trip them — a
+    // checkpoint reader that dropped add.deletionVector would silently
+    // resurrect every DV-deleted row
+    val hasDv = cp.schema("add").dataType
+      .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+    val dvExprs =
+      if (hasDv) Seq("add.deletionVector.storageType",
+        "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
+        "add.deletionVector.sizeInBytes", "add.deletionVector.cardinality")
+      else Seq("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS BIGINT)")
+    cp.selectExpr(Seq("add.path", "add.partitionValues", "add.size",
+        "add.modificationTime") ++ dvExprs: _*)
       .where("add IS NOT NULL").collect().foreach { r =>
+        val dv = if (r.isNullAt(4)) None else Some(DeletionVectors.Descriptor(
+          r.getString(4), r.getString(5),
+          if (r.isNullAt(6)) None else Some(r.getInt(6)),
+          r.getInt(7), r.getLong(8)))
         state.live(r.getString(0)) = AddFile(r.getString(0),
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
           if (r.isNullAt(2)) 0L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3))
+          if (r.isNullAt(3)) 0L else r.getLong(3), dv)
       }
   }
 
@@ -136,7 +181,11 @@ object DeltaRead {
     lines.foreach { line =>
       val node = mapper.readTree(line)
       Option(node.get("protocol")).foreach { p =>
-        state.gate(Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1))
+        import scala.jdk.CollectionConverters._
+        val features = Option(p.get("readerFeatures")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+        state.gate(Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
+          features)
       }
       Option(node.get("metaData")).foreach { m =>
         import scala.jdk.CollectionConverters._
@@ -151,9 +200,17 @@ object DeltaRead {
         val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
         }.toMap).getOrElse(Map.empty)
+        val dv = Option(a.get("deletionVector")).map { d =>
+          DeletionVectors.Descriptor(
+            d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).map(_.asInt),
+            Option(d.get("sizeInBytes")).map(_.asInt).getOrElse(0),
+            Option(d.get("cardinality")).map(_.asLong).getOrElse(0L))
+        }
         state.live(path) = AddFile(path, pv,
           Option(a.get("size")).map(_.asLong).getOrElse(0L),
-          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
+          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L), dv)
       }
       Option(node.get("remove")).foreach { r =>
         state.live.remove(r.get("path").asText())
@@ -251,11 +308,32 @@ object DeltaRead {
     }
     val df = StaticFileIndex.parquetRelation(spark, new Path(table),
       dataSchema, partitionSchema, partitions)
+    // deletion vectors: drop each file's deleted row indexes via an anti
+    // join against the executor-expanded (file, pos) set — the scan stays
+    // ONE pushdown-capable parquet relation, files without a DV can never
+    // match the build side
+    val withDv = files.filter(_.dv.isDefined)
+    val undeleted = if (withDv.isEmpty) df else {
+      import org.apache.spark.sql.functions._
+      // _metadata.file_path through the StaticFileIndex relation is the
+      // FileStatus path in SparkPath form (percent-encoded, no
+      // empty-authority slashes) — key the DV seeds by exactly that
+      // spelling of the paths statuses() put in the index
+      val seeds = withDv.map { f =>
+        (DeletionVectors.sparkPathString(resolvePath(table, f.path)), f.dv.get)
+      }
+      val deleted = DeletionVectors.deletedRows(spark, table, seeds)
+      val cols = df.columns.toSeq
+      df.withColumn("__qualified", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__qualified", "__pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
     // present columns in the table's declared order (partition columns sit
     // at their metadata positions, matching what Delta clients return)
     declared match {
-      case Some(s) => df.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      case None => df
+      case Some(s) => undeleted.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case None => undeleted
     }
   }
 }

@@ -69,15 +69,24 @@ class DeltaReadSpec extends SparkSuite {
     assert(DeltaRead.latestVersion(spark, t.toString) === 1L)
   }
 
-  test("newer reader-protocol tables fail loudly, not silently mis-read") {
+  test("unsupported reader features fail loudly BY NAME, not silently mis-read") {
     val t = buildTable()
-    log(t, 2L, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""")
+    log(t, 2L, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""")
     val e = intercept[IllegalArgumentException](
       DeltaRead.snapshot(spark, t.toString))
-    assert(e.getMessage.contains("reader version 3"))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(!e.getMessage.startsWith("requirement failed: deletionVectors"),
+      "supported features must not be named as the problem")
     // but time travel BEFORE the upgrade still works
     assert(DeltaRead.snapshot(spark, t.toString, versionAsOf = Some(1L))
       .count() === 3L)
+    // reader version 2 (column mapping) is also a loud gate
+    val t2 = buildTable()
+    log(t2, 2L, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaRead.snapshot(spark, t2.toString))
+    assert(e2.getMessage.contains("column mapping"))
   }
 
   test("filters push through the union + partition-literal plumbing to parquet") {
@@ -236,5 +245,60 @@ class DeltaReadSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       DeltaRead.snapshot(spark, t.toString, versionAsOf = Some(0L)))
     assert(e.getMessage.contains("oldest readable"))
+  }
+
+  // ---- deletion vectors ----
+
+  test("deleteWhere attaches DVs: rows vanish, no data file is rewritten") {
+    val root = Files.createTempDirectory("delta-dv").resolve("t").toString
+    val df = (1L to 100L).map(i => (i, s"item-$i", if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "item", "par")
+    graft.sink.DeltaWrite.create(df, root, Seq("par"))
+    val filesBefore = Files.walk(java.nio.file.Paths.get(root))
+      .filter(_.toString.endsWith(".parquet")).count()
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id % 10 = 3")
+    val filesAfter = Files.walk(java.nio.file.Paths.get(root))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(filesAfter === filesBefore, "a DV delete must not rewrite data files")
+    val got = DeltaRead.snapshot(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got === (1L to 100L).filterNot(_ % 10 == 3))
+    // a SECOND delete merges with the existing DVs instead of replacing them
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id % 10 = 7")
+    val got2 = DeltaRead.snapshot(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got2 === (1L to 100L).filterNot(i => i % 10 == 3 || i % 10 == 7))
+    // versionAsOf before the deletes still sees everything
+    assert(DeltaRead.snapshot(spark, root, versionAsOf = Some(0L)).count() === 100L)
+  }
+
+  test("DVs survive checkpoint + log vacuum (descriptor round-trips)") {
+    val root = Files.createTempDirectory("delta-dvcp").resolve("t").toString
+    val df = (1L to 50L).map(i => (i, s"i$i")).toDF("id", "item")
+    graft.sink.DeltaWrite.create(df, root, Nil)
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id <= 10")
+    graft.sink.DeltaWrite.checkpoint(spark, root)
+    graft.sink.DeltaWrite.vacuumLog(spark, root)
+    // the JSON versions are gone; the checkpoint must carry the DV
+    val got = DeltaRead.snapshot(spark, root).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got === (11L to 50L))
+  }
+
+  test("inline ('i') deletion vectors decode from the log itself") {
+    val root = Files.createTempDirectory("delta-dvi")
+    val sz = writeParquet(root, "f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    val inlineData = DeletionVectors.serializeRows(Seq(0L, 2L))
+    val inline = DeletionVectors.z85EncodePadded(inlineData)
+    log(root, 0L,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"metaData":{"id":"m1","partitionColumns":[],"format":{"provider":"parquet"}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineData.length},"cardinality":2}}}""")
+    val rows = DeltaRead.snapshot(spark, root.toString)
+      .select("id", "item").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((2L, "b"), (4L, "d")))
   }
 }
