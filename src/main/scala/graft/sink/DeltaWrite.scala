@@ -28,7 +28,8 @@ object DeltaWrite {
                              readerFeatures: Option[Seq[String]],
                              writerFeatures: Option[Seq[String]])
   private case class CpMeta(id: String, partitionColumns: Seq[String],
-                            schemaString: Option[String])
+                            schemaString: Option[String],
+                            configuration: Option[Map[String, String]])
   private case class CpDv(storageType: String, pathOrInlineDv: String,
                           offset: Option[Int], sizeInBytes: Int, cardinality: Long)
   private case class CpAdd(path: String, partitionValues: Map[String, String],
@@ -134,7 +135,7 @@ object DeltaWrite {
     val spark = df.sparkSession
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log to append to")
-    val (live, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val (live, _, _, _) = DeltaRead.tableState(spark, table, version - 1)
     val removed = live.filter(_.partitionValues.get(partitionCol).contains(value))
     require(removed.nonEmpty, s"no live files for $partitionCol=$value")
     // new files land inside the SAME hive dir; name them under a fresh
@@ -163,7 +164,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
-    val (live, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val (live, _, _, _) = DeltaRead.tableState(spark, table, version - 1)
     val conf = spark.sparkContext.hadoopConfiguration
     // add.path is percent-encoded; decode with URI semantics (the mirror
     // of DeltaRead.resolvePath — URLDecoder would mangle literal '+')
@@ -218,7 +219,7 @@ object DeltaWrite {
   def checkpoint(spark: SparkSession, table: String): Unit = {
     val version = nextVersion(spark, table) - 1
     require(version >= 0, s"$table has no Delta log")
-    val (live, partitionCols, schemaString) = DeltaRead.tableState(spark, table, version)
+    val (live, partitionCols, schemaString, configuration) = DeltaRead.tableState(spark, table, version)
     import spark.implicits._
     // a table carrying deletion vectors checkpoints its reader-version-3
     // protocol AND each add's DV descriptor — dropping either would
@@ -229,7 +230,8 @@ object DeltaWrite {
       else CpProto(1, 2, None, None)
     val rows: Seq[CpRow] =
       Seq(CpRow(Some(proto), None, None),
-        CpRow(None, Some(CpMeta("graft-cp", partitionCols, schemaString)), None)) ++
+        CpRow(None, Some(CpMeta("graft-cp", partitionCols, schemaString,
+          if (configuration.isEmpty) None else Some(configuration))), None)) ++
         live.map(f => CpRow(None, None,
           Some(CpAdd(f.path, f.partitionValues.map { case (k, v) =>
             k -> Option(v).getOrElse("")

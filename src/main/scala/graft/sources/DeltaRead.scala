@@ -39,9 +39,15 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   *    EXECUTORS to `(file, row_index)` pairs anti-joined against the
   *    scan's `_metadata` columns.
   *
-  * Protocol gate: reader versions 1 and 3-with-supported-features only —
-  * a table using anything newer (column mapping, v2 checkpoints, …) fails
-  * loudly with the feature name rather than silently mis-reading.
+  *  - COLUMN MAPPING (`delta.columnMapping.mode` = `name` or `id`) is
+  *    honored: the scan reads the files' PHYSICAL column names (schema
+  *    metadata `delta.columnMapping.physicalName`, recursively for nested
+  *    fields) and `add.partitionValues`' physical keys, then restores the
+  *    logical spelling.
+  *
+  * Protocol gate: reader versions ≤ 2 and 3-with-supported-features only
+  * — a table using anything newer (v2 checkpoints, …) fails loudly with
+  * the feature name rather than silently mis-reading.
   *
   * Scale notes: the driver touches only the log actions (the same
   * metadata any Delta client loads — file sizes/mtimes included, so the
@@ -58,20 +64,23 @@ object DeltaRead {
   /** Reader features this implementation actually honors. Reader version
     * 3 tables are readable iff every advertised `readerFeatures` entry is
     * in this set; anything else fails loudly BY NAME. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "timestampNtz")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   /** Replay state: live files keyed by (still-encoded) path. */
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var partitionCols: Seq[String] = Seq.empty
     var schemaString: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
+
+    /** `delta.columnMapping.mode` when active (`name` or `id`). */
+    def mappingMode: Option[String] =
+      configuration.get("delta.columnMapping.mode").filterNot(_ == "none")
 
     def gate(minReader: Int, readerFeatures: Seq[String]): Unit =
       minReader match {
-        case v if v <= 1 => ()
-        case 2 => throw new IllegalArgumentException(
-          "Delta table requires reader version 2 (column mapping), " +
-            "which this reader does not support")
+        case v if v <= 2 => () // 2 = column mapping, supported
         case 3 =>
           val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
           require(unsupported.isEmpty,
@@ -81,6 +90,26 @@ object DeltaRead {
         case v => throw new IllegalArgumentException(
           s"Delta table requires unknown reader version $v")
       }
+  }
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** The parquet-side name of a mapped field (falls back to the logical
+    * name for unmapped fields — `none`-mode tables and sloppy writers). */
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Rename a schema to its PHYSICAL spelling, recursively (struct fields
+    * at any nesting level carry their own `physicalName` metadata). */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = toPhysical(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
   }
 
   /** `_delta_log` contents, listed once. */
@@ -141,13 +170,20 @@ object DeltaRead {
         .foreach(r => if (!r.isNullAt(0)) state.gate(r.getInt(0),
           if (r.isNullAt(1)) Nil else r.getSeq[String](1)))
     }
-    if (cols.contains("metadata"))
-      cp.selectExpr("metaData.partitionColumns", "metaData.schemaString")
+    if (cols.contains("metadata")) {
+      val hasConf = cp.schema("metaData").dataType
+        .asInstanceOf[StructType].fieldNames.contains("configuration")
+      val confExpr = if (hasConf) "metaData.configuration"
+                     else "CAST(NULL AS MAP<STRING,STRING>)"
+      cp.selectExpr("metaData.partitionColumns", "metaData.schemaString", confExpr)
         .where("metaData IS NOT NULL").collect().foreach { r =>
           if (!r.isNullAt(0))
             state.partitionCols = r.getSeq[String](0)
           if (!r.isNullAt(1)) state.schemaString = Some(r.getString(1))
+          if (!r.isNullAt(2))
+            state.configuration = r.getMap[String, String](2).toMap
         }
+    }
     // a checkpoint written with DV columns must round-trip them — a
     // checkpoint reader that dropped add.deletionVector would silently
     // resurrect every DV-deleted row
@@ -193,6 +229,9 @@ object DeltaRead {
           .flatMap(_.elements().asScala.map(_.asText()))
         state.schemaString =
           Option(m.get("schemaString")).map(_.asText()).orElse(state.schemaString)
+        state.configuration = Option(m.get("configuration")).map(
+          _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
       }
       Option(node.get("add")).foreach { a =>
         import scala.jdk.CollectionConverters._
@@ -245,12 +284,13 @@ object DeltaRead {
   }
 
   /** Replayed table state at `version`: (live files, partition columns,
-    * schemaString) — the planning data a writer (checkpointing, partition
-    * replacement) or catalog needs. */
+    * schemaString, table configuration) — the planning data a writer
+    * (checkpointing, partition replacement) or catalog needs. */
   def tableState(spark: SparkSession, table: String, version: Long)
-      : (Seq[AddFile], Seq[String], Option[String]) = {
+      : (Seq[AddFile], Seq[String], Option[String], Map[String, String]) = {
     val state = replay(spark, table, version)
-    (state.live.values.toSeq, state.partitionCols, state.schemaString)
+    (state.live.values.toSeq, state.partitionCols, state.schemaString,
+      state.configuration)
   }
 
   /** `add.path` is a relative or absolute URI, percent-encoded (RFC 2396)
@@ -277,19 +317,36 @@ object DeltaRead {
 
     val declared: Option[StructType] =
       state.schemaString.map(DataType.fromJson(_).asInstanceOf[StructType])
+    // COLUMN MAPPING (`name`/`id` mode): parquet files carry PHYSICAL
+    // column names (schema-metadata `delta.columnMapping.physicalName`;
+    // `id` mode additionally stamps parquet field ids, but Delta writers
+    // emit the physical names in both modes, so name-resolution reads
+    // both) and `add.partitionValues` is keyed by physical names too.
+    // The scan runs over the physical schema; the logical spelling is
+    // restored by the final select (struct casts rename positionally).
+    val mode = state.mappingMode
+    require(mode.isEmpty || declared.isDefined,
+      "column-mapped Delta table has no schemaString (corrupt metadata)")
     // partition columns are typed by the declared schema; a log without a
     // schemaString (non-standard) degrades to strings + inference
-    val partitionSchema = StructType(partitionCols.map { c =>
+    val partitionFields: Seq[StructField] = partitionCols.map { c =>
       declared.flatMap(s => s.fields.find(_.name.equalsIgnoreCase(c)))
         .getOrElse(StructField(c, StringType))
-    })
+    }
+    val partitionSchema = StructType(partitionFields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    def partitionValue(f: AddFile, field: StructField): String =
+      (if (mode.isDefined)
+        f.partitionValues.get(physicalName(field))
+          .orElse(f.partitionValues.get(field.name))
+      else f.partitionValues.get(field.name)).orNull
     def statuses(group: Seq[AddFile]): Array[FileStatus] = group.map { f =>
       new FileStatus(f.size, false, 1, 128L << 20, f.modificationTime,
         resolvePath(table, f.path))
     }.toArray
     val partitions: Seq[(InternalRow, Array[FileStatus])] =
       if (partitionCols.isEmpty) Seq((InternalRow.empty, statuses(files)))
-      else files.groupBy(f => partitionCols.map(f.partitionValues.getOrElse(_, null)))
+      else files.groupBy(f => partitionFields.map(partitionValue(f, _)))
         .toSeq.map { case (values, group) =>
           val row = new GenericInternalRow(values.zipWithIndex.map {
             case (raw, i) =>
@@ -299,8 +356,12 @@ object DeltaRead {
         }
     val dataSchema = declared match {
       case Some(s) =>
-        StructType(s.fields.filterNot(f =>
-          partitionCols.exists(_.equalsIgnoreCase(f.name))))
+        val nonPartition = s.fields.filterNot(f =>
+          partitionCols.exists(_.equalsIgnoreCase(f.name)))
+        StructType(
+          if (mode.isEmpty) nonPartition
+          else nonPartition.map(f => f.copy(name = physicalName(f),
+            dataType = toPhysical(f.dataType))))
       case None =>
         // schema inference over the live files (degraded, non-standard logs)
         spark.read.parquet(files.map(f => resolvePath(table, f.path).toString): _*)
@@ -330,9 +391,17 @@ object DeltaRead {
         .select(cols.map(col): _*)
     }
     // present columns in the table's declared order (partition columns sit
-    // at their metadata positions, matching what Delta clients return)
+    // at their metadata positions, matching what Delta clients return);
+    // under column mapping this is also where physical names become
+    // logical again (struct casts rename nested fields positionally)
+    import org.apache.spark.sql.functions.col
     declared match {
-      case Some(s) => undeleted.select(s.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      case Some(s) if mode.isDefined =>
+        undeleted.select(s.fields.map { f =>
+          if (partitionCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+          else col(physicalName(f)).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      case Some(s) => undeleted.select(s.fieldNames.map(col).toSeq: _*)
       case None => undeleted
     }
   }

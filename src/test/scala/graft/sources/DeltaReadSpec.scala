@@ -81,12 +81,60 @@ class DeltaReadSpec extends SparkSuite {
     // but time travel BEFORE the upgrade still works
     assert(DeltaRead.snapshot(spark, t.toString, versionAsOf = Some(1L))
       .count() === 3L)
-    // reader version 2 (column mapping) is also a loud gate
+    // reader version 4+ (unknown) is a loud gate
     val t2 = buildTable()
-    log(t2, 2L, """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    log(t2, 2L, """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""")
     val e2 = intercept[IllegalArgumentException](
       DeltaRead.snapshot(spark, t2.toString))
-    assert(e2.getMessage.contains("column mapping"))
+    assert(e2.getMessage.contains("reader version 4"))
+  }
+
+  // ---- column mapping ----
+
+  private val MappedSchemaString = {
+    def f(name: String, phys: String, tpe: String, id: Int) =
+      s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.physicalName":"$phys","delta.columnMapping.id":$id}}"""
+    (s"""{"type":"struct","fields":[${f("id", "col-aaa", "long", 1)},""" +
+      s"""${f("item", "col-bbb", "string", 2)},${f("dt", "col-ddd", "string", 3)}]}""")
+      .replace("\"", "\\\"")
+  }
+
+  /** `name`-mode table: parquet columns are col-aaa/col-bbb, the
+    * partition column dt's partitionValues key is its PHYSICAL name. */
+  private def buildMappedTable(): Path = {
+    val root = Files.createTempDirectory("delta-mapped")
+    val tmp = Files.createTempDirectory("delta-mapped-p")
+    Seq((1L, "widget"), (2L, "bolt")).toDF("col-aaa", "col-bbb").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.createDirectories(root.resolve("d1"))
+    Files.copy(part, root.resolve("d1/f1.parquet"))
+    val sz = Files.size(root.resolve("d1/f1.parquet"))
+    log(root, 0L,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m1","partitionColumns":["dt"],"schemaString":"$MappedSchemaString","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      s"""{"add":{"path":"d1/f1.parquet","partitionValues":{"col-ddd":"2024-06-01"},"size":$sz,"modificationTime":1,"dataChange":true}}""")
+    root
+  }
+
+  test("column mapping (name mode): physical parquet names read back logical") {
+    val t = buildMappedTable()
+    val df = DeltaRead.snapshot(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "item", "dt"))
+    val rows = df.selectExpr("id", "item", "dt")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "widget", "2024-06-01"), (2L, "bolt", "2024-06-01")))
+  }
+
+  test("column mapping survives checkpoint + vacuum (configuration round-trips)") {
+    val t = buildMappedTable()
+    graft.sink.DeltaWrite.checkpoint(spark, t.toString)
+    graft.sink.DeltaWrite.vacuumLog(spark, t.toString)
+    val rows = DeltaRead.snapshot(spark, t.toString)
+      .selectExpr("id", "item", "dt")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "widget", "2024-06-01"), (2L, "bolt", "2024-06-01")))
   }
 
   test("filters push through the union + partition-literal plumbing to parquet") {
