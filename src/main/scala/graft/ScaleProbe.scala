@@ -331,6 +331,21 @@ object ScaleProbe {
           .listAllFiles(spark, root.toString, maxFiles = 200000).size.toLong
       }
     }
+    // Delta deletion vectors at row scale: DV-delete a third of a 5M-row
+    // table, then read the snapshot. The read-side shape under test is
+    // executor-parallel bitmap expansion + ONE anti join against the
+    // single-scan relation — wall-time should track deleted-row count
+    // linearly (bitmaps are tiny; the join is the cost).
+    if (only.forall("delta_dv".contains)) {
+      val root = java.nio.file.Files.createTempDirectory("probe-delta-dv")
+        .resolve("t").toString
+      graft.sink.DeltaWrite.create(
+        spark.range(5000000L).selectExpr("id", "id % 97 AS bucket"), root, Nil)
+      graft.sink.DeltaWrite.deleteWhere(spark, root, "id % 3 = 1")
+      time("delta_dv_read") {
+        graft.sources.DeltaRead.snapshot(spark, root).count()
+      }
+    }
     // Sampled BPE vocabulary learning at a production-shaped k: 64
     // sequential greedy rounds over a 10% sample. The per-rank seconds
     // printed here are the planning number for real vocabs (k=32,000

@@ -1303,6 +1303,19 @@ object SparkEntry {
       TextOps.gopherQuality(t(s, d, "documents"), minWords = 20)
         .orderBy("doc_id")),
 
+    /** C4 cleaning-rule battery ([[TextOps.c4Quality]]): line-level
+      * retention (≥5 words, terminal punctuation, no "javascript") +
+      * document-level keep (≥3 sentences, no lorem ipsum / `{`). The
+      * corpus has no raw line structure, so the query first line-ifies it
+      * deterministically (a sentence break after every 10th token) — the
+      * operator itself is general. */
+    "text_c4" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+\\s+){9}\\S+)\\s+", "$1.\n")
+          .as("text"))
+      TextOps.c4Quality(docs).orderBy("doc_id")
+    }),
+
     /** Incremental near-dup ([[Dedup.incrementalMinhashPairs]]): a batch
       * of suffix-mutated resubmissions (doc_id%5, ids offset 1e6) checked
       * against the full corpus by MinHash LSH — candidates only from
@@ -2440,6 +2453,36 @@ object SparkEntry {
           AND n_stop_distinct >= 2) AS keep
       FROM c ORDER BY doc_id"""
     },
+
+    /** C4 rules replay: identical line-ification (RE2 `\1` spelling of
+      * the same regex), line retention and sentence counting from plain
+      * string functions, integer-cast sums. */
+    "text_c4" -> """
+      WITH d AS (SELECT doc_id,
+             regexp_replace(text, '((?:\S+\s+){9}\S+)\s+', '\1.' || chr(10), 'g') AS text
+           FROM documents),
+      l AS (SELECT doc_id,
+              contains(lower(text), 'lorem ipsum') AS has_lorem,
+              contains(text, '{') AS has_brace,
+              unnest(string_split(text, chr(10))) AS line
+            FROM d),
+      s AS (SELECT doc_id, has_lorem, has_brace,
+              (CASE WHEN trim(line) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(line), ' +')) END >= 5
+               AND right(rtrim(line), 1) IN ('.', '!', '?', '"')
+               AND NOT contains(lower(line), 'javascript')) AS kept,
+              len(regexp_extract_all(line, '[.!?]')) AS np
+            FROM l)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+        CAST(sum(CASE WHEN kept THEN np ELSE 0 END) AS BIGINT) AS n_sentences,
+        first(has_lorem) AS has_lorem,
+        first(has_brace) AS has_brace,
+        (CAST(sum(CASE WHEN kept THEN np ELSE 0 END) AS BIGINT) >= 3
+          AND NOT first(has_lorem) AND NOT first(has_brace)
+          AND sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 1) AS keep
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
 
     /** Full MinHash+LSH replay: xxh64 shingle hashes → 32 seeded
       * min-signatures → 8 band-fold keys → bucket join → exact Jaccard.

@@ -635,6 +635,54 @@ object TextOps {
         col("n_stop_distinct") >= 2L)
   }
 
+  /** C4 cleaning-rule battery (Raffel et al. 2020, §2.2) — the other
+    * canonical web-corpus filter next to [[gopherQuality]], line-oriented
+    * where Gopher is document-oriented:
+    *
+    *  - a LINE is retained iff it has ≥ `minLineWords` words (paper: 5),
+    *    ends in terminal punctuation (`.` `!` `?` `"`), and does not
+    *    contain the word "javascript" (case-insensitive);
+    *  - the DOCUMENT is kept iff its retained lines carry ≥
+    *    `minSentences` sentences (terminal-punctuation count; paper: 3)
+    *    and the page contains neither "lorem ipsum" nor `{`.
+    *
+    * (The paper's three-sentence-span dedup and bad-words list are
+    * separate concerns — span dedup lives in
+    * [[Curation.duplicateSpans]]-family operators.)
+    *
+    * Output: one row per doc with the integer signals and the composite
+    * `keep` verdict. Shape: posexplode over lines, then ONE map-side
+    * combined hash aggregate keyed by `doc_id` — no windows, no skew
+    * (a document's own lines always hash to one key, bounded by document
+    * size). */
+  def c4Quality(docs: DataFrame, textCol: String = "text",
+                minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lineCol = col("line")
+    val lines = docs.select(col("doc_id"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+      col(textCol).contains("{").as("has_brace"),
+      posexplode(split(col(textCol), "\n")))
+    val nw = when(length(trim(lineCol)) === 0, 0)
+      .otherwise(size(split(trim(lineCol), " +")))
+    val endsPunct = expr("right(rtrim(line), 1)").isin(".", "!", "?", "\"")
+    val hasJs = lower(lineCol).contains("javascript")
+    val kept = nw >= minLineWords && endsPunct && !hasJs
+    lines.withColumnRenamed("col", "line")
+      .select(col("doc_id"), col("has_lorem"), col("has_brace"),
+        kept.as("kept"),
+        when(kept, regexp_count(lineCol, lit("[.!?]")))
+          .otherwise(lit(0)).cast("long").as("sent"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept_lines"),
+        sum(col("sent")).as("n_sentences"),
+        first(col("has_lorem")).as("has_lorem"),
+        first(col("has_brace")).as("has_brace"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace") && col("n_kept_lines") >= 1L)
+  }
+
   // ------------------------------------------------------------------
   // URL extraction / normalization
   // ------------------------------------------------------------------

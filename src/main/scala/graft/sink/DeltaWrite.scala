@@ -23,19 +23,21 @@ import graft.sources.{DeltaRead, DocPushdown}
   */
 object DeltaWrite {
 
-  // checkpoint row shapes (field names per the Delta checkpoint schema)
-  private case class CpProto(minReaderVersion: Int, minWriterVersion: Int,
+  // checkpoint row shapes (field names per the Delta checkpoint schema);
+  // not `private` — Catalyst codegen cannot call accessors on private
+  // nested classes and would fall back to the interpreter
+  case class CpProto(minReaderVersion: Int, minWriterVersion: Int,
                              readerFeatures: Option[Seq[String]],
                              writerFeatures: Option[Seq[String]])
-  private case class CpMeta(id: String, partitionColumns: Seq[String],
+  case class CpMeta(id: String, partitionColumns: Seq[String],
                             schemaString: Option[String],
                             configuration: Option[Map[String, String]])
-  private case class CpDv(storageType: String, pathOrInlineDv: String,
+  case class CpDv(storageType: String, pathOrInlineDv: String,
                           offset: Option[Int], sizeInBytes: Int, cardinality: Long)
-  private case class CpAdd(path: String, partitionValues: Map[String, String],
+  case class CpAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long,
                            deletionVector: Option[CpDv])
-  private case class CpRow(protocol: Option[CpProto], metaData: Option[CpMeta],
+  case class CpRow(protocol: Option[CpProto], metaData: Option[CpMeta],
                            add: Option[CpAdd])
 
   private def mapper = DocPushdown.jsonMapper

@@ -65,7 +65,7 @@ object DeltaRead {
     * 3 tables are readable iff every advertised `readerFeatures` entry is
     * in this set; anything else fails loudly BY NAME. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   /** Replay state: live files keyed by (still-encoded) path. */
   private final class State {
@@ -112,9 +112,15 @@ object DeltaRead {
     case other => other
   }
 
+  /** One version's checkpoint files: classic parts (single- or
+    * multi-part parquet) and/or a V2 manifest (UUID-named, parquet or
+    * json, with sidecar files under `_sidecars/`). */
+  private final case class Checkpoint(classicParts: Seq[Path],
+                                      v2Manifest: Option[Path])
+
   /** `_delta_log` contents, listed once. */
   private final case class LogListing(jsonVersions: Set[Long],
-                                      checkpoints: Map[Long, Seq[Path]])
+                                      checkpoints: Map[Long, Checkpoint])
 
   private def listLog(fs: org.apache.hadoop.fs.FileSystem, dir: Path): LogListing = {
     val names = fs.listStatus(dir).map(_.getPath.getName)
@@ -122,9 +128,10 @@ object DeltaRead {
       case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
         n.stripSuffix(".json").toLong
     }.toSet
-    // single-part: %020d.checkpoint.parquet
-    // multi-part:  %020d.checkpoint.%010d.%010d.parquet
-    val cpParts = names.flatMap { n =>
+    // classic single-part: %020d.checkpoint.parquet
+    // classic multi-part:  %020d.checkpoint.%010d.%010d.parquet
+    // v2 manifest:         %020d.checkpoint.<uuid>.{parquet,json}
+    val classic = names.flatMap { n =>
       val segs = n.split('.')
       if (segs.length == 3 && segs(1) == "checkpoint" && segs(2) == "parquet" &&
           segs(0).forall(_.isDigit))
@@ -135,9 +142,20 @@ object DeltaRead {
         Some((segs(0).toLong, n))
       else None
     }
-    val checkpoints = cpParts.groupBy(_._1).map { case (v, parts) =>
-      v -> parts.map(p => new Path(dir, p._2)).toSeq.sortBy(_.getName)
+    val v2 = names.flatMap { n =>
+      val segs = n.split('.')
+      if (segs.length == 4 && segs(1) == "checkpoint" &&
+          (segs(3) == "parquet" || segs(3) == "json") &&
+          segs(0).forall(_.isDigit) && segs(2).contains('-'))
+        Some((segs(0).toLong, n))
+      else None
     }
+    val versions = (classic.map(_._1) ++ v2.map(_._1)).toSet
+    val checkpoints = versions.iterator.map { v =>
+      v -> Checkpoint(
+        classic.filter(_._1 == v).map(p => new Path(dir, p._2)).toSeq.sortBy(_.getName),
+        v2.filter(_._1 == v).map(p => new Path(dir, p._2)).sortBy(_.getName).headOption)
+    }.toMap
     LogListing(json, checkpoints)
   }
 
@@ -157,7 +175,7 @@ object DeltaRead {
     * state at its version (adds are the live set; remove rows are vacuum
     * tombstones, irrelevant to a snapshot). */
   private def loadCheckpoint(spark: SparkSession, state: State,
-                             parts: Seq[Path]): Unit = {
+                             parts: Seq[Path]): Seq[String] = {
     val cp = spark.read.parquet(parts.map(_.toString): _*)
     val cols = cp.schema.fieldNames.map(_.toLowerCase).toSet
     if (cols.contains("protocol")) {
@@ -186,26 +204,107 @@ object DeltaRead {
     }
     // a checkpoint written with DV columns must round-trip them — a
     // checkpoint reader that dropped add.deletionVector would silently
-    // resurrect every DV-deleted row
-    val hasDv = cp.schema("add").dataType
-      .asInstanceOf[StructType].fieldNames.contains("deletionVector")
-    val dvExprs =
-      if (hasDv) Seq("add.deletionVector.storageType",
-        "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
-        "add.deletionVector.sizeInBytes", "add.deletionVector.cardinality")
-      else Seq("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
-        "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS BIGINT)")
-    cp.selectExpr(Seq("add.path", "add.partitionValues", "add.size",
-        "add.modificationTime") ++ dvExprs: _*)
-      .where("add IS NOT NULL").collect().foreach { r =>
-        val dv = if (r.isNullAt(4)) None else Some(DeletionVectors.Descriptor(
-          r.getString(4), r.getString(5),
-          if (r.isNullAt(6)) None else Some(r.getInt(6)),
-          r.getInt(7), r.getLong(8)))
-        state.live(r.getString(0)) = AddFile(r.getString(0),
-          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-          if (r.isNullAt(2)) 0L else r.getLong(2),
-          if (r.isNullAt(3)) 0L else r.getLong(3), dv)
+    // resurrect every DV-deleted row. (A v2 MANIFEST may carry no `add`
+    // column at all — its file actions live in the sidecars.)
+    if (cols.contains("add")) {
+      val hasDv = cp.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+      val dvExprs =
+        if (hasDv) Seq("add.deletionVector.storageType",
+          "add.deletionVector.pathOrInlineDv", "add.deletionVector.offset",
+          "add.deletionVector.sizeInBytes", "add.deletionVector.cardinality")
+        else Seq("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+          "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS BIGINT)")
+      cp.selectExpr(Seq("add.path", "add.partitionValues", "add.size",
+          "add.modificationTime") ++ dvExprs: _*)
+        .where("add IS NOT NULL").collect().foreach { r =>
+          val dv = if (r.isNullAt(4)) None else Some(DeletionVectors.Descriptor(
+            r.getString(4), r.getString(5),
+            if (r.isNullAt(6)) None else Some(r.getInt(6)),
+            r.getInt(7), r.getLong(8)))
+          state.live(r.getString(0)) = AddFile(r.getString(0),
+            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+            if (r.isNullAt(2)) 0L else r.getLong(2),
+            if (r.isNullAt(3)) 0L else r.getLong(3), dv)
+        }
+    }
+    if (cols.contains("sidecar"))
+      cp.selectExpr("sidecar.path").where("sidecar IS NOT NULL")
+        .collect().map(_.getString(0)).toSeq
+    else Nil
+  }
+
+  /** Load a V2 checkpoint: the UUID-named MANIFEST (parquet or
+    * newline-JSON of the same actions) names sidecar files under
+    * `_sidecars/` that carry the file actions; the manifest itself holds
+    * protocol/metaData (and possibly adds). Sidecar `remove` rows are
+    * vacuum tombstones, like classic-checkpoint removes. */
+  private def loadV2Checkpoint(spark: SparkSession, state: State,
+                               manifest: Path, logDir: Path): Unit = {
+    val sidecars: Seq[String] =
+      if (manifest.getName.endsWith(".json")) {
+        val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(manifest)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        lines.flatMap { line =>
+          val node = mapper.readTree(line)
+          applyAction(state, node, applyRemoves = false)
+          Option(node.get("sidecar")).map(_.get("path").asText())
+        }
+      } else loadCheckpoint(spark, state, Seq(manifest))
+    val paths = sidecars.map(s => new Path(new Path(logDir, "_sidecars"), s))
+    paths.foreach { p =>
+      require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+        s"v2 checkpoint sidecar missing: $p")
+    }
+    if (paths.nonEmpty) { loadCheckpoint(spark, state, paths); () }
+  }
+
+  /** Apply one JSON action to the replay state. `applyRemoves` is false
+    * in checkpoint-manifest context (remove rows there are vacuum
+    * tombstones, not state transitions). */
+  private def applyAction(state: State,
+                          node: com.fasterxml.jackson.databind.JsonNode,
+                          applyRemoves: Boolean): Unit = {
+    Option(node.get("protocol")).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val features = Option(p.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()))
+      state.gate(Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
+        features)
+    }
+    Option(node.get("metaData")).foreach { m =>
+      import scala.jdk.CollectionConverters._
+      state.partitionCols = Option(m.get("partitionColumns")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText()))
+      state.schemaString =
+        Option(m.get("schemaString")).map(_.asText()).orElse(state.schemaString)
+      state.configuration = Option(m.get("configuration")).map(
+        _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+    }
+    Option(node.get("add")).foreach { a =>
+      import scala.jdk.CollectionConverters._
+      val path = a.get("path").asText()
+      val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }.toMap).getOrElse(Map.empty)
+      val dv = Option(a.get("deletionVector")).map { d =>
+        DeletionVectors.Descriptor(
+          d.get("storageType").asText(),
+          d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).map(_.asInt),
+          Option(d.get("sizeInBytes")).map(_.asInt).getOrElse(0),
+          Option(d.get("cardinality")).map(_.asLong).getOrElse(0L))
+      }
+      state.live(path) = AddFile(path, pv,
+        Option(a.get("size")).map(_.asLong).getOrElse(0L),
+        Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L), dv)
+    }
+    if (applyRemoves)
+      Option(node.get("remove")).foreach { r =>
+        state.live.remove(r.get("path").asText()): Unit
       }
   }
 
@@ -214,47 +313,8 @@ object DeltaRead {
     val in = fs.open(f)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
-    lines.foreach { line =>
-      val node = mapper.readTree(line)
-      Option(node.get("protocol")).foreach { p =>
-        import scala.jdk.CollectionConverters._
-        val features = Option(p.get("readerFeatures")).toSeq
-          .flatMap(_.elements().asScala.map(_.asText()))
-        state.gate(Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
-          features)
-      }
-      Option(node.get("metaData")).foreach { m =>
-        import scala.jdk.CollectionConverters._
-        state.partitionCols = Option(m.get("partitionColumns")).toSeq
-          .flatMap(_.elements().asScala.map(_.asText()))
-        state.schemaString =
-          Option(m.get("schemaString")).map(_.asText()).orElse(state.schemaString)
-        state.configuration = Option(m.get("configuration")).map(
-          _.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-          .getOrElse(Map.empty)
-      }
-      Option(node.get("add")).foreach { a =>
-        import scala.jdk.CollectionConverters._
-        val path = a.get("path").asText()
-        val pv = Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
-          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
-        }.toMap).getOrElse(Map.empty)
-        val dv = Option(a.get("deletionVector")).map { d =>
-          DeletionVectors.Descriptor(
-            d.get("storageType").asText(),
-            d.get("pathOrInlineDv").asText(),
-            Option(d.get("offset")).map(_.asInt),
-            Option(d.get("sizeInBytes")).map(_.asInt).getOrElse(0),
-            Option(d.get("cardinality")).map(_.asLong).getOrElse(0L))
-        }
-        state.live(path) = AddFile(path, pv,
-          Option(a.get("size")).map(_.asLong).getOrElse(0L),
-          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L), dv)
-      }
-      Option(node.get("remove")).foreach { r =>
-        state.live.remove(r.get("path").asText())
-      }
-    }
+    lines.foreach(line => applyAction(state, mapper.readTree(line),
+      applyRemoves = true))
   }
 
   /** Replay the log to `version`: newest checkpoint ≤ version, then the
@@ -268,7 +328,11 @@ object DeltaRead {
     // listing is authoritative (and covers time travel BEFORE the hint)
     val cpVersion = listing.checkpoints.keys.filter(_ <= version)
       .reduceOption(_ max _)
-    cpVersion.foreach(v => loadCheckpoint(spark, state, listing.checkpoints(v)))
+    cpVersion.foreach { v =>
+      val cp = listing.checkpoints(v)
+      if (cp.classicParts.nonEmpty) { loadCheckpoint(spark, state, cp.classicParts); () }
+      else loadV2Checkpoint(spark, state, cp.v2Manifest.get, dir)
+    }
     var v = cpVersion.map(_ + 1).getOrElse(0L)
     while (v <= version) {
       if (!listing.jsonVersions.contains(v)) throw new IllegalArgumentException(

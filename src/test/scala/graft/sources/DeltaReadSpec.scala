@@ -72,10 +72,10 @@ class DeltaReadSpec extends SparkSuite {
   test("unsupported reader features fail loudly BY NAME, not silently mis-read") {
     val t = buildTable()
     log(t, 2L, """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""")
+      """"readerFeatures":["deletionVectors","variantType"]}}""")
     val e = intercept[IllegalArgumentException](
       DeltaRead.snapshot(spark, t.toString))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("variantType"))
     assert(!e.getMessage.startsWith("requirement failed: deletionVectors"),
       "supported features must not be named as the problem")
     // but time travel BEFORE the upgrade still works
@@ -295,6 +295,80 @@ class DeltaReadSpec extends SparkSuite {
     assert(e.getMessage.contains("oldest readable"))
   }
 
+  // ---- v2 checkpoints ----
+
+  /** v2-checkpoint the buildTable() state at v1 (part-b + part-c live):
+    * UUID-named manifest (parquet or json) + one sidecar parquet under
+    * `_sidecars/` carrying the add actions, early JSON vacuumed. */
+  private def v2Checkpoint(t: Path, jsonManifest: Boolean): Unit = {
+    val logDir = t.resolve("_delta_log")
+    val sidecarDir = logDir.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    val sc = spark.sql(s"""
+      SELECT named_struct('path', 'dt=2024-01-02/part-b.parquet',
+        'partitionValues', map('dt', '2024-01-02'),
+        'size', ${sizeOf(t, "dt=2024-01-02/part-b.parquet")}L, 'modificationTime', 1L) AS add
+      UNION ALL
+      SELECT named_struct('path', 'dt=2024-01-01/part-c.parquet',
+        'partitionValues', map('dt', '2024-01-01'),
+        'size', ${sizeOf(t, "dt=2024-01-01/part-c.parquet")}L, 'modificationTime', 2L)
+    """)
+    val tmp = Files.createTempDirectory("delta-v2sc")
+    sc.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, sidecarDir.resolve("sc-1.parquet"))
+    val uuid = "3a0d65cd-4056-49b8-937b-95f9e3ee90b5"
+    if (jsonManifest) {
+      Files.writeString(logDir.resolve(f"${1L}%020d.checkpoint.$uuid.json"),
+        Seq("""{"checkpointMetadata":{"version":1}}""",
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+          """{"metaData":{"id":"m1","partitionColumns":["dt"],"format":{"provider":"parquet"}}}""",
+          """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1}}""")
+          .mkString("", "\n", "\n"))
+    } else {
+      val mf = spark.sql("""
+        SELECT named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
+                 'readerFeatures', array('v2Checkpoint'),
+                 'writerFeatures', array('v2Checkpoint')) AS protocol,
+               CAST(NULL AS STRUCT<id: STRING, partitionColumns: ARRAY<STRING>,
+                                   schemaString: STRING>) AS metaData,
+               CAST(NULL AS STRUCT<path: STRING, sizeInBytes: BIGINT>) AS sidecar
+        UNION ALL
+        SELECT NULL, named_struct('id', 'm1', 'partitionColumns', array('dt'),
+                                  'schemaString', CAST(NULL AS STRING)), NULL
+        UNION ALL
+        SELECT NULL, NULL, named_struct('path', 'sc-1.parquet', 'sizeInBytes', 1L)
+      """)
+      val tmp2 = Files.createTempDirectory("delta-v2mf")
+      mf.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+      val p2 = Files.list(tmp2).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(p2, logDir.resolve(f"${1L}%020d.checkpoint.$uuid.parquet"))
+    }
+    Files.delete(logDir.resolve(f"${0L}%020d.json"))
+    Files.delete(logDir.resolve(f"${1L}%020d.json"))
+  }
+
+  test("v2 checkpoint (parquet manifest + sidecar) replays after vacuum") {
+    val t = buildTable()
+    v2Checkpoint(t, jsonManifest = false)
+    val rows = DeltaRead.snapshot(spark, t.toString)
+      .select("id", "item", "dt").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "gadget", "2024-01-01"),
+      (2L, "bolt", "2024-01-01"), (3L, "nut", "2024-01-02")))
+  }
+
+  test("v2 checkpoint (JSON manifest) replays, sidecar removes are tombstones") {
+    val t = buildTable()
+    v2Checkpoint(t, jsonManifest = true)
+    assert(DeltaRead.snapshot(spark, t.toString).count() === 3L)
+    // a missing sidecar fails loudly by path
+    Files.delete(t.resolve("_delta_log/_sidecars/sc-1.parquet"))
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.snapshot(spark, t.toString))
+    assert(e.getMessage.contains("sidecar missing"))
+  }
+
   // ---- deletion vectors ----
 
   test("deleteWhere attaches DVs: rows vanish, no data file is rewritten") {
@@ -318,6 +392,13 @@ class DeltaReadSpec extends SparkSuite {
     assert(got2 === (1L to 100L).filterNot(i => i % 10 == 3 || i % 10 == 7))
     // versionAsOf before the deletes still sees everything
     assert(DeltaRead.snapshot(spark, root, versionAsOf = Some(0L)).count() === 100L)
+    // plan contract: the data side stays ONE parquet scan (the DV build
+    // side is an RDD of expanded row indexes), merged by ONE anti join
+    val plan = DeltaRead.snapshot(spark, root).queryExecution
+      .executedPlan.toString
+    assert("FileScan parquet".r.findAllMatchIn(plan).size === 1,
+      "DV merge must not multiply parquet scans:\n" + plan)
+    assert(plan.contains("LeftAnti"), "DV merge must be an anti join:\n" + plan)
   }
 
   test("DVs survive checkpoint + log vacuum (descriptor round-trips)") {
