@@ -81,7 +81,8 @@ object IcebergWrite {
     * `equality_ids` through it). */
   def commitEntries(spark: SparkSession, table: String, entries: Seq[FileEntry],
                     schemaFields: Seq[(Int, String, String)],
-                    snapshotId: Long = 1L): Unit = {
+                    snapshotId: Long = 1L,
+                    timestampMs: Option[Long] = None): Unit = {
     require(entries.forall(e => e.content != 2 || e.equalityIds.nonEmpty),
       "equality-delete entries need equalityIds")
     require(entries.forall(e => e.content == 2 || e.equalityIds.isEmpty),
@@ -131,9 +132,13 @@ object IcebergWrite {
         s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],
           "current-schema-id":0,"""
       }
+    // deterministic default: the snapshot id doubles as timestamp-ms, so
+    // readers' FOR TIMESTAMP AS OF works on fixture tables too
+    val ts = timestampMs.getOrElse(snapshotId)
     val metadataJson =
       s"""{"format-version":2,$schemaJson"current-snapshot-id":$snapshotId,
-        "snapshots":[{"snapshot-id":$snapshotId,"manifest-list":"$manifestList"}]}"""
+        "snapshots":[{"snapshot-id":$snapshotId,"timestamp-ms":$ts,
+        "manifest-list":"$manifestList"}]}"""
     val vfile = fs.create(new Path(meta, s"v$snapshotId.metadata.json"), true)
     try vfile.write(metadataJson.getBytes(UTF_8)) finally vfile.close()
     val hint = fs.create(new Path(meta, "version-hint.text"), true)

@@ -370,6 +370,33 @@ object DeltaRead {
     else new Path(new Path(table), new Path(uri))
   }
 
+  /** The version whose commit is the newest at or before `tsMillis` —
+    * Delta's `timestampAsOf` semantics: a commit's timestamp is its JSON
+    * action file's modification time (in-commit-timestamp tables are
+    * gated by their writer feature before this matters). Vacuumed
+    * versions have no commit file and are honestly not time-travelable. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         tsMillis: Long): Long = {
+    val dir = new Path(table, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$table is not a Delta table (no _delta_log directory)")
+    val listing = listLog(fs, dir)
+    val stamped = listing.jsonVersions.toSeq.sorted.map { v =>
+      v -> fs.getFileStatus(new Path(dir, f"$v%020d.json")).getModificationTime
+    }
+    require(stamped.nonEmpty, s"$table has no commit files to timestamp")
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no Delta commit at or before timestamp $tsMillis " +
+          s"(earliest commit file is at ${stamped.head._2})"))
+  }
+
+  /** Snapshot at the newest version committed at or before `tsMillis`. */
+  def snapshotAt(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    snapshot(spark, table,
+      versionAsOf = Some(versionAtTimestamp(spark, table, tsMillis)))
+
   /** Snapshot at the latest (or `versionAsOf`) version. */
   def snapshot(spark: SparkSession, table: String,
                versionAsOf: Option[Long] = None): DataFrame = {

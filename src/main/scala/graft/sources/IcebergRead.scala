@@ -152,6 +152,33 @@ object IcebergRead {
       .flatMap(_.elements().asScala.map(_.get("snapshot-id").asLong()))
   }
 
+  /** The snapshot current as of `tsMillis` — Iceberg's FOR TIMESTAMP AS
+    * OF: the newest snapshot whose `timestamp-ms` is ≤ the wanted time.
+    * Snapshots without a `timestamp-ms` (non-standard metadata) are not
+    * time-travelable and are skipped. */
+  def snapshotIdAtTimestamp(spark: SparkSession, table: String,
+                            tsMillis: Long): Long = {
+    val meta = readMetadata(spark, table)
+    import scala.jdk.CollectionConverters._
+    val stamped = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("timestamp-ms"))
+        .map(ts => (s.get("snapshot-id").asLong(), ts.asLong())))
+    stamped.filter(_._2 <= tsMillis).sortBy(s => (s._2, s._1))
+      .lastOption.map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"no Iceberg snapshot at or before timestamp $tsMillis" +
+            (if (stamped.isEmpty) " (no snapshot carries timestamp-ms)"
+             else s" (earliest is ${stamped.map(_._2).min})")))
+  }
+
+  /** Snapshot current as of `tsMillis`. */
+  def snapshotAt(spark: SparkSession, table: String, tsMillis: Long,
+                 maxFiles: Int = 1000000): DataFrame =
+    snapshot(spark, table,
+      snapshotId = Some(snapshotIdAtTimestamp(spark, table, tsMillis)),
+      maxFiles = maxFiles)
+
   private def readMetadata(spark: SparkSession, table: String) = {
     val p = metadataFile(spark, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -295,6 +295,26 @@ class DeltaReadSpec extends SparkSuite {
     assert(e.getMessage.contains("oldest readable"))
   }
 
+  test("snapshotAt (timestampAsOf): commit-file mtimes pick the version") {
+    val t = buildTable()
+    val logDir = t.resolve("_delta_log")
+    java.nio.file.Files.setLastModifiedTime(
+      logDir.resolve(f"${0L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(10000L))
+    java.nio.file.Files.setLastModifiedTime(
+      logDir.resolve(f"${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(20000L))
+    assert(DeltaRead.versionAtTimestamp(spark, t.toString, 15000L) === 0L)
+    // v0 = pre-rewrite: widget still present
+    val rows = DeltaRead.snapshotAt(spark, t.toString, 15000L)
+      .select("id", "item").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "widget"), (2L, "bolt"), (3L, "nut")))
+    assert(DeltaRead.versionAtTimestamp(spark, t.toString, 99999L) === 1L)
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(spark, t.toString, 5000L))
+    assert(e.getMessage.contains("no Delta commit"))
+  }
+
   // ---- v2 checkpoints ----
 
   /** v2-checkpoint the buildTable() state at v1 (part-b + part-c live):

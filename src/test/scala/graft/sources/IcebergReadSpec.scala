@@ -109,8 +109,8 @@ class IcebergReadSpec extends SparkSuite {
         "snapshots":[{"snapshot-id":1,"manifest-list":"$ml1"}]}""")
     Files.writeString(meta.resolve("v2.metadata.json"),
       s"""{"format-version":2,"current-snapshot-id":2,
-        "snapshots":[{"snapshot-id":1,"manifest-list":"$ml1"},
-                     {"snapshot-id":2,"manifest-list":"$ml2"}]}""")
+        "snapshots":[{"snapshot-id":1,"timestamp-ms":1000,"manifest-list":"$ml1"},
+                     {"snapshot-id":2,"timestamp-ms":2000,"manifest-list":"$ml2"}]}""")
     Files.writeString(meta.resolve("version-hint.text"), "2")
     root.toString
   }
@@ -218,6 +218,20 @@ class IcebergReadSpec extends SparkSuite {
       "position delete of (b.parquet, 0) must drop exactly the 'gadget' row")
     // time travel BEFORE the delete still sees the full snapshot-1 set
     assert(IcebergRead.snapshot(spark, t, snapshotId = Some(1L)).count() === 2L)
+  }
+
+  test("snapshotAt picks the newest snapshot at or before the timestamp") {
+    val t = buildTable()
+    // between the two snapshots → snapshot 1 (fileA)
+    assert(IcebergRead.snapshotIdAtTimestamp(spark, t, 1500L) === 1L)
+    assert(IcebergRead.snapshotAt(spark, t, 1500L).count() === 2L)
+    // at/after the second → snapshot 2 (fileB)
+    assert(IcebergRead.snapshotIdAtTimestamp(spark, t, 2000L) === 2L)
+    assert(IcebergRead.snapshotAt(spark, t, 99999L).count() === 3L)
+    // before the first → loud
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.snapshotIdAtTimestamp(spark, t, 999L))
+    assert(e.getMessage.contains("no Iceberg snapshot"))
   }
 
   test("a non-Iceberg directory fails with an actionable message") {
