@@ -1414,6 +1414,27 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Delta CHANGE DATA FEED ([[graft.sources.DeltaRead.changes]]):
+      * create (v0) → partition rewrite (v1), then the feed for 0..1 —
+      * v0 is all-inserts, v1 is the rewritten partition's old rows as
+      * deletes + new rows as inserts, partition column attached from
+      * the actions. Aggregated per (version, change type). */
+    "lake_delta_cdf" -> ((s, d) => {
+      val root = lakeTmp(d, "deltacdf")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sink.DeltaWrite.create(orders, root, Seq("o_orderpriority"))
+      val urgent = orders.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sink.DeltaWrite.replacePartition(urgent, root, "o_orderpriority", "1-URGENT")
+      graft.sources.DeltaRead.changes(s, root, 0L, 1L)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }),
+
     /** Delta DELETION VECTORS: partitioned create → DV-delete of the %3=1
       * keys (no data file rewritten; reader-version-3 protocol with the
       * `deletionVectors` feature) → checkpoint → log vacuum. The read
@@ -2570,6 +2591,21 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_delta_cdf" -> """
+      SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      UNION ALL
+      SELECT 1, 'delete', count(*),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 1, 'insert', count(*),
+             CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY 1, 2""",
 
     "lake_delta_dv_read" -> """
       SELECT o_orderpriority, count(*) AS n,

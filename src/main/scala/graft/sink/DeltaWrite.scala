@@ -150,7 +150,15 @@ object DeltaWrite {
         (p, Map(partitionCol -> value), size, mtime)
       }
     writeVersion(spark, table, version,
-      removed.map(r => s"""{"remove":{"path":${jstr(r.path)},"dataChange":true}}""") ++
+      removed.map { r =>
+        // partitionValues on the remove let CDF readers attach partition
+        // columns to the delete rows without replaying earlier state
+        val pvJson = r.partitionValues.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+        }.mkString(",")
+        s"""{"remove":{"path":${jstr(r.path)},"dataChange":true,""" +
+          s""""partitionValues":{$pvJson}}}"""
+      } ++
         files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
   }
 

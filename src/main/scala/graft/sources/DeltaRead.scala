@@ -347,6 +347,125 @@ object DeltaRead {
     state
   }
 
+  /** CHANGE DATA FEED between `fromVersion` and `toVersion` (inclusive)
+    * — Delta's CDF contract: per commit, either explicit `cdc` actions
+    * (files under `_change_data/` carrying a `_change_type` column with
+    * `update_preimage`/`update_postimage`/`insert`/`delete` rows) or,
+    * for commits without them, changes SYNTHESIZED from the file
+    * actions: each `dataChange=true` add is its file's rows as
+    * `insert`, each `dataChange=true` remove is its file's rows as
+    * `delete` (the file is still on disk until vacuum — which is exactly
+    * why CDF reads of vacuumed ranges must fail loudly, and do, via the
+    * missing-version check). Every row carries `_change_type` and
+    * `_commit_version`.
+    *
+    * Partition columns are attached from the action's
+    * `partitionValues`; a partitioned remove without them (legal in the
+    * protocol) fails loudly rather than emitting rows with null
+    * partition columns. Column-mapped tables are gated (CDF + mapping
+    * needs the physical rename applied per cdc file — not implemented).
+    *
+    * Scale shape: one parquet scan per (version, change class) — the
+    * unit of CDF consumption; a consumer paging through versions reads
+    * exactly the files that changed, never the table. */
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
+    val dir = new Path(table, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$table is not a Delta table (no _delta_log directory)")
+    val listing = listLog(fs, dir)
+    // schema + gate from the replayed state at toVersion
+    val state = replay(spark, table, toVersion)
+    require(state.mappingMode.isEmpty,
+      "CDF over a column-mapped table is not supported by this reader")
+    val declared = state.schemaString.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val partitionCols = state.partitionCols
+
+    final case class Change(path: String, pv: Map[String, String],
+                            changeType: Option[String], version: Long)
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Change]
+    // running pre-version state: resolves partitionValues for remove
+    // actions that omit them (protocol-legal) from the file's own add
+    val running =
+      if (fromVersion == 0) new State
+      else replay(spark, table, fromVersion - 1)
+    (fromVersion to toVersion).foreach { v =>
+      if (!listing.jsonVersions.contains(v)) throw new IllegalArgumentException(
+        s"Delta log version $v missing from $table — the CDF range " +
+          s"$fromVersion..$toVersion is not fully readable (vacuumed?)")
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      import scala.jdk.CollectionConverters._
+      def pvOf(a: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+        Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+        }.toMap).getOrElse(Map.empty)
+      val nodes = lines.map(mapper.readTree)
+      val cdc = nodes.flatMap(n => Option(n.get("cdc")))
+      if (cdc.nonEmpty)
+        cdc.foreach(c => changes += Change(c.get("path").asText(), pvOf(c), None, v))
+      else nodes.foreach { n =>
+        Option(n.get("add")).foreach { a =>
+          // a DV change without cdc actions is a PARTIAL-file change —
+          // synthesizing whole-file insert+delete rows would fabricate
+          // changes for rows that didn't move. CDF-enabled writers must
+          // emit cdc actions for those commits; absent them, be loud.
+          require(Option(a.get("deletionVector")).isEmpty,
+            s"version $v changes rows via deletion vectors without cdc " +
+              "actions — CDF cannot be synthesized from its file actions")
+          if (Option(a.get("dataChange")).forall(_.asBoolean))
+            changes += Change(a.get("path").asText(), pvOf(a), Some("insert"), v)
+        }
+        Option(n.get("remove")).foreach { r =>
+          if (Option(r.get("dataChange")).forall(_.asBoolean)) {
+            val path = r.get("path").asText()
+            val pv = Some(pvOf(r)).filter(_.nonEmpty)
+              .orElse(running.live.get(path).map(_.partitionValues))
+              .getOrElse(Map.empty[String, String])
+            require(partitionCols.isEmpty || pv.nonEmpty,
+              s"remove action for $path in version $v has no " +
+                "partitionValues and the file is unknown to the " +
+                "pre-version state — cannot attach partition columns")
+            changes += Change(path, pv, Some("delete"), v)
+          }
+        }
+      }
+      // advance the running state past this version
+      nodes.foreach(applyAction(running, _, applyRemoves = true))
+    }
+    val emptySchema = StructType(
+      declared.getOrElse(StructType(Nil)).fields.toSeq :+
+        StructField("_change_type", StringType) :+
+        StructField("_commit_version", org.apache.spark.sql.types.LongType))
+    if (changes.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val parts = changes.toSeq.map { ch =>
+      val df = spark.read.parquet(resolvePath(table, ch.path).toString)
+      val typed = partitionCols.foldLeft(df) { (d, c) =>
+        val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(_.dataType).getOrElse(StringType)
+        d.withColumn(c, lit(ch.pv.getOrElse(c, null: String)).cast(dt))
+      }
+      val withType = ch.changeType match {
+        case Some(t) => typed.withColumn("_change_type", lit(t))
+        case None => typed // cdc files carry their own _change_type
+      }
+      withType.withColumn("_commit_version", lit(ch.version))
+    }
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    declared match {
+      case Some(s) => unioned.select(
+        (s.fieldNames.toSeq :+ "_change_type" :+ "_commit_version").map(col): _*)
+      case None => unioned
+    }
+  }
+
   /** Replayed table state at `version`: (live files, partition columns,
     * schemaString, table configuration) — the planning data a writer
     * (checkpointing, partition replacement) or catalog needs. */
