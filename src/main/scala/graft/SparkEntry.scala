@@ -1456,6 +1456,34 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Iceberg INCREMENTAL append scan: orders @s1, the %10 delta
+      * (price+1000) as new files @s2 through the append-commit chain;
+      * `incremental(fromSnapshotId = 1)` must read EXACTLY the appended
+      * files — the CDC-style consumption path for Iceberg tables. */
+    "lake_iceberg_incremental" -> ((s, d) => {
+      val root = lakeTmp(d, "icebergincr")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      orders.write.parquet(s"$root/s1")
+      orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .write.parquet(s"$root/s2")
+      import graft.sink.IcebergWrite.FileEntry
+      val schema = Seq((1, "o_orderkey", "long"),
+        (2, "o_orderstatus", "string"), (3, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.commitEntries(s, root,
+        lakeList(root, "s1").map(FileEntry(_, 0, 1L)), schema, snapshotId = 1L)
+      graft.sink.IcebergWrite.commitEntries(s, root,
+        lakeList(root, "s2").map(FileEntry(_, 0, 2L)), schema, snapshotId = 2L)
+      graft.sources.IcebergRead.incremental(s, root, fromSnapshotId = 1L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** Iceberg v2 EQUALITY deletes with the spec's strict sequence-number
       * scoping: data@seq1, an `equality_ids=[o_orderkey]` delete file of
       * the %5 keys @seq2, and a re-insert of the %10 keys (price ×4 —
@@ -2611,6 +2639,12 @@ object SparkEntry {
       SELECT o_orderpriority, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 <> 1
+      GROUP BY 1 ORDER BY 1""",
+
+    "lake_iceberg_incremental" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice + 1000 AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 10 = 0
       GROUP BY 1 ORDER BY 1""",
 
     "lake_iceberg_eqdelete" -> """

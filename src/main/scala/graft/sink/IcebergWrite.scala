@@ -112,17 +112,51 @@ object IcebergWrite {
       e.put("data_file", df)
       e
     }
+    // append-commit: an existing table contributes its snapshot history
+    // and the current snapshot's manifests (carried into the new list —
+    // an Iceberg manifest list is the FULL file state, not a delta)
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val hintPath = new Path(meta, "version-hint.text")
+    val prior = if (fs.exists(hintPath)) {
+      val node = graft.sources.IcebergRead.readMetadata(spark, table)
+      import scala.jdk.CollectionConverters._
+      val snaps = Option(node.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala).toSeq
+      require(!snaps.exists(_.get("snapshot-id").asLong() == snapshotId),
+        s"snapshot id $snapshotId already committed to $table")
+      val current = Option(node.get("current-snapshot-id")).map(_.asLong())
+      val manifests = current.toSeq.flatMap { cur =>
+        snaps.find(_.get("snapshot-id").asLong() == cur).toSeq.flatMap { s =>
+          graft.sources.IcebergRead
+            .avroRecords(spark, s.get("manifest-list").asText())
+            .map { m =>
+              (m.get("manifest_path").toString,
+                Option(m.getSchema.getField("sequence_number"))
+                  .flatMap(_ => Option(m.get("sequence_number")))
+                  .collect { case l: java.lang.Long => l.longValue }
+                  .getOrElse(0L))
+            }
+        }
+      }
+      Some((snaps.map(mapper.writeValueAsString), manifests))
+    } else None
+
     val manifest = new Path(meta, s"m-$snapshotId.avro")
     writeAvro(spark, manifest, ManifestEntrySchema, entries.map(entry))
     val manifestList = new Path(meta, s"snap-$snapshotId.avro")
-    val mref = new GenericData.Record(ManifestListSchema)
-    mref.put("manifest_path", manifest.toString)
-    mref.put("manifest_length", 1L)
-    mref.put("partition_spec_id", 0)
-    mref.put("sequence_number",
-      entries.map(_.sequenceNumber).maxOption.getOrElse(0L))
-    mref.put("added_snapshot_id", snapshotId)
-    writeAvro(spark, manifestList, ManifestListSchema, Seq(mref))
+    def mref(path: String, seq: Long): GenericRecord = {
+      val m = new GenericData.Record(ManifestListSchema)
+      m.put("manifest_path", path)
+      m.put("manifest_length", 1L)
+      m.put("partition_spec_id", 0)
+      m.put("sequence_number", seq)
+      m.put("added_snapshot_id", snapshotId)
+      m
+    }
+    val newSeq = entries.map(_.sequenceNumber).maxOption.getOrElse(0L)
+    writeAvro(spark, manifestList, ManifestListSchema,
+      prior.toSeq.flatMap(_._2).map { case (p, s) => mref(p, s) } :+
+        mref(manifest.toString, newSeq))
     val schemaJson =
       if (schemaFields.isEmpty) ""
       else {
@@ -135,13 +169,22 @@ object IcebergWrite {
     // deterministic default: the snapshot id doubles as timestamp-ms, so
     // readers' FOR TIMESTAMP AS OF works on fixture tables too
     val ts = timestampMs.getOrElse(snapshotId)
+    val newSnap =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$ts,
+        "manifest-list":"$manifestList"}"""
+    val allSnaps = (prior.toSeq.flatMap(_._1) :+ newSnap).mkString(",")
     val metadataJson =
       s"""{"format-version":2,$schemaJson"current-snapshot-id":$snapshotId,
-        "snapshots":[{"snapshot-id":$snapshotId,"timestamp-ms":$ts,
-        "manifest-list":"$manifestList"}]}"""
-    val vfile = fs.create(new Path(meta, s"v$snapshotId.metadata.json"), true)
+        "snapshots":[$allSnaps]}"""
+    val priorVersion = if (fs.exists(hintPath)) {
+      val in = fs.open(hintPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else 0L
+    val version = priorVersion + 1
+    val vfile = fs.create(new Path(meta, s"v$version.metadata.json"), true)
     try vfile.write(metadataJson.getBytes(UTF_8)) finally vfile.close()
-    val hint = fs.create(new Path(meta, "version-hint.text"), true)
-    try hint.write(snapshotId.toString.getBytes(UTF_8)) finally hint.close()
+    val hint = fs.create(hintPath, true)
+    try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
   }
 }

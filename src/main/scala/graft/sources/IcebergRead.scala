@@ -51,7 +51,7 @@ object IcebergRead {
 
   /** Resolve the current metadata file: `version-hint.text` if present
     * (Hadoop tables), else the highest `vN.metadata.json`. */
-  private def metadataFile(spark: SparkSession, table: String): Path = {
+  private[graft] def metadataFile(spark: SparkSession, table: String): Path = {
     val dir = new Path(table, "metadata")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -74,7 +74,7 @@ object IcebergRead {
   }
 
   /** Iterate the records of one Avro object-container file. */
-  private def avroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
+  private[graft] def avroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -179,7 +179,66 @@ object IcebergRead {
       snapshotId = Some(snapshotIdAtTimestamp(spark, table, tsMillis)),
       maxFiles = maxFiles)
 
-  private def readMetadata(spark: SparkSession, table: String) = {
+  /** INCREMENTAL APPEND SCAN — Iceberg's incremental read contract: the
+    * rows of data files ADDED by the snapshots after `fromSnapshotId` up
+    * to `toSnapshotId` (default: current), exclusive..inclusive. Only
+    * pure appends are expressible as a row-level delta, so any snapshot
+    * in the range that DELETES (a status-2 entry, or a delete file added
+    * in range) fails loudly instead of silently replaying partial
+    * history. The scan reads exactly the appended files — never the
+    * table. */
+  def incremental(spark: SparkSession, table: String, fromSnapshotId: Long,
+                  toSnapshotId: Option[Long] = None,
+                  maxFiles: Int = 1000000): DataFrame = {
+    val meta = readMetadata(spark, table)
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+      .map(s => (s.get("snapshot-id").asLong(), s.get("manifest-list").asText()))
+    val fromIdx = snaps.indexWhere(_._1 == fromSnapshotId)
+    require(fromIdx >= 0, s"fromSnapshotId $fromSnapshotId not in metadata")
+    val toId = toSnapshotId.getOrElse {
+      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+        .getOrElse(throw new IllegalArgumentException(
+          "metadata has no current-snapshot-id"))
+      cur
+    }
+    val toIdx = snaps.indexWhere(_._1 == toId)
+    require(toIdx >= 0, s"toSnapshotId $toId not in metadata")
+    require(toIdx >= fromIdx,
+      s"toSnapshotId $toId precedes fromSnapshotId $fromSnapshotId")
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    snaps.slice(fromIdx + 1, toIdx + 1).foreach { case (sid, manifestList) =>
+      avroRecords(spark, manifestList)
+        .map(_.get("manifest_path").toString).foreach { m =>
+          avroRecords(spark, m).foreach { e =>
+            val status = e.get("status").asInstanceOf[Int]
+            val entrySnap = Option(e.get("snapshot_id"))
+              .collect { case n: Number => n.longValue }
+            val inThis = entrySnap.contains(sid)
+            if (inThis && status == 2) throw new IllegalArgumentException(
+              s"snapshot $sid deletes files — the range after " +
+                s"$fromSnapshotId is not an append-only history, " +
+                "incremental read cannot express it as inserts")
+            if (inThis && status == 1) {
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              val content = optField(df, "content")
+                .map(_.asInstanceOf[Int]).getOrElse(0)
+              if (content != 0) throw new IllegalArgumentException(
+                s"snapshot $sid adds a delete file (content=$content) — " +
+                  "the range is not append-only")
+              added += df.get("file_path").toString
+            }
+          }
+        }
+    }
+    require(added.size <= maxFiles,
+      s"incremental range adds ${added.size} files > maxFiles=$maxFiles")
+    if (added.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(added.toSeq.distinct: _*)
+  }
+
+  private[graft] def readMetadata(spark: SparkSession, table: String) = {
     val p = metadataFile(spark, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)

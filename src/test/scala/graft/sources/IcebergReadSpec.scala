@@ -234,6 +234,58 @@ class IcebergReadSpec extends SparkSuite {
     assert(e.getMessage.contains("no Iceberg snapshot"))
   }
 
+  // ---- incremental append scan (multi-snapshot commitEntries) ----
+
+  test("incremental append scan reads exactly the appended files") {
+    import graft.sink.IcebergWrite
+    import graft.sink.IcebergWrite.FileEntry
+    val root = Files.createTempDirectory("iceberg-inc").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    val f1 = writeParquet(data, "f1.parquet", Seq((1L, "widget")))
+    val f2 = writeParquet(data, "f2.parquet", Seq((2L, "bolt")))
+    val f3 = writeParquet(data, "f3.parquet", Seq((3L, "nut")))
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 1L)),
+      schemaFields = idItemSchema, snapshotId = 1L)
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f2, 0, 2L)),
+      schemaFields = idItemSchema, snapshotId = 2L)
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f3, 0, 3L)),
+      schemaFields = idItemSchema, snapshotId = 3L)
+    // append commits accumulate: the CURRENT snapshot sees everything
+    assert(IcebergRead.snapshot(spark, root).count() === 3L)
+    assert(IcebergRead.snapshots(spark, root) === Seq(1L, 2L, 3L))
+    // after snapshot 1 → files 2 and 3; bounded → file 2 only
+    val inc = IcebergRead.incremental(spark, root, fromSnapshotId = 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(inc === Seq(2L, 3L))
+    val bounded = IcebergRead.incremental(spark, root, 1L, Some(2L))
+      .select("id").as[Long].collect().toSeq
+    assert(bounded === Seq(2L))
+    // empty range
+    assert(IcebergRead.incremental(spark, root, 3L).count() === 0L)
+    // duplicate snapshot ids are refused
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 9L)),
+        schemaFields = idItemSchema, snapshotId = 2L))
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("incremental refuses non-append history (deletes in range)") {
+    import graft.sink.IcebergWrite
+    import graft.sink.IcebergWrite.FileEntry
+    val root = Files.createTempDirectory("iceberg-incdel").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    val f1 = writeParquet(data, "f1.parquet", Seq((1L, "widget")))
+    val del = writeParquet(data, "d.parquet", Seq((1L, "widget")))
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 1L)),
+      schemaFields = idItemSchema, snapshotId = 1L)
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(del, 2, 2L, equalityIds = Seq(1))),
+      schemaFields = idItemSchema, snapshotId = 2L)
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.incremental(spark, root, 1L))
+    assert(e.getMessage.contains("not append-only"))
+  }
+
   test("a non-Iceberg directory fails with an actionable message") {
     val plain = Files.createTempDirectory("not-iceberg").toString
     val e = intercept[IllegalArgumentException](
