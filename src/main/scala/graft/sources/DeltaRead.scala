@@ -45,9 +45,11 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   *    fields) and `add.partitionValues`' physical keys, then restores the
   *    logical spelling.
   *
-  * Protocol gate: reader versions ≤ 2 and 3-with-supported-features only
-  * — a table using anything newer (v2 checkpoints, …) fails loudly with
-  * the feature name rather than silently mis-reading.
+  * Protocol gate: reader versions ≤ 2 and 3 with supported features
+  * (deletionVectors, columnMapping, timestampNtz, v2Checkpoint) only —
+  * a table using anything newer fails loudly with the feature name
+  * rather than silently mis-reading. V2 (UUID-manifest + sidecar)
+  * checkpoints replay next to classic ones.
   *
   * Scale notes: the driver touches only the log actions (the same
   * metadata any Delta client loads — file sizes/mtimes included, so the
@@ -367,10 +369,20 @@ object DeltaRead {
     *
     * Scale shape: one parquet scan per (version, change class) — the
     * unit of CDF consumption; a consumer paging through versions reads
-    * exactly the files that changed, never the table. */
-  def changes(spark: SparkSession, table: String,
-              fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
+    * exactly the files that changed, never the table. (Doc applies to
+    * [[changes]]; [[changeFiles]] below is its planning half.)
+    *
+    * One changed file in a CDF range: `changeType` None = a cdc file
+    * carrying its own `_change_type` column. */
+  final case class ChangeFile(path: String, partitionValues: Map[String, String],
+                              changeType: Option[String], version: Long)
+
+  /** The file-level change list for [[changes]] — also the planning unit
+    * of the `graft-delta` STREAMING source (one input partition per
+    * changed file). */
+  private[graft] def changeFiles(spark: SparkSession, table: String,
+                                 fromVersion: Long, toVersion: Long)
+      : (Seq[ChangeFile], Option[StructType], Seq[String]) = {
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
     val dir = new Path(table, "_delta_log")
@@ -385,8 +397,8 @@ object DeltaRead {
     val declared = state.schemaString.map(DataType.fromJson(_).asInstanceOf[StructType])
     val partitionCols = state.partitionCols
 
-    final case class Change(path: String, pv: Map[String, String],
-                            changeType: Option[String], version: Long)
+    type Change = ChangeFile
+    val Change = ChangeFile
     val changes = scala.collection.mutable.ArrayBuffer.empty[Change]
     // running pre-version state: resolves partitionValues for remove
     // actions that omit them (protocol-legal) from the file's own add
@@ -438,19 +450,28 @@ object DeltaRead {
       // advance the running state past this version
       nodes.foreach(applyAction(running, _, applyRemoves = true))
     }
+    (changes.toSeq, declared, partitionCols)
+  }
+
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (changed, declared, partitionCols) =
+      changeFiles(spark, table, fromVersion, toVersion)
     val emptySchema = StructType(
       declared.getOrElse(StructType(Nil)).fields.toSeq :+
         StructField("_change_type", StringType) :+
         StructField("_commit_version", org.apache.spark.sql.types.LongType))
-    if (changes.isEmpty)
+    if (changed.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    val parts = changes.toSeq.map { ch =>
+    val parts = changed.map { ch =>
       val df = spark.read.parquet(resolvePath(table, ch.path).toString)
       val typed = partitionCols.foldLeft(df) { (d, c) =>
         val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
           .map(_.dataType).getOrElse(StringType)
-        d.withColumn(c, lit(ch.pv.getOrElse(c, null: String)).cast(dt))
+        d.withColumn(c,
+          lit(ch.partitionValues.getOrElse(c, null: String)).cast(dt))
       }
       val withType = ch.changeType match {
         case Some(t) => typed.withColumn("_change_type", lit(t))
@@ -480,7 +501,7 @@ object DeltaRead {
     * per the protocol. Non-conforming writers occasionally emit raw
     * (unencoded) paths — tolerated by falling back to the literal
     * spelling when the string does not parse as a URI. */
-  private def resolvePath(table: String, raw: String): Path = {
+  private[graft] def resolvePath(table: String, raw: String): Path = {
     val uri = try new URI(raw) catch {
       case _: java.net.URISyntaxException =>
         new java.net.URI(null, null, raw, null) // treat as a literal path

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.{GroupType, PrimitiveType, Type}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{DeltaRead, DocPushdown}
+
+/** STREAMING tail of a Delta table's CHANGE DATA FEED:
+  * `spark.readStream.format("graft-delta").option("path", table)` — the
+  * lakehouse analog of the binlog/walsender CDC sources, emitting the
+  * same doc-style contract as `graft-mongo`/`graft-es`:
+  * `(version LONG, change_type STRING, row STRING json)`.
+  *
+  * Offsets ARE log versions (the natural CDC cursor of the format):
+  * `latestOffset` is one `_delta_log` listing, each micro-batch plans
+  * `(start, end]` through [[DeltaRead.changeFiles]] — one input
+  * partition per CHANGED FILE, so a backlog of versions drains in
+  * parallel and a restart replays exactly the uncommitted versions
+  * (at-least-once; compose with the idempotent keyed sinks for
+  * exactly-once, as the CDC demux does). All the CDF gates apply:
+  * vacuumed versions and DV-without-cdc commits fail loudly rather than
+  * fabricating changes.
+  *
+  * Partition readers decode parquet on EXECUTORS via parquet-hadoop's
+  * example Group API (Spark's own classpath) — no session, no driver
+  * round-trip; rows surface as JSON objects with the action's partition
+  * values merged in as strings. A cdc file's own `_change_type` column
+  * rides in the emitted `change_type` field (and is dropped from the
+  * row json).
+  *
+  * Options: `path` (required), `startingVersion` (default 0; `latest`
+  * starts after the current tip). */
+class DeltaStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeltaStreamSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new DeltaStreamTable(DeltaStreamOptions(properties.asScala.toMap))
+}
+
+object DeltaStreamSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("change_type", StringType, nullable = false),
+    StructField("row", StringType, nullable = false)))
+}
+
+final case class DeltaStreamOptions(raw: Map[String, String]) {
+  private def ci(key: String): Option[String] =
+    raw.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  val path: String = ci("path").getOrElse(
+    throw new IllegalArgumentException("graft-delta requires option path"))
+  /** first version to EMIT (offset starts one before it). */
+  val startingVersion: Option[Long] = ci("startingVersion") match {
+    case Some(s) if s.equalsIgnoreCase("latest") => None // resolved at start
+    case Some(s) => Some(s.trim.toLong)
+    case None => Some(0L)
+  }
+}
+
+class DeltaStreamTable(opts: DeltaStreamOptions) extends Table with SupportsRead {
+  override def name(): String = s"graft-delta(${opts.path})"
+  override def schema(): StructType = DeltaStreamSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = DeltaStreamSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new DeltaMicroBatchStream(opts)
+    }
+}
+
+/** Offset = highest PROCESSED version (−1 = nothing yet). */
+final case class DeltaStreamOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  override def initialOffset(): Offset = DeltaStreamOffset(
+    opts.startingVersion.map(_ - 1).getOrElse(
+      DeltaRead.latestVersion(spark, opts.path)))
+
+  override def latestOffset(): Offset =
+    DeltaStreamOffset(DeltaRead.latestVersion(spark, opts.path))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DeltaStreamOffset].version
+    val e = end.asInstanceOf[DeltaStreamOffset].version
+    if (e <= s) return Array.empty
+    val (files, _, _) = DeltaRead.changeFiles(spark, opts.path, s + 1, e)
+    val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(kv => (kv.getKey, kv.getValue)).toArray
+    files.map { f =>
+      DeltaChangePartition(
+        DeltaRead.resolvePath(opts.path, f.path).toString,
+        f.partitionValues, f.changeType, f.version, props): InputPartition
+    }.toArray
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    DeltaStreamOffset(json.trim.toLong)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DeltaChangeReaderFactory
+  override def stop(): Unit = ()
+}
+
+final case class DeltaChangePartition(absolutePath: String,
+                                      partitionValues: Map[String, String],
+                                      changeType: Option[String], version: Long,
+                                      confProps: Array[(String, String)])
+  extends InputPartition
+
+class DeltaChangeReaderFactory extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DeltaChangePartition]
+    val conf = new Configuration(false)
+    part.confProps.foreach { case (k, v) => conf.set(k, v) }
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(part.absolutePath))
+      .withConf(conf).build()
+    new PartitionReader[InternalRow] {
+      private var current: Group = _
+      override def next(): Boolean = {
+        current = reader.read()
+        current != null
+      }
+      override def get(): InternalRow = {
+        val (json, fileChangeType) =
+          DeltaChangeReaderFactory.groupToJson(current, part.partitionValues)
+        val ct = part.changeType.orElse(fileChangeType).getOrElse(
+          throw new IllegalStateException(
+            s"cdc file ${part.absolutePath} row without _change_type"))
+        new GenericInternalRow(Array[Any](part.version,
+          UTF8String.fromString(ct), UTF8String.fromString(json)))
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+object DeltaChangeReaderFactory {
+
+  private def mapper = DocPushdown.jsonMapper
+
+  /** One parquet Group → a JSON object node (recursive; repeated fields
+    * become arrays), with `extra` merged in as string fields and any
+    * `_change_type` column extracted instead of emitted. */
+  private[streaming] def groupToJson(g: Group,
+                                     extra: Map[String, String]): (String, Option[String]) = {
+    var changeType: Option[String] = None
+    def convert(group: Group): com.fasterxml.jackson.databind.node.ObjectNode = {
+      val node = mapper.createObjectNode()
+      val schema: GroupType = group.getType
+      schema.getFields.asScala.zipWithIndex.foreach { case (field, i) =>
+        val reps = group.getFieldRepetitionCount(i)
+        def one(r: Int): Unit = field match {
+          case pt: PrimitiveType =>
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            pt.getPrimitiveTypeName match {
+              case INT32 => node.put(field.getName, group.getInteger(i, r))
+              case INT64 => node.put(field.getName, group.getLong(i, r))
+              case FLOAT => node.put(field.getName, group.getFloat(i, r))
+              case DOUBLE => node.put(field.getName, group.getDouble(i, r))
+              case BOOLEAN => node.put(field.getName, group.getBoolean(i, r))
+              case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                node.put(field.getName, group.getBinary(i, r).toStringUsingUTF8)
+              case INT96 => node.put(field.getName,
+                group.getInt96(i, r).toStringUsingUTF8)
+            }
+          case _: GroupType =>
+            node.set(field.getName, convert(group.getGroup(i, r))): Unit
+        }
+        if (reps == 0) { /* absent (null) — omit */ }
+        else if (field.getRepetition == Type.Repetition.REPEATED) {
+          val arr = mapper.createArrayNode()
+          (0 until reps).foreach { r =>
+            field match {
+              case _: PrimitiveType => arr.add(group.getValueToString(i, r))
+              case _: GroupType => arr.add(convert(group.getGroup(i, r)))
+            }
+          }
+          node.set(field.getName, arr): Unit
+        } else one(0)
+      }
+      node
+    }
+    val node = convert(g)
+    Option(node.get("_change_type")).foreach { ct =>
+      changeType = Some(ct.asText())
+      node.remove("_change_type"): Unit
+    }
+    extra.foreach { case (k, v) =>
+      if (v == null) node.putNull(k) else node.put(k, v): Unit
+    }
+    (mapper.writeValueAsString(node), changeType)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import graft.SparkSuite
+import graft.sources.DeltaRead
+
+/** `spark.readStream.format("graft-delta")` — streaming tail of a Delta
+  * table's change feed by log version: per-changed-file partitions,
+  * synthesized insert/delete change types, checkpointed resume. */
+class DeltaStreamSourceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val root = Files.createTempDirectory("delta-stream").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget", "a"), (2L, "bolt", "a"), (3L, "nut", "b"))
+        .toDF("id", "item", "par"), root, Seq("par"))
+    root
+  }
+
+  test("tailing emits CDF rows per version with partition values merged") {
+    val root = mkTable()
+    graft.sink.DeltaWrite.replacePartition(
+      Seq((1L, "widget-v2", "a"), (4L, "gear", "a")).toDF("id", "item", "par"),
+      root, "par", "a")
+    val q = spark.readStream.format("graft-delta").option("path", root).load()
+      .writeStream.format("memory").queryName("delta_tail")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("delta_tail")
+      .selectExpr("version", "change_type", "row")
+      .as[(Long, String, String)].collect().toSeq
+    // v0: 3 inserts; v1: 2 deletes (old partition-a rows) + 2 inserts
+    assert(rows.count(r => r._1 == 0L && r._2 == "insert") === 3)
+    assert(rows.count(r => r._1 == 1L && r._2 == "delete") === 2)
+    assert(rows.count(r => r._1 == 1L && r._2 == "insert") === 2)
+    // rows are JSON with data AND partition columns
+    val gear = rows.find(r => r._3.contains("\"gear\"")).get
+    assert(gear._2 === "insert" && gear._1 === 1L)
+    assert(gear._3.contains("\"par\":\"a\"") && gear._3.contains("\"id\":4"))
+  }
+
+  test("restart resumes after the checkpointed version; startingVersion=latest") {
+    val root = mkTable()
+    val ckpt = Files.createTempDirectory("delta-stream-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.selectExpr("version", "change_type")
+              .as[(Long, String)].collect()
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.synchronized(seen.size) === 3) // v0 inserts
+    // grow the table, restart: only v1 arrives
+    graft.sink.DeltaWrite.replacePartition(
+      Seq((9L, "cog", "b")).toDF("id", "item", "par"), root, "par", "b")
+    run()
+    val all = seen.synchronized(seen.toSeq)
+    assert(all.count(_._1 == 0L) === 3, "v0 must not replay")
+    assert(all.count(_._1 == 1L) === 2) // 1 delete + 1 insert
+    // startingVersion=latest skips history
+    val q2 = spark.readStream.format("graft-delta").option("path", root)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("delta_tail_latest")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("delta_tail_latest").count() === 0L)
+  }
+
+  test("a DV commit in the tail fails the stream loudly") {
+    val root = mkTable()
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id = 2")
+    val q = spark.readStream.format("graft-delta").option("path", root).load()
+      .writeStream.format("memory").queryName("delta_tail_dv")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(2000)
+    }
+    q.stop()
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(e.toString.contains("deletion vectors without cdc") ||
+      rootMsg(e).contains("deletion vectors without cdc"))
+  }
+}
