@@ -187,28 +187,24 @@ object IcebergRead {
     * in range) fails loudly instead of silently replaying partial
     * history. The scan reads exactly the appended files — never the
     * table. */
-  def incremental(spark: SparkSession, table: String, fromSnapshotId: Long,
-                  toSnapshotId: Option[Long] = None,
-                  maxFiles: Int = 1000000): DataFrame = {
+  /** `(snapshot-id, manifest-list)` in metadata (= commit) order. */
+  private[graft] def snapshotManifests(spark: SparkSession, table: String)
+      : Seq[(Long, String)] = {
     val meta = readMetadata(spark, table)
     import scala.jdk.CollectionConverters._
-    val snaps = Option(meta.get("snapshots")).toSeq
+    Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toSeq
       .map(s => (s.get("snapshot-id").asLong(), s.get("manifest-list").asText()))
-    val fromIdx = snaps.indexWhere(_._1 == fromSnapshotId)
-    require(fromIdx >= 0, s"fromSnapshotId $fromSnapshotId not in metadata")
-    val toId = toSnapshotId.getOrElse {
-      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
-        .getOrElse(throw new IllegalArgumentException(
-          "metadata has no current-snapshot-id"))
-      cur
-    }
-    val toIdx = snaps.indexWhere(_._1 == toId)
-    require(toIdx >= 0, s"toSnapshotId $toId not in metadata")
-    require(toIdx >= fromIdx,
-      s"toSnapshotId $toId precedes fromSnapshotId $fromSnapshotId")
-    val added = scala.collection.mutable.ArrayBuffer.empty[String]
-    snaps.slice(fromIdx + 1, toIdx + 1).foreach { case (sid, manifestList) =>
+  }
+
+  /** `(snapshot-id, data-file path)` pairs appended by exactly the given
+    * snapshots (entry `snapshot_id` attribution); throws on any delete
+    * in the slice — a non-append history has no insert-only row delta. */
+  private[graft] def appendedBySnapshots(spark: SparkSession,
+                                         snaps: Seq[(Long, String)])
+      : Seq[(Long, String)] = {
+    val added = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    snaps.foreach { case (sid, manifestList) =>
       avroRecords(spark, manifestList)
         .map(_.get("manifest_path").toString).foreach { m =>
           avroRecords(spark, m).foreach { e =>
@@ -217,25 +213,45 @@ object IcebergRead {
               .collect { case n: Number => n.longValue }
             val inThis = entrySnap.contains(sid)
             if (inThis && status == 2) throw new IllegalArgumentException(
-              s"snapshot $sid deletes files — the range after " +
-                s"$fromSnapshotId is not an append-only history, " +
-                "incremental read cannot express it as inserts")
+              s"snapshot $sid deletes files — the history is " +
+                "not append-only, incremental read cannot express it " +
+                "as inserts")
             if (inThis && status == 1) {
               val df = e.get("data_file").asInstanceOf[GenericRecord]
               val content = optField(df, "content")
                 .map(_.asInstanceOf[Int]).getOrElse(0)
               if (content != 0) throw new IllegalArgumentException(
                 s"snapshot $sid adds a delete file (content=$content) — " +
-                  "the range is not append-only")
-              added += df.get("file_path").toString
+                  "the history is not append-only")
+              added += ((sid, df.get("file_path").toString))
             }
           }
         }
     }
+    added.toSeq.distinct
+  }
+
+  def incremental(spark: SparkSession, table: String, fromSnapshotId: Long,
+                  toSnapshotId: Option[Long] = None,
+                  maxFiles: Int = 1000000): DataFrame = {
+    val snaps = snapshotManifests(spark, table)
+    val fromIdx = snaps.indexWhere(_._1 == fromSnapshotId)
+    require(fromIdx >= 0, s"fromSnapshotId $fromSnapshotId not in metadata")
+    val toId = toSnapshotId.getOrElse {
+      Option(readMetadata(spark, table).get("current-snapshot-id"))
+        .map(_.asLong()).getOrElse(throw new IllegalArgumentException(
+          "metadata has no current-snapshot-id"))
+    }
+    val toIdx = snaps.indexWhere(_._1 == toId)
+    require(toIdx >= 0, s"toSnapshotId $toId not in metadata")
+    require(toIdx >= fromIdx,
+      s"toSnapshotId $toId precedes fromSnapshotId $fromSnapshotId")
+    val added = appendedBySnapshots(spark, snaps.slice(fromIdx + 1, toIdx + 1))
+      .map(_._2)
     require(added.size <= maxFiles,
       s"incremental range adds ${added.size} files > maxFiles=$maxFiles")
     if (added.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(added.toSeq.distinct: _*)
+    else spark.read.parquet(added: _*)
   }
 
   private[graft] def readMetadata(spark: SparkSession, table: String) = {

@@ -112,7 +112,7 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray
     files.map { f =>
-      DeltaChangePartition(
+      ChangeFilePartition(
         DeltaRead.resolvePath(opts.path, f.path).toString,
         f.partitionValues, f.changeType, f.version, props): InputPartition
     }.toArray
@@ -122,20 +122,20 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
   override def deserializeOffset(json: String): Offset =
     DeltaStreamOffset(json.trim.toLong)
   override def createReaderFactory(): PartitionReaderFactory =
-    new DeltaChangeReaderFactory
+    new ChangeFileReaderFactory
   override def stop(): Unit = ()
 }
 
-final case class DeltaChangePartition(absolutePath: String,
+final case class ChangeFilePartition(absolutePath: String,
                                       partitionValues: Map[String, String],
                                       changeType: Option[String], version: Long,
                                       confProps: Array[(String, String)])
   extends InputPartition
 
-class DeltaChangeReaderFactory extends PartitionReaderFactory {
+class ChangeFileReaderFactory extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[DeltaChangePartition]
+    val part = p.asInstanceOf[ChangeFilePartition]
     val conf = new Configuration(false)
     part.confProps.foreach { case (k, v) => conf.set(k, v) }
     val reader = ParquetReader
@@ -149,7 +149,7 @@ class DeltaChangeReaderFactory extends PartitionReaderFactory {
       }
       override def get(): InternalRow = {
         val (json, fileChangeType) =
-          DeltaChangeReaderFactory.groupToJson(current, part.partitionValues)
+          ChangeFileReaderFactory.groupToJson(current, part.partitionValues)
         val ct = part.changeType.orElse(fileChangeType).getOrElse(
           throw new IllegalStateException(
             s"cdc file ${part.absolutePath} row without _change_type"))
@@ -161,7 +161,7 @@ class DeltaChangeReaderFactory extends PartitionReaderFactory {
   }
 }
 
-object DeltaChangeReaderFactory {
+object ChangeFileReaderFactory {
 
   private def mapper = DocPushdown.jsonMapper
 
