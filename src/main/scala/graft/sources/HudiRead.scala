@@ -333,6 +333,24 @@ object HudiRead {
     * `_hoodie_commit_time` (a COW rewrite copies old rows into the new
     * file, so the filter removes carried-over rows — Hudi's own
     * incremental semantics); on MOR, the merged view row-filtered. */
+  /** The base files a COW incremental read of `(begin, end]` scans: per
+    * file group the newest visible base, pruned to instants in range.
+    * MOR tables (visible log groups) throw — their merge is not
+    * per-file-expressible; the `graft-hudi` STREAMING source uses this
+    * and gates MOR to the batch [[incremental]]. */
+  private[graft] def incrementalBaseFiles(spark: SparkSession, table: String,
+                                          beginInstant: String, endInstant: String,
+                                          maxFiles: Int = 1000000): Seq[BaseFile] = {
+    val completed = completedInstants(spark, table).toSet
+    val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
+    val (chosen, logGroups) = visibleSlices(bases, logs, endInstant, completed,
+      replacedFileIds(spark, table, endInstant))
+    require(logGroups.isEmpty,
+      s"$table has visible MOR log files — the per-file streaming tail " +
+        "supports COW tables; use HudiRead.incremental for MOR")
+    chosen.filter(_.instant > beginInstant)
+  }
+
   def incremental(spark: SparkSession, table: String, beginInstant: String,
                   endInstant: Option[String] = None,
                   maxFiles: Int = 1000000): DataFrame = {

@@ -129,7 +129,20 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
 final case class ChangeFilePartition(absolutePath: String,
                                       partitionValues: Map[String, String],
                                       changeType: Option[String], version: Long,
-                                      confProps: Array[(String, String)])
+                                      confProps: Array[(String, String)],
+                                      /** keep only rows whose string
+                                        * `field` is in `(min, max]` —
+                                        * the COW incremental row filter
+                                        * (carried-over rows keep their
+                                        * original commit time). */
+                                      rowFilter: Option[(String, String, String)] = None,
+                                      /** emit the FILTER FIELD's value
+                                        * as the row's `version` (a COW
+                                        * file carries rows of several
+                                        * commits — the row's own commit
+                                        * time is its version, not the
+                                        * file's). */
+                                      versionFromFilterField: Boolean = false)
   extends InputPartition
 
 class ChangeFileReaderFactory extends PartitionReaderFactory {
@@ -143,8 +156,17 @@ class ChangeFileReaderFactory extends PartitionReaderFactory {
       .withConf(conf).build()
     new PartitionReader[InternalRow] {
       private var current: Group = _
+      private def passes(g: Group): Boolean = part.rowFilter.forall {
+        case (field, min, max) =>
+          val idx = g.getType.getFieldIndex(field)
+          require(g.getFieldRepetitionCount(idx) > 0,
+            s"row filter field $field is null in ${part.absolutePath}")
+          val v = g.getString(idx, 0)
+          v > min && v <= max
+      }
       override def next(): Boolean = {
         current = reader.read()
+        while (current != null && !passes(current)) current = reader.read()
         current != null
       }
       override def get(): InternalRow = {
@@ -153,7 +175,13 @@ class ChangeFileReaderFactory extends PartitionReaderFactory {
         val ct = part.changeType.orElse(fileChangeType).getOrElse(
           throw new IllegalStateException(
             s"cdc file ${part.absolutePath} row without _change_type"))
-        new GenericInternalRow(Array[Any](part.version,
+        val version =
+          if (part.versionFromFilterField) {
+            val field = part.rowFilter.getOrElse(throw new IllegalStateException(
+              "versionFromFilterField needs a rowFilter"))._1
+            current.getString(current.getType.getFieldIndex(field), 0).toLong
+          } else part.version
+        new GenericInternalRow(Array[Any](version,
           UTF8String.fromString(ct), UTF8String.fromString(json)))
       }
       override def close(): Unit = reader.close()
