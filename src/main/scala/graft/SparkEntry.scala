@@ -1456,6 +1456,37 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Hudi INCREMENTAL pull on a COW table: full orders base at T1, a
+      * T2 rewrite carrying the unchanged rows with their ORIGINAL T1
+      * stamps and updating the %10 keys (status 'U', price+1000);
+      * `incremental(begin = T1)` must emit exactly the T2-stamped rows
+      * (file-pruned to in-range instants, then row-filtered — Hudi's
+      * own incremental semantics). */
+    "lake_hudi_incremental" -> ((s, d) => {
+      val root = lakeTmp(d, "hudiincr")
+      val t1 = "20240101000000000"; val t2 = "20240102000000000"
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("string").as("_hoodie_record_key"),
+        lit(t1).as("_hoodie_commit_time"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.HudiMorWrite.writeBase(base, root, "part=0", "fg1", t1)
+      val rewritten = base
+        .withColumn("_hoodie_commit_time",
+          when(col("o_orderkey") % 10 === 0, t2).otherwise(t1))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 0, "U").otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      graft.sink.HudiMorWrite.writeBase(rewritten, root, "part=0", "fg1", t2)
+      graft.sources.HudiRead.incremental(s, root, beginInstant = t1)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** Iceberg INCREMENTAL append scan: orders @s1, the %10 delta
       * (price+1000) as new files @s2 through the append-commit chain;
       * `incremental(fromSnapshotId = 1)` must read EXACTLY the appended
@@ -2640,6 +2671,11 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 <> 1
       GROUP BY 1 ORDER BY 1""",
+
+    "lake_hudi_incremental" -> """
+      SELECT 'U' AS o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice + 1000 AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 10 = 0""",
 
     "lake_iceberg_incremental" -> """
       SELECT o_orderstatus, count(*) AS n,
