@@ -508,12 +508,16 @@ object TextOps {
     var rank = 1
     var exhausted = false
     while (rank <= k && !exhausted) {
+      // adjacent pairs via explode(sequence) + element_at, NOT
+      // transform(...): higher-order functions are CodegenFallback
+      // (interpreted per element — the documented Spark 4.1 cliff);
+      // this keeps the whole pair extraction in codegen, same counts
       val best = cur
         .select(split(trim(col("s")), " ").as("t"))
         .where(size(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(t) - 1), " +
-            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+        .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .where(col("n") >= minCount)
         .orderBy(col("n").desc, col("pair").asc)
