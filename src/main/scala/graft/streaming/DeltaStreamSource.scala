@@ -43,6 +43,11 @@ import graft.sources.{DeltaRead, DocPushdown}
   * rides in the emitted `change_type` field (and is dropped from the
   * row json).
   *
+  * Planning cost: each batch replays the log's METADATA to its end
+  * version (checkpoint-accelerated — the newest checkpoint ≤ V short-
+  * circuits history, so a long-lived tail pays O(versions since last
+  * checkpoint) JSON reads per batch, not O(table history)).
+  *
   * Options: `path` (required), `startingVersion` (default 0; `latest`
   * starts after the current tip). */
 class DeltaStreamSource extends TableProvider with DataSourceRegister {
@@ -206,7 +211,20 @@ object ChangeFileReaderFactory {
         val reps = group.getFieldRepetitionCount(i)
         def one(r: Int): Unit = field match {
           case pt: PrimitiveType =>
+            import org.apache.parquet.schema.LogicalTypeAnnotation
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            // DECIMAL bytes and INT96 timestamps have no faithful plain
+            // rendering here — emitting them as UTF-8 text would be
+            // silently wrong, so they are LOUD. (DATE int32 surfaces as
+            // raw epoch days, TIMESTAMP int64 as raw micros — numeric
+            // and lossless, documented contract of the json tail.)
+            pt.getLogicalTypeAnnotation match {
+              case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                throw new IllegalArgumentException(
+                  s"column ${field.getName} is DECIMAL — not supported by " +
+                    "the json change tail (read the table with the batch reader)")
+              case _ => ()
+            }
             pt.getPrimitiveTypeName match {
               case INT32 => node.put(field.getName, group.getInteger(i, r))
               case INT64 => node.put(field.getName, group.getLong(i, r))
@@ -215,8 +233,9 @@ object ChangeFileReaderFactory {
               case BOOLEAN => node.put(field.getName, group.getBoolean(i, r))
               case BINARY | FIXED_LEN_BYTE_ARRAY =>
                 node.put(field.getName, group.getBinary(i, r).toStringUsingUTF8)
-              case INT96 => node.put(field.getName,
-                group.getInt96(i, r).toStringUsingUTF8)
+              case INT96 => throw new IllegalArgumentException(
+                s"column ${field.getName} is INT96 — legacy timestamps are " +
+                  "not supported by the json change tail")
             }
           case _: GroupType =>
             node.set(field.getName, convert(group.getGroup(i, r))): Unit

@@ -186,6 +186,18 @@ class IcebergReadSpec extends SparkSuite {
     assert(rows === Seq((1L, "widget-v2"), (2L, "bolt")))
   }
 
+  test("plan contract: delete merges keep ONE data scan + anti joins") {
+    val t = buildEqTable()
+    val plan = IcebergRead.snapshot(spark, t)
+      .queryExecution.executedPlan.toString
+    // data side: one multi-file parquet scan; one anti join per delete
+    // class present (here: one equality group)
+    assert("FileScan parquet".r.findAllMatchIn(plan).size === 2,
+      "expected exactly the data scan + the delete-file scan:\n" + plan)
+    assert("LeftAnti".r.findAllMatchIn(plan).size === 1,
+      "equality-delete merge must be one anti join:\n" + plan)
+  }
+
   test("equality-delete field ids resolve through the metadata schema") {
     val root = Files.createTempDirectory("iceberg-eqbad")
     val data = root.resolve("data")
