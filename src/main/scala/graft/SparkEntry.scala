@@ -1174,6 +1174,21 @@ object SparkEntry {
           col("gray_sum"))
         .orderBy("doc_id", "frame_idx")),
 
+    /** REAL ISO-BMFF parse ([[graft.ops.Multimodal.Mp4Codec]]): one
+      * fixture MP4 per doc (spec-correct box tree from the deterministic
+      * parameter formula), the box grammar walked for real — ftyp brand,
+      * mvhd timescale/duration, tkhd 16.16 dimensions, stsz sample
+      * table. The oracle recomputes every number arithmetically, so the
+      * Spark side must parse actual box offsets to match. Honest scope:
+      * container METADATA only, no codec decode. */
+    "media_mp4_meta" -> ((s, d) =>
+      Multimodal.mp4Meta(
+          Multimodal.synthesizeMp4s(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("brand"), col("timescale"),
+          col("duration_ms"), col("width"), col("height"),
+          col("n_samples"), col("sample_bytes"))
+        .orderBy("doc_id")),
+
     /** REAL WAV decode ([[graft.ops.Multimodal.WavCodec]]): one fixture
       * RIFF/PCM WAV per doc from the deterministic sample formula, decoded
       * with javax.sound.sampled, exact integer sample stats out. PCM16 is
@@ -2359,6 +2374,25 @@ object SparkEntry {
         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         CAST(SUM(((doc_id % 100003) * 37 + fi * 11 + i * 13) % 256) AS BIGINT) AS gray_sum
       FROM px GROUP BY doc_id, fi, w, h ORDER BY doc_id, frame_idx""",
+
+    /** Arithmetic replay of the fixture-MP4 parameter formula (the Spark
+      * side must build and then box-walk a real ISO-BMFF stream to
+      * match). */
+    "media_mp4_meta" -> """
+      WITH p AS (SELECT doc_id,
+          CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+          3 + doc_id % 6 AS n,
+          CAST(160 + (doc_id % 5) * 80 AS INTEGER) AS width,
+          CAST(120 + (doc_id % 3) * 60 AS INTEGER) AS height
+        FROM documents),
+      sz AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p)
+      SELECT p.doc_id, 'isom' AS brand, p.timescale,
+        CAST((100 * p.n * 1000) // p.timescale AS BIGINT) AS duration_ms,
+        p.width, p.height, CAST(p.n AS INTEGER) AS n_samples,
+        CAST(SUM(50 + (sz.doc_id + sz.i) % 40) AS BIGINT) AS sample_bytes
+      FROM p JOIN sz ON p.doc_id = sz.doc_id
+      GROUP BY p.doc_id, p.timescale, p.n, p.width, p.height
+      ORDER BY p.doc_id""",
 
     /** Arithmetic replay of the fixture-WAV sample formula (the Spark side
       * must invert a real RIFF/PCM encode-decode round trip to match). */

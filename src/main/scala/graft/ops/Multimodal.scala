@@ -429,6 +429,202 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** REAL ISO-BMFF (MP4) container parsing — video METADATA without any
+    * codec decode. Honest scope: frame PIXELS need compressed-video
+    * codecs this container never ships (that remains the documented
+    * [[DecodeStub]] seam), but the container structure is the published
+    * ISO/IEC 14496-12 box grammar, and every number a pipeline filters
+    * or buckets video by — brand, timescale, duration, track
+    * dimensions, sample count/bytes — lives in boxes this parser walks
+    * for real: size/type headers (64-bit `largesize` handled),
+    * containers (`moov`/`trak`/`mdia`/`minf`/`stbl`) recursed, `mvhd`
+    * version 0 AND 1 layouts, `tkhd` 16.16 fixed-point width/height,
+    * `stsz` sample table. */
+  object Mp4Codec {
+    final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                             width: Int, height: Int, nSamples: Int,
+                             sampleBytes: Long)
+
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    /** Walk the box tree, folding the metadata. None if the bytes are
+      * not a box structure with an `ftyp`. */
+    def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] = {
+      if (bytes == null || bytes.length < 16) return None
+      var brand: Option[String] = None
+      var timescale = 0L; var duration = 0L
+      var width = 0; var height = 0
+      var nSamples = 0; var sampleBytes = 0L
+      def walk(from: Long, to: Long): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          var size = be32(bytes, off.toInt)
+          val tpe = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+          var header = 8L
+          if (size == 1) { size = be64(bytes, off.toInt + 8); header = 16L }
+          else if (size == 0) size = to - off // box extends to EOF
+          require(size >= header && off + size <= to,
+            s"corrupt box $tpe at $off (size $size)")
+          val body = off + header
+          tpe match {
+            case "ftyp" =>
+              brand = Some(new String(bytes, body.toInt, 4, "ISO-8859-1"))
+            case t if Containers(t) => walk(body, off + size)
+            case "mvhd" =>
+              val v = bytes(body.toInt) & 0xff
+              if (v == 1) { // 64-bit times: skip version/flags + 2x8 dates
+                timescale = be32(bytes, body.toInt + 20)
+                duration = be64(bytes, body.toInt + 24)
+              } else {
+                timescale = be32(bytes, body.toInt + 12)
+                duration = be32(bytes, body.toInt + 16)
+              }
+            case "tkhd" =>
+              val v = bytes(body.toInt) & 0xff
+              // width/height are the LAST 8 bytes of the box, 16.16 fixed
+              val wOff = (off + size - 8).toInt
+              width = (be32(bytes, wOff) >> 16).toInt
+              height = (be32(bytes, wOff + 4) >> 16).toInt
+              val _ = v
+            case "stsz" =>
+              val uniform = be32(bytes, body.toInt + 4)
+              val n = be32(bytes, body.toInt + 8).toInt
+              nSamples = n
+              sampleBytes =
+                if (uniform != 0) uniform * n.toLong
+                else (0 until n).map(i => be32(bytes, body.toInt + 12 + 4 * i)).sum
+            case _ => () // mdat, stsd, stts, stco, hdlr, mdhd — skipped
+          }
+          off += size
+        }
+      }
+      try {
+        walk(0L, bytes.length.toLong)
+        brand.map(b => Mp4Meta(b, timescale, duration, width, height,
+          nSamples, sampleBytes))
+      } catch { case _: Exception => None }
+    }
+
+    // ---- fixture minting (spec-correct minimal file) ----
+
+    private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val size = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.putInt(size).put(tpe.getBytes("ISO-8859-1"))
+      payload.foreach(bb.put)
+      bb.array
+    }
+    private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + payload.length)
+      bb.putInt(version << 24).put(payload)
+      box(tpe, bb.array)
+    }
+    private def ints(vals: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(v => bb.putInt(v.toInt))
+      bb.array
+    }
+
+    /** Minimal valid MP4: ftyp + moov(mvhd v0, trak(tkhd, mdia(mdhd,
+      * hdlr, minf(stbl(stsd, stts, stsz, stco))))) + mdat of the
+      * declared sample bytes. */
+    def buildMinimal(brand: String, timescale: Int, durationTicks: Long,
+                     width: Int, height: Int, sampleSizes: Seq[Int],
+                     mvhdV1: Boolean = false): Array[Byte] = {
+      val ftyp = box("ftyp", brand.getBytes("ISO-8859-1"), ints(0), "isom".getBytes("ISO-8859-1"))
+      val mvhd =
+        if (mvhdV1) {
+          // v1: 64-bit creation/modification/duration, 32-bit timescale
+          val bb = java.nio.ByteBuffer.allocate(28)
+          bb.putLong(0L).putLong(0L).putInt(timescale).putLong(durationTicks)
+          fullBox("mvhd", 1, bb.array ++ new Array[Byte](76) ++ ints(2))
+        } else fullBox("mvhd", 0, ints(0, 0, timescale.toLong, durationTicks,
+          0x00010000L, 0x01000000L >> 16) ++ new Array[Byte](70) ++ ints(2))
+      val tkhd = fullBox("tkhd", 0, ints(0, 0, 1, 0, durationTicks) ++
+        new Array[Byte](52) ++ ints(width.toLong << 16, height.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, ints(0, 0, timescale.toLong, durationTicks, 0))
+      val hdlr = fullBox("hdlr", 0, ints(0) ++ "vide".getBytes("ISO-8859-1") ++
+        new Array[Byte](13))
+      val stsd = fullBox("stsd", 0, ints(0))
+      val stts = fullBox("stts", 0, ints(1, sampleSizes.length.toLong,
+        if (sampleSizes.isEmpty) 0L else durationTicks / math.max(1, sampleSizes.length)))
+      val stsz = fullBox("stsz", 0,
+        ints((0L +: sampleSizes.length.toLong +: sampleSizes.map(_.toLong)): _*))
+      val stco = fullBox("stco", 0, ints(1, 0))
+      val stbl = box("stbl", stsd, stts, stsz, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      val mdat = box("mdat", new Array[Byte](sampleSizes.sum))
+      ftyp ++ moov ++ mdat
+    }
+  }
+
+  /** Deterministic fixture MP4 per doc id (the parameters the oracle
+    * recomputes arithmetically). */
+  private[graft] object FixtureMp4 {
+    def params(id: Long): (Int, Int, Int, Int, Seq[Int]) = {
+      val timescale = 600 * (1 + (id % 4)).toInt
+      val n = (3 + id % 6).toInt
+      val width = 160 + ((id % 5) * 80).toInt
+      val height = 120 + ((id % 3) * 60).toInt
+      val sizes = (0 until n).map(i => 50 + ((id + i) % 40).toInt)
+      (timescale, width, height, n, sizes)
+    }
+    def mp4(id: Long): Array[Byte] = {
+      val (timescale, w, h, n, sizes) = params(id)
+      Mp4Codec.buildMinimal("isom", timescale, 100L * n, w, h, sizes)
+    }
+  }
+
+  /** Synthesize one fixture MP4 per row from `idCol` (partition-wise). */
+  def synthesizeMp4s(df: DataFrame, idCol: String = "doc_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r => Row.fromSeq(r.toSeq :+ FixtureMp4.mp4(r.getLong(idIdx))) }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL MP4 box-structure parse → container metadata
+    * (brand, timescale, integer duration_ms, track dimensions, sample
+    * count + bytes). Null columns when the payload is not an ISO-BMFF
+    * stream — callers branch rather than silently getting stub numbers. */
+  def mp4Meta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("brand", StringType))
+      .add(StructField("timescale", LongType))
+      .add(StructField("duration_ms", LongType))
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("n_samples", IntegerType))
+      .add(StructField("sample_bytes", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        Multimodal.Mp4Codec.parseMeta(bytes) match {
+          case Some(m) => Row.fromSeq(r.toSeq ++ Seq[Any](
+            m.brand, m.timescale,
+            if (m.timescale == 0) null else m.duration * 1000L / m.timescale,
+            m.width, m.height, m.nSamples, m.sampleBytes))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Synthesize one fixture PNG per row from `idCol` (partition-wise; the
     * encoder is the per-partition "codec init" seam). Stands in for a real
     * binary image column scan in `media_features`. */
