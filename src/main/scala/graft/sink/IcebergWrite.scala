@@ -49,7 +49,7 @@ object IcebergWrite {
   private val ManifestEntrySchema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
-      {"name":"snapshot_id","type":"long"},
+      {"name":"snapshot_id","type":["null","long"],"default":null},
       {"name":"sequence_number","type":["null","long"],"default":null},
       {"name":"data_file","type":${DataFileSchema.toString}}]}""")
 
@@ -78,11 +78,20 @@ object IcebergWrite {
   /** Commit one snapshot of explicit [[FileEntry]]s. `schemaFields` is the
     * table schema as `(field id, name, iceberg type)` triples — required
     * when equality-delete entries are present (readers resolve
-    * `equality_ids` through it). */
+    * `equality_ids` through it).
+    *
+    * `inheritSnapshotId` writes entries with a NULL `snapshot_id` — what
+    * real Iceberg v2 writers emit, relying on readers to inherit the
+    * manifest list's `added_snapshot_id` (exercises the reader's
+    * inheritance path). `operation` lands in the snapshot's
+    * `summary.operation` (real writers always record one; `append` is
+    * what the append-only gates accept). */
   def commitEntries(spark: SparkSession, table: String, entries: Seq[FileEntry],
                     schemaFields: Seq[(Int, String, String)],
                     snapshotId: Long = 1L,
-                    timestampMs: Option[Long] = None): Unit = {
+                    timestampMs: Option[Long] = None,
+                    inheritSnapshotId: Boolean = false,
+                    operation: String = "append"): Unit = {
     require(entries.forall(e => e.content != 2 || e.equalityIds.nonEmpty),
       "equality-delete entries need equalityIds")
     require(entries.forall(e => e.content == 2 || e.equalityIds.isEmpty),
@@ -107,7 +116,8 @@ object IcebergWrite {
       }
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
+      e.put("snapshot_id",
+        if (inheritSnapshotId) null else Long.box(snapshotId))
       e.put("sequence_number", Long.box(fe.sequenceNumber))
       e.put("data_file", df)
       e
@@ -130,11 +140,17 @@ object IcebergWrite {
           graft.sources.IcebergRead
             .avroRecords(spark, s.get("manifest-list").asText())
             .map { m =>
-              (m.get("manifest_path").toString,
-                Option(m.getSchema.getField("sequence_number"))
-                  .flatMap(_ => Option(m.get("sequence_number")))
+              def longField(name: String): Option[Long] =
+                Option(m.getSchema.getField(name))
+                  .flatMap(_ => Option(m.get(name)))
                   .collect { case l: java.lang.Long => l.longValue }
-                  .getOrElse(0L))
+              // added_snapshot_id must survive the carry-forward VERBATIM:
+              // entries with a null snapshot_id inherit it, so stamping
+              // the new snapshot's id would re-attribute old files to the
+              // new commit and corrupt incremental reads
+              (m.get("manifest_path").toString,
+                longField("sequence_number").getOrElse(0L),
+                longField("added_snapshot_id").getOrElse(cur))
             }
         }
       }
@@ -144,19 +160,19 @@ object IcebergWrite {
     val manifest = new Path(meta, s"m-$snapshotId.avro")
     writeAvro(spark, manifest, ManifestEntrySchema, entries.map(entry))
     val manifestList = new Path(meta, s"snap-$snapshotId.avro")
-    def mref(path: String, seq: Long): GenericRecord = {
+    def mref(path: String, seq: Long, addedBy: Long): GenericRecord = {
       val m = new GenericData.Record(ManifestListSchema)
       m.put("manifest_path", path)
       m.put("manifest_length", 1L)
       m.put("partition_spec_id", 0)
       m.put("sequence_number", seq)
-      m.put("added_snapshot_id", snapshotId)
+      m.put("added_snapshot_id", addedBy)
       m
     }
     val newSeq = entries.map(_.sequenceNumber).maxOption.getOrElse(0L)
     writeAvro(spark, manifestList, ManifestListSchema,
-      prior.toSeq.flatMap(_._2).map { case (p, s) => mref(p, s) } :+
-        mref(manifest.toString, newSeq))
+      prior.toSeq.flatMap(_._2).map { case (p, s, by) => mref(p, s, by) } :+
+        mref(manifest.toString, newSeq, snapshotId))
     val schemaJson =
       if (schemaFields.isEmpty) ""
       else {
@@ -171,6 +187,7 @@ object IcebergWrite {
     val ts = timestampMs.getOrElse(snapshotId)
     val newSnap =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$ts,
+        "summary":{"operation":"$operation"},
         "manifest-list":"$manifestList"}"""
     val allSnaps = (prior.toSeq.flatMap(_._1) :+ newSnap).mkString(",")
     val metadataJson =

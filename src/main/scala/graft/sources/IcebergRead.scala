@@ -187,46 +187,74 @@ object IcebergRead {
     * in range) fails loudly instead of silently replaying partial
     * history. The scan reads exactly the appended files — never the
     * table. */
-  /** `(snapshot-id, manifest-list)` in metadata (= commit) order. */
+  /** One metadata `snapshots` entry: id, manifest list, and the summary
+    * `operation` when the writer recorded one (real Iceberg writers
+    * always do; the spec makes `summary` optional). */
+  private[graft] final case class SnapshotRef(id: Long, manifestList: String,
+                                              operation: Option[String])
+
+  /** Snapshot refs in metadata (= commit) order. */
   private[graft] def snapshotManifests(spark: SparkSession, table: String)
-      : Seq[(Long, String)] = {
+      : Seq[SnapshotRef] = {
     val meta = readMetadata(spark, table)
     import scala.jdk.CollectionConverters._
     Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toSeq
-      .map(s => (s.get("snapshot-id").asLong(), s.get("manifest-list").asText()))
+      .map(s => SnapshotRef(s.get("snapshot-id").asLong(),
+        s.get("manifest-list").asText(),
+        Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+          .map(_.asText())))
   }
 
   /** `(snapshot-id, data-file path)` pairs appended by exactly the given
-    * snapshots (entry `snapshot_id` attribution); throws on any delete
-    * in the slice — a non-append history has no insert-only row delta. */
+    * snapshots; throws on any delete in the slice — a non-append history
+    * has no insert-only row delta. Two delete detectors compose:
+    *  - `summary.operation` ≠ `append` (a delete/overwrite/replace
+    *    snapshot may express itself purely by DROPPING manifests from
+    *    its manifest list — no status-2 entry, no delete file — so the
+    *    entry-level checks alone would silently miss it);
+    *  - entry-level: a status-2 (DELETED) entry or an added delete file
+    *    attributed to an in-range snapshot (covers summaries-free
+    *    metadata from non-standard writers).
+    * Entry attribution follows the v2 inheritance rule: an entry with a
+    * null `snapshot_id` (what real Iceberg v2 writers emit) inherits the
+    * manifest-list record's `added_snapshot_id`. */
   private[graft] def appendedBySnapshots(spark: SparkSession,
-                                         snaps: Seq[(Long, String)])
+                                         snaps: Seq[SnapshotRef])
       : Seq[(Long, String)] = {
+    snaps.foreach { s =>
+      s.operation.filterNot(_ == "append").foreach { op =>
+        throw new IllegalArgumentException(
+          s"snapshot ${s.id} has summary.operation=$op — the history is " +
+            "not append-only, incremental read cannot express it as inserts")
+      }
+    }
     val added = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    snaps.foreach { case (sid, manifestList) =>
-      avroRecords(spark, manifestList)
-        .map(_.get("manifest_path").toString).foreach { m =>
-          avroRecords(spark, m).foreach { e =>
-            val status = e.get("status").asInstanceOf[Int]
-            val entrySnap = Option(e.get("snapshot_id"))
-              .collect { case n: Number => n.longValue }
-            val inThis = entrySnap.contains(sid)
-            if (inThis && status == 2) throw new IllegalArgumentException(
-              s"snapshot $sid deletes files — the history is " +
-                "not append-only, incremental read cannot express it " +
-                "as inserts")
-            if (inThis && status == 1) {
-              val df = e.get("data_file").asInstanceOf[GenericRecord]
-              val content = optField(df, "content")
-                .map(_.asInstanceOf[Int]).getOrElse(0)
-              if (content != 0) throw new IllegalArgumentException(
-                s"snapshot $sid adds a delete file (content=$content) — " +
-                  "the history is not append-only")
-              added += ((sid, df.get("file_path").toString))
-            }
+    snaps.foreach { case SnapshotRef(sid, manifestList, _) =>
+      avroRecords(spark, manifestList).foreach { m =>
+        val addedSnapshotId = optField(m, "added_snapshot_id")
+          .collect { case n: Number => n.longValue }
+        avroRecords(spark, m.get("manifest_path").toString).foreach { e =>
+          val status = e.get("status").asInstanceOf[Int]
+          val entrySnap = Option(e.get("snapshot_id"))
+            .collect { case n: Number => n.longValue }
+            .orElse(addedSnapshotId)
+          val inThis = entrySnap.contains(sid)
+          if (inThis && status == 2) throw new IllegalArgumentException(
+            s"snapshot $sid deletes files — the history is " +
+              "not append-only, incremental read cannot express it " +
+              "as inserts")
+          if (inThis && status == 1) {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = optField(df, "content")
+              .map(_.asInstanceOf[Int]).getOrElse(0)
+            if (content != 0) throw new IllegalArgumentException(
+              s"snapshot $sid adds a delete file (content=$content) — " +
+                "the history is not append-only")
+            added += ((sid, df.get("file_path").toString))
           }
         }
+      }
     }
     added.toSeq.distinct
   }
@@ -235,14 +263,14 @@ object IcebergRead {
                   toSnapshotId: Option[Long] = None,
                   maxFiles: Int = 1000000): DataFrame = {
     val snaps = snapshotManifests(spark, table)
-    val fromIdx = snaps.indexWhere(_._1 == fromSnapshotId)
+    val fromIdx = snaps.indexWhere(_.id == fromSnapshotId)
     require(fromIdx >= 0, s"fromSnapshotId $fromSnapshotId not in metadata")
     val toId = toSnapshotId.getOrElse {
       Option(readMetadata(spark, table).get("current-snapshot-id"))
         .map(_.asLong()).getOrElse(throw new IllegalArgumentException(
           "metadata has no current-snapshot-id"))
     }
-    val toIdx = snaps.indexWhere(_._1 == toId)
+    val toIdx = snaps.indexWhere(_.id == toId)
     require(toIdx >= 0, s"toSnapshotId $toId not in metadata")
     require(toIdx >= fromIdx,
       s"toSnapshotId $toId precedes fromSnapshotId $fromSnapshotId")
@@ -310,15 +338,20 @@ object IcebergRead {
     else applyDeletes(spark, files, posDeletes, eqGroups, schemaFieldNames(meta))
   }
 
-  /** Broadcast map from `_metadata.file_path`'s qualified spelling back to
-    * the manifest path spelling (+ the file's sequence number). Guarded: a
-    * scan row from a file missing in the map raises rather than silently
-    * keeping rows whose deletes we failed to bridge. */
+  /** Broadcast map from `_metadata.file_path`'s spelling back to the
+    * manifest path spelling (+ the file's sequence number). Keys use
+    * [[DeletionVectors.sparkPathString]] of the QUALIFIED path — Spark
+    * renders `_metadata.file_path` in SparkPath form (percent-encoded,
+    * no empty-authority slashes), so `Path.toString` (raw spaces) and
+    * `Path.toUri` (`file:///`) both silently mismatch. Guarded at the
+    * join sites: a row from a file missing in the map raises rather than
+    * silently keeping rows whose deletes we failed to bridge. */
   private def qualifiedMap(spark: SparkSession, files: Seq[Tracked]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rows = files.map { t =>
       val hp = new Path(t.path)
-      (hp.getFileSystem(conf).makeQualified(hp).toString, t.path, t.seq)
+      (DeletionVectors.sparkPathString(hp.getFileSystem(conf).makeQualified(hp)),
+        t.path, t.seq)
     }
     spark.createDataFrame(rows).toDF("__qualified", "__manifest_path", "__seq")
   }
@@ -366,6 +399,13 @@ object IcebergRead {
         .join(broadcast(qualifiedMap(spark, g.files)
           .select(col("__qualified").as("__dq"), col("__seq").as("__dseq"))),
           Seq("__dq"), "left")
+        // an unmapped delete file would leave __dseq null, the seq
+        // comparison would yield null, and the delete rows would be
+        // silently DROPPED — same raise_error seatbelt as the data side
+        .withColumn("__dseq",
+          when(col("__dseq").isNull, raise_error(concat(
+            lit("Iceberg delete merge: delete file not in path map: "),
+            col("__dq"))).cast("long")).otherwise(col("__dseq")))
         .select(col("__dseq") +: names.map(n => col(n).as(s"__del_$n")): _*)
       val cond = names.map(n => keyed(n) <=> deletes(s"__del_$n"))
         .reduce(_ && _) && deletes("__dseq") > keyed("__seq")

@@ -18,15 +18,20 @@ import graft.sources.IcebergRead
   * `(version LONG = snapshot id, change_type STRING = "insert",
   * row STRING json)`.
   *
-  * Offsets are SNAPSHOT ORDINALS (the index in the metadata's snapshots
-  * array — snapshot ids are arbitrary, their commit ORDER is the
-  * cursor). Each micro-batch plans the files appended by the in-range
-  * snapshots through [[IcebergRead.appendedBySnapshots]] — one input
-  * partition per appended file, decoded on executors by the shared
-  * [[ChangeFileReaderFactory]]. A delete anywhere in the tail fails the
-  * stream loudly: an append-only incremental scan has no row-level
-  * representation for it (Iceberg's own streaming read has the same
-  * restriction).
+  * Offsets are SNAPSHOT IDS (`{"snapshotId":N}`; null = nothing
+  * processed), resolved to a position in the metadata's snapshots array
+  * at PLAN time — ids are stable across snapshot expiration and
+  * rollback, where an ordinal cursor would silently shift and re-read
+  * or skip snapshots. A checkpointed id no longer in the metadata fails
+  * the restart loudly (the history between it and the tip is gone —
+  * exactly Iceberg's own streaming-source behavior). Each micro-batch
+  * plans the files appended by the in-range snapshots through
+  * [[IcebergRead.appendedBySnapshots]] — one input partition per
+  * appended file, decoded on executors by the shared
+  * [[ChangeFileReaderFactory]]. A delete anywhere in the tail (summary
+  * operation or entry-level) fails the stream loudly: an append-only
+  * incremental scan has no row-level representation for it (Iceberg's
+  * own streaming read has the same restriction).
   *
   * Options: `path` (required), `startingSnapshotId` (default: from the
   * first snapshot; `latest` starts after the current tip). */
@@ -63,9 +68,27 @@ class IcebergStreamTable(opts: IcebergStreamOptions) extends Table with Supports
     }
 }
 
-/** Offset = highest PROCESSED snapshot ordinal (−1 = nothing yet). */
-final case class IcebergStreamOffset(ordinal: Long) extends Offset {
-  override def json(): String = ordinal.toString
+/** Offset = id of the highest PROCESSED snapshot (None = nothing yet).
+  * Ids are the durable cursor — positions are looked up at plan time. */
+final case class IcebergStreamOffset(snapshotId: Option[Long]) extends Offset {
+  override def json(): String =
+    s"""{"snapshotId":${snapshotId.map(_.toString).getOrElse("null")}}"""
+}
+
+object IcebergStreamOffset {
+  def parse(json: String): IcebergStreamOffset = {
+    val t = json.trim
+    if (t.nonEmpty && (t.head.isDigit || t.head == '-'))
+      throw new IllegalStateException(
+        s"Iceberg stream checkpoint offset '$t' is a snapshot ORDINAL " +
+          "written by an older graft version — ordinals shift under " +
+          "snapshot expiration, so it cannot be resumed safely; restart " +
+          "the stream with a fresh checkpoint (startingSnapshotId " +
+          "selects the resume point)")
+    val node = graft.sources.DocPushdown.jsonMapper.readTree(t)
+    val id = Option(node.get("snapshotId")).filterNot(_.isNull).map(_.asLong())
+    IcebergStreamOffset(id)
+  }
 }
 
 class IcebergMicroBatchStream(opts: IcebergStreamOptions) extends MicroBatchStream {
@@ -73,27 +96,44 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions) extends MicroBatchStre
 
   override def initialOffset(): Offset = {
     val snaps = IcebergRead.snapshotManifests(spark, opts.path)
-    val ord = opts.startingSnapshotId match {
-      case None => -1L
-      case Some(s) if s.equalsIgnoreCase("latest") => snaps.size - 1L
+    val id = opts.startingSnapshotId match {
+      case None => None
+      case Some(s) if s.equalsIgnoreCase("latest") => snaps.lastOption.map(_.id)
       case Some(s) =>
         val id = s.trim.toLong
-        val i = snaps.indexWhere(_._1 == id)
-        require(i >= 0, s"startingSnapshotId $id not in metadata")
-        i.toLong
+        require(snaps.exists(_.id == id),
+          s"startingSnapshotId $id not in metadata")
+        Some(id)
     }
-    IcebergStreamOffset(ord)
+    IcebergStreamOffset(id)
   }
 
   override def latestOffset(): Offset = IcebergStreamOffset(
-    IcebergRead.snapshotManifests(spark, opts.path).size - 1L)
+    IcebergRead.snapshotManifests(spark, opts.path).lastOption.map(_.id))
+
+  /** Position of `id` in the current snapshots array (−1 = None = from
+    * the beginning); an id the metadata no longer holds fails LOUDLY —
+    * resuming past an expired snapshot would silently skip or replay. */
+  private def ordinalOf(snaps: Seq[IcebergRead.SnapshotRef],
+                        id: Option[Long], role: String): Int = id match {
+    case None => -1
+    case Some(wanted) =>
+      val i = snaps.indexWhere(_.id == wanted)
+      if (i < 0) throw new IllegalStateException(
+        s"$role snapshot $wanted is no longer in the table metadata " +
+          "(expired or rolled back) — the stream cannot resume without " +
+          "skipping or replaying history")
+      i
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[IcebergStreamOffset].ordinal
-    val e = end.asInstanceOf[IcebergStreamOffset].ordinal
-    if (e <= s) return Array.empty
     val snaps = IcebergRead.snapshotManifests(spark, opts.path)
-    val slice = snaps.slice(s.toInt + 1, e.toInt + 1)
+    val s = ordinalOf(snaps, start.asInstanceOf[IcebergStreamOffset].snapshotId,
+      "checkpointed start")
+    val e = ordinalOf(snaps, end.asInstanceOf[IcebergStreamOffset].snapshotId,
+      "batch end")
+    if (e <= s) return Array.empty
+    val slice = snaps.slice(s + 1, e + 1)
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray
     IcebergRead.appendedBySnapshots(spark, slice).map { case (sid, path) =>
@@ -106,7 +146,7 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions) extends MicroBatchStre
 
   override def commit(end: Offset): Unit = ()
   override def deserializeOffset(json: String): Offset =
-    IcebergStreamOffset(json.trim.toLong)
+    IcebergStreamOffset.parse(json)
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeFileReaderFactory
   override def stop(): Unit = ()

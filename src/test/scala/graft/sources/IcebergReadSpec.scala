@@ -281,6 +281,53 @@ class IcebergReadSpec extends SparkSuite {
     assert(e.getMessage.contains("already committed"))
   }
 
+  test("incremental inherits null entry snapshot_id from added_snapshot_id") {
+    // real Iceberg v2 writers leave manifest-entry snapshot_id NULL and
+    // rely on manifest-list inheritance — entries must not be skipped
+    import graft.sink.IcebergWrite
+    import graft.sink.IcebergWrite.FileEntry
+    val root = Files.createTempDirectory("iceberg-inherit").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    val f1 = writeParquet(data, "f1.parquet", Seq((1L, "widget")))
+    val f2 = writeParquet(data, "f2.parquet", Seq((2L, "bolt")))
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 1L)),
+      schemaFields = idItemSchema, snapshotId = 1L, inheritSnapshotId = true)
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f2, 0, 2L)),
+      schemaFields = idItemSchema, snapshotId = 2L, inheritSnapshotId = true)
+    val inc = IcebergRead.incremental(spark, root, fromSnapshotId = 1L)
+      .select("id").as[Long].collect().toSeq
+    assert(inc === Seq(2L),
+      "null-snapshot_id entries must inherit the manifest list's " +
+        "added_snapshot_id, not be silently skipped")
+    // the delete gate must also fire through inheritance
+    val del = writeParquet(data, "d.parquet", Seq((2L, "bolt")))
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(del, 2, 3L, equalityIds = Seq(1))),
+      schemaFields = idItemSchema, snapshotId = 3L, inheritSnapshotId = true)
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.incremental(spark, root, 2L))
+    assert(e.getMessage.contains("not append-only"))
+  }
+
+  test("incremental refuses a snapshot whose summary.operation != append") {
+    // a delete/overwrite snapshot may express itself purely by dropping
+    // manifests from its list — no status-2 entry, no delete file — so
+    // the summary gate is the only detector
+    import graft.sink.IcebergWrite
+    import graft.sink.IcebergWrite.FileEntry
+    val root = Files.createTempDirectory("iceberg-op").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    val f1 = writeParquet(data, "f1.parquet", Seq((1L, "widget")))
+    val f2 = writeParquet(data, "f2.parquet", Seq((2L, "bolt")))
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 1L)),
+      schemaFields = idItemSchema, snapshotId = 1L)
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f2, 0, 2L)),
+      schemaFields = idItemSchema, snapshotId = 2L, operation = "overwrite")
+    val e = intercept[IllegalArgumentException](
+      IcebergRead.incremental(spark, root, 1L))
+    assert(e.getMessage.contains("summary.operation=overwrite"))
+  }
+
   test("incremental refuses non-append history (deletes in range)") {
     import graft.sink.IcebergWrite
     import graft.sink.IcebergWrite.FileEntry

@@ -8,13 +8,46 @@ import graft.SparkSuite
 import graft.sink.IcebergWrite
 import graft.sink.IcebergWrite.FileEntry
 
-/** `spark.readStream.format("graft-iceberg")` — append-history tail by
-  * snapshot ordinal over the metadata/manifest chain. */
+/** `spark.readStream.format("graft-iceberg")` — append-history tail
+  * cursored by SNAPSHOT ID over the metadata/manifest chain (ids are
+  * stable under snapshot expiration; ordinals are not). */
 class IcebergStreamSourceSpec extends SparkSuite {
 
   import spark.implicits._
 
   private val schema = Seq((1, "id", "long"), (2, "item", "string"))
+
+  /** Simulate snapshot EXPIRATION: rewrite the metadata with `ids`
+    * removed from the snapshots array (new version + hint bump), exactly
+    * what expire_snapshots leaves behind. */
+  private def expireSnapshots(root: String, ids: Set[Long]): Unit = {
+    // write through the Hadoop fs (like IcebergWrite) — LocalFileSystem
+    // keeps .crc sidecars that a raw NIO rewrite would invalidate
+    val meta = new org.apache.hadoop.fs.Path(root, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readString(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeString(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val hint = new org.apache.hadoop.fs.Path(meta, "version-hint.text")
+    val v = readString(hint).trim.toLong
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = mapper.readTree(readString(
+      new org.apache.hadoop.fs.Path(meta, s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val kept = mapper.createArrayNode()
+    node.get("snapshots").forEach { s =>
+      if (!ids.contains(s.get("snapshot-id").asLong())) kept.add(s): Unit
+    }
+    node.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", kept)
+    writeString(new org.apache.hadoop.fs.Path(meta, s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(node))
+    writeString(hint, (v + 1).toString)
+  }
 
   private def writeParquet(dir: java.nio.file.Path, name: String,
                            rows: Seq[(Long, String)]): String = {
@@ -27,7 +60,7 @@ class IcebergStreamSourceSpec extends SparkSuite {
     target.toString
   }
 
-  test("tailing append commits; restart resumes at the checkpointed ordinal") {
+  test("tailing append commits; restart resumes at the checkpointed snapshot id") {
     val root = Files.createTempDirectory("iceberg-stream").toString
     val data = java.nio.file.Paths.get(root, "data")
     IcebergWrite.commitEntries(spark, root,
@@ -64,6 +97,75 @@ class IcebergStreamSourceSpec extends SparkSuite {
     run()
     val all = seen.synchronized(seen.toSeq)
     assert(all.size === 3 && all.count(_._1 == 33L) === 1)
+  }
+
+  test("restart survives expiry of EARLIER snapshots (id cursor, not ordinal)") {
+    val root = Files.createTempDirectory("iceberg-stream-exp").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f1.parquet", Seq((1L, "widget"))), 0, 1L)),
+      schema, snapshotId = 11L)
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f2.parquet", Seq((2L, "bolt"))), 0, 2L)),
+      schema, snapshotId = 22L)
+    val ckpt = Files.createTempDirectory("iceberg-stream-exp-ckpt").toString
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.selectExpr("version").as[Long].collect() }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.synchronized(seen.sorted.toSeq) === Seq(11L, 22L))
+    // expire the FIRST snapshot (shifts every ordinal left) and append;
+    // the id cursor must deliver exactly the new snapshot — an ordinal
+    // cursor would silently skip it or replay 22
+    expireSnapshots(root, Set(11L))
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f3.parquet", Seq((3L, "nut"))), 0, 3L)),
+      schema, snapshotId = 33L)
+    run()
+    assert(seen.synchronized(seen.sorted.toSeq) === Seq(11L, 22L, 33L))
+  }
+
+  test("restart fails loudly when the CHECKPOINTED snapshot has expired") {
+    val root = Files.createTempDirectory("iceberg-stream-expbad").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f1.parquet", Seq((1L, "widget"))), 0, 1L)),
+      schema, snapshotId = 11L)
+    val ckpt = Files.createTempDirectory("iceberg-stream-expbad-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").option("path", root).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // the cursor now holds id 11; expire it and commit more
+    expireSnapshots(root, Set(11L))
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f2.parquet", Seq((2L, "bolt"))), 0, 2L)),
+      schema, snapshotId = 22L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(e.toString.contains("no longer in the table metadata") ||
+      Option(e.getCause).exists(_.toString.contains("no longer in the table metadata")))
+  }
+
+  test("a legacy ORDINAL checkpoint offset is refused with a migration hint") {
+    val e = intercept[IllegalStateException](IcebergStreamOffset.parse("1"))
+    assert(e.getMessage.toLowerCase.contains("ordinal"))
+    // round-trip of the current format
+    assert(IcebergStreamOffset.parse(
+      IcebergStreamOffset(Some(42L)).json()) === IcebergStreamOffset(Some(42L)))
+    assert(IcebergStreamOffset.parse(
+      IcebergStreamOffset(None).json()) === IcebergStreamOffset(None))
   }
 
   test("a delete snapshot in the tail fails the stream loudly") {
