@@ -137,7 +137,7 @@ object DeltaWrite {
     val spark = df.sparkSession
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log to append to")
-    val (live, _, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val live = DeltaRead.tableState(spark, table, version - 1).live
     val removed = live.filter(_.partitionValues.get(partitionCol).contains(value))
     require(removed.nonEmpty, s"no live files for $partitionCol=$value")
     // new files land inside the SAME hive dir; name them under a fresh
@@ -174,7 +174,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
-    val (live, _, _, _) = DeltaRead.tableState(spark, table, version - 1)
+    val live = DeltaRead.tableState(spark, table, version - 1).live
     val conf = spark.sparkContext.hadoopConfiguration
     // add.path is percent-encoded; decode with URI semantics (the mirror
     // of DeltaRead.resolvePath — URLDecoder would mangle literal '+')
@@ -229,15 +229,25 @@ object DeltaWrite {
   def checkpoint(spark: SparkSession, table: String): Unit = {
     val version = nextVersion(spark, table) - 1
     require(version >= 0, s"$table has no Delta log")
-    val (live, partitionCols, schemaString, configuration) = DeltaRead.tableState(spark, table, version)
+    val state = DeltaRead.tableState(spark, table, version)
+    val (live, partitionCols, schemaString, configuration) =
+      (state.live, state.partitionCols, state.schemaString, state.configuration)
     import spark.implicits._
-    // a table carrying deletion vectors checkpoints its reader-version-3
-    // protocol AND each add's DV descriptor — dropping either would
-    // resurrect deleted rows for any post-vacuum reader
+    // round-trip the table's REPLAYED protocol verbatim — re-synthesizing
+    // it from what this writer understands would downgrade a foreign
+    // table's features (columnMapping, timestampNtz, …) in the
+    // checkpoint and mis-gate post-vacuum readers. Logs from legacy
+    // writers with no protocol action at all fall back to a synthesized
+    // one (DV-aware: dropping reader-v3 would resurrect deleted rows).
     val hasDv = live.exists(_.dv.isDefined)
-    val proto =
-      if (hasDv) CpProto(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))
-      else CpProto(1, 2, None, None)
+    val proto = state.protocol match {
+      case Some(p) => CpProto(p.minReaderVersion, p.minWriterVersion,
+        Some(p.readerFeatures).filter(_.nonEmpty),
+        Some(p.writerFeatures).filter(_.nonEmpty))
+      case None =>
+        if (hasDv) CpProto(3, 7, Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))
+        else CpProto(1, 2, None, None)
+    }
     val rows: Seq[CpRow] =
       Seq(CpRow(Some(proto), None, None),
         CpRow(None, Some(CpMeta("graft-cp", partitionCols, schemaString,

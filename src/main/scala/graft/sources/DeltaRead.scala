@@ -63,6 +63,26 @@ object DeltaRead {
                            size: Long, modificationTime: Long,
                            dv: Option[DeletionVectors.Descriptor] = None)
 
+  /** The table's replayed protocol action (latest wins) — carried so a
+    * checkpoint writer can round-trip it VERBATIM instead of
+    * re-synthesizing a possibly-downgraded one. */
+  final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+                            readerFeatures: Seq[String],
+                            writerFeatures: Seq[String])
+
+  /** Replayed table state at a version: the planning data a writer
+    * (checkpointing, partition replacement) or catalog needs. */
+  final case class TableState(live: Seq[AddFile], partitionCols: Seq[String],
+                              schemaString: Option[String],
+                              configuration: Map[String, String],
+                              protocol: Option[Protocol])
+
+  /** Live-file ceiling for the driver-side log replay (the same
+    * planning state every Delta client holds) — parity with
+    * [[HudiRead]]/[[IcebergRead]]'s loud failure instead of an
+    * unbounded driver map on a 10⁷-file table. */
+  private[graft] val DefaultMaxFiles = 1000000
+
   /** Reader features this implementation actually honors. Reader version
     * 3 tables are readable iff every advertised `readerFeatures` entry is
     * in this set; anything else fails loudly BY NAME. */
@@ -75,16 +95,17 @@ object DeltaRead {
     var partitionCols: Seq[String] = Seq.empty
     var schemaString: Option[String] = None
     var configuration: Map[String, String] = Map.empty
+    var protocol: Option[Protocol] = None
 
     /** `delta.columnMapping.mode` when active (`name` or `id`). */
     def mappingMode: Option[String] =
       configuration.get("delta.columnMapping.mode").filterNot(_ == "none")
 
-    def gate(minReader: Int, readerFeatures: Seq[String]): Unit =
-      minReader match {
+    def gate(p: Protocol): Unit = {
+      p.minReaderVersion match {
         case v if v <= 2 => () // 2 = column mapping, supported
         case 3 =>
-          val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+          val unsupported = p.readerFeatures.filterNot(SupportedReaderFeatures)
           require(unsupported.isEmpty,
             s"Delta table requires unsupported reader features: " +
               s"${unsupported.mkString(", ")} (supported: " +
@@ -92,6 +113,13 @@ object DeltaRead {
         case v => throw new IllegalArgumentException(
           s"Delta table requires unknown reader version $v")
       }
+      protocol = Some(p)
+    }
+
+    def checkSize(maxFiles: Int, table: String): Unit =
+      require(live.size <= maxFiles,
+        s"Delta table $table replays more than $maxFiles live files — " +
+          "raise maxFiles (driver memory) or read specific partitions")
   }
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
@@ -181,14 +209,21 @@ object DeltaRead {
     val cp = spark.read.parquet(parts.map(_.toString): _*)
     val cols = cp.schema.fieldNames.map(_.toLowerCase).toSet
     if (cols.contains("protocol")) {
-      val hasFeatures = cp.schema("protocol").dataType
-        .asInstanceOf[StructType].fieldNames.contains("readerFeatures")
-      val featExpr = if (hasFeatures) "protocol.readerFeatures"
-                     else "CAST(NULL AS ARRAY<STRING>)"
-      cp.selectExpr("protocol.minReaderVersion", featExpr)
+      val protoFields = cp.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      def opt(name: String, fallback: String): String =
+        if (protoFields.contains(name)) s"protocol.$name" else fallback
+      cp.selectExpr("protocol.minReaderVersion",
+          opt("readerFeatures", "CAST(NULL AS ARRAY<STRING>)"),
+          opt("minWriterVersion", "CAST(NULL AS INT)"),
+          opt("writerFeatures", "CAST(NULL AS ARRAY<STRING>)"))
         .where("protocol IS NOT NULL").collect()
-        .foreach(r => if (!r.isNullAt(0)) state.gate(r.getInt(0),
-          if (r.isNullAt(1)) Nil else r.getSeq[String](1)))
+        .foreach { r =>
+          if (!r.isNullAt(0)) state.gate(Protocol(r.getInt(0),
+            if (r.isNullAt(2)) 2 else r.getInt(2),
+            if (r.isNullAt(1)) Nil else r.getSeq[String](1),
+            if (r.isNullAt(3)) Nil else r.getSeq[String](3)))
+        }
     }
     if (cols.contains("metadata")) {
       val hasConf = cp.schema("metaData").dataType
@@ -271,10 +306,12 @@ object DeltaRead {
                           applyRemoves: Boolean): Unit = {
     Option(node.get("protocol")).foreach { p =>
       import scala.jdk.CollectionConverters._
-      val features = Option(p.get("readerFeatures")).toSeq
+      def features(name: String): Seq[String] = Option(p.get(name)).toSeq
         .flatMap(_.elements().asScala.map(_.asText()))
-      state.gate(Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
-        features)
+      state.gate(Protocol(
+        Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
+        Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(2),
+        features("readerFeatures"), features("writerFeatures")))
     }
     Option(node.get("metaData")).foreach { m =>
       import scala.jdk.CollectionConverters._
@@ -320,8 +357,11 @@ object DeltaRead {
   }
 
   /** Replay the log to `version`: newest checkpoint ≤ version, then the
-    * JSON suffix. */
-  private def replay(spark: SparkSession, table: String, version: Long): State = {
+    * JSON suffix. The live set is bounded by `maxFiles` (checked after
+    * the checkpoint load and after every version) — loud failure, not an
+    * unbounded driver map. */
+  private def replay(spark: SparkSession, table: String, version: Long,
+                     maxFiles: Int = DefaultMaxFiles): State = {
     val dir = new Path(table, "_delta_log")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing = listLog(fs, dir)
@@ -334,6 +374,7 @@ object DeltaRead {
       val cp = listing.checkpoints(v)
       if (cp.classicParts.nonEmpty) { loadCheckpoint(spark, state, cp.classicParts); () }
       else loadV2Checkpoint(spark, state, cp.v2Manifest.get, dir)
+      state.checkSize(maxFiles, table)
     }
     var v = cpVersion.map(_ + 1).getOrElse(0L)
     while (v <= version) {
@@ -344,6 +385,7 @@ object DeltaRead {
                s"${listing.checkpoints.keys.min})"
            else "(vacuumed past the newest checkpoint?)"))
       applyJsonVersion(fs, state, new Path(dir, f"$v%020d.json"))
+      state.checkSize(maxFiles, table)
       v += 1
     }
     state
@@ -487,14 +529,13 @@ object DeltaRead {
     }
   }
 
-  /** Replayed table state at `version`: (live files, partition columns,
-    * schemaString, table configuration) — the planning data a writer
-    * (checkpointing, partition replacement) or catalog needs. */
-  def tableState(spark: SparkSession, table: String, version: Long)
-      : (Seq[AddFile], Seq[String], Option[String], Map[String, String]) = {
-    val state = replay(spark, table, version)
-    (state.live.values.toSeq, state.partitionCols, state.schemaString,
-      state.configuration)
+  /** Replayed [[TableState]] at `version` — live files, partition
+    * columns, schemaString, table configuration, and the protocol. */
+  def tableState(spark: SparkSession, table: String, version: Long,
+                 maxFiles: Int = DefaultMaxFiles): TableState = {
+    val state = replay(spark, table, version, maxFiles)
+    TableState(state.live.values.toSeq, state.partitionCols,
+      state.schemaString, state.configuration, state.protocol)
   }
 
   /** `add.path` is a relative or absolute URI, percent-encoded (RFC 2396)
@@ -533,15 +574,18 @@ object DeltaRead {
   }
 
   /** Snapshot at the newest version committed at or before `tsMillis`. */
-  def snapshotAt(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+  def snapshotAt(spark: SparkSession, table: String, tsMillis: Long,
+                 maxFiles: Int = DefaultMaxFiles): DataFrame =
     snapshot(spark, table,
-      versionAsOf = Some(versionAtTimestamp(spark, table, tsMillis)))
+      versionAsOf = Some(versionAtTimestamp(spark, table, tsMillis)),
+      maxFiles = maxFiles)
 
   /** Snapshot at the latest (or `versionAsOf`) version. */
   def snapshot(spark: SparkSession, table: String,
-               versionAsOf: Option[Long] = None): DataFrame = {
+               versionAsOf: Option[Long] = None,
+               maxFiles: Int = DefaultMaxFiles): DataFrame = {
     val version = versionAsOf.getOrElse(latestVersion(spark, table))
-    val state = replay(spark, table, version)
+    val state = replay(spark, table, version, maxFiles)
     val files = state.live.values.toSeq
     if (files.isEmpty) return spark.emptyDataFrame
     val partitionCols = state.partitionCols

@@ -48,6 +48,45 @@ class DeltaWriteSpec extends SparkSuite {
       === Seq("id", "item", "grp"))
   }
 
+  test("checkpoint round-trips the table's ACTUAL protocol, not a synthesized one") {
+    val root = tmp()
+    DeltaWrite.create(Seq((1L, "widget")).toDF("id", "item"), root, Nil)
+    // upgrade the table to a feature protocol this writer does not itself
+    // emit (all features reader-supported, so replay still works); a
+    // checkpoint that re-synthesized (1,2) here would downgrade it
+    val logDir = Paths.get(root, "_delta_log")
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping","timestampNtz"],""" +
+        """"writerFeatures":["columnMapping","timestampNtz","domainMetadata"]}}""" + "\n")
+    DeltaWrite.checkpoint(spark, root)
+    DeltaWrite.vacuumLog(spark, root)
+    val proto = DeltaRead.tableState(spark, root,
+      DeltaRead.latestVersion(spark, root)).protocol
+    assert(proto === Some(DeltaRead.Protocol(3, 7,
+      Seq("columnMapping", "timestampNtz"),
+      Seq("columnMapping", "timestampNtz", "domainMetadata"))),
+      "post-vacuum replay must see the original protocol from the checkpoint")
+    assert(DeltaRead.snapshot(spark, root).count() === 1L)
+  }
+
+  test("maxFiles seatbelt: replay past the cap fails loudly by name") {
+    val root = tmp()
+    val df = Seq((1L, "a", "A"), (2L, "b", "B"), (3L, "c", "C"))
+      .toDF("id", "item", "grp").repartition(3)
+    DeltaWrite.create(df, root, Seq("grp")) // ≥3 files (one per partition)
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.snapshot(spark, root, maxFiles = 2).count())
+    assert(e.getMessage.contains("more than 2 live files"))
+    // the same seatbelt guards the checkpoint-loaded path
+    DeltaWrite.checkpoint(spark, root)
+    DeltaWrite.vacuumLog(spark, root)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaRead.snapshot(spark, root, maxFiles = 2).count())
+    assert(e2.getMessage.contains("more than 2 live files"))
+    assert(DeltaRead.snapshot(spark, root).count() === 3L)
+  }
+
   test("partition values with spaces percent-encode per the protocol") {
     val root = tmp()
     val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "1-URGENT"))
