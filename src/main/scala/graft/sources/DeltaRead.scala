@@ -406,25 +406,38 @@ object DeltaRead {
     * Partition columns are attached from the action's
     * `partitionValues`; a partitioned remove without them (legal in the
     * protocol) fails loudly rather than emitting rows with null
-    * partition columns. Column-mapped tables are gated (CDF + mapping
-    * needs the physical rename applied per cdc file — not implemented).
+    * partition columns. COLUMN-MAPPED tables are supported: change
+    * files carry PHYSICAL column names (the `_change_type` column of a
+    * cdc file is never mapped), restored to the logical spelling by the
+    * final select exactly like [[snapshot]].
     *
-    * Scale shape: one parquet scan per (version, change class) — the
-    * unit of CDF consumption; a consumer paging through versions reads
-    * exactly the files that changed, never the table. (Doc applies to
-    * [[changes]]; [[changeFiles]] below is its planning half.)
+    * Scale shape: ONE multi-file [[StaticFileIndex]] scan per
+    * (version, change class) — the plan is O(versions × change-classes)
+    * however many files a single commit rewrote (a 10⁴-file compaction
+    * or wide MERGE stays ONE scan), and a consumer paging through
+    * versions reads exactly the files that changed, never the table.
+    * (Doc applies to [[changes]]; [[changeFiles]] below is its planning
+    * half.)
     *
     * One changed file in a CDF range: `changeType` None = a cdc file
-    * carrying its own `_change_type` column. */
+    * carrying its own `_change_type` column. `size` comes from the
+    * action (falling back to the pre-version state, then one
+    * `getFileStatus`) — the scan's split planning needs true lengths. */
   final case class ChangeFile(path: String, partitionValues: Map[String, String],
-                              changeType: Option[String], version: Long)
+                              changeType: Option[String], version: Long,
+                              size: Long)
 
-  /** The file-level change list for [[changes]] — also the planning unit
-    * of the `graft-delta` STREAMING source (one input partition per
-    * changed file). */
+  /** The planning half of [[changes]] — also the planning unit of the
+    * `graft-delta` STREAMING source (one input partition per changed
+    * file). */
+  private[graft] final case class ChangePlan(files: Seq[ChangeFile],
+                                             declared: Option[StructType],
+                                             partitionCols: Seq[String],
+                                             mappingMode: Option[String])
+
   private[graft] def changeFiles(spark: SparkSession, table: String,
                                  fromVersion: Long, toVersion: Long)
-      : (Seq[ChangeFile], Option[StructType], Seq[String]) = {
+      : ChangePlan = {
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
     val dir = new Path(table, "_delta_log")
@@ -434,8 +447,6 @@ object DeltaRead {
     val listing = listLog(fs, dir)
     // schema + gate from the replayed state at toVersion
     val state = replay(spark, table, toVersion)
-    require(state.mappingMode.isEmpty,
-      "CDF over a column-mapped table is not supported by this reader")
     val declared = state.schemaString.map(DataType.fromJson(_).asInstanceOf[StructType])
     val partitionCols = state.partitionCols
 
@@ -459,10 +470,22 @@ object DeltaRead {
         Option(a.get("partitionValues")).map(_.fields().asScala.map { e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
         }.toMap).getOrElse(Map.empty)
+      def sizeOf(a: com.fasterxml.jackson.databind.JsonNode,
+                 path: String): Long =
+        Option(a.get("size")).map(_.asLong)
+          .orElse(running.live.get(path).map(_.size))
+          .getOrElse {
+            val p = resolvePath(table, path)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(p).getLen
+          }
       val nodes = lines.map(mapper.readTree)
       val cdc = nodes.flatMap(n => Option(n.get("cdc")))
       if (cdc.nonEmpty)
-        cdc.foreach(c => changes += Change(c.get("path").asText(), pvOf(c), None, v))
+        cdc.foreach { c =>
+          val path = c.get("path").asText()
+          changes += Change(path, pvOf(c), None, v, sizeOf(c, path))
+        }
       else nodes.foreach { n =>
         Option(n.get("add")).foreach { a =>
           // a DV change without cdc actions is a PARTIAL-file change —
@@ -472,8 +495,10 @@ object DeltaRead {
           require(Option(a.get("deletionVector")).isEmpty,
             s"version $v changes rows via deletion vectors without cdc " +
               "actions — CDF cannot be synthesized from its file actions")
-          if (Option(a.get("dataChange")).forall(_.asBoolean))
-            changes += Change(a.get("path").asText(), pvOf(a), Some("insert"), v)
+          if (Option(a.get("dataChange")).forall(_.asBoolean)) {
+            val path = a.get("path").asText()
+            changes += Change(path, pvOf(a), Some("insert"), v, sizeOf(a, path))
+          }
         }
         Option(n.get("remove")).foreach { r =>
           if (Option(r.get("dataChange")).forall(_.asBoolean)) {
@@ -485,44 +510,101 @@ object DeltaRead {
               s"remove action for $path in version $v has no " +
                 "partitionValues and the file is unknown to the " +
                 "pre-version state — cannot attach partition columns")
-            changes += Change(path, pv, Some("delete"), v)
+            changes += Change(path, pv, Some("delete"), v, sizeOf(r, path))
           }
         }
       }
       // advance the running state past this version
       nodes.foreach(applyAction(running, _, applyRemoves = true))
     }
-    (changes.toSeq, declared, partitionCols)
+    ChangePlan(changes.toSeq, declared, partitionCols, state.mappingMode)
   }
 
   def changes(spark: SparkSession, table: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (changed, declared, partitionCols) =
-      changeFiles(spark, table, fromVersion, toVersion)
+    val plan = changeFiles(spark, table, fromVersion, toVersion)
+    val declared = plan.declared
+    val mode = plan.mappingMode
+    require(mode.isEmpty || declared.isDefined,
+      "column-mapped Delta table has no schemaString (corrupt metadata)")
     val emptySchema = StructType(
       declared.getOrElse(StructType(Nil)).fields.toSeq :+
         StructField("_change_type", StringType) :+
         StructField("_commit_version", org.apache.spark.sql.types.LongType))
-    if (changed.isEmpty)
+    if (plan.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    val parts = changed.map { ch =>
-      val df = spark.read.parquet(resolvePath(table, ch.path).toString)
-      val typed = partitionCols.foldLeft(df) { (d, c) =>
-        val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
-          .map(_.dataType).getOrElse(StringType)
-        d.withColumn(c,
-          lit(ch.partitionValues.getOrElse(c, null: String)).cast(dt))
+
+    // typed partition fields in their LOGICAL spelling (values are keyed
+    // by physical names under column mapping, like snapshot)
+    val partitionFields: Seq[StructField] = plan.partitionCols.map { c =>
+      declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+        .getOrElse(StructField(c, StringType))
+    }
+    val partitionSchema = StructType(partitionFields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    def partitionValue(ch: ChangeFile, field: StructField): String =
+      (if (mode.isDefined)
+        ch.partitionValues.get(physicalName(field))
+          .orElse(ch.partitionValues.get(field.name))
+      else ch.partitionValues.get(field.name)).orNull
+
+    // ONE multi-file StaticFileIndex scan per (version, change-class) —
+    // the plan is bounded by the version range, not by how many files a
+    // commit rewrote; partition values ride as typed partition columns
+    // of the index, pruning included
+    val groups = plan.files.groupBy(ch => (ch.version, ch.changeType))
+      .toSeq.sortBy { case ((v, ct), _) => (v, ct.getOrElse("")) }
+    val parts = groups.map { case ((v, ct), chs) =>
+      val dataSchema: StructType = declared match {
+        case Some(s) =>
+          val nonPartition = s.fields.filterNot(f =>
+            plan.partitionCols.exists(_.equalsIgnoreCase(f.name))).toSeq
+          val mapped =
+            if (mode.isEmpty) nonPartition
+            else nonPartition.map(f => f.copy(name = physicalName(f),
+              dataType = toPhysical(f.dataType)))
+          // a cdc file's _change_type column is never column-mapped
+          StructType(if (ct.isEmpty)
+            mapped :+ StructField("_change_type", StringType) else mapped)
+        case None =>
+          // schema inference over the group (degraded, non-standard logs;
+          // cdc files surface their _change_type through inference)
+          spark.read.parquet(
+            chs.map(ch => resolvePath(table, ch.path).toString): _*).schema
       }
-      val withType = ch.changeType match {
-        case Some(t) => typed.withColumn("_change_type", lit(t))
-        case None => typed // cdc files carry their own _change_type
+      def statuses(group: Seq[ChangeFile]): Array[FileStatus] = group.map { ch =>
+        new FileStatus(ch.size, false, 1, 128L << 20, 0L,
+          resolvePath(table, ch.path))
+      }.toArray
+      val partitions: Seq[(InternalRow, Array[FileStatus])] =
+        if (plan.partitionCols.isEmpty) Seq((InternalRow.empty, statuses(chs)))
+        else chs.groupBy(ch => partitionFields.map(partitionValue(ch, _)))
+          .toSeq.map { case (values, group) =>
+            val row = new GenericInternalRow(values.zipWithIndex.map {
+              case (raw, i) =>
+                StaticFileIndex.partitionValue(raw, partitionSchema(i).dataType)
+            }.toArray[Any])
+            (row: InternalRow, statuses(group))
+          }
+      val df = StaticFileIndex.parquetRelation(spark, new Path(table),
+        dataSchema, partitionSchema, partitions)
+      val withType = ct match {
+        case Some(t) => df.withColumn("_change_type", lit(t))
+        case None => df // cdc files carry their own _change_type
       }
-      withType.withColumn("_commit_version", lit(ch.version))
+      withType.withColumn("_commit_version", lit(v))
     }
     val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // declared column order; under column mapping this is also where
+    // physical names become logical again (casts rename positionally)
     declared match {
+      case Some(s) if mode.isDefined =>
+        unioned.select(s.fields.map { f =>
+          if (plan.partitionCols.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+          else col(physicalName(f)).cast(f.dataType).as(f.name)
+        }.toSeq :+ col("_change_type") :+ col("_commit_version"): _*)
       case Some(s) => unioned.select(
         (s.fieldNames.toSeq :+ "_change_type" :+ "_commit_version").map(col): _*)
       case None => unioned

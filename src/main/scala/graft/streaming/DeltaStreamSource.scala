@@ -113,10 +113,18 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
     val s = start.asInstanceOf[DeltaStreamOffset].version
     val e = end.asInstanceOf[DeltaStreamOffset].version
     if (e <= s) return Array.empty
-    val (files, _, _) = DeltaRead.changeFiles(spark, opts.path, s + 1, e)
+    val plan = DeltaRead.changeFiles(spark, opts.path, s + 1, e)
+    // the json tail decodes parquet directly — a column-mapped table's
+    // files carry PHYSICAL names, which would silently leak into the
+    // emitted json; the batch reader (DeltaRead.changes) supports the
+    // rename, the streaming tail gates loudly
+    require(plan.mappingMode.isEmpty,
+      "graft-delta: column-mapped Delta tables are not supported by the " +
+        "json change tail (files carry physical column names) — read the " +
+        "feed with DeltaRead.changes instead")
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray
-    files.map { f =>
+    plan.files.map { f =>
       ChangeFilePartition(
         DeltaRead.resolvePath(opts.path, f.path).toString,
         f.partitionValues, f.changeType, f.version, props): InputPartition

@@ -52,9 +52,12 @@ class DeltaCdfSpec extends SparkSuite {
       .write.mode("overwrite").parquet(tmp.toString)
     val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
     Files.copy(part, cdDir.resolve("cdc-1.parquet"))
+    // the action's size must be TRUE — scan split planning trusts it,
+    // exactly like Delta's own clients trust add/cdc sizes
+    val cdcSize = Files.size(cdDir.resolve("cdc-1.parquet"))
     val logDir = java.nio.file.Paths.get(root, "_delta_log")
     Files.writeString(logDir.resolve(f"${1L}%020d.json"),
-      """{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":1,"dataChange":false}}""" + "\n" +
+      s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":$cdcSize,"dataChange":false}}""" + "\n" +
         """{"remove":{"path":"whatever.parquet","dataChange":true}}""" + "\n")
     val v1 = DeltaRead.changes(spark, root, 1L, 1L)
       .selectExpr("id", "item", "_change_type")
@@ -91,6 +94,87 @@ class DeltaCdfSpec extends SparkSuite {
       .select("id", "item", "par").as[(Long, String, String)]
       .collect().sorted.toSeq
     assert(got === want)
+  }
+
+  test("plan contract: scans are O(versions × change-classes), not O(files)") {
+    // a single commit that lands 120 files must plan as ONE multi-file
+    // scan — per-file scans + a 120-way union blow up driver planning
+    // exactly like the pre-round-8 snapshot path did
+    val root = Files.createTempDirectory("delta-cdfp").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      (1L to 600L).map(i => (i, s"i$i", if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "item", "par").repartition(60),
+      root, Seq("par"))
+    val nAdded = DeltaRead.tableState(spark, root,
+      0L).live.size
+    assert(nAdded >= 100, s"fixture should land >=100 files, got $nAdded")
+    val v0 = DeltaRead.changes(spark, root, 0L, 0L)
+    assert(v0.count() === 600L)
+    val plan0 = v0.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(plan0).size === 1,
+      s"v0 ($nAdded added files, one change class) must be ONE scan:\n$plan0")
+    // v1 rewrites partition a (many removes + adds): the whole 0..1 feed
+    // is one scan per (version, change-class) = v0-insert, v1-delete,
+    // v1-insert — THREE scans, independent of file count
+    graft.sink.DeltaWrite.replacePartition(
+      (2L to 600L by 2).map(i => (i, s"I$i", "a")).toDF("id", "item", "par")
+        .repartition(30), root, "par", "a")
+    val feed = DeltaRead.changes(spark, root, 0L, 1L)
+    val plan1 = feed.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllMatchIn(plan1).size === 3,
+      s"0..1 feed must be one scan per (version, change-class):\n$plan1")
+    // and the contents stay right: partition-a deletes == its v0 inserts
+    val byClass = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byClass((0L, "insert")) === 600L)
+    assert(byClass((1L, "delete")) === 300L)
+    assert(byClass((1L, "insert")) === 300L)
+  }
+
+  test("CDF over a column-mapped table restores logical names") {
+    // name-mode table: parquet/cdc columns are col-aaa/col-bbb, the
+    // partition column dt's partitionValues key is col-ddd
+    val root = Files.createTempDirectory("delta-cdfm")
+    def schemaString = {
+      def f(name: String, phys: String, tpe: String, id: Int) =
+        s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{""" +
+          s""""delta.columnMapping.physicalName":"$phys","delta.columnMapping.id":$id}}"""
+      (s"""{"type":"struct","fields":[${f("id", "col-aaa", "long", 1)},""" +
+        s"""${f("item", "col-bbb", "string", 2)},${f("dt", "col-ddd", "string", 3)}]}""")
+        .replace("\"", "\\\"")
+    }
+    def physParquet(dir: String, name: String, rows: Seq[(Long, String)]): Long = {
+      val tmp = Files.createTempDirectory("cdfm-p")
+      rows.toDF("col-aaa", "col-bbb").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.createDirectories(root.resolve(dir))
+      Files.copy(part, root.resolve(s"$dir/$name"))
+      Files.size(root.resolve(s"$dir/$name"))
+    }
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val sz1 = physParquet("d1", "f1.parquet", Seq((1L, "widget"), (2L, "bolt")))
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        s"""{"metaData":{"id":"m1","partitionColumns":["dt"],"schemaString":"$schemaString","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""" + "\n" +
+        s"""{"add":{"path":"d1/f1.parquet","partitionValues":{"col-ddd":"2024-06-01"},"size":$sz1,"modificationTime":1,"dataChange":true}}""" + "\n")
+    // v1: remove f1 (physical pv keys), add f2
+    val sz2 = physParquet("d2", "f2.parquet", Seq((3L, "nut")))
+    Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"d1/f1.parquet","dataChange":true,"partitionValues":{"col-ddd":"2024-06-01"}}}""" + "\n" +
+        s"""{"add":{"path":"d2/f2.parquet","partitionValues":{"col-ddd":"2024-06-02"},"size":$sz2,"modificationTime":2,"dataChange":true}}""" + "\n")
+    val all = DeltaRead.changes(spark, root.toString, 0L, 1L)
+    assert(all.schema.fieldNames.toSeq ===
+      Seq("id", "item", "dt", "_change_type", "_commit_version"))
+    val rows = all.selectExpr("id", "item", "dt", "_change_type", "_commit_version")
+      .as[(Long, String, String, String, Long)].collect().toSeq.sorted
+    assert(rows === Seq(
+      (1L, "widget", "2024-06-01", "delete", 1L),
+      (1L, "widget", "2024-06-01", "insert", 0L),
+      (2L, "bolt", "2024-06-01", "delete", 1L),
+      (2L, "bolt", "2024-06-01", "insert", 0L),
+      (3L, "nut", "2024-06-02", "insert", 1L)).sorted)
   }
 
   test("loud gates: vacuumed range, DV commits without cdc") {
