@@ -44,9 +44,23 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
   * }}}
   *
   * Command blocks (rollback markers) carry TARGET_INSTANT_TIME: every
-  * earlier block of that instant must be ignored by readers. Delete
-  * blocks are recognized but fail loudly (their payload changed
-  * serialization across Hudi versions; guessing would corrupt data).
+  * earlier block of that instant must be ignored by readers.
+  *
+  * Delete block content (`HoodieDeleteBlock`, the Hudi 0.9 vintage — the
+  * reference system's own stack, reference `pom.xml:24-29`):
+  * {{{
+  *   int32 content version
+  *   int32 payload length
+  *   payload: Kryo-serialized HoodieKey[] (kryo-shaded 4.x defaults:
+  *            registrationRequired=false → class NAMES on the wire,
+  *            reference tracking on, FieldSerializer over the two
+  *            String fields recordKey/partitionPath)
+  * }}}
+  * [[deleteKeys]]/[[deleteBlock]] read and write exactly that wire
+  * format with the Kryo on Spark's own classpath (same 4.x line),
+  * resolving the `org.apache.hudi.common.model.HoodieKey` class name to
+  * a field-compatible local shim — later Hudi versions moved the payload
+  * to Avro and fail loudly here.
   */
 object HudiLogFormat {
 
@@ -161,6 +175,47 @@ object HudiLogFormat {
     }
   }
 
+  // ----------------------------------------------------------------------
+  // delete blocks (Hudi 0.9-vintage Kryo payload)
+  // ----------------------------------------------------------------------
+
+  /** Decode a delete block into `(recordKey, partitionPath)` pairs.
+    * Payloads that are not the 0.9-vintage Kryo `HoodieKey[]` (newer
+    * Hudi moved deletes to an Avro record) fail LOUDLY — silently
+    * ignoring a delete block would resurrect deleted rows. */
+  def deleteKeys(block: LogBlock): Seq[(String, String)] = {
+    require(block.blockType == TypeDelete,
+      s"not a delete block (type ${block.blockType})")
+    try {
+      val d = new DataInputStream(new ByteArrayInputStream(block.content))
+      d.readInt() // content version (sanity only; the payload self-describes)
+      val len = d.readInt()
+      require(len >= 0 && len <= block.content.length - 8,
+        s"implausible delete block payload length $len")
+      val bytes = new Array[Byte](len)
+      d.readFully(bytes)
+      HudiKryo.readKeys(bytes)
+    } catch {
+      case e: EOFException => throw new IllegalStateException(
+        "malformed Hudi delete block (truncated content) — not the " +
+          "0.9-vintage HoodieKey[] serialization; newer delete-block " +
+          "formats are not supported, compact the table first", e)
+    }
+  }
+
+  /** Encode `(recordKey, partitionPath)` pairs as a 0.9-vintage delete
+    * block (content version 2, Kryo `HoodieKey[]` payload). */
+  def deleteBlock(instantTime: String, keys: Seq[(String, String)]): LogBlock = {
+    val payload = HudiKryo.writeKeys(keys)
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(2)
+    d.writeInt(payload.length)
+    d.write(payload)
+    d.flush()
+    LogBlock(TypeDelete, Map(HeaderInstantTime -> instantTime), bos.toByteArray)
+  }
+
   /** Apply rollback command blocks: drop every block whose INSTANT_TIME
     * is the TARGET_INSTANT_TIME of a later command block, and the command
     * blocks themselves. */
@@ -209,6 +264,93 @@ object HudiLogFormat {
     }
     d.flush()
     bos.toByteArray
+  }
+
+  /** Field-compatible stand-in for `org.apache.hudi.common.model
+    * .HoodieKey` (two String fields; Kryo's FieldSerializer matches by
+    * alphabetically-sorted field NAMES, so only the names and types
+    * matter). Public with a no-arg constructor so Kryo can instantiate
+    * it without objenesis. */
+  final class HudiKeyShim {
+    var recordKey: String = _
+    var partitionPath: String = _
+  }
+
+  /** Kryo bridge for the 0.9 delete-block payload. Wire-compat argument:
+    * Hudi 0.9's `SerializationUtils` is `new Kryo()` (kryo-shaded 4.0.2,
+    * registrationRequired=false, default reference tracking) +
+    * `writeClassAndObject` — this uses the SAME construction on Spark's
+    * kryo-shaded 4.0.3, so the byte layout matches by construction; the
+    * only difference, the class NAME on the wire, is bridged by a
+    * resolver that writes/reads the Hudi spelling for the local shim. */
+  private object HudiKryo {
+    import com.esotericsoftware.kryo.{Kryo, Registration}
+    import com.esotericsoftware.kryo.io.{Input, Output}
+    import com.esotericsoftware.kryo.util.{DefaultClassResolver, IdentityObjectIntMap, MapReferenceResolver}
+
+    private val HudiKeyName = "org.apache.hudi.common.model.HoodieKey"
+    private val HudiKeyArrayName = s"[L$HudiKeyName;"
+
+    private final class ShimResolver extends DefaultClassResolver {
+      override protected def getTypeByName(className: String): Class[_] =
+        className match {
+          case HudiKeyName => classOf[HudiKeyShim]
+          case HudiKeyArrayName => classOf[Array[HudiKeyShim]]
+          case _ => super.getTypeByName(className)
+        }
+
+      // identical to DefaultClassResolver.writeName except the shim
+      // classes go on the wire under their Hudi names
+      override protected def writeName(output: Output, tpe: Class[_],
+                                       registration: Registration): Unit = {
+        output.writeVarInt(DefaultClassResolver.NAME + 2, true)
+        if (classToNameId != null) {
+          val nameId = classToNameId.get(tpe, -1)
+          if (nameId != -1) { output.writeVarInt(nameId, true); return }
+        }
+        val nameId = nextNameId
+        nextNameId += 1
+        if (classToNameId == null) classToNameId = new IdentityObjectIntMap()
+        classToNameId.put(tpe, nameId)
+        output.writeVarInt(nameId, true)
+        val name =
+          if (tpe == classOf[HudiKeyShim]) HudiKeyName
+          else if (tpe == classOf[Array[HudiKeyShim]]) HudiKeyArrayName
+          else tpe.getName
+        output.writeString(name)
+      }
+    }
+
+    private def newKryo(): Kryo = {
+      val k = new Kryo(new ShimResolver, new MapReferenceResolver)
+      k.setRegistrationRequired(false)
+      k.setInstantiatorStrategy(new Kryo.DefaultInstantiatorStrategy())
+      k
+    }
+
+    def writeKeys(keys: Seq[(String, String)]): Array[Byte] = {
+      val arr = keys.map { case (key, part) =>
+        val s = new HudiKeyShim
+        s.recordKey = key
+        s.partitionPath = part
+        s
+      }.toArray
+      val out = new Output(1024, -1)
+      newKryo().writeClassAndObject(out, arr)
+      out.close()
+      out.toBytes
+    }
+
+    def readKeys(bytes: Array[Byte]): Seq[(String, String)] =
+      newKryo().readClassAndObject(new Input(bytes)) match {
+        case arr: Array[HudiKeyShim] =>
+          arr.toSeq.map(s => (s.recordKey, s.partitionPath))
+        case other => throw new IllegalStateException(
+          "Hudi delete block payload decoded to " +
+            s"${Option(other).map(_.getClass.getName).getOrElse("null")} — " +
+            "expected HoodieKey[] (the 0.9-vintage serialization); newer " +
+            "delete-block formats are not supported, compact the table first")
+      }
   }
 
   /** Encode records as an Avro data block (content version 3). */

@@ -40,9 +40,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    merged view is row-filtered (log records carry their delta-commit
   *    time).
   *
-  * Delete LOG blocks fail loudly ([[HudiLogFormat]] — their payload
-  * serialization changed across Hudi versions); row deletes via
-  * `_hoodie_is_deleted` payloads are fully supported.
+  * Row deletes are fully supported both ways Hudi expresses them:
+  * `_hoodie_is_deleted` payloads, and DELETE log blocks in the 0.9
+  * vintage the reference stack writes (Kryo `HoodieKey[]` payload,
+  * [[HudiLogFormat.deleteKeys]]) — tombstones participate in the
+  * latest-wins election, so a re-insert after a delete survives. Newer
+  * delete-block serializations fail loudly rather than resurrect rows.
   *
   * Scale notes: only file LISTINGS and log-block metadata touch the
   * driver, bounded by `maxFiles`; tables with many partition directories
@@ -260,15 +263,23 @@ object HudiRead {
       "MOR merge requires Hudi meta fields (_hoodie_record_key); " +
         "this table was written with hoodie.populate.meta.fields=false")
 
-    // decode log records on EXECUTORS, one task per file group
+    // decode log records on EXECUTORS, one task per file group. DELETE
+    // blocks (0.9-vintage Kryo HoodieKey[] payload, HudiLogFormat
+    // .deleteKeys) become tombstone rows that PARTICIPATE in the
+    // latest-wins election: a delete kills earlier records of its key,
+    // a later re-insert wins over the delete — exactly the log-merge
+    // order Hudi applies.
     import scala.jdk.CollectionConverters._
     val props = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toArray)
     val visibleB = spark.sparkContext.broadcast(completed.filter(_ <= ceiling))
     val groups = logGroups.toSeq.map { case (_, files) => files.map(_.path) }
-    val rowSchema = StructType(schema.fields :+
-      StructField("_graft_log_seq", LongType, nullable = false))
+    // tombstone rows carry nulls in the data columns → everything nullable
+    val rowSchema = StructType(schema.fields.map(_.copy(nullable = true)) :+
+      StructField("_graft_log_seq", LongType, nullable = false) :+
+      StructField("_graft_log_del", org.apache.spark.sql.types.BooleanType,
+        nullable = false))
     val logRows = spark.sparkContext
       .parallelize(groups, math.max(1, groups.size))
       .flatMap { paths =>
@@ -280,11 +291,6 @@ object HudiRead {
           val in = fs.open(p)
           try HudiLogFormat.readBlocks(in) finally in.close()
         }
-        val deletes = blocks.filter(_.blockType == HudiLogFormat.TypeDelete)
-        if (deletes.nonEmpty) throw new IllegalStateException(
-          "Hudi DELETE log blocks present — their payload serialization " +
-            "varies across Hudi versions and is not supported; use " +
-            "_hoodie_is_deleted payloads or compact the table first")
         // rollbacks applied, then block-level read isolation: only blocks
         // whose instant is a completed delta commit ≤ ceiling are visible
         val visible = HudiLogFormat.effectiveBlocks(blocks)
@@ -292,33 +298,47 @@ object HudiRead {
             b.header.getOrElse(HudiLogFormat.HeaderInstantTime, "")))
           .sortBy(b => b.header.getOrElse(HudiLogFormat.HeaderInstantTime, ""))
         visible.iterator.zipWithIndex.flatMap { case (b, blockIdx) =>
-          HudiLogFormat.avroRecords(b).iterator.zipWithIndex.map {
-            case (rec, recIdx) =>
-              val base = AvroConvert.toRow(rec, schema)
-              Row.fromSeq(base.toSeq :+ (blockIdx.toLong << 32 | recIdx.toLong))
-          }
+          def seq(recIdx: Int) = blockIdx.toLong << 32 | recIdx.toLong
+          if (b.blockType == HudiLogFormat.TypeDelete)
+            HudiLogFormat.deleteKeys(b).iterator.zipWithIndex.map {
+              case ((key, part), recIdx) =>
+                val vals = schema.fields.map(_.name match {
+                  case "_hoodie_record_key" => key
+                  case "_hoodie_partition_path" => part
+                  case _ => null
+                })
+                Row.fromSeq(vals.toSeq :+ seq(recIdx) :+ true)
+            }
+          else
+            HudiLogFormat.avroRecords(b).iterator.zipWithIndex.map {
+              case (rec, recIdx) =>
+                val base = AvroConvert.toRow(rec, schema)
+                Row.fromSeq(base.toSeq :+ seq(recIdx) :+ false)
+            }
         }
       }
     val logDf = spark.createDataFrame(logRows, rowSchema)
     // latest-wins election: map-side-combined hash aggregate (max_by over
-    // the within-group sequence), never a window over the key
-    val payload = struct(schema.fieldNames.map(col): _*)
-    val latest = logDf
+    // the within-group sequence), never a window over the key. Tombstones
+    // are elected like any record — an elected tombstone still SHADOWS
+    // the base row (anti join below) but emits nothing.
+    val payload = struct((schema.fieldNames :+ "_graft_log_del").map(col): _*)
+    val elected = logDf
       .groupBy(col("_hoodie_record_key").as("_graft_key"))
       .agg(max_by(payload, col("_graft_log_seq")).as("_graft_row"))
-      .select(schema.fieldNames.map(n => col(s"_graft_row.$n").as(n)): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val latest = elected.where(!col("_graft_row._graft_log_del"))
+      .select(schema.fieldNames.map(n => col(s"_graft_row.$n").as(n)): _*)
     // The log side is SMALL by the MOR contract (uncompacted deltas only —
     // that's why compaction exists), so broadcast it while it fits and the
     // base scan never shuffles; a table sitting on an overdue compaction
     // falls back to a shuffle join rather than OOMing the driver.
-    val nLog = latest.count()
-    val logSide =
-      if (nLog <= MaxBroadcastLogRecords) broadcast(latest) else latest
+    val nLog = elected.count()
+    val keys = elected.select(col("_graft_key").as("_hoodie_record_key"))
+    val keySide = if (nLog <= MaxBroadcastLogRecords) broadcast(keys) else keys
     val merged = baseDf match {
       case Some(b) =>
-        b.join(logSide.select("_hoodie_record_key"), Seq("_hoodie_record_key"),
-            "left_anti")
+        b.join(keySide, Seq("_hoodie_record_key"), "left_anti")
           .select(schema.fieldNames.map(col): _*)
           .unionByName(latest)
       case None => latest

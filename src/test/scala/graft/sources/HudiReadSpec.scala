@@ -254,16 +254,57 @@ class HudiReadSpec extends SparkSuite {
       ("k7", "cam", T2)))
   }
 
-  test("Hudi DELETE log blocks fail loudly, never silently resurrect rows") {
+  test("delete block payload: Kryo HoodieKey[] round-trips under the Hudi wire name") {
+    val block = HudiLogFormat.deleteBlock(T2,
+      Seq(("k1", "dt=2024-01-01"), ("k2", "")))
+    // the wire carries the HUDI class name (what 0.9 writers emit and
+    // expect), never the local shim's
+    val wire = new String(block.content,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(wire.contains("org.apache.hudi.common.model.HoodieKe"),
+      "payload must carry the Hudi class name on the wire")
+    assert(!wire.contains("graft"), "local shim name leaked onto the wire")
+    assert(HudiLogFormat.deleteKeys(block) ===
+      Seq(("k1", "dt=2024-01-01"), ("k2", "")))
+  }
+
+  test("DELETE log blocks (0.9 Kryo payload) drop keys; later re-insert wins") {
+    val t = buildMorTable() // post-T2: k1 gadget, k4 gear, k7 cam
+    val p1 = t.resolve("dt=2024-01-01")
+    val T5 = "20240105090000000"
+    val T6 = "20240106090000000"
+    // T5 delta commit: hard-delete k1 and k4 via a delete block (k9 never
+    // existed — deleting an absent key is a no-op, like Hudi)
+    writeLog(p1, "fgA", T1, 3, Seq(HudiLogFormat.deleteBlock(T5,
+      Seq(("k1", "dt=2024-01-01"), ("k4", "dt=2024-01-01"),
+        ("k9", "dt=2024-01-01")))))
+    Files.writeString(t.resolve(".hoodie").resolve(s"$T5.deltacommit"), "{}")
+    assert(morRows(HudiRead.snapshot(spark, t.toString)) ===
+      Seq(("k7", "cam", T2)))
+    // time travel BEFORE the delete still sees the full merged view
+    assert(morRows(HudiRead.snapshot(spark, t.toString, asOf = Some(T2)))
+      .map(_._1) === Seq("k1", "k4", "k7"))
+    // T6: re-insert k1 — the later record must win over the tombstone
+    writeLog(p1, "fgA", T1, 4, Seq(HudiLogFormat.avroDataBlock(T6, MorAvroSchema,
+      Seq(avroRec("k1", T6, 1L, "reborn")))))
+    Files.writeString(t.resolve(".hoodie").resolve(s"$T6.deltacommit"), "{}")
+    assert(morRows(HudiRead.snapshot(spark, t.toString)) ===
+      Seq(("k1", "reborn", T6), ("k7", "cam", T2)))
+  }
+
+  test("a NON-0.9 delete block payload fails loudly, never resurrects rows") {
     val t = buildMorTable()
     val p1 = t.resolve("dt=2024-01-01")
+    // truncated content (version int only) — not the 0.9 layout
     writeLog(p1, "fgA", T1, 3, Seq(HudiLogFormat.LogBlock(
       HudiLogFormat.TypeDelete,
       Map(HudiLogFormat.HeaderInstantTime -> T2), Array[Byte](0, 0, 0, 2))))
     val e = intercept[org.apache.spark.SparkException](
       HudiRead.snapshot(spark, t.toString).collect())
-    assert(e.getMessage.contains("DELETE log blocks") ||
-      Option(e.getCause).exists(_.getMessage.contains("DELETE log blocks")))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).filter(_ != null).toSeq
+    assert(msgs.exists(m => m.contains("delete block") ||
+      m.contains("implausible delete block")), msgs.mkString(" | "))
   }
 
   test("latest-wins ordering across MULTIPLE log files and instants") {
