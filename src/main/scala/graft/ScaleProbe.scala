@@ -331,6 +331,27 @@ object ScaleProbe {
           .listAllFiles(spark, root.toString, maxFiles = 200000).size.toLong
       }
     }
+    // Iceberg snapshot planning at production manifest counts: 64
+    // manifests × 2000 entries = 128k files. Manifest parsing is
+    // EXECUTOR-PARALLEL (one task per manifest) — wall-time must be
+    // bounded by manifests/parallelism, not a serial driver loop.
+    if (only.forall("iceberg_manifests_plan".contains)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-ice-manifests").toString
+      (1 to 64).foreach { s =>
+        graft.sink.IcebergWrite.commitEntries(spark, root,
+          (0 until 2000).map(f => graft.sink.IcebergWrite.FileEntry(
+            s"$root/data/s$s-f$f.parquet", 0, s.toLong)),
+          schemaFields = Seq((1, "id", "long")), snapshotId = s.toLong)
+      }
+      time("iceberg_manifests_plan") {
+        val list = graft.sources.IcebergRead
+          .snapshotManifests(spark, root).last.manifestList
+        val (data, _, _) = graft.sources.IcebergRead
+          .snapshotFiles(spark, list, maxFiles = 200000)
+        data.size.toLong
+      }
+    }
     // Delta deletion vectors at row scale: DV-delete a third of a 5M-row
     // table, then read the snapshot. The read-side shape under test is
     // executor-parallel bitmap expansion + ONE anti join against the

@@ -35,19 +35,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    id → name). Per-entry sequence numbers inherit from the manifest
   *    list when null, per the v2 inheritance rule.
   *
-  * Scale notes: the driver reads metadata JSON + manifest Avro (the same
-  * planning data every Iceberg client loads, bounded by `maxFiles`); the
-  * data path is one parquet scan with pushdown/pruning intact, and each
-  * delete class adds one anti join whose build side is the delete files'
-  * own scan — nothing is materialized on the driver. */
+  * Scale notes: the driver reads the metadata JSON and manifest LISTS
+  * (small — one record per manifest); the MANIFESTS themselves parse
+  * EXECUTOR-PARALLEL once a snapshot has more than a handful (wall-time
+  * bounded by manifests/parallelism, like real Iceberg clients — probed
+  * at 64 manifests in [[graft.ScaleProbe]]). Entry state is bounded by
+  * `maxFiles`; the data path is one parquet scan with pushdown/pruning
+  * intact, and each delete class adds one anti join whose build side is
+  * the delete files' own scan — nothing else is materialized on the
+  * driver. */
 object IcebergRead {
 
   private def mapper = DocPushdown.jsonMapper
 
   /** A snapshot file with its data sequence number. */
-  private final case class Tracked(path: String, seq: Long)
+  private[graft] final case class Tracked(path: String, seq: Long)
   /** Equality-delete files sharing one `equality_ids` list. */
-  private final case class EqGroup(fieldIds: Seq[Int], files: Seq[Tracked])
+  private[graft] final case class EqGroup(fieldIds: Seq[Int], files: Seq[Tracked])
 
   /** Resolve the current metadata file: `version-hint.text` if present
     * (Hadoop tables), else the highest `vN.metadata.json`. */
@@ -74,9 +78,13 @@ object IcebergRead {
   }
 
   /** Iterate the records of one Avro object-container file. */
-  private[graft] def avroRecords(spark: SparkSession, path: String): Seq[GenericRecord] = {
+  private[graft] def avroRecords(spark: SparkSession, path: String): Seq[GenericRecord] =
+    avroRecordsConf(spark.sparkContext.hadoopConfiguration, path)
+
+  private def avroRecordsConf(conf: org.apache.hadoop.conf.Configuration,
+                              path: String): Seq[GenericRecord] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val stream = new DataFileStream[GenericRecord](in,
       new GenericDatumReader[GenericRecord]())
@@ -90,47 +98,90 @@ object IcebergRead {
   private def optField(r: GenericRecord, name: String): Option[AnyRef] =
     Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
+  /** One `manifest_entry`, flattened to a serializable shape so manifest
+    * parsing can run on EXECUTORS. */
+  private final case class RawEntry(status: Int, content: Int, path: String,
+                                    seq: Option[Long],
+                                    entrySnapshotId: Option[Long],
+                                    equalityIds: Seq[Int], format: String)
+
+  private def parseManifest(conf: org.apache.hadoop.conf.Configuration,
+                            manifestPath: String): Seq[RawEntry] =
+    avroRecordsConf(conf, manifestPath).map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      import scala.jdk.CollectionConverters._
+      val ids = optField(df, "equality_ids").map {
+        case l: java.util.List[_] => // incl. GenericData.Array
+          l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
+        case other => throw new IllegalStateException(
+          s"unexpected equality_ids representation ${other.getClass.getName}")
+      }.getOrElse(Seq.empty)
+      RawEntry(
+        e.get("status").asInstanceOf[Int],
+        optField(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+        df.get("file_path").toString,
+        optField(e, "sequence_number")
+          .collect { case l: java.lang.Long => l.longValue },
+        Option(e.get("snapshot_id")).collect { case n: Number => n.longValue },
+        ids,
+        df.get("file_format").toString)
+    }
+
+  /** Parse many manifests — serially for a handful, EXECUTOR-PARALLEL
+    * beyond that (ship the hadoop conf as plain props, one task per
+    * manifest): a snapshot with thousands of manifests pays
+    * manifests/parallelism wall-time instead of a serial driver loop,
+    * the same shape as [[HudiRead.listAllFiles]]. */
+  private def parseManifests(spark: SparkSession, paths: Seq[String])
+      : Map[String, Seq[RawEntry]] = {
+    val distinct = paths.distinct
+    if (distinct.size <= 8) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      distinct.map(p => p -> parseManifest(conf, p)).toMap
+    } else {
+      import scala.jdk.CollectionConverters._
+      val props = spark.sparkContext.broadcast(
+        spark.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray)
+      spark.sparkContext
+        .parallelize(distinct, math.min(distinct.size,
+          spark.sparkContext.defaultParallelism * 2))
+        .map { p =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          props.value.foreach { case (k, v) => conf.set(k, v) }
+          p -> parseManifest(conf, p)
+        }.collect().toMap
+    }
+  }
+
   /** Data, position-delete, and equality-delete files of one snapshot,
     * each with its data sequence number (entry-level, inheriting from the
     * manifest list entry when null — the v2 inheritance rule). */
-  private def snapshotFiles(spark: SparkSession, manifestList: String,
-                            maxFiles: Int): (Seq[Tracked], Seq[Tracked], Seq[EqGroup]) = {
+  private[graft] def snapshotFiles(spark: SparkSession, manifestList: String,
+                                   maxFiles: Int): (Seq[Tracked], Seq[Tracked], Seq[EqGroup]) = {
     val manifests = avroRecords(spark, manifestList).map { m =>
       val seq = optField(m, "sequence_number")
         .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
       (m.get("manifest_path").toString, seq)
     }
+    val parsed = parseManifests(spark, manifests.map(_._1))
     val data = scala.collection.mutable.ArrayBuffer.empty[Tracked]
     val posDeletes = scala.collection.mutable.ArrayBuffer.empty[Tracked]
     val eqDeletes = scala.collection.mutable.ArrayBuffer.empty[(Seq[Int], Tracked)]
     manifests.foreach { case (m, manifestSeq) =>
-      avroRecords(spark, m).foreach { entry =>
-        val status = entry.get("status").asInstanceOf[Int]
-        if (status != 2) { // 2 = DELETED entry
-          val seq = optField(entry, "sequence_number")
-            .collect { case l: java.lang.Long => l.longValue }
-            .getOrElse(manifestSeq)
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = optField(df, "content")
-            .map(_.asInstanceOf[Int]).getOrElse(0)
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"unsupported Iceberg file format $fmt")
-          val tracked = Tracked(df.get("file_path").toString, seq)
-          content match {
+      parsed(m).foreach { entry =>
+        if (entry.status != 2) { // 2 = DELETED entry
+          val seq = entry.seq.getOrElse(manifestSeq)
+          require(entry.format.equalsIgnoreCase("PARQUET"),
+            s"unsupported Iceberg file format ${entry.format}")
+          val tracked = Tracked(entry.path, seq)
+          entry.content match {
             case 0 => data += tracked
             case 1 => posDeletes += tracked
             case 2 =>
-              import scala.jdk.CollectionConverters._
-              val ids = optField(df, "equality_ids").map {
-                case l: java.util.List[_] =>
-                  l.asScala.map(_.asInstanceOf[Number].intValue).toSeq
-                case a: org.apache.avro.generic.GenericData.Array[_] =>
-                  a.asScala.map(_.asInstanceOf[Number].intValue).toSeq
-              }.getOrElse(Seq.empty)
-              require(ids.nonEmpty,
+              require(entry.equalityIds.nonEmpty,
                 s"equality-delete file ${tracked.path} has no equality_ids")
-              eqDeletes += ((ids, tracked))
+              eqDeletes += ((entry.equalityIds, tracked))
             case other => throw new IllegalArgumentException(
               s"unknown Iceberg data_file.content=$other in $m")
           }
@@ -229,29 +280,32 @@ object IcebergRead {
             "not append-only, incremental read cannot express it as inserts")
       }
     }
+    // manifest lists are small (one record per manifest) — read them on
+    // the driver; the MANIFESTS (where the entry volume is) parse
+    // executor-parallel across the whole slice
+    val lists = snaps.map { s =>
+      s.id -> avroRecords(spark, s.manifestList).map { m =>
+        (m.get("manifest_path").toString,
+          optField(m, "added_snapshot_id")
+            .collect { case n: Number => n.longValue })
+      }
+    }
+    val parsed = parseManifests(spark, lists.flatMap(_._2.map(_._1)))
     val added = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    snaps.foreach { case SnapshotRef(sid, manifestList, _) =>
-      avroRecords(spark, manifestList).foreach { m =>
-        val addedSnapshotId = optField(m, "added_snapshot_id")
-          .collect { case n: Number => n.longValue }
-        avroRecords(spark, m.get("manifest_path").toString).foreach { e =>
-          val status = e.get("status").asInstanceOf[Int]
-          val entrySnap = Option(e.get("snapshot_id"))
-            .collect { case n: Number => n.longValue }
-            .orElse(addedSnapshotId)
+    lists.foreach { case (sid, manifests) =>
+      manifests.foreach { case (m, addedSnapshotId) =>
+        parsed(m).foreach { e =>
+          val entrySnap = e.entrySnapshotId.orElse(addedSnapshotId)
           val inThis = entrySnap.contains(sid)
-          if (inThis && status == 2) throw new IllegalArgumentException(
+          if (inThis && e.status == 2) throw new IllegalArgumentException(
             s"snapshot $sid deletes files — the history is " +
               "not append-only, incremental read cannot express it " +
               "as inserts")
-          if (inThis && status == 1) {
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            val content = optField(df, "content")
-              .map(_.asInstanceOf[Int]).getOrElse(0)
-            if (content != 0) throw new IllegalArgumentException(
-              s"snapshot $sid adds a delete file (content=$content) — " +
+          if (inThis && e.status == 1) {
+            if (e.content != 0) throw new IllegalArgumentException(
+              s"snapshot $sid adds a delete file (content=${e.content}) — " +
                 "the history is not append-only")
-            added += ((sid, df.get("file_path").toString))
+            added += ((sid, e.path))
           }
         }
       }
