@@ -380,6 +380,37 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9 / math.max(1L, merges)}%.2f")
       merges
     }
+    // Sampled BPE at a production-shaped k: 512 sequential greedy rounds
+    // on a 10% sample. s/rank is the planning number for real vocabs —
+    // exact greedy BPE is sequential in k, so k=32,000 extrapolates
+    // linearly from this (learn sampled, encode full).
+    time("bpe_learn512_sampled") {
+      val t0 = System.nanoTime()
+      val merges = graft.ops.TextOps.bpeLearnMerges(docs, 512,
+        sampleFraction = Some(0.1)).count()
+      System.err.println(f"[probe] bpe_learn512 s/rank=${
+        (System.nanoTime() - t0) / 1e9 / math.max(1L, merges)}%.2f")
+      merges
+    }
+    // Sample-vs-full merge AGREEMENT: how faithful is 10%-sampled
+    // learning to the full-corpus vocabulary? Reported as exact
+    // same-rank prefix matches and as merged-token set overlap — the
+    // fidelity number behind the "learn sampled" guidance.
+    time("bpe_sample_agreement") {
+      val k = 128
+      def merges(sample: Option[Double]) =
+        graft.ops.TextOps.bpeLearnMerges(docs, k, sampleFraction = sample)
+          .orderBy("merge_rank").select("merged").as[String](
+            org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      val full = merges(None)
+      val sampled = merges(Some(0.1))
+      val sameRank = full.zip(sampled).count { case (a, b) => a == b }
+      val overlap = (full.toSet & sampled.toSet).size
+      System.err.println(
+        s"[probe] bpe k=$k sample-vs-full: same-rank $sameRank/${full.size}, " +
+          s"set overlap $overlap/${full.size}")
+      overlap.toLong
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {

@@ -1160,6 +1160,20 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("doc_id")),
 
+    /** REAL conv/pool embedding leg ([[graft.ops.Multimodal.ImageIoCodec
+      * .convEnergies]]): PNG-decode each fixture image, run a fixed 3×3
+      * filter bank (Sobel-x/Sobel-y/Laplacian) over the R-channel raster
+      * with an abs nonlinearity and global sum pooling — integer conv
+      * energies a channel mean cannot fake. The oracle replays the
+      * convolution arithmetically from the pixel formula, certifying
+      * real neighborhood access into decoded rasters. */
+    "media_conv_embed" -> ((s, d) =>
+      Multimodal.imageConvEmbed(
+          Multimodal.synthesizeImages(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("grad_x_energy"), col("grad_y_energy"),
+          col("lap_energy"))
+        .orderBy("doc_id")),
+
     /** REAL multi-frame decode ([[graft.ops.Multimodal.GifCodec]]): one
       * fixture ANIMATED GIF per doc (indexed gray palette, LZW — lossless,
       * the JDK's honest video-container analog), every frame decoded via
@@ -2361,6 +2375,36 @@ object SparkEntry {
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
         CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
       FROM expanded GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    /** Arithmetic replay of the 3×3 conv bank over the fixture-pixel
+      * formula: v(x,y) is the R-channel value, the three outputs are
+      * Σ|sobel_x|, Σ|sobel_y|, Σ|laplacian| over interior pixels — the
+      * Spark side must really decode the PNG and do neighborhood math on
+      * the raster to reproduce them. */
+    "media_conv_embed" -> """
+      WITH px AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      pos AS (
+        SELECT doc_id, w, h, unnest(range((w - 2) * (h - 2))) AS p FROM px),
+      xy AS (
+        SELECT doc_id, w, 1 + p % (w - 2) AS x, 1 + p // (w - 2) AS y FROM pos),
+      n AS (
+        SELECT doc_id,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x-1)) * 7) % 256 AS vmm,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x  )) * 7) % 256 AS vm0,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x+1)) * 7) % 256 AS vmp,
+          ((doc_id % 100003) * 31 + ((y  )*w + (x-1)) * 7) % 256 AS v0m,
+          ((doc_id % 100003) * 31 + ((y  )*w + (x  )) * 7) % 256 AS v00,
+          ((doc_id % 100003) * 31 + ((y  )*w + (x+1)) * 7) % 256 AS v0p,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x-1)) * 7) % 256 AS vpm,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x  )) * 7) % 256 AS vp0,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x+1)) * 7) % 256 AS vpp
+        FROM xy)
+      SELECT doc_id,
+        CAST(SUM(ABS((vmp + 2*v0p + vpp) - (vmm + 2*v0m + vpm))) AS BIGINT) AS grad_x_energy,
+        CAST(SUM(ABS((vpm + 2*vp0 + vpp) - (vmm + 2*vm0 + vmp))) AS BIGINT) AS grad_y_energy,
+        CAST(SUM(ABS(4*v00 - v0m - v0p - vm0 - vp0)) AS BIGINT) AS lap_energy
+      FROM n GROUP BY doc_id ORDER BY doc_id""",
 
     /** Arithmetic replay of the fixture-GIF pixel formula (the Spark side
       * must invert a real LZW-compressed animated-GIF round trip, frame by

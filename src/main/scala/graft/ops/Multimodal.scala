@@ -83,15 +83,61 @@ object Multimodal {
       }
     }
 
+    /** Fixed 3×3 convolution bank over the REAL decoded R-channel
+      * raster, abs nonlinearity, global sum pooling: Sobel-x, Sobel-y,
+      * and Laplacian response energies — a deterministic, weights-free
+      * embedding leg (gradient/structure signal a channel mean cannot
+      * fake). INTEGER-exact so an arithmetic oracle replays it
+      * bit-for-bit. None when the payload isn't a decodable image of at
+      * least 3×3. */
+    def convEnergies(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth < 3 || img.getHeight < 3) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val r = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+          y += 1
+        }
+        var gxE = 0L; var gyE = 0L; var lapE = 0L
+        y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            def v(dy: Int, dx: Int) = r((y + dy) * w + (x + dx))
+            val gx = (v(-1, 1) + 2 * v(0, 1) + v(1, 1)) -
+              (v(-1, -1) + 2 * v(0, -1) + v(1, -1))
+            val gy = (v(1, -1) + 2 * v(1, 0) + v(1, 1)) -
+              (v(-1, -1) + 2 * v(-1, 0) + v(-1, 1))
+            val lap = 4 * v(0, 0) - v(0, -1) - v(0, 1) - v(-1, 0) - v(1, 0)
+            gxE += math.abs(gx); gyE += math.abs(gy); lapE += math.abs(lap)
+            x += 1
+          }
+          y += 1
+        }
+        Some((gxE, gyE, lapE))
+      }
+    }
+
     /** Feature vector ([[DecodeStub.FeatureDim]]-wide, same contract): for
-      * decodable images [w, h, channels, meanR, meanG, meanB, 0, 0] over
-      * real pixels; otherwise the stub's byte statistics. */
+      * decodable images [w, h, channels, meanR, meanG, meanB,
+      * gradXEnergy/n, gradYEnergy/n] — ALL dims real decoded-pixel
+      * statistics (the last two from [[convEnergies]]'s conv bank);
+      * otherwise the stub's byte statistics (non-image payloads — the
+      * remaining documented seam). */
     def features(bytes: Array[Byte]): Array[Float] =
       decodeStats(bytes) match {
         case Some(s) =>
           val n = (s.width.toLong * s.height).toFloat
+          val (gxE, gyE, _) = convEnergies(bytes).getOrElse((0L, 0L, 0L))
           Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
-            s.sumR / n, s.sumG / n, s.sumB / n, 0f, 0f)
+            s.sumR / n, s.sumG / n, s.sumB / n, gxE / n, gyE / n)
         case None => DecodeStub.features(bytes)
       }
 
@@ -660,6 +706,28 @@ object Multimodal {
           case Some(s) => Row.fromSeq(r.toSeq ++ Seq[Any](
             s.width, s.height, s.channels, s.sumR, s.sumG, s.sumB))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL conv-bank embedding over decoded pixels
+    * ([[ImageIoCodec.convEnergies]]): Sobel-x / Sobel-y / Laplacian
+    * response energies (abs nonlinearity, global sum pool) — integer-
+    * exact, so the DuckDB oracle replays the numbers arithmetically from
+    * the fixture-pixel formula. Null row for undecodable payloads. */
+  def imageConvEmbed(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("grad_x_energy", LongType))
+      .add(StructField("grad_y_energy", LongType))
+      .add(StructField("lap_energy", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        ImageIoCodec.convEnergies(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some((gx, gy, lap)) => Row.fromSeq(r.toSeq ++ Seq(gx, gy, lap))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
       }
     }

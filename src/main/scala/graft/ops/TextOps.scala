@@ -527,11 +527,22 @@ object TextOps {
         case Some(Row(pair: String, n: Long)) =>
           val merged = pair.replace(" ", "")
           learned += ((rank, pair, merged, n))
-          val next = cur.select(
+          val step = cur.select(
             replace(replace(col("s"), lit(s" $pair "), lit(s" $merged ")),
               lit(s" $pair "), lit(s" $merged ")).as("s"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
+          // persist materializes each round, but the LOGICAL plan still
+          // stacks one projection per rank — past a few hundred ranks the
+          // analyzer recursion overflows the stack (hit at k=512 in
+          // ScaleProbe). localCheckpoint re-roots the plan in a
+          // LogicalRDD every few dozen ranks, keeping plan depth bounded
+          // whatever k is.
+          val next =
+            if (rank % 32 == 0) step.localCheckpoint(true)
+            else {
+              val n2 = step.persist(StorageLevel.MEMORY_AND_DISK)
+              n2.count()
+              n2
+            }
           cur.unpersist()
           cur = next
           rank += 1

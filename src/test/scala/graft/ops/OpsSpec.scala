@@ -414,6 +414,44 @@ class OpsSpec extends SparkSuite {
       === Multimodal.DecodeStub.features(garbage).toSeq)
   }
 
+  test("convEnergies: Sobel/Laplacian energies match a reference convolution") {
+    val id = 42L
+    val (w, h) = Multimodal.FixtureImage.dims(id)
+    val png = Multimodal.FixtureImage.png(id)
+    def v(x: Int, y: Int) =
+      Multimodal.FixtureImage.channel(id, y.toLong * w + x, 0)
+    var gx = 0L; var gy = 0L; var lap = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      gx += math.abs((v(x + 1, y - 1) + 2 * v(x + 1, y) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x - 1, y) + v(x - 1, y + 1)))
+      gy += math.abs((v(x - 1, y + 1) + 2 * v(x, y + 1) + v(x + 1, y + 1)) -
+        (v(x - 1, y - 1) + 2 * v(x, y - 1) + v(x + 1, y - 1)))
+      lap += math.abs(4 * v(x, y) - v(x - 1, y) - v(x + 1, y) -
+        v(x, y - 1) - v(x, y + 1))
+    }
+    assert(Multimodal.ImageIoCodec.convEnergies(png) === Some((gx, gy, lap)),
+      "conv energies must equal the direct convolution of the formula pixels")
+    // the features vector's last two dims now carry REAL gradient signal
+    val f = Multimodal.ImageIoCodec.features(png)
+    val n = (w.toLong * h).toFloat
+    assert(f(6) === gx / n && f(7) === gy / n)
+    // non-images and sub-3x3 rasters: None, no fake numbers
+    assert(Multimodal.ImageIoCodec.convEnergies("junk".getBytes).isEmpty)
+    assert(Multimodal.ImageIoCodec.convEnergies(
+      Multimodal.ImageIoCodec.encodePng(2, 2, (_, _) => 0)).isEmpty)
+  }
+
+  test("imageConvEmbed pipeline: partition-wise conv embedding, null for junk") {
+    val df = Multimodal.imageConvEmbed(Multimodal.synthesizeImages(
+      Seq(7L, 8L).toDF("doc_id")))
+    val rows = df.select("doc_id", "grad_x_energy", "grad_y_energy", "lap_energy")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.size === 2 && rows.forall(r => r._2 > 0 && r._3 > 0 && r._4 > 0))
+    val junk = Multimodal.imageConvEmbed(
+      Seq((1L, "nope".getBytes)).toDF("doc_id", "media"))
+    assert(junk.where("grad_x_energy IS NULL").count() === 1L)
+  }
+
   test("imageStats pipeline decodes synthesized PNGs partition-wise") {
     val df = Multimodal.imageStats(Multimodal.synthesizeImages(
       Seq(1L, 2L, 3L).toDF("doc_id")))
