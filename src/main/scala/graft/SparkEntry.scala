@@ -1412,6 +1412,85 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    /** MOR with a 0.9-vintage DELETE log block: base at t1, updates at
+      * t2 (orderkey%10), then a Kryo `HoodieKey[]` delete block at t3
+      * hard-deleting orderkey%7 — the merged read must apply update,
+      * tombstone, AND their election order through the real log-format
+      * bytes ([[graft.sources.HudiLogFormat.deleteKeys]]). */
+    "lake_hudi_mor_delete" -> ((s, d) => {
+      val root = lakeTmp(d, "hudimordel")
+      val t1 = "20240101000000000"; val t2 = "20240102000000000"
+      val t3 = "20240103000000000"
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("string").as("_hoodie_record_key"),
+        lit(t1).as("_hoodie_commit_time"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.HudiMorWrite.writeBase(base, root, "part=0", "fg1", t1)
+      val updates = base.where(col("o_orderkey") % 10 === 0).select(
+        col("_hoodie_record_key"), lit(t2).as("_hoodie_commit_time"),
+        col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.sink.HudiMorWrite.appendLog(updates, root, "part=0", "fg1", t1, t2)
+      val doomed = base.where(col("o_orderkey") % 7 === 0)
+        .select("_hoodie_record_key").collect()
+        .map(r => (r.getString(0), "part=0")).toSeq
+      graft.sink.HudiMorWrite.appendDeleteLog(s, doomed, root, "part=0",
+        "fg1", t1, t3)
+      graft.sources.HudiRead.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    /** Change Data Feed over a COLUMN-MAPPED (name-mode) Delta table:
+      * files carry physical column names (`c-1`/`c-2`), the log carries
+      * the mapping metadata, and the CDF read must scan physically,
+      * synthesize insert/delete classes across two versions, and restore
+      * the logical spelling — the round-9 gate, now a graded query. */
+    "lake_delta_cdf_mapped" -> ((s, d) => {
+      val root = lakeTmp(d, "deltacdfmap")
+      val jq = (x: String) => graft.sources.DocPushdown.jsonMapper.writeValueAsString(x)
+      def physWrite(sub: String, df: org.apache.spark.sql.DataFrame): (String, Long) = {
+        val tmp = java.nio.file.Files.createTempDirectory("cdfmap")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, sub))
+        val target = java.nio.file.Paths.get(root, sub, "f.parquet")
+        java.nio.file.Files.copy(part, target)
+        (s"$sub/f.parquet", java.nio.file.Files.size(target))
+      }
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey").as("c-1"), col("o_totalprice").as("c-2"))
+      val mod = t(s, d, "orders").select(col("o_orderkey").as("c-1"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("c-2"))
+      val (p0, sz0) = physWrite("d0", src)
+      val (p1, sz1) = physWrite("d1", mod)
+      def fld(n: String, p: String, t: String, id: Int) =
+        s"""{"name":"$n","type":"$t","nullable":true,"metadata":{""" +
+          s""""delta.columnMapping.physicalName":"$p","delta.columnMapping.id":$id}}"""
+      val schemaStr = s"""{"type":"struct","fields":[${
+        fld("okey", "c-1", "long", 1)},${fld("oprice", "c-2", "double", 2)}]}"""
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+          s"""{"metaData":{"id":"m1","partitionColumns":[],"schemaString":${
+            jq(schemaStr)},"format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+          s"""{"add":{"path":"$p0","partitionValues":{},"size":$sz0,"modificationTime":1,"dataChange":true}}""" + "\n")
+      java.nio.file.Files.writeString(logDir.resolve(f"${1L}%020d.json"),
+        s"""{"remove":{"path":"$p0","dataChange":true}}""" + "\n" +
+          s"""{"add":{"path":"$p1","partitionValues":{},"size":$sz1,"modificationTime":2,"dataChange":true}}""" + "\n")
+      graft.sources.DeltaRead.changes(s, root, 0L, 1L)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
+          sum(col("oprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("_commit_version", "_change_type")
+    }),
+
     /** Iceberg v2: data files + POSITION-delete files (orderkey%4 rows,
       * positions taken from Spark's own `_metadata.row_index` on
       * read-back) committed through the metadata chain, then the
@@ -2722,6 +2801,31 @@ object SparkEntry {
                CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
                     ELSE o_totalprice END AS o_totalprice
         FROM orders) t
+      GROUP BY 1 ORDER BY 1""",
+
+    "lake_delta_cdf_mapped" -> """
+      WITH src AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      mod AS (SELECT k, CASE WHEN k % 10 = 0 THEN p + 1000 ELSE p END AS p
+              FROM src),
+      feed AS (
+        SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+               k, p FROM src
+        UNION ALL SELECT CAST(1 AS BIGINT), 'delete', k, p FROM src
+        UNION ALL SELECT CAST(1 AS BIGINT), 'insert', k, p FROM mod)
+      SELECT _commit_version, _change_type, count(*) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_okey,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "lake_hudi_mor_delete" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0) t
       GROUP BY 1 ORDER BY 1""",
 
     "lake_iceberg_read" -> """

@@ -73,12 +73,32 @@ object HudiMorWrite {
       b.build()
     }
     val block = HudiLogFormat.avroDataBlock(instant, schema, records)
+    writeLogBlock(spark, table, partition, fileId, baseInstant, logVersion, block)
+    completeInstant(spark, table, instant, "deltacommit")
+  }
+
+  /** Append a DELETE block (0.9-vintage Kryo `HoodieKey[]` payload,
+    * [[HudiLogFormat.deleteBlock]]) on `fileId`'s log stream: hard-deletes
+    * the given record keys at `instant` — the second way Hudi expresses
+    * row deletes next to `_hoodie_is_deleted` payloads. */
+  def appendDeleteLog(spark: SparkSession, keys: Seq[(String, String)],
+                      table: String, partition: String, fileId: String,
+                      baseInstant: String, instant: String,
+                      logVersion: Int = 2): Unit = {
+    writeLogBlock(spark, table, partition, fileId, baseInstant, logVersion,
+      HudiLogFormat.deleteBlock(instant, keys))
+    completeInstant(spark, table, instant, "deltacommit")
+  }
+
+  private def writeLogBlock(spark: SparkSession, table: String,
+                            partition: String, fileId: String,
+                            baseInstant: String, logVersion: Int,
+                            block: HudiLogFormat.LogBlock): Unit = {
     val logPath = new Path(new Path(table, partition),
       s".${fileId}_$baseInstant.log.${logVersion}_0-1-2")
     val f = fs(spark, logPath)
     val out = new java.io.DataOutputStream(f.create(logPath, true))
     try HudiLogFormat.writeBlock(out, block) finally out.close()
-    completeInstant(spark, table, instant, "deltacommit")
   }
 
   private def avroSchemaOf(df: DataFrame): Schema = {
