@@ -177,7 +177,11 @@ object IcebergWrite {
       if (schemaFields.isEmpty) ""
       else {
         val fields = schemaFields.map { case (id, name, tpe) =>
-          s"""{"id":$id,"name":"$name","required":false,"type":"$tpe"}"""
+          // a primitive type is a quoted string; a raw `{...}` passes
+          // through verbatim (nested struct types for equality-delete
+          // fixtures)
+          val t = if (tpe.trim.startsWith("{")) tpe else s""""$tpe""""
+          s"""{"id":$id,"name":"$name","required":false,"type":$t}"""
         }.mkString(",")
         s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],
           "current-schema-id":0,"""

@@ -31,9 +31,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    the delete file's data sequence number is STRICTLY GREATER than the
   *    data file's (rows re-inserted after the delete survive). Matching
   *    is null-safe equality over the delete file's `equality_ids`,
-  *    resolved to column names through the table metadata's schema (field
-  *    id → name). Per-entry sequence numbers inherit from the manifest
-  *    list when null, per the v2 inheritance rule.
+  *    resolved to STRUCT PATHS through the table metadata's schema
+  *    (field id → path — nested struct fields included). Per-entry
+  *    sequence numbers inherit from the manifest list when null, per
+  *    the v2 inheritance rule.
   *
   * Scale notes: the driver reads the metadata JSON and manifest LISTS
   * (small — one record per manifest); the MANIFESTS themselves parse
@@ -345,12 +346,14 @@ object IcebergRead {
     mapper.readTree(json)
   }
 
-  /** Field id → column name from the table metadata: v2 `schemas` +
-    * `current-schema-id`, falling back to the v1 single `schema`. Only
-    * top-level fields are mapped (equality deletes on nested fields are
-    * not supported — they would need struct-path resolution). */
-  private def schemaFieldNames(meta: com.fasterxml.jackson.databind.JsonNode)
-      : Map[Int, String] = {
+  /** Field id → STRUCT PATH from the table metadata: v2 `schemas` +
+    * `current-schema-id`, falling back to the v1 single `schema`.
+    * Struct nesting is walked recursively (equality deletes may name
+    * nested struct fields — a path like `meta.zip`); list-element and
+    * map key/value ids are not addressable by an equality delete and
+    * stay unmapped (loud at resolution). */
+  private def schemaFieldPaths(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Seq[String]] = {
     import scala.jdk.CollectionConverters._
     val schema = Option(meta.get("schemas")).flatMap { ss =>
       val want = Option(meta.get("current-schema-id")).map(_.asInt())
@@ -359,12 +362,23 @@ object IcebergRead {
         Option(s.get("schema-id")).exists(_.asInt() == id)))
         .orElse(all.lastOption)
     }.orElse(Option(meta.get("schema")))
-    schema.toSeq.flatMap { s =>
-      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).flatMap { f =>
-        for (id <- Option(f.get("id")); name <- Option(f.get("name")))
-          yield id.asInt() -> name.asText()
+    val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
+    def walk(fields: Seq[com.fasterxml.jackson.databind.JsonNode],
+             prefix: Seq[String]): Unit =
+      fields.foreach { f =>
+        for (id <- Option(f.get("id")); name <- Option(f.get("name"))) {
+          val path = prefix :+ name.asText()
+          out(id.asInt()) = path
+          Option(f.get("type")).filter(_.isObject).foreach { t =>
+            if (Option(t.get("type")).exists(_.asText() == "struct"))
+              walk(Option(t.get("fields")).toSeq
+                .flatMap(_.elements().asScala), path)
+          }
+        }
       }
-    }.toMap
+    walk(schema.toSeq.flatMap(s => Option(s.get("fields")).toSeq
+      .flatMap(_.elements().asScala)), Nil)
+    out.toMap
   }
 
   /** Read the current (or `snapshotId`) snapshot. */
@@ -389,7 +403,7 @@ object IcebergRead {
     if (files.isEmpty) spark.emptyDataFrame
     else if (posDeletes.isEmpty && eqGroups.isEmpty)
       spark.read.parquet(files.map(_.path): _*)
-    else applyDeletes(spark, files, posDeletes, eqGroups, schemaFieldNames(meta))
+    else applyDeletes(spark, files, posDeletes, eqGroups, schemaFieldPaths(meta))
   }
 
   /** Broadcast map from `_metadata.file_path`'s spelling back to the
@@ -420,7 +434,7 @@ object IcebergRead {
     * class is its own scan feeding a join build side. */
   private def applyDeletes(spark: SparkSession, files: Seq[Tracked],
                            posDeletes: Seq[Tracked], eqGroups: Seq[EqGroup],
-                           fieldNames: Map[Int, String]): DataFrame = {
+                           fieldPaths: Map[Int, Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
     // _metadata.file_path carries the Hadoop Path rendering of the
     // qualified path (file:/x, not the URI form file:///x)
@@ -439,15 +453,33 @@ object IcebergRead {
         .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))
       keyed = keyed.join(deletes, Seq("__manifest_path", "__pos"), "left_anti")
     }
+    // a nested path like meta.zip resolves by getField steps (dot-string
+    // column refs would mis-parse names containing dots)
+    def hasPath(schema: org.apache.spark.sql.types.StructType,
+                path: Seq[String]): Boolean = path match {
+      case head +: rest =>
+        schema.fields.find(_.name == head).exists { f =>
+          rest.isEmpty || (f.dataType match {
+            case s: org.apache.spark.sql.types.StructType => hasPath(s, rest)
+            case _ => false
+          })
+        }
+      case _ => false
+    }
+    def pathCol(df: DataFrame, path: Seq[String]) =
+      path.tail.foldLeft(df(path.head))(_.getField(_))
     eqGroups.foreach { g =>
-      val names = g.fieldIds.map { id =>
-        fieldNames.getOrElse(id, throw new IllegalArgumentException(
+      val paths = g.fieldIds.map { id =>
+        fieldPaths.getOrElse(id, throw new IllegalArgumentException(
           s"equality-delete field id $id not in the table schema " +
-            s"(known ids: ${fieldNames.keys.toSeq.sorted.mkString(",")})"))
+            s"(known ids: ${fieldPaths.keys.toSeq.sorted.mkString(",")})"))
       }
-      names.foreach(n => require(cols.contains(n),
-        s"equality-delete column $n absent from the data schema"))
+      paths.foreach(p => require(hasPath(data.schema, p),
+        s"equality-delete column ${p.mkString(".")} absent from the data schema"))
+      def alias(p: Seq[String]) = "__del_" + p.mkString("_")
       val delData = spark.read.parquet(g.files.map(_.path): _*)
+      paths.foreach(p => require(hasPath(delData.schema, p),
+        s"equality-delete column ${p.mkString(".")} absent from the delete files"))
       val deletes = delData
         .withColumn("__dq", col("_metadata.file_path"))
         .join(broadcast(qualifiedMap(spark, g.files)
@@ -460,10 +492,11 @@ object IcebergRead {
           when(col("__dseq").isNull, raise_error(concat(
             lit("Iceberg delete merge: delete file not in path map: "),
             col("__dq"))).cast("long")).otherwise(col("__dseq")))
-        .select(col("__dseq") +: names.map(n => col(n).as(s"__del_$n")): _*)
-      val cond = names.map(n => keyed(n) <=> deletes(s"__del_$n"))
-        .reduce(_ && _) && deletes("__dseq") > keyed("__seq")
-      keyed = keyed.join(deletes, cond, "left_anti")
+      val projected = deletes.select(
+        deletes("__dseq") +: paths.map(p => pathCol(deletes, p).as(alias(p))): _*)
+      val cond = paths.map(p => pathCol(keyed, p) <=> projected(alias(p)))
+        .reduce(_ && _) && projected("__dseq") > keyed("__seq")
+      keyed = keyed.join(projected, cond, "left_anti")
     }
     keyed.select(cols.map(col): _*)
   }

@@ -198,6 +198,39 @@ class IcebergReadSpec extends SparkSuite {
       "equality-delete merge must be one anti join:\n" + plan)
   }
 
+  test("equality deletes on NESTED struct fields resolve by path") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val root = Files.createTempDirectory("iceberg-eqnest")
+    val data = root.resolve("data")
+    Files.createDirectories(data)
+    def onePart(dir: Path, name: String,
+                df: org.apache.spark.sql.DataFrame): String = {
+      val tmp = Files.createTempDirectory("ice-nest")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, dir.resolve(name))
+      dir.resolve(name).toString
+    }
+    // data: (id, meta{zip}) — delete on field id 3 = meta.zip
+    val f1 = onePart(data, "f1.parquet",
+      Seq((1L, "z1"), (2L, "z2"), (3L, "z1")).toDF("id", "zip")
+        .select(col("id"), struct(col("zip")).as("meta")))
+    val del = onePart(data, "d.parquet",
+      Seq(Tuple1("z1")).toDF("zip").select(struct(col("zip")).as("meta")))
+    val nestedSchema = Seq(
+      (1, "id", "long"),
+      (2, "meta", """{"type":"struct","fields":[
+        {"id":3,"name":"zip","required":false,"type":"string"}]}"""))
+    graft.sink.IcebergWrite.commitEntries(spark, root.toString, Seq(
+      graft.sink.IcebergWrite.FileEntry(f1, 0, 1L),
+      graft.sink.IcebergWrite.FileEntry(del, 2, 2L, equalityIds = Seq(3))),
+      schemaFields = nestedSchema)
+    val rows = IcebergRead.snapshot(spark, root.toString)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(2L),
+      "rows whose meta.zip matches the nested equality delete must drop")
+  }
+
   test("equality-delete field ids resolve through the metadata schema") {
     val root = Files.createTempDirectory("iceberg-eqbad")
     val data = root.resolve("data")
