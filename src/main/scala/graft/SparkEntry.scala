@@ -857,6 +857,16 @@ object SparkEntry {
         .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
           "n_stop_tokens", "n_word_runs", "max_token_len")
         .orderBy("doc_id")),
+
+    /** Model-based quality filter ([[graft.ops.TextOps
+      * .qualityModelScore]]): hashing-trick bag of words → fixture
+      * linear weights → integer logit + keep decision — the
+      * fastText-filter SHAPE every production pipeline runs, codegen
+      * end to end, replayed bit-exactly by the oracle. */
+    "text_quality_model" -> ((s, d) =>
+      TextOps.qualityModelScore(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "score_num", "keep")
+        .orderBy("doc_id")),
     "text_tokens" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"), col("source"),
@@ -1489,6 +1499,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
           sum(col("oprice").cast("decimal(18,2)")).cast("double").as("total"))
         .orderBy("_commit_version", "_change_type")
+    }),
+
+    /** ZERO-COPY format conversion ([[graft.sink.LakeConvert]]): write a
+      * Delta table, convert its metadata to Iceberg in place (no data
+      * bytes move), read it back through the ICEBERG reader — the
+      * UniForm/XTable capability under the oracle gate. */
+    "lake_convert_roundtrip" -> ((s, d) => {
+      val root = lakeTmp(d, "convert")
+      graft.sink.DeltaWrite.create(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        root, Nil)
+      graft.sink.LakeConvert.deltaToIceberg(s, root)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     /** Iceberg v2: data files + POSITION-delete files (orderkey%4 rows,
@@ -2179,6 +2207,22 @@ object SparkEntry {
           tk -> length(tk))), 0) AS INTEGER) AS max_token_len
       FROM documents ORDER BY doc_id""",
 
+    /** The hashing-trick scorer replayed: same md5-bucket hash (first 8
+      * hex chars as an int), same Knuth-multiplicative fixture weights,
+      * integer sums — bit-exact across engines. */
+    "text_quality_model" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents),
+      w AS (
+        SELECT doc_id,
+          ((CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 4096)
+            * 2654435761) % 2001 - 1000 AS w
+        FROM toks WHERE length(tok) > 0)
+      SELECT doc_id, count(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score_num,
+        (SUM(w) > 0) AS keep
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
+
     "text_tokens" -> """
       WITH p AS (SELECT lang, source,
         len(string_split(lower(text), ' ')) AS nt FROM documents)
@@ -2816,6 +2860,11 @@ object SparkEntry {
              CAST(SUM(k) AS BIGINT) AS sum_okey,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "lake_convert_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     "lake_hudi_mor_delete" -> """
       SELECT o_orderstatus, count(*) AS n,

@@ -556,6 +556,46 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // model-based quality scoring (fastText-shaped)
+  // ------------------------------------------------------------------
+
+  /** fastText-SHAPED quality classifier: hashing-trick bag of words →
+    * linear weights → integer logit. The operator SHAPE is the
+    * production one (the filter real LLM pipelines run: tokenize, hash
+    * each token into a bounded `dim`-wide feature space, sum per-bucket
+    * weights, threshold) and it is codegen-only — split/explode/md5/
+    * conv feeding a map-side-combined hash aggregate, no UDF. The
+    * weight table is a deterministic fixture formula (Knuth
+    * multiplicative hash of the bucket index, integers in
+    * [-1000, 1000]) standing in for trained weights — no network
+    * weights exist in a zero-egress build, and swapping the formula
+    * for a broadcast weight array is a one-line change.
+    *
+    * Output: (id, n_tokens, score_num, keep) with
+    * `score_num = Σ_tokens w[h(token) mod dim]` and
+    * `keep = score_num > 0` (mean weight positive) — integer-exact, so
+    * DuckDB replays it bit-for-bit. Docs with no tokens drop out (no
+    * evidence either way), like an inner tokenizer join. */
+  def qualityModelScore(docs: DataFrame, dim: Int = 4096,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(dim > 0 && dim <= (1 << 20), s"dim must be in (0, 2^20], got $dim")
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+    // h(token) = first 8 md5 hex chars as an int (md5 agrees across
+    // engines; 8 hex chars < 2^32 so conv never saturates)
+    val idx = conv(substring(md5(col("__tok")), 1, 8), 16, 10)
+      .cast("long") % dim
+    val w = (idx * 2654435761L) % 2001L - 1000L
+    toks.select(col(idCol), w.as("__w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("score_num"))
+      .withColumn("keep", col("score_num") > 0)
+  }
+
+  // ------------------------------------------------------------------
   // HTML → text extraction
   // ------------------------------------------------------------------
 

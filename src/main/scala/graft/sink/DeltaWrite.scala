@@ -54,8 +54,8 @@ object DeltaWrite {
     }.maxOption.getOrElse(0L)
   }
 
-  private def writeVersion(spark: SparkSession, table: String, version: Long,
-                           lines: Seq[String]): Unit = {
+  private[graft] def writeVersion(spark: SparkSession, table: String, version: Long,
+                                  lines: Seq[String]): Unit = {
     val dir = logDir(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -93,9 +93,10 @@ object DeltaWrite {
     out.toSeq
   }
 
-  private def addAction(path: String, pv: Map[String, String],
-                        size: Long, mtime: Long,
-                        dv: Option[graft.sources.DeletionVectors.Descriptor] = None): String = {
+  private[graft] def addAction(path: String, pv: Map[String, String],
+                               size: Long, mtime: Long,
+                               dv: Option[graft.sources.DeletionVectors.Descriptor] = None,
+                               dataChange: Boolean = true): String = {
     // add.path is percent-encoded per the protocol (RFC 2396) — a
     // partition value with a space ("4-NOT SPECIFIED") must round-trip
     val encoded = new java.net.URI(null, null, path, null).toASCIIString
@@ -107,7 +108,7 @@ object DeltaWrite {
         s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     }.getOrElse("")
     s"""{"add":{"path":${jstr(encoded)},"partitionValues":{$pvJson},""" +
-      s""""size":$size,"modificationTime":$mtime,"dataChange":true$dvJson}}"""
+      s""""size":$size,"modificationTime":$mtime,"dataChange":$dataChange$dvJson}}"""
   }
 
   /** Create a new Delta table at `table` (must not exist): one partitioned
@@ -221,6 +222,67 @@ object DeltaWrite {
           f.modificationTime, Some(d)))
     }
     writeVersion(spark, table, version, protocol +: actions)
+  }
+
+  /** OPTIMIZE — bin-packing compaction: rewrite each partition's live
+    * files into (at most) `filesPerPartition` outputs, committed as a
+    * new version whose remove/add actions carry `dataChange=false`.
+    * The snapshot is IDENTICAL before and after; CDF and the streaming
+    * tails emit NOTHING for the version (Delta's own OPTIMIZE
+    * contract — `changeFiles` skips dataChange=false actions). Old
+    * files stay on disk for time travel until a vacuum. Tables with
+    * deletion vectors are gated loudly: compacting without
+    * materializing the DVs would resurrect deleted rows. */
+  def optimize(spark: SparkSession, table: String,
+               filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    require(state.live.forall(_.dv.isEmpty),
+      "OPTIMIZE over deletion-vector carrying files is not supported — " +
+        "compaction without materializing the DVs would resurrect " +
+        "deleted rows; rewrite the DVs away first (deleteWhere + manual " +
+        "rewrite)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val fsys = new Path(table).getFileSystem(conf)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    state.live.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .zipWithIndex.foreach { case ((pv, files), gi) =>
+        if (files.size > filesPerPartition) {
+          val sub = s"opt-v$version/g$gi"
+          spark.read.parquet(files.map(f => qualify(f.path).toString): _*)
+            .coalesce(filesPerPartition)
+            .write.mode("errorifexists").parquet(s"$table/$sub")
+          val written = fsys.listStatus(new Path(table, sub))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+          files.foreach { f =>
+            val pvJson = f.partitionValues.map { case (k, v) =>
+              s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+            }.mkString(",")
+            actions += s"""{"remove":{"path":${jstr(f.path)},""" +
+              s""""dataChange":false,"partitionValues":{$pvJson}}}"""
+          }
+          written.foreach { st =>
+            actions += addAction(s"$sub/${st.getPath.getName}", pv,
+              st.getLen, st.getModificationTime, dataChange = false)
+          }
+        }
+      }
+    require(actions.nonEmpty,
+      s"nothing to optimize: every partition already has <= " +
+        s"$filesPerPartition files")
+    writeVersion(spark, table, version, actions.toSeq)
   }
 
   /** Write a parquet checkpoint of the CURRENT version + `_last_checkpoint`

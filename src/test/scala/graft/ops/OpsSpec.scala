@@ -173,6 +173,34 @@ class OpsSpec extends SparkSuite {
     assert(got(2L) === "de")
   }
 
+  test("qualityModelScore: hashed-ngram linear scorer matches a plain replay") {
+    val docs = Seq((1L, "The quick brown fox"), (2L, "  spaced   out  "),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.qualityModelScore(docs, dim = 4096)
+      .select("doc_id", "n_tokens", "score_num", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // independent plain-Scala replay of the hashing trick
+    def weight(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      val idx = java.lang.Long.parseLong(hex, 16) % 4096L
+      (idx * 2654435761L) % 2001L - 1000L
+    }
+    def expect(id: Long, text: String): Option[(Long, Long, Long, Boolean)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) None
+      else {
+        val s = toks.map(weight).sum
+        Some((id, toks.size.toLong, s, s > 0))
+      }
+    }
+    val want = Seq(expect(1L, "The quick brown fox"),
+      expect(2L, "  spaced   out  "), expect(3L, "")).flatten
+    assert(got === want)
+    assert(got.size === 2, "a token-less doc yields no score row")
+  }
+
   test("qualityProfile computes integer signals") {
     val p = TextOps.qualityProfile(Seq((1L, "The the of xyz")).toDF("doc_id", "text"))
       .select("n_tokens", "n_distinct_tokens", "n_stop_tokens", "n_word_runs", "max_token_len")

@@ -87,6 +87,34 @@ class DeltaWriteSpec extends SparkSuite {
     assert(DeltaRead.snapshot(spark, root).count() === 3L)
   }
 
+  test("OPTIMIZE compacts files; snapshot identical; CDF stays silent") {
+    val root = tmp()
+    val df = (1L to 300L).map(i => (i, s"i$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "item", "grp").repartition(20)
+    DeltaWrite.create(df, root, Seq("grp"))
+    val before = DeltaRead.snapshot(spark, root)
+      .select("id", "item", "grp").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val filesBefore = DeltaRead.tableState(spark, root, 0L).live.size
+    assert(filesBefore > 4, s"fixture should land many files, got $filesBefore")
+    DeltaWrite.optimize(spark, root)
+    // snapshot contents identical, one file per partition now live
+    val after = DeltaRead.snapshot(spark, root)
+      .select("id", "item", "grp").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(after === before)
+    val live = DeltaRead.tableState(spark, root, 1L).live
+    assert(live.size === 2, s"expected 1 file per partition, got ${live.size}")
+    // dataChange=false: the optimize version emits NO CDF rows
+    assert(DeltaRead.changes(spark, root, 1L, 1L).count() === 0L)
+    // time travel to the pre-optimize version still reads the old files
+    assert(DeltaRead.snapshot(spark, root, versionAsOf = Some(0L))
+      .count() === 300L)
+    // idempotence guard: nothing left to compact → loud no-op
+    val e = intercept[IllegalArgumentException](DeltaWrite.optimize(spark, root))
+    assert(e.getMessage.contains("nothing to optimize"))
+  }
+
   test("partition values with spaces percent-encode per the protocol") {
     val root = tmp()
     val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "1-URGENT"))
