@@ -337,6 +337,68 @@ object DeltaWrite {
     finally out.close()
   }
 
+  /** VACUUM data files — the space-reclamation half of the table
+    * services next to [[vacuumLog]]: delete every data file under the
+    * table that is NOT referenced (as a live file or its deletion
+    * vector) by any version in the retained window
+    * `[current − retainVersions + 1, current]`. Versions in the window
+    * already log-vacuumed contribute nothing (their state is
+    * unreachable anyway). Irreversible: time travel BEFORE the window
+    * dies — exactly Delta's VACUUM trade-off, with a version-window
+    * retention instead of wall-clock hours (deterministic, testable).
+    * Dot/underscore-prefixed top-level entries (`_delta_log`,
+    * `_change_data`, hidden dirs) are never touched. Listing runs
+    * executor-parallel for big tables ([[graft.sources
+    * .ParallelListing]]); the referenced set is the driver-side log
+    * state every client holds, bounded by [[DeltaRead]]'s maxFiles.
+    * Returns the number of deleted files. */
+  def vacuumData(spark: SparkSession, table: String,
+                 retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val current = DeltaRead.latestVersion(spark, table)
+    val floor = math.max(0L, current - (retainVersions - 1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: Path): String =
+      p.getFileSystem(conf).makeQualified(p).toString
+    val referenced = scala.collection.mutable.Set.empty[String]
+    (floor to current).foreach { v =>
+      val replayable =
+        try Some(DeltaRead.tableState(spark, table, v))
+        catch {
+          // a log-vacuumed version inside the window has no state left
+          // to reference; the CURRENT version must always replay
+          case e: IllegalArgumentException if v < current &&
+            e.getMessage.contains("missing") => None
+        }
+      replayable.foreach(_.live.foreach { f =>
+        referenced += qualified(DeltaRead.resolvePath(table, f.path))
+        f.dv.filter(d => d.storageType == "u" || d.storageType == "p")
+          .foreach { d =>
+            referenced += qualified(
+              graft.sources.DeletionVectors.filePath(table, d))
+          }
+      })
+    }
+    val listed = graft.sources.ParallelListing.listFiles(spark, table,
+      name => name.startsWith("_") || name.startsWith("."),
+      maxFiles = 10000000)
+    val fsys = new Path(table).getFileSystem(conf)
+    var deleted = 0
+    listed.foreach { l =>
+      // only data artifacts are candidates — hidden files (checksum
+      // sidecars, stray logs) are never counted, and a deleted file
+      // takes its Hadoop .crc sidecar with it
+      val isData = !l.name.startsWith(".") &&
+        (l.name.endsWith(".parquet") || l.name.endsWith(".bin"))
+      if (isData && !referenced.contains(qualified(new Path(l.path)))) {
+        if (fsys.delete(new Path(l.path), false)) deleted += 1
+        val crc = new Path(new Path(l.path).getParent, s".${l.name}.crc")
+        if (fsys.exists(crc)) { fsys.delete(crc, false); () }
+      }
+    }
+    deleted
+  }
+
   /** Drop JSON versions ≤ the newest checkpoint (log vacuum) — readers
     * must replay from the checkpoint afterwards. */
   def vacuumLog(spark: SparkSession, table: String): Unit = {

@@ -109,66 +109,20 @@ object HudiRead {
   }
 
   /** One listed file: partition-relative dir, file name, absolute path. */
-  private[graft] final case class Listed(rel: String, name: String, path: String)
+  private[graft] type Listed = ParallelListing.Listed
 
-  /** All files under the table (`.hoodie` skipped). Directories are
-    * walked IN PARALLEL on executors once the table has more than a
-    * handful of partition directories — wall-time is then bounded by
-    * partitions/parallelism, not total file count. */
+  /** All files under the table (`.hoodie` skipped) — executor-parallel
+    * once the table has more than a handful of partition directories
+    * ([[ParallelListing]]): wall-time bounded by partitions/parallelism,
+    * not total file count. */
   private[graft] def listAllFiles(spark: SparkSession, table: String,
                                   maxFiles: Int): Seq[Listed] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootStatus = fs.listStatus(root).filterNot(_.getPath.getName == ".hoodie")
-    val (dirs, files) = rootStatus.partition(_.isDirectory)
-    val top = files.map(st => Listed("", st.getPath.getName, st.getPath.toString))
-
-    def walkSerial(p: Path, rel: String,
-                   out: scala.collection.mutable.ArrayBuffer[Listed]): Unit =
-      fs.listStatus(p).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) walkSerial(st.getPath, s"$rel/$name".stripPrefix("/"), out)
-        else out += Listed(rel, name, st.getPath.toString)
-      }
-
-    val nested: Seq[Listed] =
-      if (dirs.length <= 8) {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Listed]
-        dirs.foreach(d => walkSerial(d.getPath, d.getPath.getName, out))
-        out.toSeq
-      } else {
-        // executor-parallel listing: ship the hadoop conf as plain props
-        // (Configuration is not serializable) and walk each partition
-        // directory in its own task
-        import scala.jdk.CollectionConverters._
-        val props = spark.sparkContext.broadcast(
-          spark.sparkContext.hadoopConfiguration.iterator().asScala
-            .map(e => (e.getKey, e.getValue)).toArray)
-        val seeds = dirs.map(d => (d.getPath.toString, d.getPath.getName)).toSeq
-        spark.sparkContext
-          .parallelize(seeds, math.min(seeds.size,
-            spark.sparkContext.defaultParallelism * 2))
-          .flatMap { case (dirPath, rel) =>
-            val conf = new org.apache.hadoop.conf.Configuration(false)
-            props.value.foreach { case (k, v) => conf.set(k, v) }
-            val p = new Path(dirPath)
-            val efs = p.getFileSystem(conf)
-            val out = scala.collection.mutable.ArrayBuffer.empty[Listed]
-            def walk(q: Path, r: String): Unit =
-              efs.listStatus(q).foreach { st =>
-                val name = st.getPath.getName
-                if (st.isDirectory) walk(st.getPath, s"$r/$name")
-                else out += Listed(r, name, st.getPath.toString)
-              }
-            walk(p, rel)
-            out
-          }.collect().toSeq
-      }
-    val all = top ++ nested
-    require(all.size <= maxFiles,
-      s"Hudi table lists more than $maxFiles files — raise maxFiles " +
-        "(driver memory) or read specific partitions")
-    all
+    if (!fs.exists(new Path(root, ".hoodie")))
+      throw new IllegalArgumentException(
+        s"$table is not a Hudi table (no .hoodie directory)")
+    ParallelListing.listFiles(spark, table, _ == ".hoodie", maxFiles)
   }
 
   private def parseFiles(listed: Seq[Listed]): (Seq[BaseFile], Seq[LogFile]) = {
@@ -216,6 +170,22 @@ object HudiRead {
       .view.mapValues(_.sortBy(l => (l.baseInstant, l.version, l.writeToken)))
       .toMap
     (chosen, applicableLogs)
+  }
+
+  /** The file slices a compaction at `ceiling` folds: every log-carrying
+    * visible group's (partition, fileId, base path if any, ordered log
+    * paths) — the planning half of [[graft.sink.HudiCompact]]. */
+  private[graft] def compactionSlices(spark: SparkSession, table: String,
+                                      ceiling: String, maxFiles: Int)
+      : Seq[(String, String, Option[String], Seq[String])] = {
+    val completed = completedInstants(spark, table).toSet
+    val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
+    val (chosen, logGroups) = visibleSlices(bases, logs, ceiling, completed,
+      replacedFileIds(spark, table, ceiling))
+    val baseOf = chosen.map(b => (b.partition, b.fileId) -> b.path).toMap
+    logGroups.toSeq.map { case ((part, fid), lfs) =>
+      (part, fid, baseOf.get((part, fid)), lfs.map(_.path))
+    }
   }
 
   /** Snapshot at the latest completed commit (or `asOf` for time travel —

@@ -115,6 +115,40 @@ class DeltaWriteSpec extends SparkSuite {
     assert(e.getMessage.contains("nothing to optimize"))
   }
 
+  test("vacuumData deletes unreferenced files; retained window survives") {
+    val root = tmp()
+    DeltaWrite.create(
+      (1L to 100L).map(i => (i, s"i$i", if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "item", "grp").repartition(6), root, Seq("grp"))
+    DeltaWrite.replacePartition(
+      (2L to 100L by 2).map(i => (i, s"I$i", "a")).toDF("id", "item", "grp"),
+      root, "grp", "a")
+    val liveNow = DeltaRead.tableState(spark, root, 1L).live.size
+    // retain only the current version: v0's replaced partition-a files go
+    val n = DeltaWrite.vacuumData(spark, root, retainVersions = 1)
+    assert(n > 0, "the replaced files must be deleted")
+    assert(DeltaRead.snapshot(spark, root).count() === 100L)
+    assert(DeltaRead.tableState(spark, root, 1L).live.size === liveNow)
+    // time travel to v0 now fails at SCAN time (files gone) — the log
+    // still replays, but the data is honestly unreadable
+    val e = intercept[Exception](
+      DeltaRead.snapshot(spark, root, versionAsOf = Some(0L))
+        .where("grp = 'a'").count())
+    assert(e != null)
+    // a second vacuum finds nothing
+    assert(DeltaWrite.vacuumData(spark, root, retainVersions = 1) === 0)
+  }
+
+  test("vacuumData keeps DV files referenced by the retained window") {
+    val root = tmp()
+    DeltaWrite.create((1L to 50L).map(i => (i, s"i$i")).toDF("id", "item"),
+      root, Nil)
+    DeltaWrite.deleteWhere(spark, root, "id <= 10")
+    assert(DeltaWrite.vacuumData(spark, root, retainVersions = 1) === 0,
+      "every data file and its DV are referenced by the current version")
+    assert(DeltaRead.snapshot(spark, root).count() === 40L)
+  }
+
   test("partition values with spaces percent-encode per the protocol") {
     val root = tmp()
     val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "1-URGENT"))
