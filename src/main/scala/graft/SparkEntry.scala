@@ -1501,6 +1501,39 @@ object SparkEntry {
         .orderBy("_commit_version", "_change_type")
     }),
 
+    /** COMPACTION under the oracle gate ([[graft.sink.HudiCompact]]):
+      * the same MOR history as `lake_hudi_mor_delete` (base + update log
+      * + 0.9 delete block), COMPACTED into fresh base files, then read —
+      * the merged view must survive the service byte-for-byte while the
+      * scan becomes pure parquet. */
+    "lake_hudi_compacted" -> ((s, d) => {
+      val root = lakeTmp(d, "hudicompact")
+      val t1 = "20240101000000000"; val t2 = "20240102000000000"
+      val t3 = "20240103000000000"; val t4 = "20240104000000000"
+      val base = t(s, d, "orders").select(
+        col("o_orderkey").cast("string").as("_hoodie_record_key"),
+        lit(t1).as("_hoodie_commit_time"),
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.HudiMorWrite.writeBase(base, root, "part=0", "fg1", t1)
+      val updates = base.where(col("o_orderkey") % 10 === 0).select(
+        col("_hoodie_record_key"), lit(t2).as("_hoodie_commit_time"),
+        col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.sink.HudiMorWrite.appendLog(updates, root, "part=0", "fg1", t1, t2)
+      val doomed = base.where(col("o_orderkey") % 7 === 0)
+        .select("_hoodie_record_key").collect()
+        .map(r => (r.getString(0), "part=0")).toSeq
+      graft.sink.HudiMorWrite.appendDeleteLog(s, doomed, root, "part=0",
+        "fg1", t1, t3)
+      graft.sink.HudiCompact.compact(s, root, t4)
+      graft.sources.HudiRead.snapshot(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     /** ZERO-COPY format conversion ([[graft.sink.LakeConvert]]): write a
       * Delta table, convert its metadata to Iceberg in place (no data
       * bytes move), read it back through the ICEBERG reader — the
@@ -2860,6 +2893,19 @@ object SparkEntry {
              CAST(SUM(k) AS BIGINT) AS sum_okey,
              CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM feed GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    /** Identical semantics to lake_hudi_mor_delete — compaction must be
+      * invisible to the merged view. */
+    "lake_hudi_compacted" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0) t
+      GROUP BY 1 ORDER BY 1""",
 
     "lake_convert_roundtrip" -> """
       SELECT o_orderstatus, count(*) AS n,

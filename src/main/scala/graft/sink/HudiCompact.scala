@@ -142,7 +142,8 @@ object HudiCompact {
       // elected log records (tombstones and deleted payloads drop out)
       latest.forEach { (_, rec) =>
         rec.foreach { r =>
-          val isDeleted = Option(r.get("_hoodie_is_deleted"))
+          val isDeleted = Option(r.getSchema.getField("_hoodie_is_deleted"))
+            .flatMap(f => Option(r.get(f.pos())))
             .exists { case b: java.lang.Boolean => b.booleanValue; case _ => false }
           if (!isDeleted) writer.write(avroToGroup(r, schema))
         }
