@@ -101,7 +101,7 @@ object IcebergRead {
 
   /** One `manifest_entry`, flattened to a serializable shape so manifest
     * parsing can run on EXECUTORS. */
-  private final case class RawEntry(status: Int, content: Int, path: String,
+  private[graft] final case class RawEntry(status: Int, content: Int, path: String,
                                     seq: Option[Long],
                                     entrySnapshotId: Option[Long],
                                     equalityIds: Seq[Int], format: String)
@@ -133,7 +133,7 @@ object IcebergRead {
     * manifest): a snapshot with thousands of manifests pays
     * manifests/parallelism wall-time instead of a serial driver loop,
     * the same shape as [[HudiRead.listAllFiles]]. */
-  private def parseManifests(spark: SparkSession, paths: Seq[String])
+  private[graft] def parseManifests(spark: SparkSession, paths: Seq[String])
       : Map[String, Seq[RawEntry]] = {
     val distinct = paths.distinct
     if (distinct.size <= 8) {
