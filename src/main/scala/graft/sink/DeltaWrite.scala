@@ -233,8 +233,15 @@ object DeltaWrite {
     * files stay on disk for time travel until a vacuum. Tables with
     * deletion vectors are gated loudly: compacting without
     * materializing the DVs would resurrect deleted rows. */
+  /** With `zorderBy` non-empty, rewritten files are additionally
+    * Z-ORDER clustered on those columns ([[Clustering.zValue]]'s
+    * interleaved-bit key, range-partitioned + sorted within files) —
+    * Delta's `OPTIMIZE ... ZORDER BY`: range predicates on ANY of the
+    * clustered columns prune files via min/max statistics, not just the
+    * leading one. */
   def optimize(spark: SparkSession, table: String,
-               filesPerPartition: Int = 1): Unit = {
+               filesPerPartition: Int = 1,
+               zorderBy: Seq[String] = Nil): Unit = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
@@ -258,11 +265,20 @@ object DeltaWrite {
     state.live.groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .zipWithIndex.foreach { case ((pv, files), gi) =>
-        if (files.size > filesPerPartition) {
+        if (files.size > filesPerPartition || zorderBy.nonEmpty) {
           val sub = s"opt-v$version/g$gi"
-          spark.read.parquet(files.map(f => qualify(f.path).toString): _*)
-            .coalesce(filesPerPartition)
-            .write.mode("errorifexists").parquet(s"$table/$sub")
+          val group = spark.read.parquet(
+            files.map(f => qualify(f.path).toString): _*)
+          val packed =
+            if (zorderBy.isEmpty) group.coalesce(filesPerPartition)
+            else {
+              val z = Clustering.withZValue(group, zorderBy)
+              z.repartitionByRange(filesPerPartition,
+                org.apache.spark.sql.functions.col("_graft_z"))
+                .sortWithinPartitions("_graft_z")
+                .drop("_graft_z")
+            }
+          packed.write.mode("errorifexists").parquet(s"$table/$sub")
           val written = fsys.listStatus(new Path(table, sub))
             .filter(_.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName)

@@ -115,6 +115,40 @@ class DeltaWriteSpec extends SparkSuite {
     assert(e.getMessage.contains("nothing to optimize"))
   }
 
+  test("OPTIMIZE ZORDER: compacted files cluster on the z-key, contents equal") {
+    val root = tmp()
+    // ids striped across files so un-clustered min/max ranges all overlap
+    DeltaWrite.create(
+      (1L to 400L).map(i => (i, i % 20, s"i$i")).toDF("x", "y", "item")
+        .repartition(8), root, Nil)
+    val before = DeltaRead.snapshot(spark, root)
+      .select("x", "y", "item").as[(Long, Long, String)].collect().sorted.toSeq
+    DeltaWrite.optimize(spark, root, filesPerPartition = 4,
+      zorderBy = Seq("x", "y"))
+    val after = DeltaRead.snapshot(spark, root)
+      .select("x", "y", "item").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(after === before)
+    val live = DeltaRead.tableState(spark, root, 1L).live
+    assert(live.size === 4)
+    // clustering evidence: per-file x ranges are now (mostly) DISJOINT —
+    // each file covers a narrow slice instead of the whole 1..400 stripe
+    val ranges = live.map { f =>
+      val df = spark.read.parquet(
+        java.nio.file.Paths.get(root, f.path).toString)
+      val r = df.agg(org.apache.spark.sql.functions.min("x"),
+        org.apache.spark.sql.functions.max("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // before clustering every file spans ~the whole 1..400 stripe (the
+    // fixture repartitions round-robin); after z-ordering on (x, y) each
+    // file's x range must be at most ~half the stripe (the curve splits
+    // x, then y within each half — 2 files per x-half is correct z-order)
+    assert(ranges.forall { case (lo, hi) => hi - lo <= 210 },
+      s"z-ordered files should carve narrow x ranges, got $ranges")
+    assert(ranges.map(_._1).distinct.size >= 2,
+      s"files should start at different x points, got $ranges")
+  }
+
   test("vacuumData deletes unreferenced files; retained window survives") {
     val root = tmp()
     DeltaWrite.create(
