@@ -131,6 +131,25 @@ class DeltaCdfSpec extends SparkSuite {
     assert(byClass((1L, "insert")) === 300L)
   }
 
+  test("plan contract: partition predicates PRUNE the CDF scans at planning time") {
+    val root = Files.createTempDirectory("delta-cdfprune").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      (1L to 100L).map(i => (i, s"i$i", s"p${i % 5}")).toDF("id", "item", "par"),
+      root, Seq("par"))
+    val feed = DeltaRead.changes(spark, root, 0L, 0L)
+      .where(org.apache.spark.sql.functions.col("par") === "p1")
+    assert(feed.count() === 20L)
+    val scan = feed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in the CDF plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "the partition predicate must reach the StaticFileIndex")
+    val allFiles = scan.relation.location.inputFiles.length
+    val readFiles = scan.selectedPartitions.totalNumberOfFiles
+    assert(readFiles < allFiles,
+      s"pruning must cut the file list ($readFiles of $allFiles read)")
+  }
+
   test("CDF over a column-mapped table restores logical names") {
     // name-mode table: parquet/cdc columns are col-aaa/col-bbb, the
     // partition column dt's partitionValues key is col-ddd
