@@ -126,12 +126,17 @@ object DeltaRead {
 
   /** The parquet-side name of a mapped field (falls back to the logical
     * name for unmapped fields — `none`-mode tables and sloppy writers). */
+  private[graft] def physicalFieldName(f: StructField): String =
+    physicalName(f)
+
   private def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
 
   /** Rename a schema to its PHYSICAL spelling, recursively (struct fields
     * at any nesting level carry their own `physicalName` metadata). */
+  private[graft] def toPhysicalType(dt: DataType): DataType = toPhysical(dt)
+
   private def toPhysical(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(name = physicalName(f), dataType = toPhysical(f.dataType))))

@@ -114,20 +114,36 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
     val e = end.asInstanceOf[DeltaStreamOffset].version
     if (e <= s) return Array.empty
     val plan = DeltaRead.changeFiles(spark, opts.path, s + 1, e)
-    // the json tail decodes parquet directly — a column-mapped table's
-    // files carry PHYSICAL names, which would silently leak into the
-    // emitted json; the batch reader (DeltaRead.changes) supports the
-    // rename, the streaming tail gates loudly
-    require(plan.mappingMode.isEmpty,
-      "graft-delta: column-mapped Delta tables are not supported by the " +
-        "json change tail (files carry physical column names) — read the " +
-        "feed with DeltaRead.changes instead")
+    // COLUMN MAPPING: files carry PHYSICAL names — ship the top-level
+    // physical→logical map so the emitted json keeps logical keys;
+    // nested mapped fields would need a path-wise rewrite of the json
+    // tree and gate loudly (read those feeds with DeltaRead.changes)
+    val renames: Map[String, String] = plan.mappingMode match {
+      case None => Map.empty
+      case Some(_) =>
+        val declared = plan.declared.getOrElse(
+          throw new IllegalStateException(
+            "column-mapped Delta table has no schemaString"))
+        declared.fields.foreach { f =>
+          require(DeltaRead.toPhysicalType(f.dataType) == f.dataType,
+            s"graft-delta: column ${f.name} maps NESTED physical names — " +
+              "not supported by the json change tail; read the feed with " +
+              "DeltaRead.changes instead")
+        }
+        declared.fields.map(f => DeltaRead.physicalFieldName(f) -> f.name)
+          .filter { case (p, l) => p != l }.toMap
+    }
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray
     plan.files.map { f =>
+      // partition values are keyed physically in the log under mapping
+      val pv = f.partitionValues.map { case (k, v) =>
+        renames.getOrElse(k, k) -> v
+      }
       ChangeFilePartition(
         DeltaRead.resolvePath(opts.path, f.path).toString,
-        f.partitionValues, f.changeType, f.version, props): InputPartition
+        pv, f.changeType, f.version, props,
+        renames = renames): InputPartition
     }.toArray
   }
 
@@ -155,7 +171,12 @@ final case class ChangeFilePartition(absolutePath: String,
                                         * commits — the row's own commit
                                         * time is its version, not the
                                         * file's). */
-                                      versionFromFilterField: Boolean = false)
+                                      versionFromFilterField: Boolean = false,
+                                      /** physical→logical TOP-LEVEL
+                                        * column renames (Delta column
+                                        * mapping) applied to the emitted
+                                        * json keys. */
+                                      renames: Map[String, String] = Map.empty)
   extends InputPartition
 
 class ChangeFileReaderFactory extends PartitionReaderFactory {
@@ -184,7 +205,8 @@ class ChangeFileReaderFactory extends PartitionReaderFactory {
       }
       override def get(): InternalRow = {
         val (json, fileChangeType) =
-          ChangeFileReaderFactory.groupToJson(current, part.partitionValues)
+          ChangeFileReaderFactory.groupToJson(current, part.partitionValues,
+            part.renames)
         val ct = part.changeType.orElse(fileChangeType).getOrElse(
           throw new IllegalStateException(
             s"cdc file ${part.absolutePath} row without _change_type"))
@@ -207,10 +229,13 @@ object ChangeFileReaderFactory {
   private def mapper = DocPushdown.jsonMapper
 
   /** One parquet Group → a JSON object node (recursive; repeated fields
-    * become arrays), with `extra` merged in as string fields and any
-    * `_change_type` column extracted instead of emitted. */
+    * become arrays), with `extra` merged in as string fields, any
+    * `_change_type` column extracted instead of emitted, and TOP-LEVEL
+    * keys renamed through `renames` (column mapping's physical→logical
+    * restore — `_change_type` is never mapped). */
   private[streaming] def groupToJson(g: Group,
-                                     extra: Map[String, String]): (String, Option[String]) = {
+                                     extra: Map[String, String],
+                                     renames: Map[String, String] = Map.empty): (String, Option[String]) = {
     var changeType: Option[String] = None
     def convert(group: Group): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = mapper.createObjectNode()
@@ -266,6 +291,11 @@ object ChangeFileReaderFactory {
     Option(node.get("_change_type")).foreach { ct =>
       changeType = Some(ct.asText())
       node.remove("_change_type"): Unit
+    }
+    renames.foreach { case (phys, logical) =>
+      Option(node.remove(phys)).foreach { v =>
+        node.set[com.fasterxml.jackson.databind.JsonNode](logical, v)
+      }
     }
     extra.foreach { case (k, v) =>
       if (v == null) node.putNull(k) else node.put(k, v): Unit

@@ -79,6 +79,49 @@ class DeltaStreamSourceSpec extends SparkSuite {
     assert(spark.table("delta_tail_latest").count() === 0L)
   }
 
+  test("column-mapped tables tail with LOGICAL json keys (top-level rename)") {
+    // name-mode fixture: files carry col-aaa/col-bbb, partition values
+    // keyed by col-ddd — the tail must emit id/item/dt
+    val root = Files.createTempDirectory("delta-stream-mapped")
+    def schemaString = {
+      def f(name: String, phys: String, tpe: String, id: Int) =
+        s"""{"name":"$name","type":"$tpe","nullable":true,"metadata":{""" +
+          s""""delta.columnMapping.physicalName":"$phys","delta.columnMapping.id":$id}}"""
+      (s"""{"type":"struct","fields":[${f("id", "col-aaa", "long", 1)},""" +
+        s"""${f("item", "col-bbb", "string", 2)},${f("dt", "col-ddd", "string", 3)}]}""")
+        .replace("\"", "\\\"")
+    }
+    val tmp = Files.createTempDirectory("dsm-p")
+    Seq((1L, "widget"), (2L, "bolt")).toDF("col-aaa", "col-bbb").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.createDirectories(root.resolve("d1"))
+    Files.copy(part, root.resolve("d1/f1.parquet"))
+    val sz = Files.size(root.resolve("d1/f1.parquet"))
+    val logDir = root.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        s"""{"metaData":{"id":"m1","partitionColumns":["dt"],"schemaString":"$schemaString","format":{"provider":"parquet"},"configuration":{"delta.columnMapping.mode":"name"}}}""" + "\n" +
+        s"""{"add":{"path":"d1/f1.parquet","partitionValues":{"col-ddd":"2024-06-01"},"size":$sz,"modificationTime":1,"dataChange":true}}""" + "\n")
+    val q = spark.readStream.format("graft-delta").option("path", root.toString)
+      .load()
+      .writeStream.format("memory").queryName("delta_tail_mapped")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("delta_tail_mapped")
+      .selectExpr("version", "change_type", "row")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows.size === 2)
+    val widget = rows.find(_._3.contains("widget")).get
+    assert(widget._2 === "insert")
+    assert(widget._3.contains("\"id\":1") && widget._3.contains("\"item\":\"widget\"")
+      && widget._3.contains("\"dt\":\"2024-06-01\""),
+      s"json must carry LOGICAL keys: ${widget._3}")
+    assert(!widget._3.contains("col-aaa") && !widget._3.contains("col-ddd"),
+      s"physical names must not leak: ${widget._3}")
+  }
+
   test("a DV commit in the tail fails the stream loudly") {
     val root = mkTable()
     graft.sink.DeltaWrite.deleteWhere(spark, root, "id = 2")
