@@ -131,6 +131,24 @@ object DeltaWrite {
       files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
   }
 
+  /** Blind-APPEND `df` as a new log version (adds only, no removes —
+    * the most common commit shape in a real log). Files land under a
+    * fresh `append-v<N>` subtree so they never collide with live files;
+    * partition values ride in the add actions' `partitionValues` (the
+    * protocol's source of truth), not the directory layout. */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log to append to")
+    val sub = s"append-v$version"
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$table/$sub")
+    val files = writtenFiles(spark, table, sub)
+    writeVersion(spark, table, version,
+      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+  }
+
   /** Replace ONE partition's contents with `df` as a new log version
     * (remove the partition's live files, add the rewrite). */
   def replacePartition(df: DataFrame, table: String,

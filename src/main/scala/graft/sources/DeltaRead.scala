@@ -206,6 +206,35 @@ object DeltaRead {
     versions.max
   }
 
+  /** Changed-file count of ONE commit — the admission-control unit of
+    * the `graft-delta` tail's `maxFilesPerTrigger`: cdc actions if the
+    * commit wrote any (CDF's own precedence rule), else its
+    * `dataChange` add/remove actions — exactly the files [[changeFiles]]
+    * would plan for the version. Metadata-only: one commit-JSON read,
+    * no state replay. A missing version fails loudly (vacuumed), the
+    * same error the planning half raises. */
+  private[graft] def changedFileCount(spark: SparkSession, table: String,
+                                      version: Long): Int = {
+    val dir = new Path(table, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, f"$version%020d.json")
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"Delta log version $version missing from $table — the change " +
+        "range is not fully readable (vacuumed?)")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    val nodes = lines.map(mapper.readTree)
+    val cdc = nodes.count(n => Option(n.get("cdc")).isDefined)
+    if (cdc > 0) cdc
+    else nodes.count { n =>
+      Option(n.get("add")).exists(a =>
+        Option(a.get("dataChange")).forall(_.asBoolean)) ||
+        Option(n.get("remove")).exists(r =>
+          Option(r.get("dataChange")).forall(_.asBoolean))
+    }
+  }
+
   /** Load checkpoint rows into the state: the checkpoint IS the replayed
     * state at its version (adds are the live set; remove rows are vacuum
     * tombstones, irrelevant to a snapshot). */

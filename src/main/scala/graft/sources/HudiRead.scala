@@ -328,6 +328,21 @@ object HudiRead {
     * MOR tables (visible log groups) throw — their merge is not
     * per-file-expressible; the `graft-hudi` STREAMING source uses this
     * and gates MOR to the batch [[incremental]]. */
+  /** Base-file counts per commit instant, ascending — the admission-
+    * control unit of the `graft-hudi` tail's `maxFilesPerTrigger`. One
+    * executor-parallel listing, no visibility selection: counting RAW
+    * bases per instant over-counts groups later rewritten (a rewritten
+    * base is invisible when the batch end lands past the rewrite), so
+    * the cap errs CONSERVATIVE — a batch never plans more base files of
+    * an instant than counted here. */
+  private[graft] def baseFileCountsByInstant(spark: SparkSession,
+                                             table: String,
+                                             maxFiles: Int = 1000000)
+      : Seq[(String, Int)] = {
+    val (bases, _) = parseFiles(listAllFiles(spark, table, maxFiles))
+    bases.groupBy(_.instant).view.mapValues(_.size).toSeq.sortBy(_._1)
+  }
+
   private[graft] def incrementalBaseFiles(spark: SparkSession, table: String,
                                           beginInstant: String, endInstant: String,
                                           maxFiles: Int = 1000000): Seq[BaseFile] = {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,8 +48,21 @@ import graft.sources.{DeltaRead, DocPushdown}
   * circuits history, so a long-lived tail pays O(versions since last
   * checkpoint) JSON reads per batch, not O(table history)).
   *
+  * ADMISSION CONTROL: `maxFilesPerTrigger` (default 1000, `none` =
+  * unbounded — the same knob and default as Delta's own source) caps
+  * how many changed files one micro-batch plans. Versions are admitted
+  * WHOLE, oldest-first, until the budget is spent (always at least one,
+  * so a single commit bigger than the cap still makes progress) — a
+  * fresh tail of a 10⁶-file table drains its history in bounded batches
+  * instead of planning everything in micro-batch 0. The admission walk
+  * reads only the candidate versions' commit JSONs (one read per
+  * ADMITTED version, no replay). `Trigger.AvailableNow` composes: the
+  * tip is pinned at query start and the backlog drains to exactly that
+  * point in capped batches, then the query finishes — the production
+  * backfill shape.
+  *
   * Options: `path` (required), `startingVersion` (default 0; `latest`
-  * starts after the current tip). */
+  * starts after the current tip), `maxFilesPerTrigger`. */
 class DeltaStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
   override def supportsExternalMetadata(): Boolean = false
@@ -78,6 +91,28 @@ final case class DeltaStreamOptions(raw: Map[String, String]) {
     case Some(s) => Some(s.trim.toLong)
     case None => Some(0L)
   }
+  /** changed-file budget per micro-batch; None = unbounded. */
+  val maxFilesPerTrigger: Option[Int] =
+    LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
+}
+
+/** Shared option parsing for the three lake tails' admission control. */
+private[streaming] object LakeTailOptions {
+  /** Default 1000 (Delta's own source default); `none`/`0` = unbounded. */
+  def maxFilesPerTrigger(raw: Option[String]): Option[Int] = raw match {
+    case None => Some(1000)
+    case Some(s) if s.equalsIgnoreCase("none") => None
+    case Some(s) =>
+      val n = s.trim.toInt
+      require(n >= 0, s"maxFilesPerTrigger must be >= 0, got $n")
+      if (n == 0) None else Some(n)
+  }
+
+  /** Budget carried by Spark's ReadLimit, if any. */
+  def budgetOf(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case _ => None
+  }
 }
 
 class DeltaStreamTable(opts: DeltaStreamOptions) extends Table with SupportsRead {
@@ -99,15 +134,59 @@ final case class DeltaStreamOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-class DeltaMicroBatchStream(opts: DeltaStreamOptions) extends MicroBatchStream {
+class DeltaMicroBatchStream(opts: DeltaStreamOptions)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** Trigger.AvailableNow pins the tip at query start: batches drain to
+    * exactly this version (in capped steps), then the query finishes. */
+  @volatile private var availableNowTip: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(DeltaRead.latestVersion(spark, opts.path))
+
+  private def tipVersion: Long =
+    availableNowTip.getOrElse(DeltaRead.latestVersion(spark, opts.path))
 
   override def initialOffset(): Offset = DeltaStreamOffset(
     opts.startingVersion.map(_ - 1).getOrElse(
       DeltaRead.latestVersion(spark, opts.path)))
 
-  override def latestOffset(): Offset =
-    DeltaStreamOffset(DeltaRead.latestVersion(spark, opts.path))
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admit whole versions oldest-first until the file budget is spent
+    * (always at least one — a commit bigger than the cap still makes
+    * progress). Cost: one commit-JSON read per admitted version. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DeltaStreamOffset].version
+    val tip = tipVersion
+    if (tip <= s) return DeltaStreamOffset(s)
+    LakeTailOptions.budgetOf(limit) match {
+      case None => DeltaStreamOffset(tip)
+      case Some(budget) =>
+        var v = s
+        var used = 0
+        var stop = false
+        while (!stop && v < tip) {
+          val c = DeltaRead.changedFileCount(spark, opts.path, v + 1)
+          if (v > s && used + c > budget) stop = true
+          else {
+            v += 1
+            used += c
+            if (used >= budget) stop = true
+          }
+        }
+        DeltaStreamOffset(v)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = DeltaStreamOffset(tipVersion)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DeltaStreamOffset].version

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,8 +30,17 @@ import graft.sources.HudiRead
   * carried-overs). MOR tables gate loudly to the batch
   * `HudiRead.incremental` — their merge is not per-file-expressible.
   *
+  * ADMISSION CONTROL: `maxFilesPerTrigger` (default 1000, `none` =
+  * unbounded) caps how many base files one micro-batch plans — instants
+  * are admitted WHOLE, oldest-first, until the budget is spent (always
+  * at least one). Counting is ONE executor-parallel listing per trigger
+  * over RAW base files per instant, conservative under later rewrites
+  * ([[HudiRead.baseFileCountsByInstant]]). `Trigger.AvailableNow` pins
+  * the tip instant at query start and drains to exactly it, then
+  * finishes.
+  *
   * Options: `path` (required), `startingInstant` (default: everything;
-  * `latest` starts after the current tip). */
+  * `latest` starts after the current tip), `maxFilesPerTrigger`. */
 class HudiStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-hudi"
   override def supportsExternalMetadata(): Boolean = false
@@ -48,6 +57,9 @@ final case class HudiStreamOptions(raw: Map[String, String]) {
   val path: String = ci("path").getOrElse(
     throw new IllegalArgumentException("graft-hudi requires option path"))
   val startingInstant: Option[String] = ci("startingInstant")
+  /** base-file budget per micro-batch; None = unbounded. */
+  val maxFilesPerTrigger: Option[Int] =
+    LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
 }
 
 class HudiStreamTable(opts: HudiStreamOptions) extends Table with SupportsRead {
@@ -70,8 +82,20 @@ final case class HudiStreamOffset(instant: String) extends Offset {
   override def json(): String = instant
 }
 
-class HudiMicroBatchStream(opts: HudiStreamOptions) extends MicroBatchStream {
+class HudiMicroBatchStream(opts: HudiStreamOptions)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** Trigger.AvailableNow pins the tip instant at query start. */
+  @volatile private var availableNowTip: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(
+      HudiRead.completedInstants(spark, opts.path).lastOption.getOrElse(""))
+
+  private def tipInstant: String = availableNowTip.getOrElse(
+    HudiRead.completedInstants(spark, opts.path).lastOption.getOrElse(""))
 
   override def initialOffset(): Offset = {
     val start = opts.startingInstant match {
@@ -83,8 +107,47 @@ class HudiMicroBatchStream(opts: HudiStreamOptions) extends MicroBatchStream {
     HudiStreamOffset(start)
   }
 
-  override def latestOffset(): Offset = HudiStreamOffset(
-    HudiRead.completedInstants(spark, opts.path).lastOption.getOrElse(""))
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admit whole instants oldest-first until the base-file budget is
+    * spent (always at least one; instants with no base files in the
+    * count — replacecommits, rewritten-away groups — ride along with the
+    * next counted instant, and an empty range jumps straight to tip). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[HudiStreamOffset].instant
+    val tip = tipInstant
+    if (tip <= s) return HudiStreamOffset(s)
+    LakeTailOptions.budgetOf(limit) match {
+      case None => HudiStreamOffset(tip)
+      case Some(budget) =>
+        val counts = HudiRead.baseFileCountsByInstant(spark, opts.path)
+          .filter { case (i, _) => i > s && i <= tip }
+        if (counts.isEmpty) return HudiStreamOffset(tip)
+        var admitted = s
+        var used = 0
+        var stop = false
+        counts.foreach { case (instant, c) =>
+          if (!stop) {
+            if (admitted > s && used + c > budget) stop = true
+            else {
+              admitted = instant
+              used += c
+              if (used >= budget) stop = true
+            }
+          }
+        }
+        // everything counted was admitted: close the batch at the tip so
+        // trailing no-base instants don't stall the cursor
+        HudiStreamOffset(if (!stop) tip else admitted)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = HudiStreamOffset(tipInstant)
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HudiStreamOffset].instant

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,8 +33,18 @@ import graft.sources.IcebergRead
   * incremental scan has no row-level representation for it (Iceberg's
   * own streaming read has the same restriction).
   *
+  * ADMISSION CONTROL: `maxFilesPerTrigger` (default 1000, `none` =
+  * unbounded) caps how many appended data files one micro-batch plans —
+  * snapshots are admitted WHOLE, oldest-first, until the budget is
+  * spent (always at least one). The admission walk reads only the
+  * candidate snapshots' manifests (metadata; executor-parallel), so a
+  * fresh tail of a long history drains in bounded batches.
+  * `Trigger.AvailableNow` pins the tip snapshot at query start and
+  * drains to exactly it, then finishes.
+  *
   * Options: `path` (required), `startingSnapshotId` (default: from the
-  * first snapshot; `latest` starts after the current tip). */
+  * first snapshot; `latest` starts after the current tip),
+  * `maxFilesPerTrigger`. */
 class IcebergStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-iceberg"
   override def supportsExternalMetadata(): Boolean = false
@@ -52,6 +62,9 @@ final case class IcebergStreamOptions(raw: Map[String, String]) {
     throw new IllegalArgumentException("graft-iceberg requires option path"))
   /** None = everything; Some(id) = snapshots AFTER id; Latest = tip. */
   val startingSnapshotId: Option[String] = ci("startingSnapshotId")
+  /** appended-file budget per micro-batch; None = unbounded. */
+  val maxFilesPerTrigger: Option[Int] =
+    LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
 }
 
 class IcebergStreamTable(opts: IcebergStreamOptions) extends Table with SupportsRead {
@@ -91,8 +104,18 @@ object IcebergStreamOffset {
   }
 }
 
-class IcebergMicroBatchStream(opts: IcebergStreamOptions) extends MicroBatchStream {
+class IcebergMicroBatchStream(opts: IcebergStreamOptions)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   private def spark = org.apache.spark.sql.SparkSession.active
+
+  /** Trigger.AvailableNow pins the tip snapshot id at query start
+    * (outer None = not pinned; inner None = table had no snapshots). */
+  @volatile private var availableNowTip: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(
+      IcebergRead.snapshotManifests(spark, opts.path).lastOption.map(_.id))
 
   override def initialOffset(): Offset = {
     val snaps = IcebergRead.snapshotManifests(spark, opts.path)
@@ -108,8 +131,47 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions) extends MicroBatchStre
     IcebergStreamOffset(id)
   }
 
-  override def latestOffset(): Offset = IcebergStreamOffset(
-    IcebergRead.snapshotManifests(spark, opts.path).lastOption.map(_.id))
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admit whole snapshots oldest-first until the appended-file budget
+    * is spent (always at least one). Counting goes through
+    * [[IcebergRead.appendedBySnapshots]], so the append-only gates fire
+    * here — at admission — just as loudly as they would at planning. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val snaps = IcebergRead.snapshotManifests(spark, opts.path)
+    val tipId = availableNowTip.getOrElse(snaps.lastOption.map(_.id))
+    val sIdx = ordinalOf(snaps,
+      start.asInstanceOf[IcebergStreamOffset].snapshotId, "checkpointed start")
+    val tipIdx = ordinalOf(snaps, tipId, "tip")
+    if (tipIdx <= sIdx)
+      return start.asInstanceOf[IcebergStreamOffset] // nothing new
+    LakeTailOptions.budgetOf(limit) match {
+      case None => IcebergStreamOffset(tipId)
+      case Some(budget) =>
+        var i = sIdx
+        var used = 0
+        var stop = false
+        while (!stop && i < tipIdx) {
+          val c = IcebergRead.appendedBySnapshots(spark, Seq(snaps(i + 1))).size
+          if (i > sIdx && used + c > budget) stop = true
+          else {
+            i += 1
+            used += c
+            if (used >= budget) stop = true
+          }
+        }
+        IcebergStreamOffset(if (i < 0) None else Some(snaps(i).id))
+    }
+  }
+
+  override def reportLatestOffset(): Offset = IcebergStreamOffset(
+    availableNowTip.getOrElse(
+      IcebergRead.snapshotManifests(spark, opts.path).lastOption.map(_.id)))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   /** Position of `id` in the current snapshots array (−1 = None = from
     * the beginning); an id the metadata no longer holds fails LOUDLY —
