@@ -208,4 +208,51 @@ object IcebergWrite {
     val hint = fs.create(hintPath, true)
     try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
   }
+
+  /** SCHEMA-EVOLUTION commit: a new metadata version whose CURRENT
+    * schema is `schemaFields`, snapshots carried forward untouched —
+    * the rename / add-column shape (same field id + new name = rename;
+    * fresh id = new column; Iceberg never reuses ids). Readers resolve
+    * old data files through the ids, so a rename is metadata-only.
+    * Caveat (fixture-grade, like the rest of this writer): a later
+    * [[commitEntries]] rebuilds the schema from ITS `schemaFields` —
+    * pass the evolved schema on subsequent commits. */
+  def updateSchema(spark: SparkSession, table: String,
+                   schemaFields: Seq[(Int, String, String)]): Unit = {
+    require(schemaFields.nonEmpty, "updateSchema needs fields")
+    val meta = new Path(table, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(meta, "version-hint.text")
+    require(fs.exists(hintPath), s"$table has no Iceberg metadata to evolve")
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = graft.sources.IcebergRead.readMetadata(spark, table)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newId = Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0) + 1
+    val schemaNode = mapper.createObjectNode()
+    schemaNode.put("schema-id", newId)
+    schemaNode.put("type", "struct")
+    val arr = schemaNode.putArray("fields")
+    schemaFields.foreach { case (id, name, tpe) =>
+      val f = arr.addObject()
+      f.put("id", id)
+      f.put("name", name)
+      f.put("required", false)
+      if (tpe.trim.startsWith("{"))
+        f.set[com.fasterxml.jackson.databind.JsonNode]("type", mapper.readTree(tpe))
+      else f.put("type", tpe)
+    }
+    val schemas = mapper.createArrayNode()
+    schemas.add(schemaNode)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("schemas", schemas)
+    node.put("current-schema-id", newId)
+    val in = fs.open(hintPath)
+    val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+                finally in.close()
+    val version = prior + 1
+    val vfile = fs.create(new Path(meta, s"v$version.metadata.json"), true)
+    try vfile.write(mapper.writeValueAsString(node).getBytes(UTF_8))
+    finally vfile.close()
+    val hint = fs.create(hintPath, true)
+    try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
+  }
 }

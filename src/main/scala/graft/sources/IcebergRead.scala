@@ -352,16 +352,24 @@ object IcebergRead {
     * nested struct fields — a path like `meta.zip`); list-element and
     * map key/value ids are not addressable by an equality delete and
     * stay unmapped (loud at resolution). */
-  private def schemaFieldPaths(meta: com.fasterxml.jackson.databind.JsonNode)
-      : Map[Int, Seq[String]] = {
+  /** The table's CURRENT schema node: v2 `schemas` + `current-schema-id`,
+    * falling back to the v1 single `schema`. */
+  private def currentSchemaNode(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     import scala.jdk.CollectionConverters._
-    val schema = Option(meta.get("schemas")).flatMap { ss =>
+    Option(meta.get("schemas")).flatMap { ss =>
       val want = Option(meta.get("current-schema-id")).map(_.asInt())
       val all = ss.elements().asScala.toSeq
       want.flatMap(id => all.find(s =>
         Option(s.get("schema-id")).exists(_.asInt() == id)))
         .orElse(all.lastOption)
     }.orElse(Option(meta.get("schema")))
+  }
+
+  private def schemaFieldPaths(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val schema = currentSchemaNode(meta)
     val out = scala.collection.mutable.Map.empty[Int, Seq[String]]
     def walk(fields: Seq[com.fasterxml.jackson.databind.JsonNode],
              prefix: Seq[String]): Unit =
@@ -380,6 +388,91 @@ object IcebergRead {
       .flatMap(_.elements().asScala)), Nil)
     out.toMap
   }
+
+  /** Iceberg type string/node → Spark type, for the field-id read
+    * schema. Lists/maps/uuid gate loudly — the field-id path is about
+    * rename-safe column resolution, and those shapes haven't earned a
+    * silent representation choice. */
+  private def icebergTypeToSpark(t: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    if (t.isTextual) t.asText() match {
+      case "long" => LongType
+      case "int" | "integer" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "binary" => BinaryType
+      case s if s.startsWith("decimal(") && s.endsWith(")") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case other => throw new IllegalArgumentException(
+        s"iceberg type '$other' is not supported by the field-id read path")
+    } else Option(t.get("type")).map(_.asText()) match {
+      case Some("struct") => icebergStructToSpark(t)
+      case other => throw new IllegalArgumentException(
+        s"iceberg type '${other.getOrElse(t)}' is not supported by the " +
+          "field-id read path")
+    }
+  }
+
+  private def icebergStructToSpark(node: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.types.StructType = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    StructType(Option(node.get("fields")).toSeq
+      .flatMap(_.elements().asScala).map { f =>
+        val id = Option(f.get("id")).map(_.asInt()).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema field ${f.get("name")} has no id"))
+        StructField(f.get("name").asText(), icebergTypeToSpark(f.get("type")),
+          nullable = !Option(f.get("required")).exists(_.asBoolean()),
+          metadata = new MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+      })
+  }
+
+  /** The current schema as a Spark read schema with `parquet.field.id`
+    * metadata on every field — the rename-safe projection real Iceberg
+    * clients use. None when the metadata carries no schema. */
+  private[graft] def fieldIdReadSchema(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[org.apache.spark.sql.types.StructType] =
+    currentSchemaNode(meta).map(icebergStructToSpark)
+
+  /** Does this parquet file's footer carry field ids? One driver-side
+    * footer read — the detection gate for id-based resolution (real
+    * Iceberg writers always stamp ids; plain Spark fixtures may not). */
+  private[graft] def parquetHasFieldIds(spark: SparkSession,
+                                        file: String): Boolean = {
+    val p = new Path(file)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, p, org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    import scala.jdk.CollectionConverters._
+    footer.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+  }
+
+  /** The data-side scan: resolve columns BY FIELD ID when the metadata
+    * has a schema and the files carry ids (rename-safe — a column
+    * renamed in the table schema reads old files correctly); otherwise
+    * fall back to name-based schema inference (plain-Spark fixture
+    * files). The session flag only affects reads whose schema carries
+    * id metadata, so setting it is safe table-wide. */
+  private def dataScan(spark: SparkSession, files: Seq[String],
+                       meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    fieldIdReadSchema(meta) match {
+      case Some(schema) if files.nonEmpty &&
+          parquetHasFieldIds(spark, files.head) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(schema).parquet(files: _*)
+      case _ => spark.read.parquet(files: _*)
+    }
 
   /** Read the current (or `snapshotId`) snapshot. */
   def snapshot(spark: SparkSession, table: String,
@@ -402,8 +495,9 @@ object IcebergRead {
     val (files, posDeletes, eqGroups) = snapshotFiles(spark, manifestList, maxFiles)
     if (files.isEmpty) spark.emptyDataFrame
     else if (posDeletes.isEmpty && eqGroups.isEmpty)
-      spark.read.parquet(files.map(_.path): _*)
-    else applyDeletes(spark, files, posDeletes, eqGroups, schemaFieldPaths(meta))
+      dataScan(spark, files.map(_.path), meta)
+    else applyDeletes(spark, files, posDeletes, eqGroups,
+      schemaFieldPaths(meta), meta)
   }
 
   /** Broadcast map from `_metadata.file_path`'s spelling back to the
@@ -434,11 +528,12 @@ object IcebergRead {
     * class is its own scan feeding a join build side. */
   private def applyDeletes(spark: SparkSession, files: Seq[Tracked],
                            posDeletes: Seq[Tracked], eqGroups: Seq[EqGroup],
-                           fieldPaths: Map[Int, Seq[String]]): DataFrame = {
+                           fieldPaths: Map[Int, Seq[String]],
+                           meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
     import org.apache.spark.sql.functions._
     // _metadata.file_path carries the Hadoop Path rendering of the
     // qualified path (file:/x, not the URI form file:///x)
-    val data = spark.read.parquet(files.map(_.path): _*)
+    val data = dataScan(spark, files.map(_.path), meta)
     val cols = data.columns.toSeq
     var keyed = data
       .withColumn("__qualified", col("_metadata.file_path"))
