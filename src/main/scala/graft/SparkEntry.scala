@@ -1583,6 +1583,43 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg SCHEMA EVOLUTION on read ([[graft.sources.IcebergRead]]
+      * field-id resolution + [[graft.sink.IcebergWrite.updateSchema]]):
+      * data files are written with Iceberg-style `parquet.field.id`
+      * footers under the ORIGINAL column names, the table schema then
+      * renames `o_totalprice` → `total_price` (same field id — a
+      * metadata-only rename, Iceberg's contract), and the snapshot read
+      * must surface the OLD files' values under the NEW name by
+      * resolving columns through the ids, not the names. */
+    "lake_iceberg_rename" -> ((s, d) => {
+      val root = lakeTmp(d, "icerename")
+      def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      t(s, d, "orders")
+        .select(col("o_orderkey").as("o_orderkey", fid(1)),
+          col("o_totalprice").as("o_totalprice", fid(2)))
+        .write.parquet(s"$root/data")
+      def list(sub: String): Seq[String] = {
+        val dir = java.nio.file.Paths.get(root, sub)
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally st.close()
+      }
+      graft.sink.IcebergWrite.commitEntries(s, root,
+        list("data").map(graft.sink.IcebergWrite.FileEntry(_, 0, 1L)),
+        Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double")),
+        snapshotId = 1L)
+      graft.sink.IcebergWrite.updateSchema(s, root,
+        Seq((1, "o_orderkey", "long"), (2, "total_price", "double")))
+      graft.sources.IcebergRead.snapshot(s, root)
+        .where(col("o_orderkey") % 3 === 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_price").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Delta CHANGE DATA FEED ([[graft.sources.DeltaRead.changes]]):
       * create (v0) → partition rewrite (v1), then the feed for 0..1 —
       * v0 is all-inserts, v1 is the rewritten partition's old rows as
@@ -2927,6 +2964,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_iceberg_rename" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 = 0""",
 
     "lake_delta_cdf" -> """
       SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
