@@ -1355,6 +1355,30 @@ object SparkEntry {
       TextOps.c4Quality(docs).orderBy("doc_id")
     }),
 
+    /** Encoding repair ([[graft.ops.TextOps.fixEncoding]] — ftfy's core
+      * fix, one codegen expression per row): the corpus is
+      * deterministically corrupted — every doc_id%3==0 doc is
+      * DOUBLE-ENCODED (UTF-8 bytes re-read as Latin-1) after a
+      * non-ASCII suffix, %3==2 docs get a CLEAN accented suffix that
+      * must stay untouched (its bytes are not valid multi-byte UTF-8),
+      * %3==1 stay ASCII — and the repair must byte-exactly invert
+      * exactly the corrupted third: the oracle hashes the CLEAN text,
+      * never seeing the corruption. */
+    "text_fix_mojibake" -> ((s, d) => {
+      graft.functions.TextFunctions.ensureRegistered(s)
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          graft.functions.TextFunctions.mojibake(
+            concat(col("text"), lit(" — café №42"))))
+          .when(col("doc_id") % 3 === 2,
+            concat(col("text"), lit(" – naïve café")))
+          .otherwise(col("text")).as("text"))
+      TextOps.fixEncoding(dirty)
+        .select(col("doc_id"), md5(col("text_fixed")).as("fixed_md5"),
+          col("was_mojibake"))
+        .orderBy("doc_id")
+    }),
+
     /** Incremental near-dup ([[Dedup.incrementalMinhashPairs]]): a batch
       * of suffix-mutated resubmissions (doc_id%5, ids offset 1e6) checked
       * against the full corpus by MinHash LSH — candidates only from
@@ -2808,6 +2832,14 @@ object SparkEntry {
     /** C4 rules replay: identical line-ification (RE2 `\1` spelling of
       * the same regex), line retention and sentence counting from plain
       * string functions, integer-cast sums. */
+    "text_fix_mojibake" -> """
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' — café №42'
+                      WHEN doc_id % 3 = 2 THEN text || ' – naïve café'
+                      ELSE text END) AS fixed_md5,
+             doc_id % 3 = 0 AS was_mojibake
+      FROM documents ORDER BY doc_id""",
+
     "text_c4" -> """
       WITH d AS (SELECT doc_id,
              regexp_replace(text, '((?:\S+\s+){9}\S+)\s+', '\1.' || chr(10), 'g') AS text

@@ -197,6 +197,46 @@ object TextKernels {
     }
     new GenericArrayData(bandsOut)
   }
+
+  /** Mojibake SYNTHESIS: the string's UTF-8 bytes re-read as Latin-1 —
+    * the classic double-encoding corruption ("é" → "Ã©"). Total: every
+    * byte value is a Latin-1 codepoint, so this never fails. */
+  def mojibake(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append((bytes(i) & 0xFF).toChar); i += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** ftfy-style mojibake REPAIR (one round): iff (1) every codepoint
+    * fits Latin-1 — so the string CAN be a misdecoded byte stream,
+    * (2) those codepoints-as-bytes form valid UTF-8, and (3) the
+    * reinterpretation strictly SHRINKS the string (real multi-byte
+    * sequences collapsed — an all-ASCII string is untouched by
+    * construction), return the reinterpretation; otherwise the input
+    * unchanged. Already-correct text ("café") fails (2): the 0xE9 byte
+    * is a lone continuation byte at the end of its sequence context,
+    * never valid UTF-8 — the repair can't damage clean text. */
+  def fixMojibake(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return text // not Latin-1-representable: clean text
+      bytes(i) = c.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder() // strict
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes))
+      if (out.length < n) UTF8String.fromString(out.toString) else text
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => text
+    }
+  }
 }
 
 object SetKernels {
@@ -265,6 +305,32 @@ case class ShingleSet(child: Expression, k: Int) extends StringKernelExpression 
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleSet($c, $k)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** mojibake(text) — the string's UTF-8 bytes re-read as Latin-1 (the
+  * deterministic double-encoding corruption, for fixtures/round-trips). */
+case class Mojibake(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "mojibake"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.mojibake(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.mojibake($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** fix_mojibake(text) — one round of ftfy-style double-encoding repair:
+  * Latin-1-representable strings whose codepoints-as-bytes are valid
+  * (and strictly shrinking) UTF-8 are reinterpreted; everything else —
+  * ASCII, clean accented text, genuine Latin-1 — passes untouched. */
+case class FixMojibake(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "fix_mojibake"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.fixMojibake(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.fixMojibake($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** shingle_hashes(text, k) — sorted distinct xxh64 word-k-shingle hashes. */
@@ -383,7 +449,13 @@ object TextFunctions {
       new ExpressionInfo(classOf[MinHashBandsFromHashes].getName, "minhash_bands_h"),
       (cs: Seq[Expression]) => MinHashBandsFromHashes(cs.head,
         cs(1).eval().asInstanceOf[Number].intValue(),
-        cs(2).eval().asInstanceOf[Number].intValue())))
+        cs(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("mojibake"),
+      new ExpressionInfo(classOf[Mojibake].getName, "mojibake"),
+      (cs: Seq[Expression]) => Mojibake(cs.head)),
+    (FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (cs: Seq[Expression]) => FixMojibake(cs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -406,4 +478,6 @@ object TextFunctions {
     call_function("sorted_intersect_size_long", a, b)
   def minhashBandsH(hashes: Column, numBands: Int, rowsPerBand: Int): Column =
     call_function("minhash_bands_h", hashes, lit(numBands), lit(rowsPerBand))
+  def mojibake(text: Column): Column = call_function("mojibake", text)
+  def fixMojibake(text: Column): Column = call_function("fix_mojibake", text)
 }

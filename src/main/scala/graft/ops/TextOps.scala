@@ -37,6 +37,22 @@ object TextOps {
     graft.functions.TextFunctions.shingleSet(text, k)
   }
 
+  /** Encoding repair — ftfy's core fix, per document and codegen'd
+    * ([[graft.functions.FixMojibake]]): one round of
+    * UTF-8-read-as-Latin-1 double-encoding repair ("Ã©" → "é").
+    * A string is repaired iff it is Latin-1-representable, its
+    * codepoints-as-bytes form valid UTF-8, and the reinterpretation
+    * strictly shrinks it — clean ASCII, clean accented text, and
+    * genuine Latin-1 all pass untouched (their byte images are not
+    * valid multi-byte UTF-8). Shuffle-free: a projection over the
+    * corpus, exactly as cheap at 100 TB as a scan. */
+  def fixEncoding(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val fixed = graft.functions.TextFunctions.fixMojibake(col(textCol))
+    docs.withColumn("text_fixed", fixed)
+      .withColumn("was_mojibake", col("text_fixed") =!= col(textCol))
+  }
+
   /** Deterministic rolling-hash document fingerprint: md5 over the canonical
     * (sorted distinct lowercase) token set. Two docs with identical content
     * modulo word order/duplication share a fingerprint. */

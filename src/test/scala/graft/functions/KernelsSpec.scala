@@ -93,6 +93,29 @@ class KernelsSpec extends SparkSuite {
     assert(bands(0) === bands(1))
   }
 
+  test("mojibake/fix_mojibake: double-encoding round-trips; clean text untouched") {
+    TextFunctions.ensureRegistered(spark)
+    val cases = Seq(
+      "café — déjà vu №1",   // accented + beyond-Latin-1 codepoints
+      "plain ascii text",     // ASCII: mojibake is identity, repair no-op
+      "中文 emoji 😀 mixed") // CJK + surrogate pairs
+      .toDF("clean")
+    val out = cases.select(col("clean"),
+      TextFunctions.fixMojibake(TextFunctions.mojibake(col("clean"))).as("fixed"),
+      TextFunctions.fixMojibake(col("clean")).as("noop"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) === r.getString(0),
+        s"repair must invert the corruption for '${r.getString(0)}'")
+      assert(r.getString(2) === r.getString(0),
+        s"repair must not damage clean text '${r.getString(0)}'")
+    }
+    // genuine Latin-1-looking text whose bytes are NOT valid UTF-8 stays
+    val latin1ish = Seq("Müller: 5°").toDF("s")
+      .select(TextFunctions.fixMojibake(col("s"))).as[String].collect().head
+    assert(latin1ish === "Müller: 5°")
+  }
+
   test("functions usable from plain SQL via extensions-style registration") {
     TextFunctions.ensureRegistered(spark)
     VectorFunctions.ensureRegistered(spark)
