@@ -1355,6 +1355,26 @@ object SparkEntry {
       TextOps.c4Quality(docs).orderBy("doc_id")
     }),
 
+    /** Unicode canonicalization ([[graft.ops.TextOps.normalizeUnicode]]):
+      * every even doc gets an NFD-DECOMPOSED accented suffix (combining
+      * marks, synthesized by the same kernel in decompose mode) and NFC
+      * must re-compose it byte-exactly to the clean form the oracle
+      * hashes — odd docs stay ASCII and must pass the isNormalized fast
+      * path untouched. */
+    "text_nfc" -> ((s, d) => {
+      graft.functions.TextFunctions.ensureRegistered(s)
+      val dirty = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            graft.functions.TextFunctions.unicodeNormalize(
+              lit(" — café naïve déjà vu"), "NFD")))
+          .otherwise(col("text")).as("text"))
+      TextOps.normalizeUnicode(dirty)
+        .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
+          col("was_denormalized"))
+        .orderBy("doc_id")
+    }),
+
     /** Encoding repair ([[graft.ops.TextOps.fixEncoding]] — ftfy's core
       * fix, one codegen expression per row): the corpus is
       * deterministically corrupted — every doc_id%3==0 doc is
@@ -2832,6 +2852,13 @@ object SparkEntry {
     /** C4 rules replay: identical line-ification (RE2 `\1` spelling of
       * the same regex), line retention and sentence counting from plain
       * string functions, integer-cast sums. */
+    "text_nfc" -> """
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 2 = 0 THEN text || ' — café naïve déjà vu'
+                      ELSE text END) AS norm_md5,
+             doc_id % 2 = 0 AS was_denormalized
+      FROM documents ORDER BY doc_id""",
+
     "text_fix_mojibake" -> """
       SELECT doc_id,
              md5(CASE WHEN doc_id % 3 = 0 THEN text || ' — café №42'

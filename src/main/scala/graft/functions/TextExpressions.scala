@@ -209,6 +209,18 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Unicode normalization (java.text.Normalizer): NFC for canonical
+    * composition (the pre-dedup canonical form — "café" composed and
+    * "café" decomposed must hash identically), NFD/NFKC/NFKD for
+    * the other forms. ASCII fast path: `Normalizer.isNormalized` is a
+    * cheap scan that skips the rebuild for already-normal text (the
+    * overwhelming majority of a real corpus). */
+  def unicodeNormalize(text: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, form)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, form))
+  }
+
   /** ftfy-style mojibake REPAIR (one round): iff (1) every codepoint
     * fits Latin-1 — so the string CAN be a misdecoded byte stream,
     * (2) those codepoints-as-bytes form valid UTF-8, and (3) the
@@ -333,6 +345,22 @@ case class FixMojibake(child: Expression) extends StringKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') — java.text
+  * normalization with an isNormalized fast path. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends StringKernelExpression {
+  private val jform = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.unicodeNormalize(t.asInstanceOf[UTF8String], jform)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.unicodeNormalize(" +
+      s"$c, java.text.Normalizer.Form.${jform.name})")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** shingle_hashes(text, k) — sorted distinct xxh64 word-k-shingle hashes. */
 case class ShingleHashes(child: Expression, k: Int) extends StringKernelExpression {
   override def prettyName: String = "shingle_hashes"
@@ -455,7 +483,11 @@ object TextFunctions {
       (cs: Seq[Expression]) => Mojibake(cs.head)),
     (FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
-      (cs: Seq[Expression]) => FixMojibake(cs.head)))
+      (cs: Seq[Expression]) => FixMojibake(cs.head)),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (cs: Seq[Expression]) => UnicodeNormalize(cs.head,
+        cs(1).eval().toString)))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -480,4 +512,6 @@ object TextFunctions {
     call_function("minhash_bands_h", hashes, lit(numBands), lit(rowsPerBand))
   def mojibake(text: Column): Column = call_function("mojibake", text)
   def fixMojibake(text: Column): Column = call_function("fix_mojibake", text)
+  def unicodeNormalize(text: Column, form: String): Column =
+    call_function("unicode_normalize", text, lit(form))
 }

@@ -53,6 +53,21 @@ object TextOps {
       .withColumn("was_mojibake", col("text_fixed") =!= col(textCol))
   }
 
+  /** Unicode canonicalization ([[graft.functions.UnicodeNormalize]]) —
+    * the normalize-before-hash step every dedup pipeline needs: "café"
+    * composed (U+00E9) and decomposed (e + U+0301) are DIFFERENT byte
+    * strings that must fingerprint identically. NFC by default;
+    * `isNormalized` fast-paths already-normal text (the overwhelming
+    * majority of a real corpus), and the whole op is a shuffle-free
+    * projection. */
+  def normalizeUnicode(docs: DataFrame, textCol: String = "text",
+                       form: String = "NFC"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    docs.withColumn("text_norm",
+        graft.functions.TextFunctions.unicodeNormalize(col(textCol), form))
+      .withColumn("was_denormalized", col("text_norm") =!= col(textCol))
+  }
+
   /** Deterministic rolling-hash document fingerprint: md5 over the canonical
     * (sorted distinct lowercase) token set. Two docs with identical content
     * modulo word order/duplication share a fingerprint. */

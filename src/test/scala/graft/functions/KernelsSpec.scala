@@ -116,6 +116,24 @@ class KernelsSpec extends SparkSuite {
     assert(latin1ish === "Müller: 5°")
   }
 
+  test("unicode_normalize: NFC(NFD(x)) round-trips; ASCII untouched; forms differ") {
+    TextFunctions.ensureRegistered(spark)
+    val composed = "café naïve déjà №" // NFC source form
+    val r = Seq(composed).toDF("s").select(
+      TextFunctions.unicodeNormalize(
+        TextFunctions.unicodeNormalize(col("s"), "NFD"), "NFC").as("roundtrip"),
+      TextFunctions.unicodeNormalize(col("s"), "NFD").as("nfd"),
+      TextFunctions.unicodeNormalize(col("s"), "NFKC").as("nfkc"))
+      .collect().head
+    assert(r.getString(0) === composed)
+    assert(r.getString(1) !== composed, "NFD must decompose the accents")
+    assert(r.getString(2).endsWith("No"), "NFKC folds № to 'No'")
+    val ascii = Seq("plain ascii").toDF("s")
+      .select(TextFunctions.unicodeNormalize(col("s"), "NFC"))
+      .as[String].collect().head
+    assert(ascii === "plain ascii")
+  }
+
   test("functions usable from plain SQL via extensions-style registration") {
     TextFunctions.ensureRegistered(spark)
     VectorFunctions.ensureRegistered(spark)
