@@ -389,6 +389,14 @@ object IcebergRead {
     out.toMap
   }
 
+  /** Field id → CURRENT name (path leaf) from the table schema — the
+    * `graft-iceberg` json tail's rename map: files written before a
+    * rename carry the old name in their footers, and the tail must emit
+    * the current one. */
+  private[graft] def fieldIdNames(spark: SparkSession, table: String)
+      : Map[Int, String] =
+    schemaFieldPaths(readMetadata(spark, table)).view.mapValues(_.last).toMap
+
   /** Iceberg type string/node → Spark type, for the field-id read
     * schema. Lists/maps/uuid gate loudly — the field-id path is about
     * rename-safe column resolution, and those shapes haven't earned a

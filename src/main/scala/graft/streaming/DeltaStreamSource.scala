@@ -255,7 +255,16 @@ final case class ChangeFilePartition(absolutePath: String,
                                         * column renames (Delta column
                                         * mapping) applied to the emitted
                                         * json keys. */
-                                      renames: Map[String, String] = Map.empty)
+                                      renames: Map[String, String] = Map.empty,
+                                      /** parquet FIELD-ID → current
+                                        * logical name (Iceberg schema
+                                        * evolution): a field whose
+                                        * footer id is mapped emits under
+                                        * the mapped name at ANY nesting
+                                        * level (Iceberg ids are globally
+                                        * unique per schema); id-less
+                                        * fields keep their file name. */
+                                      idRenames: Map[Int, String] = Map.empty)
   extends InputPartition
 
 class ChangeFileReaderFactory extends PartitionReaderFactory {
@@ -285,7 +294,7 @@ class ChangeFileReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow = {
         val (json, fileChangeType) =
           ChangeFileReaderFactory.groupToJson(current, part.partitionValues,
-            part.renames)
+            part.renames, part.idRenames)
         val ct = part.changeType.orElse(fileChangeType).getOrElse(
           throw new IllegalStateException(
             s"cdc file ${part.absolutePath} row without _change_type"))
@@ -314,8 +323,16 @@ object ChangeFileReaderFactory {
     * restore — `_change_type` is never mapped). */
   private[streaming] def groupToJson(g: Group,
                                      extra: Map[String, String],
-                                     renames: Map[String, String] = Map.empty): (String, Option[String]) = {
+                                     renames: Map[String, String] = Map.empty,
+                                     idRenames: Map[Int, String] = Map.empty): (String, Option[String]) = {
     var changeType: Option[String] = None
+    // Iceberg schema evolution: a field's footer id resolves to its
+    // CURRENT schema name; id-less fields (or unmapped ids) keep the
+    // file spelling. Ids are globally unique per Iceberg schema, so one
+    // flat map is safe at every nesting level.
+    def emittedName(field: Type): String =
+      Option(field.getId).map(_.intValue).flatMap(idRenames.get)
+        .getOrElse(field.getName)
     def convert(group: Group): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = mapper.createObjectNode()
       val schema: GroupType = group.getType
@@ -338,19 +355,19 @@ object ChangeFileReaderFactory {
               case _ => ()
             }
             pt.getPrimitiveTypeName match {
-              case INT32 => node.put(field.getName, group.getInteger(i, r))
-              case INT64 => node.put(field.getName, group.getLong(i, r))
-              case FLOAT => node.put(field.getName, group.getFloat(i, r))
-              case DOUBLE => node.put(field.getName, group.getDouble(i, r))
-              case BOOLEAN => node.put(field.getName, group.getBoolean(i, r))
+              case INT32 => node.put(emittedName(field), group.getInteger(i, r))
+              case INT64 => node.put(emittedName(field), group.getLong(i, r))
+              case FLOAT => node.put(emittedName(field), group.getFloat(i, r))
+              case DOUBLE => node.put(emittedName(field), group.getDouble(i, r))
+              case BOOLEAN => node.put(emittedName(field), group.getBoolean(i, r))
               case BINARY | FIXED_LEN_BYTE_ARRAY =>
-                node.put(field.getName, group.getBinary(i, r).toStringUsingUTF8)
+                node.put(emittedName(field), group.getBinary(i, r).toStringUsingUTF8)
               case INT96 => throw new IllegalArgumentException(
                 s"column ${field.getName} is INT96 — legacy timestamps are " +
                   "not supported by the json change tail")
             }
           case _: GroupType =>
-            node.set(field.getName, convert(group.getGroup(i, r))): Unit
+            node.set(emittedName(field), convert(group.getGroup(i, r))): Unit
         }
         if (reps == 0) { /* absent (null) — omit */ }
         else if (field.getRepetition == Type.Repetition.REPEATED) {
@@ -361,7 +378,7 @@ object ChangeFileReaderFactory {
               case _: GroupType => arr.add(convert(group.getGroup(i, r)))
             }
           }
-          node.set(field.getName, arr): Unit
+          node.set(emittedName(field), arr): Unit
         } else one(0)
       }
       node

@@ -198,11 +198,16 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions)
     val slice = snaps.slice(s + 1, e + 1)
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray
+    // schema evolution: emit every field under its CURRENT schema name,
+    // resolved through the footer field ids (files written before a
+    // rename carry the old spelling; id-less fixture files fall back to
+    // their file names)
+    val idRenames = IcebergRead.fieldIdNames(spark, opts.path)
     IcebergRead.appendedBySnapshots(spark, slice).map { case (sid, path) =>
       // Iceberg data files carry their partition columns IN-FILE — no
       // value merge needed; the change class is always an insert
-      ChangeFilePartition(path, Map.empty, Some("insert"), sid, props)
-        : InputPartition
+      ChangeFilePartition(path, Map.empty, Some("insert"), sid, props,
+        idRenames = idRenames): InputPartition
     }.toArray
   }
 

@@ -63,6 +63,26 @@ class IcebergSchemaEvolutionSpec extends SparkSuite {
       "pre-rename files must surface values under the NEW name via field ids")
   }
 
+  test("graft-iceberg tail emits json keys in the CURRENT schema names") {
+    val root = Files.createTempDirectory("iceberg-evolution-tail").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    val f1 = writeWithIds(data, "f1.parquet", Seq((1L, "widget")), ("id", "item"))
+    IcebergWrite.commitEntries(spark, root, Seq(FileEntry(f1, 0, 1L)),
+      Seq((1, "id", "long"), (2, "item", "string")), snapshotId = 11L)
+    IcebergWrite.updateSchema(spark, root,
+      Seq((1, "id", "long"), (2, "part_name", "string")))
+    val q = spark.readStream.format("graft-iceberg").option("path", root).load()
+      .writeStream.format("memory").queryName("ice_tail_renamed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ice_tail_renamed").selectExpr("row")
+      .as[String].collect().toSeq
+    assert(rows.size === 1)
+    assert(rows.head.contains("\"part_name\":\"widget\"") &&
+      !rows.head.contains("\"item\""),
+      s"pre-rename file must emit the CURRENT name: ${rows.head}")
+  }
+
   test("id-less files keep the name-based fallback") {
     val root = Files.createTempDirectory("iceberg-evolution-fallback").toString
     val data = java.nio.file.Paths.get(root, "data")
