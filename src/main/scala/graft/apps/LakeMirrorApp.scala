@@ -1,0 +1,67 @@
+package graft.apps
+
+import org.apache.spark.sql.types.StructType
+
+import graft.core.SparkEnv
+import graft.sink.LakeTable
+import graft.streaming.LakeMirror
+
+/** CLI for continuous lake-to-lake replication — tail a Delta / Iceberg
+  * / Hudi table's change feed and mirror it into a graft lake table with
+  * exactly-once results (checkpointed tail + idempotent keyed merges):
+  *
+  * {{{
+  * sbt 'runMain graft.apps.LakeMirrorApp
+  *   --format delta --source /lake/src --target /lake/replica
+  *   --checkpoint /lake/replica_ckpt
+  *   --schema "id LONG, item STRING" --record-key id
+  *   [--available-now]                   # drain backlog, then exit
+  *   [--trigger-time 60]                 # else: follow continuously
+  *   [--max-files-per-trigger 1000]      # admission control
+  *   [--starting-version N | --starting-snapshot-id N | --starting-instant T]
+  * }}}
+  *
+  * The replica's precombine is the source commit VERSION (last writer
+  * wins across replayed batches). `--available-now` is the backfill
+  * shape: the tip is pinned at start, the history drains in
+  * `maxFilesPerTrigger`-bounded batches, and the app exits. */
+object LakeMirrorApp {
+
+  def main(args: Array[String]): Unit = {
+    var cli = Map.empty[String, String]
+    var availableNow = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--available-now" => availableNow = true
+        case flag if flag.startsWith("--") =>
+          cli += flag.stripPrefix("--") -> args(i + 1); i += 1
+        case other =>
+          throw new IllegalArgumentException(s"unrecognized argument: $other")
+      }
+      i += 1
+    }
+    Seq("format", "source", "target", "checkpoint", "schema", "record-key")
+      .foreach(k => require(cli.contains(k), s"Missing argument : (--$k)"))
+    val format = cli("format")
+    val lake = LakeTable(
+      path = cli("target"),
+      tableName = s"mirror_${new java.io.File(cli("source")).getName}",
+      recordKeyFields = cli("record-key").split(",").map(_.trim).toSeq,
+      precombineField = "version")
+    val rowSchema = StructType.fromDDL(cli("schema"))
+    val startingOpts = Seq(
+      "starting-version" -> "startingVersion",
+      "starting-snapshot-id" -> "startingSnapshotId",
+      "starting-instant" -> "startingInstant",
+      "max-files-per-trigger" -> "maxFilesPerTrigger").flatMap {
+      case (flag, opt) => cli.get(flag).map(opt -> _)
+    }.toMap
+    val spark = SparkEnv.appBuilder(s"graft-lake-mirror-$format").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = LakeMirror.start(spark, format, cli("source"), lake, rowSchema,
+      cli("checkpoint"), startingOpts, availableNow,
+      triggerSeconds = cli.getOrElse("trigger-time", "60").toInt)
+    q.awaitTermination()
+  }
+}
