@@ -1664,6 +1664,33 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Row-level Delta UPDATE with CDF emission
+      * ([[graft.sink.DeltaWrite.updateWhere]]): every tenth order gets
+      * its price bumped; the change feed for the UPDATE version must
+      * carry exactly the matched rows as `update_preimage` (old price)
+      * + `update_postimage` (new price) from the `_change_data` cdc
+      * files — never a synthesized whole-file insert+delete — and the
+      * final snapshot must reflect the rewrite. */
+    "lake_delta_update_cdf" -> ((s, d) => {
+      val root = lakeTmp(d, "deltaupd")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sink.DeltaWrite.create(orders, root, Seq("o_orderpriority"))
+      graft.sink.DeltaWrite.updateWhere(s, root, "o_orderkey % 10 = 0",
+        Map("o_totalprice" -> "o_totalprice + 1000"))
+      val feed = graft.sources.DeltaRead.changes(s, root, 1L, 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+      val snap = graft.sources.DeltaRead.snapshot(s, root)
+        .agg(lit("snapshot").as("_change_type"), count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .select("_change_type", "n", "total")
+      feed.unionByName(snap).orderBy("_change_type")
+    }),
+
     /** Delta CHANGE DATA FEED ([[graft.sources.DeltaRead.changes]]):
       * create (v0) → partition rewrite (v1), then the feed for 0..1 —
       * v0 is all-inserts, v1 is the rewritten partition's old rows as
@@ -3028,6 +3055,23 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "lake_delta_update_cdf" -> """
+      SELECT 'snapshot' AS _change_type, count(*) AS n,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0
+                                THEN o_totalprice + 1000
+                                ELSE o_totalprice END AS DECIMAL(18,2)))
+                  AS DOUBLE) AS total
+      FROM orders
+      UNION ALL
+      SELECT 'update_postimage', count(*),
+             CAST(sum(CAST(o_totalprice + 1000 AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'update_preimage', count(*),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 0
+      ORDER BY 1""",
 
     "lake_delta_cdf" -> """
       SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,

@@ -181,6 +181,88 @@ object DeltaWrite {
         files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
   }
 
+  /** Row-level UPDATE with CHANGE DATA FEED emission — Delta's
+    * `UPDATE ... SET ... WHERE ...` commit shape: affected files are
+    * REWRITTEN (remove + add, `dataChange=true`, carried-over rows
+    * unchanged) and the commit also writes `_change_data/` cdc files
+    * carrying the old rows as `update_preimage` and the new rows as
+    * `update_postimage`, referenced by `cdc` actions — so CDF readers
+    * and the `graft-delta` tail see exactly the row-level delta, never
+    * a synthesized whole-file insert+delete. `condition` is a SQL
+    * predicate over the DATA columns (NULL = not matched, like SQL
+    * UPDATE); `set` maps column name → SQL expression over the old row
+    * (type-preserving expressions are the caller's contract — the
+    * declared schema stays authoritative). Files carrying deletion
+    * vectors gate loudly (rewriting them would resurrect DV-deleted
+    * rows). Driver state is the affected FILE list — bounded by file
+    * count, the same grade as every Delta client's log state. */
+  def updateWhere(spark: SparkSession, table: String, condition: String,
+                  set: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    val live = state.live
+    if (live.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val byQualified = live.map(f =>
+      graft.sources.DeletionVectors.sparkPathString(qualify(f.path)) -> f).toMap
+    // SQL-UPDATE null semantics: a NULL condition matches nothing
+    val matched = coalesce(expr(condition), lit(false))
+    val hitFiles = spark.read.parquet(live.map(f => qualify(f.path).toString): _*)
+      .where(matched)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (hitFiles.isEmpty) return
+    val affected = hitFiles.map(byQualified)
+    affected.foreach(f => require(f.dv.isEmpty,
+      s"updateWhere over deletion-vector carrying file ${f.path} is not " +
+        "supported — rewriting it would resurrect DV-deleted rows"))
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
+      s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+    }.mkString(",")
+    affected.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .zipWithIndex.foreach { case ((pv, files), gi) =>
+        val src = spark.read.parquet(files.map(f => qualify(f.path).toString): _*)
+        val pre = src.where(matched)
+        val keep = src.where(!matched)
+        val post = set.foldLeft(pre) { case (d, (c, e)) =>
+          d.withColumn(c, expr(e))
+        }
+        val dataSub = s"upd-v$version/g$gi"
+        keep.unionByName(post).write.mode("errorifexists")
+          .parquet(s"$table/$dataSub")
+        val cdcSub = s"_change_data/upd-v$version/g$gi"
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+          .write.mode("errorifexists").parquet(s"$table/$cdcSub")
+        files.foreach(f => actions +=
+          s"""{"remove":{"path":${jstr(f.path)},"dataChange":true,""" +
+            s""""partitionValues":{${pvJson(f.partitionValues)}}}}""")
+        writtenFiles(spark, table, dataSub).foreach { case (p, _, sz, mt) =>
+          actions += addAction(p, pv, sz, mt)
+        }
+        writtenFiles(spark, table, cdcSub).foreach { case (p, _, sz, _) =>
+          val encoded = new java.net.URI(null, null, p, null).toASCIIString
+          actions += (s"""{"cdc":{"path":${jstr(encoded)},""" +
+            s""""partitionValues":{${pvJson(pv)}},"size":$sz,""" +
+            """"dataChange":false}}""")
+        }
+      }
+    writeVersion(spark, table, version, actions.toSeq)
+  }
+
   /** Delete the rows matching `condition` (a SQL predicate over the DATA
     * columns — partition-column predicates are out of this fixture-grade
     * writer's scope) by attaching DELETION VECTORS: no data file is

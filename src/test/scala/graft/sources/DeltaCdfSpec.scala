@@ -38,6 +38,45 @@ class DeltaCdfSpec extends SparkSuite {
     assert(DeltaRead.changes(spark, root, 1L, 1L).count() === 4L)
   }
 
+  test("updateWhere: row-level UPDATE with pre/postimage cdc; snapshot rewritten") {
+    val root = Files.createTempDirectory("delta-upd").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))
+        .toDF("id", "price", "par"), root, Seq("par"))
+    graft.sink.DeltaWrite.updateWhere(spark, root, "id % 2 = 0",
+      Map("price" -> "price * 10"))
+
+    // snapshot: only the matched row changed, carried-overs intact
+    val snap = DeltaRead.snapshot(spark, root)
+      .selectExpr("id", "price").as[(Long, Double)].collect().toSeq.sorted
+    assert(snap === Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)))
+
+    // CDF: exactly one preimage + one postimage, with partition column
+    val changes = DeltaRead.changes(spark, root, 1L, 1L)
+      .selectExpr("id", "price", "par", "_change_type")
+      .as[(Long, Double, String, String)].collect().toSeq.sorted
+    assert(changes === Seq(
+      (2L, 20.0, "a", "update_preimage"),
+      (2L, 200.0, "a", "update_postimage")),
+      s"row-level delta, never whole-file insert+delete: $changes")
+
+    // the streaming tail carries the same row classes
+    val q = spark.readStream.format("graft-delta").option("path", root)
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("upd_tail")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tail = spark.table("upd_tail").selectExpr("change_type", "row")
+      .as[(String, String)].collect().toSeq
+    assert(tail.map(_._1).sorted === Seq("update_postimage", "update_preimage"))
+    assert(tail.forall(_._2.contains("\"par\":\"a\"")))
+
+    // a second update matching NOTHING commits nothing
+    graft.sink.DeltaWrite.updateWhere(spark, root, "id = 999",
+      Map("price" -> "0.0"))
+    assert(DeltaRead.latestVersion(spark, root) === 1L)
+  }
+
   test("explicit cdc actions take precedence over file actions") {
     val root = Files.createTempDirectory("delta-cdfc").resolve("t").toString
     graft.sink.DeltaWrite.create(
