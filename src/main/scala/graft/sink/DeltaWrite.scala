@@ -271,7 +271,15 @@ object DeltaWrite {
     * `deletionVectors`). Existing DVs are merged, exactly like a real
     * Delta DELETE. The matched positions are collected on the driver —
     * bounded by the deleted-row count, fine for the conformance scope. */
-  def deleteWhere(spark: SparkSession, table: String, condition: String): Unit = {
+  /** With `emitCdc=true`, the commit ALSO writes `_change_data/` cdc
+    * files carrying exactly the NEWLY deleted rows (`_change_type` =
+    * `delete` — rows already dead in a prior DV are not re-reported)
+    * referenced by `cdc` actions, making DV deletes consumable by CDF
+    * readers and the `graft-delta` tail (whose DV-without-cdc gate then
+    * has nothing to fire on — cdc actions take precedence). Default
+    * false preserves the bare-DV commit shape (and its loud gate). */
+  def deleteWhere(spark: SparkSession, table: String, condition: String,
+                  emitCdc: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
@@ -321,7 +329,40 @@ object DeltaWrite {
         addAction(decode(f.path), f.partitionValues, f.size,
           f.modificationTime, Some(d)))
     }
-    writeVersion(spark, table, version, protocol +: actions)
+    val cdcActions = if (!emitCdc) Nil else {
+      def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
+        s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+      }.mkString(",")
+      // only rows dying IN THIS COMMIT: drop positions a prior DV holds
+      val newByFile: Map[String, Seq[Long]] = affected.map { case (q, f) =>
+        val before = f.dv.toSeq.flatMap(d =>
+          graft.sources.DeletionVectors.readRows(conf, table, d).toSeq).toSet
+        q -> hits(q).filterNot(before)
+      }.toMap
+      import spark.implicits._
+      val hitPairs = newByFile.toSeq.flatMap { case (f, ps) => ps.map((f, _)) }
+        .toDF("__f", "__p")
+      affected.groupBy(_._2.partitionValues).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .zipWithIndex.flatMap { case ((pv, group), gi) =>
+          val delRows = spark.read.parquet(
+              group.map { case (_, f) => qualify(f.path).toString }: _*)
+            .withColumn("__f", col("_metadata.file_path"))
+            .withColumn("__p", col("_metadata.row_index"))
+            .join(broadcast(hitPairs), Seq("__f", "__p"), "left_semi")
+            .drop("__f", "__p")
+            .withColumn("_change_type", lit("delete"))
+          val cdcSub = s"_change_data/del-v$version/g$gi"
+          delRows.write.mode("errorifexists").parquet(s"$table/$cdcSub")
+          writtenFiles(spark, table, cdcSub).map { case (p, _, sz, _) =>
+            val encoded = new java.net.URI(null, null, p, null).toASCIIString
+            s"""{"cdc":{"path":${jstr(encoded)},""" +
+              s""""partitionValues":{${pvJson(pv)}},"size":$sz,""" +
+              """"dataChange":false}}"""
+          }
+        }
+    }
+    writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions)
   }
 
   /** OPTIMIZE — bin-packing compaction: rewrite each partition's live

@@ -77,6 +77,40 @@ class DeltaCdfSpec extends SparkSuite {
     assert(DeltaRead.latestVersion(spark, root) === 1L)
   }
 
+  test("deleteWhere(emitCdc): DV deletes become consumable delete rows") {
+    val root = Files.createTempDirectory("delta-delcdc").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))
+        .toDF("id", "price", "par"), root, Seq("par"))
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id <= 2", emitCdc = true)
+
+    // snapshot: DV applied
+    assert(DeltaRead.snapshot(spark, root).selectExpr("id")
+      .as[Long].collect().toSeq === Seq(3L))
+    // CDF: exactly the two dying rows, partition column attached
+    val changes = DeltaRead.changes(spark, root, 1L, 1L)
+      .selectExpr("id", "par", "_change_type")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(changes === Seq((1L, "a", "delete"), (2L, "a", "delete")))
+
+    // overlapping second delete: only the NEWLY dead row is reported
+    graft.sink.DeltaWrite.deleteWhere(spark, root, "id <= 3", emitCdc = true)
+    val second = DeltaRead.changes(spark, root, 2L, 2L)
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSeq
+    assert(second === Seq((3L, "delete")),
+      s"rows already dead in a prior DV must not re-report: $second")
+
+    // the tail consumes the feed instead of firing the DV gate
+    val q = spark.readStream.format("graft-delta").option("path", root).load()
+      .writeStream.format("memory").queryName("delcdc_tail")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tail = spark.table("delcdc_tail").selectExpr("version", "change_type")
+      .as[(Long, String)].collect().toSeq
+    assert(tail.count(_._2 == "delete") === 3)
+    assert(tail.count(_._2 == "insert") === 3) // v0 creates
+  }
+
   test("explicit cdc actions take precedence over file actions") {
     val root = Files.createTempDirectory("delta-cdfc").resolve("t").toString
     graft.sink.DeltaWrite.create(
