@@ -1673,9 +1673,13 @@ object SparkEntry {
       * final snapshot must reflect the rewrite. */
     "lake_delta_update_cdf" -> ((s, d) => {
       val root = lakeTmp(d, "deltaupd")
+      // urgent orders only, unpartitioned: the partitioned-update leg is
+      // spec-pinned (DeltaCdfSpec); the oracle grades the row-level
+      // pre/postimage semantics without a 5-partition full-table rewrite
       val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      graft.sink.DeltaWrite.create(orders, root, Seq("o_orderpriority"))
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders, root, Nil)
       graft.sink.DeltaWrite.updateWhere(s, root, "o_orderkey % 10 = 0",
         Map("o_totalprice" -> "o_totalprice + 1000"))
       val feed = graft.sources.DeltaRead.changes(s, root, 1L, 1L)
@@ -3057,20 +3061,21 @@ object SparkEntry {
       FROM orders WHERE o_orderkey % 3 = 0""",
 
     "lake_delta_update_cdf" -> """
+      WITH u AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
       SELECT 'snapshot' AS _change_type, count(*) AS n,
              CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0
                                 THEN o_totalprice + 1000
                                 ELSE o_totalprice END AS DECIMAL(18,2)))
                   AS DOUBLE) AS total
-      FROM orders
+      FROM u
       UNION ALL
       SELECT 'update_postimage', count(*),
              CAST(sum(CAST(o_totalprice + 1000 AS DECIMAL(18,2))) AS DOUBLE)
-      FROM orders WHERE o_orderkey % 10 = 0
+      FROM u WHERE o_orderkey % 10 = 0
       UNION ALL
       SELECT 'update_preimage', count(*),
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      FROM orders WHERE o_orderkey % 10 = 0
+      FROM u WHERE o_orderkey % 10 = 0
       ORDER BY 1""",
 
     "lake_delta_cdf" -> """
