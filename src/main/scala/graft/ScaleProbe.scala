@@ -352,6 +352,47 @@ object ScaleProbe {
         data.size.toLong
       }
     }
+    // Lake-tail ADMISSION at backlog scale: a 500-version Delta log (two
+    // adds per commit) drained through latestOffset with a 100-file
+    // budget. The walk must read only each batch's ADMITTED commit JSONs
+    // (metadata-only, no replay, no data I/O) — wall-time tracks the
+    // backlog's commit count, and the drain lands exactly
+    // ceil(1000/100) = 10 batches.
+    if (only.forall("delta_tail_admission".contains)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-delta-admission").toString
+      val meta =
+        """{"metaData":{"id":"probe","format":{"provider":"parquet","options":{}},""" +
+          """"schemaString":"{\"type\":\"struct\",\"fields\":[]}",""" +
+          """"partitionColumns":[],"configuration":{}}}"""
+      (0 until 500).foreach { v =>
+        val adds = (0 until 2).map(f => graft.sink.DeltaWrite.addAction(
+          s"part-$v-$f.parquet", Map.empty, 1L, 1L))
+        graft.sink.DeltaWrite.writeVersion(spark, root, v.toLong,
+          if (v == 0)
+            Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+              meta) ++ adds
+          else adds)
+      }
+      time("delta_tail_admission") {
+        import org.apache.spark.sql.connector.read.streaming.ReadLimit
+        val stream = new graft.streaming.DeltaMicroBatchStream(
+          graft.streaming.DeltaStreamOptions(Map("path" -> root)))
+        var cursor: org.apache.spark.sql.connector.read.streaming.Offset =
+          graft.streaming.DeltaStreamOffset(-1L)
+        var batches = 0L
+        var done = false
+        while (!done) {
+          val next = stream.latestOffset(cursor, ReadLimit.maxFiles(100))
+          if (next.asInstanceOf[graft.streaming.DeltaStreamOffset].version ==
+              cursor.asInstanceOf[graft.streaming.DeltaStreamOffset].version)
+            done = true
+          else { batches += 1; cursor = next }
+        }
+        require(batches == 10, s"expected 10 capped batches, got $batches")
+        batches
+      }
+    }
     // Delta deletion vectors at row scale: DV-delete a third of a 5M-row
     // table, then read the snapshot. The read-side shape under test is
     // executor-parallel bitmap expansion + ONE anti join against the
