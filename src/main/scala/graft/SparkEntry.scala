@@ -1664,6 +1664,27 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Streaming-sink exactly-once via SetTransaction
+      * ([[graft.sink.DeltaWrite.appendTxn]]): three batches land, one of
+      * them REPLAYED (at-least-once delivery) — the txn watermark must
+      * skip the replay, or the %3==1 slice double-counts and the hash
+      * mismatches the every-row-once oracle. */
+    "lake_delta_txn" -> ((s, d) => {
+      val root = lakeTmp(d, "deltatxn")
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(
+        orders.where(col("o_orderkey") % 3 === 0), root, Nil)
+      val b1 = orders.where(col("o_orderkey") % 3 === 1)
+      graft.sink.DeltaWrite.appendTxn(b1, root, "graft-stream", 1L)
+      graft.sink.DeltaWrite.appendTxn(b1, root, "graft-stream", 1L) // replay
+      graft.sink.DeltaWrite.appendTxn(
+        orders.where(col("o_orderkey") % 3 === 2), root, "graft-stream", 2L)
+      graft.sources.DeltaRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Row-level Delta UPDATE with CDF emission
       * ([[graft.sink.DeltaWrite.updateWhere]]): every tenth order gets
       * its price bumped; the change feed for the UPDATE version must
@@ -3059,6 +3080,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "lake_delta_txn" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders""",
 
     "lake_delta_update_cdf" -> """
       WITH u AS (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')

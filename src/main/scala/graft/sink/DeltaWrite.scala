@@ -37,8 +37,10 @@ object DeltaWrite {
   case class CpAdd(path: String, partitionValues: Map[String, String],
                            size: Long, modificationTime: Long,
                            deletionVector: Option[CpDv])
+  case class CpTxn(appId: String, version: Long)
   case class CpRow(protocol: Option[CpProto], metaData: Option[CpMeta],
-                           add: Option[CpAdd])
+                           add: Option[CpAdd],
+                           txn: Option[CpTxn] = None)
 
   private def mapper = DocPushdown.jsonMapper
 
@@ -51,6 +53,13 @@ object DeltaWrite {
     else fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
       case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
         n.stripSuffix(".json").toLong + 1L
+      // a log-vacuumed table may hold ONLY its checkpoint at the tip —
+      // the checkpoint version counts, or post-vacuum appends would
+      // restart the log at version 0
+      case n if n.contains(".checkpoint") &&
+          n.substring(0, n.indexOf(".checkpoint")).forall(_.isDigit) &&
+          n.indexOf(".checkpoint") > 0 =>
+        n.substring(0, n.indexOf(".checkpoint")).toLong + 1L
     }.maxOption.getOrElse(0L)
   }
 
@@ -147,6 +156,34 @@ object DeltaWrite {
     val files = writtenFiles(spark, table, sub)
     writeVersion(spark, table, version,
       files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+  }
+
+  /** Streaming-sink append with SetTransaction EXACTLY-ONCE — Delta's
+    * idempotent-writer mechanism: the commit carries a
+    * `txn {appId, version}` action, and a writer about to commit batch
+    * `txnVersion` first checks the table's replayed watermark for its
+    * `appId` — a replayed micro-batch (watermark ≥ txnVersion) is
+    * SKIPPED, so `foreachBatch { (b, id) => appendTxn(b, t, app, id) }`
+    * over an at-least-once stream lands every batch exactly once, no
+    * keyed merge required. Returns whether the batch was committed.
+    * Watermarks survive checkpoint+vacuum (txn rows round-trip through
+    * the checkpoint like every other action). */
+  def appendTxn(df: DataFrame, table: String, appId: String, txnVersion: Long,
+                partitionBy: Seq[String] = Nil): Boolean = {
+    val spark = df.sparkSession
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log to append to")
+    val last = DeltaRead.tableState(spark, table, version - 1).txns.get(appId)
+    if (last.exists(_ >= txnVersion)) return false // replayed batch
+    val sub = s"append-v$version"
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(s"$table/$sub")
+    val files = writtenFiles(spark, table, sub)
+    writeVersion(spark, table, version,
+      s"""{"txn":{"appId":${jstr(appId)},"version":$txnVersion}}""" +:
+        files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+    true
   }
 
   /** Replace ONE partition's contents with `df` as a new log version
@@ -476,7 +513,10 @@ object DeltaWrite {
             k -> Option(v).getOrElse("")
           }, f.size, f.modificationTime,
             f.dv.map(d => CpDv(d.storageType, d.pathOrInlineDv, d.offset,
-              d.sizeInBytes, d.cardinality))))))
+              d.sizeInBytes, d.cardinality)))))) ++
+        state.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+          CpRow(None, None, None, Some(CpTxn(appId, v)))
+        }
     val cp = rows.toDS().toDF()
     val dir = logDir(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

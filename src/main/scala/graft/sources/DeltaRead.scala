@@ -75,7 +75,11 @@ object DeltaRead {
   final case class TableState(live: Seq[AddFile], partitionCols: Seq[String],
                               schemaString: Option[String],
                               configuration: Map[String, String],
-                              protocol: Option[Protocol])
+                              protocol: Option[Protocol],
+                              /** SetTransaction watermarks: appId ->
+                                * highest committed txn version (the
+                                * streaming sink's exactly-once cursor). */
+                              txns: Map[String, Long] = Map.empty)
 
   /** Live-file ceiling for the driver-side log replay (the same
     * planning state every Delta client holds) — parity with
@@ -92,6 +96,7 @@ object DeltaRead {
   /** Replay state: live files keyed by (still-encoded) path. */
   private final class State {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     var partitionCols: Seq[String] = Seq.empty
     var schemaString: Option[String] = None
     var configuration: Map[String, String] = Map.empty
@@ -299,6 +304,9 @@ object DeltaRead {
             if (r.isNullAt(3)) 0L else r.getLong(3), dv)
         }
     }
+    if (cols.contains("txn"))
+      cp.selectExpr("txn.appId", "txn.version").where("txn IS NOT NULL")
+        .collect().foreach(r => state.txns(r.getString(0)) = r.getLong(1))
     if (cols.contains("sidecar"))
       cp.selectExpr("sidecar.path").where("sidecar IS NOT NULL")
         .collect().map(_.getString(0)).toSeq
@@ -374,6 +382,9 @@ object DeltaRead {
       state.live(path) = AddFile(path, pv,
         Option(a.get("size")).map(_.asLong).getOrElse(0L),
         Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L), dv)
+    }
+    Option(node.get("txn")).foreach { t =>
+      state.txns(t.get("appId").asText()) = t.get("version").asLong
     }
     if (applyRemoves)
       Option(node.get("remove")).foreach { r =>
@@ -651,7 +662,8 @@ object DeltaRead {
                  maxFiles: Int = DefaultMaxFiles): TableState = {
     val state = replay(spark, table, version, maxFiles)
     TableState(state.live.values.toSeq, state.partitionCols,
-      state.schemaString, state.configuration, state.protocol)
+      state.schemaString, state.configuration, state.protocol,
+      state.txns.toMap)
   }
 
   /** `add.path` is a relative or absolute URI, percent-encoded (RFC 2396)

@@ -18,6 +18,38 @@ class DeltaWriteSpec extends SparkSuite {
     d.toString
   }
 
+  test("appendTxn: SetTransaction exactly-once across replays, checkpoint, vacuum") {
+    val root = tmp()
+    DeltaWrite.create(
+      Seq((1L, "widget")).toDF("id", "item"), root, Nil)
+    // foreachBatch-style at-least-once delivery: batch 1 replayed twice
+    assert(DeltaWrite.appendTxn(
+      Seq((2L, "bolt")).toDF("id", "item"), root, "app-a", 1L))
+    assert(!DeltaWrite.appendTxn(
+      Seq((2L, "bolt")).toDF("id", "item"), root, "app-a", 1L),
+      "replayed batch must be skipped")
+    // an OLDER txn version is also a replay
+    assert(!DeltaWrite.appendTxn(
+      Seq((9L, "stale")).toDF("id", "item"), root, "app-a", 0L))
+    // a different appId has its own watermark
+    assert(DeltaWrite.appendTxn(
+      Seq((3L, "nut")).toDF("id", "item"), root, "app-b", 1L))
+    assert(DeltaWrite.appendTxn(
+      Seq((4L, "gear")).toDF("id", "item"), root, "app-a", 2L))
+    def rows(): Seq[Long] = DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(rows() === Seq(1L, 2L, 3L, 4L))
+    // watermarks survive checkpoint + log vacuum
+    DeltaWrite.checkpoint(spark, root)
+    DeltaWrite.vacuumLog(spark, root)
+    assert(!DeltaWrite.appendTxn(
+      Seq((5L, "cog")).toDF("id", "item"), root, "app-a", 2L),
+      "watermark must round-trip through the checkpoint")
+    assert(DeltaWrite.appendTxn(
+      Seq((5L, "cog")).toDF("id", "item"), root, "app-a", 3L))
+    assert(rows() === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("create → replacePartition → checkpoint → vacuum round-trips") {
     val root = tmp()
     val df = Seq((1L, "widget", "A"), (2L, "bolt", "A"), (3L, "nut", "B"))
