@@ -1627,6 +1627,46 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg PARTITIONED scan ([[graft.sources.IcebergRead]] manifest
+      * partition tuples → typed partition columns of one
+      * StaticFileIndex scan): orders land one-file-per-priority with
+      * the priority ONLY in the manifest's r102 `partition` struct
+      * (data files don't carry the column), and the filtered aggregate
+      * must resolve partition values from the manifests — with the
+      * predicate pruning files at planning time (plan-contract-pinned
+      * in IcebergPartitionSpec). */
+    "lake_iceberg_partitioned" -> ((s, d) => {
+      val root = lakeTmp(d, "icepart")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      orders.write.partitionBy("o_orderpriority").parquet(s"$root/data")
+      val dataDir = java.nio.file.Paths.get(root, "data")
+      val entries = {
+        val dirs = java.nio.file.Files.list(dataDir)
+        try dirs.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("o_orderpriority="))
+          .flatMap { dir =>
+            val pri = dir.getFileName.toString.stripPrefix("o_orderpriority=")
+            val fl = java.nio.file.Files.list(dir)
+            try fl.iterator().asScala.toSeq
+              .filter(_.toString.endsWith(".parquet"))
+              .map(f => graft.sink.IcebergWrite.FileEntry(f.toString, 0, 1L,
+                partition = Seq("o_orderpriority" -> pri),
+                sizeInBytes = java.nio.file.Files.size(f)))
+            finally fl.close()
+          }
+        finally dirs.close()
+      }
+      graft.sink.IcebergWrite.commitEntries(s, root, entries,
+        Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"),
+          (3, "o_orderpriority", "string")), snapshotId = 1L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg SCHEMA EVOLUTION on read ([[graft.sources.IcebergRead]]
       * field-id resolution + [[graft.sink.IcebergWrite.updateSchema]]):
       * data files are written with Iceberg-style `parquet.field.id`
@@ -3075,6 +3115,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_iceberg_partitioned" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
 
     "lake_iceberg_rename" -> """
       SELECT count(*) AS n,

@@ -25,9 +25,17 @@ import org.apache.spark.sql.SparkSession
 object IcebergWrite {
 
   /** One file in a snapshot: `content` 0 = data, 1 = position deletes,
-    * 2 = equality deletes (then `equalityIds` names the field ids). */
+    * 2 = equality deletes (then `equalityIds` names the field ids).
+    * `partition` carries the file's IDENTITY-transform partition tuple
+    * (name → Long/Int/String value) into the manifest's `partition`
+    * struct — the pruning metadata real Iceberg scan planning runs on;
+    * all entries of one commit must agree on the field names.
+    * `sizeInBytes` lands in `file_size_in_bytes` (true lengths make the
+    * pruned scan's split planning correct). */
   final case class FileEntry(path: String, content: Int, sequenceNumber: Long,
-                             equalityIds: Seq[Int] = Nil)
+                             equalityIds: Seq[Int] = Nil,
+                             partition: Seq[(String, Any)] = Nil,
+                             sizeInBytes: Long = 1L)
 
   private val ManifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -37,21 +45,42 @@ object IcebergWrite {
       {"name":"sequence_number","type":"long"},
       {"name":"added_snapshot_id","type":"long"}]}""")
 
-  private val DataFileSchema = new Schema.Parser().parse(
-    """{"type":"record","name":"r2","fields":[
-      {"name":"content","type":"int"},
-      {"name":"file_path","type":"string"},
-      {"name":"file_format","type":"string"},
-      {"name":"record_count","type":"long"},
-      {"name":"file_size_in_bytes","type":"long"},
-      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+  /** The `r2` data_file struct; with partition fields present, a
+    * `partition` record (r102) rides along — field types derived from
+    * the sample values (long/int/string, nullable). */
+  private def dataFileSchema(partitionSample: Seq[(String, Any)]): Schema = {
+    val partitionField =
+      if (partitionSample.isEmpty) ""
+      else {
+        val fields = partitionSample.map { case (name, v) =>
+          val t = v match {
+            case _: Long | _: java.lang.Long => "long"
+            case _: Int | _: java.lang.Integer => "int"
+            case _ => "string"
+          }
+          s"""{"name":"$name","type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s"""{"name":"partition","type":{"type":"record","name":"r102",""" +
+          s""""fields":[$fields]}},"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"r2","fields":[
+        {"name":"content","type":"int"},
+        {"name":"file_path","type":"string"},
+        {"name":"file_format","type":"string"},
+        $partitionField
+        {"name":"record_count","type":"long"},
+        {"name":"file_size_in_bytes","type":"long"},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+  }
 
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    s"""{"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int"},
-      {"name":"snapshot_id","type":["null","long"],"default":null},
-      {"name":"sequence_number","type":["null","long"],"default":null},
-      {"name":"data_file","type":${DataFileSchema.toString}}]}""")
+  private def manifestEntrySchema(dataFile: Schema): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"snapshot_id","type":["null","long"],"default":null},
+        {"name":"sequence_number","type":["null","long"],"default":null},
+        {"name":"data_file","type":${dataFile.toString}}]}""")
 
   private def writeAvro(spark: SparkSession, path: Path, schema: Schema,
                         records: Seq[GenericRecord]): Unit = {
@@ -98,6 +127,13 @@ object IcebergWrite {
       "equalityIds only belong on content=2 entries")
     require(schemaFields.nonEmpty || entries.forall(_.content != 2),
       "equality deletes need schemaFields so readers can resolve the ids")
+    val partitionNames = entries.flatMap(_.partition.map(_._1)).distinct
+    require(entries.forall(e =>
+        e.partition.isEmpty || e.partition.map(_._1) == partitionNames),
+      "all entries of one commit must agree on the partition field names")
+    val DataFileSchema = dataFileSchema(
+      entries.find(_.partition.nonEmpty).map(_.partition).getOrElse(Nil))
+    val ManifestEntrySchema = manifestEntrySchema(DataFileSchema)
     val meta = new Path(table, "metadata")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(meta)
@@ -107,7 +143,20 @@ object IcebergWrite {
       df.put("file_path", fe.path)
       df.put("file_format", "PARQUET")
       df.put("record_count", 1L)
-      df.put("file_size_in_bytes", 1L)
+      df.put("file_size_in_bytes", fe.sizeInBytes)
+      if (fe.partition.nonEmpty) {
+        val pschema = DataFileSchema.getField("partition").schema
+        val prec = new GenericData.Record(pschema)
+        fe.partition.foreach { case (name, v) =>
+          prec.put(name, v match {
+            case l: Long => Long.box(l)
+            case i: Int => Int.box(i)
+            case null => null
+            case other => other.toString
+          })
+        }
+        df.put("partition", prec)
+      }
       if (fe.content == 2) {
         val arr = new GenericData.Array[Integer](fe.equalityIds.size,
           DataFileSchema.getField("equality_ids").schema.getTypes.get(1))

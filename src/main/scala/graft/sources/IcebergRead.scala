@@ -49,8 +49,11 @@ object IcebergRead {
 
   private def mapper = DocPushdown.jsonMapper
 
-  /** A snapshot file with its data sequence number. */
-  private[graft] final case class Tracked(path: String, seq: Long)
+  /** A snapshot file with its data sequence number, plus the manifest's
+    * partition tuple and file size when recorded (pruning metadata). */
+  private[graft] final case class Tracked(path: String, seq: Long,
+                                          partition: Seq[(String, Any)] = Nil,
+                                          size: Long = -1L)
   /** Equality-delete files sharing one `equality_ids` list. */
   private[graft] final case class EqGroup(fieldIds: Seq[Int], files: Seq[Tracked])
 
@@ -104,7 +107,9 @@ object IcebergRead {
   private[graft] final case class RawEntry(status: Int, content: Int, path: String,
                                     seq: Option[Long],
                                     entrySnapshotId: Option[Long],
-                                    equalityIds: Seq[Int], format: String)
+                                    equalityIds: Seq[Int], format: String,
+                                    partition: Seq[(String, Any)] = Nil,
+                                    size: Long = -1L)
 
   private def parseManifest(conf: org.apache.hadoop.conf.Configuration,
                             manifestPath: String): Seq[RawEntry] =
@@ -117,6 +122,21 @@ object IcebergRead {
         case other => throw new IllegalStateException(
           s"unexpected equality_ids representation ${other.getClass.getName}")
       }.getOrElse(Seq.empty)
+      // the manifest's partition tuple (r102): identity-transform values
+      // for file pruning — Utf8 → String, numbers kept as Long/Int
+      val partition: Seq[(String, Any)] =
+        optField(df, "partition").toSeq.flatMap {
+          case r: GenericRecord =>
+            r.getSchema.getFields.asScala.toSeq.map { f =>
+              f.name -> (r.get(f.name) match {
+                case null => null
+                case l: java.lang.Long => l.longValue
+                case i: java.lang.Integer => i.intValue
+                case other => other.toString
+              })
+            }
+          case _ => Nil
+        }
       RawEntry(
         e.get("status").asInstanceOf[Int],
         optField(df, "content").map(_.asInstanceOf[Int]).getOrElse(0),
@@ -125,7 +145,10 @@ object IcebergRead {
           .collect { case l: java.lang.Long => l.longValue },
         Option(e.get("snapshot_id")).collect { case n: Number => n.longValue },
         ids,
-        df.get("file_format").toString)
+        df.get("file_format").toString,
+        partition,
+        optField(df, "file_size_in_bytes")
+          .collect { case l: java.lang.Long => l.longValue }.getOrElse(-1L))
     }
 
   /** Parse many manifests — serially for a handful, EXECUTOR-PARALLEL
@@ -175,7 +198,7 @@ object IcebergRead {
           val seq = entry.seq.getOrElse(manifestSeq)
           require(entry.format.equalsIgnoreCase("PARQUET"),
             s"unsupported Iceberg file format ${entry.format}")
-          val tracked = Tracked(entry.path, seq)
+          val tracked = Tracked(entry.path, seq, entry.partition, entry.size)
           entry.content match {
             case 0 => data += tracked
             case 1 => posDeletes += tracked
@@ -466,6 +489,78 @@ object IcebergRead {
     footer.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
   }
 
+  /** PARTITION-PRUNED scan: when every data file carries the same
+    * identity-transform partition tuple in its manifest entry and the
+    * tuple's field names resolve to top-level schema columns, the scan
+    * is built over a [[StaticFileIndex]] whose partition columns come
+    * from the MANIFEST tuples — partition predicates then prune FILES
+    * at planning time (the scan never opens a non-matching file),
+    * exactly Iceberg's scan-planning contract. Data files may or may
+    * not repeat the identity source columns (real Iceberg writers do):
+    * the data schema excludes them either way and the values come from
+    * the index. Returns None — and the caller falls back to the plain
+    * scan — for unpartitioned tables, transform partitions
+    * (bucket/truncate/days names don't resolve in the schema), or
+    * metadata without a schema: pruning is an optimization, never a
+    * correctness gate. File lengths come from the manifests'
+    * `file_size_in_bytes` (one driver `getFileStatus` per file written
+    * by older fixtures without true sizes). */
+  private def partitionedScan(spark: SparkSession, table: String,
+                              files: Seq[Tracked],
+                              meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val names = files.headOption.map(_.partition.map(_._1)).getOrElse(Nil)
+    if (names.isEmpty || !files.forall(_.partition.map(_._1) == names))
+      return None
+    val schema = fieldIdReadSchema(meta).getOrElse(return None)
+    val resolved = names.map(n => schema.fields.find(_.name == n))
+    if (resolved.exists(_.isEmpty)) return None // transform partition
+    val pFields = resolved.flatten
+    val partitionSchema = StructType(pFields.map(f =>
+      StructField(f.name, f.dataType, f.nullable)))
+    // id-less files must NOT see an id-carrying read schema: with the
+    // session flag on (sticky once any id-based read ran), the reader
+    // demands footer ids and fails
+    val useIds = parquetHasFieldIds(spark, files.head.path)
+    if (useIds) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => names.contains(f.name)).toSeq
+        .map(f => if (useIds) f else f.copy(metadata = Metadata.empty)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def status(t: Tracked): org.apache.hadoop.fs.FileStatus = {
+      val p = new Path(t.path)
+      val len = if (t.size > 1L) t.size
+                else p.getFileSystem(conf).getFileStatus(p).getLen
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20, 0L, p)
+    }
+    def internalValue(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (l: Long, LongType) => l
+      case (l: Long, IntegerType) => l.toInt
+      case (i: Int, IntegerType) => i
+      case (i: Int, LongType) => i.toLong
+      case (i: Int, DateType) => i // iceberg dates are epoch days
+      case (s: String, _) => StaticFileIndex.partitionValue(s, dt)
+      case (other, t) => throw new IllegalArgumentException(
+        s"unsupported partition value $other for type $t")
+    }
+    val partitions = files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(p => String.valueOf(p._2)).mkString("/"))
+      .map { case (pv, group) =>
+        val row: org.apache.spark.sql.catalyst.InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            pv.zip(partitionSchema.fields).map { case ((_, v), f) =>
+              internalValue(v, f.dataType)
+            }.toArray[Any])
+        (row, group.map(status).toArray)
+      }
+    import org.apache.spark.sql.functions.col
+    Some(StaticFileIndex.parquetRelation(spark, new Path(table),
+        dataSchema, partitionSchema, partitions)
+      .select(schema.fieldNames.toSeq.map(col): _*)) // declared order
+  }
+
   /** The data-side scan: resolve columns BY FIELD ID when the metadata
     * has a schema and the files carry ids (rename-safe — a column
     * renamed in the table schema reads old files correctly); otherwise
@@ -503,7 +598,8 @@ object IcebergRead {
     val (files, posDeletes, eqGroups) = snapshotFiles(spark, manifestList, maxFiles)
     if (files.isEmpty) spark.emptyDataFrame
     else if (posDeletes.isEmpty && eqGroups.isEmpty)
-      dataScan(spark, files.map(_.path), meta)
+      partitionedScan(spark, table, files, meta).getOrElse(
+        dataScan(spark, files.map(_.path), meta))
     else applyDeletes(spark, files, posDeletes, eqGroups,
       schemaFieldPaths(meta), meta)
   }
