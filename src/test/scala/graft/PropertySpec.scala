@@ -112,4 +112,50 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("fix_mojibake(mojibake(s)) == s for ANY unicode string; clean text untouched") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.col
+    // full unicode spread: ascii, latin-1 accents, CJK, astral (emoji)
+    val charGen = Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.chooseNum(0xA0, 0xFF).map(_.toChar),
+      1 -> Gen.chooseNum(0x4E00, 0x4FFF).map(_.toChar),
+      1 -> Gen.const('\uD83D'), 1 -> Gen.const('\uDE00')) // surrogate pair parts
+    val strGen = Gen.listOf(charGen).map { cs =>
+      // keep surrogates PAIRED (lone surrogates are not valid strings)
+      val s = cs.mkString
+      s.filter(c => !Character.isSurrogate(c)) +
+        (if (cs.exists(Character.isSurrogate)) "😀" else "")
+    }
+    forAll(Gen.listOfN(6, strGen)) { texts =>
+      if (texts.nonEmpty) {
+        val rows = texts.toDF("s").select(
+          col("s"),
+          graft.functions.TextFunctions.fixMojibake(
+            graft.functions.TextFunctions.mojibake(col("s"))).as("roundtrip"))
+          .collect()
+        rows.foreach(r => assert(r.getString(1) === r.getString(0),
+          s"repair must invert the corruption for ${r.getString(0)}"))
+      }
+    }
+  }
+
+  test("NFC(NFD(s)) == NFC(s) for ANY string (normalization is canonical)") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.col
+    val accentGen = Gen.oneOf("é", "ü", "ñ", "å", "ç", "ō", "a", "z", " ")
+    val strGen = Gen.listOf(accentGen).map(_.mkString)
+    forAll(Gen.listOfN(6, strGen)) { texts =>
+      if (texts.nonEmpty) {
+        val rows = texts.toDF("s").select(
+          graft.functions.TextFunctions.unicodeNormalize(
+            graft.functions.TextFunctions.unicodeNormalize(col("s"), "NFD"),
+            "NFC").as("viaNfd"),
+          graft.functions.TextFunctions.unicodeNormalize(col("s"), "NFC").as("direct"))
+          .collect()
+        rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+      }
+    }
+  }
 }
