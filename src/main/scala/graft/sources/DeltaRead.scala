@@ -701,6 +701,24 @@ object DeltaRead {
           s"(earliest commit file is at ${stamped.head._2})"))
   }
 
+  /** EARLIEST version committed at or after `tsMillis` — the streaming
+    * `startingTimestamp` contract (Delta's own source: "all changes
+    * committed at or after the timestamp"). None when every commit
+    * predates the timestamp (start after the current tip). */
+  private[graft] def versionAtOrAfterTimestamp(spark: SparkSession,
+                                               table: String,
+                                               tsMillis: Long): Option[Long] = {
+    val dir = new Path(table, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$table is not a Delta table (no _delta_log directory)")
+    val listing = listLog(fs, dir)
+    listing.jsonVersions.toSeq.sorted.find { v =>
+      fs.getFileStatus(new Path(dir, f"$v%020d.json"))
+        .getModificationTime >= tsMillis
+    }
+  }
+
   /** Snapshot at the newest version committed at or before `tsMillis`. */
   def snapshotAt(spark: SparkSession, table: String, tsMillis: Long,
                  maxFiles: Int = DefaultMaxFiles): DataFrame =

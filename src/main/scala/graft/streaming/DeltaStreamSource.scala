@@ -91,6 +91,12 @@ final case class DeltaStreamOptions(raw: Map[String, String]) {
     case Some(s) => Some(s.trim.toLong)
     case None => Some(0L)
   }
+  /** start from the earliest commit AT OR AFTER this epoch-millis
+    * timestamp (Delta's `startingTimestamp` contract); mutually
+    * exclusive with an explicit `startingVersion`. */
+  val startingTimestamp: Option[Long] = ci("startingTimestamp").map(_.trim.toLong)
+  require(startingTimestamp.isEmpty || ci("startingVersion").isEmpty,
+    "startingTimestamp and startingVersion are mutually exclusive")
   /** changed-file budget per micro-batch; None = unbounded. */
   val maxFilesPerTrigger: Option[Int] =
     LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
@@ -150,8 +156,16 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions)
     availableNowTip.getOrElse(DeltaRead.latestVersion(spark, opts.path))
 
   override def initialOffset(): Offset = DeltaStreamOffset(
-    opts.startingVersion.map(_ - 1).getOrElse(
-      DeltaRead.latestVersion(spark, opts.path)))
+    opts.startingTimestamp match {
+      case Some(ts) =>
+        // earliest commit at-or-after ts; all-older history = start at tip
+        DeltaRead.versionAtOrAfterTimestamp(spark, opts.path, ts)
+          .map(_ - 1)
+          .getOrElse(DeltaRead.latestVersion(spark, opts.path))
+      case None =>
+        opts.startingVersion.map(_ - 1).getOrElse(
+          DeltaRead.latestVersion(spark, opts.path))
+    })
 
   override def getDefaultReadLimit: ReadLimit =
     opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)

@@ -122,6 +122,34 @@ class DeltaStreamSourceSpec extends SparkSuite {
       s"physical names must not leak: ${widget._3}")
   }
 
+  test("startingTimestamp: emit from the earliest commit at or after it") {
+    val root = mkTable() // v0 committed "now"
+    graft.sink.DeltaWrite.replacePartition(
+      Seq((4L, "gear", "b")).toDF("id", "item", "par"), root, "par", "b")
+    // pin v1's commit file mtime into the future; start between v0 and v1
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    val v1 = logDir.resolve(f"${1L}%020d.json")
+    val cut = java.nio.file.Files.getLastModifiedTime(v1).toMillis + 100000L
+    java.nio.file.Files.setLastModifiedTime(v1,
+      java.nio.file.attribute.FileTime.fromMillis(cut + 50000L))
+    val q = spark.readStream.format("graft-delta").option("path", root)
+      .option("startingTimestamp", cut.toString).load()
+      .writeStream.format("memory").queryName("delta_tail_ts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = spark.table("delta_tail_ts").selectExpr("version")
+      .as[Long].collect().toSeq
+    assert(versions.nonEmpty && versions.forall(_ == 1L),
+      s"only v1 (committed after the timestamp) must emit, got $versions")
+    // a timestamp past every commit starts after the tip
+    val q2 = spark.readStream.format("graft-delta").option("path", root)
+      .option("startingTimestamp", (cut + 900000L).toString).load()
+      .writeStream.format("memory").queryName("delta_tail_ts2")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("delta_tail_ts2").count() === 0L)
+  }
+
   test("a DV commit in the tail fails the stream loudly") {
     val root = mkTable()
     graft.sink.DeltaWrite.deleteWhere(spark, root, "id = 2")
