@@ -48,14 +48,25 @@ object CurationStream {
                   idCol: String = "doc_id", textCol: String = "text",
                   scrubPii: Boolean = false,
                   ivfIndexPath: Option[String] = None,
-                  embCol: String = "embedding"): Unit = {
+                  embCol: String = "embedding",
+                  nearDupThresholdTenths: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // scrub BEFORE fingerprinting (mirrors CurationApp's pii.scrub stage):
     // docs differing only in PII share a fingerprint and dedup together
     val b0 = if (scrubPii)
       batch.withColumn(textCol, TextOps.scrubPii(col(textCol))) else batch
-    val withFp = b0.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // with the NEAR-DUP gate on, each doc also stores its MinHash LSH
+    // band signatures as a table column — the corpus is its own LSH
+    // index (no re-banding of history per batch)
+    val withFp0 = b0.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val withFp =
+      if (nearDupThresholdTenths.isEmpty) withFp0
+      else withFp0.withColumn("bands",
+        graft.functions.TextFunctions.minhashBandsH(
+          graft.functions.TextFunctions.shingleHashes(col(textCol), 3),
+          NearDupBands, NearDupRows))
     val view = MergeWriter.readView(spark, table)
     val seen =
       if (view.columns.contains("fp")) view.select(col("fp")).distinct()
@@ -69,11 +80,17 @@ object CurationStream {
     // materialized once: the emptiness probe, the index append and the
     // upsert share the pipeline (fingerprint + election + corpus-fp
     // anti-join) instead of running it repeatedly per micro-batch
-    val fresh = withFp
+    val freshExact = withFp
       .join(firsts, col("fp") === col("__fp") && col(idCol) === col("__keep"),
         "left_semi")
       .join(seen, Seq("fp"), "left_anti")
       .localCheckpoint(false)
+    val fresh = nearDupThresholdTenths match {
+      case None => freshExact
+      case Some(th) =>
+        dropNearDups(spark, freshExact, view, th, idCol, textCol)
+          .localCheckpoint(false)
+    }
     val nFresh = fresh.count()
     if (nFresh > 0) {
       ivfIndexPath.foreach { path =>
@@ -91,18 +108,67 @@ object CurationStream {
     }
   }
 
+  /** LSH geometry of the streaming near-dup gate (8 bands × 4 rows —
+    * the same defaults as the batch MinHash operators). */
+  private val NearDupBands = 8
+  private val NearDupRows = 4
+  private val NearDupMaxBucket = 1000
+
+  /** Drop batch docs that NEAR-match the standing corpus: batch band
+    * signatures join the corpus's STORED `bands` column (exploded —
+    * a column-pruned scan, no re-banding of history), oversized buckets
+    * are capped like the batch LSH operators, and candidates are
+    * verified by exact Jaccard — re-shingling ONLY the candidate corpus
+    * docs (bounded by candidate count, never corpus-sized work). */
+  private def dropNearDups(spark: org.apache.spark.sql.SparkSession,
+                           freshExact: DataFrame, view: DataFrame,
+                           thresholdTenths: Int,
+                           idCol: String, textCol: String): DataFrame = {
+    if (!view.columns.contains("bands")) return freshExact // first batch
+    val batchBanded = freshExact.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val corpusBanded = view.select(col(idCol).as("corpus_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val okBuckets = corpusBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= NearDupMaxBucket)
+    val candidates = batchBanded
+      .join(corpusBanded.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("corpus_id")).distinct()
+    // verify candidates only: batch side re-uses its shingles, the
+    // corpus side re-shingles just the candidate docs' text
+    val shB = freshExact.select(col(idCol),
+      graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh_a"))
+    val shC = view.select(col(idCol).as("corpus_id"), col(textCol))
+      .join(candidates.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"),
+        graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh_b"))
+    val inter = graft.functions.TextFunctions
+      .sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
+    val nearDupIds = candidates
+      .join(shB, Seq(idCol)).join(shC, Seq("corpus_id"))
+      .select(col(idCol), inter.as("i"),
+        (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+      .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+      .select(idCol).distinct()
+    freshExact.join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
   /** Continuous ingestion: micro-batch trigger, checkpointed offsets,
     * per-batch [[ingestBatch]]. */
   def start(docs: DataFrame, table: LakeTable, checkpointDir: String,
             triggerMs: Long = 1000L, idCol: String = "doc_id",
             textCol: String = "text", scrubPii: Boolean = false,
             ivfIndexPath: Option[String] = None,
-            embCol: String = "embedding"): StreamingQuery =
+            embCol: String = "embedding",
+            nearDupThresholdTenths: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch((b: Dataset[Row], _: Long) =>
-        ingestBatch(b, table, idCol, textCol, scrubPii, ivfIndexPath, embCol))
+        ingestBatch(b, table, idCol, textCol, scrubPii, ivfIndexPath, embCol,
+          nearDupThresholdTenths))
       .start()
 }

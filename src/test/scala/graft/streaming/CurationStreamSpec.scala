@@ -44,6 +44,35 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("near-dup gate: mutated resubmissions drop via the stored LSH bands") {
+    val t = table()
+    val ckpt = Files.createTempDirectory("graft-curation-ndckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val q = CurationStream.start(docs, t, ckpt, triggerMs = 0L,
+      nearDupThresholdTenths = Some(8))
+    try {
+      in.addData((1L, base), (2L, "wholly different content here"))
+      q.processAllAvailable()
+      assert(corpusIds(t) === Set(1L, 2L))
+      // bands are STORED — the corpus is its own LSH index
+      assert(MergeWriter.readView(spark, t).columns.contains("bands"))
+      in.addData(
+        (3L, base + " tokenX"),          // near-dup of 1 (different fp!)
+        (4L, "genuinely novel text that matches nothing at all"))
+      q.processAllAvailable()
+      assert(corpusIds(t) === Set(1L, 2L, 4L),
+        "the mutated resubmission must drop at the near-dup gate")
+      // replay safety: re-ingesting the same batch is still a no-op
+      CurationStream.ingestBatch(
+        Seq((3L, base + " tokenX")).toDF("doc_id", "text"), t,
+        nearDupThresholdTenths = Some(8))
+      assert(corpusIds(t) === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes without reprocessing or duplicating") {
     val t = table()
     val inDir = Files.createTempDirectory("graft-curation-in").toString
