@@ -1627,6 +1627,35 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Hudi PARTITIONED COW scan ([[graft.sources.HudiRead]] hive-style
+      * partition dirs → typed partition columns of one StaticFileIndex
+      * scan): orders land one base file per priority partition with the
+      * priority ONLY in the directory name (data files don't carry the
+      * column), and the filtered aggregate must resolve partition values
+      * from the layout — with the predicate pruning files at planning
+      * time (plan-contract-pinned in HudiReadSpec). */
+    "lake_hudi_partitioned" -> ((s, d) => {
+      val root = lakeTmp(d, "hudipart")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val pris = orders.select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority").collect().map(_.getString(0)).toSeq
+      pris.zipWithIndex.foreach { case (p, i) =>
+        val instant = (20240101000000000L + i).toString
+        val rows = orders.where(col("o_orderpriority") === p)
+          .withColumn("_hoodie_record_key", col("o_orderkey").cast("string"))
+          .withColumn("_hoodie_commit_time", lit(instant))
+          .drop("o_orderpriority")
+        graft.sink.HudiMorWrite.writeBase(rows, root,
+          s"o_orderpriority=$p", s"fg$i", instant)
+      }
+      graft.sources.HudiRead.snapshot(s, root)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg PARTITIONED scan ([[graft.sources.IcebergRead]] manifest
       * partition tuples → typed partition columns of one
       * StaticFileIndex scan): orders land one-file-per-priority with
@@ -3115,6 +3144,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_hudi_partitioned" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
 
     "lake_iceberg_partitioned" -> """
       SELECT count(*) AS n,

@@ -66,7 +66,8 @@ object HudiRead {
   private val MaxBroadcastLogRecords = 4000000L
 
   final case class BaseFile(partition: String, fileId: String,
-                            instant: String, path: String)
+                            instant: String, path: String,
+                            size: Long = -1L)
   final case class LogFile(partition: String, fileId: String,
                            baseInstant: String, version: Int,
                            writeToken: String, path: String)
@@ -131,7 +132,7 @@ object HudiRead {
     listed.foreach { l =>
       l.name match {
         case BaseFileRe(fileId, _, instant) =>
-          bases += BaseFile(l.rel, fileId, instant, l.path)
+          bases += BaseFile(l.rel, fileId, instant, l.path, l.size)
         case _ => HudiLogFormat.parseLogFileName(l.name).foreach {
           case (fileId, baseInstant, version, token) =>
             logs += LogFile(l.rel, fileId, baseInstant, version, token, l.path)
@@ -202,8 +203,71 @@ object HudiRead {
       visibleSlices(bases, logs, ceiling, completed, replacedFileIds(spark, table, ceiling))
     if (logGroups.isEmpty) {
       if (chosen.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(chosen.map(_.path): _*)
+      else partitionedScan(spark, table, chosen).getOrElse(
+        spark.read.parquet(chosen.map(_.path): _*))
     } else mergedSnapshot(spark, chosen, logGroups, ceiling, completed)
+  }
+
+  /** PARTITION-PRUNED COW scan: when every visible base file sits in a
+    * hive-style partition directory (`k=v` segments, one shared key
+    * set), the scan is built over a [[StaticFileIndex]] whose typed
+    * partition columns come from the DIRECTORY NAMES — partition
+    * predicates then prune FILES at planning time instead of filtering
+    * rows post-scan, Hudi's own partition-pruning contract. Hudi data
+    * files usually repeat the partition columns in-row; the data schema
+    * excludes them (projection skips the stored copy) and the values
+    * come from the index, typed per the file schema when the column
+    * exists there (string otherwise). Non-hive layouts (date paths,
+    * unpartitioned tables) return None — the plain scan stays the
+    * correctness path. File lengths ride along from the listing, so the
+    * index costs zero extra filesystem calls. */
+  private[graft] def partitionedScan(spark: SparkSession, table: String,
+                              chosen: Seq[BaseFile]): Option[DataFrame] = {
+    def parse(p: String): Option[Seq[(String, String)]] = {
+      if (p.isEmpty) return None
+      val kvs = p.split("/").toSeq.map(_.split("=", 2))
+      if (kvs.nonEmpty && kvs.forall(a => a.length == 2 && a(0).nonEmpty))
+        Some(kvs.map(a => a(0) -> a(1)))
+      else None
+    }
+    val parsed = chosen.map(b => parse(b.partition))
+    if (parsed.exists(_.isEmpty)) return None
+    val tuples = parsed.flatten
+    val keys = tuples.head.map(_._1)
+    if (!tuples.forall(_.map(_._1) == keys)) return None
+    if (chosen.exists(_.size < 0L)) return None // listing without lengths
+    // one driver footer read types the partition columns (and the data
+    // schema) — bounded, same grade as any schema inference
+    val fileSchema = spark.read.parquet(chosen.head.path).schema
+    val partitionSchema = StructType(keys.map(k =>
+      fileSchema.fields.find(_.name == k)
+        .map(f => StructField(k, f.dataType, f.nullable))
+        .getOrElse(StructField(k, org.apache.spark.sql.types.StringType))))
+    val dataSchema = StructType(
+      fileSchema.fields.filterNot(f => keys.contains(f.name)).toSeq)
+    val partitions = chosen.zip(tuples).groupBy(_._2).toSeq
+      .sortBy(_._1.map(_._2).mkString("/"))
+      .map { case (pv, group) =>
+        val row: org.apache.spark.sql.catalyst.InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            pv.zip(partitionSchema.fields).map { case ((_, v), f) =>
+              StaticFileIndex.partitionValue(v, f.dataType)
+            }.toArray[Any])
+        (row, group.map { case (b, _) =>
+          new org.apache.hadoop.fs.FileStatus(b.size, false, 1, 128L << 20,
+            0L, new Path(b.path))
+        }.toArray)
+      }
+    // declared order when the files repeat the partition columns (the
+    // usual Hudi layout); hive-style files without them append the
+    // partition columns after the data columns
+    val outOrder =
+      if (keys.forall(fileSchema.fieldNames.contains))
+        fileSchema.fieldNames.toSeq
+      else dataSchema.fieldNames.toSeq ++ keys
+    Some(StaticFileIndex.parquetRelation(spark, new Path(table),
+        dataSchema, partitionSchema, partitions)
+      .select(outOrder.map(col): _*))
   }
 
   /** MOR merged view: base rows overridden by the latest visible log

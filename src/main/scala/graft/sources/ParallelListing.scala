@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * [[HudiRead]] (timeline-aware reads) and the Delta VACUUM service. */
 object ParallelListing {
 
-  /** One listed file: root-relative dir, file name, absolute path. */
-  final case class Listed(rel: String, name: String, path: String)
+  /** One listed file: root-relative dir, file name, absolute path,
+    * and byte length (free from the same listStatus). */
+  final case class Listed(rel: String, name: String, path: String,
+                          size: Long = -1L)
 
   /** All files under `root`. Top-level entries (files and directory
     * subtrees) whose name matches `skipTopLevel` are excluded — format
@@ -24,14 +26,15 @@ object ParallelListing {
     val rootStatus = fs.listStatus(rootPath)
       .filterNot(st => skipTopLevel(st.getPath.getName))
     val (dirs, files) = rootStatus.partition(_.isDirectory)
-    val top = files.map(st => Listed("", st.getPath.getName, st.getPath.toString))
+    val top = files.map(st =>
+      Listed("", st.getPath.getName, st.getPath.toString, st.getLen))
 
     def walkSerial(p: Path, rel: String,
                    out: scala.collection.mutable.ArrayBuffer[Listed]): Unit =
       fs.listStatus(p).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walkSerial(st.getPath, s"$rel/$name".stripPrefix("/"), out)
-        else out += Listed(rel, name, st.getPath.toString)
+        else out += Listed(rel, name, st.getPath.toString, st.getLen)
       }
 
     val nested: Seq[Listed] =
@@ -61,7 +64,7 @@ object ParallelListing {
               efs.listStatus(q).foreach { st =>
                 val name = st.getPath.getName
                 if (st.isDirectory) walk(st.getPath, s"$r/$name")
-                else out += Listed(r, name, st.getPath.toString)
+                else out += Listed(r, name, st.getPath.toString, st.getLen)
               }
             walk(p, rel)
             out

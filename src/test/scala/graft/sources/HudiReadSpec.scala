@@ -120,6 +120,37 @@ class HudiReadSpec extends SparkSuite {
     assert(df.count() === 2L)
   }
 
+  test("hive-style partition dirs become typed partition columns; files prune") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = Files.createTempDirectory("hudi-part-prune")
+    val hoodie = root.resolve(".hoodie")
+    Files.createDirectories(hoodie)
+    Files.writeString(hoodie.resolve("hoodie.properties"),
+      "hoodie.table.name=pruned\nhoodie.table.type=COPY_ON_WRITE\n")
+    baseFile(root.resolve("dt=2024-01-01"), "fgA", T1, Seq(("k1", 1L, "widget")))
+    baseFile(root.resolve("dt=2024-01-02"), "fgB", T1, Seq(("k2", 2L, "bolt")))
+    baseFile(root.resolve("dt=2024-01-03"), "fgC", T1, Seq(("k3", 3L, "nut")))
+    Files.writeString(hoodie.resolve(s"$T1.commit"), "{}")
+
+    val df = HudiRead.snapshot(spark, root.toString)
+    // dt surfaces as a column sourced from the DIRECTORY names
+    assert(df.columns.contains("dt"))
+    assert(df.selectExpr("id", "dt").as[(Long, String)].collect().toSeq.sorted
+      === Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03")))
+
+    val pruned = df.where($"dt" === "2024-01-02")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(pruned.selectExpr("id").as[Long].collect().toSeq === Seq(2L))
+    assert(scan.partitionFilters.nonEmpty,
+      "dt predicate was not recognized as a partition filter")
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).flatMap(_.files)
+    assert(listed.size === 1,
+      s"partition filter did not prune files at planning time (${listed.size}/3)")
+  }
+
   test("a non-Hudi directory fails with an actionable message") {
     val plain = Files.createTempDirectory("not-hudi").toString
     val e = intercept[IllegalArgumentException](
