@@ -131,8 +131,13 @@ object IcebergWrite {
     require(entries.forall(e =>
         e.partition.isEmpty || e.partition.map(_._1) == partitionNames),
       "all entries of one commit must agree on the partition field names")
-    val DataFileSchema = dataFileSchema(
-      entries.find(_.partition.nonEmpty).map(_.partition).getOrElse(Nil))
+    // type each partition field from its first NON-NULL value across the
+    // commit (a leading null must not demote a long field to string)
+    val DataFileSchema = dataFileSchema(partitionNames.map { n =>
+      n -> entries.flatMap(_.partition.collect {
+        case (`n`, v) if v != null => v
+      }).headOption.orNull
+    })
     val ManifestEntrySchema = manifestEntrySchema(DataFileSchema)
     val meta = new Path(table, "metadata")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)

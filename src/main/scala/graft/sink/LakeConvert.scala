@@ -48,14 +48,17 @@ object LakeConvert {
       s"no Iceberg mapping for Spark type $other")
   }
 
+  /** PARTITIONED tables convert too: each live file's Delta
+    * `partitionValues` land in the Iceberg manifest's `partition`
+    * tuple (identity transform — Delta partitioning IS identity), so
+    * the Iceberg reader serves the partition columns from the
+    * manifests exactly like the directory-name layout they came from.
+    * Long/int/string partition columns only (the tuple's value
+    * vocabulary); anything else fails loudly by name. */
   def deltaToIceberg(spark: SparkSession, table: String,
                      snapshotId: Long = 1L): Unit = {
     val state = DeltaRead.tableState(spark, table,
       DeltaRead.latestVersion(spark, table))
-    require(state.partitionCols.isEmpty,
-      "deltaToIceberg: partitioned Delta tables are not convertible " +
-        "zero-copy (partition columns live in directory names, not in " +
-        "the data files Iceberg readers scan)")
     require(state.live.forall(_.dv.isEmpty),
       "deltaToIceberg: the table carries deletion vectors — converting " +
         "without materializing them would resurrect deleted rows")
@@ -70,10 +73,28 @@ object LakeConvert {
     val schemaFields = schema.fields.zipWithIndex.map { case (f, i) =>
       (i + 1, f.name, icebergType(f.dataType))
     }.toSeq
-    val files = state.live.map(f =>
-      DeltaRead.resolvePath(table, f.path).toString)
-    IcebergWrite.commitEntries(spark, table,
-      files.map(IcebergWrite.FileEntry(_, 0, snapshotId)),
+    def typedPartitionValue(name: String, raw: String): Any = {
+      val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"deltaToIceberg: partition column $name missing from the schema"))
+      if (raw == null) null
+      else f.dataType match {
+        case LongType => raw.toLong
+        case IntegerType | ShortType | ByteType => raw.toInt
+        case StringType => raw
+        case other => throw new IllegalArgumentException(
+          s"deltaToIceberg: partition column $name of type $other has no " +
+            "Iceberg partition-tuple representation (long/int/string)")
+      }
+    }
+    val entries = state.live.map { f =>
+      IcebergWrite.FileEntry(
+        DeltaRead.resolvePath(table, f.path).toString, 0, snapshotId,
+        partition = state.partitionCols.map(c =>
+          c -> typedPartitionValue(c, f.partitionValues.get(c).orNull)),
+        sizeInBytes = math.max(1L, f.size))
+    }
+    IcebergWrite.commitEntries(spark, table, entries,
       schemaFields = schemaFields, snapshotId = snapshotId)
   }
 

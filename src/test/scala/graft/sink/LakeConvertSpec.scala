@@ -44,14 +44,30 @@ class LakeConvertSpec extends SparkSuite {
       "re-converting with the same snapshot id must refuse")
   }
 
-  test("deltaToIceberg gates: partitioned, DV-carrying, column-mapped") {
-    val part = freshDir("conv-gate-part")
-    DeltaWrite.create(Seq((1L, "x", "a")).toDF("id", "item", "grp"),
-      part, Seq("grp"))
-    val e1 = intercept[IllegalArgumentException](
-      LakeConvert.deltaToIceberg(spark, part))
-    assert(e1.getMessage.contains("partitioned"))
+  test("deltaToIceberg converts PARTITIONED tables: values ride the manifest tuples") {
+    val part = freshDir("conv-part")
+    DeltaWrite.create(
+      Seq((1L, "widget", "a"), (2L, "bolt", "a"), (3L, "nut", "b"))
+        .toDF("id", "item", "grp"), part, Seq("grp"))
+    LakeConvert.deltaToIceberg(spark, part)
+    // Delta hive-layout files don't CONTAIN grp — the Iceberg reader
+    // must serve it from the converted manifests' partition tuples
+    val df = graft.sources.IcebergRead.snapshot(spark, part)
+    assert(df.columns.contains("grp"))
+    assert(df.selectExpr("id", "grp").as[(Long, String)].collect().toSeq.sorted
+      === Seq((1L, "a"), (2L, "a"), (3L, "b")))
+    // pruning engages on the converted table too
+    val pruned = df.where($"grp" === "b")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(pruned.count() === 1L)
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).flatMap(_.files)
+    assert(listed.size === 1, s"converted table must prune (${listed.size})")
+  }
 
+  test("deltaToIceberg gates: DV-carrying, column-mapped") {
     val dv = freshDir("conv-gate-dv")
     DeltaWrite.create((1L to 10L).map(i => (i, s"i$i")).toDF("id", "item"),
       dv, Nil)
