@@ -1696,6 +1696,29 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg as a CDC TARGET ([[graft.sink.IcebergWrite.upsert]] — v2
+      * equality-delete upserts): two overlapping batches land, each as
+      * data files + an equality-delete file over the key at one
+      * sequence number; the reader's strict `delete.seq > data.seq`
+      * merge must resolve latest-per-key — overlap keys carry batch 2's
+      * doubled price, batch-1-only keys the original. */
+    "lake_iceberg_upsert" -> ((s, d) => {
+      val root = lakeTmp(d, "iceupsert")
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(
+        orders.where(col("o_orderkey") % 3 === 0), root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg SCHEMA EVOLUTION on read ([[graft.sources.IcebergRead]]
       * field-id resolution + [[graft.sink.IcebergWrite.updateSchema]]):
       * data files are written with Iceberg-style `parquet.field.id`
@@ -3154,6 +3177,17 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_iceberg_upsert" -> """
+      WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+      SELECT count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM final""",
 
     "lake_iceberg_rename" -> """
       SELECT count(*) AS n,

@@ -263,6 +263,54 @@ object IcebergWrite {
     try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
   }
 
+  /** UPSERT commit — Iceberg v2's CDC-target pattern: the batch lands
+    * as new data file(s) AND an equality-delete file over the key
+    * columns, both at the SAME sequence number. The spec's strict
+    * `delete.seq > data.seq` scoping makes this exactly an upsert: the
+    * delete kills every OLDER row with a matching key (previous
+    * sequence numbers) while the batch's own rows survive. Rows are
+    * deduplicated within the batch by key (last-write-wins needs a
+    * precombine upstream; here: arbitrary-but-deterministic max by the
+    * remaining columns is NOT applied — the caller sends one row per
+    * key, checked loudly). `fields` is the full table schema as
+    * (id, name, iceberg type); `keyNames` must name a subset.
+    * The snapshot summary records `overwrite`, so the append-only
+    * incremental/streaming gates refuse upsert history — correct:
+    * upserts have no insert-only row delta. */
+  def upsert(df: org.apache.spark.sql.DataFrame, table: String,
+             keyNames: Seq[String], fields: Seq[(Int, String, String)],
+             snapshotId: Long, sequenceNumber: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark = df.sparkSession
+    require(keyNames.nonEmpty, "upsert needs key columns")
+    val keyIds = keyNames.map(k => fields.find(_._2 == k).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"key column $k not in fields")))
+    val dupes = df.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dupes == 0L,
+      s"upsert batch carries $dupes duplicated key tuples — resolve a " +
+        "precombine winner upstream (the delete file kills only OLDER " +
+        "sequence numbers, in-batch duplicates would both survive)")
+    val dataDir = s"$table/data/upsert-s$snapshotId"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val delDir = s"$table/data/upsert-s$snapshotId-deletes"
+    df.select(keyNames.map(col): _*).write.mode("errorifexists").parquet(delDir)
+    def files(dir: String): Seq[(String, Long)] = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.toString, st.getLen))
+    }
+    val entries =
+      files(dataDir).map { case (p, sz) =>
+        FileEntry(p, 0, sequenceNumber, sizeInBytes = sz)
+      } ++ files(delDir).map { case (p, sz) =>
+        FileEntry(p, 2, sequenceNumber, equalityIds = keyIds, sizeInBytes = sz)
+      }
+    commitEntries(spark, table, entries, fields, snapshotId = snapshotId,
+      operation = "overwrite")
+  }
+
   /** SCHEMA-EVOLUTION commit: a new metadata version whose CURRENT
     * schema is `schemaFields`, snapshots carried forward untouched —
     * the rename / add-column shape (same field id + new name = rename;
