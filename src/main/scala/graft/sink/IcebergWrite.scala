@@ -279,10 +279,11 @@ object IcebergWrite {
     * upserts have no insert-only row delta. */
   def upsert(df: org.apache.spark.sql.DataFrame, table: String,
              keyNames: Seq[String], fields: Seq[(Int, String, String)],
-             snapshotId: Long, sequenceNumber: Long): Unit = {
+             snapshotId: Long, sequenceNumber: Long): Boolean = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = df.sparkSession
     require(keyNames.nonEmpty, "upsert needs key columns")
+    if (snapshotExists(spark, table, snapshotId)) return false // replay
     val keyIds = keyNames.map(k => fields.find(_._2 == k).map(_._1).getOrElse(
       throw new IllegalArgumentException(s"key column $k not in fields")))
     val dupes = df.groupBy(keyNames.map(col): _*)
@@ -309,6 +310,46 @@ object IcebergWrite {
       }
     commitEntries(spark, table, entries, fields, snapshotId = snapshotId,
       operation = "overwrite")
+    true
+  }
+
+  /** Is `snapshotId` already committed? The CDC-target idempotence
+    * probe: [[upsert]]/[[deleteKeys]] skip replayed batches BEFORE
+    * writing any file (a replay must not trip over its own prior
+    * output), the Iceberg-side analog of the SetTransaction watermark. */
+  def snapshotExists(spark: SparkSession, table: String,
+                     snapshotId: Long): Boolean = {
+    val hint = new Path(new Path(table, "metadata"), "version-hint.text")
+    val fs = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hint) && graft.sources.IcebergRead
+      .snapshotManifests(spark, table).exists(_.id == snapshotId)
+  }
+
+  /** DELETE-ONLY commit: an equality-delete file over the key columns,
+    * no data files — hard deletes for the CDC-target path ([[upsert]]'s
+    * sibling; same sequence-number scoping). `df` carries one row per
+    * deleted key tuple. */
+  def deleteKeys(df: org.apache.spark.sql.DataFrame, table: String,
+                 keyNames: Seq[String], fields: Seq[(Int, String, String)],
+                 snapshotId: Long, sequenceNumber: Long): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    require(keyNames.nonEmpty, "deleteKeys needs key columns")
+    if (snapshotExists(spark, table, snapshotId)) return false // replay
+    val keyIds = keyNames.map(k => fields.find(_._2 == k).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"key column $k not in fields")))
+    val delDir = s"$table/data/delete-s$snapshotId"
+    df.select(keyNames.map(col): _*).distinct()
+      .write.mode("errorifexists").parquet(delDir)
+    val p = new Path(delDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => FileEntry(st.getPath.toString, 2, sequenceNumber,
+        equalityIds = keyIds, sizeInBytes = st.getLen))
+    commitEntries(spark, table, entries, fields, snapshotId = snapshotId,
+      operation = "delete")
+    true
   }
 
   /** SCHEMA-EVOLUTION commit: a new metadata version whose CURRENT

@@ -49,6 +49,53 @@ object LakeMirror {
     if (!ups.isEmpty) MergeWriter.upsert(spark, ups, lake)
   }
 
+  /** Apply one micro-batch INTO AN ICEBERG TABLE — continuous
+    * format-to-format replication (the XTable idea as a live stream):
+    * changes are elected latest-per-key by source version, upserts land
+    * through [[IcebergWrite.upsert]] (equality-delete + data at one
+    * sequence number) and hard deletes through
+    * [[IcebergWrite.deleteKeys]]. Exactly-once across replays comes
+    * from snapshot-id idempotence: each epoch commits deterministic
+    * snapshot ids, and a replayed epoch's duplicate id is refused by
+    * the committer and SKIPPED here — the Iceberg-side analog of the
+    * SetTransaction watermark. */
+  def applyBatchIceberg(spark: SparkSession, batch: DataFrame, target: String,
+                        keyNames: Seq[String],
+                        fields: Seq[(Int, String, String)],
+                        rowSchema: StructType, epochId: Long): Unit = {
+    import graft.sink.IcebergWrite
+    val parsed = batch
+      .select(col("version"), col("change_type"),
+        from_json(col("row"), rowSchema).as("r"))
+      .select(Seq(col("version"), col("change_type")) ++
+        rowSchema.fieldNames.toSeq.map(n => col(s"r.`$n`")): _*)
+    // latest change per key wins; within one version a rewrite emits
+    // delete+insert and a CDF update emits pre+postimage for the SAME
+    // key — rank the classes so the post-state wins the tie
+    val rank = when(col("change_type") === "update_preimage", 0)
+      .when(col("change_type") === "delete", 1)
+      .otherwise(2) // insert / upsert / update_postimage
+    val payload = Seq("version", "change_type") ++
+      rowSchema.fieldNames.toSeq.filterNot(keyNames.contains)
+    val latest = parsed.groupBy(keyNames.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("version"), rank)).as("_w"))
+      .select(keyNames.map(col) ++ Seq(col("_w.*")): _*)
+    val ups = latest.where(col("change_type").isin(UpsertTypes: _*))
+      .drop("version", "change_type")
+      .select(rowSchema.fieldNames.toSeq.map(col): _*)
+    val dels = latest.where(col("change_type") === "delete")
+      .select(keyNames.map(col): _*)
+    // upsert/deleteKeys skip replayed snapshot ids BEFORE writing bytes
+    val upsertSnap = 1000000L + epochId * 2
+    if (!ups.isEmpty)
+      IcebergWrite.upsert(ups, target, keyNames, fields,
+        snapshotId = upsertSnap, sequenceNumber = upsertSnap): Unit
+    if (!dels.isEmpty)
+      IcebergWrite.deleteKeys(dels, target, keyNames, fields,
+        snapshotId = upsertSnap + 1, sequenceNumber = upsertSnap + 1): Unit
+  }
+
   /** Start the mirror stream. `format` is `delta`/`iceberg`/`hudi`;
     * `sourceOptions` pass through to the tail (`maxFilesPerTrigger`,
     * `startingVersion`, ...). `availableNow` drains the backlog to the
