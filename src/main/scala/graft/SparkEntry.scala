@@ -1627,6 +1627,29 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Hudi as a CDC TARGET ([[graft.sink.HudiCowWrite.upsert]] —
+      * real-layout COW upserts): two overlapping batches land on the
+      * timeline, only file groups holding updated keys are rewritten,
+      * and the snapshot must resolve latest-per-key — overlap keys carry
+      * batch 2's doubled price, batch-1-only keys the original. */
+    "lake_hudi_upsert" -> ((s, d) => {
+      val root = lakeTmp(d, "hudiupsert")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.HudiCowWrite.upsert(
+        orders.where(col("o_orderkey") % 3 === 0), root, "o_orderkey",
+        "20240101000000000")
+      graft.sink.HudiCowWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        "o_orderkey", "20240102000000000")
+      graft.sources.HudiRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Hudi PARTITIONED COW scan ([[graft.sources.HudiRead]] hive-style
       * partition dirs → typed partition columns of one StaticFileIndex
       * scan): orders land one base file per priority partition with the
@@ -3171,6 +3194,18 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 4 <> 0""",
+
+    "lake_hudi_upsert" -> """
+      WITH final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0))
+      SELECT count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM final""",
 
     "lake_hudi_partitioned" -> """
       SELECT count(*) AS n,

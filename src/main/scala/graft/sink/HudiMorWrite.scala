@@ -20,10 +20,10 @@ import graft.sources.HudiLogFormat
   */
 object HudiMorWrite {
 
-  private def fs(spark: SparkSession, p: Path) =
+  private[sink] def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def completeInstant(spark: SparkSession, table: String,
+  private[sink] def completeInstant(spark: SparkSession, table: String,
                               instant: String, action: String): Unit = {
     val dir = new Path(table, ".hoodie")
     val f = fs(spark, dir)
@@ -38,9 +38,19 @@ object HudiMorWrite {
     * columns (like every meta-field Hudi table). */
   def writeBase(df: DataFrame, table: String, partition: String,
                 fileId: String, instant: String): Unit = {
+    writeBaseFile(df, table, partition, fileId, instant)
+    completeInstant(df.sparkSession, table, instant, "commit")
+  }
+
+  /** One base parquet for `fileId` at `instant`, NO timeline commit —
+    * multi-group commits ([[HudiCowWrite.upsert]]) write all their
+    * files first and complete the instant once. */
+  private[sink] def writeBaseFile(df: DataFrame, table: String,
+                                  partition: String, fileId: String,
+                                  instant: String): Unit = {
     val spark = df.sparkSession
     val partDir = new Path(table, partition)
-    val tmp = new Path(table, s".base-tmp-$instant")
+    val tmp = new Path(table, s".base-tmp-$instant-$fileId")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val f = fs(spark, partDir)
     f.mkdirs(partDir)
@@ -49,7 +59,6 @@ object HudiMorWrite {
       .getOrElse(throw new IllegalStateException("base write produced no parquet"))
     f.rename(part, new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"))
     f.delete(tmp, true)
-    completeInstant(spark, table, instant, "commit")
   }
 
   /** Append `df`'s rows as ONE Avro log block on `fileId`'s log stream

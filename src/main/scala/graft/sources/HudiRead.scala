@@ -392,6 +392,24 @@ object HudiRead {
     * MOR tables (visible log groups) throw — their merge is not
     * per-file-expressible; the `graft-hudi` STREAMING source uses this
     * and gates MOR to the batch [[incremental]]. */
+  /** Visible base files at the latest completed instant — the COW
+    * planning state of the WRITE side ([[graft.sink.HudiCowWrite]]);
+    * Nil for a table with no commits. MOR log-carrying tables throw:
+    * a COW upsert over un-compacted logs would lose their records. */
+  private[graft] def visibleBaseFiles(spark: SparkSession, table: String,
+                                      maxFiles: Int = 1000000): Seq[BaseFile] = {
+    val instants = completedInstants(spark, table)
+    if (instants.isEmpty) return Nil
+    val completed = instants.toSet
+    val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
+    val (chosen, logGroups) = visibleSlices(bases, logs, instants.last,
+      completed, replacedFileIds(spark, table, instants.last))
+    require(logGroups.isEmpty,
+      s"$table has visible MOR log files — COW upsert requires a " +
+        "compacted table (run HudiCompact first)")
+    chosen
+  }
+
   /** Base-file counts per commit instant, ascending — the admission-
     * control unit of the `graft-hudi` tail's `maxFilesPerTrigger`. One
     * executor-parallel listing, no visibility selection: counting RAW
