@@ -103,4 +103,42 @@ object HudiCowWrite {
     HudiMorWrite.completeInstant(spark, table, instant, "commit")
     true
   }
+
+  /** Hard-DELETE `keys` (one row per key value in `keyCol`): every file
+    * group holding a deleted key is rewritten WITHOUT those rows (an
+    * emptied group persists as a zero-row base — correct, if inelegant,
+    * COW semantics). Same instant-uniqueness idempotence as [[upsert]]. */
+  def deleteKeys(keys: DataFrame, table: String, keyCol: String,
+                 instant: String, partition: String = "part=0",
+                 maxFiles: Int = 1000000): Boolean = {
+    val spark = keys.sparkSession
+    require(instant.nonEmpty && instant.forall(_.isDigit),
+      s"instant must be a numeric timeline string, got '$instant'")
+    if (HudiRead.completedInstants(spark, table).contains(instant))
+      return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val visible = HudiRead.visibleBaseFiles(spark, table, maxFiles)
+      .filter(_.partition == partition)
+    if (visible.isEmpty) return true // nothing to delete from
+    def qualified(p: String): String =
+      DeletionVectors.sparkPathString(
+        new Path(p).getFileSystem(conf).makeQualified(new Path(p)))
+    val byQualified = visible.map(b => qualified(b.path) -> b).toMap
+    val delKeys = keys.select(col(keyCol).cast("string")
+      .as("_hoodie_record_key")).distinct().localCheckpoint(false)
+    val affected = spark.read.parquet(visible.map(_.path): _*)
+      .select(col("_hoodie_record_key"), col("_metadata.file_path").as("__f"))
+      .join(delKeys, Seq("_hoodie_record_key"), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return true
+    affected.foreach { q =>
+      val bf = byQualified.getOrElse(q, throw new IllegalStateException(
+        s"file $q unknown to the visible base set"))
+      val carried = spark.read.parquet(bf.path)
+        .join(delKeys, Seq("_hoodie_record_key"), "left_anti")
+      HudiMorWrite.writeBaseFile(carried, table, partition, bf.fileId, instant)
+    }
+    HudiMorWrite.completeInstant(spark, table, instant, "commit")
+    true
+  }
 }

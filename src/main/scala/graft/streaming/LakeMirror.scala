@@ -96,6 +96,43 @@ object LakeMirror {
         snapshotId = upsertSnap + 1, sequenceNumber = upsertSnap + 1): Unit
   }
 
+  /** Apply one micro-batch INTO A REAL-LAYOUT HUDI COW TABLE — the
+    * third target next to the graft lake and Iceberg: latest-per-key
+    * election like [[applyBatchIceberg]], upserts through
+    * [[graft.sink.HudiCowWrite.upsert]] and hard deletes through
+    * [[graft.sink.HudiCowWrite.deleteKeys]]; exactly-once from the
+    * timeline's instant-uniqueness (deterministic per-epoch instants,
+    * replays skipped before any byte is written). */
+  def applyBatchHudi(spark: SparkSession, batch: DataFrame, target: String,
+                     keyCol: String, rowSchema: StructType,
+                     epochId: Long, partition: String = "part=0"): Unit = {
+    import graft.sink.HudiCowWrite
+    val parsed = batch
+      .select(col("version"), col("change_type"),
+        from_json(col("row"), rowSchema).as("r"))
+      .select(Seq(col("version"), col("change_type")) ++
+        rowSchema.fieldNames.toSeq.map(n => col(s"r.`$n`")): _*)
+    val rank = when(col("change_type") === "update_preimage", 0)
+      .when(col("change_type") === "delete", 1)
+      .otherwise(2)
+    val payload = Seq("version", "change_type") ++
+      rowSchema.fieldNames.toSeq.filterNot(_ == keyCol)
+    val latest = parsed.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("version"), rank)).as("_w"))
+      .select(Seq(col(keyCol)) ++ Seq(col("_w.*")): _*)
+    val ups = latest.where(col("change_type").isin(UpsertTypes: _*))
+      .select(rowSchema.fieldNames.toSeq.map(col): _*)
+    val dels = latest.where(col("change_type") === "delete").select(col(keyCol))
+    // deterministic, digits-only, monotone-in-epoch instants
+    val upsertInstant = (900000000000000000L + epochId * 2).toString
+    if (!ups.isEmpty)
+      HudiCowWrite.upsert(ups, target, keyCol, upsertInstant, partition): Unit
+    if (!dels.isEmpty)
+      HudiCowWrite.deleteKeys(dels, target, keyCol,
+        (900000000000000000L + epochId * 2 + 1).toString, partition): Unit
+  }
+
   /** Start the mirror stream. `format` is `delta`/`iceberg`/`hudi`;
     * `sourceOptions` pass through to the tail (`maxFilesPerTrigger`,
     * `startingVersion`, ...). `availableNow` drains the backlog to the
