@@ -7,24 +7,28 @@ import graft.sink.LakeTable
 import graft.streaming.LakeMirror
 
 /** CLI for continuous lake-to-lake replication — tail a Delta / Iceberg
-  * / Hudi table's change feed and mirror it into a graft lake table with
-  * exactly-once results (checkpointed tail + idempotent keyed merges):
+  * / Hudi table's change feed and mirror it, exactly-once, into any
+  * writable target: the graft lake (default), a REAL Iceberg table
+  * (`--target-format iceberg`: equality-delete upserts, snapshot-id
+  * idempotence) or a REAL Hudi COW table (`--target-format hudi`:
+  * group-scoped rewrites, timeline-instant idempotence) — any→any:
   *
   * {{{
   * sbt 'runMain graft.apps.LakeMirrorApp
   *   --format delta --source /lake/src --target /lake/replica
   *   --checkpoint /lake/replica_ckpt
   *   --schema "id LONG, item STRING" --record-key id
+  *   [--target-format graft|iceberg|hudi]
   *   [--available-now]                   # drain backlog, then exit
   *   [--trigger-time 60]                 # else: follow continuously
   *   [--max-files-per-trigger 1000]      # admission control
   *   [--starting-version N | --starting-snapshot-id N | --starting-instant T]
   * }}}
   *
-  * The replica's precombine is the source commit VERSION (last writer
-  * wins across replayed batches). `--available-now` is the backfill
-  * shape: the tip is pinned at start, the history drains in
-  * `maxFilesPerTrigger`-bounded batches, and the app exits. */
+  * The graft-lake replica's precombine is the source commit VERSION
+  * (last writer wins across replayed batches). `--available-now` is
+  * the backfill shape: the tip is pinned at start, the history drains
+  * in `maxFilesPerTrigger`-bounded batches, and the app exits. */
 object LakeMirrorApp {
 
   def main(args: Array[String]): Unit = {
@@ -59,9 +63,49 @@ object LakeMirrorApp {
     }.toMap
     val spark = SparkEnv.appBuilder(s"graft-lake-mirror-$format").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = LakeMirror.start(spark, format, cli("source"), lake, rowSchema,
-      cli("checkpoint"), startingOpts, availableNow,
-      triggerSeconds = cli.getOrElse("trigger-time", "60").toInt)
+    val targetFormat = cli.getOrElse("target-format", "graft")
+    val q = targetFormat match {
+      case "graft" =>
+        LakeMirror.start(spark, format, cli("source"), lake, rowSchema,
+          cli("checkpoint"), startingOpts, availableNow,
+          triggerSeconds = cli.getOrElse("trigger-time", "60").toInt)
+      case "iceberg" | "hudi" =>
+        val keys = lake.recordKeyFields
+        val fields = rowSchema.fields.zipWithIndex.map { case (f, i) =>
+          (i + 1, f.name, f.dataType match {
+            case org.apache.spark.sql.types.LongType => "long"
+            case org.apache.spark.sql.types.IntegerType => "int"
+            case org.apache.spark.sql.types.StringType => "string"
+            case org.apache.spark.sql.types.DoubleType => "double"
+            case other => throw new IllegalArgumentException(
+              s"--target-format $targetFormat: no mapping for column " +
+                s"${f.name} of type $other")
+          })
+        }.toSeq
+        val stream = spark.readStream.format(s"graft-$format")
+          .option("path", cli("source")).options(startingOpts).load()
+        stream.writeStream
+          .option("checkpointLocation", cli("checkpoint"))
+          .trigger(
+            if (availableNow) org.apache.spark.sql.streaming.Trigger.AvailableNow()
+            else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+              s"${cli.getOrElse("trigger-time", "60")} seconds"))
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+              if (targetFormat == "iceberg")
+                LakeMirror.applyBatchIceberg(spark, b, cli("target"), keys,
+                  fields, rowSchema, epoch)
+              else {
+                require(keys.size == 1,
+                  "--target-format hudi mirrors by exactly one key column")
+                LakeMirror.applyBatchHudi(spark, b, cli("target"), keys.head,
+                  rowSchema, epoch)
+              }
+          }
+          .start()
+      case other => throw new IllegalArgumentException(
+        s"unknown --target-format '$other' (graft|iceberg|hudi)")
+    }
     q.awaitTermination()
   }
 }

@@ -43,4 +43,36 @@ class LakeMirrorAppSpec extends SparkSuite {
     assert(replica() === Seq((1L, "widget-v2", "a"), (2L, "bolt", "b"),
       (3L, "nut", "c")))
   }
+
+  test("--target-format iceberg mirrors into a real Iceberg table") {
+    val source = Files.createTempDirectory("mirror-ice-src").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget", "a"), (2L, "bolt", "b")).toDF("id", "item", "par"),
+      source, Seq("par"))
+    val target = Files.createTempDirectory("mirror-ice-dst").resolve("t").toString
+    val ckpt = Files.createTempDirectory("mirror-ice-ckpt").toString
+    LakeMirrorApp.main(Array(
+      "--format", "delta", "--source", source, "--target", target,
+      "--checkpoint", ckpt, "--schema", "id LONG, item STRING, par STRING",
+      "--record-key", "id", "--target-format", "iceberg", "--available-now"))
+    val rows = graft.sources.IcebergRead.snapshot(spark, target)
+      .selectExpr("id", "item").as[(Long, String)].collect().toSeq.sorted
+    assert(rows === Seq((1L, "widget"), (2L, "bolt")))
+  }
+
+  test("--target-format hudi mirrors into a real Hudi COW table") {
+    val source = Files.createTempDirectory("mirror-hudi-src").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget", "a"), (2L, "bolt", "b")).toDF("id", "item", "par"),
+      source, Seq("par"))
+    val target = Files.createTempDirectory("mirror-hudi-dst").resolve("t").toString
+    val ckpt = Files.createTempDirectory("mirror-hudi-ckpt").toString
+    LakeMirrorApp.main(Array(
+      "--format", "delta", "--source", source, "--target", target,
+      "--checkpoint", ckpt, "--schema", "id LONG, item STRING, par STRING",
+      "--record-key", "id", "--target-format", "hudi", "--available-now"))
+    val rows = graft.sources.HudiRead.snapshot(spark, target)
+      .selectExpr("id", "item").as[(Long, String)].collect().toSeq.sorted
+    assert(rows === Seq((1L, "widget"), (2L, "bolt")))
+  }
 }
