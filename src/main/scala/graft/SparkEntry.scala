@@ -1783,6 +1783,22 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** SQL-native lake reads ([[graft.functions.LakeTableFunctions]] —
+      * table-valued functions over the format readers): the aggregate
+      * runs through `spark.sql("... FROM graft_delta('path')")`, so the
+      * TVF's resolved plan must be the same one-scan snapshot the
+      * programmatic path builds. */
+    "lake_sql_tvf" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "tvf")
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(
+        orders.where(col("o_orderkey") % 5 === 0), root, Nil)
+      s.sql(s"""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_delta('$root')""")
+    }),
+
     /** Streaming-sink exactly-once via SetTransaction
       * ([[graft.sink.DeltaWrite.appendTxn]]): three batches land, one of
       * them REPLAYED (at-least-once delivery) — the txn watermark must
@@ -3233,6 +3249,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "lake_sql_tvf" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 5 = 0""",
 
     "lake_delta_txn" -> """
       SELECT count(*) AS n,

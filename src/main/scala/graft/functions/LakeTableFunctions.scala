@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-native lakehouse reads — TABLE-VALUED FUNCTIONS over the three
+  * format readers, so plain `spark.sql` users query any lake table
+  * without touching the programmatic APIs:
+  *
+  * {{{
+  * SELECT * FROM graft_delta('/lake/t')            -- latest snapshot
+  * SELECT * FROM graft_delta('/lake/t', 3)         -- versionAsOf
+  * SELECT * FROM graft_iceberg('/lake/i')          -- current snapshot
+  * SELECT * FROM graft_iceberg('/lake/i', 22)      -- snapshot id
+  * SELECT * FROM graft_hudi('/lake/h')             -- latest commit
+  * SELECT * FROM graft_hudi('/lake/h', '2024..')   -- time travel
+  * }}}
+  *
+  * Each TVF resolves to the reader's ANALYZED plan, so everything the
+  * programmatic path earned — one-scan snapshots, partition pruning,
+  * DV/delete merges, column mapping, field-id resolution — applies
+  * verbatim to the SQL spelling. Registered by [[graft.GraftExtensions]]
+  * (`spark.sql.extensions`) or [[ensureRegistered]]. */
+object LakeTableFunctions {
+
+  private def str(e: Expression): String = e.eval() match {
+    case s: UTF8String => s.toString
+    case other => String.valueOf(other)
+  }
+  private def num(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_delta"),
+      new ExpressionInfo(getClass.getName, "graft_delta"),
+      (args: Seq[Expression]) => plan(graft.sources.DeltaRead.snapshot(
+        SparkSession.active, str(args.head),
+        versionAsOf = args.lift(1).map(num)))),
+    (FunctionIdentifier("graft_iceberg"),
+      new ExpressionInfo(getClass.getName, "graft_iceberg"),
+      (args: Seq[Expression]) => plan(graft.sources.IcebergRead.snapshot(
+        SparkSession.active, str(args.head),
+        snapshotId = args.lift(1).map(num)))),
+    (FunctionIdentifier("graft_hudi"),
+      new ExpressionInfo(getClass.getName, "graft_hudi"),
+      (args: Seq[Expression]) => plan(graft.sources.HudiRead.snapshot(
+        SparkSession.active, str(args.head),
+        asOf = args.lift(1).map(str)))))
+
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.tableFunctionRegistry
+    registrations.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.sink.IcebergWrite.FileEntry
+
+/** SQL-native lake reads: `SELECT ... FROM graft_delta/iceberg/hudi`
+  * TVFs resolve to the readers' analyzed plans — time travel via the
+  * second argument, pruning and merges identical to the programmatic
+  * path. */
+class LakeTableFunctionsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("graft_delta TVF: snapshot + versionAsOf from plain SQL") {
+    LakeTableFunctions.ensureRegistered(spark)
+    val root = Files.createTempDirectory("tvf-delta").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget", "a"), (2L, "bolt", "b")).toDF("id", "item", "par"),
+      root, Seq("par"))
+    graft.sink.DeltaWrite.replacePartition(
+      Seq((1L, "widget-v2", "a")).toDF("id", "item", "par"), root, "par", "a")
+    val latest = spark.sql(
+      s"SELECT item FROM graft_delta('$root') WHERE id = 1")
+      .as[String].collect().toSeq
+    assert(latest === Seq("widget-v2"))
+    val v0 = spark.sql(
+      s"SELECT item FROM graft_delta('$root', 0) WHERE id = 1")
+      .as[String].collect().toSeq
+    assert(v0 === Seq("widget"))
+    // joins/aggregates over the TVF work like any relation
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_delta('$root') GROUP BY par ORDER BY 1")
+      .as[Long].collect().toSeq
+    assert(n === Seq(1L, 1L))
+  }
+
+  test("graft_iceberg and graft_hudi TVFs read their formats from SQL") {
+    LakeTableFunctions.ensureRegistered(spark)
+    // iceberg
+    val ice = Files.createTempDirectory("tvf-ice").toString
+    val tmp = Files.createTempDirectory("tvf-ice-p")
+    Seq((1L, "widget")).toDF("id", "item").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val data = java.nio.file.Paths.get(ice, "data")
+    Files.createDirectories(data)
+    Files.copy(part, data.resolve("f1.parquet"))
+    graft.sink.IcebergWrite.commitEntries(spark, ice,
+      Seq(FileEntry(data.resolve("f1.parquet").toString, 0, 1L)),
+      Seq((1, "id", "long"), (2, "item", "string")), snapshotId = 11L)
+    assert(spark.sql(s"SELECT item FROM graft_iceberg('$ice')")
+      .as[String].collect().toSeq === Seq("widget"))
+    // hudi
+    val hudi = Files.createTempDirectory("tvf-hudi").toString
+    graft.sink.HudiCowWrite.upsert(
+      Seq((1L, "bolt")).toDF("id", "item"), hudi, "id", "20240101000000000")
+    assert(spark.sql(s"SELECT item FROM graft_hudi('$hudi') WHERE id = 1")
+      .as[String].collect().toSeq === Seq("bolt"))
+  }
+}
