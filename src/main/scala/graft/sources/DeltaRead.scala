@@ -219,7 +219,15 @@ object DeltaRead {
     * no state replay. A missing version fails loudly (vacuumed), the
     * same error the planning half raises. */
   private[graft] def changedFileCount(spark: SparkSession, table: String,
-                                      version: Long): Int = {
+                                      version: Long): Int =
+    changedFileStats(spark, table, version)._1
+
+  /** (changed-file count, changed bytes) of ONE commit — the byte half
+    * powers `maxBytesPerTrigger` (actions without a recorded `size`
+    * count 0 bytes: conservative in the only direction that matters —
+    * a batch is closed by the files it can SEE the weight of). */
+  private[graft] def changedFileStats(spark: SparkSession, table: String,
+                                      version: Long): (Int, Long) = {
     val dir = new Path(table, "_delta_log")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(dir, f"$version%020d.json")
@@ -230,13 +238,18 @@ object DeltaRead {
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
     val nodes = lines.map(mapper.readTree)
-    val cdc = nodes.count(n => Option(n.get("cdc")).isDefined)
-    if (cdc > 0) cdc
-    else nodes.count { n =>
-      Option(n.get("add")).exists(a =>
-        Option(a.get("dataChange")).forall(_.asBoolean)) ||
-        Option(n.get("remove")).exists(r =>
-          Option(r.get("dataChange")).forall(_.asBoolean))
+    def sizeOf(a: com.fasterxml.jackson.databind.JsonNode): Long =
+      Option(a.get("size")).map(_.asLong).getOrElse(0L)
+    val cdc = nodes.flatMap(n => Option(n.get("cdc")))
+    if (cdc.nonEmpty) (cdc.size, cdc.map(sizeOf).sum)
+    else {
+      val changed = nodes.flatMap { n =>
+        Option(n.get("add")).filter(a =>
+          Option(a.get("dataChange")).forall(_.asBoolean)).orElse(
+          Option(n.get("remove")).filter(r =>
+            Option(r.get("dataChange")).forall(_.asBoolean)))
+      }
+      (changed.size, changed.map(sizeOf).sum)
     }
   }
 

@@ -100,6 +100,13 @@ final case class DeltaStreamOptions(raw: Map[String, String]) {
   /** changed-file budget per micro-batch; None = unbounded. */
   val maxFilesPerTrigger: Option[Int] =
     LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
+  /** changed-BYTES budget per micro-batch; None = unbounded (Delta's
+    * own source pairs this knob with maxFilesPerTrigger). */
+  val maxBytesPerTrigger: Option[Long] = ci("maxBytesPerTrigger").map { v =>
+    val n = v.trim.toLong
+    require(n > 0, s"maxBytesPerTrigger must be > 0, got $n")
+    n
+  }
 }
 
 /** Shared option parsing for the three lake tails' admission control. */
@@ -171,30 +178,36 @@ class DeltaMicroBatchStream(opts: DeltaStreamOptions)
     opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
 
-  /** Admit whole versions oldest-first until the file budget is spent
-    * (always at least one — a commit bigger than the cap still makes
-    * progress). Cost: one commit-JSON read per admitted version. */
+  /** Admit whole versions oldest-first until the FILE or BYTE budget
+    * is spent — whichever closes first (always at least one version —
+    * a commit bigger than either cap still makes progress). Cost: one
+    * commit-JSON read per admitted version. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[DeltaStreamOffset].version
     val tip = tipVersion
     if (tip <= s) return DeltaStreamOffset(s)
-    LakeTailOptions.budgetOf(limit) match {
-      case None => DeltaStreamOffset(tip)
-      case Some(budget) =>
-        var v = s
-        var used = 0
-        var stop = false
-        while (!stop && v < tip) {
-          val c = DeltaRead.changedFileCount(spark, opts.path, v + 1)
-          if (v > s && used + c > budget) stop = true
-          else {
-            v += 1
-            used += c
-            if (used >= budget) stop = true
-          }
-        }
-        DeltaStreamOffset(v)
+    val fileBudget = LakeTailOptions.budgetOf(limit)
+    val byteBudget = opts.maxBytesPerTrigger
+    if (fileBudget.isEmpty && byteBudget.isEmpty)
+      return DeltaStreamOffset(tip)
+    var v = s
+    var usedFiles = 0
+    var usedBytes = 0L
+    var stop = false
+    while (!stop && v < tip) {
+      val (c, b) = DeltaRead.changedFileStats(spark, opts.path, v + 1)
+      val over = fileBudget.exists(usedFiles + c > _) ||
+        byteBudget.exists(usedBytes + b > _)
+      if (v > s && over) stop = true
+      else {
+        v += 1
+        usedFiles += c
+        usedBytes += b
+        if (fileBudget.exists(usedFiles >= _) ||
+            byteBudget.exists(usedBytes >= _)) stop = true
+      }
     }
+    DeltaStreamOffset(v)
   }
 
   override def reportLatestOffset(): Offset = DeltaStreamOffset(tipVersion)

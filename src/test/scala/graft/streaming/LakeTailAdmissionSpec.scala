@@ -67,6 +67,37 @@ class LakeTailAdmissionSpec extends SparkSuite {
     assert(unbounded.size === 1 && unbounded.head._1 === Set(0L, 1L, 2L))
   }
 
+  test("graft-delta: maxBytesPerTrigger closes batches by changed bytes") {
+    val root = Files.createTempDirectory("delta-bytes").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget")).toDF("id", "item"), root, Nil)
+    graft.sink.DeltaWrite.append(
+      Seq((2L, "bolt")).toDF("id", "item").coalesce(1), root)
+    graft.sink.DeltaWrite.append(
+      Seq((3L, "nut")).toDF("id", "item").coalesce(1), root)
+    // each parquet file is ~700-900 bytes: a 1000-byte budget admits one
+    // version per batch (files budget left unbounded)
+    val ckpt = Files.createTempDirectory("delta-bytes-ckpt").toString
+    val batches = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-delta").option("path", root)
+      .option("maxFilesPerTrigger", "none")
+      .option("maxBytesPerTrigger", "1000").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val versions = b.select("version").as[Long].collect()
+        if (versions.nonEmpty) batches.synchronized {
+          batches += versions.toSet
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.synchronized(batches.toSeq) ===
+      Seq(Set(0L), Set(1L), Set(2L)),
+      "each ~800-byte commit must close its own batch under a 1000-byte cap")
+  }
+
   test("graft-iceberg: snapshots admitted whole until the file budget is spent") {
     val root = Files.createTempDirectory("iceberg-admission").toString
     val data = java.nio.file.Paths.get(root, "data")
