@@ -49,14 +49,23 @@ object CurationStream {
                   scrubPii: Boolean = false,
                   ivfIndexPath: Option[String] = None,
                   embCol: String = "embedding",
-                  nearDupThresholdTenths: Option[Int] = None): Unit = {
+                  nearDupThresholdTenths: Option[Int] = None,
+                  normalizeText: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // normalize BEFORE fingerprinting: mojibake repair + NFC, so a
+    // double-encoded or decomposed resubmission of a stored doc shares
+    // its fingerprint and dedups instead of slipping past as new bytes
+    val bN = if (normalizeText)
+      batch.withColumn(textCol,
+        graft.functions.TextFunctions.unicodeNormalize(
+          graft.functions.TextFunctions.fixMojibake(col(textCol)), "NFC"))
+    else batch
     // scrub BEFORE fingerprinting (mirrors CurationApp's pii.scrub stage):
     // docs differing only in PII share a fingerprint and dedup together
     val b0 = if (scrubPii)
-      batch.withColumn(textCol, TextOps.scrubPii(col(textCol))) else batch
-    graft.functions.TextFunctions.ensureRegistered(spark)
+      bN.withColumn(textCol, TextOps.scrubPii(col(textCol))) else bN
     // with the NEAR-DUP gate on, each doc also stores its MinHash LSH
     // band signatures as a table column — the corpus is its own LSH
     // index (no re-banding of history per batch)
@@ -162,13 +171,14 @@ object CurationStream {
             textCol: String = "text", scrubPii: Boolean = false,
             ivfIndexPath: Option[String] = None,
             embCol: String = "embedding",
-            nearDupThresholdTenths: Option[Int] = None): StreamingQuery =
+            nearDupThresholdTenths: Option[Int] = None,
+            normalizeText: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch((b: Dataset[Row], _: Long) =>
         ingestBatch(b, table, idCol, textCol, scrubPii, ivfIndexPath, embCol,
-          nearDupThresholdTenths))
+          nearDupThresholdTenths, normalizeText))
       .start()
 }

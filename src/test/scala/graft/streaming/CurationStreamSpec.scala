@@ -73,6 +73,28 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("normalizeText: double-encoded and decomposed resubmissions dedup") {
+    val t = table()
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.col
+    val clean = "exposé of the café — final"
+    CurationStream.ingestBatch(
+      Seq((1L, clean)).toDF("doc_id", "text"), t, normalizeText = true)
+    // resubmission 2: the same text double-encoded (mojibake)
+    val garbled = Seq(clean).toDF("s")
+      .select(graft.functions.TextFunctions.mojibake(col("s")))
+      .as[String].collect().head
+    // resubmission 3: the same text NFD-decomposed
+    val decomposed = java.text.Normalizer.normalize(
+      clean, java.text.Normalizer.Form.NFD)
+    assert(garbled != clean && decomposed != clean)
+    CurationStream.ingestBatch(
+      Seq((2L, garbled), (3L, decomposed)).toDF("doc_id", "text"), t,
+      normalizeText = true)
+    assert(corpusIds(t) === Set(1L),
+      "both corrupted spellings must normalize to the stored fingerprint")
+  }
+
   test("restart from checkpoint resumes without reprocessing or duplicating") {
     val t = table()
     val inDir = Files.createTempDirectory("graft-curation-in").toString
