@@ -1783,6 +1783,43 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** ANY→ANY replication under the oracle
+      * ([[graft.streaming.LakeMirror.applyBatchIceberg]]): a Delta
+      * table (create + row-level UPDATE with CDF) is mirrored into a
+      * real ICEBERG table through the change feed's own
+      * (version, change_type, row-json) contract — latest-per-key
+      * election must pick each update's postimage over its preimage,
+      * and the Iceberg snapshot read back must equal the Delta end
+      * state the oracle computes. */
+    "lake_mirror_roundtrip" -> ((s, d) => {
+      val src = lakeTmp(d, "mirrorsrc")
+      val dst = lakeTmp(d, "mirrordst")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders, src, Nil)
+      graft.sink.DeltaWrite.updateWhere(s, src, "o_orderkey % 10 = 0",
+        Map("o_totalprice" -> "o_totalprice + 1000"))
+      val feed = graft.sources.DeltaRead.changes(s, src, 0L,
+          graft.sources.DeltaRead.latestVersion(s, src))
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"),
+          to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("row"))
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.streaming.LakeMirror.applyBatchIceberg(s, feed, dst,
+        Seq("o_orderkey"),
+        Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double")),
+        rowSchema, epochId = 0L)
+      graft.sources.IcebergRead.snapshot(s, dst)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** SQL-native lake reads ([[graft.functions.LakeTableFunctions]] —
       * table-valued functions over the format readers): the aggregate
       * runs through `spark.sql("... FROM graft_delta('path')")`, so the
@@ -3249,6 +3286,14 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "lake_mirror_roundtrip" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 10 = 0
+                                THEN o_totalprice + 1000
+                                ELSE o_totalprice END AS DECIMAL(18,2)))
+                  AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
 
     "lake_sql_tvf" -> """
       SELECT count(*) AS n,
