@@ -393,6 +393,32 @@ object ScaleProbe {
         batches
       }
     }
+    // Iceberg CDC-target endurance: a 50-batch upsert chain (each batch
+    // rewrites half its keys) leaves 50 data + 50 equality-delete files.
+    // The read must stay ONE data scan + ONE eq-delete anti join
+    // (delete files union into a single group scan, never a per-file
+    // join) and resolve latest-per-key across the whole chain.
+    if (only.forall("iceberg_upsert_chain".contains)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-ice-upsert").toString
+      val fields = Seq((1, "id", "long"), (2, "v", "long"))
+      (1 to 50).foreach { i =>
+        // keys overlap the previous batch by half: constant churn
+        val batch = spark.range(i * 100L, i * 100L + 200L)
+          .selectExpr("id", s"id * $i AS v")
+        graft.sink.IcebergWrite.upsert(batch, root, Seq("id"), fields,
+          snapshotId = i.toLong, sequenceNumber = i.toLong)
+      }
+      time("iceberg_upsert_chain") {
+        val snap = graft.sources.IcebergRead.snapshot(spark, root)
+        val joins = snap.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        require(joins.size <= 2,
+          s"eq-delete merge must stay a bounded join count, got ${joins.size}")
+        snap.count()
+      }
+    }
     // Delta deletion vectors at row scale: DV-delete a third of a 5M-row
     // table, then read the snapshot. The read-side shape under test is
     // executor-parallel bitmap expansion + ONE anti join against the
