@@ -184,7 +184,28 @@ object KafkaSourceOffset {
 
 /** Stateless driver: every position lives in the broker's log. */
 class KafkaMicroBatchStream(opts: KafkaStreamOptions)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow pins per-partition log-end offsets at query
+    * start: the backlog drains to exactly these positions in
+    * maxOffsetsPerTrigger-bounded batches, then the query finishes —
+    * bounded Kafka backfill, the same shape as the lake tails. */
+  @volatile private var availableNowTip: Option[Map[(String, Int), Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = Some(withConn { conn =>
+      partitions.map { case (t, p) =>
+        (t, p) -> conn.listOffset(t, p, KafkaWire.LatestTimestamp)
+      }.toMap
+    })
+
+  override def reportLatestOffset(): Offset = KafkaSourceOffset(
+    availableNowTip.getOrElse(withConn { conn =>
+      partitions.map { case (t, p) =>
+        (t, p) -> conn.listOffset(t, p, KafkaWire.LatestTimestamp)
+      }.toMap
+    }))
 
   private def withConn[A](body: KafkaWire.Conn => A): A = {
     val conn = new KafkaWire.Conn(opts.host, opts.port, auth = opts.auth)
@@ -215,15 +236,16 @@ class KafkaMicroBatchStream(opts: KafkaStreamOptions)
   override def getDefaultReadLimit: ReadLimit =
     opts.maxOffsetsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
 
-  /** Log-end offsets, capped `maxOffsetsPerTrigger` rows past `start`,
-    * budget split over partitions proportionally to backlog. */
+  /** Log-end offsets (or the AvailableNow-pinned tip), capped
+    * `maxOffsetsPerTrigger` rows past `start`, budget split over
+    * partitions proportionally to backlog. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KafkaSourceOffset].positions
-    val ends = withConn { conn =>
+    val ends = availableNowTip.getOrElse(withConn { conn =>
       partitions.map { case (t, p) =>
         (t, p) -> conn.listOffset(t, p, KafkaWire.LatestTimestamp)
       }.toMap
-    }
+    })
     val capped = limit match {
       case r: ReadMaxRows =>
         val lag = ends.map { case (tp, e) => tp -> math.max(0L, e - from.getOrElse(tp, e)) }

@@ -140,6 +140,28 @@ class KafkaStreamSourceSpec extends SparkSuite {
     } finally broker.close()
   }
 
+  test("Trigger.AvailableNow drains to the pinned tip in capped batches, then exits") {
+    val broker = new KafkaLoopback(numPartitions = 2)
+    try {
+      broker.createTopic("docs")
+      broker.append("docs", 0, recs((0 until 5).map(i => (s"k$i", s"p0-$i")): _*))
+      broker.append("docs", 1, recs((0 until 3).map(i => (s"k$i", s"p1-$i")): _*))
+      val sizes = mutable.ArrayBuffer.empty[Long]
+      val q = stream(broker, extra = Map("maxOffsetsPerTrigger" -> "3"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += batch.count() }
+          ()
+        }.start()
+      q.awaitTermination() // AvailableNow: terminates at the pinned tip
+      val delivered = sizes.synchronized(sizes.filter(_ > 0).toSeq)
+      assert(delivered.sum === 8L, s"expected all 8 rows, got $sizes")
+      assert(delivered.forall(_ <= 3L), s"a batch exceeded the cap: $sizes")
+      assert(delivered.size >= 3, "cap of 3 cannot deliver 8 rows in two batches")
+    } finally broker.close()
+  }
+
   test("startingOffsets=latest skips the existing backlog") {
     val broker = new KafkaLoopback(numPartitions = 1)
     try {
