@@ -62,6 +62,12 @@ final case class IcebergStreamOptions(raw: Map[String, String]) {
     throw new IllegalArgumentException("graft-iceberg requires option path"))
   /** None = everything; Some(id) = snapshots AFTER id; Latest = tip. */
   val startingSnapshotId: Option[String] = ci("startingSnapshotId")
+  /** start from the earliest snapshot whose `timestamp-ms` is AT OR
+    * AFTER this epoch-millis value; mutually exclusive with an
+    * explicit `startingSnapshotId`. */
+  val startingTimestamp: Option[Long] = ci("startingTimestamp").map(_.trim.toLong)
+  require(startingTimestamp.isEmpty || startingSnapshotId.isEmpty,
+    "startingTimestamp and startingSnapshotId are mutually exclusive")
   /** appended-file budget per micro-batch; None = unbounded. */
   val maxFilesPerTrigger: Option[Int] =
     LakeTailOptions.maxFilesPerTrigger(ci("maxFilesPerTrigger"))
@@ -119,14 +125,28 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions)
 
   override def initialOffset(): Offset = {
     val snaps = IcebergRead.snapshotManifests(spark, opts.path)
-    val id = opts.startingSnapshotId match {
-      case None => None
-      case Some(s) if s.equalsIgnoreCase("latest") => snaps.lastOption.map(_.id)
-      case Some(s) =>
-        val id = s.trim.toLong
-        require(snaps.exists(_.id == id),
-          s"startingSnapshotId $id not in metadata")
-        Some(id)
+    val id = opts.startingTimestamp match {
+      case Some(ts) =>
+        // earliest snapshot at-or-after ts; all-older history = tip
+        import scala.jdk.CollectionConverters._
+        val stamped = Option(IcebergRead.readMetadata(spark, opts.path)
+            .get("snapshots")).toSeq
+          .flatMap(_.elements().asScala)
+          .map(s => (s.get("snapshot-id").asLong(),
+            Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)))
+        val idx = stamped.indexWhere(_._2 >= ts)
+        if (idx < 0) snaps.lastOption.map(_.id) // start after the tip
+        else if (idx == 0) None // everything qualifies
+        else Some(stamped(idx - 1)._1) // predecessor = last processed
+      case None => opts.startingSnapshotId match {
+        case None => None
+        case Some(s) if s.equalsIgnoreCase("latest") => snaps.lastOption.map(_.id)
+        case Some(s) =>
+          val id = s.trim.toLong
+          require(snaps.exists(_.id == id),
+            s"startingSnapshotId $id not in metadata")
+          Some(id)
+      }
     }
     IcebergStreamOffset(id)
   }

@@ -99,6 +99,33 @@ class IcebergStreamSourceSpec extends SparkSuite {
     assert(all.size === 3 && all.count(_._1 == 33L) === 1)
   }
 
+  test("startingTimestamp: emit from the earliest snapshot at or after it") {
+    val root = Files.createTempDirectory("iceberg-stream-ts").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f1.parquet", Seq((1L, "widget"))), 0, 1L)),
+      schema, snapshotId = 11L, timestampMs = Some(1000L))
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f2.parquet", Seq((2L, "bolt"))), 0, 2L)),
+      schema, snapshotId = 22L, timestampMs = Some(2000L))
+    val q = spark.readStream.format("graft-iceberg").option("path", root)
+      .option("startingTimestamp", "1500").load()
+      .writeStream.format("memory").queryName("ice_tail_ts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = spark.table("ice_tail_ts").selectExpr("version")
+      .as[Long].collect().toSeq
+    assert(versions === Seq(22L),
+      s"only snapshot 22 (timestamp >= 1500) must emit, got $versions")
+    // a timestamp past every snapshot starts after the tip
+    val q2 = spark.readStream.format("graft-iceberg").option("path", root)
+      .option("startingTimestamp", "9999").load()
+      .writeStream.format("memory").queryName("ice_tail_ts2")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("ice_tail_ts2").count() === 0L)
+  }
+
   test("restart survives expiry of EARLIER snapshots (id cursor, not ordinal)") {
     val root = Files.createTempDirectory("iceberg-stream-exp").toString
     val data = java.nio.file.Paths.get(root, "data")
