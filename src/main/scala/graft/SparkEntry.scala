@@ -1033,6 +1033,18 @@ object SparkEntry {
       Similarity.semDedup(t(s, d, "embeddings"), 0.4, nlist = 16, iters = 2)
         .orderBy("vec_id")),
 
+    /** Cluster-balanced DIVERSITY sampling
+      * ([[Similarity.clusterBalancedSample]]): k-means the corpus with
+      * the engine-replayable integer-sum trainer, keep the 4
+      * deterministic smallest-md5 picks per cell — every region of
+      * embedding space contributes equally. Replayed bit-exactly in
+      * DuckDB (tools/gen_clustersample_oracle.py: shared trainer stages
+      * + the same (md5, id) draw). */
+    "emb_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+          perCluster = 4, nlist = 16, iters = 2)
+        .orderBy("cell_id", "vec_id")),
+
     /** Deterministic token-budget mixing: per source, keep docs in
       * md5(id) order until 1000 tokens; per-source rollup. */
     "corpus_mix" -> ((s, d) =>
@@ -2714,6 +2726,7 @@ object SparkEntry {
     /** Integer-sum k-means (the ann_ivf_kmeans trainer) + within-cluster
       * pairwise cosine replay (`tools/gen_semdedup_oracle.py`). */
     "emb_semdedup" -> sqlResource("semdedup_oracle.sql"),
+    "emb_cluster_sample" -> sqlResource("clustersample_oracle.sql"),
 
     // same disjoint 10-token chunking, distinct-doc counting and in-order
     // reassembly; empty-after-cleaning docs keep md5('')

@@ -414,6 +414,47 @@ object Similarity {
     * same warn policy as the LSH caps in [[graft.ops.Dedup]]).
     *
     * Returns one row per vector: (idCol, cell_id, is_dup). */
+  /** Cluster-balanced DIVERSITY sampling — the selection move behind
+    * cluster-stratified data curation: k-means the corpus (the same
+    * engine-replayable integer-sum trainer as IVF/SemDeDup), assign
+    * every vector to its nearest cell, keep exactly `perCluster`
+    * deterministic picks per cell (smallest md5 of the id — an unbiased
+    * fixed draw) — so every region of embedding space contributes
+    * equally to the sample instead of the densest cluster dominating.
+    *
+    * Scale shape: assignment is the broadcast-centroid map-side
+    * aggregate (no window); the per-cell election runs `perCluster`
+    * sequential min_by rounds (map-side-combined hash aggregates +
+    * broadcast anti-joins, never a per-cell sort task) — the same
+    * round-loop posture as BPE learning, with perCluster small by
+    * construction. */
+  def clusterBalancedSample(emb: DataFrame, perCluster: Int, nlist: Int = 16,
+                            iters: Int = 2, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val cents = trainCentroidsI8(emb, nlist, iters, idCol, vecCol)
+    var remaining = assignCells(emb, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cell_id"),
+        md5(col("neighbor_id").cast("string")).as("__h"))
+      .localCheckpoint(false)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    while (round < perCluster) {
+      val winners = remaining.groupBy(col("cell_id"))
+        .agg(min_by(struct(col(idCol), col("__h")),
+          struct(col("__h"), col(idCol))).as("_w"))
+        .select(col("cell_id"), col(s"_w.$idCol").as(idCol))
+        .localCheckpoint(false)
+      picks += winners
+      round += 1
+      if (round < perCluster)
+        remaining = remaining.join(
+          broadcast(winners.select(idCol)), Seq(idCol), "left_anti")
+    }
+    picks.reduce(_.unionByName(_)).select(col("cell_id"), col(idCol))
+  }
+
   def semDedup(emb: DataFrame, threshold: Double, nlist: Int = 16,
                iters: Int = 2, idCol: String = "vec_id",
                vecCol: String = "embedding",
