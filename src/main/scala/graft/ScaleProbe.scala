@@ -478,6 +478,38 @@ object ScaleProbe {
           s"set overlap $overlap/${full.size}")
       overlap.toLong
     }
+    // HudiCowWrite at many file groups: seed G groups, upsert one key in
+    // EVERY group in one batch — the committer's contract is ONE shuffled
+    // write job with O(G) driver renames, so wall-time must stay ~flat in
+    // G (the old per-group loop was 2 Spark jobs × G). Reported per G.
+    time("hudi_cow_groups") {
+      import org.apache.spark.sql.functions.{concat_ws, lit => L}
+      var last = 0L
+      Seq(32, 128).foreach { g =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"probe-hudi-cow-$g").toString
+        val t1 = "20240101000000000"
+        (0 until g).foreach { i =>
+          val rows = spark.range(i * 1000L, i * 1000L + 50L)
+            .select(col("id"), concat_ws("-", L("v"), col("id")).as("item"))
+            .withColumn("_hoodie_record_key", col("id").cast("string"))
+            .withColumn("_hoodie_commit_time", L(t1))
+          graft.sink.HudiMorWrite.writeBase(rows, root, "part=0", s"fg$i", t1)
+        }
+        val batch = spark.range(0, g.toLong)
+          .select((col("id") * 1000L).as("id"),
+            concat_ws("-", L("u"), col("id")).as("item"))
+        val t0 = System.nanoTime()
+        graft.sink.HudiCowWrite.upsert(batch, root, "id",
+          "20240102000000000"): Unit
+        System.err.println(f"[probe] hudi_cow_groups G=$g%-4d ${
+          (System.nanoTime() - t0) / 1e9}%.1fs")
+        last = graft.sources.HudiRead.snapshot(spark, root).count()
+        org.apache.hadoop.fs.FileUtil
+          .fullyDelete(new java.io.File(root)): Unit
+      }
+      last
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {

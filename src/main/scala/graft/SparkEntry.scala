@@ -1662,6 +1662,38 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Hudi PARTITIONED COW upserts ([[graft.sink.HudiCowWrite
+      * .upsertPartitioned]] — the reference's normal write mode,
+      * `hoodie.datasource.write.partitionpath.field`): two batches route
+      * rows by `o_orderpriority` into hive-style partition dirs inside
+      * single commits (one shuffled write job each, groups scoped per
+      * partition), a third commit hard-deletes keys per partition, and
+      * the snapshot must restore the partition column from the layout
+      * with latest-per-key prices. */
+    "lake_hudi_upsert_partitioned" -> ((s, d) => {
+      val root = lakeTmp(d, "hudiupsertpart")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sink.HudiCowWrite.upsertPartitioned(
+        orders.where(col("o_orderkey") % 3 === 0), root, "o_orderkey",
+        "o_orderpriority", "20240101000000000")
+      graft.sink.HudiCowWrite.upsertPartitioned(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        "o_orderkey", "o_orderpriority", "20240102000000000")
+      graft.sink.HudiCowWrite.deleteKeysPartitioned(
+        orders.where(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority")), root,
+        "o_orderkey", "o_orderpriority", "20240103000000000")
+      graft.sources.HudiRead.snapshot(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Hudi PARTITIONED COW scan ([[graft.sources.HudiRead]] hive-style
       * partition dirs → typed partition columns of one StaticFileIndex
       * scan): orders land one base file per priority partition with the
@@ -3272,6 +3304,19 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM final""",
+
+    "lake_hudi_upsert_partitioned" -> """
+      WITH final AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+          AND o_orderkey % 6 <> 0)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM final GROUP BY 1 ORDER BY 1""",
 
     "lake_hudi_partitioned" -> """
       SELECT count(*) AS n,

@@ -3,7 +3,7 @@ package graft.sink
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{DeletionVectors, HudiRead}
@@ -15,32 +15,113 @@ import graft.sources.{DeletionVectors, HudiRead}
   * columns) with Hudi's own upsert shape — only the file groups holding
   * updated keys are rewritten, carried-over rows keep their ORIGINAL
   * `_hoodie_commit_time` (so incremental pulls see exactly the changed
-  * rows), and new keys open a fresh file group.
+  * rows), and new keys open a fresh file group per partition.
   *
   * Exactly-once: an already-completed instant is SKIPPED before any
   * byte is written (Hudi's instant-uniqueness contract — the timeline
   * is the watermark), so checkpointed at-least-once replay composes
   * into exactly-once like the Delta txn and Iceberg snapshot-id paths.
   *
-  * Scale shape: the key→file-group map is one column-pruned scan of
-  * the affected partition's bases joined to the batch's keys (driver
-  * state = the UPDATED keys' file assignments, bounded by batch size —
-  * the same planning state Hudi's own write client collects from its
-  * index); each rewritten group is one carried-rows anti-join ∪ batch
-  * semi-join. Single named partition per call (the fixture-writer
-  * scope; fan out partitions upstream like `MultiTableSink` does). */
+  * Scale shape (the same plan Hudi's own write client runs):
+  *  1. TAG — batch rows find their target file group via a DISTRIBUTED
+  *     join against the key→file index (one column-pruned scan of the
+  *     touched partitions' bases); unmatched keys open the fresh group.
+  *  2. CARRY — surviving rows of every affected group come from ONE
+  *     multi-file scan anti-joined to the batch's keys (no per-group
+  *     read loop).
+  *  3. WRITE — carried ∪ tagged rows land in ONE job shuffled by file
+  *     group (`repartition(group)` + `partitionBy`), then each group's
+  *     single output file is RENAMED into the Hudi base-file name —
+  *     driver work is O(#groups) metadata renames, never row data.
+  * Driver state is bounded by GROUP/FILE counts (the planning unit),
+  * never by key or row counts; job count is CONSTANT in the number of
+  * affected groups (plan-contract-pinned in HudiCowWriteSpec, probed
+  * flat over 128 groups in [[graft.ScaleProbe]]).
+  *
+  * Partitioning: [[upsert]]/[[deleteKeys]] take one literal partition
+  * directory (the unpartitioned / fixture shape); [[upsertPartitioned]]
+  * / [[deleteKeysPartitioned]] route rows by a PARTITION COLUMN into
+  * hive-style `field=value` directories inside the same single commit —
+  * the reference's normal write mode
+  * (`hoodie.datasource.write.partitionpath.field`). Keys are scoped
+  * per-partition (Hudi's default non-global index): the same key in two
+  * partitions is two records. */
 object HudiCowWrite {
 
+  /** Internal column names — stripped before any byte hits parquet. */
+  private val PartCol = "__graft_part"
+  private val FileIdCol = "__graft_file_id"
+  private val GidCol = "__graft_gid"
+
   /** Upsert `batch` (must carry the payload columns; meta columns are
-    * stamped here) keyed by `keyCol`. Returns false when `instant` is
-    * already on the timeline (replayed batch). */
+    * stamped here) keyed by `keyCol` into the single named `partition`
+    * directory. Returns false when `instant` is already on the timeline
+    * (replayed batch). */
   def upsert(batch: DataFrame, table: String, keyCol: String,
              instant: String, partition: String = "part=0",
              maxFiles: Int = 1000000): Boolean = {
-    val spark = batch.sparkSession
-    require(instant.nonEmpty && instant.forall(_.isDigit),
-      s"instant must be a numeric timeline string, got '$instant'")
     require(partition.nonEmpty, "partition directory name required")
+    upsertCore(batch.withColumn(PartCol, lit(partition)), table, keyCol,
+      instant, maxFiles)
+  }
+
+  /** Upsert with rows ROUTED BY `partitionField`'s value into hive-style
+    * `field=value` partition directories — one commit spanning every
+    * touched partition. The partition column itself is NOT stored in
+    * the data files (the directory name carries it; [[HudiRead]]'s
+    * partition-pruned scan restores it as a typed column), matching the
+    * hive-style layout `lake_hudi_partitioned` reads. A null partition
+    * value fails loudly. */
+  def upsertPartitioned(batch: DataFrame, table: String, keyCol: String,
+                        partitionField: String, instant: String,
+                        maxFiles: Int = 1000000): Boolean = {
+    require(batch.columns.contains(partitionField),
+      s"batch has no partition column '$partitionField'")
+    val routed = batch
+      .withColumn(PartCol, concat(lit(s"$partitionField="),
+        when(col(partitionField).isNull, raise_error(lit(
+          s"upsertPartitioned: null $partitionField value — hive-style " +
+            "partition paths cannot encode null")))
+          .otherwise(col(partitionField).cast("string"))))
+      .drop(partitionField)
+    upsertCore(routed, table, keyCol, instant, maxFiles)
+  }
+
+  /** Hard-DELETE `keys` (one row per key value in `keyCol`) from the
+    * single named `partition`: every file group holding a deleted key is
+    * rewritten WITHOUT those rows (an emptied group persists as a
+    * zero-row base — correct, if inelegant, COW semantics). Same
+    * instant-uniqueness idempotence as [[upsert]]. */
+  def deleteKeys(keys: DataFrame, table: String, keyCol: String,
+                 instant: String, partition: String = "part=0",
+                 maxFiles: Int = 1000000): Boolean = {
+    require(partition.nonEmpty, "partition directory name required")
+    deleteCore(keys.withColumn(PartCol, lit(partition)), table, keyCol,
+      instant, maxFiles)
+  }
+
+  /** [[deleteKeys]] routed by `partitionField` (the key frame must carry
+    * the partition column — Hudi's non-global index deletes within a
+    * partition). */
+  def deleteKeysPartitioned(keys: DataFrame, table: String, keyCol: String,
+                            partitionField: String, instant: String,
+                            maxFiles: Int = 1000000): Boolean = {
+    require(keys.columns.contains(partitionField),
+      s"key frame has no partition column '$partitionField'")
+    val routed = keys
+      .withColumn(PartCol, concat(lit(s"$partitionField="),
+        when(col(partitionField).isNull, raise_error(lit(
+          s"deleteKeysPartitioned: null $partitionField value")))
+          .otherwise(col(partitionField).cast("string"))))
+      .drop(partitionField)
+    deleteCore(routed, table, keyCol, instant, maxFiles)
+  }
+
+  // ------------------------------------------------------------------
+  // core
+  // ------------------------------------------------------------------
+
+  private def ensureTable(spark: SparkSession, table: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val hoodieDir = new Path(table, ".hoodie")
     val f = hoodieDir.getFileSystem(conf)
@@ -51,94 +132,230 @@ object HudiCowWrite {
         "hoodie.table.name=graft\nhoodie.table.type=COPY_ON_WRITE\n"
           .getBytes(UTF_8))
       finally out.close()
-    } else if (HudiRead.completedInstants(spark, table).contains(instant))
+    }
+  }
+
+  private def qualified(conf: org.apache.hadoop.conf.Configuration,
+                        p: String): String =
+    DeletionVectors.sparkPathString(
+      new Path(p).getFileSystem(conf).makeQualified(new Path(p)))
+
+  /** `(qualified path → (partition, fileId))` lookup frame over the
+    * visible bases — bounded by FILE count (planning metadata). */
+  private def fileLookup(spark: SparkSession,
+                         visible: Seq[HudiRead.BaseFile]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    visible.map(b => (qualified(conf, b.path), b.partition, b.fileId))
+      .toDF("__graft_file", PartCol, FileIdCol)
+  }
+
+  /** The visible bases of the touched partitions, joined back to their
+    * (partition, fileId) identity — ONE multi-file scan. */
+  private def scanVisible(spark: SparkSession,
+                          visible: Seq[HudiRead.BaseFile]): DataFrame =
+    spark.read.parquet(visible.map(_.path): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .join(broadcast(fileLookup(spark, visible)), Seq("__graft_file"))
+      .drop("__graft_file")
+
+  private def upsertCore(batch: DataFrame, table: String, keyCol: String,
+                         instant: String, maxFiles: Int): Boolean = {
+    val spark = batch.sparkSession
+    require(instant.nonEmpty && instant.forall(_.isDigit),
+      s"instant must be a numeric timeline string, got '$instant'")
+    ensureTable(spark, table)
+    if (HudiRead.completedInstants(spark, table).contains(instant))
       return false // replayed batch: the timeline is the watermark
 
     val keyed = batch
       .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
       .withColumn("_hoodie_commit_time", lit(instant))
       .localCheckpoint(false)
+    // touched partitions: the planning unit (metadata-scale collect)
+    val parts = keyed.select(PartCol).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val freshId = s"fg-$instant"
+    val partsSet = parts.toSet
     val visible = HudiRead.visibleBaseFiles(spark, table, maxFiles)
-      .filter(_.partition == partition)
+      .filter(b => partsSet.contains(b.partition))
+
     if (visible.isEmpty) {
-      HudiMorWrite.writeBaseFile(keyed, table, partition,
-        s"fg-$instant", instant)
+      // all-new table/partitions: one fresh group per partition, ONE job
+      writeGroups(keyed, table, instant,
+        parts.map(p => (p, freshId)))
       HudiMorWrite.completeInstant(spark, table, instant, "commit")
       return true
     }
-    def qualified(p: String): String =
-      DeletionVectors.sparkPathString(
-        new Path(p).getFileSystem(conf).makeQualified(new Path(p)))
-    val byQualified = visible.map(b => qualified(b.path) -> b).toMap
-    val old = spark.read.parquet(visible.map(_.path): _*)
-    val updateKeys = keyed.select(col("_hoodie_record_key")).distinct()
-      .localCheckpoint(false)
-    // UPDATED keys' current file assignment — bounded by batch size
-    val keyFile = old
-      .select(col("_hoodie_record_key"),
-        col("_metadata.file_path").as("__f"))
-      .join(updateKeys, Seq("_hoodie_record_key"), "left_semi")
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val keysPerFile: Map[String, Seq[String]] =
-      keyFile.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
-    import spark.implicits._
-    keysPerFile.toSeq.sortBy(_._1).foreach { case (q, keys) =>
-      val bf = byQualified.getOrElse(q, throw new IllegalStateException(
-        s"file $q unknown to the visible base set"))
-      // carried rows keep their ORIGINAL commit time; batch rows for
-      // this group's keys come in stamped with the new instant
-      val carried = spark.read.parquet(bf.path)
-        .join(updateKeys, Seq("_hoodie_record_key"), "left_anti")
-      val fresh = keyed.join(keys.toDF("_hoodie_record_key"),
-        Seq("_hoodie_record_key"), "left_semi")
-      HudiMorWrite.writeBaseFile(carried.unionByName(fresh),
-        table, partition, bf.fileId, instant)
+
+    val old = scanVisible(spark, visible)
+    val updateKeys = keyed.select(col("_hoodie_record_key"), col(PartCol))
+      .distinct().localCheckpoint(false)
+    // affected groups: DISTRIBUTED semi join, driver sees only the
+    // (partition, fileId) list — bounded by group count, like the file
+    // assignments Hudi's write client plans over
+    val affected = old.select(col("_hoodie_record_key"), col(PartCol), col(FileIdCol))
+      .join(updateKeys, Seq("_hoodie_record_key", PartCol), "left_semi")
+      .select(PartCol, FileIdCol).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val affectedDf = {
+      import spark.implicits._
+      broadcast(affected.toDF(PartCol, FileIdCol))
     }
-    // brand-new keys open a fresh file group
-    val existingKeys = old.select(col("_hoodie_record_key"))
-    val newRows = keyed.join(existingKeys, Seq("_hoodie_record_key"), "left_anti")
-    if (!newRows.isEmpty)
-      HudiMorWrite.writeBaseFile(newRows, table, partition,
-        s"fg-$instant", instant)
+    // CARRY: one scan of the affected groups, anti-joined to the batch
+    val carried =
+      if (affected.isEmpty) None
+      else Some(old
+        .join(affectedDf, Seq(PartCol, FileIdCol), "left_semi")
+        .join(updateKeys, Seq("_hoodie_record_key", PartCol), "left_anti"))
+    // TAG: existing keys inherit their group, new keys open the fresh one
+    val keyIndex = old.select(col("_hoodie_record_key"), col(PartCol),
+      col(FileIdCol))
+    val tagged = keyed
+      .join(keyIndex, Seq("_hoodie_record_key", PartCol), "left")
+      .withColumn(FileIdCol, coalesce(col(FileIdCol), lit(freshId)))
+    val out = carried.fold(tagged)(c => c.unionByName(tagged.select(c.columns
+      .map(col).toSeq: _*)))
+    val groups = (affected ++ parts.map(p => (p, freshId))).distinct.sorted
+    writeTagged(out, table, instant, groups)
     HudiMorWrite.completeInstant(spark, table, instant, "commit")
     true
   }
 
-  /** Hard-DELETE `keys` (one row per key value in `keyCol`): every file
-    * group holding a deleted key is rewritten WITHOUT those rows (an
-    * emptied group persists as a zero-row base — correct, if inelegant,
-    * COW semantics). Same instant-uniqueness idempotence as [[upsert]]. */
-  def deleteKeys(keys: DataFrame, table: String, keyCol: String,
-                 instant: String, partition: String = "part=0",
-                 maxFiles: Int = 1000000): Boolean = {
+  private def deleteCore(keys: DataFrame, table: String, keyCol: String,
+                         instant: String, maxFiles: Int): Boolean = {
     val spark = keys.sparkSession
     require(instant.nonEmpty && instant.forall(_.isDigit),
       s"instant must be a numeric timeline string, got '$instant'")
     if (HudiRead.completedInstants(spark, table).contains(instant))
       return false
-    val conf = spark.sparkContext.hadoopConfiguration
+    val delKeys = keys
+      .select(col(keyCol).cast("string").as("_hoodie_record_key"), col(PartCol))
+      .distinct().localCheckpoint(false)
+    val parts = delKeys.select(PartCol).distinct()
+      .collect().map(_.getString(0)).toSet
     val visible = HudiRead.visibleBaseFiles(spark, table, maxFiles)
-      .filter(_.partition == partition)
+      .filter(b => parts.contains(b.partition))
     if (visible.isEmpty) return true // nothing to delete from
-    def qualified(p: String): String =
-      DeletionVectors.sparkPathString(
-        new Path(p).getFileSystem(conf).makeQualified(new Path(p)))
-    val byQualified = visible.map(b => qualified(b.path) -> b).toMap
-    val delKeys = keys.select(col(keyCol).cast("string")
-      .as("_hoodie_record_key")).distinct().localCheckpoint(false)
-    val affected = spark.read.parquet(visible.map(_.path): _*)
-      .select(col("_hoodie_record_key"), col("_metadata.file_path").as("__f"))
-      .join(delKeys, Seq("_hoodie_record_key"), "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0)).toSeq.sorted
+    val old = scanVisible(spark, visible)
+    val affected = old.select(col("_hoodie_record_key"), col(PartCol), col(FileIdCol))
+      .join(delKeys, Seq("_hoodie_record_key", PartCol), "left_semi")
+      .select(PartCol, FileIdCol).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     if (affected.isEmpty) return true
-    affected.foreach { q =>
-      val bf = byQualified.getOrElse(q, throw new IllegalStateException(
-        s"file $q unknown to the visible base set"))
-      val carried = spark.read.parquet(bf.path)
-        .join(delKeys, Seq("_hoodie_record_key"), "left_anti")
-      HudiMorWrite.writeBaseFile(carried, table, partition, bf.fileId, instant)
+    val affectedDf = {
+      import spark.implicits._
+      broadcast(affected.toDF(PartCol, FileIdCol))
     }
+    val carried = old
+      .join(affectedDf, Seq(PartCol, FileIdCol), "left_semi")
+      .join(delKeys, Seq("_hoodie_record_key", PartCol), "left_anti")
+    val written = writeTagged(carried, table, instant, affected)
+    // a fully-deleted group persists as a ZERO-ROW base (COW semantics):
+    // one empty template file, copied per emptied group — metadata only
+    val emptied = affected.filterNot(written.contains)
+    if (emptied.nonEmpty)
+      writeEmptyBases(spark, visible.head.path, table, instant, emptied)
     HudiMorWrite.completeInstant(spark, table, instant, "commit")
     true
+  }
+
+  // ------------------------------------------------------------------
+  // one-job group writer
+  // ------------------------------------------------------------------
+
+  /** Write every (partition, fileId) group of `out` (rows tagged with
+    * [[PartCol]]/[[FileIdCol]]) as ONE Hudi base file each, in ONE
+    * shuffled Spark job: groups map to a dense integer gid (safe as a
+    * `partitionBy` directory name — partition strings may carry any
+    * characters), rows shuffle by gid so each group lands in exactly one
+    * task, and the driver renames each group's single output file into
+    * `<partition>/<fileId>_0-1-2_<instant>.parquet`. Returns the groups
+    * that produced output. */
+  private def writeTagged(out: DataFrame, table: String, instant: String,
+                          groups: Seq[(String, String)]): Seq[(String, String)] = {
+    val spark = out.sparkSession
+    val gidOf = groups.zipWithIndex.toMap
+    val gidDf = {
+      import spark.implicits._
+      broadcast(groups.zipWithIndex
+        .map { case ((p, f), g) => (p, f, g) }.toDF(PartCol, FileIdCol, GidCol))
+    }
+    val withGid = out.join(gidDf, Seq(PartCol, FileIdCol))
+      .drop(PartCol, FileIdCol)
+    writeGidFiles(withGid, table, instant,
+      gidOf.map { case (pf, g) => g -> pf })
+  }
+
+  /** [[writeTagged]] for the all-new case: every row of one partition
+    * goes to that partition's single fresh group. */
+  private def writeGroups(keyed: DataFrame, table: String, instant: String,
+                          groups: Seq[(String, String)]): Seq[(String, String)] = {
+    val spark = keyed.sparkSession
+    val gidDf = {
+      import spark.implicits._
+      broadcast(groups.zipWithIndex
+        .map { case ((p, _), g) => (p, g) }.toDF(PartCol, GidCol))
+    }
+    val withGid = keyed.join(gidDf, Seq(PartCol)).drop(PartCol)
+    writeGidFiles(withGid, table, instant,
+      groups.zipWithIndex.map { case (pf, g) => g -> pf }.toMap)
+  }
+
+  private def writeGidFiles(withGid: DataFrame, table: String, instant: String,
+                            targets: Map[Int, (String, String)])
+      : Seq[(String, String)] = {
+    val spark = withGid.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(table, s".multi-tmp-$instant")
+    withGid.repartition(col(GidCol))
+      .write.mode("overwrite").partitionBy(GidCol).parquet(tmp.toString)
+    val f = tmp.getFileSystem(conf)
+    val written = f.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.startsWith(s"$GidCol="))
+      .map { dir =>
+        val gid = dir.getPath.getName.stripPrefix(s"$GidCol=").toInt
+        val (partition, fileId) = targets.getOrElse(gid,
+          throw new IllegalStateException(s"unplanned group id $gid"))
+        val parquets = f.listStatus(dir.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(parquets.length == 1, s"group $gid produced " +
+          s"${parquets.length} files — expected exactly one per file group")
+        val partDir = new Path(table, partition)
+        f.mkdirs(partDir)
+        f.rename(parquets.head,
+          new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"))
+        (partition, fileId)
+      }
+    f.delete(tmp, true)
+    written
+  }
+
+  /** Zero-row base files for fully-deleted groups: ONE empty template
+    * write (schema from a driver footer read), then a byte copy per
+    * emptied group — O(#emptied) metadata work, no extra Spark jobs per
+    * group. */
+  private def writeEmptyBases(spark: SparkSession, schemaFile: String,
+                              table: String, instant: String,
+                              emptied: Seq[(String, String)]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = spark.read.parquet(schemaFile).schema
+    val tmp = new Path(table, s".empty-tmp-$instant")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val f = tmp.getFileSystem(conf)
+    val template = f.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        "empty base write produced no parquet"))
+    emptied.foreach { case (partition, fileId) =>
+      val partDir = new Path(table, partition)
+      f.mkdirs(partDir)
+      org.apache.hadoop.fs.FileUtil.copy(f, template, f,
+        new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"),
+        false, conf)
+    }
+    f.delete(tmp, true)
   }
 }

@@ -55,6 +55,95 @@ class HudiCowWriteSpec extends SparkSuite {
     // no: only key 3's group. Key 1's commit time stays T2.
   }
 
+  test("partitioned upserts route rows by the partition column in one commit") {
+    val root = Files.createTempDirectory("hudi-cow-part").toString
+    // batch 1: two partitions, two keys each
+    assert(HudiCowWrite.upsertPartitioned(
+      Seq((1L, "a", "red"), (2L, "b", "red"), (3L, "c", "blue"),
+        (4L, "d", "blue")).toDF("id", "item", "color"),
+      root, "id", "color", T1))
+    // batch 2: update key 1 (red), add key 5 to a NEW partition (green)
+    assert(HudiCowWrite.upsertPartitioned(
+      Seq((1L, "a2", "red"), (5L, "e", "green")).toDF("id", "item", "color"),
+      root, "id", "color", T2))
+    val snap = HudiRead.snapshot(spark, root)
+      .selectExpr("id", "item", "color", "_hoodie_commit_time")
+      .as[(Long, String, String, String)].collect().toSeq.sorted
+    assert(snap === Seq((1L, "a2", "red", T2), (2L, "b", "red", T1),
+      (3L, "c", "blue", T1), (4L, "d", "blue", T1), (5L, "e", "green", T2)),
+      "partition column restored from the directory; carried rows keep T1")
+    // key scoping is PER PARTITION: id 3 upserted under red is a NEW
+    // record there, blue's id 3 untouched
+    assert(HudiCowWrite.upsertPartitioned(
+      Seq((3L, "c-red", "red")).toDF("id", "item", "color"),
+      root, "id", "color", T3))
+    val byColor = HudiRead.snapshot(spark, root)
+      .selectExpr("id", "color").as[(Long, String)].collect().toSeq.sorted
+    assert(byColor.count(_._1 == 3L) === 2)
+    // partitioned deletes: drop blue's id 3, red's id 3 survives
+    assert(HudiCowWrite.deleteKeysPartitioned(
+      Seq((3L, "blue")).toDF("id", "color"), root, "id", "color",
+      "20240104000000000"))
+    val after = HudiRead.snapshot(spark, root)
+      .selectExpr("id", "color").as[(Long, String)].collect().toSeq.sorted
+    assert(after.filter(_._1 == 3L) === Seq((3L, "red")))
+  }
+
+  test("job count stays constant in the number of affected file groups") {
+    // seed n file groups (disjoint keys), then one upsert touching every
+    // group + a fresh key; return the Spark job count of the upsert
+    def jobsForGroups(nGroups: Int): Int = {
+      val root = Files.createTempDirectory(s"hudi-cow-jobs-$nGroups").toString
+      (0 until nGroups).foreach { g =>
+        val rows = Seq((g * 100L, s"g$g-a"), (g * 100L + 1, s"g$g-b"))
+          .toDF("id", "item")
+          .withColumn("_hoodie_record_key", $"id".cast("string"))
+          .withColumn("_hoodie_commit_time",
+            org.apache.spark.sql.functions.lit(T1))
+        HudiMorWrite.writeBase(rows, root, "part=0", s"fg$g", T1)
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val batch = ((0 until nGroups).map(g => (g * 100L, s"new-$g")) ++
+          Seq((9990L, "n1"), (9991L, "n2"))).toDF("id", "item")
+        assert(HudiCowWrite.upsert(batch, root, "id", T2))
+        Thread.sleep(1000) // listener bus drain
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = jobsForGroups(4)
+    val large = jobsForGroups(24)
+    assert(large <= small + 3,
+      s"jobs grew $small -> $large from 4 to 24 affected groups — the " +
+        "committer must not loop per group (contract: constant job count)")
+    // and the 24-group write is still correct (re-read the large table)
+    val root24 = Files.createTempDirectory("hudi-cow-jobs-check").toString
+    (0 until 3).foreach { g =>
+      val rows = Seq((g * 100L, s"g$g-a"), (g * 100L + 1, s"g$g-b"))
+        .toDF("id", "item")
+        .withColumn("_hoodie_record_key", $"id".cast("string"))
+        .withColumn("_hoodie_commit_time",
+          org.apache.spark.sql.functions.lit(T1))
+      HudiMorWrite.writeBase(rows, root24, "part=0", s"fg$g", T1)
+    }
+    assert(HudiCowWrite.upsert(
+      ((0 until 3).map(g => (g * 100L, s"new-$g")) :+ (9990L, "n1"))
+        .toDF("id", "item"), root24, "id", T2))
+    val snap = HudiRead.snapshot(spark, root24)
+      .selectExpr("id", "item", "_hoodie_commit_time")
+      .as[(Long, String, String)].collect().toSeq
+    assert(snap.size === 3 * 2 + 1)
+    assert(snap.count(_._3 == T2) === 3 + 1)
+    assert(snap.filter(_._1 == 0L).map(_._2) === Seq("new-0"))
+    assert(snap.filter(_._1 == 1L).map(_._2) === Seq("g0-b"))
+  }
+
   test("the tables round-trip through the graft-hudi streaming tail") {
     val root = Files.createTempDirectory("hudi-cow-tail").toString
     HudiCowWrite.upsert(Seq((1L, "a")).toDF("id", "item"), root, "id", T1)
