@@ -1790,6 +1790,39 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg CHANGELOG scan ([[graft.sources.IcebergRead.changelog]] —
+      * the read that makes upsert histories TAILABLE): three
+      * equality-delete commits ([[graft.sink.IcebergWrite.upsert]] ×2 +
+      * `deleteKeys`) net into per-snapshot (delete, upsert) change rows
+      * by diffing each snapshot's manifest list against its
+      * predecessor's — an upsert snapshot emits its data files as
+      * `upsert` AND its equality-delete file's key tuples as `delete`
+      * (the downstream election resolves same-version ties), a
+      * delete-only snapshot emits just `delete`. The oracle replays the
+      * per-(version, class) row counts and key sums arithmetically. */
+    "lake_iceberg_changelog" -> ((s, d) => {
+      val root = lakeTmp(d, "icechangelog")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(
+        orders.where(col("o_orderkey") % 3 === 0), root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      graft.sink.IcebergWrite.deleteKeys(
+        orders.where(col("o_orderkey") % 8 === 0).select("o_orderkey"),
+        root, Seq("o_orderkey"), fields, snapshotId = 3L, sequenceNumber = 3L)
+      graft.sources.IcebergRead.changelog(s, root)
+        .groupBy(col("version"), col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"))
+        .orderBy("version", "change_type")
+    }),
+
     /** Iceberg SCHEMA EVOLUTION on read ([[graft.sources.IcebergRead]]
       * field-id resolution + [[graft.sink.IcebergWrite.updateSchema]]):
       * data files are written with Iceberg-style `parquet.field.id`
@@ -3339,6 +3372,29 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM final""",
+
+    "lake_iceberg_changelog" -> """
+      WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),
+      b1 AS (SELECT o_orderkey FROM k WHERE o_orderkey % 3 = 0),
+      b2 AS (SELECT o_orderkey FROM k WHERE o_orderkey % 2 = 0),
+      d3 AS (SELECT o_orderkey FROM k WHERE o_orderkey % 8 = 0)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+               count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM b1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'upsert', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'delete', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'upsert', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM d3
+      ) t ORDER BY version, change_type""",
 
     "lake_iceberg_rename" -> """
       SELECT count(*) AS n,

@@ -31,6 +31,14 @@ import graft.streaming.LakeMirror
   * in `maxFilesPerTrigger`-bounded batches, and the app exits. */
 object LakeMirrorApp {
 
+  /** The full flag vocabulary — a typo'd `--flag` is REJECTED with the
+    * known set instead of silently ignored (a silently-dropped
+    * `--starting-version` would replay the whole history). */
+  private val ValueFlags = Seq("format", "source", "target", "checkpoint",
+    "schema", "record-key", "target-format", "trigger-time",
+    "max-files-per-trigger", "starting-version", "starting-snapshot-id",
+    "starting-instant", "partition-field")
+
   def main(args: Array[String]): Unit = {
     var cli = Map.empty[String, String]
     var availableNow = false
@@ -39,7 +47,13 @@ object LakeMirrorApp {
       args(i) match {
         case "--available-now" => availableNow = true
         case flag if flag.startsWith("--") =>
-          cli += flag.stripPrefix("--") -> args(i + 1); i += 1
+          val name = flag.stripPrefix("--")
+          if (!ValueFlags.contains(name)) throw new IllegalArgumentException(
+            s"unknown option --$name (known: --available-now, " +
+              ValueFlags.map("--" + _).mkString(", ") + ")")
+          if (i + 1 >= args.length) throw new IllegalArgumentException(
+            s"option --$name needs a value")
+          cli += name -> args(i + 1); i += 1
         case other =>
           throw new IllegalArgumentException(s"unrecognized argument: $other")
       }
@@ -92,14 +106,18 @@ object LakeMirrorApp {
               s"${cli.getOrElse("trigger-time", "60")} seconds"))
           .foreachBatch {
             (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+              // the checkpoint path IS the stream identity: commit ids
+              // derive from it, so two streams into one target cannot
+              // collide and a reset checkpoint fails loudly
               if (targetFormat == "iceberg")
                 LakeMirror.applyBatchIceberg(spark, b, cli("target"), keys,
-                  fields, rowSchema, epoch)
+                  fields, rowSchema, epoch, streamId = cli("checkpoint"))
               else {
                 require(keys.size == 1,
                   "--target-format hudi mirrors by exactly one key column")
                 LakeMirror.applyBatchHudi(spark, b, cli("target"), keys.head,
-                  rowSchema, epoch)
+                  rowSchema, epoch, streamId = cli("checkpoint"),
+                  partitionField = cli.get("partition-field"))
               }
           }
           .start()

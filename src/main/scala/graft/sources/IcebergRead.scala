@@ -337,6 +337,128 @@ object IcebergRead {
     added.toSeq.distinct
   }
 
+  /** One row-level change file: a data file ("insert" for append
+    * snapshots, "upsert" for overwrite/delete ones) or an added
+    * equality-delete file ("delete" — its rows are the delete-key
+    * tuples). */
+  private[graft] final case class ChangeFile(snapshotId: Long, path: String,
+                                             changeClass: String)
+
+  /** Row-level CHANGE FILES of exactly `snaps`, each diffed against its
+    * predecessor's manifest list — the CHANGELOG contract that makes
+    * upsert/delete histories (equality-delete commits like
+    * [[graft.sink.IcebergWrite.upsert]]'s) tailable: a snapshot may only
+    * ADD manifests, and its added files net into per-class change rows
+    *  - data file in an `append` snapshot        → `insert`
+    *  - data file in an overwrite/delete snapshot → `upsert`
+    *  - equality-delete file                      → `delete`
+    * (delete + upsert of one key at the same snapshot = the upsert wins,
+    * exactly the equality-delete scoping `delete.seq > data.seq` — a
+    * version-ranked latest-per-key election downstream reproduces it).
+    * Loud failures — histories with NO row-level change representation:
+    * a snapshot that DROPS a manifest (rewrite/compaction/expiry), a
+    * status-2 (DELETED) entry, or a POSITION-delete file (its rows
+    * address file offsets, not keys). */
+  private[graft] def changedBySnapshots(spark: SparkSession,
+                                        prev: Option[SnapshotRef],
+                                        snaps: Seq[SnapshotRef])
+      : Seq[ChangeFile] = {
+    if (snaps.isEmpty) return Nil
+    // manifest lists are driver-small (one record per manifest); the
+    // manifests parse executor-parallel across the whole slice
+    def listOf(s: SnapshotRef): Seq[(String, Option[Long])] =
+      avroRecords(spark, s.manifestList).map { m =>
+        (m.get("manifest_path").toString,
+          optField(m, "added_snapshot_id")
+            .collect { case n: Number => n.longValue })
+      }
+    val lists = snaps.map(s => s -> listOf(s))
+    var prevPaths: Set[String] = prev.map(listOf(_).map(_._1).toSet)
+      .getOrElse(Set.empty)
+    val newManifests = lists.map { case (s, list) =>
+      val cur = list.map(_._1).toSet
+      val dropped = prevPaths -- cur
+      if (dropped.nonEmpty) throw new IllegalArgumentException(
+        s"snapshot ${s.id} drops manifest(s) ${dropped.mkString(", ")} — a " +
+          "rewrite/compaction has no row-level change representation; " +
+          "resume the changelog from a snapshot at or after it")
+      val added = list.filterNot { case (p, _) => prevPaths.contains(p) }
+      prevPaths = cur
+      (s, added)
+    }
+    val parsed = parseManifests(spark,
+      newManifests.flatMap(_._2.map(_._1)))
+    newManifests.flatMap { case (s, manifests) =>
+      val op = s.operation.getOrElse("append")
+      manifests.flatMap { case (m, addedSnapshotId) =>
+        parsed(m).flatMap { e =>
+          val entrySnap = e.entrySnapshotId.orElse(addedSnapshotId)
+          if (!entrySnap.contains(s.id)) None // carried entry
+          else if (e.status == 2) throw new IllegalArgumentException(
+            s"snapshot ${s.id} deletes file ${e.path} (status=2) — no " +
+              "row-level change representation")
+          else if (e.status != 1) None // EXISTING carry-over
+          else e.content match {
+            case 0 => Some(ChangeFile(s.id, e.path,
+              if (op == "append") "insert" else "upsert"))
+            case 2 => Some(ChangeFile(s.id, e.path, "delete"))
+            case 1 => throw new IllegalArgumentException(
+              s"snapshot ${s.id} adds POSITION-delete file ${e.path} — " +
+                "position deletes address file offsets, not keys; the " +
+                "changelog cannot express them as row changes")
+            case other => throw new IllegalArgumentException(
+              s"unknown Iceberg data_file.content=$other in $m")
+          }
+        }
+      }
+    }
+  }
+
+  /** BATCH changelog scan over `(fromSnapshotId, toSnapshotId]` (None =
+    * from the beginning / to the current tip): one typed row per change —
+    * `(version = snapshot id, change_type insert|upsert|delete, data
+    * columns)`, delete rows carrying their equality-delete key columns
+    * (everything else null). One pushdown-capable scan per (snapshot,
+    * change-class) group — O(snapshots × classes) scans, never per-file
+    * jobs (the same bounded shape as the Delta CDF reader). */
+  def changelog(spark: SparkSession, table: String,
+                fromSnapshotId: Option[Long] = None,
+                toSnapshotId: Option[Long] = None,
+                maxFiles: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = readMetadata(spark, table)
+    val snaps = snapshotManifests(spark, table)
+    require(snaps.nonEmpty, s"$table has no snapshots")
+    val fromIdx = fromSnapshotId.map { id =>
+      val i = snaps.indexWhere(_.id == id)
+      require(i >= 0, s"fromSnapshotId $id not in metadata")
+      i
+    }.getOrElse(-1)
+    val toIdx = toSnapshotId.map { id =>
+      val i = snaps.indexWhere(_.id == id)
+      require(i >= 0, s"toSnapshotId $id not in metadata")
+      i
+    }.getOrElse(snaps.size - 1)
+    require(toIdx >= fromIdx, "toSnapshotId precedes fromSnapshotId")
+    val prev = if (fromIdx >= 0) Some(snaps(fromIdx)) else None
+    val changes = changedBySnapshots(spark, prev,
+      snaps.slice(fromIdx + 1, toIdx + 1))
+    require(changes.size <= maxFiles,
+      s"changelog range holds ${changes.size} files > maxFiles=$maxFiles")
+    if (changes.isEmpty) return spark.emptyDataFrame
+    val frames = changes.groupBy(c => (c.snapshotId, c.changeClass)).toSeq
+      .sortBy { case ((sid, cls), _) => (sid, cls) }
+      .map { case ((sid, cls), fs) =>
+        dataScan(spark, fs.map(_.path), meta)
+          .withColumn("version", lit(sid))
+          .withColumn("change_type", lit(cls))
+      }
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val dataCols = unioned.columns.toSeq
+      .filterNot(c => c == "version" || c == "change_type")
+    unioned.select((Seq("version", "change_type") ++ dataCols).map(col): _*)
+  }
+
   def incremental(spark: SparkSession, table: String, fromSnapshotId: Long,
                   toSnapshotId: Option[Long] = None,
                   maxFiles: Int = 1000000): DataFrame = {
@@ -638,7 +760,27 @@ object IcebergRead {
     // _metadata.file_path carries the Hadoop Path rendering of the
     // qualified path (file:/x, not the URI form file:///x)
     val data = dataScan(spark, files.map(_.path), meta)
-    val cols = data.columns.toSeq
+    // manifest-tuple partition columns ABSENT from the data files (the
+    // partitioned-scan layout) must survive the delete merge: without
+    // this the no-deletes path serves them from the manifests while the
+    // first upsert/delete silently turns them null/absent. The values
+    // ride the same broadcast file map the seq numbers use; types come
+    // from the table schema when it declares the field (string
+    // otherwise, mirroring partitionedScan's fallback).
+    val partNames = files.headOption.map(_.partition.map(_._1)).getOrElse(Nil)
+    val attachNames =
+      if (partNames.nonEmpty &&
+          files.forall(_.partition.map(_._1) == partNames))
+        partNames.filterNot(data.columns.contains)
+      else Nil
+    val cols = {
+      val base = data.columns.toSeq ++ attachNames
+      val declared = fieldIdReadSchema(meta).map(_.fieldNames.toSeq)
+        .getOrElse(Nil)
+      // declared order when the attach restores exactly the schema shape
+      // (parity with partitionedScan's no-deletes output)
+      if (declared.nonEmpty && base.toSet == declared.toSet) declared else base
+    }
     var keyed = data
       .withColumn("__qualified", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -647,6 +789,44 @@ object IcebergRead {
         when(col("__manifest_path").isNull, raise_error(concat(
           lit("Iceberg delete merge: data file not in path map: "),
           col("__qualified")))).otherwise(col("__manifest_path")))
+    if (attachNames.nonEmpty) {
+      val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        fieldIdReadSchema(meta).map(_.fields.map(f => f.name -> f.dataType)
+          .toMap).getOrElse(Map.empty)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pvRows = files.map { t =>
+        val hp = new Path(t.path)
+        org.apache.spark.sql.Row.fromSeq(
+          DeletionVectors.sparkPathString(
+            hp.getFileSystem(conf).makeQualified(hp)) +:
+          t.partition.filter(p => attachNames.contains(p._1)).map {
+            case (_, v) => if (v == null) null else String.valueOf(v)
+          })
+      }
+      val pvSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__qualified",
+          org.apache.spark.sql.types.StringType) +:
+        attachNames.map(n => org.apache.spark.sql.types.StructField(
+          s"__pv_$n", org.apache.spark.sql.types.StringType)))
+      val pvMap = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(pvRows).asJava), pvSchema)
+      keyed = keyed.join(broadcast(pvMap), Seq("__qualified"), "left")
+      attachNames.foreach { n =>
+        val pv = col(s"__pv_$n")
+        val typed = schemaTypes.get(n) match {
+          case Some(org.apache.spark.sql.types.DateType) =>
+            // manifests store date partitions as epoch DAYS (int); a
+            // string-typed fixture value parses as a date literal
+            when(pv.rlike("^-?\\d+$"),
+              date_add(to_date(lit("1970-01-01")), pv.cast("int")))
+              .otherwise(pv.cast("date"))
+          case Some(t) => pv.cast(t)
+          case None => pv
+        }
+        keyed = keyed.withColumn(n, typed)
+      }
+    }
     if (posDeletes.nonEmpty) {
       val deletes = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))

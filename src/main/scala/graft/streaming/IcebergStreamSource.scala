@@ -12,11 +12,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.IcebergRead
 
-/** STREAMING tail of an Iceberg table's APPEND history:
+/** STREAMING tail of an Iceberg table's CHANGE history:
   * `spark.readStream.format("graft-iceberg").option("path", table)` —
   * the Iceberg sibling of `graft-delta`, same doc-style contract
-  * `(version LONG = snapshot id, change_type STRING = "insert",
-  * row STRING json)`.
+  * `(version LONG = snapshot id, change_type STRING, row STRING json)`.
+  * Append snapshots emit `insert` rows; equality-delete commit shapes
+  * (the CDC-target pattern [[graft.sink.IcebergWrite.upsert]] /
+  * `deleteKeys` writes) emit `upsert` rows for the snapshot's data
+  * files and `delete` rows (the key tuples) for its equality-delete
+  * files — so a table MIRRORED INTO Iceberg can itself be tailed
+  * onward (A→B→C replication chains through an Iceberg middle).
   *
   * Offsets are SNAPSHOT IDS (`{"snapshotId":N}`; null = nothing
   * processed), resolved to a position in the metadata's snapshots array
@@ -25,13 +30,13 @@ import graft.sources.IcebergRead
   * or skip snapshots. A checkpointed id no longer in the metadata fails
   * the restart loudly (the history between it and the tip is gone —
   * exactly Iceberg's own streaming-source behavior). Each micro-batch
-  * plans the files appended by the in-range snapshots through
-  * [[IcebergRead.appendedBySnapshots]] — one input partition per
-  * appended file, decoded on executors by the shared
-  * [[ChangeFileReaderFactory]]. A delete anywhere in the tail (summary
-  * operation or entry-level) fails the stream loudly: an append-only
-  * incremental scan has no row-level representation for it (Iceberg's
-  * own streaming read has the same restriction).
+  * diffs the in-range snapshots against their predecessors' manifest
+  * lists through [[IcebergRead.changedBySnapshots]] — one input
+  * partition per changed file, decoded on executors by the shared
+  * [[ChangeFileReaderFactory]]. Histories with NO row-level change
+  * representation fail the stream loudly: a snapshot that DROPS a
+  * manifest (rewrite/compaction), a status-2 entry, or a position
+  * delete (addresses file offsets, not keys).
   *
   * ADMISSION CONTROL: `maxFilesPerTrigger` (default 1000, `none` =
   * unbounded) caps how many appended data files one micro-batch plans —
@@ -155,10 +160,11 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions)
     opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
 
-  /** Admit whole snapshots oldest-first until the appended-file budget
+  /** Admit whole snapshots oldest-first until the changed-file budget
     * is spent (always at least one). Counting goes through
-    * [[IcebergRead.appendedBySnapshots]], so the append-only gates fire
-    * here — at admission — just as loudly as they would at planning. */
+    * [[IcebergRead.changedBySnapshots]], so the change-representability
+    * gates (manifest drops, position deletes) fire here — at admission —
+    * just as loudly as they would at planning. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val snaps = IcebergRead.snapshotManifests(spark, opts.path)
     val tipId = availableNowTip.getOrElse(snaps.lastOption.map(_.id))
@@ -174,7 +180,9 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions)
         var used = 0
         var stop = false
         while (!stop && i < tipIdx) {
-          val c = IcebergRead.appendedBySnapshots(spark, Seq(snaps(i + 1))).size
+          val prev = if (i >= 0) Some(snaps(i)) else None
+          val c = IcebergRead
+            .changedBySnapshots(spark, prev, Seq(snaps(i + 1))).size
           if (i > sIdx && used + c > budget) stop = true
           else {
             i += 1
@@ -223,11 +231,14 @@ class IcebergMicroBatchStream(opts: IcebergStreamOptions)
     // rename carry the old spelling; id-less fixture files fall back to
     // their file names)
     val idRenames = IcebergRead.fieldIdNames(spark, opts.path)
-    IcebergRead.appendedBySnapshots(spark, slice).map { case (sid, path) =>
+    val prev = if (s >= 0) Some(snaps(s)) else None
+    IcebergRead.changedBySnapshots(spark, prev, slice).map { c =>
       // Iceberg data files carry their partition columns IN-FILE — no
-      // value merge needed; the change class is always an insert
-      ChangeFilePartition(path, Map.empty, Some("insert"), sid, props,
-        idRenames = idRenames): InputPartition
+      // value merge needed; the change class comes from the changelog
+      // diff: append data = insert, overwrite/delete data = upsert,
+      // equality-delete files = delete (rows are the key tuples)
+      ChangeFilePartition(c.path, Map.empty, Some(c.changeClass),
+        c.snapshotId, props, idRenames = idRenames): InputPartition
     }.toArray
   }
 

@@ -67,6 +67,40 @@ class IcebergPartitionSpec extends SparkSuite {
       s"partition filter did not prune files at planning time (${listed.size}/3)")
   }
 
+  test("manifest-tuple partition columns survive the delete-merge path") {
+    val root = Files.createTempDirectory("iceberg-part-del").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    // partition column lives ONLY in the manifest tuples
+    val (f1, s1) = dataFile(data, "a1.parquet", Seq((1L, 10L), (2L, 20L)))
+    val (f2, s2) = dataFile(data, "b1.parquet", Seq((3L, 30L)))
+    IcebergWrite.commitEntries(spark, root, Seq(
+      FileEntry(f1, 0, 1L, partition = Seq("pri" -> "A"), sizeInBytes = s1),
+      FileEntry(f2, 0, 1L, partition = Seq("pri" -> "B"), sizeInBytes = s2)),
+      schema, snapshotId = 1L)
+    // snapshot 2 adds an equality delete on id=2 — the read now routes
+    // through applyDeletes, which must still serve pri from the manifests
+    val delTmp = Files.createTempDirectory("ice-part-del")
+    Seq(Tuple1(2L)).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(delTmp.toString)
+    val delPart = Files.list(delTmp)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.createDirectories(data)
+    val delFile = data.resolve("del1.parquet")
+    Files.copy(delPart, delFile)
+    IcebergWrite.commitEntries(spark, root, Seq(
+      FileEntry(delFile.toString, 2, 2L, equalityIds = Seq(1),
+        partition = Seq("pri" -> "A"), sizeInBytes = Files.size(delFile))),
+      schema, snapshotId = 2L)
+    val df = IcebergRead.snapshot(spark, root)
+    assert(df.columns.toSeq === Seq("id", "qty", "pri"),
+      "declared order with the partition column present, like the " +
+        "no-deletes path")
+    val rows = df.selectExpr("id", "qty", "pri")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(rows === Seq((1L, 10L, "A"), (3L, 30L, "B")),
+      "id 2 deleted; partition values restored from the manifest tuples")
+  }
+
   test("unpartitioned and transform-partitioned tables fall back to the plain scan") {
     val root = Files.createTempDirectory("iceberg-part-fallback").toString
     val data = java.nio.file.Paths.get(root, "data")

@@ -47,10 +47,11 @@ class HudiMirrorSpec extends SparkSuite {
     val expected = Seq((1L, "widget-v2"), (3L, "nut"), (4L, "gear"))
     assert(replica() === expected, "id 2 deleted, id 1 updated, id 4 added")
 
-    // replay every epoch verbatim: completed instants are skipped
-    epochs.synchronized(epochs.toSeq).foreach { case (epoch, b) =>
-      LakeMirror.applyBatchHudi(spark, b, target, "id", rowSchema, epoch)
-    }
+    // replay the last epoch verbatim (foreachBatch's at-least-once
+    // shape): completed instants are skipped
+    val (lastEpoch, lastBatch) = epochs.synchronized(epochs.last)
+    LakeMirror.applyBatchHudi(spark, lastBatch, target, "id", rowSchema,
+      lastEpoch)
     assert(replica() === expected, "replayed epochs must be no-ops")
 
     // the source grows; the tail resumes and the mirror follows
@@ -59,5 +60,51 @@ class HudiMirrorSpec extends SparkSuite {
       source, Seq("par"))
     run()
     assert(replica() === expected :+ ((5L, "cog")))
+
+    // a RESET checkpoint (epoch behind what this stream already
+    // mirrored) fails loudly instead of silently dropping the batch
+    val (e0, b0) = epochs.synchronized(epochs.head)
+    val err = intercept[IllegalStateException] {
+      LakeMirror.applyBatchHudi(spark, b0, target, "id", rowSchema, e0)
+    }
+    assert(err.getMessage.contains("behind already-mirrored epoch"))
+
+    // a DIFFERENT stream id is a different commit namespace: no
+    // collision, no false replay-skip — the two-sources-one-target shape
+    LakeMirror.applyBatchHudi(spark,
+      Seq((0L, "insert", """{"id":9,"item":"other","par":"c"}"""))
+        .toDF("version", "change_type", "row"),
+      target, "id", rowSchema, 0L, streamId = "second-stream")
+    assert(replica() === expected ++ Seq((5L, "cog"), (9L, "other")))
+  }
+
+  test("partition-field mirroring routes rows into hive-style partitions") {
+    val target = Files.createTempDirectory("d2h-part").resolve("t").toString
+    val rowSchema = StructType(Seq(StructField("id", LongType),
+      StructField("item", StringType), StructField("par", StringType)))
+    def batch(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.map { case (v, ct, row) => (v, ct, row) }
+        .toDF("version", "change_type", "row")
+    // epoch 0: inserts across two partitions
+    LakeMirror.applyBatchHudi(spark, batch(Seq(
+      (0L, "insert", """{"id":1,"item":"widget","par":"a"}"""),
+      (0L, "insert", """{"id":2,"item":"bolt","par":"a"}"""),
+      (0L, "insert", """{"id":3,"item":"nut","par":"b"}"""))),
+      target, "id", rowSchema, 0L, streamId = "pf",
+      partitionField = Some("par"))
+    // epoch 1: update id 1 (partition a), delete id 3 (partition b),
+    // new id 4 in a NEW partition c
+    LakeMirror.applyBatchHudi(spark, batch(Seq(
+      (1L, "upsert", """{"id":1,"item":"widget-v2","par":"a"}"""),
+      (1L, "delete", """{"id":3,"item":null,"par":"b"}"""),
+      (1L, "insert", """{"id":4,"item":"gear","par":"c"}"""))),
+      target, "id", rowSchema, 1L, streamId = "pf",
+      partitionField = Some("par"))
+    val rows = HudiRead.snapshot(spark, target)
+      .selectExpr("id", "item", "par").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(rows === Seq((1L, "widget-v2", "a"), (2L, "bolt", "a"),
+      (4L, "gear", "c")),
+      "partition column restored from the hive-style directory names")
   }
 }

@@ -195,25 +195,89 @@ class IcebergStreamSourceSpec extends SparkSuite {
       IcebergStreamOffset(None).json()) === IcebergStreamOffset(None))
   }
 
-  test("a delete snapshot in the tail fails the stream loudly") {
-    val root = Files.createTempDirectory("iceberg-stream-del").toString
+  test("upsert/delete snapshots emit changelog rows (the mirror-chain shape)") {
+    val root = Files.createTempDirectory("iceberg-stream-chg").toString
+    val data = java.nio.file.Paths.get(root, "data")
+    // snap 1: plain append of ids 1, 2
+    IcebergWrite.commitEntries(spark, root,
+      Seq(FileEntry(writeParquet(data, "f1.parquet",
+        Seq((1L, "widget"), (2L, "bolt"))), 0, 1L)),
+      schema, snapshotId = 1L)
+    // snap 2: IcebergWrite.upsert — data + equality-delete at one seq
+    assert(IcebergWrite.upsert(Seq((2L, "bolt-v2")).toDF("id", "item"),
+      root, Seq("id"), schema, snapshotId = 2L, sequenceNumber = 2L))
+    // snap 3: hard delete of id 1
+    assert(IcebergWrite.deleteKeys(Seq(Tuple1(1L)).toDF("id"),
+      root, Seq("id"), schema, snapshotId = 3L, sequenceNumber = 3L))
+    val q = spark.readStream.format("graft-iceberg").option("path", root).load()
+      .writeStream.format("memory").queryName("ice_tail_chg")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ice_tail_chg")
+      .selectExpr("version", "change_type", "row")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted === Seq("insert", "insert"))
+    val v2 = rows.filter(_._1 == 2L)
+    assert(v2.map(_._2).sorted === Seq("delete", "upsert"))
+    assert(v2.find(_._2 == "upsert").exists(_._3.contains("bolt-v2")))
+    assert(v2.find(_._2 == "delete").exists(r =>
+      r._3.contains("\"id\":2") && !r._3.contains("item")),
+      "delete rows carry exactly the equality-delete key tuple")
+    assert(rows.filter(_._1 == 3L).map(_._2) === Seq("delete"))
+    assert(rows.find(_._1 == 3L).exists(_._3.contains("\"id\":1")))
+  }
+
+  test("a manifest-dropping snapshot (rewrite) fails the stream loudly") {
+    val root = Files.createTempDirectory("iceberg-stream-drop").toString
     val data = java.nio.file.Paths.get(root, "data")
     IcebergWrite.commitEntries(spark, root,
       Seq(FileEntry(writeParquet(data, "f1.parquet", Seq((1L, "widget"))), 0, 1L)),
       schema, snapshotId = 1L)
     IcebergWrite.commitEntries(spark, root,
-      Seq(FileEntry(writeParquet(data, "d.parquet", Seq((1L, "widget"))), 2, 2L,
-        equalityIds = Seq(1))),
+      Seq(FileEntry(writeParquet(data, "f2.parquet", Seq((2L, "bolt"))), 0, 2L)),
       schema, snapshotId = 2L)
+    // synthesize snapshot 3 whose manifest list is snap 1's — it DROPS
+    // snapshot 2's manifest (exactly what a rewrite/compaction leaves)
+    val meta = new org.apache.hadoop.fs.Path(root, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readString(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeString(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val hint = new org.apache.hadoop.fs.Path(meta, "version-hint.text")
+    val v = readString(hint).trim.toLong
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = mapper.readTree(readString(
+      new org.apache.hadoop.fs.Path(meta, s"v$v.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapsArr = node.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val snap1List = snapsArr.get(0).get("manifest-list").asText()
+    val rewrite = mapper.createObjectNode()
+    rewrite.put("snapshot-id", 3L)
+    rewrite.put("timestamp-ms", 3L)
+    rewrite.set[com.fasterxml.jackson.databind.JsonNode]("summary",
+      mapper.readTree("""{"operation":"replace"}"""))
+    rewrite.put("manifest-list", snap1List)
+    snapsArr.add(rewrite)
+    node.put("current-snapshot-id", 3L)
+    writeString(new org.apache.hadoop.fs.Path(meta, s"v${v + 1}.metadata.json"),
+      mapper.writeValueAsString(node))
+    writeString(hint, (v + 1).toString)
+
     val q = spark.readStream.format("graft-iceberg").option("path", root).load()
-      .writeStream.format("memory").queryName("ice_tail_del")
+      .writeStream.format("memory").queryName("ice_tail_drop")
       .outputMode("append").start()
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.processAllAvailable()
       q.awaitTermination(2000)
     }
     q.stop()
-    assert(e.toString.contains("not append-only") ||
-      Option(e.getCause).exists(_.toString.contains("not append-only")))
+    assert(e.toString.contains("drops manifest") ||
+      Option(e.getCause).exists(_.toString.contains("drops manifest")))
   }
 }
