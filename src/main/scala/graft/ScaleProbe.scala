@@ -478,6 +478,20 @@ object ScaleProbe {
           s"set overlap $overlap/${full.size}")
       overlap.toLong
     }
+    // Cluster-balanced sampling at a production perCluster: the per-cell
+    // top-k election is ONE bounded aggregate + a broadcast join-back —
+    // wall-time must stay ~flat in k (the old shape ran k sequential
+    // min_by rounds, each a full corpus scan).
+    time("cluster_sample_topk") {
+      var last = 0L
+      Seq(4, 256).foreach { k =>
+        val t0 = System.nanoTime()
+        last = Similarity.clusterBalancedSample(emb, k, nlist = 16).count()
+        System.err.println(f"[probe] cluster_sample k=$k%-4d rows=$last ${
+          (System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      last
+    }
     // HudiCowWrite at many file groups: seed G groups, upsert one key in
     // EVERY group in one batch — the committer's contract is ONE shuffled
     // write job with O(G) driver renames, so wall-time must stay ~flat in

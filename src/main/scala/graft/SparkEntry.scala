@@ -1176,10 +1176,11 @@ object SparkEntry {
       * so decode must invert the encoder — the oracle computes the same
       * sums straight from the formula, certifying real pixel access. */
     "media_features" -> ((s, d) =>
-      Multimodal.imageStats(
+      Multimodal.imageFeatures(
           Multimodal.synthesizeImages(t(s, d, "documents").select("doc_id")))
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          col("sum_r"), col("sum_g"), col("sum_b"))
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("grad_x_energy"), col("grad_y_energy"))
         .orderBy("doc_id")),
 
     /** REAL conv/pool embedding leg ([[graft.ops.Multimodal.ImageIoCodec
@@ -2901,19 +2902,48 @@ object SparkEntry {
       ORDER BY doc_id, frame_idx""",
 
     /** Same fixture-pixel formula as `Multimodal.FixtureImage`, summed
-      * directly — the Spark side must PNG-encode, really decode, and sum
-      * actual pixels to reproduce these integers. */
+      * directly, PLUS the conv bank's gradient energies (the full
+      * production feature basis of `ImageIoCodec.features`) — the Spark
+      * side must PNG-encode, really decode, sum actual pixels AND do
+      * 3×3 neighborhood math on the raster to reproduce these integers. */
     "media_features" -> """
       WITH px AS (
         SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
       expanded AS (
-        SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM px)
-      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        CAST(3 AS INTEGER) AS channels,
-        CAST(SUM(((doc_id % 100003) * 31 + i * 7) % 256) AS BIGINT) AS sum_r,
-        CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
-        CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
-      FROM expanded GROUP BY doc_id, w, h ORDER BY doc_id""",
+        SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM px),
+      stats AS (
+        SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+          CAST(3 AS INTEGER) AS channels,
+          CAST(SUM(((doc_id % 100003) * 31 + i * 7) % 256) AS BIGINT) AS sum_r,
+          CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 101) % 256) AS BIGINT) AS sum_g,
+          CAST(SUM(((doc_id % 100003) * 31 + i * 7 + 202) % 256) AS BIGINT) AS sum_b
+        FROM expanded GROUP BY doc_id, w, h),
+      pos AS (
+        SELECT doc_id, w, h, unnest(range((w - 2) * (h - 2))) AS p FROM px),
+      xy AS (
+        SELECT doc_id, w, 1 + p % (w - 2) AS x, 1 + p // (w - 2) AS y FROM pos),
+      nb AS (
+        SELECT doc_id,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x-1)) * 7) % 256 AS vmm,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x  )) * 7) % 256 AS vm0,
+          ((doc_id % 100003) * 31 + ((y-1)*w + (x+1)) * 7) % 256 AS vmp,
+          ((doc_id % 100003) * 31 + ((y  )*w + (x-1)) * 7) % 256 AS v0m,
+          ((doc_id % 100003) * 31 + ((y  )*w + (x+1)) * 7) % 256 AS v0p,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x-1)) * 7) % 256 AS vpm,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x  )) * 7) % 256 AS vp0,
+          ((doc_id % 100003) * 31 + ((y+1)*w + (x+1)) * 7) % 256 AS vpp
+        FROM xy),
+      conv AS (
+        SELECT doc_id,
+          CAST(SUM(ABS((vmp + 2*v0p + vpp) - (vmm + 2*v0m + vpm))) AS BIGINT)
+            AS grad_x_energy,
+          CAST(SUM(ABS((vpm + 2*vp0 + vpp) - (vmm + 2*vm0 + vmp))) AS BIGINT)
+            AS grad_y_energy
+        FROM nb GROUP BY doc_id)
+      SELECT s.doc_id, width, height, channels, sum_r, sum_g, sum_b,
+             grad_x_energy, grad_y_energy
+      FROM stats s JOIN conv c ON s.doc_id = c.doc_id
+      ORDER BY s.doc_id""",
 
     /** Arithmetic replay of the 3×3 conv bank over the fixture-pixel
       * formula: v(x,y) is the R-channel value, the three outputs are

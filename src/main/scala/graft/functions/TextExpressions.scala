@@ -288,6 +288,43 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static bridge for [[BloomMightContain]]'s codegen (same shape as
+  * [[TextKernels]]): the probe math lives in
+  * [[graft.sink.BloomIndex.mightContain]]. */
+object BloomKernels {
+  def mightContain(bloom: Array[Byte], key: UTF8String,
+                   m: Int, k: Int): Boolean =
+    graft.sink.BloomIndex.mightContain(bloom, key.toString, m, k)
+}
+
+/** bloom_might_contain(bloom, key, m_bits, k_hashes) — Kirsch-
+  * Mitzenmacher membership probe of a per-file key bloom
+  * ([[graft.sink.BloomIndex]]) as a NATIVE codegen'd expression: the
+  * index ⋈ keys join's probe stays inside whole-stage codegen instead
+  * of boxing through a Scala udf. */
+case class BloomMightContain(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, _: StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string, int, int), got $other")
+    }
+  override def nullSafeEval(b: Any, s: Any, m: Any, k: Any): Any =
+    BloomKernels.mightContain(b.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[UTF8String], m.asInstanceOf[Int], k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, s, m, k) =>
+      s"graft.functions.BloomKernels.mightContain($b, $s, $m, $k)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 abstract class StringKernelExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -487,7 +524,10 @@ object TextFunctions {
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (cs: Seq[Expression]) => UnicodeNormalize(cs.head,
-        cs(1).eval().toString)))
+        cs(1).eval().toString)),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (cs: Seq[Expression]) => BloomMightContain(cs.head, cs(1), cs(2), cs(3))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -514,4 +554,7 @@ object TextFunctions {
   def fixMojibake(text: Column): Column = call_function("fix_mojibake", text)
   def unicodeNormalize(text: Column, form: String): Column =
     call_function("unicode_normalize", text, lit(form))
+  def bloomMightContain(bloom: Column, key: Column,
+                        m: Column, k: Column): Column =
+    call_function("bloom_might_contain", bloom, key, m, k)
 }

@@ -734,6 +734,40 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Partition-wise REAL decode → the FULL production feature basis in
+    * ONE pass: exactly the dims [[ImageIoCodec.features]] derives for
+    * the image leg (width, height, channels, per-channel sums, and the
+    * conv bank's gradient energies — `features()` emits `sum/n` and
+    * `energy/n`; these are the integer numerators), so the whole image
+    * feature vector is oracle-replayable bit-for-bit. Null row for
+    * undecodable payloads (the seam where [[DecodeStub]] takes over). */
+  def imageFeatures(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("channels", IntegerType))
+      .add(StructField("sum_r", LongType))
+      .add(StructField("sum_g", LongType))
+      .add(StructField("sum_b", LongType))
+      .add(StructField("grad_x_energy", LongType))
+      .add(StructField("grad_y_energy", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        (ImageIoCodec.decodeStats(bytes),
+          ImageIoCodec.convEnergies(bytes)) match {
+          case (Some(s), conv) =>
+            val (gx, gy, _) = conv.getOrElse((0L, 0L, 0L))
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              s.width, s.height, s.channels, s.sumR, s.sumG, s.sumB, gx, gy))
+          case _ => Row.fromSeq(r.toSeq ++ Seq.fill(8)(null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** The stubbed codec. A real implementation would JNI/handoff to an image
     * library here; the contract (bytes in, fixed-length feature vector out,
     * one expensive init per partition) is what the pipeline depends on. */

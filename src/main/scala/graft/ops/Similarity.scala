@@ -428,31 +428,60 @@ object Similarity {
     * broadcast anti-joins, never a per-cell sort task) — the same
     * round-loop posture as BPE learning, with perCluster small by
     * construction. */
+  /** Bounded per-cell top-k election: the k smallest `(hash, id)` pairs
+    * per group, kept in a SORTED buffer capped at k — map-side combined
+    * like any hash aggregate, memory O(k) per cell regardless of cell
+    * population (a `collect_list` would buffer whole cells; a window
+    * rank would sort them). */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, String), Seq[(String, String)], Seq[(String, String)]] {
+    override def zero: Seq[(String, String)] = Vector.empty
+    override def reduce(b: Seq[(String, String)],
+                        x: (String, String)): Seq[(String, String)] =
+      if (b.length >= k && implicitly[Ordering[(String, String)]]
+          .gteq(x, b.last)) b
+      else ((b :+ x).sorted.take(k))
+    override def merge(a: Seq[(String, String)],
+                       b: Seq[(String, String)]): Seq[(String, String)] =
+      (a ++ b).sorted.take(k)
+    override def finish(r: Seq[(String, String)]): Seq[(String, String)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   def clusterBalancedSample(emb: DataFrame, perCluster: Int, nlist: Int = 16,
                             iters: Int = 2, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     require(perCluster >= 1, "perCluster must be >= 1")
-    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    VectorFunctions.ensureRegistered(spark)
     val cents = trainCentroidsI8(emb, nlist, iters, idCol, vecCol)
-    var remaining = assignCells(emb, cents, idCol, vecCol)
+    val assigned = assignCells(emb, cents, idCol, vecCol)
       .select(col("neighbor_id").as(idCol), col("cell_id"),
         md5(col("neighbor_id").cast("string")).as("__h"))
       .localCheckpoint(false)
-    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var round = 0
-    while (round < perCluster) {
-      val winners = remaining.groupBy(col("cell_id"))
-        .agg(min_by(struct(col(idCol), col("__h")),
-          struct(col("__h"), col(idCol))).as("_w"))
-        .select(col("cell_id"), col(s"_w.$idCol").as(idCol))
-        .localCheckpoint(false)
-      picks += winners
-      round += 1
-      if (round < perCluster)
-        remaining = remaining.join(
-          broadcast(winners.select(idCol)), Seq(idCol), "left_anti")
-    }
-    picks.reduce(_.unionByName(_)).select(col("cell_id"), col(idCol))
+    // ONE bounded aggregate elects every cell's k smallest (md5, id)
+    // draws — the same deterministic pick the old perCluster sequential
+    // min_by rounds produced, without O(perCluster) jobs; the tiny
+    // winner list (cells × k) broadcast-joins back to restore the id's
+    // original type
+    val topk = org.apache.spark.sql.functions.udaf(new TopKAgg(perCluster),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING))
+    val winners = assigned
+      .groupBy(col("cell_id"))
+      .agg(topk(col("__h"), col(idCol).cast("string")).as("_w"))
+      .select(col("cell_id"), explode(col("_w")).as("w"))
+      .select(col("cell_id"), col("w._1").as("__h"), col("w._2").as("__ids"))
+    assigned
+      .join(broadcast(winners),
+        assigned("cell_id") === winners("cell_id") &&
+          assigned("__h") === winners("__h") &&
+          assigned(idCol).cast("string") === winners("__ids"), "left_semi")
+      .select(col("cell_id"), col(idCol))
   }
 
   def semDedup(emb: DataFrame, threshold: Double, nlist: Int = 16,

@@ -121,15 +121,25 @@ object BloomIndex {
 
   /** Surviving files for a key batch as a DataFrame (one `file` column) —
     * stays distributed; [[pruneFilesForKeys]] collects it. */
+  /** The membership probe as a NATIVE codegen'd expression
+    * ([[graft.functions.BloomMightContain]] — no udf boxing in the
+    * index-join hot path). */
+  private def contains(spark: SparkSession)(bloom: org.apache.spark.sql.Column,
+                       key: org.apache.spark.sql.Column,
+                       m: org.apache.spark.sql.Column,
+                       k: org.apache.spark.sql.Column) = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    graft.functions.TextFunctions.bloomMightContain(bloom, key, m, k)
+  }
+
   def pruneFilesForKeysDf(spark: SparkSession, table: LakeTable,
                           keys: Seq[String]): DataFrame = {
     val idx = stats(spark, table).getOrElse(
       throw new IllegalStateException(s"no key_bloom index at ${indexPath(table)}"))
     import spark.implicits._
-    val contains = udf((bloom: Array[Byte], key: String, m: Int, k: Int) =>
-      mightContain(bloom, key, m, k))
     idx.join(broadcast(keys.toDF("_key")),
-        contains(col("bloom"), col("_key"), col("m_bits"), col("k_hashes")), "left_semi")
+        contains(spark)(col("bloom"), col("_key"), col("m_bits"),
+          col("k_hashes")), "left_semi")
       .select("file")
   }
 
@@ -149,11 +159,10 @@ object BloomIndex {
                          keys: DataFrame): Seq[String] = {
     val idx = stats(spark, table).getOrElse(
       throw new IllegalStateException(s"no key_bloom index at ${indexPath(table)}"))
-    val contains = udf((bloom: Array[Byte], key: String, m: Int, k: Int) =>
-      mightContain(bloom, key, m, k))
     keys.select(col("_key")).distinct()
       .join(broadcast(idx),
-        contains(col("bloom"), col("_key"), col("m_bits"), col("k_hashes")))
+        contains(spark)(col("bloom"), col("_key"), col("m_bits"),
+          col("k_hashes")))
       .select("file").distinct().collect().map(_.getString(0)).toSeq
   }
 

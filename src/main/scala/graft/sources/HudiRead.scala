@@ -72,6 +72,26 @@ object HudiRead {
                            baseInstant: String, version: Int,
                            writeToken: String, path: String)
 
+  /** Order key for commit instants ACROSS WIDTH GENERATIONS: instants
+    * are timestamps (`yyyyMMddHHmmss` in old tables, `…SSS` with millis
+    * in new ones, 18-digit synthetic instants from [[graft.streaming
+    * .LakeMirror]]), so a shorter instant is a TRUNCATED timestamp:
+    * right-padding with zeros compares them on the shared timeline
+    * (numeric/left-padded comparison would rank every 17-digit instant
+    * above every 14-digit one regardless of time), and the 2-digit
+    * width suffix breaks a `X` vs `X000` tie deterministically
+    * (shorter-format first, the raw-lexicographic prefix rule) so the
+    * key stays a STRICT total order — no two distinct instants compare
+    * equal. */
+  private[graft] def instantKey(instant: String): String =
+    instant.padTo(24, '0') + f"${instant.length}%02d"
+
+  /** [[instantKey]] as a Catalyst expression, for row-level
+    * `_hoodie_commit_time` range checks on the same padded timeline. */
+  private[graft] def instantKeyCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(rpad(c, 24, "0"), lpad(length(c).cast("string"), 2, "0"))
+
   /** Completed commit instants on the timeline, ascending (`.commit` =
     * COW write or MOR compaction, `.deltacommit` = MOR log write,
     * `.replacecommit` = clustering/overwrite). */
@@ -84,7 +104,7 @@ object HudiRead {
       case n if n.endsWith(".commit") => n.stripSuffix(".commit")
       case n if n.endsWith(".deltacommit") => n.stripSuffix(".deltacommit")
       case n if n.endsWith(".replacecommit") => n.stripSuffix(".replacecommit")
-    }.filter(_.forall(_.isDigit)).toSeq.sorted
+    }.filter(_.forall(_.isDigit)).toSeq.sortBy(instantKey)
   }
 
   /** fileIds removed by clustering/overwrite replacecommits ≤ ceiling. */
@@ -94,7 +114,7 @@ object HudiRead {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).iterator.map(_.getPath).filter { p =>
       p.getName.endsWith(".replacecommit") &&
-        p.getName.stripSuffix(".replacecommit") <= ceiling
+        instantKey(p.getName.stripSuffix(".replacecommit")) <= instantKey(ceiling)
     }.flatMap { p =>
       val in = fs.open(p)
       val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -153,10 +173,11 @@ object HudiRead {
                             replaced: Set[(String, String)])
       : (Seq[BaseFile], Map[(String, String), Seq[LogFile]]) = {
     val chosen = bases
-      .filter(b => b.instant <= ceiling && completed.contains(b.instant) &&
+      .filter(b => instantKey(b.instant) <= instantKey(ceiling) &&
+        completed.contains(b.instant) &&
         !replaced.contains((b.partition, b.fileId)))
       .groupBy(b => (b.partition, b.fileId))
-      .map { case (_, files) => files.maxBy(_.instant) }
+      .map { case (_, files) => files.maxBy(b => instantKey(b.instant)) }
       .toSeq
     val baseInstantOf = chosen.map(b => (b.partition, b.fileId) -> b.instant).toMap
     // logs stack on the chosen base (baseInstant ≥ its instant covers the
@@ -165,10 +186,12 @@ object HudiRead {
     // at all. Block-level instant filtering happens at decode time.
     val applicableLogs = logs
       .filter(l => !replaced.contains((l.partition, l.fileId)) &&
-        l.baseInstant <= ceiling &&
-        baseInstantOf.get((l.partition, l.fileId)).forall(_ <= l.baseInstant))
+        instantKey(l.baseInstant) <= instantKey(ceiling) &&
+        baseInstantOf.get((l.partition, l.fileId))
+          .forall(b => instantKey(b) <= instantKey(l.baseInstant)))
       .groupBy(l => (l.partition, l.fileId))
-      .view.mapValues(_.sortBy(l => (l.baseInstant, l.version, l.writeToken)))
+      .view.mapValues(_.sortBy(l =>
+        (instantKey(l.baseInstant), l.version, l.writeToken)))
       .toMap
     (chosen, applicableLogs)
   }
@@ -307,7 +330,8 @@ object HudiRead {
     val props = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toArray)
-    val visibleB = spark.sparkContext.broadcast(completed.filter(_ <= ceiling))
+    val visibleB = spark.sparkContext.broadcast(
+      completed.filter(i => instantKey(i) <= instantKey(ceiling)))
     val groups = logGroups.toSeq.map { case (_, files) => files.map(_.path) }
     // tombstone rows carry nulls in the data columns → everything nullable
     val rowSchema = StructType(schema.fields.map(_.copy(nullable = true)) :+
@@ -410,19 +434,24 @@ object HudiRead {
     chosen
   }
 
-  /** Base-file counts per commit instant, ascending — the admission-
-    * control unit of the `graft-hudi` tail's `maxFilesPerTrigger`. One
-    * executor-parallel listing, no visibility selection: counting RAW
-    * bases per instant over-counts groups later rewritten (a rewritten
-    * base is invisible when the batch end lands past the rewrite), so
-    * the cap errs CONSERVATIVE — a batch never plans more base files of
-    * an instant than counted here. */
+  /** Base-file counts per COMPLETED commit instant, ascending — the
+    * admission-control unit of the `graft-hudi` tail's
+    * `maxFilesPerTrigger`. One executor-parallel listing, no visibility
+    * selection: counting RAW bases per instant over-counts groups later
+    * rewritten (a rewritten base is invisible when the batch end lands
+    * past the rewrite), so the cap errs CONSERVATIVE — a batch never
+    * plans more base files of an instant than counted here. Files of
+    * inflight/aborted instants are EXCLUDED: admitting one as the batch
+    * end would cursor past data that is not readable yet. */
   private[graft] def baseFileCountsByInstant(spark: SparkSession,
                                              table: String,
                                              maxFiles: Int = 1000000)
       : Seq[(String, Int)] = {
+    val completed = completedInstants(spark, table).toSet
     val (bases, _) = parseFiles(listAllFiles(spark, table, maxFiles))
-    bases.groupBy(_.instant).view.mapValues(_.size).toSeq.sortBy(_._1)
+    bases.filter(b => completed.contains(b.instant))
+      .groupBy(_.instant).view.mapValues(_.size).toSeq
+      .sortBy(p => instantKey(p._1))
   }
 
   private[graft] def incrementalBaseFiles(spark: SparkSession, table: String,
@@ -435,7 +464,7 @@ object HudiRead {
     require(logGroups.isEmpty,
       s"$table has visible MOR log files — the per-file streaming tail " +
         "supports COW tables; use HudiRead.incremental for MOR")
-    chosen.filter(_.instant > beginInstant)
+    chosen.filter(b => instantKey(b.instant) > instantKey(beginInstant))
   }
 
   def incremental(spark: SparkSession, table: String, beginInstant: String,
@@ -448,11 +477,15 @@ object HudiRead {
     val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
     val (chosen, logGroups) =
       visibleSlices(bases, logs, end, completed, replacedFileIds(spark, table, end))
+    // row-level range check on the SAME padded timeline as the file
+    // pruning (mixed-width instants: see [[instantKey]])
     val inRange = (df: DataFrame) =>
-      df.where(col("_hoodie_commit_time") > beginInstant &&
-        col("_hoodie_commit_time") <= end)
+      df.where(instantKeyCol(col("_hoodie_commit_time")) >
+          instantKey(beginInstant) &&
+        instantKeyCol(col("_hoodie_commit_time")) <= instantKey(end))
     if (logGroups.isEmpty) {
-      val files = chosen.filter(b => b.instant > beginInstant)
+      val files = chosen.filter(b =>
+        instantKey(b.instant) > instantKey(beginInstant))
       if (files.isEmpty) spark.emptyDataFrame
       else inRange(spark.read.parquet(files.map(_.path): _*))
     } else

@@ -123,44 +123,80 @@ object CurationStream {
   private val NearDupRows = 4
   private val NearDupMaxBucket = 1000
 
-  /** Drop batch docs that NEAR-match the standing corpus: batch band
-    * signatures join the corpus's STORED `bands` column (exploded —
-    * a column-pruned scan, no re-banding of history), oversized buckets
-    * are capped like the batch LSH operators, and candidates are
-    * verified by exact Jaccard — re-shingling ONLY the candidate corpus
-    * docs (bounded by candidate count, never corpus-sized work). */
+  /** Drop batch docs that NEAR-match the standing corpus OR a
+    * lower-id doc in the SAME batch. Corpus leg: batch band signatures
+    * join the corpus's STORED `bands` column (exploded — a
+    * column-pruned scan, no re-banding of history). Intra-batch leg:
+    * the batch's own bands self-join (bounded by batch size), so two
+    * near-duplicates arriving together keep exactly one deterministic
+    * winner — the SemDeDup rule (drop a doc iff some LOWER-id doc
+    * matches it), mirroring the exact-dup first-id election; without it
+    * dedup quality would depend on where batch boundaries fall.
+    * Oversized buckets are capped like the batch LSH operators, and
+    * candidates are verified by exact Jaccard — re-shingling ONLY the
+    * candidate corpus docs (bounded by candidate count, never
+    * corpus-sized work). */
   private def dropNearDups(spark: org.apache.spark.sql.SparkSession,
                            freshExact: DataFrame, view: DataFrame,
                            thresholdTenths: Int,
                            idCol: String, textCol: String): DataFrame = {
-    if (!view.columns.contains("bands")) return freshExact // first batch
     val batchBanded = freshExact.select(col(idCol),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val corpusBanded = view.select(col(idCol).as("corpus_id"),
-      posexplode(col("bands")).as(Seq("band", "bucket")))
-    val okBuckets = corpusBanded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= NearDupMaxBucket)
-    val candidates = batchBanded
-      .join(corpusBanded.join(okBuckets, Seq("band", "bucket"), "left_semi"),
-        Seq("band", "bucket"))
-      .select(col(idCol), col("corpus_id")).distinct()
-    // verify candidates only: batch side re-uses its shingles, the
-    // corpus side re-shingles just the candidate docs' text
     val shB = freshExact.select(col(idCol),
       graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh_a"))
-    val shC = view.select(col(idCol).as("corpus_id"), col(textCol))
-      .join(candidates.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
-      .select(col("corpus_id"),
-        graft.functions.TextFunctions.shingleHashes(col(textCol), 3).as("sh_b"))
-    val inter = graft.functions.TextFunctions
-      .sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
-    val nearDupIds = candidates
-      .join(shB, Seq(idCol)).join(shC, Seq("corpus_id"))
-      .select(col(idCol), inter.as("i"),
-        (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+    // --- intra-batch leg: self-join the batch's bands, smaller id wins
+    val selfOk = batchBanded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= NearDupMaxBucket)
+    val bb = batchBanded.join(selfOk, Seq("band", "bucket"), "left_semi")
+    val selfCands = bb.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(bb.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val selfInter = graft.functions.TextFunctions
+      .sortedIntersectSizeLong(col("sh_x"), col("sh_y"))
+    val selfLosers = selfCands
+      .join(shB.select(col(idCol).as("id_a"), col("sh_a").as("sh_x")),
+        Seq("id_a"))
+      .join(shB.select(col(idCol).as("id_b"), col("sh_a").as("sh_y")),
+        Seq("id_b"))
+      .select(col("id_b").as(idCol), selfInter.as("i"),
+        (size(col("sh_x")) + size(col("sh_y")) - selfInter).as("u"))
       .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
       .select(idCol).distinct()
+    // --- corpus leg (absent on the very first batch: no bands column yet)
+    val nearDupIds =
+      if (!view.columns.contains("bands")) selfLosers
+      else {
+        val corpusBanded = view.select(col(idCol).as("corpus_id"),
+          posexplode(col("bands")).as(Seq("band", "bucket")))
+        val okBuckets = corpusBanded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= NearDupMaxBucket)
+        val candidates = batchBanded
+          .join(corpusBanded.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+            Seq("band", "bucket"))
+          .select(col(idCol), col("corpus_id")).distinct()
+        // verify candidates only: batch side re-uses its shingles, the
+        // corpus side re-shingles just the candidate docs' text
+        val shC = view.select(col(idCol).as("corpus_id"), col(textCol))
+          .join(candidates.select("corpus_id").distinct(),
+            Seq("corpus_id"), "left_semi")
+          .select(col("corpus_id"),
+            graft.functions.TextFunctions.shingleHashes(col(textCol), 3)
+              .as("sh_b"))
+        val inter = graft.functions.TextFunctions
+          .sortedIntersectSizeLong(col("sh_a"), col("sh_b"))
+        candidates
+          .join(shB, Seq(idCol)).join(shC, Seq("corpus_id"))
+          .select(col(idCol), inter.as("i"),
+            (size(col("sh_a")) + size(col("sh_b")) - inter).as("u"))
+          .filter(col("i") * 10 >= col("u") * thresholdTenths && col("u") > 0)
+          .select(idCol).distinct()
+          .unionByName(selfLosers)
+          .distinct()
+      }
     freshExact.join(nearDupIds, Seq(idCol), "left_anti")
   }
 

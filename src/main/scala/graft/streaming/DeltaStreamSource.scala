@@ -310,8 +310,11 @@ class ChangeFileReaderFactory extends PartitionReaderFactory {
           val idx = g.getType.getFieldIndex(field)
           require(g.getFieldRepetitionCount(idx) > 0,
             s"row filter field $field is null in ${part.absolutePath}")
-          val v = g.getString(idx, 0)
-          v > min && v <= max
+          // Hudi commit instants compare on the padded timeline key
+          // (mixed 14/17/18-digit widths — HudiRead.instantKey)
+          val v = graft.sources.HudiRead.instantKey(g.getString(idx, 0))
+          v > graft.sources.HudiRead.instantKey(min) &&
+            v <= graft.sources.HudiRead.instantKey(max)
       }
       override def next(): Boolean = {
         current = reader.read()

@@ -116,21 +116,24 @@ class HudiMicroBatchStream(opts: HudiStreamOptions)
     * count — replacecommits, rewritten-away groups — ride along with the
     * next counted instant, and an empty range jumps straight to tip). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // instant ordering via the padded timeline key (mixed-width
+    // instants: HudiRead.instantKey)
+    def key(i: String) = HudiRead.instantKey(i)
     val s = start.asInstanceOf[HudiStreamOffset].instant
     val tip = tipInstant
-    if (tip <= s) return HudiStreamOffset(s)
+    if (key(tip) <= key(s)) return HudiStreamOffset(s)
     LakeTailOptions.budgetOf(limit) match {
       case None => HudiStreamOffset(tip)
       case Some(budget) =>
         val counts = HudiRead.baseFileCountsByInstant(spark, opts.path)
-          .filter { case (i, _) => i > s && i <= tip }
+          .filter { case (i, _) => key(i) > key(s) && key(i) <= key(tip) }
         if (counts.isEmpty) return HudiStreamOffset(tip)
         var admitted = s
         var used = 0
         var stop = false
         counts.foreach { case (instant, c) =>
           if (!stop) {
-            if (admitted > s && used + c > budget) stop = true
+            if (key(admitted) > key(s) && used + c > budget) stop = true
             else {
               admitted = instant
               used += c
@@ -152,7 +155,7 @@ class HudiMicroBatchStream(opts: HudiStreamOptions)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HudiStreamOffset].instant
     val e = end.asInstanceOf[HudiStreamOffset].instant
-    if (e <= s) return Array.empty
+    if (HudiRead.instantKey(e) <= HudiRead.instantKey(s)) return Array.empty
     val files = HudiRead.incrementalBaseFiles(spark, opts.path, s, e)
     val props = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(kv => (kv.getKey, kv.getValue)).toArray

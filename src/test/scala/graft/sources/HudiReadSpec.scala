@@ -151,6 +151,47 @@ class HudiReadSpec extends SparkSuite {
       s"partition filter did not prune files at planning time (${listed.size}/3)")
   }
 
+  test("mixed-width instants (14-digit vintage + 17-digit) order as timestamps") {
+    // a table migrated across Hudi instant-format generations: the first
+    // commit is 14-digit (yyyyMMddHHmmss), the later rewrite 17-digit
+    // with millis. LEFT/numeric padding would rank the 17-digit instant
+    // above ANY 14-digit one regardless of time — the padded timeline
+    // key must order them chronologically instead.
+    val old14 = "20240105090000"       // Jan 5 — NEWER time, old format
+    val new17 = "20240101090000123"    // Jan 1 — older time, new format
+    val root = Files.createTempDirectory("hudi-mixed")
+    val hoodie = root.resolve(".hoodie")
+    Files.createDirectories(hoodie)
+    Files.writeString(hoodie.resolve("hoodie.properties"),
+      "hoodie.table.name=fixture\nhoodie.table.type=COPY_ON_WRITE\n")
+    val p = root.resolve("part=0")
+    // group written at Jan 1 (17-digit), rewritten at Jan 5 (14-digit)
+    baseFile(p, "fgA", new17, Seq(("k1", 1L, "old")))
+    Files.writeString(hoodie.resolve(s"$new17.commit"), "{}")
+    val df2 = Seq(("k1", 1L, "new", old14))
+      .toDF("_hoodie_record_key", "id", "item", "_hoodie_commit_time")
+    val tmp2 = Files.createTempDirectory("hudi-mixed2")
+    df2.coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val part2 = Files.list(tmp2).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part2, p.resolve(s"fgA_0-1-2_$old14.parquet"))
+    Files.writeString(hoodie.resolve(s"$old14.commit"), "{}")
+    // ordering helpers agree the 14-digit Jan 5 instant is the tip
+    assert(HudiRead.instantKey(old14) > HudiRead.instantKey(new17))
+    assert(HudiRead.completedInstants(spark, root.toString).last === old14)
+    // the snapshot resolves the Jan 5 rewrite as the visible slice
+    val snap = HudiRead.snapshot(spark, root.toString)
+      .selectExpr("id", "item").as[(Long, String)].collect().toSeq
+    assert(snap === Seq((1L, "new")))
+    // incremental after Jan 1 sees exactly the Jan 5 rewrite's rows
+    val inc = HudiRead.incremental(spark, root.toString, new17)
+      .selectExpr("item").as[String].collect().toSeq
+    assert(inc === Seq("new"))
+    // and X vs X000 stays a STRICT order (no padded-key collision)
+    assert(HudiRead.instantKey("20240101090000") !=
+      HudiRead.instantKey("20240101090000000"))
+  }
+
   test("a non-Hudi directory fails with an actionable message") {
     val plain = Files.createTempDirectory("not-hudi").toString
     val e = intercept[IllegalArgumentException](

@@ -73,6 +73,26 @@ class CurationStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("near-dup gate: two near-dups in ONE batch keep one deterministic winner") {
+    val t = table()
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    // a near-dup PAIR arriving in the same micro-batch (different fps,
+    // so the exact-dup election keeps both) — the intra-batch self-join
+    // must elect the LOWER id, independent of batch boundaries
+    CurationStream.ingestBatch(
+      Seq((11L, base + " tail11"), (12L, base + " tail12"),
+        (13L, "entirely unrelated text about other things"))
+        .toDF("doc_id", "text"), t,
+      nearDupThresholdTenths = Some(8))
+    assert(corpusIds(t) === Set(11L, 13L),
+      "12 near-matches lower-id 11 in the same batch and must drop")
+    // the winner then guards the corpus leg: a later near-dup still drops
+    CurationStream.ingestBatch(
+      Seq((14L, base + " tail14")).toDF("doc_id", "text"), t,
+      nearDupThresholdTenths = Some(8))
+    assert(corpusIds(t) === Set(11L, 13L))
+  }
+
   test("normalizeText: double-encoded and decomposed resubmissions dedup") {
     val t = table()
     graft.functions.TextFunctions.ensureRegistered(spark)
