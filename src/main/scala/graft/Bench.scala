@@ -48,7 +48,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     System.err.println(f"[bench] SparkSession up at t=${(System.nanoTime() - jvmUp) / 1e9}%.1fs")
     def elapsed: Double = (System.nanoTime() - jvmUp) / 1e9
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names — subset runs
+    // for drift A/Bs (isolating suite-size effects: JIT/codegen-cache/GC
+    // pressure scales with how many distinct plans one JVM compiles)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val errs = scala.collection.mutable.Map.empty[String, String]
     var pass = 0

@@ -1914,6 +1914,28 @@ object SparkEntry {
         FROM graft_delta('$root')""")
     }),
 
+    /** SQL-native CHANGELOG read (`graft_iceberg_changelog` TVF over
+      * [[graft.sources.IcebergRead.changelog]]): an upsert + delete
+      * history queried entirely through `spark.sql`, per-(version,
+      * class) row counts and key sums replayed by the oracle. */
+    "lake_sql_changelog_tvf" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "tvfchg")
+      val orders = t(s, d, "orders").where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0), root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.deleteKeys(
+        orders.where(col("o_orderkey") % 4 === 0).select("o_orderkey"),
+        root, Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      s.sql(s"""SELECT version, change_type, count(*) AS n,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM graft_iceberg_changelog('$root')
+        GROUP BY version, change_type ORDER BY version, change_type""")
+    }),
+
     /** Streaming-sink exactly-once via SetTransaction
       * ([[graft.sink.DeltaWrite.appendTxn]]): three batches land, one of
       * them REPLAYED (at-least-once delivery) — the txn watermark must
@@ -3443,6 +3465,22 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 5 = 0""",
+
+    "lake_sql_changelog_tvf" -> """
+      WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0),
+      b1 AS (SELECT o_orderkey FROM k WHERE o_orderkey % 2 = 0),
+      d2 AS (SELECT o_orderkey FROM k WHERE o_orderkey % 4 = 0)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+               count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM b1
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'upsert', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'delete', count(*),
+               CAST(sum(o_orderkey) AS BIGINT) FROM d2
+      ) t ORDER BY version, change_type""",
 
     "lake_delta_txn" -> """
       SELECT count(*) AS n,

@@ -17,6 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM graft_iceberg('/lake/i', 22)      -- snapshot id
   * SELECT * FROM graft_hudi('/lake/h')             -- latest commit
   * SELECT * FROM graft_hudi('/lake/h', '2024..')   -- time travel
+  * SELECT * FROM graft_iceberg_changelog('/lake/i')        -- full history
+  * SELECT * FROM graft_iceberg_changelog('/lake/i', 2, 5)  -- (from, to]
   * }}}
   *
   * Each TVF resolves to the reader's ANALYZED plan, so everything the
@@ -51,7 +53,16 @@ object LakeTableFunctions {
       new ExpressionInfo(getClass.getName, "graft_hudi"),
       (args: Seq[Expression]) => plan(graft.sources.HudiRead.snapshot(
         SparkSession.active, str(args.head),
-        asOf = args.lift(1).map(str)))))
+        asOf = args.lift(1).map(str)))),
+    // row-level change history of an Iceberg table, upsert/delete
+    // snapshots included: graft_iceberg_changelog(path[, fromSnapshotId
+    // [, toSnapshotId]]) → (version, change_type, data columns)
+    (FunctionIdentifier("graft_iceberg_changelog"),
+      new ExpressionInfo(getClass.getName, "graft_iceberg_changelog"),
+      (args: Seq[Expression]) => plan(graft.sources.IcebergRead.changelog(
+        SparkSession.active, str(args.head),
+        fromSnapshotId = args.lift(1).map(num),
+        toSnapshotId = args.lift(2).map(num)))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.tableFunctionRegistry

@@ -59,4 +59,27 @@ class LakeTableFunctionsSpec extends SparkSuite {
     assert(spark.sql(s"SELECT item FROM graft_hudi('$hudi') WHERE id = 1")
       .as[String].collect().toSeq === Seq("bolt"))
   }
+
+  test("graft_iceberg_changelog TVF: upsert/delete history from plain SQL") {
+    LakeTableFunctions.ensureRegistered(spark)
+    val root = Files.createTempDirectory("tvf-chg").toString
+    val fields = Seq((1, "id", "long"), (2, "item", "string"))
+    graft.sink.IcebergWrite.upsert(
+      Seq((1L, "widget"), (2L, "bolt")).toDF("id", "item"), root,
+      Seq("id"), fields, snapshotId = 1L, sequenceNumber = 1L)
+    graft.sink.IcebergWrite.deleteKeys(Seq(Tuple1(1L)).toDF("id"), root,
+      Seq("id"), fields, snapshotId = 2L, sequenceNumber = 2L)
+    val rows = spark.sql(
+      s"""SELECT version, change_type, count(*) AS n
+          FROM graft_iceberg_changelog('$root')
+          GROUP BY version, change_type ORDER BY version, change_type""")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows === Seq((1L, "delete", 2L), (1L, "upsert", 2L),
+      (2L, "delete", 1L)))
+    // the (from, to] slice narrows to exactly the delete snapshot
+    val sliced = spark.sql(
+      s"""SELECT change_type, id FROM graft_iceberg_changelog('$root', 1, 2)""")
+      .as[(String, Long)].collect().toSeq
+    assert(sliced === Seq(("delete", 1L)))
+  }
 }
