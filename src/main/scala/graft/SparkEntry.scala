@@ -1695,6 +1695,44 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Hudi MOR as a CDC TARGET ([[graft.streaming.LakeMirror
+      * .applyBatchHudiMor]] — the production streaming-ingest shape):
+      * two change epochs land as LOG-ONLY deltacommits (executor-side
+      * Avro block writes, no base files at all), deletes as
+      * `_hoodie_is_deleted` tombstones, and the merge-on-read snapshot
+      * must resolve latest-per-key across the log stack. */
+    "lake_hudi_mor_mirror" -> ((s, d) => {
+      val root = lakeTmp(d, "hudimormirror")
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val feed0 = orders.select(lit(0L).as("version"),
+        lit("insert").as("change_type"),
+        to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("row"))
+      graft.streaming.LakeMirror.applyBatchHudiMor(s, feed0, root,
+        "o_orderkey", rowSchema, epochId = 0L)
+      val ups1 = orders.where(col("o_orderkey") % 30 === 0)
+        .select(lit(1L).as("version"), lit("upsert").as("change_type"),
+          to_json(struct(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))).as("row"))
+      val dels1 = orders
+        .where(col("o_orderkey") % 42 === 0 && col("o_orderkey") % 30 =!= 0)
+        .select(lit(1L).as("version"), lit("delete").as("change_type"),
+          to_json(struct(col("o_orderkey"),
+            lit(null).cast("double").as("o_totalprice"))).as("row"))
+      graft.streaming.LakeMirror.applyBatchHudiMor(s,
+        ups1.unionByName(dels1), root, "o_orderkey", rowSchema, epochId = 1L)
+      graft.sources.HudiRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Hudi PARTITIONED COW scan ([[graft.sources.HudiRead]] hive-style
       * partition dirs → typed partition columns of one StaticFileIndex
       * scan): orders land one base file per priority partition with the
@@ -1785,6 +1823,27 @@ object SparkEntry {
         orders.where(col("o_orderkey") % 2 === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 2), root,
         Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
+    /** Iceberg POSITION-DELETE write ([[graft.sink.IcebergWrite
+      * .deleteWhere]] — row-level DELETE WHERE with NO data-file
+      * rewrite): matched rows become real `(file_path, pos)` delete
+      * parquet committed as a content=1 entry, and the snapshot read
+      * must anti-join them out via `_metadata` row indexes. */
+    "lake_iceberg_posdelete" -> ((s, d) => {
+      val root = lakeTmp(d, "iceposdel")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(orders, root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.deleteWhere(s, root, "o_orderkey % 2 = 0",
+        snapshotId = 2L, sequenceNumber = 2L)
       graft.sources.IcebergRead.snapshot(s, root)
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -1934,6 +1993,45 @@ object SparkEntry {
         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         FROM graft_iceberg_changelog('$root')
         GROUP BY version, change_type ORDER BY version, change_type""")
+    }),
+
+    /** SQL-native Delta CHANGE DATA FEED (`graft_delta_cdf` TVF over
+      * [[graft.sources.DeltaRead.changes]]): a row-level UPDATE's real
+      * cdc pre/postimages aggregated entirely through `spark.sql`. */
+    "lake_sql_cdf_tvf" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "tvfcdf")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders, root, Nil)
+      graft.sink.DeltaWrite.updateWhere(s, root, "o_orderkey % 9 = 0",
+        Map("o_totalprice" -> "o_totalprice * 3"))
+      s.sql(s"""SELECT _change_type, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_delta_cdf('$root', 1)
+        GROUP BY _change_type ORDER BY _change_type""")
+    }),
+
+    /** SQL-native Hudi INCREMENTAL pull (`graft_hudi_incremental` TVF
+      * over [[graft.sources.HudiRead.incremental]]): rows committed
+      * after the first instant — COW carried rows must NOT re-emit. */
+    "lake_sql_hudi_inc_tvf" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "tvfhudi")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "3-MEDIUM")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.HudiCowWrite.upsert(
+        orders.where(col("o_orderkey") % 3 === 0), root, "o_orderkey",
+        "20240101000000000")
+      graft.sink.HudiCowWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        "o_orderkey", "20240102000000000")
+      s.sql(s"""SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_hudi_incremental('$root', '20240101000000000')""")
     }),
 
     /** Streaming-sink exactly-once via SetTransaction
@@ -3403,6 +3501,16 @@ object SparkEntry {
              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM final GROUP BY 1 ORDER BY 1""",
 
+    "lake_hudi_mor_mirror" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(CASE WHEN o_orderkey % 30 = 0
+                                THEN o_totalprice * 2
+                                ELSE o_totalprice END AS DECIMAL(18,2)))
+               AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey % 6 = 0
+        AND NOT (o_orderkey % 42 = 0 AND o_orderkey % 30 <> 0)""",
+
     "lake_hudi_partitioned" -> """
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -3424,6 +3532,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM final""",
+
+    "lake_iceberg_posdelete" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 2 <> 0""",
 
     "lake_iceberg_changelog" -> """
       WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),
@@ -3481,6 +3594,25 @@ object SparkEntry {
         SELECT CAST(2 AS BIGINT), 'delete', count(*),
                CAST(sum(o_orderkey) AS BIGINT) FROM d2
       ) t ORDER BY version, change_type""",
+
+    "lake_sql_cdf_tvf" -> """
+      WITH u AS (SELECT * FROM orders
+                 WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 9 = 0)
+      SELECT * FROM (
+        SELECT 'update_postimage' AS _change_type, count(*) AS n,
+               CAST(sum(CAST(o_totalprice * 3 AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total FROM u
+        UNION ALL
+        SELECT 'update_preimage', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM u
+      ) t ORDER BY _change_type""",
+
+    "lake_sql_hudi_inc_tvf" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0""",
 
     "lake_delta_txn" -> """
       SELECT count(*) AS n,

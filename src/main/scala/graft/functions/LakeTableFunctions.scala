@@ -19,6 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM graft_hudi('/lake/h', '2024..')   -- time travel
   * SELECT * FROM graft_iceberg_changelog('/lake/i')        -- full history
   * SELECT * FROM graft_iceberg_changelog('/lake/i', 2, 5)  -- (from, to]
+  * SELECT * FROM graft_delta_cdf('/lake/t', 1)             -- CDF from v1
+  * SELECT * FROM graft_hudi_incremental('/lake/h', '2024..') -- (begin, tip]
   * }}}
   *
   * Each TVF resolves to the reader's ANALYZED plan, so everything the
@@ -62,7 +64,23 @@ object LakeTableFunctions {
       (args: Seq[Expression]) => plan(graft.sources.IcebergRead.changelog(
         SparkSession.active, str(args.head),
         fromSnapshotId = args.lift(1).map(num),
-        toSnapshotId = args.lift(2).map(num)))))
+        toSnapshotId = args.lift(2).map(num)))),
+    // Delta CHANGE DATA FEED: graft_delta_cdf(path, fromVersion
+    // [, toVersion]) → data columns + (_change_type, _commit_version),
+    // real cdc pre/postimages included
+    (FunctionIdentifier("graft_delta_cdf"),
+      new ExpressionInfo(getClass.getName, "graft_delta_cdf"),
+      (args: Seq[Expression]) => plan(graft.sources.DeltaRead.changes(
+        SparkSession.active, str(args.head), num(args(1)),
+        args.lift(2).map(num).getOrElse(graft.sources.DeltaRead
+          .latestVersion(SparkSession.active, str(args.head)))))),
+    // Hudi INCREMENTAL pull: graft_hudi_incremental(path, beginInstant
+    // [, endInstant]) → rows committed in (begin, end]
+    (FunctionIdentifier("graft_hudi_incremental"),
+      new ExpressionInfo(getClass.getName, "graft_hudi_incremental"),
+      (args: Seq[Expression]) => plan(graft.sources.HudiRead.incremental(
+        SparkSession.active, str(args.head), str(args(1)),
+        endInstant = args.lift(2).map(str)))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.tableFunctionRegistry

@@ -51,7 +51,8 @@ object HudiCompact {
               maxFiles: Int = 1000000): Int = {
     val instants = HudiRead.completedInstants(spark, table)
     require(instants.nonEmpty, s"$table has no completed commits")
-    require(instants.forall(_ < instant),
+    require(instants.forall(i => HudiRead.instantKey(i) <
+        HudiRead.instantKey(instant)),
       s"compaction instant $instant must sort after every completed " +
         s"instant (latest: ${instants.last})")
     val ceiling = instants.last
@@ -173,8 +174,18 @@ object HudiCompact {
   /** Flat Avro record schema → parquet MessageType (the primitive shapes
     * HudiMorWrite's log writer emits). */
   private def fromAvro(s: org.apache.avro.Schema): MessageType = {
+    // nullable unions ["null", T] (tombstone-carrying log blocks) map to
+    // their non-null branch — parquet fields are optional anyway
+    def unwrap(fs: org.apache.avro.Schema): org.apache.avro.Schema =
+      if (fs.getType == org.apache.avro.Schema.Type.UNION) {
+        val nonNull = fs.getTypes.asScala
+          .filter(_.getType != org.apache.avro.Schema.Type.NULL)
+        require(nonNull.size == 1,
+          s"unsupported non-nullable Avro union $fs")
+        nonNull.head
+      } else fs
     val fields = s.getFields.asScala.map { f =>
-      f.schema().getType match {
+      unwrap(f.schema()).getType match {
         case org.apache.avro.Schema.Type.STRING => Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name())
         case org.apache.avro.Schema.Type.LONG =>

@@ -99,6 +99,117 @@ object HudiMorWrite {
     completeInstant(spark, table, instant, "deltacommit")
   }
 
+  /** One DELTA COMMIT appending each touched partition's rows as ONE
+    * Avro log block on that partition's file group, written EXECUTOR-
+    * SIDE — the MOR ingest shape (an upsert batch lands as log appends,
+    * NO base rewrite; merge-on-read resolves latest-per-key and
+    * [[HudiCompact]] folds periodically). Deletes ride along as
+    * `_hoodie_is_deleted = true` tombstone rows (the payload-level
+    * delete Hudi's merge honours), so one block type carries the whole
+    * change batch.
+    *
+    * Scale shape: the driver plans only the per-partition group table
+    * (fileId, base instant, next log version — file-listing metadata)
+    * and completes the instant; rows shuffle once by partition and each
+    * task encodes + writes its partitions' blocks directly (no
+    * driver-side row collect, unlike the single-group [[appendLog]]
+    * fixture path). One file group per partition — log appends never
+    * fan a partition out, matching this writer's single-group layout;
+    * partitions NEW to the table open a LOG-ONLY group (the reader
+    * merges those without a base).
+    *
+    * Returns false when `instant` is already on the timeline. */
+  def appendLogDistributed(df: DataFrame, table: String, partCol: String,
+                           instant: String,
+                           maxFiles: Int = 1000000): Boolean = {
+    val spark = df.sparkSession
+    require(instant.nonEmpty && instant.forall(_.isDigit),
+      s"instant must be a numeric timeline string, got '$instant'")
+    val hoodie = new Path(table, ".hoodie")
+    val f = fs(spark, hoodie)
+    if (!f.exists(hoodie)) {
+      f.mkdirs(hoodie)
+      val out = f.create(new Path(hoodie, "hoodie.properties"), true)
+      try out.write(
+        "hoodie.table.name=graft\nhoodie.table.type=MERGE_ON_READ\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else if (graft.sources.HudiRead.completedInstants(spark, table)
+        .contains(instant))
+      return false // replayed batch: the timeline is the watermark
+    val parts = df.select(partCol).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(parts.forall(_ != null), "null partition value in MOR append")
+    // per-partition group plan: existing single group (base or log-only)
+    // or a fresh log-only group; next log version from the listing
+    val listed = graft.sources.HudiRead.listAllFiles(spark, table, maxFiles)
+    val baseRe = """([^_/]+)_[^_/]+_(\d+)\.parquet""".r
+    val groupOf = scala.collection.mutable.Map.empty[String, (String, String)]
+    val maxVer = scala.collection.mutable.Map.empty[(String, String), Int]
+    listed.foreach { l =>
+      l.name match {
+        case baseRe(fid, inst) =>
+          groupOf.get(l.rel) match {
+            case Some((existing, bi)) =>
+              require(existing == fid,
+                s"partition ${l.rel} holds multiple file groups " +
+                  s"($existing, $fid) — the MOR log-append path writes " +
+                  "single-group partitions")
+              if (graft.sources.HudiRead.instantKey(inst) >
+                  graft.sources.HudiRead.instantKey(bi))
+                groupOf(l.rel) = (fid, inst)
+            case None => groupOf(l.rel) = (fid, inst)
+          }
+        case _ => HudiLogFormat.parseLogFileName(l.name).foreach {
+          case (fid, bi, ver, _) =>
+            if (!groupOf.contains(l.rel)) groupOf(l.rel) = (fid, bi)
+            val k = (l.rel, fid)
+            maxVer(k) = math.max(maxVer.getOrElse(k, 0), ver)
+        }
+      }
+    }
+    val plan: Map[String, (String, String, Int)] = parts.map { p =>
+      val (fid, bi) = groupOf.getOrElse(p, (s"fg-$instant", instant))
+      p -> (fid, bi, maxVer.getOrElse((p, fid), 0) + 1)
+    }.toMap
+    // nullable unions: tombstone rows carry null payload columns
+    val schema = avroSchemaOf(df.drop(partCol), nullable = true)
+    val schemaJson = schema.toString
+    val fieldNames = df.drop(partCol).schema.fieldNames.toSeq
+    import scala.jdk.CollectionConverters._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    val planB = spark.sparkContext.broadcast(plan)
+    val partIdx = df.schema.fieldIndex(partCol)
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val byPart = rows.toSeq.groupBy(_.getString(partIdx))
+        if (byPart.nonEmpty) {
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          props.value.foreach { case (k, v) => conf.set(k, v) }
+          val sch = new Schema.Parser().parse(schemaJson)
+          byPart.foreach { case (part, partRows) =>
+            val (fid, bi, ver) = planB.value(part)
+            val records: Seq[GenericRecord] = partRows.map { r =>
+              val b = new GenericRecordBuilder(sch)
+              fieldNames.foreach(n => b.set(n, r.getAs[Any](n)))
+              b.build()
+            }
+            val block = HudiLogFormat.avroDataBlock(instant, sch, records)
+            val logPath = new Path(new Path(table, part),
+              s".${fid}_$bi.log.${ver}_0-1-2")
+            val pfs = logPath.getFileSystem(conf)
+            pfs.mkdirs(logPath.getParent)
+            val out = new java.io.DataOutputStream(pfs.create(logPath, true))
+            try HudiLogFormat.writeBlock(out, block) finally out.close()
+          }
+        }
+      }
+    completeInstant(spark, table, instant, "deltacommit")
+    true
+  }
+
   private def writeLogBlock(spark: SparkSession, table: String,
                             partition: String, fileId: String,
                             baseInstant: String, logVersion: Int,
@@ -110,10 +221,10 @@ object HudiMorWrite {
     try HudiLogFormat.writeBlock(out, block) finally out.close()
   }
 
-  private def avroSchemaOf(df: DataFrame): Schema = {
+  private def avroSchemaOf(df: DataFrame, nullable: Boolean = false): Schema = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields.map { f =>
-      val t = f.dataType match {
+      val t0 = f.dataType match {
         case StringType => "\"string\""
         case LongType => "\"long\""
         case IntegerType => "\"int\""
@@ -123,7 +234,9 @@ object HudiMorWrite {
         case other => throw new IllegalArgumentException(
           s"unsupported log column type $other for ${f.name}")
       }
-      s"""{"name":${quote(f.name)},"type":$t}"""
+      val t = if (nullable) s"""["null",$t0]""" else t0
+      val dflt = if (nullable) ""","default":null""" else ""
+      s"""{"name":${quote(f.name)},"type":$t$dflt}"""
     }
     new Schema.Parser().parse(
       s"""{"type":"record","name":"graft_mor","fields":[${fields.mkString(",")}]}""")

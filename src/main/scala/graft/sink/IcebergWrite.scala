@@ -208,7 +208,16 @@ object IcebergWrite {
             }
         }
       }
-      Some((snaps.map(mapper.writeValueAsString), manifests))
+      // schema carry-forward: a commit WITHOUT schemaFields (position
+      // deletes, plain file commits) must not strip the table schema —
+      // field-id reads and eq-delete resolution of EARLIER snapshots
+      // depend on it surviving the metadata rebuild
+      val priorSchemas = Option(node.get("schemas")).map { ss =>
+        val cur = Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+        s""""schemas":${mapper.writeValueAsString(ss)},"current-schema-id":$cur,"""
+      }.orElse(Option(node.get("schema")).map(sn =>
+        s""""schema":${mapper.writeValueAsString(sn)},"""))
+      Some((snaps.map(mapper.writeValueAsString), manifests, priorSchemas))
     } else None
 
     val manifest = new Path(meta, s"m-$snapshotId.avro")
@@ -228,7 +237,8 @@ object IcebergWrite {
       prior.toSeq.flatMap(_._2).map { case (p, s, by) => mref(p, s, by) } :+
         mref(manifest.toString, newSeq, snapshotId))
     val schemaJson =
-      if (schemaFields.isEmpty) ""
+      if (schemaFields.isEmpty)
+        prior.flatMap(_._3).getOrElse("") // carry the existing schema
       else {
         val fields = schemaFields.map { case (id, name, tpe) =>
           // a primitive type is a quoted string; a raw `{...}` passes
@@ -349,6 +359,58 @@ object IcebergWrite {
         equalityIds = keyIds, sizeInBytes = st.getLen))
     commitEntries(spark, table, entries, fields, snapshotId = snapshotId,
       operation = "delete")
+    true
+  }
+
+  /** POSITION-DELETE commit — Iceberg v2's row-level DELETE WHERE
+    * without rewriting a single data file: rows matching `condition`
+    * in the CURRENT snapshot become `(file_path, pos)` tuples (the
+    * data file's manifest spelling + the row's index in it, straight
+    * from Spark's `_metadata` columns), written as position-delete
+    * parquet sorted by (file_path, pos) per the spec and committed as
+    * a content=1 entry. A position delete names its file by exact
+    * path, so no sequence-number scoping is needed — the reader's
+    * anti-join drops the rows for every later snapshot. Scale shape:
+    * ONE pushdown-capable scan of the data files (the condition and
+    * the two metadata columns are all that's read) and one
+    * metadata-only commit; nothing row-sized touches the driver.
+    * Same snapshot-id idempotence as [[upsert]]. */
+  def deleteWhere(spark: SparkSession, table: String, condition: String,
+                  snapshotId: Long, sequenceNumber: Long,
+                  maxFiles: Int = 1000000): Boolean = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    if (snapshotExists(spark, table, snapshotId)) return false // replay
+    val files = graft.sources.IcebergRead.currentDataFiles(spark, table, maxFiles)
+    if (files.isEmpty) return true // nothing to delete from
+    val conf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    // _metadata.file_path spelling → the path as the manifests spell it
+    // (position deletes must reference the MANIFEST spelling)
+    val lookup = files.map { t =>
+      val hp = new Path(t.path)
+      (graft.sources.DeletionVectors.sparkPathString(
+        hp.getFileSystem(conf).makeQualified(hp)), t.path)
+    }.toDF("__q", "file_path")
+    val matched = spark.read.parquet(files.map(_.path): _*)
+      .where(expr(condition))
+      .select(col("_metadata.file_path").as("__q"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(lookup), Seq("__q"))
+      .select(col("file_path"), col("pos"))
+    val delDir = s"$table/data/posdelete-s$snapshotId"
+    // one delete file per target-file cluster, each sorted by
+    // (file_path, pos) per the spec — no single-task funnel
+    matched.repartition(org.apache.spark.sql.functions.col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.mode("errorifexists").parquet(delDir)
+    val p = new Path(delDir)
+    val fs = p.getFileSystem(conf)
+    val entries = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => FileEntry(st.getPath.toString, 1, sequenceNumber,
+        sizeInBytes = st.getLen))
+    commitEntries(spark, table, entries, schemaFields = Nil,
+      snapshotId = snapshotId, operation = "delete")
     true
   }
 

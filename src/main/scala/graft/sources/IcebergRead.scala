@@ -726,6 +726,23 @@ object IcebergRead {
       schemaFieldPaths(meta), meta)
   }
 
+  /** The CURRENT snapshot's live data files (manifest spelling +
+    * sequence numbers) — the write side's planning input for
+    * [[graft.sink.IcebergWrite.deleteWhere]]. */
+  private[graft] def currentDataFiles(spark: SparkSession, table: String,
+                                      maxFiles: Int = 1000000): Seq[Tracked] = {
+    val meta = readMetadata(spark, table)
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong()).getOrElse(
+      throw new IllegalArgumentException("metadata has no current-snapshot-id"))
+    import scala.jdk.CollectionConverters._
+    val snap = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == cur)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot $cur not present in metadata"))
+    snapshotFiles(spark, snap.get("manifest-list").asText(), maxFiles)._1
+  }
+
   /** Broadcast map from `_metadata.file_path`'s spelling back to the
     * manifest path spelling (+ the file's sequence number). Keys use
     * [[DeletionVectors.sparkPathString]] of the QUALIFIED path — Spark

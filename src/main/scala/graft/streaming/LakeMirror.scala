@@ -223,6 +223,49 @@ object LakeMirror {
     }
   }
 
+  /** Apply one micro-batch INTO A REAL-LAYOUT HUDI MOR TABLE — the
+    * PRODUCTION Hudi streaming-ingest shape (`MERGE_ON_READ` +
+    * deltacommits): the elected batch lands as ONE log-block delta
+    * commit, no base rewrite
+    * ([[graft.sink.HudiMorWrite.appendLogDistributed]] — executor-side
+    * block writes, one task per touched partition), with deletes as
+    * `_hoodie_is_deleted` tombstone rows that the merge-on-read
+    * election honours (a later re-insert wins). Run
+    * [[graft.sink.HudiCompact]] periodically to fold logs into bases.
+    * Exactly-once like [[applyBatchHudi]]: per-(stream, epoch)
+    * instants, replays skipped on the timeline, epoch regressions
+    * loud. `partitionField` routes rows into hive-style partition
+    * directories (the column STAYS in the payload — MOR log records
+    * carry full rows). */
+  def applyBatchHudiMor(spark: SparkSession, batch: DataFrame, target: String,
+                        keyCol: String, rowSchema: StructType,
+                        epochId: Long, streamId: String = "",
+                        partitionField: Option[String] = None): Unit = {
+    import graft.sink.HudiMorWrite
+    val instant = hudiInstant(streamId, epochId)
+    guardEpochRegression(target, streamId, epochId,
+      maxMirroredHudiEpoch(spark, target, instant.take(6)))
+    val parsed = parseChanges(batch, rowSchema).localCheckpoint(false)
+    val latest = electLatest(parsed, Seq(keyCol), rowSchema)
+    val partDir = partitionField match {
+      case Some(pf) => concat(lit(s"$pf="),
+        when(col(pf).isNull, raise_error(lit(
+          s"applyBatchHudiMor: null $pf value"))).otherwise(col(pf).cast("string")))
+      case None => lit("part=0")
+    }
+    val rows = latest
+      .withColumn("_hoodie_is_deleted", col("change_type") === "delete")
+      .withColumn("_hoodie_record_key", col(keyCol).cast("string"))
+      .withColumn("_hoodie_commit_time", lit(instant))
+      .withColumn("__mor_part", partDir)
+      .select(Seq(col("_hoodie_record_key"), col("_hoodie_commit_time"),
+        col("_hoodie_is_deleted"), col("__mor_part")) ++
+        rowSchema.fieldNames.toSeq.map(col): _*)
+    if (!rows.isEmpty)
+      HudiMorWrite.appendLogDistributed(rows, target, "__mor_part",
+        instant): Unit
+  }
+
   /** Largest epoch this stream prefix already committed to the Hudi
     * target's timeline (None for a fresh table / stream). */
   private def maxMirroredHudiEpoch(spark: SparkSession, target: String,

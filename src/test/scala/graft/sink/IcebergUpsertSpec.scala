@@ -39,6 +39,32 @@ class IcebergUpsertSpec extends SparkSuite {
       Seq((1L, "widget"), (2L, "bolt-v2"), (3L, "nut-v2"), (4L, "gear")))
   }
 
+  test("deleteWhere commits real position deletes; schema survives the commit") {
+    val root = Files.createTempDirectory("iceberg-posdel").toString
+    IcebergWrite.upsert(
+      Seq((1L, "widget"), (2L, "bolt"), (3L, "nut"), (4L, "gear"))
+        .toDF("id", "item"),
+      root, Seq("id"), fields, snapshotId = 1L, sequenceNumber = 1L)
+    assert(IcebergWrite.deleteWhere(spark, root, "id % 2 = 0",
+      snapshotId = 2L, sequenceNumber = 2L))
+    def rows(): Seq[(Long, String)] = IcebergRead.snapshot(spark, root)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(rows() === Seq((1L, "widget"), (3L, "nut")))
+    // replayed snapshot id: skipped before writing anything
+    assert(!IcebergWrite.deleteWhere(spark, root, "id = 1",
+      snapshotId = 2L, sequenceNumber = 2L))
+    assert(rows() === Seq((1L, "widget"), (3L, "nut")))
+    // the schema-free commit must CARRY the table schema forward: a
+    // later upsert's equality deletes still resolve their field ids
+    IcebergWrite.upsert(Seq((3L, "nut-v2")).toDF("id", "item"),
+      root, Seq("id"), fields, snapshotId = 3L, sequenceNumber = 3L)
+    assert(rows() === Seq((1L, "widget"), (3L, "nut-v2")))
+    // and time travel BEFORE the delete still sees all four rows
+    assert(IcebergRead.snapshot(spark, root, snapshotId = Some(1L))
+      .as[(Long, String)].collect().toSeq.sorted ===
+      Seq((1L, "widget"), (2L, "bolt"), (3L, "nut"), (4L, "gear")))
+  }
+
   test("in-batch duplicated keys are refused loudly; upsert history refuses append-only reads") {
     val root = Files.createTempDirectory("iceberg-upsert-dup").toString
     val e = intercept[IllegalArgumentException](IcebergWrite.upsert(

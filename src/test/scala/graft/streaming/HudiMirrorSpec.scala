@@ -78,6 +78,54 @@ class HudiMirrorSpec extends SparkSuite {
     assert(replica() === expected ++ Seq((5L, "cog"), (9L, "other")))
   }
 
+  test("MOR mirror leg: deltacommit log appends, tombstones, compaction folds") {
+    val target = Files.createTempDirectory("d2hmor").resolve("t").toString
+    val rowSchema = StructType(Seq(StructField("id", LongType),
+      StructField("item", StringType), StructField("par", StringType)))
+    def batch(rows: Seq[(Long, String, String)]): org.apache.spark.sql.DataFrame =
+      rows.toDF("version", "change_type", "row")
+    // epoch 0: inserts across two partitions — LOG-ONLY groups (no base)
+    LakeMirror.applyBatchHudiMor(spark, batch(Seq(
+      (0L, "insert", """{"id":1,"item":"widget","par":"a"}"""),
+      (0L, "insert", """{"id":2,"item":"bolt","par":"a"}"""),
+      (0L, "insert", """{"id":3,"item":"nut","par":"b"}"""))),
+      target, "id", rowSchema, 0L, streamId = "mor",
+      partitionField = Some("par"))
+    def snap(): Seq[(Long, String, String)] = HudiRead.snapshot(spark, target)
+      .selectExpr("id", "item", "par").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(snap() === Seq((1L, "widget", "a"), (2L, "bolt", "a"),
+      (3L, "nut", "b")))
+    // epoch 1: update id 1, TOMBSTONE id 2, new id 4 in a new partition
+    val e1 = batch(Seq(
+      (1L, "upsert", """{"id":1,"item":"widget-v2","par":"a"}"""),
+      (1L, "delete", """{"id":2,"item":null,"par":"a"}"""),
+      (1L, "insert", """{"id":4,"item":"gear","par":"c"}""")))
+    LakeMirror.applyBatchHudiMor(spark, e1, target, "id", rowSchema, 1L,
+      streamId = "mor", partitionField = Some("par"))
+    val expected = Seq((1L, "widget-v2", "a"), (3L, "nut", "b"),
+      (4L, "gear", "c"))
+    assert(snap() === expected, "log merge: latest wins, tombstone drops id 2")
+    // the timeline carries deltacommits only (no base rewrites happened)
+    val instants = HudiRead.completedInstants(spark, target)
+    assert(instants.size === 2)
+    // replay of the LAST epoch is a no-op (instant on the timeline)
+    LakeMirror.applyBatchHudiMor(spark, e1, target, "id", rowSchema, 1L,
+      streamId = "mor", partitionField = Some("par"))
+    assert(snap() === expected)
+    // a reset checkpoint (earlier epoch) fails loudly
+    val err = intercept[IllegalStateException] {
+      LakeMirror.applyBatchHudiMor(spark, batch(Seq(
+        (0L, "insert", """{"id":9,"item":"x","par":"a"}"""))),
+        target, "id", rowSchema, 0L, streamId = "mor",
+        partitionField = Some("par"))
+    }
+    assert(err.getMessage.contains("behind already-mirrored epoch"))
+    // compaction folds the logs into bases; the snapshot is unchanged
+    graft.sink.HudiCompact.compact(spark, target, "999999999999999990")
+    assert(snap() === expected)
+  }
+
   test("partition-field mirroring routes rows into hive-style partitions") {
     val target = Files.createTempDirectory("d2h-part").resolve("t").toString
     val rowSchema = StructType(Seq(StructField("id", LongType),
