@@ -969,6 +969,30 @@ object SparkEntry {
 
     /** Per-doc top-3 TF-IDF keywords; the rational idf makes the score
       * bit-exact cross-engine (see [[ops.TextOps.tfidfTopK]]). */
+    /** BM25 relevance search over the corpus ([[ops.TextOps.bm25TopK]]):
+      * Okapi weighting with the RATIONAL idf (bit-exact cross-engine,
+      * like TF-IDF) and fixed-order per-term score combination — the
+      * oracle replays tf/df/dl/avgdl and the exact expression tree. */
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(t(s, d, "documents"),
+        Seq("spark", "query", "merge"), k = 25)),
+
+    /** Leakage-safe split ([[ops.TextOps.leakageSafeSplit]]): the corpus
+      * plus an id-shifted twin of itself — per-doc hash splits would
+      * scatter twins across train/test; hashing the dup GROUP's
+      * canonical id must co-locate every pair, which the oracle checks
+      * via per-split doc/group counts and id sums. */
+    "corpus_split_safe" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val twins = base.withColumn("doc_id", col("doc_id") + 100000)
+      TextOps.leakageSafeSplit(base.unionByName(twins))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_groups"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy("split")
+    }),
+
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopK(t(s, d, "documents"), k = 3)
         .orderBy("doc_id", "rnk")),
@@ -2782,6 +2806,55 @@ object SparkEntry {
     // rational idf (tf * (N+1)/(df+1), one multiply + one divide, both
     // correctly-rounded IEEE) — bit-identical to the Spark expression; ln
     // carries no cross-engine guarantee
+    "text_bm25" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d
+             WHERE len(t) > 0),
+      st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+      tok AS (SELECT doc_id, dl, unnest(t) AS token FROM dl),
+      tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM tok WHERE token IN ('spark', 'query', 'merge')
+             GROUP BY doc_id, dl, token),
+      dfr AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+              GROUP BY token),
+      ts AS (SELECT tf.doc_id, tf.token,
+               (((CAST(st.n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+                   (df + CAST(0.5 AS DOUBLE))) *
+                 (tf * CAST(2.2 AS DOUBLE))) /
+               (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                 (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) /
+                   (CAST(st.tot AS DOUBLE) / st.n))) AS s
+             FROM tf JOIN dfr USING (token) CROSS JOIN st),
+      agg AS (SELECT doc_id,
+               SUM(CASE WHEN token = 'spark' THEN s END) AS s0,
+               SUM(CASE WHEN token = 'query' THEN s END) AS s1,
+               SUM(CASE WHEN token = 'merge' THEN s END) AS s2
+             FROM ts GROUP BY doc_id)
+      SELECT doc_id,
+             COALESCE(s0, CAST(0 AS DOUBLE)) +
+               COALESCE(s1, CAST(0 AS DOUBLE)) +
+               COALESCE(s2, CAST(0 AS DOUBLE)) AS score
+      FROM agg ORDER BY score DESC, doc_id LIMIT 25""",
+
+    "corpus_split_safe" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      fps AS (SELECT doc_id,
+               COALESCE(md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')), '') AS fp
+             FROM all_docs),
+      canon AS (SELECT fp, MIN(doc_id) AS canon FROM fps GROUP BY fp),
+      assigned AS (SELECT f.doc_id, f.fp,
+               CASE WHEN substr(md5(c.canon::VARCHAR), 1, 1) <= 'c' THEN 'train'
+                    WHEN substr(md5(c.canon::VARCHAR), 1, 1) <= 'e' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM fps f JOIN canon c USING (fp))
+      SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_groups,
+             CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM assigned GROUP BY split ORDER BY split""",
+
     "text_tfidf" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                    FROM documents),

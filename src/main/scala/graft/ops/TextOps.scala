@@ -311,6 +311,82 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("token"), col("score"))
   }
 
+  /** Top-`k` documents by BM25 relevance against a fixed query-term
+    * list (Robertson's Okapi weighting, k1 = 1.2, b = 0.75) with the
+    * RATIONAL idf `(N − df + 0.5)/(df + 0.5)` — no `ln`, so Spark and
+    * the DuckDB oracle produce bit-identical doubles (the [[tfidfTopK]]
+    * trick; monotone in the classic log idf). Per-term scores combine
+    * in FIXED QUERY ORDER via conditional aggregates
+    * (`s₀ + s₁ + …`, each the sum of at most ONE value) — float
+    * addition is not associative, so a shuffle-ordered SUM over term
+    * scores would be nondeterministic across engines AND across runs.
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * (doc, term) hash aggregate shuffles (the corpus collapses to rows
+    * mentioning a query term); df and the corpus stats are tiny
+    * aggregates; the df join broadcasts (≤ |terms| rows); the final
+    * top-k is a TakeOrdered, never a global sort. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      "bm25TopK needs 1..64 query terms")
+    require(terms.distinct == terms, "duplicate query terms")
+    val dl = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), lowerTokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).cast("long").as("__dl"), col("__t"))
+      .where(col("__dl") > 0)
+    val stats = dl.agg(count(lit(1)), sum(col("__dl"))).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopK over an empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = dl
+      .select(col(idCol), col("__dl"), explode(col("__t")).as("__token"))
+      .where(col("__token").isin(terms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__token"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfr = tf.groupBy("__token").agg(count(lit(1)).cast("double").as("__df"))
+    // expression tree spelled EXACTLY like the oracle SQL (double ops
+    // are correctly rounded, so same tree = same bits)
+    val ts = (((lit(n.toDouble) - col("__df") + lit(0.5)) /
+        (col("__df") + lit(0.5))) * (col("__tf") * lit(2.2))) /
+      (col("__tf") + lit(1.2) * (lit(0.25) +
+        (lit(0.75) * col("__dl").cast("double")) / lit(avgdl)))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__token") === t, ts)).as(s"__s$i")
+    }
+    val combined = terms.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0))).reduceLeft(_ + _)
+    tf.join(broadcast(dfr), Seq("__token"))
+      .groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol), combined.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Leakage-safe train/val/test split: exact near-identical documents
+    * (same token-set [[fingerprint]]) always land in the SAME split —
+    * the assignment hashes the duplicate GROUP's canonical (minimum)
+    * id rather than each doc's, so a test document can never have a
+    * training-set twin (the classic eval-contamination failure of
+    * per-doc hash splits). Returns each doc with its `fp` and `split`.
+    *
+    * Scale shape: the canonical election is a map-side min hash
+    * aggregate on fp + one hash join back — never a window. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    // null-text docs fingerprint to a sentinel (md5 of null is null, and
+    // a null fp would silently DROP those docs through the null-unsafe
+    // group join — they belong in one group, not in no split)
+    val withFp = docs.withColumn("fp",
+      coalesce(fingerprint(col(textCol)), lit("")))
+    val canon = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("__canon"))
+    withFp.join(canon, Seq("fp"))
+      .withColumn("split", hashSplit(col("__canon")))
+      .drop("__canon")
+  }
+
   /** Cross-source n-gram overlap matrix — the dataset-card
     * "contamination between sources" measure: for every source pair,
     * how many distinct word-n-grams they share, plus each side's

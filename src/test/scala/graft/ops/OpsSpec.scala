@@ -227,6 +227,51 @@ class OpsSpec extends SparkSuite {
       (2L, 1, "durian", 2.0), (2L, 2, "apple", 1.0)))
   }
 
+  test("bm25TopK ranks term-dense short docs above diluted long ones") {
+    val d = Seq(
+      (0L, "spark spark spark"),          // dense: high tf, short
+      (1L, "spark " + ("pad " * 40).trim), // diluted: tf 1, long doc
+      (2L, "spark query"),                 // two query terms
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(d, Seq("spark", "query"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // doc 3 has no query term → absent; doc 2 (two terms, short) and
+    // doc 0 (high tf, short) outrank the diluted doc 1
+    assert(out.map(_._1) === Seq(2L, 0L, 1L))
+    assert(out.forall(_._2 > 0))
+    // idf is rational and query terms combine in fixed order: the same
+    // call is bit-identical across runs
+    val again = TextOps.bm25TopK(d, Seq("spark", "query"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(again === out)
+  }
+
+  test("leakageSafeSplit co-locates exact-duplicate groups in one split") {
+    val base = (1L to 40L).map(i => (i, s"doc body number ${i % 10}"))
+    val twins = base.map { case (i, t) => (i + 1000L, t) }
+    val d = (base ++ twins).toDF("doc_id", "text")
+    val out = TextOps.leakageSafeSplit(d)
+      .select("doc_id", "fp", "split")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out.size === 80)
+    // every fingerprint group lives in exactly ONE split
+    val splitsPerFp = out.groupBy(_._2).values.map(_.map(_._3).distinct.size)
+    assert(splitsPerFp.forall(_ === 1),
+      "a duplicate group straddling splits is train/test leakage")
+    // twins land with their originals
+    out.filter(_._1 <= 40L).foreach { case (id, _, split) =>
+      assert(out.find(_._1 == id + 1000L).get._3 === split)
+    }
+    // null-text docs keep a split instead of silently dropping
+    val withNull = d.unionByName(
+      Seq((5000L, null.asInstanceOf[String]), (5001L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val nulls = TextOps.leakageSafeSplit(withNull)
+      .where(col("doc_id") >= 5000L)
+      .select("split").as[String].collect().toSeq
+    assert(nulls.size === 2 && nulls.distinct.size === 1)
+  }
+
   test("bigramLm scores corpus commonness; short docs keep a null-score row") {
     val d = Seq(
       (0L, "a b c"),
