@@ -344,6 +344,7 @@ object TextOps {
       .where(col("__token").isin(terms: _*))
       .groupBy(col(idCol), col("__dl"), col("__token"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+      .localCheckpoint(eager = false) // feeds df-counts AND the score join
     val dfr = tf.groupBy("__token").agg(count(lit(1)).cast("double").as("__df"))
     // expression tree spelled EXACTLY like the oracle SQL (double ops
     // are correctly rounded, so same tree = same bits)

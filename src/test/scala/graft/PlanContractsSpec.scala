@@ -391,4 +391,34 @@ class PlanContractsSpec extends SparkSuite {
       "precombine dedup lost its map-side partial aggregation")
     assert(!p.contains("Window"), "precombine dedup regressed to a window sort")
   }
+
+  test("bm25 is TakeOrdered + broadcast df join, never a global sort or window") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k regressed to a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "bm25 df join no longer broadcasts — corpus would shuffle on token")
+    assert(!p.contains("Window"), "bm25 grew a window")
+    assert(!p.contains("CartesianProduct"), "bm25 went cartesian")
+  }
+
+  test("leakage-safe split elects canonicals via hash aggregate, no window") {
+    val p = plan("corpus_split_safe")
+    assert(p.contains("partial_min"),
+      "canonical election lost its map-side partial aggregation")
+    assert(!p.contains("Window"),
+      "leakage-safe split regressed to a fingerprint window")
+  }
+
+  test("iceberg changelog is one scan per (snapshot, class) — bounded unions") {
+    // 3 snapshots → 5 (snapshot, class) groups; the per-file shape would
+    // blow this up at a 10⁴-file history
+    val df = SparkEntry.queries("lake_iceberg_changelog")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 5,
+      s"changelog planned ${scans.size} scans for 5 (snapshot, class) " +
+        "groups — the scan unit must be the group, not the file")
+  }
 }
