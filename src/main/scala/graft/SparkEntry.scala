@@ -813,6 +813,19 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** Product-quantization ANN ([[Similarity.pqTopK]] — Jégou et al.
+      * 2011): per-sub-space codebooks from the deterministic xxh64
+      * sample, argmax-dot encoding, and asymmetric-distance top-k whose
+      * per-candidate score sums m lookup-table entries in FIXED
+      * sub-space order. The oracle (`tools/gen_pq_oracle.py`) replays
+      * the sample, the codes, and the exact summation tree. */
+    "ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(t(s, d, "embeddings"), k = 5,
+          queryPred = col("vec_id") % 20 === 0)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+
     /** Quantized (int8) top-k with exact float rerank — the memory-scale
       * ANN path; integer-exact quantization makes it oracle-checkable. */
     "ann_int8" -> ((s, d) =>
@@ -3444,6 +3457,7 @@ object SparkEntry {
       * with the operator's exact tie-breaks
       * (`tools/gen_ivf_oracle.py`). */
     "ann_ivf" -> sqlResource("ivf_oracle.sql"),
+    "ann_pq" -> sqlResource("pq_oracle.sql"),
 
     /** SRP LSH: hyperplanes from xxh64((bit<<32)|dim, 7)/Long.MaxValue;
       * `list_inner_product` accumulates doubles in index order —

@@ -394,6 +394,78 @@ object Similarity {
       k)
   }
 
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search"): each D-dim vector splits into `m`
+    * sub-vectors, each encoded as the id of its best codeword in a
+    * per-sub-space codebook — the corpus compresses to m small codes
+    * per vector (the memory story behind billion-scale ANN: m bytes
+    * instead of 4·D). Queries answer via ASYMMETRIC DISTANCE
+    * COMPUTATION: one m×ksub partial-dot lookup table per query, a
+    * candidate's score = the FIXED-ORDER sum of its m table entries
+    * (float addition is not associative — a shuffle-ordered SUM would
+    * be nondeterministic), never touching original vectors at query
+    * time. Codebooks are the deterministic xxh64 row sample (the IVF
+    * coarse-quantizer convention — reproducible and oracle-replayable);
+    * encoding and ADC both maximize the inner product, so encode and
+    * search share the MIPS objective.
+    *
+    * Scale shape: codebooks are ksub driver rows (bounded), broadcast
+    * everywhere; encoding is one explode(m) × broadcast join +
+    * map-side-combined argmax (no window over n×ksub rows); the ADC
+    * join is codes ⋈ (query, sub, code) table — exhaustive-PQ scans
+    * every CODE per query (that is the algorithm; compose with
+    * [[ivfTopK]]'s cell routing to bound candidates); the final top-k
+    * windows per query_id only. */
+  def pqTopK(emb: DataFrame, k: Int = 5, m: Int = 4, ksub: Int = 16,
+             queryPred: Column = lit(true), idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    // deterministic codebook rows: the ksub xxh64-smallest ids (order
+    // preserved through limit+collect — the code id IS the sample rank)
+    val sampled = emb.orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    val codebook = for {
+      s <- 0 until m
+      (v, j) <- sampled.zipWithIndex
+    } yield (s, j.toLong, v.slice(s * d, (s + 1) * d))
+    val cbDf = broadcast(codebook.toDF("sub", "code", "cw"))
+    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    // ENCODE: per (vector, sub-space) the argmax-dot codeword
+    val codes = emb
+      .select(col(idCol), col(vecCol), subIdx)
+      .select(col(idCol), col("sub"),
+        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("sv"))
+      .join(cbDf, Seq("sub"))
+      .select(col(idCol), col("sub"), col("code"),
+        dot(col("sv"), col("cw")).as("dp"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("code"), struct(col("dp"), -col("code"))).as("code"))
+    // ADC TABLE: per (query, sub, code) the partial dot
+    val qt = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol), subIdx)
+      .select(col("query_id"), col("sub"),
+        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("qs"))
+      .join(cbDf, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qs"), col("cw")).as("p"))
+    val perSub = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("p"))).as(s"__p$s"))
+    val combined = (0 until m)
+      .map(s => coalesce(col(s"__p$s"), lit(0.0))).reduceLeft(_ + _)
+    val scored = codes.join(qt, Seq("sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        combined.as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings and comparing pairs only
     * WITHIN a cluster — the published answer to "embedding near-dup at

@@ -136,6 +136,29 @@ class OpsSpec extends SparkSuite {
     assert(res.map(_._2).toSet.intersect(Set(9L, 11L)).nonEmpty)
   }
 
+  test("pqTopK: ADC ranking finds an identical vector; codes compress to m ids") {
+    // 8-dim vectors, m=2 sub-spaces of 4: vec 30 duplicates vec 3, so ADC
+    // over codes must rank 3 first for query 30 (identical codes → the
+    // corpus-max table entries in every sub-space)
+    val base = (0L until 30L).map { i =>
+      val a = i.toDouble / 30 * math.Pi
+      (i, Array(math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a),
+        math.cos(3 * a), math.sin(3 * a), 1.0, 0.5).map(_.toFloat))
+    }
+    val emb = (base :+ ((30L, base(3)._2))).toDF("vec_id", "embedding")
+    val res = Similarity.pqTopK(emb, k = 3, m = 2, ksub = 8,
+        queryPred = col("vec_id") === 30)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(res.length === 3)
+    assert(res.head._2 === 3L,
+      "the duplicate vector must win ADC for its twin query")
+    // deterministic: bit-identical across runs
+    val again = Similarity.pqTopK(emb, k = 3, m = 2, ksub = 8,
+        queryPred = col("vec_id") === 30)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === res.toSeq)
+  }
+
   test("scrubPii masks emails, IPs and phones; plain text untouched") {
     val d = Seq(
       (1L, "contact alice.b+x@sub.example.co.uk or call +44 20 7946 0958 now"),
