@@ -946,6 +946,27 @@ object SparkEntry {
           col("p50_chars"), col("max_chars").cast("long").as("max_chars"))
         .orderBy("source")
     }),
+    /** Full dataset card row per source: volume, null rate, token count,
+      * exact-dup rate (via the token-set fingerprint), language
+      * diversity — the one-stop summary a data release ships with,
+      * integer-exact end to end. */
+    "corpus_card" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs
+        .withColumn("fp",
+          coalesce(TextOps.fingerprint(col("text")), lit("")))
+        .withColumn("nt", when(col("text").isNotNull,
+          size(TextOps.lowerTokens(col("text")))).otherwise(lit(0)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").isNull, 1L).otherwise(0L))
+            .cast("long").as("n_null_text"),
+          sum(col("nt")).cast("long").as("total_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    }),
     "text_vocab_topk" -> ((s, d) =>
       t(s, d, "documents")
         .select(explode(TextOps.lowerTokens(col("text"))).as("token"))
@@ -3059,6 +3080,22 @@ object SparkEntry {
         CAST(start_tok % 256 AS BIGINT) AS seq_offset,
         GREATEST(1, CAST(ceil((start_tok % 256 + nt) / 256.0) AS BIGINT)) AS n_seqs
       FROM cum ORDER BY source, doc_id""",
+
+    "corpus_card" -> """
+      WITH f AS (SELECT source, lang, text, doc_id,
+               COALESCE(md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')), '') AS fp,
+               CASE WHEN text IS NOT NULL
+                    THEN len(string_split(lower(text), ' ')) ELSE 0 END AS nt
+             FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT fp) AS n_unique,
+             COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM f GROUP BY source ORDER BY source""",
 
     "corpus_stats" -> """
       SELECT source, COUNT(*) AS n_docs,
