@@ -826,6 +826,18 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** IVF-PQ ([[Similarity.ivfPqTopK]] — FAISS's default billion-scale
+      * shape): coarse cells bound the candidates, PQ codes score them
+      * by asymmetric distance; the oracle
+      * (`tools/gen_ivfpq_oracle.py`) replays both quantizers from the
+      * shared xxh64 sample and the composition end-to-end. */
+    "ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(t(s, d, "embeddings"), k = 5,
+          queryPred = col("vec_id") % 20 === 0)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+
     /** Quantized (int8) top-k with exact float rerank — the memory-scale
       * ANN path; integer-exact quantization makes it oracle-checkable. */
     "ann_int8" -> ((s, d) =>
@@ -3495,6 +3507,7 @@ object SparkEntry {
       * (`tools/gen_ivf_oracle.py`). */
     "ann_ivf" -> sqlResource("ivf_oracle.sql"),
     "ann_pq" -> sqlResource("pq_oracle.sql"),
+    "ann_ivfpq" -> sqlResource("ivfpq_oracle.sql"),
 
     /** SRP LSH: hyperplanes from xxh64((bit<<32)|dim, 7)/Long.MaxValue;
       * `list_inner_product` accumulates doubles in index order —

@@ -466,6 +466,81 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ — the production billion-scale ANN composition (FAISS's
+    * default shape): the IVF coarse quantizer routes each query to its
+    * `nprobe` nearest cells (candidates shrink to ~nprobe/nlist of the
+    * corpus) and the surviving candidates score by PQ ASYMMETRIC
+    * DISTANCE over their m-byte codes — original vectors are touched by
+    * neither stage at query time. Both quantizers use the deterministic
+    * xxh64 row sample (reproducible, oracle-replayable); scoring sums
+    * the m lookup-table entries in fixed sub-space order like
+    * [[pqTopK]].
+    *
+    * Scale shape: coarse assignment + probing are broadcast-centroid
+    * map-side aggregates; codes/ADC as in [[pqTopK]]; the candidate
+    * join is (cell → members) ⋈ (query → cells) — the ADC work is
+    * bounded by the probed fraction instead of the whole corpus. */
+  def ivfPqTopK(emb: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16,
+                queryPred: Column = lit(true), idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val d = dim / m
+    // coarse routing (the IVF half)
+    val cents = sampledCentroids(emb, nlist, idCol, vecCol)
+    val assigned = assignCells(emb, cents, idCol, vecCol)
+      .select(col("neighbor_id"), col("cell_id"))
+    val probes = probeCells(
+      emb.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      cents, nprobe)
+      .select(col("query_id"), col("cell_id"))
+    val candidates = assigned.join(probes, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // PQ codes + query tables (the ADC half) — same codebook convention
+    // as pqTopK
+    val sampled = emb.orderBy(xxhash64(col(idCol)), col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    val codebook = for {
+      s <- 0 until m
+      (v, j) <- sampled.zipWithIndex
+    } yield (s, j.toLong, v.slice(s * d, (s + 1) * d))
+    val cbDf = broadcast(codebook.toDF("sub", "code", "cw"))
+    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    val codes = emb
+      .select(col(idCol).as("neighbor_id"), col(vecCol), subIdx)
+      .select(col("neighbor_id"), col("sub"),
+        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("sv"))
+      .join(cbDf, Seq("sub"))
+      .select(col("neighbor_id"), col("sub"), col("code"),
+        dot(col("sv"), col("cw")).as("dp"))
+      .groupBy(col("neighbor_id"), col("sub"))
+      .agg(max_by(col("code"), struct(col("dp"), -col("code"))).as("code"))
+    val qt = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol), subIdx)
+      .select(col("query_id"), col("sub"),
+        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("qs"))
+      .join(cbDf, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qs"), col("cw")).as("p"))
+    val perSub = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("p"))).as(s"__p$s"))
+    val combined = (0 until m)
+      .map(s => coalesce(col(s"__p$s"), lit(0.0))).reduceLeft(_ + _)
+    val scored = candidates
+      .join(codes, Seq("neighbor_id"))
+      .join(qt, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), combined.as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings and comparing pairs only
     * WITHIN a cluster — the published answer to "embedding near-dup at
