@@ -492,6 +492,33 @@ object ScaleProbe {
       }
       last
     }
+    // MOR log-append mirror leg at many partitions: one deltacommit
+    // whose Avro blocks write EXECUTOR-SIDE, one task per partition —
+    // wall-time should track partitions/parallelism (a driver-side
+    // writer would serialize all P blocks through one thread).
+    time("hudi_mor_append") {
+      import org.apache.spark.sql.functions.{concat, lit => L}
+      var last = 0L
+      Seq(16, 128).foreach { p =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"probe-mor-$p").toString
+        val rows = spark.range(p * 200L)
+          .select(col("id").cast("string").as("_hoodie_record_key"),
+            L("20240101000000000").as("_hoodie_commit_time"),
+            L(false).as("_hoodie_is_deleted"),
+            col("id"),
+            concat(L("part="), (col("id") % p).cast("string")).as("__part"))
+        val t0 = System.nanoTime()
+        graft.sink.HudiMorWrite.appendLogDistributed(rows, root, "__part",
+          "20240101000000000"): Unit
+        System.err.println(f"[probe] hudi_mor_append P=$p%-4d ${
+          (System.nanoTime() - t0) / 1e9}%.1fs")
+        last = graft.sources.HudiRead.snapshot(spark, root).count()
+        org.apache.hadoop.fs.FileUtil
+          .fullyDelete(new java.io.File(root)): Unit
+      }
+      last
+    }
     // HudiCowWrite at many file groups: seed G groups, upsert one key in
     // EVERY group in one batch — the committer's contract is ONE shuffled
     // write job with O(G) driver renames, so wall-time must stay ~flat in

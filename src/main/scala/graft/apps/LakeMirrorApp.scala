@@ -19,6 +19,7 @@ import graft.streaming.LakeMirror
   *   --checkpoint /lake/replica_ckpt
   *   --schema "id LONG, item STRING" --record-key id
   *   [--target-format graft|iceberg|hudi]
+  *   [--partition-field col]             # hudi target: hive-style routing
   *   [--available-now]                   # drain backlog, then exit
   *   [--trigger-time 60]                 # else: follow continuously
   *   [--max-files-per-trigger 1000]      # admission control

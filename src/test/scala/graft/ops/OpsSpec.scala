@@ -159,6 +159,21 @@ class OpsSpec extends SparkSuite {
     assert(again.toSeq === res.toSeq)
   }
 
+  test("ivfPqTopK routes via coarse cells then scores by ADC") {
+    val base = (0L until 30L).map { i =>
+      val a = i.toDouble / 30 * math.Pi
+      (i, Array(math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a),
+        math.cos(3 * a), math.sin(3 * a), 1.0, 0.5).map(_.toFloat))
+    }
+    val emb = (base :+ ((30L, base(3)._2))).toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqTopK(emb, k = 3, nlist = 4, nprobe = 2,
+        m = 2, ksub = 8, queryPred = col("vec_id") === 30)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(res.nonEmpty && res.length <= 3)
+    assert(res.head._2 === 3L,
+      "the twin lives in the query's own cell and must win ADC")
+  }
+
   test("scrubPii masks emails, IPs and phones; plain text untouched") {
     val d = Seq(
       (1L, "contact alice.b+x@sub.example.co.uk or call +44 20 7946 0958 now"),
