@@ -2156,6 +2156,38 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("_change_type")
     }),
 
+    /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
+      * as a CDC target, the fourth mirror leg): one keyed commit
+      * upserts doubled-price rows AND hard-deletes a disjoint key set,
+      * rewriting only key-holding files; the change feed must carry
+      * MERGE's row classes (update pre/postimage, insert, delete) and
+      * the snapshot the merged end state. */
+    "lake_delta_merge" -> ((s, d) => {
+      val root = lakeTmp(d, "deltamerge")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(
+        orders.where(col("o_orderkey") % 3 === 0), root, Nil)
+      graft.sink.DeltaWrite.merge(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        orders.where(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 2 =!= 0).select("o_orderkey"),
+        root, Seq("o_orderkey"), "graft-merge", 0L)
+      val feed = graft.sources.DeltaRead.changes(s, root, 1L, 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+      val snap = graft.sources.DeltaRead.snapshot(s, root)
+        .agg(lit("snapshot").as("_change_type"), count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .select("_change_type", "n", "total")
+      feed.unionByName(snap).orderBy("_change_type")
+    }),
+
     /** Delta CHANGE DATA FEED ([[graft.sources.DeltaRead.changes]]):
       * create (v0) → partition rewrite (v1), then the feed for 0..1 —
       * v0 is all-inserts, v1 is the rewritten partition's old rows as
@@ -3731,6 +3763,33 @@ object SparkEntry {
         SELECT CAST(2 AS BIGINT), 'delete', count(*),
                CAST(sum(o_orderkey) AS BIGINT) FROM d2
       ) t ORDER BY version, change_type""",
+
+    "lake_delta_merge" -> """
+      WITH low AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                   WHERE o_orderpriority = '5-LOW')
+      SELECT * FROM (
+        SELECT 'delete' AS _change_type, count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM low WHERE k % 3 = 0 AND k % 5 = 0 AND k % 2 <> 0
+        UNION ALL
+        SELECT 'insert', count(*),
+               CAST(sum(CAST(p * 2 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM low WHERE k % 2 = 0 AND k % 3 <> 0
+        UNION ALL
+        SELECT 'snapshot', count(*),
+               CAST(sum(CAST(CASE WHEN k % 2 = 0 THEN p * 2 ELSE p END
+                 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM low WHERE (k % 3 = 0 OR k % 2 = 0)
+          AND NOT (k % 5 = 0 AND k % 2 <> 0 AND k % 3 = 0)
+        UNION ALL
+        SELECT 'update_postimage', count(*),
+               CAST(sum(CAST(p * 2 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM low WHERE k % 3 = 0 AND k % 2 = 0
+        UNION ALL
+        SELECT 'update_preimage', count(*),
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        FROM low WHERE k % 3 = 0 AND k % 2 = 0
+      ) t ORDER BY _change_type""",
 
     "lake_sql_cdf_tvf" -> """
       WITH u AS (SELECT * FROM orders

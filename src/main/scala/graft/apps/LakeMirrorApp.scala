@@ -8,10 +8,13 @@ import graft.streaming.LakeMirror
 
 /** CLI for continuous lake-to-lake replication — tail a Delta / Iceberg
   * / Hudi table's change feed and mirror it, exactly-once, into any
-  * writable target: the graft lake (default), a REAL Iceberg table
+  * writable target: the graft lake (default), a REAL Delta table
+  * (`--target-format delta`: keyed MERGE commits with cdc emission,
+  * SetTransaction idempotence), a REAL Iceberg table
   * (`--target-format iceberg`: equality-delete upserts, snapshot-id
   * idempotence) or a REAL Hudi COW table (`--target-format hudi`:
-  * group-scoped rewrites, timeline-instant idempotence) — any→any:
+  * group-scoped rewrites, timeline-instant idempotence) — any→any
+  * across all four layouts:
   *
   * {{{
   * sbt 'runMain graft.apps.LakeMirrorApp
@@ -84,7 +87,7 @@ object LakeMirrorApp {
         LakeMirror.start(spark, format, cli("source"), lake, rowSchema,
           cli("checkpoint"), startingOpts, availableNow,
           triggerSeconds = cli.getOrElse("trigger-time", "60").toInt)
-      case "iceberg" | "hudi" =>
+      case "iceberg" | "hudi" | "delta" =>
         val keys = lake.recordKeyFields
         val fields = rowSchema.fields.zipWithIndex.map { case (f, i) =>
           (i + 1, f.name, f.dataType match {
@@ -113,6 +116,9 @@ object LakeMirrorApp {
               if (targetFormat == "iceberg")
                 LakeMirror.applyBatchIceberg(spark, b, cli("target"), keys,
                   fields, rowSchema, epoch, streamId = cli("checkpoint"))
+              else if (targetFormat == "delta")
+                LakeMirror.applyBatchDelta(spark, b, cli("target"), keys,
+                  rowSchema, epoch, streamId = cli("checkpoint"))
               else {
                 require(keys.size == 1,
                   "--target-format hudi mirrors by exactly one key column")
@@ -123,7 +129,7 @@ object LakeMirrorApp {
           }
           .start()
       case other => throw new IllegalArgumentException(
-        s"unknown --target-format '$other' (graft|iceberg|hudi)")
+        s"unknown --target-format '$other' (graft|delta|iceberg|hudi)")
     }
     q.awaitTermination()
   }

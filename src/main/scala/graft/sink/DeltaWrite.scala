@@ -300,6 +300,141 @@ object DeltaWrite {
     writeVersion(spark, table, version, actions.toSeq)
   }
 
+  /** Keyed MERGE into a real Delta table — Delta as a CDC TARGET (the
+    * fourth mirror leg next to the graft lake, Iceberg, and Hudi):
+    * `batch` rows REPLACE same-key rows, `deleteKeys` rows hard-delete
+    * theirs, and only the files HOLDING a matched key are rewritten
+    * (remove + add, `dataChange=true`); new keys ride the same write.
+    * With `emitCdc` the commit also writes `_change_data/` cdc files
+    * with Delta MERGE's row classes — `update_preimage`/
+    * `update_postimage` for replaced keys, `insert` for new ones,
+    * `delete` (old values) for deleted ones — so CDF readers and the
+    * `graft-delta` tail see the row-level delta.
+    *
+    * EXACTLY-ONCE via SetTransaction: the commit carries
+    * `txn {appId, txnVersion}`; a replayed batch (watermark ≥
+    * txnVersion... = txnVersion) is skipped before any byte is written,
+    * and a txnVersion BEHIND the watermark fails loudly — that is a
+    * reset checkpoint, and silently skipping would drop live batches
+    * (same guard as the Iceberg/Hudi mirror legs). Returns whether the
+    * batch committed.
+    *
+    * Scale shape (the HudiCowWrite plan on Delta's file model): the
+    * key→file probe is ONE column-pruned scan semi-joined to the batch
+    * keys (driver sees only the affected FILE list); carried rows come
+    * from one multi-file scan anti-joined to the keys; the rewrite is
+    * one write job (Delta has no file-group naming constraint, so no
+    * per-group shuffle discipline is needed); cdc rows are one more
+    * bounded write. Nothing row- or key-sized touches the driver.
+    *
+    * Scope: unpartitioned tables (the mirror-target shape this library
+    * creates); DV-carrying affected files gate loudly like
+    * [[updateWhere]]. `batch` and `deleteKeys` must be key-disjoint and
+    * one-row-per-key (the mirror election guarantees both). */
+  def merge(batch: DataFrame, deleteKeys: DataFrame, table: String,
+            keyCols: Seq[String], appId: String, txnVersion: Long,
+            emitCdc: Boolean = true): Boolean = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log (create the table first)")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    require(state.partitionCols.isEmpty,
+      "merge targets unpartitioned tables (the mirror-target shape); " +
+        s"$table partitions by ${state.partitionCols.mkString(",")}")
+    state.txns.get(appId).foreach { w =>
+      if (w > txnVersion) throw new IllegalStateException(
+        s"merge stream '$appId' into $table: incoming txn $txnVersion is " +
+          s"behind the committed watermark $w — the checkpoint was reset; " +
+          "refusing to silently skip live batches as replays")
+      if (w == txnVersion) return false // replayed batch
+    }
+    val live = state.live
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val keyed = batch.localCheckpoint(false)
+    val delKeyed = deleteKeys.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(false)
+    val touchKeys = keyed.select(keyCols.map(col): _*)
+      .unionByName(delKeyed).distinct()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"txn":{"appId":${jstr(appId)},"version":$txnVersion}}"""
+    val affected: Seq[DeltaRead.AddFile] =
+      if (live.isEmpty) Nil
+      else {
+        val byQualified = live.map(f =>
+          graft.sources.DeletionVectors.sparkPathString(qualify(f.path)) -> f)
+          .toMap
+        // ONE column-pruned probe: files holding any touched key (the
+        // metadata column must resolve on the RELATION, before the join)
+        val hit = spark.read.parquet(live.map(f => qualify(f.path).toString): _*)
+          .select(col("_metadata.file_path").as("__graft_fp") +:
+            keyCols.map(col): _*)
+          .join(touchKeys, keyCols, "left_semi")
+          .select(col("__graft_fp")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        hit.map(byQualified)
+      }
+    affected.foreach(f => require(f.dv.isEmpty,
+      s"merge over deletion-vector carrying file ${f.path} is not " +
+        "supported — rewriting it would resurrect DV-deleted rows"))
+    val old =
+      if (affected.isEmpty) None
+      else Some(spark.read.parquet(
+        affected.map(f => qualify(f.path).toString): _*))
+    val carried = old.map(_.join(touchKeys, keyCols, "left_anti"))
+    val out = carried.fold(keyed)(c =>
+      c.unionByName(keyed.select(c.columns.map(col).toSeq: _*)))
+    val dataSub = s"merge-v$version"
+    out.write.mode("errorifexists").parquet(s"$table/$dataSub")
+    affected.foreach(f => actions +=
+      s"""{"remove":{"path":${jstr(f.path)},"dataChange":true,""" +
+        """"partitionValues":{}}}""")
+    writtenFiles(spark, table, dataSub).foreach { case (p, _, sz, mt) =>
+      actions += addAction(p, Map.empty, sz, mt)
+    }
+    if (emitCdc) {
+      val oldMatched = old.map(_.join(
+        keyed.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"))
+      // batch keys that already exist — bounded by BATCH size, so the
+      // post/insert split joins against a batch-sized side (never a
+      // broadcast of the affected files' full key set)
+      val existingBatchKeys = old.map(o =>
+        keyed.select(keyCols.map(col): _*).distinct()
+          .join(o.select(keyCols.map(col): _*), keyCols, "left_semi"))
+      val postimage = existingBatchKeys
+        .map(ek => keyed.join(ek, keyCols, "left_semi"))
+        .getOrElse(keyed.limit(0))
+      val inserts = existingBatchKeys
+        .map(ek => keyed.join(ek, keyCols, "left_anti"))
+        .getOrElse(keyed)
+      val deleted = old.map(_.join(delKeyed, keyCols, "left_semi"))
+      val cdc = Seq(
+        oldMatched.map(_.withColumn("_change_type", lit("update_preimage"))),
+        Some(postimage.withColumn("_change_type", lit("update_postimage"))),
+        Some(inserts.withColumn("_change_type", lit("insert"))),
+        deleted.map(_.withColumn("_change_type", lit("delete"))))
+        .flatten.reduce(_.unionByName(_))
+      val cdcSub = s"_change_data/merge-v$version"
+      cdc.write.mode("errorifexists").parquet(s"$table/$cdcSub")
+      writtenFiles(spark, table, cdcSub).foreach { case (p, _, sz, _) =>
+        val encoded = new java.net.URI(null, null, p, null).toASCIIString
+        actions += (s"""{"cdc":{"path":${jstr(encoded)},""" +
+          """"partitionValues":{},"size":""" + sz + ""","dataChange":false}}""")
+      }
+    }
+    writeVersion(spark, table, version, actions.toSeq)
+    true
+  }
+
   /** Delete the rows matching `condition` (a SQL predicate over the DATA
     * columns — partition-column predicates are out of this fixture-grade
     * writer's scope) by attaching DELETION VECTORS: no data file is

@@ -178,6 +178,36 @@ object LakeMirror {
       .map(id => (id & 0xffffffffL) / 2).maxOption
   }
 
+  /** Apply one micro-batch INTO A REAL-LAYOUT DELTA TABLE — the fourth
+    * target next to the graft lake, Iceberg, and Hudi, closing any→any
+    * across all four layouts: latest-per-key election, then ONE keyed
+    * [[graft.sink.DeltaWrite.merge]] commit per epoch (upserts +
+    * deletes together, MERGE-class cdc emission on, so the replica is
+    * itself CDF-tailable — chains compose through a Delta middle too).
+    * Exactly-once rides Delta's OWN SetTransaction mechanism: the appId
+    * derives from the stream identity, a replayed epoch is skipped
+    * before any byte is written, and an epoch behind the watermark
+    * fails loudly (reset checkpoint) — the guard lives in the
+    * committer. A first batch against a bare path creates the table. */
+  def applyBatchDelta(spark: SparkSession, batch: DataFrame, target: String,
+                      keyNames: Seq[String], rowSchema: StructType,
+                      epochId: Long, streamId: String = ""): Unit = {
+    import graft.sink.DeltaWrite
+    val parsed = parseChanges(batch, rowSchema).localCheckpoint(false)
+    val latest = electLatest(parsed, keyNames, rowSchema).localCheckpoint(false)
+    val ups = latest.where(col("change_type").isin(UpsertTypes: _*))
+      .select(rowSchema.fieldNames.toSeq.map(col): _*)
+    val dels = latest.where(col("change_type") === "delete")
+      .select(keyNames.map(col): _*)
+    val log = new org.apache.hadoop.fs.Path(target, "_delta_log")
+    if (!log.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(log))
+      DeltaWrite.create(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), rowSchema),
+        target, Nil)
+    DeltaWrite.merge(ups, dels, target, keyNames,
+      appId = s"graft-mirror-$streamId", txnVersion = epochId): Unit
+  }
+
   /** Apply one micro-batch INTO A REAL-LAYOUT HUDI COW TABLE — the
     * third target next to the graft lake and Iceberg: latest-per-key
     * election like [[applyBatchIceberg]], upserts through

@@ -50,6 +50,51 @@ class DeltaWriteSpec extends SparkSuite {
     assert(rows() === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("merge: keyed upserts+deletes rewrite only key-holding files; MERGE cdc; txn guard") {
+    val root = tmp()
+    // two files with disjoint keys (create + append)
+    DeltaWrite.create(
+      Seq((1L, "widget"), (2L, "bolt")).toDF("id", "item"), root, Nil)
+    DeltaWrite.append(
+      Seq((3L, "nut"), (4L, "gear")).toDF("id", "item"), root)
+    val untouched = DeltaRead.tableState(spark, root, 1L).live
+      .map(_.path).toSet
+    // epoch 0: update key 1, delete key 2, insert key 5 — only the FIRST
+    // file holds touched keys
+    assert(DeltaWrite.merge(
+      Seq((1L, "widget-v2"), (5L, "cog")).toDF("id", "item"),
+      Seq(Tuple1(2L)).toDF("id"), root, Seq("id"), "m-app", 0L))
+    def rows(): Seq[(Long, String)] = DeltaRead.snapshot(spark, root)
+      .selectExpr("id", "item").as[(Long, String)].collect().toSeq.sorted
+    assert(rows() === Seq((1L, "widget-v2"), (3L, "nut"), (4L, "gear"),
+      (5L, "cog")))
+    val after = DeltaRead.tableState(spark, root, 2L).live.map(_.path).toSet
+    assert(after.intersect(untouched).nonEmpty,
+      "the file with only untouched keys (3, 4) must NOT be rewritten")
+    // MERGE cdc classes land in the change feed
+    val cdc = DeltaRead.changes(spark, root, 2L, 2L)
+      .selectExpr("_change_type", "id").as[(String, Long)]
+      .collect().toSeq.sorted
+    assert(cdc === Seq(("delete", 2L), ("insert", 5L),
+      ("update_postimage", 1L), ("update_preimage", 1L)))
+    assert(DeltaRead.changes(spark, root, 2L, 2L)
+      .where("_change_type = 'update_preimage'")
+      .selectExpr("item").as[String].head() === "widget")
+    // replayed epoch: skipped before any byte
+    assert(!DeltaWrite.merge(
+      Seq((9L, "stale")).toDF("id", "item"),
+      Seq.empty[Tuple1[Long]].toDF("id"), root, Seq("id"), "m-app", 0L))
+    assert(rows().size === 4)
+    // a RESET checkpoint (txn behind the watermark) fails loudly
+    assert(DeltaWrite.merge(Seq((6L, "pin")).toDF("id", "item"),
+      Seq.empty[Tuple1[Long]].toDF("id"), root, Seq("id"), "m-app", 1L))
+    val err = intercept[IllegalStateException] {
+      DeltaWrite.merge(Seq((7L, "bad")).toDF("id", "item"),
+        Seq.empty[Tuple1[Long]].toDF("id"), root, Seq("id"), "m-app", 0L)
+    }
+    assert(err.getMessage.contains("behind the committed watermark"))
+  }
+
   test("create → replacePartition → checkpoint → vacuum round-trips") {
     val root = tmp()
     val df = Seq((1L, "widget", "A"), (2L, "bolt", "A"), (3L, "nut", "B"))
