@@ -79,12 +79,24 @@ object HudiCowWrite {
       s"batch has no partition column '$partitionField'")
     val routed = batch
       .withColumn(PartCol, concat(lit(s"$partitionField="),
-        when(col(partitionField).isNull, raise_error(lit(
-          s"upsertPartitioned: null $partitionField value — hive-style " +
-            "partition paths cannot encode null")))
-          .otherwise(col(partitionField).cast("string"))))
+        partitionValueOrError(partitionField, col(partitionField))))
       .drop(partitionField)
     upsertCore(routed, table, keyCol, instant, maxFiles)
+  }
+
+  /** Hive-style partition path segment from a value: null and
+    * path-breaking characters (`/`, `=`) fail LOUDLY — silently nesting
+    * a `a/b` value as two directory levels would corrupt the layout. */
+  private def partitionValueOrError(field: String,
+                                    v: org.apache.spark.sql.Column) = {
+    val s = v.cast("string")
+    when(v.isNull, raise_error(lit(
+      s"partitioned Hudi write: null $field value — hive-style " +
+        "partition paths cannot encode null")))
+      .when(s.contains("/") || s.contains("="), raise_error(concat(
+        lit(s"partitioned Hudi write: $field value "), s,
+        lit(" contains a path-breaking character (/ or =)"))))
+      .otherwise(s)
   }
 
   /** Hard-DELETE `keys` (one row per key value in `keyCol`) from the
@@ -110,9 +122,7 @@ object HudiCowWrite {
       s"key frame has no partition column '$partitionField'")
     val routed = keys
       .withColumn(PartCol, concat(lit(s"$partitionField="),
-        when(col(partitionField).isNull, raise_error(lit(
-          s"deleteKeysPartitioned: null $partitionField value")))
-          .otherwise(col(partitionField).cast("string"))))
+        partitionValueOrError(partitionField, col(partitionField))))
       .drop(partitionField)
     deleteCore(routed, table, keyCol, instant, maxFiles)
   }

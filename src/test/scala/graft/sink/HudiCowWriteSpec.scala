@@ -89,6 +89,28 @@ class HudiCowWriteSpec extends SparkSuite {
     assert(after.filter(_._1 == 3L) === Seq((3L, "red")))
   }
 
+  test("path-breaking partition values fail loudly instead of corrupting the layout") {
+    val root = Files.createTempDirectory("hudi-cow-badpart").toString
+    val slash = intercept[Exception] {
+      HudiCowWrite.upsertPartitioned(
+        Seq((1L, "a", "red/pink")).toDF("id", "item", "color"),
+        root, "id", "color", T1)
+    }
+    assert(slash.getMessage.contains("path-breaking"),
+      s"expected the /-value guard, got: ${slash.getMessage}")
+    val eq = intercept[Exception] {
+      HudiCowWrite.deleteKeysPartitioned(
+        Seq((1L, "a=b")).toDF("id", "color"), root, "id", "color", T1)
+    }
+    assert(eq.getMessage.contains("path-breaking"))
+    val nul = intercept[Exception] {
+      HudiCowWrite.upsertPartitioned(
+        Seq((1L, "a", null: String)).toDF("id", "item", "color"),
+        root, "id", "color", T1)
+    }
+    assert(nul.getMessage.contains("null"))
+  }
+
   test("job count stays constant in the number of affected file groups") {
     // seed n file groups (disjoint keys), then one upsert touching every
     // group + a fresh key; return the Spark job count of the upsert
