@@ -441,8 +441,17 @@ object DeltaWrite {
     * rewritten; each affected file gets a `remove` + re-`add` carrying a
     * DV descriptor (protocol-upgraded to reader version 3 /
     * `deletionVectors`). Existing DVs are merged, exactly like a real
-    * Delta DELETE. The matched positions are collected on the driver —
-    * bounded by the deleted-row count, fine for the conformance scope. */
+    * Delta DELETE.
+    *
+    * Scale shape: matched positions NEVER touch the driver — one
+    * pushdown-capable scan materializes `(file, row_index)` pairs on
+    * executors, existing DVs expand executor-side
+    * ([[graft.sources.DeletionVectors.deletedRows]]) and union in, and
+    * each affected file's merged bitmap is serialized AND written by the
+    * executor holding its group
+    * ([[graft.sources.DeletionVectors.writeFilesDistributed]]). The
+    * driver sees only the affected FILE list and their descriptors —
+    * the same metadata grade as the Delta log itself. */
   /** With `emitCdc=true`, the commit ALSO writes `_change_data/` cdc
     * files carrying exactly the NEWLY deleted rows (`_change_type` =
     * `delete` — rows already dead in a prior DV are not re-reported)
@@ -472,57 +481,60 @@ object DeltaWrite {
     }
     val byQualified = live.map(f =>
       graft.sources.DeletionVectors.sparkPathString(qualify(f.path)) -> f).toMap
-    val hits = spark.read.parquet(live.map(f => qualify(f.path).toString): _*)
-      .withColumn("__f", col("_metadata.file_path"))
-      .withColumn("__p", col("_metadata.row_index"))
+    // matched positions stay ON EXECUTORS (localCheckpointed: the
+    // hit-file list, DV union, and cdc anti-join all derive from one
+    // materialization, not three condition scans)
+    val matched = spark.read.parquet(live.map(f => qualify(f.path).toString): _*)
+      .withColumn("__qualified", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
       .where(condition)
-      .select("__f", "__p").collect()
-      .groupBy(_.getString(0)).map { case (f, rs) =>
-        f -> rs.map(_.getLong(1)).toSeq
-      }
-    if (hits.isEmpty) return
-    val affected = hits.keys.toSeq.sorted.map(q => q -> byQualified(q))
-    // merge with any existing DV (a second DELETE keeps earlier deletions)
-    val mergedRows = affected.map { case (q, f) =>
-      val before = f.dv.toSeq.flatMap(d =>
-        graft.sources.DeletionVectors.readRows(conf, table, d).toSeq)
-      (before ++ hits(q)).distinct.sorted
+      .select("__qualified", "__pos")
+      .localCheckpoint(false)
+    // the affected FILE list — metadata-scale driver state
+    val hitFiles = matched.select("__qualified").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (hitFiles.isEmpty) return
+    val affected = hitFiles.map(q => q -> byQualified(q))
+    // existing DVs on hit files expand executor-side and union in (a
+    // second DELETE keeps earlier deletions)
+    val existing = affected.collect { case (q, f) if f.dv.nonEmpty =>
+      (q, f.dv.get)
     }
-    val descriptors = graft.sources.DeletionVectors.writeFile(
-      spark, table, mergedRows)
+    val before = if (existing.isEmpty) None
+      else Some(graft.sources.DeletionVectors.deletedRows(spark, table, existing)
+        .localCheckpoint(false))
+    val merged = before.fold(matched)(b => matched.unionByName(b))
+    // one DV file per affected data file, serialized + written by the
+    // executor holding its group; driver collects only descriptors
+    val descByFile = graft.sources.DeletionVectors
+      .writeFilesDistributed(spark, table, merged).toMap
     val protocol =
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
         """"writerFeatures":["deletionVectors"]}}"""
-    val actions = affected.zip(descriptors).flatMap { case ((_, f), d) =>
+    val actions = affected.flatMap { case (q, f) =>
       // addAction re-encodes, so hand it the DECODED path (f.path is the
       // log's still-encoded spelling; remove must match it verbatim)
       Seq(s"""{"remove":{"path":${jstr(f.path)},"dataChange":true}}""",
         addAction(decode(f.path), f.partitionValues, f.size,
-          f.modificationTime, Some(d)))
+          f.modificationTime, Some(descByFile(q))))
     }
     val cdcActions = if (!emitCdc) Nil else {
       def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
         s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
       }.mkString(",")
       // only rows dying IN THIS COMMIT: drop positions a prior DV holds
-      val newByFile: Map[String, Seq[Long]] = affected.map { case (q, f) =>
-        val before = f.dv.toSeq.flatMap(d =>
-          graft.sources.DeletionVectors.readRows(conf, table, d).toSeq).toSet
-        q -> hits(q).filterNot(before)
-      }.toMap
-      import spark.implicits._
-      val hitPairs = newByFile.toSeq.flatMap { case (f, ps) => ps.map((f, _)) }
-        .toDF("__f", "__p")
+      val fresh = before.fold(matched)(b =>
+        matched.join(b, Seq("__qualified", "__pos"), "left_anti"))
       affected.groupBy(_._2.partitionValues).toSeq
         .sortBy(_._1.toSeq.sorted.mkString(","))
         .zipWithIndex.flatMap { case ((pv, group), gi) =>
           val delRows = spark.read.parquet(
               group.map { case (_, f) => qualify(f.path).toString }: _*)
-            .withColumn("__f", col("_metadata.file_path"))
-            .withColumn("__p", col("_metadata.row_index"))
-            .join(broadcast(hitPairs), Seq("__f", "__p"), "left_semi")
-            .drop("__f", "__p")
+            .withColumn("__qualified", col("_metadata.file_path"))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(fresh, Seq("__qualified", "__pos"), "left_semi")
+            .drop("__qualified", "__pos")
             .withColumn("_change_type", lit("delete"))
           val cdcSub = s"_change_data/del-v$version/g$gi"
           delRows.write.mode("errorifexists").parquet(s"$table/$cdcSub")

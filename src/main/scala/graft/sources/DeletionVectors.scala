@@ -193,6 +193,56 @@ object DeletionVectors {
     descriptors.toSeq
   }
 
+  /** Write one DV file PER (data file → deleted positions) group,
+    * DISTRIBUTED: `filePos` is a `(__qualified, __pos)` frame; each
+    * executor task serializes and writes the DV files for its groups
+    * (one `u`-type file per data file), and the driver sees only the
+    * `(data file, Descriptor)` list — bounded by the affected FILE
+    * count, never by deleted-ROW count. The per-file position set
+    * materializes in ONE task (exactly Delta's own DV writer shape: a
+    * file's bitmap is the unit of work), deduplicated and sorted by the
+    * aggregate, so a 100 TB table's delete never funnels row positions
+    * through the driver. */
+  def writeFilesDistributed(spark: SparkSession, table: String,
+                            filePos: DataFrame): Seq[(String, Descriptor)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    filePos
+      .groupBy(col("__qualified"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__ps"))
+      .as[(String, Seq[Long])]
+      .rdd.mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => conf.set(k, v) }
+        it.map { case (file, ps) =>
+          val uuid = UUID.randomUUID()
+          val path = new Path(table, s"deletion_vector_$uuid.bin")
+          val fs = path.getFileSystem(conf)
+          val data = serializeRows(ps)
+          val crc = new CRC32()
+          crc.update(data)
+          val out = fs.create(path, false)
+          try {
+            out.writeByte(1) // format version
+            out.writeInt(data.length)
+            out.write(data)
+            out.writeInt(crc.getValue.toInt)
+          } finally out.close()
+          (file, encodeUuid(uuid), data.length, ps.size.toLong)
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+      .map { case (f, pid, size, card) =>
+        f -> Descriptor("u", pid, Some(1), size, card)
+      }
+      .toSeq
+  }
+
   /** Resolve a `u`/`p` descriptor to its DV file path. */
   def filePath(table: String, d: Descriptor): Path = d.storageType match {
     case "p" => new Path(d.pathOrInlineDv)

@@ -260,6 +260,47 @@ class DeltaWriteSpec extends SparkSuite {
     assert(DeltaRead.snapshot(spark, root).count() === 40L)
   }
 
+  test("DV delete merges existing vectors and stays constant-job in file count") {
+    // correctness across stacked deletes over MANY files (per-file DVs
+    // written executor-side must merge with the first commit's vectors)
+    def build(nFiles: Int): String = {
+      val root = tmp()
+      DeltaWrite.create(
+        (1L to nFiles * 10L).map(i => (i, s"i$i")).toDF("id", "item")
+          .repartition(nFiles), root, Nil)
+      root
+    }
+    val root = build(8)
+    DeltaWrite.deleteWhere(spark, root, "id % 10 = 1") // hits every file
+    DeltaWrite.deleteWhere(spark, root, "id % 10 = 2") // merges each DV
+    assert(DeltaRead.snapshot(spark, root).count() === 64L)
+    assert(DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().forall(i => i % 10 != 1 && i % 10 != 2))
+    // plan contract: job count must NOT grow with the affected-file
+    // count (positions never funnel through the driver; one distributed
+    // DV write job regardless of how many files are hit)
+    def jobsForFiles(nFiles: Int): Int = {
+      val r = build(nFiles)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        DeltaWrite.deleteWhere(spark, r, "id % 10 = 3", emitCdc = true)
+        Thread.sleep(1000) // listener bus drain
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val small = jobsForFiles(2)
+    val large = jobsForFiles(16)
+    assert(large <= small + 2,
+      s"jobs grew $small -> $large from 2 to 16 affected files — the DV " +
+        "delete must not loop per file or collect positions per file")
+  }
+
   test("partition values with spaces percent-encode per the protocol") {
     val root = tmp()
     val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "1-URGENT"))
