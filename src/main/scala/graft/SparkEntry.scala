@@ -2188,6 +2188,33 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("_change_type")
     }),
 
+    /** Delta MERGE with SCHEMA EVOLUTION ([[graft.sink.DeltaWrite.merge]]
+      * mergeSchema semantics): the batch carries a column the table has
+      * never seen (`o_flag`); the commit extends the declared schema, and
+      * rows written BEFORE the evolution read back NULL for it — the
+      * snapshot aggregate proves both the evolved values and the
+      * NULL-backfill on carried rows. */
+    "lake_delta_merge_evolve" -> ((s, d) => {
+      val root = lakeTmp(d, "deltaevolve")
+      val ns = t(s, d, "orders")
+        .where(col("o_orderpriority") === "4-NOT SPECIFIED")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(
+        ns.where(col("o_orderkey") % 2 === 0), root, Nil)
+      graft.sink.DeltaWrite.merge(
+        ns.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_flag", col("o_orderkey") % 7),
+        ns.where(lit(false)).select("o_orderkey"),
+        root, Seq("o_orderkey"), "graft-evolve", 0L)
+      graft.sources.DeltaRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          count(col("o_flag")).as("flags"),
+          sum(col("o_flag")).cast("long").as("flag_sum"))
+    }),
+
     /** Delta CHANGE DATA FEED ([[graft.sources.DeltaRead.changes]]):
       * create (v0) → partition rewrite (v1), then the feed for 0..1 —
       * v0 is all-inserts, v1 is the rewritten partition's old rows as
@@ -3790,6 +3817,19 @@ object SparkEntry {
                CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
         FROM low WHERE k % 3 = 0 AND k % 2 = 0
       ) t ORDER BY _change_type""",
+
+    "lake_delta_merge_evolve" -> """
+      WITH ns AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                  WHERE o_orderpriority = '4-NOT SPECIFIED'),
+      m AS (SELECT k,
+                   CASE WHEN k % 3 = 0 THEN p * 2 ELSE p END AS p2,
+                   CASE WHEN k % 3 = 0 THEN k % 7 END AS flag
+            FROM ns WHERE k % 2 = 0 OR k % 3 = 0)
+      SELECT count(*) AS n,
+             CAST(sum(CAST(p2 AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(flag) AS flags,
+             CAST(sum(flag) AS BIGINT) AS flag_sum
+      FROM m""",
 
     "lake_sql_cdf_tvf" -> """
       WITH u AS (SELECT * FROM orders

@@ -327,6 +327,16 @@ object DeltaWrite {
     * per-group shuffle discipline is needed); cdc rows are one more
     * bounded write. Nothing row- or key-sized touches the driver.
     *
+    * SCHEMA EVOLUTION (Delta's `mergeSchema` semantics): batch columns
+    * ABSENT from the declared table schema extend it — appended after
+    * the existing columns, a fresh `metaData` action carries the
+    * evolved `schemaString`, and carried/old rows read back NULL for
+    * the new columns. A batch MISSING declared non-key columns is also
+    * fine (its rows land with NULLs) — so a mirror restarted with a
+    * widened source schema evolves its replica in place. Same-name
+    * columns with a DIFFERENT type fail loudly (silent coercion would
+    * corrupt the replica).
+    *
     * Scope: unpartitioned tables (the mirror-target shape this library
     * creates); DV-carrying affected files gate loudly like
     * [[updateWhere]]. `batch` and `deleteKeys` must be key-disjoint and
@@ -365,8 +375,42 @@ object DeltaWrite {
       .localCheckpoint(false)
     val touchKeys = keyed.select(keyCols.map(col): _*)
       .unionByName(delKeyed).distinct()
+    // ---- schema evolution (mergeSchema semantics) ----
+    keyCols.foreach(k => require(batch.columns.contains(k),
+      s"merge batch has no key column '$k'"))
+    val declared = state.schemaString
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no schemaString in its metadata — cannot merge"))
+    keyed.schema.fields.foreach { f =>
+      declared.fields.find(_.name == f.name).foreach(d =>
+        require(d.dataType == f.dataType,
+          s"merge schema conflict on '${f.name}': table has ${d.dataType}, " +
+            s"batch has ${f.dataType} — refusing to silently coerce"))
+    }
+    // evolved columns are FORCED nullable: rows written before the
+    // evolution physically lack them and must read back NULL
+    val newCols = keyed.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val evolved = org.apache.spark.sql.types.StructType(
+      declared.fields ++ newCols)
+    /** Project `df` onto the evolved schema: absent columns become typed
+      * NULLs, order follows the evolved schema. */
+    def align(df: DataFrame): DataFrame = df.select(evolved.fields.toSeq.map {
+      f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"txn":{"appId":${jstr(appId)},"version":$txnVersion}}"""
+    if (evolved.length != declared.length)
+      actions +=
+        (s"""{"metaData":{"id":"graft-${math.abs(table.hashCode)}",""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(evolved.json)},""" +
+          s""""partitionColumns":[],"configuration":{}}}""")
     val affected: Seq[DeltaRead.AddFile] =
       if (live.isEmpty) Nil
       else {
@@ -388,11 +432,13 @@ object DeltaWrite {
         "supported — rewriting it would resurrect DV-deleted rows"))
     val old =
       if (affected.isEmpty) None
-      else Some(spark.read.parquet(
+      // mergeSchema: affected files may span schema generations (files
+      // written before an evolution lack the newer columns physically)
+      else Some(spark.read.option("mergeSchema", "true").parquet(
         affected.map(f => qualify(f.path).toString): _*))
     val carried = old.map(_.join(touchKeys, keyCols, "left_anti"))
-    val out = carried.fold(keyed)(c =>
-      c.unionByName(keyed.select(c.columns.map(col).toSeq: _*)))
+    val out = carried.fold(align(keyed))(c =>
+      align(c).unionByName(align(keyed)))
     val dataSub = s"merge-v$version"
     out.write.mode("errorifexists").parquet(s"$table/$dataSub")
     affected.foreach(f => actions +=
@@ -418,10 +464,11 @@ object DeltaWrite {
         .getOrElse(keyed)
       val deleted = old.map(_.join(delKeyed, keyCols, "left_semi"))
       val cdc = Seq(
-        oldMatched.map(_.withColumn("_change_type", lit("update_preimage"))),
-        Some(postimage.withColumn("_change_type", lit("update_postimage"))),
-        Some(inserts.withColumn("_change_type", lit("insert"))),
-        deleted.map(_.withColumn("_change_type", lit("delete"))))
+        oldMatched.map(d =>
+          align(d).withColumn("_change_type", lit("update_preimage"))),
+        Some(align(postimage).withColumn("_change_type", lit("update_postimage"))),
+        Some(align(inserts).withColumn("_change_type", lit("insert"))),
+        deleted.map(d => align(d).withColumn("_change_type", lit("delete"))))
         .flatten.reduce(_.unionByName(_))
       val cdcSub = s"_change_data/merge-v$version"
       cdc.write.mode("errorifexists").parquet(s"$table/$cdcSub")

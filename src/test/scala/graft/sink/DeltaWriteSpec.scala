@@ -260,6 +260,38 @@ class DeltaWriteSpec extends SparkSuite {
     assert(DeltaRead.snapshot(spark, root).count() === 40L)
   }
 
+  test("merge evolves the schema: new batch columns extend the replica") {
+    val root = tmp()
+    DeltaWrite.create(Seq((1L, "a"), (2L, "b")).toDF("id", "item"), root, Nil)
+    // widened batch: new column 'score' — update key 2, insert key 3
+    assert(DeltaWrite.merge(
+      Seq((2L, "b2", 0.5), (3L, "c", 0.9)).toDF("id", "item", "score"),
+      Seq.empty[Long].toDF("id"), root, Seq("id"), "evo", 1L))
+    val snap = DeltaRead.snapshot(spark, root)
+      .selectExpr("id", "item", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(snap === Seq((1L, "a", None), (2L, "b2", Some(0.5)),
+      (3L, "c", Some(0.9))),
+      "carried row 1 must read NULL for the evolved column")
+    // a NARROWER later batch is fine: missing non-key columns land NULL
+    assert(DeltaWrite.merge(
+      Seq((4L, "d")).toDF("id", "item"),
+      Seq.empty[Long].toDF("id"), root, Seq("id"), "evo", 2L))
+    val after = DeltaRead.snapshot(spark, root)
+      .selectExpr("id", "score").as[(Long, Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(after === Seq((1L, None), (2L, Some(0.5)), (3L, Some(0.9)),
+      (4L, None)))
+    // same-name different-type fails loudly, nothing committed
+    val clash = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(
+        Seq((5L, "e", "high")).toDF("id", "item", "score"),
+        Seq.empty[Long].toDF("id"), root, Seq("id"), "evo", 3L)
+    }
+    assert(clash.getMessage.contains("schema conflict"))
+    assert(DeltaRead.snapshot(spark, root).count() === 4L)
+  }
+
   test("DV delete merges existing vectors and stays constant-job in file count") {
     // correctness across stacked deletes over MANY files (per-file DVs
     // written executor-side must merge with the first commit's vectors)
