@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{LakeTableFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{IcebergPartitionFunctions, LakeTableFunctions, TextFunctions, VectorFunctions}
 
 /** Session-extension entry point: `--conf spark.sql.extensions=graft.GraftExtensions`
   * makes every graft SQL function (cosine_sim, dot_f32, token_set,
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.registrations.foreach(ext.injectFunction)
     TextFunctions.registrations.foreach(ext.injectFunction)
+    IcebergPartitionFunctions.registrations.foreach(ext.injectFunction)
     LakeTableFunctions.registrations.foreach(ext.injectTableFunction)
   }
 }

@@ -1872,6 +1872,34 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg HIDDEN PARTITIONING
+      * ([[graft.sink.IcebergWrite.writeHiddenPartitioned]] +
+      * [[graft.sources.TransformFileIndex]]): rows route by
+      * `year(o_orderdate)` × `bucket[4](o_orderkey)` — spec-faithful
+      * murmur3 — and the snapshot read prunes FILES through the
+      * transforms from plain data-column predicates (no partition
+      * column anywhere in the query). The oracle replays the same
+      * filter over the raw table; pruning itself is plan-contract
+      * pinned in IcebergTransformsSpec. */
+    "lake_iceberg_hidden" -> ((s, d) => {
+      val root = lakeTmp(d, "icehidden")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+      graft.sink.IcebergWrite.writeHiddenPartitioned(orders, root,
+        Seq(("od_year", "year", "o_orderdate"),
+          ("ok_bucket", "bucket[4]", "o_orderkey")),
+        Seq((1, "o_orderkey", "long"), (2, "o_orderdate", "date"),
+          (3, "o_totalprice", "double")), snapshotId = 1L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderkey") % 10 === 3)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg as a CDC TARGET ([[graft.sink.IcebergWrite.upsert]] — v2
       * equality-delete upserts): two overlapping batches land, each as
       * data files + an equality-delete file over the key at one
@@ -3716,6 +3744,12 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_iceberg_hidden" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_orderkey % 10 = 3""",
 
     "lake_iceberg_upsert" -> """
       WITH final AS (

@@ -120,7 +120,12 @@ object IcebergWrite {
                     snapshotId: Long = 1L,
                     timestampMs: Option[Long] = None,
                     inheritSnapshotId: Boolean = false,
-                    operation: String = "append"): Unit = {
+                    operation: String = "append",
+                    /** `(field name, transform, source field id)` triples
+                      * recorded as the table's `partition-specs` (hidden
+                      * partitioning — [[graft.sources.IcebergTransforms]]);
+                      * empty carries any prior spec forward. */
+                    partitionSpec: Seq[(String, String, Int)] = Nil): Unit = {
     require(entries.forall(e => e.content != 2 || e.equalityIds.nonEmpty),
       "equality-delete entries need equalityIds")
     require(entries.forall(e => e.content == 2 || e.equalityIds.isEmpty),
@@ -217,7 +222,15 @@ object IcebergWrite {
         s""""schemas":${mapper.writeValueAsString(ss)},"current-schema-id":$cur,"""
       }.orElse(Option(node.get("schema")).map(sn =>
         s""""schema":${mapper.writeValueAsString(sn)},"""))
-      Some((snaps.map(mapper.writeValueAsString), manifests, priorSchemas))
+      // partition-spec carry-forward: a later commit without an explicit
+      // spec must not strip hidden-partitioning metadata (readers prune
+      // through it)
+      val priorSpecs = Option(node.get("partition-specs")).map { ps =>
+        val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        s""""partition-specs":${mapper.writeValueAsString(ps)},"default-spec-id":$cur,"""
+      }
+      Some((snaps.map(mapper.writeValueAsString), manifests, priorSchemas,
+        priorSpecs))
     } else None
 
     val manifest = new Path(meta, s"m-$snapshotId.avro")
@@ -250,6 +263,17 @@ object IcebergWrite {
         s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],
           "current-schema-id":0,"""
       }
+    val specJson =
+      if (partitionSpec.isEmpty) prior.flatMap(_._4).getOrElse("")
+      else {
+        val fields = partitionSpec.zipWithIndex.map {
+          case ((name, transform, sourceId), i) =>
+            s"""{"name":"$name","transform":"$transform",""" +
+              s""""source-id":$sourceId,"field-id":${1000 + i}}"""
+        }.mkString(",")
+        s""""partition-specs":[{"spec-id":0,"fields":[$fields]}],
+          "default-spec-id":0,"""
+      }
     // deterministic default: the snapshot id doubles as timestamp-ms, so
     // readers' FOR TIMESTAMP AS OF works on fixture tables too
     val ts = timestampMs.getOrElse(snapshotId)
@@ -259,7 +283,7 @@ object IcebergWrite {
         "manifest-list":"$manifestList"}"""
     val allSnaps = (prior.toSeq.flatMap(_._1) :+ newSnap).mkString(",")
     val metadataJson =
-      s"""{"format-version":2,$schemaJson"current-snapshot-id":$snapshotId,
+      s"""{"format-version":2,$schemaJson$specJson"current-snapshot-id":$snapshotId,
         "snapshots":[$allSnaps]}"""
     val priorVersion = if (fs.exists(hintPath)) {
       val in = fs.open(hintPath)
@@ -271,6 +295,120 @@ object IcebergWrite {
     try vfile.write(metadataJson.getBytes(UTF_8)) finally vfile.close()
     val hint = fs.create(hintPath, true)
     try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
+  }
+
+  /** HIDDEN-PARTITIONED write — Iceberg's flagship layout feature:
+    * `specs` are `(partition field name, transform, source column)`
+    * triples (`identity`, `day`, `hour`, `month`, `bucket[N]`,
+    * `truncate[W]` over integers); rows route by the TRANSFORMED value
+    * in ONE shuffled write job (`repartition` on the transform columns
+    * + `partitionBy`), manifests carry the transformed tuples, and the
+    * metadata records `partition-specs` so
+    * [[graft.sources.IcebergRead]] prunes files through the transforms
+    * ON THE SOURCE COLUMNS — `WHERE ts >= X` opens only the matching
+    * day-partitions with no partition column in the query (the spec's
+    * hidden-partitioning contract; source columns stay in the data
+    * files). The bucket arithmetic is the SAME
+    * [[graft.sources.IcebergTransforms]] code the scan prunes with, so
+    * write and read can never disagree. Skips replayed snapshot ids. */
+  def writeHiddenPartitioned(df: org.apache.spark.sql.DataFrame, table: String,
+                             specs: Seq[(String, String, String)],
+                             fields: Seq[(Int, String, String)],
+                             snapshotId: Long = 1L): Boolean = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    require(specs.nonEmpty, "writeHiddenPartitioned needs at least one spec field")
+    if (snapshotExists(spark, table, snapshotId)) return false
+    graft.functions.IcebergPartitionFunctions.ensureRegistered(spark)
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncateRe = """truncate\[(\d+)\]""".r
+    // transform column + the TYPE its directory value parses back as
+    val planned = specs.zipWithIndex.map { case ((name, transform, src), i) =>
+      require(df.columns.contains(src),
+        s"writeHiddenPartitioned: no source column '$src' in the batch")
+      val srcType = df.schema(src).dataType
+      val c = col(src)
+      def floorDivMicros(d: Long) =
+        ((unix_micros(c) - pmod(unix_micros(c), lit(d))) / lit(d)).cast("int")
+      // calendar fields of the UTC instant (year()/month() directly on a
+      // timestamp use the SESSION timezone and would disagree with the
+      // scan side's UTC arithmetic near boundaries)
+      def utcDate = date_add(to_date(lit("1970-01-01")),
+        floorDivMicros(86400L * 1000000L))
+      def calDate = if (srcType == DateType) c else utcDate
+      val (pc, vType): (org.apache.spark.sql.Column, DataType) = transform match {
+        case "identity" => (c, srcType)
+        case "day" | "days" => srcType match {
+          case TimestampType => (floorDivMicros(86400L * 1000000L), IntegerType)
+          case DateType => (datediff(c, to_date(lit("1970-01-01"))), IntegerType)
+          case other => throw new IllegalArgumentException(
+            s"day() needs a timestamp/date source, got $other")
+        }
+        case "hour" | "hours" =>
+          require(srcType == TimestampType,
+            s"hour() needs a timestamp source, got $srcType")
+          (floorDivMicros(3600L * 1000000L), IntegerType)
+        case "month" | "months" =>
+          ((year(calDate) - lit(1970)) * lit(12) + month(calDate) - lit(1),
+            IntegerType)
+        case "year" | "years" => (year(calDate) - lit(1970), IntegerType)
+        case BucketRe(n) =>
+          (graft.functions.IcebergPartitionFunctions.icebergBucket(c, n.toInt),
+            IntegerType)
+        case TruncateRe(w) =>
+          require(srcType == LongType || srcType == IntegerType,
+            s"truncate[] write support covers integer sources, got $srcType")
+          ((c - pmod(c, lit(w.toLong))).cast(srcType), srcType)
+        case other => throw new IllegalArgumentException(
+          s"unsupported transform '$other'")
+      }
+      (name, transform, src, pc, vType, s"__pt_$i")
+    }
+    val routed = planned.foldLeft(df) { case (d, (_, _, _, pc, _, pt)) =>
+      d.withColumn(pt, pc)
+    }
+    val sub = s"data/hp-$snapshotId"
+    routed.repartition(planned.map(p => col(p._6)): _*)
+      .write.mode("errorifexists").partitionBy(planned.map(_._6): _*)
+      .parquet(s"$table/$sub")
+    // walk the hive-layout output: one manifest entry per file, tuple
+    // values parsed back from the directory names in spec order
+    val root = new Path(s"$table/$sub")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parseValue(raw: String, t: DataType): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else t match {
+        case IntegerType => raw.toInt
+        case LongType => raw.toLong
+        case _ => raw
+      }
+    val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def walk(p: Path, values: Map[String, Any]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) n.split('=') match {
+          case Array(k, v) =>
+            val t = planned.find(_._6 == k).map(_._5).getOrElse(StringType)
+            walk(st.getPath, values + (k -> parseValue(v, t)))
+          case _ => walk(st.getPath, values)
+        }
+        else if (n.endsWith(".parquet"))
+          entries += FileEntry(st.getPath.toString, 0, snapshotId,
+            partition = planned.map(pl => pl._1 -> values.getOrElse(pl._6,
+              throw new IllegalStateException(s"no ${pl._6} in layout"))),
+            sizeInBytes = st.getLen)
+      }
+    walk(root, Map.empty)
+    commitEntries(spark, table, entries.toSeq.sortBy(_.path),
+      schemaFields = fields, snapshotId = snapshotId,
+      partitionSpec = specs.map { case (name, transform, src) =>
+        val sid = fields.find(_._2 == src).map(_._1).getOrElse(
+          throw new IllegalArgumentException(
+            s"source column $src not in fields"))
+        (name, transform, sid)
+      })
+    true
   }
 
   /** UPSERT commit — Iceberg v2's CDC-target pattern: the batch lands

@@ -637,7 +637,8 @@ object IcebergRead {
       return None
     val schema = fieldIdReadSchema(meta).getOrElse(return None)
     val resolved = names.map(n => schema.fields.find(_.name == n))
-    if (resolved.exists(_.isEmpty)) return None // transform partition
+    if (resolved.exists(_.isEmpty)) // not identity columns: try the
+      return transformScan(spark, table, files, meta, names, schema)
     val pFields = resolved.flatten
     val partitionSchema = StructType(pFields.map(f =>
       StructField(f.name, f.dataType, f.nullable)))
@@ -681,6 +682,87 @@ object IcebergRead {
     Some(StaticFileIndex.parquetRelation(spark, new Path(table),
         dataSchema, partitionSchema, partitions)
       .select(schema.fieldNames.toSeq.map(col): _*)) // declared order
+  }
+
+  /** The default partition spec's fields: tuple field name →
+    * (transform, source column name), resolved through the schema's
+    * field ids. Empty when the metadata records no `partition-specs`
+    * or a source id doesn't resolve to a TOP-LEVEL column. */
+  private def partitionSpecFields(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val idToPath = schemaFieldPaths(meta)
+    val specs = Option(meta.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+    val wanted = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    specs.find(s => Option(s.get("spec-id")).exists(_.asInt() == wanted))
+      .orElse(specs.headOption)
+      .toSeq
+      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+      .flatMap { f =>
+        for {
+          name <- Option(f.get("name")).map(_.asText())
+          transform <- Option(f.get("transform")).map(_.asText())
+          sourceId <- Option(f.get("source-id")).map(_.asInt())
+          path <- idToPath.get(sourceId) if path.length == 1
+        } yield name -> (transform, path.head)
+      }.toMap
+  }
+
+  /** HIDDEN-PARTITIONED scan: tuple field names that do NOT resolve to
+    * schema columns are looked up in the table's `partition-specs`;
+    * when every field has a supported transform over a resolvable
+    * source column, the scan is built over a [[TransformFileIndex]] —
+    * data-column predicates (`ts >= X`, `id = k`) then prune FILES
+    * through the transforms at planning time, Iceberg's
+    * hidden-partitioning contract. Every output column reads from the
+    * data files (the tuple is metadata only). Returns None — full-scan
+    * fallback — when a transform is unknown or a source is nested. */
+  private def transformScan(spark: SparkSession, table: String,
+                            files: Seq[Tracked],
+                            meta: com.fasterxml.jackson.databind.JsonNode,
+                            names: Seq[String],
+                            schema: org.apache.spark.sql.types.StructType)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val specFields = partitionSpecFields(meta)
+    if (specFields.isEmpty) return None
+    val specs = names.map { n =>
+      (for {
+        (transform, srcName) <- specFields.get(n)
+        f <- schema.fields.find(_.name == srcName)
+        if IcebergTransforms.supported(transform, f.dataType)
+      } yield IcebergTransforms.SpecField(n, transform, f.name, f.dataType))
+        .getOrElse(return None)
+    }
+    val useIds = parquetHasFieldIds(spark, files.head.path)
+    if (useIds) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataSchema = StructType(schema.fields.toSeq
+      .map(f => if (useIds) f else f.copy(metadata = Metadata.empty)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def status(t: Tracked): org.apache.hadoop.fs.FileStatus = {
+      val p = new Path(t.path)
+      val len = if (t.size > 1L) t.size
+                else p.getFileSystem(conf).getFileStatus(p).getLen
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L << 20, 0L, p)
+    }
+    def tupleValue(v: Any): Any = v match {
+      case null => null
+      case l: Long => l
+      case i: Int => i
+      case c: CharSequence => c.toString
+      case other => other.toString
+    }
+    val partitions = files.groupBy(_.partition).toSeq
+      .sortBy(_._1.map(p => String.valueOf(p._2)).mkString("/"))
+      .map { case (pv, group) =>
+        (pv.map(p => tupleValue(p._2)), group.map(status).toArray)
+      }
+    val index = new TransformFileIndex(new Path(table), specs, partitions)
+    import org.apache.spark.sql.functions.col
+    Some(StaticFileIndex.transformParquetRelation(spark, new Path(table),
+        dataSchema, index)
+      .select(schema.fieldNames.toSeq.map(col): _*))
   }
 
   /** The data-side scan: resolve columns BY FIELD ID when the metadata

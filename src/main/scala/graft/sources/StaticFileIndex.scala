@@ -72,6 +72,90 @@ final class StaticFileIndex(
     partitions.iterator.flatMap(_._2).map(_.getLen).sum
 }
 
+/** A [[FileIndex]] for Iceberg HIDDEN PARTITIONING: files are grouped by
+  * their TRANSFORMED partition tuple (`day(ts)=19000`, `bucket(id)=3`)
+  * but expose NO partition columns — every output column reads from the
+  * data files, exactly Iceberg's contract (the user never sees or
+  * filters on the transform). Pruning instead rides the DATA filters:
+  * Catalyst hands `listFiles` the pushed-down data predicates, and each
+  * conjunct over a transform's SOURCE column is projected through the
+  * transform ([[IcebergTransforms.keeps]] — the spec's inclusive
+  * projection) to drop whole files at planning time. `WHERE ts >= X`
+  * then opens only the day-partitions that can hold it, with no
+  * explicit partition column in the query — the property that makes
+  * hidden partitioning work at 100 TB. Unprojectable predicates keep
+  * files (pruning is an optimization, never a correctness gate). */
+final class TransformFileIndex(
+    root: Path,
+    specs: Seq[IcebergTransforms.SpecField],
+    /** One entry per distinct tuple: transformed values aligned with
+      * `specs`, plus the tuple's files. */
+    partitions: Seq[(Seq[Any], Array[FileStatus])]) extends FileIndex {
+
+  import org.apache.spark.sql.catalyst.expressions._
+
+  override val partitionSchema: StructType = StructType(Nil)
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  private def sourceIndex(e: Expression): Option[Int] = e match {
+    case a: AttributeReference =>
+      val i = specs.indexWhere(_.sourceName.equalsIgnoreCase(a.name))
+      if (i >= 0) Some(i) else None
+    case _ => None // casts etc. change comparison semantics: no pruning
+  }
+
+  /** Conjunct → projectable `(spec index, op, literal)` facts. */
+  private def projections(e: Expression): Seq[(Int, String, Any)] = e match {
+    case And(l, r) => projections(l) ++ projections(r)
+    case EqualTo(a, Literal(v, _)) => sourceIndex(a).map((_, "=", v)).toSeq
+    case EqualTo(Literal(v, _), a) => sourceIndex(a).map((_, "=", v)).toSeq
+    case EqualNullSafe(a, Literal(v, _)) if v != null =>
+      sourceIndex(a).map((_, "=", v)).toSeq
+    case EqualNullSafe(Literal(v, _), a) if v != null =>
+      sourceIndex(a).map((_, "=", v)).toSeq
+    case GreaterThan(a, Literal(v, _)) => sourceIndex(a).map((_, ">", v)).toSeq
+    case GreaterThan(Literal(v, _), a) => sourceIndex(a).map((_, "<", v)).toSeq
+    case GreaterThanOrEqual(a, Literal(v, _)) =>
+      sourceIndex(a).map((_, ">=", v)).toSeq
+    case GreaterThanOrEqual(Literal(v, _), a) =>
+      sourceIndex(a).map((_, "<=", v)).toSeq
+    case LessThan(a, Literal(v, _)) => sourceIndex(a).map((_, "<", v)).toSeq
+    case LessThan(Literal(v, _), a) => sourceIndex(a).map((_, ">", v)).toSeq
+    case LessThanOrEqual(a, Literal(v, _)) =>
+      sourceIndex(a).map((_, "<=", v)).toSeq
+    case LessThanOrEqual(Literal(v, _), a) =>
+      sourceIndex(a).map((_, ">=", v)).toSeq
+    case In(a, lits) if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+      sourceIndex(a)
+        .map((_, "in", lits.map(_.asInstanceOf[Literal].value): Any)).toSeq
+    case _ => Nil
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val facts = dataFilters.flatMap(projections)
+    val pruned =
+      if (facts.isEmpty) partitions
+      else partitions.filter { case (values, _) =>
+        facts.forall { case (i, op, lit) =>
+          IcebergTransforms.keeps(specs(i), values(i), op, lit)
+        }
+      }
+    pruned.map { case (_, files) =>
+      PartitionDirectory(InternalRow.empty, files)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    partitions.iterator.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override val sizeInBytes: Long =
+    partitions.iterator.flatMap(_._2).map(_.getLen).sum
+}
+
 object StaticFileIndex {
 
   /** Build the snapshot DataFrame: one parquet scan over `partitions`
@@ -85,6 +169,20 @@ object StaticFileIndex {
       : DataFrame = {
     val index = new StaticFileIndex(root, partitionSchema, partitions)
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      bucketSpec = None, new ParquetFileFormat,
+      options = Map.empty[String, String])(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+
+  /** Build the hidden-partitioned snapshot DataFrame: one parquet scan
+    * whose [[TransformFileIndex]] prunes files through the partition
+    * transforms; every column reads from the data files (no partition
+    * columns in the relation). */
+  def transformParquetRelation(spark: SparkSession, root: Path,
+                               dataSchema: StructType,
+                               index: TransformFileIndex): DataFrame = {
+    val relation = HadoopFsRelation(index, StructType(Nil), dataSchema,
       bucketSpec = None, new ParquetFileFormat,
       options = Map.empty[String, String])(spark)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
