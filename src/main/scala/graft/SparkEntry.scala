@@ -2216,6 +2216,27 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("_change_type")
     }),
 
+    /** Delta COLUMN RENAME via column mapping
+      * ([[graft.sink.DeltaWrite.enableColumnMapping]] +
+      * [[graft.sink.DeltaWrite.renameColumn]]): the rename is a
+      * metadata-only commit — physical names frozen in the schema
+      * metadata keep resolving the pre-rename data files, and the
+      * snapshot reads them under the NEW logical name (symmetric with
+      * `lake_iceberg_rename`'s field-id rename). */
+    "lake_delta_rename" -> ((s, d) => {
+      val root = lakeTmp(d, "deltarename")
+      graft.sink.DeltaWrite.create(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        root, Nil)
+      graft.sink.DeltaWrite.enableColumnMapping(s, root)
+      graft.sink.DeltaWrite.renameColumn(s, root, "o_totalprice", "total_price")
+      graft.sources.DeltaRead.snapshot(s, root)
+        .where(col("o_orderkey") % 3 === 0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_price").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Delta MERGE with SCHEMA EVOLUTION ([[graft.sink.DeltaWrite.merge]]
       * mergeSchema semantics): the batch carries a column the table has
       * never seen (`o_flag`); the commit extends the declared schema, and
@@ -3851,6 +3872,11 @@ object SparkEntry {
                CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
         FROM low WHERE k % 3 = 0 AND k % 2 = 0
       ) t ORDER BY _change_type""",
+
+    "lake_delta_rename" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 = 0""",
 
     "lake_delta_merge_evolve" -> """
       WITH ns AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders

@@ -240,6 +240,10 @@ object DeltaWrite {
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
     val state = DeltaRead.tableState(spark, table, version - 1)
+    require(!state.configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      s"updateWhere over column-mapped $table is not supported — the " +
+        "condition and rewrite would need physical-name routing")
     val live = state.live
     if (live.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
@@ -353,6 +357,10 @@ object DeltaWrite {
     require(state.partitionCols.isEmpty,
       "merge targets unpartitioned tables (the mirror-target shape); " +
         s"$table partitions by ${state.partitionCols.mkString(",")}")
+    require(!state.configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      s"merge into column-mapped $table is not supported — data writes " +
+        "would need physical-name routing")
     state.txns.get(appId).foreach { w =>
       if (w > txnVersion) throw new IllegalStateException(
         s"merge stream '$appId' into $table: incoming txn $txnVersion is " +
@@ -511,7 +519,12 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     val version = nextVersion(spark, table)
     require(version > 0L, s"$table has no Delta log")
-    val live = DeltaRead.tableState(spark, table, version - 1).live
+    val dwState = DeltaRead.tableState(spark, table, version - 1)
+    require(!dwState.configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      s"deleteWhere over column-mapped $table is not supported — the " +
+        "condition scan would need physical-name routing")
+    val live = dwState.live
     val conf = spark.sparkContext.hadoopConfiguration
     // add.path is percent-encoded; decode with URI semantics (the mirror
     // of DeltaRead.resolvePath — URLDecoder would mangle literal '+')
@@ -594,6 +607,94 @@ object DeltaWrite {
         }
     }
     writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions)
+  }
+
+  private def metaDataAction(table: String, schemaJson: String,
+                             partitionCols: Seq[String],
+                             configuration: Map[String, String]): String = {
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    s"""{"metaData":{"id":"graft-${math.abs(table.hashCode)}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},""" +
+      s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}],""" +
+      s""""configuration":{$conf}}}"""
+  }
+
+  /** Switch `table` to COLUMN MAPPING (`delta.columnMapping.mode` =
+    * `name`, the protocol's rename-safe mode): every column's CURRENT
+    * name is frozen as its `physicalName` (the spelling in the data
+    * files) with a stable `columnMapping.id`, the table config records
+    * the mode, and the protocol upgrades to reader 3 / writer 7 with
+    * the `columnMapping` feature (existing features carried). After
+    * this, [[renameColumn]] is a METADATA-ONLY commit — no data file is
+    * touched, exactly Delta's own `ALTER TABLE ... RENAME COLUMN`.
+    * Scope: reads and renames; subsequent data writes to a mapped
+    * table would need physical-name routing and gate loudly in
+    * [[merge]]/[[updateWhere]]/[[deleteWhere]]. */
+  def enableColumnMapping(spark: SparkSession, table: String): Unit = {
+    import org.apache.spark.sql.types._
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    require(!state.configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      s"$table already uses column mapping")
+    val declared = state.schemaString
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no schemaString in its metadata"))
+    val mapped = StructType(declared.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.columnMapping.physicalName", f.name)
+        .putLong("delta.columnMapping.id", (i + 1).toLong).build())
+    })
+    val rf = (state.protocol.toSeq.flatMap(_.readerFeatures) :+
+      "columnMapping").distinct
+    val wf = (state.protocol.toSeq.flatMap(_.writerFeatures) :+
+      "columnMapping").distinct
+    val protocol =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${rf.map(jstr).mkString(",")}],""" +
+        s""""writerFeatures":[${wf.map(jstr).mkString(",")}]}}"""
+    val conf = state.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> declared.fields.length.toString)
+    writeVersion(spark, table, version, Seq(protocol,
+      metaDataAction(table, mapped.json, state.partitionCols, conf)))
+  }
+
+  /** Rename a top-level column — METADATA ONLY (requires
+    * [[enableColumnMapping]] first): the logical name changes in the
+    * declared schema, the frozen `physicalName` keeps resolving the
+    * data files, and every prior version's files read back correctly
+    * under the new name. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String): Unit = {
+    import org.apache.spark.sql.types._
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    require(state.configuration.get("delta.columnMapping.mode")
+        .exists(_ != "none"),
+      s"renameColumn requires column mapping — run enableColumnMapping " +
+        s"on $table first")
+    val declared = state.schemaString
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$table has no schemaString in its metadata"))
+    require(declared.fieldNames.contains(from),
+      s"$table has no column '$from'")
+    require(!declared.fieldNames.contains(to),
+      s"$table already has a column '$to'")
+    require(!state.partitionCols.exists(_.equalsIgnoreCase(from)),
+      "renaming a partition column is not supported (directory layout " +
+        "and partitionValues keys would need rewriting)")
+    val renamed = StructType(declared.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    writeVersion(spark, table, version, Seq(
+      metaDataAction(table, renamed.json, state.partitionCols,
+        state.configuration)))
   }
 
   /** OPTIMIZE — bin-packing compaction: rewrite each partition's live

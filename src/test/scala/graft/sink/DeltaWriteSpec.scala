@@ -333,6 +333,46 @@ class DeltaWriteSpec extends SparkSuite {
         "delete must not loop per file or collect positions per file")
   }
 
+  test("column mapping: rename is metadata-only; old files read under the new name") {
+    val root = tmp()
+    DeltaWrite.create(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), root, Nil)
+    DeltaWrite.enableColumnMapping(spark, root)
+    val dataFilesBefore = Files.walk(Paths.get(root)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    DeltaWrite.renameColumn(spark, root, "price", "total_price")
+    val dataFilesAfter = Files.walk(Paths.get(root)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(dataFilesAfter === dataFilesBefore, "rename must not touch data files")
+    val rows = DeltaRead.snapshot(spark, root)
+      .selectExpr("id", "total_price").as[(Long, Double)]
+      .collect().toSeq.sorted
+    assert(rows === Seq((1L, 10.0), (2L, 20.0)),
+      "physicalName must keep resolving the pre-rename files")
+    // old LOGICAL name is gone
+    assert(!DeltaRead.snapshot(spark, root).columns.contains("price"))
+    // renames stack
+    DeltaWrite.renameColumn(spark, root, "total_price", "p2")
+    assert(DeltaRead.snapshot(spark, root).columns.toSeq === Seq("id", "p2"))
+    // guards: double-enable, unknown/conflicting names, mapped-table writes
+    intercept[IllegalArgumentException] {
+      DeltaWrite.enableColumnMapping(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, root, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, root, "p2", "id")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(Seq((3L, 1.0)).toDF("id", "p2"),
+        Seq.empty[Long].toDF("id"), root, Seq("id"), "m", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, root, "id = 1")
+    }
+  }
+
   test("partition values with spaces percent-encode per the protocol") {
     val root = tmp()
     val df = Seq((1L, "4-NOT SPECIFIED"), (2L, "1-URGENT"))
