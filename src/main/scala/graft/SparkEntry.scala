@@ -1049,6 +1049,15 @@ object SparkEntry {
       TextOps.bigramLm(t(s, d, "documents"))
         .orderBy("doc_id")),
 
+    /** DSIR importance scoring ([[TextOps.dsirScore]]) against the
+      * `src0` target slice: the domain-selection primitive for
+      * assembling a training mix — returns the target-leaning docs
+      * (score > 0) with their bit-exact rational importance scores. */
+    "corpus_dsir" -> ((s, d) =>
+      TextOps.dsirScore(t(s, d, "documents"), col("source") === "src0")
+        .where(col("score") > 0)
+        .orderBy("doc_id")),
+
     /** Cross-source word-4-gram overlap matrix (dataset-card
       * contamination-between-sources measure). */
     "corpus_overlap" -> ((s, d) =>
@@ -3027,6 +3036,34 @@ object SparkEntry {
 
     // same bigram construction as text_repetition; integer sums + one
     // division keep the doubles engine-exact
+    "corpus_dsir" -> """
+      WITH tok AS (SELECT doc_id, source = 'src0' AS t,
+                          string_split(lower(text), ' ') AS tk
+                   FROM documents),
+      bg AS (SELECT doc_id, t, array_to_string(tk[i+1:i+2], ' ') AS bg
+             FROM (SELECT doc_id, t, tk, unnest(range(len(tk) - 1)) AS i
+                   FROM tok WHERE len(tk) >= 2) x),
+      corpus AS (SELECT bg,
+                        SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+                        SUM(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+                 FROM bg GROUP BY bg),
+      tot AS (SELECT SUM(ct) AS tot_t, SUM(cr) AS tot_r,
+                     COUNT(*) AS n_vocab
+              FROM corpus),
+      pdf AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      terms AS (SELECT p.doc_id, p.bg, p.c,
+                       CAST(p.c AS DOUBLE) *
+                         (CAST(corpus.ct + 1 AS DOUBLE) /
+                            CAST(tot.tot_t + tot.n_vocab AS DOUBLE)
+                        - CAST(corpus.cr + 1 AS DOUBLE) /
+                            CAST(tot.tot_r + tot.n_vocab AS DOUBLE)) AS term
+                FROM pdf p JOIN corpus USING (bg) CROSS JOIN tot),
+      scored AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                        list_sum(list(term ORDER BY bg)) AS score
+                 FROM terms GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, score FROM scored
+      WHERE score > 0 ORDER BY doc_id""",
+
     "text_bigram_lm" -> """
       WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       bg AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg

@@ -499,6 +499,59 @@ object TextOps {
         col("mean_bg_freq"), col("known_ratio"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): documents are scored by how much
+    * their word-bigram distribution leans toward a TARGET slice of the
+    * corpus (`isTarget`) versus the raw rest — the scalable
+    * domain-selection primitive for assembling a training mix. With
+    * Laplace-smoothed feature probabilities
+    * `p_t(f) = (c_t(f)+1)/(T+V)` and `p_r(f) = (c_r(f)+1)/(R+V)`
+    * (T/R = total target/raw bigram occurrences, V = distinct
+    * bigrams), a doc scores `Σ_f c_doc(f) · (p_t(f) − p_r(f))`;
+    * positive = target-leaning. The paper's log-ratio weight is
+    * replaced by the probability DIFFERENCE so the entire computation
+    * stays in IEEE `+ − × ÷` (`ln` is not correctly-rounded across
+    * engines and would break the bit-exact oracle), and the per-doc
+    * sum folds in BIGRAM-SORTED order (float addition is
+    * order-sensitive; DuckDB replays the same ordered fold).
+    *
+    * Scale shape: corpus stats are ONE map-side-combined aggregate
+    * joined back by bigram; totals ride a broadcast 1-row cross join;
+    * per-doc state is only the doc's own bigram list. At 100 TB the
+    * feature space would be hash-bucketed (the paper's trick) — here
+    * raw bigrams keep the oracle exact; the plan shape is identical. */
+  def dsirScore(docs: DataFrame, isTarget: Column, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), isTarget.as("__t"),
+        lowerTokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+      .select(col(idCol), col("__t"),
+        concat_ws(" ", slice(col("tk"), col("i"), lit(2))).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = bg.groupBy("bg").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+    val totals = broadcast(corpus.agg(
+      sum("ct").as("tot_t"), sum("cr").as("tot_r"),
+      count(lit(1)).as("n_vocab")))
+    val perFeature = bg.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .join(corpus, "bg")
+      .crossJoin(totals)
+      .withColumn("term", col("c").cast("double") *
+        ((col("ct") + 1).cast("double") /
+          (col("tot_t") + col("n_vocab")).cast("double") -
+          (col("cr") + 1).cast("double") /
+            (col("tot_r") + col("n_vocab")).cast("double")))
+    perFeature.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("bg"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("score"))
+  }
+
   /** Exact BPE token count under a rank-ordered merge table, as a pure
     * Column expression: chars spaced out (word separator `_`), then each
     * merge rank applied as TWO identical `replace` calls, which reaches

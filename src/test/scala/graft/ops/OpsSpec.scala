@@ -1100,6 +1100,27 @@ class OpsSpec extends SparkSuite {
       === "a b\n\nc")
   }
 
+  test("dsirScore: target-twin docs score positive, raw-twin negative, deterministic") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),   // target
+      (2L, "the cat sat on the rug", true),   // target
+      (3L, "stock market prices fell today", false),
+      (4L, "stock market prices rose today", false),
+      (5L, "the cat sat on the mat", false),  // raw doc, target-like text
+      (6L, "stock market prices fell hard", false)) // raw-like text
+      .toDF("doc_id", "text", "is_t")
+    val scored = TextOps.dsirScore(docs, col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(5L) > 0,
+      "a raw doc sharing the target slice's bigrams must lean target")
+    assert(scored(6L) < 0, "a raw-like doc must lean raw")
+    assert(scored(1L) > 0 && scored(3L) < 0)
+    // deterministic: the ordered fold yields bit-identical scores
+    val again = TextOps.dsirScore(docs, col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again === scored)
+  }
+
   test("URL extraction stops at prose punctuation; domains normalize") {
     val d = Seq(
       (1L, "See https://www.News.Example.com/p/3?ref=1 and http://cdn-2.example.org/a.js. End."),
