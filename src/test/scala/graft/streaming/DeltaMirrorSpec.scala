@@ -75,4 +75,37 @@ class DeltaMirrorSpec extends SparkSuite {
       .select("id", "item").as[(Long, String)].collect().toSeq.sorted
     assert(endState === expected, "C must equal A's end state after two hops")
   }
+
+  test("mirror restarted with a WIDENED source schema evolves the Delta replica") {
+    import org.apache.spark.sql.types.LongType
+    val b = Files.createTempDirectory("evo-dst").resolve("t").toString
+    val narrow = StructType(Seq(StructField("id", LongType),
+      StructField("item", StringType)))
+    def changeBatch(rows: (Long, String, String)*): DataFrame =
+      rows.toSeq.toDF("version", "change_type", "row")
+    // epoch 0 under the original schema
+    LakeMirror.applyBatchDelta(spark,
+      changeBatch((1L, "insert", """{"id":1,"item":"widget"}"""),
+        (1L, "insert", """{"id":2,"item":"bolt"}""")),
+      b, Seq("id"), narrow, epochId = 0L, streamId = "evo")
+    // the mirror restarts with a WIDENED row schema (source gained qty):
+    // the next epoch's merge must evolve the replica in place
+    val wide = StructType(Seq(StructField("id", LongType),
+      StructField("item", StringType), StructField("qty", LongType)))
+    LakeMirror.applyBatchDelta(spark,
+      changeBatch((2L, "upsert", """{"id":2,"item":"bolt-v2","qty":7}"""),
+        (2L, "insert", """{"id":3,"item":"nut","qty":9}""")),
+      b, Seq("id"), wide, epochId = 1L, streamId = "evo")
+    val rows = DeltaRead.snapshot(spark, b)
+      .selectExpr("id", "item", "qty")
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, "widget", None), (2L, "bolt-v2", Some(7L)),
+      (3L, "nut", Some(9L))),
+      "replica evolved: carried row 1 reads NULL qty, epoch-1 rows carry it")
+    // exactly-once still holds across the evolution: replayed epoch no-ops
+    LakeMirror.applyBatchDelta(spark,
+      changeBatch((2L, "insert", """{"id":9,"item":"stale","qty":0}""")),
+      b, Seq("id"), wide, epochId = 1L, streamId = "evo")
+    assert(DeltaRead.snapshot(spark, b).count() === 3L)
+  }
 }
