@@ -1642,6 +1642,30 @@ object SparkEntry {
       * + 0.9 delete block), COMPACTED into fresh base files, then read —
       * the merged view must survive the service byte-for-byte while the
       * scan becomes pure parquet. */
+    /** Hudi CLEAN service ([[graft.sink.HudiClean]] —
+      * KEEP_LATEST_FILE_VERSIONS): a second upsert supersedes the first
+      * base version, clean deletes it (asserted non-zero), and the tip
+      * snapshot still equals the oracle's replay of both upserts —
+      * retention removes bytes, never rows. */
+    "lake_hudi_cleaned" -> ((s, d) => {
+      val root = lakeTmp(d, "hudiclean")
+      val t1 = "20240101000000000"; val t2 = "20240102000000000"
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.HudiCowWrite.upsert(orders, root, "o_orderkey", t1)
+      graft.sink.HudiCowWrite.upsert(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        root, "o_orderkey", t2)
+      val n = graft.sink.HudiClean.clean(s, root, "20240109000000000")
+      require(n > 0, "clean must delete the superseded base version")
+      graft.sources.HudiRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     "lake_hudi_compacted" -> ((s, d) => {
       val root = lakeTmp(d, "hudicompact")
       val t1 = "20240101000000000"; val t2 = "20240102000000000"
@@ -3726,6 +3750,14 @@ object SparkEntry {
 
     /** Identical semantics to lake_hudi_mor_delete — compaction must be
       * invisible to the merged view. */
+    "lake_hudi_cleaned" -> """
+      WITH h AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                 WHERE o_orderpriority = '2-HIGH')
+      SELECT count(*) AS n,
+             CAST(sum(CAST(CASE WHEN k % 2 = 0 THEN p * 2 ELSE p END
+               AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM h""",
+
     "lake_hudi_compacted" -> """
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

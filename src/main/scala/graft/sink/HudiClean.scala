@@ -1,0 +1,79 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.HudiRead
+
+/** Hudi CLEAN table service — the third retention service next to
+  * [[DeltaWrite.vacuumData]] (Delta VACUUM) and [[IcebergExpire]]
+  * (snapshot expiry): deletes file-slice versions no snapshot inside
+  * the retention window can reference, Hudi's
+  * `KEEP_LATEST_FILE_VERSIONS` policy.
+  *
+  * Per (partition, fileId) file group:
+  *  - the newest `retainVersions` COMPLETED base files survive; older
+  *    bases are deleted;
+  *  - log files whose `baseInstant` predates the group's oldest
+  *    retained base are deleted too — a compaction's new base already
+  *    folded them;
+  *  - groups REPLACED by a clustering/overwrite `replacecommit` are
+  *    invisible at the tip: all their completed-instant files go.
+  *
+  * Inflight writes are untouched — only files whose instant is a
+  * COMPLETED timeline action qualify, so a concurrent writer's
+  * not-yet-committed base can never be deleted. Snapshot reads at the
+  * tip are IDENTICAL before and after; time travel older than the
+  * retained window stops working (the same contract as Delta VACUUM).
+  * The service lands as a `<instant>.clean` timeline marker — clean
+  * instants never become read ceilings (ceilings parse only commit
+  * actions). Driver state is the file LISTING (metadata scale, the
+  * same grade as every Hudi table service); deletes are per-file
+  * filesystem metadata calls. Returns the number of files deleted. */
+object HudiClean {
+
+  def clean(spark: SparkSession, table: String, instant: String,
+            retainVersions: Int = 1, maxFiles: Int = 1000000): Int = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    require(instant.nonEmpty && instant.forall(_.isDigit),
+      s"instant must be a numeric timeline string, got '$instant'")
+    val completed = HudiRead.completedInstants(spark, table)
+    if (completed.isEmpty) return 0
+    val tip = completed.maxBy(HudiRead.instantKey)
+    val completedSet = completed.toSet
+    val (bases, logs) = HudiRead.allDataFiles(spark, table, maxFiles)
+    val replaced = HudiRead.replacedFileIds(spark, table, tip)
+    val logsByGroup = logs.groupBy(l => (l.partition, l.fileId))
+    val toDelete = scala.collection.mutable.ArrayBuffer.empty[String]
+    bases.groupBy(b => (b.partition, b.fileId)).foreach { case (key, files) =>
+      val groupLogs = logsByGroup.getOrElse(key, Nil)
+      if (replaced.contains(key)) {
+        // the whole group is invisible at the tip: every completed file goes
+        toDelete ++= files.filter(b => completedSet.contains(b.instant))
+          .map(_.path)
+        toDelete ++= groupLogs
+          .filter(l => completedSet.contains(l.baseInstant)).map(_.path)
+      } else {
+        val completedBases = files
+          .filter(b => completedSet.contains(b.instant))
+          .sortBy(b => HudiRead.instantKey(b.instant)).reverse
+        toDelete ++= completedBases.drop(retainVersions).map(_.path)
+        // logs folded under the oldest RETAINED base are obsolete
+        completedBases.take(retainVersions).lastOption.foreach { oldest =>
+          val floor = HudiRead.instantKey(oldest.instant)
+          toDelete ++= groupLogs.filter(l =>
+            HudiRead.instantKey(l.baseInstant) < floor &&
+              completedSet.contains(l.baseInstant)).map(_.path)
+        }
+      }
+    }
+    if (toDelete.isEmpty) return 0
+    val conf = spark.sparkContext.hadoopConfiguration
+    toDelete.foreach { p =>
+      val path = new Path(p)
+      path.getFileSystem(conf).delete(path, false): Unit
+    }
+    HudiMorWrite.completeInstant(spark, table, instant, "clean")
+    toDelete.size
+  }
+}

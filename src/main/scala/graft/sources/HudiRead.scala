@@ -108,8 +108,8 @@ object HudiRead {
   }
 
   /** fileIds removed by clustering/overwrite replacecommits ≤ ceiling. */
-  private def replacedFileIds(spark: SparkSession, table: String,
-                              ceiling: String): Set[(String, String)] = {
+  private[graft] def replacedFileIds(spark: SparkSession, table: String,
+                                     ceiling: String): Set[(String, String)] = {
     val dir = new Path(table, ".hoodie")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(dir).iterator.map(_.getPath).filter { p =>
@@ -145,6 +145,12 @@ object HudiRead {
         s"$table is not a Hudi table (no .hoodie directory)")
     ParallelListing.listFiles(spark, table, _ == ".hoodie", maxFiles)
   }
+
+  /** Every base and log file of the table — the planning input for the
+    * clean service ([[graft.sink.HudiClean]]). */
+  private[graft] def allDataFiles(spark: SparkSession, table: String,
+                                  maxFiles: Int): (Seq[BaseFile], Seq[LogFile]) =
+    parseFiles(listAllFiles(spark, table, maxFiles))
 
   private def parseFiles(listed: Seq[Listed]): (Seq[BaseFile], Seq[LogFile]) = {
     val bases = scala.collection.mutable.ArrayBuffer.empty[BaseFile]
