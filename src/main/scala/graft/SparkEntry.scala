@@ -1023,6 +1023,29 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, d, "documents"),
         Seq("spark", "query", "merge"), k = 25)),
 
+    /** HYBRID retrieval: the BM25 text leg fused with a dense-ANN leg
+      * by reciprocal-rank fusion ([[ops.Ranking.rrfFuse]], Cormack et
+      * al. 2009) — the standard RAG retrieval combiner. Both legs are
+      * bounded top-k lists; fusion is rank-based (no score
+      * normalization) and bit-exact (integer ranks, one division per
+      * leg, caller-order sum). The window rank runs over the text
+      * leg's 25-row bounded result, never the corpus. */
+    "search_hybrid_rrf" -> ((s, d) => {
+      val textLeg = TextOps.bm25TopK(t(s, d, "documents"),
+          Seq("spark", "query", "merge"), k = 25)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))))
+      val vecLeg = Similarity.bruteForceTopK(t(s, d, "embeddings"), 10,
+          col("vec_id") === 0)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Ranking.rrfFuse(Seq((textLeg, "r"), (vecLeg, "rank")),
+          "doc_id")
+        .select(col("doc_id"), col("__r0").as("r_text"),
+          col("__r1").as("r_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     /** Leakage-safe split ([[ops.TextOps.leakageSafeSplit]]): the corpus
       * plus an id-shifted twin of itself — per-doc hash splits would
       * scatter twins across train/test; hashing the dup GROUP's
@@ -3023,6 +3046,64 @@ object SparkEntry {
                COALESCE(s1, CAST(0 AS DOUBLE)) +
                COALESCE(s2, CAST(0 AS DOUBLE)) AS score
       FROM agg ORDER BY score DESC, doc_id LIMIT 25""",
+
+    "search_hybrid_rrf" -> """
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                 FROM documents WHERE text IS NOT NULL),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM d
+             WHERE len(t) > 0),
+      st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+      tok AS (SELECT doc_id, dl, unnest(t) AS token FROM dl),
+      tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM tok WHERE token IN ('spark', 'query', 'merge')
+             GROUP BY doc_id, dl, token),
+      dfr AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+              GROUP BY token),
+      ts AS (SELECT tf.doc_id, tf.token,
+               (((CAST(st.n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+                   (df + CAST(0.5 AS DOUBLE))) *
+                 (tf * CAST(2.2 AS DOUBLE))) /
+               (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+                 (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) /
+                   (CAST(st.tot AS DOUBLE) / st.n))) AS s
+             FROM tf JOIN dfr USING (token) CROSS JOIN st),
+      agg AS (SELECT doc_id,
+               SUM(CASE WHEN token = 'spark' THEN s END) AS s0,
+               SUM(CASE WHEN token = 'query' THEN s END) AS s1,
+               SUM(CASE WHEN token = 'merge' THEN s END) AS s2
+             FROM ts GROUP BY doc_id),
+      tl AS (SELECT doc_id,
+               COALESCE(s0, CAST(0 AS DOUBLE)) +
+                 COALESCE(s1, CAST(0 AS DOUBLE)) +
+                 COALESCE(s2, CAST(0 AS DOUBLE)) AS score
+             FROM agg ORDER BY score DESC, doc_id LIMIT 25),
+      tr AS (SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS r_text
+             FROM tl),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id <> 0),
+      vs AS (SELECT neighbor_id, list_cosine_similarity(qv, cv) AS sim
+             FROM c CROSS JOIN q),
+      vr AS (SELECT neighbor_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id)
+                 AS BIGINT) AS r_vec
+             FROM vs QUALIFY r_vec <= 10),
+      f AS (SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+                   tr.r_text, vr.r_vec
+            FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+      SELECT doc_id, r_text, r_vec,
+             (CASE WHEN r_text IS NOT NULL
+                THEN CAST(1 AS DOUBLE) /
+                  (CAST(60 AS DOUBLE) + CAST(r_text AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END
+            + CASE WHEN r_vec IS NOT NULL
+                THEN CAST(1 AS DOUBLE) /
+                  (CAST(60 AS DOUBLE) + CAST(r_vec AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END) AS rrf
+      FROM f ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "corpus_split_safe" -> """
       WITH all_docs AS (

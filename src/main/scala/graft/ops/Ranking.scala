@@ -156,4 +156,31 @@ object Ranking {
   /** cume_dist for a unique ordering: rank/n. */
   def cumeDistOf(rank: Column, n: Long): Column =
     rank.cast("double") / lit(n.toDouble)
+
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each leg is a bounded top-k ranking
+    * `(id, rank)` from a different retriever (BM25, dense ANN, …), and
+    * a doc's fused score is `Σ_legs 1/(k + rank)`, 0 for legs that
+    * missed it. Rank-based, so wildly different score scales fuse
+    * without normalization. Bit-exact across engines: ranks are
+    * integers, each term is ONE correctly-rounded double division, and
+    * the fused sum adds legs in CALLER order. Legs are bounded top-k
+    * frames (the retrievers' own `limit`), so the full-outer join is
+    * list-sized — driver-light, executor-trivial. Returns
+    * `(idCol, __r0.., rrf)` sorted by fused score (ties by id),
+    * limited to `topK`. */
+  def rrfFuse(legs: Seq[(DataFrame, String)], idCol: String,
+              k: Int = 60, topK: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranking leg")
+    val joined = legs.zipWithIndex.map { case ((df, rankCol), i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"__r$i"))
+    }.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = legs.indices.map(i =>
+      when(col(s"__r$i").isNotNull,
+        lit(1.0) / (lit(k.toDouble) + col(s"__r$i").cast("double")))
+        .otherwise(lit(0.0))).reduceLeft(_ + _)
+    joined.withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }
