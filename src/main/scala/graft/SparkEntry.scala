@@ -813,6 +813,17 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** Matryoshka two-stage ANN ([[Similarity.matryoshkaTopK]] —
+      * MRL-style truncation): 8-dim-prefix cosine shortlists 30
+      * candidates per query, full-precision cosine reranks to top-5.
+      * The oracle replays both stages over sliced DOUBLE[] arrays. */
+    "ann_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTopK(t(s, d, "embeddings"), 5, 8, 30,
+          col("vec_id") % 20 === 0)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+
     /** Product-quantization ANN ([[Similarity.pqTopK]] — Jégou et al.
       * 2011): per-sub-space codebooks from the deterministic xxh64
       * sample, argmax-dot encoding, and asymmetric-distance top-k whose
@@ -2918,6 +2929,29 @@ object SparkEntry {
                    CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
                  FROM s)
+      SELECT query_id, rnk, neighbor_id, sim_i FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    "ann_matryoshka" -> """
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 20 = 0),
+           c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings),
+           s1 AS (SELECT query_id, neighbor_id, qv, cv,
+                    list_cosine_similarity(qv[1:8], cv[1:8]) AS psim
+                  FROM q JOIN c ON query_id <> neighbor_id),
+           sh AS (SELECT query_id, neighbor_id, qv, cv,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY psim DESC, neighbor_id) AS prank
+                  FROM s1),
+           s2 AS (SELECT query_id, neighbor_id,
+                    list_cosine_similarity(qv, cv) AS sim
+                  FROM sh WHERE prank <= 30),
+           r AS (SELECT query_id, neighbor_id,
+                   CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+                 FROM s2)
       SELECT query_id, rnk, neighbor_id, sim_i FROM r
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
 

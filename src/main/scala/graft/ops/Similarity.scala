@@ -74,6 +74,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** MATRYOSHKA two-stage ANN (Kusupati et al. 2022 — MRL-style
+    * truncation): stage 1 shortlists `shortlist` candidates per query
+    * by cosine over only the FIRST `dPrefix` dimensions (a
+    * matryoshka-trained embedding's coarse head — at 100 TB this is
+    * the cheap pass: 8–32 floats per candidate instead of the full
+    * width), stage 2 reranks ONLY the shortlist with full-precision
+    * cosine. Same output contract as [[bruteForceTopK]];
+    * `shortlist >= k` is the recall/cost knob. The second window runs
+    * over shortlist-sized groups, never the corpus. */
+  def matryoshkaTopK(emb: DataFrame, k: Int = 5, dPrefix: Int = 8,
+                     shortlist: Int = 30, queryPred: Column = lit(true),
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxQueries: Long = 100000L): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(dPrefix >= 1, "dPrefix must be >= 1")
+    val nQ = emb.filter(queryPred).select(col(idCol)).count()
+    require(nQ <= maxQueries,
+      s"matryoshkaTopK broadcasts the query set: $nQ > maxQueries=$maxQueries")
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(col(vecCol), 1, dPrefix).as("qp"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      slice(col(vecCol), 1, dPrefix).as("cp"))
+    val stage1 = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"),
+        cosine(col("qp"), col("cp")).as("psim"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("psim").desc, col("neighbor_id").asc)
+    val short = stage1.withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= shortlist)
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Near-dup pairs: all (a < b) pairs with cosine >= threshold. Brute-force
     * within label blocks would miss cross-label dups, so this variant scans
     * all pairs via a broadcast of the smaller projection — use only when one
