@@ -1939,6 +1939,30 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg TAGS ([[graft.sink.IcebergWrite.setRef]] +
+      * [[graft.sources.IcebergRead.snapshotAtRef]]): a tag pins the
+      * first upsert's state by NAME; a second upsert moves the tip but
+      * the tag still reads the pinned snapshot — `FOR VERSION AS OF
+      * 'v1.0'` semantics, with expiry retaining pinned snapshots
+      * (IcebergRefsSpec). The oracle replays the FIRST upsert only. */
+    "lake_iceberg_tag" -> ((s, d) => {
+      val root = lakeTmp(d, "icetag")
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "3-MEDIUM")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.IcebergWrite.upsert(orders, root, Seq("o_orderkey"),
+        fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.setRef(s, root, "v1.0", 1L)
+      graft.sink.IcebergWrite.upsert(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 3),
+        root, Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      graft.sources.IcebergRead.snapshotAtRef(s, root, "v1.0")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg HIDDEN PARTITIONING
       * ([[graft.sink.IcebergWrite.writeHiddenPartitioned]] +
       * [[graft.sources.TransformFileIndex]]): rows route by
@@ -3949,6 +3973,11 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_iceberg_tag" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '3-MEDIUM'""",
 
     "lake_iceberg_hidden" -> """
       SELECT count(*) AS n,

@@ -32,7 +32,16 @@ object IcebergExpire {
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toSeq
     if (snaps.size <= retain) return (0, 0)
-    val (expired, kept) = snaps.splitAt(snaps.size - retain)
+    // ref-pinned snapshots (tags/branches) are RETAINED regardless of
+    // their age — a tag means "keep this state addressable"
+    val pinned = IcebergRead.refSnapshotIds(meta).values.toSet
+    val (expired, kept) = {
+      val (old, recent) = snaps.splitAt(snaps.size - retain)
+      val (oldPinned, oldExpired) =
+        old.partition(s => pinned.contains(s.get("snapshot-id").asLong()))
+      (oldExpired, oldPinned ++ recent)
+    }
+    if (expired.isEmpty) return (0, 0)
     val current = Option(meta.get("current-snapshot-id")).map(_.asLong())
     require(current.forall(c =>
         kept.exists(_.get("snapshot-id").asLong() == c)),

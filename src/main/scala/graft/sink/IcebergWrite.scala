@@ -229,8 +229,12 @@ object IcebergWrite {
         val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
         s""""partition-specs":${mapper.writeValueAsString(ps)},"default-spec-id":$cur,"""
       }
+      // refs (tags/branches) survive every commit — a tag pins its
+      // snapshot through later appends and expiry
+      val priorRefs = Option(node.get("refs")).map(r =>
+        s""""refs":${mapper.writeValueAsString(r)},""")
       Some((snaps.map(mapper.writeValueAsString), manifests, priorSchemas,
-        priorSpecs))
+        priorSpecs, priorRefs))
     } else None
 
     val manifest = new Path(meta, s"m-$snapshotId.avro")
@@ -282,8 +286,9 @@ object IcebergWrite {
         "summary":{"operation":"$operation"},
         "manifest-list":"$manifestList"}"""
     val allSnaps = (prior.toSeq.flatMap(_._1) :+ newSnap).mkString(",")
+    val refsJson = prior.flatMap(_._5).getOrElse("")
     val metadataJson =
-      s"""{"format-version":2,$schemaJson$specJson"current-snapshot-id":$snapshotId,
+      s"""{"format-version":2,$schemaJson$specJson$refsJson"current-snapshot-id":$snapshotId,
         "snapshots":[$allSnaps]}"""
     val priorVersion = if (fs.exists(hintPath)) {
       val in = fs.open(hintPath)
@@ -560,6 +565,74 @@ object IcebergWrite {
     * Caveat (fixture-grade, like the rest of this writer): a later
     * [[commitEntries]] rebuilds the schema from ITS `schemaFields` —
     * pass the evolved schema on subsequent commits. */
+  /** Set a REF — Iceberg's named snapshot pointer (`refs` in the table
+    * metadata): `type=tag` pins a snapshot immutably ("the v1.0
+    * training set"), `type=branch` is a movable head. Metadata-only
+    * commit; refs survive later appends (carry-forward in
+    * [[commitEntries]]) and pin their snapshots through
+    * [[IcebergExpire.expireSnapshots]]. Read back via
+    * [[graft.sources.IcebergRead.snapshotAtRef]]. */
+  def setRef(spark: SparkSession, table: String, name: String,
+             snapshotId: Long, refType: String = "tag"): Unit = {
+    require(Seq("tag", "branch").contains(refType),
+      s"refType must be tag|branch, got '$refType'")
+    require(name.nonEmpty, "ref name required")
+    val meta = new Path(table, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(meta, "version-hint.text")
+    require(fs.exists(hintPath), s"$table has no Iceberg metadata")
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = graft.sources.IcebergRead.readMetadata(spark, table)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    import scala.jdk.CollectionConverters._
+    val exists = Option(node.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .exists(_.get("snapshot-id").asLong() == snapshotId)
+    require(exists, s"snapshot $snapshotId not in $table's metadata")
+    val refs = Option(node.get("refs"))
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(node.putObject("refs"))
+    Option(refs.get(name)).foreach { r =>
+      require(r.get("type").asText() != "tag",
+        s"ref '$name' is a TAG — tags are immutable; drop it first")
+    }
+    val r = mapper.createObjectNode()
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
+    refs.set[com.fasterxml.jackson.databind.JsonNode](name, r)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
+    bumpMetadata(fs, meta, hintPath, mapper.writeValueAsString(node))
+  }
+
+  /** Remove a ref (required before re-tagging — tags are immutable). */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    val meta = new Path(table, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(meta, "version-hint.text")
+    require(fs.exists(hintPath), s"$table has no Iceberg metadata")
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = graft.sources.IcebergRead.readMetadata(spark, table)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val refs = Option(node.get("refs"))
+      .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+      .getOrElse(throw new IllegalArgumentException(s"$table has no refs"))
+    require(refs.has(name), s"no ref '$name' on $table")
+    refs.remove(name)
+    bumpMetadata(fs, meta, hintPath, mapper.writeValueAsString(node))
+  }
+
+  private def bumpMetadata(fs: org.apache.hadoop.fs.FileSystem, meta: Path,
+                           hintPath: Path, json: String): Unit = {
+    val in = fs.open(hintPath)
+    val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      .trim.toLong finally in.close()
+    val version = prior + 1
+    val vfile = fs.create(new Path(meta, s"v$version.metadata.json"), true)
+    try vfile.write(json.getBytes(UTF_8)) finally vfile.close()
+    val hint = fs.create(hintPath, true)
+    try hint.write(version.toString.getBytes(UTF_8)) finally hint.close()
+  }
+
   def updateSchema(spark: SparkSession, table: String,
                    schemaFields: Seq[(Int, String, String)]): Unit = {
     require(schemaFields.nonEmpty, "updateSchema needs fields")

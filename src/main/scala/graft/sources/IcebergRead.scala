@@ -781,6 +781,26 @@ object IcebergRead {
       case _ => spark.read.parquet(files: _*)
     }
 
+  /** Snapshot ids pinned by refs (tags/branches) — expiry must retain
+    * them. */
+  private[graft] def refSnapshotIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Option(meta.get("refs")).toSeq.flatMap(_.fields().asScala.map { e =>
+      e.getKey -> e.getValue.get("snapshot-id").asLong()
+    }).toMap
+  }
+
+  /** Read the snapshot a REF (tag or branch) points at —
+    * `FOR VERSION AS OF 'v1.0'` semantics over the metadata's `refs`. */
+  def snapshotAtRef(spark: SparkSession, table: String, ref: String,
+                    maxFiles: Int = 1000000): DataFrame = {
+    val ids = refSnapshotIds(readMetadata(spark, table))
+    val id = ids.getOrElse(ref, throw new IllegalArgumentException(
+      s"$table has no ref '$ref' (refs: ${ids.keys.toSeq.sorted.mkString(", ")})"))
+    snapshot(spark, table, Some(id), maxFiles)
+  }
+
   /** Read the current (or `snapshotId`) snapshot. */
   def snapshot(spark: SparkSession, table: String,
                snapshotId: Option[Long] = None,
