@@ -2307,6 +2307,47 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("_change_type")
     }),
 
+    /** Delta RESTORE ([[graft.sink.DeltaWrite.restore]]): a DV delete
+      * moves the table off version 0, RESTORE commits a new version
+      * whose live set (including row-level DV state) equals v0 — the
+      * recovery path after a bad write, history preserved. The oracle
+      * replays the ORIGINAL state. */
+    "lake_delta_restore" -> ((s, d) => {
+      val root = lakeTmp(d, "deltarestore")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders, root, Nil)
+      graft.sink.DeltaWrite.deleteWhere(s, root, "o_orderkey % 2 = 0")
+      graft.sink.DeltaWrite.restore(s, root, 0L)
+      graft.sources.DeltaRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
+    /** Iceberg ROLLBACK ([[graft.sink.IcebergWrite.rollback]] —
+      * `rollback_to_snapshot`): the tip moves back to snapshot 1
+      * metadata-only; snapshot 2 stays in history. The oracle replays
+      * the FIRST upsert's state. */
+    "lake_iceberg_rollback" -> ((s, d) => {
+      val root = lakeTmp(d, "icerollback")
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.IcebergWrite.upsert(orders, root, Seq("o_orderkey"),
+        fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.upsert(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 5),
+        root, Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      graft.sink.IcebergWrite.rollback(s, root, 1L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Delta COLUMN RENAME via column mapping
       * ([[graft.sink.DeltaWrite.enableColumnMapping]] +
       * [[graft.sink.DeltaWrite.renameColumn]]): the rename is a
@@ -4085,6 +4126,16 @@ object SparkEntry {
                CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
         FROM low WHERE k % 3 = 0 AND k % 2 = 0
       ) t ORDER BY _change_type""",
+
+    "lake_delta_restore" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_iceberg_rollback" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '5-LOW'""",
 
     "lake_delta_rename" -> """
       SELECT count(*) AS n,

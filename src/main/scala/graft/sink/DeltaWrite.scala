@@ -609,6 +609,68 @@ object DeltaWrite {
     writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions)
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `toVersion` — a NEW commit
+    * whose live-file set equals the target version's (Delta's RESTORE:
+    * time travel made durable, the recovery path after a bad write).
+    * Files the current version added since are `remove`d, files the
+    * target version held are re-`add`ed (original partition values,
+    * sizes, mtimes, and deletion vectors), and a changed schema is
+    * restored via the target's metaData. History is preserved — the
+    * restore is itself a version, and a second restore can undo it.
+    * Fails loudly when a required file was vacuumed away. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Unit = {
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    require(toVersion >= 0 && toVersion < version - 1,
+      s"restore target $toVersion must be an EARLIER version (current: " +
+        s"${version - 1})")
+    val target = DeltaRead.tableState(spark, table, toVersion)
+    val cur = DeltaRead.tableState(spark, table, version - 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val curByPath = cur.live.map(f => f.path -> f).toMap
+    val tgtByPath = target.live.map(f => f.path -> f).toMap
+    // a path live in both but with a DIFFERENT deletion vector must be
+    // re-added with the target's DV (row-level state is part of the
+    // restored version)
+    val removes = cur.live.filter(f =>
+      !tgtByPath.contains(f.path) || tgtByPath(f.path).dv != f.dv)
+    val adds = target.live.filter(f =>
+      !curByPath.contains(f.path) || curByPath(f.path).dv != f.dv)
+    adds.foreach { f =>
+      val p = qualify(f.path)
+      require(p.getFileSystem(conf).exists(p),
+        s"restore to version $toVersion needs ${f.path}, which is gone " +
+          "(vacuumed?) — restore within the vacuum retention window")
+    }
+    val metaAction =
+      if (target.schemaString == cur.schemaString &&
+          target.partitionCols == cur.partitionCols) Nil
+      else Seq(metaDataAction(table,
+        target.schemaString.getOrElse(throw new IllegalStateException(
+          s"version $toVersion has no schemaString")),
+        target.partitionCols, target.configuration))
+    def pvJson(pv: Map[String, String]): String = pv.map { case (k, v) =>
+      s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+    }.mkString(",")
+    val actions = metaAction ++
+      removes.map(f =>
+        s"""{"remove":{"path":${jstr(f.path)},"dataChange":true,""" +
+          s""""partitionValues":{${pvJson(f.partitionValues)}}}}""") ++
+      adds.map(f => addAction(decode(f.path), f.partitionValues, f.size,
+        f.modificationTime, f.dv))
+    require(actions.nonEmpty, s"restore to $toVersion is a no-op — the " +
+      "live file set is already identical")
+    writeVersion(spark, table, version, actions)
+  }
+
   private def metaDataAction(table: String, schemaJson: String,
                              partitionCols: Seq[String],
                              configuration: Map[String, String]): String = {

@@ -604,6 +604,28 @@ object IcebergWrite {
     bumpMetadata(fs, meta, hintPath, mapper.writeValueAsString(node))
   }
 
+  /** ROLLBACK to an earlier snapshot — Iceberg's
+    * `rollback_to_snapshot`: `current-snapshot-id` moves back to
+    * `snapshotId` (which must still be in the metadata); later
+    * snapshots STAY in history until expiry, so the rollback itself is
+    * reversible with another rollback. Metadata-only. */
+  def rollback(spark: SparkSession, table: String, snapshotId: Long): Unit = {
+    val meta = new Path(table, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hintPath = new Path(meta, "version-hint.text")
+    require(fs.exists(hintPath), s"$table has no Iceberg metadata")
+    val mapper = graft.sources.DocPushdown.jsonMapper
+    val node = graft.sources.IcebergRead.readMetadata(spark, table)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    import scala.jdk.CollectionConverters._
+    require(Option(node.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .exists(_.get("snapshot-id").asLong() == snapshotId),
+      s"snapshot $snapshotId not in $table's metadata (expired?)")
+    node.put("current-snapshot-id", snapshotId)
+    bumpMetadata(fs, meta, hintPath, mapper.writeValueAsString(node))
+  }
+
   /** Remove a ref (required before re-tagging — tags are immutable). */
   def dropRef(spark: SparkSession, table: String, name: String): Unit = {
     val meta = new Path(table, "metadata")

@@ -410,6 +410,28 @@ class PlanContractsSpec extends SparkSuite {
       "leakage-safe split regressed to a fingerprint window")
   }
 
+  test("dsir scoring: map-side corpus aggregate, broadcast totals, no window") {
+    val p = plan("corpus_dsir")
+    assert(!p.contains("Window"),
+      "dsir regressed to a window — per-doc fold must be an aggregate " +
+        "higher-order function")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row totals frame lost its broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "totals cross join degenerated to a non-broadcast cartesian")
+    assert(p.contains("partial_"),
+      "corpus bigram counts lost map-side partial aggregation")
+  }
+
+  test("hybrid rrf joins bounded top-k legs; windows only over those lists") {
+    val df = SparkEntry.queries("search_hybrid_rrf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrdered") || p.contains("GlobalLimit"),
+      "rrf legs lost their bounded top-k shape")
+    assert(!p.contains("CartesianProduct"), "rrf fused via cartesian")
+  }
+
   test("iceberg changelog is one scan per (snapshot, class) — bounded unions") {
     // 3 snapshots → 5 (snapshot, class) groups; the per-file shape would
     // blow this up at a 10⁴-file history

@@ -333,6 +333,28 @@ class DeltaWriteSpec extends SparkSuite {
         "delete must not loop per file or collect positions per file")
   }
 
+  test("restore rewinds the live set (incl. DV state); history preserved") {
+    val root = tmp()
+    DeltaWrite.create((1L to 20L).map(i => (i, s"i$i")).toDF("id", "item"),
+      root, Nil)                                        // v0
+    DeltaWrite.deleteWhere(spark, root, "id <= 5")      // v1 (DV)
+    DeltaWrite.append(Seq((99L, "new")).toDF("id", "item"), root) // v2
+    assert(DeltaRead.snapshot(spark, root).count() === 16L)
+    DeltaWrite.restore(spark, root, 0L)                 // v3 == v0 state
+    val ids = DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(ids === (1L to 20L), "restore must undo the DV delete AND the append")
+    // history preserved: v2's state still time-travels
+    assert(DeltaRead.snapshot(spark, root, Some(2L)).count() === 16L)
+    // a restore to the same state is refused as a no-op
+    intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, root, 0L)
+    }
+    // and restore is itself reversible: back to v2's state
+    DeltaWrite.restore(spark, root, 2L)
+    assert(DeltaRead.snapshot(spark, root).count() === 16L)
+  }
+
   test("column mapping: rename is metadata-only; old files read under the new name") {
     val root = tmp()
     DeltaWrite.create(

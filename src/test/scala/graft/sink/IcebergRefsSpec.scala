@@ -60,4 +60,24 @@ class IcebergRefsSpec extends SparkSuite {
     IcebergWrite.setRef(spark, root, "v1.0", 3L)
     assert(byRef("v1.0").size === 4)
   }
+
+  test("rollback moves the tip back; later snapshots stay reversible") {
+    val root = Files.createTempDirectory("iceberg-rollback").toString
+    IcebergWrite.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "item"),
+      root, Seq("id"), fields, snapshotId = 1L, sequenceNumber = 1L)
+    IcebergWrite.upsert(Seq((1L, "a2"), (3L, "c")).toDF("id", "item"),
+      root, Seq("id"), fields, snapshotId = 2L, sequenceNumber = 2L)
+    IcebergWrite.rollback(spark, root, 1L)
+    def state(): Seq[(Long, String)] = IcebergRead.snapshot(spark, root)
+      .selectExpr("id", "item").as[(Long, String)].collect().toSeq.sorted
+    assert(state() === Seq((1L, "a"), (2L, "b")),
+      "tip must read the rolled-back snapshot")
+    // reversible: snapshot 2 is still in history
+    IcebergWrite.rollback(spark, root, 2L)
+    assert(state() === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    // unknown snapshot fails loudly
+    intercept[IllegalArgumentException] {
+      IcebergWrite.rollback(spark, root, 99L)
+    }
+  }
 }
