@@ -551,6 +551,54 @@ object ScaleProbe {
       }
       last
     }
+    // Distributed DV delete at many affected files: positions stay on
+    // executors and each file's merged bitmap writes from the task
+    // holding it, so wall-time must stay ~flat in affected-file count
+    // (the old shape collected every (file, pos) pair and serialized all
+    // vectors on the driver).
+    time("delta_dv_delete_files") {
+      var last = 0L
+      Seq(64, 256).foreach { f =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"probe-dv-$f").resolve("t").toString
+        val df = spark.range(0, f * 1000L)
+          .select(col("id"), (col("id") % 97).as("v")).repartition(f)
+        graft.sink.DeltaWrite.create(df, root, Nil)
+        val t0 = System.nanoTime()
+        graft.sink.DeltaWrite.deleteWhere(spark, root, "id % 10 = 3")
+        System.err.println(f"[probe] delta_dv_delete F=$f%-4d ${
+          (System.nanoTime() - t0) / 1e9}%.1fs")
+        last = graft.sources.DeltaRead.snapshot(spark, root).count()
+        org.apache.hadoop.fs.FileUtil
+          .fullyDelete(new java.io.File(root)): Unit
+      }
+      last
+    }
+    // Hidden-partition pruning at many tuples: 128 days × 2 buckets =
+    // 256 files; a plain ts-range predicate over the LAST eighth of the
+    // days must open ≤ a quarter of the files at PLAN time (the prune
+    // is driver metadata work over tuple count, no file opened).
+    time("iceberg_hidden_prune") {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-hidden").toString
+      val days = 128
+      val rows = spark.range(0, days * 64L).select(col("id"),
+        timestamp_millis(col("id") % days * 86400000L).as("ts"))
+      graft.sink.IcebergWrite.writeHiddenPartitioned(rows, root,
+        Seq(("ts_day", "day", "ts"), ("id_bucket", "bucket[2]", "id")),
+        Seq((1, "id", "long"), (2, "ts", "timestamptz")), snapshotId = 1L)
+      val snap = graft.sources.IcebergRead.snapshot(spark, root)
+      val cutoff = new java.sql.Timestamp((days - days / 8).toLong * 86400000L)
+      val recent = snap.where(col("ts") >= lit(cutoff))
+      val scan = recent.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      val read = scan.selectedPartitions.totalNumberOfFiles
+      System.err.println(s"[probe] hidden prune read=$read of ~${days * 2}")
+      require(read * 4 <= days * 2,
+        s"day-range predicate read $read of ${days * 2} files — prune lost")
+      recent.count()
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {
