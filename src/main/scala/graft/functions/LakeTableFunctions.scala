@@ -15,6 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM graft_delta('/lake/t', 3)         -- versionAsOf
   * SELECT * FROM graft_iceberg('/lake/i')          -- current snapshot
   * SELECT * FROM graft_iceberg('/lake/i', 22)      -- snapshot id
+  * SELECT * FROM graft_iceberg('/lake/i', 'v1.0')  -- ref (tag/branch)
   * SELECT * FROM graft_hudi('/lake/h')             -- latest commit
   * SELECT * FROM graft_hudi('/lake/h', '2024..')   -- time travel
   * SELECT * FROM graft_iceberg_changelog('/lake/i')        -- full history
@@ -46,11 +47,18 @@ object LakeTableFunctions {
       (args: Seq[Expression]) => plan(graft.sources.DeltaRead.snapshot(
         SparkSession.active, str(args.head),
         versionAsOf = args.lift(1).map(num)))),
+    // second arg: a numeric snapshot id, or a STRING ref name (tag /
+    // branch) — `FROM graft_iceberg('/t', 'v1.0')`
     (FunctionIdentifier("graft_iceberg"),
       new ExpressionInfo(getClass.getName, "graft_iceberg"),
-      (args: Seq[Expression]) => plan(graft.sources.IcebergRead.snapshot(
-        SparkSession.active, str(args.head),
-        snapshotId = args.lift(1).map(num)))),
+      (args: Seq[Expression]) => plan(args.lift(1) match {
+        case Some(a) if a.dataType.isInstanceOf[
+            org.apache.spark.sql.types.StringType] =>
+          graft.sources.IcebergRead.snapshotAtRef(
+            SparkSession.active, str(args.head), str(a))
+        case other => graft.sources.IcebergRead.snapshot(
+          SparkSession.active, str(args.head), snapshotId = other.map(num))
+      })),
     (FunctionIdentifier("graft_hudi"),
       new ExpressionInfo(getClass.getName, "graft_hudi"),
       (args: Seq[Expression]) => plan(graft.sources.HudiRead.snapshot(

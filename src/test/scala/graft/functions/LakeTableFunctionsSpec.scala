@@ -60,6 +60,25 @@ class LakeTableFunctionsSpec extends SparkSuite {
       .as[String].collect().toSeq === Seq("bolt"))
   }
 
+  test("graft_iceberg TVF resolves a STRING second arg as a ref (tag)") {
+    LakeTableFunctions.ensureRegistered(spark)
+    val root = Files.createTempDirectory("tvf-ref").toString
+    val fields = Seq((1, "id", "long"), (2, "item", "string"))
+    graft.sink.IcebergWrite.upsert(
+      Seq((1L, "widget")).toDF("id", "item"), root, Seq("id"), fields,
+      snapshotId = 1L, sequenceNumber = 1L)
+    graft.sink.IcebergWrite.setRef(spark, root, "v1.0", 1L)
+    graft.sink.IcebergWrite.upsert(
+      Seq((1L, "widget-v2"), (2L, "bolt")).toDF("id", "item"), root,
+      Seq("id"), fields, snapshotId = 2L, sequenceNumber = 2L)
+    val tagged = spark.sql(
+      s"SELECT item FROM graft_iceberg('$root', 'v1.0')")
+      .as[String].collect().toSeq
+    assert(tagged === Seq("widget"), "the tag must read the pinned state")
+    assert(spark.sql(s"SELECT count(*) FROM graft_iceberg('$root')")
+      .as[Long].head === 2L)
+  }
+
   test("graft_iceberg_changelog TVF: upsert/delete history from plain SQL") {
     LakeTableFunctions.ensureRegistered(spark)
     val root = Files.createTempDirectory("tvf-chg").toString
