@@ -45,26 +45,40 @@ object HudiClean {
     val replaced = HudiRead.replacedFileIds(spark, table, tip)
     val logsByGroup = logs.groupBy(l => (l.partition, l.fileId))
     val toDelete = scala.collection.mutable.ArrayBuffer.empty[String]
+    // CLEAN HORIZON per group: after deleting a group's old slices, any
+    // read ceiling BELOW the oldest retained slice's instant (below the
+    // tip, for replaced groups) would select a deleted file and
+    // silently shrink — the max over groups is recorded in the marker
+    // and gates time travel / pinned incremental ceilings loudly
+    // ([[HudiRead.cleanHorizon]]).
+    val safeCeilings = scala.collection.mutable.ArrayBuffer.empty[String]
     bases.groupBy(b => (b.partition, b.fileId)).foreach { case (key, files) =>
       val groupLogs = logsByGroup.getOrElse(key, Nil)
       if (replaced.contains(key)) {
         // the whole group is invisible at the tip: every completed file goes
-        toDelete ++= files.filter(b => completedSet.contains(b.instant))
-          .map(_.path)
-        toDelete ++= groupLogs
+        val doomed = files.filter(b => completedSet.contains(b.instant))
+          .map(_.path) ++ groupLogs
           .filter(l => completedSet.contains(l.baseInstant)).map(_.path)
+        if (doomed.nonEmpty) safeCeilings += tip
+        toDelete ++= doomed
       } else {
         val completedBases = files
           .filter(b => completedSet.contains(b.instant))
           .sortBy(b => HudiRead.instantKey(b.instant)).reverse
-        toDelete ++= completedBases.drop(retainVersions).map(_.path)
+        val doomedBases = completedBases.drop(retainVersions)
+        toDelete ++= doomedBases.map(_.path)
         // logs folded under the oldest RETAINED base are obsolete
-        completedBases.take(retainVersions).lastOption.foreach { oldest =>
-          val floor = HudiRead.instantKey(oldest.instant)
-          toDelete ++= groupLogs.filter(l =>
-            HudiRead.instantKey(l.baseInstant) < floor &&
-              completedSet.contains(l.baseInstant)).map(_.path)
-        }
+        val doomedLogs = completedBases.take(retainVersions).lastOption
+          .toSeq.flatMap { oldest =>
+            val floor = HudiRead.instantKey(oldest.instant)
+            groupLogs.filter(l =>
+              HudiRead.instantKey(l.baseInstant) < floor &&
+                completedSet.contains(l.baseInstant)).map(_.path)
+          }
+        toDelete ++= doomedLogs
+        if (doomedBases.nonEmpty || doomedLogs.nonEmpty)
+          completedBases.take(retainVersions).lastOption.foreach(b =>
+            safeCeilings += b.instant)
       }
     }
     if (toDelete.isEmpty) return 0
@@ -73,7 +87,14 @@ object HudiClean {
       val path = new Path(p)
       path.getFileSystem(conf).delete(path, false): Unit
     }
-    HudiMorWrite.completeInstant(spark, table, instant, "clean")
+    val horizon = safeCeilings.maxByOption(HudiRead.instantKey)
+    val marker = new Path(new Path(table, ".hoodie"), s"$instant.clean")
+    val f = marker.getFileSystem(conf)
+    val out = f.create(marker, true)
+    try out.write(
+      s"""{"minSafeCeiling":${horizon.map(h => s""""$h"""").getOrElse("null")}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     toDelete.size
   }
 }

@@ -221,11 +221,41 @@ object HudiRead {
   /** Snapshot at the latest completed commit (or `asOf` for time travel —
     * pass an instant from [[completedInstants]] or any timestamp string;
     * the ceiling is inclusive). */
+  /** The minimum safe read CEILING recorded by past clean services
+    * ([[graft.sink.HudiClean]]): a time-travel / pinned-incremental
+    * ceiling BELOW it would select a cleaned file slice and silently
+    * shrink results — readers gate on it loudly instead. */
+  private[graft] def cleanHorizon(spark: SparkSession,
+                                  table: String): Option[String] = {
+    val dir = new Path(table, ".hoodie")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".clean"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        // pre-horizon markers ("{}" bodies) carry no ceiling
+        Option(DocPushdown.jsonMapper.readTree(json).get("minSafeCeiling"))
+          .filterNot(_.isNull).map(_.asText())
+      }.toSeq.maxByOption(instantKey)
+  }
+
+  private def gateCleanHorizon(spark: SparkSession, table: String,
+                               ceiling: String, what: String): Unit =
+    cleanHorizon(spark, table).foreach(h =>
+      require(instantKey(ceiling) >= instantKey(h),
+        s"$what at instant $ceiling is below the clean horizon $h — the " +
+          "file slices serving that instant were deleted by a clean " +
+          "service; read at or above the horizon"))
+
   def snapshot(spark: SparkSession, table: String, asOf: Option[String] = None,
                maxFiles: Int = 1000000): DataFrame = {
     val instants = completedInstants(spark, table)
     require(instants.nonEmpty, s"$table has no completed commits")
     val ceiling = asOf.getOrElse(instants.last)
+    asOf.foreach(a => gateCleanHorizon(spark, table, a, "time travel"))
     val completed = instants.toSet
     val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
     val (chosen, logGroups) =
@@ -479,6 +509,8 @@ object HudiRead {
     val instants = completedInstants(spark, table)
     require(instants.nonEmpty, s"$table has no completed commits")
     val end = endInstant.getOrElse(instants.last)
+    endInstant.foreach(e =>
+      gateCleanHorizon(spark, table, e, "incremental pull pinned"))
     val completed = instants.toSet
     val (bases, logs) = parseFiles(listAllFiles(spark, table, maxFiles))
     val (chosen, logGroups) =

@@ -60,6 +60,19 @@ class HudiCleanSpec extends SparkSuite {
     assert(HudiClean.clean(spark, root, "20240110000000000") === 0)
     // the .clean marker is on the timeline but is NOT a commit ceiling
     assert(!HudiRead.completedInstants(spark, root).contains(T9))
+    // time travel below the clean horizon fails LOUDLY instead of
+    // silently reading a shrunken table (the T1/T2 slices are gone)
+    val tt = intercept[IllegalArgumentException] {
+      HudiRead.snapshot(spark, root, asOf = Some(T2)).count()
+    }
+    assert(tt.getMessage.contains("clean horizon"))
+    val inc = intercept[IllegalArgumentException] {
+      HudiRead.incremental(spark, root, T1, endInstant = Some(T2)).count()
+    }
+    assert(inc.getMessage.contains("clean horizon"))
+    // at/above the horizon both work
+    assert(HudiRead.snapshot(spark, root, asOf = Some(T3)).count() === 2L)
+    assert(HudiRead.incremental(spark, root, T1).count() === 2L)
   }
 
   test("MOR: clean deletes the pre-compaction base and folded logs") {
