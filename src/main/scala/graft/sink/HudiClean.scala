@@ -32,9 +32,44 @@ import graft.sources.HudiRead
   * filesystem metadata calls. Returns the number of files deleted. */
 object HudiClean {
 
+  /** KEEP_LATEST_COMMITS — Hudi's DEFAULT policy, windowed by the
+    * TIMELINE instead of per-group version count: every snapshot within
+    * the last `retainCommits` completed commits stays fully readable
+    * (time travel, pinned incremental ceilings), which means each group
+    * keeps all slices newer than the window floor PLUS the one slice
+    * visible AT the floor; only slices superseded before the window
+    * opened are deleted. The right policy when incremental consumers
+    * may lag up to N commits. Same horizon marker / inflight safety /
+    * replaced-group handling as [[clean]]. */
+  def cleanByCommits(spark: SparkSession, table: String, instant: String,
+                     retainCommits: Int, maxFiles: Int = 1000000): Int = {
+    require(retainCommits >= 1, "retainCommits must be >= 1")
+    val completed = HudiRead.completedInstants(spark, table)
+    if (completed.size <= retainCommits) return 0
+    // the window floor: the oldest commit whose snapshot must stay
+    // readable
+    val floor = completed.sortBy(HudiRead.instantKey)
+      .takeRight(retainCommits).head
+    cleanCore(spark, table, instant, maxFiles) { completedBases =>
+      // keep slices newer than the floor + the slice visible AT it
+      val floorKey = HudiRead.instantKey(floor)
+      val idx = completedBases.indexWhere(b =>
+        HudiRead.instantKey(b.instant) <= floorKey) // newest ≤ floor
+      if (idx < 0) completedBases.size else idx + 1
+    }
+  }
+
   def clean(spark: SparkSession, table: String, instant: String,
             retainVersions: Int = 1, maxFiles: Int = 1000000): Int = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
+    cleanCore(spark, table, instant, maxFiles)(_ => retainVersions)
+  }
+
+  /** Shared sweep: `retainOf(completedBasesNewestFirst)` returns how
+    * many newest slices of the group to keep. */
+  private def cleanCore(spark: SparkSession, table: String, instant: String,
+                        maxFiles: Int)
+                       (retainOf: Seq[HudiRead.BaseFile] => Int): Int = {
     require(instant.nonEmpty && instant.forall(_.isDigit),
       s"instant must be a numeric timeline string, got '$instant'")
     val completed = HudiRead.completedInstants(spark, table)
@@ -65,10 +100,11 @@ object HudiClean {
         val completedBases = files
           .filter(b => completedSet.contains(b.instant))
           .sortBy(b => HudiRead.instantKey(b.instant)).reverse
-        val doomedBases = completedBases.drop(retainVersions)
+        val retain = retainOf(completedBases)
+        val doomedBases = completedBases.drop(retain)
         toDelete ++= doomedBases.map(_.path)
         // logs folded under the oldest RETAINED base are obsolete
-        val doomedLogs = completedBases.take(retainVersions).lastOption
+        val doomedLogs = completedBases.take(retain).lastOption
           .toSeq.flatMap { oldest =>
             val floor = HudiRead.instantKey(oldest.instant)
             groupLogs.filter(l =>
@@ -77,7 +113,7 @@ object HudiClean {
           }
         toDelete ++= doomedLogs
         if (doomedBases.nonEmpty || doomedLogs.nonEmpty)
-          completedBases.take(retainVersions).lastOption.foreach(b =>
+          completedBases.take(retain).lastOption.foreach(b =>
             safeCeilings += b.instant)
       }
     }

@@ -75,6 +75,28 @@ class HudiCleanSpec extends SparkSuite {
     assert(HudiRead.incremental(spark, root, T1).count() === 2L)
   }
 
+  test("KEEP_LATEST_COMMITS: the commit window's snapshots stay readable") {
+    val root = Files.createTempDirectory("hudi-clean-commits").toString
+    // four versions of one group (T1..T4)
+    Seq(T1, T2, T3, T4).zipWithIndex.foreach { case (t, i) =>
+      HudiCowWrite.upsert(Seq((1L, s"v${i + 1}")).toDF("id", "item"),
+        root, "id", t)
+    }
+    // retain the last 2 commits (T3, T4): the slice visible AT the
+    // window floor (T3's) must stay too; only T1/T2's go
+    val deleted = HudiClean.cleanByCommits(spark, root, T9, retainCommits = 2)
+    assert(deleted === 2, s"exactly the T1/T2 slices go, got $deleted")
+    def at(t: String): String = HudiRead.snapshot(spark, root, Some(t))
+      .selectExpr("item").as[String].head
+    assert(at(T4) === "v4")
+    assert(at(T3) === "v3", "the window-floor snapshot must stay readable")
+    val tt = intercept[IllegalArgumentException] { at(T2) }
+    assert(tt.getMessage.contains("clean horizon"))
+    // a second pass is a no-op
+    assert(HudiClean.cleanByCommits(spark, root,
+      "20240110000000000", retainCommits = 2) === 0)
+  }
+
   test("MOR: clean deletes the pre-compaction base and folded logs") {
     val root = Files.createTempDirectory("hudi-clean-mor").toString
     def rows(data: Seq[(String, String, Long, String, Boolean)]) =
