@@ -2307,6 +2307,30 @@ object SparkEntry {
       feed.unionByName(snap).orderBy("_change_type")
     }),
 
+    /** Delta SHALLOW CLONE ([[graft.sink.DeltaWrite.shallowClone]]):
+      * a zero-copy branch of the source table (log references the
+      * source's files by absolute path); a delete applied to the CLONE
+      * diverges it while the source stays intact — the oracle replays
+      * both end states side by side. */
+    "lake_delta_clone" -> ((s, d) => {
+      val src = lakeTmp(d, "clonesrc")
+      val dst = lakeTmp(d, "clonedst")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders, src, Nil)
+      graft.sink.DeltaWrite.deleteWhere(s, src, "o_orderkey % 3 = 0")
+      graft.sink.DeltaWrite.shallowClone(s, src, dst)
+      graft.sink.DeltaWrite.deleteWhere(s, dst, "o_orderkey % 5 = 0")
+      def agg(path: String, label: String) =
+        graft.sources.DeltaRead.snapshot(s, path)
+          .agg(lit(label).as("side"), count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .select("side", "n", "total")
+      agg(dst, "clone").unionByName(agg(src, "source")).orderBy("side")
+    }),
+
     /** Delta RESTORE ([[graft.sink.DeltaWrite.restore]]): a DV delete
       * moves the table off version 0, RESTORE commits a new version
       * whose live set (including row-level DV state) equals v0 — the
@@ -4126,6 +4150,19 @@ object SparkEntry {
                CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
         FROM low WHERE k % 3 = 0 AND k % 2 = 0
       ) t ORDER BY _change_type""",
+
+    "lake_delta_clone" -> """
+      WITH h AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                 WHERE o_orderpriority = '2-HIGH')
+      SELECT * FROM (
+        SELECT 'clone' AS side, count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM h WHERE k % 3 <> 0 AND k % 5 <> 0
+        UNION ALL
+        SELECT 'source', count(*),
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        FROM h WHERE k % 3 <> 0
+      ) t ORDER BY side""",
 
     "lake_delta_restore" -> """
       SELECT count(*) AS n,

@@ -609,6 +609,65 @@ object DeltaWrite {
     writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions)
   }
 
+  /** SHALLOW CLONE — zero-copy table branching (Delta's
+    * `CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF v]`): the clone
+    * is a NEW table whose version-0 log references the source's data
+    * files by ABSOLUTE path — no byte of data moves, and writes to the
+    * clone (appends, merges, deletes) never touch the source. The
+    * branching primitive for training-data experiments: clone the
+    * corpus table, mutate the clone, diff, throw it away. Deletion
+    * vectors are carried (`p`-type absolute descriptors). Source
+    * vacuums can orphan a clone's referenced files — same contract as
+    * Delta's own shallow clones. */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+                   versionAsOf: Option[Long] = None): Unit = {
+    require(nextVersion(spark, target) == 0L,
+      s"$target already has a Delta log")
+    val srcVersion = versionAsOf.getOrElse(
+      DeltaRead.latestVersion(spark, source))
+    val state = DeltaRead.tableState(spark, source, srcVersion)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def absolute(rel: String): String = {
+      val raw = decode(rel)
+      if (raw.startsWith("/")) raw
+      else new Path(source, raw).getFileSystem(conf)
+        .makeQualified(new Path(source, raw)).toUri.getPath
+    }
+    val meta = metaDataAction(target,
+      state.schemaString.getOrElse(throw new IllegalStateException(
+        s"$source@$srcVersion has no schemaString")),
+      state.partitionCols, state.configuration)
+    val protocol = state.protocol match {
+      case Some(p) =>
+        s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},""" +
+          s""""minWriterVersion":${p.minWriterVersion}""" +
+          (if (p.readerFeatures.nonEmpty)
+            s""","readerFeatures":[${p.readerFeatures.map(jstr).mkString(",")}]"""
+          else "") +
+          (if (p.writerFeatures.nonEmpty)
+            s""","writerFeatures":[${p.writerFeatures.map(jstr).mkString(",")}]"""
+          else "") + "}}"
+      case None => """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    }
+    val adds = state.live.map { f =>
+      // DV descriptors: u-type (table-relative) become p-type absolute
+      // so they keep resolving from the clone's root
+      val dv = f.dv.map {
+        case d if d.storageType == "u" =>
+          d.copy(storageType = "p",
+            pathOrInlineDv = graft.sources.DeletionVectors
+              .filePath(source, d).toString)
+        case d => d
+      }
+      addAction(absolute(f.path), f.partitionValues, f.size,
+        f.modificationTime, dv, dataChange = true)
+    }
+    writeVersion(spark, target, 0L, Seq(protocol, meta) ++ adds)
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` — a NEW commit
     * whose live-file set equals the target version's (Delta's RESTORE:
     * time travel made durable, the recovery path after a bad write).

@@ -333,6 +333,31 @@ class DeltaWriteSpec extends SparkSuite {
         "delete must not loop per file or collect positions per file")
   }
 
+  test("shallow clone: zero-copy branch; clone mutations never touch the source") {
+    val src = tmp()
+    DeltaWrite.create((1L to 10L).map(i => (i, s"i$i")).toDF("id", "item"),
+      src, Nil)
+    DeltaWrite.deleteWhere(spark, src, "id <= 2") // source carries DVs
+    val dst = tmp()
+    DeltaWrite.shallowClone(spark, src, dst)
+    // zero-copy: the clone directory holds NO parquet
+    val cloneFiles = Files.walk(Paths.get(dst)).toArray.map(_.toString)
+    assert(!cloneFiles.exists(_.endsWith(".parquet")),
+      "shallow clone must not copy data files")
+    def ids(t: String): Seq[Long] = DeltaRead.snapshot(spark, t)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(ids(dst) === (3L to 10L), "clone reads the source's state incl. DVs")
+    // diverge the clone: the source must not move
+    DeltaWrite.append(Seq((99L, "new")).toDF("id", "item"), dst)
+    DeltaWrite.deleteWhere(spark, dst, "id = 5")
+    assert(ids(dst) === ((3L to 10L).filterNot(_ == 5L) :+ 99L).sorted)
+    assert(ids(src) === (3L to 10L), "clone writes leaked into the source")
+    // clone of an EARLIER version
+    val dst0 = tmp()
+    DeltaWrite.shallowClone(spark, src, dst0, versionAsOf = Some(0L))
+    assert(ids(dst0) === (1L to 10L))
+  }
+
   test("restore rewinds the live set (incl. DV state); history preserved") {
     val root = tmp()
     DeltaWrite.create((1L to 20L).map(i => (i, s"i$i")).toDF("id", "item"),
