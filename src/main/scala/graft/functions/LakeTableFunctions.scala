@@ -13,6 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   * SELECT * FROM graft_delta('/lake/t')            -- latest snapshot
   * SELECT * FROM graft_delta('/lake/t', 3)         -- versionAsOf
+  * SELECT * FROM graft_delta('/lake/t', '2024-01-02 00:00:00') -- ts AS OF
   * SELECT * FROM graft_iceberg('/lake/i')          -- current snapshot
   * SELECT * FROM graft_iceberg('/lake/i', 22)      -- snapshot id
   * SELECT * FROM graft_iceberg('/lake/i', 'v1.0')  -- ref (tag/branch)
@@ -42,11 +43,20 @@ object LakeTableFunctions {
     df.queryExecution.analyzed
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    // second arg: a numeric version, or a STRING timestamp —
+    // `FROM graft_delta('/t', '2024-01-02 00:00:00')` (TIMESTAMP AS OF)
     (FunctionIdentifier("graft_delta"),
       new ExpressionInfo(getClass.getName, "graft_delta"),
-      (args: Seq[Expression]) => plan(graft.sources.DeltaRead.snapshot(
-        SparkSession.active, str(args.head),
-        versionAsOf = args.lift(1).map(num)))),
+      (args: Seq[Expression]) => plan(args.lift(1) match {
+        case Some(a) if a.dataType.isInstanceOf[
+            org.apache.spark.sql.types.StringType] =>
+          graft.sources.DeltaRead.snapshotAt(
+            SparkSession.active, str(args.head),
+            java.sql.Timestamp.valueOf(str(a)).getTime)
+        case other => graft.sources.DeltaRead.snapshot(
+          SparkSession.active, str(args.head),
+          versionAsOf = other.map(num))
+      })),
     // second arg: a numeric snapshot id, or a STRING ref name (tag /
     // branch) — `FROM graft_iceberg('/t', 'v1.0')`
     (FunctionIdentifier("graft_iceberg"),

@@ -60,6 +60,28 @@ class LakeTableFunctionsSpec extends SparkSuite {
       .as[String].collect().toSeq === Seq("bolt"))
   }
 
+  test("graft_delta TVF resolves a STRING second arg as TIMESTAMP AS OF") {
+    LakeTableFunctions.ensureRegistered(spark)
+    val root = Files.createTempDirectory("tvf-ts").resolve("t").toString
+    graft.sink.DeltaWrite.create(
+      Seq((1L, "widget")).toDF("id", "item"), root, Nil)
+    // backdate v0's commit file so a mid-2000s timestamp lands between
+    // versions deterministically
+    val log = java.nio.file.Paths.get(root, "_delta_log",
+      f"${0L}%020d.json")
+    java.nio.file.Files.setLastModifiedTime(log,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime))
+    graft.sink.DeltaWrite.append(
+      Seq((2L, "bolt")).toDF("id", "item"), root)
+    val atV0 = spark.sql(
+      s"SELECT count(*) FROM graft_delta('$root', '2020-06-01 00:00:00')")
+      .as[Long].head
+    assert(atV0 === 1L, "the timestamp must resolve to version 0")
+    assert(spark.sql(s"SELECT count(*) FROM graft_delta('$root')")
+      .as[Long].head === 2L)
+  }
+
   test("graft_iceberg TVF resolves a STRING second arg as a ref (tag)") {
     LakeTableFunctions.ensureRegistered(spark)
     val root = Files.createTempDirectory("tvf-ref").toString
