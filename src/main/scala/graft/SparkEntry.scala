@@ -1083,6 +1083,15 @@ object SparkEntry {
       TextOps.bigramLm(t(s, d, "documents"))
         .orderBy("doc_id")),
 
+    /** Unicode script census ([[TextOps.scriptProfile]]): per-doc
+      * character counts over the major BMP script ranges + the dominant
+      * script — the mC4/OSCAR-style script filter signal, shuffle-free
+      * codegen regex cascades with explicit codepoint ranges so Java
+      * regex and the oracle's RE2 agree exactly. */
+    "text_scripts" -> ((s, d) =>
+      TextOps.scriptProfile(t(s, d, "documents"))
+        .orderBy("doc_id")),
+
     /** DSIR importance scoring ([[TextOps.dsirScore]]) against the
       * `src0` target slice: the domain-selection primitive for
       * assembling a training mix — returns the target-leaning docs
@@ -3264,6 +3273,44 @@ object SparkEntry {
 
     // same bigram construction as text_repetition; integer sums + one
     // division keep the doubles engine-exact
+    "text_scripts" -> """
+      WITH c AS (SELECT doc_id,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END
+          AS BIGINT) AS n_latin,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^0-9]', '', 'g')) END
+          AS BIGINT) AS n_digit,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) END
+          AS BIGINT) AS n_cyrillic,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^\x{0370}-\x{03FF}]', '', 'g')) END
+          AS BIGINT) AS n_greek,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) END
+          AS BIGINT) AS n_arabic,
+        CAST(CASE WHEN text IS NULL THEN 0 ELSE
+          length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) END
+          AS BIGINT) AS n_cjk
+      FROM documents)
+      SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_arabic, n_cjk,
+        CASE
+          WHEN greatest(n_latin, n_digit, n_cyrillic, n_greek, n_arabic,
+                        n_cjk) = 0 THEN 'none'
+          WHEN n_latin >= n_digit AND n_latin >= n_cyrillic AND
+               n_latin >= n_greek AND n_latin >= n_arabic AND
+               n_latin >= n_cjk THEN 'latin'
+          WHEN n_digit >= n_cyrillic AND n_digit >= n_greek AND
+               n_digit >= n_arabic AND n_digit >= n_cjk THEN 'digit'
+          WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_arabic AND
+               n_cyrillic >= n_cjk THEN 'cyrillic'
+          WHEN n_greek >= n_arabic AND n_greek >= n_cjk THEN 'greek'
+          WHEN n_arabic >= n_cjk THEN 'arabic'
+          ELSE 'cjk'
+        END AS dominant
+      FROM c ORDER BY doc_id""",
+
     "corpus_dsir" -> """
       WITH tok AS (SELECT doc_id, source = 'src0' AS t,
                           string_split(lower(text), ' ') AS tk

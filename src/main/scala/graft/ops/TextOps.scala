@@ -499,6 +499,44 @@ object TextOps {
         col("mean_bg_freq"), col("known_ratio"))
   }
 
+  /** Unicode SCRIPT census — the script-based filter signal multilingual
+    * curation pipelines key on (mC4/OSCAR-style): per document, the
+    * character counts of the major BMP script ranges plus the dominant
+    * script (max count; ties resolve to the FIRST script in the fixed
+    * order latin, digit, cyrillic, greek, arabic, cjk; `none` when no
+    * script character appears).
+    * Pure codegen'd `regexp_replace`/`length` cascades — the explicit
+    * codepoint ranges mean Java regex and the oracle's RE2 agree
+    * exactly. Shuffle-free. */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def countRange(pattern: String): Column =
+      when(t.isNull, lit(0L)).otherwise(
+        length(regexp_replace(t, s"[^$pattern]", "")).cast("long"))
+    val scripts = Seq(
+      "latin" -> "A-Za-z",
+      "digit" -> "0-9",
+      "cyrillic" -> "\\u0400-\\u04FF",
+      "greek" -> "\\u0370-\\u03FF",
+      "arabic" -> "\\u0600-\\u06FF",
+      "cjk" -> "\\u4E00-\\u9FFF")
+    val counted = scripts.foldLeft(docs.select(col(idCol), t)) {
+      case (d, (name, range)) => d.withColumn(s"n_$name", countRange(range))
+    }
+    // dominant: max count, fixed-order tiebreak (strict > keeps the
+    // earlier script on ties) — a fold over (count, name) pairs
+    val dominant = scripts.map { case (name, _) =>
+      struct(col(s"n_$name").as("c"), lit(name).as("s"))
+    }.reduceLeft((a, b) =>
+      when(b.getField("c") > a.getField("c"), b).otherwise(a))
+    counted
+      .withColumn("dominant",
+        when(dominant.getField("c") > 0, dominant.getField("s"))
+          .otherwise(lit("none")))
+      .drop(textCol)
+  }
+
   /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): documents are scored by how much
     * their word-bigram distribution leans toward a TARGET slice of the

@@ -1100,6 +1100,27 @@ class OpsSpec extends SparkSuite {
       === "a b\n\nc")
   }
 
+  test("scriptProfile: mixed-script counts and fixed-order dominant tiebreak") {
+    val d = Seq(
+      (1L, "hello мир 123"),             // latin 5, cyrillic 3, digit 3
+      (2L, "привет"),                    // cyrillic only
+      (3L, "你好世界"),                   // cjk only
+      (4L, "abc абв"),                   // latin 3 == cyrillic 3 → latin wins
+      (5L, ",.!?"),                      // punctuation only → none
+      (6L, null.asInstanceOf[String]))   // null → zeros, none
+      .toDF("doc_id", "text")
+    val rows = TextOps.scriptProfile(d)
+      .selectExpr("doc_id", "n_latin", "n_cyrillic", "n_cjk", "dominant")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows(0) === ((1L, 5L, 3L, 0L, "latin")))
+    assert(rows(1) === ((2L, 0L, 6L, 0L, "cyrillic")))
+    assert(rows(2) === ((3L, 0L, 0L, 4L, "cjk")))
+    assert(rows(3) === ((4L, 3L, 3L, 0L, "latin")),
+      "ties resolve to the first script in the fixed order")
+    assert(rows(4)._5 === "none")
+    assert(rows(5) === ((6L, 0L, 0L, 0L, "none")))
+  }
+
   test("dsirScore: target-twin docs score positive, raw-twin negative, deterministic") {
     val docs = Seq(
       (1L, "the cat sat on the mat", true),   // target
