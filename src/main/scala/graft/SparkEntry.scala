@@ -2359,6 +2359,30 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Delta REORG … APPLY (PURGE)
+      * ([[graft.sink.DeltaWrite.purgeDeletionVectors]]): a DV delete
+      * leaves row-level tombstones in the live files; PURGE rewrites the
+      * carrying files WITHOUT the dead rows as a dataChange=false commit
+      * (invisible to CDF and the streaming tail), after which the DV
+      * bitmaps are unreferenced and [[graft.sink.DeltaWrite.vacuumData]]
+      * reclaims them. The full lifecycle delete → purge → vacuum runs
+      * end-to-end; the oracle replays the post-delete live set. */
+    "lake_delta_purge" -> ((s, d) => {
+      val root = lakeTmp(d, "deltapurge")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "3-MEDIUM")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(4)
+      graft.sink.DeltaWrite.create(orders, root, Nil)
+      graft.sink.DeltaWrite.deleteWhere(s, root, "o_orderkey % 4 = 1")
+      graft.sink.DeltaWrite.purgeDeletionVectors(s, root)
+      graft.sink.DeltaWrite.vacuumData(s, root, retainVersions = 1)
+      graft.sources.DeltaRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg ROLLBACK ([[graft.sink.IcebergWrite.rollback]] —
       * `rollback_to_snapshot`): the tip moves back to snapshot 1
       * metadata-only; snapshot 2 stays in history. The oracle replays
@@ -4215,6 +4239,12 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_delta_purge" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 4 <> 1""",
 
     "lake_iceberg_rollback" -> """
       SELECT count(*) AS n,

@@ -895,6 +895,77 @@ object DeltaWrite {
     writeVersion(spark, table, version, actions.toSeq)
   }
 
+  /** REORG TABLE … APPLY (PURGE) — materialize deletion vectors: every
+    * live file carrying a DV is rewritten WITHOUT its deleted rows;
+    * DV-free files are untouched. The commit's remove/add actions carry
+    * `dataChange=false` — the snapshot is IDENTICAL before and after, so
+    * CDF and the streaming tails emit nothing for the purge version
+    * (Delta's own REORG contract, same as [[optimize]]). After a purge
+    * the table holds no live DVs: [[optimize]]'s no-DV gate passes and
+    * [[vacuumData]] reclaims both the superseded data files and their
+    * now-unreferenced DV bitmap files — the step that completes the
+    * DV lifecycle (deleteWhere → purge → optimize → vacuum).
+    *
+    * Scale shape: one DV anti-join scan per partition rewrite group —
+    * deleted positions expand executor-side
+    * ([[graft.sources.DeletionVectors.deletedRows]]) and never touch the
+    * driver; the driver handles only file-level metadata. */
+  def purgeDeletionVectors(spark: SparkSession, table: String,
+                           filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions._
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val version = nextVersion(spark, table)
+    require(version > 0L, s"$table has no Delta log")
+    val state = DeltaRead.tableState(spark, table, version - 1)
+    val dvFiles = state.live.filter(_.dv.isDefined)
+    require(dvFiles.nonEmpty,
+      s"nothing to purge: no live file in $table carries a deletion vector")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(rel: String): String =
+      try Option(new java.net.URI(rel).getPath).getOrElse(rel)
+      catch { case _: java.net.URISyntaxException => rel }
+    def qualify(rel: String): Path = {
+      val raw = decode(rel)
+      val p = if (raw.startsWith("/")) new Path(raw) else new Path(table, raw)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val fsys = new Path(table).getFileSystem(conf)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    dvFiles.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .zipWithIndex.foreach { case ((pv, files), gi) =>
+        val seeds = files.map(f =>
+          (graft.sources.DeletionVectors.sparkPathString(qualify(f.path)),
+            f.dv.get))
+        val deleted =
+          graft.sources.DeletionVectors.deletedRows(spark, table, seeds)
+        val survivors = spark.read.parquet(
+            files.map(f => qualify(f.path).toString): _*)
+          .withColumn("__qualified", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(deleted, Seq("__qualified", "__pos"), "left_anti")
+          .drop("__qualified", "__pos")
+        val sub = s"purge-v$version/g$gi"
+        survivors.coalesce(filesPerPartition)
+          .write.mode("errorifexists").parquet(s"$table/$sub")
+        files.foreach { f =>
+          val pvJson = f.partitionValues.map { case (k, v) =>
+            s"${jstr(k)}:${jstr(Option(v).getOrElse(""))}"
+          }.mkString(",")
+          actions += s"""{"remove":{"path":${jstr(f.path)},""" +
+            s""""dataChange":false,"partitionValues":{$pvJson}}}"""
+        }
+        val written = fsys.listStatus(new Path(table, sub))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        written.foreach { st =>
+          actions += addAction(s"$sub/${st.getPath.getName}", pv,
+            st.getLen, st.getModificationTime, dataChange = false)
+        }
+      }
+    writeVersion(spark, table, version, actions.toSeq)
+  }
+
   /** Write a parquet checkpoint of the CURRENT version + `_last_checkpoint`
     * (what lets [[DeltaRead]] — and any Delta client — read the table
     * after early JSON versions are vacuumed). */

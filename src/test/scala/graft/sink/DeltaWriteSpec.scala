@@ -333,6 +333,44 @@ class DeltaWriteSpec extends SparkSuite {
         "delete must not loop per file or collect positions per file")
   }
 
+  test("purgeDeletionVectors: identical snapshot, optimize unblocked, vacuum reclaims bitmaps") {
+    val root = tmp()
+    DeltaWrite.create(
+      (1L to 100L).map(i => (i, s"i$i")).toDF("id", "item").repartition(4),
+      root, Nil)                                          // v0: 4 files
+    DeltaWrite.deleteWhere(spark, root, "id % 5 = 0")     // v1: DV on each
+    val before = DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(before.size === 80)
+    // optimize is gated while DVs are live
+    intercept[IllegalArgumentException] { DeltaWrite.optimize(spark, root) }
+    DeltaWrite.purgeDeletionVectors(spark, root, filesPerPartition = 4) // v2
+    assert(DeltaRead.tableState(spark, root, 2L).live.forall(_.dv.isEmpty),
+      "purge must leave no live deletion vector")
+    val after = DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().toSeq.sorted
+    assert(after === before, "purge must not change the snapshot")
+    // dataChange=false: CDF sees NOTHING for the purge version
+    assert(DeltaRead.changes(spark, root, 2L, 2L).count() === 0L,
+      "a purge commit must be invisible to the change feed")
+    // time travel below the purge still applies the DVs
+    assert(DeltaRead.snapshot(spark, root, Some(1L))
+      .selectExpr("id").as[Long].collect().toSeq.sorted === before)
+    // the no-DV gate now passes
+    DeltaWrite.optimize(spark, root, zorderBy = Seq("id")) // v3
+    // vacuum reclaims superseded data files AND the orphaned DV bitmaps
+    assert(DeltaWrite.vacuumData(spark, root, retainVersions = 1) > 0)
+    val binsLeft = Files.walk(Paths.get(root)).toArray.map(_.toString)
+      .filter(_.endsWith(".bin"))
+    assert(binsLeft.isEmpty, "purged DV bitmap files must be vacuumable")
+    assert(DeltaRead.snapshot(spark, root)
+      .selectExpr("id").as[Long].collect().toSeq.sorted === before)
+    // purge with nothing to do is refused loudly
+    intercept[IllegalArgumentException] {
+      DeltaWrite.purgeDeletionVectors(spark, root)
+    }
+  }
+
   test("shallow clone: zero-copy branch; clone mutations never touch the source") {
     val src = tmp()
     DeltaWrite.create((1L to 10L).map(i => (i, s"i$i")).toDF("id", "item"),
