@@ -2000,6 +2000,34 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg PARTITION EVOLUTION ([[graft.sink.IcebergWrite.commitEntries]]
+      * spec evolution + the per-group [[graft.sources.TransformFileIndex]]):
+      * era 1 lands under `year(o_orderdate)`, then the table evolves —
+      * metadata-only — to `bucket[8](o_orderkey)` for era 2. ONE snapshot
+      * scan serves both eras, pruning each file group through ITS OWN
+      * spec (pinned in IcebergTransformsSpec); the oracle replays the
+      * date filter over the raw table. */
+    "lake_iceberg_evolution" -> ((s, d) => {
+      val root = lakeTmp(d, "iceevolve")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_orderdate", "date"),
+        (3, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.writeHiddenPartitioned(
+        orders.where(col("o_orderkey") % 2 === 0), root,
+        Seq(("od_year", "year", "o_orderdate")), fields, snapshotId = 1L)
+      graft.sink.IcebergWrite.writeHiddenPartitioned(
+        orders.where(col("o_orderkey") % 2 =!= 0), root,
+        Seq(("ok_bucket", "bucket[8]", "o_orderkey")), fields, snapshotId = 2L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .where(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-01-01")))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg as a CDC TARGET ([[graft.sink.IcebergWrite.upsert]] — v2
       * equality-delete upserts): two overlapping batches land, each as
       * data files + an equality-delete file over the key at one
@@ -4120,6 +4148,11 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       WHERE o_orderdate >= DATE '1996-01-01' AND o_orderkey % 10 = 3""",
+
+    "lake_iceberg_evolution" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'""",
 
     "lake_iceberg_upsert" -> """
       WITH final AS (

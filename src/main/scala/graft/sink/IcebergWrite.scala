@@ -222,12 +222,49 @@ object IcebergWrite {
         s""""schemas":${mapper.writeValueAsString(ss)},"current-schema-id":$cur,"""
       }.orElse(Option(node.get("schema")).map(sn =>
         s""""schema":${mapper.writeValueAsString(sn)},"""))
-      // partition-spec carry-forward: a later commit without an explicit
-      // spec must not strip hidden-partitioning metadata (readers prune
-      // through it)
+      // partition-spec carry-forward AND EVOLUTION: a commit without an
+      // explicit spec must not strip hidden-partitioning metadata
+      // (readers prune through it); a commit whose spec matches the
+      // current default carries it forward; a DIFFERENT spec is appended
+      // as a new spec-id and becomes the default — Iceberg's
+      // metadata-only partition evolution (files written under older
+      // specs keep their tuples; the reader prunes each through its own
+      // spec)
       val priorSpecs = Option(node.get("partition-specs")).map { ps =>
         val cur = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-        s""""partition-specs":${mapper.writeValueAsString(ps)},"default-spec-id":$cur,"""
+        val specsSeq = ps.elements().asScala.toSeq
+        def carried =
+          s""""partition-specs":${mapper.writeValueAsString(ps)},"default-spec-id":$cur,"""
+        if (partitionSpec.isEmpty) carried
+        else {
+          val curTriples = specsSeq
+            .find(s => Option(s.get("spec-id")).exists(_.asInt() == cur))
+            .toSeq
+            .flatMap(s => Option(s.get("fields")).toSeq
+              .flatMap(_.elements().asScala))
+            .map(f => (f.get("name").asText(), f.get("transform").asText(),
+              f.get("source-id").asInt()))
+          if (curTriples == partitionSpec) carried
+          else {
+            val nextId = specsSeq.flatMap(s =>
+              Option(s.get("spec-id")).map(_.asInt())).maxOption.getOrElse(-1) + 1
+            val maxFieldId = specsSeq
+              .flatMap(s => Option(s.get("fields")).toSeq
+                .flatMap(_.elements().asScala))
+              .flatMap(f => Option(f.get("field-id")).map(_.asInt()))
+              .maxOption.getOrElse(999)
+            val fields = partitionSpec.zipWithIndex.map {
+              case ((name, transform, sourceId), i) =>
+                s"""{"name":"$name","transform":"$transform",""" +
+                  s""""source-id":$sourceId,"field-id":${maxFieldId + 1 + i}}"""
+            }.mkString(",")
+            val priorRendered = specsSeq.map(mapper.writeValueAsString)
+              .mkString(",")
+            s""""partition-specs":[$priorRendered,""" +
+              s"""{"spec-id":$nextId,"fields":[$fields]}],""" +
+              s""""default-spec-id":$nextId,"""
+          }
+        }
       }
       // refs (tags/branches) survive every commit — a tag pins its
       // snapshot through later appends and expiry
@@ -267,17 +304,20 @@ object IcebergWrite {
         s""""schemas":[{"schema-id":0,"type":"struct","fields":[$fields]}],
           "current-schema-id":0,"""
       }
-    val specJson =
-      if (partitionSpec.isEmpty) prior.flatMap(_._4).getOrElse("")
-      else {
-        val fields = partitionSpec.zipWithIndex.map {
-          case ((name, transform, sourceId), i) =>
-            s"""{"name":"$name","transform":"$transform",""" +
-              s""""source-id":$sourceId,"field-id":${1000 + i}}"""
-        }.mkString(",")
-        s""""partition-specs":[{"spec-id":0,"fields":[$fields]}],
-          "default-spec-id":0,"""
-      }
+    val specJson = prior.flatMap(_._4) match {
+      case Some(rendered) => rendered // carry-forward / evolution above
+      case None =>
+        if (partitionSpec.isEmpty) ""
+        else {
+          val fields = partitionSpec.zipWithIndex.map {
+            case ((name, transform, sourceId), i) =>
+              s"""{"name":"$name","transform":"$transform",""" +
+                s""""source-id":$sourceId,"field-id":${1000 + i}}"""
+          }.mkString(",")
+          s""""partition-specs":[{"spec-id":0,"fields":[$fields]}],
+            "default-spec-id":0,"""
+        }
+    }
     // deterministic default: the snapshot id doubles as timestamp-ms, so
     // readers' FOR TIMESTAMP AS OF works on fixture tables too
     val ts = timestampMs.getOrElse(snapshotId)

@@ -632,13 +632,16 @@ object IcebergRead {
                               meta: com.fasterxml.jackson.databind.JsonNode)
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
-    val names = files.headOption.map(_.partition.map(_._1)).getOrElse(Nil)
-    if (names.isEmpty || !files.forall(_.partition.map(_._1) == names))
-      return None
+    val sigs = files.map(_.partition.map(_._1)).distinct
+    if (sigs.isEmpty || sigs == Seq(Seq.empty)) return None // unpartitioned
     val schema = fieldIdReadSchema(meta).getOrElse(return None)
+    if (sigs.size > 1) // MIXED tuple shapes: partition EVOLUTION left
+      // files under older specs — prune each group through its own spec
+      return transformScan(spark, table, files, meta, schema)
+    val names = sigs.head
     val resolved = names.map(n => schema.fields.find(_.name == n))
     if (resolved.exists(_.isEmpty)) // not identity columns: try the
-      return transformScan(spark, table, files, meta, names, schema)
+      return transformScan(spark, table, files, meta, schema)
     val pFields = resolved.flatten
     val partitionSchema = StructType(pFields.map(f =>
       StructField(f.name, f.dataType, f.nullable)))
@@ -684,29 +687,37 @@ object IcebergRead {
       .select(schema.fieldNames.toSeq.map(col): _*)) // declared order
   }
 
-  /** The default partition spec's fields: tuple field name →
+  /** ALL partition specs' fields merged: tuple field name →
     * (transform, source column name), resolved through the schema's
-    * field ids. Empty when the metadata records no `partition-specs`
-    * or a source id doesn't resolve to a TOP-LEVEL column. */
+    * field ids. Specs fold in ascending spec-id order with the DEFAULT
+    * spec overlaid last, so under partition evolution a re-used field
+    * name resolves to the current spec's meaning while older specs'
+    * names stay resolvable for the files still carrying their tuples.
+    * Empty when the metadata records no `partition-specs` or a source
+    * id doesn't resolve to a TOP-LEVEL column. */
   private def partitionSpecFields(meta: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
     val idToPath = schemaFieldPaths(meta)
     val specs = Option(meta.get("partition-specs")).toSeq
-      .flatMap(_.elements().asScala)
+      .flatMap(_.elements().asScala).toSeq
     val wanted = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
-    specs.find(s => Option(s.get("spec-id")).exists(_.asInt() == wanted))
-      .orElse(specs.headOption)
-      .toSeq
-      .flatMap(s => Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
-      .flatMap { f =>
+    def fieldsOf(s: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[(String, (String, String))] =
+      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).flatMap { f =>
         for {
           name <- Option(f.get("name")).map(_.asText())
           transform <- Option(f.get("transform")).map(_.asText())
           sourceId <- Option(f.get("source-id")).map(_.asInt())
           path <- idToPath.get(sourceId) if path.length == 1
         } yield name -> (transform, path.head)
-      }.toMap
+      }.toSeq
+    val ordered = specs.sortBy(s =>
+      Option(s.get("spec-id")).map(_.asInt()).getOrElse(0))
+    val default = ordered.filter(s =>
+      Option(s.get("spec-id")).exists(_.asInt() == wanted))
+    (ordered.filterNot(default.contains) ++ default)
+      .flatMap(fieldsOf).toMap
   }
 
   /** HIDDEN-PARTITIONED scan: tuple field names that do NOT resolve to
@@ -716,24 +727,59 @@ object IcebergRead {
     * data-column predicates (`ts >= X`, `id = k`) then prune FILES
     * through the transforms at planning time, Iceberg's
     * hidden-partitioning contract. Every output column reads from the
-    * data files (the tuple is metadata only). Returns None — full-scan
-    * fallback — when a transform is unknown or a source is nested. */
+    * data files (the tuple is metadata only).
+    *
+    * Handles partition EVOLUTION: files are grouped by their tuple
+    * SHAPE and each group resolves against the table's merged
+    * `partition-specs`, so files written under an older spec (or before
+    * any partitioning — empty tuples, never pruned) coexist with the
+    * current spec's files in ONE scan, each pruned through its own
+    * transforms. Identity fields are gated on the source column being
+    * present in the group's data files (one footer probe per group):
+    * manifest-only identity values cannot be served per-group by a
+    * transform index, and silently null-filling them would corrupt
+    * results. Returns None — full-scan fallback — when a transform is
+    * unknown or a source is nested. */
   private def transformScan(spark: SparkSession, table: String,
                             files: Seq[Tracked],
                             meta: com.fasterxml.jackson.databind.JsonNode,
-                            names: Seq[String],
                             schema: org.apache.spark.sql.types.StructType)
       : Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val specFields = partitionSpecFields(meta)
     if (specFields.isEmpty) return None
-    val specs = names.map { n =>
-      (for {
-        (transform, srcName) <- specFields.get(n)
-        f <- schema.fields.find(_.name == srcName)
-        if IcebergTransforms.supported(transform, f.dataType)
-      } yield IcebergTransforms.SpecField(n, transform, f.name, f.dataType))
-        .getOrElse(return None)
+    val bySig: Seq[(Seq[String], Seq[Tracked])] =
+      files.groupBy(_.partition.map(_._1)).toSeq
+        .sortBy(_._1.mkString("/"))
+    val sigSpecs: Map[Seq[String], Seq[IcebergTransforms.SpecField]] =
+      bySig.map { case (sig, _) =>
+        sig -> sig.map { n =>
+          (for {
+            (transform, srcName) <- specFields.get(n)
+            f <- schema.fields.find(_.name == srcName)
+            if IcebergTransforms.supported(transform, f.dataType)
+          } yield IcebergTransforms.SpecField(n, transform, f.name, f.dataType))
+            .getOrElse(return None)
+        }
+      }.toMap
+    // identity sources must live in the data files (real Iceberg writers
+    // always repeat them; Hive-migrated files may not) — one footer
+    // probe per signature group, loud gate instead of silent nulls
+    bySig.foreach { case (sig, group) =>
+      val identitySrcs = sigSpecs(sig).filter(_.transform == "identity")
+      if (identitySrcs.nonEmpty) {
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          spark.sparkContext.hadoopConfiguration, new Path(group.head.path),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+        import scala.jdk.CollectionConverters._
+        val present = footer.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        identitySrcs.foreach(s => require(present.contains(s.sourceName),
+          s"identity partition source '${s.sourceName}' is absent from the " +
+            s"data files of tuple shape ${sig.mkString("(", ",", ")")} — " +
+            "manifest-only identity columns cannot be served under " +
+            "partition evolution; rewrite the files to carry the column"))
+      }
     }
     val useIds = parquetHasFieldIds(spark, files.head.path)
     if (useIds) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -753,12 +799,15 @@ object IcebergRead {
       case c: CharSequence => c.toString
       case other => other.toString
     }
-    val partitions = files.groupBy(_.partition).toSeq
-      .sortBy(_._1.map(p => String.valueOf(p._2)).mkString("/"))
-      .map { case (pv, group) =>
-        (pv.map(p => tupleValue(p._2)), group.map(status).toArray)
-      }
-    val index = new TransformFileIndex(new Path(table), specs, partitions)
+    val groups = bySig.flatMap { case (sig, sigFiles) =>
+      sigFiles.groupBy(_.partition).toSeq
+        .sortBy(_._1.map(p => String.valueOf(p._2)).mkString("/"))
+        .map { case (pv, group) =>
+          (sigSpecs(sig), pv.map(p => tupleValue(p._2)),
+            group.map(status).toArray)
+        }
+    }
+    val index = new TransformFileIndex(new Path(table), groups)
     import org.apache.spark.sql.functions.col
     Some(StaticFileIndex.transformParquetRelation(spark, new Path(table),
         dataSchema, index)

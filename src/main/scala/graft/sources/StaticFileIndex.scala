@@ -87,10 +87,19 @@ final class StaticFileIndex(
   * files (pruning is an optimization, never a correctness gate). */
 final class TransformFileIndex(
     root: Path,
-    specs: Seq[IcebergTransforms.SpecField],
-    /** One entry per distinct tuple: transformed values aligned with
-      * `specs`, plus the tuple's files. */
-    partitions: Seq[(Seq[Any], Array[FileStatus])]) extends FileIndex {
+    /** One entry per distinct (spec, tuple): the group's OWN spec fields
+      * (groups may carry different specs — Iceberg partition EVOLUTION
+      * leaves files written under older specs in the table), transformed
+      * values aligned with those fields, plus the tuple's files. A group
+      * with an empty spec (files from an unpartitioned era) is never
+      * pruned. */
+    groups: Seq[(Seq[IcebergTransforms.SpecField], Seq[Any], Array[FileStatus])])
+  extends FileIndex {
+
+  /** Single-spec convenience: every tuple shares `specs`. */
+  def this(root: Path, specs: Seq[IcebergTransforms.SpecField],
+           partitions: Seq[(Seq[Any], Array[FileStatus])]) =
+    this(root, partitions.map { case (values, files) => (specs, values, files) })
 
   import org.apache.spark.sql.catalyst.expressions._
 
@@ -98,36 +107,37 @@ final class TransformFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  private def sourceIndex(e: Expression): Option[Int] = e match {
-    case a: AttributeReference =>
-      val i = specs.indexWhere(_.sourceName.equalsIgnoreCase(a.name))
-      if (i >= 0) Some(i) else None
+  private def sourceName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
     case _ => None // casts etc. change comparison semantics: no pruning
   }
 
-  /** Conjunct → projectable `(spec index, op, literal)` facts. */
-  private def projections(e: Expression): Seq[(Int, String, Any)] = e match {
+  /** Conjunct → projectable `(source column, op, literal)` facts —
+    * keyed by NAME (not spec index): under partition evolution a column
+    * may be a transform source in one group's spec and absent from
+    * another's. */
+  private def projections(e: Expression): Seq[(String, String, Any)] = e match {
     case And(l, r) => projections(l) ++ projections(r)
-    case EqualTo(a, Literal(v, _)) => sourceIndex(a).map((_, "=", v)).toSeq
-    case EqualTo(Literal(v, _), a) => sourceIndex(a).map((_, "=", v)).toSeq
+    case EqualTo(a, Literal(v, _)) => sourceName(a).map((_, "=", v)).toSeq
+    case EqualTo(Literal(v, _), a) => sourceName(a).map((_, "=", v)).toSeq
     case EqualNullSafe(a, Literal(v, _)) if v != null =>
-      sourceIndex(a).map((_, "=", v)).toSeq
+      sourceName(a).map((_, "=", v)).toSeq
     case EqualNullSafe(Literal(v, _), a) if v != null =>
-      sourceIndex(a).map((_, "=", v)).toSeq
-    case GreaterThan(a, Literal(v, _)) => sourceIndex(a).map((_, ">", v)).toSeq
-    case GreaterThan(Literal(v, _), a) => sourceIndex(a).map((_, "<", v)).toSeq
+      sourceName(a).map((_, "=", v)).toSeq
+    case GreaterThan(a, Literal(v, _)) => sourceName(a).map((_, ">", v)).toSeq
+    case GreaterThan(Literal(v, _), a) => sourceName(a).map((_, "<", v)).toSeq
     case GreaterThanOrEqual(a, Literal(v, _)) =>
-      sourceIndex(a).map((_, ">=", v)).toSeq
+      sourceName(a).map((_, ">=", v)).toSeq
     case GreaterThanOrEqual(Literal(v, _), a) =>
-      sourceIndex(a).map((_, "<=", v)).toSeq
-    case LessThan(a, Literal(v, _)) => sourceIndex(a).map((_, "<", v)).toSeq
-    case LessThan(Literal(v, _), a) => sourceIndex(a).map((_, ">", v)).toSeq
+      sourceName(a).map((_, "<=", v)).toSeq
+    case LessThan(a, Literal(v, _)) => sourceName(a).map((_, "<", v)).toSeq
+    case LessThan(Literal(v, _), a) => sourceName(a).map((_, ">", v)).toSeq
     case LessThanOrEqual(a, Literal(v, _)) =>
-      sourceIndex(a).map((_, "<=", v)).toSeq
+      sourceName(a).map((_, "<=", v)).toSeq
     case LessThanOrEqual(Literal(v, _), a) =>
-      sourceIndex(a).map((_, ">=", v)).toSeq
+      sourceName(a).map((_, ">=", v)).toSeq
     case In(a, lits) if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-      sourceIndex(a)
+      sourceName(a)
         .map((_, "in", lits.map(_.asInstanceOf[Literal].value): Any)).toSeq
     case _ => Nil
   }
@@ -136,24 +146,27 @@ final class TransformFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val facts = dataFilters.flatMap(projections)
     val pruned =
-      if (facts.isEmpty) partitions
-      else partitions.filter { case (values, _) =>
-        facts.forall { case (i, op, lit) =>
-          IcebergTransforms.keeps(specs(i), values(i), op, lit)
+      if (facts.isEmpty) groups
+      else groups.filter { case (specs, values, _) =>
+        facts.forall { case (src, op, lit) =>
+          val i = specs.indexWhere(_.sourceName.equalsIgnoreCase(src))
+          // a column outside THIS group's spec keeps the group (pruning
+          // is an optimization, never a correctness gate)
+          i < 0 || IcebergTransforms.keeps(specs(i), values(i), op, lit)
         }
       }
-    pruned.map { case (_, files) =>
+    pruned.map { case (_, _, files) =>
       PartitionDirectory(InternalRow.empty, files)
     }
   }
 
   override def inputFiles: Array[String] =
-    partitions.iterator.flatMap(_._2).map(_.getPath.toString).toArray
+    groups.iterator.flatMap(_._3).map(_.getPath.toString).toArray
 
   override def refresh(): Unit = ()
 
   override val sizeInBytes: Long =
-    partitions.iterator.flatMap(_._2).map(_.getLen).sum
+    groups.iterator.flatMap(_._3).map(_.getLen).sum
 }
 
 object StaticFileIndex {

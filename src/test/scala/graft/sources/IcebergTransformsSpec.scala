@@ -116,6 +116,94 @@ class IcebergTransformsSpec extends SparkSuite {
       rows.count(_._3 > 350L))
   }
 
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    } match {
+      case Seq(one) => one.selectedPartitions.totalNumberOfFiles
+      case other => fail(s"expected ONE scan, got ${other.size}")
+    }
+
+  test("partition evolution day(ts) -> bucket(id): per-group pruning, one scan") {
+    val root = Files.createTempDirectory("iceberg-evolve").toString
+    val fields = Seq((1, "id", "long"), (2, "ts", "timestamptz"),
+      (3, "v", "long"))
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, new Timestamp(86400000L * (i % 4) + 1000L * i), i * 10L)
+    }
+    val old = rows(0, 20)
+    assert(IcebergWrite.writeHiddenPartitioned(old.toDF("id", "ts", "v"),
+      root, Seq(("ts_day", "day", "ts")), fields, snapshotId = 1L))
+    val neu = rows(20, 40)
+    assert(IcebergWrite.writeHiddenPartitioned(neu.toDF("id", "ts", "v"),
+      root, Seq(("id_bucket", "bucket[4]", "id")), fields, snapshotId = 2L))
+    // metadata-only evolution: BOTH specs retained, the new one default
+    val meta = IcebergRead.readMetadata(spark, root)
+    assert(meta.get("partition-specs").size() === 2)
+    assert(meta.get("default-spec-id").asInt() === 1)
+    // one scan over both eras
+    val snap = IcebergRead.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("id", "ts", "v"))
+    assert(snap.count() === 40L)
+    val total = scanFiles(snap)
+    // a ts predicate prunes the day-era group through ITS spec; the
+    // bucket-era files (ts not in their spec) are all kept — correct
+    val recent = snap.where($"ts" >= new Timestamp(2L * 86400000L))
+    assert(recent.count() ===
+      (old ++ neu).count(_._2.getTime >= 2L * 86400000L))
+    assert(scanFiles(recent) < total, "day-era files did not prune")
+    // an id equality prunes the bucket-era group; day-era files all kept
+    val one = snap.where($"id" === 25L)
+    assert(one.selectExpr("v").as[Long].collect().toSeq === Seq(250L))
+    assert(scanFiles(one) < total, "bucket-era files did not prune")
+    // writing with the CURRENT spec again must NOT evolve a third spec
+    assert(IcebergWrite.writeHiddenPartitioned(
+      Seq((99L, new Timestamp(86400000L), 990L)).toDF("id", "ts", "v"),
+      root, Seq(("id_bucket", "bucket[4]", "id")), fields, snapshotId = 3L))
+    val meta2 = IcebergRead.readMetadata(spark, root)
+    assert(meta2.get("partition-specs").size() === 2,
+      "an identical spec must carry forward, not append")
+    assert(IcebergRead.snapshot(spark, root).count() === 41L)
+  }
+
+  test("partition evolution from an unpartitioned era: empty tuples never prune") {
+    val root = Files.createTempDirectory("iceberg-evolve0")
+    val fields = Seq((1, "id", "long"), (2, "ts", "timestamptz"),
+      (3, "v", "long"))
+    // snapshot 1: unpartitioned append (empty partition tuples)
+    val tmp = Files.createTempDirectory("ice-unpart")
+    Seq((100L, new Timestamp(0L), 1000L), (101L, new Timestamp(0L), 1010L))
+      .toDF("id", "ts", "v").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dataDir = root.resolve("data")
+    Files.createDirectories(dataDir)
+    val f0 = dataDir.resolve("unpart.parquet")
+    Files.copy(part, f0)
+    IcebergWrite.commitEntries(spark, root.toString,
+      Seq(IcebergWrite.FileEntry(f0.toString, 0, 1L,
+        sizeInBytes = Files.size(f0))),
+      schemaFields = fields, snapshotId = 1L)
+    // snapshot 2: the table EVOLVES to day(ts) partitioning
+    val neu = (0 until 8).map { i =>
+      (i.toLong, new Timestamp(86400000L * (i % 4)), i * 10L)
+    }
+    assert(IcebergWrite.writeHiddenPartitioned(neu.toDF("id", "ts", "v"),
+      root.toString, Seq(("ts_day", "day", "ts")), fields, snapshotId = 2L))
+    val snap = IcebergRead.snapshot(spark, root.toString)
+    assert(snap.count() === 10L)
+    val total = scanFiles(snap)
+    // pruning on ts drops day-era files but ALWAYS keeps the
+    // unpartitioned-era file — and the result is correct
+    val recent = snap.where($"ts" >= new Timestamp(2L * 86400000L))
+    assert(recent.selectExpr("sum(v)").as[Long].head ===
+      neu.filter(_._2.getTime >= 2L * 86400000L).map(_._3).sum)
+    assert(scanFiles(recent) < total)
+    assert(snap.where($"v" >= 1000L).count() === 2L,
+      "unpartitioned-era rows must survive every pruned scan")
+  }
+
   test("iceberg_bucket SQL function matches the scan-side arithmetic") {
     graft.functions.IcebergPartitionFunctions.ensureRegistered(spark)
     val got = spark.sql(
