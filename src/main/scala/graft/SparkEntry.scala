@@ -2199,6 +2199,74 @@ object SparkEntry {
         FROM graft_delta('$root')""")
     }),
 
+    /** DESCRIBE HISTORY as SQL ([[graft.sources.DeltaRead.history]] via
+      * the `graft_delta_history` TVF): four commits — CTAS, append, DV
+      * delete, REORG PURGE — each stamped with the protocol's
+      * `commitInfo.operation` by [[graft.sink.DeltaWrite]]; the oracle
+      * pins versions, operations, action counts, and the dataChange
+      * flags (the purge is the one data_change=false commit). */
+    "lake_delta_history" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "deltahist")
+      val orders = t(s, d, "orders").where(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.DeltaWrite.create(orders.repartition(2), root, Nil)
+      graft.sink.DeltaWrite.append(
+        orders.where(col("o_orderkey") % 7 === 0).coalesce(1), root)
+      graft.sink.DeltaWrite.deleteWhere(s, root, "o_orderkey % 2 = 0")
+      graft.sink.DeltaWrite.purgeDeletionVectors(s, root)
+      s.sql(s"""SELECT CAST(version AS BIGINT) AS version, operation,
+        CAST(num_added_files AS BIGINT) AS adds,
+        CAST(num_removed_files AS BIGINT) AS removes, data_change
+        FROM graft_delta_history('$root') ORDER BY version""")
+    }),
+
+    /** The Iceberg `snapshots` metadata table as SQL
+      * ([[graft.sources.IcebergRead.snapshotsMeta]] via
+      * `graft_iceberg_snapshots`): two equality-delete upserts; each
+      * snapshot's row carries its FULL file state (manifest lists are
+      * complete states, not deltas) and the `overwrite` operation the
+      * append-only gates key off. */
+    "lake_iceberg_snapshots" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "icesnaps")
+      val orders = t(s, d, "orders").where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(orders.coalesce(1), root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.upsert(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 2).coalesce(1),
+        root, Seq("o_orderkey"), fields, snapshotId = 2L, sequenceNumber = 2L)
+      s.sql(s"""SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        CAST(timestamp_ms AS BIGINT) AS timestamp_ms, operation,
+        CAST(data_files AS BIGINT) AS data_files,
+        CAST(delete_files AS BIGINT) AS delete_files
+        FROM graft_iceberg_snapshots('$root') ORDER BY snapshot_id""")
+    }),
+
+    /** The Hudi `.hoodie` timeline as SQL ([[graft.sources.HudiRead
+      * .timeline]] via `graft_hudi_timeline`): two upserts + a key
+      * delete, all completed commit instants — the observability
+      * surface a replication operator monitors. */
+    "lake_hudi_timeline" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "huditl")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderpriority") === "4-NOT SPECIFIED")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sink.HudiCowWrite.upsert(orders, root, "o_orderkey",
+        "00000000000000001")
+      graft.sink.HudiCowWrite.upsert(
+        orders.withColumn("o_totalprice", col("o_totalprice") * 2), root,
+        "o_orderkey", "00000000000000002")
+      graft.sink.HudiCowWrite.deleteKeys(
+        orders.select("o_orderkey").where(col("o_orderkey") % 2 === 0), root,
+        "o_orderkey", "00000000000000003")
+      s.sql(s"""SELECT instant, action, state
+        FROM graft_hudi_timeline('$root') ORDER BY instant""")
+    }),
+
     /** SQL-native CHANGELOG read (`graft_iceberg_changelog` TVF over
       * [[graft.sources.IcebergRead.changelog]]): an upsert + delete
       * history queried entirely through `spark.sql`, per-(version,
@@ -4206,6 +4274,36 @@ object SparkEntry {
                                 ELSE o_totalprice END AS DECIMAL(18,2)))
                   AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "lake_delta_history" -> """
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'CREATE TABLE AS SELECT',
+         CAST(2 AS BIGINT), CAST(0 AS BIGINT), true),
+        (CAST(1 AS BIGINT), 'WRITE',
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT), true),
+        (CAST(2 AS BIGINT), 'DELETE',
+         CAST(3 AS BIGINT), CAST(3 AS BIGINT), true),
+        (CAST(3 AS BIGINT), 'REORG',
+         CAST(1 AS BIGINT), CAST(3 AS BIGINT), false))
+        AS t(version, operation, adds, removes, data_change)
+      ORDER BY version""",
+
+    "lake_iceberg_snapshots" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'overwrite',
+         CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'overwrite',
+         CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        AS t(snapshot_id, timestamp_ms, operation, data_files, delete_files)
+      ORDER BY snapshot_id""",
+
+    "lake_hudi_timeline" -> """
+      SELECT * FROM (VALUES
+        ('00000000000000001', 'commit', 'completed'),
+        ('00000000000000002', 'commit', 'completed'),
+        ('00000000000000003', 'commit', 'completed'))
+        AS t(instant, action, state)
+      ORDER BY instant""",
 
     "lake_sql_tvf" -> """
       SELECT count(*) AS n,

@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM graft_iceberg_changelog('/lake/i', 2, 5)  -- (from, to]
   * SELECT * FROM graft_delta_cdf('/lake/t', 1)             -- CDF from v1
   * SELECT * FROM graft_hudi_incremental('/lake/h', '2024..') -- (begin, tip]
+  * SELECT * FROM graft_delta_history('/lake/t')       -- DESCRIBE HISTORY
+  * SELECT * FROM graft_iceberg_snapshots('/lake/i')   -- snapshots meta
+  * SELECT * FROM graft_hudi_timeline('/lake/h')       -- .hoodie timeline
   * }}}
   *
   * Each TVF resolves to the reader's ANALYZED plan, so everything the
@@ -98,7 +101,24 @@ object LakeTableFunctions {
       new ExpressionInfo(getClass.getName, "graft_hudi_incremental"),
       (args: Seq[Expression]) => plan(graft.sources.HudiRead.incremental(
         SparkSession.active, str(args.head), str(args(1)),
-        endInstant = args.lift(2).map(str)))))
+        endInstant = args.lift(2).map(str)))),
+    // DESCRIBE HISTORY: graft_delta_history(path) → (version, operation,
+    // num_added_files, num_removed_files, num_cdc_files, data_change)
+    (FunctionIdentifier("graft_delta_history"),
+      new ExpressionInfo(getClass.getName, "graft_delta_history"),
+      (args: Seq[Expression]) => plan(graft.sources.DeltaRead.history(
+        SparkSession.active, str(args.head)))),
+    // Iceberg `snapshots` metadata table: graft_iceberg_snapshots(path)
+    // → (snapshot_id, timestamp_ms, operation, data_files, delete_files)
+    (FunctionIdentifier("graft_iceberg_snapshots"),
+      new ExpressionInfo(getClass.getName, "graft_iceberg_snapshots"),
+      (args: Seq[Expression]) => plan(graft.sources.IcebergRead.snapshotsMeta(
+        SparkSession.active, str(args.head)))),
+    // Hudi timeline: graft_hudi_timeline(path) → (instant, action, state)
+    (FunctionIdentifier("graft_hudi_timeline"),
+      new ExpressionInfo(getClass.getName, "graft_hudi_timeline"),
+      (args: Seq[Expression]) => plan(graft.sources.HudiRead.timeline(
+        SparkSession.active, str(args.head)))))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.tableFunctionRegistry

@@ -64,12 +64,19 @@ object DeltaWrite {
   }
 
   private[graft] def writeVersion(spark: SparkSession, table: String, version: Long,
-                                  lines: Seq[String]): Unit = {
+                                  lines: Seq[String],
+                                  /** Recorded as the commit's `commitInfo
+                                    * .operation` (the protocol's optional
+                                    * informational action — what DESCRIBE
+                                    * HISTORY displays). Null skips it. */
+                                  operation: String = null): Unit = {
     val dir = logDir(table)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    val info = Option(operation).map(op =>
+      s"""{"commitInfo":{"operation":${jstr(op)}}}""").toSeq
     val out = fs.create(new Path(dir, f"$version%020d.json"), false)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(((info ++ lines).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -137,7 +144,8 @@ object DeltaWrite {
         s""""configuration":{}}}"""
     writeVersion(spark, table, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta) ++
-      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) },
+      operation = "CREATE TABLE AS SELECT")
   }
 
   /** Blind-APPEND `df` as a new log version (adds only, no removes —
@@ -155,7 +163,8 @@ object DeltaWrite {
       .parquet(s"$table/$sub")
     val files = writtenFiles(spark, table, sub)
     writeVersion(spark, table, version,
-      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+      files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) },
+      operation = "WRITE")
   }
 
   /** Streaming-sink append with SetTransaction EXACTLY-ONCE — Delta's
@@ -182,7 +191,8 @@ object DeltaWrite {
     val files = writtenFiles(spark, table, sub)
     writeVersion(spark, table, version,
       s"""{"txn":{"appId":${jstr(appId)},"version":$txnVersion}}""" +:
-        files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) })
+        files.map { case (p, pv, sz, mt) => addAction(p, pv, sz, mt) },
+      operation = "STREAMING UPDATE")
     true
   }
 
@@ -205,8 +215,8 @@ object DeltaWrite {
       .map { case (p, _, size, mtime) =>
         (p, Map(partitionCol -> value), size, mtime)
       }
-    writeVersion(spark, table, version,
-      removed.map { r =>
+    writeVersion(spark, table, version, operation = "WRITE",
+      lines = removed.map { r =>
         // partitionValues on the remove let CDF readers attach partition
         // columns to the delete rows without replaying earlier state
         val pvJson = r.partitionValues.map { case (k, v) =>
@@ -301,7 +311,8 @@ object DeltaWrite {
             """"dataChange":false}}""")
         }
       }
-    writeVersion(spark, table, version, actions.toSeq)
+    writeVersion(spark, table, version, actions.toSeq,
+      operation = "UPDATE")
   }
 
   /** Keyed MERGE into a real Delta table — Delta as a CDC TARGET (the
@@ -486,7 +497,8 @@ object DeltaWrite {
           """"partitionValues":{},"size":""" + sz + ""","dataChange":false}}""")
       }
     }
-    writeVersion(spark, table, version, actions.toSeq)
+    writeVersion(spark, table, version, actions.toSeq,
+      operation = "MERGE")
     true
   }
 
@@ -606,7 +618,8 @@ object DeltaWrite {
           }
         }
     }
-    writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions)
+    writeVersion(spark, table, version, (protocol +: actions) ++ cdcActions,
+      operation = "DELETE")
   }
 
   /** SHALLOW CLONE — zero-copy table branching (Delta's
@@ -665,7 +678,8 @@ object DeltaWrite {
       addAction(absolute(f.path), f.partitionValues, f.size,
         f.modificationTime, dv, dataChange = true)
     }
-    writeVersion(spark, target, 0L, Seq(protocol, meta) ++ adds)
+    writeVersion(spark, target, 0L, Seq(protocol, meta) ++ adds,
+      operation = "CLONE")
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` — a NEW commit
@@ -727,7 +741,7 @@ object DeltaWrite {
         f.modificationTime, f.dv))
     require(actions.nonEmpty, s"restore to $toVersion is a no-op — the " +
       "live file set is already identical")
-    writeVersion(spark, table, version, actions)
+    writeVersion(spark, table, version, actions, operation = "RESTORE")
   }
 
   private def metaDataAction(table: String, schemaJson: String,
@@ -782,7 +796,8 @@ object DeltaWrite {
       ("delta.columnMapping.mode" -> "name") +
       ("delta.columnMapping.maxColumnId" -> declared.fields.length.toString)
     writeVersion(spark, table, version, Seq(protocol,
-      metaDataAction(table, mapped.json, state.partitionCols, conf)))
+      metaDataAction(table, mapped.json, state.partitionCols, conf)),
+      operation = "SET TBLPROPERTIES")
   }
 
   /** Rename a top-level column — METADATA ONLY (requires
@@ -815,7 +830,7 @@ object DeltaWrite {
       if (f.name == from) f.copy(name = to) else f))
     writeVersion(spark, table, version, Seq(
       metaDataAction(table, renamed.json, state.partitionCols,
-        state.configuration)))
+        state.configuration)), operation = "RENAME COLUMN")
   }
 
   /** OPTIMIZE — bin-packing compaction: rewrite each partition's live
@@ -892,7 +907,8 @@ object DeltaWrite {
     require(actions.nonEmpty,
       s"nothing to optimize: every partition already has <= " +
         s"$filesPerPartition files")
-    writeVersion(spark, table, version, actions.toSeq)
+    writeVersion(spark, table, version, actions.toSeq,
+      operation = "OPTIMIZE")
   }
 
   /** REORG TABLE … APPLY (PURGE) — materialize deletion vectors: every
@@ -963,7 +979,8 @@ object DeltaWrite {
             st.getLen, st.getModificationTime, dataChange = false)
         }
       }
-    writeVersion(spark, table, version, actions.toSeq)
+    writeVersion(spark, table, version, actions.toSeq,
+      operation = "REORG")
   }
 
   /** Write a parquet checkpoint of the CURRENT version + `_last_checkpoint`

@@ -136,6 +136,6 @@ object LakeConvert {
     }
     DeltaWrite.writeVersion(spark, table, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      metaAction) ++ adds)
+      metaAction) ++ adds, operation = "CONVERT")
   }
 }

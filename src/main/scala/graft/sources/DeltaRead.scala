@@ -211,6 +211,56 @@ object DeltaRead {
     versions.max
   }
 
+  /** One [[history]] row. `operation` is the commit's
+    * `commitInfo.operation` (null for writers that record none);
+    * `data_change` is false only when EVERY add/remove in the commit
+    * carries `dataChange=false` (OPTIMIZE / REORG — the commits CDF and
+    * the streaming tail skip). */
+  final case class HistoryEntry(version: Long, operation: String,
+                                num_added_files: Long,
+                                num_removed_files: Long,
+                                num_cdc_files: Long, data_change: Boolean)
+
+  /** DESCRIBE HISTORY — one row per replayable commit, newest last.
+    * Driver-side metadata parse bounded by the log's version count
+    * (same scale class as replay itself); log-vacuumed versions have no
+    * commit file and are honestly absent. SQL spelling:
+    * `SELECT * FROM graft_delta_history('/t')`. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val dir = new Path(table, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$table is not a Delta table (no _delta_log directory)")
+    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+        n.stripSuffix(".json").toLong
+    }.toSeq.sorted
+    val rows = versions.map { v =>
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector finally in.close()
+      var op: String = null
+      var adds = 0L; var removes = 0L; var cdc = 0L
+      var dataChange = false
+      lines.foreach { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("commitInfo")).flatMap(c => Option(c.get("operation")))
+          .foreach(o => op = o.asText())
+        Option(n.get("add")).foreach { a =>
+          adds += 1
+          if (!Option(a.get("dataChange")).exists(!_.asBoolean())) dataChange = true
+        }
+        Option(n.get("remove")).foreach { r =>
+          removes += 1
+          if (!Option(r.get("dataChange")).exists(!_.asBoolean())) dataChange = true
+        }
+        if (n.has("cdc")) cdc += 1
+      }
+      HistoryEntry(v, op, adds, removes, cdc, dataChange)
+    }
+    spark.createDataFrame(rows)
+  }
+
   /** Changed-file count of ONE commit — the admission-control unit of
     * the `graft-delta` tail's `maxFilesPerTrigger`: cdc actions if the
     * commit wrote any (CDF's own precedence rule), else its

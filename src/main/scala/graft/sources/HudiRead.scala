@@ -107,6 +107,37 @@ object HudiRead {
     }.filter(_.forall(_.isDigit)).toSeq.sortBy(instantKey)
   }
 
+  /** One [[timeline]] row: instant time, action, and lifecycle state. */
+  final case class TimelineInstant(instant: String, action: String,
+                                   state: String)
+
+  /** The `.hoodie` TIMELINE — Hudi's history/observability surface: one
+    * row per instant file, `state` ∈ completed/inflight/requested, in
+    * instant order (completed last within an instant). Covers every
+    * action this engine writes or reads: commit, deltacommit,
+    * replacecommit, compaction, clean, rollback. SQL spelling:
+    * `SELECT * FROM graft_hudi_timeline('/t')`. */
+  def timeline(spark: SparkSession, table: String): DataFrame = {
+    val dir = new Path(table, ".hoodie")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalArgumentException(
+      s"$table is not a Hudi table (no .hoodie directory)")
+    val states = Set("inflight", "requested")
+    val rows = fs.listStatus(dir).iterator
+      .filter(!_.isDirectory).map(_.getPath.getName)
+      .flatMap { n =>
+        n.split('.') match {
+          case Array(ts, action) if ts.nonEmpty && ts.forall(_.isDigit) =>
+            Some(TimelineInstant(ts, action, "completed"))
+          case Array(ts, action, st) if ts.nonEmpty &&
+              ts.forall(_.isDigit) && states(st) =>
+            Some(TimelineInstant(ts, action, st))
+          case _ => None // hoodie.properties, markers, sidecars
+        }
+      }.toSeq.sortBy(t => (instantKey(t.instant), t.action, t.state))
+    spark.createDataFrame(rows)
+  }
+
   /** fileIds removed by clustering/overwrite replacecommits ≤ ceiling. */
   private[graft] def replacedFileIds(spark: SparkSession, table: String,
                                      ceiling: String): Set[(String, String)] = {

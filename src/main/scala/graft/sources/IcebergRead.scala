@@ -227,6 +227,36 @@ object IcebergRead {
       .flatMap(_.elements().asScala.map(_.get("snapshot-id").asLong()))
   }
 
+  /** One [[snapshotsMeta]] row: snapshot id, commit timestamp (absent in
+    * non-standard metadata), `summary.operation`, and the snapshot's
+    * FULL file state counts (a manifest list is the complete state, not
+    * a delta). */
+  final case class SnapshotInfo(snapshot_id: Long,
+                                timestamp_ms: Option[Long],
+                                operation: String,
+                                data_files: Long, delete_files: Long)
+
+  /** The `snapshots` metadata table — Iceberg's history/observability
+    * surface, one row per snapshot in commit order. File counts come
+    * from each snapshot's manifest list (executor-parallel beyond a
+    * handful of manifests, like the scan path). SQL spelling:
+    * `SELECT * FROM graft_iceberg_snapshots('/t')`. */
+  def snapshotsMeta(spark: SparkSession, table: String,
+                    maxFiles: Int = 1000000): DataFrame = {
+    val meta = readMetadata(spark, table)
+    import scala.jdk.CollectionConverters._
+    val tsById = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap(s => Option(s.get("timestamp-ms"))
+        .map(ts => s.get("snapshot-id").asLong() -> ts.asLong())).toMap
+    val rows = snapshotManifests(spark, table).map { r =>
+      val (data, pos, eq) = snapshotFiles(spark, r.manifestList, maxFiles)
+      SnapshotInfo(r.id, tsById.get(r.id), r.operation.orNull,
+        data.size.toLong, (pos.size + eq.map(_.files.size).sum).toLong)
+    }
+    spark.createDataFrame(rows)
+  }
+
   /** The snapshot current as of `tsMillis` — Iceberg's FOR TIMESTAMP AS
     * OF: the newest snapshot whose `timestamp-ms` is ≤ the wanted time.
     * Snapshots without a `timestamp-ms` (non-standard metadata) are not
