@@ -2199,6 +2199,30 @@ object SparkEntry {
         FROM graft_delta('$root')""")
     }),
 
+    /** Avro object-container ROUND TRIP ([[graft.sources.AvroSource]]):
+      * a lineitem slice lands as deflate container files with a small
+      * sync interval, then reads back through the sync-marker SPLIT
+      * scan (many tasks per file — the shape that keeps a handful of
+      * huge Avro files parallel at 100 TB); the oracle replays the
+      * aggregate over the parquet original. */
+    "q_avro_roundtrip" -> ((s, d) => {
+      val root = lakeTmp(d, "avrosrc")
+      val li = t(s, d, "lineitem")
+        .where(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("l_shipdate"),
+          col("l_returnflag"))
+      graft.sources.AvroSource.write(li.repartition(2), root,
+        codec = "deflate", syncIntervalBytes = 4096)
+      graft.sources.AvroSource.read(s, root, maxSplitBytes = 64 * 1024)
+        .where(col("l_shipdate") >= lit(java.sql.Date.valueOf("1995-01-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     /** DESCRIBE HISTORY as SQL ([[graft.sources.DeltaRead.history]] via
       * the `graft_delta_history` TVF): four commits — CTAS, append, DV
       * delete, REORG PURGE — each stamped with the protocol's
@@ -4274,6 +4298,13 @@ object SparkEntry {
                                 ELSE o_totalprice END AS DECIMAL(18,2)))
                   AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "q_avro_roundtrip" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_linenumber = 1 AND l_shipdate >= DATE '1995-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "lake_delta_history" -> """
       SELECT * FROM (VALUES
