@@ -2199,6 +2199,41 @@ object SparkEntry {
         FROM graft_delta('$root')""")
     }),
 
+    /** Data-quality EXPECTATIONS metrics ([[graft.ops.Expectations
+      * .metrics]] — the DLT `expect` contract): per-rule violation
+      * counts over lineitem in ONE map-side aggregate (job-count
+      * pinned in ExpectationsSpec); a NULL check result counts as a
+      * violation, which the oracle replays via the same
+      * `NOT coalesce(cond, false)` shape. */
+    "dq_expectations" -> ((s, d) => {
+      import graft.ops.Expectations._
+      metrics(t(s, d, "lineitem"), Seq(
+        Rule("qty_bounds", "l_quantity BETWEEN 1 AND 50", Warn),
+        Rule("discount_low", "l_discount <= 0.05", Drop),
+        Rule("flag_known", "l_returnflag IN ('A','N','R')", Warn)))
+        .orderBy("rule")
+    }),
+
+    /** Expectation ROUTING ([[graft.ops.Expectations.split]]): Drop
+      * rules gate rows into a dead-letter side, Warn rules only
+      * annotate — the oracle replays both sides' counts and sums from
+      * the gating predicate alone (the warn rule must NOT affect
+      * routing). */
+    "dq_quarantine" -> ((s, d) => {
+      import graft.ops.Expectations._
+      val (passed, quarantined) = split(t(s, d, "lineitem"), Seq(
+        Rule("discount_low", "l_discount <= 0.05", Drop),
+        Rule("qty_bounds", "l_quantity <= 30", Warn)))
+      def side(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("total"))
+          .select(lit(label).as("side"), col("n"), col("total"))
+      side(passed, "passed")
+        .unionByName(side(quarantined.drop("_violations"), "quarantined"))
+        .orderBy("side")
+    }),
+
     /** Avro object-container ROUND TRIP ([[graft.sources.AvroSource]]):
       * a lineitem slice lands as deflate container files with a small
       * sync interval, then reads back through the sync-marker SPLIT
@@ -4298,6 +4333,40 @@ object SparkEntry {
                                 ELSE o_totalprice END AS DECIMAL(18,2)))
                   AS DOUBLE) AS total
       FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "dq_expectations" -> """
+      SELECT * FROM (
+        SELECT 'discount_low' AS rule, 'drop' AS action,
+               CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               CAST(count(*) AS BIGINT) AS total FROM lineitem
+        UNION ALL
+        SELECT 'qty_bounds', 'warn',
+               CAST(sum(CASE WHEN NOT coalesce(
+                   l_quantity BETWEEN 1 AND 50, false)
+                 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'flag_known', 'warn',
+               CAST(sum(CASE WHEN NOT coalesce(
+                   l_returnflag IN ('A','N','R'), false)
+                 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(*) AS BIGINT) FROM lineitem
+      ) t ORDER BY rule""",
+
+    "dq_quarantine" -> """
+      WITH f AS (SELECT l_extendedprice AS p,
+                        NOT coalesce(l_discount <= 0.05, false) AS gated
+                 FROM lineitem)
+      SELECT * FROM (
+        SELECT 'passed' AS side, count(*) AS n,
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM f WHERE NOT gated
+        UNION ALL
+        SELECT 'quarantined', count(*),
+               CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        FROM f WHERE gated
+      ) t ORDER BY side""",
 
     "q_avro_roundtrip" -> """
       SELECT l_returnflag, count(*) AS n,
