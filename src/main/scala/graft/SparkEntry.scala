@@ -849,6 +849,19 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** BINARY-quantized top-k ([[Similarity.bqTopK]] —
+      * [[graft.functions.BqPack]] sign bits + XOR/popcount Hamming
+      * shortlist, exact rerank): 32× compression, the billion-scale
+      * shortlist scan. Bit-exact oracle: Hamming over 0/1 sign lists is
+      * pure integer arithmetic (popcounts minus twice the inner
+      * product). */
+    "ann_bq" -> ((s, d) =>
+      Similarity.bqTopK(t(s, d, "embeddings"), 5, col("vec_id") % 20 === 0,
+          shortlist = 20)
+        .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("query_id", "rnk")),
+
     /** Quantized (int8) top-k with exact float rerank — the memory-scale
       * ANN path; integer-exact quantization makes it oracle-checkable. */
     "ann_int8" -> ((s, d) =>
@@ -3236,6 +3249,34 @@ object SparkEntry {
     // kernel; quantized values are integers, exact in doubles, so the
     // integer-accumulated i8 cosine and the shortlist order agree bit-
     // for-bit; the final rerank is the proven float-cosine path.
+    "ann_bq" -> """
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+      sb AS (SELECT vec_id, v,
+             list_transform(v, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS s
+             FROM base),
+      qs AS (SELECT vec_id AS query_id, v AS qv, s AS qb FROM sb
+             WHERE vec_id % 20 = 0),
+      sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+               -- hamming over 0/1 sign lists: popcounts minus twice the
+               -- inner product (mirrors the XOR+popcount kernel exactly)
+               CAST(list_inner_product(qb, qb) + list_inner_product(c.s, c.s)
+                 - 2 * list_inner_product(qb, c.s) AS BIGINT) AS ham,
+               qv, c.v AS cv
+             FROM qs JOIN sb c ON query_id <> c.vec_id),
+      short AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ham ASC, neighbor_id) AS rh FROM sc),
+      rr AS (SELECT query_id, neighbor_id,
+               list_cosine_similarity(qv, cv) AS sim
+             FROM short WHERE rh <= 20),
+      r AS (SELECT query_id, neighbor_id,
+              CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+            FROM rr)
+      SELECT query_id, rnk, neighbor_id, sim_i FROM r
+      WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
     "ann_int8" -> """
       WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM base),

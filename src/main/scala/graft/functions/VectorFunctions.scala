@@ -183,7 +183,82 @@ case class I8Cosine(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+/** bq_pack(vec) — BINARY quantization: one SIGN BIT per dimension
+  * (vᵢ ≥ 0 → 1), packed 64-per-long. 32× smaller than float32 — the
+  * billion-scale shortlist representation (a 768-dim embedding becomes
+  * 12 longs), scanned with XOR+popcount ([[BqHamming]]). Hamming over
+  * sign bits approximates angle (P[bit differs] = θ/π, the SRP bound
+  * at one bit per axis-aligned plane); callers rerank a shortlist with
+  * exact cosine. */
+case class BqPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "bq_pack"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.bqPack(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.bqPack($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** bq_hamming(a, b) — Hamming distance between [[BqPack]] signatures:
+  * XOR + popcount per 64-bit word, no branching. */
+case class BqHamming(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "bq_hamming"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.bqHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.bqHamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorKernels {
+
+  /** Sign bits packed 64-per-long (bit i of word i/64 = vᵢ ≥ 0). */
+  def bqPack(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i) >= 0f) words(i >> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  /** XOR + popcount Hamming over packed sign bits. */
+  def bqHamming(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var h = 0L; var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    h
+  }
 
   /** Symmetric int8 quantization, ROUND-half-away-from-zero. */
   def quantizeI8(vec: ArrayData): ArrayData = {
@@ -277,6 +352,18 @@ object VectorFunctions {
       (children: Seq[Expression]) => {
         if (children.size != 2) throw new SparkException("i8_cosine takes 2 arguments")
         I8Cosine(children.head, children(1))
+      }),
+    (FunctionIdentifier("bq_pack"),
+      new ExpressionInfo(classOf[BqPack].getName, "bq_pack"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new SparkException("bq_pack takes 1 argument")
+        BqPack(children.head)
+      }),
+    (FunctionIdentifier("bq_hamming"),
+      new ExpressionInfo(classOf[BqHamming].getName, "bq_hamming"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new SparkException("bq_hamming takes 2 arguments")
+        BqHamming(children.head, children(1))
       }))
 
   /** Idempotent per-session registration (also available session-wide via
@@ -296,4 +383,6 @@ object VectorFunctions {
   }
   def i8Quantize(vec: Column): Column = call_function("i8_quantize", vec)
   def i8Cosine(a: Column, b: Column): Column = call_function("i8_cosine", a, b)
+  def bqPack(vec: Column): Column = call_function("bq_pack", vec)
+  def bqHamming(a: Column, b: Column): Column = call_function("bq_hamming", a, b)
 }

@@ -266,6 +266,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** BINARY-quantized top-k with exact rerank — the 32×-compression ANN
+    * path ([[graft.functions.BqPack]]): candidates are scanned as packed
+    * SIGN BITS with XOR+popcount Hamming (a 768-dim float becomes 12
+    * longs — the representation that keeps a billion-vector shortlist
+    * scan in memory), a `shortlist` per query survives (ASC Hamming,
+    * id tiebreak), and only the shortlist touches float vectors for the
+    * exact cosine rerank. Same broadcast invariant as [[i8TopK]]: the
+    * query side must fit. */
+  def bqTopK(emb: DataFrame, k: Int = 5, queryPred: Column,
+             shortlist: Int = 20, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             maxQueries: Long = 100000L): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val nQ = emb.filter(queryPred).select(col(idCol)).count()
+    if (nQ > maxQueries) throw new IllegalArgumentException(
+      s"bqTopK broadcasts the query set: $nQ queries > maxQueries=$maxQueries; " +
+        "use ivfTopK for large query sets")
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorFunctions.bqPack(col(vecCol)).as("qb"))
+    val cb = emb.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.bqPack(col(vecCol)).as("nb"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val short = cb.join(broadcast(q.select(col("query_id"), col("qb"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.bqHamming(col("qb"), col("nb")).as("ham"))
+      .withColumn("rh", row_number().over(wH)).filter(col("rh") <= shortlist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    short
+      .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Deterministic pseudo-random centroid init: the `nlist` corpus vectors
     * smallest by hashed id — planned as TakeOrderedAndProject (top-k, no
     * global sort). Reproducible across runs, which the rows-only driver

@@ -926,6 +926,35 @@ class OpsSpec extends SparkSuite {
     assert(i8 === exact)
   }
 
+  test("bq_pack/bq_hamming kernels and bqTopK end to end") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.ensureRegistered(spark)
+    // pack: 70 dims → 2 longs; hamming counts exactly the flipped signs
+    val a = Array.tabulate(70)(i => if (i % 3 == 0) -1.0f else 1.0f)
+    val b = a.clone(); b(0) = 1.0f; b(69) = -b(69) // flip 2 sign bits
+    val (packedLen, ham) = Seq((a, b)).toDF("a", "b")
+      .select(size(VectorFunctions.bqPack(col("a"))).as("n"),
+        VectorFunctions.bqHamming(VectorFunctions.bqPack(col("a")),
+          VectorFunctions.bqPack(col("b"))).as("h"))
+      .as[(Int, Long)].head()
+    assert(packedLen === 2, "70 sign bits must pack into 2 longs")
+    assert(ham === 2L)
+    // identical vectors: hamming 0
+    val same = Seq((a, a)).toDF("a", "b")
+      .select(VectorFunctions.bqHamming(VectorFunctions.bqPack(col("a")),
+        VectorFunctions.bqPack(col("b")))).as[Long].head()
+    assert(same === 0L)
+    // end-to-end: bqTopK with exact rerank matches brute force on a
+    // well-separated corpus (generous shortlist absorbs 1-bit noise)
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(16)(d =>
+      math.sin((i * 37 + d) * 1.3).toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, 3, col("vec_id") % 10 === 0)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val bq = Similarity.bqTopK(emb, 3, col("vec_id") % 10 === 0, shortlist = 20)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(bq === exact)
+  }
+
   test("fuzzyNamePairs: dictionary-level edit-distance join, lossless buckets") {
     // "kitte" (len 5, bucket 1) vs "kitten" (len 6, bucket 2) crosses a
     // bucket boundary — caught only via the adjacent-bucket probe
