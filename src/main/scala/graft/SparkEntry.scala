@@ -2089,6 +2089,32 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** Iceberg FORMAT-V3 DELETION VECTORS ([[graft.sink.IcebergWrite
+      * .deleteWhereDv]] + [[graft.sources.Puffin]]): two row-level
+      * deletes land as `deletion-vector-v1` roaring-bitmap blobs in
+      * real puffin sidecars (manifest entries carry
+      * `referenced_data_file`/`content_offset`/`content_size_in_bytes`,
+      * metadata flips to `format-version: 3`), and the snapshot read
+      * expands the blobs executor-side into the position anti-join —
+      * accumulated DVs union per file. */
+    "lake_iceberg_dv" -> ((s, d) => {
+      val root = lakeTmp(d, "icedv")
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val fields = Seq((1, "o_orderkey", "long"), (2, "o_totalprice", "double"))
+      graft.sink.IcebergWrite.upsert(orders, root,
+        Seq("o_orderkey"), fields, snapshotId = 1L, sequenceNumber = 1L)
+      graft.sink.IcebergWrite.deleteWhereDv(s, root, "o_orderkey % 3 = 0",
+        snapshotId = 2L, sequenceNumber = 2L)
+      graft.sink.IcebergWrite.deleteWhereDv(s, root, "o_orderkey % 5 = 0",
+        snapshotId = 3L, sequenceNumber = 3L)
+      graft.sources.IcebergRead.snapshot(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** Iceberg CHANGELOG scan ([[graft.sources.IcebergRead.changelog]] —
       * the read that makes upsert histories TAILABLE): three
       * equality-delete commits ([[graft.sink.IcebergWrite.upsert]] ×2 +
@@ -4338,6 +4364,13 @@ object SparkEntry {
       SELECT count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 2 <> 0""",
+
+    "lake_iceberg_dv" -> """
+      SELECT count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey % 7 = 0
+        AND o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0""",
 
     "lake_iceberg_changelog" -> """
       WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),

@@ -488,4 +488,126 @@ object Dedup {
       .select(col(idCol), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("sketch_md5"), md5(lit(""))).as("sketch_md5"))
   }
+
+  // ------------------------------------------ exact substring (span) dedup
+
+  /** Cross-document EXACT-SUBSTRING duplication: the word-position
+    * intervals of every doc that repeat, verbatim and ≥ `k` words long,
+    * from an earlier document — the span-level dedup of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., 2021),
+    * re-expressed relationally instead of via a suffix array:
+    *
+    *  1. explode each doc's word `k`-grams (codegen'd `transform` +
+    *     `posexplode` — any maximal duplicated substring of length ≥ k
+    *     is exactly a run of duplicated k-grams, so k-gram resolution
+    *     loses nothing);
+    *  2. ONE hash-aggregate per gram keeps `(min(doc), max(doc))` —
+    *     `min ≠ max` marks grams shared across documents (no
+    *     count-distinct, no window);
+    *  3. each gram keeps its FIRST holder (`min(doc)`): occurrences in
+    *     later docs become removal intervals `[pos, pos+k-1]`;
+    *  4. overlapping intervals merge per doc (gaps-and-islands over a
+    *     per-DOC window — never a corpus-wide partition).
+    *
+    * Returns one row per affected doc: `(idCol, dup_spans, dup_words)` —
+    * merged duplicated-span count and total covered words.
+    *
+    * Scale shape: the gram relation is docs × (len−k+1) rows — the
+    * dominant shuffle. `hashed=true` (default) shuffles 8-byte
+    * `xxhash64` keys instead of k-word strings (~k× smaller; a 64-bit
+    * collision conflates two grams corpus-wide with probability
+    * ≈ grams²/2⁶⁴ — at 10¹² grams that's ~3 % chance of ONE conflated
+    * pair, acceptable for curation and switchable off). Everything is
+    * whole-stage codegen; driver state is zero. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      hashed: Boolean = true): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val occ = spanOccurrences(docs, k, textCol, idCol, hashed)
+    mergeIntervals(occ, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("__e") - col("__s") + 1).as("dup_words"))
+  }
+
+  /** The dedup TRANSFORM over [[duplicatedSpans]]' intervals: every
+    * word of a duplicated-from-an-earlier-doc span is dropped from the
+    * text (the gram's first holder keeps its copy untouched). Output is
+    * the input frame with `textCol` rewritten; word order of survivors
+    * is preserved. The per-doc interval list rides a bounded
+    * `collect_list` (spans per doc ≤ words/k after merging) and the
+    * rewrite is a codegen'd higher-order `filter` over the word array —
+    * no UDF, no driver state. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            hashed: Boolean = true): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val occ = spanOccurrences(docs, k, textCol, idCol, hashed)
+    val spans = mergeIntervals(occ, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__ivs"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__ivs").isNull, col(textCol)).otherwise(
+          array_join(
+            transform(
+              filter(
+                zip_with(
+                  split(coalesce(col(textCol), lit("")), " "),
+                  sequence(lit(1),
+                    size(split(coalesce(col(textCol), lit("")), " "))),
+                  (word, i) => struct(word.as("w"), i.as("i"))),
+                p => !exists(col("__ivs"),
+                  iv => p.getField("i").between(iv.getField("__s"),
+                    iv.getField("__e")))),
+              p => p.getField("w")),
+            " ")))
+      .drop("__ivs")
+  }
+
+  /** Shared k-gram occurrence → removal-interval relation. */
+  private def spanOccurrences(docs: DataFrame, k: Int, textCol: String,
+                              idCol: String, hashed: Boolean): DataFrame = {
+    val words = split(coalesce(col(textCol), lit("")), " ")
+    val gramStr = docs
+      .select(col(idCol), words.as("__w"))
+      .where(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__w")) - (k - 1)),
+        i => concat_ws(" ", slice(col("__w"), i, k)))))
+      .toDF(idCol, "__p0", "__g")
+    val grams =
+      (if (hashed) gramStr.withColumn("__g", xxhash64(col("__g")))
+       else gramStr)
+        .select(col(idCol), (col("__p0") + 1).as("__s"),
+          (col("__p0") + k).as("__e"), col("__g"))
+    val firsts = grams.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__first"), max(col(idCol)).as("__last"))
+      .where(col("__first") =!= col("__last"))
+      .select(col("__g"), col("__first"))
+    grams.join(firsts, Seq("__g"))
+      .where(col(idCol) > col("__first"))
+      .select(col(idCol), col("__s"), col("__e"))
+  }
+
+  /** Merge overlapping/adjacent-by-overlap `[__s, __e]` intervals per
+    * doc (gaps-and-islands; per-DOC window). */
+  private def mergeIntervals(occ: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    occ
+      .withColumn("__pmax", max(col("__e"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .drop("__isl")
+  }
 }

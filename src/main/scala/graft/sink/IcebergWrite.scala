@@ -35,7 +35,14 @@ object IcebergWrite {
   final case class FileEntry(path: String, content: Int, sequenceNumber: Long,
                              equalityIds: Seq[Int] = Nil,
                              partition: Seq[(String, Any)] = Nil,
-                             sizeInBytes: Long = 1L)
+                             sizeInBytes: Long = 1L,
+                             /** `PARQUET`, or `PUFFIN` for a format-v3
+                               * deletion-vector entry — then the three
+                               * DV fields below are required. */
+                             format: String = "PARQUET",
+                             referencedDataFile: Option[String] = None,
+                             contentOffset: Option[Long] = None,
+                             contentSizeInBytes: Option[Long] = None)
 
   private val ManifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -71,7 +78,10 @@ object IcebergWrite {
         $partitionField
         {"name":"record_count","type":"long"},
         {"name":"file_size_in_bytes","type":"long"},
-        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+        {"name":"referenced_data_file","type":["null","string"],"default":null},
+        {"name":"content_offset","type":["null","long"],"default":null},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}""")
   }
 
   private def manifestEntrySchema(dataFile: Schema): Schema =
@@ -132,6 +142,14 @@ object IcebergWrite {
       "equalityIds only belong on content=2 entries")
     require(schemaFields.nonEmpty || entries.forall(_.content != 2),
       "equality deletes need schemaFields so readers can resolve the ids")
+    require(entries.forall(e => !e.format.equalsIgnoreCase("PUFFIN") ||
+        (e.content == 1 && e.referencedDataFile.isDefined &&
+          e.contentOffset.isDefined && e.contentSizeInBytes.isDefined)),
+      "a PUFFIN entry is a deletion vector: content=1 with " +
+        "referencedDataFile/contentOffset/contentSizeInBytes set")
+    require(entries.forall(e => e.referencedDataFile.isEmpty ||
+        e.format.equalsIgnoreCase("PUFFIN")),
+      "referencedDataFile only belongs on PUFFIN deletion-vector entries")
     val partitionNames = entries.flatMap(_.partition.map(_._1)).distinct
     require(entries.forall(e =>
         e.partition.isEmpty || e.partition.map(_._1) == partitionNames),
@@ -151,9 +169,13 @@ object IcebergWrite {
       val df = new GenericData.Record(DataFileSchema)
       df.put("content", fe.content)
       df.put("file_path", fe.path)
-      df.put("file_format", "PARQUET")
+      df.put("file_format", fe.format.toUpperCase)
       df.put("record_count", 1L)
       df.put("file_size_in_bytes", fe.sizeInBytes)
+      fe.referencedDataFile.foreach(df.put("referenced_data_file", _))
+      fe.contentOffset.foreach(o => df.put("content_offset", Long.box(o)))
+      fe.contentSizeInBytes.foreach(l =>
+        df.put("content_size_in_bytes", Long.box(l)))
       if (fe.partition.nonEmpty) {
         val pschema = DataFileSchema.getField("partition").schema
         val prec = new GenericData.Record(pschema)
@@ -271,7 +293,8 @@ object IcebergWrite {
       val priorRefs = Option(node.get("refs")).map(r =>
         s""""refs":${mapper.writeValueAsString(r)},""")
       Some((snaps.map(mapper.writeValueAsString), manifests, priorSchemas,
-        priorSpecs, priorRefs))
+        priorSpecs, priorRefs,
+        Option(node.get("format-version")).map(_.asInt()).getOrElse(2)))
     } else None
 
     val manifest = new Path(meta, s"m-$snapshotId.avro")
@@ -327,8 +350,13 @@ object IcebergWrite {
         "manifest-list":"$manifestList"}"""
     val allSnaps = (prior.toSeq.flatMap(_._1) :+ newSnap).mkString(",")
     val refsJson = prior.flatMap(_._5).getOrElse("")
+    // deletion vectors are a format-v3 feature; once a table is v3 it
+    // stays v3 (no silent downgrade on a later DV-free commit)
+    val formatVersion =
+      if (entries.exists(_.referencedDataFile.isDefined) ||
+          prior.exists(_._6 >= 3)) 3 else 2
     val metadataJson =
-      s"""{"format-version":2,$schemaJson$specJson$refsJson"current-snapshot-id":$snapshotId,
+      s"""{"format-version":$formatVersion,$schemaJson$specJson$refsJson"current-snapshot-id":$snapshotId,
         "snapshots":[$allSnaps]}"""
     val priorVersion = if (fs.exists(hintPath)) {
       val in = fs.open(hintPath)
@@ -592,6 +620,84 @@ object IcebergWrite {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => FileEntry(st.getPath.toString, 1, sequenceNumber,
         sizeInBytes = st.getLen))
+    commitEntries(spark, table, entries, schemaFields = Nil,
+      snapshotId = snapshotId, operation = "delete")
+    true
+  }
+
+  /** Row-level DELETE WHERE written as format-v3 DELETION VECTORS
+    * (Iceberg spec v3; [[graft.sources.Puffin]]): each affected data
+    * file's matched row positions become ONE `deletion-vector-v1` blob
+    * in a puffin file, committed as a content=1 manifest entry carrying
+    * `referenced_data_file` / `content_offset` / `content_size_in_bytes`
+    * (manifest field ids 143–145 in the real schema) — the v3
+    * replacement for v2 position-delete parquet. The commit flips the
+    * table's `format-version` to 3.
+    *
+    * Scale shape mirrors [[graft.sources.DeletionVectors
+    * .writeFilesDistributed]]: ONE pushdown-capable scan of the data
+    * files evaluates the condition, positions shuffle to their file's
+    * group, and each EXECUTOR task serializes + writes its files'
+    * puffin sidecars — the driver sees only blob descriptors (bounded
+    * by affected-FILE count), never row positions. A file's bitmap is
+    * the unit of work, exactly Delta's DV writer contract.
+    *
+    * Accumulation: a later DV delete adds new blobs referencing the
+    * same data files; [[graft.sources.IcebergRead]] unions all DVs per
+    * file (set semantics — v3's "latest DV supersedes" compaction is a
+    * maintenance concern this writer does not need, since blobs here
+    * are disjoint position sets). Same snapshot-id idempotence as
+    * [[upsert]]. */
+  def deleteWhereDv(spark: SparkSession, table: String, condition: String,
+                    snapshotId: Long, sequenceNumber: Long,
+                    maxFiles: Int = 1000000): Boolean = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_set, expr, sort_array}
+    if (snapshotExists(spark, table, snapshotId)) return false // replay
+    val files = graft.sources.IcebergRead.currentDataFiles(spark, table, maxFiles)
+    if (files.isEmpty) return true
+    val conf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    val lookup = files.map { t =>
+      val hp = new Path(t.path)
+      (graft.sources.DeletionVectors.sparkPathString(
+        hp.getFileSystem(conf).makeQualified(hp)), t.path)
+    }.toDF("__q", "file_path")
+    val matched = spark.read.parquet(files.map(_.path): _*)
+      .where(expr(condition))
+      .select(col("_metadata.file_path").as("__q"),
+        col("_metadata.row_index").as("pos"))
+      .join(broadcast(lookup), Seq("__q"))
+      .select(col("file_path"), col("pos"))
+    import scala.jdk.CollectionConverters._
+    val props = spark.sparkContext.broadcast(
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+    val dvDir = s"$table/data"
+    val written = matched
+      .groupBy(col("file_path"))
+      .agg(sort_array(collect_set(col("pos"))).as("__ps"))
+      .as[(String, Seq[Long])]
+      .rdd.mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => c.set(k, v) }
+        it.map { case (refFile, ps) =>
+          val puffin = new Path(dvDir,
+            s"dv-s$snapshotId-${java.util.UUID.randomUUID()}.puffin")
+          val blobs = graft.sources.Puffin.writeDvFile(c, puffin,
+            Seq(refFile -> ps), snapshotId, sequenceNumber)
+          val size = puffin.getFileSystem(c).getFileStatus(puffin).getLen
+          (puffin.toString, blobs.head, size)
+        }
+      }
+      .collect().toSeq.sortBy(_._1)
+    // zero matches still commits an (empty) snapshot, so the
+    // snapshot-id replay guard keeps working
+    val entries = written.map { case (path, blob, size) =>
+      FileEntry(path, 1, sequenceNumber, sizeInBytes = size,
+        format = "PUFFIN",
+        referencedDataFile = Some(blob.referencedDataFile),
+        contentOffset = Some(blob.offset),
+        contentSizeInBytes = Some(blob.length))
+    }
     commitEntries(spark, table, entries, schemaFields = Nil,
       snapshotId = snapshotId, operation = "delete")
     true

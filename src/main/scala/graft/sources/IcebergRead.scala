@@ -53,7 +53,14 @@ object IcebergRead {
     * partition tuple and file size when recorded (pruning metadata). */
   private[graft] final case class Tracked(path: String, seq: Long,
                                           partition: Seq[(String, Any)] = Nil,
-                                          size: Long = -1L)
+                                          size: Long = -1L,
+                                          /** Set on a format-v3 DELETION
+                                            * VECTOR entry: the referenced
+                                            * data file (manifest spelling)
+                                            * and the blob's (offset,
+                                            * length) in the puffin file at
+                                            * `path`. */
+                                          dv: Option[(String, Long, Long)] = None)
   /** Equality-delete files sharing one `equality_ids` list. */
   private[graft] final case class EqGroup(fieldIds: Seq[Int], files: Seq[Tracked])
 
@@ -109,7 +116,10 @@ object IcebergRead {
                                     entrySnapshotId: Option[Long],
                                     equalityIds: Seq[Int], format: String,
                                     partition: Seq[(String, Any)] = Nil,
-                                    size: Long = -1L)
+                                    size: Long = -1L,
+                                    referencedDataFile: Option[String] = None,
+                                    contentOffset: Option[Long] = None,
+                                    contentSize: Option[Long] = None)
 
   private def parseManifest(conf: org.apache.hadoop.conf.Configuration,
                             manifestPath: String): Seq[RawEntry] =
@@ -148,7 +158,12 @@ object IcebergRead {
         df.get("file_format").toString,
         partition,
         optField(df, "file_size_in_bytes")
-          .collect { case l: java.lang.Long => l.longValue }.getOrElse(-1L))
+          .collect { case l: java.lang.Long => l.longValue }.getOrElse(-1L),
+        optField(df, "referenced_data_file").map(_.toString),
+        optField(df, "content_offset")
+          .collect { case l: java.lang.Long => l.longValue },
+        optField(df, "content_size_in_bytes")
+          .collect { case l: java.lang.Long => l.longValue })
     }
 
   /** Parse many manifests — serially for a handful, EXECUTOR-PARALLEL
@@ -196,9 +211,19 @@ object IcebergRead {
       parsed(m).foreach { entry =>
         if (entry.status != 2) { // 2 = DELETED entry
           val seq = entry.seq.getOrElse(manifestSeq)
-          require(entry.format.equalsIgnoreCase("PARQUET"),
+          val isDv = entry.content == 1 && entry.referencedDataFile.isDefined
+          require(entry.format.equalsIgnoreCase("PARQUET") ||
+              (isDv && entry.format.equalsIgnoreCase("PUFFIN")),
             s"unsupported Iceberg file format ${entry.format}")
-          val tracked = Tracked(entry.path, seq, entry.partition, entry.size)
+          val dv =
+            if (isDv) {
+              require(entry.contentOffset.isDefined && entry.contentSize.isDefined,
+                s"deletion-vector entry ${entry.path} lacks content_offset/" +
+                  "content_size_in_bytes")
+              Some((entry.referencedDataFile.get, entry.contentOffset.get,
+                entry.contentSize.get))
+            } else None
+          val tracked = Tracked(entry.path, seq, entry.partition, entry.size, dv)
           entry.content match {
             case 0 => data += tracked
             case 1 => posDeletes += tracked
@@ -950,6 +975,30 @@ object IcebergRead {
     *    sequence-number scoping (`delete.seq > data.seq`).
     * The data side stays one pushdown-capable parquet scan; each delete
     * class is its own scan feeding a join build side. */
+  /** Expand format-v3 deletion-vector entries to `(__manifest_path,
+    * __pos)` rows, executor-side: one flatMap task cluster over the blob
+    * descriptors, each reading + CRC-checking its puffin blob
+    * ([[Puffin.readDv]]). Driver state is the descriptor list (bounded
+    * by delete-FILE count). */
+  private def dvPositions(spark: SparkSession, dvs: Seq[Tracked]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    val descs = dvs.map(t => (t.path, t.dv.get._1, t.dv.get._2, t.dv.get._3))
+    spark.sparkContext
+      .parallelize(descs,
+        math.max(1, math.min(descs.size,
+          spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { case (puffin, ref, off, len) =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => c.set(k, v) }
+        Puffin.readDv(c, puffin, off, len).iterator.map(p => (ref, p))
+      }
+      .toDF("__manifest_path", "__pos")
+  }
+
   private def applyDeletes(spark: SparkSession, files: Seq[Tracked],
                            posDeletes: Seq[Tracked], eqGroups: Seq[EqGroup],
                            fieldPaths: Map[Int, Seq[String]],
@@ -1025,9 +1074,20 @@ object IcebergRead {
         keyed = keyed.withColumn(n, typed)
       }
     }
-    if (posDeletes.nonEmpty) {
-      val deletes = spark.read.parquet(posDeletes.map(_.path): _*)
-        .select(col("file_path").as("__manifest_path"), col("pos").as("__pos"))
+    // content=1 splits into v2 position-delete parquet and v3 DELETION
+    // VECTORS (puffin blobs); both resolve to (file, pos) rows and share
+    // one anti-join. DV blobs expand on EXECUTORS (one task per blob
+    // cluster) — positions never visit the driver.
+    val (dvEntries, parquetPos) = posDeletes.partition(_.dv.isDefined)
+    val posFrames = Seq(
+      if (parquetPos.nonEmpty)
+        Some(spark.read.parquet(parquetPos.map(_.path): _*)
+          .select(col("file_path").as("__manifest_path"),
+            col("pos").as("__pos")))
+      else None,
+      if (dvEntries.nonEmpty) Some(dvPositions(spark, dvEntries)) else None
+    ).flatten
+    posFrames.reduceOption(_ unionByName _).foreach { deletes =>
       keyed = keyed.join(deletes, Seq("__manifest_path", "__pos"), "left_anti")
     }
     // a nested path like meta.zip resolves by getField steps (dot-string
