@@ -1134,6 +1134,15 @@ object SparkEntry {
       Curation.duplicateSpans(t(s, d, "documents"), n = 5)
         .orderBy("doc_id", "span_start")),
 
+    /** Lee-et-al span REMOVAL: every >=5-word run repeated verbatim from
+      * an EARLIER doc is cut from the text (the first holder keeps its
+      * copy). `hashed=false` so the oracle replays gram identity as the
+      * raw string (production default hashes grams to 8-byte keys). */
+    "text_despan" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(t(s, d, "documents"), k = 5,
+          hashed = false)
+        .select("doc_id", "text").orderBy("doc_id")),
+
     /** Fuzzy (n-gram Jaccard) decontamination of the corpus against the
       * deterministic doc_id%10 eval subset, scored by set overlap instead
       * of flagged by any single shared gram. %10 (not %97 as in
@@ -2465,7 +2474,7 @@ object SparkEntry {
       graft.sink.DeltaWrite.create(orders, root, Nil)
       graft.sink.DeltaWrite.updateWhere(s, root, "o_orderkey % 10 = 0",
         Map("o_totalprice" -> "o_totalprice + 1000"))
-      val feed = graft.sources.DeltaRead.changes(s, root, 1L, 1L)
+      val feed = graft.sources.DeltaRead.changes(s, root, 1L, 1L) // v1 only
         .groupBy(col("_change_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -2476,6 +2485,45 @@ object SparkEntry {
             .cast("double").as("total"))
         .select("_change_type", "n", "total")
       feed.unionByName(snap).orderBy("_change_type")
+    }),
+
+    /** Incremental materialized-view maintenance: a count/sum/min/max
+      * GROUP BY view maintained from Delta CDF change rows WITHOUT
+      * re-aggregating the source — epoch 0 folds the initial load,
+      * epoch 1 folds a row-level update (pre+postimages) plus deletes,
+      * recomputing min/max only for groups whose stored extreme was
+      * removed (pruned to those groups). The oracle recomputes the end
+      * state from scratch — incremental == full is the whole claim. */
+    "lake_ivm_agg" -> ((s, d) => {
+      import graft.streaming.IncrementalAgg
+      val root = lakeTmp(d, "ivm")
+      val src = s"$root/src"; val viewPath = s"$root/view"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+        col("o_orderdate"))
+      graft.sink.DeltaWrite.create(orders, src, Nil)
+      val spec = IncrementalAgg.ViewSpec(Seq("o_orderpriority"),
+        sumCols = Seq("o_custkey"), minCols = Seq("o_orderdate"),
+        maxCols = Seq("o_orderdate"), buckets = 8)
+      IncrementalAgg.applyChanges(s,
+        graft.sources.DeltaRead.changes(s, src, 0L, 0L)
+          .drop("_commit_version"),
+        viewPath, spec, 0L,
+        () => graft.sources.DeltaRead.snapshot(s, src, Some(0L)))
+      graft.sink.DeltaWrite.updateWhere(s, src, "o_orderkey % 7 = 0",
+        Map("o_custkey" -> "o_custkey + 100"))
+      graft.sink.DeltaWrite.deleteWhere(s, src, "o_orderkey % 13 = 0",
+        emitCdc = true)
+      IncrementalAgg.applyChanges(s,
+        graft.sources.DeltaRead.changes(s, src, 1L, 2L)
+          .drop("_commit_version"),
+        viewPath, spec, 1L,
+        () => graft.sources.DeltaRead.snapshot(s, src))
+      IncrementalAgg.read(s, viewPath, spec)
+        .select(col("o_orderpriority"), col("view_count"),
+          col("sum_o_custkey"), col("min_o_orderdate"),
+          col("max_o_orderdate"))
+        .orderBy("o_orderpriority")
     }),
 
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
@@ -3657,6 +3705,39 @@ object SparkEntry {
         MAX(pos) - MIN(pos) + 5 AS span_words, COUNT(*) AS n_grams
       FROM grp GROUP BY doc_id, island ORDER BY doc_id, span_start""",
 
+    // span REMOVAL replay: grams shared across >=2 docs keep their FIRST
+    // holder; later holders drop every word covered by a shared-gram
+    // occurrence; untouched docs keep their text verbatim (spanned docs
+    // are rebuilt split/agg-on-space, exactly like the Spark rewrite)
+    "text_despan" -> """
+      WITH tok AS (SELECT doc_id, text,
+               string_split(COALESCE(text, ''), ' ') AS t FROM documents),
+      gm AS (SELECT doc_id, i + 1 AS s, i + 5 AS e,
+               array_to_string(t[i+1:i+5], ' ') AS g
+             FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+                   FROM tok WHERE len(t) >= 5) x),
+      firsts AS (SELECT g, MIN(doc_id) AS first_id FROM gm GROUP BY g
+                 HAVING MIN(doc_id) <> MAX(doc_id)),
+      occ AS (SELECT gm.doc_id, gm.s, gm.e FROM gm JOIN firsts USING (g)
+              WHERE gm.doc_id > firsts.first_id),
+      spanned AS (SELECT DISTINCT doc_id FROM occ),
+      wd AS (SELECT doc_id, t[i+1] AS w, i + 1 AS idx
+             FROM (SELECT doc_id, t, unnest(range(len(t))) AS i
+                   FROM tok WHERE doc_id IN (SELECT doc_id FROM spanned)) x),
+      dropped AS (SELECT DISTINCT wd.doc_id, wd.idx FROM wd
+                  JOIN occ ON wd.doc_id = occ.doc_id
+                          AND wd.idx BETWEEN occ.s AND occ.e),
+      kept AS (SELECT wd.doc_id,
+                 string_agg(wd.w, ' ' ORDER BY wd.idx) AS txt
+               FROM wd LEFT JOIN dropped dr
+                 ON wd.doc_id = dr.doc_id AND wd.idx = dr.idx
+               WHERE dr.idx IS NULL GROUP BY wd.doc_id)
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id IN (SELECT doc_id FROM spanned)
+             THEN COALESCE(k.txt, '') ELSE d.text END AS text
+      FROM documents d LEFT JOIN kept k USING (doc_id)
+      ORDER BY d.doc_id""",
+
     // distinct 3-gram digests per side; pair candidates from the shared-
     // gram join; jaccard = shared / (n_doc + n_eval - shared), one division
     "decon_fuzzy" -> """
@@ -4615,6 +4696,21 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM u WHERE o_orderkey % 10 = 0
       ORDER BY 1""",
+
+    // full recompute of the incrementally-maintained view's end state:
+    // update bumped o_custkey by 100 for %7 keys, %13 keys were deleted
+    "lake_ivm_agg" -> """
+      WITH endst AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100
+                    ELSE o_custkey END AS ck,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 13 <> 0)
+      SELECT o_orderpriority, COUNT(*) AS view_count,
+             CAST(SUM(ck) AS BIGINT) AS sum_o_custkey,
+             MIN(o_orderdate) AS min_o_orderdate,
+             MAX(o_orderdate) AS max_o_orderdate
+      FROM endst GROUP BY 1 ORDER BY 1""",
 
     "lake_delta_cdf" -> """
       SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,

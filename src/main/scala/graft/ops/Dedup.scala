@@ -575,7 +575,7 @@ object Dedup {
       .where(size(col("__w")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), size(col("__w")) - (k - 1)),
-        i => concat_ws(" ", slice(col("__w"), i, k)))))
+        i => concat_ws(" ", slice(col("__w"), i, lit(k))))))
       .toDF(idCol, "__p0", "__g")
     val grams =
       (if (hashed) gramStr.withColumn("__g", xxhash64(col("__g")))

@@ -1,0 +1,252 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sink.{LakeTable, MergeWriter}
+
+/** Incremental materialized-view maintenance (IVM) over a change feed —
+  * keep a `GROUP BY` aggregate table current from CDC/CDF change rows
+  * WITHOUT rescanning the source. At 100 TB this is the difference
+  * between re-aggregating the table per refresh and touching only the
+  * groups a batch changed: refresh cost is O(batch + touched groups),
+  * never O(source).
+  *
+  * Maintained aggregates, per Griffin/Libkin-style delta rules over a
+  * feed that carries FULL row payloads (insert / delete /
+  * update_preimage / update_postimage — exactly what Delta CDF, the
+  * graft Iceberg changelog, and Hudi incremental pulls emit):
+  *
+  *  - `count(*)` and `sum(c)`: exactly additive — insert/postimage
+  *    rows contribute `+`, delete/preimage rows `-`; NO latest-per-key
+  *    election is needed, so a batch spanning several source versions
+  *    folds in one map-side aggregate (`avg = sum/count` at read time).
+  *  - `min(c)`/`max(c)`: additive on the insert side (`least`/
+  *    `greatest` with the stored value); a REMOVED value that ties the
+  *    stored extreme makes the group DIRTY — those groups (and only
+  *    those) are re-aggregated from the caller's source snapshot,
+  *    semi-join-pruned to the dirty keys. Batches that cannot have
+  *    moved an extreme never touch the source at all (spec-pinned with
+  *    a throwing source closure).
+  *
+  * State is a graft-native [[MergeWriter]] lake keyed by the group
+  * columns and HASH-BUCKETED into `spec.buckets` partitions
+  * (`_view_bucket = pmod(xxhash64(groupKeys), buckets)`), so the COW
+  * rewrite touches only the buckets holding changed groups — write
+  * amplification is bounded by touched buckets, not view size. A group
+  * whose count returns to zero is kept as a TOMBSTONE row
+  * (`view_count = 0`, aggregates nulled) so its bucket's rewrite stays
+  * a plain keyed upsert; [[read]] filters tombstones and [[compact]]
+  * removes them physically.
+  *
+  * Exactly-once: every state row carries `_view_epoch`, the epoch that
+  * last wrote it. One batch = ONE [[MergeWriter.upsert]] commit, so a
+  * foreachBatch replay sees `max(_view_epoch) == epochId` and SKIPS
+  * before any byte is written; an epoch BEHIND the watermark fails
+  * loudly (a reset checkpoint would otherwise silently re-apply or
+  * drop deltas — the same guard as [[LakeMirror]]'s mirror legs). */
+object IncrementalAgg {
+
+  /** Aggregate shape of the view: `GROUP BY groupCols` with
+    * `count(*)`, `sum(c)` per sumCols, `min(c)`/`max(c)` per
+    * minCols/maxCols. Group columns must be null-free (they key the
+    * state lake); sums should be exact-additive types (integral /
+    * decimal) if bit-exact parity with a recompute is required. */
+  final case class ViewSpec(
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      buckets: Int = 32) {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(buckets >= 1, "buckets must be >= 1")
+  }
+
+  val CountCol = "view_count"
+  val EpochCol = "_view_epoch"
+  val BucketCol = "_view_bucket"
+  private val ChangeCol = "change_type"
+  private val SignCol = "_view_sign"
+
+  private val AddTypes = Seq("insert", "upsert", "update_postimage")
+  private val RemoveTypes = Seq("delete", "update_preimage")
+
+  def sumCol(c: String) = s"sum_$c"
+  def minCol(c: String) = s"min_$c"
+  def maxCol(c: String) = s"max_$c"
+
+  /** The state lake spec rooted at `path`. */
+  def stateTable(path: String, spec: ViewSpec): LakeTable =
+    LakeTable(path, "graft_view", recordKeyFields = spec.groupCols,
+      precombineField = EpochCol, partitionFields = Seq(BucketCol))
+
+  private def bucketExpr(spec: ViewSpec): Column =
+    pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
+
+  /** User-facing view: tombstones dropped, internals hidden, one
+    * `avg_<c>` per sum column derived from the exact sum/count pair. */
+  def read(spark: SparkSession, path: String, spec: ViewSpec): DataFrame = {
+    val base = MergeWriter.readView(spark, stateTable(path, spec))
+    if (base.columns.isEmpty) return base
+    spec.sumCols.foldLeft(
+        base.where(col(CountCol) > 0).drop(EpochCol, BucketCol))(
+      (df, c) => df.withColumn(s"avg_$c",
+        col(sumCol(c)).cast("double") / col(CountCol)))
+  }
+
+  /** Drop tombstoned groups physically (a metadata-bounded keyed
+    * delete; optional housekeeping — [[read]] already filters them). */
+  def compact(spark: SparkSession, path: String, spec: ViewSpec): Unit = {
+    val state = stateTable(path, spec)
+    val view = MergeWriter.readView(spark, state)
+    if (view.columns.isEmpty) return
+    val dead = view.where(col(CountCol) === 0)
+      .select(spec.groupCols.map(col): _*)
+    if (!dead.isEmpty) MergeWriter.delete(spark, dead, state)
+  }
+
+  /** Apply one micro-batch of `(version LONG, change_type STRING,
+    * row STRING json)` rows — the `graft-delta` / `graft-iceberg` /
+    * `graft-hudi` stream shape — parsing payloads against `rowSchema`.
+    * `sourceAt` must snapshot the SOURCE at the batch's end version
+    * (only invoked when a min/max group is dirty). */
+  def applyCdfBatch(spark: SparkSession, batch: DataFrame,
+                    rowSchema: StructType, path: String, spec: ViewSpec,
+                    epochId: Long, sourceAt: () => DataFrame): Boolean = {
+    val parsed = batch
+      .select(col(ChangeCol), from_json(col("row"), rowSchema).as("r"))
+      .select(col(ChangeCol) +: rowSchema.fieldNames.toSeq
+        .map(f => col(s"r.$f").as(f)): _*)
+    applyChanges(spark, parsed, path, spec, epochId, sourceAt)
+  }
+
+  /** Apply one batch of change rows (payload columns + a
+    * `change_type`/`_change_type` column). Returns false when
+    * `epochId` was already applied (idempotent replay). */
+  def applyChanges(spark: SparkSession, changes: DataFrame, path: String,
+                   spec: ViewSpec, epochId: Long,
+                   sourceAt: () => DataFrame): Boolean = {
+    val state = stateTable(path, spec)
+    val existing = {
+      val v = MergeWriter.readView(spark, state)
+      if (v.columns.isEmpty) None else Some(v)
+    }
+
+    // --- exactly-once watermark: the state rows ARE the transaction log
+    val applied = existing.flatMap { st =>
+      val row = st.agg(max(col(EpochCol))).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    if (applied.contains(epochId)) return false // replayed batch
+    applied.filter(_ > epochId).foreach { a =>
+      throw new IllegalStateException(
+        s"incremental view $path: incoming epoch $epochId is behind " +
+          s"applied epoch $a — the checkpoint was reset (or two " +
+          "writers share this view); refusing to re-apply deltas.")
+    }
+
+    val feed = changes.withColumnRenamed("_change_type", ChangeCol)
+    val signed = feed.withColumn(SignCol,
+      when(col(ChangeCol).isin(AddTypes: _*), 1)
+        .when(col(ChangeCol).isin(RemoveTypes: _*), -1)
+        .otherwise(raise_error(concat(
+          lit("incremental view: unknown change_type "), col(ChangeCol)))))
+
+    // --- one map-side delta aggregate over the batch
+    val sgn = col(SignCol)
+    val aggExprs: Seq[Column] =
+      Seq(sum(sgn).cast("long").as("_d_count")) ++
+        spec.sumCols.map(c => sum(col(c) * sgn).as(s"_d_sum_$c")) ++
+        spec.minCols.flatMap(c => Seq(
+          min(when(sgn === 1, col(c))).as(s"_ins_min_$c"),
+          min(when(sgn === -1, col(c))).as(s"_rm_min_$c"))) ++
+        spec.maxCols.flatMap(c => Seq(
+          max(when(sgn === 1, col(c))).as(s"_ins_max_$c"),
+          max(when(sgn === -1, col(c))).as(s"_rm_max_$c")))
+    val deltas = signed.groupBy(spec.groupCols.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+
+    // --- old state for touched groups only: bucket-pruned scan + join
+    val joined = existing match {
+      case None => // first batch: no old columns, synthesize them as null
+        val withNulls = (Seq(CountCol -> lit(null).cast("long")) ++
+          spec.sumCols.map(c => sumCol(c) -> lit(null)) ++
+          spec.minCols.map(c => minCol(c) -> lit(null)) ++
+          spec.maxCols.map(c => maxCol(c) -> lit(null)))
+        withNulls.foldLeft(deltas) { case (df, (n, v)) => df.withColumn(n, v) }
+      case Some(st) =>
+        val touched = deltas.select(bucketExpr(spec).as(BucketCol))
+          .distinct().collect().map(_.getLong(0)) // bounded by spec.buckets
+        val oldPruned = st.where(col(BucketCol).isin(touched.toSeq: _*))
+          .drop(BucketCol, EpochCol)
+        deltas.join(oldPruned, spec.groupCols, "left")
+    }
+
+    // --- merge deltas into the stored aggregates
+    val oldCount = coalesce(col(CountCol), lit(0L))
+    val newCount = oldCount + col("_d_count")
+    def addNullSafe(a: Column, b: Column): Column =
+      when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+    val minDirty = spec.minCols.map(c =>
+      col(minCol(c)).isNotNull && col(s"_rm_min_$c").isNotNull &&
+        col(s"_rm_min_$c") <= col(minCol(c)))
+    val maxDirty = spec.maxCols.map(c =>
+      col(maxCol(c)).isNotNull && col(s"_rm_max_$c").isNotNull &&
+        col(s"_rm_max_$c") >= col(maxCol(c)))
+    val anyDirty = (minDirty ++ maxDirty)
+      .reduceOption(_ || _).getOrElse(lit(false)) && newCount > 0
+
+    val mergedCols: Seq[Column] =
+      spec.groupCols.map(col) ++
+        Seq(when(newCount < 0, raise_error(lit(
+            "incremental view: negative count for a group — the feed " +
+              "removed rows the view never saw")).cast("long"))
+          .otherwise(newCount).as(CountCol)) ++
+        spec.sumCols.map(c =>
+          when(newCount === 0, lit(null))
+            .otherwise(addNullSafe(col(sumCol(c)), col(s"_d_sum_$c")))
+            .as(sumCol(c))) ++
+        spec.minCols.map(c =>
+          when(newCount === 0, lit(null))
+            .otherwise(least(col(minCol(c)), col(s"_ins_min_$c")))
+            .as(minCol(c))) ++
+        spec.maxCols.map(c =>
+          when(newCount === 0, lit(null))
+            .otherwise(greatest(col(maxCol(c)), col(s"_ins_max_$c")))
+            .as(maxCol(c))) ++
+        Seq(anyDirty.as("_view_dirty"))
+    // bounded by touched groups; re-used for the dirty probe and the write
+    val merged = joined.select(mergedCols: _*).localCheckpoint(false)
+
+    // --- dirty groups: re-aggregate min/max from the source, pruned to them
+    val dirtyKeys = merged.where(col("_view_dirty"))
+      .select(spec.groupCols.map(col): _*)
+    val finalRows =
+      if ((spec.minCols.isEmpty && spec.maxCols.isEmpty) || dirtyKeys.isEmpty)
+        merged.drop("_view_dirty")
+      else {
+        val recAggs = spec.minCols.map(c => min(col(c)).as(s"_rec_min_$c")) ++
+          spec.maxCols.map(c => max(col(c)).as(s"_rec_max_$c"))
+        val rec = sourceAt()
+          .join(dirtyKeys, spec.groupCols, "left_semi")
+          .groupBy(spec.groupCols.map(col): _*)
+          .agg(recAggs.head, recAggs.tail: _*)
+        val patched = merged.join(rec, spec.groupCols, "left")
+        val cols = spec.groupCols.map(col) ++ Seq(col(CountCol)) ++
+          spec.sumCols.map(c => col(sumCol(c))) ++
+          spec.minCols.map(c => when(col("_view_dirty"),
+            col(s"_rec_min_$c")).otherwise(col(minCol(c))).as(minCol(c))) ++
+          spec.maxCols.map(c => when(col("_view_dirty"),
+            col(s"_rec_max_$c")).otherwise(col(maxCol(c))).as(maxCol(c)))
+        patched.select(cols: _*)
+      }
+
+    // --- ONE keyed upsert commit: bucket-partitioned, epoch-stamped
+    val out = finalRows
+      .withColumn(BucketCol, bucketExpr(spec))
+      .withColumn(EpochCol, lit(epochId))
+    MergeWriter.upsert(spark, out, state)
+    true
+  }
+}

@@ -605,6 +605,42 @@ class OpsSpec extends SparkSuite {
     assert(fp(3L)._2 === sel("totally different words here entirely now friends").size.toLong)
   }
 
+  test("duplicatedSpans: later doc's shared run is one merged interval, first holder exempt") {
+    val d = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "x x a b c d e f y y"),          // shares the 6-word run a..f
+      (30L, "unique words only in this one"),
+      (40L, "p q r s t p q r s t"))          // repeats only WITHIN itself
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, k = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(spans.keySet === Set(20L))        // first holder 10 keeps its copy
+    assert(spans(20L)._2 === 1L)             // one merged span
+    assert(spans(20L)._3 === 6L)             // covering a..f = 6 words
+  }
+
+  test("removeDuplicatedSpans rewrites only later holders, hashed and unhashed agree") {
+    val d = Seq(
+      (10L, "a b c d e f g h"),
+      (20L, "x x a b c d e f y y"),
+      (30L, "unique words only in this one"),
+      (40L, "p q r s t p q r s t"))
+      .toDF("doc_id", "text")
+    for (hashed <- Seq(true, false)) {
+      val out = Dedup.removeDuplicatedSpans(d, k = 4, hashed = hashed)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(out(10L) === "a b c d e f g h")        // first holder untouched
+      assert(out(20L) === "x x y y")                // run removed, rest kept in order
+      assert(out(30L) === "unique words only in this one")
+      assert(out(40L) === "p q r s t p q r s t")    // intra-doc repeat is not a dup
+    }
+    // a doc that is ENTIRELY an earlier doc's text empties to ""
+    val all = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(all, k = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "a b c d" && out(2L) === "")
+  }
+
   test("GifCodec really decodes: animated-GIF round trip reproduces every frame") {
     val id = 17L
     val (w, h) = Multimodal.FixtureGif.dims(id)
