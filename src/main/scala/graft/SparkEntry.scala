@@ -2526,6 +2526,33 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Storage-partitioned join over the bucketed graft lake: orders and
+      * customer both hash-bucketed on custkey, joined through the
+      * [[graft.sources.GraftBucketCatalog]] V2 catalog whose scans report
+      * KeyGroupedPartitioning — the join runs WITHOUT shuffling either
+      * side (plan-contract-pinned in BucketedLakeSpec; at 100 TB the
+      * deleted exchange is the dominant cost of a fact-fact join). */
+    "lake_bucketed_join" -> ((s, d) => {
+      val root = lakeTmp(d, "bkjoin")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"$root/orders", "o_custkey", 8)
+      graft.sources.BucketedLake.write(
+        t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        s"$root/customer", "c_custkey", 8)
+      s.read.table(s"graft_bk.`$root/orders`").hint("merge")
+        .join(s.read.table(s"graft_bk.`$root/customer`"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4711,6 +4738,13 @@ object SparkEntry {
              MIN(o_orderdate) AS min_o_orderdate,
              MAX(o_orderdate) AS max_o_orderdate
       FROM endst GROUP BY 1 ORDER BY 1""",
+
+    // the co-located join must equal the plain shuffled join
+    "lake_bucketed_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "lake_delta_cdf" -> """
       SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,

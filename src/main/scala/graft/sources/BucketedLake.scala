@@ -1,0 +1,273 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ParquetReadShim
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Bucketed graft-lake tables + STORAGE-PARTITIONED JOINS (SPJ): two
+  * tables hash-bucketed on their join key by the SAME function join with
+  * ZERO shuffle — at 100 TB the exchange under a fact-fact join is
+  * usually THE dominant cost, and pre-bucketed layouts delete it.
+  *
+  * Write side ([[BucketedLake.write]]): rows route to
+  * `bucket = pmod(xxhash64(key), n)` directories in one shuffled job.
+  * Read side: a DataSource V2 catalog (`spark.sql.catalog.<name> =
+  * graft.sources.GraftBucketCatalog`, tables addressed as
+  * ``<name>.`/path` ``) whose scan reports
+  * [[KeyGroupedPartitioning]]`(bucket(n, key), n)` with one input
+  * partition per bucket ([[HasPartitionKey]] = the bucket ordinal, ALL
+  * n buckets always reported so two tables' partition values align
+  * even when buckets are empty). The catalog doubles as a
+  * [[FunctionCatalog]] serving the `bucket` function — Catalyst resolves
+  * the transform against it, and `EnsureRequirements` then recognizes
+  * both sides as co-partitioned (same canonical function, same bucket
+  * count, same partition values) and plans the join WITHOUT exchanges
+  * (requires `spark.sql.sources.v2.bucketing.enabled=true`; pinned by
+  * BucketedLakeSpec's plan contract).
+  *
+  * Parquet decode rides Spark's own reader via
+  * [[org.apache.spark.sql.graftshim.ParquetReadShim]] (vectorized,
+  * footer-pruned), with column pruning pushed through
+  * [[SupportsPushDownRequiredColumns]]. Mismatched bucket counts are
+  * still CORRECT — Spark simply falls back to a shuffled join. */
+object BucketedLake {
+
+  private val SpecFile = "_bucket_spec.txt"
+  private val BucketDir = "__bucket"
+
+  /** Table layout metadata: key column, bucket count, schema (json). */
+  final case class Spec(keyCol: String, buckets: Int, schema: StructType)
+
+  /** The write-side routing expression — MUST stay in lockstep with
+    * [[GraftBucketFunction.produceResult]] (read-side identity). */
+  def bucketExpr(keyCol: String, buckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int")
+
+  /** Write `df` hash-bucketed by `keyCol` into `path`: one shuffled job,
+    * rows clustered per bucket directory. */
+  def write(df: DataFrame, path: String, keyCol: String, buckets: Int): Unit = {
+    require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    df.withColumn(BucketDir, bucketExpr(keyCol, buckets))
+      .repartition(buckets, col(BucketDir))
+      .write.mode("overwrite").partitionBy(BucketDir).parquet(s"$path/data")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path, SpecFile)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(s"$keyCol\n$buckets\n${df.schema.json}\n".getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private[sources] def readSpec(spark: SparkSession, path: String): Option[Spec] = {
+    val p = new Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+    val Array(key, n, schemaJson) = text.split("\n", 3).map(_.trim)
+    Some(Spec(key, n.toInt, DataType.fromJson(schemaJson).asInstanceOf[StructType]))
+  }
+
+  /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
+  private[sources] def bucketFiles(spark: SparkSession, path: String,
+                                   b: Int): Array[(String, Long)] = {
+    val dir = new Path(s"$path/data/$BucketDir=$b")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.toString, f.getLen))
+  }
+}
+
+/** `TableCatalog` + `FunctionCatalog` plugin: path-addressed bucketed
+  * tables plus the `bucket` V2 function the SPJ transform resolves to. */
+class GraftBucketCatalog extends TableCatalog with FunctionCatalog {
+  private var catName: String = "graft_bucketed"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val path = (ident.namespace() :+ ident.name()).mkString("/")
+    BucketedLake.readSpec(spark, path) match {
+      case Some(spec) => new GraftBucketedTable(spark, path, spec)
+      case None => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create via BucketedLake.write(df, path, keyCol, buckets)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("bucketed tables are immutable")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("bucketed tables are immutable")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") new GraftBucketFunction.Unbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+}
+
+/** The `bucket(n, key)` V2 function — read-side identity of
+  * [[BucketedLake.bucketExpr]]: `floorMod(xxhash64(key), n)` with
+  * Spark's xxhash64 seed (42). */
+object GraftBucketFunction {
+  final class Unbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "graft bucket routing: pmod(xxhash64(key), n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket(numBuckets, key) expects 2 args, got ${inputType.length}")
+      new Bound(inputType.fields(1).dataType)
+    }
+  }
+
+  /** `ReducibleFunction`: `floorMod(h, kn) = b` implies
+    * `floorMod(h, n) = b mod n`, so a `kn`-bucket side REDUCES onto an
+    * `n`-bucket side by `b mod n` — Spark's compatible-transform SPJ
+    * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`)
+    * then joins divisible bucket counts WITHOUT shuffling either side. */
+  final class Bound(keyType: DataType) extends ScalarFunction[Integer]
+      with org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[Integer, Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${keyType.catalogString})"
+    override def reducer(thisNumBuckets: Int,
+                         otherFn: org.apache.spark.sql.connector.catalog
+                           .functions.ReducibleFunction[_, _],
+                         otherNumBuckets: Int)
+        : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+      otherFn match {
+        case _: Bound if otherNumBuckets < thisNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+          new BucketReducer(otherNumBuckets)
+        case _ => null // equal counts or non-divisible: no reduction
+      }
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val v = input.get(1, keyType)
+      if (v == null) return null // pmod(null) is null; null keys bucket nowhere
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, keyType, 42L)
+      Integer.valueOf(java.lang.Math.floorMod(h, n.toLong).toInt)
+    }
+  }
+}
+
+/** Fold a finer bucket ordinal onto an `n`-bucket layout. */
+private[sources] final class BucketReducer(n: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+    with Serializable {
+  override def reduce(bucket: Integer): Integer =
+    Integer.valueOf(bucket.intValue() % n)
+}
+
+private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
+                                          spec: BucketedLake.Spec)
+    extends Table with SupportsRead {
+  override def name(): String = path
+  override def schema(): StructType = spec.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(spec.buckets, spec.keyCol))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftBucketScanBuilder(spark, path, spec)
+}
+
+private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
+                                              spec: BucketedLake.Spec)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = spec.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftBucketScan(spark, path, spec, required)
+}
+
+private[sources] class GraftBucketScan(spark: SparkSession, path: String,
+                                       spec: BucketedLake.Spec,
+                                       required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol})"
+
+  /** ALL n buckets, every scan — empty ones included, so two tables'
+    * partition-value sets are always identical and SPJ never needs
+    * partition-value push-down/padding. */
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until spec.buckets).map { b =>
+      GraftBucketPartition(b, BucketedLake.bucketFiles(spark, path, b))
+    }.toArray
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(spec.buckets, spec.keyCol)), spec.buckets)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // driver-side: broadcasts a fresh per-scan conf; serializable fn
+    val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required)
+    new GraftBucketReaderFactory(readerFn)
+  }
+}
+
+private[sources] final case class GraftBucketPartition(
+    bucket: Int, files: Array[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+private[sources] class GraftBucketReaderFactory(
+    readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.files.iterator.flatMap { case (f, len) =>
+        ParquetReadShim.rows(readerFn(ParquetReadShim.partitionedFile(f, len)))
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Bucketed graft-lake tables + storage-partitioned joins: write/read
+  * round trip, the ZERO-SHUFFLE co-located join plan contract, correct
+  * fallback on mismatched bucket counts, and column pruning through the
+  * V2 scan. */
+class BucketedLakeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val cat = "graft_bk"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+  }
+
+  private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
+
+  private def table(path: String): DataFrame =
+    spark.read.table(s"$cat.`$path`")
+
+  /** every shuffle under the (possibly adaptive) executed plan. */
+  private def shuffles(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // finalize any adaptive plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan) // AQE stages are childless wrappers — descend
+        case s: ShuffleExchangeLike => Seq(s)
+        case _ => Nil
+      }
+      self ++ p.children.flatMap(walk) ++
+        p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("write/read round trip preserves rows, types, and key placement") {
+    val path = tmp("bk-rt")
+    val df = (1L to 1000L).map(i => (i, s"name-$i", i % 7)).toDF("id", "nm", "grp")
+    BucketedLake.write(df, path, "id", 8)
+    val back = table(path)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "nm", "grp"))
+    assert(back.count() === 1000L)
+    assert(back.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+    // physical placement: each bucket dir holds exactly the rows whose
+    // pmod(xxhash64(id), 8) routes there (write/read identity)
+    val expected = df
+      .withColumn("b", BucketedLake.bucketExpr("id", 8)).groupBy("b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { b =>
+      val files = BucketedLake.bucketFiles(spark, path, b)
+      val n =
+        if (files.isEmpty) 0L
+        else spark.read.parquet(files.map(_._1).toSeq: _*).count()
+      assert(n === expected.getOrElse(b, 0L), s"bucket $b row count")
+    }
+  }
+
+  test("storage-partitioned join: same bucketing on both sides -> ZERO shuffles") {
+    val left = tmp("bk-l"); val right = tmp("bk-r")
+    val l = (1L to 500L).map(i => (i, i * 2)).toDF("k", "lv")
+    val r = (250L to 750L).map(i => (i, s"r$i")).toDF("k", "rv")
+    BucketedLake.write(l, left, "k", 8)
+    BucketedLake.write(r, right, "k", 8)
+    // join WITHOUT a global aggregate: the whole plan must be exchange-free
+    val joined = table(left).hint("merge").join(table(right), Seq("k"))
+    assert(shuffles(joined).isEmpty,
+      s"expected a shuffle-free co-located join, got:\n" +
+        joined.queryExecution.executedPlan)
+    // and the co-located result is RIGHT (vs a plain shuffled recompute)
+    val expect = l.join(r, Seq("k"))
+      .select(sum(col("lv")).as("s"), count(lit(1)).as("n")).head()
+    val got = table(left).hint("merge").join(table(right), Seq("k"))
+      .select(sum(col("lv")).as("s"), count(lit(1)).as("n")).head()
+    assert(got === expect)
+  }
+
+  test("divisible bucket counts coalesce (8 vs 4) — still shuffle-free and correct") {
+    // floorMod(h, 8) = b implies floorMod(h, 4) = b mod 4, so Spark's
+    // bucket-coalescing SPJ may group the 8 buckets pairwise; either way
+    // the join must be CORRECT, and with coalescing it stays exchange-free
+    val left = tmp("bk-l2"); val right = tmp("bk-r2")
+    val l = (1L to 200L).map(i => (i, i * 3)).toDF("k", "lv")
+    val r = (1L to 200L).map(i => (i, s"x$i")).toDF("k", "rv")
+    BucketedLake.write(l, left, "k", 8)
+    BucketedLake.write(r, right, "k", 4)
+    val joined = table(left).hint("merge").join(table(right), Seq("k"))
+    assert(joined.count() === 200L)
+    assert(shuffles(joined).isEmpty,
+      "divisible bucket counts should coalesce without an exchange")
+  }
+
+  test("joining on a non-bucket column falls back to a shuffled join, still correct") {
+    val left = tmp("bk-l3"); val right = tmp("bk-r3")
+    val l = (1L to 200L).map(i => (i, i % 10)).toDF("k", "other")
+    val r = (0L to 9L).map(i => (i, s"x$i")).toDF("other", "rv")
+    BucketedLake.write(l, left, "k", 8)
+    BucketedLake.write(r, right, "other", 8)
+    // pin the SMJ path (a tiny side would broadcast, hiding the check)
+    val thresh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThresh =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // left is bucketed by k but joins on `other` — not co-partitioned
+      val joined = table(left).hint("merge").join(table(right), Seq("other"))
+      assert(shuffles(joined).nonEmpty, "non-key join must shuffle")
+      assert(joined.count() === 200L)
+    } finally {
+      thresh.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      aqeThresh.fold(
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("group-by on the bucket key also rides the reported partitioning") {
+    val path = tmp("bk-agg")
+    BucketedLake.write((1L to 300L).map(i => (i % 50, i)).toDF("k", "v"),
+      path, "k", 8)
+    val agg = table(path).groupBy("k").agg(sum("v").as("s"))
+    assert(shuffles(agg).isEmpty,
+      s"bucketed group-by must not shuffle:\n${agg.queryExecution.executedPlan}")
+    val expect = (1L to 300L).map(i => (i % 50, i)).groupBy(_._1)
+      .map { case (k, vs) => (k, vs.map(_._2).sum) }.toSet
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+  }
+
+  test("column pruning reaches the V2 scan") {
+    val path = tmp("bk-prune")
+    BucketedLake.write(
+      (1L to 10L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "nm", "x"),
+      path, "id", 4)
+    val df = table(path).select("nm")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.sameElements(Array("nm"))),
+      s"scan should read only 'nm':\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(_.getString(0)).sorted.head === "n1")
+  }
+
+  test("empty buckets are materialized so both sides' partition values align") {
+    val path = tmp("bk-empty")
+    // one distinct key -> exactly one non-empty bucket out of 16
+    BucketedLake.write(Seq((42L, "only")).toDF("k", "v"), path, "k", 16)
+    val back = table(path)
+    assert(back.rdd.getNumPartitions === 16)
+    assert(back.count() === 1L)
+  }
+}
