@@ -47,8 +47,12 @@ object BucketedLake {
   private val SpecFile = "_bucket_spec.txt"
   private val BucketDir = "__bucket"
 
-  /** Table layout metadata: key column, bucket count, schema (json). */
-  final case class Spec(keyCol: String, buckets: Int, schema: StructType)
+  /** Table layout metadata: key column, bucket count, schema (json),
+    * and whether bucket files are key-sorted (written that way by
+    * [[write]] — lets the scan report its ordering so co-located SMJs
+    * skip their sorts too). */
+  final case class Spec(keyCol: String, buckets: Int, schema: StructType,
+                        sorted: Boolean)
 
   /** The write-side routing expression — MUST stay in lockstep with
     * [[GraftBucketFunction.produceResult]] (read-side identity). */
@@ -61,14 +65,18 @@ object BucketedLake {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
     val spark = df.sparkSession
+    // every bucket lands in exactly ONE task (repartition on the bucket
+    // value), key-sorted within it -> one key-sorted file per bucket
     df.withColumn(BucketDir, bucketExpr(keyCol, buckets))
       .repartition(buckets, col(BucketDir))
+      .sortWithinPartitions(col(BucketDir), col(keyCol))
       .write.mode("overwrite").partitionBy(BucketDir).parquet(s"$path/data")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path, SpecFile)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
-    try out.write(s"$keyCol\n$buckets\n${df.schema.json}\n".getBytes(UTF_8))
+    try out.write(
+      s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n".getBytes(UTF_8))
     finally out.close()
   }
 
@@ -82,8 +90,11 @@ object BucketedLake {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
-    val Array(key, n, schemaJson) = text.split("\n", 3).map(_.trim)
-    Some(Spec(key, n.toInt, DataType.fromJson(schemaJson).asInstanceOf[StructType]))
+    val lines = text.split("\n").map(_.trim)
+    val Array(key, n, schemaJson) = lines.take(3)
+    val sorted = lines.drop(3).contains("sorted=true")
+    Some(Spec(key, n.toInt,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], sorted))
   }
 
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
@@ -222,7 +233,8 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
 private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,
                                        required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -231,10 +243,40 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   /** ALL n buckets, every scan — empty ones included, so two tables'
     * partition-value sets are always identical and SPJ never needs
     * partition-value push-down/padding. */
-  override def planInputPartitions(): Array[InputPartition] =
+  private lazy val partitions: Array[InputPartition] =
     (0 until spec.buckets).map { b =>
       GraftBucketPartition(b, BucketedLake.bucketFiles(spark, path, b))
     }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  /** Key-sorted buckets report their ordering, so a co-located SMJ skips
+    * its SortExecs too — guarded on the writer's sorted flag, on every
+    * bucket still being a SINGLE file (a multi-file bucket has no global
+    * order), and on the key surviving column pruning.
+    *
+    * CORRECTNESS GATE: the claim holds PER INPUT PARTITION, but Spark's
+    * partition-GROUPING SPJ modes (compatible-transform bucket
+    * coalescing, partially-clustered distribution) may concatenate two
+    * sorted buckets into one task — the concatenation is NOT sorted, and
+    * a stale ordering claim there silently drops join matches. When
+    * either grouping mode is on in the session, the scan withholds its
+    * ordering (sorts come back; results stay right). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector
+      .expressions.SortOrder] = {
+    def off(key: String): Boolean =
+      !spark.conf.get(key, "false").toBoolean
+    val groupingSafe =
+      off("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled") &&
+        off("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    if (groupingSafe && spec.sorted &&
+        required.fieldNames.contains(spec.keyCol) &&
+        partitions.forall(
+          _.asInstanceOf[GraftBucketPartition].files.length <= 1))
+      Array(Expressions.sort(Expressions.column(spec.keyCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(

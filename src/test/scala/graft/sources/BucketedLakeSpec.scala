@@ -25,8 +25,7 @@ class BucketedLakeSpec extends SparkSuite {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[GraftBucketCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set(
-      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
   }
 
   private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
@@ -85,6 +84,13 @@ class BucketedLakeSpec extends SparkSuite {
     assert(shuffles(joined).isEmpty,
       s"expected a shuffle-free co-located join, got:\n" +
         joined.queryExecution.executedPlan)
+    // buckets are key-sorted single files and the scans REPORT it, so the
+    // SMJ runs without SortExecs either: scan -> join, nothing between
+    val sorts = joined.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, s"expected a sort-free co-located join, got:\n" +
+      joined.queryExecution.executedPlan)
     // and the co-located result is RIGHT (vs a plain shuffled recompute)
     val expect = l.join(r, Seq("k"))
       .select(sum(col("lv")).as("s"), count(lit(1)).as("n")).head()
@@ -94,18 +100,25 @@ class BucketedLakeSpec extends SparkSuite {
   }
 
   test("divisible bucket counts coalesce (8 vs 4) — still shuffle-free and correct") {
-    // floorMod(h, 8) = b implies floorMod(h, 4) = b mod 4, so Spark's
-    // bucket-coalescing SPJ may group the 8 buckets pairwise; either way
-    // the join must be CORRECT, and with coalescing it stays exchange-free
+    // floorMod(h, 8) = b implies floorMod(h, 4) = b mod 4, so with
+    // compatible-transform SPJ on, Spark groups the 8 buckets pairwise via
+    // the function's ReducibleFunction — exchange-free. The scan must then
+    // WITHHOLD its ordering claim (a grouped task concatenates two sorted
+    // buckets, which is not sorted): sorts reappear, results stay right.
     val left = tmp("bk-l2"); val right = tmp("bk-r2")
     val l = (1L to 200L).map(i => (i, i * 3)).toDF("k", "lv")
     val r = (1L to 200L).map(i => (i, s"x$i")).toDF("k", "rv")
     BucketedLake.write(l, left, "k", 8)
     BucketedLake.write(r, right, "k", 4)
-    val joined = table(left).hint("merge").join(table(right), Seq("k"))
-    assert(joined.count() === 200L)
-    assert(shuffles(joined).isEmpty,
-      "divisible bucket counts should coalesce without an exchange")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    try {
+      val joined = table(left).hint("merge").join(table(right), Seq("k"))
+      assert(joined.count() === 200L)
+      assert(shuffles(joined).isEmpty,
+        "divisible bucket counts should coalesce without an exchange")
+    } finally spark.conf.unset(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
   }
 
   test("joining on a non-bucket column falls back to a shuffled join, still correct") {
