@@ -599,6 +599,69 @@ object ScaleProbe {
         s"day-range predicate read $read of ${days * 2} files — prune lost")
       recent.count()
     }
+    // Storage-partitioned join headroom: 2M x 2M rows over 64 buckets —
+    // the co-located plan must carry NO join exchange (plan-required),
+    // and the probe prints it next to the shuffled baseline over the
+    // same bytes. At 100 TB this delta is the fact-fact join's shuffle.
+    time("spj_colocated_join") {
+      spark.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+      val root = java.nio.file.Files.createTempDirectory("probe-spj").toString
+      val n = 2000000L
+      graft.sources.BucketedLake.write(
+        spark.range(0, n).select(col("id").as("k"), (col("id") * 2).as("lv")),
+        s"$root/l", "k", 64)
+      graft.sources.BucketedLake.write(
+        spark.range(0, n).select(col("id").as("k"), (col("id") % 1000).as("rv")),
+        s"$root/r", "k", 64)
+      val t0 = System.nanoTime()
+      val co = spark.read.table(s"graft_bk.`$root/l`").hint("merge")
+        .join(spark.read.table(s"graft_bk.`$root/r`"), Seq("k"))
+        .agg(sum(col("lv")).as("s"), count(lit(1)).as("c"))
+      val coRow = co.head()
+      val coS = (System.nanoTime() - t0) / 1e9
+      val plan = co.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "co-located join planned a shuffle — SPJ lost")
+      val t1 = System.nanoTime()
+      val sh = spark.read.parquet(s"$root/l/data").hint("merge")
+        .join(spark.read.parquet(s"$root/r/data").select("k", "rv"), Seq("k"))
+        .agg(sum(col("lv")).as("s"), count(lit(1)).as("c")).head()
+      val shS = (System.nanoTime() - t1) / 1e9
+      require(coRow.getLong(1) == sh.getLong(1), "row-count mismatch")
+      System.err.println(
+        f"[probe] spj co-located=$coS%.1fs shuffled=$shS%.1fs rows=${coRow.getLong(1)}")
+      coRow.getLong(1)
+    }
+    // Incremental-view refresh: folding a group-localized 10k-change
+    // batch (10 groups -> <=10 of 64 buckets) into a 1M-group view must
+    // cost a fraction of the initial 2M-row aggregation — refresh
+    // scales with the batch and its touched buckets, not the source.
+    time("ivm_refresh") {
+      import graft.streaming.IncrementalAgg
+      val path = java.nio.file.Files
+        .createTempDirectory("probe-ivm").toString + "/v"
+      val spec = IncrementalAgg.ViewSpec(Seq("g"), sumCols = Seq("v"),
+        buckets = 64)
+      val boom = () => throw new IllegalStateException("no min/max: no source read")
+      val n = 2000000L
+      val load = spark.range(0, n).select((col("id") % 1000000).as("g"),
+        col("id").as("v"), lit("insert").as("change_type"))
+      val t0 = System.nanoTime()
+      IncrementalAgg.applyChanges(spark, load, path, spec, 0L, boom)
+      val loadS = (System.nanoTime() - t0) / 1e9
+      val batch = spark.range(0, 10000L).select((col("id") % 10).as("g"),
+        (col("id") + n).as("v"), lit("insert").as("change_type"))
+      val t1 = System.nanoTime()
+      IncrementalAgg.applyChanges(spark, batch, path, spec, 1L, boom)
+      val refreshS = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[probe] ivm load=$loadS%.1fs refresh=$refreshS%.1fs " +
+          "(10k changes over 10 groups)")
+      IncrementalAgg.read(spark, path, spec).count()
+    }
     // BPE replace-cascade cost at corpus scale (pure codegen string work,
     // shuffle-free): total tokens forces every doc through all 26 merges
     time("bpe_count") {

@@ -234,9 +234,23 @@ object MergeWriter {
         partitionedWriter(deduped, table)
           .mode(SaveMode.Overwrite).parquet(dataPath(table))
       case Some(existing) if table.isPartitioned =>
-        // distinct partition tuples of the batch — small, broadcastable
+        // distinct partition tuples of the batch — small, collectable.
+        // As a STATIC disjunction they prune at scan PLANNING time (the
+        // read touches only affected partition directories); a runtime
+        // semi join would scan the whole table to filter it. Above the
+        // cap (degenerate near-unpartitioned layouts) the broadcast
+        // semi join is the safer plan.
         val parts = deduped.select(table.partitionFields.map(col): _*).distinct()
-        val affected = existing.join(broadcast(parts), table.partitionFields, "left_semi")
+        val partRows = parts.limit(1001).collect()
+        val affected =
+          if (partRows.length <= 1000) {
+            val cond = partRows.iterator.map { r =>
+              table.partitionFields.zipWithIndex
+                .map { case (f, i) => col(f) <=> lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduceOption(_ || _).getOrElse(lit(false))
+            existing.where(cond)
+          } else existing.join(broadcast(parts), table.partitionFields, "left_semi")
         val merged = mergeBatch(affected, deduped, table.recordKeyFields)
         // lineage barrier: we overwrite partitions we just read
         val materialized = merged.localCheckpoint(true)

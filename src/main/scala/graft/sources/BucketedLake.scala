@@ -209,15 +209,154 @@ private[sources] final class BucketReducer(n: Int)
 
 private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
                                           spec: BucketedLake.Spec)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = path
   override def schema(): StructType = spec.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(spec.buckets, spec.keyCol))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBucketScanBuilder(spark, path, spec)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val in = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
+    val declared = spec.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(in == declared,
+      s"bucketed table $path expects schema ${spec.schema.simpleString}, " +
+        s"got ${info.schema().simpleString}")
+    new GraftBucketWriteBuilder(spark, path, spec)
+  }
+}
+
+/** V2 write path: `df.writeTo("cat.`/path`").append()` and SQL
+  * `INSERT INTO` / `INSERT OVERWRITE`. The write REQUIRES a clustered
+  * distribution on `bucket(n, key)` with a `(bucket, key)` in-partition
+  * order — Spark plans the shuffle+sort itself, each bucket lands
+  * wholly in one task as one key-sorted run, and the writer just cuts a
+  * new file at each bucket transition. Files stage under a
+  * write-unique directory and move into the layout on driver commit
+  * (truncate swaps the whole data dir). Appends may give a bucket a
+  * second file — the scan's ordering claim then withdraws itself
+  * (single-file guard), correctness unaffected. */
+private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
+                                               path: String,
+                                               spec: BucketedLake.Spec)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new GraftBucketWrite(spark, path, spec, doTruncate)
+}
+
+private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
+                                        spec: BucketedLake.Spec,
+                                        truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{SortDirection => SD}
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.bucket(spec.buckets, spec.keyCol)))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      Expressions.sort(Expressions.bucket(spec.buckets, spec.keyCol),
+        SD.ASCENDING),
+      Expressions.sort(Expressions.column(spec.keyCol), SD.ASCENDING))
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftBucketBatchWrite(spark, path, spec, truncate,
+      s"$path/.stage-${java.util.UUID.randomUUID()}")
+}
+
+private[sources] final case class GraftBucketCommit(files: Seq[(Int, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
+                                             spec: BucketedLake.Spec,
+                                             truncate: Boolean, staging: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val handle = org.apache.spark.sql.graftshim.ParquetWriteShim
+      .prepare(spark, spec.schema)
+    val keyIdx = spec.schema.fieldIndex(spec.keyCol)
+    new GraftBucketWriterFactory(handle, staging, keyIdx,
+      spec.schema.fields(keyIdx).dataType, spec.buckets)
+  }
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dataDir = new Path(s"$path/data")
+    val f = fs(dataDir)
+    if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
+    messages.foreach {
+      case GraftBucketCommit(files) => files.foreach { case (b, staged) =>
+        val dir = new Path(s"$path/data/__bucket=$b")
+        f.mkdirs(dir)
+        val src = new Path(staged)
+        if (!f.rename(src, new Path(dir, src.getName)))
+          throw new java.io.IOException(s"commit failed moving $staged")
+      }
+      case other => throw new IllegalStateException(s"foreign message $other")
+    }
+    f.delete(new Path(staging), true): Unit
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    fs(new Path(staging)).delete(new Path(staging), true): Unit
+}
+
+private[sources] class GraftBucketWriterFactory(
+    handle: org.apache.spark.sql.graftshim.ParquetWriteShim.WriterHandle,
+    staging: String, keyIdx: Int, keyType: DataType, buckets: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var bucket = -1
+      private var sink: org.apache.spark.sql.graftshim.ParquetWriteShim.RowSink = _
+      private val written = Seq.newBuilder[(Int, String)]
+
+      override def write(row: InternalRow): Unit = {
+        val v = row.get(keyIdx, keyType)
+        require(v != null,
+          "bucketed write: null bucket key (null keys have no bucket)")
+        val b = java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(v, keyType, 42L), buckets.toLong).toInt
+        if (b != bucket) { // rows arrive (bucket, key)-sorted: transitions
+          if (sink != null) sink.close()
+          sink = org.apache.spark.sql.graftshim.ParquetWriteShim
+            .open(handle, s"$staging/$b", partitionId)
+          written += ((b, sink.path()))
+          bucket = b
+        }
+        sink.write(row)
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (sink != null) sink.close()
+        GraftBucketCommit(written.result())
+      }
+      override def abort(): Unit = if (sink != null) sink.close()
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,

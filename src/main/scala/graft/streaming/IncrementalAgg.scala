@@ -133,16 +133,16 @@ object IncrementalAgg {
       if (v.columns.isEmpty) None else Some(v)
     }
 
-    // --- exactly-once watermark: the state rows ARE the transaction log
-    val applied = existing.flatMap { st =>
-      val row = st.agg(max(col(EpochCol))).head()
-      if (row.isNullAt(0)) None else Some(row.getLong(0))
-    }
-    if (applied.contains(epochId)) return false // replayed batch
-    applied.filter(_ > epochId).foreach { a =>
-      throw new IllegalStateException(
+    // --- exactly-once watermark, O(1) fast path: the marker file is a
+    // HINT (written after each commit); the state rows stay the source
+    // of truth and are re-checked below over the bucket-PRUNED scan —
+    // a foreachBatch replay re-touches the same buckets, so their rows
+    // carry the replayed epoch even if the marker write was lost.
+    readMarker(spark, path).foreach { m =>
+      if (m == epochId) return false // replayed batch
+      if (m > epochId) throw new IllegalStateException(
         s"incremental view $path: incoming epoch $epochId is behind " +
-          s"applied epoch $a — the checkpoint was reset (or two " +
+          s"applied epoch $m — the checkpoint was reset (or two " +
           "writers share this view); refusing to re-apply deltas.")
     }
 
@@ -179,8 +179,19 @@ object IncrementalAgg {
         val touched = deltas.select(bucketExpr(spec).as(BucketCol))
           .distinct().collect().map(_.getLong(0)) // bounded by spec.buckets
         val oldPruned = st.where(col(BucketCol).isin(touched.toSeq: _*))
-          .drop(BucketCol, EpochCol)
-        deltas.join(oldPruned, spec.groupCols, "left")
+        // authoritative replay check over the SAME pruned scan the merge
+        // uses: a replayed batch re-touches these buckets, whose rows
+        // carry its epoch even when the marker write was lost mid-crash
+        val row = oldPruned.agg(max(col(EpochCol))).head()
+        if (!row.isNullAt(0)) {
+          val applied = row.getLong(0)
+          if (applied == epochId) { writeMarker(spark, path, epochId); return false }
+          if (applied > epochId) throw new IllegalStateException(
+            s"incremental view $path: incoming epoch $epochId is behind " +
+              s"applied epoch $applied — the checkpoint was reset (or two " +
+              "writers share this view); refusing to re-apply deltas.")
+        }
+        deltas.join(oldPruned.drop(BucketCol, EpochCol), spec.groupCols, "left")
     }
 
     // --- merge deltas into the stored aggregates
@@ -247,6 +258,33 @@ object IncrementalAgg {
       .withColumn(BucketCol, bucketExpr(spec))
       .withColumn(EpochCol, lit(epochId))
     MergeWriter.upsert(spark, out, state)
+    writeMarker(spark, path, epochId)
     true
+  }
+
+  // ------------------------------------------------------------- marker
+
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_ivm_epoch")
+
+  private def readMarker(spark: SparkSession, path: String): Option[Long] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](32)
+      val n = in.read(b)
+      new String(b, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLongOption
+    } finally in.close()
+  }
+
+  private def writeMarker(spark: SparkSession, path: String, epoch: Long): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -171,6 +171,73 @@ class BucketedLakeSpec extends SparkSuite {
     assert(df.collect().map(_.getString(0)).sorted.head === "n1")
   }
 
+  test("V2 append: Spark plans the connector-required shuffle+sort; placement holds") {
+    val path = tmp("bk-w")
+    BucketedLake.write((1L to 100L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 8)
+    // DSv2 append: RequiresDistributionAndOrdering makes Spark cluster by
+    // bucket(8, k) and sort (bucket, k); the writer cuts files on bucket
+    // transitions — no writer-side shuffle logic at all
+    (101L to 200L).map(i => (i, i * 2)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    val back = table(path)
+    assert(back.count() === 200L)
+    assert(back.agg(sum(col("v"))).head().getLong(0) ===
+      (1L to 200L).map(_ * 2).sum)
+    // physical placement: every row of every bucket dir re-hashes to it
+    (0 until 8).foreach { b =>
+      val files = BucketedLake.bucketFiles(spark, path, b)
+      if (files.nonEmpty) {
+        val misrouted = spark.read.parquet(files.map(_._1).toSeq: _*)
+          .where(BucketedLake.bucketExpr("k", 8) =!= b).count()
+        assert(misrouted === 0L, s"bucket $b holds foreign keys")
+      }
+    }
+    // appended buckets now hold 2 files: the ordering claim withdraws
+    // itself but the co-located join stays exchange-free
+    val other = tmp("bk-w2")
+    BucketedLake.write((1L to 200L).map(i => (i, s"r$i")).toDF("k", "rv"),
+      other, "k", 8)
+    val joined = table(path).hint("merge").join(table(other), Seq("k"))
+    assert(shuffles(joined).isEmpty, "append broke co-location")
+    assert(joined.count() === 200L)
+  }
+
+  test("SQL INSERT INTO and INSERT OVERWRITE work against the catalog") {
+    val path = tmp("bk-sql")
+    BucketedLake.write((1L to 50L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 4)
+    spark.sql(s"INSERT INTO $cat.`$path` SELECT id AS k, 'x' AS nm " +
+      "FROM range(51, 61)")
+    assert(table(path).count() === 60L)
+    spark.sql(s"INSERT OVERWRITE $cat.`$path` SELECT id AS k, 'y' AS nm " +
+      "FROM range(0, 10)")
+    val rows = table(path).collect()
+    assert(rows.length === 10 && rows.forall(_.getString(1) == "y"))
+    // a truncate-write restores single sorted files: sort-free SMJ again
+    val other = tmp("bk-sql2")
+    BucketedLake.write((0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      other, "k", 4)
+    val joined = table(path).hint("merge").join(table(other), Seq("k"))
+    assert(shuffles(joined).isEmpty)
+    val sorts = joined.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, "overwrite lost the sorted single-file layout")
+    assert(joined.count() === 10L)
+  }
+
+  test("a mis-shaped write is rejected before any byte") {
+    val path = tmp("bk-badw")
+    BucketedLake.write((1L to 5L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 4)
+    val e = intercept[Exception] {
+      (1L to 5L).map(i => (i, i)).toDF("k", "other")
+        .writeTo(s"$cat.`$path`").append()
+    }
+    assert(e.getMessage.contains("schema") || e.getMessage.contains("column"))
+  }
+
   test("empty buckets are materialized so both sides' partition values align") {
     val path = tmp("bk-empty")
     // one distinct key -> exactly one non-empty bucket out of 16
