@@ -57,7 +57,7 @@ class BinlogStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-binlog"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CdcSchema.EventSchema
+    BinlogStreamOptions(options.asScala.toMap).eventSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new BinlogStreamTable(BinlogStreamOptions(properties.asScala.toMap))
@@ -77,6 +77,12 @@ final case class BinlogStreamOptions(raw: Map[String, String]) {
   val startPos: Long = ci("startPos").map(_.trim.toLong).getOrElse(4L)
   val maxEventsPerBatch: Int =
     ci("maxEventsPerBatch").map(_.trim.toInt).getOrElse(10000)
+  /** add the UPDATE rows' BEFORE image as a nullable `before` column
+    * (the wire always ships it; additive consumers need it). */
+  val emitPreimages: Boolean =
+    ci("emitPreimages").exists(_.trim.equalsIgnoreCase("true"))
+  def eventSchema: StructType =
+    if (emitPreimages) CdcSchema.EventSchemaWithBefore else CdcSchema.EventSchema
   /** binlog file basename, for mapping a resumed offset back to a file. */
   val basename: String = {
     val dot = startFile.lastIndexOf('.')
@@ -98,13 +104,13 @@ final case class BinlogStreamOptions(raw: Map[String, String]) {
 
 class BinlogStreamTable(opts: BinlogStreamOptions) extends Table with SupportsRead {
   override def name(): String = s"graft-binlog(${opts.host}:${opts.port})"
-  override def schema(): StructType = CdcSchema.EventSchema
+  override def schema(): StructType = opts.eventSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
-      override def readSchema(): StructType = CdcSchema.EventSchema
+      override def readSchema(): StructType = opts.eventSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new BinlogMicroBatchStream(opts)
     }
@@ -216,7 +222,7 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions)
     BinlogStreamOffset(json.trim.toLong)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogEventsReaderFactory
+    new BinlogEventsReaderFactory(opts.emitPreimages)
 
   override def stop(): Unit = ()
 }
@@ -224,7 +230,8 @@ class BinlogMicroBatchStream(opts: BinlogStreamOptions)
 final case class BinlogEventsPartition(events: Array[BinlogWire.CdcEvent])
     extends InputPartition
 
-class BinlogEventsReaderFactory extends PartitionReaderFactory {
+class BinlogEventsReaderFactory(emitPreimages: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val events = p.asInstanceOf[BinlogEventsPartition].events
     new PartitionReader[InternalRow] {
@@ -232,10 +239,15 @@ class BinlogEventsReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = { i += 1; i < events.length }
       override def get(): InternalRow = {
         val e = events(i)
-        new GenericInternalRow(Array[Any](
+        val base = Array[Any](
           UTF8String.fromString(e.db), UTF8String.fromString(e.table),
           UTF8String.fromString(e.op), e.tsMs, e.offset,
-          UTF8String.fromString(e.payload)))
+          UTF8String.fromString(e.payload))
+        new GenericInternalRow(
+          if (emitPreimages)
+            base :+ (if (e.before == null) null
+                     else UTF8String.fromString(e.before))
+          else base)
       }
       override def close(): Unit = ()
     }

@@ -89,7 +89,8 @@ object BinlogWire {
   }
 
   final case class CdcEvent(db: String, table: String, op: String,
-                            tsMs: Long, offset: Long, payload: String)
+                            tsMs: Long, offset: Long, payload: String,
+                            before: String = null)
 
   /** Numeric suffix of a binlog file name (`binlog.000007` → 7). */
   def fileIndex(name: String): Long = {
@@ -496,12 +497,16 @@ object BinlogWire {
               }
               while (p < end) {
                 val img = readImage(incBefore)
-                // update rows carry (before, after) pairs: emit the AFTER
-                // image, the upsert-relevant one (the reference's last-
-                // writer-wins sink consumes exactly that)
-                val payload = if (evType == EvUpdateRowsV2) readImage(incAfter) else img
+                // update rows carry (before, after) pairs: the AFTER image
+                // is the payload (the upsert-relevant one — the reference's
+                // last-writer-wins sink consumes exactly that); the BEFORE
+                // image rides alongside for additive consumers (IVM needs
+                // it to subtract the old contribution)
+                val isUpdate = evType == EvUpdateRowsV2
+                val payload = if (isUpdate) readImage(incAfter) else img
                 outRows += CdcEvent(td.db, td.table, op, ts * 1000L,
-                  BinlogOffset(currentIdx, logPos).encoded, payload)
+                  BinlogOffset(currentIdx, logPos).encoded, payload,
+                  before = if (isUpdate) img else null)
               }
               // cap check at the event boundary only: rows of one event
               // share a log_pos and must land in one pull for resume. In

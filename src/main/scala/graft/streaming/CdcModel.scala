@@ -28,6 +28,15 @@ object CdcSchema {
     StructField("ts_ms", LongType, nullable = false),
     StructField("offset", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
+
+  /** [[EventSchema]] plus the UPDATE rows' BEFORE image (null for
+    * insert/delete) — the binlog ships both images on the wire, and the
+    * preimage is what additive consumers
+    * ([[graft.streaming.IncrementalAgg]]) need to subtract the old
+    * contribution. Opt-in on the binlog source via `emitPreimages`. */
+  val EventSchemaWithBefore: StructType =
+    StructType(EventSchema.fields :+
+      StructField("before", StringType, nullable = true))
 }
 
 /** Two-part binlog position (reference

@@ -69,7 +69,14 @@ object IncrementalAgg {
   private val ChangeCol = "change_type"
   private val SignCol = "_view_sign"
 
-  private val AddTypes = Seq("insert", "upsert", "update_postimage")
+  /** Additive folding REQUIRES a full-payload pre/postimage feed (Delta
+    * CDF, MySQL binlog row images). The `upsert` class (Iceberg
+    * changelog, Hudi incremental pulls) is REJECTED loudly: an upsert
+    * does not say whether the key existed (count would drift) and its
+    * paired equality-delete row carries only key columns (old sums
+    * could never be subtracted) — use [[LakeMirror]]'s latest-per-key
+    * election for those feeds, or recompute. */
+  private val AddTypes = Seq("insert", "update_postimage")
   private val RemoveTypes = Seq("delete", "update_preimage")
 
   def sumCol(c: String) = s"sum_$c"
@@ -121,6 +128,34 @@ object IncrementalAgg {
     applyChanges(spark, parsed, path, spec, epochId, sourceAt)
   }
 
+  /** Apply one micro-batch of binlog-shaped CDC events
+    * (`op`/`payload`/`before` — the `graft-binlog` stream with
+    * `emitPreimages=true`): updates explode into
+    * preimage(before)+postimage(payload) change rows so the old
+    * contribution subtracts exactly; an update WITHOUT its before image
+    * fails loudly (additive folding would silently double-count). */
+  def applyCdcBatch(spark: SparkSession, events: DataFrame,
+                    rowSchema: StructType, path: String, spec: ViewSpec,
+                    epochId: Long, sourceAt: () => DataFrame): Boolean = {
+    def leg(ct: String, payload: Column) =
+      struct(lit(ct).as("ct"), payload.as("row"))
+    val beforeOrError = coalesce(col("before"), raise_error(lit(
+      "incremental view: UPDATE event without a before image — read the " +
+        "binlog stream with emitPreimages=true")))
+    val exploded = events.select(explode(
+        when(col("op") === "insert", array(leg("insert", col("payload"))))
+          .when(col("op") === "delete", array(leg("delete", col("payload"))))
+          .when(col("op") === "update", array(
+            leg("update_preimage", beforeOrError),
+            leg("update_postimage", col("payload"))))
+          .otherwise(array(leg("?", col("payload"))))).as("c"))
+      .select(col("c.ct").as("change_type"),
+        from_json(col("c.row"), rowSchema).as("r"))
+      .select(col("change_type") +: rowSchema.fieldNames.toSeq
+        .map(f => col(s"r.$f").as(f)): _*)
+    applyChanges(spark, exploded, path, spec, epochId, sourceAt)
+  }
+
   /** Apply one batch of change rows (payload columns + a
     * `change_type`/`_change_type` column). Returns false when
     * `epochId` was already applied (idempotent replay). */
@@ -151,7 +186,11 @@ object IncrementalAgg {
       when(col(ChangeCol).isin(AddTypes: _*), 1)
         .when(col(ChangeCol).isin(RemoveTypes: _*), -1)
         .otherwise(raise_error(concat(
-          lit("incremental view: unknown change_type "), col(ChangeCol)))))
+          lit("incremental view: change class '"), col(ChangeCol),
+          lit("' cannot fold additively — additive IVM needs a " +
+            "full-payload pre/postimage feed (Delta CDF, binlog row " +
+            "images); key-only upsert/delete feeds need a latest-per-key " +
+            "election (LakeMirror) or a recompute")))))
 
     // --- one map-side delta aggregate over the batch
     val sgn = col(SignCol)

@@ -58,6 +58,19 @@ class IncrementalAggSpec extends SparkSuite {
     assert(read(spark, path, spec).count() === 2L)
   }
 
+  test("a key-only upsert feed (no preimages) is rejected loudly, not mis-counted") {
+    val path = tmp("ivm-upsert")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"))
+    // Iceberg-changelog shape: 'upsert' rows say nothing about whether
+    // the key existed; silently treating them as inserts drifts counts
+    val b = Seq(("a", 1L, "upsert")).toDF("g", "v", "change_type")
+    val e = intercept[Exception] {
+      applyChanges(spark, b, path, spec, 0L, forbidden)
+    }
+    assert(e.getMessage.contains("fold additively") ||
+      Option(e.getCause).exists(_.getMessage.contains("fold additively")))
+  }
+
   test("epoch watermark: replay is skipped, a reset checkpoint fails loudly") {
     val path = tmp("ivm-epochs")
     val spec = ViewSpec(Seq("g"), sumCols = Seq("v"))
@@ -138,6 +151,38 @@ class IncrementalAggSpec extends SparkSuite {
     assert(changed.size === 1, s"exactly one bucket rewritten, got $changed")
     val sum3 = read(spark, path, spec).where(col("g") === "g3").head().getLong(2)
     assert(sum3 === 103L)
+  }
+
+  test("end-to-end: MySQL binlog CDC (with preimages) maintains a live aggregate") {
+    // loopback binlog: INSERT orders(1,'widget'), then UPDATE widget→gadget
+    // — the before image ships on the wire and the view must SUBTRACT the
+    // widget contribution, not just add gadget's
+    val m = new MysqldLoopback("repl-pw")
+    val path = tmp("ivm-binlog")
+    val ckpt = Files.createTempDirectory("ivm-binlog-ckpt").toString
+    val spec = ViewSpec(Seq("item"), sumCols = Seq("id"))
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("item", StringType)))
+    try {
+      val q = spark.readStream.format("graft-binlog")
+        .option("host", "127.0.0.1").option("port", m.port)
+        .option("user", "repl").option("password", "repl-pw")
+        .option("columns", """{"shop.orders": ["id", "item"]}""")
+        .option("emitPreimages", "true")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, epochId: Long) =>
+          applyCdcBatch(spark,
+            b.where(col("table") === "orders"), rowSchema,
+            path, spec, epochId, forbidden): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally m.stop()
+    val view = read(spark, path, spec).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(view === Map("gadget" -> ((1L, 1L))),
+      "widget must be tombstoned away by the update's preimage")
   }
 
   test("end-to-end: Delta CDF stream maintains the view across a restart") {
