@@ -2498,9 +2498,12 @@ object SparkEntry {
       import graft.streaming.IncrementalAgg
       val root = lakeTmp(d, "ivm")
       val src = s"$root/src"; val viewPath = s"$root/view"
-      val orders = t(s, d, "orders").select(
-        col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
-        col("o_orderdate"))
+      // a fifth of orders: the fixture WRITES a Delta table and applies
+      // two IVM epochs — semantics are scale-invariant, bench cost is not
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+          col("o_orderdate"))
       graft.sink.DeltaWrite.create(orders, src, Nil)
       val spec = IncrementalAgg.ViewSpec(Seq("o_orderpriority"),
         sumCols = Seq("o_custkey"), minCols = Seq("o_orderdate"),
@@ -4732,7 +4735,7 @@ object SparkEntry {
                CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100
                     ELSE o_custkey END AS ck,
                o_orderdate
-        FROM orders WHERE o_orderkey % 13 <> 0)
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 13 <> 0)
       SELECT o_orderpriority, COUNT(*) AS view_count,
              CAST(SUM(ck) AS BIGINT) AS sum_o_custkey,
              MIN(o_orderdate) AS min_o_orderdate,

@@ -97,6 +97,36 @@ object BucketedLake {
       DataType.fromJson(schemaJson).asInstanceOf[StructType], sorted))
   }
 
+  /** Fold multi-file buckets (appends) back to ONE key-sorted file each,
+    * restoring the scan's sort-free-join claim. Reads ONLY the multi-file
+    * buckets (one job), stages their replacements, then swaps per bucket
+    * directory (rename-out, rename-in — the layout carries no manifest,
+    * so a reader racing the swap can see a bucket mid-replacement; run
+    * compaction in a maintenance window, like any manifest-less layout). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val multi = (0 until spec.buckets)
+      .map(b => b -> bucketFiles(spark, path, b)).filter(_._2.length > 1)
+    if (multi.isEmpty) return
+    val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
+    spark.read.schema(spec.schema).parquet(multi.flatMap(_._2.map(_._1)): _*)
+      .withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
+      .repartition(multi.length, col(BucketDir))
+      .sortWithinPartitions(col(BucketDir), col(spec.keyCol))
+      .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    multi.foreach { case (b, _) =>
+      val live = new Path(s"$path/data/$BucketDir=$b")
+      val staged = new Path(s"$staging/$BucketDir=$b")
+      val trash = new Path(s"$staging/.old-$b")
+      if (!fs.rename(live, trash) || !fs.rename(staged, live))
+        throw new java.io.IOException(s"compaction swap failed for bucket $b")
+    }
+    fs.delete(new Path(staging), true): Unit
+  }
+
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
   private[sources] def bucketFiles(spark: SparkSession, path: String,
                                    b: Int): Array[(String, Long)] = {

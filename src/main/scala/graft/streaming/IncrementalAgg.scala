@@ -40,12 +40,15 @@ import graft.sink.{LakeTable, MergeWriter}
   * a plain keyed upsert; [[read]] filters tombstones and [[compact]]
   * removes them physically.
   *
-  * Exactly-once: every state row carries `_view_epoch`, the epoch that
-  * last wrote it. One batch = ONE [[MergeWriter.upsert]] commit, so a
-  * foreachBatch replay sees `max(_view_epoch) == epochId` and SKIPS
-  * before any byte is written; an epoch BEHIND the watermark fails
-  * loudly (a reset checkpoint would otherwise silently re-apply or
-  * drop deltas — the same guard as [[LakeMirror]]'s mirror legs). */
+  * Exactly-once: two-phase epoch markers (`_ivm_intent` before the
+  * state commit, `_ivm_epoch` after) make the steady-state replay check
+  * O(1) marker reads; only the genuinely ambiguous crash window (an
+  * intent with no matching commit marker) re-checks the state rows'
+  * `_view_epoch` over the SAME bucket-pruned scan the merge uses —
+  * a replayed batch re-touches exactly those buckets. A replayed epoch
+  * SKIPS before any byte is written; an epoch BEHIND the watermark
+  * fails loudly (a reset checkpoint would otherwise silently re-apply
+  * or drop deltas — the same guard as [[LakeMirror]]'s mirror legs). */
 object IncrementalAgg {
 
   /** Aggregate shape of the view: `GROUP BY groupCols` with
@@ -168,18 +171,23 @@ object IncrementalAgg {
       if (v.columns.isEmpty) None else Some(v)
     }
 
-    // --- exactly-once watermark, O(1) fast path: the marker file is a
-    // HINT (written after each commit); the state rows stay the source
-    // of truth and are re-checked below over the bucket-PRUNED scan —
-    // a foreachBatch replay re-touches the same buckets, so their rows
-    // carry the replayed epoch even if the marker write was lost.
-    readMarker(spark, path).foreach { m =>
+    // --- exactly-once watermark, two-phase markers: `_ivm_epoch` is the
+    // COMMITTED watermark (written after each state commit), `_ivm_intent`
+    // the pre-commit intent. Steady state costs O(1) marker reads; the
+    // state rows are only re-checked (bucket-pruned agg below) in the
+    // genuinely ambiguous window — an intent for THIS epoch with no
+    // matching commit marker (crash between commit and marker write), or
+    // markers missing entirely while state exists.
+    val committed = readMarker(spark, path, CommitMarker)
+    committed.foreach { m =>
       if (m == epochId) return false // replayed batch
       if (m > epochId) throw new IllegalStateException(
         s"incremental view $path: incoming epoch $epochId is behind " +
           s"applied epoch $m — the checkpoint was reset (or two " +
           "writers share this view); refusing to re-apply deltas.")
     }
+    val ambiguous = (committed.isEmpty && existing.nonEmpty) ||
+      readMarker(spark, path, IntentMarker).contains(epochId)
 
     val feed = changes.withColumnRenamed("_change_type", ChangeCol)
     val signed = feed.withColumn(SignCol,
@@ -218,17 +226,23 @@ object IncrementalAgg {
         val touched = deltas.select(bucketExpr(spec).as(BucketCol))
           .distinct().collect().map(_.getLong(0)) // bounded by spec.buckets
         val oldPruned = st.where(col(BucketCol).isin(touched.toSeq: _*))
-        // authoritative replay check over the SAME pruned scan the merge
-        // uses: a replayed batch re-touches these buckets, whose rows
-        // carry its epoch even when the marker write was lost mid-crash
-        val row = oldPruned.agg(max(col(EpochCol))).head()
-        if (!row.isNullAt(0)) {
-          val applied = row.getLong(0)
-          if (applied == epochId) { writeMarker(spark, path, epochId); return false }
-          if (applied > epochId) throw new IllegalStateException(
-            s"incremental view $path: incoming epoch $epochId is behind " +
-              s"applied epoch $applied — the checkpoint was reset (or two " +
-              "writers share this view); refusing to re-apply deltas.")
+        // ambiguous-window only: authoritative replay check over the SAME
+        // pruned scan the merge uses — a replayed batch re-touches these
+        // buckets, whose rows carry its epoch even when the commit-marker
+        // write was lost mid-crash
+        if (ambiguous) {
+          val row = oldPruned.agg(max(col(EpochCol))).head()
+          if (!row.isNullAt(0)) {
+            val applied = row.getLong(0)
+            if (applied == epochId) {
+              writeMarker(spark, path, CommitMarker, epochId)
+              return false
+            }
+            if (applied > epochId) throw new IllegalStateException(
+              s"incremental view $path: incoming epoch $epochId is behind " +
+                s"applied epoch $applied — the checkpoint was reset (or two " +
+                "writers share this view); refusing to re-apply deltas.")
+          }
         }
         deltas.join(oldPruned.drop(BucketCol, EpochCol), spec.groupCols, "left")
     }
@@ -296,18 +310,24 @@ object IncrementalAgg {
     val out = finalRows
       .withColumn(BucketCol, bucketExpr(spec))
       .withColumn(EpochCol, lit(epochId))
+    writeMarker(spark, path, IntentMarker, epochId) // pre-commit intent
     MergeWriter.upsert(spark, out, state)
-    writeMarker(spark, path, epochId)
+    writeMarker(spark, path, CommitMarker, epochId)
+    deleteMarker(spark, path, IntentMarker)
     true
   }
 
-  // ------------------------------------------------------------- marker
+  // ------------------------------------------------------------ markers
 
-  private def markerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_ivm_epoch")
+  private val CommitMarker = "_ivm_epoch"
+  private val IntentMarker = "_ivm_intent"
 
-  private def readMarker(spark: SparkSession, path: String): Option[Long] = {
-    val p = markerPath(path)
+  private def markerPath(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(path, name)
+
+  private def readMarker(spark: SparkSession, path: String,
+                         name: String): Option[Long] = {
+    val p = markerPath(path, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -319,11 +339,18 @@ object IncrementalAgg {
     } finally in.close()
   }
 
-  private def writeMarker(spark: SparkSession, path: String, epoch: Long): Unit = {
-    val p = markerPath(path)
+  private def writeMarker(spark: SparkSession, path: String, name: String,
+                          epoch: Long): Unit = {
+    val p = markerPath(path, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def deleteMarker(spark: SparkSession, path: String,
+                           name: String): Unit = {
+    val p = markerPath(path, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false): Unit
   }
 }

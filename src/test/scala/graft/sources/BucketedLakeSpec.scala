@@ -227,6 +227,32 @@ class BucketedLakeSpec extends SparkSuite {
     assert(joined.count() === 10L)
   }
 
+  test("compaction folds multi-file buckets to one sorted file; sort-free join returns") {
+    val path = tmp("bk-compact"); val other = tmp("bk-compact2")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"), path, "k", 4)
+    (101L to 200L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    assert((0 until 4).exists(
+      BucketedLake.bucketFiles(spark, path, _).length > 1),
+      "append should have produced a multi-file bucket")
+    BucketedLake.compact(spark, path)
+    assert((0 until 4).forall(
+      BucketedLake.bucketFiles(spark, path, _).length <= 1),
+      "compaction must leave at most one file per bucket")
+    assert(table(path).count() === 200L)
+    assert(table(path).agg(sum(col("v"))).head().getLong(0) ===
+      (1L to 200L).sum)
+    // single sorted files again: the co-located SMJ drops its sorts
+    BucketedLake.write((1L to 200L).map(i => (i, s"r$i")).toDF("k", "rv"),
+      other, "k", 4)
+    val joined = table(path).hint("merge").join(table(other), Seq("k"))
+    assert(shuffles(joined).isEmpty)
+    assert(joined.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "compaction should restore the sort-free co-located join")
+    assert(joined.count() === 200L)
+  }
+
   test("a mis-shaped write is rejected before any byte") {
     val path = tmp("bk-badw")
     BucketedLake.write((1L to 5L).map(i => (i, s"n$i")).toDF("k", "nm"),

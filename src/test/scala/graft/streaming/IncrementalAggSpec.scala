@@ -86,6 +86,34 @@ class IncrementalAggSpec extends SparkSuite {
     assert(e.getMessage.contains("behind"))
   }
 
+  test("crash window: a lost commit-marker write still skips the replay via state rows") {
+    val path = tmp("ivm-crash")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"))
+    applyChanges(spark,
+      Seq(("a", 1L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 0L, forbidden)
+    applyChanges(spark,
+      Seq(("a", 10L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 1L, forbidden)
+    // simulate a crash between epoch 1's state commit and its commit-marker
+    // write: roll the committed marker back and restore the intent
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, v: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    put("_ivm_epoch", "0")
+    put("_ivm_intent", "1")
+    // the replay of epoch 1 must be DETECTED from the state rows and skipped
+    assert(!applyChanges(spark,
+      Seq(("a", 10L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 1L, forbidden))
+    val r = read(spark, path, spec).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 11L,
+      "a double-applied epoch would show count=3/sum=21")
+  }
+
   test("min/max: incremental while clean, dirty groups recompute pruned to them") {
     val path = tmp("ivm-minmax")
     val spec = ViewSpec(Seq("g"), minCols = Seq("v"), maxCols = Seq("v"))
