@@ -2556,6 +2556,28 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    /** Arrow IPC round trip: orders written as REAL Arrow file bytes
+      * (ARROW1 magic, Arrow 18 record batches — consumable by pyarrow/
+      * polars/duckdb directly), read back via `format("arrow")`'s
+      * columnar batches, aggregated. The oracle recomputes over the
+      * original rows — the round trip must be the identity. */
+    "arrow_roundtrip" -> ((s, d) => {
+      val root = lakeTmp(d, "arrow")
+      graft.sources.ArrowIpc.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+        root)
+      s.read.format("arrow").load(root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).cast("long").as("sum_ck"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderdate")).as("min_dt"),
+          max(col("o_orderdate")).as("max_dt"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4741,6 +4763,14 @@ object SparkEntry {
              MIN(o_orderdate) AS min_o_orderdate,
              MAX(o_orderdate) AS max_o_orderdate
       FROM endst GROUP BY 1 ORDER BY 1""",
+
+    // the Arrow write/read round trip must be the identity
+    "arrow_roundtrip" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             MIN(o_orderdate) AS min_dt, MAX(o_orderdate) AS max_dt
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the co-located join must equal the plain shuffled join
     "lake_bucketed_join" -> """
