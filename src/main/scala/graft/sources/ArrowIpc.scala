@@ -114,13 +114,21 @@ object ArrowIpc {
     finally reader.close()
   }
 
+  /** `.arrow` = random-access FILE format (footer + ARROW1 magic);
+    * `.arrows` = the STREAM format (no footer — the wire shape). */
   private[sources] def openReader(conf: org.apache.hadoop.conf.Configuration,
-                                  file: String): ArrowFileReader = {
+                                  file: String)
+      : org.apache.arrow.vector.ipc.ArrowReader = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
-    val size = fs.getFileStatus(p).getLen
-    new ArrowFileReader(
-      new HadoopSeekableChannel(fs.open(p), size), ArrowShim.allocator)
+    if (file.endsWith(".arrows"))
+      new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        fs.open(p), ArrowShim.allocator)
+    else {
+      val size = fs.getFileStatus(p).getLen
+      new ArrowFileReader(
+        new HadoopSeekableChannel(fs.open(p), size), ArrowShim.allocator)
+    }
   }
 }
 

@@ -65,6 +65,26 @@ class ArrowIpcSpec extends SparkSuite {
     assert(back.count() === 0L)
   }
 
+  test("the STREAM format (.arrows, no footer) reads too") {
+    val path = tmp("arrow-stream")
+    // write a genuine stream-format payload with Arrow's own writer
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "nm")
+    val alloc = org.apache.spark.sql.graftshim.ArrowShim.allocator
+    val batcher = new org.apache.spark.sql.graftshim.ArrowShim.RowBatcher(
+      df.schema, "UTC", alloc)
+    val out = new java.io.FileOutputStream(s"$path/data.arrows")
+    val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+      batcher.root, null, java.nio.channels.Channels.newChannel(out))
+    try {
+      w.start()
+      df.queryExecution.toRdd.collect().foreach(batcher.write)
+      batcher.finish(); w.writeBatch(); w.end()
+    } finally { w.close(); batcher.close(); out.close() }
+    val back = spark.read.format("arrow").load(s"$path/data.arrows")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("a glob reads matching files only") {
     val path = tmp("arrow-glob")
     ArrowIpc.write(Seq((1L, "x")).toDF("id", "nm"), s"$path/a")
