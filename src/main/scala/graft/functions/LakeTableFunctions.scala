@@ -77,6 +77,11 @@ object LakeTableFunctions {
       (args: Seq[Expression]) => plan(graft.sources.HudiRead.snapshot(
         SparkSession.active, str(args.head),
         asOf = args.lift(1).map(str)))),
+    // Arrow IPC files (dir / glob / file): SELECT * FROM graft_arrow('/p')
+    (FunctionIdentifier("graft_arrow"),
+      new ExpressionInfo(getClass.getName, "graft_arrow"),
+      (args: Seq[Expression]) => plan(SparkSession.active.read
+        .format("arrow").load(str(args.head)))),
     // row-level change history of an Iceberg table, upsert/delete
     // snapshots included: graft_iceberg_changelog(path[, fromSnapshotId
     // [, toSnapshotId]]) → (version, change_type, data columns)

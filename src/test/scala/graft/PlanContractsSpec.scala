@@ -443,4 +443,33 @@ class PlanContractsSpec extends SparkSuite {
       s"changelog planned ${scans.size} scans for 5 (snapshot, class) " +
         "groups — the scan unit must be the group, not the file")
   }
+
+  test("bucketed-lake join is co-located: no exchange or sort under the join") {
+    val df = SparkEntry.queries("lake_bucketed_join")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val here = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          expand(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          expand(q.plan)
+        case other => Seq(other)
+      }
+      here ++ p.children.flatMap(expand)
+    }
+    val all = expand(df.queryExecution.executedPlan)
+    val smj = all.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(fail(s"no SMJ in:\n${df.queryExecution.executedPlan}"))
+    // the post-join groupBy/orderBy exchanges are legitimate; the JOIN
+    // subtree must be exchange-free AND sort-free (key-sorted buckets)
+    val under = expand(smj).drop(1)
+    assert(!under.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"bucketed join shuffled a side — SPJ lost:\n$smj")
+    assert(!under.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"bucketed join re-sorted a side — reported ordering lost:\n$smj")
+  }
 }

@@ -85,6 +85,15 @@ class ArrowIpcSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("SQL: SELECT * FROM graft_arrow('/path') resolves to the same scan") {
+    val path = tmp("arrow-tvf")
+    ArrowIpc.write(Seq((1L, "a"), (2L, "b")).toDF("id", "nm"), path)
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val rows = spark.sql(s"SELECT nm FROM graft_arrow('$path') ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a", "b"))
+  }
+
   test("a glob reads matching files only") {
     val path = tmp("arrow-glob")
     ArrowIpc.write(Seq((1L, "x")).toDF("id", "nm"), s"$path/a")

@@ -210,8 +210,16 @@ class BucketedLakeSpec extends SparkSuite {
     spark.sql(s"INSERT INTO $cat.`$path` SELECT id AS k, 'x' AS nm " +
       "FROM range(51, 61)")
     assert(table(path).count() === 60L)
-    spark.sql(s"INSERT OVERWRITE $cat.`$path` SELECT id AS k, 'y' AS nm " +
-      "FROM range(0, 10)")
+    // static mode: INSERT OVERWRITE = truncate-and-write. The session is
+    // shared across suites and another spec may leave dynamic mode set —
+    // under which Spark plans OverwritePartitionsDynamic, a bucket-
+    // granular replace this table deliberately does NOT support (it
+    // would silently keep rows in untouched buckets).
+    val mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try spark.sql(s"INSERT OVERWRITE $cat.`$path` SELECT id AS k, " +
+      "'y' AS nm FROM range(0, 10)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
     val rows = table(path).collect()
     assert(rows.length === 10 && rows.forall(_.getString(1) == "y"))
     // a truncate-write restores single sorted files: sort-free SMJ again
