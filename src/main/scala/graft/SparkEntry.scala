@@ -807,6 +807,16 @@ object SparkEntry {
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
+    /** Contrastive hard negatives ([[Similarity.hardNegatives]]): most-
+      * similar candidates BELOW the near-dup band — sampling a near-dup
+      * as a negative poisons contrastive training. */
+    "emb_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), 5, 0.95,
+          col("vec_id") % 20 === 0)
+        .select(col("anchor_id"), col("rank").as("rnk"), col("negative_id"),
+          round(col("sim") * 1000, 0).cast("long").as("sim_i"))
+        .orderBy("anchor_id", "rnk")),
+
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), 5, 16, 4, col("vec_id") % 20 === 0)
         .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
@@ -3347,6 +3357,22 @@ object SparkEntry {
                  FROM s)
       SELECT query_id, rnk, neighbor_id, sim_i FROM r
       WHERE rnk <= 5 ORDER BY query_id, rnk""",
+
+    // ann_topk with the near-dup band excluded before ranking
+    "emb_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id % 20 = 0),
+           c AS (SELECT vec_id AS negative_id, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings),
+           s AS (SELECT anchor_id, negative_id,
+                   list_cosine_similarity(qv, cv) AS sim
+                 FROM q JOIN c ON anchor_id <> negative_id),
+           r AS (SELECT anchor_id, negative_id,
+                   CAST(round(sim * 1000, 0) AS BIGINT) AS sim_i,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS INTEGER) AS rnk
+                 FROM s WHERE sim < 0.95)
+      SELECT anchor_id, rnk, negative_id, sim_i FROM r
+      WHERE rnk <= 5 ORDER BY anchor_id, rnk""",
 
     "ann_matryoshka" -> """
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -74,6 +74,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Contrastive HARD-NEGATIVE mining: per anchor, the `k` most-similar
+    * candidates whose cosine stays BELOW `dupSim` — the standard
+    * contrastive-training pitfall is sampling a near-duplicate as a
+    * negative (it is a positive in disguise), so the near-dup band
+    * `[dupSim, 1]` is excluded before ranking. Anchors broadcast like
+    * [[bruteForceTopK]] (same maxAnchors guard; route through
+    * [[ivfTopK]]'s cells at corpus scale); the rank window partitions
+    * per anchor only. */
+  def hardNegatives(emb: DataFrame, k: Int = 5, dupSim: Double = 0.95,
+                    anchorPred: Column = lit(true),
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxAnchors: Long = 100000L): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val nA = emb.filter(anchorPred).select(col(idCol)).count()
+    require(nA <= maxAnchors,
+      s"hardNegatives broadcasts the anchor set: $nA anchors > " +
+        s"maxAnchors=$maxAnchors; mine per IVF cell instead")
+    val a = emb.filter(anchorPred)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("negative_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(a), col("anchor_id") =!= col("negative_id"))
+      .select(col("anchor_id"), col("negative_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") < dupSim) // near-dups are not negatives
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col("negative_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("anchor_id", "rank", "negative_id", "sim")
+  }
+
   /** MATRYOSHKA two-stage ANN (Kusupati et al. 2022 — MRL-style
     * truncation): stage 1 shortlists `shortlist` candidates per query
     * by cosine over only the FIRST `dPrefix` dimensions (a

@@ -605,6 +605,22 @@ class OpsSpec extends SparkSuite {
     assert(fp(3L)._2 === sel("totally different words here entirely now friends").size.toLong)
   }
 
+  test("hardNegatives excludes the near-dup band and ranks the rest by cosine") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),          // anchor
+      (1L, Seq(1.0f, 0.001f, 0.0f)),        // near-dup of the anchor: excluded
+      (2L, Seq(0.9f, 0.4f, 0.0f)),          // hard negative (closest legit)
+      (3L, Seq(0.0f, 1.0f, 0.0f)),          // easy negative
+      (4L, Seq(-1.0f, 0.0f, 0.0f)))         // opposite
+      .toDF("vec_id", "embedding")
+    val negs = Similarity.hardNegatives(emb, k = 2, dupSim = 0.95,
+        anchorPred = col("vec_id") === 0L)
+      .select("anchor_id", "rank", "negative_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(negs === Seq((0L, 1, 2L), (0L, 2, 3L)),
+      "the near-dup (id 1) must not appear; id 2 is the hardest negative")
+  }
+
   test("duplicatedSpans: later doc's shared run is one merged interval, first holder exempt") {
     val d = Seq(
       (10L, "a b c d e f g h"),
