@@ -252,12 +252,16 @@ object IncrementalAgg {
     val newCount = oldCount + col("_d_count")
     def addNullSafe(a: Column, b: Column): Column =
       when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+    // dirty = a removed value ties-or-beats the CANDIDATE extreme
+    // (least/greatest of stored and batch-inserted) — comparing against
+    // the stored extreme alone misses a value inserted AND removed within
+    // one batch, which would otherwise survive as a phantom min/max
     val minDirty = spec.minCols.map(c =>
-      col(minCol(c)).isNotNull && col(s"_rm_min_$c").isNotNull &&
-        col(s"_rm_min_$c") <= col(minCol(c)))
+      col(s"_rm_min_$c").isNotNull &&
+        col(s"_rm_min_$c") <= least(col(minCol(c)), col(s"_ins_min_$c")))
     val maxDirty = spec.maxCols.map(c =>
-      col(maxCol(c)).isNotNull && col(s"_rm_max_$c").isNotNull &&
-        col(s"_rm_max_$c") >= col(maxCol(c)))
+      col(s"_rm_max_$c").isNotNull &&
+        col(s"_rm_max_$c") >= greatest(col(maxCol(c)), col(s"_ins_max_$c")))
     val anyDirty = (minDirty ++ maxDirty)
       .reduceOption(_ || _).getOrElse(lit(false)) && newCount > 0
 

@@ -181,6 +181,50 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sum3 === 103L)
   }
 
+  test("randomized epochs: incremental always equals a from-scratch recompute") {
+    val path = tmp("ivm-rand")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"), buckets = 4)
+    val rng = new scala.util.Random(0xC0FFEE) // deterministic
+    val live = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var nextId = 0L
+    val groups = Seq("a", "b", "c")
+    for (epoch <- 0 until 6) {
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      for (_ <- 0 until 12) rng.nextInt(3) match {
+        case 0 => // insert
+          val g = groups(rng.nextInt(groups.length)); val v = rng.nextInt(100).toLong
+          live(nextId) = (g, v); nextId += 1
+          changes += ((g, v, "insert"))
+        case 1 if live.nonEmpty => // update: preimage + postimage, same key
+          val id = live.keys.toSeq(rng.nextInt(live.size))
+          val (g, old) = live(id); val nv = rng.nextInt(100).toLong
+          live(id) = (g, nv)
+          changes += ((g, old, "update_preimage"))
+          changes += ((g, nv, "update_postimage"))
+        case 2 if live.nonEmpty => // delete
+          val id = live.keys.toSeq(rng.nextInt(live.size))
+          val (g, v) = live.remove(id).get
+          changes += ((g, v, "delete"))
+        case _ => ()
+      }
+      if (changes.nonEmpty) {
+        val end = live.values.toSeq // snapshot AFTER this epoch's changes
+        applyChanges(spark, changes.toSeq.toDF("g", "v", "change_type"),
+          path, spec, epoch.toLong,
+          () => end.toDF("g", "v"))
+        val expect = end.groupBy(_._1).map { case (g, vs) =>
+          g -> ((vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).min, vs.map(_._2).max))
+        }
+        val got = read(spark, path, spec)
+          .select("g", CountCol, sumCol("v"), minCol("v"), maxCol("v"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        assert(got === expect, s"divergence after epoch $epoch")
+      }
+    }
+  }
+
   test("end-to-end: MySQL binlog CDC (with preimages) maintains a live aggregate") {
     // loopback binlog: INSERT orders(1,'widget'), then UPDATE widget→gadget
     // — the before image ships on the wire and the view must SUBTRACT the
