@@ -82,6 +82,12 @@ object LakeTableFunctions {
       new ExpressionInfo(getClass.getName, "graft_arrow"),
       (args: Seq[Expression]) => plan(SparkSession.active.read
         .format("arrow").load(str(args.head)))),
+    // live incremental aggregate views: SELECT * FROM graft_ivm('/view')
+    // (tombstones filtered, avg_<c> derived — the persisted spec drives it)
+    (FunctionIdentifier("graft_ivm"),
+      new ExpressionInfo(getClass.getName, "graft_ivm"),
+      (args: Seq[Expression]) => plan(graft.streaming.IncrementalAgg
+        .readByPath(SparkSession.active, str(args.head)))),
     // row-level change history of an Iceberg table, upsert/delete
     // snapshots included: graft_iceberg_changelog(path[, fromSnapshotId
     // [, toSnapshotId]]) → (version, change_type, data columns)

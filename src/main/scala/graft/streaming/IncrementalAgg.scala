@@ -91,6 +91,44 @@ object IncrementalAgg {
     LakeTable(path, "graft_view", recordKeyFields = spec.groupCols,
       precombineField = EpochCol, partitionFields = Seq(BucketCol))
 
+  /** Read a view by PATH alone — the [[ViewSpec]] persists next to the
+    * state (written on the first apply), so SQL consumers
+    * (`graft_ivm('/path')`) need no programmatic spec. */
+  def readByPath(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    read(spark, path, readSpecFile(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no incremental view at $path")))
+
+  private val SpecFile = "_ivm_spec"
+
+  private def writeSpecFile(spark: SparkSession, path: String,
+                            spec: ViewSpec): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val out = fs.create(p, true)
+    val text = Seq(spec.groupCols, spec.sumCols, spec.minCols, spec.maxCols)
+      .map(_.mkString(",")).mkString("\n") + s"\n${spec.buckets}\n"
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSpecFile(spark: SparkSession,
+                           path: String): Option[ViewSpec] = {
+    val p = new org.apache.hadoop.fs.Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n", -1)
+    def cols(i: Int) =
+      lines(i).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    Some(ViewSpec(cols(0), cols(1), cols(2), cols(3), lines(4).trim.toInt))
+  }
+
   private def bucketExpr(spec: ViewSpec): Column =
     pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
 
@@ -314,6 +352,7 @@ object IncrementalAgg {
     val out = finalRows
       .withColumn(BucketCol, bucketExpr(spec))
       .withColumn(EpochCol, lit(epochId))
+    writeSpecFile(spark, path, spec) // idempotent; enables readByPath/SQL
     writeMarker(spark, path, IntentMarker, epochId) // pre-commit intent
     MergeWriter.upsert(spark, out, state)
     writeMarker(spark, path, CommitMarker, epochId)

@@ -181,6 +181,19 @@ class IncrementalAggSpec extends SparkSuite {
     assert(sum3 === 103L)
   }
 
+  test("SQL: graft_ivm('/path') reads the view via the persisted spec") {
+    val path = tmp("ivm-tvf")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"))
+    applyChanges(spark,
+      Seq(("a", 4L, "insert"), ("a", 6L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 0L, forbidden)
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      s"SELECT g, view_count, sum_v, avg_v FROM graft_ivm('$path')").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      (("a", 2L, 10L, 5.0)))
+  }
+
   test("randomized epochs: incremental always equals a from-scratch recompute") {
     val path = tmp("ivm-rand")
     val spec = ViewSpec(Seq("g"), sumCols = Seq("v"),
