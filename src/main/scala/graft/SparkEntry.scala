@@ -2588,6 +2588,27 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Pre-partitioned aggregation: a groupBy on the bucket key of a
+      * bucketed lake table needs NO exchange at all — the scan's
+      * KeyGroupedPartitioning already satisfies the aggregate's
+      * distribution (at 100 TB this is a full shuffle of the fact
+      * table, deleted by layout). */
+    "lake_bucketed_agg" -> ((s, d) => {
+      val root = lakeTmp(d, "bkagg")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_custkey", "o_totalprice"),
+        s"$root/orders", "o_custkey", 8)
+      s.read.table(s"graft_bk.`$root/orders`")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_custkey")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4796,6 +4817,12 @@ object SparkEntry {
              CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              MIN(o_orderdate) AS min_dt, MAX(o_orderdate) AS max_dt
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the exchange-free pre-partitioned aggregate must equal a recompute
+    "lake_bucketed_agg" -> """
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the co-located join must equal the plain shuffled join
