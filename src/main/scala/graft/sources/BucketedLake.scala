@@ -391,13 +391,77 @@ private[sources] class GraftBucketWriterFactory(
 
 private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
                                               spec: BucketedLake.Spec)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = spec.schema
+  private var countStar = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** `COUNT(*)` with no grouping answers from parquet FOOTERS — a
+    * metadata read bounded by file count, no row ever decoded (the
+    * 100 TB `SELECT count(*)` is free). Everything else stays un-pushed. */
+  private def isBareCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = isBareCountStar(agg)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countStar = isBareCountStar(agg)
+    countStar
+  }
+
   override def build(): Scan =
-    new GraftBucketScan(spark, path, spec, required)
+    if (countStar) new GraftBucketCountScan(spark, path, spec)
+    else new GraftBucketScan(spark, path, spec, required)
 }
+
+/** Footer-only COUNT(*): one input partition carrying the summed
+  * parquet record counts (computed on the driver from file footers —
+  * O(files) metadata reads, zero data pages). */
+private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
+                                            spec: BucketedLake.Spec)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count_star",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bucketed $path [PushedAggregates: COUNT(*) from footers]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = (0 until spec.buckets).iterator
+      .flatMap(b => BucketedLake.bucketFiles(spark, path, b).iterator)
+      .map { case (f, _) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    Array(GraftBucketCountPartition(total))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          private val total = p.asInstanceOf[GraftBucketCountPartition].total
+          override def next(): Boolean = !served && { served = true; true }
+          override def get(): InternalRow = InternalRow(total)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] final case class GraftBucketCountPartition(total: Long)
+    extends InputPartition
 
 private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,

@@ -272,6 +272,23 @@ class BucketedLakeSpec extends SparkSuite {
     assert(e.getMessage.contains("schema") || e.getMessage.contains("column"))
   }
 
+  test("COUNT(*) answers from parquet footers: one metadata partition, no row decode") {
+    val path = tmp("bk-count")
+    BucketedLake.write((1L to 12345L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 8)
+    val df = spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+    assert(df.head().getLong(0) === 12345L)
+    // the pushed scan is a single metadata partition, not 8 bucket reads
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.toString.contains("COUNT(*) from footers")),
+      s"aggregate not pushed:\n${df.queryExecution.executedPlan}")
+    // predicates block the pushdown (correctness first): the filtered
+    // count must re-route through the row scan
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM $cat.`$path` WHERE k <= 10")
+    assert(filtered.head().getLong(0) === 10L)
+  }
+
   test("empty buckets are materialized so both sides' partition values align") {
     val path = tmp("bk-empty")
     // one distinct key -> exactly one non-empty bucket out of 16
