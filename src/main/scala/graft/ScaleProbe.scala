@@ -599,6 +599,54 @@ object ScaleProbe {
         s"day-range predicate read $read of ${days * 2} files — prune lost")
       recent.count()
     }
+    // Bucketed COUNT(*) at production file counts: the same table at
+    // 256 and 10,496 files. The pushed count reads ONE manifest, so
+    // wall-time must stay ~flat in file count (the round-11 shape
+    // opened every footer serially on the driver — minutes at 10⁶
+    // files); the legacy no-manifest fallback is an executor-parallel
+    // sweep, timed alongside for contrast.
+    if (only.forall("bucketed_count_files".contains)) {
+      spark.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-bk-count").toString + "/t"
+      graft.sources.BucketedLake.write(
+        spark.range(0, 256L * 100L).select(col("id").as("k"), col("id").as("v")),
+        root, "k", 256)
+      def timeCount(label: String): Long = {
+        val t0 = System.nanoTime()
+        val n = spark.sql(s"SELECT count(*) AS n FROM graft_bk.`$root`")
+          .head().getLong(0)
+        System.err.println(
+          f"[probe] bucketed_count $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        n
+      }
+      time("bucketed_count_files") {
+        timeCount("256 files (manifest)")
+        // fan each bucket's file out 40x: 10,496 files, same layout
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (0 until 256).foreach { b =>
+          val dir = new org.apache.hadoop.fs.Path(s"$root/data/__bucket=$b")
+          val src = fs.listStatus(dir).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).get
+          (0 until 40).foreach { i =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new org.apache.hadoop.fs.Path(dir, s"copy-$i-${src.getName}"),
+              false, spark.sparkContext.hadoopConfiguration)
+          }
+        }
+        // legacy path first (no manifest): executor-parallel sweep
+        fs.delete(new org.apache.hadoop.fs.Path(root, "_bucket_manifest.txt"),
+          false)
+        val t0 = System.nanoTime()
+        val swept = graft.sources.BucketedLake.footerSweep(spark, root)
+        System.err.println(f"[probe] bucketed_count legacy sweep 10496 files " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+        graft.sources.BucketedLake.writeManifest(spark, root, swept)
+        timeCount("10496 files (manifest)")
+      }
+    }
     // Storage-partitioned join headroom: 2M x 2M rows over 64 buckets —
     // the co-located plan must carry NO join exchange (plan-required),
     // and the probe prints it next to the shuffled baseline over the

@@ -2609,6 +2609,30 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    /** Bucket-pruned point lookups on the bucketed lake
+      * ([[graft.sources.GraftBucketScanBuilder]] filter pushdown): a
+      * key-equality / IN predicate confines the scan to the bucket(s)
+      * that can hold the key — 1-of-n buckets read instead of the whole
+      * table (plan-contract-pinned in BucketedLakeSpec; at 100 TB this
+      * is the difference between a point lookup and a table scan). The
+      * pruned result must equal the unpruned recompute. */
+    "lake_bucketed_point" -> ((s, d) => {
+      val root = lakeTmp(d, "bkpoint")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"$root/orders", "o_custkey", 8)
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_custkey").isin(1L, 2L, 4L, 5L, 7L, 8L))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_custkey")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4824,6 +4848,13 @@ object SparkEntry {
       SELECT o_custkey, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the bucket-pruned point lookup must equal the unpruned recompute
+    "lake_bucketed_point" -> """
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
+      GROUP BY 1 ORDER BY 1""",
 
     // the co-located join must equal the plain shuffled join
     "lake_bucketed_join" -> """

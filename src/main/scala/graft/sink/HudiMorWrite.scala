@@ -64,11 +64,12 @@ object HudiMorWrite {
   /** Append `df`'s rows as ONE Avro log block on `fileId`'s log stream
     * (delta commit at `instant`). Rows are encoded with an Avro schema
     * derived from the frame (strings/longs/doubles/ints/booleans — the
-    * meta-column + payload shapes Hudi logs carry); the collect is
-    * bounded by the delta batch the caller hands in, which is the
-    * write-side unit everywhere (MOR deltas are small by contract —
-    * that's why compaction exists). */
-  def appendLog(df: DataFrame, table: String, partition: String,
+    * meta-column + payload shapes Hudi logs carry). FIXTURE-SCOPE ONLY
+    * (hence `private[graft]`): this variant collects the frame to the
+    * driver to cut one block by hand — the production ingest path is
+    * [[appendLogDistributed]], which encodes blocks executor-side and
+    * never moves row data through the driver. */
+  private[graft] def appendLog(df: DataFrame, table: String, partition: String,
                 fileId: String, baseInstant: String, instant: String,
                 logVersion: Int = 1): Unit = {
     val spark = df.sparkSession

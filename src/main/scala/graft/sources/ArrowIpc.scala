@@ -38,7 +38,15 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, Columna
   * writes, so an empty frame round-trips its schema). */
 object ArrowIpc {
 
-  /** Write `df` as Arrow IPC files under `path` (one per partition). */
+  /** Write `df` as Arrow IPC files under `path` (one per partition).
+    *
+    * Commit protocol (same shape as the bucketed-lake V2 write): each
+    * task writes to a TASK-ATTEMPT-UNIQUE name under a job staging dir,
+    * and the driver renames the successful attempts into place only
+    * after the job completes — a retried or speculative attempt can
+    * never interleave bytes with its twin, and a failed job leaves only
+    * the staging dir (cleaned up), never a partial directory that reads
+    * as a valid smaller dataset. */
   def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
     require(batchRows >= 1, "batchRows must be >= 1")
     val spark = df.sparkSession
@@ -47,38 +55,57 @@ object ArrowIpc {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path)
-    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (i, rows) =>
-      if (rows.hasNext || i == 0) {
-        val fs = new Path(path).getFileSystem(conf.value)
-        val out = fs.create(new Path(path, f"part-$i%05d.arrow"), true)
-        val batcher = new ArrowShim.RowBatcher(schema, tz, ArrowShim.allocator)
-        val writer = new ArrowFileWriter(batcher.root, null,
-          Channels.newChannel(out))
-        try {
-          writer.start()
-          var n = 0
-          while (rows.hasNext) {
-            batcher.write(rows.next())
-            n += 1
-            if (n == batchRows) {
-              batcher.finish(); writer.writeBatch(); batcher.reset(); n = 0
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val staging = s"$path/.stage-${java.util.UUID.randomUUID()}"
+    // (partition, stagedPath) per successful task — metadata-bounded
+    val staged: Array[(Int, String)] =
+      try {
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (i, rows) =>
+          if (rows.hasNext || i == 0) {
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+            val efs = new Path(staging).getFileSystem(conf.value)
+            val stagedPath = new Path(staging, f"part-$i%05d-a$attempt.arrow")
+            val out = efs.create(stagedPath, true)
+            val batcher = new ArrowShim.RowBatcher(schema, tz, ArrowShim.allocator)
+            val writer = new ArrowFileWriter(batcher.root, null,
+              Channels.newChannel(out))
+            try {
+              writer.start()
+              var n = 0
+              while (rows.hasNext) {
+                batcher.write(rows.next())
+                n += 1
+                if (n == batchRows) {
+                  batcher.finish(); writer.writeBatch(); batcher.reset(); n = 0
+                }
+              }
+              if (n > 0) { batcher.finish(); writer.writeBatch() }
+              writer.end()
+            } finally {
+              writer.close(); batcher.close(); out.close()
             }
-          }
-          if (n > 0) { batcher.finish(); writer.writeBatch() }
-          writer.end()
-        } finally {
-          writer.close(); batcher.close(); out.close()
-        }
+            Iterator.single((i, stagedPath.toString))
+          } else Iterator.empty
+        }.collect()
+      } catch {
+        case e: Throwable =>
+          fs.delete(new Path(staging), true)
+          throw e
       }
-      Iterator.empty[Int]
-    }.count(): Unit
+    // driver-side commit: one winner per partition (Spark returns one
+    // result per successful task; a duplicate from a zombie speculative
+    // attempt would share the partition id — keep the first)
+    staged.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (i, attempts) =>
+      val src = new Path(attempts.head._2)
+      if (!fs.rename(src, new Path(path, f"part-$i%05d.arrow")))
+        throw new java.io.IOException(s"arrow commit failed moving $src")
+    }
+    fs.delete(new Path(staging), true)
     // a frame with ZERO partitions (empty local relation) never runs a
     // task — emit the schema-only file from the driver so the schema
     // round-trips
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wroteNone = !fs.listStatus(dir).exists(_.getPath.getName.endsWith(".arrow"))
-    if (wroteNone) {
+    if (staged.isEmpty) {
       val out = fs.create(new Path(path, "part-00000.arrow"), true)
       val batcher = new ArrowShim.RowBatcher(schema, tz, ArrowShim.allocator)
       val writer = new ArrowFileWriter(batcher.root, null,

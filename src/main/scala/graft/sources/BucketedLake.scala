@@ -45,7 +45,112 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object BucketedLake {
 
   private val SpecFile = "_bucket_spec.txt"
+  private val ManifestFile = "_bucket_manifest.txt"
   private val BucketDir = "__bucket"
+
+  /** One manifest line: bucket ordinal, parquet record count, byte
+    * size, table-root-relative path. The manifest is written at WRITE
+    * time (when the row counts are known for free) and is the scan's
+    * source of truth when present: file discovery is ONE metadata read
+    * instead of O(buckets) directory listings, and a bare `COUNT(*)`
+    * answers from the summed `rows` with ZERO per-file IO — at 10⁶
+    * files the difference between a manifest read and a driver footer
+    * loop is minutes of serial remote opens. Tables written before the
+    * manifest existed fall back to executor-parallel listing/footer
+    * sweeps ([[footerSweep]]). */
+  final case class ManifestEntry(bucket: Int, rows: Long, size: Long,
+                                 rel: String)
+
+  private[graft] def readManifest(spark: SparkSession,
+                                    path: String): Option[Seq[ManifestEntry]] = {
+    val p = new Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+    Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(b, rows, size, rel) = l.split("\t", 4)
+      ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
+    }.toSeq)
+  }
+
+  private[graft] def writeManifest(spark: SparkSession, path: String,
+                                     entries: Seq[ManifestEntry]): Unit = {
+    val p = new Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(entries.sortBy(e => (e.bucket, e.rel))
+      .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}")
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** Rebuild manifest entries from the files themselves: one
+    * executor-parallel listing of the data dir plus one executor-
+    * parallel footer sweep for the record counts — the LEGACY path for
+    * tables written before the manifest existed; wall-time is bounded
+    * by files/parallelism, never a driver loop. */
+  private[graft] def footerSweep(spark: SparkSession,
+                                   path: String): Seq[ManifestEntry] = {
+    val listed = listDataFiles(spark, path)
+    if (listed.isEmpty) return Nil
+    import scala.jdk.CollectionConverters._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    spark.sparkContext
+      .parallelize(listed, math.min(listed.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .map { case (b, abs, size, rel) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => conf.set(k, v) }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(abs), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try r.getRecordCount finally r.close()
+        ManifestEntry(b, rows, size, rel)
+      }.collect().toSeq
+  }
+
+  /** `(bucket, absPath, size, relPath)` of every data parquet —
+    * executor-parallel past a handful of buckets ([[ParallelListing]]). */
+  private def listDataFiles(spark: SparkSession,
+                            path: String): Seq[(Int, String, Long, String)] = {
+    val data = new Path(path, "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(data)) return Nil
+    ParallelListing.listFiles(spark, data.toString, _ => false, Int.MaxValue)
+      .filter(_.name.endsWith(".parquet"))
+      .flatMap { l =>
+        l.rel.split("/").last match {
+          case s if s.startsWith(s"$BucketDir=") =>
+            Some((s.stripPrefix(s"$BucketDir=").toInt, l.path, l.size,
+              s"data/${l.rel}/${l.name}"))
+          case _ => None
+        }
+      }
+  }
+
+  /** Per-bucket `(path, length)` file map for a scan: ONE manifest read
+    * when present (the write-time contract), one executor-parallel
+    * listing otherwise. Buckets with no files map to empty arrays. */
+  private[sources] def allBucketFiles(spark: SparkSession, path: String,
+                                      buckets: Int)
+      : Map[Int, Array[(String, Long)]] = {
+    val byBucket: Map[Int, Array[(String, Long)]] =
+      readManifest(spark, path) match {
+        case Some(es) => es.groupBy(_.bucket).view
+          .mapValues(_.map(e => (s"$path/${e.rel}", e.size)).toArray).toMap
+        case None => listDataFiles(spark, path).groupBy(_._1).view
+          .mapValues(_.map(f => (f._2, f._3)).toArray).toMap
+      }
+    (0 until buckets).map(b =>
+      b -> byBucket.getOrElse(b, Array.empty[(String, Long)])).toMap
+  }
 
   /** Table layout metadata: key column, bucket count, schema (json),
     * and whether bucket files are key-sorted (written that way by
@@ -60,14 +165,21 @@ object BucketedLake {
     pmod(xxhash64(col(keyCol)), lit(buckets)).cast("int")
 
   /** Write `df` hash-bucketed by `keyCol` into `path`: one shuffled job,
-    * rows clustered per bucket directory. */
+    * rows clustered per bucket directory. NULL keys are REJECTED (task
+    * failure with a clear message) — the layout's single null contract,
+    * shared with the V2 append writer and the V2 `bucket` function: a
+    * null key has no bucket, so it can neither be written nor probed. */
   def write(df: DataFrame, path: String, keyCol: String, buckets: Int): Unit = {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
     val spark = df.sparkSession
     // every bucket lands in exactly ONE task (repartition on the bucket
     // value), key-sorted within it -> one key-sorted file per bucket
-    df.withColumn(BucketDir, bucketExpr(keyCol, buckets))
+    val routed = when(col(keyCol).isNotNull, bucketExpr(keyCol, buckets))
+      .otherwise(raise_error(lit(
+        s"bucketed write: null '$keyCol' (null keys have no bucket)"))
+        .cast("int"))
+    df.withColumn(BucketDir, routed)
       .repartition(buckets, col(BucketDir))
       .sortWithinPartitions(col(BucketDir), col(keyCol))
       .write.mode("overwrite").partitionBy(BucketDir).parquet(s"$path/data")
@@ -78,6 +190,10 @@ object BucketedLake {
     try out.write(
       s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n".getBytes(UTF_8))
     finally out.close()
+    // write-time manifest: per-file record counts/sizes while they are
+    // one executor-parallel sweep of files we just wrote — scans and the
+    // COUNT(*) pushdown then never touch a footer or a directory listing
+    writeManifest(spark, path, footerSweep(spark, path))
   }
 
   private[sources] def readSpec(spark: SparkSession, path: String): Option[Spec] = {
@@ -106,8 +222,9 @@ object BucketedLake {
   def compact(spark: SparkSession, path: String): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
-    val multi = (0 until spec.buckets)
-      .map(b => b -> bucketFiles(spark, path, b)).filter(_._2.length > 1)
+    val manifest = readManifest(spark, path)
+    val multi = allBucketFiles(spark, path, spec.buckets).toSeq
+      .filter(_._2.length > 1).sortBy(_._1)
     if (multi.isEmpty) return
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
     spark.read.schema(spec.schema).parquet(multi.flatMap(_._2.map(_._1)): _*)
@@ -125,6 +242,27 @@ object BucketedLake {
         throw new java.io.IOException(s"compaction swap failed for bucket $b")
     }
     fs.delete(new Path(staging), true): Unit
+    // refresh the manifest: untouched buckets keep their entries; each
+    // compacted bucket's single new file carries the SUM of its old
+    // entries' rows (a compaction rewrite preserves rows), size/name
+    // from one listing per compacted bucket (bounded by multi-file
+    // buckets — maintenance-window cost)
+    manifest match {
+      case Some(es) =>
+        val compacted = multi.map(_._1).toSet
+        val kept = es.filterNot(e => compacted.contains(e.bucket))
+        val fresh = multi.map { case (b, _) =>
+          val rows = es.iterator.filter(_.bucket == b).map(_.rows).sum
+          val files = bucketFiles(spark, path, b)
+          require(files.length == 1, s"compaction left ${files.length} " +
+            s"files in bucket $b")
+          ManifestEntry(b, rows, files.head._2,
+            s"data/$BucketDir=$b/${new Path(files.head._1).getName}")
+        }
+        writeManifest(spark, path, kept ++ fresh)
+      case None => // legacy table: first compaction materializes a manifest
+        writeManifest(spark, path, footerSweep(spark, path))
+    }
   }
 
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
@@ -221,7 +359,9 @@ object GraftBucketFunction {
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
       val v = input.get(1, keyType)
-      if (v == null) return null // pmod(null) is null; null keys bucket nowhere
+      // null keys exist in NO bucket (both write paths reject them), so
+      // a null probe hashes nowhere — SQL null semantics drop the row
+      if (v == null) return null
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(v, keyType, 42L)
       Integer.valueOf(java.lang.Math.floorMod(h, n.toLong).toInt)
@@ -308,7 +448,10 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
       s"$path/.stage-${java.util.UUID.randomUUID()}")
 }
 
-private[sources] final case class GraftBucketCommit(files: Seq[(Int, String)])
+/** Per-task commit message: `(bucket, stagedPath, rows)` per file — the
+  * row counts ride the commit so the manifest updates with ZERO reads. */
+private[sources] final case class GraftBucketCommit(
+    files: Seq[(Int, String, Long)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
@@ -332,17 +475,28 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val dataDir = new Path(s"$path/data")
     val f = fs(dataDir)
+    // legacy tables (no manifest) materialize one from the PRE-commit
+    // files first, so the merged manifest below covers everything
+    val existing: Seq[BucketedLake.ManifestEntry] =
+      if (truncate) Nil
+      else BucketedLake.readManifest(spark, path)
+        .getOrElse(BucketedLake.footerSweep(spark, path))
     if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
+    val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
     messages.foreach {
-      case GraftBucketCommit(files) => files.foreach { case (b, staged) =>
+      case GraftBucketCommit(files) => files.foreach { case (b, staged, rows) =>
         val dir = new Path(s"$path/data/__bucket=$b")
         f.mkdirs(dir)
         val src = new Path(staged)
-        if (!f.rename(src, new Path(dir, src.getName)))
+        val dest = new Path(dir, src.getName)
+        if (!f.rename(src, dest))
           throw new java.io.IOException(s"commit failed moving $staged")
+        fresh += BucketedLake.ManifestEntry(b, rows,
+          f.getFileStatus(dest).getLen, s"data/__bucket=$b/${src.getName}")
       }
       case other => throw new IllegalStateException(s"foreign message $other")
     }
+    BucketedLake.writeManifest(spark, path, existing ++ fresh.result())
     f.delete(new Path(staging), true): Unit
   }
 
@@ -360,8 +514,16 @@ private[sources] class GraftBucketWriterFactory(
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private var bucket = -1
+      private var rowsInFile = 0L
       private var sink: org.apache.spark.sql.graftshim.ParquetWriteShim.RowSink = _
-      private val written = Seq.newBuilder[(Int, String)]
+      private val written = Seq.newBuilder[(Int, String, Long)]
+      private var pending: (Int, String) = _
+
+      private def flush(): Unit = if (sink != null) {
+        sink.close()
+        written += ((pending._1, pending._2, rowsInFile))
+        sink = null
+      }
 
       override def write(row: InternalRow): Unit = {
         val v = row.get(keyIdx, keyType)
@@ -371,17 +533,19 @@ private[sources] class GraftBucketWriterFactory(
           org.apache.spark.sql.catalyst.expressions.XxHash64Function
             .hash(v, keyType, 42L), buckets.toLong).toInt
         if (b != bucket) { // rows arrive (bucket, key)-sorted: transitions
-          if (sink != null) sink.close()
+          flush()
           sink = org.apache.spark.sql.graftshim.ParquetWriteShim
             .open(handle, s"$staging/$b", partitionId)
-          written += ((b, sink.path()))
+          pending = (b, sink.path())
+          rowsInFile = 0L
           bucket = b
         }
         sink.write(row)
+        rowsInFile += 1
       }
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        if (sink != null) sink.close()
+        flush()
         GraftBucketCommit(written.result())
       }
       override def abort(): Unit = if (sink != null) sink.close()
@@ -392,19 +556,101 @@ private[sources] class GraftBucketWriterFactory(
 private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
                                               spec: BucketedLake.Spec)
     extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = spec.schema
   private var countStar = false
+  private var pruned: Option[Set[Int]] = None // None = scan all buckets
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** `COUNT(*)` with no grouping answers from parquet FOOTERS — a
-    * metadata read bounded by file count, no row ever decoded (the
-    * 100 TB `SELECT count(*)` is free). Everything else stays un-pushed. */
+  /** BUCKET PRUNING: the layout determines which bucket holds any given
+    * key, so key-equality / IN predicates reduce the scan to the
+    * matching bucket partition(s) — a point lookup reads 1 of n buckets
+    * instead of the whole table. Every filter stays RESIDUAL (Spark
+    * re-evaluates rows above the scan): pruning only skips buckets that
+    * PROVABLY hold no match, so a conservative `None` from an
+    * unrecognized shape or a type mismatch is always correct. Null
+    * probes prune to ZERO buckets — both write paths reject null keys,
+    * so no bucket can hold one. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val sets = filters.flatMap(bucketSetOf) // top level is a conjunction
+    if (sets.nonEmpty) pruned = Some(sets.reduce(_ intersect _))
+    accepted = filters.filter(f => bucketSetOf(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
+
+  /** The bucket set a filter confines the key to — `None` when the
+    * filter cannot prune (safe: all buckets scanned). */
+  private def bucketSetOf(f: org.apache.spark.sql.sources.Filter)
+      : Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    def hashOf(v: Any): Option[Int] = catalystKey(v).map { cv =>
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(cv, keyType, 42L), spec.buckets.toLong).toInt
+    }
+    f match {
+      case EqualTo(c, v) if c == spec.keyCol => hashOf(v).map(Set(_))
+      case EqualNullSafe(c, null) if c == spec.keyCol => Some(Set.empty)
+      case EqualNullSafe(c, v) if c == spec.keyCol => hashOf(v).map(Set(_))
+      case In(c, vs) if c == spec.keyCol =>
+        val hs = vs.filter(_ != null).map(hashOf)
+        if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
+      case IsNull(c) if c == spec.keyCol => Some(Set.empty)
+      case And(a, b) => (bucketSetOf(a), bucketSetOf(b)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+      case Or(a, b) =>
+        for { x <- bucketSetOf(a); y <- bucketSetOf(b) } yield x union y
+      case _ => None
+    }
+  }
+
+  private def keyType: DataType =
+    spec.schema.fields(spec.schema.fieldIndex(spec.keyCol)).dataType
+
+  /** External filter value → the catalyst value [[BucketedLake
+    * .bucketExpr]] hashed at write time. STRICT on type: a literal
+    * whose runtime class does not exactly match the key type yields
+    * `None` (no pruning) — a tolerant coercion that hashed differently
+    * from the write path would silently skip matching buckets. */
+  private def catalystKey(v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, keyType) match {
+      case (null, _) => None
+      case (s: String, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case (i: java.lang.Integer, IntegerType) => Some(i.intValue)
+      case (l: java.lang.Long, LongType) => Some(l.longValue)
+      case (s: java.lang.Short, ShortType) => Some(s.shortValue)
+      case (b: java.lang.Byte, ByteType) => Some(b.byteValue)
+      case (b: java.lang.Boolean, BooleanType) => Some(b.booleanValue)
+      case (f: java.lang.Float, FloatType) => Some(f.floatValue)
+      case (d: java.lang.Double, DoubleType) => Some(d.doubleValue)
+      case (d: java.sql.Date, DateType) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+      case (d: java.time.LocalDate, DateType) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+      case _ => None
+    }
+  }
+
+  /** `COUNT(*)` with no grouping (and no filters) answers from the
+    * write-time manifest — ONE metadata read, no row ever decoded, no
+    * per-file IO (the 100 TB `SELECT count(*)` really is free; legacy
+    * tables take one executor-parallel footer sweep). Everything else
+    * stays un-pushed. */
   private def isBareCountStar(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    agg.groupByExpressions().isEmpty &&
+    accepted.isEmpty && pruned.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
       agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions().head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
@@ -420,12 +666,14 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
 
   override def build(): Scan =
     if (countStar) new GraftBucketCountScan(spark, path, spec)
-    else new GraftBucketScan(spark, path, spec, required)
+    else new GraftBucketScan(spark, path, spec, required, pruned)
 }
 
-/** Footer-only COUNT(*): one input partition carrying the summed
-  * parquet record counts (computed on the driver from file footers —
-  * O(files) metadata reads, zero data pages). */
+/** Manifest-backed COUNT(*): one input partition carrying the summed
+  * per-file record counts from the write-time manifest — ONE metadata
+  * read, zero per-file IO, wall-time FLAT in file count. Legacy tables
+  * without a manifest take one executor-parallel footer sweep (never a
+  * driver loop over remote opens). */
 private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
                                             spec: BucketedLake.Spec)
     extends Scan with Batch {
@@ -434,17 +682,11 @@ private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
       org.apache.spark.sql.types.LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-bucketed $path [PushedAggregates: COUNT(*) from footers]"
+    s"graft-bucketed $path [PushedAggregates: COUNT(*) from manifest]"
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val total = (0 until spec.buckets).iterator
-      .flatMap(b => BucketedLake.bucketFiles(spark, path, b).iterator)
-      .map { case (f, _) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val total = BucketedLake.readManifest(spark, path)
+      .getOrElse(BucketedLake.footerSweep(spark, path))
+      .iterator.map(_.rows).sum
     Array(GraftBucketCountPartition(total))
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -465,21 +707,33 @@ private[sources] final case class GraftBucketCountPartition(total: Long)
 
 private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,
-                                       required: StructType)
+                                       required: StructType,
+                                       pruned: Option[Set[Int]])
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol})"
+  override def description(): String = {
+    val p = pruned.fold("")(s => s", prunedTo=${s.size}/${spec.buckets}")
+    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$p)"
+  }
 
-  /** ALL n buckets, every scan — empty ones included, so two tables'
-    * partition-value sets are always identical and SPJ never needs
-    * partition-value push-down/padding. */
-  private lazy val partitions: Array[InputPartition] =
-    (0 until spec.buckets).map { b =>
-      GraftBucketPartition(b, BucketedLake.bucketFiles(spark, path, b))
-    }.toArray
+  /** Unfiltered scans report ALL n buckets — empty ones included, so
+    * two tables' partition-value sets are always identical and SPJ
+    * never needs partition-value push-down/padding. Key-filtered scans
+    * report only the buckets that can hold a match (the builder's
+    * bucket pruning); a mismatched partition-value set on one join side
+    * simply fails SPJ's compatibility check and falls back to a
+    * shuffle — correctness unaffected. File discovery is ONE manifest
+    * read (executor-parallel listing for legacy tables), never
+    * per-bucket driver listings. */
+  private lazy val partitions: Array[InputPartition] = {
+    val files = BucketedLake.allBucketFiles(spark, path, spec.buckets)
+    (0 until spec.buckets)
+      .filter(b => pruned.forall(_.contains(b)))
+      .map(b => GraftBucketPartition(b, files(b)))
+      .toArray[InputPartition]
+  }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
@@ -512,8 +766,10 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.bucket(spec.buckets, spec.keyCol)), spec.buckets)
+    if (partitions.isEmpty) // pruned to nothing (e.g. a null-key probe)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      Array(Expressions.bucket(spec.buckets, spec.keyCol)), partitions.length)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // driver-side: broadcasts a fresh per-scan conf; serializable fn

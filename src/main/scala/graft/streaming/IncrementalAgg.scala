@@ -29,6 +29,12 @@ import graft.sink.{LakeTable, MergeWriter}
   *    semi-join-pruned to the dirty keys. Batches that cannot have
   *    moved an extreme never touch the source at all (spec-pinned with
   *    a throwing source closure).
+  *  - `count(DISTINCT c)`: exactly additive through a per-column
+  *    `(group, value) -> count` SUB-STATE lake ([[ViewSpec]] scaladoc:
+  *    the support-relation tradeoff); never touches the source.
+  *  - filtered views (`ViewSpec.filter`): the σ-delta rule — change
+  *    rows failing the predicate contribute nothing, pre/postimages
+  *    filtered independently.
   *
   * State is a graft-native [[MergeWriter]] lake keyed by the group
   * columns and HASH-BUCKETED into `spec.buckets` partitions
@@ -53,17 +59,40 @@ object IncrementalAgg {
 
   /** Aggregate shape of the view: `GROUP BY groupCols` with
     * `count(*)`, `sum(c)` per sumCols, `min(c)`/`max(c)` per
-    * minCols/maxCols. Group columns must be null-free (they key the
-    * state lake); sums should be exact-additive types (integral /
-    * decimal) if bit-exact parity with a recompute is required. */
+    * minCols/maxCols, `count(DISTINCT c)` per distinctCols. Group
+    * columns must be null-free (they key the state lake); sums should
+    * be exact-additive types (integral / decimal) if bit-exact parity
+    * with a recompute is required.
+    *
+    * `distinctCols` are maintained EXACTLY and ADDITIVELY through a
+    * per-column SUB-STATE lake of `(groupCols, value) -> count` rows
+    * (the classic support-relation shape): the batch folds value-count
+    * deltas into the sub-state, and [[read]] projects
+    * `nd_<c> = COUNT(value rows with count > 0)` per group. The
+    * tradeoff vs a dirty-group recompute or an HLL sketch: state is
+    * O(distinct (group, value) pairs) — the size any exact-distinct
+    * maintainer must pay — but NO batch ever touches the source, the
+    * counts are exact (sketches are not), and refresh cost stays
+    * O(batch + touched buckets). Null values are ignored, matching
+    * SQL `COUNT(DISTINCT c)`.
+    *
+    * `filter` (SQL predicate over payload columns) makes this a
+    * FILTERED view: change rows failing it contribute nothing. Pre and
+    * post images are filtered independently, so an update moving a row
+    * ACROSS the predicate boundary folds as a bare insert (entered) or
+    * bare delete (left) — exactly the delta rule for σ-views. The same
+    * predicate prunes the dirty-group min/max recompute's source scan. */
   final case class ViewSpec(
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil,
-      buckets: Int = 32) {
+      buckets: Int = 32,
+      distinctCols: Seq[String] = Nil,
+      filter: Option[String] = None) {
     require(groupCols.nonEmpty, "at least one group column required")
     require(buckets >= 1, "buckets must be >= 1")
+    require(filter.forall(_.trim.nonEmpty), "filter must be a non-empty predicate")
   }
 
   val CountCol = "view_count"
@@ -85,10 +114,23 @@ object IncrementalAgg {
   def sumCol(c: String) = s"sum_$c"
   def minCol(c: String) = s"min_$c"
   def maxCol(c: String) = s"max_$c"
+  /** Non-null count for sum column `c` — the divisor of `avg_<c>`
+    * (SQL AVG ignores nulls; `view_count` does not). */
+  def cntCol(c: String) = s"cnt_$c"
+  def ndCol(c: String) = s"nd_$c"
+  private val VCountCol = "_vcount"
 
   /** The state lake spec rooted at `path`. */
   def stateTable(path: String, spec: ViewSpec): LakeTable =
     LakeTable(path, "graft_view", recordKeyFields = spec.groupCols,
+      precombineField = EpochCol, partitionFields = Seq(BucketCol))
+
+  /** The `(group, value) -> count` SUB-STATE lake backing
+    * `count(DISTINCT c)` — keyed by group + value, bucketed like the
+    * main state so batch writes stay bucket-pruned. */
+  def distinctStateTable(path: String, spec: ViewSpec, c: String): LakeTable =
+    LakeTable(s"$path/_dstate_$c", "graft_view_distinct",
+      recordKeyFields = spec.groupCols :+ c,
       precombineField = EpochCol, partitionFields = Seq(BucketCol))
 
   /** Read a view by PATH alone — the [[ViewSpec]] persists next to the
@@ -107,7 +149,8 @@ object IncrementalAgg {
     if (fs.exists(p)) return
     val out = fs.create(p, true)
     val text = Seq(spec.groupCols, spec.sumCols, spec.minCols, spec.maxCols)
-      .map(_.mkString(",")).mkString("\n") + s"\n${spec.buckets}\n"
+      .map(_.mkString(",")).mkString("\n") + s"\n${spec.buckets}\n" +
+      spec.distinctCols.mkString(",") + "\n" + spec.filter.getOrElse("") + "\n"
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -125,22 +168,47 @@ object IncrementalAgg {
     } finally in.close()
     val lines = text.split("\n", -1)
     def cols(i: Int) =
-      lines(i).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    Some(ViewSpec(cols(0), cols(1), cols(2), cols(3), lines(4).trim.toInt))
+      if (i >= lines.length) Nil
+      else lines(i).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val filter = // line 6, absent in pre-round-12 spec files
+      if (lines.length > 6 && lines(6).trim.nonEmpty) Some(lines(6).trim)
+      else None
+    Some(ViewSpec(cols(0), cols(1), cols(2), cols(3), lines(4).trim.toInt,
+      cols(5), filter))
   }
 
   private def bucketExpr(spec: ViewSpec): Column =
     pmod(xxhash64(spec.groupCols.map(col): _*), lit(spec.buckets))
 
   /** User-facing view: tombstones dropped, internals hidden, one
-    * `avg_<c>` per sum column derived from the exact sum/count pair. */
+    * `avg_<c>` per sum column derived from the exact sum / non-null
+    * count pair (matching SQL AVG under nulls; pre-round-12 state
+    * without `cnt_<c>` columns falls back to `view_count`, its
+    * historical null-free-measure assumption), and one `nd_<c>` per
+    * distinct column projected from the value sub-state
+    * (`COUNT(value rows with count > 0)` per group — an aggregate over
+    * STATE, never the source). */
   def read(spark: SparkSession, path: String, spec: ViewSpec): DataFrame = {
     val base = MergeWriter.readView(spark, stateTable(path, spec))
     if (base.columns.isEmpty) return base
-    spec.sumCols.foldLeft(
-        base.where(col(CountCol) > 0).drop(EpochCol, BucketCol))(
-      (df, c) => df.withColumn(s"avg_$c",
-        col(sumCol(c)).cast("double") / col(CountCol)))
+    val live = base.where(col(CountCol) > 0).drop(EpochCol, BucketCol)
+    val withAvg = spec.sumCols.foldLeft(live)((df, c) => df.withColumn(
+      s"avg_$c",
+      col(sumCol(c)).cast("double") /
+        (if (base.columns.contains(cntCol(c))) col(cntCol(c))
+         else col(CountCol))))
+    spec.distinctCols.foldLeft(withAvg) { (df, c) =>
+      val sub = MergeWriter.readView(spark, distinctStateTable(path, spec, c))
+      val nd =
+        if (sub.columns.isEmpty) // view created before any distinct delta
+          df.select(spec.groupCols.map(col): _*).limit(0)
+            .withColumn(ndCol(c), lit(0L))
+        else sub.where(col(VCountCol) > 0)
+          .groupBy(spec.groupCols.map(col): _*)
+          .agg(count(lit(1)).as(ndCol(c)))
+      df.join(nd, spec.groupCols, "left")
+        .withColumn(ndCol(c), coalesce(col(ndCol(c)), lit(0L)))
+    }
   }
 
   /** Drop tombstoned groups physically (a metadata-bounded keyed
@@ -152,6 +220,15 @@ object IncrementalAgg {
     val dead = view.where(col(CountCol) === 0)
       .select(spec.groupCols.map(col): _*)
     if (!dead.isEmpty) MergeWriter.delete(spark, dead, state)
+    spec.distinctCols.foreach { c =>
+      val sub = distinctStateTable(path, spec, c)
+      val rows = MergeWriter.readView(spark, sub)
+      if (rows.columns.nonEmpty) {
+        val deadV = rows.where(col(VCountCol) === 0)
+          .select((spec.groupCols :+ c).map(col): _*)
+        if (!deadV.isEmpty) MergeWriter.delete(spark, deadV, sub)
+      }
+    }
   }
 
   /** Apply one micro-batch of `(version LONG, change_type STRING,
@@ -178,6 +255,14 @@ object IncrementalAgg {
   def applyCdcBatch(spark: SparkSession, events: DataFrame,
                     rowSchema: StructType, path: String, spec: ViewSpec,
                     epochId: Long, sourceAt: () => DataFrame): Boolean = {
+    // fail at PLAN time with the real explanation: a feed read without
+    // emitPreimages has no `before` column at all, and the coalesce
+    // guard below would surface as an unresolved-column analysis error
+    if (!events.columns.contains("before"))
+      throw new IllegalArgumentException(
+        "incremental view: the CDC feed carries no `before` column — " +
+          "additive folding needs UPDATE preimages; read the binlog " +
+          "stream with emitPreimages=true")
     def leg(ct: String, payload: Column) =
       struct(lit(ct).as("ct"), payload.as("row"))
     val beforeOrError = coalesce(col("before"), raise_error(lit(
@@ -227,8 +312,12 @@ object IncrementalAgg {
     val ambiguous = (committed.isEmpty && existing.nonEmpty) ||
       readMarker(spark, path, IntentMarker).contains(epochId)
 
-    val feed = changes.withColumnRenamed("_change_type", ChangeCol)
-    val signed = feed.withColumn(SignCol,
+    // filtered view: change rows failing the predicate contribute
+    // nothing; pre/postimages filter independently, so a row crossing
+    // the boundary folds as a bare insert or bare delete (σ-delta rule)
+    val feed0 = changes.withColumnRenamed("_change_type", ChangeCol)
+    val feed = spec.filter.fold(feed0)(f => feed0.where(expr(f)))
+    val signed0 = feed.withColumn(SignCol,
       when(col(ChangeCol).isin(AddTypes: _*), 1)
         .when(col(ChangeCol).isin(RemoveTypes: _*), -1)
         .otherwise(raise_error(concat(
@@ -237,12 +326,25 @@ object IncrementalAgg {
             "full-payload pre/postimage feed (Delta CDF, binlog row " +
             "images); key-only upsert/delete feeds need a latest-per-key " +
             "election (LakeMirror) or a recompute")))))
+    // reused by the distinct sub-state fold AND the main delta aggregate
+    val signed = if (spec.distinctCols.isEmpty) signed0
+                 else signed0.localCheckpoint(false)
+
+    // spec + pre-commit intent land BEFORE any state write, so a crash
+    // anywhere in the multi-state commit replays into the ambiguous
+    // window, where each state skips by its own epoch probe
+    writeSpecFile(spark, path, spec)
+    writeMarker(spark, path, IntentMarker, epochId)
+    spec.distinctCols.foreach(c =>
+      applyOneDistinct(spark, signed, path, spec, c, epochId, ambiguous))
 
     // --- one map-side delta aggregate over the batch
     val sgn = col(SignCol)
     val aggExprs: Seq[Column] =
       Seq(sum(sgn).cast("long").as("_d_count")) ++
         spec.sumCols.map(c => sum(col(c) * sgn).as(s"_d_sum_$c")) ++
+        spec.sumCols.map(c => sum(when(col(c).isNotNull, sgn).otherwise(0))
+          .cast("long").as(s"_d_cnt_$c")) ++
         spec.minCols.flatMap(c => Seq(
           min(when(sgn === 1, col(c))).as(s"_ins_min_$c"),
           min(when(sgn === -1, col(c))).as(s"_rm_min_$c"))) ++
@@ -257,6 +359,7 @@ object IncrementalAgg {
       case None => // first batch: no old columns, synthesize them as null
         val withNulls = (Seq(CountCol -> lit(null).cast("long")) ++
           spec.sumCols.map(c => sumCol(c) -> lit(null)) ++
+          spec.sumCols.map(c => cntCol(c) -> lit(null).cast("long")) ++
           spec.minCols.map(c => minCol(c) -> lit(null)) ++
           spec.maxCols.map(c => maxCol(c) -> lit(null)))
         withNulls.foldLeft(deltas) { case (df, (n, v)) => df.withColumn(n, v) }
@@ -282,7 +385,12 @@ object IncrementalAgg {
                 "writers share this view); refusing to re-apply deltas.")
           }
         }
-        deltas.join(oldPruned.drop(BucketCol, EpochCol), spec.groupCols, "left")
+        // pre-round-12 state has no cnt_<c> columns: synthesize them
+        // from view_count (its historical null-free-measure assumption)
+        val oldWithCnt = spec.sumCols.foldLeft(oldPruned)((df, c) =>
+          if (df.columns.contains(cntCol(c))) df
+          else df.withColumn(cntCol(c), col(CountCol)))
+        deltas.join(oldWithCnt.drop(BucketCol, EpochCol), spec.groupCols, "left")
     }
 
     // --- merge deltas into the stored aggregates
@@ -313,6 +421,10 @@ object IncrementalAgg {
           when(newCount === 0, lit(null))
             .otherwise(addNullSafe(col(sumCol(c)), col(s"_d_sum_$c")))
             .as(sumCol(c))) ++
+        spec.sumCols.map(c =>
+          when(newCount === 0, lit(0L))
+            .otherwise(coalesce(col(cntCol(c)), lit(0L)) + col(s"_d_cnt_$c"))
+            .as(cntCol(c))) ++
         spec.minCols.map(c =>
           when(newCount === 0, lit(null))
             .otherwise(least(col(minCol(c)), col(s"_ins_min_$c")))
@@ -334,13 +446,15 @@ object IncrementalAgg {
       else {
         val recAggs = spec.minCols.map(c => min(col(c)).as(s"_rec_min_$c")) ++
           spec.maxCols.map(c => max(col(c)).as(s"_rec_max_$c"))
-        val rec = sourceAt()
+        val src = spec.filter.fold(sourceAt())(f => sourceAt().where(expr(f)))
+        val rec = src
           .join(dirtyKeys, spec.groupCols, "left_semi")
           .groupBy(spec.groupCols.map(col): _*)
           .agg(recAggs.head, recAggs.tail: _*)
         val patched = merged.join(rec, spec.groupCols, "left")
         val cols = spec.groupCols.map(col) ++ Seq(col(CountCol)) ++
           spec.sumCols.map(c => col(sumCol(c))) ++
+          spec.sumCols.map(c => col(cntCol(c))) ++
           spec.minCols.map(c => when(col("_view_dirty"),
             col(s"_rec_min_$c")).otherwise(col(minCol(c))).as(minCol(c))) ++
           spec.maxCols.map(c => when(col("_view_dirty"),
@@ -352,12 +466,65 @@ object IncrementalAgg {
     val out = finalRows
       .withColumn(BucketCol, bucketExpr(spec))
       .withColumn(EpochCol, lit(epochId))
-    writeSpecFile(spark, path, spec) // idempotent; enables readByPath/SQL
-    writeMarker(spark, path, IntentMarker, epochId) // pre-commit intent
+    // spec file + intent marker were written before the first state
+    // touch (above); this is the last state write of the epoch
     MergeWriter.upsert(spark, out, state)
     writeMarker(spark, path, CommitMarker, epochId)
     deleteMarker(spark, path, IntentMarker)
     true
+  }
+
+  /** Fold one batch's value-count deltas for distinct column `c` into
+    * its sub-state: `(group, value) -> count` rows updated additively,
+    * zero counts kept as tombstones (bucket writes stay keyed upserts;
+    * [[compact]] drops them). Carries its OWN ambiguous-window epoch
+    * probe — the multi-state commit (sub-states, then main) can crash
+    * between states, and each must independently skip a replayed fold. */
+  private def applyOneDistinct(spark: SparkSession, signed: DataFrame,
+                               path: String, spec: ViewSpec, c: String,
+                               epochId: Long, ambiguous: Boolean): Unit = {
+    val table = distinctStateTable(path, spec, c)
+    val keyCols = spec.groupCols :+ c
+    // nulls ignored, matching SQL COUNT(DISTINCT c); zero net deltas
+    // dropped so the write set is bounded by genuinely-changed values
+    val dv = signed.where(col(c).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(SignCol)).cast("long").as("_d_vc"))
+      .where(col("_d_vc") =!= 0)
+      .localCheckpoint(false) // reused: bucket probe + join + write
+    if (dv.isEmpty) return
+    val existing = {
+      val v = MergeWriter.readView(spark, table)
+      if (v.columns.isEmpty) None else Some(v)
+    }
+    val joined = existing match {
+      case None => dv.withColumn(VCountCol, lit(null).cast("long"))
+      case Some(st) =>
+        val touched = dv.select(bucketExpr(spec).as(BucketCol))
+          .distinct().collect().map(_.getLong(0)) // bounded by spec.buckets
+        val pruned = st.where(col(BucketCol).isin(touched.toSeq: _*))
+        if (ambiguous) {
+          val row = pruned.agg(max(col(EpochCol))).head()
+          if (!row.isNullAt(0)) {
+            val applied = row.getLong(0)
+            if (applied == epochId) return // this sub-state already folded
+            if (applied > epochId) throw new IllegalStateException(
+              s"incremental view $path: distinct sub-state for '$c' is at " +
+                s"epoch $applied, ahead of incoming $epochId — the " +
+                "checkpoint was reset; refusing to re-apply deltas.")
+          }
+        }
+        dv.join(pruned.drop(BucketCol, EpochCol), keyCols, "left")
+    }
+    val newV = coalesce(col(VCountCol), lit(0L)) + col("_d_vc")
+    val rows = joined.select(keyCols.map(col) :+
+        when(newV < 0, raise_error(lit(
+          "incremental view: negative distinct-value count — the feed " +
+            "removed values the view never saw")).cast("long"))
+          .otherwise(newV).as(VCountCol): _*)
+      .withColumn(BucketCol, bucketExpr(spec))
+      .withColumn(EpochCol, lit(epochId))
+    MergeWriter.upsert(spark, rows, table)
   }
 
   // ------------------------------------------------------------ markers

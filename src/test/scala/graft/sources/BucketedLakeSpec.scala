@@ -272,7 +272,7 @@ class BucketedLakeSpec extends SparkSuite {
     assert(e.getMessage.contains("schema") || e.getMessage.contains("column"))
   }
 
-  test("COUNT(*) answers from parquet footers: one metadata partition, no row decode") {
+  test("COUNT(*) answers from the manifest: one metadata partition, no row decode") {
     val path = tmp("bk-count")
     BucketedLake.write((1L to 12345L).map(i => (i, s"n$i")).toDF("k", "nm"),
       path, "k", 8)
@@ -280,13 +280,130 @@ class BucketedLakeSpec extends SparkSuite {
     assert(df.head().getLong(0) === 12345L)
     // the pushed scan is a single metadata partition, not 8 bucket reads
     val leaves = df.queryExecution.executedPlan.collectLeaves()
-    assert(leaves.exists(_.toString.contains("COUNT(*) from footers")),
+    assert(leaves.exists(_.toString.contains("COUNT(*) from manifest")),
       s"aggregate not pushed:\n${df.queryExecution.executedPlan}")
     // predicates block the pushdown (correctness first): the filtered
     // count must re-route through the row scan
     val filtered = spark.sql(
       s"SELECT count(*) FROM $cat.`$path` WHERE k <= 10")
     assert(filtered.head().getLong(0) === 10L)
+  }
+
+  test("the count path reads ONLY the manifest — zero per-file IO (doctored-manifest contract)") {
+    val path = tmp("bk-count-manifest")
+    BucketedLake.write((1L to 100L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 4)
+    // doctor the manifest's row counts: the pushed COUNT(*) must return
+    // the DOCTORED sum — proof it never opened a footer or listed a dir
+    val entries = BucketedLake.readManifest(spark, path).get
+    BucketedLake.writeManifest(spark, path,
+      entries.map(e => e.copy(rows = e.rows + 1000)))
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+      .head().getLong(0)
+    assert(n === 100L + entries.size * 1000L,
+      "count(*) did not come from the manifest")
+    // restore: the true manifest again drives the true count
+    BucketedLake.writeManifest(spark, path, entries)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+      .head().getLong(0) === 100L)
+  }
+
+  test("manifest stays exact across write, V2 append, and compaction") {
+    val path = tmp("bk-manifest")
+    BucketedLake.write((1L to 500L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 8)
+    def check(label: String): Unit = {
+      val m = BucketedLake.readManifest(spark, path).get
+        .sortBy(e => (e.bucket, e.rel))
+      val swept = BucketedLake.footerSweep(spark, path)
+        .sortBy(e => (e.bucket, e.rel))
+      assert(m === swept, s"$label: manifest drifted from the files")
+    }
+    check("after write")
+    (501L to 900L).map(i => (i, i * 2)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    check("after append")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+      .head().getLong(0) === 900L)
+    BucketedLake.compact(spark, path)
+    check("after compaction")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+      .head().getLong(0) === 900L)
+  }
+
+  test("legacy table (no manifest): scan and count fall back to sweeps, still correct") {
+    val path = tmp("bk-legacy")
+    BucketedLake.write((1L to 777L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 8)
+    // simulate a pre-manifest table
+    val mp = new org.apache.hadoop.fs.Path(path, "_bucket_manifest.txt")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    assert(BucketedLake.readManifest(spark, path).isEmpty)
+    assert(table(path).count() === 777L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
+      .head().getLong(0) === 777L)
+    // a V2 append onto the legacy table materializes the merged manifest
+    (778L to 800L).map(i => (i, s"n$i")).toDF("k", "nm")
+      .writeTo(s"$cat.`$path`").append()
+    val m = BucketedLake.readManifest(spark, path)
+    assert(m.isDefined && m.get.map(_.rows).sum === 800L)
+  }
+
+  test("bucket pruning: a point lookup reads 1 of n buckets") {
+    val path = tmp("bk-point")
+    BucketedLake.write((1L to 1000L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 8)
+    val df = table(path).where(col("k") === 42L)
+    // plan contract: one input partition, the pruning visible in explain
+    assert(df.rdd.getNumPartitions === 1,
+      s"point lookup must plan 1 bucket:\n${df.queryExecution.executedPlan}")
+    assert(df.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("prunedTo=1/8")),
+      s"pruning not reported:\n${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length === 1 && rows.head.getString(1) === "n42")
+    // IN-list prunes to the union of matching buckets
+    val in = table(path).where(col("k").isin(1L, 2L, 3L))
+    assert(in.rdd.getNumPartitions <= 3)
+    assert(in.count() === 3L)
+    // a null probe scans ZERO buckets (null keys are rejected at write)
+    val nullSafe = table(path).where(col("k") <=> lit(null))
+    assert(nullSafe.rdd.getNumPartitions === 0 ||
+      nullSafe.queryExecution.executedPlan.collectLeaves()
+        .exists(_.toString.contains("prunedTo=0/8")))
+    assert(nullSafe.count() === 0L)
+    // a non-key predicate must NOT prune (all buckets scanned)
+    val nk = table(path).where(col("nm") === "n42")
+    assert(nk.rdd.getNumPartitions === 8)
+    assert(nk.count() === 1L)
+    // a range predicate cannot prune either — correctness first
+    assert(table(path).where(col("k") <= 10L).count() === 10L)
+  }
+
+  test("bucket pruning hashes exactly like the write path (string keys too)") {
+    val path = tmp("bk-point-str")
+    val df = (1L to 500L).map(i => (s"key-$i", i)).toDF("k", "v")
+    BucketedLake.write(df, path, "k", 16)
+    (1L to 500L by 97L).foreach { i =>
+      val got = table(path).where(col("k") === s"key-$i")
+      assert(got.rdd.getNumPartitions === 1, s"key-$i should prune to 1")
+      val rows = got.collect()
+      assert(rows.length === 1 && rows.head.getLong(1) === i, s"key-$i row")
+    }
+    // pruned scans still compose with residual predicates
+    assert(table(path)
+      .where(col("k") === "key-98" && col("v") > 1000L).count() === 0L)
+  }
+
+  test("null bucket keys are rejected by the V1 write path too") {
+    val path = tmp("bk-nullkey")
+    val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "v")
+    val e = intercept[Exception] { BucketedLake.write(df, path, "k", 4) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("null")),
+      s"expected a null-key rejection, got: $e")
   }
 
   test("empty buckets are materialized so both sides' partition values align") {
