@@ -2539,6 +2539,45 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** Incremental COUNT(DISTINCT) over a FILTERED view: the same CDF
+      * feed maintains `count(*)` + `count(DISTINCT custkey)` per
+      * priority, restricted to `ck % 3 = 0` — the update bumps custkey
+      * by 100 (every updated row CROSSES the filter boundary: (ck+100)
+      * mod 3 = (ck+1) mod 3), so the σ-delta rule and the value
+      * sub-state both get exercised. Distinct counts are EXACT and
+      * additive (per-(group, value) sub-state; no source re-read, no
+      * sketch); the oracle recomputes the end state from scratch. */
+    "lake_ivm_distinct" -> ((s, d) => {
+      import graft.streaming.IncrementalAgg
+      val root = lakeTmp(d, "ivmd")
+      val src = s"$root/src"; val viewPath = s"$root/view"
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      graft.sink.DeltaWrite.create(orders, src, Nil)
+      val spec = IncrementalAgg.ViewSpec(Seq("o_orderpriority"),
+        distinctCols = Seq("o_custkey"),
+        filter = Some("o_custkey % 3 = 0"), buckets = 8)
+      val boom = () => throw new IllegalStateException(
+        "distinct IVM must never read the source")
+      IncrementalAgg.applyChanges(s,
+        graft.sources.DeltaRead.changes(s, src, 0L, 0L)
+          .drop("_commit_version"),
+        viewPath, spec, 0L, boom)
+      graft.sink.DeltaWrite.updateWhere(s, src, "o_orderkey % 7 = 0",
+        Map("o_custkey" -> "o_custkey + 100"))
+      graft.sink.DeltaWrite.deleteWhere(s, src, "o_orderkey % 13 = 0",
+        emitCdc = true)
+      IncrementalAgg.applyChanges(s,
+        graft.sources.DeltaRead.changes(s, src, 1L, 2L)
+          .drop("_commit_version"),
+        viewPath, spec, 1L, boom)
+      IncrementalAgg.read(s, viewPath, spec)
+        .select(col("o_orderpriority"), col("view_count"),
+          col("nd_o_custkey"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Storage-partitioned join over the bucketed graft lake: orders and
       * customer both hash-bucketed on custkey, joined through the
       * [[graft.sources.GraftBucketCatalog]] V2 catalog whose scans report
@@ -4834,6 +4873,19 @@ object SparkEntry {
              MIN(o_orderdate) AS min_o_orderdate,
              MAX(o_orderdate) AS max_o_orderdate
       FROM endst GROUP BY 1 ORDER BY 1""",
+
+    // full recompute of the filtered distinct view's end state: the
+    // update bumped o_custkey by 100 for %7 keys, %13 keys were deleted,
+    // and the view is restricted to ck % 3 = 0
+    "lake_ivm_distinct" -> """
+      WITH endst AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100
+                    ELSE o_custkey END AS ck
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 13 <> 0)
+      SELECT o_orderpriority, COUNT(*) AS view_count,
+             COUNT(DISTINCT ck) AS nd_o_custkey
+      FROM endst WHERE ck % 3 = 0 GROUP BY 1 ORDER BY 1""",
 
     // the Arrow write/read round trip must be the identity
     "arrow_roundtrip" -> """

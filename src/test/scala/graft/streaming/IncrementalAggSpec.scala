@@ -238,6 +238,166 @@ class IncrementalAggSpec extends SparkSuite {
     }
   }
 
+  test("avg divides by the NON-NULL count: null measures match SQL AVG") {
+    val path = tmp("ivm-nullavg")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"))
+    val b0 = Seq(("a", Some(10L), "insert"), ("a", Option.empty[Long], "insert"),
+      ("a", Some(20L), "insert"), ("b", Option.empty[Long], "insert"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b0, path, spec, 0L, forbidden))
+    val r0 = read(spark, path, spec)
+      .select("g", CountCol, cntCol("v"), "avg_v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    // SQL AVG(v) over {10, null, 20} = 15.0 — NOT 10.0 (sum/count(*))
+    assert(r0("a") === ((3L, 2L, Some(15.0))))
+    // an all-null group has no average at all (SQL AVG = NULL)
+    assert(r0("b")._1 === 1L && r0("b")._2 === 0L && r0("b")._3.isEmpty)
+    // removing the null row leaves the average untouched
+    val b1 = Seq(("a", Option.empty[Long], "delete"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b1, path, spec, 1L, forbidden))
+    val r1 = read(spark, path, spec).where(col("g") === "a")
+      .select(CountCol, "avg_v").head()
+    assert(r1.getLong(0) === 2L && r1.getDouble(1) === 15.0)
+  }
+
+  test("count(DISTINCT c) folds additively through the value sub-state — source never read") {
+    val path = tmp("ivm-distinct")
+    val spec = ViewSpec(Seq("g"), distinctCols = Seq("v"))
+    val b0 = Seq(("a", 1L, "insert"), ("a", 1L, "insert"), ("a", 2L, "insert"),
+      ("b", 9L, "insert")).toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b0, path, spec, 0L, forbidden))
+    def nd(): Map[String, (Long, Long)] =
+      read(spark, path, spec).select("g", CountCol, ndCol("v")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nd() === Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    // removing ONE of the two copies of value 1 keeps the distinct count
+    val b1 = Seq(("a", 1L, "delete")).toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b1, path, spec, 1L, forbidden))
+    assert(nd()("a") === ((2L, 2L)))
+    // removing the LAST copy drops it
+    val b2 = Seq(("a", 1L, "delete")).toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b2, path, spec, 2L, forbidden))
+    assert(nd()("a") === ((1L, 1L)))
+    // an update rewrites the value: preimage decrements, postimage adds a
+    // NEW value — distinct count stays 1 (2 leaves, 3 arrives)
+    val b3 = Seq(("a", 2L, "update_preimage"), ("a", 3L, "update_postimage"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b3, path, spec, 3L, forbidden))
+    assert(nd()("a") === ((1L, 1L)))
+    // null values are ignored, like SQL COUNT(DISTINCT c)
+    val b4 = Seq(("a", None: Option[Long], "insert"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b4, path, spec, 4L, forbidden))
+    assert(nd()("a") === ((2L, 1L)))
+    // compact drops dead value rows physically; the view is unchanged
+    compact(spark, path, spec)
+    assert(nd()("a") === ((2L, 1L)))
+  }
+
+  test("filtered view: the σ-delta rule, boundary-crossing updates fold exactly") {
+    val path = tmp("ivm-filter")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"),
+      filter = Some("v % 2 = 0"))
+    val b0 = Seq(("a", 2L, "insert"), ("a", 3L, "insert"), ("a", 4L, "insert"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b0, path, spec, 0L, forbidden))
+    val r0 = read(spark, path, spec).head()
+    assert(r0.getLong(1) === 2L && r0.getLong(2) === 6L, "odd row filtered")
+    // update 3 -> 6: ENTERS the view (preimage filtered out, postimage in)
+    val b1 = Seq(("a", 3L, "update_preimage"), ("a", 6L, "update_postimage"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b1, path, spec, 1L, forbidden))
+    val r1 = read(spark, path, spec).head()
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 12L)
+    // update 2 -> 5: LEAVES the view (preimage in, postimage filtered)
+    val b2 = Seq(("a", 2L, "update_preimage"), ("a", 5L, "update_postimage"))
+      .toDF("g", "v", "change_type")
+    assert(applyChanges(spark, b2, path, spec, 2L, forbidden))
+    val r2 = read(spark, path, spec).head()
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 10L)
+    // the filter also prunes the dirty-group recompute's source scan
+    val specMm = ViewSpec(Seq("g"), maxCols = Seq("v"),
+      filter = Some("v % 2 = 0"))
+    val path2 = tmp("ivm-filter-mm")
+    assert(applyChanges(spark, b0, path2, specMm, 0L, forbidden))
+    assert(applyChanges(spark,
+      Seq(("a", 4L, "delete")).toDF("g", "v", "change_type"), path2, specMm,
+      1L, () => Seq(("a", 2L), ("a", 3L)).toDF("g", "v")))
+    // recompute over the FILTERED source sees {2}, not {2,3}
+    assert(read(spark, path2, specMm).head().getLong(2) === 2L)
+  }
+
+  test("crash window: the distinct sub-state skips its own replayed fold") {
+    val path = tmp("ivm-distinct-crash")
+    val spec = ViewSpec(Seq("g"), distinctCols = Seq("v"))
+    applyChanges(spark,
+      Seq(("a", 1L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 0L, forbidden)
+    applyChanges(spark,
+      Seq(("a", 2L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 1L, forbidden)
+    // crash between epoch 1's state commits and its commit marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(name: String, v: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    put("_ivm_epoch", "0")
+    put("_ivm_intent", "1")
+    assert(!applyChanges(spark,
+      Seq(("a", 2L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 1L, forbidden))
+    val r = read(spark, path, spec).head()
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L,
+      "a double-applied epoch would show count=3")
+  }
+
+  test("randomized epochs with DISTINCT + FILTER: incremental equals recompute") {
+    val path = tmp("ivm-rand-distinct")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"),
+      distinctCols = Seq("v"), filter = Some("v % 2 = 0"), buckets = 4)
+    val rng = new scala.util.Random(0xBEEF) // deterministic
+    val live = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var nextId = 0L
+    val groups = Seq("a", "b", "c")
+    for (epoch <- 0 until 6) {
+      val changes = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+      for (_ <- 0 until 14) rng.nextInt(3) match {
+        case 0 =>
+          val g = groups(rng.nextInt(groups.length)); val v = rng.nextInt(20).toLong
+          live(nextId) = (g, v); nextId += 1
+          changes += ((g, v, "insert"))
+        case 1 if live.nonEmpty => // update often crosses the v%2 boundary
+          val id = live.keys.toSeq(rng.nextInt(live.size))
+          val (g, old) = live(id); val nv = rng.nextInt(20).toLong
+          live(id) = (g, nv)
+          changes += ((g, old, "update_preimage"))
+          changes += ((g, nv, "update_postimage"))
+        case 2 if live.nonEmpty =>
+          val id = live.keys.toSeq(rng.nextInt(live.size))
+          val (g, v) = live.remove(id).get
+          changes += ((g, v, "delete"))
+        case _ => ()
+      }
+      if (changes.nonEmpty) {
+        applyChanges(spark, changes.toSeq.toDF("g", "v", "change_type"),
+          path, spec, epoch.toLong, forbidden) // distinct+sum: never a source read
+        val end = live.values.filter(_._2 % 2 == 0).toSeq
+        val expect = end.groupBy(_._1).map { case (g, vs) =>
+          g -> ((vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).distinct.size.toLong))
+        }
+        val got = read(spark, path, spec)
+          .select("g", CountCol, sumCol("v"), ndCol("v"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(got === expect, s"divergence after epoch $epoch")
+      }
+    }
+  }
+
   test("end-to-end: MySQL binlog CDC (with preimages) maintains a live aggregate") {
     // loopback binlog: INSERT orders(1,'widget'), then UPDATE widget→gadget
     // — the before image ships on the wire and the view must SUBTRACT the
