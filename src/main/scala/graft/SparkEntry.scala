@@ -823,6 +823,25 @@ object SparkEntry {
           round(col("sim") * 1000, 0).cast("long").as("sim_i"))
         .orderBy("query_id", "rnk")),
 
+    /** In-engine recall@k evaluation ([[Similarity.annRecall]]): each
+      * ANN family's top-k against the exact brute-force truth on the
+      * same query set — the accuracy half of the ANN zoo's
+      * accuracy/cost tradeoff, measured, not assumed. Exact integer
+      * counts; `brute` is the recall-1000 sanity row. */
+    "ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qp = col("vec_id") % 20 === 0
+      val truth = Similarity.bruteForceTopK(emb, 5, qp)
+        .localCheckpoint(false) // reused as truth for every family
+      Seq(
+        "bq" -> Similarity.bqTopK(emb, 5, qp, shortlist = 20),
+        "brute" -> truth,
+        "matryoshka" -> Similarity.matryoshkaTopK(emb, 5, 8, 30, qp))
+        .map { case (f, r) => Similarity.annRecall(truth, r, f, 5) }
+        .reduce(_.unionByName(_))
+        .orderBy("family")
+    }),
+
     /** Matryoshka two-stage ANN ([[Similarity.matryoshkaTopK]] —
       * MRL-style truncation): 8-dim-prefix cosine shortlists 30
       * candidates per query, full-precision cosine reranks to top-5.
@@ -3000,7 +3019,33 @@ object SparkEntry {
   // oracle SQL (DuckDB dialect)
   // ====================================================================
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // ann_recall's oracle composes the already-proven family oracles as
+    // subqueries (truth = the brute-force text, families = their own
+    // texts) — recall is then pure integer counting over those rows
+    val base = oracleBase
+    base + ("ann_recall" -> s"""
+      WITH truth AS (SELECT query_id, neighbor_id FROM (${base("ann_topk")}) x),
+           bqr AS (SELECT query_id, neighbor_id FROM (${base("ann_bq")}) x),
+           mat AS (SELECT query_id, neighbor_id
+                   FROM (${base("ann_matryoshka")}) x),
+           nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM truth),
+           fams AS (
+             SELECT 'bq' AS family,
+                    (SELECT COUNT(*) FROM truth
+                     JOIN bqr USING (query_id, neighbor_id)) AS hits
+             UNION ALL
+             SELECT 'brute', (SELECT COUNT(*) FROM truth)
+             UNION ALL
+             SELECT 'matryoshka',
+                    (SELECT COUNT(*) FROM truth
+                     JOIN mat USING (query_id, neighbor_id)))
+      SELECT family, nq.n AS n_queries, hits, 5 AS k,
+             CAST(FLOOR(hits * 1000.0 / (nq.n * 5)) AS BIGINT) AS recall_x1000
+      FROM fams, nq ORDER BY family""")
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q_identity" -> "SELECT * FROM region ORDER BY r_regionkey",
 
     "q_filter_limit" -> """

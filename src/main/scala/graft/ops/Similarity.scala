@@ -74,6 +74,32 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Recall@k of one ANN family's result against exact ground truth —
+    * the in-engine accuracy meter for the ANN zoo: an approximate index
+    * (IVF / PQ / BQ / Matryoshka) is only usable at 100 TB if its
+    * accuracy/cost tradeoff is MEASURED, not assumed. `truth` and
+    * `result` both carry the [[bruteForceTopK]] output contract
+    * (`query_id`, `neighbor_id`, any rank columns); output is ONE row:
+    * `(family, n_queries, hits, k, recall_x1000)` — hits counts
+    * truth pairs the family retrieved, recall_x1000 is the exact
+    * integer `floor(1000 * hits / (n_queries * k))`. Both sides are
+    * top-k result sets (queries × k rows — tiny next to the corpus),
+    * so the hit join is a broadcast-scale hash join, never a corpus
+    * scan. */
+  def annRecall(truth: DataFrame, result: DataFrame, family: String,
+                k: Int): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val r = result.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_hit", lit(1L))
+    t.join(r, Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        coalesce(sum(col("_hit")), lit(0L)).as("hits"))
+      .select(lit(family).as("family"), col("n_queries"), col("hits"),
+        lit(k).as("k"),
+        floor(col("hits") * 1000 / (col("n_queries") * lit(k)))
+          .cast("long").as("recall_x1000"))
+  }
+
   /** Contrastive HARD-NEGATIVE mining: per anchor, the `k` most-similar
     * candidates whose cosine stays BELOW `dupSim` — the standard
     * contrastive-training pitfall is sampling a near-duplicate as a
