@@ -67,21 +67,25 @@ object HudiCompact {
     val props = spark.sparkContext.broadcast(
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => (e.getKey, e.getValue)).toArray)
-    val compacted = spark.sparkContext
+    val written = spark.sparkContext
       .parallelize(work, work.size)
       .map { slice =>
         val conf = new Configuration(false)
         props.value.foreach { case (k, v) => conf.set(k, v) }
         compactSlice(conf, slice, visible, ceiling)
-        1
-      }.sum().toInt
+        val np = new Path(slice.newBasePath)
+        (slice.partition, slice.fileId,
+          np.getFileSystem(conf).getFileStatus(np).getLen)
+      }.collect() // bounded by slice count — the planning unit
     // commit the compaction on the timeline (Hudi compactions land as
-    // `.commit`, not `.deltacommit`)
-    val dir = new Path(table, ".hoodie")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(dir, s"$instant.commit"), true)
-    try out.write("{}".getBytes("UTF-8")) finally out.close()
-    compacted
+    // `.commit`, not `.deltacommit`), its new bases in the write stats
+    val stats = written.toSeq.map { case (partition, fileId, size) =>
+      val name = s"${fileId}_0-1-2_$instant.parquet"
+      HudiMorWrite.WriteStat(partition, fileId,
+        if (partition.isEmpty) name else s"$partition/$name", size)
+    }
+    HudiMorWrite.completeInstant(spark, table, instant, "commit", stats)
+    written.length
   }
 
   // ---- executor side ----------------------------------------------------

@@ -192,9 +192,10 @@ object HudiCowWrite {
 
     if (visible.isEmpty) {
       // all-new table/partitions: one fresh group per partition, ONE job
-      writeGroups(keyed, table, instant,
+      val written = writeGroups(keyed, table, instant,
         parts.map(p => (p, freshId)))
-      HudiMorWrite.completeInstant(spark, table, instant, "commit")
+      HudiMorWrite.completeInstant(spark, table, instant, "commit",
+        written.map(baseStat(_, instant)))
       return true
     }
 
@@ -227,8 +228,9 @@ object HudiCowWrite {
     val out = carried.fold(tagged)(c => c.unionByName(tagged.select(c.columns
       .map(col).toSeq: _*)))
     val groups = (affected ++ parts.map(p => (p, freshId))).distinct.sorted
-    writeTagged(out, table, instant, groups)
-    HudiMorWrite.completeInstant(spark, table, instant, "commit")
+    val written = writeTagged(out, table, instant, groups)
+    HudiMorWrite.completeInstant(spark, table, instant, "commit",
+      written.map(baseStat(_, instant)))
     true
   }
 
@@ -263,16 +265,28 @@ object HudiCowWrite {
     val written = writeTagged(carried, table, instant, affected)
     // a fully-deleted group persists as a ZERO-ROW base (COW semantics):
     // one empty template file, copied per emptied group — metadata only
-    val emptied = affected.filterNot(written.contains)
-    if (emptied.nonEmpty)
-      writeEmptyBases(spark, visible.head.path, table, instant, emptied)
-    HudiMorWrite.completeInstant(spark, table, instant, "commit")
+    val writtenGroups = written.map(w => (w._1, w._2)).toSet
+    val emptied = affected.filterNot(writtenGroups.contains)
+    val emptyStats =
+      if (emptied.isEmpty) Nil
+      else writeEmptyBases(spark, visible.head.path, table, instant, emptied)
+    HudiMorWrite.completeInstant(spark, table, instant, "commit",
+      (written ++ emptyStats).map(baseStat(_, instant)))
     true
   }
 
   // ------------------------------------------------------------------
   // one-job group writer
   // ------------------------------------------------------------------
+
+  /** Commit write stat for one written base `(partition, fileId, size)`. */
+  private def baseStat(w: (String, String, Long),
+                       instant: String): HudiMorWrite.WriteStat = {
+    val (partition, fileId, size) = w
+    val name = s"${fileId}_0-1-2_$instant.parquet"
+    HudiMorWrite.WriteStat(partition, fileId,
+      if (partition.isEmpty) name else s"$partition/$name", size)
+  }
 
   /** Write every (partition, fileId) group of `out` (rows tagged with
     * [[PartCol]]/[[FileIdCol]]) as ONE Hudi base file each, in ONE
@@ -283,7 +297,8 @@ object HudiCowWrite {
     * `<partition>/<fileId>_0-1-2_<instant>.parquet`. Returns the groups
     * that produced output. */
   private def writeTagged(out: DataFrame, table: String, instant: String,
-                          groups: Seq[(String, String)]): Seq[(String, String)] = {
+                          groups: Seq[(String, String)])
+      : Seq[(String, String, Long)] = {
     val spark = out.sparkSession
     val gidOf = groups.zipWithIndex.toMap
     val gidDf = {
@@ -300,7 +315,8 @@ object HudiCowWrite {
   /** [[writeTagged]] for the all-new case: every row of one partition
     * goes to that partition's single fresh group. */
   private def writeGroups(keyed: DataFrame, table: String, instant: String,
-                          groups: Seq[(String, String)]): Seq[(String, String)] = {
+                          groups: Seq[(String, String)])
+      : Seq[(String, String, Long)] = {
     val spark = keyed.sparkSession
     val gidDf = {
       import spark.implicits._
@@ -314,7 +330,7 @@ object HudiCowWrite {
 
   private def writeGidFiles(withGid: DataFrame, table: String, instant: String,
                             targets: Map[Int, (String, String)])
-      : Seq[(String, String)] = {
+      : Seq[(String, String, Long)] = {
     val spark = withGid.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = new Path(table, s".multi-tmp-$instant")
@@ -327,15 +343,15 @@ object HudiCowWrite {
         val gid = dir.getPath.getName.stripPrefix(s"$GidCol=").toInt
         val (partition, fileId) = targets.getOrElse(gid,
           throw new IllegalStateException(s"unplanned group id $gid"))
-        val parquets = f.listStatus(dir.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
+        val parquets = f.listStatus(dir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
         require(parquets.length == 1, s"group $gid produced " +
           s"${parquets.length} files — expected exactly one per file group")
         val partDir = new Path(table, partition)
         f.mkdirs(partDir)
-        f.rename(parquets.head,
+        f.rename(parquets.head.getPath,
           new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"))
-        (partition, fileId)
+        (partition, fileId, parquets.head.getLen)
       }
     f.delete(tmp, true)
     written
@@ -347,7 +363,8 @@ object HudiCowWrite {
     * group. */
   private def writeEmptyBases(spark: SparkSession, schemaFile: String,
                               table: String, instant: String,
-                              emptied: Seq[(String, String)]): Unit = {
+                              emptied: Seq[(String, String)])
+      : Seq[(String, String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val schema = spark.read.parquet(schemaFile).schema
     val tmp = new Path(table, s".empty-tmp-$instant")
@@ -359,13 +376,16 @@ object HudiCowWrite {
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
         "empty base write produced no parquet"))
-    emptied.foreach { case (partition, fileId) =>
+    val size = f.getFileStatus(template).getLen
+    val out = emptied.map { case (partition, fileId) =>
       val partDir = new Path(table, partition)
       f.mkdirs(partDir)
       org.apache.hadoop.fs.FileUtil.copy(f, template, f,
         new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"),
         false, conf)
+      (partition, fileId, size)
     }
     f.delete(tmp, true)
+    out
   }
 }

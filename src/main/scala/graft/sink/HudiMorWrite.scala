@@ -23,13 +23,67 @@ object HudiMorWrite {
   private[sink] def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One write stat for the commit body: partition-relative dir, file
+    * id, TABLE-relative path, byte size. */
+  private[sink] final case class WriteStat(partition: String, fileId: String,
+                                           path: String, size: Long)
+
+  /** Complete `instant` on the timeline. `stats` (when the writer knows
+    * its files — every graft writer does) land as Hudi's own
+    * `partitionToWriteStats` commit metadata, which makes the commit
+    * JSONs a LISTING-FREE file manifest: [[graft.sources.HudiRead]]
+    * builds its file-slice view from them instead of walking partition
+    * directories — at 10⁶ cloud-store objects the directory listing is
+    * the read-path bottleneck the real Hudi reader avoids via its
+    * metadata table, and the same commit metadata serves that role
+    * here. */
   private[sink] def completeInstant(spark: SparkSession, table: String,
-                              instant: String, action: String): Unit = {
+                                    instant: String, action: String,
+                                    stats0: Seq[WriteStat] = Nil): Unit = {
     val dir = new Path(table, ".hoodie")
     val f = fs(spark, dir)
     f.mkdirs(dir)
+    val marker = new Path(dir, s"$instant.$action")
+    // a re-completed instant (several single-group writes sharing one
+    // instant — the fixture pattern) MERGES its stats with the ones
+    // already on the timeline; clobbering would blind the listing-free
+    // reader to the earlier files
+    val prior: Seq[WriteStat] =
+      if (!f.exists(marker)) Nil
+      else {
+        val in = f.open(marker)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val node = Option(graft.sources.DocPushdown.jsonMapper.readTree(json)
+          .get("partitionToWriteStats")).filterNot(_.isNull)
+        import scala.jdk.CollectionConverters._
+        node.toSeq.flatMap(_.fields().asScala.flatMap { e =>
+          e.getValue.elements().asScala.map { st =>
+            WriteStat(e.getKey, st.get("fileId").asText(),
+              st.get("path").asText(),
+              Option(st.get("fileSizeInBytes")).map(_.asLong()).getOrElse(-1L))
+          }
+        }.toSeq)
+      }
+    val stats = (prior ++ stats0)
+      .groupBy(_.path).map(_._2.last).toSeq // newest stat per path wins
+    val body =
+      if (stats.isEmpty) "{}"
+      else {
+        def js(s: String) =
+          graft.sources.DocPushdown.jsonMapper.writeValueAsString(s)
+        val parts = stats.groupBy(_.partition).toSeq.sortBy(_._1)
+          .map { case (part, ss) =>
+            val arr = ss.sortBy(_.path).map(st =>
+              s"""{"fileId":${js(st.fileId)},"path":${js(st.path)},""" +
+                s""""partitionPath":${js(part)},"fileSizeInBytes":${st.size}}""")
+              .mkString("[", ",", "]")
+            s"${js(part)}:$arr"
+          }.mkString(",")
+        s"""{"partitionToWriteStats":{$parts}}"""
+      }
     val out = f.create(new Path(dir, s"$instant.$action"), true)
-    try out.write("{}".getBytes(UTF_8)) finally out.close()
+    try out.write(body.getBytes(UTF_8)) finally out.close()
   }
 
   /** Initial base file: `df` written as ONE base parquet for file group
@@ -38,16 +92,17 @@ object HudiMorWrite {
     * columns (like every meta-field Hudi table). */
   def writeBase(df: DataFrame, table: String, partition: String,
                 fileId: String, instant: String): Unit = {
-    writeBaseFile(df, table, partition, fileId, instant)
-    completeInstant(df.sparkSession, table, instant, "commit")
+    val stat = writeBaseFile(df, table, partition, fileId, instant)
+    completeInstant(df.sparkSession, table, instant, "commit", Seq(stat))
   }
 
   /** One base parquet for `fileId` at `instant`, NO timeline commit —
     * multi-group commits ([[HudiCowWrite.upsert]]) write all their
-    * files first and complete the instant once. */
+    * files first and complete the instant once. Returns the write stat
+    * for the commit body. */
   private[sink] def writeBaseFile(df: DataFrame, table: String,
                                   partition: String, fileId: String,
-                                  instant: String): Unit = {
+                                  instant: String): WriteStat = {
     val spark = df.sparkSession
     val partDir = new Path(table, partition)
     val tmp = new Path(table, s".base-tmp-$instant-$fileId")
@@ -57,8 +112,13 @@ object HudiMorWrite {
     val part = f.listStatus(tmp).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("base write produced no parquet"))
-    f.rename(part, new Path(partDir, s"${fileId}_0-1-2_$instant.parquet"))
+    val name = s"${fileId}_0-1-2_$instant.parquet"
+    val dest = new Path(partDir, name)
+    f.rename(part, dest)
     f.delete(tmp, true)
+    WriteStat(partition, fileId,
+      if (partition.isEmpty) name else s"$partition/$name",
+      f.getFileStatus(dest).getLen)
   }
 
   /** Append `df`'s rows as ONE Avro log block on `fileId`'s log stream
@@ -83,8 +143,9 @@ object HudiMorWrite {
       b.build()
     }
     val block = HudiLogFormat.avroDataBlock(instant, schema, records)
-    writeLogBlock(spark, table, partition, fileId, baseInstant, logVersion, block)
-    completeInstant(spark, table, instant, "deltacommit")
+    val stat = writeLogBlock(spark, table, partition, fileId, baseInstant,
+      logVersion, block)
+    completeInstant(spark, table, instant, "deltacommit", Seq(stat))
   }
 
   /** Append a DELETE block (0.9-vintage Kryo `HoodieKey[]` payload,
@@ -95,9 +156,9 @@ object HudiMorWrite {
                       table: String, partition: String, fileId: String,
                       baseInstant: String, instant: String,
                       logVersion: Int = 2): Unit = {
-    writeLogBlock(spark, table, partition, fileId, baseInstant, logVersion,
-      HudiLogFormat.deleteBlock(instant, keys))
-    completeInstant(spark, table, instant, "deltacommit")
+    val stat = writeLogBlock(spark, table, partition, fileId, baseInstant,
+      logVersion, HudiLogFormat.deleteBlock(instant, keys))
+    completeInstant(spark, table, instant, "deltacommit", Seq(stat))
   }
 
   /** One DELTA COMMIT appending each touched partition's rows as ONE
@@ -207,19 +268,35 @@ object HudiMorWrite {
           }
         }
       }
-    completeInstant(spark, table, instant, "deltacommit")
+    // commit metadata: the PLAN names every log file this instant wrote
+    // (partition → fid/bi/ver is driver state already); sizes are one
+    // metadata stat per touched partition — the same O(P) grade as the
+    // plan itself
+    val tfs = fs(spark, new Path(table))
+    val stats = parts.map { p =>
+      val (fid, bi, ver) = plan(p)
+      val name = s".${fid}_$bi.log.${ver}_0-1-2"
+      val rel = if (p.isEmpty) name else s"$p/$name"
+      // every planned partition had rows, so its log file must exist —
+      // a missing one means the write silently failed; fail the commit
+      WriteStat(p, fid, rel, tfs.getFileStatus(new Path(table, rel)).getLen)
+    }
+    completeInstant(spark, table, instant, "deltacommit", stats)
     true
   }
 
   private def writeLogBlock(spark: SparkSession, table: String,
                             partition: String, fileId: String,
                             baseInstant: String, logVersion: Int,
-                            block: HudiLogFormat.LogBlock): Unit = {
-    val logPath = new Path(new Path(table, partition),
-      s".${fileId}_$baseInstant.log.${logVersion}_0-1-2")
+                            block: HudiLogFormat.LogBlock): WriteStat = {
+    val name = s".${fileId}_$baseInstant.log.${logVersion}_0-1-2"
+    val logPath = new Path(new Path(table, partition), name)
     val f = fs(spark, logPath)
     val out = new java.io.DataOutputStream(f.create(logPath, true))
     try HudiLogFormat.writeBlock(out, block) finally out.close()
+    WriteStat(partition, fileId,
+      if (partition.isEmpty) name else s"$partition/$name",
+      f.getFileStatus(logPath).getLen)
   }
 
   private def avroSchemaOf(df: DataFrame, nullable: Boolean = false): Schema = {

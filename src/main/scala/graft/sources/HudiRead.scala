@@ -163,10 +163,21 @@ object HudiRead {
   /** One listed file: partition-relative dir, file name, absolute path. */
   private[graft] type Listed = ParallelListing.Listed
 
-  /** All files under the table (`.hoodie` skipped) — executor-parallel
-    * once the table has more than a handful of partition directories
-    * ([[ParallelListing]]): wall-time bounded by partitions/parallelism,
-    * not total file count. */
+  /** All data files of the table, LISTING-FREE when the timeline allows
+    * it: every completed commit's `partitionToWriteStats` (the same
+    * `.hoodie/` JSONs the reader already parses for replacecommits)
+    * names every file the table ever committed, so the file view builds
+    * from O(instants) metadata reads with ZERO directory listings — at
+    * 10⁶ cloud-store objects the listing is the read-path bottleneck
+    * the real Hudi reader avoids via its metadata table, and commit
+    * metadata serves that role here. Falls back to the executor-parallel
+    * [[ParallelListing]] walk (wall-time bounded by partitions/
+    * parallelism) when the timeline cannot vouch for the full file set:
+    * any completed instant without write stats (foreign writers, "{}"
+    * fixtures), or any `.clean` on the timeline (cleans delete files
+    * the old commits still name). Only completed-instant files are
+    * returned on the metadata path — exactly the set visibility
+    * filtering keeps anyway. */
   private[graft] def listAllFiles(spark: SparkSession, table: String,
                                   maxFiles: Int): Seq[Listed] = {
     val root = new Path(table)
@@ -174,7 +185,67 @@ object HudiRead {
     if (!fs.exists(new Path(root, ".hoodie")))
       throw new IllegalArgumentException(
         s"$table is not a Hudi table (no .hoodie directory)")
-    ParallelListing.listFiles(spark, table, _ == ".hoodie", maxFiles)
+    filesFromCommitMetadata(spark, table) match {
+      case Some(files) =>
+        require(files.size <= maxFiles,
+          s"$table's commit metadata names more than $maxFiles files — " +
+            "raise maxFiles (driver memory) or operate on specific partitions")
+        files
+      case None => ParallelListing.listFiles(spark, table, _ == ".hoodie", maxFiles)
+    }
+  }
+
+  /** The table's data files as named by completed commit metadata —
+    * `None` when the timeline cannot vouch for the full set (see
+    * [[listAllFiles]]). Duplicate paths across commits (replays) fold. */
+  private[graft] def filesFromCommitMetadata(spark: SparkSession,
+                                             table: String): Option[Seq[Listed]] = {
+    val dir = new Path(table, ".hoodie")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).filterNot(_.isDirectory)
+      .map(_.getPath.getName)
+    // a clean deleted files that old commits still name: only a listing
+    // can see what survived
+    if (names.exists(_.endsWith(".clean"))) return None
+    val commits = names.filter { n =>
+      val parts = n.split('.')
+      parts.length == 2 && parts(0).nonEmpty && parts(0).forall(_.isDigit) &&
+        (parts(1) == "commit" || parts(1) == "deltacommit" ||
+          parts(1) == "replacecommit")
+    }
+    // an empty timeline proves nothing about the directory tree
+    if (commits.isEmpty) return None
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Listed]
+    commits.sortBy(n => instantKey(n.split('.')(0))).foreach { n =>
+      val p = new Path(dir, n)
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val stats = Option(DocPushdown.jsonMapper.readTree(json)
+        .get("partitionToWriteStats")).filterNot(_.isNull)
+      stats match {
+        case None => return None // a commit without stats: fall back
+        case Some(node) =>
+          import scala.jdk.CollectionConverters._
+          node.fields().asScala.foreach { e =>
+            e.getValue.elements().asScala.foreach { st =>
+              val rel = Option(st.get("path")).map(_.asText())
+                .getOrElse(return None) // malformed stat: fall back
+              val size = Option(st.get("fileSizeInBytes")).filterNot(_.isNull)
+                .map(_.asLong()).getOrElse(-1L)
+              val slash = rel.lastIndexOf('/')
+              val (relDir, name) =
+                if (slash < 0) ("", rel)
+                else (rel.substring(0, slash), rel.substring(slash + 1))
+              // later commits win (a replayed stat with a fresher size)
+              out.put(rel, ParallelListing.Listed(relDir, name,
+                new Path(table, rel).toString, size))
+            }
+          }
+      }
+    }
+    Some(out.values.toSeq)
   }
 
   /** Every base and log file of the table — the planning input for the

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSuite
 
 /** [[HudiRead]] against a hand-built REAL Hudi COW layout: `.hoodie/`
@@ -432,4 +434,90 @@ class HudiReadSpec extends SparkSuite {
     // rollbacks void the targeted instant
     assert(HudiLogFormat.effectiveBlocks(blocks).isEmpty)
   }
+
+  // ---- listing-free discovery from commit metadata --------------------
+
+  test("commit metadata names the same file set the listing finds (COW + MOR)") {
+    import graft.sink.{HudiCowWrite, HudiMorWrite}
+    def sets(table: String): (Set[(String, String)], Set[(String, String)]) = {
+      val meta = HudiRead.filesFromCommitMetadata(spark, table)
+      assert(meta.isDefined, s"graft-written table $table should be metadata-discoverable")
+      (meta.get.map(f => (f.rel, f.name)).toSet,
+        ParallelListing.listFiles(spark, table, _ == ".hoodie", 100000)
+          .map(f => (f.rel, f.name)).toSet)
+    }
+    // COW: seed + upsert (old AND new bases must both be named)
+    val cow = Files.createTempDirectory("hudi-meta-cow").toString
+    HudiCowWrite.upsert((1L to 40L).map(i => (i, s"v$i")).toDF("id", "item"),
+      cow, "id", T1)
+    HudiCowWrite.upsert((20L to 60L).map(i => (i, s"u$i")).toDF("id", "item"),
+      cow, "id", T2)
+    val (cowMeta, cowListed) = sets(cow)
+    assert(cowMeta === cowListed, "COW metadata view drifted from the listing")
+    // MOR: base + distributed log appends across partitions
+    val mor = Files.createTempDirectory("hudi-meta-mor").toString
+    val rows = spark.range(0, 40L)
+      .selectExpr("CAST(id AS STRING) AS _hoodie_record_key",
+        s"'$T1' AS _hoodie_commit_time", "false AS _hoodie_is_deleted",
+        "id", "concat('part=', CAST(id % 4 AS STRING)) AS __part")
+    assert(HudiMorWrite.appendLogDistributed(rows, mor, "__part", T1))
+    assert(HudiMorWrite.appendLogDistributed(
+      rows.withColumn("_hoodie_commit_time",
+        org.apache.spark.sql.functions.lit(T2)), mor, "__part", T2))
+    val (morMeta, morListed) = sets(mor)
+    assert(morMeta === morListed, "MOR metadata view drifted from the listing")
+    // a foreign "{}" commit on the timeline forces the listing fallback
+    Files.writeString(Paths.get(cow, ".hoodie", s"$T4.commit"), "{}")
+    assert(HudiRead.filesFromCommitMetadata(spark, cow).isEmpty,
+      "a stats-less commit must disable the metadata path")
+    assert(HudiRead.snapshot(spark, cow).count() === 60L, "fallback still reads")
+  }
+
+  test("snapshot reads do ZERO data-directory listings on a metadata-discoverable table") {
+    import graft.sink.HudiCowWrite
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    val local = Files.createTempDirectory("hudi-meta-zerolist").toString
+    val root = s"countfs://$local"
+    HudiCowWrite.upsert((1L to 30L).map(i => (i, s"v$i")).toDF("id", "item"),
+      root, "id", T1)
+    HudiCowWrite.upsert((10L to 45L).map(i => (i, s"u$i")).toDF("id", "item"),
+      root, "id", T2)
+    CountingLocalFs.reset()
+    val n = HudiRead.snapshot(spark, root).count()
+    assert(n === 45L)
+    val dataDirListings = CountingLocalFs.listedDirs.asScala.toSeq
+      .filter(p => p.startsWith(local) && !p.contains("/.hoodie"))
+    assert(dataDirListings.isEmpty,
+      s"snapshot listed data directories: $dataDirListings")
+    // the SAME read on a listing-fallback table (stats-less commit) does
+    // list — proving the counter actually observes the fallback path
+    Files.writeString(Paths.get(local, ".hoodie", s"$T4.commit"), "{}")
+    CountingLocalFs.reset()
+    assert(HudiRead.snapshot(spark, root).count() === 45L)
+    assert(CountingLocalFs.listedDirs.asScala.toSeq
+      .exists(p => p.startsWith(local) && !p.contains("/.hoodie")),
+      "fallback read should have listed data dirs (counter is live)")
+  }
 }
+
+/** [[org.apache.hadoop.fs.RawLocalFileSystem]] under the `countfs://`
+  * scheme, recording every DIRECTORY listStatus — the instrument behind
+  * the listing-free-discovery contract. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def getScheme: String = "countfs"
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val isDir = try getFileStatus(f).isDirectory
+                catch { case _: java.io.IOException => false }
+    if (isDir) CountingLocalFs.listedDirs.add(f.toUri.getPath): Unit
+    super.listStatus(f)
+  }
+}
+
+object CountingLocalFs {
+  val listedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = listedDirs.clear()
+}
+
