@@ -22,14 +22,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * usually THE dominant cost, and pre-bucketed layouts delete it.
   *
   * Write side ([[BucketedLake.write]]): rows route to
-  * `bucket = pmod(xxhash64(key), n)` directories in one shuffled job.
-  * Read side: a DataSource V2 catalog (`spark.sql.catalog.<name> =
+  * `bucket = pmod(xxhash64(key), n)` directories in one shuffled job,
+  * and a MANIFEST of per-file record counts/sizes lands next to them
+  * ([[ManifestEntry]]) — scans discover files in ONE metadata read and
+  * a bare `COUNT(*)` answers with zero per-file IO. Read side: a
+  * DataSource V2 catalog (`spark.sql.catalog.<name> =
   * graft.sources.GraftBucketCatalog`, tables addressed as
   * ``<name>.`/path` ``) whose scan reports
   * [[KeyGroupedPartitioning]]`(bucket(n, key), n)` with one input
-  * partition per bucket ([[HasPartitionKey]] = the bucket ordinal, ALL
-  * n buckets always reported so two tables' partition values align
-  * even when buckets are empty). The catalog doubles as a
+  * partition per bucket ([[HasPartitionKey]] = the bucket ordinal; an
+  * UNFILTERED scan reports ALL n buckets so two tables' partition
+  * values align even when buckets are empty, while key-equality/IN
+  * predicates BUCKET-PRUNE the scan to the matching partitions —
+  * a point lookup reads 1 of n buckets). The catalog doubles as a
   * [[FunctionCatalog]] serving the `bucket` function — Catalyst resolves
   * the transform against it, and `EnsureRequirements` then recognizes
   * both sides as co-partitioned (same canonical function, same bucket
@@ -369,6 +374,67 @@ object GraftBucketFunction {
   }
 }
 
+/** Filter → bucket-set translation shared by the plan-time pushdown
+  * ([[GraftBucketScanBuilder]]) and the runtime (DPP) filtering on the
+  * scan ([[GraftBucketScan.filter]]). */
+private[sources] object BucketPruning {
+
+  /** The bucket set a filter confines `keyCol` to — `None` when the
+    * filter cannot prune (safe: all buckets scanned; every filter is
+    * residual, so a conservative answer is always correct). */
+  def bucketSetOf(f: org.apache.spark.sql.sources.Filter, keyCol: String,
+                  keyType: DataType, buckets: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.sources._
+    def hashOf(v: Any): Option[Int] = catalystKey(v, keyType).map { cv =>
+      java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(cv, keyType, 42L), buckets.toLong).toInt
+    }
+    def rec(f: org.apache.spark.sql.sources.Filter): Option[Set[Int]] = f match {
+      case EqualTo(c, v) if c == keyCol => hashOf(v).map(Set(_))
+      case EqualNullSafe(c, null) if c == keyCol => Some(Set.empty)
+      case EqualNullSafe(c, v) if c == keyCol => hashOf(v).map(Set(_))
+      case In(c, vs) if c == keyCol =>
+        val hs = vs.filter(_ != null).map(hashOf)
+        if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
+      case IsNull(c) if c == keyCol => Some(Set.empty)
+      case And(a, b) => (rec(a), rec(b)) match {
+        case (Some(x), Some(y)) => Some(x intersect y)
+        case (x, y) => x.orElse(y)
+      }
+      case Or(a, b) => for { x <- rec(a); y <- rec(b) } yield x union y
+      case _ => None
+    }
+    rec(f)
+  }
+
+  /** External filter value → the catalyst value [[BucketedLake
+    * .bucketExpr]] hashed at write time. STRICT on type: a literal
+    * whose runtime class does not exactly match the key type yields
+    * `None` (no pruning) — a tolerant coercion that hashed differently
+    * from the write path would silently skip matching buckets. */
+  def catalystKey(v: Any, keyType: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, keyType) match {
+      case (null, _) => None
+      case (s: String, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case (i: java.lang.Integer, IntegerType) => Some(i.intValue)
+      case (l: java.lang.Long, LongType) => Some(l.longValue)
+      case (s: java.lang.Short, ShortType) => Some(s.shortValue)
+      case (b: java.lang.Byte, ByteType) => Some(b.byteValue)
+      case (b: java.lang.Boolean, BooleanType) => Some(b.booleanValue)
+      case (f: java.lang.Float, FloatType) => Some(f.floatValue)
+      case (d: java.lang.Double, DoubleType) => Some(d.doubleValue)
+      case (d: java.sql.Date, DateType) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+      case (d: java.time.LocalDate, DateType) =>
+        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
+      case _ => None
+    }
+  }
+}
+
 /** Fold a finer bucket ordinal onto an `n`-bucket layout. */
 private[sources] final class BucketReducer(n: Int)
     extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
@@ -584,62 +650,11 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
-  /** The bucket set a filter confines the key to — `None` when the
-    * filter cannot prune (safe: all buckets scanned). */
   private def bucketSetOf(f: org.apache.spark.sql.sources.Filter)
-      : Option[Set[Int]] = {
-    import org.apache.spark.sql.sources._
-    def hashOf(v: Any): Option[Int] = catalystKey(v).map { cv =>
-      java.lang.Math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(cv, keyType, 42L), spec.buckets.toLong).toInt
-    }
-    f match {
-      case EqualTo(c, v) if c == spec.keyCol => hashOf(v).map(Set(_))
-      case EqualNullSafe(c, null) if c == spec.keyCol => Some(Set.empty)
-      case EqualNullSafe(c, v) if c == spec.keyCol => hashOf(v).map(Set(_))
-      case In(c, vs) if c == spec.keyCol =>
-        val hs = vs.filter(_ != null).map(hashOf)
-        if (hs.forall(_.isDefined)) Some(hs.flatten.toSet) else None
-      case IsNull(c) if c == spec.keyCol => Some(Set.empty)
-      case And(a, b) => (bucketSetOf(a), bucketSetOf(b)) match {
-        case (Some(x), Some(y)) => Some(x intersect y)
-        case (x, y) => x.orElse(y)
-      }
-      case Or(a, b) =>
-        for { x <- bucketSetOf(a); y <- bucketSetOf(b) } yield x union y
-      case _ => None
-    }
-  }
-
-  private def keyType: DataType =
-    spec.schema.fields(spec.schema.fieldIndex(spec.keyCol)).dataType
-
-  /** External filter value → the catalyst value [[BucketedLake
-    * .bucketExpr]] hashed at write time. STRICT on type: a literal
-    * whose runtime class does not exactly match the key type yields
-    * `None` (no pruning) — a tolerant coercion that hashed differently
-    * from the write path would silently skip matching buckets. */
-  private def catalystKey(v: Any): Option[Any] = {
-    import org.apache.spark.sql.types._
-    (v, keyType) match {
-      case (null, _) => None
-      case (s: String, StringType) =>
-        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      case (i: java.lang.Integer, IntegerType) => Some(i.intValue)
-      case (l: java.lang.Long, LongType) => Some(l.longValue)
-      case (s: java.lang.Short, ShortType) => Some(s.shortValue)
-      case (b: java.lang.Byte, ByteType) => Some(b.byteValue)
-      case (b: java.lang.Boolean, BooleanType) => Some(b.booleanValue)
-      case (f: java.lang.Float, FloatType) => Some(f.floatValue)
-      case (d: java.lang.Double, DoubleType) => Some(d.doubleValue)
-      case (d: java.sql.Date, DateType) =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
-      case (d: java.time.LocalDate, DateType) =>
-        Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d))
-      case _ => None
-    }
-  }
+      : Option[Set[Int]] =
+    BucketPruning.bucketSetOf(f, spec.keyCol,
+      spec.schema.fields(spec.schema.fieldIndex(spec.keyCol)).dataType,
+      spec.buckets)
 
   /** `COUNT(*)` with no grouping (and no filters) answers from the
     * write-time manifest — ONE metadata read, no row ever decoded, no
@@ -710,7 +725,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        required: StructType,
                                        pruned: Option[Set[Int]])
     extends Scan with Batch with SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -735,7 +751,40 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       .toArray[InputPartition]
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  /** RUNTIME (DPP-style) bucket pruning: a selective join side hands
+    * the scan an `IN (join keys)` filter at execution time, and every
+    * bucket that can hold no key gets its FILE LIST EMPTIED — at 100 TB
+    * a fact-side scan joined to a filtered dimension reads only the
+    * key-holding buckets' bytes. Partitions are emptied, never dropped:
+    * the partition-KEY set stays exactly what [[outputPartitioning]]
+    * reported at plan time, so SPJ's key-grouped contract (and Spark's
+    * partitioning-immutability check) holds. */
+  @volatile private var runtimeKeep: Option[Set[Int]] = None
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // Spark resolves these against the scan OUTPUT — a key pruned away
+    // by column pruning cannot anchor a runtime filter
+    if (required.fieldNames.contains(spec.keyCol))
+      Array(Expressions.column(spec.keyCol))
+    else Array.empty
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val keyType =
+      spec.schema.fields(spec.schema.fieldIndex(spec.keyCol)).dataType
+    val sets = filters.flatMap(
+      BucketPruning.bucketSetOf(_, spec.keyCol, keyType, spec.buckets))
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeKeep match {
+      case None => partitions
+      case Some(keep) => partitions.map {
+        case p: GraftBucketPartition if !keep.contains(p.bucket) =>
+          p.copy(files = Array.empty)
+        case p => p
+      }
+    }
 
   /** Key-sorted buckets report their ordering, so a co-located SMJ skips
     * its SortExecs too — guarded on the writer's sorted flag, on every

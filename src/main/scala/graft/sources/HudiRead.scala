@@ -216,34 +216,62 @@ object HudiRead {
     }
     // an empty timeline proves nothing about the directory tree
     if (commits.isEmpty) return None
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Listed]
-    commits.sortBy(n => instantKey(n.split('.')(0))).foreach { n =>
-      val p = new Path(dir, n)
-      val in = fs.open(p)
-      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
+    val ordered = commits.sortBy(n => instantKey(n.split('.')(0))).toSeq
+    // parse one commit body → its (table-relative path, size) stats, or
+    // None when the commit cannot vouch for its files (no/malformed stats)
+    def parse(json: String): Option[Seq[(String, Long)]] = {
       val stats = Option(DocPushdown.jsonMapper.readTree(json)
         .get("partitionToWriteStats")).filterNot(_.isNull)
-      stats match {
-        case None => return None // a commit without stats: fall back
-        case Some(node) =>
-          import scala.jdk.CollectionConverters._
-          node.fields().asScala.foreach { e =>
-            e.getValue.elements().asScala.foreach { st =>
-              val rel = Option(st.get("path")).map(_.asText())
-                .getOrElse(return None) // malformed stat: fall back
-              val size = Option(st.get("fileSizeInBytes")).filterNot(_.isNull)
-                .map(_.asLong()).getOrElse(-1L)
-              val slash = rel.lastIndexOf('/')
-              val (relDir, name) =
-                if (slash < 0) ("", rel)
-                else (rel.substring(0, slash), rel.substring(slash + 1))
-              // later commits win (a replayed stat with a fresher size)
-              out.put(rel, ParallelListing.Listed(relDir, name,
-                new Path(table, rel).toString, size))
+      stats.flatMap { node =>
+        import scala.jdk.CollectionConverters._
+        val entries = node.fields().asScala.flatMap { e =>
+          e.getValue.elements().asScala.map { st =>
+            Option(st.get("path")).map { p =>
+              (p.asText(), Option(st.get("fileSizeInBytes"))
+                .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L))
             }
           }
+        }.toSeq
+        if (entries.exists(_.isEmpty)) None else Some(entries.flatten)
       }
+    }
+    def slurp(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // active timelines are small; a long un-archived one parses
+    // EXECUTOR-PARALLEL so the listing-free path never trades a
+    // directory walk for a serial driver loop over 10k instant files
+    val perCommit: Seq[Option[Seq[(String, Long)]]] =
+      if (ordered.size <= 64)
+        ordered.map(n => parse(slurp(fs, new Path(dir, n))))
+      else {
+        import scala.jdk.CollectionConverters._
+        val props = spark.sparkContext.broadcast(
+          spark.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray)
+        val dirStr = dir.toString
+        spark.sparkContext
+          .parallelize(ordered.zipWithIndex, math.min(ordered.size,
+            spark.sparkContext.defaultParallelism * 2))
+          .map { case (n, i) =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            props.value.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(dirStr, n)
+            (i, parse(slurp(p.getFileSystem(conf), p)))
+          }.collect().sortBy(_._1).map(_._2).toSeq
+      }
+    if (perCommit.exists(_.isEmpty)) return None // fall back to listing
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Listed]
+    perCommit.flatten.flatten.foreach { case (rel, size) =>
+      val slash = rel.lastIndexOf('/')
+      val (relDir, name) =
+        if (slash < 0) ("", rel)
+        else (rel.substring(0, slash), rel.substring(slash + 1))
+      // later commits win (a replayed stat with a fresher size)
+      out.put(rel, ParallelListing.Listed(relDir, name,
+        new Path(table, rel).toString, size))
     }
     Some(out.values.toSeq)
   }

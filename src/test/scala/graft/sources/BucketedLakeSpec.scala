@@ -395,6 +395,42 @@ class BucketedLakeSpec extends SparkSuite {
       .where(col("k") === "key-98" && col("v") > 1000L).count() === 0L)
   }
 
+  test("runtime (DPP) filtering empties non-matching buckets, partition keys untouched") {
+    val path = tmp("bk-dpp")
+    BucketedLake.write((1L to 400L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 8)
+    // unit contract: filter() EMPTIES pruned buckets' file lists but
+    // keeps all 8 partitions (Spark forbids mutating the partition-key
+    // set during runtime filtering when KeyGroupedPartitioning was
+    // reported — and SPJ alignment depends on it)
+    val spec0 = BucketedLake.readSpec(spark, path).get
+    val scan = new GraftBucketScanBuilder(spark, path, spec0).build()
+    val rf = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq === Seq("k"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        Array(42L, 43L).map(_.asInstanceOf[Any]))))
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length === 8, "partition keys must not mutate at runtime")
+    val nonEmpty = parts.map(_.asInstanceOf[GraftBucketPartition])
+      .count(_.files.nonEmpty)
+    assert(nonEmpty >= 1 && nonEmpty <= 2,
+      s"IN(42,43) should keep at most 2 of 8 buckets, kept $nonEmpty")
+    // e2e: a selective broadcast dim injects a dynamic-pruning runtime
+    // filter into the fact scan; the join result must stay exact
+    val dimPath = tmp("bk-dpp-dim")
+    (40L to 45L).map(i => (i, s"d$i")).toDF("dk", "dname")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("dk") % 2 === 0)
+    val joined = table(path).join(dim, col("k") === col("dk"))
+    val rows = joined.collect()
+    assert(rows.length === 3) // dk in {40, 42, 44}
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime filter on the bucketed scan:\n$plan")
+  }
+
   test("null bucket keys are rejected by the V1 write path too") {
     val path = tmp("bk-nullkey")
     val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
