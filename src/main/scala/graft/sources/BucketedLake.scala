@@ -726,9 +726,33 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        pruned: Option[Set[Int]])
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** EXACT table statistics, free from the manifest (pruned buckets
+    * excluded): without them a V2 scan defaults to "unknown = huge" and
+    * a small bucketed dimension can never auto-broadcast — the
+    * optimizer would shuffle a fact table against a 1 MB side. Legacy
+    * tables report bytes from the listing (rows unknown). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rows) = BucketedLake.readManifest(spark, path) match {
+      case Some(es) =>
+        val kept = es.filter(e => pruned.forall(_.contains(e.bucket)))
+        (java.util.OptionalLong.of(kept.map(_.size).sum),
+          java.util.OptionalLong.of(kept.map(_.rows).sum))
+      case None =>
+        (java.util.OptionalLong.of(partitions.iterator
+          .map(_.asInstanceOf[GraftBucketPartition].files.map(_._2).sum).sum),
+          java.util.OptionalLong.empty())
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
   override def description(): String = {
     val p = pruned.fold("")(s => s", prunedTo=${s.size}/${spec.buckets}")
     s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$p)"

@@ -431,6 +431,20 @@ class BucketedLakeSpec extends SparkSuite {
       s"expected a runtime filter on the bucketed scan:\n$plan")
   }
 
+  test("manifest statistics make a small bucketed dimension auto-broadcastable") {
+    val dim = tmp("bk-stats-dim")
+    BucketedLake.write((1L to 100L).map(i => (i, s"d$i")).toDF("k", "dname"),
+      dim, "k", 4)
+    // a V2 scan without statistics defaults to "unknown = huge" and
+    // could never auto-broadcast; the manifest makes the size exact
+    val fact = (1L to 50000L).map(i => (i % 100, i)).toDF("fk", "v")
+    val joined = fact.join(table(dim), col("fk") === col("k"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small bucketed side should broadcast:\n$plan")
+  }
+
   test("null bucket keys are rejected by the V1 write path too") {
     val path = tmp("bk-nullkey")
     val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))

@@ -192,6 +192,18 @@ class IncrementalAggSpec extends SparkSuite {
       s"SELECT g, view_count, sum_v, avg_v FROM graft_ivm('$path')").head()
     assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
       (("a", 2L, 10L, 5.0)))
+    // distinct + filtered views read by path too (spec file carries the
+    // round-12 fields; readByPath reconstructs the sub-state projection)
+    val path2 = tmp("ivm-tvf-nd")
+    val spec2 = ViewSpec(Seq("g"), distinctCols = Seq("v"),
+      filter = Some("v > 0"))
+    applyChanges(spark,
+      Seq(("a", 1L, "insert"), ("a", 1L, "insert"), ("a", 2L, "insert"),
+        ("a", -5L, "insert")).toDF("g", "v", "change_type"),
+      path2, spec2, 0L, forbidden)
+    val r2 = spark.sql(
+      s"SELECT g, view_count, nd_v FROM graft_ivm('$path2')").head()
+    assert((r2.getString(0), r2.getLong(1), r2.getLong(2)) === (("a", 3L, 2L)))
   }
 
   test("randomized epochs: incremental always equals a from-scratch recompute") {
