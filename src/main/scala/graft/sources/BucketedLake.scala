@@ -644,7 +644,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       : Array[org.apache.spark.sql.sources.Filter] = {
     val sets = filters.flatMap(bucketSetOf) // top level is a conjunction
     if (sets.nonEmpty) pruned = Some(sets.reduce(_ intersect _))
-    accepted = filters.filter(f => bucketSetOf(f).isDefined)
+    accepted = filters // every filter also forwards to parquet pushdown
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -681,7 +681,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
 
   override def build(): Scan =
     if (countStar) new GraftBucketCountScan(spark, path, spec)
-    else new GraftBucketScan(spark, path, spec, required, pruned)
+    else new GraftBucketScan(spark, path, spec, required, pruned, accepted)
 }
 
 /** Manifest-backed COUNT(*): one input partition carrying the summed
@@ -723,7 +723,8 @@ private[sources] final case class GraftBucketCountPartition(total: Long)
 private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,
                                        required: StructType,
-                                       pruned: Option[Set[Int]])
+                                       pruned: Option[Set[Int]],
+                                       pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -755,7 +756,9 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
   override def description(): String = {
     val p = pruned.fold("")(s => s", prunedTo=${s.size}/${spec.buckets}")
-    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$p)"
+    val f = if (pushed.isEmpty) ""
+            else s", PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$p$f)"
   }
 
   /** Unfiltered scans report ALL n buckets — empty ones included, so
@@ -845,8 +848,11 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       Array(Expressions.bucket(spec.buckets, spec.keyCol)), partitions.length)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // driver-side: broadcasts a fresh per-scan conf; serializable fn
-    val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required)
+    // driver-side: broadcasts a fresh per-scan conf; serializable fn.
+    // pushed filters reach parquet's row-group/page pruning — a range
+    // predicate on the (sorted) key skips whole row groups by stats
+    val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required,
+      pushed.toSeq)
     new GraftBucketReaderFactory(readerFn)
   }
 }

@@ -25,16 +25,22 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 object ParquetReadShim {
 
   /** Driver-built per-file reader: `dataSchema` = file schema,
-    * `requiredSchema` = pruned projection. The hadoop conf is a FRESH
-    * per-scan copy (with the session's SQL options folded in) because
-    * `buildReaderWithPartitionValues` writes the requested schema INTO
-    * the conf it is given — two scans sharing one conf object would
-    * clobber each other's projection (e.g. both sides of a co-located
-    * join plan in the same session). */
+    * `requiredSchema` = pruned projection, `filters` = source filters
+    * forwarded to parquet's own predicate pushdown (row-group/page
+    * stats + dictionary pruning — the reader skips whole row groups
+    * whose stats exclude the predicate; rows that survive are STILL
+    * re-filtered above the scan, so forwarding is always safe). The
+    * hadoop conf is a FRESH per-scan copy (with the session's SQL
+    * options folded in) because `buildReaderWithPartitionValues` writes
+    * the requested schema INTO the conf it is given — two scans sharing
+    * one conf object would clobber each other's projection (e.g. both
+    * sides of a co-located join plan in the same session). */
   def readerFor(spark: SparkSession, dataSchema: StructType,
-                requiredSchema: StructType): PartitionedFile => Iterator[InternalRow] =
+                requiredSchema: StructType,
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), requiredSchema, Nil,
+      spark, dataSchema, new StructType(), requiredSchema, filters,
       // rows, not ColumnarBatches: the vectorized reader still runs
       // underneath, handing back its batch rows one at a time
       Map(org.apache.spark.sql.execution.datasources.FileFormat
