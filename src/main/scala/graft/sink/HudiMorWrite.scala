@@ -183,7 +183,8 @@ object HudiMorWrite {
     * Returns false when `instant` is already on the timeline. */
   def appendLogDistributed(df: DataFrame, table: String, partCol: String,
                            instant: String,
-                           maxFiles: Int = 1000000): Boolean = {
+                           maxFiles: Int = 1000000,
+                           maxBlockRecords: Int = 100000): Boolean = {
     val spark = df.sparkSession
     require(instant.nonEmpty && instant.forall(_.isDigit),
       s"instant must be a numeric timeline string, got '$instant'")
@@ -244,29 +245,49 @@ object HudiMorWrite {
         .map(e => (e.getKey, e.getValue)).toArray)
     val planB = spark.sparkContext.broadcast(plan)
     val partIdx = df.schema.fieldIndex(partCol)
+    // rows STREAM through each task: sorted by partition so boundaries
+    // cut files, blocks cut every maxBlockRecords — task memory is one
+    // block, never a partition's rows (the Hudi log format reads
+    // several same-instant blocks per file in order, so chunking is
+    // invisible to the merge)
+    val blockRecords = math.max(1, maxBlockRecords)
     df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col(partCol))
       .foreachPartition { (rows: Iterator[Row]) =>
-        val byPart = rows.toSeq.groupBy(_.getString(partIdx))
-        if (byPart.nonEmpty) {
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          props.value.foreach { case (k, v) => conf.set(k, v) }
-          val sch = new Schema.Parser().parse(schemaJson)
-          byPart.foreach { case (part, partRows) =>
-            val (fid, bi, ver) = planB.value(part)
-            val records: Seq[GenericRecord] = partRows.map { r =>
-              val b = new GenericRecordBuilder(sch)
-              fieldNames.foreach(n => b.set(n, r.getAs[Any](n)))
-              b.build()
-            }
-            val block = HudiLogFormat.avroDataBlock(instant, sch, records)
-            val logPath = new Path(new Path(table, part),
-              s".${fid}_$bi.log.${ver}_0-1-2")
-            val pfs = logPath.getFileSystem(conf)
-            pfs.mkdirs(logPath.getParent)
-            val out = new java.io.DataOutputStream(pfs.create(logPath, true))
-            try HudiLogFormat.writeBlock(out, block) finally out.close()
-          }
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => conf.set(k, v) }
+        val sch = new Schema.Parser().parse(schemaJson)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        var curPart: String = null
+        var out: java.io.DataOutputStream = null
+        def flushBlock(): Unit = if (buf.nonEmpty) {
+          HudiLogFormat.writeBlock(out,
+            HudiLogFormat.avroDataBlock(instant, sch, buf.toSeq))
+          buf.clear()
         }
+        def closePart(): Unit = {
+          flushBlock()
+          if (out != null) { out.close(); out = null }
+        }
+        try {
+          rows.foreach { r =>
+            val part = r.getString(partIdx)
+            if (part != curPart) {
+              closePart()
+              val (fid, bi, ver) = planB.value(part)
+              val logPath = new Path(new Path(table, part),
+                s".${fid}_$bi.log.${ver}_0-1-2")
+              val pfs = logPath.getFileSystem(conf)
+              pfs.mkdirs(logPath.getParent)
+              out = new java.io.DataOutputStream(pfs.create(logPath, true))
+              curPart = part
+            }
+            val b = new GenericRecordBuilder(sch)
+            fieldNames.foreach(n => b.set(n, r.getAs[Any](n)))
+            buf += b.build()
+            if (buf.size >= blockRecords) flushBlock()
+          }
+        } finally closePart()
       }
     // commit metadata: the PLAN names every log file this instant wrote
     // (partition → fid/bi/ver is driver state already); sizes are one

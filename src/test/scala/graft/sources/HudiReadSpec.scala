@@ -473,6 +473,37 @@ class HudiReadSpec extends SparkSuite {
     assert(HudiRead.snapshot(spark, cow).count() === 60L, "fallback still reads")
   }
 
+  test("chunked MOR appends: many same-instant blocks per log file merge correctly") {
+    import graft.sink.HudiMorWrite
+    val root = Files.createTempDirectory("hudi-multiblock").toString
+    def rows(instant: String, range: (Long, Long), mul: Long) =
+      spark.range(range._1, range._2)
+        .selectExpr("CAST(id AS STRING) AS _hoodie_record_key",
+          s"'$instant' AS _hoodie_commit_time", "false AS _hoodie_is_deleted",
+          s"id * $mul AS v", "'part=0' AS __part")
+    // maxBlockRecords=4 over 25 rows: the stream cuts ceil(25/4)=7 blocks
+    // into ONE log file — task memory is a block, never the batch
+    assert(HudiMorWrite.appendLogDistributed(rows(T1, (0L, 25L), 1L),
+      root, "__part", T1, maxBlockRecords = 4))
+    val logFile = Files.list(Paths.get(root, "part=0")).toArray
+      .map(_.toString)
+      .find(p => p.contains(".log.") && !p.endsWith(".crc")).get
+    val in = new org.apache.hadoop.fs.Path(logFile)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .open(new org.apache.hadoop.fs.Path(logFile))
+    val blocks = try HudiLogFormat.readBlocks(in) finally in.close()
+    assert(blocks.length === 7, s"expected 7 chunked blocks, got ${blocks.length}")
+    assert(HudiRead.snapshot(spark, root).count() === 25L)
+    // latest-wins still holds ACROSS chunked deltas: rewrite 10 keys
+    assert(HudiMorWrite.appendLogDistributed(rows(T2, (5L, 15L), 100L),
+      root, "__part", T2, maxBlockRecords = 3))
+    val got = HudiRead.snapshot(spark, root)
+      .selectExpr("CAST(_hoodie_record_key AS LONG) AS k", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 25)
+    assert(got(7L) === 700L && got(3L) === 3L && got(20L) === 20L)
+  }
+
   test("snapshot reads do ZERO data-directory listings on a metadata-discoverable table") {
     import graft.sink.HudiCowWrite
     val conf = spark.sparkContext.hadoopConfiguration
