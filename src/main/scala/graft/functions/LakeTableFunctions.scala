@@ -82,6 +82,16 @@ object LakeTableFunctions {
       new ExpressionInfo(getClass.getName, "graft_arrow"),
       (args: Seq[Expression]) => plan(SparkSession.active.read
         .format("arrow").load(str(args.head)))),
+    // bucketed graft-lake tables WITHOUT configuring a catalog:
+    // SELECT * FROM graft_bucketed('/p') — resolves to the same V2
+    // relation the catalog serves, so SPJ / bucket pruning / manifest
+    // COUNT(*) / runtime filtering all apply to the SQL spelling
+    (FunctionIdentifier("graft_bucketed"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          .create(graft.sources.BucketedLake.tableFor(
+            SparkSession.active, str(args.head)), None, None)),
     // live incremental aggregate views: SELECT * FROM graft_ivm('/view')
     // (tombstones filtered, avg_<c> derived — the persisted spec drives it)
     (FunctionIdentifier("graft_ivm"),

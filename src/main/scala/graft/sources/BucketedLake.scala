@@ -270,6 +270,14 @@ object BucketedLake {
     }
   }
 
+  /** The V2 [[Table]] at `path` — the SQL TVF's entry point
+    * (`graft_bucketed('/p')`) and a programmatic alternative to
+    * configuring a catalog. */
+  def tableFor(spark: SparkSession, path: String)
+      : org.apache.spark.sql.connector.catalog.Table =
+    new GraftBucketedTable(spark, path, readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path")))
+
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
   private[sources] def bucketFiles(spark: SparkSession, path: String,
                                    b: Int): Array[(String, Long)] = {

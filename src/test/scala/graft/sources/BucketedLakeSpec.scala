@@ -445,6 +445,22 @@ class BucketedLakeSpec extends SparkSuite {
       s"small bucketed side should broadcast:\n$plan")
   }
 
+  test("SQL: graft_bucketed('/path') serves the same V2 relation (count + pruning)") {
+    val path = tmp("bk-tvf")
+    BucketedLake.write((1L to 321L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 8)
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val cnt = spark.sql(s"SELECT count(*) AS n FROM graft_bucketed('$path')")
+    assert(cnt.head().getLong(0) === 321L)
+    assert(cnt.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("COUNT(*) from manifest")),
+      "TVF count must ride the manifest pushdown")
+    val point = spark.sql(
+      s"SELECT nm FROM graft_bucketed('$path') WHERE k = 42")
+    assert(point.rdd.getNumPartitions === 1, "TVF point lookup must prune")
+    assert(point.collect().map(_.getString(0)).toSeq === Seq("n42"))
+  }
+
   test("null bucket keys are rejected by the V1 write path too") {
     val path = tmp("bk-nullkey")
     val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
