@@ -2691,6 +2691,28 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    /** The SQL spelling of the bucketed lake, end-to-end: the
+      * `graft_bucketed` TVF resolves the V2 relation, the manifest's
+      * exact statistics let the filtered dimension auto-broadcast, and
+      * dynamic pruning can hand the scan a runtime key filter — no
+      * catalog configuration, no hints. Must equal the plain join. */
+    "lake_bucketed_dpp" -> ((s, d) => {
+      val root = lakeTmp(d, "bkdpp")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"$root/orders", "o_custkey", 8)
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .where(col("c_mktsegment") === "BUILDING")
+        .createOrReplaceTempView("bk_dim")
+      s.sql(s"""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft_bucketed('$root/orders') JOIN bk_dim
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4951,6 +4973,15 @@ object SparkEntry {
       SELECT o_custkey, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
+      GROUP BY 1 ORDER BY 1""",
+
+    // the TVF + auto-broadcast + dynamic-pruning spelling must equal
+    // the plain join
+    "lake_bucketed_dpp" -> """
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1 ORDER BY 1""",
 
     // the co-located join must equal the plain shuffled join
