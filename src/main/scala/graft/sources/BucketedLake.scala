@@ -795,6 +795,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * reported at plan time, so SPJ's key-grouped contract (and Spark's
     * partitioning-immutability check) holds. */
   @volatile private var runtimeKeep: Option[Set[Int]] = None
+  @volatile private var runtimePushed
+      : Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // Spark resolves these against the scan OUTPUT — a key pruned away
@@ -809,6 +811,10 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val sets = filters.flatMap(
       BucketPruning.bucketSetOf(_, spec.keyCol, keyType, spec.buckets))
     if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+    // the surviving buckets' files also get the runtime predicate at the
+    // parquet layer (row-group/dictionary pruning) — Spark re-evaluates
+    // the join anyway, so forwarding is correctness-free
+    runtimePushed = filters
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -857,10 +863,12 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // driver-side: broadcasts a fresh per-scan conf; serializable fn.
-    // pushed filters reach parquet's row-group/page pruning — a range
-    // predicate on the (sorted) key skips whole row groups by stats
+    // plan-time AND runtime filters reach parquet's row-group/page
+    // pruning — a range predicate on the (sorted) key skips whole row
+    // groups by stats (the factory builds after filter(), so runtime
+    // predicates are in hand)
     val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required,
-      pushed.toSeq)
+      (pushed ++ runtimePushed).toSeq)
     new GraftBucketReaderFactory(readerFn)
   }
 }
