@@ -124,11 +124,25 @@ object HudiClean {
       path.getFileSystem(conf).delete(path, false): Unit
     }
     val horizon = safeCeilings.maxByOption(HudiRead.instantKey)
+    // the marker records WHICH table-relative paths were deleted, so the
+    // listing-free reader ([[HudiRead.filesFromCommitMetadata]]) can
+    // SUBTRACT them from the commit-named file set instead of falling
+    // back to directory listings forever after the first clean — the
+    // same role Hudi's metadata table plays for its cleaner. Bounded by
+    // deleted-file count (a maintenance batch, the clean's own unit).
+    val tableUri = new Path(table).toUri.getPath.stripSuffix("/")
+    def relOf(abs: String): String = {
+      val p = new Path(abs).toUri.getPath
+      p.stripPrefix(tableUri).stripPrefix("/")
+    }
+    def js(s: String) =
+      graft.sources.DocPushdown.jsonMapper.writeValueAsString(s)
     val marker = new Path(new Path(table, ".hoodie"), s"$instant.clean")
     val f = marker.getFileSystem(conf)
     val out = f.create(marker, true)
     try out.write(
-      s"""{"minSafeCeiling":${horizon.map(h => s""""$h"""").getOrElse("null")}}"""
+      (s"""{"minSafeCeiling":${horizon.map(h => s""""$h"""").getOrElse("null")},""" +
+        s""""deletedPaths":${toDelete.map(p => js(relOf(p))).mkString("[", ",", "]")}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     toDelete.size

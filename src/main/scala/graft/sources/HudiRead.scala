@@ -174,9 +174,10 @@ object HudiRead {
     * [[ParallelListing]] walk (wall-time bounded by partitions/
     * parallelism) when the timeline cannot vouch for the full file set:
     * any completed instant without write stats (foreign writers, "{}"
-    * fixtures), or any `.clean` on the timeline (cleans delete files
-    * the old commits still name). Only completed-instant files are
-    * returned on the metadata path — exactly the set visibility
+    * fixtures), or a `.clean` that does not record its deleted paths
+    * (graft cleans do — the metadata view subtracts them, so cleaned
+    * tables KEEP the listing-free path). Only completed-instant files
+    * are returned on the metadata path — exactly the set visibility
     * filtering keeps anyway. */
   private[graft] def listAllFiles(spark: SparkSession, table: String,
                                   maxFiles: Int): Seq[Listed] = {
@@ -205,9 +206,23 @@ object HudiRead {
     if (!fs.exists(dir)) return None
     val names = fs.listStatus(dir).filterNot(_.isDirectory)
       .map(_.getPath.getName)
-    // a clean deleted files that old commits still name: only a listing
-    // can see what survived
-    if (names.exists(_.endsWith(".clean"))) return None
+    // cleans delete files old commits still name — graft cleans record
+    // the deleted paths in their marker, so the metadata view SUBTRACTS
+    // them; a clean without that record (foreign/legacy) means only a
+    // listing can see what survived
+    val deleted = scala.collection.mutable.HashSet.empty[String]
+    names.filter(_.endsWith(".clean")).foreach { n =>
+      val in = fs.open(new Path(dir, n))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Option(DocPushdown.jsonMapper.readTree(json).get("deletedPaths"))
+        .filterNot(_.isNull) match {
+        case None => return None // pre-round-12 or foreign clean marker
+        case Some(arr) =>
+          import scala.jdk.CollectionConverters._
+          arr.elements().asScala.foreach(p => deleted += p.asText())
+      }
+    }
     val commits = names.filter { n =>
       val parts = n.split('.')
       parts.length == 2 && parts(0).nonEmpty && parts(0).forall(_.isDigit) &&
@@ -273,6 +288,7 @@ object HudiRead {
       out.put(rel, ParallelListing.Listed(relDir, name,
         new Path(table, rel).toString, size))
     }
+    deleted.foreach(out.remove) // clean-deleted slices are gone from disk
     Some(out.values.toSeq)
   }
 

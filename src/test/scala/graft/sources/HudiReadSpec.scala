@@ -466,11 +466,28 @@ class HudiReadSpec extends SparkSuite {
         org.apache.spark.sql.functions.lit(T2)), mor, "__part", T2))
     val (morMeta, morListed) = sets(mor)
     assert(morMeta === morListed, "MOR metadata view drifted from the listing")
+    // a graft CLEAN records its deletions: the metadata path SURVIVES it
+    // (deleted slices subtracted) and stays equivalent to the listing
+    val removed = graft.sink.HudiClean.clean(spark, cow, T3)
+    assert(removed > 0, "the upsert left old slices for the clean to take")
+    val (cowMeta2, cowListed2) = sets(cow)
+    assert(cowMeta2 === cowListed2,
+      "post-clean metadata view drifted from the listing")
+    assert(HudiRead.snapshot(spark, cow).count() === 60L)
     // a foreign "{}" commit on the timeline forces the listing fallback
     Files.writeString(Paths.get(cow, ".hoodie", s"$T4.commit"), "{}")
     assert(HudiRead.filesFromCommitMetadata(spark, cow).isEmpty,
       "a stats-less commit must disable the metadata path")
     assert(HudiRead.snapshot(spark, cow).count() === 60L, "fallback still reads")
+    // ...and a clean marker WITHOUT deletedPaths (legacy/foreign) does too
+    val mor2 = Files.createTempDirectory("hudi-meta-legacy-clean").toString
+    Files.createDirectories(Paths.get(mor2, ".hoodie"))
+    graft.sink.HudiCowWrite.upsert(
+      (1L to 5L).map(i => (i, s"v$i")).toDF("id", "item"), mor2, "id", T1)
+    Files.writeString(Paths.get(mor2, ".hoodie", s"$T2.clean"),
+      """{"minSafeCeiling":null}""")
+    assert(HudiRead.filesFromCommitMetadata(spark, mor2).isEmpty,
+      "a clean without recorded deletions must disable the metadata path")
   }
 
   test("chunked MOR appends: many same-instant blocks per log file merge correctly") {
