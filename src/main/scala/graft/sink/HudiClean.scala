@@ -119,17 +119,16 @@ object HudiClean {
     }
     if (toDelete.isEmpty) return 0
     val conf = spark.sparkContext.hadoopConfiguration
-    toDelete.foreach { p =>
-      val path = new Path(p)
-      path.getFileSystem(conf).delete(path, false): Unit
-    }
     val horizon = safeCeilings.maxByOption(HudiRead.instantKey)
-    // the marker records WHICH table-relative paths were deleted, so the
-    // listing-free reader ([[HudiRead.filesFromCommitMetadata]]) can
-    // SUBTRACT them from the commit-named file set instead of falling
-    // back to directory listings forever after the first clean — the
-    // same role Hudi's metadata table plays for its cleaner. Bounded by
-    // deleted-file count (a maintenance batch, the clean's own unit).
+    // the marker records WHICH table-relative paths this clean deletes,
+    // so the listing-free reader ([[HudiRead.filesFromCommitMetadata]])
+    // can SUBTRACT them from the commit-named file set instead of
+    // falling back to directory listings forever after the first clean —
+    // the same role Hudi's metadata table plays for its cleaner. Bounded
+    // by deleted-file count (a maintenance batch, the clean's own unit).
+    // Written BEFORE the deletes: a crash mid-clean then under-reports
+    // still-present old slices (harmless — they are beyond retention and
+    // invisible at the tip) instead of pointing reads at missing files.
     val tableUri = new Path(table).toUri.getPath.stripSuffix("/")
     def relOf(abs: String): String = {
       val p = new Path(abs).toUri.getPath
@@ -145,6 +144,10 @@ object HudiClean {
         s""""deletedPaths":${toDelete.map(p => js(relOf(p))).mkString("[", ",", "]")}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    toDelete.foreach { p =>
+      val path = new Path(p)
+      path.getFileSystem(conf).delete(path, false): Unit
+    }
     toDelete.size
   }
 }
