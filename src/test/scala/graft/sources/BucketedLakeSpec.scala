@@ -461,6 +461,54 @@ class BucketedLakeSpec extends SparkSuite {
     assert(point.collect().map(_.getString(0)).toSeq === Seq("n42"))
   }
 
+  test("property: prune-side hashing equals write-side routing for every key type") {
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(0xB0CCE7) // deterministic
+    // pruning a bucket that holds a matching key would SILENTLY drop
+    // rows — the identity must hold for every supported type, edge
+    // values included
+    def check[T](keyType: DataType, values: Seq[T], mkDf: Seq[T] => DataFrame,
+                 lit: T => Any): Unit = {
+      val df = mkDf(values)
+      val buckets = 16
+      val routed = df
+        .withColumn("__b", BucketedLake.bucketExpr("k", buckets))
+        .collect().map(r => r.get(0) -> r.getInt(1)).toMap
+      values.foreach { v =>
+        val set = BucketPruning.bucketSetOf(
+          org.apache.spark.sql.sources.EqualTo("k", lit(v)),
+          "k", keyType, buckets)
+        assert(set.isDefined, s"$keyType value $v must be prunable")
+        assert(set.get === Set(routed(v)),
+          s"$keyType value $v: prune says ${set.get}, write routed to ${routed(v)}")
+      }
+    }
+    val longs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L) ++
+      Seq.fill(50)(rng.nextLong())
+    check[Long](LongType, longs.distinct, _.toDF("k"), identity)
+    val ints = Seq(0, -1, Int.MaxValue, Int.MinValue) ++
+      Seq.fill(50)(rng.nextInt())
+    check[Int](IntegerType, ints.distinct, _.toDF("k"),
+      v => java.lang.Integer.valueOf(v))
+    val strs = Seq("", "a", "key-42", "ünïcode-ключ-鍵", " spaces ",
+      "\t\n") ++ Seq.fill(50)(rng.nextString(rng.nextInt(20)))
+    check[String](StringType, strs.distinct, _.toDF("k"), identity)
+    val doubles = Seq(0.0, -0.0, 1.5, -1.5, Double.MaxValue,
+      Double.MinPositiveValue) ++ Seq.fill(50)(rng.nextDouble())
+    check[Double](DoubleType, doubles.distinct, _.toDF("k"), identity)
+    check[Boolean](BooleanType, Seq(true, false), _.toDF("k"),
+      v => java.lang.Boolean.valueOf(v))
+    val dates = Seq.fill(30)(java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(rng.nextInt(40000).toLong - 10000)))
+    check[java.sql.Date](DateType, dates.distinct, _.toDF("k"), identity)
+    // an unsupported literal type must yield None (no pruning), never a
+    // wrong bucket
+    assert(BucketPruning.bucketSetOf(
+      org.apache.spark.sql.sources.EqualTo("k",
+        new java.math.BigDecimal("1.5")),
+      "k", LongType, 16).isEmpty)
+  }
+
   test("null bucket keys are rejected by the V1 write path too") {
     val path = tmp("bk-nullkey")
     val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
