@@ -862,14 +862,22 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       Array(Expressions.bucket(spec.buckets, spec.keyCol)), partitions.length)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // driver-side: broadcasts a fresh per-scan conf; serializable fn.
+    // driver-side: broadcasts a fresh per-scan conf; serializable fns.
     // plan-time AND runtime filters reach parquet's row-group/page
     // pruning — a range predicate on the (sorted) key skips whole row
     // groups by stats (the factory builds after filter(), so runtime
-    // predicates are in hand)
+    // predicates are in hand). When the projection supports it, the
+    // scan serves COLUMNAR batches (the vectorized reader's native
+    // unit) and the ColumnarToRow hop lands inside whole-stage codegen.
+    val filters = (pushed ++ runtimePushed).toSeq
     val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required,
-      (pushed ++ runtimePushed).toSeq)
-    new GraftBucketReaderFactory(readerFn)
+      filters)
+    val batchFn =
+      if (ParquetReadShim.supportsBatch(spark, required))
+        Some(ParquetReadShim.batchReaderFor(spark, spec.schema, required,
+          filters))
+      else None
+    new GraftBucketReaderFactory(readerFn, batchFn)
   }
 }
 
@@ -881,8 +889,14 @@ private[sources] final case class GraftBucketPartition(
 
 private[sources] class GraftBucketReaderFactory(
     readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[InternalRow])
+      Iterator[InternalRow],
+    batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    batchFn.isDefined
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketPartition]
     new PartitionReader[InternalRow] {
@@ -893,6 +907,23 @@ private[sources] class GraftBucketReaderFactory(
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fn = batchFn.getOrElse(throw new IllegalStateException(
+      "columnar read requested without batch support"))
+    val p = partition.asInstanceOf[GraftBucketPartition]
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val it = p.files.iterator.flatMap { case (f, len) =>
+        fn(ParquetReadShim.partitionedFile(f, len))
+      }
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur
       override def close(): Unit = ()
     }
   }

@@ -51,6 +51,29 @@ object ParquetReadShim {
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length, Array.empty, 0L, length)
 
+  /** Whether the vectorized reader can hand back whole
+    * [[ColumnarBatch]]es for this projection (atomic types under the
+    * wide-schema threshold) — the gate for a V2 scan's columnar path. */
+  def supportsBatch(spark: SparkSession, schema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(spark, schema)
+
+  /** [[readerFor]] in COLUMNAR mode: the returned iterators carry
+    * [[ColumnarBatch]]es (the vectorized reader's native unit), for
+    * scans that report columnar support — the ColumnarToRow transition
+    * then happens inside whole-stage codegen instead of a per-row
+    * iterator hop. Callers must have checked [[supportsBatch]]. */
+  def batchReaderFor(spark: SparkSession, dataSchema: StructType,
+                     requiredSchema: StructType,
+                     filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : PartitionedFile => Iterator[ColumnarBatch] = {
+    val fn = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), requiredSchema, filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "true"),
+      spark.sessionState.newHadoopConf())
+    file => fn(file).asInstanceOf[Iterator[ColumnarBatch]]
+  }
+
   /** Flatten the reader's row-or-batch elements into plain rows. */
   def rows(it: Iterator[InternalRow]): Iterator[InternalRow] =
     it.asInstanceOf[Iterator[Any]].flatMap {

@@ -509,6 +509,20 @@ class BucketedLakeSpec extends SparkSuite {
       "k", LongType, 16).isEmpty)
   }
 
+  test("scans serve COLUMNAR batches: ColumnarToRow inside codegen, results exact") {
+    val path = tmp("bk-columnar")
+    val df0 = (1L to 5000L).map(i => (i, s"n$i", i * 1.5)).toDF("k", "nm", "x")
+    BucketedLake.write(df0, path, "k", 8)
+    val agg = table(path).groupBy().agg(sum(col("x")).as("s"),
+      count(lit(1)).as("n"))
+    val row = agg.collect().head // finalize THIS plan (head() runs its own)
+    assert(row.getLong(1) === 5000L && row.getDouble(0) === df0.agg(
+      sum(col("x"))).head().getDouble(0))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"bucketed scan should be columnar:\n$plan")
+  }
+
   test("null bucket keys are rejected by the V1 write path too") {
     val path = tmp("bk-nullkey")
     val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
