@@ -637,8 +637,9 @@ object ScaleProbe {
           }
         }
         // legacy path first (no manifest): executor-parallel sweep
-        fs.delete(new org.apache.hadoop.fs.Path(root, "_bucket_manifest.txt"),
-          false)
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath).filter(_.getName.startsWith("_bucket_manifest"))
+          .foreach(p => fs.delete(p, false))
         val t0 = System.nanoTime()
         val swept = graft.sources.BucketedLake.footerSweep(spark, root)
         System.err.println(f"[probe] bucketed_count legacy sweep 10496 files " +

@@ -66,32 +66,100 @@ object BucketedLake {
   final case class ManifestEntry(bucket: Int, rows: Long, size: Long,
                                  rel: String)
 
-  private[graft] def readManifest(spark: SparkSession,
-                                    path: String): Option[Seq[ManifestEntry]] = {
-    val p = new Path(path, ManifestFile)
+  private val CurrentPointer = "_bucket_manifest.current"
+  private def versionedManifest(v: Long) = f"_bucket_manifest.v$v%06d.txt"
+
+  /** MVCC: manifests are IMMUTABLE versioned files and the tiny
+    * `_bucket_manifest.current` pointer is the COMMIT POINT — appends
+    * and compactions add files and flip the pointer, so a reader that
+    * resolved version N keeps a consistent file set for its whole scan
+    * while maintenance publishes N+1 next to it (no dir swap, no
+    * read-while-replace window; [[vacuum]] reclaims unreferenced files
+    * later). Pre-MVCC tables' single `_bucket_manifest.txt` still
+    * reads; the next write upgrades them. */
+  private[sources] def currentVersion(spark: SparkSession,
+                                      path: String): Option[Long] = {
+    val p = new Path(path, CurrentPointer)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](32)
+      val n = in.read(b)
+      new String(b, 0, math.max(n, 0), UTF_8).trim.toLongOption
+    } finally in.close()
+  }
+
+  private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): Seq[ManifestEntry] = {
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
-    Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
       val Array(b, rows, size, rel) = l.split("\t", 4)
       ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
-    }.toSeq)
+    }.toSeq
   }
 
+  private[graft] def readManifest(spark: SparkSession,
+                                  path: String): Option[Seq[ManifestEntry]] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    currentVersion(spark, path) match {
+      case Some(v) =>
+        Some(slurpEntries(fs, new Path(path, versionedManifest(v))))
+      case None => // pre-MVCC table: the single legacy manifest
+        val legacy = new Path(path, ManifestFile)
+        if (fs.exists(legacy)) Some(slurpEntries(fs, legacy)) else None
+    }
+  }
+
+  /** Publish `entries` as the next manifest version: the versioned file
+    * lands first (invisible), then the pointer flips — the write's
+    * atomic commit point. */
   private[graft] def writeManifest(spark: SparkSession, path: String,
-                                     entries: Seq[ManifestEntry]): Unit = {
-    val p = new Path(path, ManifestFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+                                   entries: Seq[ManifestEntry]): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, path).getOrElse(0L) + 1L
+    val vp = new Path(path, versionedManifest(next))
+    val out = fs.create(vp, true)
     try out.write(entries.sortBy(e => (e.bucket, e.rel))
       .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}")
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
+    val ptr = fs.create(new Path(path, CurrentPointer), true)
+    try ptr.write(next.toString.getBytes(UTF_8)) finally ptr.close()
+    // the legacy single-file manifest is superseded; leaving it behind
+    // would resurrect a stale view if the pointer were ever lost
+    fs.delete(new Path(path, ManifestFile), false): Unit
+  }
+
+  /** Reclaim files no longer referenced by the CURRENT manifest — the
+    * GC half of MVCC (old manifest versions deleted too). Run it after
+    * readers of superseded versions have drained, like any snapshot
+    * expiry. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val cur = currentVersion(spark, path).getOrElse(
+      return 0) // legacy/no-manifest tables have no unreferenced files
+    val referenced = readManifest(spark, path).get.map(_.rel).toSet
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val doomedData = listDataFiles(spark, path)
+      .filterNot(f => referenced.contains(f._4)).map(_._2)
+    doomedData.foreach(p => fs.delete(new Path(p), false): Unit)
+    val doomedManifests = fs.listStatus(new Path(path)).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("_bucket_manifest.v") && n.endsWith(".txt") &&
+          n != versionedManifest(cur)
+      }.toSeq
+    doomedManifests.foreach(p => fs.delete(p, false): Unit)
+    doomedData.size
   }
 
   /** Rebuild manifest entries from the files themselves: one
@@ -219,55 +287,56 @@ object BucketedLake {
   }
 
   /** Fold multi-file buckets (appends) back to ONE key-sorted file each,
-    * restoring the scan's sort-free-join claim. Reads ONLY the multi-file
-    * buckets (one job), stages their replacements, then swaps per bucket
-    * directory (rename-out, rename-in — the layout carries no manifest,
-    * so a reader racing the swap can see a bucket mid-replacement; run
-    * compaction in a maintenance window, like any manifest-less layout). */
+    * restoring the scan's sort-free-join claim. MVCC: the new files land
+    * in the live bucket dirs under compaction-unique names, the old
+    * files are NOT touched, and the new manifest version's pointer flip
+    * is the commit — a reader that resolved the previous manifest keeps
+    * a consistent file set for its whole scan (no dir swap, no
+    * read-while-replace window). Superseded files stay on disk until
+    * [[vacuum]], exactly the snapshot-expiry shape of any MVCC lake. */
   def compact(spark: SparkSession, path: String): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
-    val manifest = readManifest(spark, path)
-    val multi = allBucketFiles(spark, path, spec.buckets).toSeq
-      .filter(_._2.length > 1).sortBy(_._1)
-    if (multi.isEmpty) return
+    // legacy tables materialize a manifest FIRST (pre-compaction file
+    // set) — after the new files land, only the manifest can tell the
+    // live set apart from superseded files
+    val baseEntries = readManifest(spark, path)
+      .getOrElse(footerSweep(spark, path))
+    val byBucket = baseEntries.groupBy(_.bucket)
+    val multi = byBucket.filter(_._2.length > 1).toSeq.sortBy(_._1)
+    if (multi.isEmpty) {
+      if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
+        writeManifest(spark, path, baseEntries)
+      return
+    }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
-    spark.read.schema(spec.schema).parquet(multi.flatMap(_._2.map(_._1)): _*)
+    spark.read.schema(spec.schema)
+      .parquet(multi.flatMap(_._2.map(e => s"$path/${e.rel}")): _*)
       .withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
       .repartition(multi.length, col(BucketDir))
       .sortWithinPartitions(col(BucketDir), col(spec.keyCol))
       .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    multi.foreach { case (b, _) =>
-      val live = new Path(s"$path/data/$BucketDir=$b")
-      val staged = new Path(s"$staging/$BucketDir=$b")
-      val trash = new Path(s"$staging/.old-$b")
-      if (!fs.rename(live, trash) || !fs.rename(staged, live))
-        throw new java.io.IOException(s"compaction swap failed for bucket $b")
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val fresh = multi.map { case (b, olds) =>
+      val stagedDir = new Path(s"$staging/$BucketDir=$b")
+      val staged = fs.listStatus(stagedDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(staged.length == 1,
+        s"compaction produced ${staged.length} files for bucket $b")
+      val name = s"compact-$stamp-${staged.head.getPath.getName}"
+      val dest = new Path(s"$path/data/$BucketDir=$b/$name")
+      if (!fs.rename(staged.head.getPath, dest))
+        throw new java.io.IOException(s"compaction move failed for bucket $b")
+      // a compaction rewrite preserves rows: sum of the folded entries
+      ManifestEntry(b, olds.map(_.rows).sum, staged.head.getLen,
+        s"data/$BucketDir=$b/$name")
     }
     fs.delete(new Path(staging), true): Unit
-    // refresh the manifest: untouched buckets keep their entries; each
-    // compacted bucket's single new file carries the SUM of its old
-    // entries' rows (a compaction rewrite preserves rows), size/name
-    // from one listing per compacted bucket (bounded by multi-file
-    // buckets — maintenance-window cost)
-    manifest match {
-      case Some(es) =>
-        val compacted = multi.map(_._1).toSet
-        val kept = es.filterNot(e => compacted.contains(e.bucket))
-        val fresh = multi.map { case (b, _) =>
-          val rows = es.iterator.filter(_.bucket == b).map(_.rows).sum
-          val files = bucketFiles(spark, path, b)
-          require(files.length == 1, s"compaction left ${files.length} " +
-            s"files in bucket $b")
-          ManifestEntry(b, rows, files.head._2,
-            s"data/$BucketDir=$b/${new Path(files.head._1).getName}")
-        }
-        writeManifest(spark, path, kept ++ fresh)
-      case None => // legacy table: first compaction materializes a manifest
-        writeManifest(spark, path, footerSweep(spark, path))
-    }
+    val compacted = multi.map(_._1).toSet
+    val kept = baseEntries.filterNot(e => compacted.contains(e.bucket))
+    writeManifest(spark, path, kept ++ fresh) // pointer flip = commit
   }
 
   /** The V2 [[Table]] at `path` — the SQL TVF's entry point

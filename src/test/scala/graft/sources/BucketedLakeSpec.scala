@@ -244,9 +244,16 @@ class BucketedLakeSpec extends SparkSuite {
       BucketedLake.bucketFiles(spark, path, _).length > 1),
       "append should have produced a multi-file bucket")
     BucketedLake.compact(spark, path)
+    // MVCC: the manifest view is one file per bucket immediately; the
+    // superseded files stay on disk until vacuum reclaims them
+    val m = BucketedLake.readManifest(spark, path).get
+    assert(m.groupBy(_.bucket).forall(_._2.length == 1),
+      "compaction must publish one manifest file per bucket")
+    assert(BucketedLake.vacuum(spark, path) > 0,
+      "vacuum should reclaim the superseded files")
     assert((0 until 4).forall(
       BucketedLake.bucketFiles(spark, path, _).length <= 1),
-      "compaction must leave at most one file per bucket")
+      "vacuum must leave at most one physical file per bucket")
     assert(table(path).count() === 200L)
     assert(table(path).agg(sum(col("v"))).head().getLong(0) ===
       (1L to 200L).sum)
@@ -326,18 +333,46 @@ class BucketedLakeSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
       .head().getLong(0) === 900L)
     BucketedLake.compact(spark, path)
-    check("after compaction")
+    BucketedLake.vacuum(spark, path): Unit // physical == manifest again
+    check("after compaction + vacuum")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
       .head().getLong(0) === 900L)
+  }
+
+  test("MVCC: a reader pinned to the old manifest survives a concurrent compaction") {
+    val path = tmp("bk-mvcc")
+    BucketedLake.write((1L to 300L).map(i => (i, i * 3)).toDF("k", "v"),
+      path, "k", 4)
+    (301L to 600L).map(i => (i, i * 3)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    // plan a scan against the CURRENT (multi-file) manifest and pin its
+    // RDD — the in-flight reader (a new query would re-resolve)
+    val pinned = table(path).select(col("v")).queryExecution.toRdd
+    assert(pinned.partitions.length === 4)
+    BucketedLake.compact(spark, path) // publishes v+1, old files intact
+    // the pinned reader still scans a CONSISTENT pre-compaction view
+    val pinnedRows = pinned.map(_.getLong(0)).collect()
+    assert(pinnedRows.length === 600)
+    assert(pinnedRows.sum === (1L to 600L).map(_ * 3).sum)
+    // fresh reads resolve the new manifest (one file per bucket)
+    assert(table(path).count() === 600L)
+    // vacuum ends the old version's readability — the MVCC GC contract
+    assert(BucketedLake.vacuum(spark, path) > 0)
+    assert(table(path).count() === 600L)
+    assert(BucketedLake.readManifest(spark, path).get
+      .groupBy(_.bucket).forall(_._2.length == 1))
   }
 
   test("legacy table (no manifest): scan and count fall back to sweeps, still correct") {
     val path = tmp("bk-legacy")
     BucketedLake.write((1L to 777L).map(i => (i, s"n$i")).toDF("k", "nm"),
       path, "k", 8)
-    // simulate a pre-manifest table
-    val mp = new org.apache.hadoop.fs.Path(path, "_bucket_manifest.txt")
-    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    // simulate a pre-manifest table (pointer, versions, legacy file)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.startsWith("_bucket_manifest"))
+      .foreach(p => fs.delete(p, false))
     assert(BucketedLake.readManifest(spark, path).isEmpty)
     assert(table(path).count() === 777L)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
