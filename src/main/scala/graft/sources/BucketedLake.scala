@@ -119,7 +119,11 @@ object BucketedLake {
 
   /** Publish `entries` as the next manifest version: the versioned file
     * lands first (invisible), then the pointer flips — the write's
-    * atomic commit point. */
+    * atomic commit point. SINGLE WRITER per table, like every layout
+    * without a lock service (two concurrent committers would both write
+    * v(N+1) and one commit's files would stay unreferenced) — serialize
+    * ingestion and maintenance per table, the standard manifest-layout
+    * operating contract. */
   private[graft] def writeManifest(spark: SparkSession, path: String,
                                    entries: Seq[ManifestEntry]): Unit = {
     val fs = new Path(path).getFileSystem(
@@ -241,7 +245,13 @@ object BucketedLake {
     * rows clustered per bucket directory. NULL keys are REJECTED (task
     * failure with a clear message) — the layout's single null contract,
     * shared with the V2 append writer and the V2 `bucket` function: a
-    * null key has no bucket, so it can neither be written nor probed. */
+    * null key has no bucket, so it can neither be written nor probed.
+    *
+    * This is a CREATE-OR-REPLACE: the data directory is overwritten in
+    * place, so a reader racing a full rewrite can fail (like any
+    * `mode("overwrite")` parquet write). Incremental APPENDS and
+    * [[compact]] are the MVCC-isolated operations — use the V2 writer
+    * (`df.writeTo(...).append()`) for safe concurrent-read ingestion. */
   def write(df: DataFrame, path: String, keyCol: String, buckets: Int): Unit = {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
