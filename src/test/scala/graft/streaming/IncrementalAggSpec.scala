@@ -367,6 +367,38 @@ class IncrementalAggSpec extends SparkSuite {
       "a double-applied epoch would show count=3")
   }
 
+  test("distinct composes with the min/max dirty recompute in one view") {
+    val path = tmp("ivm-dist-minmax")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v"), minCols = Seq("v"),
+      maxCols = Seq("v"), distinctCols = Seq("v"))
+    val calls = new AtomicInteger(0)
+    def src(rows: (String, Long)*): () => DataFrame =
+      () => { calls.incrementAndGet(); rows.toDF("g", "v") }
+    applyChanges(spark,
+      Seq(("a", 1L, "insert"), ("a", 5L, "insert"), ("a", 5L, "insert"),
+        ("b", 3L, "insert")).toDF("g", "v", "change_type"),
+      path, spec, 0L, forbidden) // inserts never read the source
+    def state(): Map[String, (Long, Long, Long, Long, Long)] =
+      read(spark, path, spec)
+        .select("g", CountCol, minCol("v"), maxCol("v"), ndCol("v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), 0L))).toMap
+    assert(state()("a") === ((3L, 1L, 5L, 2L, 0L)))
+    // remove ONE copy of the max: extremes dirty (recompute), but the
+    // value 5 still lives — nd must NOT drop
+    applyChanges(spark,
+      Seq(("a", 5L, "delete")).toDF("g", "v", "change_type"),
+      path, spec, 1L, src(("a", 1L), ("a", 5L), ("b", 3L)))
+    assert(calls.get() === 1)
+    assert(state()("a") === ((2L, 1L, 5L, 2L, 0L)))
+    // remove the LAST copy: extremes recompute AND nd drops to 1
+    applyChanges(spark,
+      Seq(("a", 5L, "delete")).toDF("g", "v", "change_type"),
+      path, spec, 2L, src(("a", 1L), ("b", 3L)))
+    assert(calls.get() === 2)
+    assert(state()("a") === ((1L, 1L, 1L, 1L, 0L)))
+  }
+
   test("randomized epochs with DISTINCT + FILTER: incremental equals recompute") {
     val path = tmp("ivm-rand-distinct")
     val spec = ViewSpec(Seq("g"), sumCols = Seq("v"),
