@@ -143,24 +143,31 @@ object BucketedLake {
   }
 
   /** Reclaim files no longer referenced by the CURRENT manifest — the
-    * GC half of MVCC (old manifest versions deleted too). Run it after
-    * readers of superseded versions have drained, like any snapshot
-    * expiry. Returns the number of files deleted. */
-  def vacuum(spark: SparkSession, path: String): Int = {
+    * GC half of MVCC (old manifest versions deleted too). `minAgeMs` is
+    * the retention guard (Delta VACUUM's shape): unreferenced files
+    * MODIFIED within the window survive, so an in-flight reader pinned
+    * to a just-superseded version keeps its files as long as the
+    * retention covers the longest scan. Returns files deleted. */
+  def vacuum(spark: SparkSession, path: String, minAgeMs: Long = 0L): Int = {
     val cur = currentVersion(spark, path).getOrElse(
       return 0) // legacy/no-manifest tables have no unreferenced files
     val referenced = readManifest(spark, path).get.map(_.rel).toSet
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val horizon = System.currentTimeMillis() - minAgeMs
     val doomedData = listDataFiles(spark, path)
       .filterNot(f => referenced.contains(f._4)).map(_._2)
+      .filter(p => minAgeMs <= 0L ||
+        fs.getFileStatus(new Path(p)).getModificationTime <= horizon)
     doomedData.foreach(p => fs.delete(new Path(p), false): Unit)
     val doomedManifests = fs.listStatus(new Path(path)).iterator
       .map(_.getPath)
       .filter { p =>
         val n = p.getName
         n.startsWith("_bucket_manifest.v") && n.endsWith(".txt") &&
-          n != versionedManifest(cur)
+          n != versionedManifest(cur) &&
+          (minAgeMs <= 0L ||
+            fs.getFileStatus(p).getModificationTime <= horizon)
       }.toSeq
     doomedManifests.foreach(p => fs.delete(p, false): Unit)
     doomedData.size

@@ -356,6 +356,9 @@ class BucketedLakeSpec extends SparkSuite {
     assert(pinnedRows.sum === (1L to 600L).map(_ * 3).sum)
     // fresh reads resolve the new manifest (one file per bucket)
     assert(table(path).count() === 600L)
+    // the retention guard: nothing young enough is reclaimed
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 3600000L) === 0,
+      "retention must protect just-superseded files")
     // vacuum ends the old version's readability — the MVCC GC contract
     assert(BucketedLake.vacuum(spark, path) > 0)
     assert(table(path).count() === 600L)
