@@ -88,16 +88,22 @@ object Similarity {
     * scan. */
   def annRecall(truth: DataFrame, result: DataFrame, family: String,
                 k: Int): DataFrame = {
-    val t = truth.select(col("query_id"), col("neighbor_id"))
-    val r = result.select(col("query_id"), col("neighbor_id"))
+    // distinct BOTH sides: a duplicate (query_id, neighbor_id) pair on
+    // either side would multiply join rows and over-count hits (recall
+    // above 1000) — recall counts distinct retrieved truth pairs
+    val t = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    val r = result.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("_hit", lit(1L))
     t.join(r, Seq("query_id", "neighbor_id"), "left")
       .agg(countDistinct(col("query_id")).as("n_queries"),
         coalesce(sum(col("_hit")), lit(0L)).as("hits"))
       .select(lit(family).as("family"), col("n_queries"), col("hits"),
         lit(k).as("k"),
-        floor(col("hits") * 1000 / (col("n_queries") * lit(k)))
-          .cast("long").as("recall_x1000"))
+        // empty truth set: 0 queries would divide by zero (an ANSI
+        // error) -> recall reads 0
+        when(col("n_queries") > 0,
+          floor(col("hits") * 1000 / (col("n_queries") * lit(k))))
+          .otherwise(lit(0L)).cast("long").as("recall_x1000"))
   }
 
   /** Contrastive HARD-NEGATIVE mining: per anchor, the `k` most-similar

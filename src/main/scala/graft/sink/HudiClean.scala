@@ -117,7 +117,12 @@ object HudiClean {
             safeCeilings += b.instant)
       }
     }
-    if (toDelete.isEmpty) return 0
+    // RECONCILE prior cleans first: a crash mid-delete leaves files that
+    // earlier markers already SUBTRACTED from the metadata file view —
+    // this sweep's own toDelete derives from that view, so it can never
+    // see them, and without the re-attempt they leak forever.
+    val reconciled = reconcilePriorMarkers(spark, table)
+    if (toDelete.isEmpty) return reconciled
     val conf = spark.sparkContext.hadoopConfiguration
     val horizon = safeCeilings.maxByOption(HudiRead.instantKey)
     // the marker records WHICH table-relative paths this clean deletes,
@@ -126,9 +131,11 @@ object HudiClean {
     // falling back to directory listings forever after the first clean —
     // the same role Hudi's metadata table plays for its cleaner. Bounded
     // by deleted-file count (a maintenance batch, the clean's own unit).
-    // Written BEFORE the deletes: a crash mid-clean then under-reports
-    // still-present old slices (harmless — they are beyond retention and
-    // invisible at the tip) instead of pointing reads at missing files.
+    // Written BEFORE the deletes: a crash mid-clean then leaves on-disk
+    // files the marker already subtracted from the view (instead of
+    // pointing reads at missing files); [[reconcilePriorMarkers]] on the
+    // NEXT clean re-attempts exactly those deletions, so the leak is
+    // one-clean-bounded, never permanent.
     val tableUri = new Path(table).toUri.getPath.stripSuffix("/")
     def relOf(abs: String): String = {
       val p = new Path(abs).toUri.getPath
@@ -148,6 +155,51 @@ object HudiClean {
       val path = new Path(p)
       path.getFileSystem(conf).delete(path, false): Unit
     }
-    toDelete.size
+    toDelete.size + reconciled
+  }
+
+  /** Re-attempt deletion of paths PRIOR clean markers named but a crash
+    * left on disk. Those paths are already subtracted from the metadata
+    * file view ([[HudiRead.filesFromCommitMetadata]]) — invisible to
+    * every metadata-driven reader, so deleting them is always safe, and
+    * no later sweep derived from that view could ever find them again.
+    * Executor-parallel existence checks + deletes (the [[graft.sources
+    * .BucketedLake.footerSweep]] pattern) — bounded by the total
+    * previously-cleaned path count, never a driver loop of remote
+    * calls. Returns files actually reclaimed (normally 0). */
+  private def reconcilePriorMarkers(spark: SparkSession,
+                                    table: String): Int = {
+    val dir = new Path(table, ".hoodie")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val rels = fs.listStatus(dir).iterator
+      .filterNot(_.isDirectory)
+      .filter(_.getPath.getName.endsWith(".clean"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        Option(graft.sources.DocPushdown.jsonMapper.readTree(json)
+          .get("deletedPaths")).filterNot(_.isNull).toSeq.flatMap { arr =>
+          import scala.jdk.CollectionConverters._
+          arr.elements().asScala.map(_.asText()).toSeq
+        }
+      }.toSeq.distinct
+    if (rels.isEmpty) return 0
+    import scala.jdk.CollectionConverters._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    val root = table
+    spark.sparkContext
+      .parallelize(rels, math.min(rels.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .map { rel =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => conf.set(k, v) }
+        val p = new Path(new Path(root), rel)
+        val f = p.getFileSystem(conf)
+        if (f.exists(p)) { f.delete(p, false): Unit; 1 } else 0
+      }.sum().toInt
   }
 }

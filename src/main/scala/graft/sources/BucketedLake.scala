@@ -81,13 +81,30 @@ object BucketedLake {
                                       path: String): Option[Long] = {
     val p = new Path(path, CurrentPointer)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    try {
-      val b = new Array[Byte](32)
-      val n = in.read(b)
-      new String(b, 0, math.max(n, 0), UTF_8).trim.toLongOption
-    } finally in.close()
+    @annotation.tailrec
+    def resolve(attempt: Int): Option[Long] = {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      // read to EOF — a single read() may legally return a PREFIX of the
+      // file on HDFS/object-store streams, and a truncated version digit
+      // would silently resolve the wrong manifest (the single most
+      // correctness-critical read in the MVCC design)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64, false)
+        new String(buf.toByteArray, UTF_8).trim
+      } finally in.close()
+      text.toLongOption match {
+        case some @ Some(_) => some
+        case None if attempt < 3 => // mid-flip empty window: brief retry
+          Thread.sleep(20L << attempt); resolve(attempt + 1)
+        case None => throw new IllegalStateException(
+          s"unreadable MVCC commit pointer at $p (content: '$text') — " +
+            "refusing to fall back to a listing, which would double-count " +
+            "superseded files; restore the pointer or rewrite the table")
+      }
+    }
+    resolve(0)
   }
 
   private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
@@ -119,58 +136,127 @@ object BucketedLake {
 
   /** Publish `entries` as the next manifest version: the versioned file
     * lands first (invisible), then the pointer flips — the write's
-    * atomic commit point. SINGLE WRITER per table, like every layout
-    * without a lock service (two concurrent committers would both write
-    * v(N+1) and one commit's files would stay unreferenced) — serialize
-    * ingestion and maintenance per table, the standard manifest-layout
-    * operating contract. */
+    * atomic commit point. Commits are CONFLICT-LOUD, the semantics
+    * Hudi/Delta/Iceberg share: two racing committers both target
+    * v(N+1), the versioned file is created with `overwrite = false`,
+    * and the loser gets a [[ConcurrentCommitException]] HERE — its
+    * staged files stay unreferenced (vacuumable) instead of silently
+    * orphaning the winner's. A post-flip pointer readback catches the
+    * residual race on filesystems without atomic create-no-overwrite. */
   private[graft] def writeManifest(spark: SparkSession, path: String,
                                    entries: Seq[ManifestEntry]): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val next = currentVersion(spark, path).getOrElse(0L) + 1L
     val vp = new Path(path, versionedManifest(next))
-    val out = fs.create(vp, true)
+    val out =
+      try fs.create(vp, false)
+      catch { case e: java.io.IOException if fs.exists(vp) =>
+        throw new ConcurrentCommitException(
+          s"concurrent commit detected at $path: manifest v$next already " +
+            "exists — another writer committed first; re-read the table " +
+            "and retry against the new version", e)
+      }
     try out.write(entries.sortBy(e => (e.bucket, e.rel))
       .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}")
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     val ptr = fs.create(new Path(path, CurrentPointer), true)
     try ptr.write(next.toString.getBytes(UTF_8)) finally ptr.close()
+    val readback = currentVersion(spark, path)
+    if (!readback.contains(next)) throw new ConcurrentCommitException(
+      s"commit pointer readback mismatch at $path: wrote v$next, " +
+        s"read ${readback.fold("nothing")(v => s"v$v")} — a concurrent " +
+        "writer raced the flip", null)
     // the legacy single-file manifest is superseded; leaving it behind
     // would resurrect a stale view if the pointer were ever lost
     fs.delete(new Path(path, ManifestFile), false): Unit
   }
 
+  /** A racing manifest commit lost to another writer — the loser's
+    * files are unreferenced (vacuumable), never silently adopted. */
+  final class ConcurrentCommitException(msg: String, cause: Throwable)
+      extends java.io.IOException(msg, cause)
+
+  /** What a [[vacuum]] pass deleted — or WOULD delete under
+    * `dryRun = true` (operators at 100 TB never delete blind). */
+  final case class VacuumReport(files: Int, bytes: Long, manifests: Int,
+                                stagingDirs: Int)
+
+  /** Default retention: 7 days (Delta VACUUM's default) — an in-flight
+    * reader pinned to a just-superseded version keeps its files as long
+    * as the retention covers the longest scan. `minAgeMs = 0` is the
+    * FORCE flag: it defeats MVCC isolation for any concurrent reader. */
+  val DefaultRetentionMs: Long = 7L * 24L * 60L * 60L * 1000L
+
   /** Reclaim files no longer referenced by the CURRENT manifest — the
-    * GC half of MVCC (old manifest versions deleted too). `minAgeMs` is
-    * the retention guard (Delta VACUUM's shape): unreferenced files
-    * MODIFIED within the window survive, so an in-flight reader pinned
-    * to a just-superseded version keeps its files as long as the
-    * retention covers the longest scan. Returns files deleted. */
-  def vacuum(spark: SparkSession, path: String, minAgeMs: Long = 0L): Int = {
+    * GC half of MVCC (old manifest versions and crashed-write staging
+    * directories reclaimed too). `minAgeMs` is the retention guard:
+    * unreferenced files MODIFIED within the window survive. The
+    * retention checks and deletes run EXECUTOR-PARALLEL (after a large
+    * compaction the doomed set is O(pre-compaction files) — a driver
+    * loop of remote getFileStatus/delete calls would serialize it);
+    * `dryRun = true` reports (files, bytes, manifests, stagingDirs)
+    * without deleting anything. */
+  def vacuum(spark: SparkSession, path: String,
+             minAgeMs: Long = DefaultRetentionMs,
+             dryRun: Boolean = false): VacuumReport = {
     val cur = currentVersion(spark, path).getOrElse(
-      return 0) // legacy/no-manifest tables have no unreferenced files
+      // legacy/no-manifest tables have no unreferenced files
+      return VacuumReport(0, 0L, 0, 0))
     val referenced = readManifest(spark, path).get.map(_.rel).toSet
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val horizon = System.currentTimeMillis() - minAgeMs
-    val doomedData = listDataFiles(spark, path)
-      .filterNot(f => referenced.contains(f._4)).map(_._2)
-      .filter(p => minAgeMs <= 0L ||
-        fs.getFileStatus(new Path(p)).getModificationTime <= horizon)
-    doomedData.foreach(p => fs.delete(new Path(p), false): Unit)
-    val doomedManifests = fs.listStatus(new Path(path)).iterator
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.startsWith("_bucket_manifest.v") && n.endsWith(".txt") &&
-          n != versionedManifest(cur) &&
-          (minAgeMs <= 0L ||
-            fs.getFileStatus(p).getModificationTime <= horizon)
-      }.toSeq
-    doomedManifests.foreach(p => fs.delete(p, false): Unit)
-    doomedData.size
+    val candidates = listDataFiles(spark, path)
+      .filterNot(f => referenced.contains(f._4))
+      .map(f => (f._2, f._3))
+    val (nData, dataBytes) =
+      if (candidates.isEmpty) (0, 0L)
+      else {
+        import scala.jdk.CollectionConverters._
+        val props = spark.sparkContext.broadcast(
+          spark.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray)
+        val doDelete = !dryRun
+        spark.sparkContext
+          .parallelize(candidates, math.min(candidates.size,
+            spark.sparkContext.defaultParallelism * 2))
+          .map { case (abs, size) =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            props.value.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(abs)
+            val f = p.getFileSystem(conf)
+            val eligible = minAgeMs <= 0L ||
+              f.getFileStatus(p).getModificationTime <= horizon
+            if (eligible && doDelete) f.delete(p, false): Unit
+            if (eligible) (1, size) else (0, 0L)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    // manifests + staging dirs: driver-side, bounded by commit churn
+    // (the listStatus already carries the modtime — no second call)
+    val rootStatus = fs.listStatus(new Path(path))
+    val doomedManifests = rootStatus.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("_bucket_manifest.v") && n.endsWith(".txt") &&
+        n != versionedManifest(cur) &&
+        (minAgeMs <= 0L || st.getModificationTime <= horizon)
+    }
+    if (!dryRun)
+      doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
+    // leftovers of crashed writes/compactions; the retention window is
+    // what keeps an IN-FLIGHT write's staging alive
+    val doomedStaging = rootStatus.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory &&
+        (n.startsWith(".write-") || n.startsWith(".compact-") ||
+          n.startsWith(".stage-")) &&
+        (minAgeMs <= 0L || st.getModificationTime <= horizon)
+    }
+    if (!dryRun)
+      doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
+    VacuumReport(nData, dataBytes, doomedManifests.length,
+      doomedStaging.length)
   }
 
   /** Rebuild manifest entries from the files themselves: one
@@ -179,8 +265,16 @@ object BucketedLake {
     * tables written before the manifest existed; wall-time is bounded
     * by files/parallelism, never a driver loop. */
   private[graft] def footerSweep(spark: SparkSession,
-                                   path: String): Seq[ManifestEntry] = {
-    val listed = listDataFiles(spark, path)
+                                   path: String): Seq[ManifestEntry] =
+    footerSweepFiles(spark, listDataFiles(spark, path))
+
+  /** Footer-count a specific `(bucket, absPath, size, relPath)` file
+    * set — executor-parallel, shared by the legacy sweep and the
+    * snapshot-atomic [[write]] (which must count ONLY its own staged
+    * files, never the superseded ones still on disk). */
+  private[graft] def footerSweepFiles(spark: SparkSession,
+                                      listed: Seq[(Int, String, Long, String)])
+      : Seq[ManifestEntry] = {
     if (listed.isEmpty) return Nil
     import scala.jdk.CollectionConverters._
     val props = spark.sparkContext.broadcast(
@@ -254,11 +348,13 @@ object BucketedLake {
     * shared with the V2 append writer and the V2 `bucket` function: a
     * null key has no bucket, so it can neither be written nor probed.
     *
-    * This is a CREATE-OR-REPLACE: the data directory is overwritten in
-    * place, so a reader racing a full rewrite can fail (like any
-    * `mode("overwrite")` parquet write). Incremental APPENDS and
-    * [[compact]] are the MVCC-isolated operations — use the V2 writer
-    * (`df.writeTo(...).append()`) for safe concurrent-read ingestion. */
+    * CREATE-OR-REPLACE is SNAPSHOT-ATOMIC: files land in a write-unique
+    * staging dir, move into the live bucket dirs under write-unique
+    * names, and the manifest pointer flip is the commit — a reader
+    * pinned to the previous version keeps a consistent (pre-replace)
+    * file set for its whole scan; superseded files stay on disk until
+    * [[vacuum]]'s retention lapses. The same MVCC isolation as the V2
+    * append path and [[compact]]. */
   def write(df: DataFrame, path: String, keyCol: String, buckets: Int): Unit = {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
@@ -269,21 +365,47 @@ object BucketedLake {
       .otherwise(raise_error(lit(
         s"bucketed write: null '$keyCol' (null keys have no bucket)"))
         .cast("int"))
+    val staging = s"$path/.write-${java.util.UUID.randomUUID()}"
     df.withColumn(BucketDir, routed)
       .repartition(buckets, col(BucketDir))
       .sortWithinPartitions(col(BucketDir), col(keyCol))
-      .write.mode("overwrite").partitionBy(BucketDir).parquet(s"$path/data")
+      .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val moved = Seq.newBuilder[(Int, String, Long, String)]
+    fs.listStatus(new Path(staging))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$BucketDir="))
+      .foreach { d =>
+        val b = d.getPath.getName.stripPrefix(s"$BucketDir=").toInt
+        val destDir = new Path(s"$path/data/$BucketDir=$b")
+        fs.mkdirs(destDir)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val name = s"write-$stamp-${st.getPath.getName}"
+            val dest = new Path(destDir, name)
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"write move failed for bucket $b: ${st.getPath}")
+            moved += ((b, dest.toString, st.getLen,
+              s"data/$BucketDir=$b/$name"))
+          }
+      }
+    fs.delete(new Path(staging), true): Unit
+    // spec lands BEFORE the manifest flip: a reader resolving the new
+    // version must see the layout that wrote it (pinned readers hold
+    // their Spec in memory — a replace never mutates their view)
     val p = new Path(path, SpecFile)
-    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(
       s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n".getBytes(UTF_8))
     finally out.close()
-    // write-time manifest: per-file record counts/sizes while they are
-    // one executor-parallel sweep of files we just wrote — scans and the
+    // write-time manifest over ONLY this write's files: per-file record
+    // counts while they are one executor-parallel sweep — scans and the
     // COUNT(*) pushdown then never touch a footer or a directory listing
-    writeManifest(spark, path, footerSweep(spark, path))
+    writeManifest(spark, path, footerSweepFiles(spark, moved.result()))
   }
 
   private[sources] def readSpec(spark: SparkSession, path: String): Option[Spec] = {

@@ -93,6 +93,12 @@ object IncrementalAgg {
     require(groupCols.nonEmpty, "at least one group column required")
     require(buckets >= 1, "buckets must be >= 1")
     require(filter.forall(_.trim.nonEmpty), "filter must be a non-empty predicate")
+    // the persisted spec file is LINE-delimited (filter = line 7): an
+    // embedded newline would shift the layout and corrupt every later
+    // SQL/readByPath consumer's parse
+    require(filter.forall(f => !f.contains("\n") && !f.contains("\r")),
+      "filter must not contain newlines (the spec file is line-delimited); " +
+        "rewrite the predicate on one line")
   }
 
   val CountCol = "view_count"

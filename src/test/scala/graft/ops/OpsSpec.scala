@@ -1242,4 +1242,26 @@ class OpsSpec extends SparkSuite {
       ("example.com", 1L, 1L), ("news.example.com", 1L, 1L),
       ("sub.example.com", 1L, 1L)))
   }
+
+  test("annRecall: duplicate result pairs never inflate recall; empty truth is 0") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    // result retrieved 3 of the 4 truth pairs, one of them DUPLICATED,
+    // plus a non-truth pair — recall is 3/4 -> 750, not inflated
+    val result = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.annRecall(truth, result, "dup", 2).head()
+    assert(r.getAs[Long]("n_queries") === 2L)
+    assert(r.getAs[Long]("hits") === 3L)
+    assert(r.getAs[Long]("recall_x1000") === 750L)
+    // duplicate TRUTH pairs fold too
+    val dupTruth = truth.union(truth)
+    val r2 = Similarity.annRecall(dupTruth, result, "dupT", 2).head()
+    assert(r2.getAs[Long]("recall_x1000") === 750L)
+    // empty truth: no division-by-zero null — recall reads 0
+    val empty = truth.filter(col("query_id") < 0)
+    val r3 = Similarity.annRecall(empty, result, "empty", 2).head()
+    assert(r3.getAs[Long]("n_queries") === 0L)
+    assert(r3.getAs[Long]("recall_x1000") === 0L)
+  }
 }

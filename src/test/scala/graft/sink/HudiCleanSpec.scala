@@ -122,6 +122,35 @@ class HudiCleanSpec extends SparkSuite {
     assert(after === before)
   }
 
+  test("a crash mid-delete is reconciled by the NEXT clean (no permanent leak)") {
+    val root = Files.createTempDirectory("hudi-clean-crash").toString
+    HudiCowWrite.upsert(Seq((1L, "v1")).toDF("id", "item"), root, "id", T1)
+    HudiCowWrite.upsert(Seq((1L, "v2")).toDF("id", "item"), root, "id", T2)
+    val deleted = HudiClean.clean(spark, root, T3)
+    assert(deleted === 1)
+    // simulate the crash window: the marker named a path but the delete
+    // never ran — resurrect the file at exactly that marker path. The
+    // metadata view already subtracts it, so no later sweep derived from
+    // that view could ever find it again.
+    val marker = java.nio.file.Paths.get(root, ".hoodie", s"$T3.clean")
+    val json = Files.readString(marker)
+    val rel = graft.sources.DocPushdown.jsonMapper.readTree(json)
+      .get("deletedPaths").get(0).asText()
+    val ghost = java.nio.file.Paths.get(root, rel)
+    Files.createDirectories(ghost.getParent)
+    Files.writeString(ghost, "not really parquet")
+    assert(Files.exists(ghost))
+    // the tip snapshot ignores the ghost (metadata-driven read)
+    assert(HudiRead.snapshot(spark, root).selectExpr("item")
+      .as[String].head === "v2")
+    // the next clean has nothing NEW to retire — but reconciles the leak
+    val second = HudiClean.clean(spark, root, T4)
+    assert(second === 1, s"the ghost must be reclaimed, got $second")
+    assert(!Files.exists(ghost), "crash-leaked file still on disk")
+    // and a third pass is back to a clean no-op
+    assert(HudiClean.clean(spark, root, T9) === 0)
+  }
+
   test("clustering-replaced groups are removed entirely") {
     val root = Files.createTempDirectory("hudi-clean-cluster").toString
     HudiCowWrite.upsert(

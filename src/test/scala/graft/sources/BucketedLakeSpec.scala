@@ -249,7 +249,7 @@ class BucketedLakeSpec extends SparkSuite {
     val m = BucketedLake.readManifest(spark, path).get
     assert(m.groupBy(_.bucket).forall(_._2.length == 1),
       "compaction must publish one manifest file per bucket")
-    assert(BucketedLake.vacuum(spark, path) > 0,
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 0L).files > 0,
       "vacuum should reclaim the superseded files")
     assert((0 until 4).forall(
       BucketedLake.bucketFiles(spark, path, _).length <= 1),
@@ -333,7 +333,7 @@ class BucketedLakeSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
       .head().getLong(0) === 900L)
     BucketedLake.compact(spark, path)
-    BucketedLake.vacuum(spark, path): Unit // physical == manifest again
+    BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit // physical == manifest again
     check("after compaction + vacuum")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$path`")
       .head().getLong(0) === 900L)
@@ -357,10 +357,13 @@ class BucketedLakeSpec extends SparkSuite {
     // fresh reads resolve the new manifest (one file per bucket)
     assert(table(path).count() === 600L)
     // the retention guard: nothing young enough is reclaimed
-    assert(BucketedLake.vacuum(spark, path, minAgeMs = 3600000L) === 0,
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 3600000L).files === 0,
       "retention must protect just-superseded files")
+    // the DEFAULT is retention too (7 days): a bare vacuum deletes nothing
+    assert(BucketedLake.vacuum(spark, path).files === 0,
+      "default vacuum must be retention-guarded")
     // vacuum ends the old version's readability — the MVCC GC contract
-    assert(BucketedLake.vacuum(spark, path) > 0)
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 0L).files > 0)
     assert(table(path).count() === 600L)
     assert(BucketedLake.readManifest(spark, path).get
       .groupBy(_.bucket).forall(_._2.length == 1))
@@ -579,5 +582,111 @@ class BucketedLakeSpec extends SparkSuite {
     val back = table(path)
     assert(back.rdd.getNumPartitions === 16)
     assert(back.count() === 1L)
+  }
+
+  test("racing committers: exactly one wins, the loser fails LOUDLY") {
+    val path = tmp("bk-race")
+    BucketedLake.write((1L to 50L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    val entries = BucketedLake.readManifest(spark, path).get
+    // writer B resolved the same current version as writer A and staged
+    // its manifest file first — writer A's commit must now CONFLICT, not
+    // silently orphan B's files (the Hudi/Delta/Iceberg semantics)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = BucketedLake.currentVersion(spark, path).get + 1L
+    val racer = new org.apache.hadoop.fs.Path(path,
+      f"_bucket_manifest.v$next%06d.txt")
+    val out = fs.create(racer, false)
+    try out.write("0\t1\t1\tdata/__bucket=0/ghost.parquet\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    intercept[BucketedLake.ConcurrentCommitException] {
+      BucketedLake.writeManifest(spark, path, entries)
+    }
+    // the pointer never flipped: readers still resolve writer-0's commit
+    assert(BucketedLake.currentVersion(spark, path).get === next - 1L)
+    assert(table(path).count() === 50L)
+    fs.delete(racer, false)
+    // with the race gone, the same commit succeeds
+    BucketedLake.writeManifest(spark, path, entries)
+    assert(BucketedLake.currentVersion(spark, path).get === next)
+  }
+
+  test("a truncated/garbled commit pointer fails loudly, never a stale fallback") {
+    val path = tmp("bk-badptr")
+    BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    val ptr = new org.apache.hadoop.fs.Path(path, "_bucket_manifest.current")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ptr, true)
+    try out.write("not-a-version".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      BucketedLake.currentVersion(spark, path)
+    }
+    assert(e.getMessage.contains("pointer"))
+    // restore
+    val out2 = fs.create(ptr, true)
+    try out2.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out2.close()
+    assert(table(path).count() === 10L)
+  }
+
+  test("MVCC: a pinned reader survives a concurrent create-or-replace write()") {
+    val path = tmp("bk-replace")
+    BucketedLake.write((1L to 100L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 4)
+    val pinned = table(path).select(col("v")).queryExecution.toRdd
+    // full REPLACE with different rows — the old files must stay put
+    // until vacuum's retention lapses, so the pinned scan is unharmed
+    BucketedLake.write((1L to 10L).map(i => (i, i * 1000)).toDF("k", "v"),
+      path, "k", 4)
+    val old = pinned.map(_.getLong(0)).collect()
+    assert(old.length === 100 && old.sum === (1L to 100L).map(_ * 2).sum,
+      "pinned reader lost its snapshot under a replace")
+    // fresh reads resolve the replacement
+    assert(table(path).count() === 10L)
+    assert(table(path).agg(sum(col("v"))).head().getLong(0) ===
+      (1L to 10L).map(_ * 1000).sum)
+    // the superseded files are exactly what vacuum(force) reclaims
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 0L).files > 0)
+    assert(table(path).count() === 10L)
+  }
+
+  test("vacuum dryRun reports exactly what a real pass deletes — and deletes nothing") {
+    val path = tmp("bk-dryrun")
+    BucketedLake.write((1L to 200L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    (201L to 400L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    BucketedLake.compact(spark, path) // superseded files now exist
+    val dry = BucketedLake.vacuum(spark, path, minAgeMs = 0L, dryRun = true)
+    assert(dry.files > 0 && dry.bytes > 0L && dry.manifests > 0)
+    // dry run deleted NOTHING: counts reproduce exactly on the real pass
+    val real = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
+    assert(real === dry, s"dry-run $dry drifted from the real pass $real")
+    assert(table(path).count() === 400L)
+    // idempotent: a second pass finds nothing
+    val again = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
+    assert(again.files === 0 && again.manifests === 0)
+  }
+
+  test("vacuum reclaims crashed-write staging directories") {
+    val path = tmp("bk-stage")
+    BucketedLake.write((1L to 20L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer crashed after staging: its dir lingers under the root
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/.write-crashed"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/.compact-crashed"))
+    // retention protects an IN-FLIGHT write's staging
+    assert(BucketedLake.vacuum(spark, path).stagingDirs === 0)
+    val r = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
+    assert(r.stagingDirs === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.write-crashed")))
+    assert(table(path).count() === 20L)
   }
 }

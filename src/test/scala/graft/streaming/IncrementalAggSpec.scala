@@ -522,4 +522,12 @@ class IncrementalAggSpec extends SparkSuite {
     run()
     assert(view() === recompute())
   }
+
+  test("a filter predicate with a newline is rejected before it can corrupt the spec file") {
+    val e = intercept[IllegalArgumentException] {
+      ViewSpec(Seq("g"), sumCols = Seq("v"),
+        filter = Some("v > 0\nAND g IS NOT NULL"))
+    }
+    assert(e.getMessage.contains("newline"))
+  }
 }
