@@ -2713,6 +2713,32 @@ object SparkEntry {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    /** TWO-AXIS flagship layout ([[graft.sources.BucketedLake]] with
+      * `partitionCol`): `data/__part=<year>/__bucket=<hash>/` — the
+      * shape every real 100 TB ingest lake uses. The date-range
+      * predicate prunes whole partition directories, the key IN-list
+      * prunes to its buckets, and BOTH compose on one scan (plan-time
+      * file-list pruning; filters stay residual, so results are exact
+      * by construction). */
+    "lake_bucketed_partitioned" -> ((s, d) => {
+      val root = lakeTmp(d, "bkpart")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), year(col("o_orderdate")).as("o_orderyear")),
+        s"$root/orders", "o_custkey", 8, partitionCol = Some("o_orderyear"))
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_orderyear") >= 1995 && col("o_orderyear") <= 1996 &&
+          col("o_custkey").isin(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+        .groupBy("o_orderyear", "o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderyear", "o_custkey")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -4983,6 +5009,17 @@ object SparkEntry {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1 ORDER BY 1""",
+
+    // two-axis layout: the partition-dir + bucket pruned scan must
+    // equal the plain filtered aggregate
+    "lake_bucketed_partitioned" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_orderyear, o_custkey,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+        AND o_custkey IN (1, 2, 4, 5, 7, 8, 10, 11)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the co-located join must equal the plain shuffled join
     "lake_bucketed_join" -> """

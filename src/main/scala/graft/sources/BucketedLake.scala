@@ -331,11 +331,32 @@ object BucketedLake {
   }
 
   /** Table layout metadata: key column, bucket count, schema (json),
-    * and whether bucket files are key-sorted (written that way by
+    * whether bucket files are key-sorted (written that way by
     * [[write]] — lets the scan report its ordering so co-located SMJs
-    * skip their sorts too). */
+    * skip their sorts too), and an optional PARTITION column: the
+    * two-axis layout `data/__part=<v>/__bucket=<b>/` every real 100 TB
+    * ingest lake uses — date-range predicates prune whole partition
+    * directories while key predicates still prune to 1-of-n buckets,
+    * and SPJ/DPP hold unchanged (the scan's partitioning stays
+    * per-bucket; partition pruning only trims each bucket's file list). */
   final case class Spec(keyCol: String, buckets: Int, schema: StructType,
-                        sorted: Boolean)
+                        sorted: Boolean, partCol: Option[String] = None)
+
+  private val PartDir = "__part"
+  private[sources] val NullPartName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The raw (unescaped) partition-dir value a manifest rel path
+    * carries — `None` when the path has no partition level, `Some(None)`
+    * for the null partition, `Some(Some(v))` otherwise. The partition
+    * value is ALSO a regular data column inside every file (RLE makes
+    * the duplication ~free), so the directory level is purely a pruning
+    * index — readers never need to re-inject values from dir names. */
+  private[sources] def partValueRaw(rel: String): Option[Option[String]] =
+    rel.split("/").find(_.startsWith(s"$PartDir=")).map { seg =>
+      val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.stripPrefix(s"$PartDir="))
+      if (s == NullPartName) None else Some(s)
+    }
 
   /** The write-side routing expression — MUST stay in lockstep with
     * [[GraftBucketFunction.produceResult]] (read-side identity). */
@@ -355,44 +376,69 @@ object BucketedLake {
     * file set for its whole scan; superseded files stay on disk until
     * [[vacuum]]'s retention lapses. The same MVCC isolation as the V2
     * append path and [[compact]]. */
-  def write(df: DataFrame, path: String, keyCol: String, buckets: Int): Unit = {
+  def write(df: DataFrame, path: String, keyCol: String, buckets: Int,
+            partitionCol: Option[String] = None): Unit = {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
+    partitionCol.foreach { pc =>
+      require(df.columns.contains(pc), s"no column '$pc' to partition by")
+      require(pc != keyCol, "partition column must differ from the bucket key")
+    }
     val spark = df.sparkSession
     // every bucket lands in exactly ONE task (repartition on the bucket
-    // value), key-sorted within it -> one key-sorted file per bucket
+    // value), key-sorted within it -> one key-sorted file per bucket.
+    // With a partition column the unit is (partition value, bucket): the
+    // dir level is a COPY (`__part`) so the real column stays in the
+    // data files and readers never re-inject values from dir names.
     val routed = when(col(keyCol).isNotNull, bucketExpr(keyCol, buckets))
       .otherwise(raise_error(lit(
         s"bucketed write: null '$keyCol' (null keys have no bucket)"))
         .cast("int"))
     val staging = s"$path/.write-${java.util.UUID.randomUUID()}"
-    df.withColumn(BucketDir, routed)
-      .repartition(buckets, col(BucketDir))
-      .sortWithinPartitions(col(BucketDir), col(keyCol))
-      .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+    val base = df.withColumn(BucketDir, routed)
+    partitionCol match {
+      case None =>
+        base.repartition(buckets, col(BucketDir))
+          .sortWithinPartitions(col(BucketDir), col(keyCol))
+          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+      case Some(pc) =>
+        base.withColumn(PartDir, col(pc))
+          .repartition(col(PartDir), col(BucketDir))
+          .sortWithinPartitions(col(PartDir), col(BucketDir), col(keyCol))
+          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
+          .parquet(staging)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = Seq.newBuilder[(Int, String, Long, String)]
+    // walk staging/(__part=<v>/)?__bucket=<b>/*.parquet and move each
+    // file into the live layout under a write-unique name
+    def moveBuckets(dir: Path, relPrefix: String): Unit =
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$BucketDir="))
+        .foreach { d =>
+          val b = d.getPath.getName.stripPrefix(s"$BucketDir=").toInt
+          val destDir = new Path(s"$path/data/$relPrefix$BucketDir=$b")
+          fs.mkdirs(destDir)
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              val name = s"write-$stamp-${st.getPath.getName}"
+              val dest = new Path(destDir, name)
+              if (!fs.rename(st.getPath, dest))
+                throw new java.io.IOException(
+                  s"write move failed for bucket $b: ${st.getPath}")
+              moved += ((b, dest.toString, st.getLen,
+                s"data/$relPrefix$BucketDir=$b/$name"))
+            }
+        }
+    moveBuckets(new Path(staging), "")
     fs.listStatus(new Path(staging))
       .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$BucketDir="))
-      .foreach { d =>
-        val b = d.getPath.getName.stripPrefix(s"$BucketDir=").toInt
-        val destDir = new Path(s"$path/data/$BucketDir=$b")
-        fs.mkdirs(destDir)
-        fs.listStatus(d.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { st =>
-            val name = s"write-$stamp-${st.getPath.getName}"
-            val dest = new Path(destDir, name)
-            if (!fs.rename(st.getPath, dest))
-              throw new java.io.IOException(
-                s"write move failed for bucket $b: ${st.getPath}")
-            moved += ((b, dest.toString, st.getLen,
-              s"data/$BucketDir=$b/$name"))
-          }
-      }
+        st.getPath.getName.startsWith(s"$PartDir="))
+      .foreach(p => moveBuckets(p.getPath, s"${p.getPath.getName}/"))
     fs.delete(new Path(staging), true): Unit
     // spec lands BEFORE the manifest flip: a reader resolving the new
     // version must see the layout that wrote it (pinned readers hold
@@ -400,7 +446,8 @@ object BucketedLake {
     val p = new Path(path, SpecFile)
     val out = fs.create(p, true)
     try out.write(
-      s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n".getBytes(UTF_8))
+      (s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n" +
+        partitionCol.fold("")(pc => s"partition=$pc\n")).getBytes(UTF_8))
     finally out.close()
     // write-time manifest over ONLY this write's files: per-file record
     // counts while they are one executor-parallel sweep — scans and the
@@ -421,8 +468,11 @@ object BucketedLake {
     val lines = text.split("\n").map(_.trim)
     val Array(key, n, schemaJson) = lines.take(3)
     val sorted = lines.drop(3).contains("sorted=true")
+    val partCol = lines.drop(3).find(_.startsWith("partition="))
+      .map(_.stripPrefix("partition=")).filter(_.nonEmpty)
     Some(Spec(key, n.toInt,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], sorted))
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], sorted,
+      partCol))
   }
 
   /** Fold multi-file buckets (appends) back to ONE key-sorted file each,
@@ -441,40 +491,57 @@ object BucketedLake {
     // live set apart from superseded files
     val baseEntries = readManifest(spark, path)
       .getOrElse(footerSweep(spark, path))
-    val byBucket = baseEntries.groupBy(_.bucket)
-    val multi = byBucket.filter(_._2.length > 1).toSeq.sortBy(_._1)
+    // the fold unit is (partition dir segment, bucket) — "" when the
+    // layout has no partition axis; partition values live in the data
+    // files too, so the rewrite reproduces identical dir segments
+    def segOf(rel: String): String =
+      rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
+    val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
+    val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
     if (multi.isEmpty) {
       if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries)
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
-    spark.read.schema(spec.schema)
+    val folded = spark.read.schema(spec.schema)
       .parquet(multi.flatMap(_._2.map(e => s"$path/${e.rel}")): _*)
       .withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
-      .repartition(multi.length, col(BucketDir))
-      .sortWithinPartitions(col(BucketDir), col(spec.keyCol))
-      .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+    spec.partCol match {
+      case None =>
+        folded.repartition(multi.length, col(BucketDir))
+          .sortWithinPartitions(col(BucketDir), col(spec.keyCol))
+          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+      case Some(pc) =>
+        folded.withColumn(PartDir, col(pc))
+          .repartition(multi.length, col(PartDir), col(BucketDir))
+          .sortWithinPartitions(col(PartDir), col(BucketDir), col(spec.keyCol))
+          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
+          .parquet(staging)
+    }
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val fresh = multi.map { case (b, olds) =>
-      val stagedDir = new Path(s"$staging/$BucketDir=$b")
+    val fresh = multi.map { case ((seg, b), olds) =>
+      val prefix = if (seg.isEmpty) "" else s"$seg/"
+      val stagedDir = new Path(s"$staging/$prefix$BucketDir=$b")
       val staged = fs.listStatus(stagedDir)
         .filter(_.getPath.getName.endsWith(".parquet"))
       require(staged.length == 1,
-        s"compaction produced ${staged.length} files for bucket $b")
+        s"compaction produced ${staged.length} files for group ($seg, $b)")
       val name = s"compact-$stamp-${staged.head.getPath.getName}"
-      val dest = new Path(s"$path/data/$BucketDir=$b/$name")
+      val dest = new Path(s"$path/data/$prefix$BucketDir=$b/$name")
       if (!fs.rename(staged.head.getPath, dest))
-        throw new java.io.IOException(s"compaction move failed for bucket $b")
+        throw new java.io.IOException(
+          s"compaction move failed for group ($seg, $b)")
       // a compaction rewrite preserves rows: sum of the folded entries
       ManifestEntry(b, olds.map(_.rows).sum, staged.head.getLen,
-        s"data/$BucketDir=$b/$name")
+        s"data/$prefix$BucketDir=$b/$name")
     }
     fs.delete(new Path(staging), true): Unit
     val compacted = multi.map(_._1).toSet
-    val kept = baseEntries.filterNot(e => compacted.contains(e.bucket))
+    val kept = baseEntries.filterNot(e =>
+      compacted.contains((segOf(e.rel), e.bucket)))
     writeManifest(spark, path, kept ++ fresh) // pointer flip = commit
   }
 
@@ -485,6 +552,16 @@ object BucketedLake {
       : org.apache.spark.sql.connector.catalog.Table =
     new GraftBucketedTable(spark, path, readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path")))
+
+  /** Per-file `(bucket, rel, abs, size)` scan metadata: ONE manifest
+    * read when present, one executor-parallel listing otherwise — the
+    * rel path carries the partition dir segment for two-axis pruning. */
+  private[sources] def fileMetaFor(spark: SparkSession, path: String)
+      : Seq[(Int, String, String, Long)] =
+    readManifest(spark, path) match {
+      case Some(es) => es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size))
+      case None => listDataFiles(spark, path).map(f => (f._1, f._4, f._2, f._3))
+    }
 
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
   private[sources] def bucketFiles(spark: SparkSession, path: String,
@@ -651,6 +728,102 @@ private[sources] object BucketPruning {
   }
 }
 
+/** Filter → partition-directory pruning for the two-axis layout:
+  * evaluates pushed/runtime predicates on the PARTITION column against
+  * each file's `__part=<v>` dir value, so a date-range scan reads only
+  * the matching partition dirs' files. Strictly typed like
+  * [[BucketPruning]]: any value/type shape it cannot canonicalize means
+  * "cannot prune" — every filter stays residual above the scan, so a
+  * conservative answer is always correct. */
+private[sources] object PartPruning {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  /** External filter literal → a canonical comparable (Long, Double,
+    * String, Boolean) — `None` when the literal's runtime class does
+    * not match the partition type (no pruning; a tolerant coercion that
+    * compared differently from the write path could skip matches). */
+  def canonical(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (null, _) => None
+    case (s: String, StringType) => Some(s)
+    case (i: java.lang.Integer, IntegerType) => Some(i.longValue)
+    case (l: java.lang.Long, LongType) => Some(l.longValue)
+    case (s: java.lang.Short, ShortType) => Some(s.longValue)
+    case (b: java.lang.Byte, ByteType) => Some(b.longValue)
+    case (b: java.lang.Boolean, BooleanType) => Some(b.booleanValue)
+    case (f: java.lang.Float, FloatType) => Some(f.doubleValue)
+    case (d: java.lang.Double, DoubleType) => Some(d.doubleValue)
+    case (d: java.sql.Date, DateType) => Some(d.toLocalDate.toEpochDay)
+    case (d: java.time.LocalDate, DateType) => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  /** Unescaped partition-dir string → the same canonical space. */
+  def parseDirValue(s: String, dt: DataType): Option[Any] = dt match {
+    case StringType => Some(s)
+    case IntegerType | LongType | ShortType | ByteType => s.toLongOption
+    case BooleanType => s.toBooleanOption
+    case FloatType | DoubleType => s.toDoubleOption
+    case DateType =>
+      try Some(java.time.LocalDate.parse(s).toEpochDay)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Whether a file whose partition value canonicalizes to `part`
+    * (`None` = the null partition) can hold rows matching `f` —
+    * `None` when the filter shape/type cannot decide (keep the file).
+    * SQL three-valued semantics: any comparison against the null
+    * partition is false (those rows can never match), only
+    * IsNull/null-safe-equality select it. */
+  def matches(part: Option[Any], partCol: String, dt: DataType,
+              f: Filter): Option[Boolean] = {
+    def ordered(v: Any, ok: Int => Boolean): Option[Boolean] = part match {
+      case None => Some(false)
+      case Some(p) => for {cv <- canonical(v, dt); c <- cmp(p, cv)} yield ok(c)
+    }
+    f match {
+      case EqualTo(c, v) if c == partCol => ordered(v, _ == 0)
+      case EqualNullSafe(c, null) if c == partCol => Some(part.isEmpty)
+      case EqualNullSafe(c, v) if c == partCol => ordered(v, _ == 0)
+      case In(c, vs) if c == partCol => part match {
+        case None => Some(false)
+        case Some(p) =>
+          val canon = vs.filter(_ != null).map(canonical(_, dt))
+          if (canon.exists(_.isEmpty)) None
+          else Some(canon.flatten.exists(cv => cmp(p, cv).contains(0)))
+      }
+      case GreaterThan(c, v) if c == partCol => ordered(v, _ > 0)
+      case GreaterThanOrEqual(c, v) if c == partCol => ordered(v, _ >= 0)
+      case LessThan(c, v) if c == partCol => ordered(v, _ < 0)
+      case LessThanOrEqual(c, v) if c == partCol => ordered(v, _ <= 0)
+      case IsNull(c) if c == partCol => Some(part.isEmpty)
+      case IsNotNull(c) if c == partCol => Some(part.nonEmpty)
+      case And(a, b) =>
+        (matches(part, partCol, dt, a), matches(part, partCol, dt, b)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(a, b) =>
+        (matches(part, partCol, dt, a), matches(part, partCol, dt, b)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+}
+
 /** Fold a finer bucket ordinal onto an `n`-bucket layout. */
 private[sources] final class BucketReducer(n: Int)
     extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
@@ -669,7 +842,8 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(spec.buckets, spec.keyCol))
+    (spec.partCol.toSeq.map(pc => Expressions.identity(pc)) :+
+      Expressions.bucket(spec.buckets, spec.keyCol)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBucketScanBuilder(spark, path, spec)
   override def newWriteBuilder(
@@ -717,23 +891,30 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      Array(Expressions.bucket(spec.buckets, spec.keyCol)))
+      (spec.partCol.toSeq
+        .map(pc => Expressions.identity(pc)
+          : org.apache.spark.sql.connector.expressions.Expression) :+
+        (Expressions.bucket(spec.buckets, spec.keyCol)
+          : org.apache.spark.sql.connector.expressions.Expression)).toArray)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array(
+    (spec.partCol.toSeq.map(pc =>
+      Expressions.sort(Expressions.column(pc), SD.ASCENDING)) ++ Seq(
       Expressions.sort(Expressions.bucket(spec.buckets, spec.keyCol),
         SD.ASCENDING),
-      Expressions.sort(Expressions.column(spec.keyCol), SD.ASCENDING))
+      Expressions.sort(Expressions.column(spec.keyCol), SD.ASCENDING)))
+      .toArray
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBucketBatchWrite(spark, path, spec, truncate,
       s"$path/.stage-${java.util.UUID.randomUUID()}")
 }
 
-/** Per-task commit message: `(bucket, stagedPath, rows)` per file — the
-  * row counts ride the commit so the manifest updates with ZERO reads. */
+/** Per-task commit message: `(bucket, partitionDirSegment, stagedPath,
+  * rows)` per file (segment "" on bucket-only layouts) — the row counts
+  * ride the commit so the manifest updates with ZERO reads. */
 private[sources] final case class GraftBucketCommit(
-    files: Seq[(Int, String, Long)])
+    files: Seq[(Int, String, String, Long)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
@@ -749,8 +930,10 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     val handle = org.apache.spark.sql.graftshim.ParquetWriteShim
       .prepare(spark, spec.schema)
     val keyIdx = spec.schema.fieldIndex(spec.keyCol)
+    val part = spec.partCol.map(pc => (spec.schema.fieldIndex(pc),
+      spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
     new GraftBucketWriterFactory(handle, staging, keyIdx,
-      spec.schema.fields(keyIdx).dataType, spec.buckets)
+      spec.schema.fields(keyIdx).dataType, spec.buckets, part)
   }
 
   override def commit(messages: Array[
@@ -766,16 +949,19 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
     val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
     messages.foreach {
-      case GraftBucketCommit(files) => files.foreach { case (b, staged, rows) =>
-        val dir = new Path(s"$path/data/__bucket=$b")
-        f.mkdirs(dir)
-        val src = new Path(staged)
-        val dest = new Path(dir, src.getName)
-        if (!f.rename(src, dest))
-          throw new java.io.IOException(s"commit failed moving $staged")
-        fresh += BucketedLake.ManifestEntry(b, rows,
-          f.getFileStatus(dest).getLen, s"data/__bucket=$b/${src.getName}")
-      }
+      case GraftBucketCommit(files) =>
+        files.foreach { case (b, seg, staged, rows) =>
+          val prefix = if (seg.isEmpty) "" else s"$seg/"
+          val dir = new Path(s"$path/data/${prefix}__bucket=$b")
+          f.mkdirs(dir)
+          val src = new Path(staged)
+          val dest = new Path(dir, src.getName)
+          if (!f.rename(src, dest))
+            throw new java.io.IOException(s"commit failed moving $staged")
+          fresh += BucketedLake.ManifestEntry(b, rows,
+            f.getFileStatus(dest).getLen,
+            s"data/${prefix}__bucket=$b/${src.getName}")
+        }
       case other => throw new IllegalStateException(s"foreign message $other")
     }
     BucketedLake.writeManifest(spark, path, existing ++ fresh.result())
@@ -789,21 +975,35 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
 
 private[sources] class GraftBucketWriterFactory(
     handle: org.apache.spark.sql.graftshim.ParquetWriteShim.WriterHandle,
-    staging: String, keyIdx: Int, keyType: DataType, buckets: Int)
+    staging: String, keyIdx: Int, keyType: DataType, buckets: Int,
+    part: Option[(Int, DataType)] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  /** Catalyst partition value → its partition-dir string (the same
+    * rendering Spark's own partitionBy produces for these types). */
+  private def dirString(v: Any, dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => v.toString // UTF8String
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ => v.toString // integral / boolean / float / double
+    }
+  }
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private var bucket = -1
+      private var seg: String = null
       private var rowsInFile = 0L
       private var sink: org.apache.spark.sql.graftshim.ParquetWriteShim.RowSink = _
-      private val written = Seq.newBuilder[(Int, String, Long)]
-      private var pending: (Int, String) = _
+      private val written = Seq.newBuilder[(Int, String, String, Long)]
+      private var pending: (Int, String, String) = _
 
       private def flush(): Unit = if (sink != null) {
         sink.close()
-        written += ((pending._1, pending._2, rowsInFile))
+        written += ((pending._1, pending._2, pending._3, rowsInFile))
         sink = null
       }
 
@@ -814,13 +1014,22 @@ private[sources] class GraftBucketWriterFactory(
         val b = java.lang.Math.floorMod(
           org.apache.spark.sql.catalyst.expressions.XxHash64Function
             .hash(v, keyType, 42L), buckets.toLong).toInt
-        if (b != bucket) { // rows arrive (bucket, key)-sorted: transitions
-          flush()
+        val s = part.fold("") { case (i, dt) =>
+          val pv = row.get(i, dt)
+          val str = if (pv == null) BucketedLake.NullPartName
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(dirString(pv, dt))
+          s"__part=$str"
+        }
+        if (b != bucket || s != seg) { // rows arrive (part, bucket,
+          flush() // key)-sorted: transitions cut a new file
+          val dir = if (s.isEmpty) s"$staging/$b" else s"$staging/$s/$b"
           sink = org.apache.spark.sql.graftshim.ParquetWriteShim
-            .open(handle, s"$staging/$b", partitionId)
-          pending = (b, sink.path())
+            .open(handle, dir, partitionId)
+          pending = (b, s, sink.path())
           rowsInFile = 0L
           bucket = b
+          seg = s
         }
         sink.write(row)
         rowsInFile += 1
@@ -948,16 +1157,58 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The partition column's (name, type) — the two-axis layout's
+    * second pruning dimension; `None` on bucket-only tables. */
+  private val partColType: Option[(String, DataType)] =
+    spec.partCol.map(pc =>
+      (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
+
+  /** A file's partition value in [[PartPruning]]'s canonical space —
+    * outer `None` = cannot prune this file (bucket-only layout, legacy
+    * path without a segment, unparsable dir value): keep it; filters
+    * stay residual, so keeping is always correct. */
+  private def canonOf(rel: String): Option[Option[Any]] = partColType match {
+    case None => None
+    case Some((_, dt)) => BucketedLake.partValueRaw(rel) match {
+      case None => None
+      case Some(None) => Some(None) // the null partition
+      case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
+    }
+  }
+
+  private def partKeep(canon: Option[Option[Any]],
+                       filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = (partColType, canon) match {
+    case (Some((pc, dt)), Some(part)) =>
+      filters.forall(f =>
+        PartPruning.matches(part, pc, dt, f).getOrElse(true))
+    case _ => true
+  }
+
+  /** Per-bucket kept files after PLAN-TIME pruning on both axes:
+    * bucket pruning dropped non-matching buckets, partition predicates
+    * drop non-matching partition dirs' files within each bucket. */
+  private lazy val keptMeta
+      : Map[Int, Array[(String, Long, Option[Option[Any]])]] =
+    BucketedLake.fileMetaFor(spark, path).iterator
+      .filter { case (b, rel, _, _) =>
+        pruned.forall(_.contains(b)) && partKeep(canonOf(rel), pushed)
+      }
+      .map { case (b, rel, abs, size) => (b, (abs, size, canonOf(rel))) }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+
   /** EXACT table statistics, free from the manifest (pruned buckets
-    * excluded): without them a V2 scan defaults to "unknown = huge" and
-    * a small bucketed dimension can never auto-broadcast — the
-    * optimizer would shuffle a fact table against a 1 MB side. Legacy
-    * tables report bytes from the listing (rows unknown). */
+    * and pruned partition dirs excluded): without them a V2 scan
+    * defaults to "unknown = huge" and a small bucketed dimension can
+    * never auto-broadcast — the optimizer would shuffle a fact table
+    * against a 1 MB side. Legacy tables report bytes from the listing
+    * (rows unknown). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val (bytes, rows) = BucketedLake.readManifest(spark, path) match {
       case Some(es) =>
-        val kept = es.filter(e => pruned.forall(_.contains(e.bucket)))
+        val kept = es.filter(e => pruned.forall(_.contains(e.bucket)) &&
+          partKeep(canonOf(e.rel), pushed))
         (java.util.OptionalLong.of(kept.map(_.size).sum),
           java.util.OptionalLong.of(kept.map(_.rows).sum))
       case None =>
@@ -972,9 +1223,10 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
   override def description(): String = {
     val p = pruned.fold("")(s => s", prunedTo=${s.size}/${spec.buckets}")
+    val pp = spec.partCol.fold("")(pc => s", partitionBy=$pc")
     val f = if (pushed.isEmpty) ""
             else s", PushedFilters: [${pushed.mkString(", ")}]"
-    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$p$f)"
+    s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$pp$p$f)"
   }
 
   /** Unfiltered scans report ALL n buckets — empty ones included, so
@@ -983,16 +1235,17 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * report only the buckets that can hold a match (the builder's
     * bucket pruning); a mismatched partition-value set on one join side
     * simply fails SPJ's compatibility check and falls back to a
-    * shuffle — correctness unaffected. File discovery is ONE manifest
-    * read (executor-parallel listing for legacy tables), never
-    * per-bucket driver listings. */
-  private lazy val partitions: Array[InputPartition] = {
-    val files = BucketedLake.allBucketFiles(spark, path, spec.buckets)
+    * shuffle — correctness unaffected. Partition-axis predicates trim
+    * each bucket's FILE LIST (never the bucket set), so two-axis
+    * pruning composes with SPJ. File discovery is ONE manifest read
+    * (executor-parallel listing for legacy tables), never per-bucket
+    * driver listings. */
+  private lazy val partitions: Array[InputPartition] =
     (0 until spec.buckets)
       .filter(b => pruned.forall(_.contains(b)))
-      .map(b => GraftBucketPartition(b, files(b)))
+      .map(b => GraftBucketPartition(b,
+        keptMeta.getOrElse(b, Array.empty).map(m => (m._1, m._2))))
       .toArray[InputPartition]
-  }
 
   /** RUNTIME (DPP-style) bucket pruning: a selective join side hands
     * the scan an `IN (join keys)` filter at execution time, and every
@@ -1007,11 +1260,13 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       : Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // Spark resolves these against the scan OUTPUT — a key pruned away
-    // by column pruning cannot anchor a runtime filter
-    if (required.fieldNames.contains(spec.keyCol))
-      Array(Expressions.column(spec.keyCol))
-    else Array.empty
+    // Spark resolves these against the scan OUTPUT — a column pruned
+    // away by projection cannot anchor a runtime filter. The partition
+    // column anchors DPP too: a join on it empties non-matching
+    // partition dirs' files at execution time.
+    (spec.keyCol +: spec.partCol.toSeq)
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val keyType =
@@ -1026,12 +1281,18 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    runtimeKeep match {
-      case None => partitions
-      case Some(keep) => partitions.map {
-        case p: GraftBucketPartition if !keep.contains(p.bucket) =>
-          p.copy(files = Array.empty)
-        case p => p
+    if (runtimeKeep.isEmpty && runtimePushed.isEmpty) partitions
+    else partitions.map { case p: GraftBucketPartition =>
+      if (runtimeKeep.exists(k => !k.contains(p.bucket)))
+        p.copy(files = Array.empty)
+      else {
+        // runtime partition-axis pruning: empty the files whose
+        // partition dir can hold no runtime-filter match
+        val metas = keptMeta.getOrElse(p.bucket,
+          Array.empty[(String, Long, Option[Option[Any]])])
+        val kept = metas.filter(m => partKeep(m._3, runtimePushed))
+        if (kept.length == metas.length) p
+        else p.copy(files = kept.map(m => (m._1, m._2)))
       }
     }
 
