@@ -2566,6 +2566,45 @@ object SparkEntry {
       * sub-state both get exercised. Distinct counts are EXACT and
       * additive (per-(group, value) sub-state; no source re-read, no
       * sketch); the oracle recomputes the end state from scratch. */
+    /** IVM OVER A JOIN ([[graft.streaming.IncrementalAgg.joinDelta]]):
+      * the delta-join rule (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) turns per-side change
+      * batches into an exact change feed of the JOINED relation, which
+      * then folds through the same bucketed additive state — the
+      * continuous-mart shape a binlog/pg feed needs. Epoch 0 loads both
+      * sides; epoch 1 deletes fact rows AND re-segments dimension rows
+      * in ONE batch (both delta terms and the ΔA⋈ΔB corner live). */
+    "lake_ivm_join" -> ((s, d) => {
+      import graft.streaming.IncrementalAgg
+      val root = lakeTmp(d, "ivmjoin")
+      val viewPath = s"$root/view"
+      val a = t(s, d, "orders").where(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val b = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val spec = IncrementalAgg.ViewSpec(Seq("c_mktsegment"),
+        sumCols = Seq("o_orderkey"), buckets = 8)
+      val emptyA = a.limit(0); val emptyB = b.limit(0)
+      IncrementalAgg.applyJoinChanges(s,
+        a.withColumn("change_type", lit("insert")),
+        b.withColumn("change_type", lit("insert")),
+        emptyA, emptyB, Seq("custkey"), viewPath, spec, 0L)
+      // epoch 1: delete %13 fact rows; move %7 dimension rows to a new
+      // segment (preimage+postimage) — both sides change at once
+      val chA = a.where(col("o_orderkey") % 13 === 0)
+        .withColumn("change_type", lit("delete"))
+      val movedB = b.where(col("custkey") % 7 === 0)
+      val chB = movedB.withColumn("change_type", lit("update_preimage"))
+        .unionByName(movedB
+          .withColumn("c_mktsegment", lit("MOVED"))
+          .withColumn("change_type", lit("update_postimage")))
+      IncrementalAgg.applyJoinChanges(s, chA, chB, a, b,
+        Seq("custkey"), viewPath, spec, 1L)
+      IncrementalAgg.read(s, viewPath, spec)
+        .select(col("c_mktsegment"), col("view_count"),
+          col("sum_o_orderkey"))
+        .orderBy("c_mktsegment")
+    }),
+
     "lake_ivm_distinct" -> ((s, d) => {
       import graft.streaming.IncrementalAgg
       val root = lakeTmp(d, "ivmd")
@@ -4966,6 +5005,22 @@ object SparkEntry {
              MIN(o_orderdate) AS min_o_orderdate,
              MAX(o_orderdate) AS max_o_orderdate
       FROM endst GROUP BY 1 ORDER BY 1""",
+
+    // full recompute of the JOIN view's end state: %13 fact rows were
+    // deleted, %7 dimension rows moved to segment 'MOVED'
+    "lake_ivm_join" -> """
+      WITH a AS (
+        SELECT o_custkey AS custkey, o_orderkey
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 13 <> 0),
+      b AS (
+        SELECT c_custkey AS custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer)
+      SELECT c_mktsegment, COUNT(*) AS view_count,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
+      FROM a JOIN b USING (custkey)
+      GROUP BY 1 ORDER BY 1""",
 
     // full recompute of the filtered distinct view's end state: the
     // update bumped o_custkey by 100 for %7 keys, %13 keys were deleted,

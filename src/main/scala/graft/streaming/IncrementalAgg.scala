@@ -288,6 +288,84 @@ object IncrementalAgg {
     applyChanges(spark, exploded, path, spec, epochId, sourceAt)
   }
 
+  /** IVM OVER JOINS — the exact change feed of `A ⋈ B` (equi-join on
+    * `joinKeys`) implied by one batch of changes to A and/or B, per the
+    * standard delta-join rule over signed multisets:
+    *
+    *   Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * where a change row's sign (+1 insert/postimage, −1 delete/
+    * preimage) MULTIPLIES through the join: a ΔA row joined to a ΔB row
+    * contributes sA·sB (two deletes re-create nothing they didn't both
+    * remove). `aOld`/`bOld` must snapshot each side BEFORE the batch
+    * (the CDF version the changes start from).
+    *
+    * The output is an ordinary insert/delete change feed over JOINED
+    * rows, so every single-relation capability composes for free
+    * downstream: [[applyChanges]] folds it into the same bucketed
+    * state with the same epoch/replay machinery, filters, distinct
+    * sub-states, and the min/max dirty recompute (whose `sourceAt` is
+    * then the POST-batch join).
+    *
+    * Scale: the two old-side joins are DELTA-DRIVEN — a micro-batch
+    * side is orders of magnitude smaller than the table, so Catalyst
+    * broadcasts it and the old side streams; pass bucketed/pruned
+    * snapshots for `aOld`/`bOld` to keep the probe side co-located.
+    * Non-key column names must be disjoint across sides (the join
+    * output carries both sides' payloads). */
+  def joinDelta(changesA: DataFrame, changesB: DataFrame,
+                aOld: DataFrame, bOld: DataFrame,
+                joinKeys: Seq[String]): DataFrame = {
+    require(joinKeys.nonEmpty, "joinDelta needs at least one join key")
+    def signedSide(ch: DataFrame, tag: String): DataFrame =
+      ch.withColumnRenamed("_change_type", ChangeCol)
+        .withColumn(tag,
+          when(col(ChangeCol).isin(AddTypes: _*), 1)
+            .when(col(ChangeCol).isin(RemoveTypes: _*), -1)
+            .otherwise(raise_error(concat(
+              lit("join view: change class '"), col(ChangeCol),
+              lit("' cannot fold additively — the delta-join rule needs " +
+                "a full-payload pre/postimage feed")))))
+        .drop(ChangeCol)
+    val dA = signedSide(changesA, "_sa")
+    val dB = signedSide(changesB, "_sb")
+    val aCols = dA.columns.filterNot(c => c == "_sa").toSeq
+    val bCols = dB.columns.filterNot(c => c == "_sb").toSeq
+    val overlap = (aCols.toSet intersect bCols.toSet) -- joinKeys.toSet
+    require(overlap.isEmpty,
+      s"join view: non-key columns must be disjoint across sides, " +
+        s"shared: ${overlap.mkString(", ")}")
+    val outCols = (aCols ++ bCols.filterNot(joinKeys.contains)).map(col)
+    def term(df: DataFrame, sign: Column): DataFrame =
+      df.select(outCols :+ sign.as(SignCol): _*)
+    val t1 = term(dA.join(bOld, joinKeys), col("_sa"))
+    val t2 = term(aOld.join(dB, joinKeys), col("_sb"))
+    val t3 = term(dA.join(dB, joinKeys), col("_sa") * col("_sb"))
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn(ChangeCol,
+        when(col(SignCol) === 1, lit("insert")).otherwise(lit("delete")))
+      .drop(SignCol)
+  }
+
+  /** Maintain a two-table join view (`SELECT ... FROM A JOIN B ON k
+    * GROUP BY g`) under one batch of changes to either or both sides:
+    * [[joinDelta]] + [[applyChanges]]. Pass an empty-change side as an
+    * empty DataFrame with the side's change schema. `sourceAt` (needed
+    * only when min/max groups go dirty) must snapshot the POST-batch
+    * join. Returns false on an idempotent replay. */
+  def applyJoinChanges(spark: SparkSession, changesA: DataFrame,
+                       changesB: DataFrame, aOld: DataFrame, bOld: DataFrame,
+                       joinKeys: Seq[String], path: String, spec: ViewSpec,
+                       epochId: Long,
+                       sourceAt: () => DataFrame = () =>
+                         throw new IllegalStateException(
+                           "join view: a min/max group went dirty but no " +
+                             "sourceAt was provided — pass the post-batch " +
+                             "join snapshot")): Boolean =
+    applyChanges(spark,
+      joinDelta(changesA, changesB, aOld, bOld, joinKeys),
+      path, spec, epochId, sourceAt)
+
   /** Apply one batch of change rows (payload columns + a
     * `change_type`/`_change_type` column). Returns false when
     * `epochId` was already applied (idempotent replay). */
@@ -548,9 +626,11 @@ object IncrementalAgg {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try {
-      val b = new Array[Byte](32)
-      val n = in.read(b)
-      new String(b, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+      // read to EOF — a single read() may legally return a prefix on
+      // HDFS/object-store streams, truncating the epoch digits
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
         .trim.toLongOption
     } finally in.close()
   }

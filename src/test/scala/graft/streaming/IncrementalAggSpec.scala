@@ -530,4 +530,154 @@ class IncrementalAggSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("newline"))
   }
+
+  // ---------------------------------------------------------- join IVM
+
+  private val emptyA = Seq.empty[(Long, String, Long, String)]
+    .toDF("k", "g", "v", "change_type")
+  private val emptyB = Seq.empty[(Long, Long, String)]
+    .toDF("k", "w", "change_type")
+
+  test("join view: initial load via the delta rule equals the plain join") {
+    val path = tmp("ivmj-init")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v", "w"), buckets = 4)
+    val a = Seq((1L, "x", 10L), (1L, "x", 20L), (2L, "y", 30L), (9L, "z", 5L))
+    val b = Seq((1L, 100L), (1L, 200L), (2L, 300L)) // k=9 unmatched; k=1 fans out
+    val chA = a.map { case (k, g, v) => (k, g, v, "insert") }
+      .toDF("k", "g", "v", "change_type")
+    val chB = b.map { case (k, w) => (k, w, "insert") }
+      .toDF("k", "w", "change_type")
+    applyJoinChanges(spark, chA, chB,
+      emptyA.drop("change_type"), emptyB.drop("change_type"),
+      Seq("k"), path, spec, 0L)
+    val got = read(spark, path, spec)
+      .select("g", CountCol, sumCol("v"), sumCol("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // x: (10,100),(10,200),(20,100),(20,200); y: (30,300); z drops
+    assert(got === Set(("x", 4L, 60L, 600L), ("y", 1L, 30L, 300L)))
+  }
+
+  test("join view: changes on BOTH sides in one epoch fold exactly (dA x dB included)") {
+    val path = tmp("ivmj-both")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v", "w"), buckets = 4)
+    val a0 = Seq((1L, "x", 10L), (2L, "y", 30L))
+    val b0 = Seq((1L, 100L), (2L, 300L))
+    applyJoinChanges(spark,
+      a0.map { case (k, g, v) => (k, g, v, "insert") }
+        .toDF("k", "g", "v", "change_type"),
+      b0.map { case (k, w) => (k, w, "insert") }
+        .toDF("k", "w", "change_type"),
+      emptyA.drop("change_type"), emptyB.drop("change_type"),
+      Seq("k"), path, spec, 0L)
+    // epoch 1: A inserts a NEW k=3 row, updates the k=1 row's v;
+    //          B deletes k=2 and inserts k=3 — the new A row joins the
+    //          new B row ONLY through the dA x dB term
+    val chA = Seq((3L, "z", 7L, "insert"),
+      (1L, "x", 10L, "update_preimage"), (1L, "x", 11L, "update_postimage"))
+      .toDF("k", "g", "v", "change_type")
+    val chB = Seq((2L, 300L, "delete"), (3L, 900L, "insert"))
+      .toDF("k", "w", "change_type")
+    applyJoinChanges(spark, chA, chB,
+      a0.toDF("k", "g", "v"), b0.toDF("k", "w"),
+      Seq("k"), path, spec, 1L)
+    val got = read(spark, path, spec)
+      .select("g", CountCol, sumCol("v"), sumCol("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // end state: A = {(1,x,11),(2,y,30),(3,z,7)}, B = {(1,100),(3,900)}
+    // join: x:(11,100), z:(7,900); y unmatched now
+    assert(got === Set(("x", 1L, 11L, 100L), ("z", 1L, 7L, 900L)))
+    // replay of epoch 1 is skipped idempotently
+    assert(!applyJoinChanges(spark, chA, chB,
+      a0.toDF("k", "g", "v"), b0.toDF("k", "w"),
+      Seq("k"), path, spec, 1L))
+  }
+
+  test("join view: overlapping non-key columns are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      joinDelta(
+        Seq((1L, 2L, "insert")).toDF("k", "v", "change_type"),
+        Seq((1L, 3L, "insert")).toDF("k", "v", "change_type"),
+        emptyA.drop("change_type"), emptyB.drop("change_type"), Seq("k"))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("randomized epochs over a JOIN view: incremental equals recompute (min/max too)") {
+    val path = tmp("ivmj-rand")
+    val spec = ViewSpec(Seq("g"), sumCols = Seq("v", "w"),
+      minCols = Seq("v"), maxCols = Seq("w"), buckets = 4)
+    val rng = new scala.util.Random(0xBEEF) // deterministic
+    val liveA = scala.collection.mutable.Map.empty[Long, (Long, String, Long)]
+    val liveB = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var nextId = 0L
+    val keys = Seq(1L, 2L, 3L, 4L)
+    val groups = Seq("a", "b")
+    for (epoch <- 0 until 5) {
+      val aOldRows = liveA.values.toSeq
+      val bOldRows = liveB.values.toSeq
+      val chA = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+      val chB = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      for (_ <- 0 until 8) rng.nextInt(3) match {
+        case 0 => // insert into A
+          val row = (keys(rng.nextInt(keys.length)),
+            groups(rng.nextInt(groups.length)), rng.nextInt(50).toLong)
+          liveA(nextId) = row; nextId += 1
+          chA += ((row._1, row._2, row._3, "insert"))
+        case 1 if liveA.nonEmpty => // update A measure
+          val id = liveA.keys.toSeq(rng.nextInt(liveA.size))
+          val (k, g, old) = liveA(id); val nv = rng.nextInt(50).toLong
+          liveA(id) = (k, g, nv)
+          chA += ((k, g, old, "update_preimage"))
+          chA += ((k, g, nv, "update_postimage"))
+        case 2 if liveA.nonEmpty => // delete from A
+          val id = liveA.keys.toSeq(rng.nextInt(liveA.size))
+          val (k, g, v) = liveA.remove(id).get
+          chA += ((k, g, v, "delete"))
+        case _ => ()
+      }
+      for (_ <- 0 until 6) rng.nextInt(3) match {
+        case 0 => // insert into B
+          val row = (keys(rng.nextInt(keys.length)), rng.nextInt(500).toLong)
+          liveB(nextId) = row; nextId += 1
+          chB += ((row._1, row._2, "insert"))
+        case 1 if liveB.nonEmpty =>
+          val id = liveB.keys.toSeq(rng.nextInt(liveB.size))
+          val (k, old) = liveB(id); val nw = rng.nextInt(500).toLong
+          liveB(id) = (k, nw)
+          chB += ((k, old, "update_preimage"))
+          chB += ((k, nw, "update_postimage"))
+        case 2 if liveB.nonEmpty =>
+          val id = liveB.keys.toSeq(rng.nextInt(liveB.size))
+          val (k, w) = liveB.remove(id).get
+          chB += ((k, w, "delete"))
+        case _ => ()
+      }
+      if (chA.nonEmpty || chB.nonEmpty) {
+        val aEnd = liveA.values.toSeq; val bEnd = liveB.values.toSeq
+        applyJoinChanges(spark,
+          if (chA.isEmpty) emptyA else chA.toSeq.toDF("k", "g", "v", "change_type"),
+          if (chB.isEmpty) emptyB else chB.toSeq.toDF("k", "w", "change_type"),
+          aOldRows.toDF("k", "g", "v"), bOldRows.toDF("k", "w"),
+          Seq("k"), path, spec, epoch.toLong,
+          () => aEnd.toDF("k", "g", "v").join(bEnd.toDF("k", "w"), Seq("k")))
+        // driver-side recompute of the joined end state
+        val joined = for {
+          (ka, g, v) <- aEnd; (kb, w) <- bEnd; if ka == kb
+        } yield (g, v, w)
+        val expect = joined.groupBy(_._1).map { case (g, rows) =>
+          g -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+            rows.map(_._2).min, rows.map(_._3).max))
+        }
+        val got = read(spark, path, spec)
+          .select(col("g"), col(CountCol), col(sumCol("v")), col(sumCol("w")),
+            col(minCol("v")), col(maxCol("w")))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5)))).toMap
+        assert(got === expect, s"join-view divergence after epoch $epoch")
+      }
+    }
+  }
 }
