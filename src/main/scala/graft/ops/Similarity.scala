@@ -930,6 +930,52 @@ object Similarity {
     fragmented
   }
 
+  /** RECALL-DRIVEN maintenance for the at-rest IVF index:
+    * [[appendToIvfIndex]] deliberately never retrains (assignment is
+    * the index's invariant), so centroids go stale as the corpus
+    * drifts and recall decays SILENTLY — the failure mode of every
+    * IVF system without a measured trigger. This is the trigger:
+    * measure recall@k of the stored index ([[ivfTopKIndexed]]) against
+    * exact ground truth ([[bruteForceTopK]]) over a BOUNDED,
+    * DETERMINISTIC query sample (smallest `xxhash64(id)` win — no RNG,
+    * so a rebuild audit reproduces the measurement), and retrain +
+    * rebuild ([[writeIvfIndex]], whose integer-sum k-means keeps the
+    * rebuild reproducible for identical input) only when recall drops
+    * below `minRecallX1000`.
+    *
+    * Cost: truth is one corpus scan against ≤ `sampleQueries`
+    * broadcast queries (a maintenance probe, not a query-path cost);
+    * the index side reads only the probed cells. Returns
+    * `(measured recall_x1000, rebuilt?)`. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, k: Int = 5, nprobe: Int = 4,
+                       sampleQueries: Int = 64,
+                       minRecallX1000: Long = 900L,
+                       rebuildNlist: Int = 16, rebuildIters: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): (Long, Boolean) = {
+    VectorFunctions.ensureRegistered(spark)
+    val corpus = spark.read.parquet(s"$path/data")
+      .select(col(idCol), col(vecCol))
+    // bounded collect: exactly min(sampleQueries, corpus) ids
+    val sampleIds = corpus.select(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleQueries).collect().map(_.get(0)).toSeq
+    if (sampleIds.isEmpty) return (1000L, false)
+    val pred = col(idCol).isin(sampleIds: _*)
+    val truth = bruteForceTopK(corpus, k, pred, idCol, vecCol,
+      maxQueries = math.max(sampleQueries.toLong, 1L))
+    val result = ivfTopKIndexed(corpus.filter(pred), path, k, nprobe,
+      idCol, vecCol)
+    val recall = annRecall(truth, result, "ivf-at-rest", k)
+      .select(col("recall_x1000")).head().getLong(0)
+    if (recall >= minRecallX1000) (recall, false)
+    else {
+      writeIvfIndex(corpus, path, rebuildNlist, rebuildIters, idCol, vecCol)
+      (recall, true)
+    }
+  }
+
   /** Top-k against a stored IVF index: per-query probes come from the
     * stored centroids, the probed cell set (≤ nlist ids, driver-side) turns
     * into a partition-pruning `isin` filter on the index scan, and only

@@ -443,16 +443,56 @@ object BucketedLake {
     // spec lands BEFORE the manifest flip: a reader resolving the new
     // version must see the layout that wrote it (pinned readers hold
     // their Spec in memory — a replace never mutates their view)
-    val p = new Path(path, SpecFile)
-    val out = fs.create(p, true)
-    try out.write(
-      (s"$keyCol\n$buckets\n${df.schema.json}\nsorted=true\n" +
-        partitionCol.fold("")(pc => s"partition=$pc\n")).getBytes(UTF_8))
-    finally out.close()
+    writeSpec(spark, path,
+      Spec(keyCol, buckets, df.schema, sorted = true, partitionCol))
     // write-time manifest over ONLY this write's files: per-file record
     // counts while they are one executor-parallel sweep — scans and the
     // COUNT(*) pushdown then never touch a footer or a directory listing
     writeManifest(spark, path, footerSweepFiles(spark, moved.result()))
+  }
+
+  private[sources] def writeSpec(spark: SparkSession, path: String,
+                                 spec: Spec): Unit = {
+    val p = new Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((s"${spec.keyCol}\n${spec.buckets}\n${spec.schema.json}\n" +
+      (if (spec.sorted) "sorted=true\n" else "") +
+      spec.partCol.fold("")(pc => s"partition=$pc\n")).getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** ADDITIVE schema evolution: append nullable columns to the table
+    * schema — the same evolution every other layout in the repo
+    * supports (MergeWriter.mergeBatch, Delta mergeSchema, Iceberg spec
+    * evolution). Old files stay untouched; scans null-fill the missing
+    * columns (Spark's parquet reader resolves by name), new appends
+    * carry the full schema. Everything layout-derived is UNAFFECTED:
+    * the bucket key and partition column cannot change, so SPJ,
+    * bucket/partition pruning, the manifest, and the COUNT(*) pushdown
+    * hold as before. Any non-additive change (drop, retype, rename,
+    * reorder, non-nullable add) fails loudly. */
+  def evolveSchema(spark: SparkSession, path: String,
+                   newSchema: StructType): Unit = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val old = spec.schema
+    require(newSchema.fields.length >= old.fields.length,
+      s"incompatible evolution: cannot drop columns " +
+        s"(${old.fields.length} -> ${newSchema.fields.length})")
+    old.fields.zip(newSchema.fields.take(old.fields.length)).foreach {
+      case (o, n) =>
+        require(o.name == n.name && o.dataType == n.dataType,
+          s"incompatible evolution: column '${o.name}' " +
+            s"(${o.dataType.catalogString}) cannot become '${n.name}' " +
+            s"(${n.dataType.catalogString}) — only ADDITIVE evolution " +
+            "(append nullable columns) is supported")
+    }
+    newSchema.fields.drop(old.fields.length).foreach(f =>
+      require(f.nullable,
+        s"new column '${f.name}' must be nullable — old files can only " +
+          "null-fill it"))
+    writeSpec(spark, path, spec.copy(schema = newSchema))
   }
 
   private[sources] def readSpec(spark: SparkSession, path: String): Option[Spec] = {
@@ -601,8 +641,29 @@ class GraftBucketCatalog extends TableCatalog with FunctionCatalog {
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "create via BucketedLake.write(df, path, keyCol, buckets)")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("bucketed tables are immutable")
+  /** `ALTER TABLE ... ADD COLUMN(S)` — the one supported change class
+    * (additive evolution, [[BucketedLake.evolveSchema]]); everything
+    * else fails loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = (ident.namespace() :+ ident.name()).mkString("/")
+    val spec = BucketedLake.readSpec(spark, path).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "bucketed tables support only top-level ADD COLUMN")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"bucketed tables support only additive evolution (ADD COLUMN), " +
+          s"got $other")
+    }
+    BucketedLake.evolveSchema(spark, path,
+      StructType(spec.schema.fields ++ adds))
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("bucketed tables are immutable")

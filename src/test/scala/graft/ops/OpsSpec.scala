@@ -1264,4 +1264,63 @@ class OpsSpec extends SparkSuite {
     assert(r3.getAs[Long]("n_queries") === 0L)
     assert(r3.getAs[Long]("recall_x1000") === 0L)
   }
+
+  test("recall-driven IVF maintenance: drifted appends degrade recall, rebuild restores it") {
+    // corpus: two tight clusters on axes e0/e1 — nlist=2 learns exactly them
+    def axisVec(axis: Int, i: Long): Array[Float] =
+      Array.tabulate(16)(d =>
+        ((if (d == axis) 1.0 else 0.0) +
+          (if (d >= 2) 0.05 * math.sin((i * 31 + d) * 1.7) else 0.0)).toFloat)
+    val a = (0L until 20L).map(i => (i, axisVec(0, i))) ++
+      (20L until 40L).map(i => (i, axisVec(1, i)))
+    val emb = a.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-maint").toString
+    Similarity.writeIvfIndex(emb, path, nlist = 2, iters = 2)
+    val healthy = Similarity.maintainIvfIndex(spark, path, k = 5, nprobe = 1,
+      sampleQueries = 64, minRecallX1000 = 900L, rebuildNlist = 3)
+    assert(!healthy._2 && healthy._1 >= 900L,
+      s"fresh index must be healthy, recall=${healthy._1}")
+
+    // DRIFT: a new mode halfway between the axes. A tiny parity bias on
+    // dims 0/1 decides the stale-centroid assignment (half to each old
+    // cell) while mutual similarity is dominated by the dim>=2 jitter
+    // (parity-independent) — so a drifted query's true neighbors are
+    // split across cells its nprobe=1 probe cannot cover.
+    def driftVec(i: Long): Array[Float] = {
+      val bias0 = if (i % 2 == 0) 0.02 else 0.0
+      val bias1 = if (i % 2 == 1) 0.02 else 0.0
+      Array.tabulate(16)(d => (
+        (if (d == 0) 0.707 + bias0
+         else if (d == 1) 0.707 + bias1
+         else 0.05 * math.sin((i * 31 + d) * 1.7))).toFloat)
+    }
+    val batch = (100L until 120L).map(i => (i, driftVec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(batch, path)
+    val (degraded, rebuilt) = Similarity.maintainIvfIndex(spark, path,
+      k = 5, nprobe = 1, sampleQueries = 64, minRecallX1000 = 900L,
+      rebuildNlist = 3, rebuildIters = 2)
+    assert(degraded < 900L,
+      s"the drifted append should have degraded recall, got $degraded")
+    assert(rebuilt, "maintenance must retrain below the threshold")
+    // post-rebuild: the drift mode has its own cell(s); recall restored
+    val after = Similarity.maintainIvfIndex(spark, path, k = 5, nprobe = 1,
+      sampleQueries = 64, minRecallX1000 = 900L, rebuildNlist = 3)
+    assert(!after._2 && after._1 >= 900L,
+      s"rebuild must restore recall, got ${after._1}")
+    // the rebuild obeys the at-rest determinism contract: rebuilding the
+    // SAME corpus into a fresh path yields byte-identical centroids
+    def digestCentroids(p: String): Seq[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      new java.io.File(s"$p/_centroids").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName.split("-")(1))
+        .foreach(f => md.update(java.nio.file.Files.readAllBytes(f.toPath)))
+      md.digest().toSeq
+    }
+    val corpus = spark.read.parquet(s"$path/data").select("vec_id", "embedding")
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivf-maint2").toString
+    Similarity.writeIvfIndex(corpus, path2, nlist = 3, iters = 2)
+    assert(digestCentroids(path) === digestCentroids(path2),
+      "maintenance rebuild lost the byte-identical determinism contract")
+  }
 }

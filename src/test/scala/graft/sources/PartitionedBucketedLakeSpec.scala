@@ -236,6 +236,72 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
       oneDay.sizeInBytes().getAsLong, "both axes must compound in stats")
   }
 
+  test("additive schema evolution: old files null-fill, appends carry the new column, pruning unaffected") {
+    val path = tmp("bk2-evolve")
+    BucketedLake.write((1L to 100L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      path, "k", 4)
+    // SQL ALTER TABLE ADD COLUMN drives evolveSchema through the catalog
+    spark.sql(s"ALTER TABLE $cat.`$path` ADD COLUMN score BIGINT")
+    assert(BucketedLake.readSpec(spark, path).get.schema.fieldNames.toSeq ===
+      Seq("k", "nm", "score"))
+    // old files scan consistently: the new column null-fills
+    val back = table(path)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "nm", "score"))
+    assert(back.where(col("score").isNull).count() === 100L)
+    // appends carry the full evolved schema
+    (101L to 150L).map(i => (i, s"n$i", i * 10)).toDF("k", "nm", "score")
+      .writeTo(s"$cat.`$path`").append()
+    assert(table(path).count() === 150L)
+    assert(table(path).where(col("score").isNotNull).count() === 50L)
+    assert(table(path).agg(sum("score")).head().getLong(0) ===
+      (101L to 150L).map(_ * 10).sum)
+    // bucket pruning is untouched by evolution — old AND new rows
+    val point = table(path).where(col("k") === 42L)
+    assert(point.rdd.getNumPartitions === 1)
+    assert(point.head().isNullAt(2))
+    assert(table(path).where(col("k") === 142L).head().getLong(2) === 1420L)
+    // the manifest stayed exact across the evolved append
+    val m = BucketedLake.readManifest(spark, path).get
+    assert(m.map(_.rows).sum === 150L)
+    // compaction reads mixed-schema files and folds them
+    BucketedLake.compact(spark, path)
+    assert(table(path).count() === 150L)
+    assert(table(path).where(col("score").isNull).count() === 100L)
+    // incompatible changes fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      BucketedLake.evolveSchema(spark, path, org.apache.spark.sql.types
+        .StructType(BucketedLake.readSpec(spark, path).get.schema.fields
+          .take(2))) // drop
+    }
+    assert(e1.getMessage.contains("drop"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.`$path` DROP COLUMN score")
+    }
+    assert(e2.getMessage.contains("additive") ||
+      e2.getMessage.toLowerCase.contains("unsupported"))
+  }
+
+  test("evolution composes with the two-axis layout: SPJ and partition pruning survive") {
+    val fact = tmp("bk2-evolve-spj"); val dim = tmp("bk2-evolve-dim")
+    fixture(fact)
+    BucketedLake.evolveSchema(spark, fact, org.apache.spark.sql.types
+      .StructType(BucketedLake.readSpec(spark, fact).get.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    BucketedLake.write((1L to 1000L).map(i => (i, s"d$i")).toDF("k", "dv"),
+      dim, "k", 8)
+    val joined = table(fact).join(table(dim), Seq("k"))
+    assert(shuffles(joined).isEmpty, "evolution must not break SPJ")
+    assert(joined.count() === 1000L)
+    // partition pruning still drives the file lists
+    val parts = planParts(fact, Array(
+      EqualTo("dt", Date.valueOf("2024-01-03"))))
+    assert(parts.flatMap(_.files.map(_._1))
+      .forall(_.contains("__part=2024-01-03/")))
+    assert(table(fact).where(col("dt") === Date.valueOf("2024-01-03"))
+      .where(col("extra").isNull).count() === 100L)
+  }
+
   test("runtime (DPP) filters on the partition column empty non-matching dirs") {
     val path = tmp("bk2-dpp")
     fixture(path)
