@@ -831,8 +831,12 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qp = col("vec_id") % 20 === 0
+      // EAGER: the brute-force truth is the evaluation FIXTURE, not the
+      // operator under test — materializing it at closure construction
+      // keeps the bench's setup/query split honest (query_s then times
+      // the families + recall joins only)
       val truth = Similarity.bruteForceTopK(emb, 5, qp)
-        .localCheckpoint(false) // reused as truth for every family
+        .localCheckpoint(true) // reused as truth for every family
       Seq(
         "bq" -> Similarity.bqTopK(emb, 5, qp, shortlist = 20),
         "brute" -> truth,

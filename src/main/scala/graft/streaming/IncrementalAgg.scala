@@ -288,6 +288,46 @@ object IncrementalAgg {
     applyChanges(spark, exploded, path, spec, epochId, sourceAt)
   }
 
+  /** ONE-CALL CONTINUOUS MART, CDC shape: attach an incremental view to
+    * a `graft-binlog` / `graft-pg` stream (`op`/`payload`/`before`
+    * events; read the feed with `emitPreimages=true`). Each micro-batch
+    * folds through [[applyCdcBatch]] under the stream's own epoch id,
+    * so the exactly-once contract is checkpoint + epoch probes: a batch
+    * Spark re-delivers after a crash (checkpoint commit lost) SKIPS
+    * before any byte is written, and a reset checkpoint fails loudly.
+    * `transform` routes/filters the raw feed (e.g.
+    * `_.where(col("table") === "orders")`) before parsing. */
+  def streamCdcInto(stream: DataFrame, rowSchema: StructType, path: String,
+                    spec: ViewSpec, checkpoint: String,
+                    sourceAt: () => DataFrame = noSource,
+                    transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        applyCdcBatch(b.sparkSession, transform(b), rowSchema, path, spec,
+          epochId, sourceAt): Unit
+      }.start()
+
+  /** ONE-CALL CONTINUOUS MART, CDF shape: attach an incremental view to
+    * a `graft-delta` / lake change-feed stream (`change_type` + `row`
+    * json). Same exactly-once contract as [[streamCdcInto]]. */
+  def streamCdfInto(stream: DataFrame, rowSchema: StructType, path: String,
+                    spec: ViewSpec, checkpoint: String,
+                    sourceAt: () => DataFrame = noSource,
+                    transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        applyCdfBatch(b.sparkSession, transform(b), rowSchema, path, spec,
+          epochId, sourceAt): Unit
+      }.start()
+
+  private def noSource: () => DataFrame = () =>
+    throw new IllegalStateException(
+      "incremental view: a min/max group went dirty but no sourceAt was " +
+        "provided — pass a source-snapshot closure to the stream entry " +
+        "point (count/sum/distinct-only views never need one)")
+
   /** IVM OVER JOINS — the exact change feed of `A ⋈ B` (equi-join on
     * `joinKeys`) implied by one batch of changes to A and/or B, per the
     * standard delta-join rule over signed multisets:
