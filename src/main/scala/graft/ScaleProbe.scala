@@ -648,6 +648,53 @@ object ScaleProbe {
         timeCount("10496 files (manifest)")
       }
     }
+    // Vacuum at production doomed-file counts: the retention checks and
+    // deletes fan out to executors, so wall-time must stay ~flat from
+    // 256 to 10,240 doomed files — the driver-loop shape would
+    // serialize ~10k remote getFileStatus+delete calls. The dry-run
+    // report must agree exactly with the real pass.
+    if (only.forall("vacuum_files".contains)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-bk-vacuum").toString + "/t"
+      graft.sources.BucketedLake.write(
+        spark.range(0, 256L * 100L).select(col("id").as("k"), col("id").as("v")),
+        root, "k", 256)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // unreferenced copies next to each bucket's live file = the doomed set
+      def fanOut(copies: Int, tag: String): Unit = (0 until 256).foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(s"$root/data/__bucket=$b")
+        val src = fs.listStatus(dir).map(_.getPath)
+          .find(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith("doomed")).get
+        (0 until copies).foreach { i =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(dir, s"doomed-$tag-$i-${src.getName}"),
+            false, spark.sparkContext.hadoopConfiguration)
+        }
+      }
+      def timeVacuum(label: String): Long = {
+        val t0 = System.nanoTime()
+        val dry = graft.sources.BucketedLake.vacuum(spark, root,
+          minAgeMs = 0L, dryRun = true)
+        val t1 = System.nanoTime()
+        val real = graft.sources.BucketedLake.vacuum(spark, root, minAgeMs = 0L)
+        val t2 = System.nanoTime()
+        require(dry.files == real.files && dry.bytes == real.bytes,
+          s"dry-run drifted from the real pass: $dry vs $real")
+        System.err.println(f"[probe] vacuum $label%-16s dry " +
+          f"${(t1 - t0) / 1e9}%.2fs real ${(t2 - t1) / 1e9}%.2fs " +
+          f"files=${real.files}")
+        real.files.toLong
+      }
+      time("vacuum_files") {
+        fanOut(1, "s")
+        val small = timeVacuum("256 doomed")
+        fanOut(40, "l")
+        val large = timeVacuum("10240 doomed")
+        small + large
+      }
+    }
     // Storage-partitioned join headroom: 2M x 2M rows over 64 buckets —
     // the co-located plan must carry NO join exchange (plan-required),
     // and the probe prints it next to the shuffled baseline over the

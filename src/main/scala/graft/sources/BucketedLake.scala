@@ -462,6 +462,28 @@ object BucketedLake {
     finally out.close()
   }
 
+  /** CREATE an empty bucketed table — the SQL DDL path
+    * (`CREATE TABLE cat.`/p` (...) PARTITIONED BY (dt, bucket(8, k))`):
+    * spec + an empty manifest version, so the table is MVCC from birth
+    * and `INSERT INTO` (the V2 append writer) is the first commit. */
+  def createEmpty(spark: SparkSession, path: String, keyCol: String,
+                  buckets: Int, schema: StructType,
+                  partitionCol: Option[String] = None): Unit = {
+    require(schema.fieldNames.contains(keyCol),
+      s"no column '$keyCol' to bucket by")
+    require(buckets >= 1, "buckets must be >= 1")
+    partitionCol.foreach { pc =>
+      require(schema.fieldNames.contains(pc),
+        s"no column '$pc' to partition by")
+      require(pc != keyCol, "partition column must differ from the bucket key")
+    }
+    require(readSpec(spark, path).isEmpty,
+      s"a bucketed table already exists at $path")
+    writeSpec(spark, path,
+      Spec(keyCol, buckets, schema, sorted = true, partitionCol))
+    writeManifest(spark, path, Nil)
+  }
+
   /** ADDITIVE schema evolution: append nullable columns to the table
     * schema — the same evolution every other layout in the repo
     * supports (MergeWriter.mergeBatch, Delta mergeSchema, Iceberg spec
@@ -636,11 +658,40 @@ class GraftBucketCatalog extends TableCatalog with FunctionCatalog {
     }
   }
 
+  /** SQL DDL: `CREATE TABLE cat.`/path` (...) PARTITIONED BY
+    * ([partCol,] bucket(n, key))` — the bucket transform is required
+    * (it IS the layout); at most one identity transform adds the
+    * partition axis. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create via BucketedLake.write(df, path, keyCol, buckets)")
+                           properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val path = (ident.namespace() :+ ident.name()).mkString("/")
+    var bucket: Option[(Int, String)] = None
+    var part: Option[String] = None
+    partitions.foreach { t =>
+      t.name() match {
+        case "bucket" =>
+          require(bucket.isEmpty, "exactly one bucket transform expected")
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: ${t.describe()}"))
+          bucket = Some((n, t.references().head.fieldNames().mkString(".")))
+        case "identity" =>
+          require(part.isEmpty, "at most one partition column is supported")
+          part = Some(t.references().head.fieldNames().mkString("."))
+        case other => throw new UnsupportedOperationException(
+          s"bucketed tables support PARTITIONED BY ([col,] bucket(n, key))" +
+            s", got transform '$other'")
+      }
+    }
+    val (n, key) = bucket.getOrElse(throw new IllegalArgumentException(
+      "bucketed tables require a bucket(n, key) transform in PARTITIONED BY"))
+    BucketedLake.createEmpty(spark, path, key, n, schema, part)
+    loadTable(ident)
+  }
   /** `ALTER TABLE ... ADD COLUMN(S)` — the one supported change class
     * (additive evolution, [[BucketedLake.evolveSchema]]); everything
     * else fails loudly. */

@@ -302,6 +302,44 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
       .where(col("extra").isNull).count() === 100L)
   }
 
+  test("SQL DDL end-to-end: CREATE TABLE ... PARTITIONED BY (dt, bucket(8, k)) -> INSERT INTO -> pruned SELECT") {
+    val path = tmp("bk2-ddl"); val dim = tmp("bk2-ddl-dim")
+    spark.sql(s"""CREATE TABLE $cat.`$path` (k BIGINT, dt DATE, nm STRING)
+      PARTITIONED BY (dt, bucket(8, k))""")
+    val spec = BucketedLake.readSpec(spark, path).get
+    assert(spec.keyCol === "k" && spec.buckets === 8 &&
+      spec.partCol === Some("dt"))
+    // MVCC from birth: the empty table already answers through a manifest
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$path`").head().getLong(0)
+      === 0L)
+    (1L to 1000L).map(i =>
+      (i, Date.valueOf(f"2024-01-${1 + (i % 10)}%02d"), s"n$i"))
+      .toDF("k", "dt", "nm").createOrReplaceTempView("ddl_src")
+    spark.sql(s"INSERT INTO $cat.`$path` SELECT * FROM ddl_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$path`").head().getLong(0)
+      === 1000L)
+    // two-axis pruning holds for the DDL-created table
+    val df = table(path).where(col("dt") === Date.valueOf("2024-01-03") &&
+      col("k") === 42L)
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.head().getString(2) === "n42")
+    // SPJ against a second DDL-created table, same bucket count
+    spark.sql(s"CREATE TABLE $cat.`$dim` (k BIGINT, dv STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1L to 1000L).map(i => (i, s"d$i")).toDF("k", "dv")
+      .createOrReplaceTempView("ddl_dim_src")
+    spark.sql(s"INSERT INTO $cat.`$dim` SELECT * FROM ddl_dim_src")
+    val joined = table(path).join(table(dim), Seq("k"))
+    assert(shuffles(joined).isEmpty, "DDL-created tables must SPJ")
+    assert(joined.count() === 1000L)
+    // a second CREATE at the same path fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`$path` (x BIGINT) " +
+        "PARTITIONED BY (bucket(2, x))")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("runtime (DPP) filters on the partition column empty non-matching dirs") {
     val path = tmp("bk2-dpp")
     fixture(path)

@@ -556,6 +556,12 @@ class IncrementalAggSpec extends SparkSuite {
         r.getLong(3))).toSet
     // x: (10,100),(10,200),(20,100),(20,200); y: (30,300); z drops
     assert(got === Set(("x", 4L, 60L, 600L), ("y", 1L, 30L, 300L)))
+    // the SQL spelling reads the join view through the persisted spec —
+    // a join view's state is the same shape as any other view's
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val viaSql = spark.sql(s"SELECT g, view_count FROM graft_ivm('$path')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql === Set(("x", 4L), ("y", 1L)))
   }
 
   test("join view: changes on BOTH sides in one epoch fold exactly (dA x dB included)") {
