@@ -136,18 +136,65 @@ object BucketedLake {
 
   /** Publish `entries` as the next manifest version: the versioned file
     * lands first (invisible), then the pointer flips — the write's
-    * atomic commit point. Commits are CONFLICT-LOUD, the semantics
-    * Hudi/Delta/Iceberg share: two racing committers both target
-    * v(N+1), the versioned file is created with `overwrite = false`,
-    * and the loser gets a [[ConcurrentCommitException]] HERE — its
-    * staged files stay unreferenced (vacuumable) instead of silently
-    * orphaning the winner's. A post-flip pointer readback catches the
-    * residual race on filesystems without atomic create-no-overwrite. */
+    * atomic commit point. Commits are OPTIMISTIC and CONFLICT-LOUD,
+    * the semantics Hudi/Delta/Iceberg share:
+    *
+    *  - `base = Some(v)` is the OCC READ GATE: `entries` were derived
+    *    from manifest version v, so any commit that landed since makes
+    *    this one stale — it fails with [[ConcurrentCommitException]]
+    *    BEFORE writing (the caller re-reads and retries; the V2 append
+    *    commit does this automatically). Without the gate a compaction
+    *    racing an append could silently drop the append's files from
+    *    the merged manifest.
+    *  - the versioned file is created with `overwrite = false`, so two
+    *    racing committers that both passed the gate still serialize:
+    *    the loser gets the exception HERE, its staged files stay
+    *    unreferenced (vacuumable) instead of silently orphaning the
+    *    winner's.
+    *  - a post-flip pointer readback catches the residual race on
+    *    filesystems without atomic create-no-overwrite. A readback
+    *    AHEAD of `next` is success, not conflict: with the version
+    *    gate, a later committer can only have built on a pointer that
+    *    already carried this commit.
+    *
+    * `base = None` = replace semantics (full [[write]]): the commit
+    * does not depend on prior state, last writer wins, the loser's
+    * files stay vacuumable. */
+  /** Same-JVM committers serialize on a per-table lock: local
+    * filesystems implement `create(overwrite = false)` as a non-atomic
+    * exists-then-create, so two threads in one driver could both pass
+    * the check and clobber one manifest. In-process is exactly the
+    * deployment shape where that race is likely (all of a driver's
+    * writers share the JVM); ACROSS processes the guard is the store's
+    * own atomic create-no-overwrite (HDFS namenode; object stores with
+    * conditional put). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def writeManifest(spark: SparkSession, path: String,
-                                   entries: Seq[ManifestEntry]): Unit = {
+                                   entries: Seq[ManifestEntry],
+                                   base: Option[Long] = None): Unit = {
+    val lock = commitLocks.computeIfAbsent(
+      new Path(path).toUri.toString, _ => new Object)
+    lock.synchronized {
+      writeManifestLocked(spark, path, entries, base)
+    }
+  }
+
+  private def writeManifestLocked(spark: SparkSession, path: String,
+                                  entries: Seq[ManifestEntry],
+                                  base: Option[Long]): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val next = currentVersion(spark, path).getOrElse(0L) + 1L
+    val cur = currentVersion(spark, path)
+    base.foreach { b =>
+      val c = cur.getOrElse(0L)
+      if (c != b) throw new ConcurrentCommitException(
+        s"concurrent commit detected at $path: the manifest advanced from " +
+          s"v$b to v$c since this commit's snapshot was read — re-read " +
+          "the table and retry", null)
+    }
+    val next = base.orElse(cur).getOrElse(0L) + 1L
     val vp = new Path(path, versionedManifest(next))
     val out =
       try fs.create(vp, false)
@@ -164,7 +211,7 @@ object BucketedLake {
     val ptr = fs.create(new Path(path, CurrentPointer), true)
     try ptr.write(next.toString.getBytes(UTF_8)) finally ptr.close()
     val readback = currentVersion(spark, path)
-    if (!readback.contains(next)) throw new ConcurrentCommitException(
+    if (readback.forall(_ < next)) throw new ConcurrentCommitException(
       s"commit pointer readback mismatch at $path: wrote v$next, " +
         s"read ${readback.fold("nothing")(v => s"v$v")} — a concurrent " +
         "writer raced the flip", null)
@@ -548,6 +595,11 @@ object BucketedLake {
   def compact(spark: SparkSession, path: String): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
+    // the OCC base: every entry below derives from THIS version — a
+    // concurrent commit (e.g. an append) after this point makes the
+    // compaction stale, and the write gate fails it loudly instead of
+    // silently dropping the append's files from the merged manifest
+    val occBase = Some(currentVersion(spark, path).getOrElse(0L))
     // legacy tables materialize a manifest FIRST (pre-compaction file
     // set) — after the new files land, only the manifest can tell the
     // live set apart from superseded files
@@ -562,7 +614,7 @@ object BucketedLake {
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
     if (multi.isEmpty) {
       if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
-        writeManifest(spark, path, baseEntries)
+        writeManifest(spark, path, baseEntries, occBase)
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -604,7 +656,8 @@ object BucketedLake {
     val compacted = multi.map(_._1).toSet
     val kept = baseEntries.filterNot(e =>
       compacted.contains((segOf(e.rel), e.bucket)))
-    writeManifest(spark, path, kept ++ fresh) // pointer flip = commit
+    // pointer flip = commit; OCC-gated on the snapshot this fold read
+    writeManifest(spark, path, kept ++ fresh, occBase)
   }
 
   /** The V2 [[Table]] at `path` — the SQL TVF's entry point
@@ -1052,13 +1105,9 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val dataDir = new Path(s"$path/data")
     val f = fs(dataDir)
-    // legacy tables (no manifest) materialize one from the PRE-commit
-    // files first, so the merged manifest below covers everything
-    val existing: Seq[BucketedLake.ManifestEntry] =
-      if (truncate) Nil
-      else BucketedLake.readManifest(spark, path)
-        .getOrElse(BucketedLake.footerSweep(spark, path))
     if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
+    // files move into the layout ONCE under task-unique names; only the
+    // manifest publication below ever retries
     val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
     messages.foreach {
       case GraftBucketCommit(files) =>
@@ -1076,7 +1125,41 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         }
       case other => throw new IllegalStateException(s"foreign message $other")
     }
-    BucketedLake.writeManifest(spark, path, existing ++ fresh.result())
+    val freshEntries = fresh.result()
+    if (truncate) {
+      // replace semantics: the manifest holds only this write's files
+      BucketedLake.writeManifest(spark, path, freshEntries)
+    } else {
+      // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
+      // only add files), so losing the race just means re-reading the
+      // winner's manifest and merging on top of it — concurrent appends
+      // all land, none silently orphaned. The base-version gate makes a
+      // stale merge impossible; a crashed committer's orphan manifest
+      // file keeps conflicting until vacuum reclaims it (loud, never
+      // wrong).
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val base = BucketedLake.currentVersion(spark, path).getOrElse(0L)
+        // legacy tables (no manifest) materialize one from the
+        // PRE-commit files, filtered to exclude this commit's fresh
+        // names (the sweep sees them on disk already)
+        val freshRels = freshEntries.map(_.rel).toSet
+        val existing = BucketedLake.readManifest(spark, path)
+          .getOrElse(BucketedLake.footerSweep(spark, path)
+            .filterNot(e => freshRels.contains(e.rel)))
+        try {
+          BucketedLake.writeManifest(spark, path,
+            existing ++ freshEntries, Some(base))
+          done = true
+        } catch {
+          case e: BucketedLake.ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 5) throw e
+            Thread.sleep(25L << attempt)
+        }
+      }
+    }
     f.delete(new Path(staging), true): Unit
   }
 

@@ -689,4 +689,75 @@ class BucketedLakeSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.write-crashed")))
     assert(table(path).count() === 20L)
   }
+
+  test("OCC read gate: a commit based on a stale snapshot is rejected before writing") {
+    val path = tmp("bk-occ")
+    BucketedLake.write((1L to 50L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    val staleBase = BucketedLake.currentVersion(spark, path).get
+    val entries = BucketedLake.readManifest(spark, path).get
+    // someone else commits (replace semantics, no base)
+    BucketedLake.writeManifest(spark, path, entries)
+    // the stale snapshot must now be refused LOUDLY — merging it would
+    // silently drop the interleaved commit's files
+    val e = intercept[BucketedLake.ConcurrentCommitException] {
+      BucketedLake.writeManifest(spark, path, entries, Some(staleBase))
+    }
+    assert(e.getMessage.contains("advanced"))
+    // a fresh read commits fine
+    BucketedLake.writeManifest(spark, path, entries,
+      Some(BucketedLake.currentVersion(spark, path).get))
+  }
+
+  test("concurrent V2 appends: optimistic retry lands BOTH commits, no rows lost") {
+    val path = tmp("bk-cc-append")
+    BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val lo = t * 1000 + 1; val hi = t * 1000 + 100
+            (lo.toLong to hi.toLong).map(i => (i, i)).toDF("k", "v")
+              .writeTo(s"$cat.`$path`").append()
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(table(path).count() === 210L,
+      "a racing append's files were dropped from the manifest")
+    // the manifest agrees with the physical files exactly
+    val m = BucketedLake.readManifest(spark, path).get
+      .sortBy(e => (e.bucket, e.rel))
+    val swept = BucketedLake.footerSweep(spark, path)
+      .sortBy(e => (e.bucket, e.rel))
+    assert(m === swept, "manifest drifted from files under concurrency")
+    assert(table(path).agg(sum(col("v"))).head().getLong(0) ===
+      (1L to 10L).sum + (1L to 100L).sum + (1001L to 1100L).sum)
+  }
+
+  test("compaction racing an append fails loudly instead of dropping the append") {
+    val path = tmp("bk-occ-compact")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    (101L to 200L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    // simulate the race: capture compaction's base, let an append land,
+    // then try to publish a manifest gated on the stale base
+    val staleBase = BucketedLake.currentVersion(spark, path).get
+    val staleEntries = BucketedLake.readManifest(spark, path).get
+    (201L to 300L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    intercept[BucketedLake.ConcurrentCommitException] {
+      BucketedLake.writeManifest(spark, path, staleEntries, Some(staleBase))
+    }
+    // the append survived; a re-run compaction then folds everything
+    assert(table(path).count() === 300L)
+    BucketedLake.compact(spark, path)
+    assert(table(path).count() === 300L)
+    val m = BucketedLake.readManifest(spark, path).get
+    assert(m.groupBy(_.bucket).forall(_._2.length == 1))
+  }
 }
