@@ -83,15 +83,18 @@ object LakeTableFunctions {
       (args: Seq[Expression]) => plan(SparkSession.active.read
         .format("arrow").load(str(args.head)))),
     // bucketed graft-lake tables WITHOUT configuring a catalog:
-    // SELECT * FROM graft_bucketed('/p') — resolves to the same V2
-    // relation the catalog serves, so SPJ / bucket pruning / manifest
-    // COUNT(*) / runtime filtering all apply to the SQL spelling
+    // SELECT * FROM graft_bucketed('/p'[, version]) — resolves to the
+    // same V2 relation the catalog serves, so SPJ / bucket pruning /
+    // manifest COUNT(*) / runtime filtering all apply to the SQL
+    // spelling; the optional second argument pins a retained manifest
+    // version (time travel over the MVCC history)
     (FunctionIdentifier("graft_bucketed"),
       new ExpressionInfo(getClass.getName, "graft_bucketed"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           .create(graft.sources.BucketedLake.tableFor(
-            SparkSession.active, str(args.head)), None, None)),
+            SparkSession.active, str(args.head),
+            asOf = args.lift(1).map(a => num(a))), None, None)),
     // live incremental aggregate views: SELECT * FROM graft_ivm('/view')
     // (tombstones filtered, avg_<c> derived — the persisted spec drives it)
     (FunctionIdentifier("graft_ivm"),

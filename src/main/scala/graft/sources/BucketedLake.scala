@@ -115,16 +115,57 @@ object BucketedLake {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
-    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { l =>
-      val Array(b, rows, size, rel) = l.split("\t", 4)
-      ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
-    }.toSeq
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")).map { l =>
+        val Array(b, rows, size, rel) = l.split("\t", 4)
+        ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
+      }.toSeq
   }
 
-  private[graft] def readManifest(spark: SparkSession,
-                                  path: String): Option[Seq[ManifestEntry]] = {
+  /** Streaming-writer watermarks carried IN the manifest (the
+    * SetTransaction pattern): `#txn\t<appId>\t<epoch>` header lines,
+    * committed ATOMICALLY with the file set they gate — a replayed
+    * micro-batch can never append twice, because the watermark and the
+    * append share one pointer flip. */
+  private def slurpTxns(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Map[String, Long] = {
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+    text.split("\n").iterator.map(_.trim)
+      .filter(_.startsWith("#txn\t")).map { l =>
+        val Array(_, app, epoch) = l.split("\t", 3)
+        app -> epoch.toLong
+      }.toMap
+  }
+
+  /** The CURRENT manifest's per-appId committed-epoch watermarks. */
+  private[graft] def readTxns(spark: SparkSession,
+                              path: String): Map[String, Long] = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    currentVersion(spark, path) match {
+      case Some(v) => slurpTxns(fs, new Path(path, versionedManifest(v)))
+      case None => Map.empty
+    }
+  }
+
+  private[graft] def readManifest(spark: SparkSession, path: String,
+                                  asOf: Option[Long] = None)
+      : Option[Seq[ManifestEntry]] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    asOf.foreach { v =>
+      val vp = new Path(path, versionedManifest(v))
+      if (!fs.exists(vp)) throw new IllegalArgumentException(
+        s"no manifest version $v at $path — either it never existed or " +
+          "vacuum reclaimed it (time travel reaches only retained versions; " +
+          s"versions: ${versions(spark, path).mkString(", ")})")
+      return Some(slurpEntries(fs, vp))
+    }
     currentVersion(spark, path) match {
       case Some(v) =>
         Some(slurpEntries(fs, new Path(path, versionedManifest(v))))
@@ -173,17 +214,19 @@ object BucketedLake {
 
   private[graft] def writeManifest(spark: SparkSession, path: String,
                                    entries: Seq[ManifestEntry],
-                                   base: Option[Long] = None): Unit = {
+                                   base: Option[Long] = None,
+                                   txns: Map[String, Long] = Map.empty): Unit = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
-      writeManifestLocked(spark, path, entries, base)
+      writeManifestLocked(spark, path, entries, base, txns)
     }
   }
 
   private def writeManifestLocked(spark: SparkSession, path: String,
                                   entries: Seq[ManifestEntry],
-                                  base: Option[Long]): Unit = {
+                                  base: Option[Long],
+                                  txns: Map[String, Long]): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -204,8 +247,10 @@ object BucketedLake {
             "exists — another writer committed first; re-read the table " +
             "and retry against the new version", e)
       }
-    try out.write(entries.sortBy(e => (e.bucket, e.rel))
-      .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}")
+    try out.write((txns.toSeq.sorted
+      .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
+      entries.sortBy(e => (e.bucket, e.rel))
+        .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}"))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     val ptr = fs.create(new Path(path, CurrentPointer), true)
@@ -494,8 +539,11 @@ object BucketedLake {
       Spec(keyCol, buckets, df.schema, sorted = true, partitionCol))
     // write-time manifest over ONLY this write's files: per-file record
     // counts while they are one executor-parallel sweep — scans and the
-    // COUNT(*) pushdown then never touch a footer or a directory listing
-    writeManifest(spark, path, footerSweepFiles(spark, moved.result()))
+    // COUNT(*) pushdown then never touch a footer or a directory
+    // listing. Streaming watermarks carry forward: a replace does not
+    // license a replayed micro-batch to double-append.
+    writeManifest(spark, path, footerSweepFiles(spark, moved.result()),
+      txns = readTxns(spark, path))
   }
 
   private[sources] def writeSpec(spark: SparkSession, path: String,
@@ -612,9 +660,10 @@ object BucketedLake {
       rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
     val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
+    val carryTxns = readTxns(spark, path)
     if (multi.isEmpty) {
       if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
-        writeManifest(spark, path, baseEntries, occBase)
+        writeManifest(spark, path, baseEntries, occBase, carryTxns)
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -656,24 +705,69 @@ object BucketedLake {
     val compacted = multi.map(_._1).toSet
     val kept = baseEntries.filterNot(e =>
       compacted.contains((segOf(e.rel), e.bucket)))
-    // pointer flip = commit; OCC-gated on the snapshot this fold read
-    writeManifest(spark, path, kept ++ fresh, occBase)
+    // pointer flip = commit; OCC-gated on the snapshot this fold read;
+    // streaming watermarks carry forward untouched
+    writeManifest(spark, path, kept ++ fresh, occBase, carryTxns)
+  }
+
+  /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
+    * micro-batch appends through the V2 writer under the transactional
+    * watermark `(appId, epochId)` — the watermark line commits in the
+    * SAME manifest pointer flip as the batch's files, so a micro-batch
+    * Spark re-delivers after a crash (checkpoint commit lost) is a
+    * clean no-op, never a double append. Combined with the OCC retry,
+    * several streams (distinct appIds) can ingest one table
+    * concurrently. The table must exist ([[write]], [[createEmpty]],
+    * or SQL `CREATE TABLE`). */
+  def streamInto(stream: DataFrame, path: String, appId: String,
+                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val catName = "graft_bucketed_stream"
+    stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        val s = b.sparkSession
+        s.conf.set(s"spark.sql.catalog.$catName",
+          classOf[GraftBucketCatalog].getName)
+        b.writeTo(s"$catName.`$path`")
+          .option("graft.txnAppId", appId)
+          .option("graft.txnEpoch", epochId.toString)
+          .append()
+      }.start()
+  }
+
+  /** Retained manifest versions at `path`, ascending — the TIME-TRAVEL
+    * surface: every version still on disk (vacuum trims the tail) is a
+    * consistent snapshot [[tableFor]] can pin. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_bucket_manifest.v") && n.endsWith(".txt"))
+      .flatMap(_.stripPrefix("_bucket_manifest.v").stripSuffix(".txt")
+        .toLongOption)
+      .toSeq.sorted
   }
 
   /** The V2 [[Table]] at `path` — the SQL TVF's entry point
     * (`graft_bucketed('/p')`) and a programmatic alternative to
-    * configuring a catalog. */
-  def tableFor(spark: SparkSession, path: String)
+    * configuring a catalog. `asOf` pins the scan to a retained manifest
+    * version (TIME TRAVEL over the MVCC history): the snapshot is
+    * consistent for the whole scan and fails loudly if vacuum reclaimed
+    * it. */
+  def tableFor(spark: SparkSession, path: String, asOf: Option[Long] = None)
       : org.apache.spark.sql.connector.catalog.Table =
     new GraftBucketedTable(spark, path, readSpec(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no bucketed table at $path")))
+      throw new IllegalArgumentException(s"no bucketed table at $path")),
+      asOf)
 
   /** Per-file `(bucket, rel, abs, size)` scan metadata: ONE manifest
     * read when present, one executor-parallel listing otherwise — the
     * rel path carries the partition dir segment for two-axis pruning. */
-  private[sources] def fileMetaFor(spark: SparkSession, path: String)
+  private[sources] def fileMetaFor(spark: SparkSession, path: String,
+                                   asOf: Option[Long] = None)
       : Seq[(Int, String, String, Long)] =
-    readManifest(spark, path) match {
+    readManifest(spark, path, asOf) match {
       case Some(es) => es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size))
       case None => listDataFiles(spark, path).map(f => (f._1, f._4, f._2, f._3))
     }
@@ -998,10 +1092,12 @@ private[sources] final class BucketReducer(n: Int)
 }
 
 private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
-                                          spec: BucketedLake.Spec)
+                                          spec: BucketedLake.Spec,
+                                          asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = path
+  override def name(): String =
+    asOf.fold(path)(v => s"$path@v$v")
   override def schema(): StructType = spec.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1010,16 +1106,26 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
     (spec.partCol.toSeq.map(pc => Expressions.identity(pc)) :+
       Expressions.bucket(spec.buckets, spec.keyCol)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftBucketScanBuilder(spark, path, spec)
+    new GraftBucketScanBuilder(spark, path, spec, asOf)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel snapshot")
     val in = info.schema().fields.map(f => (f.name, f.dataType)).toSeq
     val declared = spec.schema.fields.map(f => (f.name, f.dataType)).toSeq
     require(in == declared,
       s"bucketed table $path expects schema ${spec.schema.simpleString}, " +
         s"got ${info.schema().simpleString}")
-    new GraftBucketWriteBuilder(spark, path, spec)
+    // streaming idempotence: .option("graft.txnAppId", app)
+    // .option("graft.txnEpoch", e) makes this append a transactional
+    // watermarked commit — replays of an applied epoch become no-ops
+    val txn = Option(info.options().get("graft.txnAppId")).map { app =>
+      val e = Option(info.options().get("graft.txnEpoch")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft.txnAppId requires graft.txnEpoch"))
+      (app, e.toLong)
+    }
+    new GraftBucketWriteBuilder(spark, path, spec, txn)
   }
 }
 
@@ -1035,7 +1141,8 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
   * (single-file guard), correctness unaffected. */
 private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
                                                path: String,
-                                               spec: BucketedLake.Spec)
+                                               spec: BucketedLake.Spec,
+                                               txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -1043,12 +1150,13 @@ private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftBucketWrite(spark, path, spec, doTruncate)
+    new GraftBucketWrite(spark, path, spec, doTruncate, txn)
 }
 
 private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
                                         spec: BucketedLake.Spec,
-                                        truncate: Boolean)
+                                        truncate: Boolean,
+                                        txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{SortDirection => SD}
@@ -1072,7 +1180,7 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBucketBatchWrite(spark, path, spec, truncate,
-      s"$path/.stage-${java.util.UUID.randomUUID()}")
+      s"$path/.stage-${java.util.UUID.randomUUID()}", txn)
 }
 
 /** Per-task commit message: `(bucket, partitionDirSegment, stagedPath,
@@ -1084,7 +1192,8 @@ private[sources] final case class GraftBucketCommit(
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
                                              spec: BucketedLake.Spec,
-                                             truncate: Boolean, staging: String)
+                                             truncate: Boolean, staging: String,
+                                             txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1105,6 +1214,17 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val dataDir = new Path(s"$path/data")
     val f = fs(dataDir)
+    // transactional-watermark pre-check: a replayed epoch (appId already
+    // at or past it) is a clean NO-OP before any byte moves — the
+    // watermark commits atomically with the manifest below, so the
+    // check is exactly-once, not best-effort
+    def alreadyApplied: Boolean = txn.exists { case (app, epoch) =>
+      BucketedLake.readTxns(spark, path).get(app).exists(_ >= epoch)
+    }
+    if (alreadyApplied) {
+      f.delete(new Path(staging), true): Unit
+      return
+    }
     if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
     // files move into the layout ONCE under task-unique names; only the
     // manifest publication below ever retries
@@ -1126,9 +1246,12 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       case other => throw new IllegalStateException(s"foreign message $other")
     }
     val freshEntries = fresh.result()
+    val txnUpdate = txn.map { case (app, epoch) => app -> epoch }.toMap
     if (truncate) {
-      // replace semantics: the manifest holds only this write's files
-      BucketedLake.writeManifest(spark, path, freshEntries)
+      // replace semantics: the manifest holds only this write's files;
+      // watermarks carry forward (a replayed epoch must stay a no-op)
+      BucketedLake.writeManifest(spark, path, freshEntries,
+        txns = BucketedLake.readTxns(spark, path) ++ txnUpdate)
     } else {
       // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
       // only add files), so losing the race just means re-reading the
@@ -1141,22 +1264,28 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       var done = false
       while (!done) {
         val base = BucketedLake.currentVersion(spark, path).getOrElse(0L)
-        // legacy tables (no manifest) materialize one from the
-        // PRE-commit files, filtered to exclude this commit's fresh
-        // names (the sweep sees them on disk already)
-        val freshRels = freshEntries.map(_.rel).toSet
-        val existing = BucketedLake.readManifest(spark, path)
-          .getOrElse(BucketedLake.footerSweep(spark, path)
-            .filterNot(e => freshRels.contains(e.rel)))
-        try {
-          BucketedLake.writeManifest(spark, path,
-            existing ++ freshEntries, Some(base))
-          done = true
-        } catch {
-          case e: BucketedLake.ConcurrentCommitException =>
-            attempt += 1
-            if (attempt > 5) throw e
-            Thread.sleep(25L << attempt)
+        // a racer may have committed THIS epoch while we retried: the
+        // moved files become unreferenced (vacuumable), never duplicated
+        if (alreadyApplied) { done = true }
+        else {
+          // legacy tables (no manifest) materialize one from the
+          // PRE-commit files, filtered to exclude this commit's fresh
+          // names (the sweep sees them on disk already)
+          val freshRels = freshEntries.map(_.rel).toSet
+          val existing = BucketedLake.readManifest(spark, path)
+            .getOrElse(BucketedLake.footerSweep(spark, path)
+              .filterNot(e => freshRels.contains(e.rel)))
+          try {
+            BucketedLake.writeManifest(spark, path,
+              existing ++ freshEntries, Some(base),
+              BucketedLake.readTxns(spark, path) ++ txnUpdate)
+            done = true
+          } catch {
+            case e: BucketedLake.ConcurrentCommitException =>
+              attempt += 1
+              if (attempt > 5) throw e
+              Thread.sleep(25L << attempt)
+          }
         }
       }
     }
@@ -1240,7 +1369,8 @@ private[sources] class GraftBucketWriterFactory(
 }
 
 private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
-                                              spec: BucketedLake.Spec)
+                                              spec: BucketedLake.Spec,
+                                              asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1300,8 +1430,9 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
   }
 
   override def build(): Scan =
-    if (countStar) new GraftBucketCountScan(spark, path, spec)
-    else new GraftBucketScan(spark, path, spec, required, pruned, accepted)
+    if (countStar) new GraftBucketCountScan(spark, path, spec, asOf)
+    else new GraftBucketScan(spark, path, spec, required, pruned, accepted,
+      asOf)
 }
 
 /** Manifest-backed COUNT(*): one input partition carrying the summed
@@ -1310,7 +1441,8 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
   * without a manifest take one executor-parallel footer sweep (never a
   * driver loop over remote opens). */
 private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
-                                            spec: BucketedLake.Spec)
+                                            spec: BucketedLake.Spec,
+                                            asOf: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("count_star",
@@ -1319,7 +1451,7 @@ private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
   override def description(): String =
     s"graft-bucketed $path [PushedAggregates: COUNT(*) from manifest]"
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = BucketedLake.readManifest(spark, path)
+    val total = BucketedLake.readManifest(spark, path, asOf)
       .getOrElse(BucketedLake.footerSweep(spark, path))
       .iterator.map(_.rows).sum
     Array(GraftBucketCountPartition(total))
@@ -1344,7 +1476,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,
                                        required: StructType,
                                        pruned: Option[Set[Int]],
-                                       pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                                       pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                                       asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -1385,7 +1518,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * drop non-matching partition dirs' files within each bucket. */
   private lazy val keptMeta
       : Map[Int, Array[(String, Long, Option[Option[Any]])]] =
-    BucketedLake.fileMetaFor(spark, path).iterator
+    BucketedLake.fileMetaFor(spark, path, asOf).iterator
       .filter { case (b, rel, _, _) =>
         pruned.forall(_.contains(b)) && partKeep(canonOf(rel), pushed)
       }
@@ -1400,7 +1533,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * (rows unknown). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytes, rows) = BucketedLake.readManifest(spark, path) match {
+    val (bytes, rows) = BucketedLake.readManifest(spark, path, asOf) match {
       case Some(es) =>
         val kept = es.filter(e => pruned.forall(_.contains(e.bucket)) &&
           partKeep(canonOf(e.rel), pushed))

@@ -760,4 +760,92 @@ class BucketedLakeSpec extends SparkSuite {
     val m = BucketedLake.readManifest(spark, path).get
     assert(m.groupBy(_.bucket).forall(_._2.length == 1))
   }
+
+  test("time travel: every retained manifest version is a consistent pinned snapshot") {
+    val path = tmp("bk-tt")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4) // v1
+    (101L to 200L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append() // v2
+    BucketedLake.compact(spark, path) // v3
+    assert(BucketedLake.versions(spark, path) === Seq(1L, 2L, 3L))
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    def countAt(v: Long): Long =
+      spark.sql(s"SELECT count(*) FROM graft_bucketed('$path', $v)")
+        .head().getLong(0)
+    assert(countAt(1L) === 100L) // pre-append snapshot
+    assert(countAt(2L) === 200L)
+    assert(countAt(3L) === 200L) // compaction preserves rows
+    // full scans at a version, with pruning intact
+    val v1 = spark.sql(
+      s"SELECT sum(v) AS s FROM graft_bucketed('$path', 1) WHERE k <= 50")
+    assert(v1.head().getLong(0) === (1L to 50L).sum)
+    // a time-travel snapshot refuses writes (the guard fires before the
+    // write info is ever touched)
+    val e = intercept[IllegalArgumentException] {
+      new GraftBucketedTable(spark, path,
+        BucketedLake.readSpec(spark, path).get, Some(1L))
+        .newWriteBuilder(null)
+    }
+    assert(e.getMessage.contains("time-travel"))
+    // vacuum trims history: superseded versions stop resolving LOUDLY
+    BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit
+    assert(BucketedLake.versions(spark, path) === Seq(3L))
+    val gone = intercept[IllegalArgumentException] { countAt(1L) }
+    assert(gone.getMessage.contains("vacuum") ||
+      gone.getMessage.contains("no manifest version"))
+    assert(countAt(3L) === 200L)
+  }
+
+  test("exactly-once streaming ingest: a re-delivered micro-batch never double-appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp("bk-stream")
+    BucketedLake.createEmpty(spark, path, "k", 4,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val ckpt = Files.createTempDirectory("bk-stream-ckpt").toString
+    val in = MemoryStream[(Long, Long)]
+    // the previous run's checkpoint lease releases asynchronously after
+    // stop(); retry the transient "concurrently using" window
+    def run(attempt: Int = 0): Unit = {
+      val q = BucketedLake.streamInto(in.toDF().toDF("k", "v"), path,
+        "ingest-a", ckpt)
+      try { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+      catch {
+        case e: Exception if attempt < 10 && Option(e.getMessage)
+            .exists(_.contains("concurrently using")) =>
+          q.stop(); Thread.sleep(300); run(attempt + 1)
+      }
+    }
+    in.addData((1L, 10L), (2L, 20L))
+    run()
+    assert(table(path).count() === 2L)
+    // crash window: the state committed but Spark's checkpoint commit was
+    // lost — restart re-delivers the SAME batch under the SAME epoch, and
+    // the manifest watermark makes it a no-op
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filterNot(_.endsWith(".tmp")).sorted.last
+    java.nio.file.Files.delete(java.nio.file.Paths.get(last))
+    run()
+    assert(table(path).count() === 2L,
+      "re-delivered micro-batch double-appended")
+    // the manifest agrees with the physical live files (replayed staged
+    // files are unreferenced at worst, never counted)
+    assert(table(path).agg(sum(col("v"))).head().getLong(0) === 30L)
+    // new data keeps flowing
+    in.addData((3L, 30L))
+    run()
+    assert(table(path).count() === 3L)
+    assert(table(path).agg(sum(col("v"))).head().getLong(0) === 60L)
+    // the watermark rides the manifest: visible to readTxns
+    assert(BucketedLake.readTxns(spark, path).contains("ingest-a"))
+    // compaction carries watermarks forward
+    BucketedLake.compact(spark, path)
+    assert(BucketedLake.readTxns(spark, path).contains("ingest-a"))
+  }
 }
