@@ -2782,6 +2782,32 @@ object SparkEntry {
         .orderBy("o_orderyear", "o_custkey")
     }),
 
+    /** TIME TRAVEL over the bucketed lake's MVCC history
+      * ([[graft.sources.BucketedLake.versions]]): v1 = the initial
+      * write, v2 = after a V2 append — `graft_bucketed('/p', v)` pins a
+      * retained manifest version, so both snapshots answer exactly from
+      * one table (the audit/reproducibility read every lakehouse
+      * ships). */
+    "lake_bucketed_timetravel" -> ((s, d) => {
+      val root = lakeTmp(d, "bktt")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.sources.BucketedLake.write(
+        orders.where(col("o_orderkey") % 2 === 0),
+        s"$root/orders", "o_custkey", 8) // v1
+      orders.where(col("o_orderkey") % 2 =!= 0)
+        .writeTo(s"graft_bk.`$root/orders`").append() // v2
+      def at(v: Int) = s.sql(s"""
+        SELECT CAST($v AS INT) AS version, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM graft_bucketed('$root/orders', $v)""")
+      at(1).unionByName(at(2)).orderBy("version")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -5068,6 +5094,17 @@ object SparkEntry {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1 ORDER BY 1""",
+
+    // v1 saw only the even orderkeys; v2 (post-append) sees all rows
+    "lake_bucketed_timetravel" -> """
+      SELECT CAST(1 AS INTEGER) AS version, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      ORDER BY version""",
 
     // two-axis layout: the partition-dir + bucket pruned scan must
     // equal the plain filtered aggregate
