@@ -95,6 +95,13 @@ object LakeTableFunctions {
           .create(graft.sources.BucketedLake.tableFor(
             SparkSession.active, str(args.head),
             asOf = args.lift(1).map(a => num(a))), None, None)),
+    // bucketed-lake retained history: one row per manifest version
+    // (version, files, rows, bytes, txn_watermarks) — inspect the MVCC
+    // timeline before vacuuming or time-traveling
+    (FunctionIdentifier("graft_bucketed_history"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed_history"),
+      (args: Seq[Expression]) => plan(graft.sources.BucketedLake
+        .history(SparkSession.active, str(args.head)))),
     // live incremental aggregate views: SELECT * FROM graft_ivm('/view')
     // (tombstones filtered, avg_<c> derived — the persisted spec drives it)
     (FunctionIdentifier("graft_ivm"),

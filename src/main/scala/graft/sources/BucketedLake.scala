@@ -735,6 +735,23 @@ object BucketedLake {
       }.start()
   }
 
+  /** Retained-history summary — one row per retained manifest version:
+    * `(version, files, rows, bytes, txn_watermarks)`. Metadata-bounded
+    * (one manifest read per retained version); the SQL spelling is
+    * `graft_bucketed_history('/p')` — operators at 100 TB inspect the
+    * timeline before they vacuum or time-travel. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    versions(spark, path).map { v =>
+      val es = slurpEntries(fs, new Path(path, versionedManifest(v)))
+      val txns = slurpTxns(fs, new Path(path, versionedManifest(v)))
+      (v, es.size.toLong, es.map(_.rows).sum, es.map(_.size).sum,
+        txns.toSeq.sorted.map { case (a, e) => s"$a=$e" }.mkString(","))
+    }.toDF("version", "files", "rows", "bytes", "txn_watermarks")
+  }
+
   /** Retained manifest versions at `path`, ascending — the TIME-TRAVEL
     * surface: every version still on disk (vacuum trims the tail) is a
     * consistent snapshot [[tableFor]] can pin. */

@@ -788,6 +788,10 @@ class BucketedLakeSpec extends SparkSuite {
         .newWriteBuilder(null)
     }
     assert(e.getMessage.contains("time-travel"))
+    // the SQL history surface: one row per retained version, exact rows
+    val hist = spark.sql(s"SELECT * FROM graft_bucketed_history('$path')")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(hist === Seq((1L, 100L), (2L, 200L), (3L, 200L)))
     // vacuum trims history: superseded versions stop resolving LOUDLY
     BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit
     assert(BucketedLake.versions(spark, path) === Seq(3L))
