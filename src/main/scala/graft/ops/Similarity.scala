@@ -971,8 +971,57 @@ object Similarity {
       .select(col("recall_x1000")).head().getLong(0)
     if (recall >= minRecallX1000) (recall, false)
     else {
-      writeIvfIndex(corpus, path, rebuildNlist, rebuildIters, idCol, vecCol)
+      rebuildIvfIndexInPlace(spark, path, rebuildNlist, rebuildIters,
+        idCol, vecCol)
       (recall, true)
+    }
+  }
+
+  /** Retrain + rewrite an at-rest index over ITS OWN corpus, safely:
+    * the rebuild's write overwrites the very partitions its plan reads,
+    * so the corpus is EAGERLY materialized first (the
+    * [[appendToIvfIndex]] pattern — a lazy plan would hit
+    * FILE_NOT_EXIST mid-job under static partition overwrite), and
+    * because dynamic partition overwrite only replaces cells PRESENT in
+    * the new assignment, cell dirs the retrain no longer produces
+    * (nlist shrank, or a cell went empty) are deleted explicitly —
+    * leaving them would keep every stale row alive next to its
+    * re-assigned copy. */
+  private def rebuildIvfIndexInPlace(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, nlist: Int, iters: Int,
+                                     idCol: String, vecCol: String): Unit = {
+    VectorFunctions.ensureRegistered(spark)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldCells: Set[String] =
+      if (!fs.exists(dataPath)) Set.empty
+      else fs.listStatus(dataPath).iterator
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("cell_id="))
+        .map(_.getPath.getName).toSet
+    val corpus = spark.read.parquet(s"$path/data")
+      .select(col(idCol), col(vecCol))
+    // deterministic retrain (the at-rest reproducibility contract) +
+    // assignment, EAGERLY materialized: the write overwrites the very
+    // partitions this plan reads
+    val cents = trainCentroidsI8(corpus, nlist, iters, idCol, vecCol)
+    val assigned = assignCells(corpus, cents, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol),
+        col("cell_id"))
+      .localCheckpoint(true)
+    // the cells the retrain actually produced — bounded by nlist
+    val produced = assigned.select("cell_id").distinct().collect()
+      .map(r => s"cell_id=${r.getLong(0)}").toSet
+    assigned.write.partitionBy("cell_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+    // dynamic partition overwrite only replaced cells PRESENT in the new
+    // assignment: old dirs it skipped still hold pre-retrain rows —
+    // every such vector would be alive twice, and probes would answer
+    // from stale centroid geometry
+    oldCells.diff(produced).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(dataPath, d), true): Unit
     }
   }
 

@@ -172,34 +172,53 @@ object HudiClean {
     val dir = new Path(table, ".hoodie")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
-    val rels = fs.listStatus(dir).iterator
-      .filterNot(_.isDirectory)
-      .filter(_.getPath.getName.endsWith(".clean"))
-      .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        Option(graft.sources.DocPushdown.jsonMapper.readTree(json)
-          .get("deletedPaths")).filterNot(_.isNull).toSeq.flatMap { arr =>
-          import scala.jdk.CollectionConverters._
-          arr.elements().asScala.map(_.asText()).toSeq
-        }
-      }.toSeq.distinct
-    if (rels.isEmpty) return 0
-    import scala.jdk.CollectionConverters._
-    val props = spark.sparkContext.broadcast(
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => (e.getKey, e.getValue)).toArray)
-    val root = table
-    spark.sparkContext
-      .parallelize(rels, math.min(rels.size,
-        spark.sparkContext.defaultParallelism * 2))
-      .map { rel =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        props.value.foreach { case (k, v) => conf.set(k, v) }
-        val p = new Path(new Path(root), rel)
-        val f = p.getFileSystem(conf)
-        if (f.exists(p)) { f.delete(p, false): Unit; 1 } else 0
-      }.sum().toInt
+    val names = fs.listStatus(dir).iterator.filterNot(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    // each marker is verified ONCE: a confirmed-reconciled marker gets a
+    // `<instant>.cleanack` sibling, so this pass is bounded by cleans
+    // since the last reconcile, not by everything ever deleted
+    val pending = names.filter(_.endsWith(".clean"))
+      .filter(n => !names.contains(n + "ack")).toSeq.sorted
+    if (pending.isEmpty) return 0
+    val pairs: Seq[(String, String)] = pending.flatMap { n =>
+      val in = fs.open(new Path(dir, n))
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      Option(graft.sources.DocPushdown.jsonMapper.readTree(json)
+        .get("deletedPaths")).filterNot(_.isNull).toSeq.flatMap { arr =>
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.map(rel => (n, rel.asText())).toSeq
+      }
+    }
+    val (reclaimed, failedMarkers) =
+      if (pairs.isEmpty) (0, Set.empty[String])
+      else {
+        import scala.jdk.CollectionConverters._
+        val props = spark.sparkContext.broadcast(
+          spark.sparkContext.hadoopConfiguration.iterator().asScala
+            .map(e => (e.getKey, e.getValue)).toArray)
+        val root = table
+        val res = spark.sparkContext
+          .parallelize(pairs, math.min(pairs.size,
+            spark.sparkContext.defaultParallelism * 2))
+          .map { case (marker, rel) =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            props.value.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(new Path(root), rel)
+            val f = p.getFileSystem(conf)
+            if (!f.exists(p)) (marker, 0, false)
+            else if (f.delete(p, false)) (marker, 1, false)
+            else (marker, 0, true) // delete failed: do NOT ack the marker
+          }.collect() // bounded by pending markers' path counts
+        (res.map(_._2).sum, res.filter(_._3).map(_._1).toSet)
+      }
+    // ack every fully-verified marker (including path-less foreign ones
+    // — nothing more can ever be done for them)
+    pending.filterNot(failedMarkers.contains).foreach { n =>
+      val out = fs.create(new Path(dir, n + "ack"), true)
+      try out.write("{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    reclaimed
   }
 }

@@ -142,6 +142,37 @@ object BucketedLake {
       }.toMap
   }
 
+  /** The layout header a manifest version carries
+    * (`#layout\t<key>\t<buckets>\t<partColOrEmpty>`) — the layout the
+    * entries' bucket ordinals and dir segments were WRITTEN under.
+    * `None` on manifests written before the header existed. */
+  private def slurpLayout(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Option[(String, Int, Option[String])] = {
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, UTF_8)
+    } finally in.close()
+    text.split("\n").iterator.map(_.trim)
+      .find(_.startsWith("#layout\t")).map { l =>
+        val parts = l.split("\t", 4)
+        (parts(1), parts(2).toInt,
+          if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None)
+      }
+  }
+
+  private[sources] def readLayout(spark: SparkSession, path: String,
+                                  asOf: Option[Long] = None)
+      : Option[(String, Int, Option[String])] = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    asOf.orElse(currentVersion(spark, path)).flatMap { v =>
+      val vp = new Path(path, versionedManifest(v))
+      if (fs.exists(vp)) slurpLayout(fs, vp) else None
+    }
+  }
+
   /** The CURRENT manifest's per-appId committed-epoch watermarks. */
   private[graft] def readTxns(spark: SparkSession,
                               path: String): Map[String, Long] = {
@@ -215,18 +246,20 @@ object BucketedLake {
   private[graft] def writeManifest(spark: SparkSession, path: String,
                                    entries: Seq[ManifestEntry],
                                    base: Option[Long] = None,
-                                   txns: Map[String, Long] = Map.empty): Unit = {
+                                   txns: Map[String, Long] = Map.empty,
+                                   layout: Option[(String, Int, Option[String])] = None): Unit = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
-      writeManifestLocked(spark, path, entries, base, txns)
+      writeManifestLocked(spark, path, entries, base, txns, layout)
     }
   }
 
   private def writeManifestLocked(spark: SparkSession, path: String,
                                   entries: Seq[ManifestEntry],
                                   base: Option[Long],
-                                  txns: Map[String, Long]): Unit = {
+                                  txns: Map[String, Long],
+                                  layout: Option[(String, Int, Option[String])]): Unit = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -247,14 +280,15 @@ object BucketedLake {
             "exists — another writer committed first; re-read the table " +
             "and retry against the new version", e)
       }
-    try out.write((txns.toSeq.sorted
+    try out.write((layout.toSeq.map { case (k, n, pc) =>
+      s"#layout\t$k\t$n\t${pc.getOrElse("")}" } ++
+      txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
       entries.sortBy(e => (e.bucket, e.rel))
         .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}"))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
-    val ptr = fs.create(new Path(path, CurrentPointer), true)
-    try ptr.write(next.toString.getBytes(UTF_8)) finally ptr.close()
+    flipPointer(spark, fs, path, next)
     val readback = currentVersion(spark, path)
     if (readback.forall(_ < next)) throw new ConcurrentCommitException(
       s"commit pointer readback mismatch at $path: wrote v$next, " +
@@ -263,6 +297,32 @@ object BucketedLake {
     // the legacy single-file manifest is superseded; leaving it behind
     // would resurrect a stale view if the pointer were ever lost
     fs.delete(new Path(path, ManifestFile), false): Unit
+  }
+
+  /** Flip the commit pointer ATOMICALLY where the store allows it:
+    * write a temp file, FileContext-rename it over the pointer
+    * (overwrite rename is atomic on HDFS and local) — no reader ever
+    * sees an empty/partial pointer. Stores without an
+    * AbstractFileSystem binding fall back to the in-place rewrite,
+    * where readers ride [[currentVersion]]'s bounded retry. */
+  private def flipPointer(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, next: Long): Unit = {
+    val ptr = new Path(path, CurrentPointer)
+    val tmp = new Path(path, s".ptr-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(UTF_8)) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(ptr),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        val out2 = fs.create(ptr, true)
+        try out2.write(next.toString.getBytes(UTF_8)) finally out2.close()
+        fs.delete(tmp, false): Unit
+    }
   }
 
   /** A racing manifest commit lost to another writer — the loser's
@@ -296,10 +356,29 @@ object BucketedLake {
     val cur = currentVersion(spark, path).getOrElse(
       // legacy/no-manifest tables have no unreferenced files
       return VacuumReport(0, 0L, 0, 0))
-    val referenced = readManifest(spark, path).get.map(_.rel).toSet
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val horizon = System.currentTimeMillis() - minAgeMs
+    // RETENTION IS SUPERSESSION-TIME, NOT FILE AGE: a file written long
+    // ago but superseded a minute ago is exactly what a just-pinned
+    // reader is scanning. A data file survives while ANY retained
+    // manifest version references it — old manifests age out by THEIR
+    // mtime (≈ when the version was superseded by the next commit), and
+    // only then do their exclusive files become unreferenced. This also
+    // makes every retained version time-travel-safe by construction.
+    val manifestStatus = fs.listStatus(new Path(path)).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("_bucket_manifest.v") && n.endsWith(".txt")
+    }
+    val doomedManifests = manifestStatus.filter { st =>
+      st.getPath.getName != versionedManifest(cur) &&
+        (minAgeMs <= 0L || st.getModificationTime <= horizon)
+    }
+    val doomedNames = doomedManifests.map(_.getPath.getName).toSet
+    val referenced = manifestStatus.iterator
+      .filterNot(st => doomedNames.contains(st.getPath.getName))
+      .flatMap(st => slurpEntries(fs, st.getPath).map(_.rel))
+      .toSet
     val candidates = listDataFiles(spark, path)
       .filterNot(f => referenced.contains(f._4))
       .map(f => (f._2, f._3))
@@ -326,23 +405,18 @@ object BucketedLake {
           }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
       }
     // manifests + staging dirs: driver-side, bounded by commit churn
-    // (the listStatus already carries the modtime — no second call)
-    val rootStatus = fs.listStatus(new Path(path))
-    val doomedManifests = rootStatus.filter { st =>
-      val n = st.getPath.getName
-      n.startsWith("_bucket_manifest.v") && n.endsWith(".txt") &&
-        n != versionedManifest(cur) &&
-        (minAgeMs <= 0L || st.getModificationTime <= horizon)
-    }
+    // (the doomed-manifest set was computed above, before `referenced`)
     if (!dryRun)
       doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
     // leftovers of crashed writes/compactions; the retention window is
     // what keeps an IN-FLIGHT write's staging alive
+    val rootStatus = fs.listStatus(new Path(path))
     val doomedStaging = rootStatus.filter { st =>
       val n = st.getPath.getName
-      st.isDirectory &&
+      ((st.isDirectory &&
         (n.startsWith(".write-") || n.startsWith(".compact-") ||
-          n.startsWith(".stage-")) &&
+          n.startsWith(".stage-"))) ||
+        (st.isFile && n.startsWith(".ptr-"))) &&
         (minAgeMs <= 0L || st.getModificationTime <= horizon)
     }
     if (!dryRun)
@@ -543,7 +617,8 @@ object BucketedLake {
     // listing. Streaming watermarks carry forward: a replace does not
     // license a replayed micro-batch to double-append.
     writeManifest(spark, path, footerSweepFiles(spark, moved.result()),
-      txns = readTxns(spark, path))
+      txns = readTxns(spark, path),
+      layout = Some((keyCol, buckets, partitionCol)))
   }
 
   private[sources] def writeSpec(spark: SparkSession, path: String,
@@ -576,7 +651,8 @@ object BucketedLake {
       s"a bucketed table already exists at $path")
     writeSpec(spark, path,
       Spec(keyCol, buckets, schema, sorted = true, partitionCol))
-    writeManifest(spark, path, Nil)
+    writeManifest(spark, path, Nil,
+      layout = Some((keyCol, buckets, partitionCol)))
   }
 
   /** ADDITIVE schema evolution: append nullable columns to the table
@@ -661,9 +737,10 @@ object BucketedLake {
     val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
     val carryTxns = readTxns(spark, path)
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
     if (multi.isEmpty) {
       if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
-        writeManifest(spark, path, baseEntries, occBase, carryTxns)
+        writeManifest(spark, path, baseEntries, occBase, carryTxns, layout)
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -706,8 +783,8 @@ object BucketedLake {
     val kept = baseEntries.filterNot(e =>
       compacted.contains((segOf(e.rel), e.bucket)))
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
-    // streaming watermarks carry forward untouched
-    writeManifest(spark, path, kept ++ fresh, occBase, carryTxns)
+    // streaming watermarks and the layout header carry forward untouched
+    writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout)
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -1039,7 +1116,12 @@ private[sources] object PartPruning {
     case StringType => Some(s)
     case IntegerType | LongType | ShortType | ByteType => s.toLongOption
     case BooleanType => s.toBooleanOption
-    case FloatType | DoubleType => s.toDoubleOption
+    // FLOAT dirs must parse as Float THEN widen — "0.1" parsed as
+    // Double (0.1d) differs from the literal side's 0.1f.doubleValue
+    // (0.100000001...), and the mismatch would PRUNE files that hold
+    // matches
+    case FloatType => s.toFloatOption.map(_.toDouble)
+    case DoubleType => s.toDoubleOption
     case DateType =>
       try Some(java.time.LocalDate.parse(s).toEpochDay)
       catch { case _: java.time.format.DateTimeParseException => None }
@@ -1242,7 +1324,10 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       f.delete(new Path(staging), true): Unit
       return
     }
-    if (truncate && f.exists(dataDir)) f.delete(dataDir, true)
+    // TRUNCATE (INSERT OVERWRITE) is snapshot-atomic like write(): the
+    // old files are NOT deleted — the fresh-entries-only manifest flip
+    // below is the commit, pinned readers keep their version, vacuum
+    // reclaims the superseded files after retention
     // files move into the layout ONCE under task-unique names; only the
     // manifest publication below ever retries
     val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
@@ -1264,11 +1349,13 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     }
     val freshEntries = fresh.result()
     val txnUpdate = txn.map { case (app, epoch) => app -> epoch }.toMap
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
     if (truncate) {
       // replace semantics: the manifest holds only this write's files;
       // watermarks carry forward (a replayed epoch must stay a no-op)
       BucketedLake.writeManifest(spark, path, freshEntries,
-        txns = BucketedLake.readTxns(spark, path) ++ txnUpdate)
+        txns = BucketedLake.readTxns(spark, path) ++ txnUpdate,
+        layout = layout)
     } else {
       // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
       // only add files), so losing the race just means re-reading the
@@ -1295,7 +1382,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
           try {
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
-              BucketedLake.readTxns(spark, path) ++ txnUpdate)
+              BucketedLake.readTxns(spark, path) ++ txnUpdate, layout)
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -1534,13 +1621,27 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * bucket pruning dropped non-matching buckets, partition predicates
     * drop non-matching partition dirs' files within each bucket. */
   private lazy val keptMeta
-      : Map[Int, Array[(String, Long, Option[Option[Any]])]] =
+      : Map[Int, Array[(String, Long, Option[Option[Any]])]] = {
+    // the manifest records the layout its entries were written under: a
+    // mismatch with the spec this scan resolved means the table was
+    // re-bucketed/re-partitioned since (or the time-travel version
+    // predates the change) — pruning with the wrong layout silently
+    // drops rows, so fail LOUDLY instead
+    BucketedLake.readLayout(spark, path, asOf).foreach { case (k, n, pc) =>
+      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
+        s"bucketed table $path layout changed: manifest written under " +
+          s"(key=$k, buckets=$n, partition=$pc) but the resolved spec is " +
+          s"(key=${spec.keyCol}, buckets=${spec.buckets}, " +
+          s"partition=${spec.partCol}) — re-resolve the table" +
+          asOf.fold("")(v => s" (version $v predates the layout change)"))
+    }
     BucketedLake.fileMetaFor(spark, path, asOf).iterator
       .filter { case (b, rel, _, _) =>
         pruned.forall(_.contains(b)) && partKeep(canonOf(rel), pushed)
       }
       .map { case (b, rel, abs, size) => (b, (abs, size, canonOf(rel))) }
       .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+  }
 
   /** EXACT table statistics, free from the manifest (pruned buckets
     * and pruned partition dirs excluded): without them a V2 scan

@@ -1322,5 +1322,25 @@ class OpsSpec extends SparkSuite {
     Similarity.writeIvfIndex(corpus, path2, nlist = 3, iters = 2)
     assert(digestCentroids(path) === digestCentroids(path2),
       "maintenance rebuild lost the byte-identical determinism contract")
+    // the in-place rebuild leaves NO stale cells: every vector lives
+    // exactly once (dynamic partition overwrite skips cells the retrain
+    // no longer produces — they must be deleted, or probes would answer
+    // from pre-retrain geometry)
+    val stored = spark.read.parquet(s"$path/data")
+    assert(stored.count() === 60L, "stale cell dirs duplicated vectors")
+    assert(stored.select("vec_id").distinct().count() === 60L)
+    // SHRINKING nlist is the worst case: cells 2.. of the old layout are
+    // never present in the new assignment's output
+    val forced = Similarity.maintainIvfIndex(spark, path, k = 5,
+      nprobe = 2, sampleQueries = 64, minRecallX1000 = 1001L, // always rebuild
+      rebuildNlist = 2, rebuildIters = 2)
+    assert(forced._2, "threshold 1001 must force a rebuild")
+    val cellDirs = new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSet
+    assert(cellDirs.size <= 2,
+      s"shrunk rebuild left stale cell dirs: $cellDirs")
+    val after2 = spark.read.parquet(s"$path/data")
+    assert(after2.count() === 60L && 
+      after2.select("vec_id").distinct().count() === 60L)
   }
 }

@@ -357,4 +357,88 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
     assert(files.nonEmpty && files.forall(_.contains("__part=2024-01-03/")),
       s"runtime partition filter must empty other dirs: ${files.take(3).toSeq}")
   }
+
+  test("float partition dirs parse in the literal's canonical space (no false pruning)") {
+    // "0.1" as a dir string must canonicalize exactly like the 0.1f
+    // literal — parsing it as Double would prune files that hold matches
+    import org.apache.spark.sql.types.FloatType
+    val dir = PartPruning.parseDirValue("0.1", FloatType)
+    val lit = PartPruning.canonical(0.1f, FloatType)
+    assert(dir === lit, s"dir=$dir literal=$lit")
+    // end-to-end: a float-partitioned table answers = probes exactly
+    val path = tmp("bk2-float")
+    BucketedLake.write(
+      Seq((1L, 0.1f, "a"), (2L, 0.2f, "b"), (3L, 0.1f, "c"))
+        .toDF("k", "fp", "nm"),
+      path, "k", 2, partitionCol = Some("fp"))
+    assert(table(path).where(col("fp") === 0.1f).count() === 2L)
+    assert(table(path).where(col("fp") === 0.2f).count() === 1L)
+  }
+
+  test("a layout-changing replace is detected LOUDLY by stale readers and time travel") {
+    val path = tmp("bk2-relayout")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 8)
+    // full replace with a DIFFERENT bucket count (a legal re-bucketing)
+    BucketedLake.write((1L to 50L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 16)
+    assert(table(path).count() === 50L) // fresh readers resolve fine
+    // time travel to the pre-replace version pairs the OLD manifest with
+    // the NEW spec — pruning under the wrong layout would silently drop
+    // rows, so the scan must refuse
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bucketed('$path', 1) WHERE k = 7")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("layout changed")),
+      s"expected the layout guard, got: $e")
+  }
+
+  test("INSERT OVERWRITE is snapshot-atomic: a pinned reader survives it") {
+    val path = tmp("bk2-trunc")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    val pinned = table(path).select(col("v")).queryExecution.toRdd
+    (201L to 220L).map(i => (i, i)).toDF("k", "v")
+      .createOrReplaceTempView("trunc_src")
+    spark.sql(s"INSERT OVERWRITE $cat.`$path` SELECT * FROM trunc_src")
+    // the pinned pre-overwrite scan still reads its full snapshot
+    val old = pinned.map(_.getLong(0)).collect()
+    assert(old.length === 100 && old.sum === (1L to 100L).sum,
+      "pinned reader lost its snapshot under INSERT OVERWRITE")
+    assert(table(path).count() === 20L)
+    // the superseded files are vacuumable, not deleted in place
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 0L).files > 0)
+    assert(table(path).count() === 20L)
+  }
+
+  test("vacuum retention keys on SUPERSESSION time, not file age") {
+    val path = tmp("bk2-vacage")
+    BucketedLake.write((1L to 40L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age the DATA files far past the retention window (a table written
+    // a month ago), then supersede them NOW with a replace
+    val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    BucketedLake.readManifest(spark, path).get.foreach(e =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/${e.rel}"), old, old))
+    val pinned = table(path).select(col("v")).queryExecution.toRdd
+    BucketedLake.write((1L to 5L).map(i => (i, i * 10)).toDF("k", "v"),
+      path, "k", 2)
+    // default-retention vacuum must NOT reclaim the just-superseded
+    // files: the manifest that references them is seconds old, even
+    // though the files' own mtime is 30 days — a reader pinned a minute
+    // ago is scanning exactly those files
+    val r = BucketedLake.vacuum(spark, path)
+    assert(r.files === 0,
+      s"retention keyed on file age reclaimed just-superseded files: $r")
+    val rows = pinned.map(_.getLong(0)).collect()
+    assert(rows.length === 40 && rows.sum === (1L to 40L).sum)
+    // force still works
+    assert(BucketedLake.vacuum(spark, path, minAgeMs = 0L).files > 0)
+  }
 }
