@@ -175,10 +175,10 @@ object HudiClean {
     val names = fs.listStatus(dir).iterator.filterNot(_.isDirectory)
       .map(_.getPath.getName).toSet
     // each marker is verified ONCE: a confirmed-reconciled marker gets a
-    // `<instant>.cleanack` sibling, so this pass is bounded by cleans
-    // since the last reconcile, not by everything ever deleted
+    // `<instant>.clean.reconciled` sibling, so this pass is bounded by
+    // cleans since the last reconcile, not by everything ever deleted
     val pending = names.filter(_.endsWith(".clean"))
-      .filter(n => !names.contains(n + "ack")).toSeq.sorted
+      .filter(n => !names.contains(n + ".reconciled")).toSeq.sorted
     if (pending.isEmpty) return 0
     val pairs: Seq[(String, String)] = pending.flatMap { n =>
       val in = fs.open(new Path(dir, n))
@@ -213,9 +213,12 @@ object HudiClean {
         (res.map(_._2).sum, res.filter(_._3).map(_._1).toSet)
       }
     // ack every fully-verified marker (including path-less foreign ones
-    // — nothing more can ever be done for them)
+    // — nothing more can ever be done for them). The sidecar is
+    // `<instant>.clean.reconciled`: THREE dot-parts, so the timeline
+    // parser's `<ts>.<action>` completed-instant branch never sees it
+    // as a phantom instant
     pending.filterNot(failedMarkers.contains).foreach { n =>
-      val out = fs.create(new Path(dir, n + "ack"), true)
+      val out = fs.create(new Path(dir, n + ".reconciled"), true)
       try out.write("{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }

@@ -107,20 +107,42 @@ object BucketedLake {
     resolve(0)
   }
 
-  private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
-                           p: Path): Seq[ManifestEntry] = {
+  /** One manifest read, fully parsed: `(layout header, streaming txn
+    * watermarks, file entries)` — every consumer that needs more than
+    * one part MUST use this (a manifest can list 10^6 entries; on an
+    * object store each re-read is a full GET). */
+  private[sources] def slurpManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                     p: Path)
+      : (Option[(String, Int, Option[String])], Map[String, Long],
+         Seq[ManifestEntry]) = {
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
-    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")).map { l =>
+    var layout: Option[(String, Int, Option[String])] = None
+    val txns = Map.newBuilder[String, Long]
+    val entries = Seq.newBuilder[ManifestEntry]
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("#layout\t")) {
+        val parts = l.split("\t", 4)
+        layout = Some((parts(1), parts(2).toInt,
+          if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None))
+      } else if (l.startsWith("#txn\t")) {
+        val Array(_, app, epoch) = l.split("\t", 3)
+        txns += (app -> epoch.toLong)
+      } else if (!l.startsWith("#")) {
         val Array(b, rows, size, rel) = l.split("\t", 4)
-        ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
-      }.toSeq
+        entries += ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
+      }
+    }
+    (layout, txns.result(), entries.result())
   }
+
+  private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): Seq[ManifestEntry] =
+    slurpManifest(fs, p)._3
 
   /** Streaming-writer watermarks carried IN the manifest (the
     * SetTransaction pattern): `#txn\t<appId>\t<epoch>` header lines,
@@ -128,48 +150,53 @@ object BucketedLake {
     * micro-batch can never append twice, because the watermark and the
     * append share one pointer flip. */
   private def slurpTxns(fs: org.apache.hadoop.fs.FileSystem,
-                        p: Path): Map[String, Long] = {
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-      new String(buf.toByteArray, UTF_8)
-    } finally in.close()
-    text.split("\n").iterator.map(_.trim)
-      .filter(_.startsWith("#txn\t")).map { l =>
-        val Array(_, app, epoch) = l.split("\t", 3)
-        app -> epoch.toLong
-      }.toMap
-  }
+                        p: Path): Map[String, Long] =
+    slurpManifest(fs, p)._2
 
   /** The layout header a manifest version carries
     * (`#layout\t<key>\t<buckets>\t<partColOrEmpty>`) — the layout the
     * entries' bucket ordinals and dir segments were WRITTEN under.
     * `None` on manifests written before the header existed. */
-  private def slurpLayout(fs: org.apache.hadoop.fs.FileSystem,
-                          p: Path): Option[(String, Int, Option[String])] = {
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-      new String(buf.toByteArray, UTF_8)
-    } finally in.close()
-    text.split("\n").iterator.map(_.trim)
-      .find(_.startsWith("#layout\t")).map { l =>
-        val parts = l.split("\t", 4)
-        (parts(1), parts(2).toInt,
-          if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None)
-      }
-  }
+  /** [[readManifestFull]] pinned to a SINGLE resolved version — the
+    * scan's entry point: the layout header and the entries it guards
+    * MUST come from one pointer resolution (two reads could straddle a
+    * re-layout commit and defeat the guard). `None` = no manifest
+    * (legacy listing fallback). */
+  private[sources] def pinnedManifest(spark: SparkSession, path: String,
+                                      asOf: Option[Long])
+      : Option[(Option[(String, Int, Option[String])], Seq[ManifestEntry])] =
+    asOf.orElse(currentVersion(spark, path)) match {
+      case Some(v) =>
+        readManifestFull(spark, path, Some(v)).map(m => (m._1, m._3))
+      case None =>
+        readManifestFull(spark, path, None).map(m => (m._1, m._3))
+    }
 
-  private[sources] def readLayout(spark: SparkSession, path: String,
-                                  asOf: Option[Long] = None)
-      : Option[(String, Int, Option[String])] = {
+  /** Resolve + parse ONE manifest version completely — `(layout, txns,
+    * entries)` in a single read. `asOf` pins a retained version (loud
+    * failure when vacuumed); otherwise the current pointer, falling
+    * back to the pre-MVCC legacy manifest. `None` = no manifest at all
+    * (callers fall back to listing). */
+  private[graft] def readManifestFull(spark: SparkSession, path: String,
+                                      asOf: Option[Long] = None)
+      : Option[(Option[(String, Int, Option[String])], Map[String, Long],
+                Seq[ManifestEntry])] = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    asOf.orElse(currentVersion(spark, path)).flatMap { v =>
+    asOf.foreach { v =>
       val vp = new Path(path, versionedManifest(v))
-      if (fs.exists(vp)) slurpLayout(fs, vp) else None
+      if (!fs.exists(vp)) throw new IllegalArgumentException(
+        s"no manifest version $v at $path — either it never existed or " +
+          "vacuum reclaimed it (time travel reaches only retained versions; " +
+          s"versions: ${versions(spark, path).mkString(", ")})")
+      return Some(slurpManifest(fs, vp))
+    }
+    currentVersion(spark, path) match {
+      case Some(v) =>
+        Some(slurpManifest(fs, new Path(path, versionedManifest(v))))
+      case None =>
+        val legacy = new Path(path, ManifestFile)
+        if (fs.exists(legacy)) Some(slurpManifest(fs, legacy)) else None
     }
   }
 
@@ -186,25 +213,8 @@ object BucketedLake {
 
   private[graft] def readManifest(spark: SparkSession, path: String,
                                   asOf: Option[Long] = None)
-      : Option[Seq[ManifestEntry]] = {
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    asOf.foreach { v =>
-      val vp = new Path(path, versionedManifest(v))
-      if (!fs.exists(vp)) throw new IllegalArgumentException(
-        s"no manifest version $v at $path — either it never existed or " +
-          "vacuum reclaimed it (time travel reaches only retained versions; " +
-          s"versions: ${versions(spark, path).mkString(", ")})")
-      return Some(slurpEntries(fs, vp))
-    }
-    currentVersion(spark, path) match {
-      case Some(v) =>
-        Some(slurpEntries(fs, new Path(path, versionedManifest(v))))
-      case None => // pre-MVCC table: the single legacy manifest
-        val legacy = new Path(path, ManifestFile)
-        if (fs.exists(legacy)) Some(slurpEntries(fs, legacy)) else None
-    }
-  }
+      : Option[Seq[ManifestEntry]] =
+    readManifestFull(spark, path, asOf).map(_._3)
 
   /** Publish `entries` as the next manifest version: the versioned file
     * lands first (invisible), then the pointer flips — the write's
@@ -370,9 +380,20 @@ object BucketedLake {
       val n = st.getPath.getName
       n.startsWith("_bucket_manifest.v") && n.endsWith(".txt")
     }
-    val doomedManifests = manifestStatus.filter { st =>
-      st.getPath.getName != versionedManifest(cur) &&
-        (minAgeMs <= 0L || st.getModificationTime <= horizon)
+    // a version is superseded when its SUCCESSOR commits — THAT mtime
+    // starts the retention clock, never the version's own creation time
+    // (a month-old version replaced a minute ago is exactly what a
+    // just-pinned reader is scanning). Versions ABOVE the pointer are
+    // crashed/lost commits no reader can pin: their own age applies.
+    val byVersion = manifestStatus.flatMap(st =>
+      st.getPath.getName.stripPrefix("_bucket_manifest.v")
+        .stripSuffix(".txt").toLongOption.map(_ -> st)).sortBy(_._1)
+    val doomedManifests = byVersion.zipWithIndex.collect {
+      case ((v, st), i) if v != cur &&
+          (minAgeMs <= 0L ||
+            (if (v > cur) st.getModificationTime <= horizon
+             else byVersion.drop(i + 1).headOption
+               .exists(_._2.getModificationTime <= horizon))) => st
     }
     val doomedNames = doomedManifests.map(_.getPath.getName).toSet
     val referenced = manifestStatus.iterator
@@ -459,6 +480,11 @@ object BucketedLake {
         ManifestEntry(b, rows, size, rel)
       }.collect().toSeq
   }
+
+  /** Scan-visible listing fallback for tables with no manifest at all. */
+  private[sources] def listDataFilesFor(spark: SparkSession, path: String)
+      : Seq[(Int, String, String, Long)] =
+    listDataFiles(spark, path).map(f => (f._1, f._4, f._2, f._3))
 
   /** `(bucket, absPath, size, relPath)` of every data parquet —
     * executor-parallel past a handful of buckets ([[ParallelListing]]). */
@@ -822,8 +848,7 @@ object BucketedLake {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     versions(spark, path).map { v =>
-      val es = slurpEntries(fs, new Path(path, versionedManifest(v)))
-      val txns = slurpTxns(fs, new Path(path, versionedManifest(v)))
+      val (_, txns, es) = slurpManifest(fs, new Path(path, versionedManifest(v)))
       (v, es.size.toLong, es.map(_.rows).sum, es.map(_.size).sum,
         txns.toSeq.sorted.map { case (a, e) => s"$a=$e" }.mkString(","))
     }.toDF("version", "files", "rows", "bytes", "txn_watermarks")
@@ -854,17 +879,6 @@ object BucketedLake {
     new GraftBucketedTable(spark, path, readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path")),
       asOf)
-
-  /** Per-file `(bucket, rel, abs, size)` scan metadata: ONE manifest
-    * read when present, one executor-parallel listing otherwise — the
-    * rel path carries the partition dir segment for two-axis pruning. */
-  private[sources] def fileMetaFor(spark: SparkSession, path: String,
-                                   asOf: Option[Long] = None)
-      : Seq[(Int, String, String, Long)] =
-    readManifest(spark, path, asOf) match {
-      case Some(es) => es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size))
-      case None => listDataFiles(spark, path).map(f => (f._1, f._4, f._2, f._3))
-    }
 
   /** `(path, length)` of every parquet file in bucket `b` (possibly none). */
   private[sources] def bucketFiles(spark: SparkSession, path: String,
@@ -1368,21 +1382,28 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       var done = false
       while (!done) {
         val base = BucketedLake.currentVersion(spark, path).getOrElse(0L)
+        // ONE manifest read per attempt serves the replay check, the
+        // txn carry-forward, and the base entry set
+        val full = BucketedLake.readManifestFull(spark, path)
+        val priorTxns = full.map(_._2).getOrElse(Map.empty[String, Long])
         // a racer may have committed THIS epoch while we retried: the
         // moved files become unreferenced (vacuumable), never duplicated
-        if (alreadyApplied) { done = true }
+        if (txn.exists { case (app, epoch) =>
+              priorTxns.get(app).exists(_ >= epoch) }) { done = true }
         else {
-          // legacy tables (no manifest) materialize one from the
-          // PRE-commit files, filtered to exclude this commit's fresh
-          // names (the sweep sees them on disk already)
+          // exclude this commit's fresh names from the base set on BOTH
+          // branches: the legacy footerSweep sees them on disk already,
+          // and on a legacy table a RACING committer's sweep may have
+          // adopted them into the manifest it published — merging them
+          // again would double-count every row
           val freshRels = freshEntries.map(_.rel).toSet
-          val existing = BucketedLake.readManifest(spark, path)
-            .getOrElse(BucketedLake.footerSweep(spark, path)
-              .filterNot(e => freshRels.contains(e.rel)))
+          val existing = full.map(_._3)
+            .getOrElse(BucketedLake.footerSweep(spark, path))
+            .filterNot(e => freshRels.contains(e.rel))
           try {
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
-              BucketedLake.readTxns(spark, path) ++ txnUpdate, layout)
+              priorTxns ++ txnUpdate, layout)
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -1622,12 +1643,15 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * drop non-matching partition dirs' files within each bucket. */
   private lazy val keptMeta
       : Map[Int, Array[(String, Long, Option[Option[Any]])]] = {
-    // the manifest records the layout its entries were written under: a
-    // mismatch with the spec this scan resolved means the table was
-    // re-bucketed/re-partitioned since (or the time-travel version
-    // predates the change) — pruning with the wrong layout silently
-    // drops rows, so fail LOUDLY instead
-    BucketedLake.readLayout(spark, path, asOf).foreach { case (k, n, pc) =>
+    // ONE pointer resolution serves both the layout guard and the
+    // entries it guards — two separate reads could straddle a re-layout
+    // commit and validate one version's header against another's
+    // entries. A layout/spec mismatch means the table was re-bucketed/
+    // re-partitioned since this scan resolved it (or the time-travel
+    // version predates the change): pruning under the wrong layout
+    // silently drops rows, so fail LOUDLY instead.
+    val pinned = BucketedLake.pinnedManifest(spark, path, asOf)
+    pinned.flatMap(_._1).foreach { case (k, n, pc) =>
       require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
         s"bucketed table $path layout changed: manifest written under " +
           s"(key=$k, buckets=$n, partition=$pc) but the resolved spec is " +
@@ -1635,7 +1659,12 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
           s"partition=${spec.partCol}) — re-resolve the table" +
           asOf.fold("")(v => s" (version $v predates the layout change)"))
     }
-    BucketedLake.fileMetaFor(spark, path, asOf).iterator
+    val metas: Seq[(Int, String, String, Long)] = pinned match {
+      case Some((_, es)) =>
+        es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size))
+      case None => BucketedLake.listDataFilesFor(spark, path)
+    }
+    metas.iterator
       .filter { case (b, rel, _, _) =>
         pruned.forall(_.contains(b)) && partKeep(canonOf(rel), pushed)
       }

@@ -421,11 +421,15 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
       path, "k", 2)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // age the DATA files far past the retention window (a table written
-    // a month ago), then supersede them NOW with a replace
+    // age the DATA files AND the v1 manifest far past the retention
+    // window (a table written a month ago), then supersede them NOW
+    // with a replace — retention must key on the SUCCESSOR's commit
+    // time, not on how old the superseded artifacts themselves are
     val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
     BucketedLake.readManifest(spark, path).get.foreach(e =>
       fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/${e.rel}"), old, old))
+    fs.setTimes(new org.apache.hadoop.fs.Path(path,
+      "_bucket_manifest.v000001.txt"), old, old)
     val pinned = table(path).select(col("v")).queryExecution.toRdd
     BucketedLake.write((1L to 5L).map(i => (i, i * 10)).toDF("k", "v"),
       path, "k", 2)
