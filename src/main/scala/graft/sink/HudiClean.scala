@@ -174,11 +174,23 @@ object HudiClean {
     if (!fs.exists(dir)) return 0
     val names = fs.listStatus(dir).iterator.filterNot(_.isDirectory)
       .map(_.getPath.getName).toSet
+    // MIGRATE legacy `<instant>.cleanack` sidecars (a two-dot-part name
+    // the timeline parser misread as a phantom completed instant) to the
+    // three-part `<instant>.clean.reconciled` shape — the verification
+    // they recorded carries over, and the phantom row disappears
+    names.filter(_.endsWith(".cleanack")).foreach { legacy =>
+      val out = fs.create(
+        new Path(dir, legacy.stripSuffix("ack") + ".reconciled"), true)
+      try out.write("{}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(new Path(dir, legacy), false): Unit
+    }
     // each marker is verified ONCE: a confirmed-reconciled marker gets a
     // `<instant>.clean.reconciled` sibling, so this pass is bounded by
     // cleans since the last reconcile, not by everything ever deleted
     val pending = names.filter(_.endsWith(".clean"))
-      .filter(n => !names.contains(n + ".reconciled")).toSeq.sorted
+      .filter(n => !names.contains(n + ".reconciled") &&
+        !names.contains(n + "ack")).toSeq.sorted
     if (pending.isEmpty) return 0
     val pairs: Seq[(String, String)] = pending.flatMap { n =>
       val in = fs.open(new Path(dir, n))

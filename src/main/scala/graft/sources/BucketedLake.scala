@@ -165,12 +165,11 @@ object BucketedLake {
   private[sources] def pinnedManifest(spark: SparkSession, path: String,
                                       asOf: Option[Long])
       : Option[(Option[(String, Int, Option[String])], Seq[ManifestEntry])] =
-    asOf.orElse(currentVersion(spark, path)) match {
-      case Some(v) =>
-        readManifestFull(spark, path, Some(v)).map(m => (m._1, m._3))
-      case None =>
-        readManifestFull(spark, path, None).map(m => (m._1, m._3))
-    }
+    // resolving the pointer HERE pins the read: readManifestFull with an
+    // explicit version reads exactly that file (None only when no
+    // manifest exists at all — the legacy-listing fallback)
+    readManifestFull(spark, path, asOf.orElse(currentVersion(spark, path)))
+      .map(m => (m._1, m._3))
 
   /** Resolve + parse ONE manifest version completely — `(layout, txns,
     * entries)` in a single read. `asOf` pins a retained version (loud
@@ -748,13 +747,16 @@ object BucketedLake {
     // the OCC base: every entry below derives from THIS version — a
     // concurrent commit (e.g. an append) after this point makes the
     // compaction stale, and the write gate fails it loudly instead of
-    // silently dropping the append's files from the merged manifest
-    val occBase = Some(currentVersion(spark, path).getOrElse(0L))
+    // silently dropping the append's files from the merged manifest.
+    // ONE pinned read serves the version, the entries, AND the txn
+    // carry-forward.
+    val occBaseOpt = currentVersion(spark, path)
+    val occBase = Some(occBaseOpt.getOrElse(0L))
+    val full = readManifestFull(spark, path, occBaseOpt)
     // legacy tables materialize a manifest FIRST (pre-compaction file
     // set) — after the new files land, only the manifest can tell the
     // live set apart from superseded files
-    val baseEntries = readManifest(spark, path)
-      .getOrElse(footerSweep(spark, path))
+    val baseEntries = full.map(_._3).getOrElse(footerSweep(spark, path))
     // the fold unit is (partition dir segment, bucket) — "" when the
     // layout has no partition axis; partition values live in the data
     // files too, so the rewrite reproduces identical dir segments
@@ -762,10 +764,10 @@ object BucketedLake {
       rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
     val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
-    val carryTxns = readTxns(spark, path)
+    val carryTxns = full.map(_._2).getOrElse(Map.empty[String, Long])
     val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
     if (multi.isEmpty) {
-      if (currentVersion(spark, path).isEmpty) // still upgrade to MVCC
+      if (occBaseOpt.isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout)
       return
     }
@@ -1331,10 +1333,9 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     // at or past it) is a clean NO-OP before any byte moves — the
     // watermark commits atomically with the manifest below, so the
     // check is exactly-once, not best-effort
-    def alreadyApplied: Boolean = txn.exists { case (app, epoch) =>
-      BucketedLake.readTxns(spark, path).get(app).exists(_ >= epoch)
-    }
-    if (alreadyApplied) {
+    val preTxns = BucketedLake.readTxns(spark, path)
+    if (txn.exists { case (app, epoch) =>
+          preTxns.get(app).exists(_ >= epoch) }) {
       f.delete(new Path(staging), true): Unit
       return
     }
@@ -1368,8 +1369,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       // replace semantics: the manifest holds only this write's files;
       // watermarks carry forward (a replayed epoch must stay a no-op)
       BucketedLake.writeManifest(spark, path, freshEntries,
-        txns = BucketedLake.readTxns(spark, path) ++ txnUpdate,
-        layout = layout)
+        txns = preTxns ++ txnUpdate, layout = layout)
     } else {
       // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
       // only add files), so losing the race just means re-reading the
@@ -1381,10 +1381,14 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       var attempt = 0
       var done = false
       while (!done) {
-        val base = BucketedLake.currentVersion(spark, path).getOrElse(0L)
-        // ONE manifest read per attempt serves the replay check, the
-        // txn carry-forward, and the base entry set
-        val full = BucketedLake.readManifestFull(spark, path)
+        // ONE pointer resolution per attempt: base and the manifest it
+        // gates come from the SAME version (resolving twice could
+        // straddle a racer's commit — the merge would build on the
+        // winner's entries yet carry the stale base, burning a retry on
+        // a conflict that was already resolved)
+        val baseOpt = BucketedLake.currentVersion(spark, path)
+        val base = baseOpt.getOrElse(0L)
+        val full = BucketedLake.readManifestFull(spark, path, baseOpt)
         val priorTxns = full.map(_._2).getOrElse(Map.empty[String, Long])
         // a racer may have committed THIS epoch while we retried: the
         // moved files become unreferenced (vacuumable), never duplicated
@@ -1641,15 +1645,18 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   /** Per-bucket kept files after PLAN-TIME pruning on both axes:
     * bucket pruning dropped non-matching buckets, partition predicates
     * drop non-matching partition dirs' files within each bucket. */
-  private lazy val keptMeta
-      : Map[Int, Array[(String, Long, Option[Option[Any]])]] = {
-    // ONE pointer resolution serves both the layout guard and the
-    // entries it guards — two separate reads could straddle a re-layout
-    // commit and validate one version's header against another's
-    // entries. A layout/spec mismatch means the table was re-bucketed/
-    // re-partitioned since this scan resolved it (or the time-travel
-    // version predates the change): pruning under the wrong layout
-    // silently drops rows, so fail LOUDLY instead.
+  /** ONE pointer resolution + ONE manifest read serves the layout
+    * guard, the file lists, AND the statistics — separate reads could
+    * straddle a re-layout commit and validate one version's header
+    * against another's entries (or price the stats off a different
+    * snapshot than the scan reads). Per kept file:
+    * `(bucket, abs, size, rows, partCanon)` — rows = -1 on the legacy
+    * listing fallback (no manifest). A layout/spec mismatch means the
+    * table was re-bucketed/re-partitioned since this scan resolved it
+    * (or the time-travel version predates the change): pruning under
+    * the wrong layout silently drops rows, so fail LOUDLY instead. */
+  private lazy val keptFiles
+      : Seq[(Int, String, Long, Long, Option[Option[Any]])] = {
     val pinned = BucketedLake.pinnedManifest(spark, path, asOf)
     pinned.flatMap(_._1).foreach { case (k, n, pc) =>
       require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
@@ -1659,18 +1666,27 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
           s"partition=${spec.partCol}) — re-resolve the table" +
           asOf.fold("")(v => s" (version $v predates the layout change)"))
     }
-    val metas: Seq[(Int, String, String, Long)] = pinned match {
+    val metas: Seq[(Int, String, String, Long, Long)] = pinned match {
       case Some((_, es)) =>
-        es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size))
-      case None => BucketedLake.listDataFilesFor(spark, path)
+        es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size, e.rows))
+      case None =>
+        BucketedLake.listDataFilesFor(spark, path)
+          .map(f => (f._1, f._2, f._3, f._4, -1L))
     }
+    // canonOf once per entry, then prune on both axes
     metas.iterator
-      .filter { case (b, rel, _, _) =>
-        pruned.forall(_.contains(b)) && partKeep(canonOf(rel), pushed)
+      .map { case (b, rel, abs, size, rows) =>
+        (b, abs, size, rows, canonOf(rel))
       }
-      .map { case (b, rel, abs, size) => (b, (abs, size, canonOf(rel))) }
-      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+      .filter { case (b, _, _, _, canon) =>
+        pruned.forall(_.contains(b)) && partKeep(canon, pushed)
+      }.toSeq
   }
+
+  private lazy val keptMeta
+      : Map[Int, Array[(String, Long, Option[Option[Any]])]] =
+    keptFiles.groupBy(_._1).view
+      .mapValues(_.map(f => (f._2, f._3, f._5)).toArray).toMap
 
   /** EXACT table statistics, free from the manifest (pruned buckets
     * and pruned partition dirs excluded): without them a V2 scan
@@ -1680,17 +1696,12 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * (rows unknown). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytes, rows) = BucketedLake.readManifest(spark, path, asOf) match {
-      case Some(es) =>
-        val kept = es.filter(e => pruned.forall(_.contains(e.bucket)) &&
-          partKeep(canonOf(e.rel), pushed))
-        (java.util.OptionalLong.of(kept.map(_.size).sum),
-          java.util.OptionalLong.of(kept.map(_.rows).sum))
-      case None =>
-        (java.util.OptionalLong.of(partitions.iterator
-          .map(_.asInstanceOf[GraftBucketPartition].files.map(_._2).sum).sum),
-          java.util.OptionalLong.empty())
-    }
+    // priced off the SAME pinned manifest read the scan uses — no second
+    // GET, no straddle with a concurrent commit
+    val bytes = java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+    val rows =
+      if (keptFiles.exists(_._4 < 0L)) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(keptFiles.map(_._4).sum)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
