@@ -644,7 +644,7 @@ object ScaleProbe {
         val swept = graft.sources.BucketedLake.footerSweep(spark, root)
         System.err.println(f"[probe] bucketed_count legacy sweep 10496 files " +
           f"${(System.nanoTime() - t0) / 1e9}%.2fs")
-        graft.sources.BucketedLake.writeManifest(spark, root, swept)
+        graft.sources.BucketedLake.writeManifest(spark, root, swept): Unit
         timeCount("10496 files (manifest)")
       }
     }

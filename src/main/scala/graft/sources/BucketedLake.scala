@@ -51,23 +51,47 @@ object BucketedLake {
 
   private val SpecFile = "_bucket_spec.txt"
   private val ManifestFile = "_bucket_manifest.txt"
-  private val BucketDir = "__bucket"
+  private[sources] val BucketDir = "__bucket"
 
   /** One manifest line: bucket ordinal, parquet record count, byte
-    * size, table-root-relative path. The manifest is written at WRITE
+    * size, table-root-relative path, and OPTIONAL per-column min/max
+    * statistics (`stats` — a one-line JSON of
+    * `{"col":{"lo":..,"hi":..,"n":nulls}}` in [[StatsPruning]]'s
+    * canonical value space). The manifest is written at WRITE
     * time (when the row counts are known for free) and is the scan's
     * source of truth when present: file discovery is ONE metadata read
     * instead of O(buckets) directory listings, and a bare `COUNT(*)`
     * answers from the summed `rows` with ZERO per-file IO — at 10⁶
     * files the difference between a manifest read and a driver footer
-    * loop is minutes of serial remote opens. Tables written before the
-    * manifest existed fall back to executor-parallel listing/footer
-    * sweeps ([[footerSweep]]). */
+    * loop is minutes of serial remote opens. The stats give DATA
+    * SKIPPING on ARBITRARY atomic columns (beyond the key/partition
+    * axes): a range predicate drops every file whose min/max window
+    * cannot hold a match, before any footer is opened. Tables written
+    * before the manifest existed fall back to executor-parallel
+    * listing/footer sweeps ([[footerSweep]]). */
   final case class ManifestEntry(bucket: Int, rows: Long, size: Long,
-                                 rel: String)
+                                 rel: String, stats: Option[String] = None)
+
+  /** A fully-parsed manifest version: the layout header the entries
+    * were written under, the OPERATION that produced this version
+    * (`append` / `replace` / `truncate` / `compact` / `create` /
+    * `merge` — the change-data-feed's dispatch key; `None` on versions
+    * written before op tagging), the streaming txn watermarks, and the
+    * file entries. */
+  final case class ManifestData(
+      layout: Option[(String, Int, Option[String])],
+      op: Option[String],
+      txns: Map[String, Long],
+      entries: Seq[ManifestEntry])
 
   private val CurrentPointer = "_bucket_manifest.current"
-  private def versionedManifest(v: Long) = f"_bucket_manifest.v$v%06d.txt"
+  private[sources] def versionedManifest(v: Long) =
+    f"_bucket_manifest.v$v%06d.txt"
+  /** Version-addressed PRECISE change rows (a merge's row-level CDC
+    * files — the Delta CDF design): written next to the commit they
+    * describe, read back by [[changes]], reclaimed by [[vacuum]] with
+    * their manifest version. */
+  private[sources] def changeDirOf(v: Long) = f"_change/v$v%06d"
 
   /** MVCC: manifests are IMMUTABLE versioned files and the tiny
     * `_bucket_manifest.current` pointer is the COMMIT POINT — appends
@@ -107,14 +131,12 @@ object BucketedLake {
     resolve(0)
   }
 
-  /** One manifest read, fully parsed: `(layout header, streaming txn
-    * watermarks, file entries)` — every consumer that needs more than
-    * one part MUST use this (a manifest can list 10^6 entries; on an
-    * object store each re-read is a full GET). */
+  /** One manifest read, fully parsed ([[ManifestData]]) — every
+    * consumer that needs more than one part MUST use this (a manifest
+    * can list 10^6 entries; on an object store each re-read is a full
+    * GET). */
   private[sources] def slurpManifest(fs: org.apache.hadoop.fs.FileSystem,
-                                     p: Path)
-      : (Option[(String, Int, Option[String])], Map[String, Long],
-         Seq[ManifestEntry]) = {
+                                     p: Path): ManifestData = {
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -122,6 +144,7 @@ object BucketedLake {
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
     var layout: Option[(String, Int, Option[String])] = None
+    var op: Option[String] = None
     val txns = Map.newBuilder[String, Long]
     val entries = Seq.newBuilder[ManifestEntry]
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
@@ -129,20 +152,26 @@ object BucketedLake {
         val parts = l.split("\t", 4)
         layout = Some((parts(1), parts(2).toInt,
           if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None))
+      } else if (l.startsWith("#op\t")) {
+        op = Some(l.split("\t", 2)(1))
       } else if (l.startsWith("#txn\t")) {
         val Array(_, app, epoch) = l.split("\t", 3)
         txns += (app -> epoch.toLong)
       } else if (!l.startsWith("#")) {
-        val Array(b, rows, size, rel) = l.split("\t", 4)
-        entries += ManifestEntry(b.toInt, rows.toLong, size.toLong, rel)
+        // 4 fields before stats existed; 5th (optional) = stats JSON —
+        // the JSON encoder escapes control chars, so no raw tab inside
+        val parts = l.split("\t", 5)
+        entries += ManifestEntry(parts(0).toInt, parts(1).toLong,
+          parts(2).toLong, parts(3),
+          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None)
       }
     }
-    (layout, txns.result(), entries.result())
+    ManifestData(layout, op, txns.result(), entries.result())
   }
 
   private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
                            p: Path): Seq[ManifestEntry] =
-    slurpManifest(fs, p)._3
+    slurpManifest(fs, p).entries
 
   /** Streaming-writer watermarks carried IN the manifest (the
     * SetTransaction pattern): `#txn\t<appId>\t<epoch>` header lines,
@@ -151,7 +180,7 @@ object BucketedLake {
     * append share one pointer flip. */
   private def slurpTxns(fs: org.apache.hadoop.fs.FileSystem,
                         p: Path): Map[String, Long] =
-    slurpManifest(fs, p)._2
+    slurpManifest(fs, p).txns
 
   /** The layout header a manifest version carries
     * (`#layout\t<key>\t<buckets>\t<partColOrEmpty>`) — the layout the
@@ -164,22 +193,20 @@ object BucketedLake {
     * (legacy listing fallback). */
   private[sources] def pinnedManifest(spark: SparkSession, path: String,
                                       asOf: Option[Long])
-      : Option[(Option[(String, Int, Option[String])], Seq[ManifestEntry])] =
+      : Option[ManifestData] =
     // resolving the pointer HERE pins the read: readManifestFull with an
     // explicit version reads exactly that file (None only when no
     // manifest exists at all — the legacy-listing fallback)
     readManifestFull(spark, path, asOf.orElse(currentVersion(spark, path)))
-      .map(m => (m._1, m._3))
 
-  /** Resolve + parse ONE manifest version completely — `(layout, txns,
-    * entries)` in a single read. `asOf` pins a retained version (loud
-    * failure when vacuumed); otherwise the current pointer, falling
-    * back to the pre-MVCC legacy manifest. `None` = no manifest at all
-    * (callers fall back to listing). */
+  /** Resolve + parse ONE manifest version completely
+    * ([[ManifestData]]) in a single read. `asOf` pins a retained
+    * version (loud failure when vacuumed); otherwise the current
+    * pointer, falling back to the pre-MVCC legacy manifest. `None` =
+    * no manifest at all (callers fall back to listing). */
   private[graft] def readManifestFull(spark: SparkSession, path: String,
                                       asOf: Option[Long] = None)
-      : Option[(Option[(String, Int, Option[String])], Map[String, Long],
-                Seq[ManifestEntry])] = {
+      : Option[ManifestData] = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     asOf.foreach { v =>
@@ -213,7 +240,7 @@ object BucketedLake {
   private[graft] def readManifest(spark: SparkSession, path: String,
                                   asOf: Option[Long] = None)
       : Option[Seq[ManifestEntry]] =
-    readManifestFull(spark, path, asOf).map(_._3)
+    readManifestFull(spark, path, asOf).map(_.entries)
 
   /** Publish `entries` as the next manifest version: the versioned file
     * lands first (invisible), then the pointer flips — the write's
@@ -252,15 +279,23 @@ object BucketedLake {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Returns the COMMITTED version number — the caller's handle for
+    * version-addressed side data (e.g. a merge's precise change files
+    * land under `_change/v<returned>/`). `op` tags the version with the
+    * operation that produced it — the change-data-feed's dispatch key
+    * ([[changes]]); the default `replace` is the CONSERVATIVE tag (CDF
+    * renders a replace as a full old-vs-new diff, correct for any
+    * commit). */
   private[graft] def writeManifest(spark: SparkSession, path: String,
                                    entries: Seq[ManifestEntry],
                                    base: Option[Long] = None,
                                    txns: Map[String, Long] = Map.empty,
-                                   layout: Option[(String, Int, Option[String])] = None): Unit = {
+                                   layout: Option[(String, Int, Option[String])] = None,
+                                   op: String = "replace"): Long = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
-      writeManifestLocked(spark, path, entries, base, txns, layout)
+      writeManifestLocked(spark, path, entries, base, txns, layout, op)
     }
   }
 
@@ -268,7 +303,8 @@ object BucketedLake {
                                   entries: Seq[ManifestEntry],
                                   base: Option[Long],
                                   txns: Map[String, Long],
-                                  layout: Option[(String, Int, Option[String])]): Unit = {
+                                  layout: Option[(String, Int, Option[String])],
+                                  op: String): Long = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -289,12 +325,16 @@ object BucketedLake {
             "exists — another writer committed first; re-read the table " +
             "and retry against the new version", e)
       }
+    require(!op.exists(c => c == '\t' || c == '\n'),
+      s"manifest op tag cannot contain tab/newline: '$op'")
     try out.write((layout.toSeq.map { case (k, n, pc) =>
       s"#layout\t$k\t$n\t${pc.getOrElse("")}" } ++
+      Seq(s"#op\t$op") ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
       entries.sortBy(e => (e.bucket, e.rel))
-        .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}"))
+        .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}" +
+          e.stats.fold("")(s => s"\t$s")))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     flipPointer(spark, fs, path, next)
@@ -306,6 +346,7 @@ object BucketedLake {
     // the legacy single-file manifest is superseded; leaving it behind
     // would resurrect a stale view if the pointer were ever lost
     fs.delete(new Path(path, ManifestFile), false): Unit
+    next
   }
 
   /** Flip the commit pointer ATOMICALLY where the store allows it:
@@ -425,23 +466,33 @@ object BucketedLake {
           }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
       }
     // manifests + staging dirs: driver-side, bounded by commit churn
-    // (the doomed-manifest set was computed above, before `referenced`)
-    if (!dryRun)
+    // (the doomed-manifest set was computed above, before `referenced`).
+    // A doomed version's _change/v<N>/ feed dies with its manifest —
+    // the change feed reaches exactly the retained versions.
+    val doomedChangeDirs = doomedManifests.flatMap(st =>
+      st.getPath.getName.stripPrefix("_bucket_manifest.v")
+        .stripSuffix(".txt").toLongOption)
+      .map(v => new Path(path, changeDirOf(v)))
+      .filter(fs.exists)
+    if (!dryRun) {
       doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
-    // leftovers of crashed writes/compactions; the retention window is
-    // what keeps an IN-FLIGHT write's staging alive
+      doomedChangeDirs.foreach(p => fs.delete(p, true): Unit)
+    }
+    // leftovers of crashed writes/compactions/merges; the retention
+    // window is what keeps an IN-FLIGHT write's staging alive
     val rootStatus = fs.listStatus(new Path(path))
     val doomedStaging = rootStatus.filter { st =>
       val n = st.getPath.getName
       ((st.isDirectory &&
         (n.startsWith(".write-") || n.startsWith(".compact-") ||
-          n.startsWith(".stage-"))) ||
+          n.startsWith(".stage-") || n.startsWith(".merge-"))) ||
         (st.isFile && n.startsWith(".ptr-"))) &&
         (minAgeMs <= 0L || st.getModificationTime <= horizon)
     }
     if (!dryRun)
       doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
-    VacuumReport(nData, dataBytes, doomedManifests.length,
+    VacuumReport(nData, dataBytes,
+      doomedManifests.length + doomedChangeDirs.length,
       doomedStaging.length)
   }
 
@@ -452,14 +503,18 @@ object BucketedLake {
     * by files/parallelism, never a driver loop. */
   private[graft] def footerSweep(spark: SparkSession,
                                    path: String): Seq[ManifestEntry] =
-    footerSweepFiles(spark, listDataFiles(spark, path))
+    footerSweepFiles(spark, listDataFiles(spark, path),
+      readSpec(spark, path).map(_.schema))
 
   /** Footer-count a specific `(bucket, absPath, size, relPath)` file
     * set — executor-parallel, shared by the legacy sweep and the
     * snapshot-atomic [[write]] (which must count ONLY its own staged
-    * files, never the superseded ones still on disk). */
+    * files, never the superseded ones still on disk). With a schema,
+    * per-column min/max/null stats ride the SAME footer read
+    * ([[FileStats.fromFooter]]) — data skipping costs no extra IO. */
   private[graft] def footerSweepFiles(spark: SparkSession,
-                                      listed: Seq[(Int, String, Long, String)])
+                                      listed: Seq[(Int, String, Long, String)],
+                                      statsSchema: Option[StructType] = None)
       : Seq[ManifestEntry] = {
     if (listed.isEmpty) return Nil
     import scala.jdk.CollectionConverters._
@@ -475,8 +530,12 @@ object BucketedLake {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(abs), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try r.getRecordCount finally r.close()
-        ManifestEntry(b, rows, size, rel)
+        val (rows, stats) = try {
+          (r.getRecordCount,
+            statsSchema.flatMap(s =>
+              FileStats.encode(FileStats.fromFooter(r.getFooter, s))))
+        } finally r.close()
+        ManifestEntry(b, rows, size, rel, stats)
       }.collect().toSeq
   }
 
@@ -533,7 +592,7 @@ object BucketedLake {
   final case class Spec(keyCol: String, buckets: Int, schema: StructType,
                         sorted: Boolean, partCol: Option[String] = None)
 
-  private val PartDir = "__part"
+  private[sources] val PartDir = "__part"
   private[sources] val NullPartName = "__HIVE_DEFAULT_PARTITION__"
 
   /** The raw (unescaped) partition-dir value a manifest rel path
@@ -599,12 +658,36 @@ object BucketedLake {
           .write.mode("overwrite").partitionBy(PartDir, BucketDir)
           .parquet(staging)
     }
+    val moved = moveStagedIntoLayout(spark, path, staging, "write")
+    // spec lands BEFORE the manifest flip: a reader resolving the new
+    // version must see the layout that wrote it (pinned readers hold
+    // their Spec in memory — a replace never mutates their view)
+    writeSpec(spark, path,
+      Spec(keyCol, buckets, df.schema, sorted = true, partitionCol))
+    // write-time manifest over ONLY this write's files: per-file record
+    // counts while they are one executor-parallel sweep — scans and the
+    // COUNT(*) pushdown then never touch a footer or a directory
+    // listing. Streaming watermarks carry forward: a replace does not
+    // license a replayed micro-batch to double-append.
+    writeManifest(spark, path,
+      footerSweepFiles(spark, moved, Some(df.schema)),
+      txns = readTxns(spark, path),
+      layout = Some((keyCol, buckets, partitionCol)), op = "replace"): Unit
+  }
+
+  /** Walk the staged `(__part=<v>/)?__bucket=<b>/` parquet and move each
+    * file into the live layout under a `<tag>-<stamp>-`-unique name —
+    * the shared landing step of [[write]] and [[merge]] (staged files
+    * are INVISIBLE until the manifest pointer flips; a crashed caller's
+    * leftovers are vacuumable, never adopted). Returns
+    * `(bucket, absPath, size, relPath)` per moved file. */
+  private def moveStagedIntoLayout(spark: SparkSession, path: String,
+                                   staging: String, tag: String)
+      : Seq[(Int, String, Long, String)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = Seq.newBuilder[(Int, String, Long, String)]
-    // walk staging/(__part=<v>/)?__bucket=<b>/*.parquet and move each
-    // file into the live layout under a write-unique name
     def moveBuckets(dir: Path, relPrefix: String): Unit =
       fs.listStatus(dir)
         .filter(st => st.isDirectory &&
@@ -616,11 +699,11 @@ object BucketedLake {
           fs.listStatus(d.getPath)
             .filter(_.getPath.getName.endsWith(".parquet"))
             .foreach { st =>
-              val name = s"write-$stamp-${st.getPath.getName}"
+              val name = s"$tag-$stamp-${st.getPath.getName}"
               val dest = new Path(destDir, name)
               if (!fs.rename(st.getPath, dest))
                 throw new java.io.IOException(
-                  s"write move failed for bucket $b: ${st.getPath}")
+                  s"$tag move failed for bucket $b: ${st.getPath}")
               moved += ((b, dest.toString, st.getLen,
                 s"data/$relPrefix$BucketDir=$b/$name"))
             }
@@ -631,19 +714,7 @@ object BucketedLake {
         st.getPath.getName.startsWith(s"$PartDir="))
       .foreach(p => moveBuckets(p.getPath, s"${p.getPath.getName}/"))
     fs.delete(new Path(staging), true): Unit
-    // spec lands BEFORE the manifest flip: a reader resolving the new
-    // version must see the layout that wrote it (pinned readers hold
-    // their Spec in memory — a replace never mutates their view)
-    writeSpec(spark, path,
-      Spec(keyCol, buckets, df.schema, sorted = true, partitionCol))
-    // write-time manifest over ONLY this write's files: per-file record
-    // counts while they are one executor-parallel sweep — scans and the
-    // COUNT(*) pushdown then never touch a footer or a directory
-    // listing. Streaming watermarks carry forward: a replace does not
-    // license a replayed micro-batch to double-append.
-    writeManifest(spark, path, footerSweepFiles(spark, moved.result()),
-      txns = readTxns(spark, path),
-      layout = Some((keyCol, buckets, partitionCol)))
+    moved.result()
   }
 
   private[sources] def writeSpec(spark: SparkSession, path: String,
@@ -677,7 +748,7 @@ object BucketedLake {
     writeSpec(spark, path,
       Spec(keyCol, buckets, schema, sorted = true, partitionCol))
     writeManifest(spark, path, Nil,
-      layout = Some((keyCol, buckets, partitionCol)))
+      layout = Some((keyCol, buckets, partitionCol)), op = "create"): Unit
   }
 
   /** ADDITIVE schema evolution: append nullable columns to the table
@@ -756,7 +827,7 @@ object BucketedLake {
     // legacy tables materialize a manifest FIRST (pre-compaction file
     // set) — after the new files land, only the manifest can tell the
     // live set apart from superseded files
-    val baseEntries = full.map(_._3).getOrElse(footerSweep(spark, path))
+    val baseEntries = full.map(_.entries).getOrElse(footerSweep(spark, path))
     // the fold unit is (partition dir segment, bucket) — "" when the
     // layout has no partition axis; partition values live in the data
     // files too, so the rewrite reproduces identical dir segments
@@ -764,11 +835,12 @@ object BucketedLake {
       rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
     val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
-    val carryTxns = full.map(_._2).getOrElse(Map.empty[String, Long])
+    val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
     val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
     if (multi.isEmpty) {
       if (occBaseOpt.isEmpty) // still upgrade to MVCC
-        writeManifest(spark, path, baseEntries, occBase, carryTxns, layout)
+        writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
+          op = "compact"): Unit
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -802,9 +874,12 @@ object BucketedLake {
       if (!fs.rename(staged.head.getPath, dest))
         throw new java.io.IOException(
           s"compaction move failed for group ($seg, $b)")
-      // a compaction rewrite preserves rows: sum of the folded entries
+      // a compaction rewrite preserves rows: sum of the folded entries;
+      // stats merge the same way (exact, zero reads) — a column
+      // survives only if every folded input tracked it
       ManifestEntry(b, olds.map(_.rows).sum, staged.head.getLen,
-        s"data/$prefix$BucketDir=$b/$name")
+        s"data/$prefix$BucketDir=$b/$name",
+        FileStats.merge(olds.map(_.stats), spec.schema))
     }
     fs.delete(new Path(staging), true): Unit
     val compacted = multi.map(_._1).toSet
@@ -812,7 +887,8 @@ object BucketedLake {
       compacted.contains((segOf(e.rel), e.bucket)))
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
     // streaming watermarks and the layout header carry forward untouched
-    writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout)
+    writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
+      op = "compact"): Unit
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -850,10 +926,373 @@ object BucketedLake {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     versions(spark, path).map { v =>
-      val (_, txns, es) = slurpManifest(fs, new Path(path, versionedManifest(v)))
-      (v, es.size.toLong, es.map(_.rows).sum, es.map(_.size).sum,
-        txns.toSeq.sorted.map { case (a, e) => s"$a=$e" }.mkString(","))
-    }.toDF("version", "files", "rows", "bytes", "txn_watermarks")
+      val m = slurpManifest(fs, new Path(path, versionedManifest(v)))
+      (v, m.op.getOrElse(""), m.entries.size.toLong,
+        m.entries.map(_.rows).sum, m.entries.map(_.size).sum,
+        m.txns.toSeq.sorted.map { case (a, e) => s"$a=$e" }.mkString(","))
+    }.toDF("version", "operation", "files", "rows", "bytes",
+      "txn_watermarks")
+  }
+
+  /** Rows of a manifest-entry set under the table schema — old files
+    * null-fill evolved columns (Spark's by-name parquet resolution);
+    * `None` for an empty set. */
+  private def readRels(spark: SparkSession, path: String, schema: StructType,
+                       entries: Seq[ManifestEntry]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else Some(spark.read.schema(schema)
+      .parquet(entries.map(e => s"$path/${e.rel}"): _*))
+
+  /** The CHANGE DATA FEED between two retained MVCC versions
+    * (`fromVersion` EXCLUSIVE, `toVersion` inclusive — Delta CDF's
+    * interval convention for "what changed since the snapshot I
+    * read"): table columns + `_change_type` + `_commit_version`.
+    * Version-by-version dispatch on the commit's op tag:
+    *
+    *  - `append` — the added files' rows are EXACTLY the inserted rows
+    *    (a file-level diff of two manifests: pure metadata, reads only
+    *    the new files);
+    *  - `compact` — physical reorganization, NO logical change: skip;
+    *  - `merge` — the PRECISE row-level feed the merge wrote next to
+    *    its commit (`_change/v<N>/`: delete + update pre/postimage +
+    *    insert rows); falls back to the file diff (rewritten files
+    *    surface as delete+insert churn — coarser, same net effect) if
+    *    the change files were lost after a crash between commit and
+    *    publish;
+    *  - `replace`/`truncate` — a full old-vs-new diff (every old row a
+    *    delete, every new row an insert);
+    *  - an UNTAGGED version (written before op tagging) fails loudly —
+    *    guessing an op could fabricate or hide changes.
+    *
+    * Applying the feed (inserts add, deletes remove, postimages replace
+    * preimages) to the `fromVersion` snapshot reproduces the
+    * `toVersion` snapshot exactly — the IVM/replication contract; the
+    * randomized spec pins it. All versions in `[fromVersion,
+    * toVersion]` must still be retained (vacuum trims the feed's
+    * reach, loudly). */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val retained = versions(spark, path).toSet
+    ((fromVersion max 1L) to toVersion).foreach(v =>
+      require(retained.contains(v),
+        s"manifest version $v at $path is not retained (vacuumed?) — " +
+          s"the change feed reaches only retained versions: " +
+          s"${retained.toSeq.sorted.mkString(", ")}"))
+    def manifestAt(v: Long): ManifestData =
+      if (v == 0L) ManifestData(None, None, Map.empty, Nil)
+      else slurpManifest(fs, new Path(path, versionedManifest(v)))
+    def tagged(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(ct))
+        .withColumn("_commit_version", lit(v))
+    def fileDiff(prev: ManifestData, cur: ManifestData, v: Long)
+        : Seq[DataFrame] = {
+      val prevRels = prev.entries.map(_.rel).toSet
+      val curRels = cur.entries.map(_.rel).toSet
+      val removed = prev.entries.filterNot(e => curRels.contains(e.rel))
+      val added = cur.entries.filterNot(e => prevRels.contains(e.rel))
+      readRels(spark, path, spec.schema, removed)
+        .map(tagged(_, "delete", v)).toSeq ++
+        readRels(spark, path, spec.schema, added)
+          .map(tagged(_, "insert", v)).toSeq
+    }
+    val frames = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val cur = manifestAt(v)
+      val op = cur.op.getOrElse(throw new IllegalStateException(
+        s"manifest version $v at $path carries no operation tag " +
+          "(written before op tagging) — the change feed cannot classify " +
+          "it; rewrite the table or start the feed after this version"))
+      op match {
+        case "compact" | "create" => Nil
+        case "append" =>
+          val prevRels = manifestAt(v - 1L).entries.map(_.rel).toSet
+          val added = cur.entries.filterNot(e => prevRels.contains(e.rel))
+          readRels(spark, path, spec.schema, added)
+            .map(tagged(_, "insert", v)).toSeq
+        case "merge" if fs.exists(new Path(path, changeDirOf(v))) =>
+          Seq(spark.read
+            .schema(spec.schema.add("_change_type",
+              org.apache.spark.sql.types.StringType, nullable = false))
+            .parquet(s"$path/${changeDirOf(v)}")
+            .withColumn("_commit_version", lit(v)))
+        case _ => // replace / truncate / change-file-less merge
+          fileDiff(manifestAt(v - 1L), cur, v)
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val empty = spec.schema
+        .add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+        .add("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        empty)
+    }
+  }
+
+  /** What a [[merge]] commit did: row classes, the copy-on-write blast
+    * radius, and the committed version (its change feed lives at
+    * `_change/v<version>/`). */
+  final case class MergeStats(updated: Long, deleted: Long, inserted: Long,
+                              rewrittenGroups: Int, rewrittenFiles: Int,
+                              version: Long)
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** ROW-LEVEL MERGE (upsert + delete) — copy-on-write at
+    * `(partition, bucket)` GROUP granularity, the mutation primitive a
+    * CDC-fed lake needs. The bucket layout IS the merge index: an
+    * upsert/delete key hashes to exactly one bucket, so only the
+    * key-holding groups rewrite — a batch touching k keys rewrites at
+    * most k groups' files, never the table (at 100 TB this is the
+    * difference between a MERGE and a full rewrite; same shape as the
+    * repo's Hudi/Delta merge legs, with the bucket hash replacing their
+    * key indexes).
+    *
+    * Semantics (key-unique upsert contract, like every keyed lake):
+    *  - an upsert row REPLACES every current row with its key, or
+    *    inserts if the key is absent (a key moving partition rewrites
+    *    both its old and new group);
+    *  - `deleteKeys` rows (column `keyCol`) hard-delete; null delete
+    *    keys match nothing and are dropped;
+    *  - duplicate upsert keys and upsert∩delete overlap fail LOUDLY
+    *    (ambiguous outcomes never guessed).
+    *
+    * MVCC + OCC: the rewrite derives from ONE pinned manifest, new
+    * files land invisibly, and the manifest flip (op=`merge`, gated on
+    * the pinned version) is the commit — a concurrent commit fails this
+    * merge loudly ([[ConcurrentCommitException]]; merges do not
+    * commute, so there is no auto-retry) and its files stay
+    * vacuumable. A PRECISE row-level change feed (delete /
+    * update_preimage / update_postimage / insert) publishes to
+    * `_change/v<version>/` for [[changes]]; pinned readers and time
+    * travel see the pre-merge snapshot untouched.
+    *
+    * Driver collects are metadata-bounded: the touched-bucket set
+    * (≤ buckets) and the rewrite-group set (≤ touched partitions ×
+    * buckets). */
+  def merge(spark: SparkSession, path: String, upserts: DataFrame,
+            deleteKeys: DataFrame): MergeStats = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val base = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"merge requires an MVCC manifest at $path — run compact() once " +
+          "to upgrade a legacy table"))
+    val m = readManifestFull(spark, path, Some(base)).get
+    m.layout.foreach { case (k, n, pc) =>
+      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
+        s"bucketed table $path layout changed under this merge — re-read " +
+          "and retry")
+    }
+    val key = spec.keyCol
+    val n = spec.buckets
+    val inCols = upserts.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val declared = spec.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(inCols == declared,
+      s"merge upserts must match the table schema " +
+        s"${spec.schema.simpleString}, got ${upserts.schema.simpleString}")
+    require(deleteKeys.columns.contains(key),
+      s"deleteKeys needs a '$key' column, got " +
+        deleteKeys.columns.mkString(", "))
+    // ambiguity gates — bounded by the BATCH size, not the table
+    require(upserts.where(col(key).isNull).isEmpty,
+      "merge: null upsert key (null keys have no bucket)")
+    val upK = upserts.select(col(key))
+    require(upK.distinct().count() == upserts.count(),
+      "merge: duplicate upsert keys — resolve (precombine) before merging")
+    val delK = deleteKeys.select(col(key)).where(col(key).isNotNull)
+      .distinct()
+    require(upK.join(delK, Seq(key), "left_semi").isEmpty,
+      "merge: a key appears in both upserts and deleteKeys — ambiguous")
+
+    // ---- blast radius: touched buckets, then rewrite groups ----------
+    val allKeys = upK.unionByName(delK).distinct()
+    // bounded collect: ≤ `buckets` ordinals
+    val touchedBuckets = allKeys.select(bucketExpr(key, n).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touchedEntries = m.entries.filter(e =>
+      touchedBuckets.contains(e.bucket))
+    val partDt: Option[(String, DataType)] = spec.partCol.map(pc =>
+      (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
+    // group id = (canonical partition value option, bucket); bucket-only
+    // layouts use (None, bucket). Entry side parses the dir segment —
+    // if ANY touched entry cannot parse (legacy path, exotic partition
+    // type), fall back to whole-BUCKET granularity: coarser rewrite,
+    // identical results.
+    def entryGroup(e: ManifestEntry): Option[Option[Any]] = partDt match {
+      case None => Some(None)
+      case Some((_, dt)) => partValueRaw(e.rel) match {
+        case None => None
+        case Some(None) => Some(None)
+        case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
+      }
+    }
+    val entryGroups = touchedEntries.map(e => e -> entryGroup(e))
+    // the data side (dataGroups → None) catches partition types the
+    // canonical space cannot represent — both sides must agree to use
+    // group granularity
+    val groupable = entryGroups.forall(_._2.isDefined)
+    // data-side group of a row, in the SAME canonical space (the
+    // parse/render identity is property-tested on every key type)
+    def dataGroups(df: DataFrame): Option[Set[(Option[Any], Int)]] = {
+      val cols = partDt.map(p => col(p._1)).toSeq :+
+        bucketExpr(key, n).as("__b")
+      // bounded collect: ≤ touched partitions × buckets distinct groups
+      val rows = df.select(cols: _*).distinct().collect()
+      val groups = rows.map { r =>
+        val pv: Option[Option[Any]] = partDt match {
+          case None => Some(None)
+          case Some((_, dt)) =>
+            val raw = r.get(0)
+            if (raw == null) Some(None)
+            else PartPruning.canonical(raw, dt).map(Some(_))
+        }
+        pv.map(p => (p, r.getInt(r.length - 1)))
+      }
+      if (groups.exists(_.isEmpty)) None else Some(groups.flatten.toSet)
+    }
+    val touchedDf = readRels(spark, path, spec.schema, touchedEntries)
+    val matchedGroupsOpt = touchedDf match {
+      case None => Some(Set.empty[(Option[Any], Int)])
+      case Some(df) => dataGroups(df.join(allKeys, Seq(key), "left_semi"))
+    }
+    val rewriteEntries: Seq[ManifestEntry] =
+      (matchedGroupsOpt, dataGroups(upserts)) match {
+        case (Some(mg), Some(ug)) if groupable =>
+          val rewriteGroups = mg ++ ug
+          entryGroups.collect {
+            case (e, Some(g)) if rewriteGroups.contains((g, e.bucket)) => e
+          }
+        case _ => touchedEntries // bucket-granularity fallback
+      }
+
+    // ---- the rewrite ------------------------------------------------
+    val oldRewritten = readRels(spark, path, spec.schema, rewriteEntries)
+      .getOrElse(emptyFrame(spark, spec.schema))
+    val carried = oldRewritten.join(allKeys, Seq(key), "left_anti")
+    val newData = carried.unionByName(upserts)
+    val staging = s"$path/.merge-${java.util.UUID.randomUUID()}"
+    val routed = newData.withColumn(BucketDir, bucketExpr(key, n))
+    val groupCount = math.max(1, rewriteEntries.size + 1)
+    spec.partCol match {
+      case None =>
+        routed.repartition(groupCount, col(BucketDir))
+          .sortWithinPartitions(col(BucketDir), col(key))
+          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+      case Some(pc) =>
+        routed.withColumn(PartDir, col(pc))
+          .repartition(groupCount, col(PartDir), col(BucketDir))
+          .sortWithinPartitions(col(PartDir), col(BucketDir), col(key))
+          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
+          .parquet(staging)
+    }
+    val moved = moveStagedIntoLayout(spark, path, staging, "merge")
+    val freshEntries = footerSweepFiles(spark, moved, Some(spec.schema))
+
+    // ---- the PRECISE change feed (Delta-CDF shape), staged ----------
+    val keyClass = upK.withColumn("__cls", lit("u"))
+      .unionByName(delK.withColumn("__cls", lit("d")))
+    val preClassed = oldRewritten.join(keyClass, Seq(key))
+    val ct = "_change_type"
+    val pre = preClassed.withColumn(ct,
+        when(col("__cls") === "d", lit("delete"))
+          .otherwise(lit("update_preimage"))).drop("__cls")
+    val oldUpsertKeys = preClassed.where(col("__cls") === "u")
+      .select(col(key)).distinct()
+    val post = upserts.join(oldUpsertKeys, Seq(key), "left_semi")
+      .withColumn(ct, lit("update_postimage"))
+    val ins = upserts.join(oldUpsertKeys, Seq(key), "left_anti")
+      .withColumn(ct, lit("insert"))
+    val orderedCols = spec.schema.fieldNames.map(col) :+ col(ct)
+    val changeRows = pre.select(orderedCols: _*)
+      .unionByName(post.select(orderedCols: _*))
+      .unionByName(ins.select(orderedCols: _*))
+    val chgStaging = s"$path/.merge-${java.util.UUID.randomUUID()}-chg"
+    changeRows.write.mode("overwrite").parquet(chgStaging)
+    val counts = spark.read.parquet(chgStaging).groupBy(ct).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // ---- commit: manifest flip, then publish the change files -------
+    val removedRels = rewriteEntries.map(_.rel).toSet
+    val kept = m.entries.filterNot(e => removedRels.contains(e.rel))
+    val committed = writeManifest(spark, path, kept ++ freshEntries,
+      base = Some(base), txns = m.txns,
+      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      op = "merge")
+    // a crash BETWEEN flip and publish degrades this version's feed to
+    // the file diff (documented in [[changes]]) — never wrong, coarser
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val chgDest = new Path(path, changeDirOf(committed))
+    fs.mkdirs(chgDest.getParent)
+    if (!fs.rename(new Path(chgStaging), chgDest))
+      throw new java.io.IOException(
+        s"merge committed v$committed but publishing its change feed " +
+          s"failed ($chgStaging -> $chgDest); the feed for this version " +
+          "falls back to the file diff")
+    MergeStats(
+      updated = counts.getOrElse("update_postimage", 0L),
+      deleted = counts.getOrElse("delete", 0L),
+      inserted = counts.getOrElse("insert", 0L),
+      rewrittenGroups = rewriteEntries.map(e =>
+        (entryGroup(e), e.bucket)).distinct.size,
+      rewrittenFiles = rewriteEntries.size,
+      version = committed)
+  }
+
+  /** Predicate DELETE: `deleteWhere(spark, path, $"status" === "dead")`
+    * — evaluates the predicate on the CURRENT snapshot, then merges the
+    * matching keys out. Copy-on-write blast radius = the matching
+    * keys' groups (the predicate scan itself enjoys the scan's three
+    * pruning axes when the predicate allows). */
+  def deleteWhere(spark: SparkSession, path: String,
+                  condition: org.apache.spark.sql.Column): MergeStats = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val entries = readManifest(spark, path).getOrElse(
+      footerSweep(spark, path))
+    val keys = readRels(spark, path, spec.schema, entries)
+      .getOrElse(emptyFrame(spark, spec.schema))
+      .where(condition).select(spec.keyCol)
+    merge(spark, path, emptyFrame(spark, spec.schema), keys)
+  }
+
+  /** Predicate UPDATE: `updateWhere(spark, path, cond,
+    * Map("price" -> $"price" * 2))` — transformed matching rows merge
+    * back as upserts. The bucket KEY cannot change (a rekeyed row is a
+    * delete+insert, not an update); the PARTITION value can (the row
+    * moves group — both groups rewrite). Key-unique contract: two
+    * matching rows sharing a key fail loudly in [[merge]]. */
+  def updateWhere(spark: SparkSession, path: String,
+                  condition: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): MergeStats = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    require(!set.contains(spec.keyCol),
+      s"updateWhere cannot change the bucket key '${spec.keyCol}' — " +
+        "delete + insert instead")
+    set.keys.foreach(c => require(spec.schema.fieldNames.contains(c),
+      s"updateWhere: no column '$c' in ${spec.schema.simpleString}"))
+    val entries = readManifest(spark, path).getOrElse(
+      footerSweep(spark, path))
+    val ups = readRels(spark, path, spec.schema, entries)
+      .getOrElse(emptyFrame(spark, spec.schema))
+      .where(condition)
+      .select(spec.schema.fieldNames.map(nm =>
+        set.getOrElse(nm, col(nm)).cast(
+          spec.schema.fields(spec.schema.fieldIndex(nm)).dataType)
+          .as(nm)): _*)
+    merge(spark, path, ups, emptyFrame(spark,
+      StructType(Seq(spec.schema.fields(
+        spec.schema.fieldIndex(spec.keyCol))))))
   }
 
   /** Retained manifest versions at `path`, ascending — the TIME-TRAVEL
@@ -1299,10 +1738,12 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
 }
 
 /** Per-task commit message: `(bucket, partitionDirSegment, stagedPath,
-  * rows)` per file (segment "" on bucket-only layouts) — the row counts
-  * ride the commit so the manifest updates with ZERO reads. */
+  * rows, statsJson)` per file (segment "" on bucket-only layouts) —
+  * the row counts AND column min/max stats ride the commit so the
+  * manifest updates with ZERO reads (the writer saw every row anyway;
+  * [[FileStats.Tracker]]). */
 private[sources] final case class GraftBucketCommit(
-    files: Seq[(Int, String, String, Long)])
+    files: Seq[(Int, String, String, Long, Option[String])])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
@@ -1348,7 +1789,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
     messages.foreach {
       case GraftBucketCommit(files) =>
-        files.foreach { case (b, seg, staged, rows) =>
+        files.foreach { case (b, seg, staged, rows, stats) =>
           val prefix = if (seg.isEmpty) "" else s"$seg/"
           val dir = new Path(s"$path/data/${prefix}__bucket=$b")
           f.mkdirs(dir)
@@ -1358,7 +1799,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
             throw new java.io.IOException(s"commit failed moving $staged")
           fresh += BucketedLake.ManifestEntry(b, rows,
             f.getFileStatus(dest).getLen,
-            s"data/${prefix}__bucket=$b/${src.getName}")
+            s"data/${prefix}__bucket=$b/${src.getName}", stats)
         }
       case other => throw new IllegalStateException(s"foreign message $other")
     }
@@ -1369,7 +1810,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       // replace semantics: the manifest holds only this write's files;
       // watermarks carry forward (a replayed epoch must stay a no-op)
       BucketedLake.writeManifest(spark, path, freshEntries,
-        txns = preTxns ++ txnUpdate, layout = layout)
+        txns = preTxns ++ txnUpdate, layout = layout,
+        op = "truncate"): Unit
     } else {
       // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
       // only add files), so losing the race just means re-reading the
@@ -1389,7 +1831,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         val baseOpt = BucketedLake.currentVersion(spark, path)
         val base = baseOpt.getOrElse(0L)
         val full = BucketedLake.readManifestFull(spark, path, baseOpt)
-        val priorTxns = full.map(_._2).getOrElse(Map.empty[String, Long])
+        val priorTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
         // a racer may have committed THIS epoch while we retried: the
         // moved files become unreferenced (vacuumable), never duplicated
         if (txn.exists { case (app, epoch) =>
@@ -1401,13 +1843,13 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
           // adopted them into the manifest it published — merging them
           // again would double-count every row
           val freshRels = freshEntries.map(_.rel).toSet
-          val existing = full.map(_._3)
+          val existing = full.map(_.entries)
             .getOrElse(BucketedLake.footerSweep(spark, path))
             .filterNot(e => freshRels.contains(e.rel))
           try {
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
-              priorTxns ++ txnUpdate, layout)
+              priorTxns ++ txnUpdate, layout, op = "append"): Unit
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -1451,12 +1893,18 @@ private[sources] class GraftBucketWriterFactory(
       private var seg: String = null
       private var rowsInFile = 0L
       private var sink: org.apache.spark.sql.graftshim.ParquetWriteShim.RowSink = _
-      private val written = Seq.newBuilder[(Int, String, String, Long)]
+      private val written =
+        Seq.newBuilder[(Int, String, String, Long, Option[String])]
       private var pending: (Int, String, String) = _
+      // per-FILE min/max/null tracking — the writer sees every row
+      // anyway, so data-skipping stats ride the commit with zero IO
+      private val statFields = FileStats.trackerFields(handle.schema)
+      private var tracker: FileStats.Tracker = _
 
       private def flush(): Unit = if (sink != null) {
         sink.close()
-        written += ((pending._1, pending._2, pending._3, rowsInFile))
+        written += ((pending._1, pending._2, pending._3, rowsInFile,
+          tracker.result()))
         sink = null
       }
 
@@ -1481,10 +1929,12 @@ private[sources] class GraftBucketWriterFactory(
             .open(handle, dir, partitionId)
           pending = (b, s, sink.path())
           rowsInFile = 0L
+          tracker = new FileStats.Tracker(statFields)
           bucket = b
           seg = s
         }
         sink.write(row)
+        tracker.update(row)
         rowsInFile += 1
       }
       override def commit()
@@ -1642,23 +2092,39 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     case _ => true
   }
 
-  /** Per-bucket kept files after PLAN-TIME pruning on both axes:
+  /** DATA SKIPPING (the third pruning axis): a file whose manifest
+    * min/max window provably holds no filter match is dropped — rows
+    * from the manifest entry, stats decoded against the table schema.
+    * Strict-or-keep like the other two axes; filters stay residual. */
+  private def statsKeep(stats: Option[String], rows: Long,
+                        filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    stats.isEmpty || rows < 0L || filters.forall(f =>
+      FileStats.keep(stats, rows, spec.schema, f).getOrElse(true))
+
+  /** One kept file after plan-time pruning: manifest-sourced size,
+    * rows (-1 on the legacy listing fallback), the partition value in
+    * canonical space, and the data-skipping stats JSON. */
+  private final case class KeptFile(bucket: Int, abs: String, size: Long,
+                                    rows: Long,
+                                    partCanon: Option[Option[Any]],
+                                    stats: Option[String])
+
+  /** Per-bucket kept files after PLAN-TIME pruning on all three axes:
     * bucket pruning dropped non-matching buckets, partition predicates
-    * drop non-matching partition dirs' files within each bucket. */
+    * drop non-matching partition dirs' files, and per-file min/max
+    * stats drop files whose windows cannot hold a match. */
   /** ONE pointer resolution + ONE manifest read serves the layout
     * guard, the file lists, AND the statistics — separate reads could
     * straddle a re-layout commit and validate one version's header
     * against another's entries (or price the stats off a different
-    * snapshot than the scan reads). Per kept file:
-    * `(bucket, abs, size, rows, partCanon)` — rows = -1 on the legacy
-    * listing fallback (no manifest). A layout/spec mismatch means the
+    * snapshot than the scan reads). A layout/spec mismatch means the
     * table was re-bucketed/re-partitioned since this scan resolved it
     * (or the time-travel version predates the change): pruning under
     * the wrong layout silently drops rows, so fail LOUDLY instead. */
-  private lazy val keptFiles
-      : Seq[(Int, String, Long, Long, Option[Option[Any]])] = {
+  private lazy val keptFiles: Seq[KeptFile] = {
     val pinned = BucketedLake.pinnedManifest(spark, path, asOf)
-    pinned.flatMap(_._1).foreach { case (k, n, pc) =>
+    pinned.flatMap(_.layout).foreach { case (k, n, pc) =>
       require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
         s"bucketed table $path layout changed: manifest written under " +
           s"(key=$k, buckets=$n, partition=$pc) but the resolved spec is " +
@@ -1666,27 +2132,21 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
           s"partition=${spec.partCol}) — re-resolve the table" +
           asOf.fold("")(v => s" (version $v predates the layout change)"))
     }
-    val metas: Seq[(Int, String, String, Long, Long)] = pinned match {
-      case Some((_, es)) =>
-        es.map(e => (e.bucket, e.rel, s"$path/${e.rel}", e.size, e.rows))
-      case None =>
+    val metas: Seq[KeptFile] = pinned match {
+      case Some(m) =>
+        m.entries.map(e => KeptFile(e.bucket, s"$path/${e.rel}", e.size,
+          e.rows, canonOf(e.rel), e.stats))
+      case None => // (bucket, rel, abs, size) — rows unknown
         BucketedLake.listDataFilesFor(spark, path)
-          .map(f => (f._1, f._2, f._3, f._4, -1L))
+          .map(f => KeptFile(f._1, f._3, f._4, -1L, canonOf(f._2), None))
     }
-    // canonOf once per entry, then prune on both axes
-    metas.iterator
-      .map { case (b, rel, abs, size, rows) =>
-        (b, abs, size, rows, canonOf(rel))
-      }
-      .filter { case (b, _, _, _, canon) =>
-        pruned.forall(_.contains(b)) && partKeep(canon, pushed)
-      }.toSeq
+    metas.filter(k =>
+      pruned.forall(_.contains(k.bucket)) && partKeep(k.partCanon, pushed) &&
+        statsKeep(k.stats, k.rows, pushed))
   }
 
-  private lazy val keptMeta
-      : Map[Int, Array[(String, Long, Option[Option[Any]])]] =
-    keptFiles.groupBy(_._1).view
-      .mapValues(_.map(f => (f._2, f._3, f._5)).toArray).toMap
+  private lazy val keptMeta: Map[Int, Array[KeptFile]] =
+    keptFiles.groupBy(_.bucket).view.mapValues(_.toArray).toMap
 
   /** EXACT table statistics, free from the manifest (pruned buckets
     * and pruned partition dirs excluded): without them a V2 scan
@@ -1698,10 +2158,10 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       : org.apache.spark.sql.connector.read.Statistics = {
     // priced off the SAME pinned manifest read the scan uses — no second
     // GET, no straddle with a concurrent commit
-    val bytes = java.util.OptionalLong.of(keptFiles.map(_._3).sum)
+    val bytes = java.util.OptionalLong.of(keptFiles.map(_.size).sum)
     val rows =
-      if (keptFiles.exists(_._4 < 0L)) java.util.OptionalLong.empty()
-      else java.util.OptionalLong.of(keptFiles.map(_._4).sum)
+      if (keptFiles.exists(_.rows < 0L)) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(keptFiles.map(_.rows).sum)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
@@ -1730,7 +2190,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     (0 until spec.buckets)
       .filter(b => pruned.forall(_.contains(b)))
       .map(b => GraftBucketPartition(b,
-        keptMeta.getOrElse(b, Array.empty).map(m => (m._1, m._2))))
+        keptMeta.getOrElse(b, Array.empty[KeptFile])
+          .map(k => (k.abs, k.size))))
       .toArray[InputPartition]
 
   /** RUNTIME (DPP-style) bucket pruning: a selective join side hands
@@ -1772,13 +2233,14 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       if (runtimeKeep.exists(k => !k.contains(p.bucket)))
         p.copy(files = Array.empty)
       else {
-        // runtime partition-axis pruning: empty the files whose
-        // partition dir can hold no runtime-filter match
-        val metas = keptMeta.getOrElse(p.bucket,
-          Array.empty[(String, Long, Option[Option[Any]])])
-        val kept = metas.filter(m => partKeep(m._3, runtimePushed))
+        // runtime partition-axis + data-skipping pruning: empty the
+        // files whose partition dir or min/max window can hold no
+        // runtime-filter match
+        val metas = keptMeta.getOrElse(p.bucket, Array.empty[KeptFile])
+        val kept = metas.filter(k => partKeep(k.partCanon, runtimePushed) &&
+          statsKeep(k.stats, k.rows, runtimePushed))
         if (kept.length == metas.length) p
-        else p.copy(files = kept.map(m => (m._1, m._2)))
+        else p.copy(files = kept.map(k => (k.abs, k.size)))
       }
     }
 

@@ -41,7 +41,7 @@ object ParquetWriteShim {
   final class WriterHandle private[ParquetWriteShim] (
       private[ParquetWriteShim] val factory: OutputWriterFactory,
       private[ParquetWriteShim] val conf: SerializableConf,
-      private[ParquetWriteShim] val schema: StructType) extends Serializable
+      val schema: StructType) extends Serializable
 
   /** Executor-side single-file writer. */
   final class RowSink private[ParquetWriteShim] (

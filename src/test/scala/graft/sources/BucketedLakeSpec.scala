@@ -789,9 +789,12 @@ class BucketedLakeSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("time-travel"))
     // the SQL history surface: one row per retained version, exact rows
-    val hist = spark.sql(s"SELECT * FROM graft_bucketed_history('$path')")
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
-    assert(hist === Seq((1L, 100L), (2L, 200L), (3L, 200L)))
+    // and op tags (the change feed's dispatch key)
+    val hist = spark.sql(
+      s"SELECT version, operation, rows FROM graft_bucketed_history('$path')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist === Seq((1L, "replace", 100L), (2L, "append", 200L),
+      (3L, "compact", 200L)))
     // vacuum trims history: superseded versions stop resolving LOUDLY
     BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit
     assert(BucketedLake.versions(spark, path) === Seq(3L))
