@@ -2808,6 +2808,133 @@ object SparkEntry {
       at(1).unionByName(at(2)).orderBy("version")
     }),
 
+    /** CHANGE DATA FEED over the bucketed lake's MVCC history
+      * ([[graft.sources.BucketedLake.changes]]): v2 is an append (the
+      * feed reads ONLY the added files — a manifest diff), v3 a
+      * row-level merge whose PRECISE change files carry Delta-CDF row
+      * classes (delete / update pre+postimage). The oracle recomputes
+      * every class from the source table. */
+    "lake_bucketed_cdf" -> ((s, d) => {
+      val root = lakeTmp(d, "bkcdf")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      graft.sources.BucketedLake.write(
+        orders.where(col("o_orderkey") % 2 === 0),
+        s"$root/orders", "o_orderkey", 8) // v1
+      orders.where(col("o_orderkey") % 2 =!= 0)
+        .writeTo(s"graft_bk.`$root/orders`").append() // v2
+      graft.sources.BucketedLake.merge(s, s"$root/orders",
+        orders.where(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        orders.where(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0).select("o_orderkey")): Unit // v3
+      graft.sources.BucketedLake.changes(s, s"$root/orders", 1L, 3L)
+        .groupBy(col("_commit_version").cast("int").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("version", "change_type")
+    }),
+
+    /** Row-level MERGE on the bucketed lake
+      * ([[graft.sources.BucketedLake.merge]], copy-on-write of only the
+      * key-holding (partition, bucket) groups): one commit upserts
+      * doubled-price rows AND hard-deletes a disjoint key set — the
+      * same CDC-target contract as `lake_delta_merge`/
+      * `lake_hudi_upsert`, now on the repo's flagship layout. The
+      * snapshot must equal the oracle's merged recompute. */
+    "lake_bucketed_merge" -> ((s, d) => {
+      val root = lakeTmp(d, "bkmerge")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.BucketedLake.write(orders, s"$root/orders",
+        "o_orderkey", 8) // v1
+      graft.sources.BucketedLake.merge(s, s"$root/orders",
+        orders.where(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        orders.where(col("o_orderkey") % 97 === 0 &&
+          col("o_orderkey") % 100 =!= 0).select("o_orderkey")): Unit // v2
+      s.read.table(s"graft_bk.`$root/orders`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** DATA SKIPPING on the bucketed lake ([[graft.sources.FileStats]]):
+      * three date-disjoint generations land as separate files whose
+      * manifest min/max windows cover disjoint o_orderdate ranges — the
+      * range predicate reads ONLY the matching generation's files
+      * (plan-contract-pinned in BucketedStatsSpec), with zero footer
+      * opens for the skipped ones. The skipped scan must equal the
+      * plain filtered recompute. */
+    "lake_bucketed_skipping" -> ((s, d) => {
+      val root = lakeTmp(d, "bkskip")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.BucketedLake.write(
+        orders.where(col("o_orderdate") < "1994-01-01"),
+        s"$root/orders", "o_custkey", 8) // gen 1
+      orders.where(col("o_orderdate") >= "1994-01-01" &&
+          col("o_orderdate") < "1996-01-01")
+        .writeTo(s"graft_bk.`$root/orders`").append() // gen 2
+      orders.where(col("o_orderdate") >= "1996-01-01")
+        .writeTo(s"graft_bk.`$root/orders`").append() // gen 3
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_orderdate") >= "1996-06-01")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate")).as("min_dt"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** STREAMING TAIL of the bucketed lake (`graft-bucketed`,
+      * [[graft.streaming.BucketedStreamSource]]) composed with
+      * exactly-once ingest ([[graft.sources.BucketedLake.streamInto]]):
+      * source-lake MVCC versions ARE the offsets; two append commits
+      * stream into a second bucketed table under transactional
+      * watermarks, and the DESTINATION must equal the plain recompute —
+      * the lake→lake replication leg on the flagship layout. */
+    "lake_bucketed_stream" -> ((s, d) => {
+      val root = lakeTmp(d, "bkstream")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.BucketedLake.createEmpty(s, s"$root/src",
+        "o_orderkey", 8, orders.schema) // v1 (create: nothing to emit)
+      orders.where(col("o_orderkey") % 2 === 0)
+        .writeTo(s"graft_bk.`$root/src`").append() // v2
+      orders.where(col("o_orderkey") % 2 =!= 0)
+        .writeTo(s"graft_bk.`$root/src`").append() // v3
+      graft.sources.BucketedLake.createEmpty(s, s"$root/dst",
+        "o_orderkey", 8, orders.schema)
+      val q = graft.sources.BucketedLake.streamInto(
+        s.readStream.format("graft-bucketed")
+          .option("path", s"$root/src").load(),
+        s"$root/dst", "bkstream-mirror", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.table(s"graft_bk.`$root/dst`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -5105,6 +5232,60 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM orders
       ORDER BY version""",
+
+    // CDF: v2 inserts = the appended odd keys; v3's merge classes
+    // recompute from the same predicates the query used
+    "lake_bucketed_cdf" -> """
+      SELECT * FROM (
+        SELECT CAST(2 AS INTEGER) AS version, 'insert' AS change_type,
+               COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders WHERE o_orderkey % 2 <> 0
+        UNION ALL
+        SELECT 3, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+        UNION ALL
+        SELECT 3, 'update_preimage', COUNT(*),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 3, 'update_postimage', COUNT(*),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 100 = 0
+      ) ORDER BY version, change_type""",
+
+    // the merged snapshot: doubled prices for upserted keys, deleted
+    // keys gone, everything else untouched
+    "lake_bucketed_merge" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 0
+                                THEN o_totalprice * 2
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    // the data-skipped scan must equal the plain filtered recompute
+    "lake_bucketed_skipping" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             MIN(o_orderdate) AS min_dt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders WHERE o_orderdate >= DATE '1996-06-01'
+      GROUP BY 1 ORDER BY 1""",
+
+    // the streamed-and-reingested destination must equal the source
+    "lake_bucketed_stream" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     // two-axis layout: the partition-dir + bucket pruned scan must
     // equal the plain filtered aggregate

@@ -101,8 +101,8 @@ object BucketedLake {
     * read-while-replace window; [[vacuum]] reclaims unreferenced files
     * later). Pre-MVCC tables' single `_bucket_manifest.txt` still
     * reads; the next write upgrades them. */
-  private[sources] def currentVersion(spark: SparkSession,
-                                      path: String): Option[Long] = {
+  private[graft] def currentVersion(spark: SparkSession,
+                                    path: String): Option[Long] = {
     val p = new Path(path, CurrentPointer)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     @annotation.tailrec
@@ -784,7 +784,7 @@ object BucketedLake {
     writeSpec(spark, path, spec.copy(schema = newSchema))
   }
 
-  private[sources] def readSpec(spark: SparkSession, path: String): Option[Spec] = {
+  private[graft] def readSpec(spark: SparkSession, path: String): Option[Spec] = {
     val p = new Path(path, SpecFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -2298,13 +2298,13 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
 }
 
-private[sources] final case class GraftBucketPartition(
+private[graft] final case class GraftBucketPartition(
     bucket: Int, files: Array[(String, Long)])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-private[sources] class GraftBucketReaderFactory(
+private[graft] class GraftBucketReaderFactory(
     readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
     batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
