@@ -2935,6 +2935,52 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** IVM fed by the BUCKETED LAKE's own change feed
+      * ([[graft.sources.BucketedLake.changes]] →
+      * [[graft.streaming.IncrementalAgg.applyChanges]]): epoch 0 folds
+      * the initial replace commit, epoch 1 folds a row-level
+      * updateWhere + deleteWhere through the merge's PRECISE change
+      * files (pre+postimages subtract/add exactly; min/max dirty
+      * recompute reads a version-pinned snapshot). Same end state as
+      * `lake_ivm_agg`, now with the flagship layout as the mart's
+      * source of truth — no Delta leg in the loop. */
+    "lake_ivm_bucketed" -> ((s, d) => {
+      import graft.streaming.IncrementalAgg
+      val root = lakeTmp(d, "ivmbk")
+      val src = s"$root/src"; val viewPath = s"$root/view"
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val orders = t(s, d, "orders")
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey"), col("o_orderdate"))
+      graft.sources.BucketedLake.write(orders, src, "o_orderkey", 8) // v1
+      val spec = IncrementalAgg.ViewSpec(Seq("o_orderpriority"),
+        sumCols = Seq("o_custkey"), minCols = Seq("o_orderdate"),
+        maxCols = Seq("o_orderdate"), buckets = 8)
+      IncrementalAgg.applyChanges(s,
+        graft.sources.BucketedLake.changes(s, src, 0L, 1L)
+          .drop("_commit_version"),
+        viewPath, spec, 0L,
+        () => s.sql(s"SELECT * FROM graft_bucketed('$src', 1)")): Unit
+      graft.sources.BucketedLake.updateWhere(s, src,
+        col("o_orderkey") % 7 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 100))): Unit // v2
+      graft.sources.BucketedLake.deleteWhere(s, src,
+        col("o_orderkey") % 13 === 0): Unit // v3
+      IncrementalAgg.applyChanges(s,
+        graft.sources.BucketedLake.changes(s, src, 1L, 3L)
+          .drop("_commit_version"),
+        viewPath, spec, 1L,
+        () => s.read.table(s"graft_bk.`$src`")): Unit
+      IncrementalAgg.read(s, viewPath, spec)
+        .select(col("o_orderpriority"), col("view_count"),
+          col("sum_o_custkey"), col("min_o_orderdate"),
+          col("max_o_orderdate"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** Real-layout Delta MERGE ([[graft.sink.DeltaWrite.merge]] — Delta
       * as a CDC target, the fourth mirror leg): one keyed commit
       * upserts doubled-price rows AND hard-deletes a disjoint key set,
@@ -5286,6 +5332,21 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // same end state as lake_ivm_agg: the bucketed lake's updateWhere
+    // bumped o_custkey by 100 for %7 keys, deleteWhere removed %13 keys
+    "lake_ivm_bucketed" -> """
+      WITH endst AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 100
+                    ELSE o_custkey END AS ck,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 13 <> 0)
+      SELECT o_orderpriority, COUNT(*) AS view_count,
+             CAST(SUM(ck) AS BIGINT) AS sum_o_custkey,
+             MIN(o_orderdate) AS min_o_orderdate,
+             MAX(o_orderdate) AS max_o_orderdate
+      FROM endst GROUP BY 1 ORDER BY 1""",
 
     // two-axis layout: the partition-dir + bucket pruned scan must
     // equal the plain filtered aggregate

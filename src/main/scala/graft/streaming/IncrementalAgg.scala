@@ -322,6 +322,24 @@ object IncrementalAgg {
           epochId, sourceAt): Unit
       }.start()
 
+  /** ONE-CALL CONTINUOUS MART, typed-append shape: attach an
+    * incremental view to a `graft-bucketed` lake tail
+    * ([[BucketedStreamSource]] — TYPED rows, append-only by
+    * construction: the source refuses non-append commits). Every row
+    * folds as an insert; same exactly-once contract (checkpoint +
+    * epoch probes) as the CDC/CDF entry points. Insert-only views
+    * never dirty a min/max group, so no `sourceAt` is needed. */
+  def streamAppendsInto(stream: DataFrame, path: String, spec: ViewSpec,
+                        checkpoint: String,
+                        transform: DataFrame => DataFrame = identity)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        applyChanges(b.sparkSession,
+          transform(b).withColumn("change_type", lit("insert")),
+          path, spec, epochId, noSource): Unit
+      }.start()
+
   private def noSource: () => DataFrame = () =>
     throw new IllegalStateException(
       "incremental view: a min/max group went dirty but no sourceAt was " +

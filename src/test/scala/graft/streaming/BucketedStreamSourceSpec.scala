@@ -135,6 +135,50 @@ class BucketedStreamSourceSpec extends SparkSuite {
     assert(rows.nonEmpty)
   }
 
+  test("typed-append IVM mart: streamAppendsInto folds the tail exactly-once") {
+    val src = mkTable()
+    (51L to 60L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$src`").append() // v2
+    val viewPath = tmp("bkt-ivm")
+    val ckpt = Files.createTempDirectory("bkt-ivm-ckpt").toString
+    // group by the key's parity to keep the view tiny
+    val vs = IncrementalAgg.ViewSpec(Seq("par"), sumCols = Seq("v"),
+      buckets = 4)
+    def run(): Unit = {
+      val stream = spark.readStream.format("graft-bucketed")
+        .option("path", src).option("startingVersion", "2").load()
+      val q = IncrementalAgg.streamAppendsInto(stream, viewPath, vs, ckpt,
+        transform = _.withColumn("par", col("k") % 2))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def view: Map[Long, (Long, Long)] =
+      IncrementalAgg.read(spark, viewPath, vs)
+        .select("par", "view_count", "sum_v")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(view === Map(0L -> (5L, (52L to 60L by 2).sum),
+      1L -> (5L, (51L to 59L by 2).sum)))
+    // crash window on the IVM checkpoint: the epoch probe folds the
+    // re-delivered batch to a no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) assert(crc.delete())
+    run()
+    assert(view === Map(0L -> (5L, (52L to 60L by 2).sum),
+      1L -> (5L, (51L to 59L by 2).sum)),
+      "a re-delivered micro-batch must fold into a no-op")
+    // new appends keep flowing
+    (61L to 62L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$src`").append()
+    run()
+    assert(view(0L) === (6L, (52L to 62L by 2).sum))
+    assert(view(1L) === (6L, (51L to 61L by 2).sum))
+  }
+
   test("exactly-once lake->lake replication: tail + streamInto watermarks survive a crash-replay") {
     val src = mkTable()
     (51L to 60L).map(i => (i, i)).toDF("k", "v")
