@@ -96,12 +96,28 @@ object LakeTableFunctions {
             SparkSession.active, str(args.head),
             asOf = args.lift(1).map(a => num(a))), None, None)),
     // bucketed-lake retained history: one row per manifest version
-    // (version, files, rows, bytes, txn_watermarks) — inspect the MVCC
-    // timeline before vacuuming or time-traveling
+    // (version, operation, files, rows, bytes, txn_watermarks) —
+    // inspect the MVCC timeline before vacuuming or time-traveling
     (FunctionIdentifier("graft_bucketed_history"),
       new ExpressionInfo(getClass.getName, "graft_bucketed_history"),
       (args: Seq[Expression]) => plan(graft.sources.BucketedLake
         .history(SparkSession.active, str(args.head)))),
+    // bucketed-lake CHANGE DATA FEED between retained MVCC versions
+    // (from EXCLUSIVE, to inclusive; `to` defaults to the current tip):
+    // SELECT * FROM graft_bucketed_changes('/p', 1[, 3]) — table columns
+    // + _change_type + _commit_version, merge commits served from their
+    // precise row-level change files
+    (FunctionIdentifier("graft_bucketed_changes"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed_changes"),
+      (args: Seq[Expression]) => plan {
+        val s = SparkSession.active
+        val path = str(args.head)
+        // default tip = the COMMIT POINTER (never an orphan manifest a
+        // crashed committer left above it)
+        val to = args.lift(2).map(num).getOrElse(
+          graft.sources.BucketedLake.currentVersion(s, path).getOrElse(0L))
+        graft.sources.BucketedLake.changes(s, path, num(args(1)), to)
+      }),
     // live incremental aggregate views: SELECT * FROM graft_ivm('/view')
     // (tombstones filtered, avg_<c> derived — the persisted spec drives it)
     (FunctionIdentifier("graft_ivm"),

@@ -1215,7 +1215,10 @@ object BucketedLake {
     val changeRows = pre.select(orderedCols: _*)
       .unionByName(post.select(orderedCols: _*))
       .unionByName(ins.select(orderedCols: _*))
-    val chgStaging = s"$path/.merge-${java.util.UUID.randomUUID()}-chg"
+    // the dot-dir is the vacuumable staging unit; the rows live in a
+    // NON-hidden child so Spark's hidden-path filter never trips on it
+    val chgParent = s"$path/.merge-${java.util.UUID.randomUUID()}-chg"
+    val chgStaging = s"$chgParent/rows"
     changeRows.write.mode("overwrite").parquet(chgStaging)
     val counts = spark.read.parquet(chgStaging).groupBy(ct).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1238,6 +1241,7 @@ object BucketedLake {
         s"merge committed v$committed but publishing its change feed " +
           s"failed ($chgStaging -> $chgDest); the feed for this version " +
           "falls back to the file diff")
+    fs.delete(new Path(chgParent), true): Unit // the empty staging shell
     MergeStats(
       updated = counts.getOrElse("update_postimage", 0L),
       deleted = counts.getOrElse("delete", 0L),

@@ -73,6 +73,14 @@ class BucketedCdfSpec extends SparkSuite {
     // sub-ranges slice exactly
     assert(BucketedLake.changes(spark, path, 2L, 3L).count() === 20L)
     assert(BucketedLake.changes(spark, path, 3L, 3L).count() === 0L)
+    // the SQL spelling, with `to` defaulting to the commit pointer
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_bucketed_changes('$path', 2, 3)")
+      .head().getLong(0) === 20L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_bucketed_changes('$path', 1)")
+      .head().getLong(0) === 50L)
   }
 
   test("compaction is invisible to the feed") {
