@@ -2935,6 +2935,36 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** SCOPED OVERWRITE + METADATA DELETE on the two-axis bucketed lake
+      * ([[graft.sources.ReplaceScope]] + `SupportsDelete`): replaceWhere
+      * supersedes exactly the 1995 partition's files (file-level
+      * decisions via the partition dir — loud when not exact), then SQL
+      * `DELETE FROM ... WHERE o_orderyear = 1993` drops a whole
+      * partition as a pure manifest edit (zero data IO). Both are MVCC
+      * commits; the snapshot must equal the oracle's recompute. */
+    "lake_bucketed_replace" -> ((s, d) => {
+      val root = lakeTmp(d, "bkreplace")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), year(col("o_orderdate")).as("o_orderyear"),
+        col("o_totalprice"))
+      graft.sources.BucketedLake.write(orders, s"$root/orders",
+        "o_orderkey", 8, partitionCol = Some("o_orderyear")) // v1
+      orders.where(col("o_orderyear") === 1995)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .writeTo(s"graft_bk.`$root/orders`")
+        .overwrite(col("o_orderyear") === 1995) // v2
+      s.sql(s"DELETE FROM graft_bk.`$root/orders` " +
+        "WHERE o_orderyear = 1993") // v3
+      s.read.table(s"graft_bk.`$root/orders`")
+        .groupBy("o_orderyear")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderyear")
+    }),
+
     /** IVM fed by the BUCKETED LAKE's own change feed
       * ([[graft.sources.BucketedLake.changes]] →
       * [[graft.streaming.IncrementalAgg.applyChanges]]): epoch 0 folds
@@ -5332,6 +5362,18 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total
       FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // replaceWhere doubled the 1995 partition's prices; DELETE dropped
+    // the 1993 partition entirely
+    "lake_bucketed_replace" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_orderyear,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1995
+                                THEN o_totalprice * 2
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE year(o_orderdate) <> 1993
+      GROUP BY 1 ORDER BY 1""",
 
     // same end state as lake_ivm_agg: the bucketed lake's updateWhere
     // bumped o_custkey by 100 for %7 keys, deleteWhere removed %13 keys

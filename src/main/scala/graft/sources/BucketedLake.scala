@@ -595,6 +595,19 @@ object BucketedLake {
   private[sources] val PartDir = "__part"
   private[sources] val NullPartName = "__HIVE_DEFAULT_PARTITION__"
 
+  /** A manifest entry's partition value in [[PartPruning]]'s canonical
+    * space: outer `None` = undecidable (bucket-only layout, legacy rel
+    * without a segment, unparsable value), `Some(None)` = the null
+    * partition, `Some(Some(v))` = a canonical value. Shared by the
+    * scan's pruning, [[merge]]'s group routing, and the overwrite /
+    * metadata-delete commit paths — one parse, one strictness rule. */
+  private[sources] def entryPartCanon(rel: String, dt: DataType)
+      : Option[Option[Any]] = partValueRaw(rel) match {
+    case None => None
+    case Some(None) => Some(None)
+    case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
+  }
+
   /** The raw (unescaped) partition-dir value a manifest rel path
     * carries — `None` when the path has no partition level, `Some(None)`
     * for the null partition, `Some(Some(v))` otherwise. The partition
@@ -1129,11 +1142,7 @@ object BucketedLake {
     // identical results.
     def entryGroup(e: ManifestEntry): Option[Option[Any]] = partDt match {
       case None => Some(None)
-      case Some((_, dt)) => partValueRaw(e.rel) match {
-        case None => None
-        case Some(None) => Some(None)
-        case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
-      }
+      case Some((_, dt)) => entryPartCanon(e.rel, dt)
     }
     val entryGroups = touchedEntries.map(e => e -> entryGroup(e))
     // the data side (dataGroups → None) catches partition types the
@@ -1653,13 +1662,70 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
                                           spec: BucketedLake.Spec,
                                           asOf: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** METADATA DELETE (`DELETE FROM cat.`/p` WHERE <partition pred>`):
+    * legal only when every live file decides the whole conjunction via
+    * its partition-dir value — then the delete is dropping manifest
+    * entries, zero data IO, snapshot-atomic, OCC-gated. Anything
+    * row-level (key/value predicates) reports `false` here and Spark
+    * refuses the statement — [[BucketedLake.deleteWhere]] is the
+    * row-level path (copy-on-write + precise change feed). */
+  /** `Some(kept entries)` when every entry decides the whole
+    * conjunction via its partition-dir value; `None` = not a metadata
+    * delete. */
+  private def keptAfterDelete(
+      entries: Seq[BucketedLake.ManifestEntry],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[BucketedLake.ManifestEntry]] =
+    spec.partCol.map(pc =>
+      (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
+      .flatMap { case (pc, dt) =>
+        val decisions = entries.map { e =>
+          BucketedLake.entryPartCanon(e.rel, dt).flatMap { canon =>
+            val each = filters.map(f =>
+              PartPruning.matches(canon, pc, dt, f))
+            if (each.exists(_.isEmpty)) None
+            else Some(e -> each.forall(_.contains(true)))
+          }
+        }
+        if (decisions.exists(_.isEmpty)) None
+        else Some(decisions.flatten.filterNot(_._2).map(_._1))
+      }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty &&
+      keptAfterDelete(
+        BucketedLake.readManifest(spark, path).getOrElse(Nil),
+        filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(asOf.isEmpty, "cannot delete from a time-travel snapshot")
+    // decisions and the commit derive from ONE pinned read; OCC-gated
+    val baseOpt = BucketedLake.currentVersion(spark, path)
+    val full = BucketedLake.readManifestFull(spark, path, baseOpt)
+      .getOrElse(throw new IllegalStateException(
+        s"DELETE on $path requires an MVCC manifest"))
+    val kept = keptAfterDelete(full.entries, filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE on $path: the predicate is not decidable per-file on " +
+          s"the partition axis — use BucketedLake.deleteWhere for " +
+          "row-level deletes"))
+    BucketedLake.writeManifest(spark, path, kept,
+      base = baseOpt, txns = full.txns,
+      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      op = "delete"): Unit
+  }
   override def name(): String =
     asOf.fold(path)(v => s"$path@v$v")
   override def schema(): StructType = spec.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def partitioning(): Array[Transform] =
     (spec.partCol.toSeq.map(pc => Expressions.identity(pc)) :+
       Expressions.bucket(spec.buckets, spec.keyCol)).toArray
@@ -1697,23 +1763,63 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
   * (truncate swaps the whole data dir). Appends may give a bucket a
   * second file — the scan's ordering claim then withdraws itself
   * (single-file guard), correctness unaffected. */
+/** The commit's REPLACE SCOPE: what the write supersedes besides
+  * adding its own files. */
+private[sources] sealed trait ReplaceScope
+private[sources] object ReplaceScope {
+  /** Plain append — nothing superseded. */
+  case object Append extends ReplaceScope
+  /** Full truncate (`INSERT OVERWRITE` with no/always-true filter). */
+  case object Truncate extends ReplaceScope
+  /** `replaceWhere` / static `INSERT OVERWRITE ... PARTITION (p=v)`:
+    * supersede exactly the files whose PARTITION VALUE matches every
+    * filter. File-level decisions are EXACT only for partition-column
+    * predicates (all of a file's rows share its partition value) — any
+    * undecidable (entry, filter) pair fails the commit loudly rather
+    * than deleting too much or too little. */
+  final case class ByFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      extends ReplaceScope
+  /** Dynamic partition overwrite: supersede every partition the new
+    * data touches (Delta/Hive dynamic semantics; partition axis
+    * required). */
+  case object DynamicPartitions extends ReplaceScope
+}
+
 private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
                                                path: String,
                                                spec: BucketedLake.Spec,
                                                txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var doTruncate = false
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  private var scope: ReplaceScope = ReplaceScope.Append
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-    doTruncate = true; this
+    scope = ReplaceScope.Truncate; this
+  }
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    scope =
+      if (filters.isEmpty ||
+          filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+        ReplaceScope.Truncate
+      else ReplaceScope.ByFilters(filters)
+    this
+  }
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(spec.partCol.isDefined,
+      s"bucketed table $path has no partition axis — dynamic partition " +
+        "overwrite is undefined; use INSERT OVERWRITE (truncate) or " +
+        "BucketedLake.merge for row-level replacement")
+    scope = ReplaceScope.DynamicPartitions; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftBucketWrite(spark, path, spec, doTruncate, txn)
+    new GraftBucketWrite(spark, path, spec, scope, txn)
 }
 
 private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
                                         spec: BucketedLake.Spec,
-                                        truncate: Boolean,
+                                        scope: ReplaceScope,
                                         txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1737,7 +1843,7 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
       .toArray
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBucketBatchWrite(spark, path, spec, truncate,
+    new GraftBucketBatchWrite(spark, path, spec, scope,
       s"$path/.stage-${java.util.UUID.randomUUID()}", txn)
 }
 
@@ -1752,7 +1858,8 @@ private[sources] final case class GraftBucketCommit(
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
                                              spec: BucketedLake.Spec,
-                                             truncate: Boolean, staging: String,
+                                             scope: ReplaceScope,
+                                             staging: String,
                                              txn: Option[(String, Long)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private def fs(p: Path) =
@@ -1810,12 +1917,69 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     val freshEntries = fresh.result()
     val txnUpdate = txn.map { case (app, epoch) => app -> epoch }.toMap
     val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
-    if (truncate) {
-      // replace semantics: the manifest holds only this write's files;
-      // watermarks carry forward (a replayed epoch must stay a no-op)
-      BucketedLake.writeManifest(spark, path, freshEntries,
-        txns = preTxns ++ txnUpdate, layout = layout,
-        op = "truncate"): Unit
+    // SCOPED OVERWRITES decide per FILE via the partition-dir value —
+    // exact, because every row of a file shares it; any undecidable
+    // (file, filter) pair fails LOUDLY (an approximate overwrite would
+    // delete too much or too little). The commit is OCC-gated on the
+    // pointer it read (overwrites don't commute — no auto-retry).
+    def partColType: (String, org.apache.spark.sql.types.DataType) = {
+      val pc = spec.partCol.getOrElse(throw new IllegalArgumentException(
+        s"bucketed table $path has no partition axis — scoped overwrite " +
+          "needs the two-axis layout (or use BucketedLake.merge)"))
+      (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType)
+    }
+    def exactCanon(e: BucketedLake.ManifestEntry,
+                   dt: org.apache.spark.sql.types.DataType): Option[Any] =
+      BucketedLake.entryPartCanon(e.rel, dt).getOrElse(
+        throw new IllegalArgumentException(
+          s"scoped overwrite on $path: file ${e.rel} has no decidable " +
+            "partition value — rewrite the table with write() first"))
+    def scopedReplace(): Unit = {
+      val baseOpt = BucketedLake.currentVersion(spark, path)
+      val full = BucketedLake.readManifestFull(spark, path, baseOpt)
+      val priorTxns = full.map(_.txns).getOrElse(preTxns)
+      val freshRels = freshEntries.map(_.rel).toSet
+      val old = full.map(_.entries)
+        .getOrElse(BucketedLake.footerSweep(spark, path))
+        .filterNot(e => freshRels.contains(e.rel))
+      val kept: Seq[BucketedLake.ManifestEntry] = scope match {
+        case ReplaceScope.Truncate => Nil
+        case ReplaceScope.ByFilters(filters) =>
+          val (pc, dt) = partColType
+          def decide(e: BucketedLake.ManifestEntry): Boolean = {
+            val canon = exactCanon(e, dt)
+            filters.forall(f =>
+              PartPruning.matches(canon, pc, dt, f).getOrElse(
+                throw new IllegalArgumentException(
+                  s"replaceWhere/INSERT OVERWRITE on $path: filter $f " +
+                    s"cannot be decided per-file against partition " +
+                    s"'$pc' — overwrite filters must be exact " +
+                    "partition-column predicates (for row-level " +
+                    "replacement use BucketedLake.merge)")))
+          }
+          // every INSERTED file must land INSIDE the replaced region —
+          // otherwise the write would both replace partition A and
+          // silently append to partition B (Delta's replaceWhere guard)
+          freshEntries.foreach(e => require(decide(e),
+            s"replaceWhere on $path: written file ${e.rel} falls " +
+              "OUTSIDE the replaced region — the overwrite filter must " +
+              "cover every written row's partition"))
+          old.filterNot(decide)
+        case ReplaceScope.DynamicPartitions =>
+          val (_, dt) = partColType
+          val touched = freshEntries.map(e => exactCanon(e, dt)).toSet
+          old.filterNot(e => touched.contains(exactCanon(e, dt)))
+        case ReplaceScope.Append => throw new IllegalStateException(
+          "scopedReplace on an append") // unreachable
+      }
+      BucketedLake.writeManifest(spark, path, kept ++ freshEntries,
+        base = baseOpt.map(identity), txns = priorTxns ++ txnUpdate,
+        layout = layout,
+        op = if (scope == ReplaceScope.Truncate) "truncate"
+             else "replace"): Unit
+    }
+    if (scope != ReplaceScope.Append) {
+      scopedReplace()
     } else {
       // OPTIMISTIC COMMIT with bounded retry: appends COMMUTE (they
       // only add files), so losing the race just means re-reading the
