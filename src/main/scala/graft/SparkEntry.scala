@@ -2782,6 +2782,32 @@ object SparkEntry {
         .orderBy("o_orderyear", "o_custkey")
     }),
 
+    /** METADATA-ONLY aggregates on the bucketed lake
+      * ([[graft.sources.GraftBucketScanBuilder]] aggregate pushdown):
+      * `MIN`/`MAX`/`COUNT` — grouped by the PARTITION column — answer
+      * from the manifest's per-file statistics in ONE metadata read,
+      * zero data IO (plan + doctored-manifest contracts in
+      * BucketedAggPushdownSpec). At 100 TB, `SELECT dt, count(*),
+      * max(price) GROUP BY dt` priced like an `ls`; any exactness
+      * doubt (filters, strings, NaN) falls back to the row scan, so
+      * the answer below is correct either way. */
+    "lake_bucketed_minmax" -> ((s, d) => {
+      val root = lakeTmp(d, "bkminmax")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey",
+          "o_orderpriority", "o_totalprice", "o_orderdate"),
+        s"$root/orders", "o_custkey", 8,
+        partitionCol = Some("o_orderpriority"))
+      s.sql(s"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
+               MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+        FROM graft_bk.`$root/orders`
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     /** TIME TRAVEL over the bucketed lake's MVCC history
       * ([[graft.sources.BucketedLake.versions]]): v1 = the initial
       * write, v2 = after a V2 append — `graft_bucketed('/p', v)` pins a
@@ -5288,6 +5314,13 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
       GROUP BY 1 ORDER BY 1""",
+
+    // the metadata-priced aggregate must equal the full recompute
+    "lake_bucketed_minmax" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
+             MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+      FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the TVF + auto-broadcast + dynamic-pruning spelling must equal
     // the plain join

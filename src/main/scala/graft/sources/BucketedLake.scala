@@ -1604,6 +1604,11 @@ private[sources] object PartPruning {
     case _ => None
   }
 
+  /** Compare two values in the shared canonical space — `None` for
+    * mixed/foreign kinds. (The aggregate pushdown folds per-file
+    * windows with it.) */
+  private[sources] def cmpCanonical(a: Any, b: Any): Option[Int] = cmp(a, b)
+
   /** Whether a file whose partition value canonicalizes to `part`
     * (`None` = the null partition) can hold rows matching `f` —
     * `None` when the filter shape/type cannot decide (keep the file).
@@ -2122,7 +2127,6 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = spec.schema
-  private var countStar = false
   private var pruned: Option[Set[Int]] = None // None = scan all buckets
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -2153,71 +2157,249 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       spec.schema.fields(spec.schema.fieldIndex(spec.keyCol)).dataType,
       spec.buckets)
 
-  /** `COUNT(*)` with no grouping (and no filters) answers from the
-    * write-time manifest — ONE metadata read, no row ever decoded, no
-    * per-file IO (the 100 TB `SELECT count(*)` really is free; legacy
-    * tables take one executor-parallel footer sweep). Everything else
-    * stays un-pushed. */
-  private def isBareCountStar(
+  /** METADATA-ONLY AGGREGATES: `COUNT(*)`, `COUNT(col)`, `MIN(col)`,
+    * `MAX(col)` — optionally `GROUP BY <partition column>` — answer
+    * from the write-time manifest in ONE metadata read, no row ever
+    * decoded, no per-file IO (at 100 TB, `SELECT dt, count(*), max(v)
+    * GROUP BY dt` priced like a `ls`). Exactness rules (pushdown
+    * DECLINES — normal scan — on any doubt):
+    *
+    *  - no filters and no bucket pruning (a filtered aggregate must
+    *    see rows);
+    *  - `COUNT(col)` needs every file's null count; `MIN`/`MAX` need
+    *    every file's window for the column (an all-null file
+    *    contributes nothing — its windowless entry confirms it);
+    *  - `MIN`/`MAX` on strings never push: a FOREIGN parquet file
+    *    adopted by the legacy sweep may carry TRUNCATED binary footer
+    *    stats — valid bounds for skipping, not necessarily values
+    *    (numeric/date/boolean footer stats are always exact);
+    *  - float/double files containing NaN dropped their window at
+    *    write time, so NaN semantics (`MAX` = NaN) never reach this
+    *    path — the pushdown declines;
+    *  - grouping only on the PARTITION column, and only when every
+    *    file's dir value decodes canonically (each file belongs to
+    *    exactly one group);
+    *  - bare `COUNT(*)` on a pre-manifest table still pushes (one
+    *    executor-parallel footer sweep); everything else needs the
+    *    manifest. */
+  private def planAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    accepted.isEmpty && pruned.isEmpty &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions().head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      : Option[(StructType, Array[InternalRow], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, DoubleType, FloatType, LongType, ShortType, StringType, StructField}
+    if (accepted.nonEmpty || pruned.nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          spec.schema.fieldNames.contains(nr.fieldNames()(0)) =>
+        val n = nr.fieldNames()(0)
+        Some((n, spec.schema.fields(spec.schema.fieldIndex(n)).dataType))
+      case _ => None
+    }
+    // grouping axis: none, or exactly the partition column
+    val groupBy: Option[Option[(String, DataType)]] =
+      agg.groupByExpressions() match {
+        case Array() => Some(None)
+        case Array(e) => fieldOf(e) match {
+          case some @ Some((n, _)) if spec.partCol.contains(n) => Some(some)
+          case _ => None
+        }
+        case _ => None
+      }
+    if (groupBy.isEmpty) return None
+    // per aggregate: (render, result type, nullable,
+    //                 per-entry-stats → per-group fold)
+    sealed trait AggPlan { def render: String; def dt: DataType
+                           def nullable: Boolean }
+    final case class CountPlan(render: String, col: Option[String])
+        extends AggPlan { val dt: DataType = LongType
+                          val nullable = false }
+    final case class EdgePlan(render: String, col: String, dt: DataType,
+                              wantLo: Boolean)
+        extends AggPlan { val nullable = true }
+    val minMaxOk: DataType => Boolean = {
+      case StringType => false // foreign footer stats may be truncated
+      case dt => FileStats.trackable(dt)
+    }
+    val plans: Seq[AggPlan] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => CountPlan("COUNT(*)", None)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column) match {
+          case Some((n, dt)) if FileStats.trackable(dt) =>
+            CountPlan(s"COUNT($n)", Some(n))
+          case _ => return None
+        }
+      case m: Min => fieldOf(m.column) match {
+        case Some((n, dt)) if minMaxOk(dt) =>
+          EdgePlan(s"MIN($n)", n, dt, wantLo = true)
+        case _ => return None
+      }
+      case m: Max => fieldOf(m.column) match {
+        case Some((n, dt)) if minMaxOk(dt) =>
+          EdgePlan(s"MAX($n)", n, dt, wantLo = false)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val bareCountStar = groupBy.contains(None) && plans.sizeIs == 1 &&
+      plans.head == CountPlan("COUNT(*)", None)
+    val entriesOpt = BucketedLake.readManifest(spark, path, asOf)
+    val render = plans.map(_.render).mkString(", ") +
+      groupBy.flatten.fold("")(g => s" GROUP BY ${g._1}")
+    val outSchema = StructType(
+      groupBy.flatten.toSeq.map { case (n, dt) =>
+        StructField(n, dt, nullable = true) } ++
+      plans.map(p => StructField(
+        p.render.toLowerCase.replaceAll("[^a-z0-9_]+", "_"), p.dt,
+        p.nullable)))
+    if (bareCountStar && entriesOpt.isEmpty)
+      // pre-manifest table: defer the total to an executor-parallel
+      // footer sweep at plan time (the pre-MVCC behavior, spec-pinned)
+      return Some((outSchema, null, render))
+    val entries = entriesOpt.getOrElse(return None)
+    // one stats decode per entry, shared by every aggregate
+    val needStats = plans.exists { case CountPlan(_, Some(_)) => true
+                                   case _: EdgePlan => true; case _ => false }
+    val decoded: Seq[(BucketedLake.ManifestEntry, Map[String, FileStats.ColStat])] =
+      entries.map(e => e -> (if (needStats)
+        e.stats.map(FileStats.decode(_, spec.schema))
+          .getOrElse(Map.empty[String, FileStats.ColStat])
+        else Map.empty[String, FileStats.ColStat]))
+    // group key: the file's canonical partition value (None = the null
+    // partition); every file must decode or the pushdown declines
+    val grouped: Seq[(Option[Any], Seq[(BucketedLake.ManifestEntry, Map[String, FileStats.ColStat])])] =
+      groupBy.flatten match {
+        case None => Seq((None, decoded))
+        case Some((_, dt)) =>
+          val keyed = decoded.map { case (e, st) =>
+            BucketedLake.entryPartCanon(e.rel, dt) match {
+              case Some(k) => (k, (e, st))
+              case None => return None
+            }
+          }
+          keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+            .map { case (k, es) => (k: Option[Any], es) }
+      }
+    def canonToInternal(v: Any, dt: DataType): Any = dt match {
+      case IntegerType | DateType => v.asInstanceOf[Long].toInt
+      case LongType => v.asInstanceOf[Long]
+      case ShortType => v.asInstanceOf[Long].toShort
+      case ByteType => v.asInstanceOf[Long].toByte
+      case FloatType => v.asInstanceOf[Double].toFloat
+      case DoubleType => v.asInstanceOf[Double]
+      case BooleanType => v.asInstanceOf[Boolean]
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          v.asInstanceOf[String])
+      case other => throw new IllegalStateException(
+        s"unreachable: canonical value for untrackable type $other")
+    }
+    val rows = grouped.sortBy(_._1.map(_.toString)).map { case (gk, es) =>
+      val aggVals: Seq[Any] = plans.map {
+        case CountPlan(_, None) => es.iterator.map(_._1.rows).sum
+        case CountPlan(_, Some(c)) =>
+          var total = 0L
+          es.foreach { case (e, st) =>
+            val nulls = st.get(c).flatMap(_.nulls).getOrElse(return None)
+            total += e.rows - nulls
+          }
+          total
+        case EdgePlan(_, c, dt, wantLo) =>
+          var best: Option[Any] = None
+          es.foreach { case (e, st) =>
+            val cs = st.getOrElse(c, return None)
+            (if (wantLo) cs.lo else cs.hi) match {
+              case Some(v) =>
+                if (best.isEmpty || PartPruning.cmpCanonical(v, best.get)
+                      .getOrElse(return None)
+                      .sign == (if (wantLo) -1 else 1)) best = Some(v)
+              case None if cs.lo.isEmpty && cs.hi.isEmpty => // all-null file
+              case None => return None // half-open window: cannot price
+            }
+          }
+          best.map(canonToInternal(_, dt)).orNull
+      }
+      val gkVals: Seq[Any] = groupBy.flatten.toSeq.map { case (_, dt) =>
+        gk.map(canonToInternal(_, dt)).orNull }
+      InternalRow.fromSeq(gkVals ++ aggVals)
+    }.toArray
+    Some((outSchema, rows, render))
+  }
+
+  // memoized per Aggregation instance: supportCompletePushDown and
+  // pushAggregation arrive back-to-back with the same object — one
+  // manifest read serves both
+  private var lastAgg
+      : org.apache.spark.sql.connector.expressions.aggregate.Aggregation = _
+  private var lastPlan: Option[(StructType, Array[InternalRow], String)] =
+    None
+  private var pushedAgg: Option[(StructType, Array[InternalRow], String)] =
+    None
+  private def planCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow], String)] = {
+    if (!(agg eq lastAgg)) { lastAgg = agg; lastPlan = planAggregate(agg) }
+    lastPlan
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = isBareCountStar(agg)
+      : Boolean = planCached(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    countStar = isBareCountStar(agg)
-    countStar
+    pushedAgg = planCached(agg)
+    pushedAgg.isDefined
   }
 
-  override def build(): Scan =
-    if (countStar) new GraftBucketCountScan(spark, path, spec, asOf)
-    else new GraftBucketScan(spark, path, spec, required, pruned, accepted,
-      asOf)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, rows, render)) =>
+      new GraftBucketAggScan(spark, path, schema, rows, render, asOf)
+    case None =>
+      new GraftBucketScan(spark, path, spec, required, pruned, accepted,
+        asOf)
+  }
 }
 
-/** Manifest-backed COUNT(*): one input partition carrying the summed
-  * per-file record counts from the write-time manifest — ONE metadata
-  * read, zero per-file IO, wall-time FLAT in file count. Legacy tables
-  * without a manifest take one executor-parallel footer sweep (never a
-  * driver loop over remote opens). */
-private[sources] class GraftBucketCountScan(spark: SparkSession, path: String,
-                                            spec: BucketedLake.Spec,
-                                            asOf: Option[Long] = None)
+/** Manifest-backed aggregates: the builder already folded the manifest
+  * into final per-group rows — ONE metadata read, zero per-file IO,
+  * wall-time FLAT in file count. `rows == null` is the deferred bare
+  * `COUNT(*)` on a pre-manifest table: one executor-parallel footer
+  * sweep at plan time (never a driver loop over remote opens). */
+private[sources] class GraftBucketAggScan(spark: SparkSession, path: String,
+                                          schema: StructType,
+                                          rows: Array[InternalRow],
+                                          render: String,
+                                          asOf: Option[Long] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("count_star",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-bucketed $path [PushedAggregates: COUNT(*) from manifest]"
+    s"graft-bucketed $path [PushedAggregates: $render from manifest]"
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = BucketedLake.readManifest(spark, path, asOf)
-      .getOrElse(BucketedLake.footerSweep(spark, path))
-      .iterator.map(_.rows).sum
-    Array(GraftBucketCountPartition(total))
+    val served =
+      if (rows != null) rows
+      else Array(InternalRow(
+        BucketedLake.footerSweep(spark, path).iterator.map(_.rows).sum))
+    Array(GraftBucketAggPartition(served))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var served = false
-          private val total = p.asInstanceOf[GraftBucketCountPartition].total
-          override def next(): Boolean = !served && { served = true; true }
-          override def get(): InternalRow = InternalRow(total)
+          private val it =
+            p.asInstanceOf[GraftBucketAggPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = cur
           override def close(): Unit = ()
         }
     }
 }
 
-private[sources] final case class GraftBucketCountPartition(total: Long)
-    extends InputPartition
+private[sources] final case class GraftBucketAggPartition(
+    rows: Array[InternalRow]) extends InputPartition
 
 private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        spec: BucketedLake.Spec,

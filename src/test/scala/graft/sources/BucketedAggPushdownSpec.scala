@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Metadata-only aggregate pushdown on the bucketed lake: MIN / MAX /
+  * COUNT(col) / COUNT(*) — optionally GROUP BY the partition column —
+  * answer from the manifest's per-file statistics in one metadata
+  * read. Contracts: pushed plans carry the `PushedAggregates ... from
+  * manifest` leaf, answers equal a row-scan recompute across all three
+  * stats producers (footer sweep, inline tracker, compaction merge),
+  * and every exactness doubt (filters, strings, NaN, distinct,
+  * non-partition grouping) declines to the normal scan instead of
+  * guessing. */
+class BucketedAggPushdownSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val cat = "graft_aggpd"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+  }
+
+  private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
+
+  private def pushed(df: DataFrame): Boolean = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("from manifest"))
+  }
+
+  test("MIN/MAX/COUNT push to the manifest and match a row-scan recompute") {
+    val path = tmp("aggpd-base")
+    val df = (1L to 5000L)
+      .map(i => (i, (i * 37 % 1000).toInt, s"n$i")).toDF("k", "v", "nm")
+    BucketedLake.write(df, path, "k", 8)
+    val q = spark.sql(
+      s"SELECT min(v) AS lo, max(v) AS hi, count(*) AS n, count(v) AS nv " +
+        s"FROM $cat.`$path`")
+    assert(pushed(q), s"not pushed:\n${q.queryExecution.executedPlan}")
+    val r = q.head()
+    assert(r.getInt(0) === 0 && r.getInt(1) === 999)
+    assert(r.getLong(2) === 5000L && r.getLong(3) === 5000L)
+  }
+
+  test("the pushed answer comes from the manifest alone (doctored-stats contract)") {
+    val path = tmp("aggpd-doctor")
+    BucketedLake.write((1L to 100L).map(i => (i, i * 2)).toDF("k", "v"),
+      path, "k", 4)
+    // doctor every entry's stats window for v: hi -> 9999
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = BucketedLake.currentVersion(spark, path).get
+    val mp = new org.apache.hadoop.fs.Path(path,
+      BucketedLake.versionedManifest(v))
+    val text = {
+      val in = fs.open(mp)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    val doctored = text.replaceAll(""""hi":\d+""", "\"hi\":9999")
+    val out = fs.create(mp, true)
+    try out.write(doctored.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    val r = spark.sql(s"SELECT max(v), max(k) FROM $cat.`$path`").head()
+    assert(r.getLong(0) === 9999L && r.getLong(1) === 9999L,
+      "pushed MAX must be priced off the manifest, not the data files")
+  }
+
+  test("GROUP BY the partition column: per-group rows incl. the null partition") {
+    val path = tmp("aggpd-group")
+    val df = Seq(
+      (1L, Option("2026-01-01"), 10), (2L, Option("2026-01-01"), 20),
+      (3L, Option("2026-01-02"), 5), (4L, None, 42), (5L, None, 1))
+      .toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 4, partitionCol = Some("dt"))
+    val q = spark.sql(
+      s"SELECT dt, count(*) AS n, min(v) AS lo, max(v) AS hi " +
+        s"FROM $cat.`$path` GROUP BY dt")
+    assert(pushed(q), s"not pushed:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got === Set(
+      (Some("2026-01-01"), 2L, 10, 20),
+      (Some("2026-01-02"), 1L, 5, 5),
+      (None, 2L, 1, 42)))
+  }
+
+  test("all three stats producers price identically (write, append, compact)") {
+    val path = tmp("aggpd-producers")
+    BucketedLake.write((1L to 100L).map(i => (i, i * 3)).toDF("k", "v"),
+      path, "k", 4) // footer-sweep stats
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+    (101L to 200L).map(i => (i, i * 3)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append() // inline tracker stats
+    def check(): Unit = {
+      val q = spark.sql(
+        s"SELECT min(v) AS lo, max(v) AS hi, count(v) AS n FROM $cat.`$path`")
+      assert(pushed(q))
+      val r = q.head()
+      assert(r.getLong(0) === 3L && r.getLong(1) === 600L &&
+        r.getLong(2) === 200L)
+    }
+    check()
+    BucketedLake.compact(spark, path) // merged stats
+    check()
+  }
+
+  test("nulls: COUNT(col) subtracts them; an all-null column prices MIN/MAX as null") {
+    val path = tmp("aggpd-nulls")
+    val df = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) Some(i.toInt) else None,
+        Option.empty[Int])).toDF("k", "v", "dead")
+    BucketedLake.write(df, path, "k", 4)
+    val q = spark.sql(
+      s"SELECT count(v) AS nv, min(v) AS lo, count(dead) AS nd, " +
+        s"min(dead) AS dlo, max(dead) AS dhi FROM $cat.`$path`")
+    assert(pushed(q))
+    val r = q.head()
+    assert(r.getLong(0) === 20L && r.getInt(1) === 3)
+    assert(r.getLong(2) === 0L && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("empty table: one zero/null row ungrouped, zero rows grouped") {
+    val path = tmp("aggpd-empty")
+    BucketedLake.createEmpty(spark, path, "k", 4,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long", nullable = false).add("dt", "string")
+        .add("v", "int"),
+      partitionCol = Some("dt"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(v) AS lo FROM $cat.`$path`")
+    assert(pushed(q))
+    val r = q.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1))
+    val g = spark.sql(
+      s"SELECT dt, count(*) FROM $cat.`$path` GROUP BY dt")
+    assert(g.collect().isEmpty)
+  }
+
+  test("exactness doubts decline to the row scan (answers stay right)") {
+    val path = tmp("aggpd-decline")
+    val df = (1L to 100L).map(i =>
+      (i, s"s$i", if (i == 50) Float.NaN else i.toFloat,
+        (i % 10).toInt)).toDF("k", "s", "f", "g")
+    BucketedLake.write(df, path, "k", 4)
+    def unpushed(sql: String): DataFrame = {
+      val q = spark.sql(sql)
+      assert(!pushed(q), s"must NOT push: $sql")
+      q
+    }
+    // filter present
+    assert(unpushed(s"SELECT count(*) FROM $cat.`$path` WHERE k <= 10")
+      .head().getLong(0) === 10L)
+    // string min/max (foreign footers may truncate binary stats)
+    assert(unpushed(s"SELECT max(s) FROM $cat.`$path`")
+      .head().getString(0) === "s99")
+    // NaN poisoned the float column's windows at write time
+    assert(unpushed(s"SELECT max(f) FROM $cat.`$path`")
+      .head().getFloat(0).isNaN)
+    // distinct
+    assert(unpushed(s"SELECT count(DISTINCT g) FROM $cat.`$path`")
+      .head().getLong(0) === 10L)
+    // grouping on a non-partition column
+    assert(unpushed(
+      s"SELECT g, count(*) FROM $cat.`$path` GROUP BY g").count() === 10L)
+    // avg needs sums the stats never carry
+    assert(unpushed(s"SELECT avg(g) FROM $cat.`$path`").head()
+      .getDouble(0) === 4.5d)
+  }
+
+  test("time travel prices the pinned version's manifest") {
+    val path = tmp("aggpd-tt")
+    BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    val v1 = BucketedLake.currentVersion(spark, path).get
+    (11L to 20L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val q = spark.sql(
+      s"SELECT max(v) AS hi, count(*) AS n FROM graft_bucketed('$path', $v1)")
+    val r = q.head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 10L)
+    val now = spark.sql(
+      s"SELECT max(v), count(*) FROM $cat.`$path`").head()
+    assert(now.getLong(0) === 20L && now.getLong(1) === 20L)
+  }
+}
