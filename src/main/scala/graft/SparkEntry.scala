@@ -2796,16 +2796,49 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft_bk",
         classOf[graft.sources.GraftBucketCatalog].getName)
       graft.sources.BucketedLake.write(
-        t(s, d, "orders").select("o_orderkey", "o_custkey",
-          "o_orderpriority", "o_totalprice", "o_orderdate"),
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
         s"$root/orders", "o_custkey", 8,
         partitionCol = Some("o_orderpriority"))
       s.sql(s"""
-        SELECT o_orderpriority, COUNT(*) AS n,
-               MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
-               MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
-        FROM graft_bk.`$root/orders`
-        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+        SELECT o_orderpriority, n, CAST(lo_dt AS STRING) AS lo_dt,
+               CAST(hi_dt AS STRING) AS hi_dt, lo_p, hi_p
+        FROM (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
+                 MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+          FROM graft_bk.`$root/orders`
+          GROUP BY o_orderpriority)
+        ORDER BY o_orderpriority""")
+    }),
+
+    /** Z-ORDER CLUSTERING on the bucketed lake
+      * ([[graft.sources.BucketedLake.cluster]]): files rewritten into
+      * tight bit-interleaved-rank windows on (o_totalprice,
+      * o_orderdate), so BOTH predicates below skip files via the
+      * manifest's min/max axis (intra-bucket skipping contracts pinned
+      * in BucketedClusterSpec — pre-cluster, every file spans the full
+      * range and nothing skips). Physical reorganization only: the
+      * clustered answer must equal the raw-parquet oracle. */
+    "lake_bucketed_cluster" -> ((s, d) => {
+      val root = lakeTmp(d, "bkclust")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
+        s"$root/orders", "o_custkey", 8)
+      graft.sources.BucketedLake.cluster(s, s"$root/orders",
+        Seq("o_totalprice", "o_orderdate"), maxRowsPerFile = 2000L)
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_totalprice") < 10000.0 &&
+          col("o_orderdate") >= lit("1996-01-01").cast("date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"),
+          min(col("o_orderdate")).cast("string").as("lo_dt"))
     }),
 
     /** TIME TRAVEL over the bucketed lake's MVCC history
@@ -5315,10 +5348,21 @@ object SparkEntry {
       FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
       GROUP BY 1 ORDER BY 1""",
 
+    // the z-order-clustered (skipping-pruned) answer must equal the
+    // raw recompute
+    "lake_bucketed_cluster" -> """
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS lo_dt
+      FROM orders
+      WHERE o_totalprice < 10000
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
+
     // the metadata-priced aggregate must equal the full recompute
     "lake_bucketed_minmax" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
-             MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
+             CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS lo_dt,
+             CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS hi_dt,
              MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
       FROM orders GROUP BY 1 ORDER BY 1""",
 

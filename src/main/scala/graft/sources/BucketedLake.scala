@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
@@ -902,6 +902,147 @@ object BucketedLake {
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
       op = "compact"): Unit
+  }
+
+  /** CLUSTER the table for DATA SKIPPING: rewrite every (partition,
+    * bucket) group with rows ordered by `cols` and split into files of
+    * at most `maxRowsPerFile` — each output file then covers a TIGHT
+    * min/max window on the clustered columns, so the manifest's third
+    * pruning axis drops most of a bucket under range/equality
+    * predicates (the OPTIMIZE/ZORDER shape of Delta and Hudi
+    * clustering, on this layout — at 100 TB a bucket is many GB, and
+    * without clustering its files' windows all span the whole value
+    * range: skipping never fires inside a bucket). One column orders
+    * by the column itself (exact runs); several interleave the
+    * columns' QUANTILE RANKS bit-by-bit into a Z-VALUE, keeping every
+    * clustered column skippable at once. Cut points come from a
+    * bounded sample — approximation only affects how tight the windows
+    * get, NEVER correctness (filters stay residual above the scan).
+    *
+    * Physical reorganization only: rows unchanged, commit op `compact`
+    * (CDF-invisible), MVCC (pinned readers keep the pre-cluster
+    * snapshot; superseded files reclaimed by [[vacuum]]), OCC-gated
+    * against racing commits. Clustering by anything but the bucket key
+    * gives up per-file KEY order, so the spec's `sorted` flag drops
+    * and the scan's sort-free-SMJ claim withdraws — correctness first;
+    * a full [[write]] restores it. */
+  def cluster(spark: SparkSession, path: String, cols: Seq[String],
+              maxRowsPerFile: Long = 1L << 20): Unit = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    require(cols.nonEmpty, "cluster needs at least one column")
+    require(maxRowsPerFile >= 1L, "maxRowsPerFile must be >= 1")
+    cols.foreach { c =>
+      require(spec.schema.fieldNames.contains(c),
+        s"no column '$c' to cluster by")
+      require(FileStats.trackable(spec.schema(c).dataType),
+        s"column '$c' (${spec.schema(c).dataType.simpleString}) carries " +
+          "no min/max window — clustering it cannot enable skipping")
+    }
+    val occBaseOpt = currentVersion(spark, path)
+    val full = readManifestFull(spark, path, occBaseOpt)
+    val baseEntries = full.map(_.entries).getOrElse(footerSweep(spark, path))
+    if (baseEntries.isEmpty) return
+    val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
+    val df = spark.read.schema(spec.schema)
+      .parquet(baseEntries.map(e => s"$path/${e.rel}"): _*)
+    val order: Column =
+      if (cols.sizeIs == 1) col(cols.head)
+      else zOrderValue(df, cols, spec.schema,
+        baseEntries.iterator.map(_.rows).sum)
+    def segOf(rel: String): String =
+      rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
+    val nGroups = baseEntries.map(e => (segOf(e.rel), e.bucket)).distinct.size
+    val staging = s"$path/.cluster-${java.util.UUID.randomUUID()}"
+    val routed = df.withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
+    spec.partCol match {
+      case None =>
+        routed.repartition(nGroups, col(BucketDir))
+          .sortWithinPartitions(col(BucketDir), order)
+          .write.option("maxRecordsPerFile", maxRowsPerFile)
+          .mode("overwrite").partitionBy(BucketDir).parquet(staging)
+      case Some(pc) =>
+        routed.withColumn(PartDir, col(pc))
+          .repartition(nGroups, col(PartDir), col(BucketDir))
+          .sortWithinPartitions(col(PartDir), col(BucketDir), order)
+          .write.option("maxRecordsPerFile", maxRowsPerFile)
+          .mode("overwrite").partitionBy(PartDir, BucketDir).parquet(staging)
+    }
+    val moved = moveStagedIntoLayout(spark, path, staging, "cluster")
+    val fresh = footerSweepFiles(spark, moved, Some(spec.schema))
+    // the rewrite preserves rows — a count mismatch means a racing
+    // writer or a broken read; fail BEFORE publishing anything
+    require(fresh.iterator.map(_.rows).sum ==
+        baseEntries.iterator.map(_.rows).sum,
+      s"cluster row-count drift at $path — refusing to commit")
+    if (cols != Seq(spec.keyCol) && spec.sorted)
+      writeSpec(spark, path, spec.copy(sorted = false))
+    writeManifest(spark, path, fresh,
+      base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
+      layout = layout, op = "compact"): Unit
+  }
+
+  /** The Z-VALUE column: each clustered column's quantile rank
+    * (`bits` wide, from sampled cut points), bit-interleaved round-
+    * robin so every column contributes equally at every scale. Rank
+    * lookup is a broadcast binary search (a maintenance rewrite runs
+    * it once per row); the interleave itself is pure codegen'd
+    * bit-arithmetic. Nulls rank 0 — they cluster together, and
+    * null-count stats already price IS [NOT] NULL. */
+  private def zOrderValue(df: DataFrame, cols: Seq[String],
+                          schema: StructType, totalRows: Long): Column = {
+    import org.apache.spark.sql.types._
+    val m = cols.length
+    val bits = math.max(1, math.min(16, 63 / m))
+    val levels = 1 << bits
+    val probs = (1 until levels).map(_.toDouble / levels).toArray
+    val ranks: Seq[Column] = cols.map { c =>
+      schema(c).dataType match {
+        case StringType =>
+          val frac =
+            if (totalRows <= 0L) 1.0
+            else math.min(1.0, 100000.0 / totalRows.toDouble)
+          val sampled = df.select(col(c)).na.drop()
+            .sample(withReplacement = false, frac, seed = 42L)
+            .collect().map(_.getString(0)).sorted
+          val cuts: Array[String] =
+            if (sampled.isEmpty) Array.empty
+            else probs.map(p => sampled(
+              math.min(sampled.length - 1, (p * sampled.length).toInt)))
+              .distinct.sorted
+          val b = df.sparkSession.sparkContext.broadcast(cuts)
+          val u = udf((v: String) =>
+            if (v == null) 0 else {
+              val i = java.util.Arrays.binarySearch(
+                b.value.asInstanceOf[Array[AnyRef]], v)
+              if (i >= 0) i + 1 else -(i + 1)
+            })
+          u(col(c))
+        case dt =>
+          val asD: Column = dt match {
+            case DateType => unix_date(col(c)).cast("double")
+            case BooleanType => col(c).cast("int").cast("double")
+            case _ => col(c).cast("double")
+          }
+          val named = df.select(asD.as("__zc")).na.drop()
+          val cuts = named.stat.approxQuantile("__zc", probs, 0.01)
+            .distinct.sorted
+          val b = df.sparkSession.sparkContext.broadcast(cuts)
+          val u = udf((v: java.lang.Double) =>
+            if (v == null) 0 else {
+              val i = java.util.Arrays.binarySearch(b.value, v.doubleValue)
+              if (i >= 0) i + 1 else -(i + 1)
+            })
+          u(asD)
+      }
+    }
+    var z: Column = lit(0L)
+    for (bit <- 0 until bits; j <- 0 until m)
+      z = z.bitwiseOR(shiftleft(
+        shiftright(ranks(j).cast("long"), bit).bitwiseAND(lit(1L)),
+        bit * m + j))
+    z
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, LessThan}
+
+import graft.SparkSuite
+
+/** [[BucketedLake.cluster]]: sort / Z-order rewrites that make the
+  * manifest's data-skipping axis effective INSIDE buckets — files
+  * split into tight min/max windows, range/equality predicates drop
+  * most of a bucket, rows and results unchanged, the commit is
+  * CDF-invisible physical reorganization, and the key-order claim
+  * withdraws when clustering gives it up. */
+class BucketedClusterSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val cat = "graft_bkc"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+  }
+
+  private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
+  private def table(path: String): DataFrame =
+    spark.read.table(s"$cat.`$path`")
+
+  /** Files a plan-time-pruned scan reads under `filters`. */
+  private def plannedFiles(path: String, filters: Array[Filter]): Int = {
+    val spec = BucketedLake.readSpec(spark, path).get
+    val b = new GraftBucketScanBuilder(spark, path, spec)
+    b.pushFilters(filters): Unit
+    b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftBucketPartition].files.length).sum
+  }
+
+  /** 8000 rows whose `v` is a pseudo-random permutation — before
+    * clustering every file's window spans the whole range. */
+  private def shuffled(path: String): Unit = {
+    val df = (1L to 8000L)
+      .map(i => (i, ((i * 2654435761L) % 8000L).toInt)).toDF("k", "v")
+    BucketedLake.write(df, path, "k", 4)
+  }
+
+  test("clustering turns on intra-bucket skipping; rows and results unchanged") {
+    val path = tmp("bkc-basic")
+    shuffled(path)
+    val before = table(path).orderBy("k").collect().toSeq
+    // unclustered: every file spans ~the whole v range — nothing skips
+    val all0 = plannedFiles(path, Array.empty)
+    assert(plannedFiles(path, Array(LessThan("v", 100))) === all0)
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 500L)
+    val all1 = plannedFiles(path, Array.empty)
+    assert(all1 > 4, s"expected split files, got $all1") // 4 buckets, ~4 files each
+    val ranged = plannedFiles(path, Array(LessThan("v", 100)))
+    assert(ranged * 2 < all1,
+      s"range predicate kept $ranged of $all1 clustered files")
+    val point = plannedFiles(path, Array(EqualTo("v", 4321)))
+    assert(point <= 4, s"equality kept $point files (expected <=1 per bucket)")
+    assert(table(path).orderBy("k").collect().toSeq === before)
+    assert(table(path).where(col("v") < 100).count() ===
+      before.count(_.getInt(1) < 100))
+  }
+
+  test("Z-order keeps EVERY clustered column skippable at once") {
+    val path = tmp("bkc-zorder")
+    val df = (0L until 10000L)
+      .map(i => (i, (i % 100).toInt, (i / 100).toInt)).toDF("k", "x", "y")
+    BucketedLake.write(df, path, "k", 2)
+    BucketedLake.cluster(spark, path, Seq("x", "y"), maxRowsPerFile = 500L)
+    val all = plannedFiles(path, Array.empty)
+    val onX = plannedFiles(path, Array(EqualTo("x", 7)))
+    val onY = plannedFiles(path, Array(EqualTo("y", 93)))
+    assert(onX * 2 < all, s"x-equality kept $onX of $all")
+    assert(onY * 2 < all, s"y-equality kept $onY of $all")
+    assert(table(path).where(col("x") === 7).count() === 100L)
+    assert(table(path).where(col("y") === 93).count() === 100L)
+  }
+
+  test("clustering is CDF-invisible and MVCC (pinned reader + vacuum lifecycle)") {
+    val path = tmp("bkc-mvcc")
+    shuffled(path)
+    val v1 = BucketedLake.currentVersion(spark, path).get
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val pinned = spark.sql(s"SELECT * FROM graft_bucketed('$path', $v1)")
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 1000L)
+    val v2 = BucketedLake.currentVersion(spark, path).get
+    assert(v2 === v1 + 1)
+    // physical reorganization: the change feed is empty across it
+    assert(BucketedLake.changes(spark, path, v1, v2).count() === 0L)
+    // the pinned snapshot still reads (superseded files intact)
+    assert(pinned.count() === 8000L)
+    // force-vacuum reclaims the superseded files; the live table reads
+    val report = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
+    assert(report.files > 0)
+    assert(table(path).count() === 8000L)
+  }
+
+  test("non-key clustering drops the key-order claim; key clustering keeps it") {
+    val path = tmp("bkc-sorted")
+    shuffled(path)
+    assert(BucketedLake.readSpec(spark, path).get.sorted)
+    BucketedLake.cluster(spark, path, Seq("k"), maxRowsPerFile = 1000L)
+    assert(BucketedLake.readSpec(spark, path).get.sorted,
+      "clustering by the bucket key preserves per-file key order")
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 1000L)
+    assert(!BucketedLake.readSpec(spark, path).get.sorted,
+      "clustering by a non-key column must withdraw the order claim")
+  }
+
+  test("clustering a partitioned table preserves partition dirs and two-axis pruning") {
+    val path = tmp("bkc-part")
+    val df = (1L to 6000L).map(i =>
+      (i, s"d${i % 3}", ((i * 2654435761L) % 6000L).toInt))
+      .toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 4, partitionCol = Some("dt"))
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 250L)
+    val all = plannedFiles(path, Array.empty)
+    val oneDir = plannedFiles(path, Array(EqualTo("dt", "d1")))
+    assert(oneDir * 2 < all, s"partition pruning kept $oneDir of $all")
+    val both = plannedFiles(path,
+      Array(EqualTo("dt", "d1"), LessThan("v", 300)))
+    assert(both < oneDir, s"two-axis + skipping kept $both of $oneDir")
+    assert(table(path).where(col("dt") === "d1").count() === 2000L)
+    assert(table(path).orderBy("k").select("k", "dt", "v").collect().toSeq
+      === df.orderBy("k").collect().toSeq)
+  }
+
+  test("untrackable/missing columns and empty tables are handled loudly/quietly") {
+    val path = tmp("bkc-guards")
+    BucketedLake.write(
+      (1L to 10L).map(i => (i, Array[Byte](i.toByte))).toDF("k", "b"),
+      path, "k", 2)
+    val e1 = intercept[IllegalArgumentException](
+      BucketedLake.cluster(spark, path, Seq("nope")))
+    assert(e1.getMessage.contains("no column"))
+    val e2 = intercept[IllegalArgumentException](
+      BucketedLake.cluster(spark, path, Seq("b")))
+    assert(e2.getMessage.contains("window"))
+    val empty = tmp("bkc-empty")
+    BucketedLake.createEmpty(spark, empty, "k", 2,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long", nullable = false).add("v", "int"))
+    BucketedLake.cluster(spark, empty, Seq("v")) // no-op, no throw
+    assert(table(empty).count() === 0L)
+  }
+}
