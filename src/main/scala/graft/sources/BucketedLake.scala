@@ -994,7 +994,10 @@ object BucketedLake {
                           schema: StructType, totalRows: Long): Column = {
     import org.apache.spark.sql.types._
     val m = cols.length
-    val bits = math.max(1, math.min(16, 63 / m))
+    // 12 bits = 4096 ranks per column: resolution far beyond any real
+    // file count (windows can't get tighter than one file), while the
+    // quantile pass stays cheap
+    val bits = math.max(1, math.min(12, 63 / m))
     val levels = 1 << bits
     val probs = (1 until levels).map(_.toDouble / levels).toArray
     val ranks: Seq[Column] = cols.map { c =>
@@ -1115,6 +1118,8 @@ object BucketedLake {
     *    publish;
     *  - `replace`/`truncate` — a full old-vs-new diff (every old row a
     *    delete, every new row an insert);
+    *  - `delete` (the metadata DELETE: entries dropped, no files
+    *    added) — the same file diff renders it as pure deletes;
     *  - an UNTAGGED version (written before op tagging) fails loudly —
     *    guessing an op could fabricate or hide changes.
     *
@@ -2385,7 +2390,21 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     }
     val bareCountStar = groupBy.contains(None) && plans.sizeIs == 1 &&
       plans.head == CountPlan("COUNT(*)", None)
-    val entriesOpt = BucketedLake.readManifest(spark, path, asOf)
+    val manifestOpt = BucketedLake.readManifestFull(spark, path, asOf)
+    // layout guard, GROUPED path only: grouping reads partition-dir
+    // values, whose MEANING is the layout's partition column — a
+    // manifest written under a different layout (time travel across a
+    // re-partition) must not price THIS spec's groups. Ungrouped
+    // COUNT/MIN/MAX fold per-file row counts and value windows, which
+    // are intrinsic to the files — layout-independent, so a version
+    // behind a re-layout still answers (the row scan would refuse it
+    // loudly, but the metadata answer is exact by construction).
+    if (groupBy.flatten.isDefined)
+      manifestOpt.flatMap(_.layout).foreach { case (k, n, pc) =>
+        if (k != spec.keyCol || n != spec.buckets || pc != spec.partCol)
+          return None
+      }
+    val entriesOpt = manifestOpt.map(_.entries)
     val render = plans.map(_.render).mkString(", ") +
       groupBy.flatten.fold("")(g => s" GROUP BY ${g._1}")
     val outSchema = StructType(

@@ -181,6 +181,31 @@ class BucketedAggPushdownSpec extends SparkSuite {
       .getDouble(0) === 4.5d)
   }
 
+  test("a re-layout between versions: grouped pushdown declines, ungrouped still prices") {
+    val path = tmp("aggpd-relayout")
+    BucketedLake.write(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "dt", "v"),
+      path, "k", 2, partitionCol = Some("dt"))
+    val v1 = BucketedLake.currentVersion(spark, path).get
+    // re-partition the table: v1's __part dirs now mean a DIFFERENT axis
+    BucketedLake.write(
+      Seq((1L, "x", 10), (2L, "y", 20), (3L, "z", 5)).toDF("k", "g", "v"),
+      path, "k", 2, partitionCol = Some("g"))
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, AggregateFunc}
+    val spec = BucketedLake.readSpec(spark, path).get
+    def builder = new GraftBucketScanBuilder(spark, path, spec, Some(v1))
+    val grouped = new Aggregation(
+      Array[AggregateFunc](new CountStar),
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("g")))
+    assert(!builder.supportCompletePushDown(grouped),
+      "grouping across a re-layout must decline (dir values changed axis)")
+    val bare = new Aggregation(Array[AggregateFunc](new CountStar),
+      Array.empty)
+    assert(builder.supportCompletePushDown(bare),
+      "ungrouped COUNT(*) is layout-independent and still prices")
+  }
+
   test("time travel prices the pinned version's manifest") {
     val path = tmp("aggpd-tt")
     BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
