@@ -2841,6 +2841,41 @@ object SparkEntry {
           min(col("o_orderdate")).cast("string").as("lo_dt"))
     }),
 
+    /** BLOOM SKIPPING INDEX on the bucketed lake
+      * ([[graft.sources.BucketedLake.buildBloomIndex]] — the FOURTH
+      * pruning axis): an equality probe on the high-cardinality
+      * NON-KEY o_orderkey column — hash-spread across buckets, so
+      * every file's min/max window spans ~the whole value space and
+      * neither bucket pruning nor stats can skip — reads only the
+      * files whose per-file bloom says the value might be present
+      * (file-count contracts in BucketedBloomSpec; at 100 TB this is
+      * the needle-in-a-log-lake lookup). Must equal the raw
+      * recompute. */
+    "lake_bucketed_bloom" -> ((s, d) => {
+      val root = lakeTmp(d, "bkbloom")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey",
+          "o_totalprice"),
+        s"$root/orders", "o_custkey", 8)
+      graft.sources.BucketedLake.buildBloomIndex(s, s"$root/orders",
+        Seq("o_orderkey"))
+      // a MID-RANGE present key: inside every file's min/max window
+      // (stats cannot prune it) — only the bloom skips here
+      val mm = t(s, d, "orders")
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val probe = t(s, d, "orders")
+        .where(col("o_orderkey") <= mid)
+        .agg(max("o_orderkey")).head().getLong(0)
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_orderkey") === probe)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** TIME TRAVEL over the bucketed lake's MVCC history
       * ([[graft.sources.BucketedLake.versions]]): v1 = the initial
       * write, v2 = after a V2 append — `graft_bucketed('/p', v)` pins a
@@ -5347,6 +5382,16 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
       GROUP BY 1 ORDER BY 1""",
+
+    // the bloom-pruned point lookup must equal the raw recompute
+    "lake_bucketed_bloom" -> """
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey = (
+        SELECT MAX(o_orderkey) FROM orders
+        WHERE o_orderkey <=
+          (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) / 2 FROM orders))""",
 
     // the z-order-clustered (skipping-pruned) answer must equal the
     // raw recompute

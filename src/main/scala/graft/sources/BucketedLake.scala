@@ -78,11 +78,18 @@ object BucketedLake {
     * `merge` — the change-data-feed's dispatch key; `None` on versions
     * written before op tagging), the streaming txn watermarks, and the
     * file entries. */
+  /** `bloom` = the table-root-relative dir of the version's BLOOM
+    * SIDECAR ([[buildBloomIndex]]) — per-(file, column) bloom filters
+    * for equality skipping, carried forward by data-preserving commits
+    * (file names are write-once, so a sidecar row can never mismatch
+    * its file's content; files absent from the sidecar simply don't
+    * skip). */
   final case class ManifestData(
       layout: Option[(String, Int, Option[String])],
       op: Option[String],
       txns: Map[String, Long],
-      entries: Seq[ManifestEntry])
+      entries: Seq[ManifestEntry],
+      bloom: Option[String] = None)
 
   private val CurrentPointer = "_bucket_manifest.current"
   private[sources] def versionedManifest(v: Long) =
@@ -145,6 +152,7 @@ object BucketedLake {
     } finally in.close()
     var layout: Option[(String, Int, Option[String])] = None
     var op: Option[String] = None
+    var bloom: Option[String] = None
     val txns = Map.newBuilder[String, Long]
     val entries = Seq.newBuilder[ManifestEntry]
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
@@ -154,6 +162,8 @@ object BucketedLake {
           if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None))
       } else if (l.startsWith("#op\t")) {
         op = Some(l.split("\t", 2)(1))
+      } else if (l.startsWith("#bloom\t")) {
+        bloom = Some(l.split("\t", 2)(1))
       } else if (l.startsWith("#txn\t")) {
         val Array(_, app, epoch) = l.split("\t", 3)
         txns += (app -> epoch.toLong)
@@ -166,7 +176,7 @@ object BucketedLake {
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None)
       }
     }
-    ManifestData(layout, op, txns.result(), entries.result())
+    ManifestData(layout, op, txns.result(), entries.result(), bloom)
   }
 
   private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
@@ -291,11 +301,13 @@ object BucketedLake {
                                    base: Option[Long] = None,
                                    txns: Map[String, Long] = Map.empty,
                                    layout: Option[(String, Int, Option[String])] = None,
-                                   op: String = "replace"): Long = {
+                                   op: String = "replace",
+                                   bloom: Option[String] = None): Long = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
-      writeManifestLocked(spark, path, entries, base, txns, layout, op)
+      writeManifestLocked(spark, path, entries, base, txns, layout, op,
+        bloom)
     }
   }
 
@@ -304,7 +316,8 @@ object BucketedLake {
                                   base: Option[Long],
                                   txns: Map[String, Long],
                                   layout: Option[(String, Int, Option[String])],
-                                  op: String): Long = {
+                                  op: String,
+                                  bloom: Option[String]): Long = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -327,9 +340,12 @@ object BucketedLake {
       }
     require(!op.exists(c => c == '\t' || c == '\n'),
       s"manifest op tag cannot contain tab/newline: '$op'")
+    require(!bloom.exists(b => b.exists(c => c == '\t' || c == '\n')),
+      s"bloom sidecar rel cannot contain tab/newline: $bloom")
     try out.write((layout.toSeq.map { case (k, n, pc) =>
       s"#layout\t$k\t$n\t${pc.getOrElse("")}" } ++
       Seq(s"#op\t$op") ++
+      bloom.toSeq.map(b => s"#bloom\t$b") ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
       entries.sortBy(e => (e.bucket, e.rel))
@@ -436,10 +452,13 @@ object BucketedLake {
                .exists(_._2.getModificationTime <= horizon))) => st
     }
     val doomedNames = doomedManifests.map(_.getPath.getName).toSet
-    val referenced = manifestStatus.iterator
+    val retained = manifestStatus.iterator
       .filterNot(st => doomedNames.contains(st.getPath.getName))
-      .flatMap(st => slurpEntries(fs, st.getPath).map(_.rel))
-      .toSet
+      .map(st => slurpManifest(fs, st.getPath)).toSeq
+    val referenced = retained.iterator.flatMap(_.entries.map(_.rel)).toSet
+    // a bloom sidecar lives while ANY retained manifest's header names
+    // it (headers carry forward, so one sidecar can back many versions)
+    val referencedBlooms = retained.iterator.flatMap(_.bloom).toSet
     val candidates = listDataFiles(spark, path)
       .filterNot(f => referenced.contains(f._4))
       .map(f => (f._2, f._3))
@@ -474,9 +493,21 @@ object BucketedLake {
         .stripSuffix(".txt").toLongOption)
       .map(v => new Path(path, changeDirOf(v)))
       .filter(fs.exists)
+    // unreferenced bloom sidecars (superseded builds, crashed builds):
+    // retention-guarded like staging — an in-flight build's dir is
+    // younger than the horizon
+    val bloomRoot = new Path(path, "_index/bloom")
+    val doomedBlooms =
+      if (!fs.exists(bloomRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(bloomRoot).filter { st =>
+        st.isDirectory &&
+          !referencedBlooms.contains(s"_index/bloom/${st.getPath.getName}") &&
+          (minAgeMs <= 0L || st.getModificationTime <= horizon)
+      }
     if (!dryRun) {
       doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
       doomedChangeDirs.foreach(p => fs.delete(p, true): Unit)
+      doomedBlooms.foreach(st => fs.delete(st.getPath, true): Unit)
     }
     // leftovers of crashed writes/compactions/merges; the retention
     // window is what keeps an IN-FLIGHT write's staging alive
@@ -485,14 +516,15 @@ object BucketedLake {
       val n = st.getPath.getName
       ((st.isDirectory &&
         (n.startsWith(".write-") || n.startsWith(".compact-") ||
-          n.startsWith(".stage-") || n.startsWith(".merge-"))) ||
+          n.startsWith(".stage-") || n.startsWith(".merge-") ||
+          n.startsWith(".cluster-"))) ||
         (st.isFile && n.startsWith(".ptr-"))) &&
         (minAgeMs <= 0L || st.getModificationTime <= horizon)
     }
     if (!dryRun)
       doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
     VacuumReport(nData, dataBytes,
-      doomedManifests.length + doomedChangeDirs.length,
+      doomedManifests.length + doomedChangeDirs.length + doomedBlooms.length,
       doomedStaging.length)
   }
 
@@ -853,7 +885,7 @@ object BucketedLake {
     if (multi.isEmpty) {
       if (occBaseOpt.isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
-          op = "compact"): Unit
+          op = "compact", bloom = full.flatMap(_.bloom)): Unit
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -901,7 +933,7 @@ object BucketedLake {
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
-      op = "compact"): Unit
+      op = "compact", bloom = full.flatMap(_.bloom)): Unit
   }
 
   /** CLUSTER the table for DATA SKIPPING: rewrite every (partition,
@@ -980,7 +1012,8 @@ object BucketedLake {
       writeSpec(spark, path, spec.copy(sorted = false))
     writeManifest(spark, path, fresh,
       base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
-      layout = layout, op = "compact"): Unit
+      layout = layout, op = "compact",
+      bloom = full.flatMap(_.bloom)): Unit
   }
 
   /** The Z-VALUE column: each clustered column's quantile rank
@@ -1046,6 +1079,152 @@ object BucketedLake {
         shiftright(ranks(j).cast("long"), bit).bitwiseAND(lit(1L)),
         bit * m + j))
     z
+  }
+
+  /** The bloom hash seed — [[bucketExpr]]'s xxhash64 seed, shared so
+    * the probe side ([[BucketPruning.catalystKey]] +
+    * `XxHash64Function.hash`) reproduces the build side bit-exactly. */
+  private[sources] val BloomSeed = 42L
+
+  /** Kirsch–Mitzenmacher-style k positions derived from ONE 64-bit
+    * value hash (remixed per probe) — build and probe share this. */
+  private[sources] def bloomSetBits(bits: Array[Byte], hash64: Long,
+                                    m: Int, k: Int): Unit = {
+    var h = hash64; var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h, m.toLong).toInt
+      bits(pos >> 3) = (bits(pos >> 3) | (1 << (pos & 7))).toByte
+      h = h * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      i += 1
+    }
+  }
+
+  private[sources] def bloomMightContain(bits: Array[Byte], hash64: Long,
+                                         m: Int, k: Int): Boolean = {
+    var h = hash64; var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h, m.toLong).toInt
+      if ((bits(pos >> 3) & (1 << (pos & 7))) == 0) return false
+      h = h * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      i += 1
+    }
+    true
+  }
+
+  /** Types the bloom axis indexes — exactly [[BucketPruning
+    * .catalystKey]]'s set, so every probe literal canonicalizes to the
+    * value the build hashed (STRICT: a mismatched literal type never
+    * probes; the file is kept). */
+  private[sources] def bloomSupported(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | FloatType | DoubleType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** BLOOM SKIPPING INDEX — the FOURTH pruning axis, for EQUALITY
+    * probes on high-cardinality NON-key columns where min/max windows
+    * are useless (a uuid/email/session-id lookup in a 100 TB log lake:
+    * every file's window spans the whole value space, but a per-file
+    * bloom answers "definitely not here" for all but ~fpp of the
+    * files). Writes one sidecar parquet per build
+    * (`_index/bloom/<uuid>/`, partitioned by column so a probe reads
+    * only its column's slice), sized per FILE from the manifest's row
+    * counts, built EXECUTOR-PARALLEL with column-pruned reads; the
+    * commit is a manifest flip whose `#bloom` header names the sidecar
+    * (MVCC: time travel sees each version's own index; op `compact` —
+    * no logical change).
+    *
+    * The header CARRIES FORWARD through data-preserving commits: file
+    * names are write-once, so a sidecar row can never mismatch its
+    * file's content — files appended/compacted AFTER the build are
+    * simply absent from the sidecar and never skip (re-run the build
+    * to cover them). Hash = xxhash64(value, seed 42) on BOTH sides;
+    * probe literals canonicalize via the bucket-pruning rules, so a
+    * type-mismatched literal keeps the file. [[vacuum]] reclaims
+    * sidecars no retained manifest references. */
+  def buildBloomIndex(spark: SparkSession, path: String,
+                      cols: Seq[String], fpp: Double = 0.01): Unit = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    require(cols.nonEmpty, "bloom index needs at least one column")
+    require(fpp > 0d && fpp < 1d, s"fpp must be in (0, 1): $fpp")
+    cols.foreach { c =>
+      require(spec.schema.fieldNames.contains(c), s"no column '$c' to index")
+      require(bloomSupported(spec.schema(c).dataType),
+        s"column '$c' (${spec.schema(c).dataType.simpleString}) is not " +
+          "bloom-indexable (equality probes cannot canonicalize)")
+    }
+    val occBaseOpt = currentVersion(spark, path)
+    val full = readManifestFull(spark, path, occBaseOpt).getOrElse(
+      throw new IllegalStateException(
+        s"bloom index on $path requires a manifest — write() or " +
+          "compact() the table first"))
+    val sidecarRel = s"_index/bloom/${java.util.UUID.randomUUID()}"
+    val sidecarAbs = s"$path/$sidecarRel"
+    val schema = spec.schema
+    val fields = cols.map(c =>
+      (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+    val required = StructType(cols.map(c => schema(schema.fieldIndex(c))))
+    val readerFn = org.apache.spark.sql.graftshim.ParquetReadShim
+      .readerFor(spark, schema, required, Nil)
+    // required-schema ordinals differ from table ordinals
+    val reqIdx = cols.zipWithIndex.toMap
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bits",
+        org.apache.spark.sql.types.BinaryType, nullable = false),
+      org.apache.spark.sql.types.StructField("col",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    if (full.entries.nonEmpty) {
+      val files = full.entries.map(e =>
+        (e.rel, s"$path/${e.rel}", e.size, e.rows))
+      val rows = spark.sparkContext
+        .parallelize(files, math.min(files.size,
+          spark.sparkContext.defaultParallelism * 2))
+        .flatMap { case (rel, abs, size, nRows) =>
+          val (m, k) = graft.sink.BloomIndex.sizing(
+            math.max(1L, math.min(nRows, 64_000_000L)).toInt, fpp)
+          val bits = fields.map(_ => new Array[Byte](m >> 3))
+          val it = org.apache.spark.sql.graftshim.ParquetReadShim.rows(
+            readerFn(org.apache.spark.sql.graftshim.ParquetReadShim
+              .partitionedFile(abs, size)))
+          while (it.hasNext) {
+            val row = it.next()
+            var i = 0
+            while (i < fields.length) {
+              val (c, _, dt) = fields(i)
+              val ri = reqIdx(c)
+              if (!row.isNullAt(ri)) {
+                val h = org.apache.spark.sql.catalyst.expressions
+                  .XxHash64Function.hash(row.get(ri, dt), dt, BloomSeed)
+                bloomSetBits(bits(i), h, m, k)
+              }
+              i += 1
+            }
+          }
+          fields.indices.map(i => org.apache.spark.sql.Row(
+            rel, m, k, bits(i), fields(i)._1))
+        }
+      spark.createDataFrame(rows, outSchema)
+        .write.partitionBy("col").parquet(sidecarAbs)
+    } else {
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+        .write.partitionBy("col").parquet(sidecarAbs)
+    }
+    // commit: same entries, new header — invisible until the flip
+    writeManifest(spark, path, full.entries,
+      base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,
+      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      op = "compact", bloom = Some(sidecarRel)): Unit
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -1384,7 +1563,7 @@ object BucketedLake {
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
-      op = "merge")
+      op = "merge", bloom = m.bloom)
     // a crash BETWEEN flip and publish degrades this version's feed to
     // the file diff (documented in [[changes]]) — never wrong, coarser
     val fs = new Path(path).getFileSystem(
@@ -1868,7 +2047,7 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
     BucketedLake.writeManifest(spark, path, kept,
       base = baseOpt, txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
-      op = "delete"): Unit
+      op = "delete", bloom = full.bloom): Unit
   }
   override def name(): String =
     asOf.fold(path)(v => s"$path@v$v")
@@ -2127,7 +2306,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         base = baseOpt.map(identity), txns = priorTxns ++ txnUpdate,
         layout = layout,
         op = if (scope == ReplaceScope.Truncate) "truncate"
-             else "replace"): Unit
+             else "replace",
+        bloom = full.flatMap(_.bloom)): Unit
     }
     if (scope != ReplaceScope.Append) {
       scopedReplace()
@@ -2168,7 +2348,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
           try {
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
-              priorTxns ++ txnUpdate, layout, op = "append"): Unit
+              priorTxns ++ txnUpdate, layout, op = "append",
+              bloom = full.flatMap(_.bloom)): Unit
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -2614,11 +2795,13 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
 
   /** One kept file after plan-time pruning: manifest-sourced size,
     * rows (-1 on the legacy listing fallback), the partition value in
-    * canonical space, and the data-skipping stats JSON. */
+    * canonical space, the data-skipping stats JSON, and the
+    * root-relative path (the bloom sidecar's join key). */
   private final case class KeptFile(bucket: Int, abs: String, size: Long,
                                     rows: Long,
                                     partCanon: Option[Option[Any]],
-                                    stats: Option[String])
+                                    stats: Option[String],
+                                    rel: String)
 
   /** Per-bucket kept files after PLAN-TIME pruning on all three axes:
     * bucket pruning dropped non-matching buckets, partition predicates
@@ -2645,14 +2828,87 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val metas: Seq[KeptFile] = pinned match {
       case Some(m) =>
         m.entries.map(e => KeptFile(e.bucket, s"$path/${e.rel}", e.size,
-          e.rows, canonOf(e.rel), e.stats))
+          e.rows, canonOf(e.rel), e.stats, e.rel))
       case None => // (bucket, rel, abs, size) — rows unknown
         BucketedLake.listDataFilesFor(spark, path)
-          .map(f => KeptFile(f._1, f._3, f._4, -1L, canonOf(f._2), None))
+          .map(f => KeptFile(f._1, f._3, f._4, -1L, canonOf(f._2), None,
+            f._2))
     }
-    metas.filter(k =>
+    val kept3 = metas.filter(k =>
       pruned.forall(_.contains(k.bucket)) && partKeep(k.partCanon, pushed) &&
         statsKeep(k.stats, k.rows, pushed))
+    bloomPrune(kept3, pinned.flatMap(_.bloom))
+  }
+
+  /** BLOOM PRUNING (the fourth axis): for top-level equality / IN
+    * conjuncts on bloom-indexed columns, drop every candidate file
+    * whose sidecar bloom says NO probe value can be present. The probe
+    * runs as ONE small executor job over the sidecar's probed-column
+    * slice (partition-pruned parquet) — the driver ships candidate
+    * rels + literal hashes out and collects only the rels to DROP, so
+    * the payload stays O(definite misses), never O(files × bloom
+    * bytes). Files absent from the sidecar (appended after the build),
+    * a vacuumed/missing sidecar, or an unhashable literal all KEEP —
+    * filters stay residual, so keeping is always correct. Plan-time
+    * only (runtime/DPP filters skip this axis: launching a job inside
+    * execution-time re-planning is not worth the latency). */
+  private def bloomPrune(candidates: Seq[KeptFile],
+                         sidecarRel: Option[String]): Seq[KeptFile] = {
+    val rel = sidecarRel.getOrElse(return candidates)
+    if (candidates.isEmpty) return candidates
+    // col -> xxhash64 of each probe literal (strict canonicalization)
+    val probes: Map[String, Array[Long]] = {
+      import org.apache.spark.sql.sources._
+      val b = scala.collection.mutable.Map[String, Array[Long]]()
+      def hashesOf(c: String, vs: Seq[Any]): Option[Array[Long]] = {
+        if (!spec.schema.fieldNames.contains(c)) return None
+        val dt = spec.schema(c).dataType
+        if (!BucketedLake.bloomSupported(dt)) return None
+        val hs = vs.map(v => BucketPruning.catalystKey(v, dt).map(cv =>
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(cv, dt, BucketedLake.BloomSeed)))
+        if (hs.exists(_.isEmpty)) None else Some(hs.flatten.toArray)
+      }
+      pushed.foreach {
+        case EqualTo(c, v) if v != null =>
+          hashesOf(c, Seq(v)).foreach(b(c) = _)
+        case EqualNullSafe(c, v) if v != null =>
+          hashesOf(c, Seq(v)).foreach(b(c) = _)
+        case In(c, vs) if vs != null && vs.exists(_ != null) =>
+          hashesOf(c, vs.toSeq.filter(_ != null)).foreach(b(c) = _)
+        case _ => ()
+      }
+      b.toMap
+    }
+    if (probes.isEmpty) return candidates
+    val sidecarPath = new Path(path, rel)
+    val fs = sidecarPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecarPath)) return candidates
+    val bCands = spark.sparkContext.broadcast(candidates.map(_.rel).toSet)
+    val bProbes = spark.sparkContext.broadcast(probes)
+    val drops: Set[String] =
+      try {
+        spark.read.parquet(sidecarPath.toString)
+          .where(col("col").isin(probes.keySet.toSeq: _*))
+          .select("rel", "col", "m", "k", "bits")
+          .rdd.mapPartitions { iter =>
+            iter.flatMap { r =>
+              val fileRel = r.getString(0)
+              if (!bCands.value.contains(fileRel)) Iterator.empty
+              else {
+                val c = r.getString(1)
+                val m = r.getInt(2); val k = r.getInt(3)
+                val bits = r.getAs[Array[Byte]](4)
+                val anyMaybe = bProbes.value(c).exists(h =>
+                  BucketedLake.bloomMightContain(bits, h, m, k))
+                if (anyMaybe) Iterator.empty else Iterator.single(fileRel)
+              }
+            }
+          }.collect().toSet
+      } finally { bCands.destroy(); bProbes.destroy() }
+    if (drops.isEmpty) candidates
+    else candidates.filterNot(k => drops.contains(k.rel))
   }
 
   private lazy val keptMeta: Map[Int, Array[KeptFile]] =

@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+import graft.SparkSuite
+
+/** [[BucketedLake.buildBloomIndex]] — the FOURTH pruning axis:
+  * per-file blooms answer equality probes on high-cardinality non-key
+  * columns where min/max windows are useless. Contracts: definite
+  * misses drop files (present values keep ~1), unindexed/appended
+  * files and type-mismatched literals always keep, the header carries
+  * forward through data-preserving commits, and vacuum reclaims only
+  * unreferenced sidecars. */
+class BucketedBloomSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val cat = "graft_bkb"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+  }
+
+  private def tmp(p: String) = Files.createTempDirectory(p).resolve("t").toString
+  private def table(path: String): DataFrame =
+    spark.read.table(s"$cat.`$path`")
+
+  private def plannedFiles(path: String, filters: Array[Filter]): Int = {
+    val spec = BucketedLake.readSpec(spark, path).get
+    val b = new GraftBucketScanBuilder(spark, path, spec)
+    b.pushFilters(filters): Unit
+    b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[GraftBucketPartition].files.length).sum
+  }
+
+  /** 4000 rows, unique uid per row, key-hash spreads uids across all
+    * buckets — every file's min/max window spans ~the whole uid range,
+    * so only a bloom can skip. */
+  private def uidTable(path: String): Unit = {
+    val df = (1L to 4000L).map(i => (i, f"uid-${i * 7919 % 4000}%06d", i))
+      .toDF("k", "uid", "v")
+    BucketedLake.write(df, path, "k", 4)
+  }
+
+  test("equality probes drop definite misses; present values read ~1 file") {
+    val path = tmp("bkb-basic")
+    uidTable(path)
+    val probe = Array[Filter](EqualTo("uid", "uid-000707"))
+    assert(plannedFiles(path, probe) === 4,
+      "without the index every file is a candidate (windows span the range)")
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val kept = plannedFiles(path, probe)
+    assert(kept <= 2, s"bloom kept $kept of 4 files for a 1-file value")
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
+      "an absent value should be a definite miss in ~all files")
+    // correctness end-to-end
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+    assert(table(path).where(col("uid") === "uid-001234x").count() === 0L)
+  }
+
+  test("IN probes keep a file if ANY value might be present") {
+    val path = tmp("bkb-in")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val twoVals = Array[Filter](In("uid",
+      Array[Any]("uid-000707", "uid-001414")))
+    val kept = plannedFiles(path, twoVals)
+    assert(kept >= 1 && kept <= 3, s"IN probe kept $kept files")
+    assert(table(path)
+      .where(col("uid").isin("uid-000707", "uid-001414")).count() === 2L)
+  }
+
+  test("type-mismatched literals never probe (strict canonicalization)") {
+    val path = tmp("bkb-strict")
+    BucketedLake.write((1L to 100L).map(i => (i, i * 10)).toDF("k", "v"),
+      path, "k", 2)
+    BucketedLake.buildBloomIndex(spark, path, Seq("v"))
+    // v is LongType; an Int literal must not hash (a coerced hash would
+    // differ from the write side and could skip matching files)
+    assert(plannedFiles(path, Array(EqualTo("v", 10.asInstanceOf[Any])))
+      === 2)
+    // the exact-type literal probes and drops the miss
+    assert(plannedFiles(path,
+      Array(EqualTo("v", java.lang.Long.valueOf(999999L)))) === 0)
+  }
+
+  test("files appended after the build keep (no skip) until a rebuild covers them") {
+    val path = tmp("bkb-append")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+    Seq((9001L, "uid-fresh1", 1L), (9002L, "uid-fresh2", 2L))
+      .toDF("k", "uid", "v").writeTo(s"$cat.`$path`").append()
+    // the header carried forward; the appended files are unindexed and
+    // MUST be kept even for a definitely-absent-from-indexed-files value
+    val kept = plannedFiles(path, Array(EqualTo("uid", "uid-fresh1")))
+    assert(kept >= 1, "unindexed appended files must never be skipped")
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1)
+  }
+
+  test("compaction carries the header; rewritten files keep; vacuum reclaims superseded sidecars") {
+    val path = tmp("bkb-lifecycle")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val sidecar1 = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    Seq((9001L, "uid-fresh1", 1L)).toDF("k", "uid", "v")
+      .writeTo(s"$cat.`$path`").append()
+    BucketedLake.compact(spark, path)
+    val afterCompact = BucketedLake.readManifestFull(spark, path).get
+    assert(afterCompact.bloom.contains(sidecar1),
+      "data-preserving commits must carry the bloom header")
+    // compacted (rewritten) files are absent from the sidecar: all kept
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+    // rebuild -> new sidecar; old one unreferenced -> force-vacuum eats it
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val sidecar2 = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    assert(sidecar2 !== sidecar1)
+    BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, sidecar1)),
+      "the superseded sidecar must be reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, sidecar2)),
+      "the referenced sidecar must survive")
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
+      "pruning must still work off the surviving sidecar")
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+  }
+
+  test("a missing sidecar (manual damage) keeps every candidate — never wrong") {
+    val path = tmp("bkb-missing")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val sidecar = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, sidecar), true): Unit
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) === 4)
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+  }
+
+  test("guards: unknown column, un-indexable type, no manifest") {
+    val path = tmp("bkb-guards")
+    BucketedLake.write(
+      (1L to 10L).map(i => (i, Array[Byte](i.toByte))).toDF("k", "b"),
+      path, "k", 2)
+    val e1 = intercept[IllegalArgumentException](
+      BucketedLake.buildBloomIndex(spark, path, Seq("nope")))
+    assert(e1.getMessage.contains("no column"))
+    val e2 = intercept[IllegalArgumentException](
+      BucketedLake.buildBloomIndex(spark, path, Seq("b")))
+    assert(e2.getMessage.contains("not"))
+  }
+}
