@@ -2459,22 +2459,52 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** ONE pointer resolution serves the whole scan build: the exact-
+    * filter decision, the aggregate pushdown, AND the scan's file
+    * lists ([[GraftBucketScan]] receives this value) — separate reads
+    * could straddle a commit and claim a filter exact against one
+    * version while scanning another. */
+  private lazy val pinnedAtBuild: Option[BucketedLake.ManifestData] =
+    BucketedLake.pinnedManifest(spark, path, asOf)
+
   /** BUCKET PRUNING: the layout determines which bucket holds any given
     * key, so key-equality / IN predicates reduce the scan to the
     * matching bucket partition(s) — a point lookup reads 1 of n buckets
-    * instead of the whole table. Every filter stays RESIDUAL (Spark
-    * re-evaluates rows above the scan): pruning only skips buckets that
-    * PROVABLY hold no match, so a conservative `None` from an
-    * unrecognized shape or a type mismatch is always correct. Null
-    * probes prune to ZERO buckets — both write paths reject null keys,
-    * so no bucket can hold one. */
+    * instead of the whole table. Filters stay RESIDUAL (Spark
+    * re-evaluates rows above the scan) with ONE exception: a
+    * PARTITION-AXIS predicate that every live file DECIDES WHOLLY
+    * (`Some(true)`/`Some(false)` per file — all of a file's rows share
+    * its partition value) is claimed HANDLED, so no Filter node
+    * survives above the scan: partition-pruned scans skip per-row
+    * re-evaluation, and a filtered aggregate can still reach the
+    * metadata path. Any file that cannot decide (bucket-only layout,
+    * legacy path, unparsable dir) keeps the filter residual —
+    * correctness never rests on a guess. Null key probes prune to
+    * ZERO buckets — both write paths reject null keys. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     val sets = filters.flatMap(bucketSetOf) // top level is a conjunction
     if (sets.nonEmpty) pruned = Some(sets.reduce(_ intersect _))
     accepted = filters // every filter also forwards to parquet pushdown
-    filters
+    exactHandled = (spec.partCol.map(pc =>
+      (pc, spec.schema(pc).dataType)), pinnedAtBuild) match {
+      case (Some((pc, dt)), Some(m))
+          // the dir values' MEANING is the layout's partition column —
+          // only a layout-consistent manifest can decide
+          if m.layout.forall(l =>
+            l._1 == spec.keyCol && l._2 == spec.buckets &&
+              l._3 == spec.partCol) =>
+        val canons = m.entries.map(e =>
+          BucketedLake.entryPartCanon(e.rel, dt))
+        if (canons.exists(_.isEmpty)) Set.empty
+        else filters.filter(f => canons.forall(c =>
+          PartPruning.matches(c.get, pc, dt, f).isDefined)).toSet
+      case _ => Set.empty
+    }
+    filters.filterNot(exactHandled)
   }
+  private var exactHandled: Set[org.apache.spark.sql.sources.Filter] =
+    Set.empty
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
@@ -2515,7 +2545,11 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, DoubleType, FloatType, LongType, ShortType, StringType, StructField}
-    if (accepted.nonEmpty || pruned.nonEmpty) return None
+    // filters are allowed ONLY when every one was claimed exact (the
+    // whole-file partition decisions): the aggregate then folds just
+    // the matching files. Anything residual needs rows.
+    if (pruned.nonEmpty) return None
+    if (accepted.exists(f => !exactHandled.contains(f))) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, DataType)] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -2570,8 +2604,8 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       case _ => return None
     }
     val bareCountStar = groupBy.contains(None) && plans.sizeIs == 1 &&
-      plans.head == CountPlan("COUNT(*)", None)
-    val manifestOpt = BucketedLake.readManifestFull(spark, path, asOf)
+      plans.head == CountPlan("COUNT(*)", None) && accepted.isEmpty
+    val manifestOpt = pinnedAtBuild
     // layout guard, GROUPED path only: grouping reads partition-dir
     // values, whose MEANING is the layout's partition column — a
     // manifest written under a different layout (time travel across a
@@ -2598,7 +2632,22 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       // pre-manifest table: defer the total to an executor-parallel
       // footer sweep at plan time (the pre-MVCC behavior, spec-pinned)
       return Some((outSchema, null, render))
-    val entries = entriesOpt.getOrElse(return None)
+    // claimed-exact filters restrict the fold to whole-file matches —
+    // the SAME decision the row scan's pruning would make off the SAME
+    // pinned manifest
+    val entries = entriesOpt.getOrElse(return None).filter { e =>
+      accepted.isEmpty || {
+        val pcdt = spec.partCol.map(pc => (pc, spec.schema(pc).dataType))
+        pcdt.exists { case (pc, dt) =>
+          BucketedLake.entryPartCanon(e.rel, dt).exists(canon =>
+            accepted.forall(f =>
+              PartPruning.matches(canon, pc, dt, f).contains(true)))
+        }
+      }
+    }
+    val renderF =
+      if (accepted.isEmpty) render
+      else s"$render WHERE ${accepted.mkString(" AND ")}"
     // one stats decode per entry, shared by every aggregate
     val needStats = plans.exists { case CountPlan(_, Some(_)) => true
                                    case _: EdgePlan => true; case _ => false }
@@ -2665,7 +2714,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
         gk.map(canonToInternal(_, dt)).orNull }
       InternalRow.fromSeq(gkVals ++ aggVals)
     }.toArray
-    Some((outSchema, rows, render))
+    Some((outSchema, rows, renderF))
   }
 
   // memoized per Aggregation instance: supportCompletePushDown and
@@ -2698,7 +2747,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       new GraftBucketAggScan(spark, path, schema, rows, render, asOf)
     case None =>
       new GraftBucketScan(spark, path, spec, required, pruned, accepted,
-        asOf)
+        asOf, Some(pinnedAtBuild))
   }
 }
 
@@ -2747,7 +2796,13 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        required: StructType,
                                        pruned: Option[Set[Int]],
                                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                                       asOf: Option[Long] = None)
+                                       asOf: Option[Long] = None,
+                                       // Some(x) = the builder's pinned
+                                       // read (claimed-exact filters were
+                                       // decided against x — the scan
+                                       // MUST use the same snapshot);
+                                       // None = resolve here
+                                       prePinned: Option[Option[BucketedLake.ManifestData]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2816,7 +2871,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * (or the time-travel version predates the change): pruning under
     * the wrong layout silently drops rows, so fail LOUDLY instead. */
   private lazy val keptFiles: Seq[KeptFile] = {
-    val pinned = BucketedLake.pinnedManifest(spark, path, asOf)
+    val pinned = prePinned.getOrElse(
+      BucketedLake.pinnedManifest(spark, path, asOf))
     pinned.flatMap(_.layout).foreach { case (k, n, pc) =>
       require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
         s"bucketed table $path layout changed: manifest written under " +
@@ -3052,7 +3108,12 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     // predicates are in hand). When the projection supports it, the
     // scan serves COLUMNAR batches (the vectorized reader's native
     // unit) and the ColumnarToRow hop lands inside whole-stage codegen.
+    // only filters whose every referenced column survives the
+    // projection reach the parquet reader — a CLAIMED partition filter
+    // needs no re-evaluation, so its column may be pruned away, and a
+    // predicate on an unread column would zero the vectorized read
     val filters = (pushed ++ runtimePushed).toSeq
+      .filter(_.references.forall(required.fieldNames.contains))
     val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required,
       filters)
     val batchFn =

@@ -206,6 +206,68 @@ class BucketedAggPushdownSpec extends SparkSuite {
       "ungrouped COUNT(*) is layout-independent and still prices")
   }
 
+  test("exact partition filters: no Filter node, and filtered aggregates stay metadata-only") {
+    val path = tmp("aggpd-exactf")
+    val df = Seq(
+      (1L, Option("a"), 10), (2L, Option("a"), 20), (3L, Option("b"), 5),
+      (4L, Option("b"), 7), (5L, None, 42)).toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 4, partitionCol = Some("dt"))
+
+    // a pure partition predicate is decided whole-file by every entry:
+    // claimed handled -> the row scan carries NO Filter above it
+    val rows = spark.sql(s"SELECT k, v FROM $cat.`$path` WHERE dt = 'a'")
+    assert(rows.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val hasFilter = rows.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+    assert(!hasFilter,
+      s"claimed-exact predicate left a Filter:\n${rows.queryExecution.executedPlan}")
+
+    // ... and a FILTERED aggregate can therefore reach the manifest
+    val agg = spark.sql(
+      s"SELECT count(*) AS n, min(v) AS lo FROM $cat.`$path` WHERE dt = 'a'")
+    assert(pushed(agg), s"not pushed:\n${agg.queryExecution.executedPlan}")
+    val r = agg.head()
+    assert(r.getLong(0) === 2L && r.getInt(1) === 10)
+
+    // ranges and IS NULL are exact too
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.`$path` WHERE dt >= 'b'").head().getLong(0)
+      === 2L)
+    val nullAgg = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.`$path` WHERE dt IS NULL")
+    assert(pushed(nullAgg) && nullAgg.head().getLong(0) === 1L)
+
+    // grouped + filtered composes
+    val g = spark.sql(s"SELECT dt, count(*) AS n, max(v) AS hi " +
+      s"FROM $cat.`$path` WHERE dt IS NOT NULL GROUP BY dt")
+    assert(pushed(g))
+    assert(g.collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+      .toSet === Set(("a", 2L, 20), ("b", 2L, 7)))
+  }
+
+  test("mixed predicates keep the row-level part residual; bucket-only tables never claim") {
+    val path = tmp("aggpd-mixed")
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "b", 5)).toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 2, partitionCol = Some("dt"))
+    // dt='a' claimed, v>10 residual: a Filter survives with ONLY v>10,
+    // the aggregate declines, and results are exact
+    val q = spark.sql(
+      s"SELECT count(*) FROM $cat.`$path` WHERE dt = 'a' AND v > 10")
+    assert(!pushed(q))
+    assert(q.head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT k FROM $cat.`$path` WHERE dt = 'a' AND v > 10")
+      .head().getLong(0) === 2L)
+    // bucket-only layout: no partition axis, nothing claims — Filter
+    // stays, answers right
+    val p2 = tmp("aggpd-bucketonly")
+    BucketedLake.write(df.drop("dt"), p2, "k", 2)
+    val q2 = spark.sql(s"SELECT k FROM $cat.`$p2` WHERE v > 10")
+    assert(q2.head().getLong(0) === 2L)
+    assert(q2.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]))
+  }
+
   test("time travel prices the pinned version's manifest") {
     val path = tmp("aggpd-tt")
     BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
