@@ -2876,6 +2876,40 @@ object SparkEntry {
             .cast("double").as("total"))
     }),
 
+    /** The SQL MAINTENANCE LIFECYCLE end-to-end
+      * ([[graft.sources.BucketedProcedures]] via Spark 4's
+      * ProcedureCatalog): `CALL cat.system.compact / cluster /
+      * build_bloom_index / vacuum` run the lake's table services from
+      * pure SQL — append fragments fold, files re-cluster for
+      * skipping, the bloom axis builds, superseded files reclaim — and
+      * the data the query reads afterwards must equal the raw-parquet
+      * oracle (the services are physical only). */
+    "lake_bucketed_maintenance" -> ((s, d) => {
+      val root = lakeTmp(d, "bkmaint")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val (lo, hi) = (o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1))
+      graft.sources.BucketedLake.write(lo, s"$root/orders",
+        "o_custkey", 8)
+      hi.writeTo(s"graft_bk.`$root/orders`").append()
+      s.sql(s"CALL graft_bk.system.compact('$root/orders')").collect()
+      s.sql(s"CALL graft_bk.system.cluster('$root/orders', " +
+        "'o_totalprice', 4096)").collect()
+      s.sql(s"CALL graft_bk.system.build_bloom_index('$root/orders', " +
+        "'o_orderkey')").collect()
+      s.sql(s"CALL graft_bk.system.vacuum('$root/orders', 0, false)")
+        .collect()
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_totalprice") >= 100000.0 &&
+          col("o_totalprice") < 200000.0)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+    }),
+
     /** TIME TRAVEL over the bucketed lake's MVCC history
       * ([[graft.sources.BucketedLake.versions]]): v1 = the initial
       * write, v2 = after a V2 append — `graft_bucketed('/p', v)` pins a
@@ -5382,6 +5416,14 @@ object SparkEntry {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders WHERE o_custkey IN (1, 2, 4, 5, 7, 8)
       GROUP BY 1 ORDER BY 1""",
+
+    // after the full CALL-driven maintenance lifecycle, reads must
+    // equal the raw recompute (the services are physical only)
+    "lake_bucketed_maintenance" -> """
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_totalprice >= 100000 AND o_totalprice < 200000""",
 
     // the bloom-pruned point lookup must equal the raw recompute
     "lake_bucketed_bloom" -> """

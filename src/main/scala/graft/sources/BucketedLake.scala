@@ -1672,8 +1672,30 @@ object BucketedLake {
 
 /** `TableCatalog` + `FunctionCatalog` plugin: path-addressed bucketed
   * tables plus the `bucket` V2 function the SPJ transform resolves to. */
-class GraftBucketCatalog extends TableCatalog with FunctionCatalog {
+class GraftBucketCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = "graft_bucketed"
+
+  /** `CALL <cat>.system.<proc>(...)` — the SQL spelling of the lake's
+    * table services ([[BucketedProcedures]]): compact, cluster,
+    * build_bloom_index, vacuum. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val found =
+      if (BucketedProcedures.namespaceOk(ident.namespace()))
+        BucketedProcedures.load(ident.name())
+      else None
+    found.getOrElse(throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "ROUTINE_NOT_FOUND",
+      messageParameters = Map("routineName" ->
+        (ident.namespace() :+ ident.name()).mkString("`", "`.`", "`"))))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (BucketedProcedures.namespaceOk(namespace))
+      BucketedProcedures.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catName = name
