@@ -1145,8 +1145,17 @@ object BucketedLake {
     * probe literals canonicalize via the bucket-pruning rules, so a
     * type-mismatched literal keeps the file. [[vacuum]] reclaims
     * sidecars no retained manifest references. */
+  /** `incremental = true` (the DEFAULT): reuse the current sidecar's
+    * rows for files it already covers and read ONLY the uncovered
+    * (file, column) pairs — maintenance cost is O(files added since
+    * the last build), not O(table). Sound because file names are
+    * write-once: a covering sidecar row can never mismatch its file.
+    * The sidecar copy-forward is metadata-sized IO (bloom bytes), no
+    * data file is re-read. `incremental = false` forces a full
+    * rebuild (e.g. after changing `fpp`). */
   def buildBloomIndex(spark: SparkSession, path: String,
-                      cols: Seq[String], fpp: Double = 0.01): Unit = {
+                      cols: Seq[String], fpp: Double = 0.01,
+                      incremental: Boolean = true): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
     require(cols.nonEmpty, "bloom index needs at least one column")
@@ -1164,6 +1173,20 @@ object BucketedLake {
           "compact() the table first"))
     val sidecarRel = s"_index/bloom/${java.util.UUID.randomUUID()}"
     val sidecarAbs = s"$path/$sidecarRel"
+    // (rel, col) pairs the CURRENT sidecar already covers — a covered
+    // file is copied forward, never re-read
+    val priorAbs: Option[String] = if (incremental) {
+      full.bloom.filter { rel =>
+        val p = new Path(path, rel)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }.map(rel => s"$path/$rel")
+    } else None
+    val covered: Set[(String, String)] = priorAbs match {
+      case Some(abs) =>
+        spark.read.parquet(abs).select("rel", "col")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      case None => Set.empty
+    }
     val schema = spec.schema
     val fields = cols.map(c =>
       (c, schema.fieldIndex(c), schema(c).dataType)).toArray
@@ -1183,43 +1206,65 @@ object BucketedLake {
         org.apache.spark.sql.types.BinaryType, nullable = false),
       org.apache.spark.sql.types.StructField("col",
         org.apache.spark.sql.types.StringType, nullable = false)))
-    if (full.entries.nonEmpty) {
-      val files = full.entries.map(e =>
-        (e.rel, s"$path/${e.rel}", e.size, e.rows))
-      val rows = spark.sparkContext
-        .parallelize(files, math.min(files.size,
-          spark.sparkContext.defaultParallelism * 2))
-        .flatMap { case (rel, abs, size, nRows) =>
-          val (m, k) = graft.sink.BloomIndex.sizing(
-            math.max(1L, math.min(nRows, 64_000_000L)).toInt, fpp)
-          val bits = fields.map(_ => new Array[Byte](m >> 3))
-          val it = org.apache.spark.sql.graftshim.ParquetReadShim.rows(
-            readerFn(org.apache.spark.sql.graftshim.ParquetReadShim
-              .partitionedFile(abs, size)))
-          while (it.hasNext) {
-            val row = it.next()
-            var i = 0
-            while (i < fields.length) {
-              val (c, _, dt) = fields(i)
-              val ri = reqIdx(c)
-              if (!row.isNullAt(ri)) {
-                val h = org.apache.spark.sql.catalyst.expressions
-                  .XxHash64Function.hash(row.get(ri, dt), dt, BloomSeed)
-                bloomSetBits(bits(i), h, m, k)
+    // files needing a read: at least one requested column uncovered
+    val toBuild = full.entries
+      .map(e => (e, cols.filterNot(c => covered((e.rel, c)))))
+      .filter(_._2.nonEmpty)
+    val freshDf: DataFrame =
+      if (toBuild.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+      else {
+        val files = toBuild.map { case (e, cs) =>
+          (e.rel, s"$path/${e.rel}", e.size, e.rows, cs) }
+        val rows = spark.sparkContext
+          .parallelize(files, math.min(files.size,
+            spark.sparkContext.defaultParallelism * 2))
+          .flatMap { case (rel, abs, size, nRows, buildCols) =>
+            val (m, k) = graft.sink.BloomIndex.sizing(
+              math.max(1L, math.min(nRows, 64_000_000L)).toInt, fpp)
+            val build = buildCols.toSet
+            val bits = fields.map(f =>
+              if (build.contains(f._1)) new Array[Byte](m >> 3) else null)
+            val it = org.apache.spark.sql.graftshim.ParquetReadShim.rows(
+              readerFn(org.apache.spark.sql.graftshim.ParquetReadShim
+                .partitionedFile(abs, size)))
+            while (it.hasNext) {
+              val row = it.next()
+              var i = 0
+              while (i < fields.length) {
+                if (bits(i) != null) {
+                  val (c, _, dt) = fields(i)
+                  val ri = reqIdx(c)
+                  if (!row.isNullAt(ri)) {
+                    val h = org.apache.spark.sql.catalyst.expressions
+                      .XxHash64Function.hash(row.get(ri, dt), dt, BloomSeed)
+                    bloomSetBits(bits(i), h, m, k)
+                  }
+                }
+                i += 1
               }
-              i += 1
             }
+            fields.indices.filter(bits(_) != null)
+              .map(i => org.apache.spark.sql.Row(
+                rel, m, k, bits(i), fields(i)._1))
           }
-          fields.indices.map(i => org.apache.spark.sql.Row(
-            rel, m, k, bits(i), fields(i)._1))
-        }
-      spark.createDataFrame(rows, outSchema)
-        .write.partitionBy("col").parquet(sidecarAbs)
-    } else {
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-        .write.partitionBy("col").parquet(sidecarAbs)
+        spark.createDataFrame(rows, outSchema)
+      }
+    // copy the prior sidecar's rows forward for files STILL LIVE —
+    // metadata-sized IO, no data read; dead rels drop, so the sidecar
+    // never outgrows the table
+    val sidecar: DataFrame = priorAbs match {
+      case Some(abs) =>
+        val liveDf = spark.createDataset(full.entries.map(_.rel))(
+          org.apache.spark.sql.Encoders.STRING).toDF("rel")
+        spark.read.parquet(abs)
+          .select("rel", "m", "k", "bits", "col")
+          .join(liveDf, Seq("rel"), "left_semi")
+          .unionByName(freshDf)
+      case None => freshDf
     }
+    sidecar.write.partitionBy("col").parquet(sidecarAbs)
     // commit: same entries, new header — invisible until the flip
     writeManifest(spark, path, full.entries,
       base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,

@@ -137,6 +137,41 @@ class BucketedBloomSpec extends SparkSuite {
     assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
   }
 
+  test("incremental rebuild copies covered files forward byte-identically and reads only new ones") {
+    val path = tmp("bkb-incr")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val s1 = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    val rows1 = spark.read.parquet(s"$path/$s1")
+      .select("rel", "m", "k", "bits").collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+    Seq((9001L, "uid-fresh1", 1L)).toDF("k", "uid", "v")
+      .writeTo(s"$cat.`$path`").append()
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid")) // incremental
+    val s2 = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    assert(s2 !== s1)
+    val rows2 = spark.read.parquet(s"$path/$s2")
+      .select("rel", "m", "k", "bits").collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq)).toMap
+    // every originally-covered file's bloom is copied forward VERBATIM
+    rows1.foreach { case (rel, v) =>
+      assert(rows2.get(rel).contains(v),
+        s"covered file $rel was rebuilt or dropped") }
+    // the appended file is now covered too, and probing works end-to-end
+    assert(rows2.size === rows1.size + 1)
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1)
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
+    // a full rebuild still yields a correct index
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"),
+      incremental = false)
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1)
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+  }
+
   test("a missing sidecar (manual damage) keeps every candidate — never wrong") {
     val path = tmp("bkb-missing")
     uidTable(path)
