@@ -2519,7 +2519,8 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
                                               asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = spec.schema
   private var pruned: Option[Set[Int]] = None // None = scan all buckets
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -2809,12 +2810,27 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     pushedAgg.isDefined
   }
 
+  /** LIMIT pushdown (IO trim only — `isPartiallyPushed`, so Spark's
+    * own Limit still applies): with every filter claimed exact (all
+    * rows of every kept file match) and manifest row counts in hand,
+    * the scan keeps just enough files to cover the limit —
+    * `SELECT * FROM t LIMIT 10` reads one file, not one per bucket.
+    * Residual or runtime filters disable the trim (a kept file's rows
+    * might not match — trimming could under-produce). */
+  private var limitOpt: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    limitOpt = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = pushedAgg match {
     case Some((schema, rows, render)) =>
       new GraftBucketAggScan(spark, path, schema, rows, render, asOf)
     case None =>
       new GraftBucketScan(spark, path, spec, required, pruned, accepted,
-        asOf, Some(pinnedAtBuild))
+        asOf, Some(pinnedAtBuild),
+        limit = limitOpt.filter(_ =>
+          accepted.forall(exactHandled.contains)))
   }
 }
 
@@ -2869,7 +2885,10 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
                                        // decided against x — the scan
                                        // MUST use the same snapshot);
                                        // None = resolve here
-                                       prePinned: Option[Option[BucketedLake.ManifestData]] = None)
+                                       prePinned: Option[Option[BucketedLake.ManifestData]] = None,
+                                       // only set when every pushed
+                                       // filter is claimed exact
+                                       limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -3116,8 +3135,31 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     runtimePushed = filters
   }
 
+  /** LIMIT trim: keep just enough files (by manifest row counts) to
+    * cover the pushed limit; every other partition empties (the
+    * partition-KEY set stays intact for the partitioning contract).
+    * Only reached when every pushed filter was claimed exact — all
+    * rows of every kept file qualify, so `limit` rows are guaranteed
+    * — and only on the no-runtime-filter branch (a runtime filter
+    * could drop rows below the limit; it implies a join, which never
+    * co-occurs with a pushed limit, but the guard costs nothing). */
+  private lazy val limitTrimmed: Array[InputPartition] = limit match {
+    case Some(n) if keptFiles.nonEmpty && keptFiles.forall(_.rows >= 0L) =>
+      var remaining = n.toLong
+      val keepAbs = scala.collection.mutable.Set[String]()
+      val it = keptFiles.iterator
+      while (remaining > 0 && it.hasNext) {
+        val k = it.next(); keepAbs += k.abs; remaining -= k.rows
+      }
+      partitions.map { case p: GraftBucketPartition =>
+        val kept = p.files.filter { case (abs, _) => keepAbs.contains(abs) }
+        if (kept.length == p.files.length) p else p.copy(files = kept)
+      }
+    case _ => partitions
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    if (runtimeKeep.isEmpty && runtimePushed.isEmpty) partitions
+    if (runtimeKeep.isEmpty && runtimePushed.isEmpty) limitTrimmed
     else partitions.map { case p: GraftBucketPartition =>
       if (runtimeKeep.exists(k => !k.contains(p.bucket)))
         p.copy(files = Array.empty)

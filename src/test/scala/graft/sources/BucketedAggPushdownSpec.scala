@@ -268,6 +268,43 @@ class BucketedAggPushdownSpec extends SparkSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]))
   }
 
+  test("LIMIT trims the scan to just enough files; anything residual disables the trim") {
+    val path = tmp("aggpd-limit")
+    BucketedLake.write(
+      (1L to 4000L).map(i => (i, s"dt${i % 2}", i)).toDF("k", "dt", "v"),
+      path, "k", 8, partitionCol = Some("dt"))
+    val spec = BucketedLake.readSpec(spark, path).get
+    def files(setup: GraftBucketScanBuilder => Unit): Int = {
+      val b = new GraftBucketScanBuilder(spark, path, spec)
+      setup(b)
+      b.build().toBatch.planInputPartitions()
+        .map(_.asInstanceOf[GraftBucketPartition].files.length).sum
+    }
+    val all = files(_ => ())
+    assert(all > 2)
+    // bare LIMIT: one file covers 10 rows
+    assert(files(_.pushLimit(10): Unit) === 1)
+    // claimed-exact partition filter composes: trim within the match
+    assert(files { b =>
+      b.pushFilters(Array(org.apache.spark.sql.sources
+        .EqualTo("dt", "dt1"))): Unit
+      b.pushLimit(10): Unit
+    } === 1)
+    // a residual row-level filter disables the trim (kept rows might
+    // not match — trimming could under-produce)
+    assert(files { b =>
+      b.pushFilters(Array(org.apache.spark.sql.sources
+        .GreaterThan("v", 100L))): Unit
+      b.pushLimit(10): Unit
+    } === all)
+    // end-to-end: exactly LIMIT rows, and filtered limits stay right
+    assert(spark.sql(s"SELECT * FROM $cat.`$path` LIMIT 10")
+      .collect().length === 10)
+    val filtered = spark.sql(
+      s"SELECT dt FROM $cat.`$path` WHERE dt = 'dt1' LIMIT 7").collect()
+    assert(filtered.length === 7 && filtered.forall(_.getString(0) == "dt1"))
+  }
+
   test("time travel prices the pinned version's manifest") {
     val path = tmp("aggpd-tt")
     BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
