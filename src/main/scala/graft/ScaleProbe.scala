@@ -648,6 +648,52 @@ object ScaleProbe {
         timeCount("10496 files (manifest)")
       }
     }
+    // Metadata aggregates at production file counts: MIN/MAX/COUNT fold
+    // the manifest's per-file stats on the driver (one read + one JSON
+    // decode per entry) — wall-time must grow only with ENTRY COUNT,
+    // never with data bytes, and stay interactive at 10k files.
+    if (only.forall("metadata_agg_files".contains)) {
+      spark.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-bk-agg").toString + "/t"
+      graft.sources.BucketedLake.write(
+        spark.range(0, 256L * 100L).select(col("id").as("k"), col("id").as("v")),
+        root, "k", 256)
+      def timeAgg(label: String): Long = {
+        val t0 = System.nanoTime()
+        val r = spark.sql(
+          s"SELECT min(v) AS lo, max(v) AS hi, count(v) AS n " +
+            s"FROM graft_bk.`$root`").head()
+        System.err.println(
+          f"[probe] metadata_agg $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+            s"lo=${r.getLong(0)} hi=${r.getLong(1)} n=${r.getLong(2)}")
+        r.getLong(2)
+      }
+      time("metadata_agg_files") {
+        timeAgg("256 files")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (0 until 256).foreach { b =>
+          val dir = new org.apache.hadoop.fs.Path(s"$root/data/__bucket=$b")
+          val src = fs.listStatus(dir).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).get
+          (0 until 40).foreach { i =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new org.apache.hadoop.fs.Path(dir, s"copy-$i-${src.getName}"),
+              false, spark.sparkContext.hadoopConfiguration)
+          }
+        }
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .map(_.getPath).filter(_.getName.startsWith("_bucket_manifest"))
+          .foreach(p => fs.delete(p, false))
+        graft.sources.BucketedLake.writeManifest(spark, root,
+          graft.sources.BucketedLake.footerSweep(spark, root)): Unit
+        // 41x the rows too (copies hold real data), so the verdicts
+        // change — the timing, not the values, is the contract here
+        timeAgg("10496 files")
+      }
+    }
     // Vacuum at production doomed-file counts: the retention checks and
     // deletes fan out to executors, so wall-time must stay ~flat from
     // 256 to 10,240 doomed files — the driver-loop shape would
