@@ -671,10 +671,23 @@ object BucketedLake {
     * file set for its whole scan; superseded files stay on disk until
     * [[vacuum]]'s retention lapses. The same MVCC isolation as the V2
     * append path and [[compact]]. */
+  /** `maxRowsPerFile`: cap each output file — at 100 TB a bucket is
+    * tens of GB, and a single file per bucket is unmanageable (no
+    * parallel read within a bucket beyond row groups, whole-file
+    * rewrite amplification on merge). Capped writes produce several
+    * KEY-SORTED RUNS per bucket (each file a contiguous key range —
+    * stats windows stay tight, skipping works); the scan's single-file
+    * ordering claim simply withdraws. `None` keeps the one-file-per-
+    * bucket layout (sort-free SMJ). NOTE: [[compact]] folds multi-file
+    * groups back to ONE file (its purpose is restoring the sort-free
+    * join); on a bounded-file table use [[cluster]](keyCol,
+    * maxRowsPerFile) as the compaction, which preserves the bound. */
   def write(df: DataFrame, path: String, keyCol: String, buckets: Int,
-            partitionCol: Option[String] = None): Unit = {
+            partitionCol: Option[String] = None,
+            maxRowsPerFile: Option[Long] = None): Unit = {
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
+    require(maxRowsPerFile.forall(_ >= 1L), "maxRowsPerFile must be >= 1")
     partitionCol.foreach { pc =>
       require(df.columns.contains(pc), s"no column '$pc' to partition by")
       require(pc != keyCol, "partition column must differ from the bucket key")
@@ -691,16 +704,19 @@ object BucketedLake {
         .cast("int"))
     val staging = s"$path/.write-${java.util.UUID.randomUUID()}"
     val base = df.withColumn(BucketDir, routed)
+    def capped(w: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]) =
+      maxRowsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
     partitionCol match {
       case None =>
-        base.repartition(buckets, col(BucketDir))
+        capped(base.repartition(buckets, col(BucketDir))
           .sortWithinPartitions(col(BucketDir), col(keyCol))
-          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
+          .write.mode("overwrite")).partitionBy(BucketDir).parquet(staging)
       case Some(pc) =>
-        base.withColumn(PartDir, col(pc))
+        capped(base.withColumn(PartDir, col(pc))
           .repartition(col(PartDir), col(BucketDir))
           .sortWithinPartitions(col(PartDir), col(BucketDir), col(keyCol))
-          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
+          .write.mode("overwrite")).partitionBy(PartDir, BucketDir)
           .parquet(staging)
     }
     val moved = moveStagedIntoLayout(spark, path, staging, "write")
@@ -2146,7 +2162,17 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
           "graft.txnAppId requires graft.txnEpoch"))
       (app, e.toLong)
     }
-    new GraftBucketWriteBuilder(spark, path, spec, txn)
+    // .option("graft.maxRowsPerFile", n): rotate output files inside a
+    // (partition, bucket) group — bounded files for huge batch INSERTs
+    // (each rotated file is a contiguous key-sorted run, so stats
+    // windows stay tight; the single-file ordering claim withdraws)
+    val maxRows = Option(info.options().get("graft.maxRowsPerFile"))
+      .map { s =>
+        val n = s.toLong
+        require(n >= 1L, s"graft.maxRowsPerFile must be >= 1: $n")
+        n
+      }
+    new GraftBucketWriteBuilder(spark, path, spec, txn, maxRows)
   }
 }
 
@@ -2185,7 +2211,8 @@ private[sources] object ReplaceScope {
 private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
                                                path: String,
                                                spec: BucketedLake.Spec,
-                                               txn: Option[(String, Long)] = None)
+                                               txn: Option[(String, Long)] = None,
+                                               maxRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -2211,13 +2238,14 @@ private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
     scope = ReplaceScope.DynamicPartitions; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new GraftBucketWrite(spark, path, spec, scope, txn)
+    new GraftBucketWrite(spark, path, spec, scope, txn, maxRows)
 }
 
 private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
                                         spec: BucketedLake.Spec,
                                         scope: ReplaceScope,
-                                        txn: Option[(String, Long)] = None)
+                                        txn: Option[(String, Long)] = None,
+                                        maxRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{SortDirection => SD}
@@ -2241,7 +2269,7 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBucketBatchWrite(spark, path, spec, scope,
-      s"$path/.stage-${java.util.UUID.randomUUID()}", txn)
+      s"$path/.stage-${java.util.UUID.randomUUID()}", txn, maxRows)
 }
 
 /** Per-task commit message: `(bucket, partitionDirSegment, stagedPath,
@@ -2257,7 +2285,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
                                              spec: BucketedLake.Spec,
                                              scope: ReplaceScope,
                                              staging: String,
-                                             txn: Option[(String, Long)] = None)
+                                             txn: Option[(String, Long)] = None,
+                                             maxRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2271,7 +2300,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     val part = spec.partCol.map(pc => (spec.schema.fieldIndex(pc),
       spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
     new GraftBucketWriterFactory(handle, staging, keyIdx,
-      spec.schema.fields(keyIdx).dataType, spec.buckets, part)
+      spec.schema.fields(keyIdx).dataType, spec.buckets, part, maxRows)
   }
 
   override def commit(messages: Array[
@@ -2438,7 +2467,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
 private[sources] class GraftBucketWriterFactory(
     handle: org.apache.spark.sql.graftshim.ParquetWriteShim.WriterHandle,
     staging: String, keyIdx: Int, keyType: DataType, buckets: Int,
-    part: Option[(Int, DataType)] = None)
+    part: Option[(Int, DataType)] = None,
+    maxRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   /** Catalyst partition value → its partition-dir string (the same
@@ -2489,8 +2519,13 @@ private[sources] class GraftBucketWriterFactory(
               .escapePathName(dirString(pv, dt))
           s"__part=$str"
         }
-        if (b != bucket || s != seg) { // rows arrive (part, bucket,
-          flush() // key)-sorted: transitions cut a new file
+        // rows arrive (part, bucket, key)-sorted: group transitions cut
+        // a new file, and the optional row cap ROTATES within a group —
+        // each rotated file is a contiguous key-sorted run (tight stats
+        // windows; bounded files for huge batch INSERTs)
+        if (b != bucket || s != seg ||
+            (sink != null && maxRows.exists(rowsInFile >= _))) {
+          flush()
           val dir = if (s.isEmpty) s"$staging/$b" else s"$staging/$s/$b"
           sink = org.apache.spark.sql.graftshim.ParquetWriteShim
             .open(handle, dir, partitionId)

@@ -131,6 +131,37 @@ class BucketedClusterSpec extends SparkSuite {
       === df.orderBy("k").collect().toSeq)
   }
 
+  test("bounded files: write(maxRowsPerFile) and the V2 append option rotate within groups") {
+    val path = tmp("bkc-bounded")
+    BucketedLake.write((1L to 4000L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4, maxRowsPerFile = Some(300L))
+    val m1 = BucketedLake.readManifestFull(spark, path).get
+    assert(m1.entries.length > 8,
+      s"expected rotated files, got ${m1.entries.length}")
+    assert(m1.entries.forall(_.rows <= 300L))
+    // each rotated file is a contiguous KEY run: a key-range predicate
+    // skips most of a bucket via the stats windows
+    val all = plannedFiles(path, Array.empty)
+    val ranged = plannedFiles(path,
+      Array(org.apache.spark.sql.sources.LessThan("k", 100L)))
+    assert(ranged * 2 < all, s"key-range kept $ranged of $all")
+    assert(table(path).count() === 4000L)
+    assert(table(path).where(col("k") < 100L).count() === 99L)
+    // V2 append rotates too
+    (4001L to 5000L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`")
+      .option("graft.maxRowsPerFile", "100").append()
+    val m2 = BucketedLake.readManifestFull(spark, path).get
+    val fresh = m2.entries.filterNot(e => m1.entries.exists(_.rel == e.rel))
+    assert(fresh.nonEmpty && fresh.forall(_.rows <= 100L),
+      s"appended files must respect the cap: ${fresh.map(_.rows)}")
+    assert(table(path).count() === 5000L)
+    // COUNT(*) still prices from the manifest at any file count
+    val q = spark.sql(s"SELECT count(*) FROM $cat.`$path`")
+    assert(q.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("from manifest")))
+  }
+
   test("untrackable/missing columns and empty tables are handled loudly/quietly") {
     val path = tmp("bkc-guards")
     BucketedLake.write(
