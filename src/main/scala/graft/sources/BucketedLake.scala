@@ -452,13 +452,21 @@ object BucketedLake {
                .exists(_._2.getModificationTime <= horizon))) => st
     }
     val doomedNames = doomedManifests.map(_.getPath.getName).toSet
-    val retained = manifestStatus.iterator
+    // stream version-by-version: only the rel/bloom SETS stay resident,
+    // never several versions' full entry lists at once
+    val relB = Set.newBuilder[String]
+    val bloomB = Set.newBuilder[String]
+    manifestStatus.iterator
       .filterNot(st => doomedNames.contains(st.getPath.getName))
-      .map(st => slurpManifest(fs, st.getPath)).toSeq
-    val referenced = retained.iterator.flatMap(_.entries.map(_.rel)).toSet
+      .foreach { st =>
+        val m = slurpManifest(fs, st.getPath)
+        m.entries.foreach(e => relB += e.rel)
+        m.bloom.foreach(bloomB += _)
+      }
+    val referenced = relB.result()
     // a bloom sidecar lives while ANY retained manifest's header names
     // it (headers carry forward, so one sidecar can back many versions)
-    val referencedBlooms = retained.iterator.flatMap(_.bloom).toSet
+    val referencedBlooms = bloomB.result()
     val candidates = listDataFiles(spark, path)
       .filterNot(f => referenced.contains(f._4))
       .map(f => (f._2, f._3))
