@@ -102,6 +102,15 @@ object LakeTableFunctions {
       new ExpressionInfo(getClass.getName, "graft_bucketed_history"),
       (args: Seq[Expression]) => plan(graft.sources.BucketedLake
         .history(SparkSession.active, str(args.head)))),
+    // FILE-LEVEL metadata of a bucketed-lake snapshot (Iceberg `files`
+    // shape): SELECT * FROM graft_bucketed_files('/p'[, version]) —
+    // (file, bucket, partition, rows, bytes, has_stats, bloom_cols),
+    // one manifest read, zero data IO
+    (FunctionIdentifier("graft_bucketed_files"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed_files"),
+      (args: Seq[Expression]) => plan(graft.sources.BucketedLake
+        .files(SparkSession.active, str(args.head),
+          args.lift(1).map(num)))),
     // bucketed-lake CHANGE DATA FEED between retained MVCC versions
     // (from EXCLUSIVE, to inclusive; `to` defaults to the current tip):
     // SELECT * FROM graft_bucketed_changes('/p', 1[, 3]) — table columns

@@ -1339,6 +1339,39 @@ object BucketedLake {
       "txn_watermarks")
   }
 
+  /** FILE-LEVEL metadata view (Iceberg's `files` table shape): one row
+    * per live data file of the pinned snapshot — bucket ordinal,
+    * partition-dir value (null when absent), manifest row/byte counts,
+    * whether the file carries data-skipping stats, and which columns
+    * its bloom sidecar covers. Metadata-bounded: ONE manifest read
+    * plus (when a bloom header exists) one rel/col-projected scan of
+    * the sidecar — never a data file. SQL:
+    * `graft_bucketed_files('/p'[, version])` — operators at 100 TB
+    * audit layout and skipping health from here (files too small →
+    * compact/cluster; bloom_cols empty on fresh files → rebuild the
+    * index). */
+  def files(spark: SparkSession, path: String,
+            asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = readManifestFull(spark, path, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"no bucketed-lake manifest at $path"))
+    val bloomCov: Map[String, String] = m.bloom.flatMap { rel =>
+      val p = new Path(path, rel)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString).select("rel", "col")
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).sorted.mkString(",")).toMap)
+    }.getOrElse(Map.empty)
+    m.entries.map { e =>
+      val part: Option[String] = partValueRaw(e.rel).flatten
+      (e.rel, e.bucket, part.orNull, e.rows, e.size, e.stats.isDefined,
+        bloomCov.getOrElse(e.rel, ""))
+    }.toDF("file", "bucket", "partition", "rows", "bytes", "has_stats",
+      "bloom_cols")
+  }
+
   /** Rows of a manifest-entry set under the table schema — old files
     * null-fill evolved columns (Spark's by-name parquet resolution);
     * `None` for an empty set. */

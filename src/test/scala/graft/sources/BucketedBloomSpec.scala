@@ -184,6 +184,35 @@ class BucketedBloomSpec extends SparkSuite {
     assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
   }
 
+  test("graft_bucketed_files: one metadata row per live file, bloom coverage visible") {
+    val path = tmp("bkb-files")
+    val df = (1L to 1000L).map(i =>
+      (i, s"d${i % 2}", f"uid-$i%05d")).toDF("k", "dt", "uid")
+    BucketedLake.write(df, path, "k", 4, partitionCol = Some("dt"))
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    Seq((9001L, "d0", "uid-fresh")).toDF("k", "dt", "uid")
+      .writeTo(s"$cat.`$path`").append()
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      s"SELECT * FROM graft_bucketed_files('$path')").collect()
+    val m = BucketedLake.readManifestFull(spark, path).get
+    assert(rows.length === m.entries.length)
+    assert(rows.map(_.getAs[Long]("rows")).sum === 1001L)
+    assert(rows.map(_.getAs[String]("partition")).toSet === Set("d0", "d1"))
+    assert(rows.forall(_.getAs[Boolean]("has_stats")))
+    // indexed originals say 'uid'; the fresh append is uncovered
+    val (covered, uncovered) =
+      rows.partition(_.getAs[String]("bloom_cols") == "uid")
+    assert(covered.length === m.entries.length - 1 &&
+      uncovered.length === 1)
+    assert(uncovered.head.getAs[Long]("rows") === 1L)
+    // a pinned version shows ITS file set
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n, sum(rows) AS r " +
+        s"FROM graft_bucketed_files('$path', 1)").head()
+    assert(v1.getLong(1) === 1000L)
+  }
+
   test("guards: unknown column, un-indexable type, no manifest") {
     val path = tmp("bkb-guards")
     BucketedLake.write(
