@@ -401,6 +401,39 @@ object BucketedLake {
   final case class VacuumReport(files: Int, bytes: Long, manifests: Int,
                                 stagingDirs: Int)
 
+  /** DISASTER RECOVERY for a lost/corrupt COMMIT POINTER — the escape
+    * hatch [[currentVersion]]'s loud failure points at. The pointer is
+    * the only mutable file in the MVCC design; the versioned manifests
+    * are immutable and complete, so recovery is PRECISE: re-point at
+    * the highest version on disk (exactly the last commit that fully
+    * landed — a higher-numbered manifest missing means that commit
+    * never finished its flip, and its files are unreferenced/
+    * vacuumable as always). Returns the restored version. Never
+    * guesses from a data-dir listing: a listing would adopt superseded
+    * files from unvacuumed history and double-count rows — if the
+    * versioned manifests are gone too, the table needs a full
+    * [[write]] from upstream, and this fails loudly saying so. */
+  def repair(spark: SparkSession, path: String): Long = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val versionsOnDisk = fs.listStatus(new Path(path)).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_bucket_manifest.v") && n.endsWith(".txt"))
+        n.stripPrefix("_bucket_manifest.v").stripSuffix(".txt").toLongOption
+      else None
+    }
+    require(versionsOnDisk.nonEmpty,
+      s"repair($path): no versioned manifests on disk — the pointer " +
+        "cannot be reconstructed (a data-dir listing would adopt " +
+        "superseded files and double-count); rewrite the table from " +
+        "upstream with write()")
+    val top = versionsOnDisk.max
+    // the manifest must PARSE before the pointer blesses it
+    slurpManifest(fs, new Path(path, versionedManifest(top))): Unit
+    flipPointer(spark, fs, path, top)
+    top
+  }
+
   /** Default retention: 7 days (Delta VACUUM's default) — an in-flight
     * reader pinned to a just-superseded version keeps its files as long
     * as the retention covers the longest scan. `minAgeMs = 0` is the

@@ -34,13 +34,14 @@ object BucketedProcedures {
   def namespaceOk(ns: Array[String]): Boolean = ns.sameElements(Namespace)
 
   val names: Seq[String] = Seq("compact", "cluster", "build_bloom_index",
-    "vacuum")
+    "vacuum", "repair")
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(CompactProc)
     case "cluster" => Some(ClusterProc)
     case "build_bloom_index" => Some(BloomProc)
     case "vacuum" => Some(VacuumProc)
+    case "repair" => Some(RepairProc)
     case _ => None
   }
 
@@ -141,6 +142,17 @@ object BucketedProcedures {
         BucketedLake.currentVersion(spark, path).getOrElse(0L),
         m.flatMap(_.bloom).map(UTF8String.fromString).orNull))
     }
+  }
+
+  private object RepairProc extends MaintenanceProc("repair",
+    Array(in("table", StringType)),
+    new StructType().add("version", LongType, nullable = false)) {
+    override def description(): String =
+      "Restore a lost/corrupt commit pointer to the highest complete " +
+        "manifest version on disk (precise — never a data-dir guess)"
+    override protected def run(spark: SparkSession, input: InternalRow)
+        : Array[InternalRow] =
+      Array(InternalRow(BucketedLake.repair(spark, str(input, 0))))
   }
 
   private object VacuumProc extends MaintenanceProc("vacuum",

@@ -75,6 +75,42 @@ class BucketedProceduresSpec extends SparkSuite {
     assert(spark.read.table(s"$cat.`$path`").count() === 1000L)
   }
 
+  test("CALL repair restores a lost/corrupt pointer to the last complete commit") {
+    val path = tmp("bkp-repair")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    (101L to 200L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(path, "_bucket_manifest.current")
+    // corrupt the pointer: scans fail LOUDLY, never guess from listings
+    val out = fs.create(ptr, true)
+    try out.write("garbage".getBytes) finally out.close()
+    val e = intercept[Exception](
+      spark.read.table(s"$cat.`$path`").count())
+    assert(e.getMessage.contains("pointer") ||
+      Option(e.getCause).exists(_.getMessage.contains("pointer")))
+    assert(spark.sql(s"CALL $cat.system.repair('$path')")
+      .head().getLong(0) === 2L)
+    assert(spark.read.table(s"$cat.`$path`").count() === 200L)
+    // a DELETED pointer repairs too; a crashed half-commit is
+    // reachable again only if its manifest fully landed (it did here)
+    fs.delete(ptr, false): Unit
+    assert(BucketedLake.repair(spark, path) === 2L)
+    assert(spark.read.table(s"$cat.`$path`").count() === 200L)
+    // no versioned manifests at all -> loud refusal, never a listing
+    val bare = tmp("bkp-repair-bare")
+    BucketedLake.write((1L to 5L).map(i => (i, i)).toDF("k", "v"),
+      bare, "k", 2)
+    fs.listStatus(new org.apache.hadoop.fs.Path(bare))
+      .filter(_.getPath.getName.startsWith("_bucket_manifest"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val e2 = intercept[IllegalArgumentException](
+      BucketedLake.repair(spark, bare))
+    assert(e2.getMessage.contains("rewrite the table"))
+  }
+
   test("SHOW PROCEDURES lists the maintenance surface; unknown CALL fails loudly") {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.toSeq.map(String.valueOf).mkString("|"))
