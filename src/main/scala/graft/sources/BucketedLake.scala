@@ -2760,8 +2760,20 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       case StringType => false // foreign footer stats may be truncated
       case dt => FileStats.trackable(dt)
     }
+    // COUNT(DISTINCT <partition col>): the distinct set IS the set of
+    // partition-dir values — exact from the manifest alone when every
+    // file's dir decodes (nulls excluded per SQL COUNT semantics)
+    final case class DistinctPartPlan(render: String) extends AggPlan {
+      val dt: DataType = LongType; val nullable = false
+    }
     val plans: Seq[AggPlan] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => CountPlan("COUNT(*)", None)
+      case c: Count if c.isDistinct =>
+        fieldOf(c.column) match {
+          case Some((n, _)) if spec.partCol.contains(n) =>
+            DistinctPartPlan(s"COUNT(DISTINCT $n)")
+          case _ => return None
+        }
       case c: Count if !c.isDistinct =>
         fieldOf(c.column) match {
           case Some((n, dt)) if FileStats.trackable(dt) =>
@@ -2862,8 +2874,21 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       case other => throw new IllegalStateException(
         s"unreachable: canonical value for untrackable type $other")
     }
+    val partDt: Option[DataType] =
+      spec.partCol.map(pc => spec.schema(pc).dataType)
     val rows = grouped.sortBy(_._1.map(_.toString)).map { case (gk, es) =>
       val aggVals: Seq[Any] = plans.map {
+        case DistinctPartPlan(_) =>
+          val dt = partDt.getOrElse(return None)
+          val vals = scala.collection.mutable.Set[Any]()
+          es.foreach { case (e, _) =>
+            BucketedLake.entryPartCanon(e.rel, dt) match {
+              case Some(Some(v)) => vals += v
+              case Some(None) => () // nulls excluded by COUNT semantics
+              case None => return None
+            }
+          }
+          vals.size.toLong
         case CountPlan(_, None) => es.iterator.map(_._1.rows).sum
         case CountPlan(_, Some(c)) =>
           var total = 0L

@@ -150,6 +150,26 @@ class BucketedAggPushdownSpec extends SparkSuite {
     assert(g.collect().isEmpty)
   }
 
+  test("COUNT(DISTINCT partition col) prices from the dir values alone") {
+    val path = tmp("aggpd-distinctpart")
+    val df = Seq(
+      (1L, Option("a"), 1), (2L, Option("a"), 2), (3L, Option("b"), 3),
+      (4L, Option("c"), 4), (5L, None, 5)).toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 4, partitionCol = Some("dt"))
+    val q = spark.sql(
+      s"SELECT count(DISTINCT dt) AS d, count(*) AS n FROM $cat.`$path`")
+    assert(pushed(q), s"not pushed:\n${q.queryExecution.executedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 5L) // null excluded
+    // filtered by an exact partition predicate
+    val f = spark.sql(
+      s"SELECT count(DISTINCT dt) FROM $cat.`$path` WHERE dt >= 'b'")
+    assert(pushed(f) && f.head().getLong(0) === 2L)
+    // DISTINCT on a non-partition column still declines
+    val d = spark.sql(s"SELECT count(DISTINCT v) FROM $cat.`$path`")
+    assert(!pushed(d) && d.head().getLong(0) === 5L)
+  }
+
   test("exactness doubts decline to the row scan (answers stay right)") {
     val path = tmp("aggpd-decline")
     val df = (1L to 100L).map(i =>
