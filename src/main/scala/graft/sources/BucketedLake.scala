@@ -141,9 +141,36 @@ object BucketedLake {
   /** One manifest read, fully parsed ([[ManifestData]]) — every
     * consumer that needs more than one part MUST use this (a manifest
     * can list 10^6 entries; on an object store each re-read is a full
-    * GET). */
+    * GET). TRUNCATION-LOUD: a format-v2 manifest (leading
+    * `#graft\t2` line) must close with a matching `#end\t<count>`
+    * terminator — a crash mid-write (HDFS exposes unclosed-file
+    * prefixes; a local-FS crash leaves partials) produces a file
+    * whose line-independent records PARSE cleanly with silently fewer
+    * entries, so completeness must be declared, not inferred. A
+    * manifest that declares v2 but lacks the matching terminator
+    * fails HERE, loudly, on every read path; pre-terminator legacy
+    * manifests (no `#graft` line) stay readable. Recovery paths that
+    * must tolerate partials ([[repair]], [[vacuum]]) use
+    * [[slurpManifestLenient]] and act conservatively. */
   private[sources] def slurpManifest(fs: org.apache.hadoop.fs.FileSystem,
                                      p: Path): ManifestData = {
+    val (data, truncated) = slurpManifestLenient(fs, p)
+    if (truncated) throw new IllegalStateException(
+      s"truncated manifest at $p: the file declares format v2 but its " +
+        "#end terminator is missing or disagrees with the entry count — " +
+        "a crash interrupted the manifest write; run repair() to " +
+        "re-point the table at the highest COMPLETE version")
+    data
+  }
+
+  /** Lenient parse: `(parsed prefix, truncated?)`. `truncated` is true
+    * iff the manifest declares format v2 (`#graft\t2` first line —
+    * written before any entry, so any non-pathological truncation
+    * keeps it) but the closing `#end\t<count>` is absent or counts a
+    * different number of entries than survived. */
+  private[sources] def slurpManifestLenient(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): (ManifestData, Boolean) = {
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -153,10 +180,16 @@ object BucketedLake {
     var layout: Option[(String, Int, Option[String])] = None
     var op: Option[String] = None
     var bloom: Option[String] = None
+    var declaresV2 = false
+    var torn = false
+    var endCount: Option[Long] = None
     val txns = Map.newBuilder[String, Long]
     val entries = Seq.newBuilder[ManifestEntry]
+    var n = 0L
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
-      if (l.startsWith("#layout\t")) {
+      if (l.startsWith("#graft\t")) {
+        declaresV2 = l.split("\t", 2)(1).toIntOption.exists(_ >= 2)
+      } else if (l.startsWith("#layout\t")) {
         val parts = l.split("\t", 4)
         layout = Some((parts(1), parts(2).toInt,
           if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None))
@@ -167,16 +200,26 @@ object BucketedLake {
       } else if (l.startsWith("#txn\t")) {
         val Array(_, app, epoch) = l.split("\t", 3)
         txns += (app -> epoch.toLong)
+      } else if (l.startsWith("#end\t")) {
+        endCount = l.split("\t", 2)(1).toLongOption
       } else if (!l.startsWith("#")) {
         // 4 fields before stats existed; 5th (optional) = stats JSON —
         // the JSON encoder escapes control chars, so no raw tab inside
         val parts = l.split("\t", 5)
-        entries += ManifestEntry(parts(0).toInt, parts(1).toLong,
-          parts(2).toLong, parts(3),
-          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4)) else None)
+        if (parts.length >= 4 && parts(0).toIntOption.isDefined &&
+            parts(1).toLongOption.isDefined &&
+            parts(2).toLongOption.isDefined) {
+          entries += ManifestEntry(parts(0).toInt, parts(1).toLong,
+            parts(2).toLong, parts(3),
+            if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4))
+            else None)
+          n += 1L
+        } else torn = true // a cut-mid-line tail — incomplete in ANY format
       }
     }
-    ManifestData(layout, op, txns.result(), entries.result(), bloom)
+    val truncated = (declaresV2 && !endCount.contains(n)) || torn
+    (ManifestData(layout, op, txns.result(), entries.result(), bloom),
+      truncated)
   }
 
   private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
@@ -342,7 +385,13 @@ object BucketedLake {
       s"manifest op tag cannot contain tab/newline: '$op'")
     require(!bloom.exists(b => b.exists(c => c == '\t' || c == '\n')),
       s"bloom sidecar rel cannot contain tab/newline: $bloom")
-    try out.write((layout.toSeq.map { case (k, n, pc) =>
+    // format v2 frames the file: `#graft\t2` leads (written before any
+    // entry, so any real truncation keeps it) and `#end\t<count>`
+    // closes — slurpManifest REJECTS a v2 manifest whose terminator is
+    // missing or miscounts, turning a torn write from silent row loss
+    // into a loud failure (see repair())
+    try out.write((Seq("#graft\t2") ++
+      layout.toSeq.map { case (k, n, pc) =>
       s"#layout\t$k\t$n\t${pc.getOrElse("")}" } ++
       Seq(s"#op\t$op") ++
       bloom.toSeq.map(b => s"#bloom\t$b") ++
@@ -350,7 +399,8 @@ object BucketedLake {
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
       entries.sortBy(e => (e.bucket, e.rel))
         .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}" +
-          e.stats.fold("")(s => s"\t$s")))
+          e.stats.fold("")(s => s"\t$s")) ++
+      Seq(s"#end\t${entries.size}"))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     flipPointer(spark, fs, path, next)
@@ -427,9 +477,23 @@ object BucketedLake {
         "cannot be reconstructed (a data-dir listing would adopt " +
         "superseded files and double-count); rewrite the table from " +
         "upstream with write()")
-    val top = versionsOnDisk.max
-    // the manifest must PARSE before the pointer blesses it
-    slurpManifest(fs, new Path(path, versionedManifest(top))): Unit
+    // walk DOWN from the top: the crash that lost the pointer may also
+    // have truncated the in-flight manifest (HDFS exposes unclosed-file
+    // prefixes), and a truncated manifest parses cleanly with silently
+    // fewer entries — blessing it would re-point the table at a partial
+    // file set, losing rows in exactly the disaster repair() exists
+    // for. Only a version whose #end terminator matches (or a legacy
+    // pre-terminator manifest, which was only ever visible after a full
+    // close) may take the pointer; truncated higher versions are
+    // crashed commits — unreferenced, vacuumable as always.
+    val top = versionsOnDisk.sorted(Ordering[Long].reverse).find { v =>
+      scala.util.Try(
+        slurpManifestLenient(fs, new Path(path, versionedManifest(v)))._2)
+        .toOption.contains(false)
+    }.getOrElse(throw new IllegalStateException(
+      s"repair($path): every versioned manifest on disk is truncated or " +
+        "unreadable — no complete commit to re-point at; rewrite the " +
+        "table from upstream with write()"))
     flipPointer(spark, fs, path, top)
     top
   }
@@ -489,10 +553,18 @@ object BucketedLake {
     // never several versions' full entry lists at once
     val relB = Set.newBuilder[String]
     val bloomB = Set.newBuilder[String]
+    // lenient parse: a TRUNCATED retained manifest (a crash tore an
+    // in-flight commit above the pointer) must make vacuum OVER-RETAIN,
+    // never over-delete — its cut-off tail may reference data files the
+    // prefix doesn't, so the referenced-set is incomplete and data-file
+    // deletion is disabled for the whole pass (repair()/the next commit
+    // resolves the partial; a later pass reclaims normally)
+    var sawTruncated = false
     manifestStatus.iterator
       .filterNot(st => doomedNames.contains(st.getPath.getName))
       .foreach { st =>
-        val m = slurpManifest(fs, st.getPath)
+        val (m, truncated) = slurpManifestLenient(fs, st.getPath)
+        if (truncated) sawTruncated = true
         m.entries.foreach(e => relB += e.rel)
         m.bloom.foreach(bloomB += _)
       }
@@ -500,9 +572,11 @@ object BucketedLake {
     // a bloom sidecar lives while ANY retained manifest's header names
     // it (headers carry forward, so one sidecar can back many versions)
     val referencedBlooms = bloomB.result()
-    val candidates = listDataFiles(spark, path)
-      .filterNot(f => referenced.contains(f._4))
-      .map(f => (f._2, f._3))
+    val candidates =
+      if (sawTruncated) Nil // over-retain: incomplete referenced-set
+      else listDataFiles(spark, path)
+        .filterNot(f => referenced.contains(f._4))
+        .map(f => (f._2, f._3))
     val (nData, dataBytes) =
       if (candidates.isEmpty) (0, 0L)
       else {

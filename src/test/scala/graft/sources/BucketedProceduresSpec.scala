@@ -120,4 +120,78 @@ class BucketedProceduresSpec extends SparkSuite {
       spark.sql(s"CALL $cat.system.nope('/x')").collect())
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("manifest truncation is LOUD: scans refuse, repair walks down, vacuum over-retains") {
+    val path = tmp("bkp-trunc")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2)
+    (101L to 200L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestPath(v: Long) = new org.apache.hadoop.fs.Path(path,
+      f"_bucket_manifest.v$v%06d.txt")
+    // crash mid-manifest-write: the line-independent records mean a
+    // byte-truncated file PARSES cleanly with silently fewer entries —
+    // only the #end terminator betrays it
+    val full = {
+      val in = fs.open(manifestPath(2L))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    assert(new String(full, "UTF-8").startsWith("#graft\t2"))
+    assert(new String(full, "UTF-8").contains("#end\t"))
+    val out = fs.create(manifestPath(2L), true)
+    try out.write(full, 0, (full.length * 3) / 5) finally out.close()
+    // 1) an ordinary scan of the truncated pointer-referenced manifest
+    //    fails LOUDLY — never a silent partial file set
+    val e = intercept[Exception](
+      spark.read.table(s"$cat.`$path`").count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("truncated manifest")), msgs(e))
+    // 2) repair() must NOT bless the truncated v2 (it parses!) — it
+    //    walks down to v1, the highest COMPLETE commit
+    assert(BucketedLake.repair(spark, path) === 1L)
+    assert(spark.read.table(s"$cat.`$path`").count() === 100L)
+    assert(spark.read.table(s"$cat.`$path`").agg(max($"k")).head()
+      .getLong(0) === 100L, "v1's exact rows, none of v2's")
+    // 3) vacuum with the truncated ABOVE-pointer manifest retained:
+    //    over-retain — zero data files reclaimed even though v1-only
+    //    retention would normally allow superseded reclaim
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    BucketedLake.listDataFilesFor(spark, path).foreach { f =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(f._3), old, old) }
+    fs.setTimes(manifestPath(1L), old, old)
+    // keep the truncated v2 YOUNG so retention keeps it in the pass
+    val rep = BucketedLake.vacuum(spark, path, minAgeMs = 60000L)
+    assert(rep.files === 0,
+      s"over-retain: a truncated retained manifest must disable " +
+        s"data-file deletion, got $rep")
+    assert(fs.exists(manifestPath(2L)), "young truncated manifest kept")
+    assert(spark.read.table(s"$cat.`$path`").count() === 100L)
+    // 4) once every manifest on disk is truncated, repair refuses
+    val all = tmp("bkp-trunc-all")
+    BucketedLake.write((1L to 10L).map(i => (i, i)).toDF("k", "v"),
+      all, "k", 2)
+    val af = new org.apache.hadoop.fs.Path(all).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ap = new org.apache.hadoop.fs.Path(all, "_bucket_manifest.v000001.txt")
+    val abytes = {
+      val in = af.open(ap)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    val aout = af.create(ap, true)
+    try aout.write(abytes, 0, abytes.length / 2) finally aout.close()
+    val e2 = intercept[IllegalStateException](BucketedLake.repair(spark, all))
+    assert(e2.getMessage.contains("truncated"))
+  }
 }
