@@ -2996,6 +2996,43 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    /** SQL ROW-LEVEL DML on the bucketed lake
+      * ([[graft.sources.GraftRowLevelOperation]] —
+      * `SupportsRowLevelOperations`, group-based copy-on-write):
+      * `MERGE INTO` doubles every %100 key's price, `UPDATE` zeroes the
+      * %93 keys, row-level `DELETE` drops the %97 keys — three
+      * statements, three OCC-gated group-replace commits, candidate
+      * files narrowed by the runtime group filter on `_file`. The end
+      * state must equal the oracle's CASE/WHERE recompute. */
+    "lake_bucketed_sql_merge" -> ((s, d) => {
+      val root = lakeTmp(d, "bksqldml")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.BucketedLake.write(orders, s"$root/orders",
+        "o_orderkey", 8)
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("graft_sqldml_src")
+      s.sql(s"""MERGE INTO graft_bk.`$root/orders` t
+                USING graft_sqldml_src s ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""UPDATE graft_bk.`$root/orders`
+                SET o_totalprice = CAST(0 AS DOUBLE)
+                WHERE o_orderkey % 93 = 0 AND o_orderkey % 100 <> 0""")
+      s.sql(s"""DELETE FROM graft_bk.`$root/orders`
+                WHERE o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+                  AND o_orderkey % 93 <> 0""")
+      s.read.table(s"graft_bk.`$root/orders`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** DATA SKIPPING on the bucketed lake ([[graft.sources.FileStats]]):
       * three date-disjoint generations land as separate files whose
       * manifest min/max windows cover disjoint o_orderdate ranges — the
@@ -5508,6 +5545,20 @@ object SparkEntry {
                            AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    // SQL MERGE doubled %100 prices, UPDATE zeroed %93 (non-%100),
+    // row-level DELETE dropped %97 (non-%100, non-%93)
+    "lake_bucketed_sql_merge" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 0
+                                THEN o_totalprice * 2
+                                WHEN o_orderkey % 93 = 0 THEN 0
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+                 AND o_orderkey % 93 <> 0)
       GROUP BY 1 ORDER BY 1""",
 
     // the data-skipped scan must equal the plain filtered recompute

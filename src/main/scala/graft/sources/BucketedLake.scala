@@ -92,6 +92,24 @@ object BucketedLake {
       bloom: Option[String] = None)
 
   private val CurrentPointer = "_bucket_manifest.current"
+
+  /** The `_file` METADATA COLUMN (table-root-relative path of the row's
+    * file) — the group identity for copy-on-write row-level DML (SQL
+    * MERGE/UPDATE/DELETE read it to decide which files to rewrite; the
+    * runtime group filter's IN-subquery flows these values back into
+    * the row-level scan), and a user-facing provenance column
+    * (`SELECT _file, * FROM t`). Relative, not absolute: it matches
+    * manifest entry rels exactly, so the replace-commit needs no path
+    * canonicalization. */
+  val FileMetaCol = "_file"
+  private[sources] object FileMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name: String = FileMetaCol
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "table-root-relative path of the file holding the row"
+  }
   private[sources] def versionedManifest(v: Long) =
     f"_bucket_manifest.v$v%06d.txt"
   /** Version-addressed PRECISE change rows (a merge's row-level CDC
@@ -445,6 +463,34 @@ object BucketedLake {
     * files are unreferenced (vacuumable), never silently adopted. */
   final class ConcurrentCommitException(msg: String, cause: Throwable)
       extends java.io.IOException(msg, cause)
+
+  /** Move a write's staged files into the two-axis layout under their
+    * task-unique names and return their manifest entries — the
+    * IDEMPOTENT half of every V2 commit (append, overwrite, and the
+    * SQL row-level DML rewrite); only the manifest publication after
+    * it ever retries or conflicts. */
+  private[sources] def adoptStaged(f: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Seq[ManifestEntry] = {
+    val fresh = Seq.newBuilder[ManifestEntry]
+    messages.foreach {
+      case GraftBucketCommit(files) =>
+        files.foreach { case (b, seg, staged, rows, stats) =>
+          val prefix = if (seg.isEmpty) "" else s"$seg/"
+          val dir = new Path(s"$path/data/${prefix}__bucket=$b")
+          f.mkdirs(dir)
+          val src = new Path(staged)
+          val dest = new Path(dir, src.getName)
+          if (!f.rename(src, dest))
+            throw new java.io.IOException(s"commit failed moving $staged")
+          fresh += ManifestEntry(b, rows, f.getFileStatus(dest).getLen,
+            s"data/${prefix}__bucket=$b/${src.getName}", stats)
+        }
+      case other => throw new IllegalStateException(s"foreign message $other")
+    }
+    fresh.result()
+  }
 
   /** What a [[vacuum]] pass deleted — or WOULD delete under
     * `dryRun = true` (operators at 100 TB never delete blind). */
@@ -2224,7 +2270,33 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
                                           asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` (the row's file, table-root-relative) — provenance for
+    * users, the GROUP IDENTITY for SQL row-level DML. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(BucketedLake.FileMetadataColumn)
+
+  /** SQL `MERGE INTO` / `UPDATE` / row-level `DELETE` — the
+    * copy-on-write GROUP-BASED row-level operation (group = file):
+    * Spark's own rewrite rules read the candidate files (pruned
+    * statically on all four axes, then narrowed at runtime by the
+    * group-filter IN-subquery on `_file`) and hand back the groups'
+    * complete replacement rows; the commit swaps exactly the scanned
+    * files for the new ones in ONE OCC-gated manifest flip. Partition-
+    * axis DELETEs still take the zero-IO metadata path
+    * ([[canDeleteWhere]] — Spark's OptimizeMetadataOnlyDeleteFromTable
+    * prefers it over the rewrite). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"cannot run ${info.command} against a time-travel snapshot of $path")
+    () => new GraftRowLevelOperation(spark, path, spec, info.command)
+  }
 
   /** METADATA DELETE (`DELETE FROM cat.`/p` WHERE <partition pred>`):
     * legal only when every live file decides the whole conjunction via
@@ -2469,26 +2541,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     // old files are NOT deleted — the fresh-entries-only manifest flip
     // below is the commit, pinned readers keep their version, vacuum
     // reclaims the superseded files after retention
-    // files move into the layout ONCE under task-unique names; only the
-    // manifest publication below ever retries
-    val fresh = Seq.newBuilder[BucketedLake.ManifestEntry]
-    messages.foreach {
-      case GraftBucketCommit(files) =>
-        files.foreach { case (b, seg, staged, rows, stats) =>
-          val prefix = if (seg.isEmpty) "" else s"$seg/"
-          val dir = new Path(s"$path/data/${prefix}__bucket=$b")
-          f.mkdirs(dir)
-          val src = new Path(staged)
-          val dest = new Path(dir, src.getName)
-          if (!f.rename(src, dest))
-            throw new java.io.IOException(s"commit failed moving $staged")
-          fresh += BucketedLake.ManifestEntry(b, rows,
-            f.getFileStatus(dest).getLen,
-            s"data/${prefix}__bucket=$b/${src.getName}", stats)
-        }
-      case other => throw new IllegalStateException(s"foreign message $other")
-    }
-    val freshEntries = fresh.result()
+    val freshEntries = BucketedLake.adoptStaged(f, path, messages)
     val txnUpdate = txn.map { case (app, epoch) => app -> epoch }.toMap
     val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
     // SCOPED OVERWRITES decide per FILE via the partition-dir value —
@@ -2704,9 +2757,9 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
-  private var required: StructType = spec.schema
-  private var pruned: Option[Set[Int]] = None // None = scan all buckets
-  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private[sources] var required: StructType = spec.schema
+  private[sources] var pruned: Option[Set[Int]] = None // None = scan all buckets
+  private[sources] var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -2715,7 +2768,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     * lists ([[GraftBucketScan]] receives this value) — separate reads
     * could straddle a commit and claim a filter exact against one
     * version while scanning another. */
-  private lazy val pinnedAtBuild: Option[BucketedLake.ManifestData] =
+  private[sources] lazy val pinnedAtBuild: Option[BucketedLake.ManifestData] =
     BucketedLake.pinnedManifest(spark, path, asOf)
 
   /** BUCKET PRUNING: the layout determines which bucket holds any given
@@ -3146,7 +3199,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * rows (-1 on the legacy listing fallback), the partition value in
     * canonical space, the data-skipping stats JSON, and the
     * root-relative path (the bloom sidecar's join key). */
-  private final case class KeptFile(bucket: Int, abs: String, size: Long,
+  private[sources] final case class KeptFile(bucket: Int, abs: String, size: Long,
                                     rows: Long,
                                     partCanon: Option[Option[Any]],
                                     stats: Option[String],
@@ -3164,7 +3217,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * table was re-bucketed/re-partitioned since this scan resolved it
     * (or the time-travel version predates the change): pruning under
     * the wrong layout silently drops rows, so fail LOUDLY instead. */
-  private lazy val keptFiles: Seq[KeptFile] = {
+  private[sources] lazy val keptFiles: Seq[KeptFile] = {
     val pinned = prePinned.getOrElse(
       BucketedLake.pinnedManifest(spark, path, asOf))
     pinned.flatMap(_.layout).foreach { case (k, n, pc) =>
@@ -3425,20 +3478,32 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     // predicates are in hand). When the projection supports it, the
     // scan serves COLUMNAR batches (the vectorized reader's native
     // unit) and the ColumnarToRow hop lands inside whole-stage codegen.
+    // `_file` metadata projection: the parquet layer reads only REAL
+    // columns; the per-file constant is spliced into each row by the
+    // reader (row path only — a constant column is not worth losing
+    // the vectorized read for data-only scans, and `_file` scans are
+    // the row-level-DML/provenance path, parquet-IO-bound anyway)
+    val fileIdx = required.fieldNames.indexOf(BucketedLake.FileMetaCol)
+    val dataRequired =
+      if (fileIdx < 0) required
+      else StructType(required.fields.filterNot(
+        _.name == BucketedLake.FileMetaCol))
     // only filters whose every referenced column survives the
     // projection reach the parquet reader — a CLAIMED partition filter
     // needs no re-evaluation, so its column may be pruned away, and a
     // predicate on an unread column would zero the vectorized read
     val filters = (pushed ++ runtimePushed).toSeq
-      .filter(_.references.forall(required.fieldNames.contains))
-    val readerFn = ParquetReadShim.readerFor(spark, spec.schema, required,
-      filters)
+      .filter(_.references.forall(dataRequired.fieldNames.contains))
+    val readerFn = ParquetReadShim.readerFor(spark, spec.schema,
+      dataRequired, filters)
     val batchFn =
-      if (ParquetReadShim.supportsBatch(spark, required))
+      if (fileIdx < 0 && ParquetReadShim.supportsBatch(spark, required))
         Some(ParquetReadShim.batchReaderFor(spark, spec.schema, required,
           filters))
       else None
-    new GraftBucketReaderFactory(readerFn, batchFn)
+    new GraftBucketReaderFactory(readerFn, batchFn,
+      if (fileIdx < 0) None
+      else Some((fileIdx, dataRequired.fields.map(_.dataType), s"$path/")))
   }
 }
 
@@ -3452,7 +3517,11 @@ private[graft] class GraftBucketReaderFactory(
     readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
     batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    // Some((spliceIdx, dataFieldTypes, tableRootPrefix)): emit the
+    // `_file` metadata column at spliceIdx (value = the file's
+    // table-root-relative path, the manifest's rel key)
+    fileSplice: Option[(Int, Array[DataType], String)] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -3462,7 +3531,25 @@ private[graft] class GraftBucketReaderFactory(
     val p = partition.asInstanceOf[GraftBucketPartition]
     new PartitionReader[InternalRow] {
       private val it = p.files.iterator.flatMap { case (f, len) =>
-        ParquetReadShim.rows(readerFn(ParquetReadShim.partitionedFile(f, len)))
+        val base = ParquetReadShim.rows(
+          readerFn(ParquetReadShim.partitionedFile(f, len)))
+        fileSplice match {
+          case None => base
+          case Some((idx, dts, prefix)) =>
+            val rel = org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (f.startsWith(prefix)) f.substring(prefix.length) else f)
+            base.map { r =>
+              val out = new Array[Any](dts.length + 1)
+              var i = 0; var j = 0
+              while (i < out.length) {
+                if (i == idx) out(i) = rel
+                else { out(i) = r.get(j, dts(j)); j += 1 }
+                i += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(out): InternalRow
+            }
+        }
       }
       private var cur: InternalRow = _
       override def next(): Boolean =

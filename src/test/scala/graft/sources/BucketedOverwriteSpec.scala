@@ -117,7 +117,7 @@ class BucketedOverwriteSpec extends SparkSuite {
     assert(e.getMessage.contains("no partition axis"))
   }
 
-  test("metadata DELETE FROM drops whole partitions with zero data IO; row-level refused") {
+  test("metadata DELETE FROM drops whole partitions with zero data IO; row-level rewrites") {
     val path = mkPartitioned()
     val before = BucketedLake.readManifest(spark, path).get.map(_.rel).toSet
     spark.sql(s"DELETE FROM $cat.`$path` WHERE dt = DATE'2024-01-02'")
@@ -130,13 +130,14 @@ class BucketedOverwriteSpec extends SparkSuite {
     // range predicates on the partition axis are metadata deletes too
     spark.sql(s"DELETE FROM $cat.`$path` WHERE dt > DATE'2024-01-02'")
     assert(table(path).count() === 30L)
-    // a row-level predicate is refused (use BucketedLake.deleteWhere)
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.`$path` WHERE v = 5")
-    }
-    assert(Option(e.getMessage).exists(m =>
-      m.contains("DELETE") || m.contains("delete")))
-    assert(table(path).count() === 30L)
+    // a row-level predicate no longer refuses: it takes the
+    // copy-on-write rewrite path (SupportsRowLevelOperations — see
+    // BucketedRowLevelSpec); the partition deletes above stayed pure
+    // manifest edits because OptimizeMetadataOnlyDeleteFromTable
+    // prefers SupportsDelete when canDeleteWhere accepts
+    spark.sql(s"DELETE FROM $cat.`$path` WHERE v = 5")
+    assert(table(path).where(col("v") === 5).count() === 0L)
+    assert(table(path).count() === 29L)
     // history shows the delete commits; CDF renders them as deletes
     val feed = BucketedLake.changes(spark, path, 1L, 3L)
     assert(feed.where(col("_change_type") === "insert").isEmpty)
