@@ -2782,6 +2782,35 @@ object SparkEntry {
         .orderBy("o_orderyear", "o_custkey")
     }),
 
+    /** COMPOSITE partitioning
+      * (`__part=<year>/__part2=<priority>/__bucket=<b>` —
+      * `BucketedLake.write(partitionCols = Seq(...))`): conjuncts on
+      * BOTH axes prune directories independently
+      * ([[graft.sources.PartPruning.matchesAll]]) before the bucket
+      * axis and per-file stats even apply — the (dt, region) shape a
+      * real ingest lake partitions by. The pruned scan must equal the
+      * plain filtered recompute. */
+    "lake_bucketed_composite" -> ((s, d) => {
+      val root = lakeTmp(d, "bkcomp")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"),
+          year(col("o_orderdate")).as("o_orderyear")),
+        s"$root/orders", "o_custkey", 8,
+        partitionCols = Seq("o_orderyear", "o_orderpriority"))
+      s.read.table(s"graft_bk.`$root/orders`")
+        .where(col("o_orderyear") >= 1994 && col("o_orderyear") <= 1996 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderyear", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).cast("long").as("sum_ck"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("o_orderyear", "o_orderpriority")
+    }),
+
     /** METADATA-ONLY aggregates on the bucketed lake
       * ([[graft.sources.GraftBucketScanBuilder]] aggregate pushdown):
       * `MIN`/`MAX`/`COUNT` — grouped by the PARTITION column — answer
@@ -5614,6 +5643,17 @@ object SparkEntry {
       FROM orders
       WHERE year(o_orderdate) BETWEEN 1995 AND 1996
         AND o_custkey IN (1, 2, 4, 5, 7, 8, 10, 11)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // both composite axes pruned, then the same filtered aggregate
+    "lake_bucketed_composite" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_orderyear,
+             o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the co-located join must equal the plain shuffled join

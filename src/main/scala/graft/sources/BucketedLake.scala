@@ -85,7 +85,7 @@ object BucketedLake {
     * its file's content; files absent from the sidecar simply don't
     * skip). */
   final case class ManifestData(
-      layout: Option[(String, Int, Option[String])],
+      layout: Option[(String, Int, Seq[String])],
       op: Option[String],
       txns: Map[String, Long],
       entries: Seq[ManifestEntry],
@@ -195,7 +195,7 @@ object BucketedLake {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       new String(buf.toByteArray, UTF_8)
     } finally in.close()
-    var layout: Option[(String, Int, Option[String])] = None
+    var layout: Option[(String, Int, Seq[String])] = None
     var op: Option[String] = None
     var bloom: Option[String] = None
     var declaresV2 = false
@@ -208,9 +208,9 @@ object BucketedLake {
       if (l.startsWith("#graft\t")) {
         declaresV2 = l.split("\t", 2)(1).toIntOption.exists(_ >= 2)
       } else if (l.startsWith("#layout\t")) {
-        val parts = l.split("\t", 4)
+        val parts = l.split("\t")
         layout = Some((parts(1), parts(2).toInt,
-          if (parts.length > 3 && parts(3).nonEmpty) Some(parts(3)) else None))
+          parts.drop(3).filter(_.nonEmpty).toSeq))
       } else if (l.startsWith("#op\t")) {
         op = Some(l.split("\t", 2)(1))
       } else if (l.startsWith("#bloom\t")) {
@@ -361,7 +361,7 @@ object BucketedLake {
                                    entries: Seq[ManifestEntry],
                                    base: Option[Long] = None,
                                    txns: Map[String, Long] = Map.empty,
-                                   layout: Option[(String, Int, Option[String])] = None,
+                                   layout: Option[(String, Int, Seq[String])] = None,
                                    op: String = "replace",
                                    bloom: Option[String] = None): Long = {
     val lock = commitLocks.computeIfAbsent(
@@ -376,7 +376,7 @@ object BucketedLake {
                                   entries: Seq[ManifestEntry],
                                   base: Option[Long],
                                   txns: Map[String, Long],
-                                  layout: Option[(String, Int, Option[String])],
+                                  layout: Option[(String, Int, Seq[String])],
                                   op: String,
                                   bloom: Option[String]): Long = {
     val fs = new Path(path).getFileSystem(
@@ -409,8 +409,8 @@ object BucketedLake {
     // missing or miscounts, turning a torn write from silent row loss
     // into a loud failure (see repair())
     try out.write((Seq("#graft\t2") ++
-      layout.toSeq.map { case (k, n, pc) =>
-      s"#layout\t$k\t$n\t${pc.getOrElse("")}" } ++
+      layout.toSeq.map { case (k, n, pcs) =>
+      s"#layout\t$k\t$n\t${pcs.mkString("\t")}" } ++
       Seq(s"#op\t$op") ++
       bloom.toSeq.map(b => s"#bloom\t$b") ++
       txns.toSeq.sorted
@@ -783,36 +783,62 @@ object BucketedLake {
     * and SPJ/DPP hold unchanged (the scan's partitioning stays
     * per-bucket; partition pruning only trims each bucket's file list). */
   final case class Spec(keyCol: String, buckets: Int, schema: StructType,
-                        sorted: Boolean, partCol: Option[String] = None)
+                        sorted: Boolean, partCols: Seq[String] = Nil)
 
   private[sources] val PartDir = "__part"
   private[sources] val NullPartName = "__HIVE_DEFAULT_PARTITION__"
 
-  /** A manifest entry's partition value in [[PartPruning]]'s canonical
-    * space: outer `None` = undecidable (bucket-only layout, legacy rel
-    * without a segment, unparsable value), `Some(None)` = the null
-    * partition, `Some(Some(v))` = a canonical value. Shared by the
-    * scan's pruning, [[merge]]'s group routing, and the overwrite /
-    * metadata-delete commit paths — one parse, one strictness rule. */
-  private[sources] def entryPartCanon(rel: String, dt: DataType)
-      : Option[Option[Any]] = partValueRaw(rel) match {
+  /** Dir-level name of partition axis `i`: `__part`, `__part2`,
+    * `__part3`, ... — the composite layout
+    * `data/__part=<v1>/__part2=<v2>/__bucket=<b>/` a (dt, region)-
+    * partitioned ingest lake uses. The `=` in the prefix match keeps
+    * `__part` and `__part2` unambiguous. */
+  private[sources] def partDirName(i: Int): String =
+    if (i == 0) PartDir else s"$PartDir${i + 1}"
+
+  /** A manifest entry's partition value ON AXIS `axis` in
+    * [[PartPruning]]'s canonical space: outer `None` = undecidable
+    * (bucket-only layout, legacy rel without the segment, unparsable
+    * value), `Some(None)` = the null partition, `Some(Some(v))` = a
+    * canonical value. Shared by the scan's pruning, [[merge]]'s group
+    * routing, and the overwrite / metadata-delete commit paths — one
+    * parse, one strictness rule. */
+  private[sources] def entryPartCanon(rel: String, dt: DataType,
+                                      axis: Int = 0)
+      : Option[Option[Any]] = partValueRawAt(rel, axis) match {
     case None => None
     case Some(None) => Some(None)
     case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
   }
 
-  /** The raw (unescaped) partition-dir value a manifest rel path
-    * carries — `None` when the path has no partition level, `Some(None)`
-    * for the null partition, `Some(Some(v))` otherwise. The partition
-    * value is ALSO a regular data column inside every file (RLE makes
-    * the duplication ~free), so the directory level is purely a pruning
-    * index — readers never need to re-inject values from dir names. */
-  private[sources] def partValueRaw(rel: String): Option[Option[String]] =
-    rel.split("/").find(_.startsWith(s"$PartDir=")).map { seg =>
+  /** Every axis's canonical dir value for a rel, bound to its column —
+    * the [[PartPruning.matchesAll]] input every multi-axis decision
+    * (scan pruning, overwrite scoping, metadata delete, merge routing)
+    * shares. */
+  private[sources] def entryBindings(rel: String,
+                                     axes: Seq[(String, DataType)])
+      : Seq[(String, DataType, Option[Option[Any]])] =
+    axes.zipWithIndex.map { case ((c, dt), i) =>
+      (c, dt, entryPartCanon(rel, dt, i)) }
+
+  /** The raw (unescaped) dir value a manifest rel carries on axis `i` —
+    * `None` when the path has no such level, `Some(None)` for the null
+    * partition, `Some(Some(v))` otherwise. Partition values are ALSO
+    * regular data columns inside every file (RLE makes the duplication
+    * ~free), so the directory levels are purely a pruning index —
+    * readers never re-inject values from dir names. */
+  private[sources] def partValueRawAt(rel: String, i: Int)
+      : Option[Option[String]] = {
+    val pfx = s"${partDirName(i)}="
+    rel.split("/").find(_.startsWith(pfx)).map { seg =>
       val s = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(seg.stripPrefix(s"$PartDir="))
+        .unescapePathName(seg.stripPrefix(pfx))
       if (s == NullPartName) None else Some(s)
     }
+  }
+
+  private[sources] def partValueRaw(rel: String): Option[Option[String]] =
+    partValueRawAt(rel, 0)
 
   /** The write-side routing expression — MUST stay in lockstep with
     * [[GraftBucketFunction.produceResult]] (read-side identity). */
@@ -843,13 +869,25 @@ object BucketedLake {
     * groups back to ONE file (its purpose is restoring the sort-free
     * join); on a bounded-file table use [[cluster]](keyCol,
     * maxRowsPerFile) as the compaction, which preserves the bound. */
+  /** `partitionCols`: the COMPOSITE partition axes, outermost first —
+    * `Seq("dt", "region")` lays out
+    * `__part=<dt>/__part2=<region>/__bucket=<b>`, and conjuncts on any
+    * prefix of the axes prune directories independently
+    * ([[PartPruning.matchesAll]]). `partitionCol` remains as the
+    * single-axis spelling; setting both is an error. */
   def write(df: DataFrame, path: String, keyCol: String, buckets: Int,
             partitionCol: Option[String] = None,
-            maxRowsPerFile: Option[Long] = None): Unit = {
+            maxRowsPerFile: Option[Long] = None,
+            partitionCols: Seq[String] = Nil): Unit = {
+    require(partitionCol.isEmpty || partitionCols.isEmpty,
+      "set partitionCol OR partitionCols, not both")
+    val pcols = if (partitionCols.nonEmpty) partitionCols
+                else partitionCol.toSeq
     require(df.columns.contains(keyCol), s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
     require(maxRowsPerFile.forall(_ >= 1L), "maxRowsPerFile must be >= 1")
-    partitionCol.foreach { pc =>
+    require(pcols.distinct == pcols, s"duplicate partition column: $pcols")
+    pcols.foreach { pc =>
       require(df.columns.contains(pc), s"no column '$pc' to partition by")
       require(pc != keyCol, "partition column must differ from the bucket key")
     }
@@ -868,24 +906,27 @@ object BucketedLake {
     def capped(w: org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row]) =
       maxRowsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
-    partitionCol match {
-      case None =>
-        capped(base.repartition(buckets, col(BucketDir))
-          .sortWithinPartitions(col(BucketDir), col(keyCol))
-          .write.mode("overwrite")).partitionBy(BucketDir).parquet(staging)
-      case Some(pc) =>
-        capped(base.withColumn(PartDir, col(pc))
-          .repartition(col(PartDir), col(BucketDir))
-          .sortWithinPartitions(col(PartDir), col(BucketDir), col(keyCol))
-          .write.mode("overwrite")).partitionBy(PartDir, BucketDir)
-          .parquet(staging)
+    if (pcols.isEmpty) {
+      capped(base.repartition(buckets, col(BucketDir))
+        .sortWithinPartitions(col(BucketDir), col(keyCol))
+        .write.mode("overwrite")).partitionBy(BucketDir).parquet(staging)
+    } else {
+      val dirCols = pcols.indices.map(partDirName)
+      val withDirs = pcols.zip(dirCols).foldLeft(base) {
+        case (d, (pc, dn)) => d.withColumn(dn, col(pc)) }
+      val shuffleCols = dirCols.map(col) :+ col(BucketDir)
+      capped(withDirs.repartition(shuffleCols: _*)
+        .sortWithinPartitions(shuffleCols :+ col(keyCol): _*)
+        .write.mode("overwrite"))
+        .partitionBy(dirCols :+ BucketDir: _*)
+        .parquet(staging)
     }
     val moved = moveStagedIntoLayout(spark, path, staging, "write")
     // spec lands BEFORE the manifest flip: a reader resolving the new
     // version must see the layout that wrote it (pinned readers hold
     // their Spec in memory — a replace never mutates their view)
     writeSpec(spark, path,
-      Spec(keyCol, buckets, df.schema, sorted = true, partitionCol))
+      Spec(keyCol, buckets, df.schema, sorted = true, pcols))
     // write-time manifest over ONLY this write's files: per-file record
     // counts while they are one executor-parallel sweep — scans and the
     // COUNT(*) pushdown then never touch a footer or a directory
@@ -894,8 +935,36 @@ object BucketedLake {
     writeManifest(spark, path,
       footerSweepFiles(spark, moved, Some(df.schema)),
       txns = readTxns(spark, path),
-      layout = Some((keyCol, buckets, partitionCol)), op = "replace"): Unit
+      layout = Some((keyCol, buckets, pcols)), op = "replace"): Unit
   }
+
+  /** Shuffle `df` (already carrying a `BucketDir` column) into the
+    * composite `__part*=/__bucket=` layout under `staging` — the shared
+    * rewrite shape of [[compact]]/[[cluster]]/[[merge]]. One task per
+    * rewrite group (`numParts`), rows sorted `(dirs..., bucket,
+    * tailOrder...)` within it. */
+  private def stageComposite(df: DataFrame, pcols: Seq[String],
+                             numParts: Int, tailOrder: Seq[Column],
+                             staging: String,
+                             maxRowsPerFile: Option[Long] = None): Unit = {
+    val dirCols = pcols.indices.map(partDirName)
+    val withDirs = pcols.zip(dirCols).foldLeft(df) {
+      case (d, (pc, dn)) => d.withColumn(dn, col(pc)) }
+    val shuffleCols = dirCols.map(col) :+ col(BucketDir)
+    val sorted = withDirs.repartition(numParts, shuffleCols: _*)
+      .sortWithinPartitions(shuffleCols ++ tailOrder: _*)
+    val w0 = sorted.write.mode("overwrite")
+    val w = maxRowsPerFile.fold(w0)(n => w0.option("maxRecordsPerFile", n))
+    w.partitionBy(dirCols :+ BucketDir: _*).parquet(staging)
+  }
+
+  /** A rel's FULL composite partition prefix (`__part=a/__part2=b`,
+    * "" on bucket-only layouts) — the rewrite-group segment key shared
+    * by compact/cluster. */
+  private def compositeSegOf(rel: String): String =
+    rel.split("/").filter(seg =>
+      seg.startsWith(PartDir) && seg.contains("=") &&
+        !seg.startsWith(s"$BucketDir=")).mkString("/")
 
   /** Walk the staged `(__part=<v>/)?__bucket=<b>/` parquet and move each
     * file into the live layout under a `<tag>-<stamp>-`-unique name —
@@ -930,11 +999,16 @@ object BucketedLake {
                 s"data/$relPrefix$BucketDir=$b/$name"))
             }
         }
-    moveBuckets(new Path(staging), "")
-    fs.listStatus(new Path(staging))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$PartDir="))
-      .foreach(p => moveBuckets(p.getPath, s"${p.getPath.getName}/"))
+    // recurse through every `__part*=` level (one per composite axis)
+    // before the bucket dirs — staging mirrors the live layout exactly
+    def walk(dir: Path, relPrefix: String): Unit = {
+      moveBuckets(dir, relPrefix)
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(PartDir))
+        .foreach(p => walk(p.getPath, s"$relPrefix${p.getPath.getName}/"))
+    }
+    walk(new Path(staging), "")
     fs.delete(new Path(staging), true): Unit
     moved.result()
   }
@@ -946,7 +1020,9 @@ object BucketedLake {
     val out = fs.create(p, true)
     try out.write((s"${spec.keyCol}\n${spec.buckets}\n${spec.schema.json}\n" +
       (if (spec.sorted) "sorted=true\n" else "") +
-      spec.partCol.fold("")(pc => s"partition=$pc\n")).getBytes(UTF_8))
+      // one line per composite axis, outermost first — a single-axis
+      // table round-trips byte-identically with the legacy format
+      spec.partCols.map(pc => s"partition=$pc\n").mkString).getBytes(UTF_8))
     finally out.close()
   }
 
@@ -956,11 +1032,17 @@ object BucketedLake {
     * and `INSERT INTO` (the V2 append writer) is the first commit. */
   def createEmpty(spark: SparkSession, path: String, keyCol: String,
                   buckets: Int, schema: StructType,
-                  partitionCol: Option[String] = None): Unit = {
+                  partitionCol: Option[String] = None,
+                  partitionCols: Seq[String] = Nil): Unit = {
+    require(partitionCol.isEmpty || partitionCols.isEmpty,
+      "set partitionCol OR partitionCols, not both")
+    val pcols = if (partitionCols.nonEmpty) partitionCols
+                else partitionCol.toSeq
     require(schema.fieldNames.contains(keyCol),
       s"no column '$keyCol' to bucket by")
     require(buckets >= 1, "buckets must be >= 1")
-    partitionCol.foreach { pc =>
+    require(pcols.distinct == pcols, s"duplicate partition column: $pcols")
+    pcols.foreach { pc =>
       require(schema.fieldNames.contains(pc),
         s"no column '$pc' to partition by")
       require(pc != keyCol, "partition column must differ from the bucket key")
@@ -968,9 +1050,9 @@ object BucketedLake {
     require(readSpec(spark, path).isEmpty,
       s"a bucketed table already exists at $path")
     writeSpec(spark, path,
-      Spec(keyCol, buckets, schema, sorted = true, partitionCol))
+      Spec(keyCol, buckets, schema, sorted = true, pcols))
     writeManifest(spark, path, Nil,
-      layout = Some((keyCol, buckets, partitionCol)), op = "create"): Unit
+      layout = Some((keyCol, buckets, pcols)), op = "create"): Unit
   }
 
   /** ADDITIVE schema evolution: append nullable columns to the table
@@ -1019,11 +1101,13 @@ object BucketedLake {
     val lines = text.split("\n").map(_.trim)
     val Array(key, n, schemaJson) = lines.take(3)
     val sorted = lines.drop(3).contains("sorted=true")
-    val partCol = lines.drop(3).find(_.startsWith("partition="))
-      .map(_.stripPrefix("partition=")).filter(_.nonEmpty)
+    // every `partition=` line, file order = axis order (legacy
+    // single-line specs parse as the one-axis composite)
+    val partCols = lines.drop(3).filter(_.startsWith("partition="))
+      .map(_.stripPrefix("partition=")).filter(_.nonEmpty).toSeq
     Some(Spec(key, n.toInt,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], sorted,
-      partCol))
+      partCols))
   }
 
   /** Fold multi-file buckets (appends) back to ONE key-sorted file each,
@@ -1053,12 +1137,10 @@ object BucketedLake {
     // the fold unit is (partition dir segment, bucket) — "" when the
     // layout has no partition axis; partition values live in the data
     // files too, so the rewrite reproduces identical dir segments
-    def segOf(rel: String): String =
-      rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
-    val byGroup = baseEntries.groupBy(e => (segOf(e.rel), e.bucket))
+    val byGroup = baseEntries.groupBy(e => (compositeSegOf(e.rel), e.bucket))
     val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
     val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
-    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCols))
     if (multi.isEmpty) {
       if (occBaseOpt.isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
@@ -1069,18 +1151,8 @@ object BucketedLake {
     val folded = spark.read.schema(spec.schema)
       .parquet(multi.flatMap(_._2.map(e => s"$path/${e.rel}")): _*)
       .withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
-    spec.partCol match {
-      case None =>
-        folded.repartition(multi.length, col(BucketDir))
-          .sortWithinPartitions(col(BucketDir), col(spec.keyCol))
-          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
-      case Some(pc) =>
-        folded.withColumn(PartDir, col(pc))
-          .repartition(multi.length, col(PartDir), col(BucketDir))
-          .sortWithinPartitions(col(PartDir), col(BucketDir), col(spec.keyCol))
-          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
-          .parquet(staging)
-    }
+    stageComposite(folded, spec.partCols, multi.length,
+      Seq(col(spec.keyCol)), staging)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -1106,7 +1178,7 @@ object BucketedLake {
     fs.delete(new Path(staging), true): Unit
     val compacted = multi.map(_._1).toSet
     val kept = baseEntries.filterNot(e =>
-      compacted.contains((segOf(e.rel), e.bucket)))
+      compacted.contains((compositeSegOf(e.rel), e.bucket)))
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
@@ -1153,31 +1225,19 @@ object BucketedLake {
     val baseEntries = full.map(_.entries).getOrElse(footerSweep(spark, path))
     if (baseEntries.isEmpty) return
     val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
-    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCols))
     val df = spark.read.schema(spec.schema)
       .parquet(baseEntries.map(e => s"$path/${e.rel}"): _*)
     val order: Column =
       if (cols.sizeIs == 1) col(cols.head)
       else zOrderValue(df, cols, spec.schema,
         baseEntries.iterator.map(_.rows).sum)
-    def segOf(rel: String): String =
-      rel.split("/").find(_.startsWith(s"$PartDir=")).getOrElse("")
-    val nGroups = baseEntries.map(e => (segOf(e.rel), e.bucket)).distinct.size
+    val nGroups = baseEntries
+      .map(e => (compositeSegOf(e.rel), e.bucket)).distinct.size
     val staging = s"$path/.cluster-${java.util.UUID.randomUUID()}"
     val routed = df.withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
-    spec.partCol match {
-      case None =>
-        routed.repartition(nGroups, col(BucketDir))
-          .sortWithinPartitions(col(BucketDir), order)
-          .write.option("maxRecordsPerFile", maxRowsPerFile)
-          .mode("overwrite").partitionBy(BucketDir).parquet(staging)
-      case Some(pc) =>
-        routed.withColumn(PartDir, col(pc))
-          .repartition(nGroups, col(PartDir), col(BucketDir))
-          .sortWithinPartitions(col(PartDir), col(BucketDir), order)
-          .write.option("maxRecordsPerFile", maxRowsPerFile)
-          .mode("overwrite").partitionBy(PartDir, BucketDir).parquet(staging)
-    }
+    stageComposite(routed, spec.partCols, nGroups, Seq(order), staging,
+      maxRowsPerFile = Some(maxRowsPerFile))
     val moved = moveStagedIntoLayout(spark, path, staging, "cluster")
     val fresh = footerSweepFiles(spark, moved, Some(spec.schema))
     // the rewrite preserves rows — a count mismatch means a racing
@@ -1445,7 +1505,7 @@ object BucketedLake {
     // commit: same entries, new header — invisible until the flip
     writeManifest(spark, path, full.entries,
       base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,
-      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "compact", bloom = Some(sidecarRel)): Unit
   }
 
@@ -1681,7 +1741,7 @@ object BucketedLake {
           "to upgrade a legacy table"))
     val m = readManifestFull(spark, path, Some(base)).get
     m.layout.foreach { case (k, n, pc) =>
-      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
+      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCols,
         s"bucketed table $path layout changed under this merge — re-read " +
           "and retry")
     }
@@ -1713,16 +1773,17 @@ object BucketedLake {
       .distinct().collect().map(_.getInt(0)).toSet
     val touchedEntries = m.entries.filter(e =>
       touchedBuckets.contains(e.bucket))
-    val partDt: Option[(String, DataType)] = spec.partCol.map(pc =>
+    val partDt: Seq[(String, DataType)] = spec.partCols.map(pc =>
       (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
-    // group id = (canonical partition value option, bucket); bucket-only
-    // layouts use (None, bucket). Entry side parses the dir segment —
-    // if ANY touched entry cannot parse (legacy path, exotic partition
-    // type), fall back to whole-BUCKET granularity: coarser rewrite,
-    // identical results.
-    def entryGroup(e: ManifestEntry): Option[Option[Any]] = partDt match {
-      case None => Some(None)
-      case Some((_, dt)) => entryPartCanon(e.rel, dt)
+    // group id = (canonical partition values per axis, bucket);
+    // bucket-only layouts use (Nil, bucket). Entry side parses the dir
+    // segments — if ANY touched entry cannot parse (legacy path, exotic
+    // partition type), fall back to whole-BUCKET granularity: coarser
+    // rewrite, identical results.
+    def entryGroup(e: ManifestEntry): Option[Seq[Option[Any]]] = {
+      val per = partDt.zipWithIndex.map { case ((_, dt), i) =>
+        entryPartCanon(e.rel, dt, i) }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
     val entryGroups = touchedEntries.map(e => e -> entryGroup(e))
     // the data side (dataGroups → None) catches partition types the
@@ -1731,26 +1792,26 @@ object BucketedLake {
     val groupable = entryGroups.forall(_._2.isDefined)
     // data-side group of a row, in the SAME canonical space (the
     // parse/render identity is property-tested on every key type)
-    def dataGroups(df: DataFrame): Option[Set[(Option[Any], Int)]] = {
-      val cols = partDt.map(p => col(p._1)).toSeq :+
+    def dataGroups(df: DataFrame): Option[Set[(Seq[Option[Any]], Int)]] = {
+      val cols = partDt.map(p => col(p._1)) :+
         bucketExpr(key, n).as("__b")
       // bounded collect: ≤ touched partitions × buckets distinct groups
       val rows = df.select(cols: _*).distinct().collect()
       val groups = rows.map { r =>
-        val pv: Option[Option[Any]] = partDt match {
-          case None => Some(None)
-          case Some((_, dt)) =>
-            val raw = r.get(0)
+        val per: Seq[Option[Option[Any]]] = partDt.zipWithIndex.map {
+          case ((_, dt), i) =>
+            val raw = r.get(i)
             if (raw == null) Some(None)
             else PartPruning.canonical(raw, dt).map(Some(_))
         }
-        pv.map(p => (p, r.getInt(r.length - 1)))
+        if (per.exists(_.isEmpty)) None
+        else Some((per.flatten, r.getInt(r.length - 1)))
       }
       if (groups.exists(_.isEmpty)) None else Some(groups.flatten.toSet)
     }
     val touchedDf = readRels(spark, path, spec.schema, touchedEntries)
     val matchedGroupsOpt = touchedDf match {
-      case None => Some(Set.empty[(Option[Any], Int)])
+      case None => Some(Set.empty[(Seq[Option[Any]], Int)])
       case Some(df) => dataGroups(df.join(allKeys, Seq(key), "left_semi"))
     }
     val rewriteEntries: Seq[ManifestEntry] =
@@ -1771,18 +1832,8 @@ object BucketedLake {
     val staging = s"$path/.merge-${java.util.UUID.randomUUID()}"
     val routed = newData.withColumn(BucketDir, bucketExpr(key, n))
     val groupCount = math.max(1, rewriteEntries.size + 1)
-    spec.partCol match {
-      case None =>
-        routed.repartition(groupCount, col(BucketDir))
-          .sortWithinPartitions(col(BucketDir), col(key))
-          .write.mode("overwrite").partitionBy(BucketDir).parquet(staging)
-      case Some(pc) =>
-        routed.withColumn(PartDir, col(pc))
-          .repartition(groupCount, col(PartDir), col(BucketDir))
-          .sortWithinPartitions(col(PartDir), col(BucketDir), col(key))
-          .write.mode("overwrite").partitionBy(PartDir, BucketDir)
-          .parquet(staging)
-    }
+    stageComposite(routed, spec.partCols, groupCount, Seq(col(key)),
+      staging)
     val moved = moveStagedIntoLayout(spark, path, staging, "merge")
     val freshEntries = footerSweepFiles(spark, moved, Some(spec.schema))
 
@@ -1817,7 +1868,7 @@ object BucketedLake {
     val kept = m.entries.filterNot(e => removedRels.contains(e.rel))
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
-      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "merge", bloom = m.bloom)
     // a crash BETWEEN flip and publish degrades this version's feed to
     // the file diff (documented in [[changes]]) — never wrong, coarser
@@ -1979,7 +2030,7 @@ class GraftBucketCatalog extends TableCatalog with FunctionCatalog
     val spark = SparkSession.active
     val path = (ident.namespace() :+ ident.name()).mkString("/")
     var bucket: Option[(Int, String)] = None
-    var part: Option[String] = None
+    val parts = Seq.newBuilder[String]
     partitions.foreach { t =>
       t.name() match {
         case "bucket" =>
@@ -1991,16 +2042,18 @@ class GraftBucketCatalog extends TableCatalog with FunctionCatalog
             s"bucket transform without a bucket count: ${t.describe()}"))
           bucket = Some((n, t.references().head.fieldNames().mkString(".")))
         case "identity" =>
-          require(part.isEmpty, "at most one partition column is supported")
-          part = Some(t.references().head.fieldNames().mkString("."))
+          // every identity transform is a composite partition axis, in
+          // PARTITIONED BY order (outermost first)
+          parts += t.references().head.fieldNames().mkString(".")
         case other => throw new UnsupportedOperationException(
-          s"bucketed tables support PARTITIONED BY ([col,] bucket(n, key))" +
+          s"bucketed tables support PARTITIONED BY ([cols,] bucket(n, key))" +
             s", got transform '$other'")
       }
     }
     val (n, key) = bucket.getOrElse(throw new IllegalArgumentException(
       "bucketed tables require a bucket(n, key) transform in PARTITIONED BY"))
-    BucketedLake.createEmpty(spark, path, key, n, schema, part)
+    BucketedLake.createEmpty(spark, path, key, n, schema,
+      partitionCols = parts.result())
     loadTable(ident)
   }
   /** `ALTER TABLE ... ADD COLUMN(S)` — the one supported change class
@@ -2218,36 +2271,56 @@ private[sources] object PartPruning {
     * partition is false (those rows can never match), only
     * IsNull/null-safe-equality select it. */
   def matches(part: Option[Any], partCol: String, dt: DataType,
-              f: Filter): Option[Boolean] = {
-    def ordered(v: Any, ok: Int => Boolean): Option[Boolean] = part match {
-      case None => Some(false)
-      case Some(p) => for {cv <- canonical(v, dt); c <- cmp(p, cv)} yield ok(c)
-    }
+              f: Filter): Option[Boolean] =
+    matchesAll(Seq((partCol, dt, Some(part))), f)
+
+  /** MULTI-AXIS file decision — the composite-partition generalization
+    * of [[matches]]. `bindings` carries, per partition axis, the
+    * column, its type, and the FILE's canonical dir value (outer
+    * `None` = this axis undecidable for the file — predicates on it
+    * stay unknown; `Some(None)` = the null partition). A conjunction
+    * spanning axes (`dt = X AND region = 'EU'`) decides when each leaf
+    * decides on its own axis; predicates on non-partition columns are
+    * unknown, so `And` short-circuits only on a definite false and the
+    * whole answer degrades to `None` (keep) otherwise — strict-or-keep
+    * on every axis at once. */
+  def matchesAll(bindings: Seq[(String, DataType, Option[Option[Any]])],
+                 f: Filter): Option[Boolean] = {
+    def decide(c: String)(
+        eval: (DataType, Option[Any]) => Option[Boolean]): Option[Boolean] =
+      bindings.find(_._1 == c).flatMap { case (_, dt, canonOpt) =>
+        canonOpt.flatMap(part => eval(dt, part)) }
+    def ordered(c: String, v: Any, ok: Int => Boolean): Option[Boolean] =
+      decide(c) { (dt, part) => part match {
+        case None => Some(false)
+        case Some(p) =>
+          for {cv <- canonical(v, dt); cc <- cmp(p, cv)} yield ok(cc)
+      }}
     f match {
-      case EqualTo(c, v) if c == partCol => ordered(v, _ == 0)
-      case EqualNullSafe(c, null) if c == partCol => Some(part.isEmpty)
-      case EqualNullSafe(c, v) if c == partCol => ordered(v, _ == 0)
-      case In(c, vs) if c == partCol => part match {
+      case EqualTo(c, v) => ordered(c, v, _ == 0)
+      case EqualNullSafe(c, null) => decide(c)((_, p) => Some(p.isEmpty))
+      case EqualNullSafe(c, v) => ordered(c, v, _ == 0)
+      case In(c, vs) => decide(c) { (dt, part) => part match {
         case None => Some(false)
         case Some(p) =>
           val canon = vs.filter(_ != null).map(canonical(_, dt))
           if (canon.exists(_.isEmpty)) None
           else Some(canon.flatten.exists(cv => cmp(p, cv).contains(0)))
-      }
-      case GreaterThan(c, v) if c == partCol => ordered(v, _ > 0)
-      case GreaterThanOrEqual(c, v) if c == partCol => ordered(v, _ >= 0)
-      case LessThan(c, v) if c == partCol => ordered(v, _ < 0)
-      case LessThanOrEqual(c, v) if c == partCol => ordered(v, _ <= 0)
-      case IsNull(c) if c == partCol => Some(part.isEmpty)
-      case IsNotNull(c) if c == partCol => Some(part.nonEmpty)
+      }}
+      case GreaterThan(c, v) => ordered(c, v, _ > 0)
+      case GreaterThanOrEqual(c, v) => ordered(c, v, _ >= 0)
+      case LessThan(c, v) => ordered(c, v, _ < 0)
+      case LessThanOrEqual(c, v) => ordered(c, v, _ <= 0)
+      case IsNull(c) => decide(c)((_, p) => Some(p.isEmpty))
+      case IsNotNull(c) => decide(c)((_, p) => Some(p.nonEmpty))
       case And(a, b) =>
-        (matches(part, partCol, dt, a), matches(part, partCol, dt, b)) match {
+        (matchesAll(bindings, a), matchesAll(bindings, b)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)
           case (Some(true), Some(true)) => Some(true)
           case _ => None
         }
       case Or(a, b) =>
-        (matches(part, partCol, dt, a), matches(part, partCol, dt, b)) match {
+        (matchesAll(bindings, a), matchesAll(bindings, b)) match {
           case (Some(true), _) | (_, Some(true)) => Some(true)
           case (Some(false), Some(false)) => Some(false)
           case _ => None
@@ -2311,21 +2384,19 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
   private def keptAfterDelete(
       entries: Seq[BucketedLake.ManifestEntry],
       filters: Array[org.apache.spark.sql.sources.Filter])
-      : Option[Seq[BucketedLake.ManifestEntry]] =
-    spec.partCol.map(pc =>
+      : Option[Seq[BucketedLake.ManifestEntry]] = {
+    if (spec.partCols.isEmpty) return None
+    val axes = spec.partCols.map(pc =>
       (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
-      .flatMap { case (pc, dt) =>
-        val decisions = entries.map { e =>
-          BucketedLake.entryPartCanon(e.rel, dt).flatMap { canon =>
-            val each = filters.map(f =>
-              PartPruning.matches(canon, pc, dt, f))
-            if (each.exists(_.isEmpty)) None
-            else Some(e -> each.forall(_.contains(true)))
-          }
-        }
-        if (decisions.exists(_.isEmpty)) None
-        else Some(decisions.flatten.filterNot(_._2).map(_._1))
-      }
+    val decisions = entries.map { e =>
+      val bindings = BucketedLake.entryBindings(e.rel, axes)
+      val each = filters.map(f => PartPruning.matchesAll(bindings, f))
+      if (each.exists(_.isEmpty)) None
+      else Some(e -> each.forall(_.contains(true)))
+    }
+    if (decisions.exists(_.isEmpty)) None
+    else Some(decisions.flatten.filterNot(_._2).map(_._1))
+  }
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -2349,7 +2420,7 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
           "row-level deletes"))
     BucketedLake.writeManifest(spark, path, kept,
       base = baseOpt, txns = full.txns,
-      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "delete", bloom = full.bloom): Unit
   }
   override def name(): String =
@@ -2360,7 +2431,7 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
   override def partitioning(): Array[Transform] =
-    (spec.partCol.toSeq.map(pc => Expressions.identity(pc)) :+
+    (spec.partCols.map(pc => Expressions.identity(pc)) :+
       Expressions.bucket(spec.buckets, spec.keyCol)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBucketScanBuilder(spark, path, spec, asOf)
@@ -2451,7 +2522,7 @@ private[sources] class GraftBucketWriteBuilder(spark: SparkSession,
   }
   override def overwriteDynamicPartitions()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(spec.partCol.isDefined,
+    require(spec.partCols.nonEmpty,
       s"bucketed table $path has no partition axis — dynamic partition " +
         "overwrite is undefined; use INSERT OVERWRITE (truncate) or " +
         "BucketedLake.merge for row-level replacement")
@@ -2473,14 +2544,14 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      (spec.partCol.toSeq
+      (spec.partCols
         .map(pc => Expressions.identity(pc)
           : org.apache.spark.sql.connector.expressions.Expression) :+
         (Expressions.bucket(spec.buckets, spec.keyCol)
           : org.apache.spark.sql.connector.expressions.Expression)).toArray)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    (spec.partCol.toSeq.map(pc =>
+    (spec.partCols.map(pc =>
       Expressions.sort(Expressions.column(pc), SD.ASCENDING)) ++ Seq(
       Expressions.sort(Expressions.bucket(spec.buckets, spec.keyCol),
         SD.ASCENDING),
@@ -2517,10 +2588,10 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     val handle = org.apache.spark.sql.graftshim.ParquetWriteShim
       .prepare(spark, spec.schema)
     val keyIdx = spec.schema.fieldIndex(spec.keyCol)
-    val part = spec.partCol.map(pc => (spec.schema.fieldIndex(pc),
+    val parts = spec.partCols.map(pc => (spec.schema.fieldIndex(pc),
       spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
     new GraftBucketWriterFactory(handle, staging, keyIdx,
-      spec.schema.fields(keyIdx).dataType, spec.buckets, part, maxRows)
+      spec.schema.fields(keyIdx).dataType, spec.buckets, parts, maxRows)
   }
 
   override def commit(messages: Array[
@@ -2543,24 +2614,31 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
     // reclaims the superseded files after retention
     val freshEntries = BucketedLake.adoptStaged(f, path, messages)
     val txnUpdate = txn.map { case (app, epoch) => app -> epoch }.toMap
-    val layout = Some((spec.keyCol, spec.buckets, spec.partCol))
+    val layout = Some((spec.keyCol, spec.buckets, spec.partCols))
     // SCOPED OVERWRITES decide per FILE via the partition-dir value —
     // exact, because every row of a file shares it; any undecidable
     // (file, filter) pair fails LOUDLY (an approximate overwrite would
     // delete too much or too little). The commit is OCC-gated on the
     // pointer it read (overwrites don't commute — no auto-retry).
-    def partColType: (String, org.apache.spark.sql.types.DataType) = {
-      val pc = spec.partCol.getOrElse(throw new IllegalArgumentException(
+    def partAxes: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+      require(spec.partCols.nonEmpty,
         s"bucketed table $path has no partition axis — scoped overwrite " +
-          "needs the two-axis layout (or use BucketedLake.merge)"))
-      (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType)
+          "needs the two-axis layout (or use BucketedLake.merge)")
+      spec.partCols.map(pc =>
+        (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
     }
-    def exactCanon(e: BucketedLake.ManifestEntry,
-                   dt: org.apache.spark.sql.types.DataType): Option[Any] =
-      BucketedLake.entryPartCanon(e.rel, dt).getOrElse(
-        throw new IllegalArgumentException(
-          s"scoped overwrite on $path: file ${e.rel} has no decidable " +
-            "partition value — rewrite the table with write() first"))
+    // every axis of a file's composite value, canonical — loud when a
+    // file cannot decide (an approximate overwrite would delete too
+    // much or too little)
+    def exactCanons(e: BucketedLake.ManifestEntry,
+                    axes: Seq[(String, org.apache.spark.sql.types.DataType)])
+        : Seq[Option[Any]] =
+      axes.zipWithIndex.map { case ((_, dt), i) =>
+        BucketedLake.entryPartCanon(e.rel, dt, i).getOrElse(
+          throw new IllegalArgumentException(
+            s"scoped overwrite on $path: file ${e.rel} has no decidable " +
+              "partition value — rewrite the table with write() first"))
+      }
     def scopedReplace(): Unit = {
       val baseOpt = BucketedLake.currentVersion(spark, path)
       val full = BucketedLake.readManifestFull(spark, path, baseOpt)
@@ -2572,17 +2650,19 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       val kept: Seq[BucketedLake.ManifestEntry] = scope match {
         case ReplaceScope.Truncate => Nil
         case ReplaceScope.ByFilters(filters) =>
-          val (pc, dt) = partColType
+          val axes = partAxes
           def decide(e: BucketedLake.ManifestEntry): Boolean = {
-            val canon = exactCanon(e, dt)
+            val canons = exactCanons(e, axes)
+            val bindings = axes.zip(canons).map { case ((c, dt), v) =>
+              (c, dt, Some(v): Option[Option[Any]]) }
             filters.forall(f =>
-              PartPruning.matches(canon, pc, dt, f).getOrElse(
+              PartPruning.matchesAll(bindings, f).getOrElse(
                 throw new IllegalArgumentException(
                   s"replaceWhere/INSERT OVERWRITE on $path: filter $f " +
-                    s"cannot be decided per-file against partition " +
-                    s"'$pc' — overwrite filters must be exact " +
-                    "partition-column predicates (for row-level " +
-                    "replacement use BucketedLake.merge)")))
+                    s"cannot be decided per-file against partitions " +
+                    s"${axes.map(_._1).mkString(", ")} — overwrite " +
+                    "filters must be exact partition-column predicates " +
+                    "(for row-level replacement use BucketedLake.merge)")))
           }
           // every INSERTED file must land INSIDE the replaced region —
           // otherwise the write would both replace partition A and
@@ -2593,9 +2673,9 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
               "cover every written row's partition"))
           old.filterNot(decide)
         case ReplaceScope.DynamicPartitions =>
-          val (_, dt) = partColType
-          val touched = freshEntries.map(e => exactCanon(e, dt)).toSet
-          old.filterNot(e => touched.contains(exactCanon(e, dt)))
+          val axes = partAxes
+          val touched = freshEntries.map(e => exactCanons(e, axes)).toSet
+          old.filterNot(e => touched.contains(exactCanons(e, axes)))
         case ReplaceScope.Append => throw new IllegalStateException(
           "scopedReplace on an append") // unreachable
       }
@@ -2668,7 +2748,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
 private[sources] class GraftBucketWriterFactory(
     handle: org.apache.spark.sql.graftshim.ParquetWriteShim.WriterHandle,
     staging: String, keyIdx: Int, keyType: DataType, buckets: Int,
-    part: Option[(Int, DataType)] = None,
+    parts: Seq[(Int, DataType)] = Nil,
     maxRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
@@ -2713,13 +2793,15 @@ private[sources] class GraftBucketWriterFactory(
         val b = java.lang.Math.floorMod(
           org.apache.spark.sql.catalyst.expressions.XxHash64Function
             .hash(v, keyType, 42L), buckets.toLong).toInt
-        val s = part.fold("") { case (i, dt) =>
-          val pv = row.get(i, dt)
-          val str = if (pv == null) BucketedLake.NullPartName
-            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .escapePathName(dirString(pv, dt))
-          s"__part=$str"
-        }
+        val s =
+          if (parts.isEmpty) ""
+          else parts.zipWithIndex.map { case ((i, dt), axis) =>
+            val pv = row.get(i, dt)
+            val str = if (pv == null) BucketedLake.NullPartName
+              else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(dirString(pv, dt))
+            s"${BucketedLake.partDirName(axis)}=$str"
+          }.mkString("/")
         // rows arrive (part, bucket, key)-sorted: group transitions cut
         // a new file, and the optional row cap ROTATES within a group —
         // each rotated file is a contiguous key-sorted run (tight stats
@@ -2790,19 +2872,21 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     val sets = filters.flatMap(bucketSetOf) // top level is a conjunction
     if (sets.nonEmpty) pruned = Some(sets.reduce(_ intersect _))
     accepted = filters // every filter also forwards to parquet pushdown
-    exactHandled = (spec.partCol.map(pc =>
+    exactHandled = (spec.partCols.map(pc =>
       (pc, spec.schema(pc).dataType)), pinnedAtBuild) match {
-      case (Some((pc, dt)), Some(m))
-          // the dir values' MEANING is the layout's partition column —
+      case (axes, Some(m))
+          // the dir values' MEANING is the layout's partition columns —
           // only a layout-consistent manifest can decide
-          if m.layout.forall(l =>
+          if axes.nonEmpty && m.layout.forall(l =>
             l._1 == spec.keyCol && l._2 == spec.buckets &&
-              l._3 == spec.partCol) =>
-        val canons = m.entries.map(e =>
-          BucketedLake.entryPartCanon(e.rel, dt))
-        if (canons.exists(_.isEmpty)) Set.empty
-        else filters.filter(f => canons.forall(c =>
-          PartPruning.matches(c.get, pc, dt, f).isDefined)).toSet
+              l._3 == spec.partCols) =>
+        // a filter is claimed only when EVERY live file decides it
+        // wholly via its composite dir values (any undecidable axis
+        // degrades that filter to residual, never to a guess)
+        val bindings = m.entries.map(e =>
+          BucketedLake.entryBindings(e.rel, axes))
+        filters.filter(f => bindings.forall(bs =>
+          PartPruning.matchesAll(bs, f).isDefined)).toSet
       case _ => Set.empty
     }
     filters.filterNot(exactHandled)
@@ -2862,17 +2946,19 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
         Some((n, spec.schema.fields(spec.schema.fieldIndex(n)).dataType))
       case _ => None
     }
-    // grouping axis: none, or exactly the partition column
+    // grouping axis: none, or exactly ONE of the partition columns
+    // (each file belongs to exactly one group on any single axis)
     val groupBy: Option[Option[(String, DataType)]] =
       agg.groupByExpressions() match {
         case Array() => Some(None)
         case Array(e) => fieldOf(e) match {
-          case some @ Some((n, _)) if spec.partCol.contains(n) => Some(some)
+          case some @ Some((n, _)) if spec.partCols.contains(n) => Some(some)
           case _ => None
         }
         case _ => None
       }
     if (groupBy.isEmpty) return None
+    def axisOf(n: String): Int = spec.partCols.indexOf(n)
     // per aggregate: (render, result type, nullable,
     //                 per-entry-stats → per-group fold)
     sealed trait AggPlan { def render: String; def dt: DataType
@@ -2890,15 +2976,17 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     // COUNT(DISTINCT <partition col>): the distinct set IS the set of
     // partition-dir values — exact from the manifest alone when every
     // file's dir decodes (nulls excluded per SQL COUNT semantics)
-    final case class DistinctPartPlan(render: String) extends AggPlan {
+    final case class DistinctPartPlan(render: String, col: String,
+                                      colDt: DataType, axis: Int)
+        extends AggPlan {
       val dt: DataType = LongType; val nullable = false
     }
     val plans: Seq[AggPlan] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => CountPlan("COUNT(*)", None)
       case c: Count if c.isDistinct =>
         fieldOf(c.column) match {
-          case Some((n, _)) if spec.partCol.contains(n) =>
-            DistinctPartPlan(s"COUNT(DISTINCT $n)")
+          case Some((n, cdt)) if spec.partCols.contains(n) =>
+            DistinctPartPlan(s"COUNT(DISTINCT $n)", n, cdt, axisOf(n))
           case _ => return None
         }
       case c: Count if !c.isDistinct =>
@@ -2932,7 +3020,7 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     // loudly, but the metadata answer is exact by construction).
     if (groupBy.flatten.isDefined)
       manifestOpt.flatMap(_.layout).foreach { case (k, n, pc) =>
-        if (k != spec.keyCol || n != spec.buckets || pc != spec.partCol)
+        if (k != spec.keyCol || n != spec.buckets || pc != spec.partCols)
           return None
       }
     val entriesOpt = manifestOpt.map(_.entries)
@@ -2951,14 +3039,12 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     // claimed-exact filters restrict the fold to whole-file matches —
     // the SAME decision the row scan's pruning would make off the SAME
     // pinned manifest
+    val axes = spec.partCols.map(pc => (pc, spec.schema(pc).dataType))
     val entries = entriesOpt.getOrElse(return None).filter { e =>
       accepted.isEmpty || {
-        val pcdt = spec.partCol.map(pc => (pc, spec.schema(pc).dataType))
-        pcdt.exists { case (pc, dt) =>
-          BucketedLake.entryPartCanon(e.rel, dt).exists(canon =>
-            accepted.forall(f =>
-              PartPruning.matches(canon, pc, dt, f).contains(true)))
-        }
+        val bindings = BucketedLake.entryBindings(e.rel, axes)
+        axes.nonEmpty && accepted.forall(f =>
+          PartPruning.matchesAll(bindings, f).contains(true))
       }
     }
     val renderF =
@@ -2977,9 +3063,10 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     val grouped: Seq[(Option[Any], Seq[(BucketedLake.ManifestEntry, Map[String, FileStats.ColStat])])] =
       groupBy.flatten match {
         case None => Seq((None, decoded))
-        case Some((_, dt)) =>
+        case Some((gn, dt)) =>
+          val gAxis = axisOf(gn)
           val keyed = decoded.map { case (e, st) =>
-            BucketedLake.entryPartCanon(e.rel, dt) match {
+            BucketedLake.entryPartCanon(e.rel, dt, gAxis) match {
               case Some(k) => (k, (e, st))
               case None => return None
             }
@@ -3001,15 +3088,12 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
       case other => throw new IllegalStateException(
         s"unreachable: canonical value for untrackable type $other")
     }
-    val partDt: Option[DataType] =
-      spec.partCol.map(pc => spec.schema(pc).dataType)
     val rows = grouped.sortBy(_._1.map(_.toString)).map { case (gk, es) =>
       val aggVals: Seq[Any] = plans.map {
-        case DistinctPartPlan(_) =>
-          val dt = partDt.getOrElse(return None)
+        case DistinctPartPlan(_, _, cdt, axis) =>
           val vals = scala.collection.mutable.Set[Any]()
           es.foreach { case (e, _) =>
-            BucketedLake.entryPartCanon(e.rel, dt) match {
+            BucketedLake.entryPartCanon(e.rel, cdt, axis) match {
               case Some(Some(v)) => vals += v
               case Some(None) => () // nulls excluded by COUNT semantics
               case None => return None
@@ -3157,33 +3241,27 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** The partition column's (name, type) — the two-axis layout's
-    * second pruning dimension; `None` on bucket-only tables. */
-  private val partColType: Option[(String, DataType)] =
-    spec.partCol.map(pc =>
+  /** The partition columns' (name, type), outermost first — the
+    * composite layout's directory pruning axes; empty on bucket-only
+    * tables. */
+  private val partAxes: Seq[(String, DataType)] =
+    spec.partCols.map(pc =>
       (pc, spec.schema.fields(spec.schema.fieldIndex(pc)).dataType))
 
-  /** A file's partition value in [[PartPruning]]'s canonical space —
-    * outer `None` = cannot prune this file (bucket-only layout, legacy
-    * path without a segment, unparsable dir value): keep it; filters
-    * stay residual, so keeping is always correct. */
-  private def canonOf(rel: String): Option[Option[Any]] = partColType match {
-    case None => None
-    case Some((_, dt)) => BucketedLake.partValueRaw(rel) match {
-      case None => None
-      case Some(None) => Some(None) // the null partition
-      case Some(Some(s)) => PartPruning.parseDirValue(s, dt).map(Some(_))
-    }
-  }
+  /** A file's per-axis canonical dir values bound to their columns —
+    * an undecidable axis (bucket-only layout, legacy path without the
+    * segment, unparsable dir value) binds `None`: predicates on it
+    * stay unknown, the file keeps; filters stay residual, so keeping
+    * is always correct. */
+  private def bindingsOf(rel: String)
+      : Seq[(String, DataType, Option[Option[Any]])] =
+    BucketedLake.entryBindings(rel, partAxes)
 
-  private def partKeep(canon: Option[Option[Any]],
+  private def partKeep(bindings: Seq[(String, DataType, Option[Option[Any]])],
                        filters: Array[org.apache.spark.sql.sources.Filter])
-      : Boolean = (partColType, canon) match {
-    case (Some((pc, dt)), Some(part)) =>
-      filters.forall(f =>
-        PartPruning.matches(part, pc, dt, f).getOrElse(true))
-    case _ => true
-  }
+      : Boolean =
+    bindings.isEmpty || filters.forall(f =>
+      PartPruning.matchesAll(bindings, f).getOrElse(true))
 
   /** DATA SKIPPING (the third pruning axis): a file whose manifest
     * min/max window provably holds no filter match is dropped — rows
@@ -3201,7 +3279,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * root-relative path (the bloom sidecar's join key). */
   private[sources] final case class KeptFile(bucket: Int, abs: String, size: Long,
                                     rows: Long,
-                                    partCanon: Option[Option[Any]],
+                                    partBindings: Seq[(String, DataType, Option[Option[Any]])],
                                     stats: Option[String],
                                     rel: String)
 
@@ -3221,24 +3299,24 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val pinned = prePinned.getOrElse(
       BucketedLake.pinnedManifest(spark, path, asOf))
     pinned.flatMap(_.layout).foreach { case (k, n, pc) =>
-      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCol,
+      require(k == spec.keyCol && n == spec.buckets && pc == spec.partCols,
         s"bucketed table $path layout changed: manifest written under " +
           s"(key=$k, buckets=$n, partition=$pc) but the resolved spec is " +
           s"(key=${spec.keyCol}, buckets=${spec.buckets}, " +
-          s"partition=${spec.partCol}) — re-resolve the table" +
+          s"partition=${spec.partCols}) — re-resolve the table" +
           asOf.fold("")(v => s" (version $v predates the layout change)"))
     }
     val metas: Seq[KeptFile] = pinned match {
       case Some(m) =>
         m.entries.map(e => KeptFile(e.bucket, s"$path/${e.rel}", e.size,
-          e.rows, canonOf(e.rel), e.stats, e.rel))
+          e.rows, bindingsOf(e.rel), e.stats, e.rel))
       case None => // (bucket, rel, abs, size) — rows unknown
         BucketedLake.listDataFilesFor(spark, path)
-          .map(f => KeptFile(f._1, f._3, f._4, -1L, canonOf(f._2), None,
+          .map(f => KeptFile(f._1, f._3, f._4, -1L, bindingsOf(f._2), None,
             f._2))
     }
     val kept3 = metas.filter(k =>
-      pruned.forall(_.contains(k.bucket)) && partKeep(k.partCanon, pushed) &&
+      pruned.forall(_.contains(k.bucket)) && partKeep(k.partBindings, pushed) &&
         statsKeep(k.stats, k.rows, pushed))
     bloomPrune(kept3, pinned.flatMap(_.bloom))
   }
@@ -3338,7 +3416,8 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
   }
   override def description(): String = {
     val p = pruned.fold("")(s => s", prunedTo=${s.size}/${spec.buckets}")
-    val pp = spec.partCol.fold("")(pc => s", partitionBy=$pc")
+    val pp = if (spec.partCols.isEmpty) ""
+             else s", partitionBy=${spec.partCols.mkString(",")}"
     val f = if (pushed.isEmpty) ""
             else s", PushedFilters: [${pushed.mkString(", ")}]"
     s"graft-bucketed $path (buckets=${spec.buckets}, key=${spec.keyCol}$pp$p$f)"
@@ -3380,7 +3459,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     // away by projection cannot anchor a runtime filter. The partition
     // column anchors DPP too: a join on it empties non-matching
     // partition dirs' files at execution time.
-    (spec.keyCol +: spec.partCol.toSeq)
+    (spec.keyCol +: spec.partCols)
       .filter(required.fieldNames.contains)
       .map(Expressions.column).toArray
   override def filter(
@@ -3429,7 +3508,7 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
         // files whose partition dir or min/max window can hold no
         // runtime-filter match
         val metas = keptMeta.getOrElse(p.bucket, Array.empty[KeptFile])
-        val kept = metas.filter(k => partKeep(k.partCanon, runtimePushed) &&
+        val kept = metas.filter(k => partKeep(k.partBindings, runtimePushed) &&
           statsKeep(k.stats, k.rows, runtimePushed))
         if (kept.length == metas.length) p
         else p.copy(files = kept.map(k => (k.abs, k.size)))

@@ -225,7 +225,7 @@ private[sources] class GraftRowLevelBatchWrite(
     val kept = op.pinned.entries.filterNot(e => replaced.contains(e.rel))
     BucketedLake.writeManifest(spark, path, kept ++ fresh,
       base = Some(op.baseVersion), txns = op.pinned.txns,
-      layout = Some((spec.keyCol, spec.buckets, spec.partCol)),
+      layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = op.opTag, bloom = op.pinned.bloom): Unit
     f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }

@@ -71,7 +71,7 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
   test("round trip: partition dirs + buckets on disk, full schema back") {
     val path = tmp("bk2-rt")
     fixture(path)
-    assert(BucketedLake.readSpec(spark, path).get.partCol === Some("dt"))
+    assert(BucketedLake.readSpec(spark, path).get.partCols === Seq("dt"))
     val back = table(path)
     assert(back.schema.fieldNames.toSeq === Seq("k", "dt", "nm"))
     assert(back.count() === 1000L)
@@ -308,7 +308,7 @@ class PartitionedBucketedLakeSpec extends SparkSuite {
       PARTITIONED BY (dt, bucket(8, k))""")
     val spec = BucketedLake.readSpec(spark, path).get
     assert(spec.keyCol === "k" && spec.buckets === 8 &&
-      spec.partCol === Some("dt"))
+      spec.partCols === Seq("dt"))
     // MVCC from birth: the empty table already answers through a manifest
     assert(spark.sql(s"SELECT count(*) FROM $cat.`$path`").head().getLong(0)
       === 0L)
