@@ -1347,6 +1347,18 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
+    /** FROM-SCRATCH baseline JPEG decode ([[graft.ops.JpegCodec]] —
+      * markers, canonical Huffman, dequant, IDCT, level shift; NOT
+      * javax.imageio): one DC-only grayscale JPEG per doc whose flat
+      * 8x8 blocks follow the arithmetic pixel formula (Q(0,0)=8 makes
+      * dequant x IDCT EXACT), every fifth doc restart-marked (RSTn
+      * resync in the production path). The oracle replays the block
+      * formula — a lossy format certified bit-for-bit. */
+    "media_jpeg_features" -> ((s, d) =>
+      Multimodal.jpegFeatures(
+          Multimodal.synthesizeJpegs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("width"), col("height"), col("gray_sum"))
+        .orderBy("doc_id")),
     /** REAL image decode ([[graft.ops.Multimodal.ImageIoCodec]]): one
       * fixture PNG per doc from the deterministic pixel formula, decoded
       * with javax.imageio, exact integer channel sums out. PNG is lossless,
@@ -4612,6 +4624,19 @@ object SparkEntry {
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         md5(text) AS checksum
       FROM documents ORDER BY doc_id""",
+
+    // DC-only baseline JPEG: pixel(block b) = ((id%100003)*31 + b*7)%256,
+    // 64 pixels per block — the decode is exact by construction
+    "media_jpeg_features" -> """
+      WITH px AS (
+        SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+        FROM documents),
+      blocks AS (
+        SELECT doc_id, w, h, unnest(range((w // 8) * (h // 8))) AS b FROM px)
+      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(SUM(64 * (((doc_id % 100003) * 31 + b * 7) % 256)) AS BIGINT)
+          AS gray_sum
+      FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "media_frames" -> """
       WITH f AS (

@@ -684,6 +684,46 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** One deterministic baseline JPEG per row ([[JpegCodec.FixtureJpeg]]
+    * — DC-only flat blocks, every fifth doc restart-marked): the
+    * lossless-by-construction fixture that lets an arithmetic oracle
+    * replay a LOSSY format's decode exactly. */
+  def synthesizeJpegs(df: DataFrame, idCol: String = "doc_id",
+                      mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ JpegCodec.FixtureJpeg.bytes(r.getLong(idIdx)))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise FROM-SCRATCH baseline JPEG decode
+    * ([[JpegCodec.decode]] — Huffman + dequant + IDCT + level shift,
+    * NOT `javax.imageio`) → exact integer stats (width, height,
+    * gray_sum = Σ raw samples). Null row when the payload isn't a
+    * baseline JPEG this decoder speaks (progressive/CMYK refuse
+    * loudly rather than guess). */
+  def jpegFeatures(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("gray_sum", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        JpegCodec.decodeStats(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(s) =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](s.width, s.height, s.sumR))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Partition-wise REAL decode → exact integer pixel stats (width, height,
     * channels, per-channel sums). Null row when the payload isn't a
     * decodable image — callers branch on it rather than silently getting
