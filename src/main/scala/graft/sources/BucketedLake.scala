@@ -89,7 +89,10 @@ object BucketedLake {
       op: Option[String],
       txns: Map[String, Long],
       entries: Seq[ManifestEntry],
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      // col -> base64 HLL of keys written since the last full replace
+      // ([[NdvSketch]]) — the distinctCount column statistic
+      ndv: Map[String, String] = Map.empty)
 
   private val CurrentPointer = "_bucket_manifest.current"
 
@@ -201,6 +204,7 @@ object BucketedLake {
     var declaresV2 = false
     var torn = false
     var endCount: Option[Long] = None
+    val ndv = Map.newBuilder[String, String]
     val txns = Map.newBuilder[String, Long]
     val entries = Seq.newBuilder[ManifestEntry]
     var n = 0L
@@ -218,6 +222,9 @@ object BucketedLake {
       } else if (l.startsWith("#txn\t")) {
         val Array(_, app, epoch) = l.split("\t", 3)
         txns += (app -> epoch.toLong)
+      } else if (l.startsWith("#ndv\t")) {
+        val parts = l.split("\t", 3)
+        if (parts.length == 3) ndv += (parts(1) -> parts(2))
       } else if (l.startsWith("#end\t")) {
         endCount = l.split("\t", 2)(1).toLongOption
       } else if (!l.startsWith("#")) {
@@ -236,7 +243,8 @@ object BucketedLake {
       }
     }
     val truncated = (declaresV2 && !endCount.contains(n)) || torn
-    (ManifestData(layout, op, txns.result(), entries.result(), bloom),
+    (ManifestData(layout, op, txns.result(), entries.result(), bloom,
+      ndv.result()),
       truncated)
   }
 
@@ -363,12 +371,14 @@ object BucketedLake {
                                    txns: Map[String, Long] = Map.empty,
                                    layout: Option[(String, Int, Seq[String])] = None,
                                    op: String = "replace",
-                                   bloom: Option[String] = None): Long = {
+                                   bloom: Option[String] = None,
+                                   ndv: Map[String, String] = Map.empty)
+      : Long = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
       writeManifestLocked(spark, path, entries, base, txns, layout, op,
-        bloom)
+        bloom, ndv)
     }
   }
 
@@ -378,7 +388,8 @@ object BucketedLake {
                                   txns: Map[String, Long],
                                   layout: Option[(String, Int, Seq[String])],
                                   op: String,
-                                  bloom: Option[String]): Long = {
+                                  bloom: Option[String],
+                                  ndv: Map[String, String]): Long = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -403,6 +414,8 @@ object BucketedLake {
       s"manifest op tag cannot contain tab/newline: '$op'")
     require(!bloom.exists(b => b.exists(c => c == '\t' || c == '\n')),
       s"bloom sidecar rel cannot contain tab/newline: $bloom")
+    require(ndv.keys.forall(c => !c.exists(ch => ch == '\t' || ch == '\n')),
+      s"ndv column names cannot contain tab/newline: ${ndv.keys}")
     // format v2 frames the file: `#graft\t2` leads (written before any
     // entry, so any real truncation keeps it) and `#end\t<count>`
     // closes — slurpManifest REJECTS a v2 manifest whose terminator is
@@ -413,6 +426,7 @@ object BucketedLake {
       s"#layout\t$k\t$n\t${pcs.mkString("\t")}" } ++
       Seq(s"#op\t$op") ++
       bloom.toSeq.map(b => s"#bloom\t$b") ++
+      ndv.toSeq.sorted.map { case (c, b64) => s"#ndv\t$c\t$b64" } ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
       entries.sortBy(e => (e.bucket, e.rel))
@@ -475,7 +489,7 @@ object BucketedLake {
       : Seq[ManifestEntry] = {
     val fresh = Seq.newBuilder[ManifestEntry]
     messages.foreach {
-      case GraftBucketCommit(files) =>
+      case GraftBucketCommit(files, _) =>
         files.foreach { case (b, seg, staged, rows, stats) =>
           val prefix = if (seg.isEmpty) "" else s"$seg/"
           val dir = new Path(s"$path/data/${prefix}__bucket=$b")
@@ -932,10 +946,20 @@ object BucketedLake {
     // COUNT(*) pushdown then never touch a footer or a directory
     // listing. Streaming watermarks carry forward: a replace does not
     // license a replayed micro-batch to double-append.
+    // key-NDV sketch for join planning ([[NdvSketch]]): ONE
+    // column-pruned read-back of the just-written files — a full
+    // replace starts the sketch fresh
+    val ndvHeader =
+      if (moved.isEmpty) Map.empty[String, String]
+      else NdvSketch.sketchColumn(
+        spark.read.schema(StructType(Seq(df.schema(keyCol))))
+          .parquet(moved.map(_._2): _*), keyCol)
+        .map(b => keyCol -> b).toMap
     writeManifest(spark, path,
       footerSweepFiles(spark, moved, Some(df.schema)),
       txns = readTxns(spark, path),
-      layout = Some((keyCol, buckets, pcols)), op = "replace"): Unit
+      layout = Some((keyCol, buckets, pcols)), op = "replace",
+      ndv = ndvHeader): Unit
   }
 
   /** Shuffle `df` (already carrying a `BucketDir` column) into the
@@ -1144,7 +1168,8 @@ object BucketedLake {
     if (multi.isEmpty) {
       if (occBaseOpt.isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
-          op = "compact", bloom = full.flatMap(_.bloom)): Unit
+          op = "compact", bloom = full.flatMap(_.bloom),
+          ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -1182,7 +1207,8 @@ object BucketedLake {
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
-      op = "compact", bloom = full.flatMap(_.bloom)): Unit
+      op = "compact", bloom = full.flatMap(_.bloom),
+      ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
   }
 
   /** CLUSTER the table for DATA SKIPPING: rewrite every (partition,
@@ -1250,7 +1276,8 @@ object BucketedLake {
     writeManifest(spark, path, fresh,
       base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
       layout = layout, op = "compact",
-      bloom = full.flatMap(_.bloom)): Unit
+      bloom = full.flatMap(_.bloom),
+      ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
   }
 
   /** The Z-VALUE column: each clustered column's quantile rank
@@ -1506,7 +1533,7 @@ object BucketedLake {
     writeManifest(spark, path, full.entries,
       base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "compact", bloom = Some(sidecarRel)): Unit
+      op = "compact", bloom = Some(sidecarRel), ndv = full.ndv): Unit
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -1866,10 +1893,19 @@ object BucketedLake {
     // ---- commit: manifest flip, then publish the change files -------
     val removedRels = rewriteEntries.map(_.rel).toSet
     val kept = m.entries.filterNot(e => removedRels.contains(e.rel))
+    // NDV carry + union with the upsert batch's keys (inserts may add
+    // keys the sketch has never seen; HLL cannot subtract the deletes —
+    // over-estimate, the safe direction for a broadcast decision)
+    val mergedNdv: Map[String, String] =
+      NdvSketch.sketchColumn(upserts, key) match {
+        case Some(up) => Map(key -> NdvSketch.unionAll(
+          m.ndv.get(key).toSeq :+ up, Nil).get)
+        case None => m.ndv
+      }
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "merge", bloom = m.bloom)
+      op = "merge", bloom = m.bloom, ndv = mergedNdv)
     // a crash BETWEEN flip and publish degrades this version's feed to
     // the file diff (documented in [[changes]]) — never wrong, coarser
     val fs = new Path(path).getFileSystem(
@@ -2421,7 +2457,7 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
     BucketedLake.writeManifest(spark, path, kept,
       base = baseOpt, txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "delete", bloom = full.bloom): Unit
+      op = "delete", bloom = full.bloom, ndv = full.ndv): Unit
   }
   override def name(): String =
     asOf.fold(path)(v => s"$path@v$v")
@@ -2569,7 +2605,9 @@ private[sources] class GraftBucketWrite(spark: SparkSession, path: String,
   * manifest updates with ZERO reads (the writer saw every row anyway;
   * [[FileStats.Tracker]]). */
 private[sources] final case class GraftBucketCommit(
-    files: Seq[(Int, String, String, Long, Option[String])])
+    files: Seq[(Int, String, String, Long, Option[String])],
+    // compact HLL of this task's keys ([[NdvSketch]]) — ≤4 KB
+    ndvSketch: Option[Array[Byte]] = None)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
@@ -2679,12 +2717,22 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         case ReplaceScope.Append => throw new IllegalStateException(
           "scopedReplace on an append") // unreachable
       }
+      // NDV: a TRUNCATE starts the sketch fresh from this write's
+      // tasks; scoped/dynamic overwrites union (HLL cannot subtract
+      // the replaced region — over-estimate, the safe direction)
+      val taskSketches = messages.toSeq.collect {
+        case GraftBucketCommit(_, Some(b)) => b }
+      val priorNdv =
+        if (scope == ReplaceScope.Truncate) None
+        else full.flatMap(_.ndv.get(spec.keyCol))
+      val ndvHeader = NdvSketch.unionAll(priorNdv.toSeq, taskSketches)
+        .map(b => spec.keyCol -> b).toMap
       BucketedLake.writeManifest(spark, path, kept ++ freshEntries,
         base = baseOpt.map(identity), txns = priorTxns ++ txnUpdate,
         layout = layout,
         op = if (scope == ReplaceScope.Truncate) "truncate"
              else "replace",
-        bloom = full.flatMap(_.bloom)): Unit
+        bloom = full.flatMap(_.bloom), ndv = ndvHeader): Unit
     }
     if (scope != ReplaceScope.Append) {
       scopedReplace()
@@ -2723,10 +2771,15 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
             .getOrElse(BucketedLake.footerSweep(spark, path))
             .filterNot(e => freshRels.contains(e.rel))
           try {
+            val taskSketches = messages.toSeq.collect {
+              case GraftBucketCommit(_, Some(b)) => b }
+            val ndvHeader = NdvSketch.unionAll(
+              full.flatMap(_.ndv.get(spec.keyCol)).toSeq, taskSketches)
+              .map(b => spec.keyCol -> b).toMap
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
               priorTxns ++ txnUpdate, layout, op = "append",
-              bloom = full.flatMap(_.bloom)): Unit
+              bloom = full.flatMap(_.bloom), ndv = ndvHeader): Unit
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -2778,6 +2831,10 @@ private[sources] class GraftBucketWriterFactory(
       // anyway, so data-skipping stats ride the commit with zero IO
       private val statFields = FileStats.trackerFields(handle.schema)
       private var tracker: FileStats.Tracker = _
+      // per-task key-NDV sketch — the writer sees every key anyway
+      private val ndvSk =
+        if (NdvSketch.trackable(keyType)) Some(NdvSketch.newSketch())
+        else None
 
       private def flush(): Unit = if (sink != null) {
         sink.close()
@@ -2820,12 +2877,14 @@ private[sources] class GraftBucketWriterFactory(
         }
         sink.write(row)
         tracker.update(row)
+        ndvSk.foreach(NdvSketch.update(_, v, keyType))
         rowsInFile += 1
       }
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         flush()
-        GraftBucketCommit(written.result())
+        GraftBucketCommit(written.result(),
+          ndvSk.map(_.toCompactByteArray))
       }
       override def abort(): Unit = if (sink != null) sink.close()
       override def close(): Unit = ()
@@ -3295,9 +3354,15 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     * table was re-bucketed/re-partitioned since this scan resolved it
     * (or the time-travel version predates the change): pruning under
     * the wrong layout silently drops rows, so fail LOUDLY instead. */
+  /** ONE pinned manifest serves keptFiles, the NDV column stats, and
+    * the bloom header — shared resolution, no straddle. */
+  private lazy val pinnedData: Option[BucketedLake.ManifestData] =
+    prePinned.getOrElse(BucketedLake.pinnedManifest(spark, path, asOf))
+  private def pinnedNdv: Map[String, String] =
+    pinnedData.map(_.ndv).getOrElse(Map.empty)
+
   private[sources] lazy val keptFiles: Seq[KeptFile] = {
-    val pinned = prePinned.getOrElse(
-      BucketedLake.pinnedManifest(spark, path, asOf))
+    val pinned = pinnedData
     pinned.flatMap(_.layout).foreach { case (k, n, pc) =>
       require(k == spec.keyCol && n == spec.buckets && pc == spec.partCols,
         s"bucketed table $path layout changed: manifest written under " +
@@ -3409,9 +3474,54 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val rows =
       if (keptFiles.exists(_.rows < 0L)) java.util.OptionalLong.empty()
       else java.util.OptionalLong.of(keptFiles.map(_.rows).sum)
+    // COLUMN statistics for CBO's cardinality estimation: the key's
+    // NDV sketch estimate from the manifest header (nulls rejected at
+    // write, so nullCount = 0), plus EXACT distinct counts for every
+    // partition axis (the dir-value sets the manifest already knows).
+    // transformV2Stats hands these to the optimizer: a GROUP BY key on
+    // a wide-but-low-NDV dimension estimates NDV output rows and the
+    // join above it flips to broadcast on CARDINALITY, not bytes.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (required.fieldNames.contains(spec.keyCol))
+      pinnedNdv.get(spec.keyCol).flatMap(NdvSketch.estimate).foreach { n =>
+        colStats.put(Expressions.column(spec.keyCol),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(math.max(1L, n))
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(0L)
+          })
+      }
+    partAxes.zipWithIndex.foreach { case ((pc, dt), axis) =>
+      if (required.fieldNames.contains(pc)) {
+        val canons = keptFiles.map(k =>
+          k.partBindings.lift(axis).flatMap(_._3))
+        if (canons.nonEmpty && canons.forall(_.isDefined)) {
+          val vals = canons.flatten
+          val nulls = vals.count(_.isEmpty)
+          val distinct = vals.flatten.distinct.size.toLong
+          colStats.put(Expressions.column(pc),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(math.max(1L, distinct))
+              override def nullCount(): java.util.OptionalLong =
+                if (nulls == 0 && keptFiles.forall(_.rows >= 0))
+                  java.util.OptionalLong.of(0L)
+                else java.util.OptionalLong.empty()
+            })
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = bytes
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def description(): String = {

@@ -223,10 +223,19 @@ private[sources] class GraftRowLevelBatchWrite(
     val fresh = BucketedLake.adoptStaged(f, path, messages)
     val replaced = op.replacedRels
     val kept = op.pinned.entries.filterNot(e => replaced.contains(e.rel))
+    // NDV: union the replacement tasks' key sketches in (a MERGE's
+    // inserts may add unseen keys; deletes leave an over-estimate —
+    // HLL cannot subtract, and over is the safe broadcast direction)
+    val taskSketches = messages.toSeq.collect {
+      case GraftBucketCommit(_, Some(b)) => b }
+    val ndvHeader = NdvSketch.unionAll(
+      op.pinned.ndv.get(spec.keyCol).toSeq, taskSketches)
+      .map(b => spec.keyCol -> b).toMap
     BucketedLake.writeManifest(spark, path, kept ++ fresh,
       base = Some(op.baseVersion), txns = op.pinned.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = op.opTag, bloom = op.pinned.bloom): Unit
+      op = op.opTag, bloom = op.pinned.bloom,
+      ndv = if (ndvHeader.nonEmpty) ndvHeader else op.pinned.ndv): Unit
     f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 }
