@@ -90,3 +90,62 @@ object IcebergPartitionFunctions {
   def icebergBucket(c: Column, n: Int): Column =
     call_function("iceberg_bucket", c, lit(n))
 }
+
+/** Quantile rank of `child` among a driver-computed sorted `cuts`
+  * array — the Z-order clustering kernel ([[graft.sources.BucketedLake]]
+  * `cluster()`): binary search as a NATIVE codegen'd expression instead
+  * of a per-row Scala udf, so the maintenance rewrite's one hot loop
+  * stays inside whole-stage codegen. `cuts` elements are
+  * `java.lang.Double` or `UTF8String` (matching the child type after
+  * the caller's cast); a NULL input ranks 0 (the z-curve's low
+  * corner) — output is non-nullable. */
+case class RankInCuts(child: Expression, cuts: Array[AnyRef])
+    extends UnaryExpression {
+  override def prettyName: String = "rank_in_cuts"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName supports double/string, got ${other.simpleString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else child.dataType match {
+      case DoubleType => RankInCuts.rank(cuts, v.asInstanceOf[Double])
+      case _ => RankInCuts.rank(cuts, v.asInstanceOf[UTF8String])
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext,
+                         ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("cuts", cuts, "java.lang.Object[]")
+    ev.copy(code = code"""
+      ${childGen.code}
+      int ${ev.value} = 0;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.RankInCuts.rank($ref, ${childGen.value});
+      }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RankInCuts {
+  def rank(cuts: Array[AnyRef], v: Double): Int =
+    rankRef(cuts, java.lang.Double.valueOf(v))
+  def rank(cuts: Array[AnyRef], v: UTF8String): Int = rankRef(cuts, v)
+  private def rankRef(cuts: Array[AnyRef], v: AnyRef): Int = {
+    val i = java.util.Arrays.binarySearch(
+      cuts.asInstanceOf[Array[AnyRef]], v)
+    if (i >= 0) i + 1 else -(i + 1)
+  }
+}

@@ -1297,28 +1297,45 @@ object BucketedLake {
     val bits = math.max(1, math.min(12, 63 / m))
     val levels = 1 << bits
     val probs = (1 until levels).map(_.toDouble / levels).toArray
+    // rank lookup is [[graft.functions.RankInCuts]] — a codegen'd
+    // binary search over the driver-computed cut points, NOT a Scala
+    // udf: the one per-row hot loop of the maintenance rewrite stays
+    // inside whole-stage codegen
+    def rankCol(child: Column, cuts: Array[AnyRef]): Column =
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.functions.RankInCuts(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(child),
+          cuts))
     val ranks: Seq[Column] = cols.map { c =>
       schema(c).dataType match {
         case StringType =>
           val frac =
             if (totalRows <= 0L) 1.0
             else math.min(1.0, 100000.0 / totalRows.toDouble)
-          val sampled = df.select(col(c)).na.drop()
+          // sample capped by BYTES too: long string values could turn
+          // a 100k-row sample into GBs on the driver — truncating each
+          // sampled value to a 64-byte prefix keeps cut points small
+          // while preserving their ordering role (ranking by prefix is
+          // still a total preorder; files just share windows when
+          // values collide past 64 bytes)
+          val sampled = df.select(substring(col(c), 1, 64)).na.drop()
             .sample(withReplacement = false, frac, seed = 42L)
-            .collect().map(_.getString(0)).sorted
-          val cuts: Array[String] =
-            if (sampled.isEmpty) Array.empty
-            else probs.map(p => sampled(
-              math.min(sampled.length - 1, (p * sampled.length).toInt)))
-              .distinct.sorted
-          val b = df.sparkSession.sparkContext.broadcast(cuts)
-          val u = udf((v: String) =>
-            if (v == null) 0 else {
-              val i = java.util.Arrays.binarySearch(
-                b.value.asInstanceOf[Array[AnyRef]], v)
-              if (i >= 0) i + 1 else -(i + 1)
-            })
-          u(col(c))
+            .collect().map(_.getString(0))
+          val cutsU: Array[AnyRef] = {
+            val u = sampled.map(org.apache.spark.unsafe.types.UTF8String
+              .fromString): Array[AnyRef]
+            // sort in UTF8String's own (binary) order — the SAME
+            // comparator the expression's binary search uses
+            java.util.Arrays.sort(u)
+            if (u.isEmpty) Array.empty[AnyRef]
+            else {
+              val picked = probs.map(p => u(
+                math.min(u.length - 1, (p * u.length).toInt))).distinct
+              java.util.Arrays.sort(picked)
+              picked
+            }
+          }
+          rankCol(substring(col(c), 1, 64), cutsU)
         case dt =>
           val asD: Column = dt match {
             case DateType => unix_date(col(c)).cast("double")
@@ -1328,13 +1345,8 @@ object BucketedLake {
           val named = df.select(asD.as("__zc")).na.drop()
           val cuts = named.stat.approxQuantile("__zc", probs, 0.01)
             .distinct.sorted
-          val b = df.sparkSession.sparkContext.broadcast(cuts)
-          val u = udf((v: java.lang.Double) =>
-            if (v == null) 0 else {
-              val i = java.util.Arrays.binarySearch(b.value, v.doubleValue)
-              if (i >= 0) i + 1 else -(i + 1)
-            })
-          u(asD)
+          rankCol(asD,
+            cuts.map(java.lang.Double.valueOf): Array[AnyRef])
       }
     }
     var z: Column = lit(0L)
