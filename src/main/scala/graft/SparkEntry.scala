@@ -1688,9 +1688,8 @@ object SparkEntry {
         (col("o_totalprice") + 1000.0).as("o_totalprice"))
       graft.sink.HudiMorWrite.appendLog(updates, root, "part=0", "fg1", t1, t2)
       val doomed = base.where(col("o_orderkey") % 7 === 0)
-        .select("_hoodie_record_key").collect()
-        .map(r => (r.getString(0), "part=0")).toSeq
-      graft.sink.HudiMorWrite.appendDeleteLog(s, doomed, root, "part=0",
+        .select("_hoodie_record_key")
+      graft.sink.HudiMorWrite.appendDeleteLog(doomed, root, "part=0",
         "fg1", t1, t3)
       graft.sources.HudiRead.snapshot(s, root)
         .groupBy("o_orderstatus")
@@ -1791,9 +1790,8 @@ object SparkEntry {
         (col("o_totalprice") + 1000.0).as("o_totalprice"))
       graft.sink.HudiMorWrite.appendLog(updates, root, "part=0", "fg1", t1, t2)
       val doomed = base.where(col("o_orderkey") % 7 === 0)
-        .select("_hoodie_record_key").collect()
-        .map(r => (r.getString(0), "part=0")).toSeq
-      graft.sink.HudiMorWrite.appendDeleteLog(s, doomed, root, "part=0",
+        .select("_hoodie_record_key")
+      graft.sink.HudiMorWrite.appendDeleteLog(doomed, root, "part=0",
         "fg1", t1, t3)
       graft.sink.HudiCompact.compact(s, root, t4)
       graft.sources.HudiRead.snapshot(s, root)

@@ -151,8 +151,13 @@ object HudiMorWrite {
   /** Append a DELETE block (0.9-vintage Kryo `HoodieKey[]` payload,
     * [[HudiLogFormat.deleteBlock]]) on `fileId`'s log stream: hard-deletes
     * the given record keys at `instant` — the second way Hudi expresses
-    * row deletes next to `_hoodie_is_deleted` payloads. */
-  def appendDeleteLog(spark: SparkSession, keys: Seq[(String, String)],
+    * row deletes next to `_hoodie_is_deleted` payloads. FIXTURE-SCOPE
+    * ONLY (hence `private[graft]`): the driver-side `Seq` invites a
+    * `collect()` at the call site; the production spelling is the
+    * [[appendDeleteLog(keys:org\.apache\.spark\.sql\.DataFrame*
+    * DataFrame overload]], which never moves keys through the driver. */
+  private[graft] def appendDeleteLog(spark: SparkSession,
+                      keys: Seq[(String, String)],
                       table: String, partition: String, fileId: String,
                       baseInstant: String, instant: String,
                       logVersion: Int = 2): Unit = {
@@ -160,6 +165,54 @@ object HudiMorWrite {
       logVersion, HudiLogFormat.deleteBlock(instant, keys))
     completeInstant(spark, table, instant, "deltacommit", Seq(stat))
   }
+
+  /** DataFrame spelling of the delete block — the at-scale path:
+    * `keys` (ONE string column of record keys) never moves through the
+    * driver; a single task folds them into the block and writes the
+    * log file EXECUTOR-side (a delete block is one contiguous region,
+    * so one writer per block is the format's own unit — key volume is
+    * bounded by block size, not by driver memory), and the driver only
+    * completes the instant with the returned stat. */
+  def appendDeleteLog(keys: DataFrame, table: String, partition: String,
+                      fileId: String, baseInstant: String, instant: String,
+                      logVersion: Int): Unit = {
+    val spark = keys.sparkSession
+    require(keys.schema.fields.length == 1 &&
+      keys.schema.fields(0).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"keys must be one string column, got ${keys.schema.simpleString}")
+    val name = s".${fileId}_$baseInstant.log.${logVersion}_0-1-2"
+    val rel = if (partition.isEmpty) name else s"$partition/$name"
+    import scala.jdk.CollectionConverters._
+    val props = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray)
+    val abs = new Path(table, rel).toString
+    val sizes = keys.na.drop().coalesce(1).rdd.mapPartitions { it =>
+      val ks = it.map(r => (r.getString(0), partition)).toSeq
+      if (ks.isEmpty) Iterator.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        props.value.foreach { case (k, v) => conf.set(k, v) }
+        val p = new Path(abs)
+        val f = p.getFileSystem(conf)
+        val out = new java.io.DataOutputStream(f.create(p, true))
+        try HudiLogFormat.writeBlock(out,
+          HudiLogFormat.deleteBlock(instant, ks))
+        finally out.close()
+        Iterator.single(f.getFileStatus(p).getLen)
+      }
+    }.collect() // bounded: one file length
+    if (sizes.isEmpty) return // empty batch: no block, no instant
+    completeInstant(spark, table, instant, "deltacommit",
+      Seq(WriteStat(partition, fileId, rel, sizes.head)))
+  }
+
+  def appendDeleteLog(keys: DataFrame, table: String, partition: String,
+                      fileId: String, baseInstant: String,
+                      instant: String): Unit =
+    appendDeleteLog(keys, table, partition, fileId, baseInstant, instant,
+      logVersion = 2)
 
   /** One DELTA COMMIT appending each touched partition's rows as ONE
     * Avro log block on that partition's file group, written EXECUTOR-
