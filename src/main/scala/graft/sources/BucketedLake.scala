@@ -1910,9 +1910,13 @@ object BucketedLake {
     // over-estimate, the safe direction for a broadcast decision)
     val mergedNdv: Map[String, String] =
       NdvSketch.sketchColumn(upserts, key) match {
-        case Some(up) => Map(key -> NdvSketch.unionAll(
-          m.ndv.get(key).toSeq :+ up, Nil).get)
-        case None => m.ndv
+        // coverage guard: an upserts-only sketch atop unsketched
+        // history would under-estimate — publish only when the prior
+        // header exists (or the table had no rows to miss)
+        case Some(up) if m.ndv.contains(key) || m.entries.isEmpty =>
+          Map(key -> NdvSketch.unionAll(
+            m.ndv.get(key).toSeq :+ up, Nil).get)
+        case _ => m.ndv
       }
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
@@ -2737,8 +2741,15 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
       val priorNdv =
         if (scope == ReplaceScope.Truncate) None
         else full.flatMap(_.ndv.get(spec.keyCol))
-      val ndvHeader = NdvSketch.unionAll(priorNdv.toSeq, taskSketches)
-        .map(b => spec.keyCol -> b).toMap
+      // a non-truncate overwrite atop unsketched history cannot claim
+      // coverage of the kept files' keys — stay silent rather than
+      // under-estimate
+      val covered = scope == ReplaceScope.Truncate || old.isEmpty ||
+        priorNdv.isDefined
+      val ndvHeader =
+        if (!covered) Map.empty[String, String]
+        else NdvSketch.unionAll(priorNdv.toSeq, taskSketches)
+          .map(b => spec.keyCol -> b).toMap
       BucketedLake.writeManifest(spark, path, kept ++ freshEntries,
         base = baseOpt.map(identity), txns = priorTxns ++ txnUpdate,
         layout = layout,
@@ -2785,9 +2796,17 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
           try {
             val taskSketches = messages.toSeq.collect {
               case GraftBucketCommit(_, Some(b)) => b }
-            val ndvHeader = NdvSketch.unionAll(
-              full.flatMap(_.ndv.get(spec.keyCol)).toSeq, taskSketches)
-              .map(b => spec.keyCol -> b).toMap
+            // publish only when the union covers EVERY live key: prior
+            // header present, or the table was empty before this
+            // commit — a tasks-only sketch atop unsketched history
+            // would UNDER-estimate, the unsafe broadcast direction
+            val covered = existing.isEmpty ||
+              full.exists(_.ndv.contains(spec.keyCol))
+            val ndvHeader =
+              if (!covered) Map.empty[String, String]
+              else NdvSketch.unionAll(
+                full.flatMap(_.ndv.get(spec.keyCol)).toSeq, taskSketches)
+                .map(b => spec.keyCol -> b).toMap
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
               priorTxns ++ txnUpdate, layout, op = "append",

@@ -228,9 +228,15 @@ private[sources] class GraftRowLevelBatchWrite(
     // HLL cannot subtract, and over is the safe broadcast direction)
     val taskSketches = messages.toSeq.collect {
       case GraftBucketCommit(_, Some(b)) => b }
-    val ndvHeader = NdvSketch.unionAll(
-      op.pinned.ndv.get(spec.keyCol).toSeq, taskSketches)
-      .map(b => spec.keyCol -> b).toMap
+    // publish only when coverage holds (prior header, or the whole
+    // table was rewritten): a tasks-only sketch atop unsketched kept
+    // files would UNDER-estimate, the unsafe broadcast direction
+    val covered = kept.isEmpty || op.pinned.ndv.contains(spec.keyCol)
+    val ndvHeader =
+      if (!covered) Map.empty[String, String]
+      else NdvSketch.unionAll(
+        op.pinned.ndv.get(spec.keyCol).toSeq, taskSketches)
+        .map(b => spec.keyCol -> b).toMap
     BucketedLake.writeManifest(spark, path, kept ++ fresh,
       base = Some(op.baseVersion), txns = op.pinned.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
