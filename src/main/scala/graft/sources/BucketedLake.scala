@@ -1905,18 +1905,23 @@ object BucketedLake {
     // ---- commit: manifest flip, then publish the change files -------
     val removedRels = rewriteEntries.map(_.rel).toSet
     val kept = m.entries.filterNot(e => removedRels.contains(e.rel))
-    // NDV carry + union with the upsert batch's keys (inserts may add
-    // keys the sketch has never seen; HLL cannot subtract the deletes —
-    // over-estimate, the safe direction for a broadcast decision)
+    // NDV carry + union with the REWRITTEN FILES' keys: fresh files
+    // hold carried ∪ upserted rows and carried ⊆ prior, so
+    // prior ∪ fresh-keys = prior ∪ upsert-keys exactly — and sketching
+    // the just-written files (column-pruned read) never re-executes
+    // the caller's upserts plan. Deletes leave an over-estimate (HLL
+    // cannot subtract) — the safe direction for a broadcast decision.
+    // Coverage guard: only publish atop an existing header (or an
+    // empty table) — a batch-only sketch would under-estimate.
     val mergedNdv: Map[String, String] =
-      NdvSketch.sketchColumn(upserts, key) match {
-        // coverage guard: an upserts-only sketch atop unsketched
-        // history would under-estimate — publish only when the prior
-        // header exists (or the table had no rows to miss)
-        case Some(up) if m.ndv.contains(key) || m.entries.isEmpty =>
-          Map(key -> NdvSketch.unionAll(
-            m.ndv.get(key).toSeq :+ up, Nil).get)
-        case _ => m.ndv
+      if (!(m.ndv.contains(key) || m.entries.isEmpty) || moved.isEmpty)
+        m.ndv
+      else NdvSketch.sketchColumn(
+        spark.read.schema(StructType(Seq(spec.schema(key))))
+          .parquet(moved.map(_._2): _*), key) match {
+        case Some(fresh) => Map(key -> NdvSketch.unionAll(
+          m.ndv.get(key).toSeq :+ fresh, Nil).get)
+        case None => m.ndv
       }
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
