@@ -558,6 +558,44 @@ object BucketedLake {
     top
   }
 
+  /** (Re)build the key-NDV header from the CURRENT snapshot
+    * ([[NdvSketch]]): ONE column-pruned executor scan of the live
+    * files, one OCC-gated header-only commit. Two jobs it does that
+    * the incremental folds cannot: it BOOTSTRAPS tables whose history
+    * predates the header (the commit paths stay silent there rather
+    * than under-estimate), and it TIGHTENS the running over-estimate
+    * back to exact-live after heavy deletes (HLL cannot subtract, but
+    * a fresh scan of what survives can). SQL spelling:
+    * `CALL cat.system.analyze('<path>')`. Returns the estimate. */
+  def analyzeNdv(spark: SparkSession, path: String): Long = {
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val base = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"analyze requires an MVCC manifest at $path — run compact() " +
+          "once to upgrade a legacy table"))
+    val full = readManifestFull(spark, path, Some(base)).get
+    val sketch: Option[String] =
+      if (full.entries.isEmpty) Some(NdvSketch.toB64(NdvSketch.newSketch()))
+      else NdvSketch.sketchColumn(
+        spark.read.schema(StructType(Seq(spec.schema(spec.keyCol))))
+          .parquet(full.entries.map(e => s"$path/${e.rel}"): _*),
+        spec.keyCol)
+    sketch match {
+      case Some(b) =>
+        writeManifest(spark, path, full.entries, base = Some(base),
+          txns = full.txns,
+          layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
+          op = "compact", bloom = full.bloom,
+          ndv = Map(spec.keyCol -> b)): Unit
+        NdvSketch.estimate(b).getOrElse(0L)
+      case None => throw new IllegalArgumentException(
+        s"key '${spec.keyCol}' " +
+          s"(${spec.schema(spec.keyCol).dataType.simpleString}) is not " +
+          "NDV-trackable")
+    }
+  }
+
   /** Default retention: 7 days (Delta VACUUM's default) — an in-flight
     * reader pinned to a just-superseded version keeps its files as long
     * as the retention covers the longest scan. `minAgeMs = 0` is the

@@ -34,7 +34,7 @@ object BucketedProcedures {
   def namespaceOk(ns: Array[String]): Boolean = ns.sameElements(Namespace)
 
   val names: Seq[String] = Seq("compact", "cluster", "build_bloom_index",
-    "vacuum", "repair")
+    "vacuum", "repair", "analyze")
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(CompactProc)
@@ -42,6 +42,7 @@ object BucketedProcedures {
     case "build_bloom_index" => Some(BloomProc)
     case "vacuum" => Some(VacuumProc)
     case "repair" => Some(RepairProc)
+    case "analyze" => Some(AnalyzeProc)
     case _ => None
   }
 
@@ -153,6 +154,18 @@ object BucketedProcedures {
     override protected def run(spark: SparkSession, input: InternalRow)
         : Array[InternalRow] =
       Array(InternalRow(BucketedLake.repair(spark, str(input, 0))))
+  }
+
+  private object AnalyzeProc extends MaintenanceProc("analyze",
+    Array(in("table", StringType)),
+    new StructType().add("ndv", LongType, nullable = false)) {
+    override def description(): String =
+      "(Re)build the key-NDV statistics header from the current " +
+        "snapshot (bootstraps pre-header tables; tightens the " +
+        "estimate back to exact-live after heavy deletes)"
+    override protected def run(spark: SparkSession, input: InternalRow)
+        : Array[InternalRow] =
+      Array(InternalRow(BucketedLake.analyzeNdv(spark, str(input, 0))))
   }
 
   private object VacuumProc extends MaintenanceProc("vacuum",

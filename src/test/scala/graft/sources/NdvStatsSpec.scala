@@ -134,6 +134,39 @@ class NdvStatsSpec extends SparkSuite {
     assert(ndvOf(path).get === 12L)
   }
 
+  test("CALL analyze bootstraps pre-header tables and tightens after deletes") {
+    val path = tmp("ndv-analyze")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftBucketCatalog].getName)
+    BucketedLake.write((1L to 400L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 4)
+    // simulate unsketched history: strip the header, then append — the
+    // coverage guard keeps the commit silent (publishing tasks-only
+    // would under-estimate)
+    val m = BucketedLake.readManifestFull(spark, path).get
+    BucketedLake.writeManifest(spark, path, m.entries,
+      base = BucketedLake.currentVersion(spark, path), txns = m.txns,
+      layout = m.layout, op = "compact", bloom = m.bloom): Unit
+    (401L to 450L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append()
+    assert(BucketedLake.readManifestFull(spark, path).get.ndv.isEmpty,
+      "append atop unsketched history must stay silent")
+    // analyze bootstraps from the live snapshot
+    val est = spark.sql(s"CALL $cat.system.analyze('$path')")
+      .head().getLong(0)
+    // ~1.6% HLL error at this cardinality (449-451 observed)
+    assert(math.abs(est - 450L) <= 9L, s"est=$est")
+    assert(math.abs(ndvOf(path).get - 450L) <= 9L)
+    // after a delete, the running header over-estimates; analyze
+    // tightens back to exact-live
+    BucketedLake.deleteWhere(spark, path, col("k") <= 300L): Unit
+    assert(math.abs(ndvOf(path).get - 450L) <= 9L,
+      "carried header over-estimates")
+    val tightened = BucketedLake.analyzeNdv(spark, path)
+    assert(math.abs(tightened - 150L) <= 3L, s"tightened=$tightened")
+    assert(math.abs(ndvOf(path).get - 150L) <= 3L)
+  }
+
   test("partition-axis distinctCount is exact from the manifest; scan reports columnStats") {
     val path = tmp("ndv-part")
     val d = java.sql.Date.valueOf("2024-01-01")
