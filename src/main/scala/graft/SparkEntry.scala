@@ -2290,6 +2290,23 @@ object SparkEntry {
         FROM graft_delta('$root')""")
     }),
 
+    /** Table-summary TVF (`graft_bucketed_stats` —
+      * [[graft.sources.BucketedLake.stats]], DESCRIBE DETAIL shape):
+      * ONE metadata row — layout, live totals, key-NDV — from one
+      * manifest read, zero data IO. The oracle recomputes the row
+      * count for real, so the manifest totals (and write-time row
+      * accounting) are certified, not self-reported. */
+    "lake_sql_stats_tvf" -> ((s, d) => {
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      val root = lakeTmp(d, "statstvf")
+      graft.sources.BucketedLake.write(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        s"$root/orders", "o_orderkey", 8)
+      s.sql(s"""SELECT key, buckets, partition_cols,
+        files > 0 AS has_files, rows
+        FROM graft_bucketed_stats('$root/orders')""")
+    }),
+
     /** Data-quality EXPECTATIONS metrics ([[graft.ops.Expectations
       * .metrics]] — the DLT `expect` contract): per-rule violation
       * counts over lineitem in ONE map-side aggregate (job-count
@@ -5303,6 +5320,11 @@ object SparkEntry {
         ('00000000000000003', 'commit', 'completed'))
         AS t(instant, action, state)
       ORDER BY instant""",
+
+    "lake_sql_stats_tvf" -> """
+      SELECT 'o_orderkey' AS key, 8 AS buckets, '' AS partition_cols,
+             TRUE AS has_files, COUNT(*) AS rows
+      FROM orders""",
 
     "lake_sql_tvf" -> """
       SELECT count(*) AS n,

@@ -95,6 +95,13 @@ object LakeTableFunctions {
           .create(graft.sources.BucketedLake.tableFor(
             SparkSession.active, str(args.head),
             asOf = args.lift(1).map(a => num(a))), None, None)),
+    // ONE-ROW table summary (DESCRIBE DETAIL shape): layout, live
+    // totals, key-NDV estimate, bloom coverage — pure metadata
+    (FunctionIdentifier("graft_bucketed_stats"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed_stats"),
+      (args: Seq[Expression]) => plan(graft.sources.BucketedLake
+        .stats(SparkSession.active, str(args.head),
+          args.lift(1).map(num)))),
     // bucketed-lake retained history: one row per manifest version
     // (version, operation, files, rows, bytes, txn_watermarks) —
     // inspect the MVCC timeline before vacuuming or time-traveling

@@ -1616,6 +1616,33 @@ object BucketedLake {
     * (one manifest read per retained version); the SQL spelling is
     * `graft_bucketed_history('/p')` — operators at 100 TB inspect the
     * timeline before they vacuum or time-travel. */
+  /** ONE-ROW table summary (DESCRIBE DETAIL shape): layout (key,
+    * buckets, partition axes, sorted claim), live file/row/byte
+    * totals, the key's NDV estimate ([[NdvSketch]] header; null when
+    * the table predates it — `CALL system.analyze` bootstraps), and
+    * the bloom-indexed sidecar rel. Pure metadata: one pointer
+    * resolution + one manifest read, zero data IO at any table size.
+    * SQL: `graft_bucketed_stats('/p'[, version])`. */
+  def stats(spark: SparkSession, path: String,
+            asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val spec = readSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no bucketed table at $path"))
+    val v = asOf.orElse(currentVersion(spark, path))
+    val m = readManifestFull(spark, path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no bucketed-lake manifest at $path"))
+    Seq((v.getOrElse(0L), spec.keyCol, spec.buckets,
+      spec.partCols.mkString(","), spec.sorted,
+      m.entries.size.toLong, m.entries.map(_.rows).sum,
+      m.entries.map(_.size).sum,
+      m.ndv.get(spec.keyCol).flatMap(NdvSketch.estimate)
+        .map(java.lang.Long.valueOf).orNull,
+      m.bloom.orNull))
+      .toDF("version", "key", "buckets", "partition_cols", "sorted",
+        "files", "rows", "bytes", "key_ndv", "bloom_index")
+  }
+
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = new Path(path).getFileSystem(

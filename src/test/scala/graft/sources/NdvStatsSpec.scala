@@ -167,6 +167,31 @@ class NdvStatsSpec extends SparkSuite {
     assert(math.abs(ndvOf(path).get - 150L) <= 3L)
   }
 
+  test("graft_bucketed_stats TVF: one metadata row with layout, totals, NDV, bloom") {
+    val path = tmp("ndv-stats")
+    graft.functions.LakeTableFunctions.ensureRegistered(spark)
+    BucketedLake.write(
+      (1L to 250L).map(i => (i, java.sql.Date.valueOf("2024-01-01"), i))
+        .toDF("k", "dt", "v"),
+      path, "k", 4, partitionCol = Some("dt"))
+    BucketedLake.buildBloomIndex(spark, path, Seq("v")): Unit
+    val r = spark.sql(s"SELECT * FROM graft_bucketed_stats('$path')").head()
+    assert(r.getAs[String]("key") === "k")
+    assert(r.getAs[Int]("buckets") === 4)
+    assert(r.getAs[String]("partition_cols") === "dt")
+    assert(r.getAs[Long]("rows") === 250L)
+    assert(r.getAs[Long]("files") > 0L)
+    assert(math.abs(r.getAs[Long]("key_ndv") - 250L) <= 5L)
+    assert(r.getAs[String]("bloom_index").startsWith("_index/bloom/"))
+    // a pre-NDV snapshot reports null, not a guess
+    val m = BucketedLake.readManifestFull(spark, path).get
+    BucketedLake.writeManifest(spark, path, m.entries,
+      base = BucketedLake.currentVersion(spark, path), txns = m.txns,
+      layout = m.layout, op = "compact", bloom = m.bloom): Unit
+    val r2 = spark.sql(s"SELECT * FROM graft_bucketed_stats('$path')").head()
+    assert(r2.isNullAt(r2.fieldIndex("key_ndv")))
+  }
+
   test("partition-axis distinctCount is exact from the manifest; scan reports columnStats") {
     val path = tmp("ndv-part")
     val d = java.sql.Date.valueOf("2024-01-01")
