@@ -146,6 +146,41 @@ class BucketedRowLevelSpec extends SparkSuite {
     assert(table(path).count() === 30L)
   }
 
+  test("SQL UPDATE on a composite-partitioned table rewrites only the matching group") {
+    val path = tmp("bkr-comp")
+    val d1 = Date.valueOf("2024-01-01"); val d2 = Date.valueOf("2024-01-02")
+    BucketedLake.write(
+      (1L to 400L).map(i =>
+        (i, Seq(d1, d2)((i % 2L).toInt), Seq("EU", "US")((i % 4L / 2L).toInt),
+          i))
+        .toDF("k", "dt", "region", "v"),
+      path, "k", 4, partitionCols = Seq("dt", "region"))
+    val before = rels(path)
+    assert(before.size > 4, s"expected many groups, got ${before.size}")
+    // k = 6: 6%2=0 -> d1; 6%4/2=1 -> US; one key, one (dt,region,bucket)
+    spark.sql(s"UPDATE $cat.`$path` SET v = 9999 WHERE k = 6")
+    assert(table(path).where($"k" === 6).select("v").head().getLong(0)
+      === 9999L)
+    assert(table(path).count() === 400L)
+    val after = rels(path)
+    val removed = before.diff(after)
+    assert(removed.size === 1, s"one group out, got $removed")
+    assert(removed.forall(r => r.contains("__part=2024-01-01/") &&
+      r.contains("__part2=US/")),
+      s"wrong group rewritten: $removed")
+    val added = after.diff(before)
+    assert(added.forall(r => r.contains("__part=2024-01-01/") &&
+      r.contains("__part2=US/")),
+      s"replacement landed outside the group: $added")
+    // cross-axis row-level DELETE composes with the rewrite too
+    spark.sql(
+      s"DELETE FROM $cat.`$path` WHERE region = 'EU' AND v % 10 = 3")
+    assert(table(path).where($"region" === "EU" && $"v" % 10 === 3)
+      .count() === 0L)
+    assert(table(path).where($"region" === "US").count() === 200L,
+      "the US axis must be untouched")
+  }
+
   test("MERGE conflicts loudly with a concurrent commit (OCC)") {
     val path = tmp("bkr-occ")
     BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
