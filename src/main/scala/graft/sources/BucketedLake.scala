@@ -2142,10 +2142,53 @@ class GraftBucketCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
+  /** SQL TIME TRAVEL — `SELECT ... FROM cat.`/p` VERSION AS OF <v>`:
+    * pin the scan to a retained MVCC manifest version (the same
+    * snapshot surface [[BucketedLake.tableFor]] and the `graft_bucketed`
+    * TVF expose). Missing/vacuumed versions fail loudly with the
+    * retained list. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val path = (ident.namespace() :+ ident.name()).mkString("/")
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF on $path takes a numeric manifest version, " +
+          s"got '$version'"))
+    val spec = BucketedLake.readSpec(spark, path).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    // loud existence check NOW (analysis time), not at first scan
+    BucketedLake.readManifestFull(spark, path, Some(v)): Unit
+    new GraftBucketedTable(spark, path, spec, asOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` (micros): the newest version whose COMMIT
+    * (manifest mtime ≈ pointer-flip time) is at or before `t` — the
+    * Delta/Iceberg timestamp-travel convention. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val spark = SparkSession.active
+    val path = (ident.namespace() :+ ident.name()).mkString("/")
+    val spec = BucketedLake.readSpec(spark, path).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val horizonMs = timestampMicros / 1000L
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val eligible = BucketedLake.versions(spark, path).filter { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(path,
+        BucketedLake.versionedManifest(v))).getModificationTime <= horizonMs
+    }
+    require(eligible.nonEmpty,
+      s"TIMESTAMP AS OF on $path: no retained version committed at or " +
+        s"before ${java.time.Instant.ofEpochMilli(horizonMs)} — retained: " +
+        s"${BucketedLake.versions(spark, path).mkString(", ")}")
+    new GraftBucketedTable(spark, path, spec, asOf = Some(eligible.max))
+  }
+
   /** SQL DDL: `CREATE TABLE cat.`/path` (...) PARTITIONED BY
-    * ([partCol,] bucket(n, key))` — the bucket transform is required
-    * (it IS the layout); at most one identity transform adds the
-    * partition axis. */
+    * ([cols...,] bucket(n, key))` — the bucket transform is required
+    * (it IS the layout); every identity transform adds a composite
+    * partition axis, in PARTITIONED BY order. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

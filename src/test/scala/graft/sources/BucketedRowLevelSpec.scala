@@ -181,6 +181,39 @@ class BucketedRowLevelSpec extends SparkSuite {
       "the US axis must be untouched")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF pin retained snapshots") {
+    val path = tmp("bkr-tt")
+    BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, "k", 2) // v1
+    Thread.sleep(1100) // mtime resolution guard for the timestamp leg
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(1100)
+    (101L to 150L).map(i => (i, i)).toDF("k", "v")
+      .writeTo(s"$cat.`$path`").append() // v2
+    assert(table(path).count() === 150L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$path` VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$path` VERSION AS OF 2")
+      .head().getLong(0) === 150L)
+    // timestamp between the commits resolves to v1
+    val ts = java.time.Instant.ofEpochMilli(betweenMicros / 1000L)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.`$path` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0) === 100L)
+    // a missing version fails loudly at analysis, naming the retained set
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.`$path` VERSION AS OF 99").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("99")), msgs(e))
+    // a snapshot refuses writes
+    val e2 = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.`$path` VERSION AS OF 1 WHERE k = 1"))
+    assert(e2 != null)
+  }
+
   test("MERGE conflicts loudly with a concurrent commit (OCC)") {
     val path = tmp("bkr-occ")
     BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
