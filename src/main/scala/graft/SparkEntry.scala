@@ -2853,17 +2853,19 @@ object SparkEntry {
         classOf[graft.sources.GraftBucketCatalog].getName)
       graft.sources.BucketedLake.write(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderstatus"),
           col("o_orderdate").cast("date").as("o_orderdate")),
         s"$root/orders", "o_custkey", 8,
         partitionCol = Some("o_orderpriority"))
       s.sql(s"""
         SELECT o_orderpriority, n, CAST(lo_dt AS STRING) AS lo_dt,
-               CAST(hi_dt AS STRING) AS hi_dt, lo_p, hi_p
+               CAST(hi_dt AS STRING) AS hi_dt, lo_p, hi_p, lo_st,
+               hi_st
         FROM (
           SELECT o_orderpriority, COUNT(*) AS n,
                  MIN(o_orderdate) AS lo_dt, MAX(o_orderdate) AS hi_dt,
-                 MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+                 MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p,
+                 MIN(o_orderstatus) AS lo_st, MAX(o_orderstatus) AS hi_st
           FROM graft_bk.`$root/orders`
           GROUP BY o_orderpriority)
         ORDER BY o_orderpriority""")
@@ -5557,11 +5559,14 @@ object SparkEntry {
         AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'""",
 
     // the metadata-priced aggregate must equal the full recompute
+    // string MIN/MAX (o_orderstatus) prices from the manifest: the
+    // writer's own windows are EXACT (attained ASCII values)
     "lake_bucketed_minmax" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
              CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS lo_dt,
              CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS hi_dt,
-             MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p
+             MIN(o_totalprice) AS lo_p, MAX(o_totalprice) AS hi_p,
+             MIN(o_orderstatus) AS lo_st, MAX(o_orderstatus) AS hi_st
       FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the TVF + auto-broadcast + dynamic-pruning spelling must equal

@@ -759,7 +759,8 @@ object BucketedLake {
     * ([[FileStats.fromFooter]]) — data skipping costs no extra IO. */
   private[graft] def footerSweepFiles(spark: SparkSession,
                                       listed: Seq[(Int, String, Long, String)],
-                                      statsSchema: Option[StructType] = None)
+                                      statsSchema: Option[StructType] = None,
+                                      trusted: Boolean = false)
       : Seq[ManifestEntry] = {
     if (listed.isEmpty) return Nil
     import scala.jdk.CollectionConverters._
@@ -778,7 +779,8 @@ object BucketedLake {
         val (rows, stats) = try {
           (r.getRecordCount,
             statsSchema.flatMap(s =>
-              FileStats.encode(FileStats.fromFooter(r.getFooter, s))))
+              FileStats.encode(FileStats.fromFooter(r.getFooter, s,
+                trusted))))
         } finally r.close()
         ManifestEntry(b, rows, size, rel, stats)
       }.collect().toSeq
@@ -994,7 +996,7 @@ object BucketedLake {
           .parquet(moved.map(_._2): _*), keyCol)
         .map(b => keyCol -> b).toMap
     writeManifest(spark, path,
-      footerSweepFiles(spark, moved, Some(df.schema)),
+      footerSweepFiles(spark, moved, Some(df.schema), trusted = true),
       txns = readTxns(spark, path),
       layout = Some((keyCol, buckets, pcols)), op = "replace",
       ndv = ndvHeader): Unit
@@ -1303,7 +1305,8 @@ object BucketedLake {
     stageComposite(routed, spec.partCols, nGroups, Seq(order), staging,
       maxRowsPerFile = Some(maxRowsPerFile))
     val moved = moveStagedIntoLayout(spark, path, staging, "cluster")
-    val fresh = footerSweepFiles(spark, moved, Some(spec.schema))
+    val fresh = footerSweepFiles(spark, moved, Some(spec.schema),
+      trusted = true)
     // the rewrite preserves rows — a count mismatch means a racing
     // writer or a broken read; fail BEFORE publishing anything
     require(fresh.iterator.map(_.rows).sum ==
@@ -1939,7 +1942,8 @@ object BucketedLake {
     stageComposite(routed, spec.partCols, groupCount, Seq(col(key)),
       staging)
     val moved = moveStagedIntoLayout(spark, path, staging, "merge")
-    val freshEntries = footerSweepFiles(spark, moved, Some(spec.schema))
+    val freshEntries = footerSweepFiles(spark, moved, Some(spec.schema),
+      trusted = true)
 
     // ---- the PRECISE change feed (Delta-CDF shape), staged ----------
     val keyClass = upK.withColumn("__cls", lit("u"))
@@ -3172,10 +3176,10 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
     final case class EdgePlan(render: String, col: String, dt: DataType,
                               wantLo: Boolean)
         extends AggPlan { val nullable = true }
-    val minMaxOk: DataType => Boolean = {
-      case StringType => false // foreign footer stats may be truncated
-      case dt => FileStats.trackable(dt)
-    }
+    // strings are admitted HERE but gated per-entry in the fold: only
+    // EXACT (writer-tracked) windows may answer MIN/MAX — a foreign
+    // footer's binary stats are bounds, not necessarily values
+    val minMaxOk: DataType => Boolean = FileStats.trackable
     // COUNT(DISTINCT <partition col>): the distinct set IS the set of
     // partition-dir values — exact from the manifest alone when every
     // file's dir decodes (nulls excluded per SQL COUNT semantics)
@@ -3315,6 +3319,10 @@ private[sources] class GraftBucketScanBuilder(spark: SparkSession, path: String,
           var best: Option[Any] = None
           es.foreach { case (e, st) =>
             val cs = st.getOrElse(c, return None)
+            // string MIN/MAX needs ATTAINED edges: decline on any
+            // footer-derived (inexact) window
+            if (dt == StringType && !cs.exact &&
+                (cs.lo.nonEmpty || cs.hi.nonEmpty)) return None
             (if (wantLo) cs.lo else cs.hi) match {
               case Some(v) =>
                 if (best.isEmpty || PartPruning.cmpCanonical(v, best.get)

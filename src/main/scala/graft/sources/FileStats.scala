@@ -37,9 +37,13 @@ object FileStats {
 
   /** One column's per-file window: `lo`/`hi` in canonical space
     * (absent = the file holds no non-null value), `nulls` (absent =
-    * unknown). */
+    * unknown), and `exact` — true iff the window edges are ATTAINED
+    * values a writer actually saw ([[Tracker]]); footer-derived
+    * windows stay false (a foreign parquet file's binary stats may be
+    * truncated: valid BOUNDS for skipping, not values — the
+    * MIN/MAX-aggregate pushdown's exactness gate for strings). */
   final case class ColStat(lo: Option[Any], hi: Option[Any],
-                           nulls: Option[Long])
+                           nulls: Option[Long], exact: Boolean = false)
 
   /** The canonical kind a Spark type's stats live in — `None` =
     * untrackable type (nested, decimal, timestamp, binary, …). */
@@ -87,6 +91,7 @@ object FileStats {
       st.lo.foreach(put("lo", _))
       st.hi.foreach(put("hi", _))
       st.nulls.foreach(n => node.put("n", n): Unit)
+      if (st.exact) node.put("x", true): Unit
     }
     Some(mapper.writeValueAsString(root))
   }
@@ -113,7 +118,8 @@ object FileStats {
           }
         }
         e.getKey -> ColStat(canon("lo"), canon("hi"),
-          Option(node.get("n")).map(_.asLong()))
+          Option(node.get("n")).map(_.asLong()),
+          Option(node.get("x")).exists(_.asBoolean()))
       }
     }.toMap
   }
@@ -125,8 +131,15 @@ object FileStats {
     * read): per tracked column, min/max/nulls aggregated across row
     * groups; any row group with absent/unusable statistics drops the
     * whole column. */
+  /** `trusted`: the caller just WROTE these files through Spark's own
+    * parquet writer — row-group binary stats are then untruncated
+    * values (parquet-mr omits rather than truncates by default, and
+    * [[statString]] caps windows at 96 ASCII chars anyway), so the
+    * windows are EXACT and string MIN/MAX may answer from them.
+    * Adopted/legacy files keep `false`: their producer is unknown. */
   def fromFooter(footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
-                 schema: StructType): Map[String, ColStat] = {
+                 schema: StructType,
+                 trusted: Boolean = false): Map[String, ColStat] = {
     import scala.jdk.CollectionConverters._
     val wanted = schema.fields.filter(f => trackable(f.dataType))
       .map(f => f.name -> f.dataType).toMap
@@ -164,8 +177,10 @@ object FileStats {
               case Some(w) =>
                 val prev = perCol.get(name)
                 val merged = mergeOne(
-                  prev.getOrElse(ColStat(None, None, Some(0L))),
-                  ColStat(w.map(_._1), w.map(_._2), nulls))
+                  prev.getOrElse(ColStat(None, None, Some(0L),
+                    exact = trusted)),
+                  ColStat(w.map(_._1), w.map(_._2), nulls,
+                    exact = trusted))
                 merged match {
                   case Some(m) => perCol(name) = m
                   case None => poisoned += name; perCol.remove(name): Unit
@@ -226,8 +241,9 @@ object FileStats {
 
     def result(): Option[String] = encode(
       fields.indices.filterNot(dead).map { i =>
+        // exact: the writer SAW every value — window edges are attained
         fields(i)._2 -> ColStat(Option(lo(i)), Option(hi(i)),
-          Some(nulls(i)))
+          Some(nulls(i)), exact = true)
       }.toMap)
   }
 
@@ -276,7 +292,7 @@ object FileStats {
       case _ => None
     }
     for { lo <- pick(a.lo, b.lo, -1); hi <- pick(a.hi, b.hi, 1) }
-      yield ColStat(lo, hi, n)
+      yield ColStat(lo, hi, n, a.exact && b.exact)
   }
 
   /** Compaction's stat merge: the folded file's stats from its inputs'
@@ -289,7 +305,7 @@ object FileStats {
     val shared = decoded.map(_.keySet).reduce(_ intersect _)
     encode(shared.flatMap { c =>
       decoded.map(_(c))
-        .foldLeft(Option(ColStat(None, None, Some(0L)))) {
+        .foldLeft(Option(ColStat(None, None, Some(0L), exact = true))) {
           case (Some(acc), st) => mergeOne(acc, st)
           case (None, _) => None
         }.map(c -> _)

@@ -36,6 +36,46 @@ class BucketedAggPushdownSpec extends SparkSuite {
       .exists(_.toString.contains("from manifest"))
   }
 
+  test("string MIN/MAX pushes only on writer-EXACT windows; inexact declines to the row scan") {
+    val path = tmp("aggpd-str")
+    val df = (1L to 4000L).map(i => (i, f"name$i%05d")).toDF("k", "nm")
+    BucketedLake.write(df, path, "k", 4)
+    def q() = spark.sql(
+      s"SELECT min(nm) AS lo, max(nm) AS hi FROM $cat.`$path`")
+    // write()'s own-file footer sweep is trusted: the windows are
+    // attained values, so string MIN/MAX answers from the manifest
+    val r1 = q()
+    assert(pushed(r1), s"exact string windows must push:\n" +
+      s"${r1.queryExecution.executedPlan}")
+    assert(r1.head().toSeq === Seq("name00001", "name04000"))
+    // V2 appends (Tracker stats) stay exact
+    Seq((9000L, "zzz-appended")).toDF("k", "nm")
+      .writeTo(s"$cat.`$path`").append()
+    val r2 = q()
+    assert(pushed(r2))
+    assert(r2.head().toSeq === Seq("name00001", "zzz-appended"))
+    // strip the exactness flags (a foreign/legacy manifest's windows
+    // are BOUNDS, not values): the pushdown must DECLINE, and the row
+    // scan still answers correctly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = BucketedLake.currentVersion(spark, path).get
+    val m = BucketedLake.readManifestFull(spark, path, Some(v)).get
+    val doctored = m.entries.map(e => e.copy(stats =
+      e.stats.map(_.replace(",\"x\":true", "").replace("\"x\":true,", ""))))
+    BucketedLake.writeManifest(spark, path, doctored, base = Some(v),
+      txns = m.txns, layout = m.layout, op = "compact",
+      bloom = m.bloom, ndv = m.ndv): Unit
+    val r3 = q()
+    assert(!pushed(r3),
+      "inexact string windows must NOT answer MIN/MAX")
+    assert(r3.head().toSeq === Seq("name00001", "zzz-appended"))
+    // numeric aggregates still push off the same doctored manifest
+    val r4 = spark.sql(s"SELECT min(k) AS lo, count(*) AS n FROM $cat.`$path`")
+    assert(pushed(r4))
+    assert(r4.head().toSeq === Seq(1L, 4001L))
+  }
+
   test("MIN/MAX/COUNT push to the manifest and match a row-scan recompute") {
     val path = tmp("aggpd-base")
     val df = (1L to 5000L)
@@ -184,9 +224,12 @@ class BucketedAggPushdownSpec extends SparkSuite {
     // filter present
     assert(unpushed(s"SELECT count(*) FROM $cat.`$path` WHERE k <= 10")
       .head().getLong(0) === 10L)
-    // string min/max (foreign footers may truncate binary stats)
-    assert(unpushed(s"SELECT max(s) FROM $cat.`$path`")
-      .head().getString(0) === "s99")
+    // string min/max now PUSHES on graft-written tables (the writer's
+    // own windows are exact — see the writer-EXACT test above); the
+    // inexact-decline leg lives there too
+    val sq = spark.sql(s"SELECT max(s) FROM $cat.`$path`")
+    assert(pushed(sq), "writer-exact string windows must push")
+    assert(sq.head().getString(0) === "s99")
     // NaN poisoned the float column's windows at write time
     assert(unpushed(s"SELECT max(f) FROM $cat.`$path`")
       .head().getFloat(0).isNaN)

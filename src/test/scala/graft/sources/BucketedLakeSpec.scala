@@ -319,9 +319,13 @@ class BucketedLakeSpec extends SparkSuite {
     val path = tmp("bk-manifest")
     BucketedLake.write((1L to 500L).map(i => (i, i * 2)).toDF("k", "v"),
       path, "k", 8)
+    // the legacy sweep is UNTRUSTED (no exactness flag), so normalize
+    // the flag away: the drift invariant is about windows/counts
+    def noFlag(e: BucketedLake.ManifestEntry) = e.copy(stats =
+      e.stats.map(_.replace(",\"x\":true", "").replace("\"x\":true,", "")))
     def check(label: String): Unit = {
       val m = BucketedLake.readManifest(spark, path).get
-        .sortBy(e => (e.bucket, e.rel))
+        .sortBy(e => (e.bucket, e.rel)).map(noFlag)
       val swept = BucketedLake.footerSweep(spark, path)
         .sortBy(e => (e.bucket, e.rel))
       assert(m === swept, s"$label: manifest drifted from the files")
@@ -730,7 +734,9 @@ class BucketedLakeSpec extends SparkSuite {
       "a racing append's files were dropped from the manifest")
     // the manifest agrees with the physical files exactly
     val m = BucketedLake.readManifest(spark, path).get
-      .sortBy(e => (e.bucket, e.rel))
+      .sortBy(e => (e.bucket, e.rel)).map(e => e.copy(stats =
+        e.stats.map(_.replace(",\"x\":true", "")
+          .replace("\"x\":true,", ""))))
     val swept = BucketedLake.footerSweep(spark, path)
       .sortBy(e => (e.bucket, e.rel))
     assert(m === swept, "manifest drifted from files under concurrency")
