@@ -92,7 +92,17 @@ object BucketedLake {
       bloom: Option[String] = None,
       // col -> base64 HLL of keys written since the last full replace
       // ([[NdvSketch]]) — the distinctCount column statistic
-      ndv: Map[String, String] = Map.empty)
+      ndv: Map[String, String] = Map.empty,
+      // the VERSION's per-file key-sortedness claim (`#sorted` header):
+      // rides the manifest so it flips ATOMICALLY with the file set it
+      // describes — the spec file's `sorted` flag is a separate write,
+      // and a scan that read the spec before a cluster() but the
+      // manifest after it would claim key order on Z-ordered files
+      // (silently wrong sort-free SMJ). `None` (pre-claim manifests)
+      // falls back to the spec flag; time-travel reads get each
+      // version's OWN claim (a pre-cluster snapshot stays sort-free-
+      // joinable after the claim drops at HEAD).
+      sortedClaim: Option[Boolean] = None)
 
   private val CurrentPointer = "_bucket_manifest.current"
 
@@ -201,6 +211,7 @@ object BucketedLake {
     var layout: Option[(String, Int, Seq[String])] = None
     var op: Option[String] = None
     var bloom: Option[String] = None
+    var sortedClaim: Option[Boolean] = None
     var declaresV2 = false
     var torn = false
     var endCount: Option[Long] = None
@@ -219,6 +230,8 @@ object BucketedLake {
         op = Some(l.split("\t", 2)(1))
       } else if (l.startsWith("#bloom\t")) {
         bloom = Some(l.split("\t", 2)(1))
+      } else if (l.startsWith("#sorted\t")) {
+        sortedClaim = l.split("\t", 2)(1).toBooleanOption
       } else if (l.startsWith("#txn\t")) {
         val Array(_, app, epoch) = l.split("\t", 3)
         txns += (app -> epoch.toLong)
@@ -244,7 +257,7 @@ object BucketedLake {
     }
     val truncated = (declaresV2 && !endCount.contains(n)) || torn
     (ManifestData(layout, op, txns.result(), entries.result(), bloom,
-      ndv.result()),
+      ndv.result(), sortedClaim),
       truncated)
   }
 
@@ -372,13 +385,14 @@ object BucketedLake {
                                    layout: Option[(String, Int, Seq[String])] = None,
                                    op: String = "replace",
                                    bloom: Option[String] = None,
-                                   ndv: Map[String, String] = Map.empty)
+                                   ndv: Map[String, String] = Map.empty,
+                                   sortedClaim: Option[Boolean] = None)
       : Long = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
       writeManifestLocked(spark, path, entries, base, txns, layout, op,
-        bloom, ndv)
+        bloom, ndv, sortedClaim)
     }
   }
 
@@ -389,7 +403,8 @@ object BucketedLake {
                                   layout: Option[(String, Int, Seq[String])],
                                   op: String,
                                   bloom: Option[String],
-                                  ndv: Map[String, String]): Long = {
+                                  ndv: Map[String, String],
+                                  sortedClaim: Option[Boolean]): Long = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -426,6 +441,7 @@ object BucketedLake {
       s"#layout\t$k\t$n\t${pcs.mkString("\t")}" } ++
       Seq(s"#op\t$op") ++
       bloom.toSeq.map(b => s"#bloom\t$b") ++
+      sortedClaim.toSeq.map(s => s"#sorted\t$s") ++
       ndv.toSeq.sorted.map { case (c, b64) => s"#ndv\t$c\t$b64" } ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
@@ -507,9 +523,13 @@ object BucketedLake {
   }
 
   /** What a [[vacuum]] pass deleted — or WOULD delete under
-    * `dryRun = true` (operators at 100 TB never delete blind). */
+    * `dryRun = true` (operators at 100 TB never delete blind).
+    * `manifests` counts superseded manifest versions and their change
+    * dirs; reclaimed INDEX sidecars (bloom dirs no retained manifest
+    * references) report separately as `indexDirs` — folding them into
+    * `manifests` would misstate what a pass actually removed. */
   final case class VacuumReport(files: Int, bytes: Long, manifests: Int,
-                                stagingDirs: Int)
+                                stagingDirs: Int, indexDirs: Int = 0)
 
   /** DISASTER RECOVERY for a lost/corrupt COMMIT POINTER — the escape
     * hatch [[currentVersion]]'s loud failure points at. The pointer is
@@ -587,7 +607,8 @@ object BucketedLake {
           txns = full.txns,
           layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
           op = "compact", bloom = full.bloom,
-          ndv = Map(spec.keyCol -> b)): Unit
+          ndv = Map(spec.keyCol -> b),
+          sortedClaim = full.sortedClaim): Unit
         NdvSketch.estimate(b).getOrElse(0L)
       case None => throw new IllegalArgumentException(
         s"key '${spec.keyCol}' " +
@@ -737,8 +758,8 @@ object BucketedLake {
     if (!dryRun)
       doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
     VacuumReport(nData, dataBytes,
-      doomedManifests.length + doomedChangeDirs.length + doomedBlooms.length,
-      doomedStaging.length)
+      doomedManifests.length + doomedChangeDirs.length,
+      doomedStaging.length, doomedBlooms.length)
   }
 
   /** Rebuild manifest entries from the files themselves: one
@@ -999,7 +1020,7 @@ object BucketedLake {
       footerSweepFiles(spark, moved, Some(df.schema), trusted = true),
       txns = readTxns(spark, path),
       layout = Some((keyCol, buckets, pcols)), op = "replace",
-      ndv = ndvHeader): Unit
+      ndv = ndvHeader, sortedClaim = Some(true)): Unit
   }
 
   /** Shuffle `df` (already carrying a `BucketDir` column) into the
@@ -1116,7 +1137,8 @@ object BucketedLake {
     writeSpec(spark, path,
       Spec(keyCol, buckets, schema, sorted = true, pcols))
     writeManifest(spark, path, Nil,
-      layout = Some((keyCol, buckets, pcols)), op = "create"): Unit
+      layout = Some((keyCol, buckets, pcols)), op = "create",
+      sortedClaim = Some(true)): Unit
   }
 
   /** ADDITIVE schema evolution: append nullable columns to the table
@@ -1209,7 +1231,8 @@ object BucketedLake {
       if (occBaseOpt.isEmpty) // still upgrade to MVCC
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
           op = "compact", bloom = full.flatMap(_.bloom),
-          ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
+          ndv = full.map(_.ndv).getOrElse(Map.empty),
+          sortedClaim = full.flatMap(_.sortedClaim)): Unit
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -1248,7 +1271,8 @@ object BucketedLake {
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
       op = "compact", bloom = full.flatMap(_.bloom),
-      ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
+      ndv = full.map(_.ndv).getOrElse(Map.empty),
+      sortedClaim = full.flatMap(_.sortedClaim)): Unit
   }
 
   /** CLUSTER the table for DATA SKIPPING: rewrite every (partition,
@@ -1312,13 +1336,25 @@ object BucketedLake {
     require(fresh.iterator.map(_.rows).sum ==
         baseEntries.iterator.map(_.rows).sum,
       s"cluster row-count drift at $path — refusing to commit")
-    if (cols != Seq(spec.keyCol) && spec.sorted)
-      writeSpec(spark, path, spec.copy(sorted = false))
+    // the sortedness claim rides the MANIFEST (atomic with the file
+    // flip): clustering by the key itself rewrites every file as a
+    // key-sorted run (the claim can honestly assert true); anything
+    // else Z-orders and the claim drops IN THE SAME COMMIT — a lost
+    // OCC race below changes nothing, so the claim (and the spec
+    // flag) survive intact
+    val keyClustered = cols == Seq(spec.keyCol)
     writeManifest(spark, path, fresh,
       base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
       layout = layout, op = "compact",
       bloom = full.flatMap(_.bloom),
-      ndv = full.map(_.ndv).getOrElse(Map.empty)): Unit
+      ndv = full.map(_.ndv).getOrElse(Map.empty),
+      sortedClaim = Some(keyClustered)): Unit
+    // sync the legacy spec flag AFTER the commit succeeded — display
+    // surfaces and pre-claim readers fall back to it; scans trust the
+    // pinned manifest's own claim, so this late write can never
+    // mis-order a join
+    if (!keyClustered && spec.sorted)
+      writeSpec(spark, path, spec.copy(sorted = false))
   }
 
   /** The Z-VALUE column: each clustered column's quantile rank
@@ -1441,6 +1477,42 @@ object BucketedLake {
     }
   }
 
+  /** The bloom sidecar's EXPLICIT schema — every sidecar read MUST use
+    * it instead of inference. Two failure modes inference invites:
+    * (1) an EMPTY sidecar dir (`_SUCCESS`, zero parquet) throws
+    * "Unable to infer schema" and bricks every bloom-reading path on a
+    * live table; (2) `col` is a PARTITION DIRECTORY (`partitionBy`
+    * at write), so a column legally named `123` or `2024-01-01`
+    * re-infers as int/date and `getString` throws — the explicit
+    * StringType pins the partition value's type. */
+  private[sources] val BloomSidecarSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("rel",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("bits",
+      org.apache.spark.sql.types.BinaryType, nullable = false),
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Open a bloom sidecar CONSERVATIVELY: explicit schema (see
+    * [[BloomSidecarSchema]]), `None` when the dir is missing or the
+    * read cannot even plan — an index is an OPTIMIZATION, so every
+    * caller maps `None` to "no skip / no coverage", never to a failed
+    * query. (Row-level corruption surfaces at action time; callers
+    * that collect wrap that too.) */
+  private[sources] def readBloomSidecar(spark: SparkSession,
+                                        abs: String): Option[DataFrame] = {
+    val p = new Path(abs)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.schema(BloomSidecarSchema).parquet(abs))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** BLOOM SKIPPING INDEX — the FOURTH pruning axis, for EQUALITY
     * probes on high-cardinality NON-key columns where min/max windows
     * are useless (a uuid/email/session-id lookup in a 100 TB log lake:
@@ -1488,22 +1560,31 @@ object BucketedLake {
       throw new IllegalStateException(
         s"bloom index on $path requires a manifest — write() or " +
           "compact() the table first"))
+    // an empty table (e.g. after a full metadata DELETE) has nothing to
+    // index: `partitionBy` on zero rows would write a FILE-LESS sidecar
+    // dir whose `#bloom` header then carries forward and breaks every
+    // later sidecar read — skip BOTH the write and the header commit
+    // (re-run the build once data exists; scans on an empty table have
+    // no files to skip anyway)
+    if (full.entries.isEmpty) return
     val sidecarRel = s"_index/bloom/${java.util.UUID.randomUUID()}"
     val sidecarAbs = s"$path/$sidecarRel"
     // (rel, col) pairs the CURRENT sidecar already covers — a covered
-    // file is copied forward, never re-read
-    val priorAbs: Option[String] = if (incremental) {
-      full.bloom.filter { rel =>
-        val p = new Path(path, rel)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }.map(rel => s"$path/$rel")
-    } else None
-    val covered: Set[(String, String)] = priorAbs match {
-      case Some(abs) =>
-        spark.read.parquet(abs).select("rel", "col")
-          .collect().map(r => (r.getString(0), r.getString(1))).toSet
-      case None => Set.empty
-    }
+    // file is copied forward, never re-read. An UNREADABLE prior
+    // sidecar degrades to a full rebuild (covered = ∅, no copy-
+    // forward): the incremental path SELF-HEALS instead of failing.
+    val priorDf: Option[(DataFrame, Set[(String, String)])] =
+      (if (incremental) full.bloom else None)
+        .flatMap(rel => readBloomSidecar(spark, s"$path/$rel"))
+        .flatMap { df =>
+          // action-time corruption ALSO degrades to a full rebuild
+          // (covered = ∅, no copy-forward), not a failed maintenance run
+          try Some((df, df.select("rel", "col").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+    val covered: Set[(String, String)] =
+      priorDf.fold(Set.empty[(String, String)])(_._2)
     val schema = spec.schema
     val fields = cols.map(c =>
       (c, schema.fieldIndex(c), schema(c).dataType)).toArray
@@ -1512,17 +1593,7 @@ object BucketedLake {
       .readerFor(spark, schema, required, Nil)
     // required-schema ordinals differ from table ordinals
     val reqIdx = cols.zipWithIndex.toMap
-    val outSchema = StructType(Seq(
-      org.apache.spark.sql.types.StructField("rel",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("m",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("bits",
-        org.apache.spark.sql.types.BinaryType, nullable = false),
-      org.apache.spark.sql.types.StructField("col",
-        org.apache.spark.sql.types.StringType, nullable = false)))
+    val outSchema = BloomSidecarSchema
     // files needing a read: at least one requested column uncovered
     val toBuild = full.entries
       .map(e => (e, cols.filterNot(c => covered((e.rel, c)))))
@@ -1571,12 +1642,11 @@ object BucketedLake {
     // copy the prior sidecar's rows forward for files STILL LIVE —
     // metadata-sized IO, no data read; dead rels drop, so the sidecar
     // never outgrows the table
-    val sidecar: DataFrame = priorAbs match {
-      case Some(abs) =>
+    val sidecar: DataFrame = priorDf match {
+      case Some((df, _)) =>
         val liveDf = spark.createDataset(full.entries.map(_.rel))(
           org.apache.spark.sql.Encoders.STRING).toDF("rel")
-        spark.read.parquet(abs)
-          .select("rel", "m", "k", "bits", "col")
+        df.select("rel", "m", "k", "bits", "col")
           .join(liveDf, Seq("rel"), "left_semi")
           .unionByName(freshDf)
       case None => freshDf
@@ -1586,7 +1656,8 @@ object BucketedLake {
     writeManifest(spark, path, full.entries,
       base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "compact", bloom = Some(sidecarRel), ndv = full.ndv): Unit
+      op = "compact", bloom = Some(sidecarRel), ndv = full.ndv,
+      sortedClaim = full.sortedClaim): Unit
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -1676,13 +1747,16 @@ object BucketedLake {
     val m = readManifestFull(spark, path, asOf).getOrElse(
       throw new IllegalArgumentException(
         s"no bucketed-lake manifest at $path"))
+    // explicit-schema read; a missing/unreadable sidecar reports "no
+    // coverage" (empty bloom_cols) — the audit view must never fail on
+    // the very degradation it exists to surface
     val bloomCov: Map[String, String] = m.bloom.flatMap { rel =>
-      val p = new Path(path, rel)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else Some(spark.read.parquet(p.toString).select("rel", "col")
-        .collect().groupBy(_.getString(0)).view
-        .mapValues(_.map(_.getString(1)).sorted.mkString(",")).toMap)
+      readBloomSidecar(spark, s"$path/$rel").flatMap { df =>
+        try Some(df.select("rel", "col")
+          .collect().groupBy(_.getString(0)).view
+          .mapValues(_.map(_.getString(1)).sorted.mkString(",")).toMap)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
     }.getOrElse(Map.empty)
     m.entries.map { e =>
       val part: Option[String] = partValueRaw(e.rel).flatten
@@ -1995,7 +2069,8 @@ object BucketedLake {
     val committed = writeManifest(spark, path, kept ++ freshEntries,
       base = Some(base), txns = m.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "merge", bloom = m.bloom, ndv = mergedNdv)
+      op = "merge", bloom = m.bloom, ndv = mergedNdv,
+      sortedClaim = m.sortedClaim)
     // a crash BETWEEN flip and publish degrades this version's feed to
     // the file diff (documented in [[changes]]) — never wrong, coarser
     val fs = new Path(path).getFileSystem(
@@ -2590,7 +2665,8 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
     BucketedLake.writeManifest(spark, path, kept,
       base = baseOpt, txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-      op = "delete", bloom = full.bloom, ndv = full.ndv): Unit
+      op = "delete", bloom = full.bloom, ndv = full.ndv,
+      sortedClaim = full.sortedClaim): Unit
   }
   override def name(): String =
     asOf.fold(path)(v => s"$path@v$v")
@@ -2872,7 +2948,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         layout = layout,
         op = if (scope == ReplaceScope.Truncate) "truncate"
              else "replace",
-        bloom = full.flatMap(_.bloom), ndv = ndvHeader): Unit
+        bloom = full.flatMap(_.bloom), ndv = ndvHeader,
+        sortedClaim = full.flatMap(_.sortedClaim)): Unit
     }
     if (scope != ReplaceScope.Append) {
       scopedReplace()
@@ -2927,7 +3004,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
             BucketedLake.writeManifest(spark, path,
               existing ++ freshEntries, Some(base),
               priorTxns ++ txnUpdate, layout, op = "append",
-              bloom = full.flatMap(_.bloom), ndv = ndvHeader): Unit
+              bloom = full.flatMap(_.bloom), ndv = ndvHeader,
+              sortedClaim = full.flatMap(_.sortedClaim)): Unit
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>
@@ -3579,15 +3657,16 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
       b.toMap
     }
     if (probes.isEmpty) return candidates
-    val sidecarPath = new Path(path, rel)
-    val fs = sidecarPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(sidecarPath)) return candidates
+    // explicit-schema read; an unreadable sidecar means NO SKIP (keep
+    // every candidate) — the index is an optimization and must never
+    // fail the scan it serves
+    val sidecarDf = BucketedLake.readBloomSidecar(spark, s"$path/$rel")
+      .getOrElse(return candidates)
     val bCands = spark.sparkContext.broadcast(candidates.map(_.rel).toSet)
     val bProbes = spark.sparkContext.broadcast(probes)
     val drops: Set[String] =
       try {
-        spark.read.parquet(sidecarPath.toString)
+        sidecarDf
           .where(col("col").isin(probes.keySet.toSeq: _*))
           .select("rel", "col", "m", "k", "bits")
           .rdd.mapPartitions { iter =>
@@ -3604,6 +3683,9 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
               }
             }
           }.collect().toSet
+      } catch {
+        // action-time sidecar corruption = no skip, never a failed scan
+        case scala.util.control.NonFatal(_) => Set.empty[String]
       } finally { bCands.destroy(); bProbes.destroy() }
     if (drops.isEmpty) candidates
     else candidates.filterNot(k => drops.contains(k.rel))
@@ -3796,7 +3878,11 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val groupingSafe =
       off("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled") &&
         off("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
-    if (groupingSafe && spec.sorted &&
+    // the pinned manifest's OWN claim wins (atomic with the file set —
+    // see [[BucketedLake.ManifestData.sortedClaim]]); pre-claim
+    // manifests and the legacy listing path fall back to the spec flag
+    val sortedNow = pinnedData.flatMap(_.sortedClaim).getOrElse(spec.sorted)
+    if (groupingSafe && sortedNow &&
         required.fieldNames.contains(spec.keyCol) &&
         partitions.forall(
           _.asInstanceOf[GraftBucketPartition].files.length <= 1))

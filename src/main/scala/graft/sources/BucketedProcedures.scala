@@ -176,7 +176,8 @@ object BucketedProcedures {
     new StructType().add("files", IntegerType, nullable = false)
       .add("bytes", LongType, nullable = false)
       .add("manifests", IntegerType, nullable = false)
-      .add("staging_dirs", IntegerType, nullable = false)) {
+      .add("staging_dirs", IntegerType, nullable = false)
+      .add("index_dirs", IntegerType, nullable = false)) {
     override def description(): String =
       "Reclaim files no retained manifest references (retention-" +
         "guarded; dry_run reports without deleting)"
@@ -185,7 +186,7 @@ object BucketedProcedures {
       val rep = BucketedLake.vacuum(spark, str(input, 0),
         minAgeMs = input.getLong(1), dryRun = input.getBoolean(2))
       Array(InternalRow(rep.files, rep.bytes, rep.manifests,
-        rep.stagingDirs))
+        rep.stagingDirs, rep.indexDirs))
     }
   }
 }

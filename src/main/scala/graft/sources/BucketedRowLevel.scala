@@ -241,7 +241,8 @@ private[sources] class GraftRowLevelBatchWrite(
       base = Some(op.baseVersion), txns = op.pinned.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = op.opTag, bloom = op.pinned.bloom,
-      ndv = if (ndvHeader.nonEmpty) ndvHeader else op.pinned.ndv): Unit
+      ndv = if (ndvHeader.nonEmpty) ndvHeader else op.pinned.ndv,
+      sortedClaim = op.pinned.sortedClaim): Unit
     f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 }

@@ -125,7 +125,9 @@ class BucketedBloomSpec extends SparkSuite {
     BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
     val sidecar2 = BucketedLake.readManifestFull(spark, path).get.bloom.get
     assert(sidecar2 !== sidecar1)
-    BucketedLake.vacuum(spark, path, minAgeMs = 0L): Unit
+    val rep = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
+    assert(rep.indexDirs === 1,
+      s"the reclaimed sidecar must report as indexDirs, got $rep")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, sidecar1)),
@@ -211,6 +213,84 @@ class BucketedBloomSpec extends SparkSuite {
       s"SELECT count(*) AS n, sum(rows) AS r " +
         s"FROM graft_bucketed_files('$path', 1)").head()
     assert(v1.getLong(1) === 1000L)
+  }
+
+  test("empty-table build is a no-op: no sidecar, no header, later reads never brick") {
+    val path = tmp("bkb-empty")
+    val df = (1L to 100L).map(i => (i, s"d${i % 2}", f"uid-$i%06d"))
+      .toDF("k", "dt", "uid")
+    BucketedLake.write(df, path, "k", 2, partitionCols = Seq("dt"))
+    // metadata DELETE-all: a live table with ZERO entries in its manifest
+    spark.sql(s"DELETE FROM $cat.`$path` WHERE dt IN ('d0', 'd1')")
+    assert(table(path).count() === 0L)
+    val vBefore = BucketedLake.currentVersion(spark, path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val m = BucketedLake.readManifestFull(spark, path).get
+    assert(m.bloom.isEmpty,
+      "a zero-entries build must not commit a #bloom header")
+    assert(BucketedLake.currentVersion(spark, path) === vBefore,
+      "a no-op build must not burn a version")
+    // the regression scenario: append AFTER the empty build, then every
+    // sidecar-reading path must still work (r14 threw 'Unable to infer
+    // schema' in all three)
+    Seq((9001L, "d0", "uid-fresh1")).toDF("k", "dt", "uid")
+      .writeTo(s"$cat.`$path`").append()
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
+    BucketedLake.files(spark, path).collect(): Unit
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid")) // incremental
+    assert(BucketedLake.readManifestFull(spark, path).get.bloom.isDefined)
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-zzzzzz"))) <= 1,
+      "after real data lands, a fresh build must index it")
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
+  }
+
+  test("a file-less sidecar dir (pre-guard damage) degrades to no-skip everywhere and self-heals") {
+    val path = tmp("bkb-fileless")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val rel = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    // gut the sidecar to what the r14 empty build wrote: the dir with
+    // only a _SUCCESS marker, while the manifest header still points at it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scPath = new org.apache.hadoop.fs.Path(path, rel)
+    fs.delete(scPath, true): Unit
+    fs.mkdirs(scPath): Unit
+    fs.create(new org.apache.hadoop.fs.Path(scPath, "_SUCCESS")).close()
+    // scan probe: explicit schema reads the empty dir as zero rows ->
+    // no drops, every candidate kept, results right
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) === 4)
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+    // files TVF: coverage reads empty, never throws
+    val cov = BucketedLake.files(spark, path)
+      .select("bloom_cols").collect().map(_.getString(0))
+    assert(cov.forall(_ == ""))
+    // incremental rebuild self-heals: nothing covered -> full rebuild
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
+      "the rebuilt index must skip again")
+  }
+
+  test("a numeric-looking indexed column name round-trips (partition-dir type pinning)") {
+    val path = tmp("bkb-numname")
+    // the sidecar stores column NAMES as partition-dir values: without
+    // an explicit read schema, `col=123` re-infers as int and every
+    // getString throws ClassCastException
+    val df = (1L to 2000L).map(i => (i, f"uid-${i * 7919 % 2000}%06d"))
+      .toDF("k", "123")
+    BucketedLake.write(df, path, "k", 4)
+    BucketedLake.buildBloomIndex(spark, path, Seq("123"))
+    assert(plannedFiles(path, Array(EqualTo("123", "uid-zzzzzz"))) <= 1)
+    assert(table(path).where(col("123") === "uid-000707").count() === 1L)
+    val cov = BucketedLake.files(spark, path)
+      .select("bloom_cols").collect().map(_.getString(0))
+    assert(cov.forall(_ == "123"))
+    // incremental maintenance over it (the covered-pairs read) works too
+    Seq((9001L, "uid-fresh1")).toDF("k", "123")
+      .writeTo(s"$cat.`$path`").append()
+    BucketedLake.buildBloomIndex(spark, path, Seq("123"))
+    assert(plannedFiles(path, Array(EqualTo("123", "uid-zzzzzz"))) <= 1)
+    assert(table(path).where(col("123") === "uid-fresh1").count() === 1L)
   }
 
   test("guards: unknown column, un-indexable type, no manifest") {

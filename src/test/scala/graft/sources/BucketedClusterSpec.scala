@@ -113,6 +113,55 @@ class BucketedClusterSpec extends SparkSuite {
       "clustering by a non-key column must withdraw the order claim")
   }
 
+  test("the sorted claim rides the manifest: per-version, atomic with the file flip") {
+    val path = tmp("bkc-claim")
+    shuffled(path)
+    val v1 = BucketedLake.currentVersion(spark, path).get
+    assert(BucketedLake.readManifestFull(spark, path, Some(v1)).get
+      .sortedClaim.contains(true))
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 1000L)
+    val v2 = BucketedLake.currentVersion(spark, path).get
+    assert(BucketedLake.readManifestFull(spark, path, Some(v2)).get
+      .sortedClaim.contains(false),
+      "the Z-order commit itself must withdraw the claim")
+    // time travel: the pre-cluster snapshot keeps ITS OWN claim — its
+    // files really are key-sorted, whatever happened at HEAD since
+    assert(BucketedLake.readManifestFull(spark, path, Some(v1)).get
+      .sortedClaim.contains(true))
+    // clustering BY the key rewrites every file key-sorted: claim returns
+    BucketedLake.cluster(spark, path, Seq("k"), maxRowsPerFile = 1000L)
+    val v3 = BucketedLake.currentVersion(spark, path).get
+    assert(BucketedLake.readManifestFull(spark, path, Some(v3)).get
+      .sortedClaim.contains(true))
+  }
+
+  test("a lost OCC race leaves the sorted claim AND the spec flag intact") {
+    val path = tmp("bkc-occ")
+    shuffled(path)
+    val cur = BucketedLake.currentVersion(spark, path).get
+    // occupy the next version slot: the cluster commit must lose the race
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vp = new org.apache.hadoop.fs.Path(path,
+      BucketedLake.versionedManifest(cur + 1))
+    val out = fs.create(vp, false)
+    out.write("#graft\t2\n#end\t0\n".getBytes("UTF-8")); out.close()
+    intercept[BucketedLake.ConcurrentCommitException] {
+      BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 1000L)
+    }
+    assert(BucketedLake.readSpec(spark, path).get.sorted,
+      "a lost race changed no data — the claim must survive")
+    assert(BucketedLake.readManifestFull(spark, path, Some(cur)).get
+      .sortedClaim.contains(true))
+    // clear the conflict; the retry lands and withdraws it properly
+    fs.delete(vp, false): Unit
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 1000L)
+    assert(!BucketedLake.readSpec(spark, path).get.sorted)
+    assert(BucketedLake.readManifestFull(spark, path).get
+      .sortedClaim.contains(false))
+    assert(table(path).count() === 8000L)
+  }
+
   test("clustering a partitioned table preserves partition dirs and two-axis pruning") {
     val path = tmp("bkc-part")
     val df = (1L to 6000L).map(i =>
