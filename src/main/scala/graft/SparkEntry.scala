@@ -2986,12 +2986,29 @@ object SparkEntry {
         s"$root/orders", "o_custkey", 8) // v1
       orders.where(col("o_orderkey") % 2 =!= 0)
         .writeTo(s"graft_bk.`$root/orders`").append() // v2
-      def at(v: Int) = s.sql(s"""
-        SELECT CAST($v AS INT) AS version, COUNT(*) AS n,
+      // BOTH time-travel spellings under the oracle: the TVF
+      // (graft_bucketed(path, v)) and the ANSI SQL surface
+      // (VERSION AS OF / TIMESTAMP AS OF through loadTable(ident,
+      // version/timestamp)) must agree on every snapshot
+      def tvfAt(v: Int) = s.sql(s"""
+        SELECT CAST($v AS INT) AS version, 'tvf' AS via, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS total
         FROM graft_bucketed('$root/orders', $v)""")
-      at(1).unionByName(at(2)).orderBy("version")
+      val sqlV1 = s.sql(s"""
+        SELECT CAST(1 AS INT) AS version, 'sql' AS via, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM graft_bk.`$root/orders` VERSION AS OF 1""")
+      // a far-future horizon pins the NEWEST commit (v2) — deterministic
+      val sqlV2 = s.sql(s"""
+        SELECT CAST(2 AS INT) AS version, 'sql' AS via, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM graft_bk.`$root/orders`
+        TIMESTAMP AS OF TIMESTAMP'2262-01-01 00:00:00'""")
+      tvfAt(1).unionByName(tvfAt(2)).unionByName(sqlV1).unionByName(sqlV2)
+        .orderBy("version", "via")
     }),
 
     /** CHANGE DATA FEED over the bucketed lake's MVCC history
@@ -5578,16 +5595,21 @@ object SparkEntry {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY 1 ORDER BY 1""",
 
-    // v1 saw only the even orderkeys; v2 (post-append) sees all rows
+    // v1 saw only the even orderkeys; v2 (post-append) sees all rows —
+    // once through the TVF, once through ANSI VERSION/TIMESTAMP AS OF
     "lake_bucketed_timetravel" -> """
-      SELECT CAST(1 AS INTEGER) AS version, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM orders WHERE o_orderkey % 2 = 0
-      UNION ALL
-      SELECT CAST(2 AS INTEGER), COUNT(*),
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      FROM orders
-      ORDER BY version""",
+      WITH legs AS (
+        SELECT CAST(1 AS INTEGER) AS version, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders)
+      SELECT version, via, n, total
+      FROM legs CROSS JOIN (VALUES ('tvf'), ('sql')) AS v(via)
+      ORDER BY version, via""",
 
     // CDF: v2 inserts = the appended odd keys; v3's merge classes
     // recompute from the same predicates the query used
