@@ -694,6 +694,63 @@ object ScaleProbe {
         timeAgg("10496 files")
       }
     }
+    // Manifest DELTA commits at production entry counts: a 100k-entry
+    // table's APPEND must write O(changed) manifest bytes (a delta
+    // fragment, not a multi-MB full rewrite) and the read-side chain
+    // resolution must stay ~flat across a full checkpoint interval of
+    // delta commits. Entries are synthesized (manifest-layer probe —
+    // no data files needed for the commit/resolve paths under test).
+    if (only.forall("manifest_delta_scale".contains)) {
+      import graft.sources.BucketedLake
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-bk-delta").toString + "/t"
+      val n0 = 100000
+      val entries0 = (0 until n0).map(i => BucketedLake.ManifestEntry(
+        i % 256, 100L, 1000L, f"data/__bucket=${i % 256}/f-$i%06d.parquet",
+        None))
+      time("manifest_delta_scale") {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def fragBytes(v: Long) = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(root,
+            BucketedLake.versionedManifest(v))).getLen
+        def resolveSec(v: Long): Double = {
+          val t0 = System.nanoTime()
+          val m = BucketedLake.readManifestFull(spark, root, Some(v)).get
+          require(m.entries.size == n0 + (v - 1L) * 10,
+            s"v$v resolved ${m.entries.size} entries")
+          (System.nanoTime() - t0) / 1e9
+        }
+        BucketedLake.writeManifest(spark, root, entries0): Unit // v1 full
+        val fullBytes = fragBytes(1L)
+        val baseResolve = resolveSec(1L)
+        var prior = BucketedLake.readManifestFull(spark, root, Some(1L)).get
+        var maxDelta = 0L
+        var maxResolve = baseResolve
+        (1 to 16).foreach { i =>
+          val adds = (0 until 10).map(j => BucketedLake.ManifestEntry(
+            j, 100L, 1000L, f"data/__bucket=$j/g-$i%03d-$j%02d.parquet",
+            None))
+          BucketedLake.writeManifest(spark, root, prior.entries ++ adds,
+            base = Some(i.toLong), op = "append", prior = Some(prior)): Unit
+          maxDelta = math.max(maxDelta, fragBytes(i + 1L))
+          val r = resolveSec(i + 1L)
+          maxResolve = math.max(maxResolve, r)
+          prior = BucketedLake.readManifestFull(spark, root,
+            Some(i + 1L)).get
+        }
+        System.err.println(
+          f"[probe] manifest_delta full=${fullBytes}B maxDelta=${maxDelta}B " +
+            f"baseResolve=$baseResolve%.2fs maxChainResolve=$maxResolve%.2fs")
+        require(maxDelta * 100 < fullBytes,
+          s"append fragment ($maxDelta B) must be O(changed), " +
+            s"not O(table) ($fullBytes B)")
+        require(maxResolve < baseResolve * 3 + 0.5,
+          f"chain resolution must stay ~flat: checkpoint $baseResolve%.2fs " +
+            f"vs deepest chain $maxResolve%.2fs")
+        n0.toLong + 160L
+      }
+    }
     // Vacuum at production doomed-file counts: the retention checks and
     // deletes fan out to executors, so wall-time must stay ~flat from
     // 256 to 10,240 doomed files — the driver-loop shape would

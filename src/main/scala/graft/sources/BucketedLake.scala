@@ -123,7 +123,7 @@ object BucketedLake {
     override def comment: String =
       "table-root-relative path of the file holding the row"
   }
-  private[sources] def versionedManifest(v: Long) =
+  private[graft] def versionedManifest(v: Long) =
     f"_bucket_manifest.v$v%06d.txt"
   /** Version-addressed PRECISE change rows (a merge's row-level CDC
     * files — the Delta CDF design): written next to the commit they
@@ -183,25 +183,121 @@ object BucketedLake {
     * manifests (no `#graft` line) stay readable. Recovery paths that
     * must tolerate partials ([[repair]], [[vacuum]]) use
     * [[slurpManifestLenient]] and act conservatively. */
+  /** Strict parse of ONE fragment — FRAGMENT-LOCAL: on a delta this
+    * returns only the adds + full headers; entry-set consumers go
+    * through [[resolveManifest]]. Kept for the legacy single-file
+    * manifest (never a delta) and header-only reads (txns). */
   private[sources] def slurpManifest(fs: org.apache.hadoop.fs.FileSystem,
                                      p: Path): ManifestData = {
-    val (data, truncated) = slurpManifestLenient(fs, p)
-    if (truncated) throw new IllegalStateException(
+    val raw = slurpRawLenient(fs, p)
+    if (raw.truncated) throw new IllegalStateException(
       s"truncated manifest at $p: the file declares format v2 but its " +
         "#end terminator is missing or disagrees with the entry count — " +
         "a crash interrupted the manifest write; run repair() to " +
         "re-point the table at the highest COMPLETE version")
-    data
+    raw.data
   }
 
-  /** Lenient parse: `(parsed prefix, truncated?)`. `truncated` is true
-    * iff the manifest declares format v2 (`#graft\t2` first line —
-    * written before any entry, so any non-pathological truncation
-    * keeps it) but the closing `#end\t<count>` is absent or counts a
-    * different number of entries than survived. */
-  private[sources] def slurpManifestLenient(
+  /** Resolve version `v`'s EFFECTIVE manifest: walk the delta chain
+    * down to its full checkpoint and apply removes/adds forward. Depth
+    * is bounded by the checkpoint interval. LOUD on a truncated
+    * fragment, a missing chain link, or a base that is not `v-1` —
+    * every failure names repair() rather than silently resolving a
+    * partial file set. */
+  private[sources] def resolveManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String, v: Long)
+      : ManifestData = {
+    val p = new Path(path, versionedManifest(v))
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"manifest v$v at $path is missing but a higher delta fragment " +
+        "chains through it — the retention closure was violated " +
+        "(manual deletion?); run repair() or rewrite the table")
+    val raw = slurpRawLenient(fs, p)
+    if (raw.truncated) throw new IllegalStateException(
+      s"truncated manifest at $p: the fragment's #end/#rmend framing is " +
+        "missing or disagrees with its line counts — a crash " +
+        "interrupted the manifest write; run repair() to re-point the " +
+        "table at the highest COMPLETE version")
+    raw.deltaBase match {
+      case None => raw.data
+      case Some(b) =>
+        if (b != v - 1L) throw new IllegalStateException(
+          s"manifest v$v at $path declares delta base $b (expected " +
+            s"${v - 1L}) — corrupt chain; run repair()")
+        val base = resolveManifest(fs, path, b)
+        val rm = raw.removes.toSet
+        val merged = base.entries.filterNot(e => rm.contains(e.rel)) ++
+          raw.data.entries
+        // headers come WHOLE from the fragment itself; entries sort the
+        // same way a full write would, so resolution is shape-identical
+        raw.data.copy(entries = merged.sortBy(e => (e.bucket, e.rel)))
+    }
+  }
+
+  /** [[resolveManifest]] that returns `None` instead of throwing when
+    * the chain is truncated, broken, or incomplete — the conservative
+    * primitive repair()/vacuum() act on. */
+  private[sources] def resolveManifestLenient(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): (ManifestData, Boolean) = {
+      path: String, v: Long): Option[ManifestData] =
+    try Some(resolveManifest(fs, path, v))
+    catch { case _: IllegalStateException => None }
+
+  /** Header-only probe of a fragment's FIRST bytes — `(chain depth,
+    * delta base)`. `#chain`/`#delta` are written immediately after
+    * `#graft`, so 1 KiB always covers them: the writer learns the
+    * previous fragment's chain depth without slurping a checkpoint
+    * that may list 10^6 entries. */
+  private def readPrelude(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): (Int, Option[Long]) = {
+    val in = fs.open(p)
+    val buf = new Array[Byte](1024)
+    val read = try {
+      var off = 0
+      var n = 0
+      while (off < buf.length && n >= 0) {
+        n = in.read(buf, off, buf.length - off)
+        if (n > 0) off += n
+      }
+      off
+    } finally in.close()
+    var chain = 0
+    var deltaBase: Option[Long] = None
+    new String(buf, 0, read, UTF_8).split("\n").foreach { l =>
+      if (l.startsWith("#chain\t"))
+        chain = l.stripPrefix("#chain\t").trim.toIntOption.getOrElse(0)
+      else if (l.startsWith("#delta\t"))
+        deltaBase = l.stripPrefix("#delta\t").trim.toLongOption
+    }
+    (chain, deltaBase)
+  }
+
+  /** One PHYSICAL manifest fragment, pre-resolution. A fragment is
+    * either FULL (`deltaBase` empty: `data.entries` IS the live set) or
+    * a DELTA (`#delta\t<v-1>` header: `data.entries` are the ADDED
+    * entries, `removes` the dropped rels, applied atop the previous
+    * version's RESOLVED set — Delta-log-style incremental commits, so
+    * an append to a 10^6-file table writes O(changed) bytes, not a
+    * full rewrite). `chain` = delta-chain depth (0 = full checkpoint);
+    * the writer cuts a fresh full manifest every
+    * `spark.graft.bucketed.manifestCheckpointEvery` commits, bounding
+    * resolution depth. HEADERS (layout/op/txns/bloom/ndv/sorted) are
+    * written FULL in every fragment — they are metadata-sized, and
+    * keeping them whole means txn watermarks and skipping indexes
+    * never need chain resolution. */
+  private[sources] final case class RawManifest(
+      data: ManifestData, deltaBase: Option[Long],
+      removes: Seq[String], chain: Int, truncated: Boolean)
+
+  /** Lenient parse of ONE fragment: `truncated` is true iff the
+    * manifest declares format v2 (`#graft\t2` first line — written
+    * before any entry, so any non-pathological truncation keeps it)
+    * but the closing `#end\t<count>` is absent or counts a different
+    * number of entries than survived — and, on delta fragments, the
+    * same for `#rmend\t<count>` vs the `#rm` lines. */
+  private[sources] def slurpRawLenient(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): RawManifest = {
     val in = fs.open(p)
     val text = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -215,6 +311,11 @@ object BucketedLake {
     var declaresV2 = false
     var torn = false
     var endCount: Option[Long] = None
+    var deltaBase: Option[Long] = None
+    var chain = 0
+    var rmEndCount: Option[Long] = None
+    val removes = Seq.newBuilder[String]
+    var nRm = 0L
     val ndv = Map.newBuilder[String, String]
     val txns = Map.newBuilder[String, Long]
     val entries = Seq.newBuilder[ManifestEntry]
@@ -222,6 +323,15 @@ object BucketedLake {
     text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("#graft\t")) {
         declaresV2 = l.split("\t", 2)(1).toIntOption.exists(_ >= 2)
+      } else if (l.startsWith("#delta\t")) {
+        deltaBase = l.split("\t", 2)(1).toLongOption
+        if (deltaBase.isEmpty) torn = true
+      } else if (l.startsWith("#chain\t")) {
+        chain = l.split("\t", 2)(1).toIntOption.getOrElse(0)
+      } else if (l.startsWith("#rm\t")) {
+        removes += l.split("\t", 2)(1); nRm += 1L
+      } else if (l.startsWith("#rmend\t")) {
+        rmEndCount = l.split("\t", 2)(1).toLongOption
       } else if (l.startsWith("#layout\t")) {
         val parts = l.split("\t")
         layout = Some((parts(1), parts(2).toInt,
@@ -255,15 +365,18 @@ object BucketedLake {
         } else torn = true // a cut-mid-line tail — incomplete in ANY format
       }
     }
-    val truncated = (declaresV2 && !endCount.contains(n)) || torn
-    (ManifestData(layout, op, txns.result(), entries.result(), bloom,
-      ndv.result(), sortedClaim),
-      truncated)
+    // delta-fragment framing: the remove list must be declared-complete
+    // too (a torn tail could silently drop `#rm` lines, resurrecting
+    // deleted files on resolution); `#rm` lines outside a declared
+    // delta are corrupt
+    val truncated = (declaresV2 && !endCount.contains(n)) || torn ||
+      (deltaBase.isDefined && !rmEndCount.contains(nRm)) ||
+      (deltaBase.isEmpty && nRm > 0L)
+    RawManifest(
+      ManifestData(layout, op, txns.result(), entries.result(), bloom,
+        ndv.result(), sortedClaim),
+      deltaBase, removes.result(), chain, truncated)
   }
-
-  private def slurpEntries(fs: org.apache.hadoop.fs.FileSystem,
-                           p: Path): Seq[ManifestEntry] =
-    slurpManifest(fs, p).entries
 
   /** Streaming-writer watermarks carried IN the manifest (the
     * SetTransaction pattern): `#txn\t<appId>\t<epoch>` header lines,
@@ -307,11 +420,11 @@ object BucketedLake {
         s"no manifest version $v at $path — either it never existed or " +
           "vacuum reclaimed it (time travel reaches only retained versions; " +
           s"versions: ${versions(spark, path).mkString(", ")})")
-      return Some(slurpManifest(fs, vp))
+      return Some(resolveManifest(fs, path, v))
     }
     currentVersion(spark, path) match {
       case Some(v) =>
-        Some(slurpManifest(fs, new Path(path, versionedManifest(v))))
+        Some(resolveManifest(fs, path, v))
       case None =>
         val legacy = new Path(path, ManifestFile)
         if (fs.exists(legacy)) Some(slurpManifest(fs, legacy)) else None
@@ -386,13 +499,14 @@ object BucketedLake {
                                    op: String = "replace",
                                    bloom: Option[String] = None,
                                    ndv: Map[String, String] = Map.empty,
-                                   sortedClaim: Option[Boolean] = None)
+                                   sortedClaim: Option[Boolean] = None,
+                                   prior: Option[ManifestData] = None)
       : Long = {
     val lock = commitLocks.computeIfAbsent(
       new Path(path).toUri.toString, _ => new Object)
     lock.synchronized {
       writeManifestLocked(spark, path, entries, base, txns, layout, op,
-        bloom, ndv, sortedClaim)
+        bloom, ndv, sortedClaim, prior)
     }
   }
 
@@ -404,7 +518,13 @@ object BucketedLake {
                                   op: String,
                                   bloom: Option[String],
                                   ndv: Map[String, String],
-                                  sortedClaim: Option[Boolean]): Long = {
+                                  sortedClaim: Option[Boolean],
+                                  // the RESOLVED manifest at `base`, when the
+                                  // caller has it in hand (every OCC-gated
+                                  // commit does): enables an incremental
+                                  // DELTA fragment — commit bytes
+                                  // O(changed files), not O(table)
+                                  prior: Option[ManifestData]): Long = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cur = currentVersion(spark, path)
@@ -416,6 +536,58 @@ object BucketedLake {
           "the table and retry", null)
     }
     val next = base.orElse(cur).getOrElse(0L) + 1L
+    require(!op.exists(c => c == '\t' || c == '\n'),
+      s"manifest op tag cannot contain tab/newline: '$op'")
+    require(!bloom.exists(b => b.exists(c => c == '\t' || c == '\n')),
+      s"bloom sidecar rel cannot contain tab/newline: $bloom")
+    require(ndv.keys.forall(c => !c.exists(ch => ch == '\t' || ch == '\n')),
+      s"ndv column names cannot contain tab/newline: ${ndv.keys}")
+    // INCREMENTAL DELTA DECISION: with the resolved prior in hand and a
+    // meaningfully smaller diff, write only the changed lines
+    // (`#delta\t<base>` + adds + `#rm` removes) — at 10^5-10^6 files a
+    // full rewrite per APPEND is hundreds of MB of text; the delta is
+    // O(changed). Full checkpoints cut every `manifestCheckpointEvery`
+    // commits (bounding read-side resolution depth), small tables
+    // (< manifestDeltaMinEntries) stay full for simplicity, and a diff
+    // that isn't at least half the size of the full set writes full
+    // (nothing saved). HEADERS are always written whole.
+    val checkpointEvery = spark.conf
+      .get("spark.graft.bucketed.manifestCheckpointEvery", "16").toInt
+    val minEntries = spark.conf
+      .get("spark.graft.bucketed.manifestDeltaMinEntries", "1024").toInt
+    val deltaPlan: Option[(Seq[ManifestEntry], Seq[String], Int)] =
+      (prior, cur) match {
+        case (Some(pm), Some(cv)) if base.contains(cv) &&
+            entries.size >= minEntries =>
+          val prevByRel = pm.entries.iterator.map(e => e.rel -> e).toMap
+          val newRels = entries.iterator.map(_.rel).toSet
+          val adds = entries.filterNot(e => prevByRel.get(e.rel).contains(e))
+          // a mutated entry (same rel, new stats/size) removes + re-adds
+          val removes = pm.entries.iterator.map(_.rel)
+            .filterNot(newRels.contains).toSeq ++
+            adds.iterator.map(_.rel).filter(prevByRel.contains)
+          if ((adds.size + removes.size) * 2 >= entries.size) None
+          else {
+            val prevChain =
+              try readPrelude(fs, new Path(path, versionedManifest(cv)))._1
+              catch { case _: java.io.IOException => Int.MaxValue }
+            if (prevChain >= checkpointEvery || prevChain == Int.MaxValue)
+              None
+            else Some((adds, removes, prevChain + 1))
+          }
+        case _ => None
+      }
+    val outEntries = deltaPlan.fold(entries)(_._1)
+    val outRemoves = deltaPlan.fold(Seq.empty[String])(_._2)
+    val chain = deltaPlan.fold(0)(_._3)
+    // format v2 frames the file: `#graft\t2` leads (written before any
+    // entry, so any real truncation keeps it) and `#end\t<count>`
+    // closes (`#rmend\t<count>` frames a delta's remove list the same
+    // way) — slurpManifest REJECTS a v2 manifest whose terminators are
+    // missing or miscount, turning a torn write from silent row loss
+    // into a loud failure (see repair()). `#chain`/`#delta` land
+    // immediately after `#graft` so readPrelude's 1 KiB probe covers
+    // them.
     val vp = new Path(path, versionedManifest(next))
     val out =
       try fs.create(vp, false)
@@ -425,18 +597,8 @@ object BucketedLake {
             "exists — another writer committed first; re-read the table " +
             "and retry against the new version", e)
       }
-    require(!op.exists(c => c == '\t' || c == '\n'),
-      s"manifest op tag cannot contain tab/newline: '$op'")
-    require(!bloom.exists(b => b.exists(c => c == '\t' || c == '\n')),
-      s"bloom sidecar rel cannot contain tab/newline: $bloom")
-    require(ndv.keys.forall(c => !c.exists(ch => ch == '\t' || ch == '\n')),
-      s"ndv column names cannot contain tab/newline: ${ndv.keys}")
-    // format v2 frames the file: `#graft\t2` leads (written before any
-    // entry, so any real truncation keeps it) and `#end\t<count>`
-    // closes — slurpManifest REJECTS a v2 manifest whose terminator is
-    // missing or miscounts, turning a torn write from silent row loss
-    // into a loud failure (see repair())
-    try out.write((Seq("#graft\t2") ++
+    try out.write((Seq("#graft\t2", s"#chain\t$chain") ++
+      deltaPlan.map(_ => s"#delta\t${next - 1L}").toSeq ++
       layout.toSeq.map { case (k, n, pcs) =>
       s"#layout\t$k\t$n\t${pcs.mkString("\t")}" } ++
       Seq(s"#op\t$op") ++
@@ -445,10 +607,12 @@ object BucketedLake {
       ndv.toSeq.sorted.map { case (c, b64) => s"#ndv\t$c\t$b64" } ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
-      entries.sortBy(e => (e.bucket, e.rel))
+      outRemoves.sorted.map(r => s"#rm\t$r") ++
+      outEntries.sortBy(e => (e.bucket, e.rel))
         .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}" +
           e.stats.fold("")(s => s"\t$s")) ++
-      Seq(s"#end\t${entries.size}"))
+      deltaPlan.map(_ => s"#rmend\t${outRemoves.size}").toSeq ++
+      Seq(s"#end\t${outEntries.size}"))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     flipPointer(spark, fs, path, next)
@@ -566,10 +730,12 @@ object BucketedLake {
     // pre-terminator manifest, which was only ever visible after a full
     // close) may take the pointer; truncated higher versions are
     // crashed commits — unreferenced, vacuumable as always.
+    // a DELTA version is only blessable if its WHOLE chain resolves —
+    // a complete delta atop a truncated checkpoint is still a partial
+    // file set (resolveManifestLenient walks the chain)
     val top = versionsOnDisk.sorted(Ordering[Long].reverse).find { v =>
-      scala.util.Try(
-        slurpManifestLenient(fs, new Path(path, versionedManifest(v)))._2)
-        .toOption.contains(false)
+      scala.util.Try(resolveManifestLenient(fs, path, v))
+        .toOption.exists(_.isDefined)
     }.getOrElse(throw new IllegalStateException(
       s"repair($path): every versioned manifest on disk is truncated or " +
         "unreadable — no complete commit to re-point at; rewrite the " +
@@ -608,7 +774,7 @@ object BucketedLake {
           layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
           op = "compact", bloom = full.bloom,
           ndv = Map(spec.keyCol -> b),
-          sortedClaim = full.sortedClaim): Unit
+          sortedClaim = full.sortedClaim, prior = Some(full)): Unit
         NdvSketch.estimate(b).getOrElse(0L)
       case None => throw new IllegalArgumentException(
         s"key '${spec.keyCol}' " +
@@ -660,32 +826,71 @@ object BucketedLake {
     val byVersion = manifestStatus.flatMap(st =>
       st.getPath.getName.stripPrefix("_bucket_manifest.v")
         .stripSuffix(".txt").toLongOption.map(_ -> st)).sortBy(_._1)
-    val doomedManifests = byVersion.zipWithIndex.collect {
+    val agedOut: Set[Long] = byVersion.zipWithIndex.collect {
       case ((v, st), i) if v != cur &&
           (minAgeMs <= 0L ||
             (if (v > cur) st.getModificationTime <= horizon
              else byVersion.drop(i + 1).headOption
-               .exists(_._2.getModificationTime <= horizon))) => st
+               .exists(_._2.getModificationTime <= horizon))) => v
+    }.toSet
+    // CHAIN CLOSURE: a retained DELTA fragment needs its base (v-1) to
+    // resolve, transitively down to its full checkpoint — an aged
+    // fragment a retained chain passes through must survive, or every
+    // read of the retained version breaks. Preludes (1 KiB header
+    // probes) answer is-a-delta without slurping checkpoints.
+    val isDelta: Map[Long, Boolean] = byVersion.map { case (v, st) =>
+      v -> (try readPrelude(fs, st.getPath)._2.isDefined
+            catch { case _: java.io.IOException => false })
+    }.toMap
+    val kept = scala.collection.mutable.Set.empty[Long]
+    byVersion.map(_._1).sorted(Ordering[Long].reverse).foreach { v =>
+      if (!agedOut(v) || kept.contains(v)) {
+        kept += v
+        var w = v
+        while (isDelta.getOrElse(w, false) &&
+            isDelta.contains(w - 1L) && !kept.contains(w - 1L)) {
+          kept += (w - 1L); w -= 1L
+        }
+      }
+    }
+    val doomedManifests = byVersion.collect {
+      case (v, st) if agedOut(v) && !kept.contains(v) => st
     }
     val doomedNames = doomedManifests.map(_.getPath.getName).toSet
-    // stream version-by-version: only the rel/bloom SETS stay resident,
-    // never several versions' full entry lists at once
+    // stream version-by-version ASCENDING, applying deltas forward:
+    // only the rel/bloom SETS stay resident, never several versions'
+    // full entry lists at once. Lenient: a TRUNCATED retained fragment
+    // (a crash tore an in-flight commit above the pointer) or a broken
+    // chain must make vacuum OVER-RETAIN, never over-delete — the
+    // referenced-set is incomplete, so data-file deletion is disabled
+    // for the whole pass (repair()/the next commit resolves the
+    // partial; a later pass reclaims normally)
     val relB = Set.newBuilder[String]
     val bloomB = Set.newBuilder[String]
-    // lenient parse: a TRUNCATED retained manifest (a crash tore an
-    // in-flight commit above the pointer) must make vacuum OVER-RETAIN,
-    // never over-delete — its cut-off tail may reference data files the
-    // prefix doesn't, so the referenced-set is incomplete and data-file
-    // deletion is disabled for the whole pass (repair()/the next commit
-    // resolves the partial; a later pass reclaims normally)
     var sawTruncated = false
-    manifestStatus.iterator
-      .filterNot(st => doomedNames.contains(st.getPath.getName))
-      .foreach { st =>
-        val (m, truncated) = slurpManifestLenient(fs, st.getPath)
-        if (truncated) sawTruncated = true
-        m.entries.foreach(e => relB += e.rel)
-        m.bloom.foreach(bloomB += _)
+    var runningV = Long.MinValue
+    var running: Set[String] = null
+    byVersion.iterator
+      .filterNot { case (_, st) => doomedNames.contains(st.getPath.getName) }
+      .foreach { case (v, st) =>
+        val raw = slurpRawLenient(fs, st.getPath)
+        if (raw.truncated) sawTruncated = true
+        bloomB ++= raw.data.bloom
+        raw.deltaBase match {
+          case None =>
+            running = raw.data.entries.iterator.map(_.rel).toSet
+          case Some(b) =>
+            if (!raw.truncated && running != null && b == runningV &&
+                b == v - 1L) {
+              running = running -- raw.removes ++
+                raw.data.entries.iterator.map(_.rel)
+            } else { // unresolvable chain: incomplete referenced-set
+              sawTruncated = true
+              running = null
+            }
+        }
+        runningV = v
+        if (running != null) relB ++= running
       }
     val referenced = relB.result()
     // a bloom sidecar lives while ANY retained manifest's header names
@@ -1232,7 +1437,7 @@ object BucketedLake {
         writeManifest(spark, path, baseEntries, occBase, carryTxns, layout,
           op = "compact", bloom = full.flatMap(_.bloom),
           ndv = full.map(_.ndv).getOrElse(Map.empty),
-          sortedClaim = full.flatMap(_.sortedClaim)): Unit
+          sortedClaim = full.flatMap(_.sortedClaim), prior = full): Unit
       return
     }
     val staging = s"$path/.compact-${java.util.UUID.randomUUID()}"
@@ -1272,7 +1477,7 @@ object BucketedLake {
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
       op = "compact", bloom = full.flatMap(_.bloom),
       ndv = full.map(_.ndv).getOrElse(Map.empty),
-      sortedClaim = full.flatMap(_.sortedClaim)): Unit
+      sortedClaim = full.flatMap(_.sortedClaim), prior = full): Unit
   }
 
   /** CLUSTER the table for DATA SKIPPING: rewrite every (partition,
@@ -1348,7 +1553,7 @@ object BucketedLake {
       layout = layout, op = "compact",
       bloom = full.flatMap(_.bloom),
       ndv = full.map(_.ndv).getOrElse(Map.empty),
-      sortedClaim = Some(keyClustered)): Unit
+      sortedClaim = Some(keyClustered), prior = full): Unit
     // sync the legacy spec flag AFTER the commit succeeded — display
     // surfaces and pre-claim readers fall back to it; scans trust the
     // pinned manifest's own claim, so this late write can never
@@ -1657,7 +1862,7 @@ object BucketedLake {
       base = Some(occBaseOpt.getOrElse(0L)), txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "compact", bloom = Some(sidecarRel), ndv = full.ndv,
-      sortedClaim = full.sortedClaim): Unit
+      sortedClaim = full.sortedClaim, prior = Some(full)): Unit
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each
@@ -1722,7 +1927,7 @@ object BucketedLake {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     versions(spark, path).map { v =>
-      val m = slurpManifest(fs, new Path(path, versionedManifest(v)))
+      val m = resolveManifest(fs, path, v)
       (v, m.op.getOrElse(""), m.entries.size.toLong,
         m.entries.map(_.rows).sum, m.entries.map(_.size).sum,
         m.txns.toSeq.sorted.map { case (a, e) => s"$a=$e" }.mkString(","))
@@ -1820,7 +2025,7 @@ object BucketedLake {
           s"${retained.toSeq.sorted.mkString(", ")}"))
     def manifestAt(v: Long): ManifestData =
       if (v == 0L) ManifestData(None, None, Map.empty, Nil)
-      else slurpManifest(fs, new Path(path, versionedManifest(v)))
+      else resolveManifest(fs, path, v)
     def tagged(df: DataFrame, ct: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(ct))
         .withColumn("_commit_version", lit(v))
@@ -2070,7 +2275,7 @@ object BucketedLake {
       base = Some(base), txns = m.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "merge", bloom = m.bloom, ndv = mergedNdv,
-      sortedClaim = m.sortedClaim)
+      sortedClaim = m.sortedClaim, prior = Some(m))
     // a crash BETWEEN flip and publish degrades this version's feed to
     // the file diff (documented in [[changes]]) — never wrong, coarser
     val fs = new Path(path).getFileSystem(
@@ -2666,7 +2871,7 @@ private[sources] class GraftBucketedTable(spark: SparkSession, path: String,
       base = baseOpt, txns = full.txns,
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "delete", bloom = full.bloom, ndv = full.ndv,
-      sortedClaim = full.sortedClaim): Unit
+      sortedClaim = full.sortedClaim, prior = Some(full)): Unit
   }
   override def name(): String =
     asOf.fold(path)(v => s"$path@v$v")
@@ -2949,7 +3154,7 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
         op = if (scope == ReplaceScope.Truncate) "truncate"
              else "replace",
         bloom = full.flatMap(_.bloom), ndv = ndvHeader,
-        sortedClaim = full.flatMap(_.sortedClaim)): Unit
+        sortedClaim = full.flatMap(_.sortedClaim), prior = full): Unit
     }
     if (scope != ReplaceScope.Append) {
       scopedReplace()
@@ -3005,7 +3210,8 @@ private[sources] class GraftBucketBatchWrite(spark: SparkSession, path: String,
               existing ++ freshEntries, Some(base),
               priorTxns ++ txnUpdate, layout, op = "append",
               bloom = full.flatMap(_.bloom), ndv = ndvHeader,
-              sortedClaim = full.flatMap(_.sortedClaim)): Unit
+              sortedClaim = full.flatMap(_.sortedClaim),
+              prior = full): Unit
             done = true
           } catch {
             case e: BucketedLake.ConcurrentCommitException =>

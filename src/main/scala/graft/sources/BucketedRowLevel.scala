@@ -242,7 +242,7 @@ private[sources] class GraftRowLevelBatchWrite(
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = op.opTag, bloom = op.pinned.bloom,
       ndv = if (ndvHeader.nonEmpty) ndvHeader else op.pinned.ndv,
-      sortedClaim = op.pinned.sortedClaim): Unit
+      sortedClaim = op.pinned.sortedClaim, prior = Some(op.pinned)): Unit
     f.delete(new org.apache.hadoop.fs.Path(staging), true): Unit
   }
 }
