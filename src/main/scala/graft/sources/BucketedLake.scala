@@ -753,34 +753,58 @@ object BucketedLake {
     * back to exact-live after heavy deletes (HLL cannot subtract, but
     * a fresh scan of what survives can). SQL spelling:
     * `CALL cat.system.analyze('<path>')`. Returns the estimate. */
-  def analyzeNdv(spark: SparkSession, path: String): Long = {
+  /** `cols` extends the sketch to NON-KEY columns (one shared
+    * column-pruned pass over the live files): joins on dimension
+    * attributes other than the bucket key then get cardinality-driven
+    * broadcast decisions too. Non-key sketches are snapshot-accurate at
+    * analyze time and survive only DATA-PRESERVING commits
+    * (compact/cluster/index/header commits carry the whole `#ndv` map);
+    * data-CHANGING commits re-derive the KEY sketch and DROP the rest —
+    * a stale non-key sketch could under-estimate after new values land,
+    * the unsafe broadcast direction, so absence (re-run analyze) beats
+    * staleness. Returns the per-column estimates (key always present).
+    * SQL: `CALL cat.system.analyze('<path>'[, 'col1,col2'])`. */
+  def analyzeNdv(spark: SparkSession, path: String,
+                 cols: Seq[String] = Nil): Map[String, Long] = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
     val base = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"analyze requires an MVCC manifest at $path — run compact() " +
           "once to upgrade a legacy table"))
-    val full = readManifestFull(spark, path, Some(base)).get
-    val sketch: Option[String] =
-      if (full.entries.isEmpty) Some(NdvSketch.toB64(NdvSketch.newSketch()))
-      else NdvSketch.sketchColumn(
-        spark.read.schema(StructType(Seq(spec.schema(spec.keyCol))))
-          .parquet(full.entries.map(e => s"$path/${e.rel}"): _*),
-        spec.keyCol)
-    sketch match {
-      case Some(b) =>
-        writeManifest(spark, path, full.entries, base = Some(base),
-          txns = full.txns,
-          layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
-          op = "compact", bloom = full.bloom,
-          ndv = Map(spec.keyCol -> b),
-          sortedClaim = full.sortedClaim, prior = Some(full)): Unit
-        NdvSketch.estimate(b).getOrElse(0L)
-      case None => throw new IllegalArgumentException(
-        s"key '${spec.keyCol}' " +
-          s"(${spec.schema(spec.keyCol).dataType.simpleString}) is not " +
+    require(NdvSketch.trackable(spec.schema(spec.keyCol).dataType),
+      s"key '${spec.keyCol}' " +
+        s"(${spec.schema(spec.keyCol).dataType.simpleString}) is not " +
+        "NDV-trackable")
+    cols.foreach { c =>
+      require(spec.schema.fieldNames.contains(c),
+        s"no column '$c' to analyze")
+      require(NdvSketch.trackable(spec.schema(c).dataType),
+        s"column '$c' (${spec.schema(c).dataType.simpleString}) is not " +
           "NDV-trackable")
     }
+    val full = readManifestFull(spark, path, Some(base)).get
+    val allCols = (spec.keyCol +: cols).distinct
+    // value = "<b64>:<nullCount>" — the exact null count rides along
+    // because CBO trusts a column only with BOTH stats (hasCountStats)
+    val sketches: Map[String, String] =
+      if (full.entries.isEmpty)
+        allCols.map(_ -> NdvSketch.encode(
+          NdvSketch.toB64(NdvSketch.newSketch()), Some(0L))).toMap
+      else NdvSketch.sketchColumns(
+        spark.read.schema(StructType(
+            allCols.map(c => spec.schema(spec.schema.fieldIndex(c)))))
+          .parquet(full.entries.map(e => s"$path/${e.rel}"): _*),
+        allCols).map { case (c, (b, nulls)) =>
+          c -> NdvSketch.encode(b, Some(nulls)) }
+    writeManifest(spark, path, full.entries, base = Some(base),
+      txns = full.txns,
+      layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
+      op = "compact", bloom = full.bloom,
+      ndv = sketches,
+      sortedClaim = full.sortedClaim, prior = Some(full)): Unit
+    sketches.view.mapValues(b =>
+      NdvSketch.estimate(b).getOrElse(0L)).toMap
   }
 
   /** Default retention: 7 days (Delta VACUUM's default) — an in-flight
@@ -3924,15 +3948,25 @@ private[sources] class GraftBucketScan(spark: SparkSession, path: String,
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    if (required.fieldNames.contains(spec.keyCol))
-      pinnedNdv.get(spec.keyCol).flatMap(NdvSketch.estimate).foreach { n =>
-        colStats.put(Expressions.column(spec.keyCol),
-          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def distinctCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(math.max(1L, n))
-            override def nullCount(): java.util.OptionalLong =
-              java.util.OptionalLong.of(0L)
-          })
+    // every sketched column the projection keeps contributes — the key
+    // (null-free by the write contract) plus any columns a
+    // `CALL system.analyze(path, 'col,...')` added, so joins/groupings
+    // on non-key dimension attributes price on cardinality too
+    pinnedNdv.keysIterator
+      .filter(required.fieldNames.contains)
+      .foreach { c =>
+        pinnedNdv.get(c).flatMap(NdvSketch.estimate).foreach { n =>
+          colStats.put(Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(math.max(1L, n))
+              override def nullCount(): java.util.OptionalLong =
+                if (c == spec.keyCol) java.util.OptionalLong.of(0L)
+                else pinnedNdv.get(c).flatMap(NdvSketch.nullCountOf)
+                  .fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+            })
+        }
       }
     partAxes.zipWithIndex.foreach { case ((pc, dt), axis) =>
       if (required.fieldNames.contains(pc)) {

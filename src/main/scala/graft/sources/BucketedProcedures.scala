@@ -157,15 +157,26 @@ object BucketedProcedures {
   }
 
   private object AnalyzeProc extends MaintenanceProc("analyze",
-    Array(in("table", StringType)),
-    new StructType().add("ndv", LongType, nullable = false)) {
+    Array(in("table", StringType),
+      inDefault("columns", StringType, "''")),
+    new StructType().add("column", StringType, nullable = false)
+      .add("ndv", LongType, nullable = false)) {
     override def description(): String =
-      "(Re)build the key-NDV statistics header from the current " +
-        "snapshot (bootstraps pre-header tables; tightens the " +
-        "estimate back to exact-live after heavy deletes)"
+      "(Re)build the NDV statistics header from the current snapshot — " +
+        "the bucket key always, plus any comma-separated `columns` " +
+        "(non-key join/grouping attributes then broadcast on " +
+        "cardinality too). Bootstraps pre-header tables; tightens " +
+        "estimates back to exact-live after heavy deletes"
     override protected def run(spark: SparkSession, input: InternalRow)
-        : Array[InternalRow] =
-      Array(InternalRow(BucketedLake.analyzeNdv(spark, str(input, 0))))
+        : Array[InternalRow] = {
+      val cols = Option(str(input, 1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      BucketedLake.analyzeNdv(spark, str(input, 0), cols)
+        .toSeq.sortBy(_._1)
+        .map { case (c, n) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(c), n) }
+        .toArray
+    }
   }
 
   private object VacuumProc extends MaintenanceProc("vacuum",

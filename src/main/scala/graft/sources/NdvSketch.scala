@@ -61,9 +61,24 @@ private[sources] object NdvSketch {
   def toB64(sk: HllSketch): String =
     java.util.Base64.getEncoder.encodeToString(sk.toCompactByteArray)
 
-  def estimate(b64: String): Option[Long] =
+  /** A header value is `<b64>[:<nullCount>]` — base64 never contains
+    * ':', so the suffix is unambiguous. The null count rides along
+    * because CBO's AggregateEstimation requires BOTH distinctCount and
+    * nullCount (`hasCountStats`) before it trusts a grouping column —
+    * an NDV without nulls prices nothing. */
+  def encode(b64: String, nulls: Option[Long]): String =
+    b64 + nulls.fold("")(n => s":$n")
+
+  def decode(v: String): (String, Option[Long]) = v.indexOf(':') match {
+    case -1 => (v, None)
+    case i => (v.substring(0, i), v.substring(i + 1).toLongOption)
+  }
+
+  def nullCountOf(v: String): Option[Long] = decode(v)._2
+
+  def estimate(v: String): Option[Long] =
     try Some(math.round(HllSketch.heapify(
-      java.util.Base64.getDecoder.decode(b64)).getEstimate))
+      java.util.Base64.getDecoder.decode(decode(v)._1)).getEstimate))
     catch { case _: Exception => None }
 
   /** Union any number of serialized/byte sketches; None when nothing
@@ -72,7 +87,8 @@ private[sources] object NdvSketch {
     if (b64s.isEmpty && raw.isEmpty) return None
     val u = new Union(LgK)
     b64s.foreach { s =>
-      try u.update(HllSketch.heapify(java.util.Base64.getDecoder.decode(s)))
+      try u.update(HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(decode(s)._1)))
       catch { case _: Exception => () } // corrupt header: drop, not fail
     }
     raw.foreach { b =>
@@ -98,5 +114,37 @@ private[sources] object NdvSketch {
         Iterator.single(sk.toCompactByteArray)
       }.collect() // bounded: one ≤4 KB sketch per partition
     unionAll(Nil, parts.toSeq)
+  }
+
+  /** Sketch SEVERAL columns in ONE pass over `df`, counting nulls
+    * alongside (untrackable columns are silently absent — callers
+    * validate up front when absence should be loud). Returns
+    * `col -> (b64 sketch, exact null count)`; driver traffic stays
+    * bounded: one ≤4 KB sketch + one long per (partition, column). */
+  def sketchColumns(df: DataFrame,
+                    cols: Seq[String]): Map[String, (String, Long)] = {
+    val tracked = cols.distinct.filter(c => trackable(df.schema(c).dataType))
+    if (tracked.isEmpty) return Map.empty
+    val dts = tracked.map(c => df.schema(c).dataType).toArray
+    val n = tracked.length
+    val parts = df.select(tracked.map(org.apache.spark.sql.functions.col): _*)
+      .queryExecution.toRdd
+      .mapPartitions { it =>
+        val sks = Array.fill(n)(newSketch())
+        val nulls = new Array[Long](n)
+        it.foreach { r =>
+          var i = 0
+          while (i < n) {
+            if (r.isNullAt(i)) nulls(i) += 1L
+            else update(sks(i), r.get(i, dts(i)), dts(i))
+            i += 1
+          }
+        }
+        Iterator.single((sks.map(_.toCompactByteArray), nulls))
+      }.collect()
+    tracked.zipWithIndex.flatMap { case (c, i) =>
+      unionAll(Nil, parts.map(_._1(i)).toSeq)
+        .map(b => c -> (b, parts.map(_._2(i)).sum))
+    }.toMap
   }
 }

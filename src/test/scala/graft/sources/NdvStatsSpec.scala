@@ -106,6 +106,55 @@ class NdvStatsSpec extends SparkSuite {
     }
   }
 
+  test("analyze with a column list: a NON-KEY join attribute flips to broadcast") {
+    val dim = tmp("ndv-nonkey-dim")
+    val fact = tmp("ndv-nonkey-fact")
+    // the join attribute is `cat` (40 distinct values), NOT the bucket
+    // key — only an analyzed non-key sketch can price this join
+    val wide = concat_ws("",
+      (0 until 60).map(j => md5(concat($"k", lit(j)))): _*)
+    BucketedLake.write(
+      (1L to 4000L).map(i => (i, s"c${i % 40}")).toDF("k", "cat")
+        .withColumn("payload", wide),
+      dim, "k", 4)
+    BucketedLake.write(
+      (1L to 200000L).map(i => (i, s"c${i % 40}", i * 3))
+        .toDF("k", "cat", "v").withColumn("pad", md5($"v".cast("string"))),
+      fact, "k", 4)
+    def q(): DataFrame =
+      table(fact).join(
+        table(dim).groupBy("cat")
+          .agg(max("k").as("mx"), max("payload").as("pay")), Seq("cat"))
+        .agg(sum($"v" + $"mx" + length($"pay")), max($"pad"))
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      // 16 KiB: the decision hinges on the aggregate's ROW estimate —
+      // without a `cat` sketch it falls back to the child's 4000 rows
+      // (~190 KiB at default widths) → sort-merge; the analyzed NDV=40
+      // collapses it to ~2 KiB → broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "16384") {
+      // before analyze: only the KEY sketch exists; grouping on `cat`
+      // has no cardinality, so the estimate stays row-bound and big
+      val before = joins(q())
+      assert(before.exists(_.contains("SortMergeJoin")),
+        s"without a non-key sketch the byte estimate must sort-merge, " +
+          s"got $before")
+      val ests = spark.sql(
+        s"CALL $cat.system.analyze('$dim', 'cat')").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ests("cat") === 40L, s"exact at this cardinality: $ests")
+      assert(ests.contains("k"), "the key is always re-sketched")
+      val after = joins(q())
+      assert(after.exists(_.contains("BroadcastHashJoin")),
+        s"the analyzed non-key NDV must broadcast the aggregated dim, " +
+          s"got $after")
+    }
+    // guards: unknown + untrackable columns are loud
+    intercept[IllegalArgumentException](
+      BucketedLake.analyzeNdv(spark, dim, Seq("nope")))
+  }
+
   test("folds: append unions, compaction carries exactly, replace resets") {
     val path = tmp("ndv-fold")
     BucketedLake.write((1L to 300L).map(i => (i, i)).toDF("k", "v"),
@@ -153,7 +202,7 @@ class NdvStatsSpec extends SparkSuite {
       "append atop unsketched history must stay silent")
     // analyze bootstraps from the live snapshot
     val est = spark.sql(s"CALL $cat.system.analyze('$path')")
-      .head().getLong(0)
+      .head().getLong(1)
     // ~1.6% HLL error at this cardinality (449-451 observed)
     assert(math.abs(est - 450L) <= 9L, s"est=$est")
     assert(math.abs(ndvOf(path).get - 450L) <= 9L)
@@ -162,7 +211,7 @@ class NdvStatsSpec extends SparkSuite {
     BucketedLake.deleteWhere(spark, path, col("k") <= 300L): Unit
     assert(math.abs(ndvOf(path).get - 450L) <= 9L,
       "carried header over-estimates")
-    val tightened = BucketedLake.analyzeNdv(spark, path)
+    val tightened = BucketedLake.analyzeNdv(spark, path)("k")
     assert(math.abs(tightened - 150L) <= 3L, s"tightened=$tightened")
     assert(math.abs(ndvOf(path).get - 150L) <= 3L)
   }
