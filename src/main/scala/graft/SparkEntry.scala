@@ -2827,6 +2827,14 @@ object SparkEntry {
           year(col("o_orderdate")).as("o_orderyear")),
         s"$root/orders", "o_custkey", 8,
         partitionCols = Seq("o_orderyear", "o_orderpriority"))
+      // multi-axis COUNT(DISTINCT): BOTH composite axes fold from ONE
+      // manifest read, zero data IO (metadata-aggregate pushdown —
+      // plan contract in BucketedAggPushdownSpec) — joined onto the
+      // two-axis-pruned grouped aggregate as constant columns
+      val summary = s.sql(s"""
+        SELECT COUNT(DISTINCT o_orderyear) AS d_year,
+               COUNT(DISTINCT o_orderpriority) AS d_prio
+        FROM graft_bk.`$root/orders`""")
       s.read.table(s"graft_bk.`$root/orders`")
         .where(col("o_orderyear") >= 1994 && col("o_orderyear") <= 1996 &&
           col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -2835,6 +2843,7 @@ object SparkEntry {
           sum(col("o_custkey")).cast("long").as("sum_ck"),
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("total"))
+        .crossJoin(summary)
         .orderBy("o_orderyear", "o_orderpriority")
     }),
 
@@ -5717,16 +5726,21 @@ object SparkEntry {
         AND o_custkey IN (1, 2, 4, 5, 7, 8, 10, 11)
       GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // both composite axes pruned, then the same filtered aggregate
+    // both composite axes pruned, then the same filtered aggregate;
+    // the cross-joined summary replays the multi-axis COUNT(DISTINCT)
     "lake_bucketed_composite" -> """
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_orderyear,
              o_orderpriority, COUNT(*) AS n,
              CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             s.d_year, s.d_prio
       FROM orders
+      CROSS JOIN (SELECT COUNT(DISTINCT year(o_orderdate)) AS d_year,
+                         COUNT(DISTINCT o_orderpriority) AS d_prio
+                  FROM orders) s
       WHERE year(o_orderdate) BETWEEN 1994 AND 1996
         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-      GROUP BY 1, 2 ORDER BY 1, 2""",
+      GROUP BY 1, 2, s.d_year, s.d_prio ORDER BY 1, 2""",
 
     // the co-located join must equal the plain shuffled join
     "lake_bucketed_join" -> """

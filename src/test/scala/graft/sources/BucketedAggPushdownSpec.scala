@@ -210,6 +210,35 @@ class BucketedAggPushdownSpec extends SparkSuite {
     assert(!pushed(d) && d.head().getLong(0) === 5L)
   }
 
+  test("multi-axis COUNT(DISTINCT) folds every composite axis from one manifest read") {
+    val path = tmp("aggpd-multidistinct")
+    val df = (1L to 600L).map(i =>
+      (i, s"d${i % 4}", s"r${i % 3}", i)).toDF("k", "dt", "region", "v")
+    BucketedLake.write(df, path, "k", 2,
+      partitionCols = Seq("dt", "region"))
+    val q = spark.sql(
+      s"SELECT count(DISTINCT dt) AS d_dt, count(DISTINCT region) AS d_rg, " +
+        s"count(*) AS n FROM $cat.`$path`")
+    assert(pushed(q),
+      s"multi-axis distinct must stay metadata-only:\n" +
+        s"${q.queryExecution.executedPlan}")
+    val r = q.head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L &&
+      r.getLong(2) === 600L)
+    // filtered: the fold sees only the matching partition dirs
+    val f = spark.sql(
+      s"SELECT count(DISTINCT dt), count(DISTINCT region) " +
+        s"FROM $cat.`$path` WHERE dt = 'd1'")
+    assert(pushed(f))
+    assert(f.head().toSeq === Seq(1L, 3L))
+    // decline rule: mixing in a NON-axis distinct sends the whole
+    // aggregate to the row scan, answers unchanged
+    val d = spark.sql(
+      s"SELECT count(DISTINCT dt), count(DISTINCT v) FROM $cat.`$path`")
+    assert(!pushed(d))
+    assert(d.head().toSeq === Seq(4L, 600L))
+  }
+
   test("exactness doubts decline to the row scan (answers stay right)") {
     val path = tmp("aggpd-decline")
     val df = (1L to 100L).map(i =>
