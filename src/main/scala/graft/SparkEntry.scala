@@ -1347,13 +1347,16 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
-    /** FROM-SCRATCH baseline JPEG decode ([[graft.ops.JpegCodec]] —
-      * markers, canonical Huffman, dequant, IDCT, level shift; NOT
+    /** FROM-SCRATCH JPEG decode ([[graft.ops.JpegCodec]] — markers,
+      * canonical Huffman, dequant, IDCT, level shift; NOT
       * javax.imageio): one DC-only grayscale JPEG per doc whose flat
       * 8x8 blocks follow the arithmetic pixel formula (Q(0,0)=8 makes
-      * dequant x IDCT EXACT), every fifth doc restart-marked (RSTn
-      * resync in the production path). The oracle replays the block
-      * formula — a lossy format certified bit-for-bit. */
+      * dequant x IDCT EXACT). Every THIRD doc encodes PROGRESSIVE
+      * (SOF2: three scans — DC-first at Al=1, an AC band scan, a DC
+      * refinement — so successive approximation runs in production);
+      * every fifth is restart-marked (RSTn resync in both frame
+      * types). The oracle replays the block formula — a lossy format
+      * certified bit-for-bit; a refusal would surface as null sums. */
     "media_jpeg_features" -> ((s, d) =>
       Multimodal.jpegFeatures(
           Multimodal.synthesizeJpegs(t(s, d, "documents").select("doc_id")))

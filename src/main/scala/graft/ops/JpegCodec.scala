@@ -1,15 +1,20 @@
 package graft.ops
 
-/** FROM-SCRATCH baseline JPEG (ITU-T T.81 / JFIF) decoder — the last
-  * dominant training-image format behind the repo's codec seam
-  * implemented for real (PNG/GIF/WAV/MP4 already are; see
-  * [[Multimodal]]). Baseline sequential DCT, 8-bit precision:
+/** FROM-SCRATCH JPEG (ITU-T T.81 / JFIF) decoder — the last dominant
+  * training-image format behind the repo's codec seam implemented for
+  * real (PNG/GIF/WAV/MP4 already are; see [[Multimodal]]). Baseline
+  * sequential AND progressive DCT, 8-bit precision:
   *
   *  - marker segments: SOI / APPn / COM / DQT (8- and 16-bit tables) /
-  *    SOF0 / DHT / DRI / SOS / RSTn / EOI;
+  *    SOF0 / SOF1 / SOF2 / DHT / DRI / SOS / RSTn / EOI;
   *  - canonical Huffman decode of DC (differential, per-component
   *    predictor) and AC (run/size with ZRL and EOB) coefficients, with
   *    0xFF00 byte-unstuffing and restart-interval resync;
+  *  - PROGRESSIVE (SOF2, T.81 Annex G): multi-scan coefficient
+  *    accumulation — spectral selection bands, successive-approximation
+  *    first + refinement passes for both DC and AC, cross-block EOB
+  *    runs with correction bits, interleaved DC / non-interleaved AC
+  *    scan geometry, per-scan restart resync ([[ProgState]]);
   *  - dequantization in zig-zag order, separable floating-point 2-D
   *    IDCT (exact for the integer inputs the tests pin), +128 level
   *    shift, round + clamp;
@@ -17,12 +22,14 @@ package graft.ops
   *    factors 1–2 on either axis (4:4:4 / 4:2:2 / 4:2:0), box
   *    replication upsampling, BT.601 YCbCr→RGB.
   *
-  * Progressive (SOF2), arithmetic coding, 12-bit precision, and CMYK
-  * refuse loudly (`None`) — callers fall through to `javax.imageio`
-  * or the stub seam, never to silently wrong pixels. The decoder is
-  * spec-pinned against `javax.imageio`'s libjpeg-derived reader
-  * (JpegCodecSpec): identical dims everywhere, pixel-exact within the
-  * IDCT tolerance the JPEG standard itself allows.
+  * Arithmetic coding, lossless/hierarchical, 12-bit precision, and
+  * CMYK refuse loudly (`None`) — callers fall through to
+  * `javax.imageio` or the stub seam, never to silently wrong pixels.
+  * The decoder is spec-pinned against `javax.imageio`'s
+  * libjpeg-derived reader (JpegCodecSpec): identical dims everywhere,
+  * pixel-exact within the IDCT tolerance the JPEG standard itself
+  * allows — including on imageio's own multi-scan progressive writer
+  * output.
   *
   * Scale note: decode is per-payload pure CPU — the pipeline drives it
   * partition-wise ([[Multimodal.jpegFeatures]]), one codec instance
@@ -153,6 +160,8 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var prog: ProgState = null
 
     def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
 
@@ -163,8 +172,11 @@ object JpegCodec {
       while (marker == 0xFF) { pos += 1; marker = bytes(pos + 1) & 0xFF }
       pos += 2
       marker match {
-        case 0xD9 => return None // EOI before SOS produced pixels
-        case 0xC0 | 0xC1 => // baseline (C1 = extended sequential, same scan shape)
+        case 0xD9 => // EOI: a progressive frame finishes HERE (multi-scan)
+          return if (prog != null) Some(prog.finish()) else None
+        case 0xC0 | 0xC1 | 0xC2 => // C1 = extended sequential (same scan
+          // shape); C2 = progressive (spectral selection + successive
+          // approximation, multi-scan coefficient accumulation)
           val len = u16(pos)
           val prec = bytes(pos + 2) & 0xFF
           if (prec != 8) return None // 12-bit out of scope
@@ -180,10 +192,11 @@ object JpegCodec {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2) return None
             c
           }
+          progressive = marker == 0xC2
           pos += len
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
              0xCD | 0xCE | 0xCF =>
-          return None // progressive / arithmetic / hierarchical
+          return None // lossless / arithmetic / hierarchical
         case 0xC4 => // DHT
           val len = u16(pos)
           var p = pos + 2
@@ -221,13 +234,15 @@ object JpegCodec {
         case 0xDD => // DRI
           restartInterval = u16(pos + 2)
           pos += u16(pos)
-        case 0xDA => // SOS — baseline: the one interleaved scan
+        case 0xDA => // SOS — baseline: the one interleaved scan;
+          // progressive: one of many partial-coefficient scans
           if (comps == null) throw new JpegFormatException("SOS before SOF")
           val len = u16(pos)
           val ns = bytes(pos + 2) & 0xFF
-          if (ns != comps.length)
+          if (!progressive && ns != comps.length)
             throw new JpegFormatException("non-interleaved scan")
           var p = pos + 3
+          val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
             val cid = bytes(p) & 0xFF
@@ -236,19 +251,282 @@ object JpegCodec {
               throw new JpegFormatException(s"unknown scan component $cid"))
             c.dcTab = (tt >> 4) & 0xF
             c.acTab = tt & 0xF
+            scanComps(i) = c
             p += 2
             i += 1
           }
+          val ss = bytes(p) & 0xFF
+          val se = bytes(p + 1) & 0xFF
+          val ahal = bytes(p + 2) & 0xFF
           pos += len
-          return Some(decodeScan(bytes, pos, comps, qtabs, dcTabs, acTabs,
-            width, height, restartInterval))
+          if (!progressive)
+            return Some(decodeScan(bytes, pos, comps, qtabs, dcTabs, acTabs,
+              width, height, restartInterval))
+          if (prog == null) prog = new ProgState(comps, qtabs, width, height)
+          pos = prog.decodeScan(bytes, pos, scanComps, dcTabs, acTabs,
+            ss, se, (ahal >> 4) & 0xF, ahal & 0xF, restartInterval)
         case m if m >= 0xD0 && m <= 0xD7 => // stray RST outside scan
           ()
         case _ => // APPn / COM / others: length-prefixed skip
           pos += u16(pos)
       }
     }
+    // stream ended without EOI: refuse — T.81 mandates the EOI, and a
+    // TRUNCATED multi-scan progressive would otherwise render partial
+    // pixels that silently disagree with a full decode
     None
+  }
+
+  /** PROGRESSIVE (SOF2) frame state — T.81 Annex G: coefficients
+    * accumulate across scans (spectral selection picks a zig-zag band,
+    * successive approximation delivers magnitude bits high-to-low) into
+    * per-component MCU-padded block grids; dequantization + IDCT run
+    * ONCE at EOI. DC scans may interleave any component subset
+    * (per-component differential predictors, reset per scan and at
+    * RSTn); AC scans are single-component by the standard, iterated
+    * over the component's OWN block raster; EOB runs
+    * ([[https://www.w3.org/Graphics/JPEG/itu-t81.pdf T.81 G.1.2.2]])
+    * span blocks and carry correction bits in refinement scans. */
+  private final class ProgState(comps: Array[Component],
+                                qtabs: Array[Array[Int]],
+                                width: Int, height: Int) {
+    private val hMax = comps.map(_.h).max
+    private val vMax = comps.map(_.v).max
+    private val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    private val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    private val blocksW = comps.map(c => mcusX * c.h)
+    private val blocksH = comps.map(c => mcusY * c.v)
+    // per component: MCU-padded grid of 64-int blocks, ZIG-ZAG positions
+    // resolved to NATURAL order at write time (like the baseline path)
+    private val coefs: Array[Array[Int]] = comps.indices.map(i =>
+      new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+    private def idxOf(c: Component): Int = comps.indexWhere(_.id == c.id)
+
+    def decodeScan(bytes: Array[Byte], start: Int,
+                   scanComps: Array[Component],
+                   dcTabs: Array[Huff], acTabs: Array[Huff],
+                   ss: Int, se: Int, ah: Int, al: Int,
+                   restartInterval: Int): Int = {
+      if (ss > se || se > 63)
+        throw new JpegFormatException(s"bad spectral band $ss..$se")
+      if (ss > 0 && scanComps.length != 1)
+        throw new JpegFormatException("interleaved AC scan")
+      val in = new BitReader(bytes, start)
+      var eobrun = 0
+      var nextRst = 0
+      scanComps.foreach(_.pred = 0)
+
+      def dcFirst(c: Component, arr: Array[Int], off: Int): Unit = {
+        val dcT = dcTabs(c.dcTab)
+        if (dcT == null) throw new JpegFormatException("missing DC table")
+        val s = dcT.decode(in)
+        c.pred += in.extend(in.receive(s), s)
+        arr(off) = c.pred << al
+      }
+      def dcRefine(arr: Array[Int], off: Int): Unit =
+        if (in.bit() == 1) arr(off) |= (1 << al)
+      def acFirst(c: Component, arr: Array[Int], off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val acT = acTabs(c.acTab)
+        if (acT == null) throw new JpegFormatException("missing AC table")
+        var k = ss
+        while (k <= se) {
+          val rs = acT.decode(in)
+          val r = (rs >> 4) & 0xF
+          val s = rs & 0xF
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else { // EOBn: this block ends; r more magnitude bits follow
+              eobrun = (1 << r) - 1 + (if (r > 0) in.receive(r) else 0)
+              return
+            }
+          } else {
+            k += r
+            if (k > se) throw new JpegFormatException("AC run overflow")
+            arr(off + ZigZag(k)) = in.extend(in.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+      /** T.81 G.1.2.3 (the libjpeg-shaped control flow): newly-nonzero
+        * coefficients arrive as +-1<<al; every already-nonzero
+        * coefficient CROSSED carries one correction bit. */
+      def acRefine(c: Component, arr: Array[Int], off: Int): Unit = {
+        val acT = acTabs(c.acTab)
+        if (acT == null) throw new JpegFormatException("missing AC table")
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(pos0: Int): Unit =
+          if (in.bit() == 1 && (arr(pos0) & p1) == 0)
+            arr(pos0) += (if (arr(pos0) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var ended = false
+          while (k <= se && !ended) {
+            val rs = acT.decode(in)
+            var r = (rs >> 4) & 0xF
+            val s = rs & 0xF
+            var newVal = 0
+            if (s != 0) {
+              if (s != 1)
+                throw new JpegFormatException("refinement size != 1")
+              newVal = if (in.bit() == 1) p1 else m1
+            } else if (r != 15) { // EOBn (r==15 = ZRL: 16 zero-history)
+              eobrun = (1 << r) + (if (r > 0) in.receive(r) else 0)
+              ended = true
+            }
+            if (!ended) {
+              // advance over r ZERO-history positions, correcting every
+              // nonzero one crossed; stop on the r+1-th zero (newVal's)
+              var placed = false
+              while (k <= se && !placed) {
+                val pos0 = off + ZigZag(k)
+                if (arr(pos0) != 0) { correct(pos0); k += 1 }
+                else if (r == 0) {
+                  if (newVal != 0) arr(pos0) = newVal
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              if (!placed && newVal != 0)
+                throw new JpegFormatException("refinement run overflow")
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) { // band tail of an EOB-run block: corrections only
+          while (k <= se) {
+            val pos0 = off + ZigZag(k)
+            if (arr(pos0) != 0) correct(pos0)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeBlockAt(c: Component, arr: Array[Int], off: Int): Unit =
+        if (ss == 0) {
+          if (ah == 0) dcFirst(c, arr, off) else dcRefine(arr, off)
+          if (se != 0) throw new JpegFormatException("DC scan with Se>0")
+        } else {
+          if (ah == 0) acFirst(c, arr, off) else acRefine(c, arr, off)
+        }
+
+      def resync(mcuIdx: Int): Unit =
+        if (restartInterval > 0 && mcuIdx > 0 &&
+            mcuIdx % restartInterval == 0) {
+          in.alignToByte()
+          var p = in.pos
+          while (p + 1 < bytes.length &&
+              !((bytes(p) & 0xFF) == 0xFF && (bytes(p + 1) & 0xFF) != 0x00))
+            p += (if ((bytes(p) & 0xFF) == 0xFF) 2 else 1)
+          while (p + 1 < bytes.length && (bytes(p + 1) & 0xFF) == 0xFF)
+            p += 1
+          val m = bytes(p + 1) & 0xFF
+          if (m != (0xD0 | nextRst))
+            throw new JpegFormatException(f"expected RST$nextRst%d, got $m%02x")
+          in.pos = p + 2
+          nextRst = (nextRst + 1) & 7
+          scanComps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+
+      if (scanComps.length == 1) {
+        // non-interleaved: the component's OWN block raster (T.81
+        // A.2.2) — its count may be smaller than the padded grid
+        val c = scanComps(0)
+        val ci = idxOf(c)
+        val arr = coefs(ci)
+        val bw = (((width * c.h + hMax - 1) / hMax) + 7) / 8
+        val bh = (((height * c.v + vMax - 1) / vMax) + 7) / 8
+        var mcu = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            resync(mcu)
+            decodeBlockAt(c, arr, (by * blocksW(ci) + bx) * 64)
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        // interleaved (DC scans): frame MCU geometry, scan components
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            resync(mcu)
+            var i = 0
+            while (i < scanComps.length) {
+              val c = scanComps(i)
+              val ci = idxOf(c)
+              var v = 0
+              while (v < c.v) {
+                var h = 0
+                while (h < c.h) {
+                  decodeBlockAt(c, coefs(ci),
+                    ((my * c.v + v) * blocksW(ci) + (mx * c.h + h)) * 64)
+                  h += 1
+                }
+                v += 1
+              }
+              i += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      }
+      // park past the scan's entropy bytes: skip stuffed FF00 and any
+      // RSTn, stop at the next real marker
+      in.alignToByte()
+      var p = in.pos
+      while (p + 1 < bytes.length && {
+        val b0 = bytes(p) & 0xFF
+        if (b0 != 0xFF) { p += 1; true }
+        else {
+          val b1 = bytes(p + 1) & 0xFF
+          if (b1 == 0x00 || b1 == 0xFF) { p += (if (b1 == 0x00) 2 else 1); true }
+          else if (b1 >= 0xD0 && b1 <= 0xD7) { p += 2; true }
+          else false
+        }
+      }) ()
+      p
+    }
+
+    /** Dequantize + IDCT every accumulated block, then the shared crop/
+      * upsample/color assembly. */
+    def finish(): Raster = {
+      val planeW = comps.map(c => mcusX * 8 * c.h)
+      val planes = comps.indices.map(i =>
+        new Array[Byte](planeW(i) * (mcusY * 8 * comps(i).v))).toArray
+      val deq = new Array[Int](64)
+      val out = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qtabs(c.tq)
+        if (q == null) throw new JpegFormatException("missing quant table")
+        val arr = coefs(ci)
+        var by = 0
+        while (by < blocksH(ci)) {
+          var bx = 0
+          while (bx < blocksW(ci)) {
+            val off = (by * blocksW(ci) + bx) * 64
+            var i = 0
+            while (i < 64) { deq(i) = arr(off + i) * q(i); i += 1 }
+            idctStore(deq, out, planes(ci), planeW(ci), bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      assemble(comps, planes, planeW, hMax, vMax, width, height)
+    }
   }
 
   private def decodeScan(bytes: Array[Byte], start: Int,
@@ -301,39 +579,7 @@ object JpegCodec {
           k += 1
         }
       }
-      // separable IDCT: rows then columns, with the 1/2 C(u) factors
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var sum = 0.0
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            val cy = CosTable(y * 8 + v) * (if (v == 0) 0.70710678118654752 else 1.0)
-            while (u < 8) {
-              val cu = if (u == 0) 0.70710678118654752 else 1.0
-              sum += cu * cy * coef(v * 8 + u) * CosTable(x * 8 + u)
-              u += 1
-            }
-            v += 1
-          }
-          out(y * 8 + x) = sum / 4.0
-          x += 1
-        }
-        y += 1
-      }
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          val v = math.round(out(yy * 8 + xx) + 128.0).toInt
-          val clamped = if (v < 0) 0 else if (v > 255) 255 else v
-          plane((py + yy) * pw + (px + xx)) = clamped.toByte
-          xx += 1
-        }
-        yy += 1
-      }
+      idctStore(coef, out, plane, pw, px, py)
     }
 
     var my = 0
@@ -380,8 +626,55 @@ object JpegCodec {
       my += 1
     }
 
-    // assemble: crop to (width, height); box-replication upsampling of
-    // subsampled chroma; BT.601 YCbCr -> RGB for 3 components
+    assemble(comps, planes, planeW, hMax, vMax, width, height)
+  }
+
+  /** Separable IDCT (rows x columns with the 1/2 C(u) factors) of one
+    * DEQUANTIZED natural-order block, +128 level shift, round + clamp,
+    * stored into the component plane at (px, py). */
+  private def idctStore(coef: Array[Int], out: Array[Double],
+                        plane: Array[Byte], pw: Int,
+                        px: Int, py: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          val cy = CosTable(y * 8 + v) * (if (v == 0) 0.70710678118654752 else 1.0)
+          while (u < 8) {
+            val cu = if (u == 0) 0.70710678118654752 else 1.0
+            sum += cu * cy * coef(v * 8 + u) * CosTable(x * 8 + u)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = sum / 4.0
+        x += 1
+      }
+      y += 1
+    }
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val v = math.round(out(yy * 8 + xx) + 128.0).toInt
+        val clamped = if (v < 0) 0 else if (v > 255) 255 else v
+        plane((py + yy) * pw + (px + xx)) = clamped.toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Crop to (width, height); box-replication upsampling of subsampled
+    * chroma; BT.601 YCbCr -> RGB for 3 components. Shared by the
+    * baseline one-scan path and the progressive finish. */
+  private def assemble(comps: Array[Component], planes: Array[Array[Byte]],
+                       planeW: Array[Int], hMax: Int, vMax: Int,
+                       width: Int, height: Int): Raster = {
     if (comps.length == 1) {
       val data = new Array[Byte](width * height)
       val pw = planeW(0)
@@ -583,12 +876,104 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode the SAME grayscale DC-only image as a PROGRESSIVE (SOF2)
+    * three-scan stream: DC-first at Al=1 (high magnitude bits,
+    * differential), an all-EOB AC-first scan (band 1..63 — every
+    * coefficient band must appear in some scan for strict readers),
+    * and a DC refinement delivering the Al=0 bit raw. Pixels are
+    * IDENTICAL to [[encodeGrayDcOnly]]'s for the same `blockVal` —
+    * the arithmetic-oracle property carries over to the progressive
+    * path. `restartInterval` (per scan, MCU = one block) exercises
+    * RSTn resync + per-scan predictor/EOB-run resets. */
+  def encodeGrayDcOnlyProgressive(w: Int, h: Int, blockVal: Int => Int,
+                                  restartInterval: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "dims must be multiples of 8")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    out.write(0xFF); out.write(0xD8) // SOI
+    if (restartInterval > 0) {
+      out.write(0xFF); out.write(0xDD); u16(4); u16(restartInterval)
+    }
+    out.write(0xFF); out.write(0xDB); u16(2 + 1 + 64); out.write(0x00)
+    var i = 0
+    while (i < 64) { out.write(if (i == 0) 8 else 16); i += 1 }
+    // SOF2: 8-bit, 1 component, 1x1 sampling, qtable 0
+    out.write(0xFF); out.write(0xC2); u16(2 + 6 + 3)
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(tc: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
+      out.write(0xFF); out.write(0xC4); u16(2 + 1 + 16 + symbols.length)
+      out.write((tc << 4) | 0)
+      counts.foreach(out.write)
+      symbols.foreach(out.write)
+    }
+    dht(0, StdDcCounts, StdDcSymbols)
+    dht(1, StdAcCounts, StdAcSymbols)
+    val dcCodes = codesOf(StdDcCounts, StdDcSymbols)
+    val acCodes = codesOf(StdAcCounts, StdAcSymbols)
+    val nBlocks = (w / 8) * (h / 8)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xFF); out.write(0xDA); u16(2 + 1 + 2 + 3)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    var pred = 0
+    /** One scan's entropy data: per block `emit(bw, b)`, with RSTn
+      * every `restartInterval` blocks (fresh bit stream after each). */
+    def scanBody(emit: (BitWriter, Int) => Unit): Unit = {
+      var bw = new BitWriter(out)
+      var rstN = 0
+      var b = 0
+      while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          bw.flushWithOnes()
+          out.write(0xFF); out.write(0xD0 | rstN)
+          rstN = (rstN + 1) & 7
+          pred = 0
+          bw = new BitWriter(out)
+        }
+        emit(bw, b)
+        b += 1
+      }
+      bw.flushWithOnes()
+    }
+    // scan 1: DC first, Al=1 — differential (v >> 1), size/extend coded
+    sos(0, 0, 0, 1)
+    pred = 0
+    scanBody { (bw, b) =>
+      val v = blockVal(b)
+      require(v >= -128 && v <= 127, s"blockVal out of range: $v")
+      val hi = v >> 1 // arithmetic shift: (hi << 1) | (v & 1) == v
+      val diff = hi - pred
+      pred = hi
+      val size = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
+        math.abs(diff))
+      val (c, l) = dcCodes(size)
+      bw.put(c, l)
+      if (size > 0) {
+        val bits = if (diff < 0) diff + (1 << size) - 1 else diff
+        bw.put(bits, size)
+      }
+    }
+    // scan 2: AC first, band 1..63, Al=0 — every block is one EOB0
+    val (eobCode, eobLen) = acCodes(0x00)
+    sos(1, 63, 0, 0)
+    scanBody { (bw, _) => bw.put(eobCode, eobLen) }
+    // scan 3: DC refinement, Al=0 — the low magnitude bit, raw
+    sos(0, 0, 1, 0)
+    scanBody { (bw, b) => bw.put(blockVal(b) & 1, 1) }
+    out.write(0xFF); out.write(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** The `media_jpeg_features` fixture family: per doc, a DC-only
-    * grayscale baseline JPEG whose block pixels follow the arithmetic
-    * formula the DuckDB oracle replays
-    * (`((id % 100003) * 31 + b * 7) % 256` per 8x8 block `b`); every
-    * fifth doc carries a restart interval so the RSTn resync path runs
-    * in production, not just in specs. */
+    * grayscale JPEG whose block pixels follow the arithmetic formula
+    * the DuckDB oracle replays
+    * (`((id % 100003) * 31 + b * 7) % 256` per 8x8 block `b`). Every
+    * THIRD doc encodes PROGRESSIVE (SOF2, three scans — the spectral-
+    * selection + successive-approximation path runs in production);
+    * every fifth carries a restart interval so RSTn resync runs in
+    * both frame types. */
   object FixtureJpeg {
     def dims(id: Long): (Int, Int) =
       ((8 * (1 + id % 4)).toInt, (8 * (1 + id % 3)).toInt)
@@ -596,8 +981,13 @@ object JpegCodec {
       (((id % 100003) * 31 + b * 7) % 256).toInt
     def bytes(id: Long): Array[Byte] = {
       val (w, h) = dims(id)
-      encodeGrayDcOnly(w, h, b => blockPixel(id, b) - 128,
-        restartInterval = if (id % 5 == 0) 2 else 0)
+      val rst = if (id % 5 == 0) 2 else 0
+      if (id % 3 == 0)
+        encodeGrayDcOnlyProgressive(w, h, b => blockPixel(id, b) - 128,
+          restartInterval = rst)
+      else
+        encodeGrayDcOnly(w, h, b => blockPixel(id, b) - 128,
+          restartInterval = rst)
     }
   }
 }

@@ -700,11 +700,11 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Partition-wise FROM-SCRATCH baseline JPEG decode
-    * ([[JpegCodec.decode]] — Huffman + dequant + IDCT + level shift,
-    * NOT `javax.imageio`) → exact integer stats (width, height,
-    * gray_sum = Σ raw samples). Null row when the payload isn't a
-    * baseline JPEG this decoder speaks (progressive/CMYK refuse
+  /** Partition-wise FROM-SCRATCH JPEG decode ([[JpegCodec.decode]] —
+    * Huffman + dequant + IDCT + level shift, baseline AND progressive
+    * (SOF2) frames, NOT `javax.imageio`) → exact integer stats (width,
+    * height, gray_sum = Σ raw samples). Null row when the payload
+    * isn't a JPEG this decoder speaks (arithmetic/12-bit/CMYK refuse
     * loudly rather than guess). */
   def jpegFeatures(df: DataFrame, mediaCol: String = "media"): DataFrame = {
     val schema = df.schema
