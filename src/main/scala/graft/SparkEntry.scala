@@ -1431,6 +1431,21 @@ object SparkEntry {
           col("sum_abs"), col("peak"), col("zero_cross"))
         .orderBy("doc_id")),
 
+    /** FROM-SCRATCH FLAC decode ([[graft.ops.FlacCodec]] — frame sync +
+      * CRC-8/16, fixed-predictor and verbatim subframes, Rice-partition
+      * residuals; the JDK ships no FLAC reader): one fixture FLAC per
+      * doc from the SAME deterministic sample formula as `media_audio`,
+      * subframe strategy rotating by doc (verbatim / fixed order 1 /
+      * fixed order 2), exact integer sample stats out. FLAC is
+      * lossless, so decode must invert the encoder bit-exactly — the
+      * oracle replays the formula; a refusal surfaces as null stats. */
+    "media_flac" -> ((s, d) =>
+      Multimodal.flacStats(
+          Multimodal.synthesizeFlacs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_abs"), col("peak"), col("zero_cross"))
+        .orderBy("doc_id")),
+
     /** Deterministic epoch shuffle: md5-permuted, dealt round-robin into 8
       * shards with dense per-shard positions ([[Curation.epochShuffle]] —
       * two-pass range rank, no global window). */
@@ -4800,6 +4815,26 @@ object SparkEntry {
       FROM p JOIN sz ON p.doc_id = sz.doc_id
       GROUP BY p.doc_id, p.timescale, p.n, p.width, p.height
       ORDER BY p.doc_id""",
+
+    /** Identical arithmetic to media_audio: the FLAC leg decodes the
+      * SAME deterministic PCM, so one replay text certifies both
+      * codecs (WAV via javax.sound, FLAC from scratch). */
+    "media_flac" -> """
+      WITH p AS (SELECT doc_id, 200 + doc_id % 601 AS n FROM documents),
+      s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM p),
+      w AS (SELECT doc_id, n, i,
+        ((doc_id % 100003) * 131 + i * 7919) % 65536 - 32768 AS smp FROM s),
+      z AS (SELECT doc_id, n, smp,
+        CASE WHEN lag(smp) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+              AND (smp < 0) <> (lag(smp) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+             THEN 1 ELSE 0 END AS zc
+        FROM w)
+      SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+        CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
+        CAST(SUM(zc) AS BIGINT) AS zero_cross
+      FROM z GROUP BY doc_id, n ORDER BY doc_id""",
 
     /** Arithmetic replay of the fixture-WAV sample formula (the Spark side
       * must invert a real RIFF/PCM encode-decode round trip to match). */

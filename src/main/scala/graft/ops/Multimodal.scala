@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * Image decode/resize/feature-extraction is REAL: [[ImageIoCodec]] drives
   * `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP, JDK-only). WAV audio decode is
   * REAL too: [[WavCodec]] drives `javax.sound.sampled` (RIFF/PCM, JDK-only,
-  * headless-safe). Payloads neither accepts — video containers, compressed
-  * audio codecs — fall back to [[DecodeStub]], a deterministic fake that
-  * derives "features" from the raw bytes (the remaining documented codec
-  * seam). Everything Spark-side is real and
+  * headless-safe), and COMPRESSED audio has a real from-scratch leg:
+  * [[FlacCodec]] (frames, fixed/LPC predictors, Rice residuals, CRCs — the
+  * JDK ships no FLAC reader). Payloads none of these accept — video
+  * codecs, lossy audio — fall back to [[DecodeStub]], a deterministic fake
+  * that derives "features" from the raw bytes (the remaining documented
+  * codec seam). Everything Spark-side is real and
   * tested: schema contract, batch shape (partition-wise iteration, one
   * codec init per partition — the same shape a Python `mapInPandas`/
   * Arrow-batch UDF has), partitioning, and the pruned-scan friendliness of
@@ -468,6 +470,48 @@ object Multimodal {
         WavCodec.decodeStats(bytes) match {
           case Some(s) => Row.fromSeq(r.toSeq ++ Seq[Any](
             s.sampleRate, s.nSamples, s.sumAbs, s.peak, s.zeroCross))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Synthesize one fixture FLAC per row ([[FlacCodec.FixtureFlac]] —
+    * SAME sample formula as [[FixtureWav]], compressed encoding with a
+    * rotating subframe strategy). Stands in for a real compressed-audio
+    * column scan in `media_flac`. */
+  def synthesizeFlacs(df: DataFrame, idCol: String = "doc_id",
+                      mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ FlacCodec.FixtureFlac.bytes(r.getLong(idIdx)))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise FROM-SCRATCH FLAC decode ([[FlacCodec.decode]] —
+    * frames, fixed/LPC predictors, Rice residuals, CRCs; the JDK ships
+    * no FLAC reader) → the same exact integer sample stats as
+    * [[audioStats]]. Null columns when the payload isn't a mono FLAC
+    * this decoder speaks — callers branch, never get stub numbers. */
+  def flacStats(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("n_samples", LongType))
+      .add(StructField("sum_abs", LongType))
+      .add(StructField("peak", IntegerType))
+      .add(StructField("zero_cross", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        FlacCodec.decodeStats(bytes) match {
+          case Some((sr, n, sumAbs, peak, zc)) => Row.fromSeq(r.toSeq ++
+            Seq[Any](sr, n, sumAbs, peak, zc))
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
         }
       }
