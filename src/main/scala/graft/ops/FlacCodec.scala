@@ -430,6 +430,15 @@ object FlacCodec {
   final case class Fixed(order: Int) extends Strategy {
     require(order >= 0 && order <= 4, s"fixed order $order")
   }
+  /** A REAL LPC subframe whose quantized coefficients are the fixed
+    * predictor's, scaled by `shift` (e.g. order 2, shift 4 -> coefs
+    * [32, -16], prediction (32a - 16b) >> 4 = 2a - b): residuals equal
+    * the fixed predictor's, but the DECODER walks the full LPC path —
+    * precision/shift/coefficient parsing and the 64-bit accumulator. */
+  final case class Lpc(order: Int, shift: Int) extends Strategy {
+    require(order >= 1 && order <= 4, s"lpc order $order")
+    require(shift >= 0 && shift <= 9, s"lpc shift $shift (precision caps at 15)")
+  }
 
   /** Stereo decorrelation mode for [[encode]] — each exercises one of
     * the decoder's lossless channel reconstructions. */
@@ -549,72 +558,143 @@ object FlacCodec {
     out.toByteArray
   }
 
+  /** The fixed predictors' coefficient rows (T.81-era polynomial
+    * predictors, public spec constants). */
+  private def fixedCoefs(order: Int): Array[Int] = order match {
+    case 0 => Array.empty[Int]
+    case 1 => Array(1)
+    case 2 => Array(2, -1)
+    case 3 => Array(3, -3, 1)
+    case _ => Array(4, -6, 4, -1)
+  }
+
   private def encodeSubframe(bw: BitWriter, xs: Array[Int], bps: Int,
                              strategy: Strategy): Unit = {
     val n = xs.length
     def putSigned(v: Int, bits: Int): Unit = bw.put(v & ((1 << bits) - 1), bits)
+    // WASTED BITS: when every sample shares k low zero bits, the spec
+    // lets the subframe carry samples >> k with a unary k prefix — and
+    // exercising it here keeps the decoder's path tested
+    var wasted = 0
+    if (n > 0 && xs.exists(_ != 0)) {
+      var all = xs(0)
+      var i = 1
+      while (i < n) { all |= xs(i); i += 1 }
+      while (wasted < 3 && (all & (1 << wasted)) == 0) wasted += 1
+    }
+    val eff = if (wasted == 0) xs else xs.map(_ >> wasted)
+    val effBps = bps - wasted
+    def putWasted(): Unit =
+      if (wasted == 0) bw.put(0, 1)
+      else { // flag + unary(k-1): k-1 zeros then a 1
+        bw.put(1, 1)
+        var i = 1
+        while (i < wasted) { bw.put(0, 1); i += 1 }
+        bw.put(1, 1)
+      }
+    // CONSTANT subframe when the (shifted) signal is flat
+    if (n > 0 && eff.forall(_ == eff(0))) {
+      bw.put(0, 1); bw.put(0, 6); putWasted()
+      putSigned(eff(0), effBps)
+      return
+    }
     strategy match {
       case Verbatim =>
-        bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)
+        bw.put(0, 1); bw.put(1, 6); putWasted()
         var i = 0
-        while (i < n) { putSigned(xs(i), bps); i += 1 }
+        while (i < n) { putSigned(eff(i), effBps); i += 1 }
+      case Lpc(order0, shift) =>
+        val order = math.min(order0, n)
+        bw.put(0, 1); bw.put(31 + order, 6); putWasted()
+        var i = 0
+        while (i < order) { putSigned(eff(i), effBps); i += 1 }
+        val coefs = fixedCoefs(order).map(_ << shift)
+        val prec = 6 + shift // fits 4<<shift .. -(6<<shift) signed
+        bw.put(prec - 1, 4)
+        putSigned(shift, 5)
+        i = 0
+        while (i < order) { putSigned(coefs(i), prec); i += 1 }
+        val res = new Array[Int](n - order)
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * eff(i - 1 - j); j += 1 }
+          res(i - order) = eff(i) - (acc >> shift).toInt
+          i += 1
+        }
+        writeResiduals(bw, res, effBps)
+        return
       case Fixed(order0) =>
         val order = math.min(order0, n)
-        bw.put(0, 1); bw.put(8 + order, 6); bw.put(0, 1)
+        bw.put(0, 1); bw.put(8 + order, 6); putWasted()
         var i = 0
-        while (i < order) { putSigned(xs(i), bps); i += 1 }
+        while (i < order) { putSigned(eff(i), effBps); i += 1 }
         val res = new Array[Int](n - order)
         i = order
         while (i < n) {
           val pred = order match {
             case 0 => 0
-            case 1 => xs(i - 1)
-            case 2 => 2 * xs(i - 1) - xs(i - 2)
-            case 3 => 3 * xs(i - 1) - 3 * xs(i - 2) + xs(i - 3)
-            case _ => 4 * xs(i - 1) - 6 * xs(i - 2) + 4 * xs(i - 3) -
-              xs(i - 4)
+            case 1 => eff(i - 1)
+            case 2 => 2 * eff(i - 1) - eff(i - 2)
+            case 3 => 3 * eff(i - 1) - 3 * eff(i - 2) + eff(i - 3)
+            case _ => 4 * eff(i - 1) - 6 * eff(i - 2) + 4 * eff(i - 3) -
+              eff(i - 4)
           }
-          res(i - order) = xs(i) - pred
+          res(i - order) = eff(i) - pred
           i += 1
         }
-        // one partition (po = 0), best 4-bit Rice parameter by cost
-        bw.put(0, 2) // method 0
-        bw.put(0, 4) // partition order 0
-        var best = 0
-        var bestCost = Long.MaxValue
-        var p = 0
-        while (p < 15) {
-          var cost = 0L
-          var j = 0
-          while (j < res.length) {
-            val u = (res(j) << 1) ^ (res(j) >> 31)
-            cost += (u >>> p) + 1 + p
-            j += 1
-          }
-          if (cost < bestCost) { bestCost = cost; best = p }
-          p += 1
+        writeResiduals(bw, res, effBps)
+        return
+    }
+  }
+
+  /** Rice residual block (method 0, one partition, best 4-bit param,
+    * escape-to-raw when cheaper) — shared by Fixed and Lpc. */
+  private def writeResiduals(bw: BitWriter, res: Array[Int],
+                             bps: Int): Unit = {
+    locally {
+        
+      // one partition (po = 0), best 4-bit Rice parameter by cost
+      bw.put(0, 2) // method 0
+      bw.put(0, 4) // partition order 0
+      var best = 0
+      var bestCost = Long.MaxValue
+      var p = 0
+      while (p < 15) {
+        var cost = 0L
+        var j = 0
+        while (j < res.length) {
+          val u = (res(j) << 1) ^ (res(j) >> 31)
+          cost += (u >>> p) + 1 + p
+          j += 1
         }
-        // escape to raw when Rice is degenerate (bps+2 covers any
-        // residual of bps-bit fixed prediction up to order 2 here)
-        val rawBits = math.min(31, bps + 3)
-        if (bestCost > res.length.toLong * rawBits) {
-          bw.put(0xF, 4) // escape
-          bw.put(rawBits, 5)
-          var j = 0
-          while (j < res.length) { putSigned(res(j), rawBits); j += 1 }
-        } else {
-          bw.put(best, 4)
-          var j = 0
-          while (j < res.length) {
-            val u = (res(j) << 1) ^ (res(j) >> 31)
-            val q = u >>> best
-            var k = 0
-            while (k < q) { bw.put(0, 1); k += 1 }
-            bw.put(1, 1)
-            if (best > 0) bw.put(u & ((1 << best) - 1), best)
-            j += 1
-          }
+        if (cost < bestCost) { bestCost = cost; best = p }
+        p += 1
+      }
+      // escape to raw when Rice is degenerate (bps+3 covers any
+      // residual of bps-bit prediction up to order 2 here)
+      val rawBits = math.min(31, bps + 3)
+      if (bestCost > res.length.toLong * rawBits) {
+        bw.put(0xF, 4) // escape
+        bw.put(rawBits, 5)
+        var j = 0
+        while (j < res.length) {
+          bw.put(res(j) & ((1 << rawBits) - 1), rawBits); j += 1
         }
+      } else {
+        bw.put(best, 4)
+        var j = 0
+        while (j < res.length) {
+          val u = (res(j) << 1) ^ (res(j) >> 31)
+          val q = u >>> best
+          var k = 0
+          while (k < q) { bw.put(0, 1); k += 1 }
+          bw.put(1, 1)
+          if (best > 0) bw.put(u & ((1 << best) - 1), best)
+          j += 1
+        }
+      }
     }
   }
 
@@ -646,17 +726,18 @@ object FlacCodec {
     * as [[Multimodal.FixtureWav]] (`((id % 100003) * 131 + i * 7919) %
     * 65536 - 32768`, `200 + id % 601` samples at 8 kHz) — the oracle
     * replays one arithmetic text for both audio legs — encoded with a
-    * rotating subframe strategy so verbatim, order-1 and order-2 fixed
-    * prediction ALL run in production. */
+    * rotating subframe strategy so verbatim, fixed prediction AND real
+    * LPC subframes all run in production. */
   object FixtureFlac {
     def bytes(id: Long): Array[Byte] = {
       val n = Multimodal.FixtureWav.nSamples(id)
       val s = Array.tabulate(n)(i =>
         Multimodal.FixtureWav.sample(id, i.toLong).toInt)
-      val strat: Strategy = (id % 3) match {
+      val strat: Strategy = (id % 4) match {
         case 0 => Verbatim
         case 1 => Fixed(1)
-        case _ => Fixed(2)
+        case 2 => Fixed(2)
+        case _ => Lpc(2, 4)
       }
       encode(Multimodal.FixtureWav.SampleRate, 1, s, strat)
     }

@@ -29,6 +29,48 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("LPC subframes round-trip bit-exactly (coefficient/precision/shift parsing + 64-bit accumulator)") {
+    for {
+      shift <- Seq(0, 4, 9)
+      order <- Seq(1, 2, 4)
+      n <- Seq(256, 801)
+    } {
+      val xs = pcm(11L, n)
+      val bytes = FlacCodec.encode(8000, 1, xs, FlacCodec.Lpc(order, shift))
+      val p = FlacCodec.decode(bytes)
+        .getOrElse(fail(s"LPC decode failed order=$order shift=$shift"))
+      assert(p.samples.toSeq === xs.toSeq, s"order=$order shift=$shift n=$n")
+    }
+    // stereo LPC with side channels too
+    val n = 512
+    val inter = new Array[Int](n * 2)
+    for (i <- 0 until n) {
+      inter(2 * i) = pcm(13L, n)(i)
+      inter(2 * i + 1) = pcm(17L, n)(i) / 2
+    }
+    val b = FlacCodec.encode(8000, 2, inter, FlacCodec.Lpc(2, 4),
+      FlacCodec.MidSide)
+    assert(FlacCodec.decode(b).get.samples.toSeq === inter.toSeq)
+  }
+
+  test("wasted bits and CONSTANT subframes round-trip") {
+    // all samples share 2 low zero bits -> encoder emits a wasted-bits
+    // prefix; decoder must shift them back in
+    val xs = pcm(9L, 500).map(v => (v >> 2) << 2)
+    for (strat <- Seq[FlacCodec.Strategy](FlacCodec.Verbatim,
+        FlacCodec.Fixed(2), FlacCodec.Lpc(2, 4))) {
+      val bytes = FlacCodec.encode(8000, 1, xs, strat)
+      assert(FlacCodec.decode(bytes).get.samples.toSeq === xs.toSeq,
+        s"wasted-bits strat=$strat")
+    }
+    // flat signal -> CONSTANT subframe, a few bytes per frame
+    val flat = Array.fill(1000)(-12345)
+    val cb = FlacCodec.encode(8000, 1, flat, FlacCodec.Verbatim)
+    assert(FlacCodec.decode(cb).get.samples.toSeq === flat.toSeq)
+    assert(cb.length < 200,
+      s"constant subframes should collapse the stream, got ${cb.length}B")
+  }
+
   test("compression is real: fixed prediction beats verbatim on smooth signals") {
     // a gentle ramp has tiny order-2 residuals -> small Rice params
     val xs = Array.tabulate(2048)(i =>
