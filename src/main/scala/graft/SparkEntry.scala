@@ -1418,6 +1418,19 @@ object SparkEntry {
           col("n_samples"), col("sample_bytes"))
         .orderBy("doc_id")),
 
+    /** REAL MPEG-1 Layer III frame-header walk ([[graft.ops.Mp3Codec]]
+      * — 11-bit sync, bitrate/sample-rate tables, padding, VBR frame
+      * lengths, ID3v2/v1 wrappers skipped; metadata scope like
+      * media_mp4_meta): exact frame count, summed frame bytes, and
+      * integer duration out of a real byte stream the oracle replays
+      * arithmetically. */
+    "media_mp3_meta" -> ((s, d) =>
+      Multimodal.mp3Meta(
+          Multimodal.synthesizeMp3s(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("frame_bytes"), col("duration_ms"))
+        .orderBy("doc_id")),
+
     /** REAL WAV decode ([[graft.ops.Multimodal.WavCodec]]): one fixture
       * RIFF/PCM WAV per doc from the deterministic sample formula, decoded
       * with javax.sound.sampled, exact integer sample stats out. PCM16 is
@@ -4815,6 +4828,28 @@ object SparkEntry {
       FROM p JOIN sz ON p.doc_id = sz.doc_id
       GROUP BY p.doc_id, p.timescale, p.n, p.width, p.height
       ORDER BY p.doc_id""",
+
+    /** Arithmetic replay of the fixture-MP3 parameter formula — frame
+      * sizes from the public Layer III length equation; the Spark side
+      * must walk real sync'd headers (and skip the ID3 wrappers) to
+      * match. */
+    "media_mp3_meta" -> """
+      WITH p AS (SELECT doc_id,
+          ([44100, 48000, 32000])[CAST(doc_id % 3 AS INTEGER) + 1] AS sr,
+          CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS ch,
+          5 + doc_id % 7 AS n
+        FROM documents),
+      f AS (SELECT doc_id, sr, ch, n, unnest(range(n)) AS i FROM p),
+      w AS (SELECT doc_id, sr, ch, n,
+          ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+            )[CAST(1 + (doc_id + i) % 14 AS INTEGER)] AS kbps,
+          (doc_id + i) % 2 AS pad
+        FROM f)
+      SELECT doc_id, CAST(sr AS INTEGER) AS sample_rate,
+        CAST(ch AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_frames,
+        CAST(SUM(144 * (kbps * 1000) // sr + pad) AS BIGINT) AS frame_bytes,
+        CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+      FROM w GROUP BY doc_id, sr, ch, n ORDER BY doc_id""",
 
     /** Identical arithmetic to media_audio: the FLAC leg decodes the
       * SAME deterministic PCM, so one replay text certifies both

@@ -115,7 +115,6 @@ object FlacCodec {
       q
     }
     def alignToByte(): Unit = nbits = 0
-    def byteAligned: Boolean = nbits == 0
   }
 
   /** Decode FLAC bytes; `None` when the payload is not a FLAC this

@@ -519,6 +519,46 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Synthesize one fixture MP3 per row ([[Mp3Codec.FixtureMp3]] —
+    * real headers, VBR frame sizes, ID3 wrappers; zero-filled spectral
+    * payloads, metadata scope). */
+  def synthesizeMp3s(df: DataFrame, idCol: String = "doc_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ Mp3Codec.FixtureMp3.bytes(r.getLong(idIdx)))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL MP3 frame-header walk ([[Mp3Codec.meta]]) →
+    * stream metadata (sample_rate, channels, n_frames, exact summed
+    * frame bytes, integer duration). Null columns when the payload
+    * isn't an MPEG-1 Layer III stream — callers branch rather than
+    * silently getting stub numbers. */
+  def mp3Meta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("sample_rate", IntegerType))
+      .add(StructField("channels", IntegerType))
+      .add(StructField("n_frames", IntegerType))
+      .add(StructField("frame_bytes", LongType))
+      .add(StructField("duration_ms", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Mp3Codec.meta(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(m) => Row.fromSeq(r.toSeq ++ Seq[Any](
+            m.sampleRate, m.channels, m.nFrames, m.frameBytes, m.durationMs))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL ISO-BMFF (MP4) container parsing — video METADATA without any
     * codec decode. Honest scope: frame PIXELS need compressed-video
     * codecs this container never ships (that remains the documented
