@@ -622,7 +622,7 @@ object FlacCodec {
           res(i - order) = eff(i) - (acc >> shift).toInt
           i += 1
         }
-        writeResiduals(bw, res, effBps)
+        writeResiduals(bw, res, effBps, order, n)
         return
       case Fixed(order0) =>
         val order = math.min(order0, n)
@@ -643,49 +643,57 @@ object FlacCodec {
           res(i - order) = eff(i) - pred
           i += 1
         }
-        writeResiduals(bw, res, effBps)
+        writeResiduals(bw, res, effBps, order, n)
         return
     }
   }
 
-  /** Rice residual block (method 0, one partition, best 4-bit param,
-    * escape-to-raw when cheaper) — shared by Fixed and Lpc. */
-  private def writeResiduals(bw: BitWriter, res: Array[Int],
-                             bps: Int): Unit = {
-    locally {
-        
-      // one partition (po = 0), best 4-bit Rice parameter by cost
-      bw.put(0, 2) // method 0
-      bw.put(0, 4) // partition order 0
+  /** Rice residual block (method 0) — shared by Fixed and Lpc. Uses
+    * FOUR partitions when the block divides evenly (each with its own
+    * best 4-bit parameter, escape-to-raw when cheaper), so the
+    * decoder's multi-partition path runs in every full frame; ragged
+    * tail frames fall back to one partition. `order` = predictor
+    * order (the first partition is shorter by it), `blockSize` = the
+    * subframe's total sample count. */
+  private def writeResiduals(bw: BitWriter, res: Array[Int], bps: Int,
+                             order: Int, blockSize: Int): Unit = {
+    bw.put(0, 2) // method 0 (4-bit params)
+    val po =
+      if (blockSize % 4 == 0 && blockSize / 4 > order && res.length > 8) 2
+      else 0
+    bw.put(po, 4)
+    val nPart = 1 << po
+    val rawBits = math.min(31, bps + 3)
+    var idx = 0
+    var part = 0
+    while (part < nPart) {
+      val n = (blockSize >> po) - (if (part == 0) order else 0)
       var best = 0
       var bestCost = Long.MaxValue
       var p = 0
       while (p < 15) {
         var cost = 0L
         var j = 0
-        while (j < res.length) {
-          val u = (res(j) << 1) ^ (res(j) >> 31)
+        while (j < n) {
+          val u = (res(idx + j) << 1) ^ (res(idx + j) >> 31)
           cost += (u >>> p) + 1 + p
           j += 1
         }
         if (cost < bestCost) { bestCost = cost; best = p }
         p += 1
       }
-      // escape to raw when Rice is degenerate (bps+3 covers any
-      // residual of bps-bit prediction up to order 2 here)
-      val rawBits = math.min(31, bps + 3)
-      if (bestCost > res.length.toLong * rawBits) {
-        bw.put(0xF, 4) // escape
+      if (bestCost > n.toLong * rawBits) {
+        bw.put(0xF, 4) // escape to raw
         bw.put(rawBits, 5)
         var j = 0
-        while (j < res.length) {
-          bw.put(res(j) & ((1 << rawBits) - 1), rawBits); j += 1
+        while (j < n) {
+          bw.put(res(idx + j) & ((1 << rawBits) - 1), rawBits); j += 1
         }
       } else {
         bw.put(best, 4)
         var j = 0
-        while (j < res.length) {
-          val u = (res(j) << 1) ^ (res(j) >> 31)
+        while (j < n) {
+          val u = (res(idx + j) << 1) ^ (res(idx + j) >> 31)
           val q = u >>> best
           var k = 0
           while (k < q) { bw.put(0, 1); k += 1 }
@@ -694,6 +702,8 @@ object FlacCodec {
           j += 1
         }
       }
+      idx += n
+      part += 1
     }
   }
 
