@@ -1418,6 +1418,20 @@ object SparkEntry {
           col("n_samples"), col("sample_bytes"))
         .orderBy("doc_id")),
 
+    /** REAL VIDEO PIXELS ([[graft.ops.AviCodec]] — RIFF/AVI container
+      * walk, every '00dc' frame decoded by the from-scratch
+      * [[graft.ops.JpegCodec]], baseline AND progressive frames in the
+      * mix): exact per-doc frame counts, container-vs-frame dimension
+      * cross-checks, and summed raw gray samples. The oracle replays
+      * the per-(frame, block) pixel formula — a refusal anywhere
+      * (container or any frame) surfaces as null stats. */
+    "media_mjpeg_video" -> ((s, d) =>
+      Multimodal.mjpegVideoStats(
+          Multimodal.synthesizeMjpegs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("gray_sum"))
+        .orderBy("doc_id")),
+
     /** REAL MPEG-1 Layer III frame-header walk ([[graft.ops.Mp3Codec]]
       * — 11-bit sync, bitrate/sample-rate tables, padding, VBR frame
       * lengths, ID3v2/v1 wrappers skipped; metadata scope like
@@ -4828,6 +4842,24 @@ object SparkEntry {
       FROM p JOIN sz ON p.doc_id = sz.doc_id
       GROUP BY p.doc_id, p.timescale, p.n, p.width, p.height
       ORDER BY p.doc_id""",
+
+    /** Arithmetic replay of the MJPEG fixture's per-(frame, block)
+      * pixel formula — flat 8x8 blocks, so each block contributes
+      * 64x its pixel value; the Spark side must walk a real AVI and
+      * JPEG-decode every frame to match. */
+    "media_mjpeg_video" -> """
+      WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nf,
+          (1 + doc_id % 4) * (1 + doc_id % 3) AS nb,
+          CAST(8 * (1 + doc_id % 4) AS INTEGER) AS w,
+          CAST(8 * (1 + doc_id % 3) AS INTEGER) AS h
+        FROM documents),
+      f AS (SELECT doc_id, nf, nb, w, h, unnest(range(nf)) AS fi FROM p),
+      b AS (SELECT doc_id, nf, nb, w, h, fi, unnest(range(nb)) AS bi FROM f)
+      SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, w AS width,
+        h AS height,
+        CAST(SUM((((doc_id % 100003) * 31 + fi * 11 + bi * 7) % 256) * 64)
+          AS BIGINT) AS gray_sum
+      FROM b GROUP BY doc_id, nf, w, h ORDER BY doc_id""",
 
     /** Arithmetic replay of the fixture-MP3 parameter formula — frame
       * sizes from the public Layer III length equation; the Spark side

@@ -559,6 +559,44 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Synthesize one fixture MJPEG AVI per row ([[AviCodec.FixtureMjpeg]]
+    * — real RIFF framing around real JPEG frames, baseline and
+    * progressive mixed). */
+  def synthesizeMjpegs(df: DataFrame, idCol: String = "doc_id",
+                       mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ AviCodec.FixtureMjpeg.bytes(r.getLong(idIdx)))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-wise REAL VIDEO decode ([[AviCodec.mjpegStats]]: RIFF
+    * walk + per-frame [[JpegCodec]]) → exact integer frame/pixel stats.
+    * Null columns when the payload isn't an MJPEG AVI this stack
+    * speaks — callers branch, never get stub numbers. */
+  def mjpegVideoStats(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("n_frames", IntegerType))
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("gray_sum", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        AviCodec.mjpegStats(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(s) => Row.fromSeq(r.toSeq ++ Seq[Any](
+            s.nFrames, s.width, s.height, s.graySum))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL ISO-BMFF (MP4) container parsing — video METADATA without any
     * codec decode. Honest scope: frame PIXELS need compressed-video
     * codecs this container never ships (that remains the documented
