@@ -3065,6 +3065,35 @@ object SparkEntry {
         .orderBy("version", "via")
     }),
 
+    /** FRAGMENT-LEVEL manifest observability under the oracle
+      * ([[graft.sources.BucketedLake.fragments]] — the incremental
+      * manifest-delta layer's audit view): v1 is a full checkpoint
+      * carrying every file, v2 an O(changed) delta with one add. The
+      * oracle is the exact expected table. */
+    "lake_sql_fragments_tvf" -> ((s, d) => {
+      val root = lakeTmp(d, "bkfrag")
+      s.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      graft.functions.LakeTableFunctions.ensureRegistered(s)
+      s.conf.set("spark.graft.bucketed.manifestDeltaMinEntries", "1")
+      try {
+        graft.sources.BucketedLake.write(
+          t(s, d, "orders").select("o_orderkey", "o_totalprice")
+            .limit(2000),
+          s"$root/orders", "o_orderkey", 4) // v1: full, 4 bucket files
+        t(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_orderkey").desc).limit(1)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+          .writeTo(s"graft_bk.`$root/orders`").append() // v2: delta, 1 add
+        // the TVF materializes driver-side at construction: safe to
+        // reset the conf before returning the plan
+        s.sql(s"""
+          SELECT version, kind, chain, adds, removes
+          FROM graft_bucketed_fragments('$root/orders')
+          ORDER BY version""")
+      } finally s.conf.unset("spark.graft.bucketed.manifestDeltaMinEntries")
+    }),
+
     /** CHANGE DATA FEED over the bucketed lake's MVCC history
       * ([[graft.sources.BucketedLake.changes]]): v2 is an append (the
       * feed reads ONLY the added files — a manifest diff), v3 a
@@ -5724,6 +5753,17 @@ object SparkEntry {
       SELECT version, via, n, total
       FROM legs CROSS JOIN (VALUES ('tvf'), ('sql')) AS v(via)
       ORDER BY version, via""",
+
+    // exact expected fragment table: v1 full checkpoint (4 bucket
+    // files), v2 delta (chain 1, one added file, zero removes)
+    "lake_sql_fragments_tvf" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'full', CAST(0 AS INTEGER),
+         CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'delta', CAST(1 AS INTEGER),
+         CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+        AS t(version, kind, chain, adds, removes)
+      ORDER BY version""",
 
     // CDF: v2 inserts = the appended odd keys; v3's merge classes
     // recompute from the same predicates the query used

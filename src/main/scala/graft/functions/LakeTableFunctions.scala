@@ -118,6 +118,15 @@ object LakeTableFunctions {
       (args: Seq[Expression]) => plan(graft.sources.BucketedLake
         .files(SparkSession.active, str(args.head),
           args.lift(1).map(num)))),
+    // fragment-level manifest observability (incremental-delta layer):
+    // SELECT * FROM graft_bucketed_fragments('/p') — one row per
+    // retained manifest FILE: full/delta kind, chain depth, base,
+    // add/remove counts, resolved live-file count (null = torn chain:
+    // run repair()), on-disk bytes
+    (FunctionIdentifier("graft_bucketed_fragments"),
+      new ExpressionInfo(getClass.getName, "graft_bucketed_fragments"),
+      (args: Seq[Expression]) => plan(graft.sources.BucketedLake
+        .fragments(SparkSession.active, str(args.head)))),
     // bucketed-lake CHANGE DATA FEED between retained MVCC versions
     // (from EXCLUSIVE, to inclusive; `to` defaults to the current tip):
     // SELECT * FROM graft_bucketed_changes('/p', 1[, 3]) — table columns

@@ -1946,6 +1946,44 @@ object BucketedLake {
         "files", "rows", "bytes", "key_ndv", "bloom_index")
   }
 
+  /** FRAGMENT-LEVEL manifest observability — one row per retained
+    * manifest FILE (the physical unit the incremental-delta layer
+    * writes): whether it is a full checkpoint or a delta, its chain
+    * depth and base, the add/remove line counts, the fragment's
+    * on-disk bytes, and the RESOLVED live-file count (null when the
+    * chain is torn/broken — exactly the health signal that says "run
+    * repair()"). At 100 TB this is how an operator audits checkpoint
+    * cadence and commit-size behavior: an append writing O(table)
+    * bytes shows up here as a fat fragment. SQL:
+    * `graft_bucketed_fragments('/p')`. Metadata-bounded: one parse per
+    * retained fragment (lenient — a torn fragment reports, never
+    * throws). */
+  def fragments(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    versions(spark, path).map { v =>
+      val p = new Path(path, versionedManifest(v))
+      val bytes = fs.getFileStatus(p).getLen
+      val raw = slurpRawLenient(fs, p)
+      val live: Option[Long] =
+        if (raw.truncated) None
+        else if (raw.deltaBase.isEmpty) Some(raw.data.entries.size.toLong)
+        else resolveManifestLenient(fs, path, v)
+          .map(_.entries.size.toLong)
+      (v,
+        if (raw.deltaBase.isDefined) "delta" else "full",
+        raw.chain,
+        raw.deltaBase.map(java.lang.Long.valueOf).orNull,
+        raw.data.entries.size.toLong,
+        raw.removes.size.toLong,
+        live.map(java.lang.Long.valueOf).orNull,
+        bytes,
+        raw.truncated)
+    }.toDF("version", "kind", "chain", "base", "adds", "removes",
+      "live_files", "bytes", "truncated")
+  }
+
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = new Path(path).getFileSystem(

@@ -244,6 +244,49 @@ class ManifestDeltaSpec extends SparkSuite {
     }
   }
 
+  test("graft_bucketed_fragments: full/delta kinds, chains, resolved counts, torn-chain health") {
+    withDeltas() {
+      val path = tmp("bkd-fragments")
+      BucketedLake.write((1L to 2000L).map(i => (i, i)).toDF("k", "v"),
+        path, "k", 2) // v1 full
+      Seq((9001L, 1L)).toDF("k", "v").writeTo(s"$cat.`$path`").append() // v2
+      Seq((9002L, 2L)).toDF("k", "v").writeTo(s"$cat.`$path`").append() // v3
+      val rows = spark.sql(
+        s"SELECT * FROM graft_bucketed_fragments('$path') ORDER BY version")
+        .collect()
+      assert(rows.length === 3)
+      assert(rows(0).getAs[String]("kind") === "full" &&
+        rows(0).getAs[Int]("chain") === 0)
+      assert(rows(1).getAs[String]("kind") === "delta" &&
+        rows(1).getAs[Long]("base") === 1L &&
+        rows(1).getAs[Int]("chain") === 1)
+      assert(rows(2).getAs[Int]("chain") === 2)
+      // resolved live counts grow by one appended file per commit
+      val live = rows.map(_.getAs[Long]("live_files"))
+      assert(live(1) === live(0) + 1 && live(2) === live(1) + 1)
+      // the delta carries only the changed lines (size itself is
+      // header-dominated at this tiny fixture — the O(changed)-bytes
+      // contract is pinned at 250 files above and 100k in ScaleProbe)
+      assert(rows(1).getAs[Long]("adds") === 1L &&
+        rows(1).getAs[Long]("removes") === 0L)
+      assert(rows(0).getAs[Long]("adds") === rows(0).getAs[Long]("live_files"))
+      assert(rows.forall(!_.getAs[Boolean]("truncated")))
+      // tear the middle link: v2 reports truncated, v3's resolution nulls
+      val torn = fragText(path, 2L).split("\n")
+        .filterNot(_.startsWith("#end")).mkString("", "\n", "\n")
+      val out = fs(path).create(
+        new Path(path, BucketedLake.versionedManifest(2L)), true)
+      out.write(torn.getBytes("UTF-8")); out.close()
+      val after = spark.sql(
+        s"SELECT * FROM graft_bucketed_fragments('$path') ORDER BY version")
+        .collect()
+      assert(after(1).getAs[Boolean]("truncated"))
+      assert(after(1).isNullAt(after(1).fieldIndex("live_files")))
+      assert(after(2).isNullAt(after(2).fieldIndex("live_files")),
+        "a delta atop a torn base must report unresolvable, not a number")
+    }
+  }
+
   test("below the entry floor every commit stays a full manifest (default behavior unchanged)") {
     val path = tmp("bkd-floor") // default confs: floor 1024
     BucketedLake.write((1L to 100L).map(i => (i, i)).toDF("k", "v"),
