@@ -1463,7 +1463,7 @@ object SparkEntry {
       * residuals; the JDK ships no FLAC reader): one fixture FLAC per
       * doc from the SAME deterministic sample formula as `media_audio`,
       * subframe strategy rotating by doc (verbatim / fixed order 1 /
-      * fixed order 2), exact integer sample stats out. FLAC is
+      * fixed order 2 / real LPC), exact integer sample stats out. FLAC is
       * lossless, so decode must invert the encoder bit-exactly — the
       * oracle replays the formula; a refusal surfaces as null stats. */
     "media_flac" -> ((s, d) =>
