@@ -1433,9 +1433,31 @@ object BucketedLake {
     * a consistent file set for its whole scan (no dir swap, no
     * read-while-replace window). Superseded files stay on disk until
     * [[vacuum]], exactly the snapshot-expiry shape of any MVCC lake. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compact(spark, path, Map.empty[String, String])
+
+  /** `partitionValues` SCOPES the fold to matching partition dirs —
+    * the `OPTIMIZE ... WHERE` shape every lakehouse maintenance story
+    * needs at 100 TB: yesterday's hot partition compacts in minutes
+    * while the other 10^3 partitions' files are carried through the
+    * manifest untouched (zero data IO outside the scope). Values match
+    * the RAW dir strings (exactly what `graft_bucketed_files` shows in
+    * `partition`); unknown columns are loud; an empty map folds the
+    * whole table. SQL: `CALL cat.system.compact('/p'[, 'dt=2024-01-02,
+    * region=eu'])`. */
+  def compact(spark: SparkSession, path: String,
+              partitionValues: Map[String, String]): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
+    partitionValues.keys.foreach { c =>
+      require(spec.partCols.contains(c),
+        s"'$c' is not a partition column of $path " +
+          s"(axes: ${spec.partCols.mkString(", ")})")
+    }
+    val scopeAxes: Seq[(Int, String)] = partitionValues.toSeq.map {
+      case (c, v) => (spec.partCols.indexOf(c), v) }
+    def inScope(rel: String): Boolean = scopeAxes.forall { case (i, v) =>
+      partValueRawAt(rel, i).flatten.contains(v) }
     // the OCC base: every entry below derives from THIS version — a
     // concurrent commit (e.g. an append) after this point makes the
     // compaction stale, and the write gate fails it loudly instead of
@@ -1453,7 +1475,8 @@ object BucketedLake {
     // layout has no partition axis; partition values live in the data
     // files too, so the rewrite reproduces identical dir segments
     val byGroup = baseEntries.groupBy(e => (compositeSegOf(e.rel), e.bucket))
-    val multi = byGroup.filter(_._2.length > 1).toSeq.sortBy(_._1)
+    val multi = byGroup.filter { case ((_, _), es) =>
+      es.length > 1 && inScope(es.head.rel) }.toSeq.sortBy(_._1)
     val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
     val layout = Some((spec.keyCol, spec.buckets, spec.partCols))
     if (multi.isEmpty) {

@@ -86,16 +86,27 @@ object BucketedProcedures {
   // ------------------------------------------------------ procedures
 
   private object CompactProc extends MaintenanceProc("compact",
-    Array(in("table", StringType)),
+    Array(in("table", StringType),
+      inDefault("partition_filter", StringType, "''")),
     new StructType().add("version", LongType, nullable = false)
       .add("files", IntegerType, nullable = false)) {
     override def description(): String =
       "Fold multi-file (partition, bucket) groups to one key-sorted " +
-        "file each; returns the committed version and live file count"
+        "file each; `partition_filter` ('dt=2024-01-02,region=eu') " +
+        "scopes the fold to matching partition dirs — the " +
+        "OPTIMIZE-one-partition shape. Returns the committed version " +
+        "and live file count"
     override protected def run(spark: SparkSession, input: InternalRow)
         : Array[InternalRow] = {
       val path = str(input, 0)
-      BucketedLake.compact(spark, path)
+      val scope = Option(str(input, 1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"partition_filter entry '$kv' is not col=value")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap
+      BucketedLake.compact(spark, path, scope)
       val m = BucketedLake.readManifestFull(spark, path)
       Array(InternalRow(
         BucketedLake.currentVersion(spark, path).getOrElse(0L),

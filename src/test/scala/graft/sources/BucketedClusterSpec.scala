@@ -162,6 +162,39 @@ class BucketedClusterSpec extends SparkSuite {
     assert(table(path).count() === 8000L)
   }
 
+  test("partition-scoped compaction folds ONLY the named partition's groups") {
+    val path = tmp("bkc-scoped")
+    val df = (1L to 3000L).map(i => (i, s"d${i % 3}", i))
+      .toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 2, partitionCols = Seq("dt"))
+    // two appends: every (dt, bucket) group becomes multi-file
+    (1 to 2).foreach { j =>
+      (1L to 30L).map(i => (9000L * j + i, s"d${i % 3}", i))
+        .toDF("k", "dt", "v").writeTo(s"$cat.`$path`").append()
+    }
+    def filesOf(dt: String): Int =
+      BucketedLake.files(spark, path)
+        .where(col("partition") === dt).count().toInt
+    val before = Seq("d0", "d1", "d2").map(filesOf)
+    assert(before.forall(_ > 2), s"appends must fan out files: $before")
+    val total = spark.read.table(s"$cat.`$path`").count()
+    // scope the fold to d1 via SQL CALL
+    spark.sql(s"CALL $cat.system.compact('$path', 'dt=d1')").collect()
+    val after = Seq("d0", "d1", "d2").map(filesOf)
+    assert(after(1) === 2, s"d1 must fold to one file per bucket: $after")
+    assert(after(0) === before(0) && after(2) === before(2),
+      s"out-of-scope partitions must carry through untouched: $after")
+    assert(spark.read.table(s"$cat.`$path`").count() === total)
+    // loud on a non-partition column
+    val e = intercept[Exception](
+      BucketedLake.compact(spark, path, Map("v" -> "1")))
+    assert(e.getMessage.contains("not a partition column"))
+    // unscoped compact still folds the rest
+    BucketedLake.compact(spark, path)
+    assert(Seq("d0", "d1", "d2").map(filesOf).forall(_ === 2))
+    assert(spark.read.table(s"$cat.`$path`").count() === total)
+  }
+
   test("clustering a partitioned table preserves partition dirs and two-axis pruning") {
     val path = tmp("bkc-part")
     val df = (1L to 6000L).map(i =>
