@@ -3075,23 +3075,27 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft_bk",
         classOf[graft.sources.GraftBucketCatalog].getName)
       graft.functions.LakeTableFunctions.ensureRegistered(s)
-      s.conf.set("spark.graft.bucketed.manifestDeltaMinEntries", "1")
-      try {
-        graft.sources.BucketedLake.write(
-          t(s, d, "orders").select("o_orderkey", "o_totalprice")
-            .limit(2000),
-          s"$root/orders", "o_orderkey", 4) // v1: full, 4 bucket files
-        t(s, d, "orders").select("o_orderkey", "o_totalprice")
-          .orderBy(col("o_orderkey").desc).limit(1)
-          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
-          .writeTo(s"graft_bk.`$root/orders`").append() // v2: delta, 1 add
-        // the TVF materializes driver-side at construction: safe to
-        // reset the conf before returning the plan
-        s.sql(s"""
-          SELECT version, kind, chain, adds, removes
-          FROM graft_bucketed_fragments('$root/orders')
-          ORDER BY version""")
-      } finally s.conf.unset("spark.graft.bucketed.manifestDeltaMinEntries")
+      // SESSION-SCOPED conf, never the shared session: under the
+      // bench's parallel fixture pool a set/unset window on `s` would
+      // nondeterministically flip OTHER builders' manifest shapes
+      // (delta vs full). A child session isolates the knob — writes
+      // read conf from the DataFrame's own session.
+      val sw = s.newSession()
+      sw.conf.set("spark.graft.bucketed.manifestDeltaMinEntries", "1")
+      graft.sources.BucketedLake.write(
+        t(sw, d, "orders").select("o_orderkey", "o_totalprice")
+          .limit(2000),
+        s"$root/orders", "o_orderkey", 4) // v1: full, 4 bucket files
+      sw.conf.set("spark.sql.catalog.graft_bk",
+        classOf[graft.sources.GraftBucketCatalog].getName)
+      t(sw, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey").desc).limit(1)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .writeTo(s"graft_bk.`$root/orders`").append() // v2: delta, 1 add
+      s.sql(s"""
+        SELECT version, kind, chain, adds, removes
+        FROM graft_bucketed_fragments('$root/orders')
+        ORDER BY version""")
     }),
 
     /** CHANGE DATA FEED over the bucketed lake's MVCC history

@@ -241,15 +241,18 @@ object BucketedLake {
       fs: org.apache.hadoop.fs.FileSystem,
       path: String, v: Long): Option[ManifestData] =
     try Some(resolveManifest(fs, path, v))
-    catch { case _: IllegalStateException => None }
+    // NonFatal, not just IllegalStateException: a corrupt header line
+    // (e.g. a non-numeric '#layout' count) must report None here, never
+    // throw out of the documented never-throws lenient paths
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Header-only probe of a fragment's FIRST bytes — `(chain depth,
     * delta base)`. `#chain`/`#delta` are written immediately after
     * `#graft`, so 1 KiB always covers them: the writer learns the
     * previous fragment's chain depth without slurping a checkpoint
     * that may list 10^6 entries. */
-  private def readPrelude(fs: org.apache.hadoop.fs.FileSystem,
-                          p: Path): (Int, Option[Long]) = {
+  private[sources] def readPrelude(fs: org.apache.hadoop.fs.FileSystem,
+                                   p: Path): (Int, Option[Long]) = {
     val in = fs.open(p)
     val buf = new Array[Byte](1024)
     val read = try {
@@ -263,7 +266,13 @@ object BucketedLake {
     } finally in.close()
     var chain = 0
     var deltaBase: Option[Long] = None
-    new String(buf, 0, read, UTF_8).split("\n").foreach { l =>
+    // a line cut at the buffer boundary ('#delta\t12' truncated from
+    // '#delta\t123') would parse a WRONG base silently for foreign-
+    // written manifests with long preludes — drop the final line unless
+    // the read reached EOF (buffer not filled = whole file seen)
+    val lines = new String(buf, 0, read, UTF_8).split("\n", -1)
+    val usable = if (read == buf.length) lines.dropRight(1) else lines
+    usable.foreach { l =>
       if (l.startsWith("#chain\t"))
         chain = l.stripPrefix("#chain\t").trim.toIntOption.getOrElse(0)
       else if (l.startsWith("#delta\t"))
@@ -333,9 +342,14 @@ object BucketedLake {
       } else if (l.startsWith("#rmend\t")) {
         rmEndCount = l.split("\t", 2)(1).toLongOption
       } else if (l.startsWith("#layout\t")) {
+        // lenient parse means LENIENT: a corrupt numeric here marks the
+        // fragment torn instead of throwing NumberFormatException out of
+        // a path documented as never-throws (fragments(), vacuum, repair)
         val parts = l.split("\t")
-        layout = Some((parts(1), parts(2).toInt,
-          parts.drop(3).filter(_.nonEmpty).toSeq))
+        if (parts.length >= 3 && parts(2).toIntOption.isDefined)
+          layout = Some((parts(1), parts(2).toInt,
+            parts.drop(3).filter(_.nonEmpty).toSeq))
+        else torn = true
       } else if (l.startsWith("#op\t")) {
         op = Some(l.split("\t", 2)(1))
       } else if (l.startsWith("#bloom\t")) {
@@ -343,8 +357,10 @@ object BucketedLake {
       } else if (l.startsWith("#sorted\t")) {
         sortedClaim = l.split("\t", 2)(1).toBooleanOption
       } else if (l.startsWith("#txn\t")) {
-        val Array(_, app, epoch) = l.split("\t", 3)
-        txns += (app -> epoch.toLong)
+        val parts = l.split("\t", 3)
+        if (parts.length == 3 && parts(2).toLongOption.isDefined)
+          txns += (parts(1) -> parts(2).toLong)
+        else torn = true // corrupt epoch: torn, never NumberFormatException
       } else if (l.startsWith("#ndv\t")) {
         val parts = l.split("\t", 3)
         if (parts.length == 3) ndv += (parts(1) -> parts(2))
@@ -862,9 +878,17 @@ object BucketedLake {
     // fragment a retained chain passes through must survive, or every
     // read of the retained version breaks. Preludes (1 KiB header
     // probes) answer is-a-delta without slurping checkpoints.
+    // a FAILED probe must read as IS-A-DELTA: treating an unreadable
+    // fragment as full would stop the keep walk at it, dooming the base
+    // manifest a retained chain still resolves through — one transient
+    // IO error would then permanently break every read of that version.
+    // As-delta only ever extends chains (keeps MORE), so the doomed set
+    // stays a subset of the truly-unreferenced set.
+    var preludeFailed = false
     val isDelta: Map[Long, Boolean] = byVersion.map { case (v, st) =>
       v -> (try readPrelude(fs, st.getPath)._2.isDefined
-            catch { case _: java.io.IOException => false })
+            catch { case _: java.io.IOException =>
+              preludeFailed = true; true })
     }.toMap
     val kept = scala.collection.mutable.Set.empty[Long]
     byVersion.map(_._1).sorted(Ordering[Long].reverse).foreach { v =>
@@ -967,7 +991,10 @@ object BucketedLake {
           !referencedBlooms.contains(s"_index/bloom/${st.getPath.getName}") &&
           (minAgeMs <= 0L || st.getModificationTime <= horizon)
       }
-    if (!dryRun) {
+    // mirror the data-file over-retain rule: if ANY prelude probe
+    // failed, the keep-set was computed from incomplete information —
+    // retain every manifest this pass; the next vacuum reclaims
+    if (!dryRun && !preludeFailed) {
       doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
       doomedChangeDirs.foreach(p => fs.delete(p, true): Unit)
       doomedBlooms.foreach(st => fs.delete(st.getPath, true): Unit)
@@ -987,8 +1014,10 @@ object BucketedLake {
     if (!dryRun)
       doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
     VacuumReport(nData, dataBytes,
-      doomedManifests.length + doomedChangeDirs.length,
-      doomedStaging.length, doomedBlooms.length)
+      if (preludeFailed) 0
+      else doomedManifests.length + doomedChangeDirs.length,
+      doomedStaging.length,
+      if (preludeFailed) 0 else doomedBlooms.length)
   }
 
   /** Rebuild manifest entries from the files themselves: one
