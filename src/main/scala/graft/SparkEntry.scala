@@ -1473,6 +1473,36 @@ object SparkEntry {
           col("sum_abs"), col("peak"), col("zero_cross"))
         .orderBy("doc_id")),
 
+    /** PERCEPTUAL image hashes over really-decoded rasters
+      * ([[graft.ops.PerceptualHash]]): integer-exact DCT pHash (Q15
+      * cosine table, 8×8 area-average grid, discrete-median threshold)
+      * + wraparound gradient dHash, both 63-bit. The oracle replays
+      * every integer from the fixture pixel formula — one flipped bit
+      * in either signature fails the value hash. */
+    "media_perceptual_hash" -> ((s, d) =>
+      graft.ops.PerceptualHash.imageHashes(
+          graft.ops.PerceptualHash.synthesizeNearDupImages(
+            t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("phash"), col("dhash"))
+        .orderBy("doc_id")),
+
+    /** Perceptual NEAR-DUP pairs — the multimodal dedup leg: fixture
+      * images share a base per doc_id%31 group with per-doc sparse
+      * perturbations (+7 on every 19th pixel), so group members land a
+      * few pHash bits apart and distinct groups ~32. Pairs come from
+      * the banded chunk-pair Hamming LSH ([[graft.ops.Dedup
+      * .signaturePairs]] — pigeonhole-complete at the radius, NEVER
+      * all-pairs); the oracle brute-forces the identical hash set in
+      * DuckDB, so LSH recall is certified against ground truth. Bucket
+      * cap set beyond corpus size: zero drops, matching the oracle's
+      * full recall (the cap path is pinned by DedupSpec). */
+    "media_phash_neardup" -> ((s, d) =>
+      graft.ops.PerceptualHash.phashPairs(
+          graft.ops.PerceptualHash.synthesizeNearDupImages(
+            t(s, d, "documents").select("doc_id")),
+          maxHamming = 8, maxBucketSize = 1000000)
+        .orderBy("doc_a", "doc_b")),
+
     /** Deterministic epoch shuffle: md5-permuted, dealt round-robin into 8
       * shards with dense per-shard positions ([[Curation.epochShuffle]] —
       * two-pass range rank, no global window). */
@@ -4954,6 +4984,19 @@ object SparkEntry {
         CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
         CAST(SUM(zc) AS BIGINT) AS zero_cross
       FROM z GROUP BY doc_id, n ORDER BY doc_id""",
+
+    /** Integer-exact replay of both perceptual hashes from the fixture
+      * near-dup pixel formula: shared Q15 DCT table literals, 8×8
+      * floor-boundary grid, discrete-median thresholding — the Spark
+      * side must really PNG-decode and reproduce every bit
+      * (`src/main/resources/graft/phash_hashes_oracle.sql`). */
+    "media_perceptual_hash" -> sqlResource("phash_hashes_oracle.sql"),
+
+    /** Brute-force ground truth for the perceptual near-dup pairs: the
+      * same hash replay, then ALL pairs with Hamming ≤ 8 — certifying
+      * the Spark side's banded-LSH recall against an exhaustive oracle
+      * (`src/main/resources/graft/phash_oracle.sql`). */
+    "media_phash_neardup" -> sqlResource("phash_oracle.sql"),
 
     "corpus_shuffle" -> """
       WITH r AS (SELECT doc_id,

@@ -400,6 +400,17 @@ object Dedup {
                              idCol: String, textCol: String,
                              blockCols: Seq[String]): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+    chunkPairKeyed(df, simhash(textCol), maxHamming, idCol, blockCols)
+  }
+
+  /** The chunk-pair key relation for an ARBITRARY 64-bit signature
+    * expression — the machinery [[simhashPairs]] buckets text SimHash
+    * on, factored out so perceptual signatures (image pHash, audio
+    * fingerprints) ride the same scale path. One row per (doc,
+    * chunk-pair key). */
+  private def chunkPairKeyed(df: DataFrame, sig: Column, maxHamming: Int,
+                             idCol: String,
+                             blockCols: Seq[String]): DataFrame = {
     val nChunks = maxHamming + 2
     require(nChunks <= 64, s"maxHamming=$maxHamming needs $nChunks chunks of a 64-bit signature")
     // distribute 64 bits as evenly as possible across the chunks
@@ -410,7 +421,7 @@ object Dedup {
     val pairKeys = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
       yield chunk(a) * lit(1L << widths(b)) + chunk(b)
     val blk = blockCols.map(col)
-    df.select(col(idCol) +: blk :+ simhash(textCol).as("sig"): _*)
+    df.select(col(idCol) +: blk :+ sig.as("sig"): _*)
       .select(col(idCol) +: blk :+ col("sig") :+
         posexplode(array(pairKeys: _*)).as(Seq("chunk", "ckey")): _*)
   }
@@ -432,13 +443,42 @@ object Dedup {
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text",
-                   blockCols: Seq[String] = Nil): DataFrame = {
+                   blockCols: Seq[String] = Nil): DataFrame =
+    pairsFromChunked(
+      simhashChunked(df, maxHamming, idCol, textCol, blockCols),
+      "simhash", maxHamming, maxBucketSize, idCol, blockCols)
+
+  /** Banded Hamming near-dup pairs over a PRECOMPUTED 64-bit signature
+    * column — same chunk-pair LSH, 100%-recall pigeonhole, bucket caps
+    * and exact bit_count verification as [[simhashPairs]], but the
+    * signature arrives in `sigCol` instead of being derived from text.
+    * This is the pair generator for perceptual hashes (image pHash /
+    * dHash, audio fingerprints): decode-side operators compute the
+    * signature per payload, this joins them at corpus scale without
+    * ever forming all pairs. Rows with a null signature (undecodable
+    * payloads) are excluded. Higher `maxHamming` means MORE, NARROWER
+    * chunks — pair keys shrink to ~2·64/(h+2) bits, so the bucket-density
+    * ceiling drops as the radius grows; block on a cheap exact column
+    * (dims, media type) to buy it back. */
+  def signaturePairs(df: DataFrame, maxHamming: Int = 8,
+                     maxBucketSize: Int = 1000,
+                     idCol: String = "doc_id", sigCol: String = "sig",
+                     blockCols: Seq[String] = Nil): DataFrame =
+    pairsFromChunked(
+      chunkPairKeyed(df.filter(col(sigCol).isNotNull),
+        col(sigCol).cast("long"), maxHamming, idCol, blockCols),
+      "signature", maxHamming, maxBucketSize, idCol, blockCols)
+
+  private def pairsFromChunked(chunked0: DataFrame, op: String,
+                               maxHamming: Int, maxBucketSize: Int,
+                               idCol: String,
+                               blockCols: Seq[String]): DataFrame = {
     val keyCols = blockCols :+ "chunk" :+ "ckey"
-    val chunked = simhashChunked(df, maxHamming, idCol, textCol, blockCols)
+    val chunked = chunked0
       .localCheckpoint(false) // 3 consumers (size agg + both join sides)
     val allBucketSizes = chunked.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz"))
-    reportCaps(allBucketSizes, "simhash", maxBucketSize)
+    reportCaps(allBucketSizes, op, maxBucketSize)
     val bucketSizes = allBucketSizes.filter(col("bsz") <= maxBucketSize)
     val capped = chunked.join(bucketSizes, keyCols, "left_semi")
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)

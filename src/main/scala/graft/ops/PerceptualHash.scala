@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Perceptual image hashing + near-dup pair generation — the multimodal
+  * leg of the dedup family: exact-byte dedup can't see a re-encoded or
+  * lightly-edited image, and embedding near-dup needs externally-supplied
+  * vectors; a perceptual hash closes the gap from the DECODED RASTER
+  * itself.
+  *
+  * Two 64-bit signatures, both INTEGER-EXACT so a SQL oracle replays them
+  * bit-for-bit (no float DCT whose last-ulp could flip a sign near the
+  * median threshold):
+  *
+  *  - '''pHash''' (DCT hash, pHash.org lineage): gray raster → 8×8
+  *    area-average grid (scaled ×4096, integer division) → 2-D DCT-II
+  *    with a Q15 fixed-point cosine table (round(cos((2x+1)uπ/16)·2^15))
+  *    → the 63 AC coefficients thresholded at their 32nd-smallest value
+  *    (the discrete median) → one bit each. Low-frequency structure
+  *    dominates, so re-encoding, mild noise, and small edits preserve
+  *    most bits while distinct images land ~32 bits apart.
+  *  - '''dHash''' (gradient hash): the same 8×8 grid compared with its
+  *    horizontal neighbor (wraparound) — bit = cell(r,(c+1) mod 8) >
+  *    cell(r,c). Cheaper, catches brightness-invariant edge structure;
+  *    the classic 8×9 sliding variant is replaced by the wraparound so
+  *    one shared grid feeds both hashes.
+  *
+  * Pair generation NEVER forms all pairs: signatures go through the same
+  * chunk-pair Hamming LSH as text SimHash ([[Dedup.signaturePairs]]) —
+  * pigeonhole-complete candidate recall at the configured radius, bucket
+  * caps with drop observability, exact bit_count verification. Decode
+  * runs partition-wise in `mapPartitions` (linear in payload bytes, the
+  * same executor-side shape as every other codec here); the join is one
+  * shuffle on ~C(h+2,2) exploded keys per image. At 100 TB the plan is
+  * unchanged: decode scales with bytes/executors, the LSH join with
+  * near-dup density, not n².
+  *
+  * Reference scope: the reference CLI (BatchImportApp.scala:31-74) has no
+  * multimodal surface at all — this extends the library along the
+  * training-data-pipeline axis (dedup × multimodal columns).
+  */
+object PerceptualHash {
+
+  /** Q15 DCT-II basis: CosQ15(u*8+x) = round(cos((2x+1)·u·π/16)·32768).
+    * LITERAL constants (not computed at class-load) so the Scala kernel
+    * and the SQL oracle share identical integers by construction. */
+  val CosQ15: Array[Int] = Array(
+    32768, 32768, 32768, 32768, 32768, 32768, 32768, 32768,
+    32138, 27246, 18205, 6393, -6393, -18205, -27246, -32138,
+    30274, 12540, -12540, -30274, -30274, -12540, 12540, 30274,
+    27246, -6393, -32138, -18205, 18205, 32138, 6393, -27246,
+    23170, -23170, -23170, 23170, 23170, -23170, -23170, 23170,
+    18205, -32138, 6393, 27246, -27246, -6393, 32138, -18205,
+    12540, -30274, 30274, -12540, -12540, 30274, -30274, 12540,
+    6393, -18205, 27246, -32138, 32138, -27246, 18205, -6393)
+
+  /** 8×8 grid of area-averaged gray values, scaled ×4096 with integer
+    * division (no float). Cell (gy,gx) covers rows [gy·h/8,(gy+1)·h/8) ×
+    * cols [gx·w/8,(gx+1)·w/8) (floor boundaries — pixel x belongs to
+    * cell (8x+7)/w, the identity the SQL oracle uses). Needs w,h ≥ 8 so
+    * every box is non-empty. */
+  private[ops] def grid8(w: Int, h: Int, gray: Array[Int]): Array[Long] = {
+    val out = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        out(gy * 8 + gx) = s * 4096L / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** DCT perceptual hash of a gray raster (values 0..765 = r+g+b).
+    * Returns None below the 8×8 grid floor. Bit k-1 (k = u·8+v, k ≥ 1)
+    * is set iff coefficient F(u,v) strictly exceeds the 32nd-smallest AC
+    * coefficient. 63 bits → always non-negative. */
+  def phash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    val p = grid8(w, h, gray)
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          val cu = CosQ15(u * 8 + y).toLong
+          var x = 0
+          while (x < 8) { s += cu * CosQ15(v * 8 + x) * p(y * 8 + x); x += 1 }
+          y += 1
+        }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // 32nd smallest of 63 — the discrete median
+    var hash = 0L
+    var k = 1
+    while (k < 64) {
+      if (f(k) > median) hash |= 1L << (k - 1)
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Gradient (difference) hash over the same 8×8 grid: bit r·8+c is set
+    * iff cell(r,(c+1) mod 8) > cell(r,c), for r·8+c ≤ 62 — 63 bits, like
+    * pHash, so the signature stays in the non-negative Long range every
+    * SQL engine shifts without overflow. */
+  def dhash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    val p = grid8(w, h, gray)
+    var hash = 0L
+    var k = 0
+    while (k < 63) {
+      val r = k / 8; val c = k % 8
+      if (p(r * 8 + (c + 1) % 8) > p(r * 8 + c)) hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Decode any ImageIO-readable payload to (w, h, gray) with
+    * gray = r + g + b per pixel (0..765, integer — no luma weights whose
+    * rounding an oracle would have to chase). */
+  private[ops] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          gray(y * w + x) =
+            ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, gray))
+    }
+  }
+
+  /** Partition-wise decode → both perceptual hashes as columns (`phash`,
+    * `dhash`, both nullable LONG; null = undecodable or below the 8×8
+    * floor). The decode is the only non-Catalyst step — everything
+    * downstream (banding, joins, verification) is relational. */
+  def imageHashes(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("phash", LongType))
+      .add(StructField("dhash", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        decodeGray(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some((w, h, g)) =>
+            Row.fromSeq(r.toSeq ++ Seq(
+              phash64(w, h, g).map(Long.box).orNull,
+              dhash64(w, h, g).map(Long.box).orNull))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual near-dup pairs end-to-end: decode → pHash → banded
+    * Hamming LSH join → exact-verified `(doc_a, doc_b, hamming)` with
+    * hamming ≤ maxHamming. Candidate recall at the radius is 100%
+    * (chunk-pair pigeonhole); `maxBucketSize` caps degenerate buckets
+    * (e.g. monochrome images all hashing to 0) with drop observability
+    * via the dedup cap report. */
+  def phashPairs(df: DataFrame, maxHamming: Int = 8,
+                 maxBucketSize: Int = 1000,
+                 idCol: String = "doc_id", mediaCol: String = "media",
+                 blockCols: Seq[String] = Nil): DataFrame =
+    Dedup.signaturePairs(
+      imageHashes(df, mediaCol),
+      maxHamming, maxBucketSize, idCol, "phash", blockCols)
+
+  /** Deterministic NEAR-DUP image fixture: documents sharing
+    * `doc_id % Groups` render the same base image (dims and pixel
+    * formula keyed on the GROUP), each member perturbed on its own
+    * sparse pixel set (+7 clamped on every 19th pixel, phase doc_id%19)
+    * — close enough that group members hash within a few bits,
+    * different groups ~half the bits apart. The formula is shared
+    * verbatim with the DuckDB oracle: gray(i) = Σ_c min(255,
+    * ((g·31 + i·7 + c·101) mod 256) + (i mod 19 == doc_id mod 19 ? 7 : 0)). */
+  object FixtureNearDup {
+    val Groups = 31L
+    def gid(id: Long): Long = id % Groups
+    def dims(id: Long): (Int, Int) =
+      ((8 + gid(id) % 9).toInt, (8 + gid(id) % 7).toInt)
+    def channel(id: Long, i: Long, c: Int): Int = {
+      val base = ((gid(id) * 31 + i * 7 + c * 101) % 256).toInt
+      val delta = if (i % 19 == id % 19) 7 else 0
+      math.min(255, base + delta)
+    }
+    def png(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      Multimodal.ImageIoCodec.encodePng(w, h, (x, y) => {
+        val i = y.toLong * w + x
+        (channel(id, i, 0) << 16) | (channel(id, i, 1) << 8) | channel(id, i, 2)
+      })
+    }
+  }
+
+  /** One fixture near-dup PNG per row (see [[FixtureNearDup]]). */
+  def synthesizeNearDupImages(df: DataFrame, idCol: String = "doc_id",
+                              mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema.add(StructField(mediaCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ FixtureNearDup.png(r.getLong(idIdx))))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Perceptual image hashing: kernel exactness, near-dup separation on
+  * the fixture corpus, LSH-vs-brute-force recall equality, null
+  * behavior for undecodable payloads, and the bucket-cap guard. */
+class PerceptualHashSpec extends SparkSuite {
+
+  import spark.implicits._
+  import PerceptualHash._
+
+  private def grayOf(id: Long): (Int, Int, Array[Int]) = {
+    val (w, h) = FixtureNearDup.dims(id)
+    val g = Array.tabulate(w * h)(i =>
+      FixtureNearDup.channel(id, i, 0) + FixtureNearDup.channel(id, i, 1) +
+        FixtureNearDup.channel(id, i, 2))
+    (w, h, g)
+  }
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("phash64: deterministic, 63-bit, decode == formula") {
+    val (w, h, g) = grayOf(7L)
+    val ph = phash64(w, h, g).get
+    assert(ph >= 0L, "63-bit hash is always non-negative")
+    assert(phash64(w, h, g).get === ph)
+    // PNG decode path reproduces the formula raster exactly (lossless)
+    val decoded = decodeGray(FixtureNearDup.png(7L)).get
+    assert(decoded._1 === w && decoded._2 === h)
+    assert(decoded._3.toSeq === g.toSeq)
+    assert(phash64(decoded._1, decoded._2, decoded._3).get === ph)
+  }
+
+  test("near-identical images hash close; distinct images far (pHash AND dHash)") {
+    // 0 and 31 share group 0 (perturbation phase differs); 0 and 1 are
+    // different base images
+    val (wa, ha, ga) = grayOf(0L)
+    val (wb, hb, gb) = grayOf(31L)
+    val (wc, hc, gc) = grayOf(1L)
+    assert(ham(phash64(wa, ha, ga).get, phash64(wb, hb, gb).get) <= 8,
+      "same-group fixture images must be within the pair radius")
+    assert(ham(phash64(wa, ha, ga).get, phash64(wc, hc, gc).get) > 8,
+      "different-group fixture images must be far apart")
+    assert(ham(dhash64(wa, ha, ga).get, dhash64(wb, hb, gb).get) <= 12)
+    assert(dhash64(wa, ha, ga).get >= 0L && dhash64(wc, hc, gc).get >= 0L)
+  }
+
+  test("hashes are perturbation-stable: +7 on a sparse pixel set flips few bits") {
+    val (w, h, g) = grayOf(3L)
+    val perturbed = g.clone()
+    var i = 0
+    while (i < perturbed.length) {
+      if (i % 23 == 0) perturbed(i) = math.min(765, perturbed(i) + 7)
+      i += 1
+    }
+    assert(ham(phash64(w, h, g).get, phash64(w, h, perturbed).get) <= 8)
+  }
+
+  test("undecodable payloads and sub-grid images hash to null") {
+    val df = Seq(
+      (1L, "not an image".getBytes("UTF-8")),
+      (2L, FixtureNearDup.png(2L)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "media")
+    val rows = imageHashes(df).select("doc_id", "phash", "dhash")
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(1) && !rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    assert(phash64(7, 20, new Array[Int](140)).isEmpty,
+      "below the 8x8 grid floor there is no hash")
+  }
+
+  test("phashPairs equals brute force: banded LSH recall is complete at the radius") {
+    val docs = (0L until 120L).toDF("doc_id")
+    val media = synthesizeNearDupImages(docs)
+    val lsh = phashPairs(media, maxHamming = 8, maxBucketSize = 1000000)
+      .select("doc_a", "doc_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected hashes (test-only collect)
+    val hashes = imageHashes(media).select("doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha2) <- hashes; (b, hb2) <- hashes
+      if a < b && ham(ha2, hb2) <= 8
+    } yield (a, b, ham(ha2, hb2))).toSet
+    assert(brute.nonEmpty, "fixture must produce near-dup pairs")
+    assert(lsh === brute)
+    // and the pairs are exactly the intra-group ones on this fixture
+    assert(brute.forall { case (a, b, _) => a % 31 == b % 31 })
+  }
+
+  test("signaturePairs: oversized buckets drop with observability, never explode") {
+    // 500 identical signatures: every chunk-pair bucket holds all docs —
+    // the cap must suppress the n^2 join body entirely
+    val df = (0L until 500L).map(i => (i, 0x0F0F0F0FL)).toDF("doc_id", "sig")
+    val pairs = Dedup.signaturePairs(df, maxHamming = 4, maxBucketSize = 100)
+    assert(pairs.count() === 0L, "capped buckets contribute no pairs")
+    // null signatures are excluded, not joined
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, java.lang.Long.valueOf(5L)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, java.lang.Long.valueOf(5L)))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("sig", org.apache.spark.sql.types.LongType))
+    val p2 = Dedup.signaturePairs(withNulls, maxHamming = 2,
+      maxBucketSize = 10).collect()
+    assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L)))
+  }
+}
