@@ -1503,6 +1503,33 @@ object SparkEntry {
           maxHamming = 8, maxBucketSize = 1000000)
         .orderBy("doc_a", "doc_b")),
 
+    /** AUDIO fingerprints over really-decoded PCM
+      * ([[graft.ops.AudioFingerprint]]): 9 windows × 8-bin integer DFT
+      * (Q15 trig), L1 band magnitudes, time-derivative bits — a
+      * Haitsma–Kalker-lineage fingerprint kept integer-exact so the
+      * oracle replays all 63 bits from the fixture chirp formula. The
+      * Spark side must invert a real WAV round trip first. */
+    "media_audio_fingerprint" -> ((s, d) =>
+      graft.ops.AudioFingerprint.audioFingerprints(
+          graft.ops.AudioFingerprint.synthesizeNearDupWavs(
+            t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("afp"))
+        .orderBy("doc_id")),
+
+    /** Audio NEAR-DUP pairs — the audio dedup leg: clips sharing
+      * doc_id%31 render the same broadband chirp with per-doc sparse
+      * +64 perturbations, landing a couple of fingerprint bits apart
+      * (distinct groups ~32). Pairs via the banded chunk-pair Hamming
+      * LSH ([[graft.ops.Dedup.signaturePairs]], never all-pairs); the
+      * oracle brute-forces the identical fingerprint set, certifying
+      * LSH recall. Bucket cap beyond corpus size: zero drops. */
+    "media_audio_neardup" -> ((s, d) =>
+      graft.ops.AudioFingerprint.afpPairs(
+          graft.ops.AudioFingerprint.synthesizeNearDupWavs(
+            t(s, d, "documents").select("doc_id")),
+          maxHamming = 6, maxBucketSize = 1000000)
+        .orderBy("doc_a", "doc_b")),
+
     /** Deterministic epoch shuffle: md5-permuted, dealt round-robin into 8
       * shards with dense per-shard positions ([[Curation.epochShuffle]] —
       * two-pass range rank, no global window). */
@@ -4997,6 +5024,17 @@ object SparkEntry {
       * the Spark side's banded-LSH recall against an exhaustive oracle
       * (`src/main/resources/graft/phash_oracle.sql`). */
     "media_phash_neardup" -> sqlResource("phash_oracle.sql"),
+
+    /** Integer-exact replay of the 63-bit audio fingerprint from the
+      * fixture chirp PCM formula: Q15 trig literals at the 64-point
+      * grid, windowed 8-bin DFT, |re|+|im| magnitudes, derivative bits
+      * (`src/main/resources/graft/afp_hashes_oracle.sql`). */
+    "media_audio_fingerprint" -> sqlResource("afp_hashes_oracle.sql"),
+
+    /** Brute-force ground truth for the audio near-dup pairs: same
+      * fingerprint replay, then ALL pairs with Hamming ≤ 6 — certifying
+      * the banded-LSH recall (`src/main/resources/graft/afp_oracle.sql`). */
+    "media_audio_neardup" -> sqlResource("afp_oracle.sql"),
 
     "corpus_shuffle" -> """
       WITH r AS (SELECT doc_id,
