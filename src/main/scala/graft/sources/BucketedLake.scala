@@ -1548,10 +1548,15 @@ object BucketedLake {
     val compacted = multi.map(_._1).toSet
     val kept = baseEntries.filterNot(e =>
       compacted.contains((compositeSegOf(e.rel), e.bucket)))
+    // a bloom-indexed table extends its sidecar over the folded files
+    // (one pruned pass over ONLY the rewrite scope) so skipping never
+    // decays through maintenance; the new header commits in the flip
+    val bloomHdr = bloomCarryThroughRewrite(spark, path, spec.schema,
+      full, kept ++ fresh, fresh)
     // pointer flip = commit; OCC-gated on the snapshot this fold read;
     // streaming watermarks and the layout header carry forward untouched
     writeManifest(spark, path, kept ++ fresh, occBase, carryTxns, layout,
-      op = "compact", bloom = full.flatMap(_.bloom),
+      op = "compact", bloom = bloomHdr,
       ndv = full.map(_.ndv).getOrElse(Map.empty),
       sortedClaim = full.flatMap(_.sortedClaim), prior = full): Unit
   }
@@ -1624,10 +1629,14 @@ object BucketedLake {
     // OCC race below changes nothing, so the claim (and the spec
     // flag) survive intact
     val keyClustered = cols == Seq(spec.keyCol)
+    // clustering rewrites EVERY file: extend the sidecar over all of
+    // them or equality skipping goes dark until a manual rebuild
+    val bloomHdr = bloomCarryThroughRewrite(spark, path, spec.schema,
+      full, fresh, fresh)
     writeManifest(spark, path, fresh,
       base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
       layout = layout, op = "compact",
-      bloom = full.flatMap(_.bloom),
+      bloom = bloomHdr,
       ndv = full.map(_.ndv).getOrElse(Map.empty),
       sortedClaim = Some(keyClustered), prior = full): Unit
     // sync the legacy spec flag AFTER the commit succeeded — display
@@ -1866,60 +1875,12 @@ object BucketedLake {
         }
     val covered: Set[(String, String)] =
       priorDf.fold(Set.empty[(String, String)])(_._2)
-    val schema = spec.schema
-    val fields = cols.map(c =>
-      (c, schema.fieldIndex(c), schema(c).dataType)).toArray
-    val required = StructType(cols.map(c => schema(schema.fieldIndex(c))))
-    val readerFn = org.apache.spark.sql.graftshim.ParquetReadShim
-      .readerFor(spark, schema, required, Nil)
-    // required-schema ordinals differ from table ordinals
-    val reqIdx = cols.zipWithIndex.toMap
-    val outSchema = BloomSidecarSchema
     // files needing a read: at least one requested column uncovered
     val toBuild = full.entries
       .map(e => (e, cols.filterNot(c => covered((e.rel, c)))))
       .filter(_._2.nonEmpty)
     val freshDf: DataFrame =
-      if (toBuild.isEmpty)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-      else {
-        val files = toBuild.map { case (e, cs) =>
-          (e.rel, s"$path/${e.rel}", e.size, e.rows, cs) }
-        val rows = spark.sparkContext
-          .parallelize(files, math.min(files.size,
-            spark.sparkContext.defaultParallelism * 2))
-          .flatMap { case (rel, abs, size, nRows, buildCols) =>
-            val (m, k) = graft.sink.BloomIndex.sizing(
-              math.max(1L, math.min(nRows, 64_000_000L)).toInt, fpp)
-            val build = buildCols.toSet
-            val bits = fields.map(f =>
-              if (build.contains(f._1)) new Array[Byte](m >> 3) else null)
-            val it = org.apache.spark.sql.graftshim.ParquetReadShim.rows(
-              readerFn(org.apache.spark.sql.graftshim.ParquetReadShim
-                .partitionedFile(abs, size)))
-            while (it.hasNext) {
-              val row = it.next()
-              var i = 0
-              while (i < fields.length) {
-                if (bits(i) != null) {
-                  val (c, _, dt) = fields(i)
-                  val ri = reqIdx(c)
-                  if (!row.isNullAt(ri)) {
-                    val h = org.apache.spark.sql.catalyst.expressions
-                      .XxHash64Function.hash(row.get(ri, dt), dt, BloomSeed)
-                    bloomSetBits(bits(i), h, m, k)
-                  }
-                }
-                i += 1
-              }
-            }
-            fields.indices.filter(bits(_) != null)
-              .map(i => org.apache.spark.sql.Row(
-                rel, m, k, bits(i), fields(i)._1))
-          }
-        spark.createDataFrame(rows, outSchema)
-      }
+      bloomBuildRows(spark, path, spec.schema, toBuild, cols, fpp)
     // copy the prior sidecar's rows forward for files STILL LIVE —
     // metadata-sized IO, no data read; dead rels drop, so the sidecar
     // never outgrows the table
@@ -1939,6 +1900,115 @@ object BucketedLake {
       layout = Some((spec.keyCol, spec.buckets, spec.partCols)),
       op = "compact", bloom = Some(sidecarRel), ndv = full.ndv,
       sortedClaim = full.sortedClaim, prior = Some(full)): Unit
+  }
+
+  /** Executor-parallel bloom-bit build for `(entry, columns-to-read)`
+    * pairs: one column-pruned pass per file through the vectorized
+    * parquet reader, per-file sizing from the manifest row counts.
+    * Shared by [[buildBloomIndex]] and the rewrite carry-through in
+    * [[compact]]/[[cluster]]. */
+  private def bloomBuildRows(spark: SparkSession, path: String,
+                             schema: StructType,
+                             toBuild: Seq[(ManifestEntry, Seq[String])],
+                             cols: Seq[String],
+                             fpp: Double): DataFrame = {
+    val outSchema = BloomSidecarSchema
+    if (toBuild.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val fields = cols.map(c =>
+      (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+    val required = StructType(cols.map(c => schema(schema.fieldIndex(c))))
+    val readerFn = org.apache.spark.sql.graftshim.ParquetReadShim
+      .readerFor(spark, schema, required, Nil)
+    // required-schema ordinals differ from table ordinals
+    val reqIdx = cols.zipWithIndex.toMap
+    val files = toBuild.map { case (e, cs) =>
+      (e.rel, s"$path/${e.rel}", e.size, e.rows, cs) }
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.size,
+        spark.sparkContext.defaultParallelism * 2))
+      .flatMap { case (rel, abs, size, nRows, buildCols) =>
+        val (m, k) = graft.sink.BloomIndex.sizing(
+          math.max(1L, math.min(nRows, 64_000_000L)).toInt, fpp)
+        val build = buildCols.toSet
+        val bits = fields.map(f =>
+          if (build.contains(f._1)) new Array[Byte](m >> 3) else null)
+        val it = org.apache.spark.sql.graftshim.ParquetReadShim.rows(
+          readerFn(org.apache.spark.sql.graftshim.ParquetReadShim
+            .partitionedFile(abs, size)))
+        while (it.hasNext) {
+          val row = it.next()
+          var i = 0
+          while (i < fields.length) {
+            if (bits(i) != null) {
+              val (c, _, dt) = fields(i)
+              val ri = reqIdx(c)
+              if (!row.isNullAt(ri)) {
+                val h = org.apache.spark.sql.catalyst.expressions
+                  .XxHash64Function.hash(row.get(ri, dt), dt, BloomSeed)
+                bloomSetBits(bits(i), h, m, k)
+              }
+            }
+            i += 1
+          }
+        }
+        fields.indices.filter(bits(_) != null)
+          .map(i => org.apache.spark.sql.Row(
+            rel, m, k, bits(i), fields(i)._1))
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** BLOOM COVERAGE THROUGH REWRITES: a data-preserving rewrite
+    * (compact/cluster) supersedes files the sidecar covered — carrying
+    * the OLD header forward would silently drop bloom skipping on every
+    * rewritten file until someone re-runs the build (conservative
+    * no-skip, but a coverage decay the stats axis doesn't suffer:
+    * column stats merge exactly at rewrite). This builds bloom bits for
+    * the FRESH files over the columns the index already tracks — one
+    * extra column-pruned pass over ONLY the rewritten scope, while
+    * still-covered rows copy forward as metadata-sized IO — and writes
+    * a new sidecar whose rel commits in the SAME manifest flip as the
+    * rewrite. Returns the header to commit: the new sidecar, the old
+    * one when there's nothing to extend, or None when no index exists.
+    * Rewrite-built entries size at the default fpp (the original
+    * build's fpp isn't recorded; a later full rebuild re-homogenizes).
+    * An unreadable prior sidecar keeps the OLD header — same
+    * conservative no-skip a plain carry-forward gives. */
+  private def bloomCarryThroughRewrite(spark: SparkSession, path: String,
+                                       schema: StructType,
+                                       prior: Option[ManifestData],
+                                       liveEntries: Seq[ManifestEntry],
+                                       freshEntries: Seq[ManifestEntry])
+      : Option[String] = {
+    val priorRel = prior.flatMap(_.bloom)
+    if (priorRel.isEmpty || freshEntries.isEmpty) return priorRel
+    val priorSidecar = readBloomSidecar(spark, s"$path/${priorRel.get}")
+      .getOrElse(return priorRel)
+    // the indexed column set (and coverage) come from the sidecar itself
+    val (indexedCols, covered) =
+      try {
+        val pairs = priorSidecar.select("rel", "col").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        (pairs.map(_._2).distinct.toSeq.sorted, pairs.toSet)
+      } catch {
+        case scala.util.control.NonFatal(_) => return priorRel
+      }
+    if (indexedCols.isEmpty) return priorRel
+    val toBuild = freshEntries
+      .map(e => (e, indexedCols.filterNot(c => covered((e.rel, c)))))
+      .filter(_._2.nonEmpty)
+    val freshDf = bloomBuildRows(spark, path, schema, toBuild, indexedCols,
+      fpp = 0.01)
+    val sidecarRel = s"_index/bloom/${java.util.UUID.randomUUID()}"
+    val liveDf = spark.createDataset(liveEntries.map(_.rel))(
+      org.apache.spark.sql.Encoders.STRING).toDF("rel")
+    priorSidecar.select("rel", "m", "k", "bits", "col")
+      .join(liveDf, Seq("rel"), "left_semi")
+      .unionByName(freshDf)
+      .write.partitionBy("col").parquet(s"$path/$sidecarRel")
+    Some(sidecarRel)
   }
 
   /** EXACTLY-ONCE STREAMING INGEST into a bucketed table: each

@@ -108,7 +108,7 @@ class BucketedBloomSpec extends SparkSuite {
     assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1)
   }
 
-  test("compaction carries the header; rewritten files keep; vacuum reclaims superseded sidecars") {
+  test("compaction EXTENDS the sidecar: rewritten files skip without a rebuild; vacuum reclaims the superseded one") {
     val path = tmp("bkb-lifecycle")
     uidTable(path)
     BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
@@ -117,14 +117,21 @@ class BucketedBloomSpec extends SparkSuite {
       .writeTo(s"$cat.`$path`").append()
     BucketedLake.compact(spark, path)
     val afterCompact = BucketedLake.readManifestFull(spark, path).get
-    assert(afterCompact.bloom.contains(sidecar1),
-      "data-preserving commits must carry the bloom header")
-    // compacted (rewritten) files are absent from the sidecar: all kept
+    // a rewrite must NOT carry the stale header: the folded file would
+    // silently lose bloom coverage until a manual rebuild
+    assert(afterCompact.bloom.isDefined &&
+      !afterCompact.bloom.contains(sidecar1),
+      "compact must commit an EXTENDED sidecar, not the stale one")
+    val sidecar2 = afterCompact.bloom.get
+    // the compacted file is covered: a definite miss skips EVERY file
+    // with no rebuild in between
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
+      "rewritten files must keep bloom coverage without a rebuild")
+    // values that moved INTO the fresh file still probe correctly
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-fresh1"))) >= 1)
+    assert(table(path).where(col("uid") === "uid-fresh1").count() === 1L)
     assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
-    // rebuild -> new sidecar; old one unreferenced -> force-vacuum eats it
-    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
-    val sidecar2 = BucketedLake.readManifestFull(spark, path).get.bloom.get
-    assert(sidecar2 !== sidecar1)
+    // the superseded sidecar is unreferenced once old versions expire
     val rep = BucketedLake.vacuum(spark, path, minAgeMs = 0L)
     assert(rep.indexDirs === 1,
       s"the reclaimed sidecar must report as indexDirs, got $rep")
@@ -136,6 +143,26 @@ class BucketedBloomSpec extends SparkSuite {
       "the referenced sidecar must survive")
     assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
       "pruning must still work off the surviving sidecar")
+    assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
+  }
+
+  test("cluster() extends bloom coverage over every rewritten file") {
+    val path = tmp("bkb-cluster")
+    uidTable(path)
+    BucketedLake.buildBloomIndex(spark, path, Seq("uid"))
+    val sidecar1 = BucketedLake.readManifestFull(spark, path).get.bloom.get
+    // cluster by a non-key column: EVERY file rewrites (and the sorted
+    // claim drops) — without the carry-through, skipping would go
+    // completely dark
+    BucketedLake.cluster(spark, path, Seq("v"), maxRowsPerFile = 600L)
+    val after = BucketedLake.readManifestFull(spark, path).get
+    assert(after.bloom.isDefined && !after.bloom.contains(sidecar1))
+    val nFiles = after.entries.length
+    assert(nFiles > 4, "maxRowsPerFile must have split the buckets")
+    assert(plannedFiles(path, Array(EqualTo("uid", "uid-001234x"))) <= 1,
+      s"a definite miss must skip ~all $nFiles rewritten files")
+    val kept = plannedFiles(path, Array(EqualTo("uid", "uid-000707")))
+    assert(kept >= 1 && kept <= 2, s"present value kept $kept files")
     assert(table(path).where(col("uid") === "uid-000707").count() === 1L)
   }
 
