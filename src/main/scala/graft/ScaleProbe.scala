@@ -708,7 +708,12 @@ object ScaleProbe {
       val entries0 = (0 until n0).map(i => BucketedLake.ManifestEntry(
         i % 256, 100L, 1000L, f"data/__bucket=${i % 256}/f-$i%06d.parquet",
         None))
-      time("manifest_delta_scale") {
+      // pin the TEXT checkpoint path: this probe contrasts delta bytes
+      // against a text full rewrite; the parquet-body story has its own
+      // probe (manifest_ckpt_scale) at 10x the entries
+      spark.conf.set("spark.graft.bucketed.manifestParquetMinEntries",
+        Int.MaxValue.toString)
+      try time("manifest_delta_scale") {
         val fs = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def fragBytes(v: Long) = fs.getFileStatus(
@@ -749,6 +754,60 @@ object ScaleProbe {
           f"chain resolution must stay ~flat: checkpoint $baseResolve%.2fs " +
             f"vs deepest chain $maxResolve%.2fs")
         n0.toLong + 160L
+      } finally spark.conf.unset(
+        "spark.graft.bucketed.manifestParquetMinEntries")
+    }
+    // Parquet CHECKPOINT bodies at the 10^6-file end state: the SAME
+    // million-entry checkpoint written as text vs as a #pq parquet body
+    // — bytes must shrink ~10x (columnar + dictionary + snappy) and
+    // driver-side resolution must stay in the same band, or the format
+    // buys nothing. Framing loudness is pinned by ParquetCheckpointSpec.
+    if (only.forall("manifest_ckpt_scale".contains)) {
+      import graft.sources.BucketedLake
+      val n0 = 1000000
+      val statsJson = """{"k":{"min":1,"max":999,"nulls":0}}"""
+      val entries0 = (0 until n0).map(i => BucketedLake.ManifestEntry(
+        i % 256, 100L, 1000L, f"data/__bucket=${i % 256}/f-$i%07d.parquet",
+        Some(statsJson)))
+      time("manifest_ckpt_scale") {
+        def write(asParquet: Boolean): (String, Long, Double) = {
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-bk-ckpt").toString + "/t"
+          spark.conf.set("spark.graft.bucketed.manifestParquetMinEntries",
+            if (asParquet) "65536" else Int.MaxValue.toString)
+          try {
+            BucketedLake.writeManifest(spark, root, entries0): Unit
+            val fs = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            def len(p: String) = fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(root, p)).getLen
+            var bytes = len(BucketedLake.versionedManifest(1L))
+            val ckptDir = new org.apache.hadoop.fs.Path(root, "_manifest")
+            if (fs.exists(ckptDir))
+              bytes += fs.listStatus(ckptDir).map(_.getLen).sum
+            val t0 = System.nanoTime()
+            val m = BucketedLake.readManifestFull(spark, root, Some(1L)).get
+            val sec = (System.nanoTime() - t0) / 1e9
+            require(m.entries.size == n0 &&
+              m.entries.head.stats.contains(statsJson),
+              s"resolution drift: ${m.entries.size} entries")
+            (root, bytes, sec)
+          } finally spark.conf.unset(
+            "spark.graft.bucketed.manifestParquetMinEntries")
+        }
+        val (_, textBytes, textSec) = write(asParquet = false)
+        val (_, pqBytes, pqSec) = write(asParquet = true)
+        System.err.println(
+          f"[probe] manifest_ckpt 10^6 entries: text=${textBytes}B " +
+            f"resolve $textSec%.2fs | parquet=${pqBytes}B resolve $pqSec%.2fs " +
+            f"(${textBytes.toDouble / pqBytes}%.1fx smaller)")
+        require(pqBytes * 5 < textBytes,
+          s"parquet checkpoint ($pqBytes B) must be far smaller than " +
+            s"text ($textBytes B)")
+        require(pqSec < textSec * 3 + 2.0,
+          f"parquet resolution must stay in the text band: $pqSec%.2fs " +
+            f"vs $textSec%.2fs")
+        n0.toLong * 2
       }
     }
     // Vacuum at production doomed-file counts: the retention checks and

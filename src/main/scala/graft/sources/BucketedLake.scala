@@ -296,7 +296,80 @@ object BucketedLake {
     * never need chain resolution. */
   private[sources] final case class RawManifest(
       data: ManifestData, deltaBase: Option[Long],
-      removes: Seq[String], chain: Int, truncated: Boolean)
+      removes: Seq[String], chain: Int, truncated: Boolean,
+      pqRel: Option[String] = None)
+
+  /** PARQUET CHECKPOINTS: a full checkpoint at 10^6 files is ~47 MB of
+    * text — columnar + dictionary + snappy shrinks the same entry list
+    * ~10× and keeps the driver-side slurp cheap (the exact move Delta's
+    * log made). Above `spark.graft.bucketed.manifestParquetMinEntries`
+    * (default 65536) a CHECKPOINT commit writes its entry list to
+    * `_manifest/ckpt-v<N>-<uuid>.parquet` and the text fragment carries
+    * a `#pq\t<rel>\t<count>` header instead of entry lines — headers,
+    * framing, preludes, deltas and every reader stay text; only the
+    * bulk entry list moves. Framing: the parquet's row count must match
+    * the declared count or the fragment reads as TORN (same loudness as
+    * a cut `#end`). Small tables keep all-text manifests (zero format
+    * change below the floor). IO is the parquet-hadoop Group API —
+    * driver-side, no Spark job, usable from the (fs, path)-only parse
+    * layer. */
+  private val CkptSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType("""message graft_ckpt {
+      required int32 bucket; required int64 rows; required int64 size;
+      required binary rel (UTF8); optional binary stats (UTF8); }""")
+
+  private[sources] def writeCkptParquet(
+      fs: org.apache.hadoop.fs.FileSystem, tableRoot: Path, rel: String,
+      entries: Seq[ManifestEntry]): Unit = {
+    val abs = new Path(tableRoot, rel)
+    fs.mkdirs(abs.getParent): Unit
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(abs, fs.getConf))
+      .withType(CkptSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      CkptSchema)
+    try entries.foreach { e =>
+      val g = gf.newGroup()
+      g.add("bucket", e.bucket); g.add("rows", e.rows); g.add("size", e.size)
+      g.add("rel", e.rel)
+      e.stats.foreach(s => g.add("stats", s))
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** None on ANY failure (missing file, corrupt footer, schema drift) —
+    * the caller marks the fragment torn; strict paths then fail loudly
+    * naming repair(), lenient paths over-retain. */
+  private[sources] def readCkptParquet(
+      fs: org.apache.hadoop.fs.FileSystem, tableRoot: Path,
+      rel: String): Option[Seq[ManifestEntry]] =
+    try {
+      val abs = new Path(tableRoot, rel)
+      if (!fs.exists(abs)) return None
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          abs)
+        .withConf(fs.getConf)
+        .build()
+      val out = Seq.newBuilder[ManifestEntry]
+      try {
+        var g = r.read()
+        while (g != null) {
+          out += ManifestEntry(
+            g.getInteger("bucket", 0), g.getLong("rows", 0),
+            g.getLong("size", 0), g.getString("rel", 0),
+            if (g.getFieldRepetitionCount("stats") > 0)
+              Some(g.getString("stats", 0))
+            else None)
+          g = r.read()
+        }
+      } finally r.close()
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Lenient parse of ONE fragment: `truncated` is true iff the
     * manifest declares format v2 (`#graft\t2` first line — written
@@ -323,6 +396,7 @@ object BucketedLake {
     var deltaBase: Option[Long] = None
     var chain = 0
     var rmEndCount: Option[Long] = None
+    var pq: Option[(String, Long)] = None
     val removes = Seq.newBuilder[String]
     var nRm = 0L
     val ndv = Map.newBuilder[String, String]
@@ -364,6 +438,11 @@ object BucketedLake {
       } else if (l.startsWith("#ndv\t")) {
         val parts = l.split("\t", 3)
         if (parts.length == 3) ndv += (parts(1) -> parts(2))
+      } else if (l.startsWith("#pq\t")) {
+        val parts = l.split("\t", 3)
+        if (parts.length == 3 && parts(2).toLongOption.isDefined)
+          pq = Some((parts(1), parts(2).toLong))
+        else torn = true
       } else if (l.startsWith("#end\t")) {
         endCount = l.split("\t", 2)(1).toLongOption
       } else if (!l.startsWith("#")) {
@@ -385,13 +464,27 @@ object BucketedLake {
     // too (a torn tail could silently drop `#rm` lines, resurrecting
     // deleted files on resolution); `#rm` lines outside a declared
     // delta are corrupt
+    // materialize a parquet checkpoint's entry list: inline entry lines
+    // next to a #pq header are corrupt (two sources of truth), a delta
+    // cannot be parquet-bodied, and a missing/short/overlong parquet
+    // reads as TORN — never as a silently smaller table
+    var allEntries = entries.result()
+    pq match {
+      case Some((rel, declared)) =>
+        if (n > 0L || deltaBase.isDefined) torn = true
+        else readCkptParquet(fs, p.getParent, rel) match {
+          case Some(es) if es.size.toLong == declared => allEntries = es
+          case _ => torn = true
+        }
+      case None => ()
+    }
     val truncated = (declaresV2 && !endCount.contains(n)) || torn ||
       (deltaBase.isDefined && !rmEndCount.contains(nRm)) ||
       (deltaBase.isEmpty && nRm > 0L)
     RawManifest(
-      ManifestData(layout, op, txns.result(), entries.result(), bloom,
+      ManifestData(layout, op, txns.result(), allEntries, bloom,
         ndv.result(), sortedClaim),
-      deltaBase, removes.result(), chain, truncated)
+      deltaBase, removes.result(), chain, truncated, pq.map(_._1))
   }
 
   /** Streaming-writer watermarks carried IN the manifest (the
@@ -596,6 +689,19 @@ object BucketedLake {
     val outEntries = deltaPlan.fold(entries)(_._1)
     val outRemoves = deltaPlan.fold(Seq.empty[String])(_._2)
     val chain = deltaPlan.fold(0)(_._3)
+    val sortedOut = outEntries.sortBy(e => (e.bucket, e.rel))
+    // parquet-bodied CHECKPOINT above the entry floor (deltas and small
+    // tables stay all-text); written BEFORE the create-exclusive txt so
+    // a torn sequence leaves an orphan parquet (vacuumed later), never
+    // a committed pointer to a missing body
+    val pqFloor = spark.conf
+      .get("spark.graft.bucketed.manifestParquetMinEntries", "65536").toInt
+    val pqPlan: Option[String] =
+      if (deltaPlan.isEmpty && sortedOut.size >= pqFloor)
+        Some(s"_manifest/ckpt-v$next-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+      else None
+    pqPlan.foreach(rel => writeCkptParquet(fs, new Path(path), rel, sortedOut))
     // format v2 frames the file: `#graft\t2` leads (written before any
     // entry, so any real truncation keeps it) and `#end\t<count>`
     // closes (`#rmend\t<count>` frames a delta's remove list the same
@@ -608,6 +714,10 @@ object BucketedLake {
     val out =
       try fs.create(vp, false)
       catch { case e: java.io.IOException if fs.exists(vp) =>
+        // lost the race: reclaim this attempt's checkpoint body eagerly
+        pqPlan.foreach(rel =>
+          try fs.delete(new Path(path, rel), false): Unit
+          catch { case scala.util.control.NonFatal(_) => () })
         throw new ConcurrentCommitException(
           s"concurrent commit detected at $path: manifest v$next already " +
             "exists — another writer committed first; re-read the table " +
@@ -623,12 +733,14 @@ object BucketedLake {
       ndv.toSeq.sorted.map { case (c, b64) => s"#ndv\t$c\t$b64" } ++
       txns.toSeq.sorted
       .map { case (app, epoch) => s"#txn\t$app\t$epoch" } ++
+      pqPlan.toSeq.map(rel => s"#pq\t$rel\t${sortedOut.size}") ++
       outRemoves.sorted.map(r => s"#rm\t$r") ++
-      outEntries.sortBy(e => (e.bucket, e.rel))
+      (if (pqPlan.isDefined) Nil
+       else sortedOut
         .map(e => s"${e.bucket}\t${e.rows}\t${e.size}\t${e.rel}" +
-          e.stats.fold("")(s => s"\t$s")) ++
+          e.stats.fold("")(s => s"\t$s"))) ++
       deltaPlan.map(_ => s"#rmend\t${outRemoves.size}").toSeq ++
-      Seq(s"#end\t${outEntries.size}"))
+      Seq(s"#end\t${if (pqPlan.isDefined) 0 else outEntries.size}"))
       .mkString("", "\n", "\n").getBytes(UTF_8))
     finally out.close()
     flipPointer(spark, fs, path, next)
@@ -915,6 +1027,7 @@ object BucketedLake {
     // partial; a later pass reclaims normally)
     val relB = Set.newBuilder[String]
     val bloomB = Set.newBuilder[String]
+    val pqB = Set.newBuilder[String]
     var sawTruncated = false
     var runningV = Long.MinValue
     var running: Set[String] = null
@@ -924,6 +1037,7 @@ object BucketedLake {
         val raw = slurpRawLenient(fs, st.getPath)
         if (raw.truncated) sawTruncated = true
         bloomB ++= raw.data.bloom
+        pqB ++= raw.pqRel
         raw.deltaBase match {
           case None =>
             running = raw.data.entries.iterator.map(_.rel).toSet
@@ -991,6 +1105,20 @@ object BucketedLake {
           !referencedBlooms.contains(s"_index/bloom/${st.getPath.getName}") &&
           (minAgeMs <= 0L || st.getModificationTime <= horizon)
       }
+    // unreferenced parquet checkpoint bodies (superseded or orphaned by
+    // a lost OCC race): reclaim age-guarded, but ONLY when the
+    // referenced set is complete — a torn retained fragment may hide
+    // its #pq pointer, so over-retain on sawTruncated like data files
+    val ckptRoot = new Path(path, "_manifest")
+    val referencedCkpts = pqB.result()
+    val doomedCkpts =
+      if (!fs.exists(ckptRoot) || sawTruncated || preludeFailed)
+        Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(ckptRoot).filter { st =>
+        st.isFile &&
+          !referencedCkpts.contains(s"_manifest/${st.getPath.getName}") &&
+          (minAgeMs <= 0L || st.getModificationTime <= horizon)
+      }
     // mirror the data-file over-retain rule: if ANY prelude probe
     // failed, the keep-set was computed from incomplete information —
     // retain every manifest this pass; the next vacuum reclaims
@@ -998,6 +1126,7 @@ object BucketedLake {
       doomedManifests.foreach(st => fs.delete(st.getPath, false): Unit)
       doomedChangeDirs.foreach(p => fs.delete(p, true): Unit)
       doomedBlooms.foreach(st => fs.delete(st.getPath, true): Unit)
+      doomedCkpts.foreach(st => fs.delete(st.getPath, false): Unit)
     }
     // leftovers of crashed writes/compactions/merges; the retention
     // window is what keeps an IN-FLIGHT write's staging alive
@@ -1015,7 +1144,8 @@ object BucketedLake {
       doomedStaging.foreach(st => fs.delete(st.getPath, true): Unit)
     VacuumReport(nData, dataBytes,
       if (preludeFailed) 0
-      else doomedManifests.length + doomedChangeDirs.length,
+      else doomedManifests.length + doomedChangeDirs.length +
+        doomedCkpts.length,
       doomedStaging.length,
       if (preludeFailed) 0 else doomedBlooms.length)
   }
