@@ -891,7 +891,18 @@ object BucketedLake {
     * a stale non-key sketch could under-estimate after new values land,
     * the unsafe broadcast direction, so absence (re-run analyze) beats
     * staleness. Returns the per-column estimates (key always present).
-    * SQL: `CALL cat.system.analyze('<path>'[, 'col1,col2'])`. */
+    * SQL: `CALL cat.system.analyze('<path>'[, 'col1,col2'])`.
+    *
+    * DELIBERATELY TABLE-WIDE (no `partitionValues` scope, unlike
+    * compact/cluster): the header is ONE table-level HLL per column,
+    * and HLL union can only ADD — a scoped pass could not merge with
+    * the "unscoped remainder" because no per-partition remainder sketch
+    * exists, and unioning fresh-scope INTO the old table-wide sketch
+    * would re-include every value deleted from the scope, defeating the
+    * tightening that is this procedure's whole point. A sound scoped
+    * analyze needs per-partition sketch storage (manifest growth
+    * O(partitions × columns)) — not worth it while the full pass is one
+    * column-pruned scan. */
   def analyzeNdv(spark: SparkSession, path: String,
                  cols: Seq[String] = Nil): Map[String, Long] = {
     val spec = readSpec(spark, path).getOrElse(
@@ -1713,8 +1724,19 @@ object BucketedLake {
     * gives up per-file KEY order, so the spec's `sorted` flag drops
     * and the scan's sort-free-SMJ claim withdraws — correctness first;
     * a full [[write]] restores it. */
+  /** `partitionValues` SCOPES the rewrite to matching partition dirs —
+    * the same OPTIMIZE-one-partition surface as [[compact]]: cluster
+    * yesterday's hot partition in minutes while every other partition's
+    * files carry through the manifest untouched (zero data IO outside
+    * the scope). Unknown columns are loud; an empty map rewrites the
+    * whole table. A PARTIAL key-cluster cannot upgrade the sortedness
+    * claim (out-of-scope files decide it), and any non-key cluster
+    * still drops it — correctness first. SQL:
+    * `CALL cat.system.cluster('/p', 'price,dt'[, maxRows[,
+    * 'dt=2024-01-02']])`. */
   def cluster(spark: SparkSession, path: String, cols: Seq[String],
-              maxRowsPerFile: Long = 1L << 20): Unit = {
+              maxRowsPerFile: Long = 1L << 20,
+              partitionValues: Map[String, String] = Map.empty): Unit = {
     val spec = readSpec(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no bucketed table at $path"))
     require(cols.nonEmpty, "cluster needs at least one column")
@@ -1726,19 +1748,30 @@ object BucketedLake {
         s"column '$c' (${spec.schema(c).dataType.simpleString}) carries " +
           "no min/max window — clustering it cannot enable skipping")
     }
+    partitionValues.keys.foreach { c =>
+      require(spec.partCols.contains(c),
+        s"'$c' is not a partition column of $path " +
+          s"(axes: ${spec.partCols.mkString(", ")})")
+    }
+    val scopeAxes: Seq[(Int, String)] = partitionValues.toSeq.map {
+      case (c, v) => (spec.partCols.indexOf(c), v) }
+    def inScope(rel: String): Boolean = scopeAxes.forall { case (i, v) =>
+      partValueRawAt(rel, i).flatten.contains(v) }
     val occBaseOpt = currentVersion(spark, path)
     val full = readManifestFull(spark, path, occBaseOpt)
     val baseEntries = full.map(_.entries).getOrElse(footerSweep(spark, path))
     if (baseEntries.isEmpty) return
+    val (scoped, carried) = baseEntries.partition(e => inScope(e.rel))
+    if (scoped.isEmpty) return
     val carryTxns = full.map(_.txns).getOrElse(Map.empty[String, Long])
     val layout = Some((spec.keyCol, spec.buckets, spec.partCols))
     val df = spark.read.schema(spec.schema)
-      .parquet(baseEntries.map(e => s"$path/${e.rel}"): _*)
+      .parquet(scoped.map(e => s"$path/${e.rel}"): _*)
     val order: Column =
       if (cols.sizeIs == 1) col(cols.head)
       else zOrderValue(df, cols, spec.schema,
-        baseEntries.iterator.map(_.rows).sum)
-    val nGroups = baseEntries
+        scoped.iterator.map(_.rows).sum)
+    val nGroups = scoped
       .map(e => (compositeSegOf(e.rel), e.bucket)).distinct.size
     val staging = s"$path/.cluster-${java.util.UUID.randomUUID()}"
     val routed = df.withColumn(BucketDir, bucketExpr(spec.keyCol, spec.buckets))
@@ -1750,25 +1783,29 @@ object BucketedLake {
     // the rewrite preserves rows — a count mismatch means a racing
     // writer or a broken read; fail BEFORE publishing anything
     require(fresh.iterator.map(_.rows).sum ==
-        baseEntries.iterator.map(_.rows).sum,
+        scoped.iterator.map(_.rows).sum,
       s"cluster row-count drift at $path — refusing to commit")
     // the sortedness claim rides the MANIFEST (atomic with the file
-    // flip): clustering by the key itself rewrites every file as a
-    // key-sorted run (the claim can honestly assert true); anything
-    // else Z-orders and the claim drops IN THE SAME COMMIT — a lost
-    // OCC race below changes nothing, so the claim (and the spec
-    // flag) survive intact
+    // flip): a FULL key-cluster rewrites every file as a key-sorted
+    // run (claim true); a PARTIAL key-cluster leaves out-of-scope
+    // files as they were (claim unchanged); anything else Z-orders
+    // and the claim drops IN THE SAME COMMIT — a lost OCC race below
+    // changes nothing, so the claim (and the spec flag) survive intact
     val keyClustered = cols == Seq(spec.keyCol)
-    // clustering rewrites EVERY file: extend the sidecar over all of
+    val claim: Option[Boolean] =
+      if (!keyClustered) Some(false)
+      else if (carried.isEmpty) Some(true)
+      else full.flatMap(_.sortedClaim)
+    // clustering rewrites every IN-SCOPE file: extend the sidecar over
     // them or equality skipping goes dark until a manual rebuild
     val bloomHdr = bloomCarryThroughRewrite(spark, path, spec.schema,
-      full, fresh, fresh)
-    writeManifest(spark, path, fresh,
+      full, carried ++ fresh, fresh)
+    writeManifest(spark, path, carried ++ fresh,
       base = Some(occBaseOpt.getOrElse(0L)), txns = carryTxns,
       layout = layout, op = "compact",
       bloom = bloomHdr,
       ndv = full.map(_.ndv).getOrElse(Map.empty),
-      sortedClaim = Some(keyClustered), prior = full): Unit
+      sortedClaim = claim, prior = full): Unit
     // sync the legacy spec flag AFTER the commit succeeded — display
     // surfaces and pre-claim readers fall back to it; scans trust the
     // pinned manifest's own claim, so this late write can never

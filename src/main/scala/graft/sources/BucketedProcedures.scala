@@ -83,6 +83,16 @@ object BucketedProcedures {
   private def str(r: InternalRow, i: Int): String =
     r.get(i, StringType).asInstanceOf[UTF8String].toString
 
+  /** 'dt=2024-01-02,region=eu' → scope map (shared by compact/cluster). */
+  private def parseScope(raw: String): Map[String, String] =
+    Option(raw).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"partition_filter entry '$kv' is not col=value")
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }.toMap
+
   // ------------------------------------------------------ procedures
 
   private object CompactProc extends MaintenanceProc("compact",
@@ -99,13 +109,7 @@ object BucketedProcedures {
     override protected def run(spark: SparkSession, input: InternalRow)
         : Array[InternalRow] = {
       val path = str(input, 0)
-      val scope = Option(str(input, 1)).getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty)
-        .map { kv =>
-          val i = kv.indexOf('=')
-          require(i > 0, s"partition_filter entry '$kv' is not col=value")
-          kv.substring(0, i).trim -> kv.substring(i + 1).trim
-        }.toMap
+      val scope = parseScope(str(input, 1))
       BucketedLake.compact(spark, path, scope)
       val m = BucketedLake.readManifestFull(spark, path)
       Array(InternalRow(
@@ -116,18 +120,22 @@ object BucketedProcedures {
 
   private object ClusterProc extends MaintenanceProc("cluster",
     Array(in("table", StringType), in("columns", StringType),
-      inDefault("max_rows_per_file", LongType, (1L << 20).toString)),
+      inDefault("max_rows_per_file", LongType, (1L << 20).toString),
+      inDefault("partition_filter", StringType, "''")),
     new StructType().add("version", LongType, nullable = false)
       .add("files", IntegerType, nullable = false)) {
     override def description(): String =
-      "Rewrite every (partition, bucket) group ordered/Z-ordered by " +
-        "the given columns, split into bounded files — tight min/max " +
-        "windows for data skipping"
+      "Rewrite (partition, bucket) groups ordered/Z-ordered by the " +
+        "given columns, split into bounded files — tight min/max " +
+        "windows for data skipping. `partition_filter` " +
+        "('dt=2024-01-02,region=eu') scopes the rewrite to matching " +
+        "partition dirs — the OPTIMIZE-one-partition shape"
     override protected def run(spark: SparkSession, input: InternalRow)
         : Array[InternalRow] = {
       val path = str(input, 0)
       val cols = str(input, 1).split(",").map(_.trim).filter(_.nonEmpty)
-      BucketedLake.cluster(spark, path, cols.toSeq, input.getLong(2))
+      val scope = parseScope(str(input, 3))
+      BucketedLake.cluster(spark, path, cols.toSeq, input.getLong(2), scope)
       val m = BucketedLake.readManifestFull(spark, path)
       Array(InternalRow(
         BucketedLake.currentVersion(spark, path).getOrElse(0L),

@@ -195,6 +195,60 @@ class BucketedClusterSpec extends SparkSuite {
     assert(spark.read.table(s"$cat.`$path`").count() === total)
   }
 
+  test("partition-scoped clustering rewrites ONLY the named partition; claims stay honest") {
+    val path = tmp("bkc-scopedcl")
+    val df = (1L to 6000L).map(i =>
+      (i, s"d${i % 3}", ((i * 2654435761L) % 6000L).toInt))
+      .toDF("k", "dt", "v")
+    BucketedLake.write(df, path, "k", 2, partitionCols = Seq("dt"))
+    val before = BucketedLake.files(spark, path)
+      .select("partition", "file").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val total = table(path).count()
+    // scope the Z-rewrite to d1 via SQL CALL (4th positional arg)
+    spark.sql(
+      s"CALL $cat.system.cluster('$path', 'v', 500, 'dt=d1')").collect()
+    val after = BucketedLake.files(spark, path)
+      .select("partition", "file").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // out-of-scope partitions carry through FILE-IDENTICAL
+    assert(after.filter(_._1 == "d0") === before.filter(_._1 == "d0"))
+    assert(after.filter(_._1 == "d2") === before.filter(_._1 == "d2"))
+    // in-scope partition rewrote (bounded files -> more, all fresh)
+    assert(after.filter(_._1 == "d1").intersect(
+      before.filter(_._1 == "d1")).isEmpty,
+      "the scoped partition must be fully rewritten")
+    assert(after.count(_._1 == "d1") > before.count(_._1 == "d1"))
+    assert(table(path).count() === total)
+    // skipping fires inside the clustered partition
+    val oneDir = plannedFiles(path, Array(EqualTo("dt", "d1")))
+    val ranged = plannedFiles(path,
+      Array(EqualTo("dt", "d1"), LessThan("v", 300)))
+    assert(ranged < oneDir, s"skipping kept $ranged of $oneDir")
+    // a PARTIAL non-key cluster drops the key-order claim (fresh files
+    // are v-ordered); the spec flag follows
+    assert(BucketedLake.readManifestFull(spark, path).get
+      .sortedClaim.contains(false))
+    // a PARTIAL key-cluster must NOT upgrade the claim back to true —
+    // d0/d2's v-ordered files never rewrote... (claim only returns
+    // true after a FULL key rewrite)
+    BucketedLake.cluster(spark, path, Seq("k"),
+      partitionValues = Map("dt" -> "d1"))
+    assert(!BucketedLake.readManifestFull(spark, path).get
+      .sortedClaim.contains(true),
+      "a partial key-cluster cannot assert table-wide key order")
+    BucketedLake.cluster(spark, path, Seq("k"))
+    assert(BucketedLake.readManifestFull(spark, path).get
+      .sortedClaim.contains(true),
+      "a FULL key-cluster restores the claim")
+    // loud on a non-partition column
+    val e = intercept[Exception](BucketedLake.cluster(
+      spark, path, Seq("v"), partitionValues = Map("v" -> "1")))
+    assert(e.getMessage.contains("not a partition column"))
+    assert(table(path).orderBy("k").select("k", "dt", "v").collect().toSeq
+      === df.orderBy("k").collect().toSeq)
+  }
+
   test("clustering a partitioned table preserves partition dirs and two-axis pruning") {
     val path = tmp("bkc-part")
     val df = (1L to 6000L).map(i =>
