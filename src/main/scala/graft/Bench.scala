@@ -168,6 +168,54 @@ object Bench {
       val passSec = (System.nanoTime() - p0) / 1e9
       System.err.println(f"[bench] pass$pass done in $passSec%.1fs (eval-only $passEval%.1fs, elapsed $elapsed%.1fs / budget $budgetSec%.0fs)")
     }
+    // PLAN CONTRACTS: shape assertions on flagship plans AT THE BENCH
+    // SF, checked after eval so AQE has finalized — a lost broadcast, a
+    // dropped pushdown, or a cartesian degeneration fails the bench
+    // LOUDLY (the query goes into `errors`) instead of surfacing as a
+    // quiet 2x slowdown someone has to spot in the timings. Markers
+    // mirror PlanContractsSpec (which pins them at sf0.001); this
+    // re-checks them against the full-size fixtures the bench builds.
+    val planContracts: Seq[(String, String,
+        org.apache.spark.sql.DataFrame => Boolean)] = Seq(
+      ("q3_join", "broadcast_no_cartesian", df => {
+        val p = df.queryExecution.executedPlan.toString
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      ("q_filter_limit", "filter_pushdown", df =>
+        df.queryExecution.executedPlan.toString
+          .contains("PushedFilters: [IsNotNull(c_mktsegment)")),
+      ("lake_bucketed_minmax", "manifest_only_agg", df =>
+        df.queryExecution.executedPlan.collectLeaves()
+          .exists(_.toString.contains("from manifest"))),
+      ("lake_bucketed_agg", "no_exchange_groupby_key", df =>
+        // KeyGroupedPartitioning satisfies the aggregate: a hash
+        // exchange on the bucket key means the layout contract broke
+        !df.queryExecution.executedPlan.toString
+          .contains("hashpartitioning(o_custkey")),
+      ("dedup_minhash", "lsh_hash_join", df => {
+        val p = df.queryExecution.executedPlan.toString
+        !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      }),
+      ("text_decontaminate", "broadcast_eval_set", df =>
+        df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")))
+    val contractResults: Seq[(String, String, Boolean)] =
+      planContracts.flatMap { case (q, label, check) =>
+        cachedDf.get(q).map { df =>
+          val ok = try check(df) catch { case _: Throwable => false }
+          (q, label, ok)
+        }
+      }
+    contractResults.filterNot(_._3).foreach { case (q, label, _) =>
+      errs(q) = s"plan contract violated: $label"
+      System.err.println(s"[bench] PLAN CONTRACT FAILED: $q ($label)")
+    }
+    val contractsJson = {
+      val fails = contractResults.filterNot(_._3)
+        .map { case (q, l, _) => "\"" + q + ":" + l + "\"" }
+        .mkString("[", ",", "]")
+      s"""{"checked":${contractResults.size},"failed":$fails}"""
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     // 3-decimal timings: full double repr doubles the line length and the
@@ -189,7 +237,7 @@ object Bench {
     val total = best.values.sum
     val setupSum = setupSec.values.sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"split":$splitJson,"errors":$errJson,"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"split":$splitJson,"errors":$errJson,"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"plan_contracts":$contractsJson,"sf":"$sfDir"}"""
     // Machine-readable artifact: the full per-query JSON always lands in a
     // file — no stdout scraping needed to recover timings.
     try {
@@ -208,7 +256,7 @@ object Bench {
     // regression actually shows up on
     val slowestQ = bestQuery.toSeq.sortBy(-_._2).take(10)
       .map { case (k, d) => "\"" + k + "\":" + f"$d%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${best.size},"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"slowest":$slowest,"slowest_query_s":$slowestQ,"sf":"$sfDir","detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${best.size},"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"plan_contracts":$contractsJson,"slowest":$slowest,"slowest_query_s":$slowestQ,"sf":"$sfDir","detail":"target/bench.json"}""")
     spark.stop()
   }
 }
