@@ -246,6 +246,27 @@ object BucketedLake {
     // throw out of the documented never-throws lenient paths
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** ONE-FRAGMENT DIFF for the streaming tail: when version `v`
+    * committed as a DELTA on `v-1`, its fragment's entry list IS
+    * exactly the version's added files and its headers carry the op —
+    * `Some((op, removes, adds))` from a single O(changed)-byte read,
+    * no chain resolution, no predecessor diff (at 10^6 files the
+    * resolve-two-manifests diff is two checkpoint slurps per
+    * microbatch step; this is a few hundred bytes). `None` when the
+    * fragment is full, torn, missing, or chains a different base — the
+    * caller falls back to the resolved diff, so this is PURELY an
+    * optimization with identical results. */
+  private[graft] def deltaDiffOf(spark: SparkSession, path: String, v: Long)
+      : Option[(String, Seq[String], Seq[ManifestEntry])] = {
+    val p = new Path(path, versionedManifest(v))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw =
+      try { if (!fs.exists(p)) return None; slurpRawLenient(fs, p) }
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (raw.truncated || !raw.deltaBase.contains(v - 1L)) None
+    else raw.data.op.map(op => (op, raw.removes, raw.data.entries))
+  }
+
   /** Header-only probe of a fragment's FIRST bytes — `(chain depth,
     * delta base)`. `#chain`/`#delta` are written immediately after
     * `#graft`, so 1 KiB always covers them: the writer learns the

@@ -129,9 +129,34 @@ class BucketedMicroBatchStream(opts: BucketedStreamOptions,
     opts.maxFilesPerTrigger.map(ReadLimit.maxFiles)
       .getOrElse(ReadLimit.allAvailable())
 
-  /** The (op, added-file list) of one version — ONE manifest read for
-    * the version plus one for its predecessor. */
+  /** The (op, added-file list) of one version. FAST PATH: a version
+    * that committed as a DELTA fragment carries its own diff — the
+    * adds are ONE O(changed)-byte fragment read
+    * ([[BucketedLake.deltaDiffOf]]), no chain resolution, no
+    * predecessor slurp (at 10^6 files the fallback is two checkpoint
+    * resolutions per microbatch step). Full/torn/legacy fragments fall
+    * back to resolve-and-diff with identical results. */
   private def addedOf(v: Long)
+      : (String, Seq[graft.sources.BucketedLake.ManifestEntry]) = {
+    val (op, added) = BucketedLake.deltaDiffOf(spark, opts.path, v) match {
+      case Some((o, _, adds)) => (o, adds)
+      case None => resolvedDiffOf(v)
+    }
+    op match {
+      case "append" => (op, added)
+      case "compact" | "create" => (op, Nil)
+      case other =>
+        if (opts.ignoreChanges) (other, added)
+        else throw new IllegalStateException(
+          s"version $v at ${opts.path} is a '$other' commit — not " +
+            "expressible as an append-only stream; set " +
+            "ignoreChanges=true to re-emit rewritten rows (deletes " +
+            "never surface), or read the feed with BucketedLake.changes")
+    }
+  }
+
+  /** Fallback diff: resolve the version AND its predecessor, subtract. */
+  private def resolvedDiffOf(v: Long)
       : (String, Seq[graft.sources.BucketedLake.ManifestEntry]) = {
     val cur = BucketedLake.readManifestFull(spark, opts.path, Some(v))
       .getOrElse(throw new IllegalStateException(
@@ -147,18 +172,7 @@ class BucketedMicroBatchStream(opts: BucketedStreamOptions,
             "the stream tail cannot diff against it; advance " +
             "startingVersion or re-checkpoint"))
         .entries.map(_.rel).toSet
-    val added = cur.entries.filterNot(e => prevRels.contains(e.rel))
-    op match {
-      case "append" => (op, added)
-      case "compact" | "create" => (op, Nil)
-      case other =>
-        if (opts.ignoreChanges) (other, added)
-        else throw new IllegalStateException(
-          s"version $v at ${opts.path} is a '$other' commit — not " +
-            "expressible as an append-only stream; set " +
-            "ignoreChanges=true to re-emit rewritten rows (deletes " +
-            "never surface), or read the feed with BucketedLake.changes")
-    }
+    (op, cur.entries.filterNot(e => prevRels.contains(e.rel)))
   }
 
   /** Admit whole versions oldest-first until the file budget closes

@@ -52,6 +52,49 @@ class BucketedStreamSourceSpec extends SparkSuite {
     assert(got === (51L to 80L).map(i => (i, i)))
   }
 
+  test("a microbatch step over delta fragments never slurps the checkpoint") {
+    // floor 1 forces delta commits; the stream's fast path must then
+    // advance on the O(changed) fragments ALONE — proven by tearing the
+    // v1 checkpoint: the fallback (resolve v & v-1, diff) would throw
+    // on every step, the fragment path never touches it
+    spark.conf.set("spark.graft.bucketed.manifestDeltaMinEntries", "1")
+    try {
+      val path = tmp("bkt-delta")
+      BucketedLake.write((1L to 2000L).map(i => (i, i)).toDF("k", "v"),
+        path, "k", 4) // v1 full checkpoint
+      (2001L to 2010L).map(i => (i, i)).toDF("k", "v")
+        .writeTo(s"$cat.`$path`").append() // v2 delta
+      (2011L to 2020L).map(i => (i, i)).toDF("k", "v")
+        .writeTo(s"$cat.`$path`").append() // v3 delta
+      // tear the checkpoint: any resolve of v1/v2/v3 entry sets now
+      // fails loudly — only the fragment-local diff can still stream
+      val p1 = new org.apache.hadoop.fs.Path(path,
+        BucketedLake.versionedManifest(1L))
+      val fs = p1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val torn = {
+        val in = fs.open(p1)
+        val buf = new java.io.ByteArrayOutputStream()
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        finally in.close()
+        new String(buf.toByteArray, "UTF-8").split("\n")
+          .filterNot(_.startsWith("#end")).mkString("", "\n", "\n")
+      }
+      val out = fs.create(p1, true); out.write(torn.getBytes("UTF-8")); out.close()
+      intercept[IllegalStateException](
+        BucketedLake.readManifestFull(spark, path, Some(2L)))
+      val q = spark.readStream.format("graft-bucketed")
+        .option("path", path).option("startingVersion", "2").load()
+        .writeStream.format("memory").queryName("bkt_deltafast")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("bkt_deltafast").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got === (2001L to 2020L).map(i => (i, i)),
+        "delta-fragment steps must stream without resolving the chain")
+    } finally
+      spark.conf.unset("spark.graft.bucketed.manifestDeltaMinEntries")
+  }
+
   test("restart resumes after the checkpointed version; startingVersion=latest sees only new commits") {
     val path = mkTable()
     (51L to 60L).map(i => (i, i)).toDF("k", "v")
