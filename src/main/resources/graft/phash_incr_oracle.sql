@@ -1,0 +1,68 @@
+-- Incremental perceptual near-dup ground truth: hashes for the corpus
+-- (documents) AND an arriving batch (every 10th doc re-minted at
+-- doc_id+1000000 — same group formula, different perturbation phase),
+-- then ALL batch x corpus pairs with Hamming <= 8 by brute force. The
+-- Spark side must reach the identical set via batch-band x corpus-band
+-- LSH with no corpus x corpus pair ever forming.
+WITH cosq(u, x, cq) AS (VALUES
+  (0,0,32768),(0,1,32768),(0,2,32768),(0,3,32768),(0,4,32768),(0,5,32768),(0,6,32768),(0,7,32768),
+  (1,0,32138),(1,1,27246),(1,2,18205),(1,3,6393),(1,4,-6393),(1,5,-18205),(1,6,-27246),(1,7,-32138),
+  (2,0,30274),(2,1,12540),(2,2,-12540),(2,3,-30274),(2,4,-30274),(2,5,-12540),(2,6,12540),(2,7,30274),
+  (3,0,27246),(3,1,-6393),(3,2,-32138),(3,3,-18205),(3,4,18205),(3,5,32138),(3,6,6393),(3,7,-27246),
+  (4,0,23170),(4,1,-23170),(4,2,-23170),(4,3,23170),(4,4,23170),(4,5,-23170),(4,6,-23170),(4,7,23170),
+  (5,0,18205),(5,1,-32138),(5,2,6393),(5,3,27246),(5,4,-27246),(5,5,-6393),(5,6,32138),(5,7,-18205),
+  (6,0,12540),(6,1,-30274),(6,2,30274),(6,3,-12540),(6,4,-12540),(6,5,30274),(6,6,-30274),(6,7,12540),
+  (7,0,6393),(7,1,-18205),(7,2,27246),(7,3,-32138),(7,4,32138),(7,5,-27246),(7,6,18205),(7,7,-6393)),
+ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0),
+dims AS (
+  SELECT doc_id, doc_id % 31 AS g,
+         8 + (doc_id % 31) % 9 AS w, 8 + (doc_id % 31) % 7 AS h
+  FROM ids),
+pix AS (
+  SELECT doc_id, g, w, h, unnest(range(w * h)) AS i FROM dims),
+gray AS (
+  SELECT doc_id, w, h, i,
+      LEAST(255, (g * 31 + i * 7) % 256
+                 + CASE WHEN i % 19 = doc_id % 19 THEN 7 ELSE 0 END)
+    + LEAST(255, (g * 31 + i * 7 + 101) % 256
+                 + CASE WHEN i % 19 = doc_id % 19 THEN 7 ELSE 0 END)
+    + LEAST(255, (g * 31 + i * 7 + 202) % 256
+                 + CASE WHEN i % 19 = doc_id % 19 THEN 7 ELSE 0 END) AS gv
+  FROM pix),
+cellsum AS (
+  SELECT doc_id, (8 * (i // w) + 7) // h AS gy, (8 * (i % w) + 7) // w AS gx,
+         SUM(gv) AS s, COUNT(*) AS a
+  FROM gray GROUP BY doc_id, (8 * (i // w) + 7) // h, (8 * (i % w) + 7) // w),
+cellv AS (
+  SELECT doc_id, gy, gx, CAST((s * 4096) // a AS BIGINT) AS p FROM cellsum),
+coef AS (
+  SELECT c.doc_id, cu.u AS u, cv.u AS v,
+         CAST(SUM(CAST(cu.cq AS BIGINT) * cv.cq * c.p) AS BIGINT) AS f
+  FROM cellv c
+  JOIN cosq cu ON cu.x = c.gy
+  JOIN cosq cv ON cv.x = c.gx
+  GROUP BY c.doc_id, cu.u, cv.u),
+ac AS (
+  SELECT doc_id, u * 8 + v AS k, f FROM coef WHERE u * 8 + v >= 1),
+med AS (
+  SELECT doc_id, f AS m FROM (
+    SELECT doc_id, f,
+           row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+    FROM ac)
+  WHERE rn = 32),
+ph AS (
+  SELECT ac.doc_id,
+         CAST(SUM(CASE WHEN ac.f > med.m
+                       THEN CAST(1 AS BIGINT) << (CAST(ac.k AS INTEGER) - 1)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM ac JOIN med ON ac.doc_id = med.doc_id
+  GROUP BY ac.doc_id)
+SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+       CAST(bit_count(xor(b.phash, c.phash)) AS INTEGER) AS hamming
+FROM ph b JOIN ph c
+  ON b.doc_id >= 1000000 AND c.doc_id < 1000000
+WHERE bit_count(xor(b.phash, c.phash)) <= 8
+ORDER BY batch_id, corpus_id

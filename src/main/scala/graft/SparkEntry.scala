@@ -1530,6 +1530,49 @@ object SparkEntry {
           maxHamming = 6, maxBucketSize = 1000000)
         .orderBy("doc_a", "doc_b")),
 
+    /** Perceptual pairs → GROUPS ([[graft.ops.PerceptualHash
+      * .phashGroups]]): connected components (alternating large/small
+      * star) over the banded-LSH pairs, one canonical-electable group
+      * per near-dup cluster — the op a media pipeline needs after any
+      * pairwise detector. The oracle recomputes components via a
+      * recursive reachability closure over brute-force pairs. */
+    "media_phash_groups" -> ((s, d) =>
+      graft.ops.PerceptualHash.phashGroups(
+          graft.ops.PerceptualHash.synthesizeNearDupImages(
+            t(s, d, "documents").select("doc_id")),
+          maxHamming = 8, maxBucketSize = 1000000)
+        .orderBy("group_id")),
+
+    /** INCREMENTAL perceptual near-dup ([[graft.ops.PerceptualHash
+      * .phashIncremental]]): an arriving batch (every 10th doc
+      * re-minted at doc_id+1000000 — same group formula, new
+      * perturbation phase) against the standing corpus; candidates are
+      * batch-band ⋈ corpus-band ONLY, so per-batch cost scales with
+      * the batch. The oracle brute-forces batch×corpus. */
+    "media_phash_incremental" -> ((s, d) => {
+      val corpus = graft.ops.PerceptualHash.synthesizeNearDupImages(
+        t(s, d, "documents").select("doc_id"))
+      val batch = graft.ops.PerceptualHash.synthesizeNearDupImages(
+        t(s, d, "documents").select("doc_id")
+          .where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.PerceptualHash.phashIncremental(corpus, batch,
+          maxHamming = 8, maxBucketSize = 1000000)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    /** Per-FRAME video perceptual hashes ([[graft.ops.PerceptualHash
+      * .videoFrameHashes]]): every MJPEG/AVI fixture frame walked out
+      * of the real RIFF container, JPEG-decoded from scratch, and
+      * pHashed — the frame-level unit video near-dup composes from.
+      * The oracle replays raster → grid → DCT → median per (doc,
+      * frame). */
+    "media_video_phash" -> ((s, d) =>
+      graft.ops.PerceptualHash.videoFrameHashes(
+          Multimodal.synthesizeMjpegs(t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("frame_idx"), col("phash"))
+        .orderBy("doc_id", "frame_idx")),
+
     /** Deterministic epoch shuffle: md5-permuted, dealt round-robin into 8
       * shards with dense per-shard positions ([[Curation.epochShuffle]] —
       * two-pass range rank, no global window). */
@@ -5035,6 +5078,21 @@ object SparkEntry {
       * fingerprint replay, then ALL pairs with Hamming ≤ 6 — certifying
       * the banded-LSH recall (`src/main/resources/graft/afp_oracle.sql`). */
     "media_audio_neardup" -> sqlResource("afp_oracle.sql"),
+
+    /** Brute-force pairs → recursive reachability components (group =
+      * min reachable doc), same shape as the text dedup_groups replay
+      * (`src/main/resources/graft/phash_groups_oracle.sql`). */
+    "media_phash_groups" -> sqlResource("phash_groups_oracle.sql"),
+
+    /** Hashes for corpus ∪ re-minted batch, then brute-force
+      * batch×corpus pairs only
+      * (`src/main/resources/graft/phash_incr_oracle.sql`). */
+    "media_phash_incremental" -> sqlResource("phash_incr_oracle.sql"),
+
+    /** Flat-block JPEG pixel replay per (doc, frame) through the same
+      * integer DCT/median pipeline
+      * (`src/main/resources/graft/video_phash_oracle.sql`). */
+    "media_video_phash" -> sqlResource("video_phash_oracle.sql"),
 
     "corpus_shuffle" -> """
       WITH r AS (SELECT doc_id,

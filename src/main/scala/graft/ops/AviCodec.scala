@@ -47,6 +47,38 @@ object AviCodec {
     }
 
   private def statsStrict(bytes: Array[Byte]): Option[MjpegStats] = {
+    var nFrames = 0
+    var graySum = 0L
+    walkMjpeg(bytes) { r =>
+      var i = 0
+      if (r.channels == 1) {
+        while (i < r.data.length) { graySum += r.data(i) & 0xFF; i += 1 }
+      } else { // integer BT.601-ish luma is lossy; sum R like jpegFeatures
+        while (i < r.data.length) { graySum += r.data(i) & 0xFF; i += 3 }
+      }
+      nFrames += 1
+    }.map { case (w, h) => MjpegStats(nFrames, w, h, graySum) }
+  }
+
+  /** Every decoded frame raster of an MJPEG AVI, in stream order —
+    * the per-frame access perceptual video hashing needs. None when
+    * the payload isn't an MJPEG AVI this stack speaks. */
+  def mjpegFrameRasters(bytes: Array[Byte])
+      : Option[Seq[JpegCodec.Raster]] =
+    try {
+      val out = Seq.newBuilder[JpegCodec.Raster]
+      walkMjpeg(bytes)(out += _).map(_ => out.result())
+    } catch {
+      case _: AviFormatException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Shared RIFF/AVI walk: container grammar + consistency checks,
+    * every 'NNdc'/'NNdb' frame JPEG-decoded and handed to `onFrame`.
+    * Returns the container dims, None for a non-AVI payload; throws
+    * [[AviFormatException]] on grammar/consistency violations. */
+  private def walkMjpeg(bytes: Array[Byte])(
+      onFrame: JpegCodec.Raster => Unit): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 24) return None
     if (fourCC(bytes, 0) != "RIFF" || fourCC(bytes, 8) != "AVI ") return None
     val riffEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
@@ -54,7 +86,6 @@ object AviCodec {
     var height = -1
     var declaredFrames = -1
     var nFrames = 0
-    var graySum = 0L
 
     def walk(from: Int, until: Int): Unit = {
       var p = from
@@ -83,12 +114,7 @@ object AviCodec {
             throw new AviFormatException(
               s"frame $nFrames is ${r.width}x${r.height}, container " +
                 s"declares ${width}x$height")
-          var i = 0
-          if (r.channels == 1) {
-            while (i < r.data.length) { graySum += r.data(i) & 0xFF; i += 1 }
-          } else { // integer BT.601-ish luma is lossy; sum R like jpegFeatures
-            while (i < r.data.length) { graySum += r.data(i) & 0xFF; i += 3 }
-          }
+          onFrame(r)
           nFrames += 1
         }
         // chunks are padded to EVEN byte boundaries
@@ -100,7 +126,7 @@ object AviCodec {
     if (declaredFrames >= 0 && declaredFrames != nFrames)
       throw new AviFormatException(
         s"container declares $declaredFrames frames, movi holds $nFrames")
-    Some(MjpegStats(nFrames, width, height, graySum))
+    Some((width, height))
   }
 
   // ==== fixture builder (tests + oracle queries) ======================

@@ -469,6 +469,40 @@ object Dedup {
         col(sigCol).cast("long"), maxHamming, idCol, blockCols),
       "signature", maxHamming, maxBucketSize, idCol, blockCols)
 
+  /** Incremental signature near-dup: an arriving BATCH checked against
+    * the standing CORPUS — candidates come ONLY from batch-band ⋈
+    * corpus-band (no corpus×corpus pair ever forms), so the per-batch
+    * cost scales with the batch, exactly like [[minhashIncremental]]
+    * but over any precomputed 64-bit signature (perceptual hashes).
+    * Corpus-side buckets over `maxBucketSize` drop with observability.
+    * Returns `(batch_id, corpus_id, hamming)`, hamming ≤ maxHamming. */
+  def signaturePairsIncremental(corpus: DataFrame, batch: DataFrame,
+                                maxHamming: Int = 8,
+                                maxBucketSize: Int = 1000,
+                                idCol: String = "doc_id",
+                                sigCol: String = "sig",
+                                blockCols: Seq[String] = Nil): DataFrame = {
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    def chunked(d: DataFrame) =
+      chunkPairKeyed(d.filter(col(sigCol).isNotNull),
+        col(sigCol).cast("long"), maxHamming, idCol, blockCols)
+    val c = chunked(corpus).localCheckpoint(false)
+    val corpusSizes = c.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz"))
+    reportCaps(corpusSizes, "signature-incremental", maxBucketSize)
+    val ok = corpusSizes.filter(col("bsz") <= maxBucketSize)
+    val cc = c.join(ok, keyCols, "left_semi")
+    chunked(batch)
+      .select(keyCols.map(col) :+ col(idCol).as("batch_id") :+
+        col("sig").as("sig_b"): _*)
+      .join(cc.select(keyCols.map(col) :+ col(idCol).as("corpus_id") :+
+        col("sig").as("sig_c"): _*), keyCols)
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def pairsFromChunked(chunked0: DataFrame, op: String,
                                maxHamming: Int, maxBucketSize: Int,
                                idCol: String,

@@ -201,6 +201,77 @@ object PerceptualHash {
       imageHashes(df, mediaCol),
       maxHamming, maxBucketSize, idCol, "phash", blockCols)
 
+  /** Pairs → GROUPS: connected components over the perceptual pairs,
+    * one row per dedup group — the op a real pipeline needs after any
+    * pairwise detector (a chain a~b~c must elect ONE canonical image).
+    * Same output shape as the text-side `dedup_groups`. */
+  def phashGroups(df: DataFrame, maxHamming: Int = 8,
+                  maxBucketSize: Int = 1000,
+                  idCol: String = "doc_id", mediaCol: String = "media",
+                  blockCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Dedup.connectedComponents(
+        phashPairs(df, maxHamming, maxBucketSize, idCol, mediaCol,
+          blockCols).select("doc_a", "doc_b"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .select(col("component").as("group_id"), col("n_members"),
+        col("max_member"))
+  }
+
+  /** Incremental perceptual near-dup: an arriving image BATCH against
+    * the standing CORPUS — batch-band ⋈ corpus-band only, per-batch
+    * cost scales with the batch ([[Dedup.signaturePairsIncremental]]).
+    * Returns `(batch_id, corpus_id, hamming)`. */
+  def phashIncremental(corpus: DataFrame, batch: DataFrame,
+                       maxHamming: Int = 8, maxBucketSize: Int = 1000,
+                       idCol: String = "doc_id",
+                       mediaCol: String = "media",
+                       blockCols: Seq[String] = Nil): DataFrame =
+    Dedup.signaturePairsIncremental(
+      imageHashes(corpus, mediaCol), imageHashes(batch, mediaCol),
+      maxHamming, maxBucketSize, idCol, "phash", blockCols)
+
+  /** Per-FRAME perceptual hashes of MJPEG/AVI video payloads: the RIFF
+    * walk hands every really-decoded frame raster
+    * ([[AviCodec.mjpegFrameRasters]] → [[JpegCodec]]) to the same
+    * integer-exact pHash — `(frame_idx, phash)` rows, null frame set
+    * for non-video payloads. Grayscale samples count ×3 so a gray
+    * frame hashes identically to its r=g=b color rendering. Frame-level
+    * hashes are the unit video near-dup composes from (two clips pair
+    * when their frame hashes pair — [[Dedup.signaturePairs]] over an
+    * exploded frame relation, blocked by frame_idx when alignment is
+    * known). */
+  def videoFrameHashes(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("frame_idx", IntegerType))
+      .add(StructField("phash", LongType))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AviCodec.mjpegFrameRasters(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (fr, i) =>
+              val gray = new Array[Int](fr.width * fr.height)
+              var p = 0
+              while (p < gray.length) {
+                gray(p) =
+                  if (fr.channels == 1) 3 * (fr.data(p) & 0xFF)
+                  else (fr.data(3 * p) & 0xFF) + (fr.data(3 * p + 1) & 0xFF) +
+                    (fr.data(3 * p + 2) & 0xFF)
+                p += 1
+              }
+              Row.fromSeq(r.toSeq ++ Seq[Any](i,
+                phash64(fr.width, fr.height, gray).map(Long.box).orNull))
+            }
+          case None =>
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null)))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic NEAR-DUP image fixture: documents sharing
     * `doc_id % Groups` render the same base image (dims and pixel
     * formula keyed on the GROUP), each member perturbed on its own

@@ -91,6 +91,67 @@ class PerceptualHashSpec extends SparkSuite {
     assert(brute.forall { case (a, b, _) => a % 31 == b % 31 })
   }
 
+  test("phashGroups: one component per fixture group, canonical max member") {
+    val docs = (0L until 93L).toDF("doc_id") // 3 full rounds of 31 groups
+    val groups = phashGroups(synthesizeNearDupImages(docs),
+      maxHamming = 8, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(groups.length === 31, s"31 fixture groups, got ${groups.length}")
+    groups.foreach { case (gid, n, maxM) =>
+      assert(n === 3L, s"group $gid should have 3 members, got $n")
+      assert(gid < 31L && maxM === gid + 62L,
+        s"group id = min member, canonical = max member ($gid, $maxM)")
+    }
+  }
+
+  test("phashIncremental: batch x corpus only, equal to brute force") {
+    val corpus = synthesizeNearDupImages((0L until 93L).toDF("doc_id"))
+    val batchIds = (0L until 93L by 10L).map(_ + 1000000L)
+    val batch = synthesizeNearDupImages(batchIds.toDF("doc_id"))
+    val got = phashIncremental(corpus, batch,
+      maxHamming = 8, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ch = imageHashes(corpus).select("doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bh = imageHashes(batch).select("doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for { (b, hb2) <- bh; (c, hc2) <- ch if ham(hb2, hc2) <= 8 }
+      yield (b, c, ham(hb2, hc2))).toSet
+    assert(brute.nonEmpty && got === brute)
+    // every batch member finds exactly its gid-mates in the corpus
+    assert(got.forall { case (b, c, _) => b % 31 == c % 31 })
+  }
+
+  test("videoFrameHashes: every MJPEG frame hashes off its real decoded raster") {
+    val docs = (0L until 24L).toDF("doc_id")
+    val rows = videoFrameHashes(
+        Multimodal.synthesizeMjpegs(docs))
+      .select("doc_id", "frame_idx", "phash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // frame counts follow the fixture formula
+    val byDoc = rows.groupBy(_._1)
+    (0L until 24L).foreach { id =>
+      assert(byDoc(id).length === (2 + id % 3).toInt, s"doc $id frame count")
+    }
+    // replay one frame arithmetically: raster from the flat-block
+    // formula, gray = 3 x sample, must hash identically
+    val id = 7L
+    val w = 8 * (1 + id % 4).toInt; val h = 8 * (1 + id % 3).toInt
+    val gray = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val bi = (y / 8) * (w / 8) + (x / 8)
+      3 * ((((id % 100003) * 31 + 1 * 11 + bi * 7) % 256).toInt)
+    }
+    val expected = phash64(w, h, gray).get
+    assert(rows.find(r => r._1 == id && r._2 == 1).get._3 === expected)
+    // a non-video payload reports a null frame set
+    val junk = Seq((1L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val j = videoFrameHashes(junk).select("frame_idx", "phash").collect()
+    assert(j.length === 1 && j(0).isNullAt(0) && j(0).isNullAt(1))
+  }
+
   test("signaturePairs: oversized buckets drop with observability, never explode") {
     // 500 identical signatures: every chunk-pair bucket holds all docs —
     // the cap must suppress the n^2 join body entirely
