@@ -1561,6 +1561,32 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    /** Composed MEDIA curation funnel — the multimodal analogue of
+      * `pipeline_curate`: perceptual keep-first dedup
+      * ([[graft.ops.PerceptualHash.phashPairs]] → connected components,
+      * canonical member survives) → decoded-raster quality gate (Sobel
+      * gradient energy ≥ 30000 via [[graft.ops.Multimodal
+      * .imageFeatures]]) → per-dimension corpus summary. Every stage is
+      * map-side or a banded/semi/anti join — the composition proof for
+      * a 100 TB media pipeline; the oracle replays all of it. */
+    "pipeline_media_curate" -> ((s, d) => {
+      val media = graft.ops.PerceptualHash.synthesizeNearDupImages(
+        t(s, d, "documents").select("doc_id"))
+      val pairs = graft.ops.PerceptualHash.phashPairs(media,
+        maxHamming = 8, maxBucketSize = 1000000).select("doc_a", "doc_b")
+      val losers = Dedup.connectedComponents(pairs)
+        .where(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val kept = media.join(losers, Seq("doc_id"), "left_anti")
+      Multimodal.imageFeatures(kept)
+        .where(col("grad_x_energy") + col("grad_y_energy") >= 30000L)
+        .groupBy("width", "height")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("grad_x_energy")).as("sum_gx"),
+          sum(col("grad_y_energy")).as("sum_gy"))
+        .orderBy("width", "height")
+    }),
+
     /** Per-FRAME video perceptual hashes ([[graft.ops.PerceptualHash
       * .videoFrameHashes]]): every MJPEG/AVI fixture frame walked out
       * of the real RIFF container, JPEG-decoded from scratch, and
@@ -5093,6 +5119,12 @@ object SparkEntry {
       * integer DCT/median pipeline
       * (`src/main/resources/graft/video_phash_oracle.sql`). */
     "media_video_phash" -> sqlResource("video_phash_oracle.sql"),
+
+    /** Full-funnel replay: hashes → pairs → reachability components →
+      * keep-first → clamped-channel Sobel energies → threshold →
+      * per-dimension summary
+      * (`src/main/resources/graft/media_curate_oracle.sql`). */
+    "pipeline_media_curate" -> sqlResource("media_curate_oracle.sql"),
 
     "corpus_shuffle" -> """
       WITH r AS (SELECT doc_id,
