@@ -210,6 +210,22 @@ object Bench {
       errs(q) = s"plan contract violated: $label"
       System.err.println(s"[bench] PLAN CONTRACT FAILED: $q ($label)")
     }
+    // Queries whose plan is a pure LocalRelation materialized at
+    // CONSTRUCTION (driver-side TVFs like graft_bucketed_fragments,
+    // CALL results): their eval-only minima measure a local relation,
+    // not a scan — flagged so the numbers aren't misread as scan
+    // timings (advisory note, round 15).
+    val constructionMaterialized = cachedDf.toSeq.collect {
+      case (name, df) if {
+        val leaves =
+          try df.queryExecution.optimizedPlan.collectLeaves()
+          catch { case _: Throwable => Nil }
+        leaves.nonEmpty && leaves.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      } => name
+    }.sorted
+    val materializedJson = constructionMaterialized
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val contractsJson = {
       val fails = contractResults.filterNot(_._3)
         .map { case (q, l, _) => "\"" + q + ":" + l + "\"" }
@@ -237,7 +253,7 @@ object Bench {
     val total = best.values.sum
     val setupSum = setupSec.values.sum
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"split":$splitJson,"errors":$errJson,"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"plan_contracts":$contractsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"split":$splitJson,"errors":$errJson,"failed":${errs.size},"passes":$pass,"setup_sum_s":${f"$setupSum%.3f"},"plan_contracts":$contractsJson,"construction_materialized":$materializedJson,"sf":"$sfDir"}"""
     // Machine-readable artifact: the full per-query JSON always lands in a
     // file — no stdout scraping needed to recover timings.
     try {

@@ -1530,6 +1530,32 @@ object SparkEntry {
           maxHamming = 6, maxBucketSize = 1000000)
         .orderBy("doc_a", "doc_b")),
 
+    /** Audio pairs → GROUPS ([[graft.ops.AudioFingerprint.afpGroups]]):
+      * connected components over the fingerprint pairs — same canonical
+      * election shape as the image side, proven against the recursive
+      * reachability replay. */
+    "media_audio_groups" -> ((s, d) =>
+      graft.ops.AudioFingerprint.afpGroups(
+          graft.ops.AudioFingerprint.synthesizeNearDupWavs(
+            t(s, d, "documents").select("doc_id")),
+          maxHamming = 6, maxBucketSize = 1000000)
+        .orderBy("group_id")),
+
+    /** INCREMENTAL audio near-dup ([[graft.ops.AudioFingerprint
+      * .afpIncremental]]): re-minted batch vs corpus, batch-band ⋈
+      * corpus-band only; oracle brute-forces batch×corpus. */
+    "media_audio_incremental" -> ((s, d) => {
+      val corpus = graft.ops.AudioFingerprint.synthesizeNearDupWavs(
+        t(s, d, "documents").select("doc_id"))
+      val batch = graft.ops.AudioFingerprint.synthesizeNearDupWavs(
+        t(s, d, "documents").select("doc_id")
+          .where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ops.AudioFingerprint.afpIncremental(corpus, batch,
+          maxHamming = 6, maxBucketSize = 1000000)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     /** Perceptual pairs → GROUPS ([[graft.ops.PerceptualHash
       * .phashGroups]]): connected components (alternating large/small
       * star) over the banded-LSH pairs, one canonical-electable group
@@ -5109,6 +5135,15 @@ object SparkEntry {
       * min reachable doc), same shape as the text dedup_groups replay
       * (`src/main/resources/graft/phash_groups_oracle.sql`). */
     "media_phash_groups" -> sqlResource("phash_groups_oracle.sql"),
+
+    /** Audio fingerprint pairs → reachability components
+      * (`src/main/resources/graft/afp_groups_oracle.sql`). */
+    "media_audio_groups" -> sqlResource("afp_groups_oracle.sql"),
+
+    /** Fingerprints for corpus ∪ re-minted batch, brute-force
+      * batch×corpus pairs
+      * (`src/main/resources/graft/afp_incr_oracle.sql`). */
+    "media_audio_incremental" -> sqlResource("afp_incr_oracle.sql"),
 
     /** Hashes for corpus ∪ re-minted batch, then brute-force
       * batch×corpus pairs only

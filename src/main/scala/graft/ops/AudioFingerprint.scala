@@ -159,6 +159,34 @@ object AudioFingerprint {
       audioFingerprints(df, mediaCol),
       maxHamming, maxBucketSize, idCol, "afp", blockCols)
 
+  /** Pairs → GROUPS: connected components over the audio pairs, one
+    * row per dedup group — same output shape as the image-side
+    * [[PerceptualHash.phashGroups]]. */
+  def afpGroups(df: DataFrame, maxHamming: Int = 6,
+                maxBucketSize: Int = 1000,
+                idCol: String = "doc_id", mediaCol: String = "media",
+                blockCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Dedup.connectedComponents(
+        afpPairs(df, maxHamming, maxBucketSize, idCol, mediaCol,
+          blockCols).select("doc_a", "doc_b"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+      .select(col("component").as("group_id"), col("n_members"),
+        col("max_member"))
+  }
+
+  /** Incremental audio near-dup: arriving batch vs standing corpus,
+    * batch-band ⋈ corpus-band only ([[Dedup.signaturePairsIncremental]]).
+    * Returns `(batch_id, corpus_id, hamming)`. */
+  def afpIncremental(corpus: DataFrame, batch: DataFrame,
+                     maxHamming: Int = 6, maxBucketSize: Int = 1000,
+                     idCol: String = "doc_id", mediaCol: String = "media",
+                     blockCols: Seq[String] = Nil): DataFrame =
+    Dedup.signaturePairsIncremental(
+      audioFingerprints(corpus, mediaCol), audioFingerprints(batch, mediaCol),
+      maxHamming, maxBucketSize, idCol, "afp", blockCols)
+
   /** Deterministic NEAR-DUP audio fixture: clips sharing
     * `doc_id % Groups` render the same base CHIRP (quadratic-phase
     * sweep keyed on the group — broadband, so every DFT band carries

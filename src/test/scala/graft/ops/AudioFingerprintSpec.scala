@@ -52,6 +52,27 @@ class AudioFingerprintSpec extends SparkSuite {
     assert(rows(0).isNullAt(2) && !rows(1).isNullAt(2))
   }
 
+  test("afpGroups: one component per fixture group; afpIncremental equals brute force") {
+    val docs = (0L until 93L).toDF("doc_id")
+    val groups = afpGroups(synthesizeNearDupWavs(docs),
+      maxHamming = 6, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length === 31 && groups.forall(_._2 === 3L))
+    val corpus = synthesizeNearDupWavs(docs)
+    val batch = synthesizeNearDupWavs(
+      (0L until 93L by 10L).map(_ + 1000000L).toDF("doc_id"))
+    val got = afpIncremental(corpus, batch,
+      maxHamming = 6, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ch = audioFingerprints(corpus).select("doc_id", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bh = audioFingerprints(batch).select("doc_id", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for { (b, fb) <- bh; (c, fc) <- ch if ham(fb, fc) <= 6 }
+      yield (b, c, ham(fb, fc))).toSet
+    assert(brute.nonEmpty && got === brute)
+  }
+
   test("afpPairs equals brute force: banded LSH recall is complete at the radius") {
     val docs = (0L until 120L).toDF("doc_id")
     val media = synthesizeNearDupWavs(docs)
