@@ -2281,16 +2281,22 @@ object BucketedLake {
         else if (raw.deltaBase.isEmpty) Some(raw.data.entries.size.toLong)
         else resolveManifestLenient(fs, path, v)
           .map(_.entries.size.toLong)
+      // a parquet-bodied checkpoint's true commit cost is txt + body
+      val bodyBytes = raw.pqRel.flatMap { rel =>
+        try Some(fs.getFileStatus(new Path(path, rel)).getLen)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
       (v,
         if (raw.deltaBase.isDefined) "delta" else "full",
+        if (raw.pqRel.isDefined) "parquet" else "text",
         raw.chain,
         raw.deltaBase.map(java.lang.Long.valueOf).orNull,
         raw.data.entries.size.toLong,
         raw.removes.size.toLong,
         live.map(java.lang.Long.valueOf).orNull,
-        bytes,
+        bytes + bodyBytes.getOrElse(0L),
         raw.truncated)
-    }.toDF("version", "kind", "chain", "base", "adds", "removes",
+    }.toDF("version", "kind", "body", "chain", "base", "adds", "removes",
       "live_files", "bytes", "truncated")
   }
 

@@ -86,6 +86,16 @@ class ParquetCheckpointSpec extends SparkSuite {
       val t2 = fragText(path, 2L)
       assert(t2.contains("#delta\t1") && !t2.contains("#pq\t"))
       assert(table(path).count() === 4001L)
+      // the fragments view reports the body format and its TRUE bytes
+      val frags = spark.sql(
+        s"SELECT * FROM graft_bucketed_fragments('$path') ORDER BY version")
+        .collect()
+      assert(frags(0).getAs[String]("body") === "parquet")
+      assert(frags(1).getAs[String]("body") === "text")
+      val ckptBytes = fs(path).getFileStatus(
+        new Path(path, s"_manifest/${ckptRels(path).head}")).getLen
+      assert(frags(0).getAs[Long]("bytes") > ckptBytes,
+        "checkpoint bytes must include the parquet body")
       assert(spark.sql(
         s"SELECT COUNT(*) FROM graft_bucketed('$path', 1)").head.getLong(0)
         === 4000L)
