@@ -469,6 +469,21 @@ object Dedup {
         col(sigCol).cast("long"), maxHamming, idCol, blockCols),
       "signature", maxHamming, maxBucketSize, idCol, blockCols)
 
+  /** Incremental SimHash near-dup: an arriving text BATCH against the
+    * standing CORPUS — the SimHash twin of [[minhashIncremental]],
+    * riding the shared signature machinery (batch-band ⋈ corpus-band
+    * only; corpus-side bucket caps). Returns
+    * `(batch_id, corpus_id, hamming)`, hamming ≤ maxHamming. */
+  def simhashIncremental(corpus: DataFrame, batch: DataFrame,
+                         maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         blockCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(corpus.sparkSession)
+    def sig(d: DataFrame) = d.withColumn("__sig", simhash(textCol))
+    signaturePairsIncremental(sig(corpus), sig(batch), maxHamming,
+      maxBucketSize, idCol, "__sig", blockCols)
+  }
+
   /** Incremental signature near-dup: an arriving BATCH checked against
     * the standing CORPUS — candidates come ONLY from batch-band ⋈
     * corpus-band (no corpus×corpus pair ever forms), so the per-batch

@@ -99,6 +99,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("simhashIncremental: batch x corpus only, equals brute force") {
+    val corpus = (0 until 20).flatMap { i =>
+      val b = s"document number $i " + base
+      Seq((i * 2L, b), (i * 2L + 1, b + s" trailing token $i"))
+    }.toDF("doc_id", "text")
+    val batch = (0 until 20 by 4).map { i =>
+      (1000L + i, s"document number $i " + base + " arriving edit")
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashIncremental(corpus, batch, maxHamming = 3,
+      maxBucketSize = 10000)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def sig(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sig"))
+    val brute = sig(batch).as("b").crossJoin(sig(corpus).as("c"))
+      .filter(bit_count(col("b.sig").bitwiseXOR(col("c.sig"))) <= 3)
+      .select(col("b.doc_id"), col("c.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && got === brute)
+    assert(got.forall(_._1 >= 1000L), "pairs are batch x corpus only")
+  }
+
   test("simhashPairs blockCols pre-split confines pairs to a block") {
     // docs 0/1 are identical but get different block values: a lang
     // pre-split must suppress that pair while keeping within-block dups
