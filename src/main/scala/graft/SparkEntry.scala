@@ -1530,6 +1530,18 @@ object SparkEntry {
           maxHamming = 6, maxBucketSize = 1000000)
         .orderBy("doc_a", "doc_b")),
 
+    /** ORIENTATION-CANONICAL pHash ([[graft.ops.PerceptualHash
+      * .phashCanonical64]]): fractional-area resample (commutes exactly
+      * with mirrors/rotations at ANY dims) → min DCT hash over the 8
+      * dihedral orientations — flipped re-posts dedup as bit-identical.
+      * The oracle replays all 8 orientations and their minimum. */
+    "media_phash_canonical" -> ((s, d) =>
+      graft.ops.PerceptualHash.imageHashes(
+          graft.ops.PerceptualHash.synthesizeNearDupImages(
+            t(s, d, "documents").select("doc_id")))
+        .select(col("doc_id"), col("phash_canon"))
+        .orderBy("doc_id")),
+
     /** Audio pairs → GROUPS ([[graft.ops.AudioFingerprint.afpGroups]]):
       * connected components over the fingerprint pairs — same canonical
       * election shape as the image side, proven against the recursive
@@ -5135,6 +5147,10 @@ object SparkEntry {
       * min reachable doc), same shape as the text dedup_groups replay
       * (`src/main/resources/graft/phash_groups_oracle.sql`). */
     "media_phash_groups" -> sqlResource("phash_groups_oracle.sql"),
+
+    /** Fractional-area grid → 8 dihedral orientations → min DCT hash
+      * (`src/main/resources/graft/phash_canon_oracle.sql`). */
+    "media_phash_canonical" -> sqlResource("phash_canon_oracle.sql"),
 
     /** Audio fingerprint pairs → reachability components
       * (`src/main/resources/graft/afp_groups_oracle.sql`). */

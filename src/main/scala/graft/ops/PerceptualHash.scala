@@ -83,13 +83,10 @@ object PerceptualHash {
     out
   }
 
-  /** DCT perceptual hash of a gray raster (values 0..765 = r+g+b).
-    * Returns None below the 8×8 grid floor. Bit k-1 (k = u·8+v, k ≥ 1)
-    * is set iff coefficient F(u,v) strictly exceeds the 32nd-smallest AC
-    * coefficient. 63 bits → always non-negative. */
-  def phash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
-    if (w < 8 || h < 8) return None
-    val p = grid8(w, h, gray)
+  /** DCT + discrete-median thresholding of an 8×8 grid → 63-bit hash
+    * (bit k-1 set iff F(u,v), k = u·8+v ≥ 1, strictly exceeds the
+    * 32nd-smallest AC coefficient). */
+  private[ops] def hashFromGrid(p: Array[Long]): Long = {
     val f = new Array[Long](64)
     var u = 0
     while (u < 8) {
@@ -117,7 +114,100 @@ object PerceptualHash {
       if (f(k) > median) hash |= 1L << (k - 1)
       k += 1
     }
-    Some(hash)
+    hash
+  }
+
+  /** DCT perceptual hash of a gray raster (values 0..765 = r+g+b).
+    * Returns None below the 8×8 grid floor. */
+  def phash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    Some(hashFromGrid(grid8(w, h, gray)))
+  }
+
+  /** FRACTIONAL-AREA 8×8 resample (scale ×4096): cell boundaries sit at
+    * exact rational positions and each pixel contributes its true
+    * overlap area (per-axis overlaps in 1/8-pixel units — all integer).
+    * Unlike [[grid8]]'s floor boundaries, this COMMUTES EXACTLY with
+    * every mirror/rotation for ANY dimensions (area integration is
+    * symmetric), which is what makes the canonical hash below
+    * bit-identical across the dihedral group. Separable two-pass:
+    * O(h·w) + O(8·w) per cell row. */
+  private[ops] def fracGrid8(w: Int, h: Int, gray: Array[Int]): Array[Long] = {
+    // pass 1: collapse rows — m(gy, x) = Σ_y gray(y,x)·oy
+    val m = new Array[Long](8 * w)
+    var y = 0
+    while (y < h) {
+      var gy = 0
+      while (gy < 8) {
+        val oy = math.max(0,
+          math.min((gy + 1) * h, 8 * y + 8) - math.max(gy * h, 8 * y))
+        if (oy > 0) {
+          var x = 0
+          while (x < w) { m(gy * w + x) += gray(y * w + x).toLong * oy; x += 1 }
+        }
+        gy += 1
+      }
+      y += 1
+    }
+    // pass 2: collapse columns; Σ weights per cell = h·w, so ×4096/(h·w)
+    val p = new Array[Long](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        var s = 0L
+        var x = 0
+        while (x < w) {
+          val ox = math.max(0,
+            math.min((gx + 1) * w, 8 * x + 8) - math.max(gx * w, 8 * x))
+          if (ox > 0) s += m(gy * w + x) * ox
+          x += 1
+        }
+        p(gy * 8 + gx) = s * 4096L / (h.toLong * w)
+        gx += 1
+      }
+      gy += 1
+    }
+    p
+  }
+
+  /** The 8 dihedral orientations of an 8×8 grid: bit 0 mirrors columns,
+    * bit 1 mirrors rows, bit 2 transposes (applied last). */
+  private[ops] def orient(p: Array[Long], o: Int): Array[Long] = {
+    val out = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var rr = if ((o & 2) != 0) 7 - r else r
+        var cc = if ((o & 1) != 0) 7 - c else c
+        if ((o & 4) != 0) { val t = rr; rr = cc; cc = t }
+        out(rr * 8 + cc) = p(r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** ORIENTATION-CANONICAL perceptual hash: the minimum DCT hash over
+    * all 8 dihedral orientations of the fractional-area grid — a
+    * mirrored or 90/180/270-rotated copy of an image produces the
+    * BIT-IDENTICAL hash (exact, any dimensions: [[fracGrid8]] commutes
+    * with the transforms, so the orientation set of grids is identical
+    * and its minimum is too). The dedup radius then catches flipped
+    * re-posts plain pHash misses by ~half the bits. */
+  def phashCanonical64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    val p = fracGrid8(w, h, gray)
+    var best = Long.MaxValue
+    var o = 0
+    while (o < 8) {
+      val hh = hashFromGrid(orient(p, o))
+      if (hh < best) best = hh
+      o += 1
+    }
+    Some(best)
   }
 
   /** Gradient (difference) hash over the same 8×8 grid: bit r·8+c is set
@@ -172,6 +262,7 @@ object PerceptualHash {
     val schema = df.schema
       .add(StructField("phash", LongType))
       .add(StructField("dhash", LongType))
+      .add(StructField("phash_canon", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
@@ -179,8 +270,9 @@ object PerceptualHash {
           case Some((w, h, g)) =>
             Row.fromSeq(r.toSeq ++ Seq(
               phash64(w, h, g).map(Long.box).orNull,
-              dhash64(w, h, g).map(Long.box).orNull))
-          case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+              dhash64(w, h, g).map(Long.box).orNull,
+              phashCanonical64(w, h, g).map(Long.box).orNull))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
       }
     }

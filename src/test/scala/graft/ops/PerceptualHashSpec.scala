@@ -58,6 +58,39 @@ class PerceptualHashSpec extends SparkSuite {
     assert(ham(phash64(w, h, g).get, phash64(w, h, perturbed).get) <= 8)
   }
 
+  test("phashCanonical64 is EXACTLY invariant under every mirror/rotation") {
+    for (id <- Seq(3L, 8L, 14L)) {
+      val (w, h, g) = grayOf(id)
+      val c0 = phashCanonical64(w, h, g).get
+      val mirror = Array.tabulate(w * h)(i =>
+        g((i / w) * w + (w - 1 - i % w)))
+      val vflip = Array.tabulate(w * h)(i =>
+        g((h - 1 - i / w) * w + i % w))
+      val transpose = Array.tabulate(h * w) { i =>
+        val x = i % h; val y = i / h // transposed dims (h, w)
+        g(x * w + y)
+      }
+      assert(phashCanonical64(w, h, mirror).get === c0, s"mirror id=$id")
+      assert(phashCanonical64(w, h, vflip).get === c0, s"vflip id=$id")
+      assert(phashCanonical64(h, w, transpose).get === c0, s"transpose id=$id")
+      // plain pHash is NOT mirror-invariant — the canonical form is
+      // genuinely adding power, not restating it
+      assert(phash64(w, h, g).get !== phash64(w, h, mirror).get)
+    }
+    // end-to-end: a mirrored PNG decodes to the identical canonical hash
+    val (w, h, g) = grayOf(5L)
+    val mirrorPng = Multimodal.ImageIoCodec.encodePng(w, h, (x, y) => {
+      val i = y.toLong * w + (w - 1 - x)
+      (FixtureNearDup.channel(5L, i, 0) << 16) |
+        (FixtureNearDup.channel(5L, i, 1) << 8) | FixtureNearDup.channel(5L, i, 2)
+    })
+    val hashed = imageHashes(Seq((1L, FixtureNearDup.png(5L)),
+      (2L, mirrorPng)).toDF("doc_id", "media"))
+      .select("doc_id", "phash_canon").collect().sortBy(_.getLong(0))
+    assert(hashed(0).getLong(1) === hashed(1).getLong(1))
+    assert(phashCanonical64(w, h, g).get === hashed(0).getLong(1))
+  }
+
   test("undecodable payloads and sub-grid images hash to null") {
     val df = Seq(
       (1L, "not an image".getBytes("UTF-8")),
