@@ -815,6 +815,40 @@ object ScaleProbe {
     // 256 to 10,240 doomed files — the driver-loop shape would
     // serialize ~10k remote getFileStatus+delete calls. The dry-run
     // report must agree exactly with the real pass.
+    // Banded Hamming LSH at corpus scale: 10^6 64-bit signatures with
+    // PLANTED near-dup groups of 5 (xxhash64 base per group, one
+    // distinct low bit flipped per member — every within-group pair is
+    // ≤ 2 bits apart). The pair join must recover EXACTLY the 2M
+    // planted pairs (pigeonhole recall at the radius; cross-group
+    // collisions are ~n²/2^64), wall-clock scaling ~linearly in docs +
+    // output pairs — the shape perceptual dedup rides at 100 TB.
+    if (only.forall("signature_pairs_scale".contains)) {
+      time("signature_pairs_scale") {
+        def run(n: Long): (Long, Double) = {
+          val sigs = spark.range(0, n).select(
+            col("id").as("doc_id"),
+            // members 1..4 flip bits 1..4 of the group base; member 0 none
+            expr("xxhash64(cast(id div 5 as bigint)) ^ " +
+              "(shiftleft(cast(1 as bigint), cast(id % 5 as int)) & 30)")
+              .as("sig"))
+          val t0 = System.nanoTime()
+          val pairs = graft.ops.Dedup.signaturePairs(sigs, maxHamming = 2,
+            maxBucketSize = 1000)
+          val cnt = pairs.count()
+          (cnt, (System.nanoTime() - t0) / 1e9)
+        }
+        val (c5, s5) = run(500000L)
+        val (c10, s10) = run(1000000L)
+        System.err.println(
+          f"[probe] signature_pairs 500k: $c5 pairs in $s5%.1fs | " +
+            f"1M: $c10 pairs in $s10%.1fs")
+        require(c5 == 10L * 100000L && c10 == 10L * 200000L,
+          s"planted-pair recovery drifted: $c5 / $c10")
+        require(s10 < s5 * 4 + 10.0,
+          f"pair join must scale ~linearly: $s5%.1fs -> $s10%.1fs")
+        c10
+      }
+    }
     if (only.forall("vacuum_files".contains)) {
       val root = java.nio.file.Files
         .createTempDirectory("probe-bk-vacuum").toString + "/t"
