@@ -259,13 +259,20 @@ object SparkEntry {
     * the averages use, extended to second moments. The built-in
     * corr()/stddev() aggregates are NOT used: their float accumulation
     * order is engine- and partitioning-dependent. */
+  // The exact-decimal second moments are cast to DOUBLE through a STRING:
+  // both engines' native DECIMAL->DOUBLE casts double-round once the
+  // unscaled value exceeds 2^53 (hugeint->double then /10^scale), and they
+  // double-round DIFFERENTLY (sum(price^2) diverged by 1 ulp at sf0.001),
+  // while decimal->string->double is two correctly-rounded conversions in
+  // both engines (Java parseDouble / DuckDB strtod) — the only
+  // engine-portable exact cast for >2^53 unscaled decimals.
   private val QStatsAgg = """
     WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sx,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sy,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, n,
       (sxy / n - (sx / n) * (sy / n)) /
