@@ -59,30 +59,238 @@ object Multimodal {
     final case class ImageStats(width: Int, height: Int, channels: Int,
                                 sumR: Long, sumG: Long, sumB: Long)
 
+    // ---- decode/access hot path -------------------------------------
+    // `ImageIO.read` scans the service registry per call and
+    // `BufferedImage.getRGB` routes every pixel through ColorModel
+    // virtual dispatch; across the media query family those two costs
+    // dominated the bench (guide §1.2 step 2: per-task work). The fast
+    // paths below are exact-identical to the originals:
+    //  - readers/writers are cached per thread and selected by the same
+    //    container magic the registry would sniff (PNG/GIF only; every
+    //    other payload still walks the registry), decoding via the same
+    //    reader class with the same (seekForwardOnly=true,
+    //    ignoreMetadata=true) inputs `ImageIO.read` uses;
+    //  - pixel access reads the backing raster ONLY for the standard
+    //    layouts where `getRGB` is a pure repack (TYPE_3BYTE_BGR /
+    //    TYPE_INT_RGB direct buffers, TYPE_BYTE_INDEXED through the
+    //    palette's own getRGB LUT); anything else — notably
+    //    TYPE_BYTE_GRAY, whose getRGB applies a linear-gray→sRGB color
+    //    transform — falls back to the per-pixel getRGB loop.
+
+    private val readerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+        override def initialValue() = new java.util.HashMap()
+      }
+    private[ops] def cachedReader(fmt: String): javax.imageio.ImageReader = {
+      val m = readerCache.get
+      var r = m.get(fmt)
+      if (r == null) {
+        r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+        m.put(fmt, r)
+      }
+      r
+    }
+    private val writerCache =
+      new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+        override def initialValue() = new java.util.HashMap()
+      }
+    private[ops] def cachedWriter(fmt: String): javax.imageio.ImageWriter = {
+      val m = writerCache.get
+      var w = m.get(fmt)
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        m.put(fmt, w)
+      }
+      w
+    }
+
+    /** Container magic → ImageIO format name for the formats the fixture
+      * pipelines mint; null = unknown (registry fallback). */
+    private[ops] def sniffFormat(bytes: Array[Byte]): String = {
+      if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8') "gif"
+      else null
+    }
+
+    /** Decode the first image of any ImageIO-readable payload — the
+      * cached-reader twin of `ImageIO.read` (identical pixels; identical
+      * reader selection for PNG/GIF, registry walk otherwise). */
+    private[ops] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      if (bytes == null || bytes.length == 0) return null
+      val fmt = sniffFormat(bytes)
+      if (fmt == null) {
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      } else {
+        val reader = cachedReader(fmt)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true) // what ImageIO.read passes
+          reader.read(0)
+        } catch { case _: Exception => null }
+        finally { reader.setInput(null); iis.close() }
+      }
+    }
+
+    /** The interleaved-byte BGR backing array when `getRGB` is a pure
+      * repack of it (standard PNG-decode layout); null otherwise. */
+    private def bgrData(img: java.awt.image.BufferedImage): Array[Byte] =
+      img.getSampleModel match {
+        case sm: java.awt.image.PixelInterleavedSampleModel
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            sm.getPixelStride == 3 && sm.getScanlineStride == img.getWidth * 3 &&
+            java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0)) &&
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getDataBuffer.getOffset == 0 =>
+          img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+        case _ => null
+      }
+
+    /** The packed-int RGB backing array when `getRGB` is a pure repack. */
+    private def intRgbData(img: java.awt.image.BufferedImage): Array[Int] =
+      if ((img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB ||
+        img.getType == java.awt.image.BufferedImage.TYPE_INT_ARGB) &&
+        img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferInt] &&
+        img.getRaster.getDataBuffer.getOffset == 0 &&
+        img.getSampleModel.asInstanceOf[java.awt.image.SinglePixelPackedSampleModel]
+          .getScanlineStride == img.getWidth)
+        img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      else null
+
+    /** The single-band palette-index array + its getRGB LUT for indexed
+      * images (standard GIF-decode layout); null otherwise. */
+    private def indexedData(img: java.awt.image.BufferedImage): (Array[Byte], Array[Int]) =
+      img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel
+          if img.getType == java.awt.image.BufferedImage.TYPE_BYTE_INDEXED &&
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getDataBuffer.getOffset == 0 &&
+            (img.getSampleModel match {
+              case sm: java.awt.image.PixelInterleavedSampleModel =>
+                sm.getPixelStride == 1 && sm.getScanlineStride == img.getWidth &&
+                  java.util.Arrays.equals(sm.getBandOffsets, Array(0))
+              case sm: java.awt.image.ComponentSampleModel =>
+                sm.getPixelStride == 1 && sm.getScanlineStride == img.getWidth
+              case _ => false
+            }) =>
+          val lut = new Array[Int](icm.getMapSize)
+          icm.getRGBs(lut)
+          (img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData, lut)
+        case _ => null
+      }
+
+    /** Per-channel sums — bit-identical to the getRGB loop. */
+    private[ops] def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val bgr = bgrData(img)
+      if (bgr != null) {
+        var i = 0
+        val n = w * h * 3
+        while (i < n) {
+          sb += bgr(i) & 0xFF; sg += bgr(i + 1) & 0xFF; sr += bgr(i + 2) & 0xFF
+          i += 3
+        }
+        return (sr, sg, sb)
+      }
+      val ints = intRgbData(img)
+      if (ints != null) {
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val rgb = ints(i)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          i += 1
+        }
+        return (sr, sg, sb)
+      }
+      val idx = indexedData(img)
+      if (idx != null) {
+        val (data, lut) = idx
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val rgb = lut(data(i) & 0xFF)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          i += 1
+        }
+        return (sr, sg, sb)
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    }
+
+    /** One channel (16 = R, 8 = G, 0 = B) or the r+g+b sum (shift = -1)
+      * as a row-major Int array — bit-identical to the getRGB loop. */
+    private[ops] def channelArray(img: java.awt.image.BufferedImage,
+                                  shift: Int): Array[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Int](w * h)
+      val bgr = bgrData(img)
+      if (bgr != null) {
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (shift < 0) (bgr(3 * i) & 0xFF) + (bgr(3 * i + 1) & 0xFF) +
+              (bgr(3 * i + 2) & 0xFF)
+            else bgr(3 * i + shift / 8) & 0xFF // [b,g,r]: B@+0, G@+1, R@+2
+          i += 1
+        }
+        return out
+      }
+      val ints = intRgbData(img)
+      val idx = if (ints == null) indexedData(img) else null
+      if (ints != null || idx != null) {
+        var i = 0
+        while (i < out.length) {
+          val rgb = if (ints != null) ints(i) else idx._2(idx._1(i) & 0xFF)
+          out(i) =
+            if (shift < 0) ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            else (rgb >> shift) & 0xFF
+          i += 1
+        }
+        return out
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) =
+            if (shift < 0) ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            else (rgb >> shift) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Decode and fold per-channel sums in one raster pass; None when no
       * registered ImageIO reader accepts the bytes. */
     def decodeStats(bytes: Array[Byte]): Option[ImageStats] = {
-      if (bytes == null || bytes.length == 0) return None
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        val ch = if (img.getColorModel.hasAlpha) 4 else 3
-        Some(ImageStats(w, h, ch, sr, sg, sb))
-      }
+      val img = decodeImage(bytes)
+      if (img == null) None else Some(statsOf(img))
+    }
+
+    private[ops] def statsOf(img: java.awt.image.BufferedImage): ImageStats = {
+      val (sr, sg, sb) = channelSums(img)
+      val ch = if (img.getColorModel.hasAlpha) 4 else 3
+      ImageStats(img.getWidth, img.getHeight, ch, sr, sg, sb)
     }
 
     /** Fixed 3×3 convolution bank over the REAL decoded R-channel
@@ -92,23 +300,17 @@ object Multimodal {
       * fake). INTEGER-exact so an arithmetic oracle replays it
       * bit-for-bit. None when the payload isn't a decodable image of at
       * least 3×3. */
-    def convEnergies(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
-      if (bytes == null || bytes.length == 0) return None
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+    def convEnergies(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+      convEnergiesOf(decodeImage(bytes))
+
+    private[ops] def convEnergiesOf(
+        img: java.awt.image.BufferedImage): Option[(Long, Long, Long)] = {
       if (img == null || img.getWidth < 3 || img.getHeight < 3) None
       else {
         val w = img.getWidth; val h = img.getHeight
-        val r = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { r(y * w + x) = (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
-          y += 1
-        }
+        val r = channelArray(img, 16)
         var gxE = 0L; var gyE = 0L; var lapE = 0L
-        y = 1
+        var y = 1
         while (y < h - 1) {
           var x = 1
           while (x < w - 1) {
@@ -133,22 +335,22 @@ object Multimodal {
       * statistics (the last two from [[convEnergies]]'s conv bank);
       * otherwise the stub's byte statistics (non-image payloads — the
       * remaining documented seam). */
-    def features(bytes: Array[Byte]): Array[Float] =
-      decodeStats(bytes) match {
-        case Some(s) =>
-          val n = (s.width.toLong * s.height).toFloat
-          val (gxE, gyE, _) = convEnergies(bytes).getOrElse((0L, 0L, 0L))
-          Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
-            s.sumR / n, s.sumG / n, s.sumB / n, gxE / n, gyE / n)
-        case None => DecodeStub.features(bytes)
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val img = decodeImage(bytes) // ONE decode feeds stats + conv bank
+      if (img == null) DecodeStub.features(bytes)
+      else {
+        val s = statsOf(img)
+        val n = (s.width.toLong * s.height).toFloat
+        val (gxE, gyE, _) = convEnergiesOf(img).getOrElse((0L, 0L, 0L))
+        Array(s.width.toFloat, s.height.toFloat, s.channels.toFloat,
+          s.sumR / n, s.sumG / n, s.sumB / n, gxE / n, gyE / n)
       }
+    }
 
     /** Decode → area-scale → re-encode PNG; stub byte-resampling when the
       * payload isn't a decodable image. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val img = decodeImage(bytes)
       if (img == null) DecodeStub.resize(bytes, w, h)
       else {
         val dst = new java.awt.image.BufferedImage(w, h,
@@ -165,18 +367,30 @@ object Multimodal {
     def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // TYPE_INT_RGB setRGB stores the low 24 bits verbatim — fill the
+      // backing int buffer directly (identical pixels, no per-pixel
+      // ColorModel dispatch)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
-        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        while (x < width) { data(y * width + x) = rgb(x, y) & 0xFFFFFF; x += 1 }
         y += 1
       }
       encodePng(img)
     }
 
     private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      // same PNGImageWriter `ImageIO.write(img, "png", os)` resolves to,
+      // minus the per-call registry scan
+      val writer = cachedWriter("png")
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally { writer.setOutput(null); ios.close() }
       bos.toByteArray
     }
   }
@@ -217,27 +431,23 @@ object Multimodal {
       require(frames.nonEmpty, "need at least one frame")
       val bos = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // same GIFImageWriter the registry resolves, cached per thread
+      val writer = ImageIoCodec.cachedWriter("gif")
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
         frames.foreach { px =>
           val img = new java.awt.image.BufferedImage(width, height,
             java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
-          val raster = img.getRaster
-          var y = 0
-          while (y < height) {
-            var x = 0
-            while (x < width) {
-              raster.setSample(x, y, 0, px(y * width + x) & 0xFF)
-              x += 1
-            }
-            y += 1
-          }
+          // single-band byte raster: setSample(x, y, 0, v) is a plain
+          // byte store — fill the backing array directly
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          System.arraycopy(px, 0, data, 0, width * height)
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         }
         writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
+      } finally { writer.setOutput(null); ios.close() }
       bos.toByteArray
     }
 
@@ -258,9 +468,18 @@ object Multimodal {
       if (bytes == null || bytes.length == 0) return NotAGif
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return NotAGif }
-      val reader = readers.next()
+      // the GIF magic lets the registry probe (and a throwaway reader per
+      // payload) be skipped on the hot path; non-GIF-magic payloads still
+      // walk the registry so the NotAGif classification is unchanged
+      val sniffedGif = bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8'
+      val (reader, ownReader) =
+        if (sniffedGif) (ImageIoCodec.cachedReader("gif"), false)
+        else {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); return NotAGif }
+          (readers.next(), true)
+        }
       try {
         if (reader.getFormatName.toLowerCase != "gif") return NotAGif
         reader.setInput(iis)
@@ -271,19 +490,21 @@ object Multimodal {
             val img = reader.read(f)
             val w = img.getWidth; val h = img.getHeight
             var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
-              y += 1
-            }
+            // getRGB & 0xFF = the palette entry's blue byte: bulk-read it
+            // through the palette LUT for the standard indexed layout
+            val fast = ImageIoCodec.channelArray(img, 0)
+            var i = 0
+            while (i < fast.length) { sum += fast(i); i += 1 }
             FrameStats(f, w, h, sum)
           })
         } catch {
           case e: Exception => DecodeError(
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         }
-      } finally { reader.dispose(); iis.close() }
+      } finally {
+        if (ownReader) reader.dispose() else reader.setInput(null)
+        iis.close()
+      }
     }
 
     /** Back-compat adapter: None for any non-decodable payload. */
@@ -403,6 +624,42 @@ object Multimodal {
       * real decoder must invert it exactly) — the fixture minter used by
       * `media_audio` and the specs. */
     def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      // the canonical 44-byte RIFF/WAVE header + LE PCM16 payload —
+      // byte-identical to what `AudioSystem.write(..., Type.WAVE, ...)`
+      // emits for this format, minus the provider/stream plumbing per
+      // call (the DECODE side still goes through AudioSystem: the
+      // fixture must survive a real javax.sound parse)
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      def le32(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+        out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+      }
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      def tag(o: Int, s: String): Unit = {
+        var i = 0
+        while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+      }
+      tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+      le32(24, sampleRate); le32(28, sampleRate * 2 /* byte rate */)
+      le16(32, 2 /* block align */); le16(34, 16 /* bits */)
+      tag(36, "data"); le32(40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + 2 * i) = (samples(i) & 0xFF).toByte
+        out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** The former AudioSystem-driven encoder, kept for the spec that pins
+      * byte-level agreement between the two paths. */
+    private[ops] def encodeWavViaAudioSystem(sampleRate: Int,
+                                             samples: Array[Short]): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
         true /* signed */, false /* little-endian */)
       val pcm = new Array[Byte](samples.length * 2)
@@ -917,13 +1174,14 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        (ImageIoCodec.decodeStats(bytes),
-          ImageIoCodec.convEnergies(bytes)) match {
-          case (Some(s), conv) =>
-            val (gx, gy, _) = conv.getOrElse((0L, 0L, 0L))
-            Row.fromSeq(r.toSeq ++ Seq[Any](
-              s.width, s.height, s.channels, s.sumR, s.sumG, s.sumB, gx, gy))
-          case _ => Row.fromSeq(r.toSeq ++ Seq.fill(8)(null))
+        val img = ImageIoCodec.decodeImage(bytes) // ONE decode, both stats
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq.fill(8)(null))
+        else {
+          val s = ImageIoCodec.statsOf(img)
+          val (gx, gy, _) =
+            ImageIoCodec.convEnergiesOf(img).getOrElse((0L, 0L, 0L))
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            s.width, s.height, s.channels, s.sumR, s.sumG, s.sumB, gx, gy))
         }
       }
     }

@@ -216,7 +216,10 @@ object PerceptualHash {
     * SQL engine shifts without overflow. */
   def dhash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
     if (w < 8 || h < 8) return None
-    val p = grid8(w, h, gray)
+    Some(dhashFromGrid(grid8(w, h, gray)))
+  }
+
+  private[ops] def dhashFromGrid(p: Array[Long]): Long = {
     var hash = 0L
     var k = 0
     while (k < 63) {
@@ -224,34 +227,19 @@ object PerceptualHash {
       if (p(r * 8 + (c + 1) % 8) > p(r * 8 + c)) hash |= 1L << k
       k += 1
     }
-    Some(hash)
+    hash
   }
 
   /** Decode any ImageIO-readable payload to (w, h, gray) with
     * gray = r + g + b per pixel (0..765, integer — no luma weights whose
     * rounding an oracle would have to chase). */
   private[ops] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (bytes == null || bytes.length == 0) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    // cached-reader decode + bulk raster access (bit-identical to the
+    // former ImageIO.read + per-pixel getRGB loop — see ImageIoCodec)
+    val img = Multimodal.ImageIoCodec.decodeImage(bytes)
     if (img == null) None
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val gray = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          gray(y * w + x) =
-            ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-          x += 1
-        }
-        y += 1
-      }
-      Some((w, h, gray))
-    }
+    else Some((img.getWidth, img.getHeight,
+      Multimodal.ImageIoCodec.channelArray(img, -1)))
   }
 
   /** Partition-wise decode → both perceptual hashes as columns (`phash`,
@@ -267,12 +255,16 @@ object PerceptualHash {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         decodeGray(r.getAs[Array[Byte]](mediaIdx)) match {
-          case Some((w, h, g)) =>
+          case Some((w, h, g)) if w >= 8 && h >= 8 =>
+            // ONE area-average grid feeds both pHash and dHash (they
+            // share grid8 by definition — recomputing it per hash was
+            // pure waste); the canonical hash keeps its own fracGrid8
+            val p = grid8(w, h, g)
             Row.fromSeq(r.toSeq ++ Seq(
-              phash64(w, h, g).map(Long.box).orNull,
-              dhash64(w, h, g).map(Long.box).orNull,
+              Long.box(hashFromGrid(p)),
+              Long.box(dhashFromGrid(p)),
               phashCanonical64(w, h, g).map(Long.box).orNull))
-          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          case _ => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         }
       }
     }

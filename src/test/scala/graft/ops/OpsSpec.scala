@@ -750,6 +750,60 @@ class OpsSpec extends SparkSuite {
     assert(Multimodal.WavCodec.decodeStats("not audio at all".getBytes).isEmpty)
   }
 
+  test("bulk raster access is bit-identical to the getRGB loop per image type") {
+    import java.awt.image.BufferedImage
+    def fill(img: BufferedImage): BufferedImage = {
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        img.setRGB(x, y, ((x * 31 + y * 57) % 256 << 16) |
+          ((x * 7 + y * 3) % 256 << 8) | ((x + y * 11) % 256))
+      img
+    }
+    def viaGetRgb(img: BufferedImage): (Long, Long, Long, Seq[Int], Seq[Int]) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val gray = Array.newBuilder[Int]; val red = Array.newBuilder[Int]
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        sr += r; sg += g; sb += b; gray += (r + g + b); red += r
+      }
+      (sr, sg, sb, gray.result().toSeq, red.result().toSeq)
+    }
+    val types = Seq(BufferedImage.TYPE_3BYTE_BGR, BufferedImage.TYPE_INT_RGB,
+      BufferedImage.TYPE_INT_ARGB, BufferedImage.TYPE_BYTE_INDEXED,
+      BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_USHORT_565_RGB)
+    for (t <- types; (w, h) <- Seq((9, 7), (16, 16))) {
+      val img = fill(new BufferedImage(w, h, t))
+      val (sr, sg, sb, gray, red) = viaGetRgb(img)
+      assert(Multimodal.ImageIoCodec.channelSums(img) === ((sr, sg, sb)),
+        s"channelSums diverged for type=$t")
+      assert(Multimodal.ImageIoCodec.channelArray(img, -1).toSeq === gray,
+        s"gray channelArray diverged for type=$t")
+      assert(Multimodal.ImageIoCodec.channelArray(img, 16).toSeq === red,
+        s"red channelArray diverged for type=$t")
+    }
+    // decodeImage must agree with ImageIO.read for PNG and GIF payloads
+    val png = Multimodal.FixtureImage.png(123L)
+    val a = Multimodal.ImageIoCodec.decodeImage(png)
+    val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(a.getWidth === b.getWidth && a.getHeight === b.getHeight)
+    for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+      assert(a.getRGB(x, y) === b.getRGB(x, y))
+    assert(Multimodal.ImageIoCodec.decodeImage("junk".getBytes) === null)
+  }
+
+  test("encodeWav direct RIFF writer is byte-identical to AudioSystem.write") {
+    // the r16 optimization hand-rolls the 44-byte header; pin it against
+    // the javax.sound encoder for several rates/lengths incl. 0 samples
+    for ((rate, n) <- Seq((8000, 0), (8000, 1), (8000, 257), (44100, 1000))) {
+      val samples = Array.tabulate[Short](n)(i =>
+        ((i * 2654435761L % 65536) - 32768).toShort)
+      val fast = Multimodal.WavCodec.encodeWav(rate, samples)
+      val ref = Multimodal.WavCodec.encodeWavViaAudioSystem(rate, samples)
+      assert(java.util.Arrays.equals(fast, ref),
+        s"WAV bytes diverged at rate=$rate n=$n")
+    }
+  }
+
   test("audioStats pipeline decodes synthesized WAVs partition-wise") {
     val df = Multimodal.audioStats(Multimodal.synthesizeWavs(
       Seq(1L, 2L, 3L).toDF("doc_id")))
