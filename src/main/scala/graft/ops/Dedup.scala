@@ -127,6 +127,12 @@ object Dedup {
     // skew guard: cap block population (mirrors the minhash bucket cap);
     // dropped-block mass is measured + warn-logged (routed blocks aren't
     // lost, so only the non-routed form reports)
+    // cap via size-agg + left-semi, NOT a count window: the shingle
+    // arrays are wide, and WindowExec buffers + copies every row of a
+    // partition group through its row buffer — measured 65% slower than
+    // letting the semi join stream them (the window-cap shape is right
+    // for the NARROW signature relations in pairsFromChunked, wrong for
+    // payload-carrying rows)
     val blockSizes = sh.groupBy(langCol, "len_bkt").agg(count(lit(1)).as("bsz"))
     if (!routeOversized) reportCaps(blockSizes, "jaccard_blocks", maxBlockSize)
     val smallBlocks = blockSizes.filter(col("bsz") <= maxBlockSize)
@@ -180,12 +186,16 @@ object Dedup {
     val banded = docs.select(col(idCol),
       posexplode(graft.functions.TextFunctions.minhashBandsH(col("sh"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
-    // skew guard: cap bucket population (drops measured + warn-logged)
-    val allBucketSizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-    reportCaps(allBucketSizes, "minhash", maxBucketSize)
-    val bucketSizes = allBucketSizes.filter(col("bsz") <= maxBucketSize)
-    val capped = banded.join(bucketSizes, Seq("band", "bucket"), "left_semi")
+    // skew guard: cap bucket population (drops measured + warn-logged);
+    // the cap rides a count window so ONE exchange both applies it and
+    // pre-partitions/pre-sorts the banded relation for the candidate
+    // self-join (the old size-agg + left-semi shape shuffled it 3x)
+    reportCaps(banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")), "minhash", maxBucketSize)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val capped = banded.withColumn("__bsz", count(lit(1)).over(wb))
+      .filter(col("__bsz") <= maxBucketSize)
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
     // dedupe candidate pairs on ids BEFORE rejoining the heavy shingle
@@ -240,8 +250,13 @@ object Dedup {
     val corpusSizes = corpusBanded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
     reportCaps(corpusSizes, "minhash_incremental", maxBucketSize)
-    val okBuckets = corpusSizes.filter(col("bsz") <= maxBucketSize)
-    val corpusCapped = corpusBanded.join(okBuckets, Seq("band", "bucket"), "left_semi")
+    // corpus-side cap via a count window (one exchange, pre-partitioned
+    // for the batch join — see minhashPairs)
+    val corpusCapped = corpusBanded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
     val candidates = banded(b)
       .select(col("band"), col("bucket"), col(idCol).as("batch_id"))
       .join(corpusCapped.select(col("band"), col("bucket"), col(idCol).as("corpus_id")),
@@ -421,9 +436,18 @@ object Dedup {
     val pairKeys = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
       yield chunk(a) * lit(1L << widths(b)) + chunk(b)
     val blk = blockCols.map(col)
-    df.select(col(idCol) +: blk :+ sig.as("sig"): _*)
-      .select(col(idCol) +: blk :+ col("sig") :+
-        posexplode(array(pairKeys: _*)).as(Seq("chunk", "ckey")): _*)
+    // NARROW signature proxy materialized once (lazy localCheckpoint):
+    // the self-join downstream plans the subtree twice, and exchange
+    // reuse across the two sides is not guaranteed — without this the
+    // expensive upstream (image/audio DECODE, signature kernels) runs
+    // twice. ~16-24 B/doc persisted; the 45x-exploded key relation is
+    // deliberately NOT persisted (recomputing the shifts from the proxy
+    // is cheaper than materializing it — guide §8: persist the proxy,
+    // move/recompute the bulk).
+    val base = df.select(col(idCol) +: blk :+ sig.as("sig"): _*)
+      .localCheckpoint(false)
+    base.select(col(idCol) +: blk :+ col("sig") :+
+      posexplode(array(pairKeys: _*)).as(Seq("chunk", "ckey")): _*)
   }
 
   /** Density diagnostic for the chunk-pair LSH: per-bucket populations with
@@ -501,12 +525,18 @@ object Dedup {
     def chunked(d: DataFrame) =
       chunkPairKeyed(d.filter(col(sigCol).isNotNull),
         col(sigCol).cast("long"), maxHamming, idCol, blockCols)
-    val c = chunked(corpus).localCheckpoint(false)
-    val corpusSizes = c.groupBy(keyCols.head, keyCols.tail: _*)
-      .agg(count(lit(1)).as("bsz"))
-    reportCaps(corpusSizes, "signature-incremental", maxBucketSize)
-    val ok = corpusSizes.filter(col("bsz") <= maxBucketSize)
-    val cc = c.join(ok, keyCols, "left_semi")
+    val c = chunked(corpus)
+    reportCaps(c.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz")), "signature-incremental", maxBucketSize)
+    // corpus-side cap via a count window: one exchange that also
+    // pre-partitions/pre-sorts the corpus side for the batch join (the
+    // old size-agg + left-semi shape shuffled the exploded corpus twice
+    // and localCheckpointed it — see pairsFromChunked)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cc = c.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
     chunked(batch)
       .select(keyCols.map(col) :+ col(idCol).as("batch_id") :+
         col("sig").as("sig_b"): _*)
@@ -523,13 +553,23 @@ object Dedup {
                                idCol: String,
                                blockCols: Seq[String]): DataFrame = {
     val keyCols = blockCols :+ "chunk" :+ "ckey"
-    val chunked = chunked0
-      .localCheckpoint(false) // 3 consumers (size agg + both join sides)
-    val allBucketSizes = chunked.groupBy(keyCols.head, keyCols.tail: _*)
-      .agg(count(lit(1)).as("bsz"))
-    reportCaps(allBucketSizes, op, maxBucketSize)
-    val bucketSizes = allBucketSizes.filter(col("bsz") <= maxBucketSize)
-    val capped = chunked.join(bucketSizes, keyCols, "left_semi")
+    // observability job (eager, conf-gated) — same numbers as before
+    reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
+    // ONE exchange for cap + self-join (r16 optimization): a count window
+    // on the bucket key both applies the cap AND leaves the relation
+    // hash-partitioned and sorted by exactly the self-join keys, so the
+    // l ⋈ r sort-merge join below adds no exchange and the second side
+    // rides a ReusedExchange. The previous shape (size aggregate +
+    // left-semi join + localCheckpoint of the exploded relation) shuffled
+    // the C(h+2,2)-times-exploded corpus three times and PERSISTED it —
+    // at 100 TB that materialization is the scale killer, not the CPU.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val capped = chunked0
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
     val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)
     l.join(r, keyCols)

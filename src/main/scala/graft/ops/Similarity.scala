@@ -249,7 +249,11 @@ object Similarity {
     // sides), and Spark physical-plans each branch as its own subtree — so
     // without the checkpoint the srp_sig kernel would run 3x over the
     // corpus. 24 B x bands per vector, spills to disk if large; on a real
-    // cluster swap for `.checkpoint()` against a reliable store.
+    // cluster swap for `.checkpoint()` against a reliable store. (The r16
+    // window-cap shape used for the 64-bit signature pairs was tried here
+    // and measured SLOWER — srp bands are narrow but the band fan-out
+    // makes the two windowed join sides pay more stages than the
+    // persisted-relation semi-join.)
     val chunked = emb.repartition(n, col(idCol))
       .select(col(idCol) +: sigCols: _*)
       .select(col(idCol),
