@@ -66,6 +66,32 @@ object TextKernels {
   private def xxh64(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seed)
 
+  /** Per-script character counts in ONE pass: [latin, digit, cyrillic,
+    * greek, arabic, cjk] — exactly the counts of
+    * `length(regexp_replace(t, "[^<range>]", ""))` for the six BMP
+    * ranges of [[graft.ops.TextOps.scriptProfile]] (each matching char
+    * is one UTF-16 code unit; supplementary characters fall in no range
+    * either way). Replaces six full regex passes + five string rebuilds
+    * per document. */
+  def scriptCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var latin = 0L; var digit = 0L; var cyr = 0L
+    var greek = 0L; var arabic = 0L; var cjk = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) latin += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if (c >= 0x0370 && c <= 0x03FF) greek += 1
+      else if (c >= 0x0600 && c <= 0x06FF) arabic += 1
+      else if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      i += 1
+    }
+    new GenericArrayData(Array[Long](latin, digit, cyr, greek, arabic, cjk))
+  }
+
   /** 64-bit SimHash over the distinct token set (xxh64 per token, sign
     * accumulation per bit). */
   def simhash64(text: UTF8String): Long = {
@@ -461,6 +487,18 @@ case class SimHash64(child: Expression) extends StringKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** script_counts(text) — [latin, digit, cyrillic, greek, arabic, cjk]
+  * character counts in one pass (see [[TextKernels.scriptCounts]]). */
+case class ScriptCounts(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "script_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.scriptCounts(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.scriptCounts($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** minhash_bands(shingles, numBands, rowsPerBand) — LSH band hash array. */
 case class MinHashBands(child: Expression, numBands: Int, rowsPerBand: Int)
     extends UnaryExpression {
@@ -527,7 +565,10 @@ object TextFunctions {
         cs(1).eval().toString)),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (cs: Seq[Expression]) => BloomMightContain(cs.head, cs(1), cs(2), cs(3))))
+      (cs: Seq[Expression]) => BloomMightContain(cs.head, cs(1), cs(2), cs(3))),
+    (FunctionIdentifier("script_counts"),
+      new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+      (cs: Seq[Expression]) => ScriptCounts(cs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -557,4 +598,5 @@ object TextFunctions {
   def bloomMightContain(bloom: Column, key: Column,
                         m: Column, k: Column): Column =
     call_function("bloom_might_contain", bloom, key, m, k)
+  def scriptCounts(text: Column): Column = call_function("script_counts", text)
 }

@@ -72,6 +72,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** pq_encode(vec, m, codebook) — per-sub-space argmax-dot codeword ids
+  * (array<bigint> of length m). The codebook rides the expression as a
+  * reference object (ksub full-dim sampled vectors). */
+case class PqEncodeAll(child: Expression, m: Int, cb: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncodeAll(v.asInstanceOf[ArrayData], cb, m)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.pqEncodeAll($c, $cbRef, $m)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** dot_f32(a, b) = Σaᵢbᵢ in double. */
 case class DotProductF32(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -237,6 +263,42 @@ case class BqHamming(left: Expression, right: Expression) extends BinaryExpressi
 
 object VectorKernels {
 
+  /** PQ encode: for each of the `m` sub-spaces of `vec`, the codeword
+    * index maximizing the [[DotProductF32]]-identical dot product
+    * (double accumulation, ascending element order), ties broken toward
+    * the SMALLEST code via Double total order — exactly
+    * `max_by(code, struct(dp, -code))` over the codeword join this
+    * replaces (a broadcast join + explode(m·ksub) + a Sort/Exchange/Sort
+    * aggregate, now a single map-side expression). */
+  def pqEncodeAll(vec: ArrayData, cb: Array[Array[Float]], m: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val dim = vec.numElements()
+    val d = dim / m
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = 0L
+      var bestDp = Double.NegativeInfinity
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var dp = 0.0
+        var i = 0
+        while (i < d) {
+          dp += vec.getFloat(s * d + i).toDouble * cw(s * d + i).toDouble
+          i += 1
+        }
+        // total-order compare (Double.compare), matching Spark's struct
+        // ordering in the max_by this kernel replaces
+        if (java.lang.Double.compare(dp, bestDp) > 0) { bestDp = dp; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sign bits packed 64-per-long (bit i of word i/64 = vᵢ ≥ 0). */
   def bqPack(vec: ArrayData): ArrayData = {
     val n = vec.numElements()
@@ -364,6 +426,16 @@ object VectorFunctions {
       (children: Seq[Expression]) => {
         if (children.size != 2) throw new SparkException("bq_hamming takes 2 arguments")
         BqHamming(children.head, children(1))
+      }),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeAll].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3) throw new SparkException("pq_encode takes 3 arguments")
+        val m = children(1).eval().asInstanceOf[Number].intValue()
+        val arr = children(2).eval().asInstanceOf[ArrayData]
+        val cb = Array.tabulate(arr.numElements())(i =>
+          arr.getArray(i).toFloatArray())
+        PqEncodeAll(children.head, m, cb)
       }))
 
   /** Idempotent per-session registration (also available session-wide via
@@ -385,4 +457,8 @@ object VectorFunctions {
   def i8Cosine(a: Column, b: Column): Column = call_function("i8_cosine", a, b)
   def bqPack(vec: Column): Column = call_function("bq_pack", vec)
   def bqHamming(a: Column, b: Column): Column = call_function("bq_hamming", a, b)
+  def pqEncode(vec: Column, m: Int, cb: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("pq_encode", vec, lit(m), typedlit(cb.map(_.toSeq).toSeq))
+  }
 }

@@ -585,17 +585,24 @@ object Similarity {
     } yield (s, j.toLong, v.slice(s * d, (s + 1) * d))
     val cbDf = broadcast(codebook.toDF("sub", "code", "cw"))
     val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
-    // ENCODE: per (vector, sub-space) the argmax-dot codeword
+    // ENCODE: per (vector, sub-space) the argmax-dot codeword — ONE
+    // map-side kernel expression per vector (graft.functions.PqEncodeAll,
+    // dot accumulation and smallest-code tie-break bit-identical to the
+    // max_by(code, struct(dp, -code)) aggregate it replaces). The former
+    // shape joined every vector with all ksub codewords and re-aggregated
+    // through a Sort/Exchange/Sort — n·m·ksub rows shuffled for an
+    // operation that needs no data movement at all.
+    val cbFull = sampled.map(_.toArray)
     val codes = emb
-      .select(col(idCol), col(vecCol), subIdx)
-      .select(col(idCol), col("sub"),
-        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("sv"))
-      .join(cbDf, Seq("sub"))
-      .select(col(idCol), col("sub"), col("code"),
-        dot(col("sv"), col("cw")).as("dp"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(max_by(col("code"), struct(col("dp"), -col("code"))).as("code"))
-    // ADC TABLE: per (query, sub, code) the partial dot
+      .select(col(idCol),
+        posexplode(VectorFunctions.pqEncode(col(vecCol), m, cbFull))
+          .as(Seq("sub", "code")))
+    // ADC TABLE: per (query, sub, code) the partial dot — m·ksub rows per
+    // query, the lookup table PQ ships to every node (exhaustive PQ scans
+    // all codes per query, so the query set is bounded by construction):
+    // BROADCAST it so the codes side is never shuffled by the (sub, code)
+    // join — the former sort-merge join shuffled the whole corpus' codes
+    // onto a 64-distinct-value key space (m·ksub), a skew wall at scale.
     val qt = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol), subIdx)
       .select(col("query_id"), col("sub"),
@@ -607,7 +614,7 @@ object Similarity {
       sum(when(col("sub") === s, col("p"))).as(s"__p$s"))
     val combined = (0 until m)
       .map(s => coalesce(col(s"__p$s"), lit(0.0))).reduceLeft(_ + _)
-    val scored = codes.join(qt, Seq("sub", "code"))
+    val scored = codes.join(broadcast(qt), Seq("sub", "code"))
       .filter(col("query_id") =!= col(idCol))
       .groupBy(col("query_id"), col(idCol))
       .agg(perSub.head, perSub.tail: _*)
@@ -662,15 +669,11 @@ object Similarity {
     } yield (s, j.toLong, v.slice(s * d, (s + 1) * d))
     val cbDf = broadcast(codebook.toDF("sub", "code", "cw"))
     val subIdx = explode(sequence(lit(0), lit(m - 1))).as("sub")
+    // map-side kernel encode — see pqTopK (bit-identical argmax)
     val codes = emb
-      .select(col(idCol).as("neighbor_id"), col(vecCol), subIdx)
-      .select(col("neighbor_id"), col("sub"),
-        slice(col(vecCol), col("sub") * d + 1, lit(d)).as("sv"))
-      .join(cbDf, Seq("sub"))
-      .select(col("neighbor_id"), col("sub"), col("code"),
-        dot(col("sv"), col("cw")).as("dp"))
-      .groupBy(col("neighbor_id"), col("sub"))
-      .agg(max_by(col("code"), struct(col("dp"), -col("code"))).as("code"))
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(VectorFunctions.pqEncode(col(vecCol), m,
+          sampled.map(_.toArray))).as(Seq("sub", "code")))
     val qt = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol), subIdx)
       .select(col("query_id"), col("sub"),
@@ -684,7 +687,7 @@ object Similarity {
       .map(s => coalesce(col(s"__p$s"), lit(0.0))).reduceLeft(_ + _)
     val scored = candidates
       .join(codes, Seq("neighbor_id"))
-      .join(qt, Seq("query_id", "sub", "code"))
+      .join(broadcast(qt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(perSub.head, perSub.tail: _*)
       .select(col("query_id"), col("neighbor_id"), combined.as("sim"))

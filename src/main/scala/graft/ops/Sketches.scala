@@ -90,10 +90,20 @@ object Sketches {
                         numHashes: Int = 3, bits: Int = 4096): DataFrame = {
     requirePow2(bits, "bits")
     val passThrough = keys.columns.toSeq
-    bucketed(keys, keyCol, numHashes, bits)
-      .join(broadcast(bloom.withColumn("hit", lit(1))),
-        col("bucket") === col("pos"), "left")
-      .groupBy(passThrough.head, passThrough.tail: _*)
-      .agg((count(col("hit")) === numHashes).as("might_contain"))
+    // per-hash bucket COLUMNS instead of exploded rows (r16 optimization):
+    // each probe is a map-side broadcast hash join against the set-bit
+    // relation, and the former explode(numHashes) + groupBy(passthrough)
+    // re-aggregation EXCHANGE disappears — the probe side is never
+    // shuffled at any corpus size. Bucket expressions and the all-hashes-
+    // hit rule are unchanged, so false positives replay identically.
+    val result = (0 until numHashes).foldLeft(keys) { (d, i) =>
+      val bucket =
+        pmod(xxhash64(concat(col(keyCol), lit("|" + i))), lit(bits.toLong))
+      d.join(broadcast(bloom.select(col("pos").as(s"__p$i"))),
+          bucket === col(s"__p$i"), "left")
+    }
+    val mc = (0 until numHashes)
+      .map(i => col(s"__p$i").isNotNull).reduceLeft(_ && _)
+    result.select(passThrough.map(col) :+ mc.as("might_contain"): _*)
   }
 }

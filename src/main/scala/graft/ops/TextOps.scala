@@ -510,23 +510,22 @@ object TextOps {
     * exactly. Shuffle-free. */
   def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
     val t = col(textCol)
-    def countRange(pattern: String): Column =
-      when(t.isNull, lit(0L)).otherwise(
-        length(regexp_replace(t, s"[^$pattern]", "")).cast("long"))
-    val scripts = Seq(
-      "latin" -> "A-Za-z",
-      "digit" -> "0-9",
-      "cyrillic" -> "\\u0400-\\u04FF",
-      "greek" -> "\\u0370-\\u03FF",
-      "arabic" -> "\\u0600-\\u06FF",
-      "cjk" -> "\\u4E00-\\u9FFF")
-    val counted = scripts.foldLeft(docs.select(col(idCol), t)) {
-      case (d, (name, range)) => d.withColumn(s"n_$name", countRange(range))
-    }
+    val scripts = Seq("latin", "digit", "cyrillic", "greek", "arabic", "cjk")
+    // ONE native pass over the text replaces six
+    // length(regexp_replace(t, "[^range]", "")) regex passes (plus five
+    // intermediate string rebuilds) — counts are identical by
+    // construction (same six BMP ranges; see TextKernels.scriptCounts)
+    val counted = docs.select(col(idCol), t)
+      .withColumn("__sc", graft.functions.TextFunctions.scriptCounts(t))
+      .select(Seq(col(idCol), t) ++ scripts.zipWithIndex.map { case (name, i) =>
+        when(t.isNull, lit(0L))
+          .otherwise(element_at(col("__sc"), i + 1)).as(s"n_$name")
+      }: _*)
     // dominant: max count, fixed-order tiebreak (strict > keeps the
     // earlier script on ties) — a fold over (count, name) pairs
-    val dominant = scripts.map { case (name, _) =>
+    val dominant = scripts.map { name =>
       struct(col(s"n_$name").as("c"), lit(name).as("s"))
     }.reduceLeft((a, b) =>
       when(b.getField("c") > a.getField("c"), b).otherwise(a))
