@@ -321,6 +321,23 @@ object SparkEntry {
     FROM merged ORDER BY doc_id"""
   }
 
+  /** Spark-side variant of [[qBpe]]: the merge cascade as ONE
+    * `bpe_cascade` kernel call (identical semantics — see the kernel's
+    * scaladoc and TextExpressionsSpec pin) instead of the
+    * 2x|merges|-deep nested-replace expression tree. */
+  private def qBpeKernel(charSpace: String) = {
+    val spec = BpeMerges.map { case (a, b) => s"$a $b" }.mkString("|")
+    s"""
+    WITH spaced AS (
+      SELECT doc_id, concat(' ', $charSpace) AS s
+      FROM documents),
+    merged AS (SELECT doc_id, bpe_cascade(s, '$spec') AS s FROM spaced)
+    SELECT doc_id,
+      CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_bpe,
+      md5(trim(s)) AS bpe_md5
+    FROM merged ORDER BY doc_id"""
+  }
+
   /** Deterministic MODE: the most frequent value with an explicit
     * smallest-value tie-break (the bare mode() aggregate is
     * tie-nondeterministic on both engines). */
@@ -657,15 +674,16 @@ object SparkEntry {
       * the digest would pull every copy of a viral page through ONE task's
       * sort buffer; the aggregate combines map-side and the semi-join keys
       * on (digest, doc_id) — unique — so nothing concentrates. */
-    "dedup_keep_first" -> ((s, d) => {
-      val hashed = t(s, d, "documents")
+    "dedup_keep_first" -> ((s, d) =>
+      // keeper ids ARE the per-digest min aggregate — the former
+      // semi-join back re-scanned + re-hashed the corpus a second time
+      // for rows the aggregate already identifies (one map-side-combined
+      // exchange total; identical rows to the oracle's
+      // MIN(doc_id) GROUP BY md5(text))
+      t(s, d, "documents")
         .select(col("doc_id"), md5(col("text")).as("dg"))
-      val firsts = hashed.groupBy(col("dg")).agg(min(col("doc_id")).as("__keep"))
-        .select(col("dg").as("__dg"), col("__keep"))
-      hashed.join(firsts,
-          col("dg") === col("__dg") && col("doc_id") === col("__keep"), "left_semi")
-        .select("doc_id").orderBy("doc_id")
-    }),
+        .groupBy(col("dg")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id").orderBy("doc_id")),
 
     "q_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -696,8 +714,16 @@ object SparkEntry {
       * vs the whitespace proxy elsewhere. Dialect split: Spark's
       * regexp_replace is global with `$1` groups; DuckDB needs the 'g'
       * flag and `\\1` groups. */
-    "text_bpe" -> ((s, d) => sql(s, d, Seq("documents"), qBpe(
-      "regexp_replace(replace(lower(text), ' ', '_'), '(.)', '$1 ')"))),
+    "text_bpe" -> ((s, d) => {
+      // Spark side runs the cascade as ONE bpe_cascade kernel call
+      // (token-level simulation of the same per-rank double replace —
+      // pinned identical to the nested-replace text in
+      // TextExpressionsSpec); the DuckDB oracle keeps the shared
+      // nested-replace formulation in [[oracleSql]].
+      graft.functions.TextFunctions.ensureRegistered(s)
+      sql(s, d, Seq("documents"), qBpeKernel(
+        "char_space(replace(lower(text), ' ', '_'))"))
+    }),
 
     /** Winnowing fingerprint sketch ([[Dedup.winnowSketch]], MOSS
       * algorithm): per-window minimum of 4-gram md5 hashes, distinct set
@@ -710,14 +736,16 @@ object SparkEntry {
       * tokens — the same greedy md5-order prefix rule as `corpus_mix`,
       * with [[graft.ops.TextOps.bpeTokenCount]] as the budget currency
       * (the pluggable-counter seam of `mixWeighted`). */
-    "corpus_mix_bpe" -> ((s, d) =>
+    "corpus_mix_bpe" -> ((s, d) => {
+      graft.functions.TextFunctions.ensureRegistered(s)
       Curation.mixWeighted(t(s, d, "documents"), Map.empty,
           defaultBudget = 1000L,
           tokenCount = Some(TextOps.bpeTokenCount(col("text"), BpeMerges)))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nt")).cast("long").as("kept_tokens"))
-        .orderBy("source")),
+        .orderBy("source")
+    }),
     /** Temperature (α=0.5) source-mixing weights, relative to the largest
       * source ([[Curation.sourceWeights]] — exact integer ratio through
       * one sqrt, engine-deterministic). */
@@ -1313,14 +1341,20 @@ object SparkEntry {
       val rep = Curation.repetitionProfile(langok)
         .filter(col("n_tokens") >= 20 && col("top_bigram_n") * 5 <= col("n_tokens"))
         .select("doc_id", "n_tokens")
-      // keep-first election via map-side min aggregate + semi-join back
-      // (never a window keyed by the content digest — see dedup_keep_first)
+      // keep-first election via ONE map-side-combined min_by aggregate
+      // over the NARROW election columns (never a window keyed by the
+      // content digest — a hot digest would pin one partition; min_by
+      // partial-aggregates it away map-side). The former min + semi-join
+      // back planned the langid/repetition subtree twice and carried the
+      // text column into the election exchange.
       val hashed = langok.join(rep, "doc_id")
-        .withColumn("dg", md5(col("text")))
-      val firsts = hashed.groupBy(col("dg")).agg(min(col("doc_id")).as("__keep"))
-        .select(col("dg").as("__dg"), col("__keep"))
-      val uniq = hashed.join(firsts,
-        col("dg") === col("__dg") && col("doc_id") === col("__keep"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          md5(col("text")).as("dg"))
+      val uniq = hashed.groupBy(col("dg"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens")), col("doc_id")).as("__k"))
+        .select(col("__k.doc_id").as("doc_id"), col("__k.lang").as("lang"),
+          col("__k.source").as("source"), col("__k.n_tokens").as("n_tokens"))
       val contaminated = TextOps.decontaminate(corpus, evalSet, 4).select("doc_id")
       uniq.join(contaminated, Seq("doc_id"), "left_anti")
         .groupBy("lang", "source")
@@ -1741,6 +1775,7 @@ object SparkEntry {
       * counts must equal the trained corpus state's — training and
       * encoding share the doubled-replace fixpoint semantics. */
     "bpe_train_encode" -> ((s, d) => {
+      graft.functions.TextFunctions.ensureRegistered(s)
       val docs = t(s, d, "documents")
       val merges = TextOps.bpeLearnMerges(docs, k = 6)
         .orderBy("merge_rank").collect()

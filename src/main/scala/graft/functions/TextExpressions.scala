@@ -66,6 +66,72 @@ object TextKernels {
   private def xxh64(s: UTF8String, seed: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, seed)
 
+  /** One left-to-right non-overlapping merge pass of rank (a, b) over a
+    * token array — the exact token-level image of ONE
+    * `replace(s, " a b ", " ab ")` over the space-joined string: after a
+    * merge the match consumed the following separator space, so the
+    * immediately following pair cannot merge in the same pass (the
+    * `blocked` flag). */
+  private def bpeMergePass(tokens: java.util.ArrayList[String], a: String,
+                           b: String, ab: String): java.util.ArrayList[String] = {
+    val n = tokens.size
+    val out = new java.util.ArrayList[String](n)
+    var i = 0
+    var blocked = false
+    while (i < n) {
+      // a merge needs the separator space before tokens(i) (i >= 1: the
+      // element before the first separator can never lead a match) and
+      // after tokens(i+1) (i + 1 <= n - 2)
+      if (!blocked && i >= 1 && i + 2 < n &&
+          tokens.get(i) == a && tokens.get(i + 1) == b) {
+        out.add(ab); i += 2; blocked = true
+      } else {
+        out.add(tokens.get(i)); i += 1; blocked = false
+      }
+    }
+    out
+  }
+
+  /** Apply the full rank-ordered BPE merge cascade to a spaced symbol
+    * string — SEMANTICS IDENTICAL BY CONSTRUCTION to the nested
+    * `replace(replace(s, ' a b ', ' ab '), ' a b ', ' ab ')` per-rank
+    * double-replace cascade (see [[graft.ops.TextOps.bpeTokenCount]]'s
+    * fixpoint note), simulated at the token level so the string is split
+    * and rebuilt ONCE instead of 2x|merges| times. Pinned equal to the
+    * string cascade over the full fixture corpus in TextExpressionsSpec. */
+  def bpeCascade(text: UTF8String, mergesA: Array[String],
+                 mergesB: Array[String], mergesAb: Array[String]): UTF8String = {
+    val s = text.toString
+    var tokens = new java.util.ArrayList[String](java.util.Arrays.asList(
+      s.split(" ", -1): _*))
+    var r = 0
+    while (r < mergesA.length) {
+      tokens = bpeMergePass(tokens, mergesA(r), mergesB(r), mergesAb(r))
+      tokens = bpeMergePass(tokens, mergesA(r), mergesB(r), mergesAb(r))
+      r += 1
+    }
+    UTF8String.fromString(String.join(" ", tokens))
+  }
+
+  /** `regexp_replace(s, "(.)", "$1 ")` in one pass: every code point is
+    * emitted followed by a space, EXCEPT the code points Java's regex
+    * `.` does not match (line terminators LF, CR, U+0085, U+2028, U+2029),
+    * which pass through unspaced — exactly the regex's output, minus the
+    * per-character regex-engine invocation. */
+  def charSpace(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(cp)
+      if (cp != '\n' && cp != '\r' && cp != 0x85 && cp != 0x2028 &&
+        cp != 0x2029) sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Per-script character counts in ONE pass: [latin, digit, cyrillic,
     * greek, arabic, cjk] — exactly the counts of
     * `length(regexp_replace(t, "[^<range>]", ""))` for the six BMP
@@ -487,6 +553,45 @@ case class SimHash64(child: Expression) extends StringKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** bpe_cascade(text, 'a b|c d|...') — the full rank-ordered BPE merge
+  * cascade in one kernel call (see [[TextKernels.bpeCascade]]); `spec` is
+  * the rank-ordered merge table, one "a b" pair per '|' segment. */
+case class BpeCascade(child: Expression, spec: String)
+    extends StringKernelExpression {
+  private lazy val (ma, mb, mab) = {
+    val pairs = spec.split('|').map { seg =>
+      val i = seg.indexOf(' ')
+      (seg.substring(0, i), seg.substring(i + 1))
+    }
+    (pairs.map(_._1), pairs.map(_._2), pairs.map(p => p._1 + p._2))
+  }
+  override def prettyName: String = "bpe_cascade"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.bpeCascade(t.asInstanceOf[UTF8String], ma, mb, mab)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maRef = ctx.addReferenceObj("bpeMa", ma, "java.lang.String[]")
+    val mbRef = ctx.addReferenceObj("bpeMb", mb, "java.lang.String[]")
+    val mabRef = ctx.addReferenceObj("bpeMab", mab, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bpeCascade($c, $maRef, $mbRef, $mabRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** char_space(text) — `regexp_replace(text, "(.)", "$1 ")` as one kernel
+  * pass (see [[TextKernels.charSpace]]). */
+case class CharSpace(child: Expression) extends StringKernelExpression {
+  override def prettyName: String = "char_space"
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.charSpace(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charSpace($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** script_counts(text) — [latin, digit, cyrillic, greek, arabic, cjk]
   * character counts in one pass (see [[TextKernels.scriptCounts]]). */
 case class ScriptCounts(child: Expression) extends StringKernelExpression {
@@ -568,7 +673,13 @@ object TextFunctions {
       (cs: Seq[Expression]) => BloomMightContain(cs.head, cs(1), cs(2), cs(3))),
     (FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
-      (cs: Seq[Expression]) => ScriptCounts(cs.head)))
+      (cs: Seq[Expression]) => ScriptCounts(cs.head)),
+    (FunctionIdentifier("bpe_cascade"),
+      new ExpressionInfo(classOf[BpeCascade].getName, "bpe_cascade"),
+      (cs: Seq[Expression]) => BpeCascade(cs.head, cs(1).eval().toString)),
+    (FunctionIdentifier("char_space"),
+      new ExpressionInfo(classOf[CharSpace].getName, "char_space"),
+      (cs: Seq[Expression]) => CharSpace(cs.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
@@ -599,4 +710,8 @@ object TextFunctions {
                         m: Column, k: Column): Column =
     call_function("bloom_might_contain", bloom, key, m, k)
   def scriptCounts(text: Column): Column = call_function("script_counts", text)
+  def bpeCascade(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_cascade", text,
+      lit(merges.map { case (a, b) => s"$a $b" }.mkString("|")))
+  def charSpace(text: Column): Column = call_function("char_space", text)
 }

@@ -420,7 +420,9 @@ object Multimodal {
     * gray palette, so the encode→decode round trip preserves raw sample
     * values with no quantization. */
   object GifCodec {
-    private def grayPalette: java.awt.image.IndexColorModel = {
+    // lazy VAL, not def: the color model is immutable and was being
+    // rebuilt (3x256-byte ramps + model) once per FRAME
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
       val ramp = Array.tabulate[Byte](256)(i => i.toByte)
       new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
     }

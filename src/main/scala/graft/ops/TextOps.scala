@@ -613,11 +613,13 @@ object TextOps {
   def bpeTokenCount(text: org.apache.spark.sql.Column,
                     merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val spaced = concat(lit(" "),
-      regexp_replace(replace(lower(text), lit(" "), lit("_")), "(.)", "$1 "))
-    val cascade = merges.foldLeft(spaced) { case (c, (a, b)) =>
-      replace(replace(c, lit(s" $a $b "), lit(s" $a$b ")),
-        lit(s" $a $b "), lit(s" $a$b ")) }
-    val t = trim(cascade)
+      graft.functions.TextFunctions.charSpace(
+        replace(lower(text), lit(" "), lit("_"))))
+    // ONE bpe_cascade kernel call (token-level simulation of the per-rank
+    // double replace, pinned identical in TextExpressionsSpec) instead of
+    // a 2x|merges|-node nested-replace tree that rebuilt the string per
+    // node. Callers must have TextFunctions registered on the session.
+    val t = trim(graft.functions.TextFunctions.bpeCascade(spaced, merges))
     (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
   }
 

@@ -134,6 +134,65 @@ class KernelsSpec extends SparkSuite {
     assert(ascii === "plain ascii")
   }
 
+  test("script_counts == six regexp_replace range counts") {
+    TextFunctions.ensureRegistered(spark)
+    val adversarial = (docs.as[String].collect().toSeq ++ Seq(
+      "ABC abc 012 кириллица Ελληνικά العربية 漢字文化圏 mixed слово7",
+      "", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 supplementary 😀 planes", "   ", "7")).toDF("text")
+    val ranges = Seq("A-Za-z", "0-9", "\\u0400-\\u04FF", "\\u0370-\\u03FF",
+      "\\u0600-\\u06FF", "\\u4E00-\\u9FFF")
+    val builtin = ranges.zipWithIndex.map { case (r, i) =>
+      length(regexp_replace(col("text"), s"[^$r]", "")).cast("long").as(s"b$i") }
+    val native = (0 until 6).map(i =>
+      element_at(TextFunctions.scriptCounts(col("text")), i + 1).as(s"n$i"))
+    val cmp = adversarial.select(builtin ++ native: _*)
+    val bad = (0 until 6).map(i => col(s"b$i") =!= col(s"n$i")).reduce(_ || _)
+    assert(cmp.filter(bad).count() === 0)
+  }
+
+  test("char_space == regexp_replace(s, '(.)', '$1 ')") {
+    TextFunctions.ensureRegistered(spark)
+    val texts = (docs.as[String].collect().toSeq ++ Seq(
+      "", "a", "line\nbreaks\r\nhere", "𝔘ni😀code", "xy z w"))
+      .toDF("text")
+    val cmp = texts.select(
+      TextFunctions.charSpace(col("text")).as("native"),
+      regexp_replace(col("text"), "(.)", "$1 ").as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("bpe_cascade == the per-rank doubled nested-replace cascade") {
+    TextFunctions.ensureRegistered(spark)
+    // the full shipped merge table, over fixture-like text AND
+    // adversarial repeats that exercise the consumed-separator miss the
+    // second replace exists for
+    val merges = graft.SparkEntry.BpeMerges
+    val texts = (docs.as[String].collect().toSeq ++ Seq(
+      "aaaa", "abababab", "tthhee erer inin", "the thth hth tht",
+      "", " ", "x", "ererer atatat", "the theory thesis in ing ings",
+      "rererere ananan")).toDF("text")
+    val spaced = concat(lit(" "),
+      regexp_replace(replace(lower(col("text")), lit(" "), lit("_")), "(.)", "$1 "))
+    val builtin = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(replace(c, lit(s" $a $b "), lit(s" $a$b ")),
+        lit(s" $a $b "), lit(s" $a$b ")) }
+    val cmp = texts.select(
+      TextFunctions.bpeCascade(spaced, merges).as("native"),
+      builtin.as("builtin"))
+    assert(cmp.filter(col("native") =!= col("builtin")).count() === 0)
+    // and the token-level kernel agrees with plain Java String.replace
+    val ref = (s: String) => merges.foldLeft(s) { case (acc, (a, b)) =>
+      acc.replace(s" $a $b ", s" $a$b ").replace(s" $a $b ", s" $a$b ") }
+    texts.as[String].collect().foreach { t =>
+      val sp = " " + t.toLowerCase.replace(" ", "_").flatMap(c => s"$c ")
+      val viaKernel = TextKernels.bpeCascade(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sp),
+        merges.map(_._1).toArray, merges.map(_._2).toArray,
+        merges.map(p => p._1 + p._2).toArray).toString
+      assert(viaKernel === ref(sp), s"kernel diverged on <$t>")
+    }
+  }
+
   test("functions usable from plain SQL via extensions-style registration") {
     TextFunctions.ensureRegistered(spark)
     VectorFunctions.ensureRegistered(spark)
