@@ -112,9 +112,10 @@ object AudioFingerprint {
   }
 
   private def decodeWav(bytes: Array[Byte]): Option[Array[Int]] = {
+    // cached-SPI open — AudioSystem's per-call synchronized provider
+    // lookup serializes parallel decode (see Multimodal.WavCodec)
     val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      try Multimodal.WavCodec.openAudioStream(bytes)
       catch { case _: Exception => null }
     if (ais == null) return None
     try {
@@ -139,7 +140,7 @@ object AudioFingerprint {
   def audioFingerprints(df: DataFrame, mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField("afp", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val fp = decodePcm(r.getAs[Array[Byte]](mediaIdx))
           .flatMap(fingerprint64)
@@ -221,7 +222,7 @@ object AudioFingerprint {
                             mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map(r =>
         Row.fromSeq(r.toSeq :+ FixtureNearDupAudio.wav(r.getLong(idIdx))))
     }

@@ -125,7 +125,13 @@ object Multimodal {
         catch { case _: Exception => null }
       } else {
         val reader = cachedReader(fmt)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // direct in-memory stream: ImageIO.createImageInputStream consults
+        // the (synchronized) stream-SPI registry AND — with the default
+        // useCache=true — spools every payload to a TEMP FILE
+        // (FileCacheImageInputStream); under a 32-thread decode stage the
+        // temp-file churn serializes the whole family. Identical bytes,
+        // identical decode.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           reader.setInput(iis, true, true) // what ImageIO.read passes
@@ -386,7 +392,9 @@ object Multimodal {
       // minus the per-call registry scan
       val writer = cachedWriter("png")
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      // in-memory output stream — the registry path spools encodes through
+      // a temp FILE by default (see decodeImage), a parallel-encode wall
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.write(img)
@@ -432,7 +440,8 @@ object Multimodal {
     def encodeGif(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
       require(frames.nonEmpty, "need at least one frame")
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      // in-memory output stream (no temp-file spool — see decodeImage)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       // same GIFImageWriter the registry resolves, cached per thread
       val writer = ImageIoCodec.cachedWriter("gif")
       try {
@@ -468,7 +477,8 @@ object Multimodal {
       * classifying failures (see [[DecodeResult]]). */
     def decode(bytes: Array[Byte]): DecodeResult = {
       if (bytes == null || bytes.length == 0) return NotAGif
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // in-memory input stream (no temp-file spool — see decodeImage)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       // the GIF magic lets the registry probe (and a throwaway reader per
       // payload) be skipped on the hot path; non-GIF-magic payloads still
@@ -541,7 +551,7 @@ object Multimodal {
                      mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r => Row.fromSeq(r.toSeq :+ FixtureGif.gif(r.getLong(idIdx))) }
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -561,7 +571,7 @@ object Multimodal {
       .add(StructField("gray_sum", LongType))
       .add(StructField("gif_verdict", StringType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         GifCodec.decode(bytes) match {
@@ -591,13 +601,58 @@ object Multimodal {
     final case class AudioStats(sampleRate: Int, nSamples: Long, sumAbs: Long,
                                 peak: Int, zeroCross: Long)
 
+    /** The AudioFileReader SPI list, fetched ONCE:
+      * `AudioSystem.getAudioInputStream` funnels EVERY call through a
+      * JVM-global `synchronized` provider lookup (JDK13Services), which
+      * serializes a 32-thread decode stage on tiny payloads. The provider
+      * instances are the same stateless singletons AudioSystem hands out
+      * concurrently; walking a cached list is the identical decode minus
+      * the lock. Ordering mirrors JDK13Services: JDK-internal
+      * (com.sun.media.sound.) providers first, first success wins —
+      * EXCEPT SoftMidiAudioFileReader, which goes LAST: its per-probe
+      * `MidiSystem.getSequence` re-enters the same JVM-global
+      * synchronized lookup (JSSecurityManager.getProviders — jstack
+      * showed all 32 decode threads BLOCKED on it), and the JDK readers'
+      * container magics are disjoint (RIFF/FORM/.snd/MThd), so a reader
+      * that accepts a payload is unique and the move cannot change which
+      * one wins. */
+    private[ops] lazy val audioFileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      var jdk = List.empty[javax.sound.sampled.spi.AudioFileReader]
+      var ext = List.empty[javax.sound.sampled.spi.AudioFileReader]
+      var midi = List.empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) {
+        val r = it.next()
+        if (r.getClass.getName.contains("SoftMidi")) midi ::= r
+        else if (r.getClass.getName.startsWith("com.sun.media.sound.")) jdk ::= r
+        else ext ::= r
+      }
+      jdk.reverse ::: ext.reverse ::: midi.reverse
+    }
+
+    /** `AudioSystem.getAudioInputStream(stream)` semantics over the cached
+      * provider list: first reader that accepts wins, unsupported-format
+      * probes fall through, null when none accepts. */
+    private[ops] def openAudioStream(
+        bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val it = audioFileReaders.iterator
+      while (it.hasNext) {
+        try return it.next().getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      null
+    }
+
     /** Decode and fold sample stats in one pass; None when the payload is
       * not a WAV `AudioSystem` accepts or not 16-bit signed PCM. */
     def decodeStats(bytes: Array[Byte]): Option[AudioStats] = {
       if (bytes == null || bytes.length == 0) return None
       val ais =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        try openAudioStream(bytes)
         catch { case _: Exception => null }
       if (ais == null) return None
       try {
@@ -705,7 +760,7 @@ object Multimodal {
                      mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r => Row.fromSeq(r.toSeq :+ FixtureWav.wav(r.getLong(idIdx))) }
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -723,7 +778,7 @@ object Multimodal {
       .add(StructField("peak", IntegerType))
       .add(StructField("zero_cross", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         WavCodec.decodeStats(bytes) match {
@@ -744,7 +799,7 @@ object Multimodal {
                       mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ FlacCodec.FixtureFlac.bytes(r.getLong(idIdx)))
       }
@@ -765,7 +820,7 @@ object Multimodal {
       .add(StructField("peak", IntegerType))
       .add(StructField("zero_cross", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         FlacCodec.decodeStats(bytes) match {
@@ -785,7 +840,7 @@ object Multimodal {
                      mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ Mp3Codec.FixtureMp3.bytes(r.getLong(idIdx)))
       }
@@ -806,7 +861,7 @@ object Multimodal {
       .add(StructField("frame_bytes", LongType))
       .add(StructField("duration_ms", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         Mp3Codec.meta(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some(m) => Row.fromSeq(r.toSeq ++ Seq[Any](
@@ -825,7 +880,7 @@ object Multimodal {
                        mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ AviCodec.FixtureMjpeg.bytes(r.getLong(idIdx)))
       }
@@ -844,7 +899,7 @@ object Multimodal {
       .add(StructField("height", IntegerType))
       .add(StructField("gray_sum", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         AviCodec.mjpegStats(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some(s) => Row.fromSeq(r.toSeq ++ Seq[Any](
@@ -1016,7 +1071,7 @@ object Multimodal {
                      mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r => Row.fromSeq(r.toSeq :+ FixtureMp4.mp4(r.getLong(idIdx))) }
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -1036,7 +1091,7 @@ object Multimodal {
       .add(StructField("n_samples", IntegerType))
       .add(StructField("sample_bytes", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         Multimodal.Mp4Codec.parseMeta(bytes) match {
@@ -1059,7 +1114,7 @@ object Multimodal {
                        mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r => Row.fromSeq(r.toSeq :+ FixtureImage.png(r.getLong(idIdx))) }
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -1073,7 +1128,7 @@ object Multimodal {
                       mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ JpegCodec.FixtureJpeg.bytes(r.getLong(idIdx)))
       }
@@ -1093,7 +1148,7 @@ object Multimodal {
       .add(StructField("height", IntegerType))
       .add(StructField("gray_sum", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         JpegCodec.decodeStats(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some(s) =>
@@ -1118,7 +1173,7 @@ object Multimodal {
       .add(StructField("sum_g", LongType))
       .add(StructField("sum_b", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         ImageIoCodec.decodeStats(bytes) match {
@@ -1144,7 +1199,7 @@ object Multimodal {
       .add(StructField("grad_y_energy", LongType))
       .add(StructField("lap_energy", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         ImageIoCodec.convEnergies(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some((gx, gy, lap)) => Row.fromSeq(r.toSeq ++ Seq(gx, gy, lap))
@@ -1173,7 +1228,7 @@ object Multimodal {
       .add(StructField("grad_x_energy", LongType))
       .add(StructField("grad_y_energy", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val img = ImageIoCodec.decodeImage(bytes) // ONE decode, both stats
@@ -1248,7 +1303,7 @@ object Multimodal {
     require(w > 0 && h > 0, "target dims must be positive")
     val schema = df.schema
     val mediaIdx = schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       // per-partition init of the (stub) codec happens here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
@@ -1267,7 +1322,7 @@ object Multimodal {
                      outCol: String = "features"): DataFrame = {
     val schema = df.schema.add(StructField(outCol, ArrayType(FloatType, containsNull = false)))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       // per-partition init of the (stub) codec happens here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)

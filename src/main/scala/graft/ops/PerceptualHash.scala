@@ -252,7 +252,7 @@ object PerceptualHash {
       .add(StructField("dhash", LongType))
       .add(StructField("phash_canon", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map { r =>
         decodeGray(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some((w, h, g)) if w >= 8 && h >= 8 =>
@@ -331,7 +331,7 @@ object PerceptualHash {
       .add(StructField("frame_idx", IntegerType))
       .add(StructField("phash", LongType))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         AviCodec.mjpegFrameRasters(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some(frames) =>
@@ -388,7 +388,7 @@ object PerceptualHash {
                               mediaCol: String = "media"): DataFrame = {
     val schema = df.schema.add(StructField(mediaCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    val rdd = Spread.spread(df).rdd.mapPartitions { rows =>
       rows.map(r => Row.fromSeq(r.toSeq :+ FixtureNearDup.png(r.getLong(idIdx))))
     }
     df.sparkSession.createDataFrame(rdd, schema)
