@@ -30,6 +30,15 @@ object RunOne {
       println(s"[runone] $name dumped to ${args(3)}")
       spark.stop(); return
     }
+    if (args.length > 2 && args(2) == "noop") {
+      // bench-identical timed action: noop sink, three passes
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[runone] $name noop$i in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     // warm + measure twice to split JIT/codegen from steady-state
     for (i <- 1 to 2) {
       val t0 = System.nanoTime()

@@ -418,6 +418,59 @@ object Dedup {
     chunkPairKeyed(df, simhash(textCol), maxHamming, idCol, blockCols)
   }
 
+  /** Bit layout of the `maxHamming + 2`-chunk signature split — ONE
+    * place, so the key builder ([[chunkPairKeyed]]) and the first-clean
+    * single-emission filter ([[firstCleanChunkPair]]) can never drift:
+    * 64 bits distributed as evenly as possible across the chunks. */
+  private def chunkLayout(maxHamming: Int): (Array[Int], Array[Int]) = {
+    val nChunks = maxHamming + 2
+    require(nChunks <= 64, s"maxHamming=$maxHamming needs $nChunks chunks of a 64-bit signature")
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _).init)
+  }
+
+  /** Bucket caps at or above this value switch the pair generators from
+    * distinct()-deduped emission to FIRST-CLEAN-CHUNK single emission
+    * ([[firstCleanChunkPair]]). The two are bit-identical whenever no
+    * bucket actually exceeds the cap; they can differ only for a pair
+    * whose first clean bucket was dropped while another surviving bucket
+    * held it (kept under distinct, dropped under first-clean) — with a
+    * cap of 10⁶+ rows per (chunk-pair, value) bucket that is already the
+    * degenerate mass-drop regime the cap exists to amputate. */
+  private val ExactOnceCapFloor = 1000000
+
+  /** TRUE exactly when the candidate row's own chunk-pair is the
+    * LEX-FIRST clean one for its signature pair — the single-emission
+    * predicate. A pair colliding in bucket (a, b) has chunks a and b
+    * clean (equal) by construction, so of its C(h+2,2)-way duplicated
+    * join rows exactly the one whose (a, b) are the two SMALLEST clean
+    * chunks passes — no distinct() exchange needed downstream. Kept
+    * FLAT for codegen: a clean-chunk bitmask (one n-term sum over the
+    * XOR) and a single mask compare, with the row's own (a, b) looked
+    * up from literal arrays by the posexplode index. (A 45-branch
+    * nested CaseWhen formulation of the same predicate fell out of
+    * whole-stage codegen and measured 10x SLOWER than the distinct()
+    * it replaced.) */
+  private def firstCleanEmission(xorCol: Column, chunkCol: Column,
+                                 maxHamming: Int): Column = {
+    val (widths, offsets) = chunkLayout(maxHamming)
+    val nChunks = widths.length
+    // bit i set  ⟺  chunk i of the XOR is all-zero (signatures agree)
+    val cleanMask = (0 until nChunks).map { i =>
+      when(xorCol.bitwiseAND(
+        lit(((1L << widths(i)) - 1) << offsets(i))) === lit(0L),
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val pairs = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
+      yield (a, b)
+    val aBit = element_at(array(pairs.map(p => lit(1 << p._1)): _*),
+      chunkCol + 1)
+    val belowB = element_at(array(pairs.map(p => lit((1 << p._2) - 1)): _*),
+      chunkCol + 1)
+    // (a, b) is the lex-first clean pair  ⟺  clean bits below b == {a}
+    cleanMask.bitwiseAND(belowB) === aBit
+  }
+
   /** The chunk-pair key relation for an ARBITRARY 64-bit signature
     * expression — the machinery [[simhashPairs]] buckets text SimHash
     * on, factored out so perceptual signatures (image pHash, audio
@@ -426,11 +479,8 @@ object Dedup {
   private def chunkPairKeyed(df: DataFrame, sig: Column, maxHamming: Int,
                              idCol: String,
                              blockCols: Seq[String]): DataFrame = {
-    val nChunks = maxHamming + 2
-    require(nChunks <= 64, s"maxHamming=$maxHamming needs $nChunks chunks of a 64-bit signature")
-    // distribute 64 bits as evenly as possible across the chunks
-    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
+    val (widths, offsets) = chunkLayout(maxHamming)
+    val nChunks = widths.length
     def chunk(i: Int): Column =
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val pairKeys = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
@@ -537,15 +587,27 @@ object Dedup {
     val cc = c.withColumn("__bsz", count(lit(1)).over(w))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
-    chunked(batch)
+    val joined = chunked(batch)
       .select(keyCols.map(col) :+ col(idCol).as("batch_id") :+
         col("sig").as("sig_b"): _*)
       .join(cc.select(keyCols.map(col) :+ col(idCol).as("corpus_id") :+
         col("sig").as("sig_c"): _*), keyCols)
-      .select(col("batch_id"), col("corpus_id"),
-        bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    if (maxBucketSize >= ExactOnceCapFloor) {
+      // single emission: keep only the first-clean-chunk join row per
+      // pair — no distinct() exchange over the banded candidate stream
+      // (see ExactOnceCapFloor for the cap-regime equivalence argument)
+      joined
+        .filter(firstCleanEmission(
+          col("sig_b").bitwiseXOR(col("sig_c")), col("chunk"), maxHamming))
+        .select(col("batch_id"), col("corpus_id"),
+          bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    } else
+      joined
+        .select(col("batch_id"), col("corpus_id"),
+          bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
   }
 
   private def pairsFromChunked(chunked0: DataFrame, op: String,
@@ -572,11 +634,25 @@ object Dedup {
       .drop("__bsz")
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
     val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)
-    l.join(r, keyCols)
+    val joined = l.join(r, keyCols)
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
-      .filter(col("hamming") <= maxHamming)
+    if (maxBucketSize >= ExactOnceCapFloor)
+      // single emission: a colliding pair's bucket (a, b) has chunks a
+      // and b clean, so exactly one join row per pair passes the
+      // first-clean filter — the distinct() exchange over the
+      // C(h+2,2)-way duplicated candidate stream disappears (see
+      // ExactOnceCapFloor for the cap-regime equivalence argument)
+      joined
+        .filter(firstCleanEmission(
+          col("sig_a").bitwiseXOR(col("sig_b")), col("chunk"), maxHamming))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    else
+      joined
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
+        .filter(col("hamming") <= maxHamming)
   }
 
   /** Winnowing fingerprint sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03

@@ -204,4 +204,53 @@ class PerceptualHashSpec extends SparkSuite {
       maxBucketSize = 10).collect()
     assert(p2.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L)))
   }
+
+  test("signaturePairs first-clean single emission == distinct path == brute force") {
+    // Twinned corpus: 40 bases, three perturbed copies each (bit flips at
+    // deterministic positions) — pairs collide in MANY chunk-pair buckets,
+    // so this exercises exactly the multiplicity the first-clean filter
+    // (cap >= 10^6 path) must collapse to one emission per pair.
+    val rows = (0 until 40).flatMap { i =>
+      val base = 0x9E3779B97F4A7C15L * (i + 1)
+      Seq((i * 3L, base),
+        (i * 3L + 1, base ^ (1L << (i % 64))),
+        (i * 3L + 2, base ^ (1L << ((i * 7 + 3) % 64)) ^ (1L << ((i * 13 + 1) % 64))))
+    }
+    val df = rows.toDF("doc_id", "sig")
+    for (h <- Seq(2, 6, 8)) {
+      val fast = Dedup.signaturePairs(df, maxHamming = h,
+        maxBucketSize = 1000000)
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Int)].collect()
+      // exactly one row per pair — the single-emission contract
+      assert(fast.length === fast.map(t => (t._1, t._2)).distinct.length)
+      val capped = Dedup.signaturePairs(df, maxHamming = h,
+        maxBucketSize = 999999) // below the floor: distinct() path
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Int)].collect()
+      val brute = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= h)
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast.toSet === brute, s"first-clean vs brute maxHamming=$h")
+      assert(capped.toSet === brute, s"distinct vs brute maxHamming=$h")
+    }
+    // incremental twin: batch-vs-corpus, same single-emission contract
+    val corpus = df
+    val batch = df.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        col("sig").bitwiseXOR(lit(1L)).as("sig"))
+    val incFast = Dedup.signaturePairsIncremental(corpus, batch,
+      maxHamming = 6, maxBucketSize = 1000000)
+      .select("batch_id", "corpus_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(incFast.length === incFast.map(t => (t._1, t._2)).distinct.length)
+    val incSlow = Dedup.signaturePairsIncremental(corpus, batch,
+      maxHamming = 6, maxBucketSize = 999999)
+      .select("batch_id", "corpus_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(incFast.toSet === incSlow.toSet)
+  }
 }
