@@ -321,23 +321,6 @@ object SparkEntry {
     FROM merged ORDER BY doc_id"""
   }
 
-  /** Spark-side variant of [[qBpe]]: the merge cascade as ONE
-    * `bpe_cascade` kernel call (identical semantics — see the kernel's
-    * scaladoc and TextExpressionsSpec pin) instead of the
-    * 2x|merges|-deep nested-replace expression tree. */
-  private def qBpeKernel(charSpace: String) = {
-    val spec = BpeMerges.map { case (a, b) => s"$a $b" }.mkString("|")
-    s"""
-    WITH spaced AS (
-      SELECT doc_id, concat(' ', $charSpace) AS s
-      FROM documents),
-    merged AS (SELECT doc_id, bpe_cascade(s, '$spec') AS s FROM spaced)
-    SELECT doc_id,
-      CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_bpe,
-      md5(trim(s)) AS bpe_md5
-    FROM merged ORDER BY doc_id"""
-  }
-
   /** Deterministic MODE: the most frequent value with an explicit
     * smallest-value tie-break (the bare mode() aggregate is
     * tie-nondeterministic on both engines). */
@@ -719,10 +702,19 @@ object SparkEntry {
       // (token-level simulation of the same per-rank double replace —
       // pinned identical to the nested-replace text in
       // TextExpressionsSpec); the DuckDB oracle keeps the shared
-      // nested-replace formulation in [[oracleSql]].
+      // nested-replace formulation in [[oracleSql]]. DataFrame form (the
+      // same expressions the SQL variant ran) so the kernel runs over a
+      // spread input instead of the one-row-group scan partition.
       graft.functions.TextFunctions.ensureRegistered(s)
-      sql(s, d, Seq("documents"), qBpeKernel(
-        "char_space(replace(lower(text), ' ', '_'))"))
+      val spec = BpeMerges.map { case (a, b) => s"$a $b" }.mkString("|")
+      graft.ops.Spread.spread(t(s, d, "documents"))
+        .selectExpr("doc_id",
+          "bpe_cascade(concat(' ', char_space(replace(lower(text), ' ', '_'))), '" +
+            spec + "') AS s")
+        .selectExpr("doc_id",
+          "CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_bpe",
+          "md5(trim(s)) AS bpe_md5")
+        .orderBy("doc_id")
     }),
 
     /** Winnowing fingerprint sketch ([[Dedup.winnowSketch]], MOSS
@@ -1721,7 +1713,7 @@ object SparkEntry {
         replace(col("text"), lit(" "), lit("&nbsp;")),
         lit("</p><ul><li>source &amp; "), col("source"),
         lit(" &amp;lt; tail</li></ul></body></html>"))
-      t(s, d, "documents")
+      graft.ops.Spread.spread(t(s, d, "documents"))
         .select(col("doc_id"), TextOps.extractHtmlText(html).as("extracted"))
         .select(col("doc_id"), md5(col("extracted")).as("extract_md5"),
           length(col("extracted")).as("n_chars"))
@@ -1781,7 +1773,7 @@ object SparkEntry {
         .orderBy("merge_rank").collect()
         .map(r => { val Array(a, b) = r.getString(1).split(" "); (a, b) })
         .toSeq
-      docs.select(col("doc_id"),
+      graft.ops.Spread.spread(docs).select(col("doc_id"),
           TextOps.bpeTokenCount(col("text"), merges).as("n_tokens"))
         .orderBy("doc_id")
     }),

@@ -752,7 +752,7 @@ object Dedup {
     val spans = mergeIntervals(occ, idCol)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("__s"), col("__e"))).as("__ivs"))
-    docs.join(spans, Seq(idCol), "left")
+    Spread.spread(docs).join(spans, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__ivs").isNull, col(textCol)).otherwise(
           array_join(
@@ -775,7 +775,7 @@ object Dedup {
   private def spanOccurrences(docs: DataFrame, k: Int, textCol: String,
                               idCol: String, hashed: Boolean): DataFrame = {
     val words = split(coalesce(col(textCol), lit("")), " ")
-    val gramStr = docs
+    val gramStr = Spread.spread(docs)
       .select(col(idCol), words.as("__w"))
       .where(size(col("__w")) >= k)
       .select(col(idCol), posexplode(transform(

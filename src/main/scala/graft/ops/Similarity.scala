@@ -199,7 +199,9 @@ object Similarity {
         s"cosinePairs is O(n²): corpus has $n rows > maxExactRows=$maxExactRows; " +
           "use srpNearDupPairs (or pass autoRoute=true)")
     }
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    // spread the STREAM side of the nested-loop join: a one-row-group
+    // corpus otherwise runs the full n^2 cosine sweep on one core
+    val a = Spread.spread(emb).select(col(idCol).as("vec_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))

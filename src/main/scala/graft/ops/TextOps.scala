@@ -123,7 +123,7 @@ object TextOps {
     val t = col(textCol)
     val toks = lowerTokens(t)
     val stopArr = array(Stopwords.map(lit): _*)
-    df.withColumn("n_chars_m", length(t))
+    Spread.spread(df).withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)))
       .withColumn("n_stop_tokens",
@@ -275,7 +275,8 @@ object TextOps {
       struct(size(filter(toks, tk => array_contains(m, tk))).as("score"),
         lit(lang).as("lang"))
     }
-    df.withColumn(outCol, array_max(array(scored: _*)).getField("lang"))
+    Spread.spread(df)
+      .withColumn(outCol, array_max(array(scored: _*)).getField("lang"))
   }
 
   /** Per-document top-`k` TF-IDF keywords — the classic corpus keyword
@@ -517,7 +518,7 @@ object TextOps {
     // length(regexp_replace(t, "[^range]", "")) regex passes (plus five
     // intermediate string rebuilds) — counts are identical by
     // construction (same six BMP ranges; see TextKernels.scriptCounts)
-    val counted = docs.select(col(idCol), t)
+    val counted = Spread.spread(docs).select(col(idCol), t)
       .withColumn("__sc", graft.functions.TextFunctions.scriptCounts(t))
       .select(Seq(col(idCol), t) ++ scripts.zipWithIndex.map { case (name, i) =>
         when(t.isNull, lit(0L))
