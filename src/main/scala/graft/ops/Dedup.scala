@@ -606,8 +606,10 @@ object Dedup {
       joined
         .select(col("batch_id"), col("corpus_id"),
           bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
-        .distinct()
+        // filter BEFORE distinct (they commute — hamming is a function of
+        // the pair): non-matching candidates never reach the exchange
         .filter(col("hamming") <= maxHamming)
+        .distinct()
   }
 
   private def pairsFromChunked(chunked0: DataFrame, op: String,
@@ -651,8 +653,11 @@ object Dedup {
     else
       joined
         .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")).distinct()
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        // filter BEFORE distinct (they commute — hamming is a function of
+        // the pair): non-matching candidates never reach the exchange
         .filter(col("hamming") <= maxHamming)
+        .distinct()
   }
 
   /** Winnowing fingerprint sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03
