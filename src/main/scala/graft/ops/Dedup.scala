@@ -582,6 +582,12 @@ object Dedup {
     // pre-partitions/pre-sorts the corpus side for the batch join (the
     // old size-agg + left-semi shape shuffled the exploded corpus twice
     // and localCheckpointed it — see pairsFromChunked)
+    // the COUNT WINDOW stays here even in the big-cap regime (unlike
+    // pairsFromChunked's anti-join shape, which was measured FASTER for
+    // the self-join but SLOWER here): its one exchange pre-partitions and
+    // pre-sorts the corpus side for the batch join, while the anti-join
+    // shape pays an extra aggregate + broadcast barrier per execution —
+    // measured +0.6-0.8 s on the incremental queries
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     val cc = c.withColumn("__bsz", count(lit(1)).over(w))
@@ -620,20 +626,36 @@ object Dedup {
     // observability job (eager, conf-gated) — same numbers as before
     reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
-    // ONE exchange for cap + self-join (r16 optimization): a count window
-    // on the bucket key both applies the cap AND leaves the relation
-    // hash-partitioned and sorted by exactly the self-join keys, so the
-    // l ⋈ r sort-merge join below adds no exchange and the second side
-    // rides a ReusedExchange. The previous shape (size aggregate +
-    // left-semi join + localCheckpoint of the exploded relation) shuffled
-    // the C(h+2,2)-times-exploded corpus three times and PERSISTED it —
-    // at 100 TB that materialization is the scale killer, not the CPU.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    val capped = chunked0
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    // Cap shapes (r16, both measured): the big-cap path anti-joins the
+    // hot-bucket set (empty in the no-drop regime — a free probe); the
+    // small-cap path keeps the count window, whose single exchange both
+    // applies the cap and leaves the relation hash-partitioned + sorted
+    // on exactly the self-join keys (ReusedExchange across sides). The
+    // pre-r16 shape (size aggregate + left-semi join + localCheckpoint
+    // of the exploded relation) shuffled the C(h+2,2)-times-exploded
+    // corpus three times and PERSISTED it — at 100 TB that
+    // materialization is the scale killer, not the CPU.
+    val capped =
+      if (maxBucketSize >= ExactOnceCapFloor) {
+        // cap via broadcast ANTI-join against the (normally EMPTY)
+        // hot-bucket set instead of the count window: the window executes
+        // its row-buffering WindowExec once per self-join side (only the
+        // exchange below it is reused), while the hot set recomputes
+        // cheaply from the checkpointed narrow proxy and its anti-join is
+        // a no-op probe when no bucket exceeds the cap
+        val hot = chunked0.groupBy(keyCols.head, keyCols.tail: _*)
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(keyCols.map(col): _*)
+        chunked0.join(broadcast(hot), keyCols, "left_anti")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        chunked0
+          .withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
     val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)
     val joined = l.join(r, keyCols)
