@@ -1301,7 +1301,8 @@ object SparkEntry {
         g4(docs.filter(col("doc_id") % 97 === 0)), "g",
         numHashes = 3, bits = 65536)
       Sketches.bloomMightContain(bloom,
-          g4(docs.filter(col("doc_id") % 97 =!= 0)).distinct(), "g",
+          g4(graft.ops.Spread.spread(docs.filter(col("doc_id") % 97 =!= 0)))
+            .distinct(), "g",
           numHashes = 3, bits = 65536)
         .groupBy("doc_id")
         .agg(sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_maybe"),
