@@ -647,7 +647,13 @@ object Dedup {
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") > maxBucketSize)
           .select(keyCols.map(col): _*)
+        // repartition HERE (below the per-side alias projections) so the
+        // exchange's child plan is identical for both self-join sides and
+        // ReusedExchange fires — without it the planner puts one exchange
+        // per side ABOVE the aliases and the explode + anti-join pipeline
+        // runs twice
         chunked0.join(broadcast(hot), keyCols, "left_anti")
+          .repartition(keyCols.map(col): _*)
       } else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
