@@ -30,12 +30,29 @@ object RunOne {
       println(s"[runone] $name dumped to ${args(3)}")
       spark.stop(); return
     }
-    if (args.length > 2 && args(2) == "noop") {
-      // bench-identical timed action: noop sink, three passes
+    if (args.length > 2 && args(2).startsWith("noop")) {
+      // bench-identical timed action: noop sink, three passes;
+      // "noopexplain" additionally prints the POST-execution plan (the
+      // AQE-final shape — runtime exchange reuse and join rewrites are
+      // invisible in the pre-execution explain)
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"[runone] $name noop$i in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      if (args(2) == "noopexplain") {
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              println("[runone] FINAL EXECUTED PLAN:\n" + qe.executedPlan)
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+        df.write.format("noop").mode("overwrite").save()
+        Thread.sleep(3000) // listener bus is async
       }
       spark.stop(); return
     }
