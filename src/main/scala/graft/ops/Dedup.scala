@@ -582,17 +582,26 @@ object Dedup {
     // pre-partitions/pre-sorts the corpus side for the batch join (the
     // old size-agg + left-semi shape shuffled the exploded corpus twice
     // and localCheckpointed it — see pairsFromChunked)
-    // the COUNT WINDOW stays here even in the big-cap regime (unlike
-    // pairsFromChunked's anti-join shape, which was measured FASTER for
-    // the self-join but SLOWER here): its one exchange pre-partitions and
-    // pre-sorts the corpus side for the batch join, while the anti-join
-    // shape pays an extra aggregate + broadcast barrier per execution —
-    // measured +0.6-0.8 s on the incremental queries
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    val cc = c.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    val cc =
+      if (maxBucketSize >= ExactOnceCapFloor) {
+        // anti-join cap + explicit repartition: the repartition restores
+        // the pre-partitioning the count window's exchange used to give
+        // the batch join, without WindowExec's per-bucket row buffering
+        // (the anti-join WITHOUT the repartition measured +0.6-0.8 s
+        // here — the corpus side lost its pre-partition/pre-sort)
+        val hot = c.groupBy(keyCols.head, keyCols.tail: _*)
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(keyCols.map(col): _*)
+        c.join(broadcast(hot), keyCols, "left_anti")
+          .repartition(keyCols.map(col): _*)
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        c.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
     val joined = chunked(batch)
       .select(keyCols.map(col) :+ col(idCol).as("batch_id") :+
         col("sig").as("sig_b"): _*)
