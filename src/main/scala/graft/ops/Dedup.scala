@@ -42,13 +42,14 @@ object Dedup {
     * first: these pipelines branch the capped relation into BOTH
     * self-join sides, and Spark silently drops metrics from duplicated
     * CollectMetrics nodes.) */
-  private def reportCaps(bucketSizes: DataFrame, op: String, cap: Int): Unit = {
+  private def reportCaps(bucketSizes: DataFrame, op: String,
+                         cap: Int): Option[CapReport] = {
     // spark.graft.dedup.reportCaps=false skips the eager report job (a
     // benchmark that times many dedup constructions back-to-back pays a
     // scheduling round per call); keep the DEFAULT on — silently-dropped
     // recall is the failure mode this exists to surface
     if (!bucketSizes.sparkSession.conf
-        .get("spark.graft.dedup.reportCaps", "true").toBoolean) return
+        .get("spark.graft.dedup.reportCaps", "true").toBoolean) return None
     val r = bucketSizes.filter(col("bsz") > cap)
       .agg(count(lit(1)), coalesce(sum(col("bsz")), lit(0L))).head()
     val report = CapReport(r.getLong(0), r.getLong(1), cap)
@@ -58,7 +59,23 @@ object Dedup {
         s"maxBucketSize=$cap were dropped (${report.droppedRows} member rows " +
         "lose near-dup candidate recall) — raise the cap or pre-block the " +
         "corpus if this mass matters")
+    Some(report)
   }
+
+  /** First-clean single emission diverges from distinct() emission exactly
+    * when a bucket actually capped: a pair whose lex-first clean bucket
+    * was dropped is lost even if a surviving bucket holds it. Silent at
+    * runtime otherwise — warn loudly when the degenerate regime is hit. */
+  private def warnFirstCleanDivergence(op: String,
+                                       report: Option[CapReport]): Unit =
+    report.filter(_.cappedBuckets > 0).foreach { r =>
+      log.warn(
+        s"graft.dedup.$op: first-clean single emission is active with " +
+          s"${r.cappedBuckets} capped bucket(s) — pairs whose lex-first " +
+          "clean bucket was dropped are LOST even when another surviving " +
+          "bucket holds them (divergence from distinct() emission); raise " +
+          "maxBucketSize above the hot-bucket size or pre-block the corpus")
+    }
 
   // ------------------------------------------------------------ exact
 
@@ -455,17 +472,20 @@ object Dedup {
                                  maxHamming: Int): Column = {
     val (widths, offsets) = chunkLayout(maxHamming)
     val nChunks = widths.length
+    // LONG masks throughout: chunk indices go up to nChunks-1 = 63 and
+    // JVM Int shifts mask the count to 5 bits, so Int literals would
+    // silently alias chunk bits for nChunks >= 33 (maxHamming >= 31)
     // bit i set  ⟺  chunk i of the XOR is all-zero (signatures agree)
     val cleanMask = (0 until nChunks).map { i =>
       when(xorCol.bitwiseAND(
         lit(((1L << widths(i)) - 1) << offsets(i))) === lit(0L),
-        lit(1 << i)).otherwise(lit(0))
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val pairs = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
       yield (a, b)
-    val aBit = element_at(array(pairs.map(p => lit(1 << p._1)): _*),
+    val aBit = element_at(array(pairs.map(p => lit(1L << p._1)): _*),
       chunkCol + 1)
-    val belowB = element_at(array(pairs.map(p => lit((1 << p._2) - 1)): _*),
+    val belowB = element_at(array(pairs.map(p => lit((1L << p._2) - 1)): _*),
       chunkCol + 1)
     // (a, b) is the lex-first clean pair  ⟺  clean bits below b == {a}
     cleanMask.bitwiseAND(belowB) === aBit
@@ -576,8 +596,10 @@ object Dedup {
       chunkPairKeyed(d.filter(col(sigCol).isNotNull),
         col(sigCol).cast("long"), maxHamming, idCol, blockCols)
     val c = chunked(corpus)
-    reportCaps(c.groupBy(keyCols.head, keyCols.tail: _*)
+    val capReport = reportCaps(c.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz")), "signature-incremental", maxBucketSize)
+    if (maxBucketSize >= ExactOnceCapFloor)
+      warnFirstCleanDivergence("signature-incremental", capReport)
     // corpus-side cap via a count window: one exchange that also
     // pre-partitions/pre-sorts the corpus side for the batch join (the
     // old size-agg + left-semi shape shuffled the exploded corpus twice
@@ -633,8 +655,10 @@ object Dedup {
                                blockCols: Seq[String]): DataFrame = {
     val keyCols = blockCols :+ "chunk" :+ "ckey"
     // observability job (eager, conf-gated) — same numbers as before
-    reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
+    val capReport = reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
+    if (maxBucketSize >= ExactOnceCapFloor)
+      warnFirstCleanDivergence(op, capReport)
     // Cap shapes (r16, both measured): the big-cap path anti-joins the
     // hot-bucket set (empty in the no-drop regime — a free probe); the
     // small-cap path keeps the count window, whose single exchange both

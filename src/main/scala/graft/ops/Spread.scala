@@ -29,6 +29,11 @@ import org.apache.spark.sql.DataFrame
 object Spread {
   private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // queryExecution.toRdd skips the InternalRow→Row encoder stage that
+    // df.rdd would bolt on just to read the partition count (the count is
+    // the same; the planning work is roughly halved per spread call)
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

@@ -217,7 +217,10 @@ class PerceptualHashSpec extends SparkSuite {
         (i * 3L + 2, base ^ (1L << ((i * 7 + 3) % 64)) ^ (1L << ((i * 13 + 1) % 64))))
     }
     val df = rows.toDF("doc_id", "sig")
-    for (h <- Seq(2, 6, 8)) {
+    // h=40 → 42 chunks: chunk indices past 31 pin the LONG bitmask fix
+    // (Int shift counts are masked to 5 bits, so Int masks would alias
+    // chunk bits and silently emit wrong/duplicate pairs)
+    for (h <- Seq(2, 6, 8, 40)) {
       val fast = Dedup.signaturePairs(df, maxHamming = h,
         maxBucketSize = 1000000)
         .select("doc_a", "doc_b", "hamming")
