@@ -496,29 +496,39 @@ object Dedup {
     * on, factored out so perceptual signatures (image pHash, audio
     * fingerprints) ride the same scale path. One row per (doc,
     * chunk-pair key). */
-  private def chunkPairKeyed(df: DataFrame, sig: Column, maxHamming: Int,
-                             idCol: String,
-                             blockCols: Seq[String]): DataFrame = {
+  /** NARROW signature proxy materialized once (lazy localCheckpoint):
+    * every pair generator references it 2-3 times (self-join sides, the
+    * member-expansion joins), and exchange reuse across those plan
+    * branches is not guaranteed — without this the expensive upstream
+    * (image/audio DECODE, signature kernels) runs per branch. ~16-24
+    * B/doc persisted; the C(h+2,2)x-exploded key relation is
+    * deliberately NOT persisted (recomputing the shifts from the proxy
+    * is cheaper than materializing it — guide §8: persist the proxy,
+    * move/recompute the bulk). */
+  private def sigProxy(df: DataFrame, sig: Column, idCol: String,
+                       blockCols: Seq[String]): DataFrame =
+    df.select(col(idCol) +: blockCols.map(col) :+ sig.as("sig"): _*)
+      .localCheckpoint(false)
+
+  /** Explode a relation carrying a `sig` column into its chunk-pair LSH
+    * keys — one row per (input row, chunk-pair); other columns carry
+    * through. */
+  private def withChunkPairKeys(rel: DataFrame,
+                                maxHamming: Int): DataFrame = {
     val (widths, offsets) = chunkLayout(maxHamming)
     val nChunks = widths.length
     def chunk(i: Int): Column =
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val pairKeys = for { a <- 0 until nChunks; b <- a + 1 until nChunks }
       yield chunk(a) * lit(1L << widths(b)) + chunk(b)
-    val blk = blockCols.map(col)
-    // NARROW signature proxy materialized once (lazy localCheckpoint):
-    // the self-join downstream plans the subtree twice, and exchange
-    // reuse across the two sides is not guaranteed — without this the
-    // expensive upstream (image/audio DECODE, signature kernels) runs
-    // twice. ~16-24 B/doc persisted; the 45x-exploded key relation is
-    // deliberately NOT persisted (recomputing the shifts from the proxy
-    // is cheaper than materializing it — guide §8: persist the proxy,
-    // move/recompute the bulk).
-    val base = df.select(col(idCol) +: blk :+ sig.as("sig"): _*)
-      .localCheckpoint(false)
-    base.select(col(idCol) +: blk :+ col("sig") :+
+    rel.select(rel.columns.map(col).toSeq :+
       posexplode(array(pairKeys: _*)).as(Seq("chunk", "ckey")): _*)
   }
+
+  private def chunkPairKeyed(df: DataFrame, sig: Column, maxHamming: Int,
+                             idCol: String,
+                             blockCols: Seq[String]): DataFrame =
+    withChunkPairKeys(sigProxy(df, sig, idCol, blockCols), maxHamming)
 
   /** Density diagnostic for the chunk-pair LSH: per-bucket populations with
     * an `oversized` flag, so a scale probe can assert "no mass dropped" at a
@@ -538,9 +548,14 @@ object Dedup {
                    maxBucketSize: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text",
                    blockCols: Seq[String] = Nil): DataFrame =
-    pairsFromChunked(
-      simhashChunked(df, maxHamming, idCol, textCol, blockCols),
-      "simhash", maxHamming, maxBucketSize, idCol, blockCols)
+    if (maxBucketSize >= ExactOnceCapFloor) {
+      graft.functions.TextFunctions.ensureRegistered(df.sparkSession)
+      pairsViaSigCollapse(sigProxy(df, simhash(textCol), idCol, blockCols),
+        "simhash", maxHamming, maxBucketSize, idCol, blockCols)
+    } else
+      pairsFromChunked(
+        simhashChunked(df, maxHamming, idCol, textCol, blockCols),
+        "simhash", maxHamming, maxBucketSize, idCol, blockCols)
 
   /** Banded Hamming near-dup pairs over a PRECOMPUTED 64-bit signature
     * column — same chunk-pair LSH, 100%-recall pigeonhole, bucket caps
@@ -558,10 +573,16 @@ object Dedup {
                      maxBucketSize: Int = 1000,
                      idCol: String = "doc_id", sigCol: String = "sig",
                      blockCols: Seq[String] = Nil): DataFrame =
-    pairsFromChunked(
-      chunkPairKeyed(df.filter(col(sigCol).isNotNull),
-        col(sigCol).cast("long"), maxHamming, idCol, blockCols),
-      "signature", maxHamming, maxBucketSize, idCol, blockCols)
+    if (maxBucketSize >= ExactOnceCapFloor)
+      pairsViaSigCollapse(
+        sigProxy(df.filter(col(sigCol).isNotNull),
+          col(sigCol).cast("long"), idCol, blockCols),
+        "signature", maxHamming, maxBucketSize, idCol, blockCols)
+    else
+      pairsFromChunked(
+        chunkPairKeyed(df.filter(col(sigCol).isNotNull),
+          col(sigCol).cast("long"), maxHamming, idCol, blockCols),
+        "signature", maxHamming, maxBucketSize, idCol, blockCols)
 
   /** Incremental SimHash near-dup: an arriving text BATCH against the
     * standing CORPUS — the SimHash twin of [[minhashIncremental]],
@@ -591,62 +612,153 @@ object Dedup {
                                 idCol: String = "doc_id",
                                 sigCol: String = "sig",
                                 blockCols: Seq[String] = Nil): DataFrame = {
-    val keyCols = blockCols :+ "chunk" :+ "ckey"
-    def chunked(d: DataFrame) =
-      chunkPairKeyed(d.filter(col(sigCol).isNotNull),
-        col(sigCol).cast("long"), maxHamming, idCol, blockCols)
-    val c = chunked(corpus)
-    val capReport = reportCaps(c.groupBy(keyCols.head, keyCols.tail: _*)
-      .agg(count(lit(1)).as("bsz")), "signature-incremental", maxBucketSize)
+    def proxy(d: DataFrame) =
+      sigProxy(d.filter(col(sigCol).isNotNull),
+        col(sigCol).cast("long"), idCol, blockCols)
     if (maxBucketSize >= ExactOnceCapFloor)
-      warnFirstCleanDivergence("signature-incremental", capReport)
+      return incrementalViaSigCollapse(proxy(corpus), proxy(batch),
+        "signature-incremental", maxHamming, maxBucketSize, idCol, blockCols)
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    def chunked(d: DataFrame) = withChunkPairKeys(proxy(d), maxHamming)
+    val c = chunked(corpus)
+    reportCaps(c.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz")), "signature-incremental", maxBucketSize)
     // corpus-side cap via a count window: one exchange that also
     // pre-partitions/pre-sorts the corpus side for the batch join (the
     // old size-agg + left-semi shape shuffled the exploded corpus twice
     // and localCheckpointed it — see pairsFromChunked)
-    val cc =
-      if (maxBucketSize >= ExactOnceCapFloor) {
-        // anti-join cap + explicit repartition: the repartition restores
-        // the pre-partitioning the count window's exchange used to give
-        // the batch join, without WindowExec's per-bucket row buffering
-        // (the anti-join WITHOUT the repartition measured +0.6-0.8 s
-        // here — the corpus side lost its pre-partition/pre-sort)
-        val hot = c.groupBy(keyCols.head, keyCols.tail: _*)
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select(keyCols.map(col): _*)
-        c.join(broadcast(hot), keyCols, "left_anti")
-          .repartition(keyCols.map(col): _*)
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)
-        c.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
-      }
-    val joined = chunked(batch)
+    val cc = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      c.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    }
+    chunked(batch)
       .select(keyCols.map(col) :+ col(idCol).as("batch_id") :+
         col("sig").as("sig_b"): _*)
       .join(cc.select(keyCols.map(col) :+ col(idCol).as("corpus_id") :+
         col("sig").as("sig_c"): _*), keyCols)
-    if (maxBucketSize >= ExactOnceCapFloor) {
-      // single emission: keep only the first-clean-chunk join row per
-      // pair — no distinct() exchange over the banded candidate stream
-      // (see ExactOnceCapFloor for the cap-regime equivalence argument)
-      joined
-        .filter(firstCleanEmission(
-          col("sig_b").bitwiseXOR(col("sig_c")), col("chunk"), maxHamming))
-        .select(col("batch_id"), col("corpus_id"),
-          bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
-        .filter(col("hamming") <= maxHamming)
-    } else
-      joined
-        .select(col("batch_id"), col("corpus_id"),
-          bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
-        // filter BEFORE distinct (they commute — hamming is a function of
-        // the pair): non-matching candidates never reach the exchange
-        .filter(col("hamming") <= maxHamming)
-        .distinct()
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("sig_b").bitwiseXOR(col("sig_c"))).as("hamming"))
+      // filter BEFORE distinct (they commute — hamming is a function of
+      // the pair): non-matching candidates never reach the exchange
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Big-cap pair generation via DISTINCT-SIGNATURE COLLAPSE (guide §2.3
+    * "shuffle keys and metadata instead of payloads", §8): band and
+    * self-join over the distinct signature VALUES per block, then expand
+    * qualifying signature pairs back to member id pairs and add the
+    * intra-signature (hamming 0) pairs. Real corpora are heavily twinned
+    * (exact re-uploads, re-encodes hitting the same perceptual hash), so
+    * the banded join's per-bucket row production drops from |members|²
+    * to |distinct sigs in bucket|² — the measured sf0.1 media fixtures
+    * collapse 5000 docs to 263 (pHash) / 34 (audio) distinct signatures.
+    * The expansion joins are OUTPUT-size work (every emitted pair is a
+    * result row), the unavoidable floor. Exactly equivalent to the
+    * distinct()/brute-force result in the no-drop regime: banding over
+    * distinct sigs keeps the 100%-recall pigeonhole, and `maxBucketSize`
+    * now caps DISTINCT-signature bucket population (buckets only shrink
+    * vs member counting, so a cap that never dropped before still never
+    * drops). */
+  private def pairsViaSigCollapse(proxy: DataFrame, op: String,
+                                  maxHamming: Int, maxBucketSize: Int,
+                                  idCol: String,
+                                  blockCols: Seq[String]): DataFrame = {
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    val blk = blockCols.map(col)
+    val uniq = proxy.select(blk :+ col("sig"): _*).distinct()
+    val keyed = withChunkPairKeys(uniq, maxHamming)
+    val capReport = reportCaps(keyed.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
+    warnFirstCleanDivergence(op, capReport)
+    // cap via broadcast ANTI-join against the (normally EMPTY) hot-bucket
+    // set; the explicit repartition below the per-side alias projections
+    // makes both self-join sides' exchange children identical so
+    // ReusedExchange fires (r16 W10)
+    val hot = keyed.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    val capped = keyed.join(broadcast(hot), keyCols, "left_anti")
+      .repartition(keyCols.map(col): _*)
+    val l = capped.select(keyCols.map(col) :+ col("sig").as("__siga"): _*)
+    val r = capped.select(keyCols.map(col) :+ col("sig").as("__sigb"): _*)
+    // single emission per distinct-sig pair (first-clean chunk filter —
+    // no distinct() exchange over the banded candidate stream)
+    val repPairs = l.join(r, keyCols)
+      .filter(col("__siga") < col("__sigb"))
+      .filter(firstCleanEmission(
+        col("__siga").bitwiseXOR(col("__sigb")), col("chunk"), maxHamming))
+      .select(blk :+ col("__siga") :+ col("__sigb") :+
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"): _*)
+      .filter(col("hamming") <= maxHamming)
+    // expansion: every (member of sig_a, member of sig_b) combination,
+    // ordered by id — one output row per qualifying pair
+    val mA = proxy.select(
+      blk :+ col("sig").as("__siga") :+ col(idCol).as("__ida"): _*)
+    val mB = proxy.select(
+      blk :+ col("sig").as("__sigb") :+ col(idCol).as("__idb"): _*)
+    val cross = repPairs
+      .join(mA, blockCols :+ "__siga")
+      .join(mB, blockCols :+ "__sigb")
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
+    // intra-signature pairs: identical sigs are hamming 0 by definition
+    val sKey = blockCols :+ "sig"
+    val sl = proxy.select(sKey.map(col) :+ col(idCol).as("doc_a"): _*)
+    val sr = proxy.select(sKey.map(col) :+ col(idCol).as("doc_b"): _*)
+    val same = sl.join(sr, sKey)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(lit(0L)).as("hamming"))
+    cross.unionByName(same)
+  }
+
+  /** Incremental twin of [[pairsViaSigCollapse]]: batch-band ⋈
+    * corpus-band over DISTINCT signatures per side, expanded back to
+    * (batch_id, corpus_id) member pairs. Equal signatures across the
+    * sides are ordinary hamming-0 band collisions here (no intra-side
+    * pairs exist by construction), so no separate same-sig leg. Corpus
+    * side capped as before, counted over distinct signatures. */
+  private def incrementalViaSigCollapse(corpusProxy: DataFrame,
+                                        batchProxy: DataFrame, op: String,
+                                        maxHamming: Int, maxBucketSize: Int,
+                                        idCol: String,
+                                        blockCols: Seq[String]): DataFrame = {
+    val keyCols = blockCols :+ "chunk" :+ "ckey"
+    val blk = blockCols.map(col)
+    val uniqC = corpusProxy.select(blk :+ col("sig"): _*).distinct()
+    val keyedC = withChunkPairKeys(uniqC, maxHamming)
+    val capReport = reportCaps(keyedC.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
+    warnFirstCleanDivergence(op, capReport)
+    val hot = keyedC.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    val cappedC = keyedC.join(broadcast(hot), keyCols, "left_anti")
+      .repartition(keyCols.map(col): _*)
+    val uniqB = batchProxy.select(blk :+ col("sig"): _*).distinct()
+    val repPairs = withChunkPairKeys(uniqB, maxHamming)
+      .select(keyCols.map(col) :+ col("sig").as("__sigb"): _*)
+      .join(cappedC.select(keyCols.map(col) :+ col("sig").as("__sigc"): _*),
+        keyCols)
+      .filter(firstCleanEmission(
+        col("__sigb").bitwiseXOR(col("__sigc")), col("chunk"), maxHamming))
+      .select(blk :+ col("__sigb") :+ col("__sigc") :+
+        bit_count(col("__sigb").bitwiseXOR(col("__sigc"))).as("hamming"): _*)
+      .filter(col("hamming") <= maxHamming)
+    val mB = batchProxy.select(
+      blk :+ col("sig").as("__sigb") :+ col(idCol).as("batch_id"): _*)
+    val mC = corpusProxy.select(
+      blk :+ col("sig").as("__sigc") :+ col(idCol).as("corpus_id"): _*)
+    repPairs
+      .join(mB, blockCols :+ "__sigb")
+      .join(mC, blockCols :+ "__sigc")
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }
 
   private def pairsFromChunked(chunked0: DataFrame, op: String,
@@ -655,70 +767,34 @@ object Dedup {
                                blockCols: Seq[String]): DataFrame = {
     val keyCols = blockCols :+ "chunk" :+ "ckey"
     // observability job (eager, conf-gated) — same numbers as before
-    val capReport = reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
+    reportCaps(chunked0.groupBy(keyCols.head, keyCols.tail: _*)
       .agg(count(lit(1)).as("bsz")), op, maxBucketSize)
-    if (maxBucketSize >= ExactOnceCapFloor)
-      warnFirstCleanDivergence(op, capReport)
-    // Cap shapes (r16, both measured): the big-cap path anti-joins the
-    // hot-bucket set (empty in the no-drop regime — a free probe); the
-    // small-cap path keeps the count window, whose single exchange both
-    // applies the cap and leaves the relation hash-partitioned + sorted
-    // on exactly the self-join keys (ReusedExchange across sides). The
-    // pre-r16 shape (size aggregate + left-semi join + localCheckpoint
-    // of the exploded relation) shuffled the C(h+2,2)-times-exploded
-    // corpus three times and PERSISTED it — at 100 TB that
-    // materialization is the scale killer, not the CPU.
-    val capped =
-      if (maxBucketSize >= ExactOnceCapFloor) {
-        // cap via broadcast ANTI-join against the (normally EMPTY)
-        // hot-bucket set instead of the count window: the window executes
-        // its row-buffering WindowExec once per self-join side (only the
-        // exchange below it is reused), while the hot set recomputes
-        // cheaply from the checkpointed narrow proxy and its anti-join is
-        // a no-op probe when no bucket exceeds the cap
-        val hot = chunked0.groupBy(keyCols.head, keyCols.tail: _*)
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") > maxBucketSize)
-          .select(keyCols.map(col): _*)
-        // repartition HERE (below the per-side alias projections) so the
-        // exchange's child plan is identical for both self-join sides and
-        // ReusedExchange fires — without it the planner puts one exchange
-        // per side ABOVE the aliases and the explode + anti-join pipeline
-        // runs twice
-        chunked0.join(broadcast(hot), keyCols, "left_anti")
-          .repartition(keyCols.map(col): _*)
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)
-        chunked0
-          .withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize)
-          .drop("__bsz")
-      }
+    // SMALL-cap shape only (big caps route to [[pairsViaSigCollapse]]):
+    // the count window's single exchange both applies the cap and leaves
+    // the relation hash-partitioned + sorted on exactly the self-join
+    // keys (ReusedExchange across sides). The pre-r16 shape (size
+    // aggregate + left-semi join + localCheckpoint of the exploded
+    // relation) shuffled the C(h+2,2)-times-exploded corpus three times
+    // and PERSISTED it — at 100 TB that materialization is the scale
+    // killer, not the CPU.
+    val capped = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      chunked0
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+    }
     val l = capped.select(keyCols.map(col) :+ col(idCol).as("doc_a") :+ col("sig").as("sig_a"): _*)
     val r = capped.select(keyCols.map(col) :+ col(idCol).as("doc_b") :+ col("sig").as("sig_b"): _*)
-    val joined = l.join(r, keyCols)
+    l.join(r, keyCols)
       .filter(col("doc_a") < col("doc_b"))
-    if (maxBucketSize >= ExactOnceCapFloor)
-      // single emission: a colliding pair's bucket (a, b) has chunks a
-      // and b clean, so exactly one join row per pair passes the
-      // first-clean filter — the distinct() exchange over the
-      // C(h+2,2)-way duplicated candidate stream disappears (see
-      // ExactOnceCapFloor for the cap-regime equivalence argument)
-      joined
-        .filter(firstCleanEmission(
-          col("sig_a").bitwiseXOR(col("sig_b")), col("chunk"), maxHamming))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .filter(col("hamming") <= maxHamming)
-    else
-      joined
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        // filter BEFORE distinct (they commute — hamming is a function of
-        // the pair): non-matching candidates never reach the exchange
-        .filter(col("hamming") <= maxHamming)
-        .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      // filter BEFORE distinct (they commute — hamming is a function of
+      // the pair): non-matching candidates never reach the exchange
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Winnowing fingerprint sketch (Schleimer, Wilkerson & Aiken, SIGMOD'03
